@@ -1,0 +1,7 @@
+"""SURVEY §2 inventory: importing this package registers every query."""
+
+from redmap_spark.inventory.registry import ORACLES, QUERIES
+
+from redmap_spark.inventory import relational  # noqa: F401
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,56 @@
+"""Query inventory registry.
+
+Every SURVEY.md §2 line registers here: a Spark callable
+``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible, a DuckDB
+oracle SQL string computing the identical result (same column names,
+same value types — see SURVEY §5).
+
+Determinism rules (both sides must follow them so the driver's
+order-insensitive value-hash matches):
+- money/value aggregates go through DECIMAL(18,2) (exact, associative,
+  partition-order independent), cast back to DOUBLE at the end;
+- averages are computed as CAST(decimal_sum AS DOUBLE) / COUNT so both
+  engines perform the same single double division;
+- dates/timestamps in outputs are formatted to strings;
+- integer sums in oracle SQL are CAST(... AS BIGINT) (DuckDB SUM(int)
+  is HUGEINT otherwise);
+- top-k queries break ties on a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; ``oracle`` is the DuckDB-equivalent SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dec(col: Column | str) -> Column:
+    """Exact 2-decimal representation of a monetary double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def money_sum(col: Column | str) -> Column:
+    """Order-independent exact sum of a 2-decimal column, as double."""
+    return F.sum(dec(col)).cast("double")
+
+
+def dmean(col: Column | str) -> Column:
+    """avg computed as exact-decimal-sum / count (deterministic)."""
+    return F.sum(dec(col)).cast("double") / F.count(F.lit(1))

@@ -1,0 +1,39 @@
+"""SparkSession factory tuned for this engine.
+
+Settings chosen for correctness-at-scale first:
+- UTC session timezone: results must not depend on the host TZ.
+- AQE + skew-join: runtime re-planning replaces hand-tuned partition
+  counts when data volume jumps 1000x.
+- Arrow: every Pandas-UDF path is Arrow-batched.
+- Shuffle partitions default to the local core count; on a real
+  cluster AQE coalesces / splits as needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "redmap-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Return (or create) the tuned SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
