@@ -9,6 +9,7 @@ this repo the tables are single parquet files per TESTDATA.md.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -33,6 +34,12 @@ class Catalog:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
+        # Self-defensive session settings: the driver may hand us a
+        # vanilla SparkSession. events.parquet stores TIMESTAMP(NANOS)
+        # which Spark only reads via the nanosAsLong legacy conf, and
+        # all date formatting must be TZ-independent.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def path(self, table: str) -> str:
         return f"{self.sf_dir}/{table}.parquet"
@@ -40,7 +47,12 @@ class Catalog:
     def table(self, table: str) -> DataFrame:
         if table not in TABLES:
             raise KeyError(f"unknown table {table!r}")
-        return self.spark.read.parquet(self.path(table))
+        df = self.spark.read.parquet(self.path(table))
+        if table == "events":
+            # nanos-as-long → proper micros timestamp (integer DIV: the
+            # values exceed double's 2^53 exact range).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
 
     def register_all(self) -> None:
         """Expose every table as a temp view for spark.sql queries."""

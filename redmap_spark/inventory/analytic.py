@@ -1,0 +1,336 @@
+"""SURVEY §2.A continued — window functions, sessionization, as-of /
+range joins, pivot/rollup/cube, histogram, JSON extraction.
+
+Time values are compared as epoch microseconds (BIGINT) so Spark and
+DuckDB never disagree on timestamp string formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import dec, query
+
+EVENT_ORDER = ["ts", "event_id"]
+
+# -- q_window_running: running sum / rank / lag ------------------------
+
+QWIN_SQL = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER w AS rn,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+       LAG(value) OVER w AS prev_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q_window_running", oracle=QWIN_SQL)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wo).alias("rn"),
+        F.sum(dec("value")).over(w).cast("double").alias("running_value"),
+        F.lag("value").over(wo).alias("prev_value"),
+    )
+
+
+# -- q_topk_per_group: row_number per-group top-k ----------------------
+
+QTOPK_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 3
+"""
+
+
+@query("q_topk_per_group", oracle=QTOPK_SQL)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        c.orders.join(F.broadcast(c.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# -- q_rollup / q_cube -------------------------------------------------
+
+QROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("q_rollup", oracle=QROLLUP_SQL)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = Catalog(spark, sf_dir).lineitem
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+QCUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("q_cube", oracle=QCUBE_SQL)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("sum_total"),
+    )
+
+
+# -- q_pivot: event_type → columns -------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+QPIVOT_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+@query("q_pivot", oracle=QPIVOT_SQL)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)  # explicit values: no extra pass
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+
+
+# -- q_histogram: width-bucket histogram -------------------------------
+
+QHIST_SQL = """
+SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_total,
+       MAX(o_totalprice) AS max_total
+FROM orders GROUP BY 1
+"""
+
+
+@query("q_histogram", oracle=QHIST_SQL)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_total"),
+        F.max("o_totalprice").alias("max_total"),
+    )
+
+
+# -- q_json_extract ----------------------------------------------------
+
+QJSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+@query("q_json_extract", oracle=QJSON_SQL)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+# -- q_sessionize: gap-based sessions (6h gap) -------------------------
+
+GAP_US = 6 * 3600 * 1_000_000
+
+QSESS_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > {GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM e
+), g AS (
+  SELECT user_id, sess, COUNT(*) AS n FROM s GROUP BY user_id, sess
+)
+SELECT user_id, COUNT(*) AS n_sessions, CAST(MAX(n) AS BIGINT) AS max_session_events
+FROM g GROUP BY user_id
+"""
+
+
+@query("q_sessionize", oracle=QSESS_SQL)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    brk = F.when(us - F.lag(us).over(wo) > GAP_US, 1).otherwise(0)
+    sess = e.select("user_id", brk.alias("brk"), "ts", "event_id").select(
+        "user_id", F.sum("brk").over(wsum).alias("sess")
+    )
+    per_session = sess.groupBy("user_id", "sess").agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n").cast("long").alias("max_session_events"),
+    )
+
+
+# -- q_asof_join: most recent click at-or-before each purchase ---------
+# Implemented with the scalable union+carry-forward pattern (one shuffle
+# on user_id, no row explosion) rather than a join — the plan a range
+# join would explode at 100 TB.
+
+QASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_q
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT user_id, ts, event_id, is_q,
+         LAST_VALUE(click_id IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, is_q, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+  FROM tagged
+)
+SELECT event_id AS purchase_id, user_id,
+       COALESCE(last_click_id, -1) AS last_click_id
+FROM carried WHERE is_q = 1
+"""
+
+
+@query("q_asof_join", oracle=QASOF_SQL)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.filter(F.col("event_type").isin("click", "purchase"))
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_q"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_q", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.select(
+            "user_id",
+            "event_id",
+            "is_q",
+            F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        )
+        .filter(F.col("is_q") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.coalesce(F.col("last_click_id"), F.lit(-1)).alias("last_click_id"),
+        )
+    )
+
+
+# -- q_range_join: clicks within 1h before each purchase ---------------
+
+HOUR_US = 3600 * 1_000_000
+
+QRANGE_SQL = f"""
+WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, epoch_us(ts) AS cus, value FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id,
+       CAST(COUNT(c.cus) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_click_value
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id AND c.cus >= p.pus - {HOUR_US} AND c.cus < p.pus
+GROUP BY p.event_id
+"""
+
+
+@query("q_range_join", oracle=QRANGE_SQL)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("pus")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.unix_micros("ts").alias("cus"), "value"
+    )
+    # equi-join on user_id keeps this a hash join; the range predicate
+    # filters inside each user's partition (bounded fan-out per key).
+    j = p.join(
+        c,
+        (p.user_id == c.c_user) & (c.cus >= p.pus - HOUR_US) & (c.cus < p.pus),
+        "left",
+    )
+    return j.groupBy("event_id").agg(
+        F.count("cus").cast("long").alias("n_clicks"),
+        F.coalesce(F.sum(dec("value")), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_click_value"),
+    ).select(F.col("event_id").alias("purchase_id"), "n_clicks", "sum_click_value")
+
+
+# -- q_time_bucket: tumbling 1-day window (streaming-parity shape) -----
+
+QTB_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+@query("q_time_bucket", oracle=QTB_SQL)
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
