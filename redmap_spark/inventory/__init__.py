@@ -5,5 +5,6 @@ from redmap_spark.inventory.registry import ORACLES, QUERIES
 from redmap_spark.inventory import relational  # noqa: F401
 from redmap_spark.inventory import relational2  # noqa: F401
 from redmap_spark.inventory import analytic  # noqa: F401
+from redmap_spark.inventory import mapreduce  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,130 @@
+"""SURVEY §2.B — MapReduce primitive parity.
+
+The reference framework's user surface is a chain of per-record
+transforms plus associative reduces, executed across workers. Here
+each primitive is declared as a DataFrame expression so the whole
+chain fuses into one Catalyst plan (WholeStageCodegen, map-side
+partial aggregation) — no Python in the record loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import dec, query
+
+# -- mr_map: per-record transform --------------------------------------
+
+MRMAP_SQL = """
+SELECT event_id, UPPER(event_type) AS etype,
+       CAST(CAST(value AS DECIMAL(18,2)) * 2 AS DOUBLE) AS value_x2
+FROM events
+"""
+
+
+@query("mr_map", oracle=MRMAP_SQL)
+def mr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("etype"),
+        (dec("value") * 2).cast("double").alias("value_x2"),
+    )
+
+
+# -- mr_filter: predicate (pushed to the scan) -------------------------
+
+MRFILTER_SQL = """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'click' AND value > 50.0
+"""
+
+
+@query("mr_filter", oracle=MRFILTER_SQL)
+def mr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return e.filter((F.col("event_type") == "click") & (F.col("value") > 50.0)).select(
+        "event_id", "user_id", "value"
+    )
+
+
+# -- mr_flatmap: record → N records ------------------------------------
+
+MRFLATMAP_SQL = """
+SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+FROM documents WHERE lang = 'en'
+"""
+
+
+@query("mr_flatmap", oracle=MRFLATMAP_SQL)
+def mr_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.filter(F.col("lang") == "en").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+
+
+# -- mr_reduce: global associative fold --------------------------------
+
+MRREDUCE_SQL = """
+SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n
+FROM events
+"""
+
+
+@query("mr_reduce", oracle=MRREDUCE_SQL)
+def mr_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return e.agg(
+        F.sum(dec("value")).cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# -- mr_reduce_by_key: classic wordcount -------------------------------
+
+WORDCOUNT_SQL = """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+) GROUP BY token
+"""
+
+
+@query("mr_reduce_by_key", oracle=WORDCOUNT_SQL)
+def mr_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# -- mr_chain: map→filter→flatMap→reduceByKey→top-k fused --------------
+
+MRCHAIN_SQL = """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT UNNEST(string_split(LOWER(text), ' ')) AS token
+  FROM documents WHERE lang = 'en'
+) WHERE LENGTH(token) > 4
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+@query("mr_chain", oracle=MRCHAIN_SQL)
+def mr_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.filter(F.col("lang") == "en")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.length("token") > 4)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
