@@ -6,5 +6,8 @@ from redmap_spark.inventory import relational  # noqa: F401
 from redmap_spark.inventory import relational2  # noqa: F401
 from redmap_spark.inventory import analytic  # noqa: F401
 from redmap_spark.inventory import mapreduce  # noqa: F401
+from redmap_spark.inventory import text  # noqa: F401
+from redmap_spark.inventory import dedup  # noqa: F401
+from redmap_spark.inventory import similarity  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]

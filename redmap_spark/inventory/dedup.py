@@ -1,0 +1,78 @@
+"""SURVEY §2.C — dedup inventory entries.
+
+dedup_exact / dedup_ngram_jaccard / dedup_embedding are
+oracle-verified; dedup_minhash_lsh and dedup_simhash are
+approximate-by-construction (hash-dependent candidates) and are
+verified by recall tests in tests/test_dedup.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+from redmap_spark.operators import dedup as D
+
+NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5({NORM}) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+@query("dedup_exact", oracle=DEDUP_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_classes(Catalog(spark, sf_dir).documents)
+
+
+DEDUP_JACCARD_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id1, id2, CAST(c AS DOUBLE) / (n1.n + n2.n - c) AS jaccard
+FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=DEDUP_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(Catalog(spark, sf_dir).documents, k=3, threshold=0.5)
+
+
+@query("dedup_minhash_lsh")  # approximate: verified by recall pytest
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(Catalog(spark, sf_dir).documents, threshold=0.5)
+
+
+@query("dedup_simhash")  # approximate: verified by pytest
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(Catalog(spark, sf_dir).documents, max_hamming=8)
+
+
+DEDUP_EMB_SQL = """
+WITH w AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+             / (a.nrm * b.nrm), 4) AS cosine
+FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+            / (a.nrm * b.nrm), 4) >= 0.3
+"""
+
+
+@query("dedup_embedding", oracle=DEDUP_EMB_SQL)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_dup_pairs(Catalog(spark, sf_dir).embeddings, threshold=0.3)

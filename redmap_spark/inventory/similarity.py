@@ -1,0 +1,44 @@
+"""SURVEY §2.D — similarity-search inventory entries.
+
+sim_bruteforce_topk is the oracle-verified exact baseline; the LSH
+and IVF variants are approximate scale paths verified by recall tests
+in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+from redmap_spark.operators import similarity as S
+
+QUERY_ID = 0
+
+SIM_BRUTE_SQL = f"""
+WITH w AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), q AS (SELECT v AS qv, nrm AS qn FROM w WHERE vec_id = {QUERY_ID})
+SELECT b.vec_id,
+       round(list_sum(list_transform(range(1, 65), i -> b.v[i] * q.qv[i]))
+             / (b.nrm * q.qn), 4) AS score
+FROM w b, q WHERE b.vec_id != {QUERY_ID}
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@query("sim_bruteforce_topk", oracle=SIM_BRUTE_SQL)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.brute_force_topk(Catalog(spark, sf_dir).embeddings, QUERY_ID, k=10)
+
+
+@query("sim_lsh_topk")  # approximate: verified by recall pytest
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_topk(Catalog(spark, sf_dir).embeddings, QUERY_ID, k=10)
+
+
+@query("sim_ivf_topk")  # approximate: verified by recall pytest
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_topk(Catalog(spark, sf_dir).embeddings, QUERY_ID, k=10)

@@ -1,0 +1,250 @@
+"""Deduplication operators (SURVEY §2.C).
+
+Scale posture (SURVEY §6): never O(n²) over the corpus. Candidate
+pairs come from an equi-join on a blocking key — shared shingle,
+MinHash LSH band, SimHash chunk, or cluster label — and only
+candidates get exact scoring. All hashing is xxhash64 (JVM-side,
+deterministic across runs/partitionings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from redmap_spark.operators.textstats import fingerprint, tokens
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup_classes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct (normalized)
+    text, keeping the smallest id as representative."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------- shingles / jaccard
+
+
+def shingle_array(text_col: str, k: int = 3) -> Column:
+    """Distinct k-token shingles as an array column (JVM lambda)."""
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+        )
+    )
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) rows — docs with < k tokens produce none."""
+    return (
+        df.filter(F.size(tokens(text_col)) >= k)
+        .select(F.col(id_col).alias("id"), F.explode(shingle_array(text_col, k)).alias("s"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via shingle equi-join.
+
+    The join key is the shingle itself: a pair is only ever scored if
+    it shares ≥1 shingle, so cost is Σ(docs-per-shingle²), not n².
+    At 100 TB you'd additionally cap shingle document-frequency; the
+    MinHash-LSH operator below is the preferred scale path.
+    """
+    sh = _shingle_rows(df, id_col, text_col, k)
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = counts.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+    n2 = counts.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(n1, "id1")
+        .join(n2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+
+def minhash_signature(text_col: str, num_hashes: int = 32, k: int = 3) -> Column:
+    """num_hashes MinHash values: min over shingles of
+    xxhash64(i || shingle) for each hash index i."""
+    sh = shingle_array(text_col, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidates, verified with exact Jaccard.
+
+    bands=8 × rows=4 over 32 hashes → candidate probability
+    1-(1-j⁴)⁸ (≈0.96 at j=0.5). Candidates join on (band, band_hash)
+    — the bucket-join that replaces the n² comparison at scale.
+    """
+    rows = num_hashes // bands
+    base = df.filter(F.size(tokens(text_col)) >= k).select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, k).alias("sig"),
+        shingle_array(text_col, k).alias("sh"),
+    )
+    banded = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), b * rows + 1, rows), lambda v: v.cast("string")
+                    ))).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bh") == F.col("b.bh"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    s1 = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    c = F.size(F.array_intersect("sh1", "sh2"))
+    jac = c.cast("double") / (F.size("sh1") + F.size("sh2") - c)
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+SIMHASH_CHUNKS = 4
+CHUNK_BITS = 16
+
+
+def simhash_chunks(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc, stored as 4×16-bit chunk ints (the
+    blocking representation: hamming ≤ r ⇒ some chunk equal for
+    r < SIMHASH_CHUNKS)."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("t"))
+    h = F.xxhash64("t")
+    bit_aggs = [
+        F.sum(F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(64)
+    ]
+    bits = tok.groupBy("id").agg(*bit_aggs)
+    chunk_cols = []
+    for c in range(SIMHASH_CHUNKS):
+        expr = F.lit(0)
+        for j in range(CHUNK_BITS):
+            bit = c * CHUNK_BITS + j
+            expr = expr + F.when(F.col(f"b{bit}") > 0, 1 << j).otherwise(0)
+        chunk_cols.append(expr.alias(f"c{c}"))
+    return bits.select("id", *chunk_cols)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidates
+    blocked on any equal 16-bit chunk."""
+    sh = simhash_chunks(df, id_col, text_col)
+    blocked = sh.select(
+        "id", *[F.col(f"c{c}") for c in range(SIMHASH_CHUNKS)],
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("ci"), F.col(f"c{c}").alias("cv"))
+            for c in range(SIMHASH_CHUNKS)
+        ])).alias("blk"),
+    ).select("id", "c0", "c1", "c2", "c3", F.col("blk.ci").alias("ci"), F.col("blk.cv").alias("cv"))
+
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return (
+        a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.3,
+    scale: int = 4,
+) -> DataFrame:
+    """Cosine near-dup pairs within blocks (IVF-style: only pairs in
+    the same cluster/label are scored — at 100 TB the block key is a
+    coarse quantizer, not a full cross join). Scores rounded to
+    ``scale`` decimals so the result is FP-order independent."""
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("norm", F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), scale)
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

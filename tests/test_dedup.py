@@ -1,0 +1,59 @@
+"""Property/recall tests for the approximate dedup operators
+(SURVEY §5.2): MinHash-LSH and SimHash must recover the planted
+near-duplicate pairs that exact n-gram Jaccard finds."""
+
+from __future__ import annotations
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.operators import dedup as D
+from tests.conftest import SF_DIR
+
+
+def _pairs(df, cols=("id1", "id2")):
+    return {(r[cols[0]], r[cols[1]]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    exact = _pairs(D.ngram_jaccard_pairs(docs, k=3, threshold=0.5))
+    approx = _pairs(D.minhash_lsh_pairs(docs, threshold=0.5))
+    assert exact, "testdata should contain planted near-dups"
+    # verification step re-checks exact jaccard → no false positives
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall}"
+
+
+def test_simhash_finds_planted_dups(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    exact = _pairs(D.ngram_jaccard_pairs(docs, k=3, threshold=0.8))
+    sim = _pairs(D.simhash_pairs(docs, max_hamming=8))
+    assert exact
+    # measured 17/25 = 0.68 (deterministic): the 30-word synthetic
+    # vocabulary makes distinct-token sets nearly identical across
+    # ALL docs, which bounds simhash separability on this corpus
+    recall = len(sim & exact) / len(exact)
+    assert recall >= 0.6, f"simhash recall {recall}"
+    # pairs are canonical (id1 < id2) and unique
+    rows = D.simhash_pairs(docs, max_hamming=8).collect()
+    assert all(r.id1 < r.id2 for r in rows)
+    assert len(rows) == len({(r.id1, r.id2) for r in rows})
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    """Property: a duplicated corpus must yield hamming-0 self-pairs."""
+    from pyspark.sql import functions as F
+    docs = Catalog(spark, SF_DIR).documents.limit(50)
+    shifted = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").union(shifted)
+    pairs = D.simhash_pairs(both, max_hamming=0)
+    found = {(r.id1, r.id2) for r in pairs.collect()}
+    expected = {(r.doc_id, r.doc_id + 10_000) for r in docs.collect()}
+    assert expected <= found
+
+
+def test_exact_dedup_partitions_corpus(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    classes = D.exact_dedup_classes(docs).collect()
+    assert sum(r.n_copies for r in classes) == docs.count()
+    assert all(r.rep_id >= 0 for r in classes)
