@@ -9,5 +9,6 @@ from redmap_spark.inventory import mapreduce  # noqa: F401
 from redmap_spark.inventory import text  # noqa: F401
 from redmap_spark.inventory import dedup  # noqa: F401
 from redmap_spark.inventory import similarity  # noqa: F401
+from redmap_spark.inventory import multimodal  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,48 @@
+"""Sources / sinks (SURVEY §2.H).
+
+Thin, explicit wrappers over the Spark readers/writers: every reader
+takes an explicit schema (schema inference is a full extra pass at
+100 TB — never rely on it in production paths), every writer supports
+partitioned layout (the physical design that enables partition
+pruning downstream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    # parquet is self-describing; schema comes from the footer
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType | str, header: bool = True) -> DataFrame:
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

@@ -1,0 +1,119 @@
+"""Structured Streaming operators (SURVEY §2.G).
+
+The events table is an append stream shape: (event_id, ts, user_id,
+event_type, value, props). These helpers build streaming plans that
+are the exact streaming analogue of the batch q_time_bucket /
+q_sessionize inventory queries — same aggregates, plus watermarks for
+late data. Tests run them with Trigger.availableNow over the testdata
+parquet and assert equality with the batch results.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# raw schema as stored (ts is TIMESTAMP(NANOS) → long under the
+# nanosAsLong conf that redmap_spark.session/catalog enable)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (at scale: a Kafka
+    source with the same downstream plan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource force-sets basePath to the path unless it's a
+    # glob — a glob pattern is the supported way to stream one file
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("basePath", sf_dir.rstrip("/"))
+        .parquet(f"{sf_dir.rstrip('/')}/events*.parquet")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 day", watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window agg with watermark — streaming analogue of the
+    batch q_time_bucket query (same day/count/sum/users output)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+                "n_events", "sum_value", "approx_users")
+    )
+
+
+# ---------------------------------------------- stateful sessionization
+
+SESSION_GAP_US = 6 * 3600 * 1_000_000
+
+SESSION_STATE_SCHEMA = "last_us long, n_sessions long, cur_len long, max_len long"
+SESSION_OUT_SCHEMA = "user_id long, n_sessions long, max_session_events long"
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    gap-based session counting with explicit state (the streaming
+    analogue of batch q_sessionize; with availableNow + a single
+    batch it reproduces it exactly)."""
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_us, n_sessions, cur_len, max_len = state.get
+        else:
+            last_us, n_sessions, cur_len, max_len = -1, 0, 0, 0
+        rows = []
+        for pdf in batches:
+            rows.append(pdf[["us"]])
+        us_sorted = pd.concat(rows)["us"].sort_values()
+        for us in us_sorted:
+            if last_us < 0 or us - last_us > SESSION_GAP_US:
+                n_sessions += 1
+                cur_len = 1
+            else:
+                cur_len += 1
+            max_len = max(max_len, cur_len)
+            last_us = int(us)
+        state.update((last_us, n_sessions, cur_len, max_len))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sessions], "max_session_events": [max_len]}
+        )
+
+    with_us = events.select("user_id", F.unix_micros("ts").alias("us"))
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
