@@ -1,0 +1,72 @@
+"""Physical-plan assertions (SURVEY §5.3): the properties that make
+these operators survive a 100×–1000× scale-up."""
+
+from __future__ import annotations
+
+from redmap_spark.inventory import QUERIES
+from redmap_spark.plans import explain as E
+from tests.conftest import SF_DIR
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    df = QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+    pushed = E.pushed_filters(df)
+    # quantity/discount/shipdate predicates must reach the parquet reader
+    assert "l_quantity" in pushed and "l_discount" in pushed, pushed
+
+
+def test_q6_column_pruning(spark):
+    df = QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+    schema = E.read_schema(df)
+    # 4 needed columns only — never the full 11-column lineitem row
+    assert "l_extendedprice" in schema
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema, schema
+
+
+def test_q5_dims_broadcast_facts_shuffle(spark):
+    df = QUERIES["q5_local_volume"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    # customer/supplier/nation/region ride broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 3, plan.count("BroadcastHashJoin")
+
+    # Scale property: when tables outgrow the auto-broadcast threshold
+    # (simulated by disabling it), the explicitly-hinted dims STILL
+    # broadcast while lineitem⋈orders degrades to a shuffle join — the
+    # plan we need at 100 TB.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = E.plan_string(QUERIES["q5_local_volume"](spark, SF_DIR), "formatted")
+        assert big.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" in big or "ShuffledHashJoin" in big, big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_wordcount_has_partial_aggregation(spark):
+    df = QUERIES["mr_reduce_by_key"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    # partial_count before the shuffle = the MapReduce combiner
+    assert "partial_count" in plan, plan
+
+
+def test_hot_paths_have_no_python_eval(spark):
+    # every relational / MR / text / dedup / similarity query must be
+    # pure JVM; only mm_features (mapInPandas by design) is exempt
+    for name, fn in QUERIES.items():
+        if name == "mm_features":
+            continue
+        assert not E.has_python_eval(fn(spark, SF_DIR)), f"{name} runs Python per-row"
+
+
+def test_q1_whole_stage_codegen(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    assert "WholeStageCodegen" in E.plan_string(df, "codegen")
+
+
+def test_asof_join_is_single_shuffle_no_explosion(spark):
+    df = QUERIES["q_asof_join"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    # union+carry-forward pattern: a window over user_id, NO join node
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
