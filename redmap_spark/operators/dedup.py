@@ -89,16 +89,34 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------- minhash
 
 
-def minhash_signature(text_col: str, num_hashes: int = 32, k: int = 3) -> Column:
-    """num_hashes MinHash values: min over shingles of
-    xxhash64(i || shingle) for each hash index i."""
-    sh = shingle_array(text_col, k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)))
-        ),
+def _mix(h: Column, i: int) -> Column:
+    """i-th hash of an already-hashed 64-bit value: one multi-arg
+    xxhash64 over (long, int) — JVM-side, no string re-hashing per
+    hash function, and no ANSI overflow (unlike multiply-shift)."""
+    return F.xxhash64(h, F.lit(i))
+
+
+def shingle_hashes(text_col: str, k: int = 3) -> Column:
+    """One xxhash64 per distinct shingle (the only string hashing the
+    whole MinHash pipeline performs)."""
+    return F.transform(shingle_array(text_col, k), lambda s: F.xxhash64(s))
+
+
+def minhash_signature_from_hashes(hs: Column, num_hashes: int = 32) -> Column:
+    """num_hashes MinHash values from pre-hashed shingles: per hash
+    function i, min over arithmetic remixes of the base hashes."""
+    def remix(i: int):
+        # NB: must be a 1-arg lambda — a 2-arg lambda would make
+        # F.transform pass the array index as the second argument
+        return lambda h: _mix(h, i)
+
+    return F.array(
+        *[F.array_min(F.transform(hs, remix(i))) for i in range(num_hashes)]
     )
+
+
+def minhash_signature(text_col: str, num_hashes: int = 32, k: int = 3) -> Column:
+    return minhash_signature_from_hashes(shingle_hashes(text_col, k), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -117,10 +135,22 @@ def minhash_lsh_pairs(
     — the bucket-join that replaces the n² comparison at scale.
     """
     rows = num_hashes // bands
-    base = df.filter(F.size(tokens(text_col)) >= k).select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, k).alias("sig"),
-        shingle_array(text_col, k).alias("sh"),
+    # Materialize (shingles, base hashes) ONCE — projection collapsing
+    # would otherwise inline the string-hash into all 32 remix columns.
+    # At cluster scale this intermediate would be a checkpointed table.
+    hashed = (
+        df.filter(F.size(tokens(text_col)) >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            shingle_array(text_col, k).alias("sh"),
+        )
+        .withColumn("hs", F.transform("sh", lambda s: F.xxhash64(s)))
+        .cache()
+    )
+    base = hashed.select(
+        "id",
+        minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"),
+        "sh",
     )
     banded = base.select(
         "id",
