@@ -6,6 +6,7 @@ from redmap_spark.inventory import relational  # noqa: F401
 from redmap_spark.inventory import relational2  # noqa: F401
 from redmap_spark.inventory import analytic  # noqa: F401
 from redmap_spark.inventory import relational3  # noqa: F401
+from redmap_spark.inventory import relational4  # noqa: F401
 from redmap_spark.inventory import mapreduce  # noqa: F401
 from redmap_spark.inventory import text  # noqa: F401
 from redmap_spark.inventory import dedup  # noqa: F401
