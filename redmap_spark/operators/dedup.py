@@ -31,25 +31,35 @@ def exact_dedup_classes(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 # ---------------------------------------------------- shingles / jaccard
+#
+# Shingles are represented as 64-bit xxhash64 values of the k-token
+# window, never as strings: multi-arg xxhash64(tok_i, …, tok_{i+k-1})
+# hashes the window in one JVM call, joins compare longs not strings,
+# and (27k distinct shingles)²/2⁶⁴ makes collisions negligible.
+#
+# IMPORTANT plan note: the token split MUST be materialized as its own
+# projection before any higher-order function references it. An
+# F.split inlined into a lambda body is re-evaluated per array
+# element (measured 8× slower on the shingle explode).
 
 
-def shingle_array(text_col: str, k: int = 3) -> Column:
-    """Distinct k-token shingles as an array column (JVM lambda)."""
-    t = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
-        )
+def _token_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, t: array<string>) with the split materialized; docs with
+    < k tokens dropped (they have no k-shingle)."""
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+        .filter(F.size("t") >= k)
     )
 
 
-def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) rows — docs with < k tokens produce none."""
-    return (
-        df.filter(F.size(tokens(text_col)) >= k)
-        .select(F.col(id_col).alias("id"), F.explode(shingle_array(text_col, k)).alias("s"))
+def shingle_hashes_from_tokens(tok: Column, k: int = 3) -> Column:
+    """Distinct hashed k-shingles from a *bound* token-array column."""
+    idx = F.sequence(F.lit(1), F.size(tok) - (k - 1))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(tok, i + j) for j in range(k)]),
+        )
     )
 
 
@@ -59,30 +69,47 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via shingle equi-join.
+    """Exact n-gram-Jaccard near-dup pairs via hashed-shingle equi-join.
 
-    The join key is the shingle itself: a pair is only ever scored if
-    it shares ≥1 shingle, so cost is Σ(docs-per-shingle²), not n².
-    At 100 TB you'd additionally cap shingle document-frequency; the
-    MinHash-LSH operator below is the preferred scale path.
+    The join key is the shingle hash: a pair is only ever scored if it
+    shares ≥1 shingle, so cost is Σ(docs-per-shingle²), not n².
+    ``max_shingle_df`` optionally drops shingles appearing in more
+    than that many docs from *candidate generation* (the 100 TB knob —
+    a pair at jaccard ≥ 0.5 shares many shingles, so rare ones still
+    block it); None keeps exact any-shared-shingle semantics to match
+    the SQL oracle. MinHash-LSH below is the preferred scale path.
     """
-    sh = _shingle_rows(df, id_col, text_col, k)
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Materialized (cached) so (a) both sides of the self-join read
+    # the shingle table instead of recomputing it, and (b) the
+    # explode's inferred not-null filter binds to the cached column
+    # rather than being pushed into the scan with the whole shingle
+    # expression inlined (measured 4× slower). At 100 TB this
+    # intermediate is a written shingle table.
+    hs = (
+        _token_rows(df, id_col, text_col, k)
+        .select("id", shingle_hashes_from_tokens(F.col("t"), k).alias("hs"))
+        .cache()
+    )
+    ex = hs.select("id", F.size("hs").alias("n"), F.explode("hs").alias("h"))
+    if max_shingle_df is not None:
+        rare = ex.groupBy("h").count().filter(F.col("count") <= max_shingle_df).select("h")
+        ex = ex.join(rare, "h")
+    a, b = ex.alias("a"), ex.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n1 = counts.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
-    n2 = counts.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
     jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
-    return (
-        common.join(n1, "id1")
-        .join(n2, "id2")
-        .select("id1", "id2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return common.select("id1", "id2", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -94,12 +121,6 @@ def _mix(h: Column, i: int) -> Column:
     xxhash64 over (long, int) — JVM-side, no string re-hashing per
     hash function, and no ANSI overflow (unlike multiply-shift)."""
     return F.xxhash64(h, F.lit(i))
-
-
-def shingle_hashes(text_col: str, k: int = 3) -> Column:
-    """One xxhash64 per distinct shingle (the only string hashing the
-    whole MinHash pipeline performs)."""
-    return F.transform(shingle_array(text_col, k), lambda s: F.xxhash64(s))
 
 
 def minhash_signature_from_hashes(hs: Column, num_hashes: int = 32) -> Column:
@@ -116,7 +137,16 @@ def minhash_signature_from_hashes(hs: Column, num_hashes: int = 32) -> Column:
 
 
 def minhash_signature(text_col: str, num_hashes: int = 32, k: int = 3) -> Column:
-    return minhash_signature_from_hashes(shingle_hashes(text_col, k), num_hashes)
+    """Signature straight from a text column. NB: fine for one-off
+    use; the LSH pipeline goes through ``_token_rows`` +
+    ``shingle_hashes_from_tokens`` so the split/hash work is
+    materialized once, not inlined into every remix column."""
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    hs = F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(*[F.element_at(t, i + j) for j in range(k)]))
+    )
+    return minhash_signature_from_hashes(hs, num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -135,22 +165,18 @@ def minhash_lsh_pairs(
     — the bucket-join that replaces the n² comparison at scale.
     """
     rows = num_hashes // bands
-    # Materialize (shingles, base hashes) ONCE — projection collapsing
-    # would otherwise inline the string-hash into all 32 remix columns.
-    # At cluster scale this intermediate would be a checkpointed table.
+    # Materialize hashed shingles ONCE — projection collapsing would
+    # otherwise inline the split+hash into all 32 remix columns. At
+    # cluster scale this intermediate would be a checkpointed table.
     hashed = (
-        df.filter(F.size(tokens(text_col)) >= k)
-        .select(
-            F.col(id_col).alias("id"),
-            shingle_array(text_col, k).alias("sh"),
-        )
-        .withColumn("hs", F.transform("sh", lambda s: F.xxhash64(s)))
+        _token_rows(df, id_col, text_col, k)
+        .select("id", shingle_hashes_from_tokens(F.col("t"), k).alias("hs"))
         .cache()
     )
     base = hashed.select(
         "id",
         minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"),
-        "sh",
+        "hs",
     )
     banded = base.select(
         "id",
@@ -176,8 +202,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    s1 = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
-    s2 = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    s1 = hashed.select(F.col("id").alias("id1"), F.col("hs").alias("sh1"))
+    s2 = hashed.select(F.col("id").alias("id2"), F.col("hs").alias("sh2"))
     c = F.size(F.array_intersect("sh1", "sh2"))
     jac = c.cast("double") / (F.size("sh1") + F.size("sh2") - c)
     return (
@@ -223,7 +249,9 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidates
     blocked on any equal 16-bit chunk."""
-    sh = simhash_chunks(df, id_col, text_col)
+    # cached: read by both sides of the self-join (5000 rows × 4 ints
+    # at sf0.1 — at 100 TB this is the written signature table)
+    sh = simhash_chunks(df, id_col, text_col).cache()
     blocked = sh.select(
         "id", *[F.col(f"c{c}") for c in range(SIMHASH_CHUNKS)],
         F.explode(F.array(*[
@@ -241,8 +269,8 @@ def simhash_pairs(
         a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)  # before distinct: shrink the shuffle
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -265,7 +293,10 @@ def embedding_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("norm", F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)))
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    ).cache()  # both self-join sides read the normalized vectors once
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
