@@ -113,3 +113,111 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint("text").alias("fp"),
         T.prefix_fingerprint("text", 64).alias("prefix_fp"),
     )
+
+
+# -- txt_gopher_quality ------------------------------------------------
+
+TXT_GOPHER_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         round(list_avg(list_transform(string_split(text, ' '),
+                                       x -> CAST(length(x) AS DOUBLE))), 6) AS mean_word_len,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS alpha_word_frac,
+         CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN {STOPS_SQL})) AS BIGINT) AS stop_hits
+  FROM documents)
+SELECT *,
+       (n_words BETWEEN 10 AND 1000
+        AND mean_word_len BETWEEN 2.0 AND 12.0
+        AND alpha_word_frac >= 0.8
+        AND stop_hits >= 2) AS passes
+FROM sig
+"""
+
+
+@query("txt_gopher_quality", oracle=TXT_GOPHER_SQL)
+def txt_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-rule quality signals + pass flag per doc."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        T.ws_token_count("text").cast("long").alias("n_words"),
+        T.mean_word_length("text").alias("mean_word_len"),
+        T.alpha_word_frac("text").alias("alpha_word_frac"),
+        T.symbol_count("text").cast("long").alias("n_symbols"),
+        T.marker_hits("text", T.STOPWORDS).cast("long").alias("stop_hits"),
+        T.gopher_passes("text").alias("passes"),
+    )
+
+
+# -- txt_pii_redact ----------------------------------------------------
+#
+# The corpus is synthetic and PII-free, so both sides append the same
+# deterministic PII suffix before redacting — the regexes are then
+# exercised on every row (and the redacted output must strip them all).
+
+PII_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or '"
+    " || '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1 555 000 ' || CAST(doc_id % 10000 AS VARCHAR)"
+)
+
+TXT_PII_SQL = f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace({PII_AUG},
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}', '<IP>', 'g'),
+         '\\+?\\d[\\d -]{{7,}}\\d', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+
+@query("txt_pii_redact", oracle=TXT_PII_SQL)
+def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +1 555 000 "),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    return d.select("doc_id", T.redact_pii(aug).alias("redacted"))
+
+
+# -- txt_repetition ----------------------------------------------------
+#
+# Oracle computes the same top-bigram fraction over string bigrams;
+# the Spark side hashes bigrams (xxhash64) — identical counts modulo
+# 2^-64 collisions.
+
+TXT_REP_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+bg AS (
+  SELECT doc_id, len(t) AS nt,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS b
+  FROM tok),
+cnt AS (
+  SELECT doc_id, nt, b, COUNT(*) AS c FROM bg GROUP BY doc_id, nt, b)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       round(CAST(MAX(c) AS DOUBLE) / (nt - 1), 6) AS top_bigram_frac
+FROM cnt GROUP BY doc_id, nt
+"""
+
+
+@query("txt_repetition", oracle=TXT_REP_SQL)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return T.top_bigram_fraction(d).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "top_bigram_frac"
+    )

@@ -89,3 +89,104 @@ def prefix_fingerprint(text: Column | str, n_chars: int = 64) -> Column:
     """Rolling/prefix fingerprint: md5 of the first n normalized chars
     (cheap first-pass blocking key for near-dedup)."""
     return F.md5(F.substring(normalized(text), 1, n_chars))
+
+
+# ------------------------------------------ Gopher-style quality rules
+#
+# The signal set follows the public Gopher / MassiveText filtering
+# rules (Rae et al. 2021, §A1.1): word count bounds, mean word length
+# bounds, symbol-to-word ratio, fraction of words with an alphabetic
+# character, and a minimum stopword hit count. All pure Column
+# expressions — per-document, embarrassingly parallel at 100 TB.
+
+
+def mean_word_length(text: Column | str) -> Column:
+    t = tokens(text)
+    total = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("double")), F.lit(0.0), lambda a, x: a + x
+    )
+    return F.round(total / F.size(t), 6)
+
+
+def alpha_word_frac(text: Column | str) -> Column:
+    """Fraction of tokens containing at least one letter."""
+    t = tokens(text)
+    return F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("double") / F.size(t)
+
+
+def symbol_count(text: Column | str) -> Column:
+    """# chars outside [a-z0-9 ] in the lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit("[^a-z0-9 ]"))
+
+
+def gopher_passes(
+    text: Column | str,
+    min_words: int = 10,
+    max_words: int = 1000,
+    min_mwl: float = 2.0,
+    max_mwl: float = 12.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    n = ws_token_count(text)
+    mwl = mean_word_length(text)
+    return (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mwl >= min_mwl)
+        & (mwl <= max_mwl)
+        & (alpha_word_frac(text) >= min_alpha_frac)
+        & (marker_hits(text, STOPWORDS) >= min_stop_hits)
+    )
+
+
+# -------------------------------------------------------- PII redaction
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Chained global regexp_replace over the public PII pattern set.
+    Order matters: emails before phones (digits in local parts), IPs
+    before phones (dotted quads contain digit runs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+# ------------------------------------------------ repetition detection
+
+
+def top_bigram_fraction(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition signal (Gopher §A1.1 dup rules): the
+    fraction of token bigrams occupied by the single most frequent
+    bigram. Bigrams are hashed (multi-arg xxhash64 on the pre-split
+    token array — see operators/dedup.py for why the split must be a
+    bound column) so the per-doc groupBy shuffles longs, not strings.
+    High fraction ⇒ boilerplate / repeated-phrase document.
+    """
+    tok = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = tok.select(
+        "id",
+        F.size("t").alias("nt"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.xxhash64(F.element_at("t", i), F.element_at("t", i + 1)),
+            )
+        ).alias("b"),
+    )
+    per_bigram = bg.groupBy("id", "nt", "b").agg(F.count(F.lit(1)).alias("c"))
+    return per_bigram.groupBy("id", "nt").agg(
+        F.round(F.max("c").cast("double") / (F.col("nt") - 1).cast("double"), 6).alias(
+            "top_bigram_frac"
+        )
+    ).select(F.col("id").alias(id_col), F.col("nt").alias("n_tokens"), "top_bigram_frac")
