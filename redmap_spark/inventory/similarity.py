@@ -42,3 +42,46 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_ivf_topk")  # approximate: verified by recall pytest
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(Catalog(spark, sf_dir).embeddings, QUERY_ID, k=10)
+
+
+# -- k-NN joins (batch ANN: every query → its top-k neighbors) ---------
+
+N_QUERIES = 20
+KNN_K = 5
+
+SIM_KNN_JOIN_SQL = f"""
+WITH w AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM w WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, b.vec_id AS c_id,
+         round(list_sum(list_transform(range(1, 65), i -> b.v[i] * q.qv[i]))
+               / (b.nrm * q.qn), 4) AS score
+  FROM w b, q WHERE b.vec_id != q.q_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rn
+  FROM scored)
+SELECT q_id, c_id, score, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= {KNN_K}
+"""
+
+
+@query("sim_knn_join", oracle=SIM_KNN_JOIN_SQL)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    from pyspark.sql import functions as F
+
+    return S.knn_join_bruteforce(e.filter(F.col("vec_id") < N_QUERIES), e, k=KNN_K)
+
+
+@query("sim_knn_join_ivf")  # approximate: verified by score-ratio pytest
+def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF join over a trained spherical-k-means quantizer (the
+    dataset's label column is not cosine-coherent); nprobe=3 of 10
+    clusters scans ~30% of the corpus for ~0.94 of exact top-k
+    quality on this near-uniform embedding space."""
+    e = Catalog(spark, sf_dir).embeddings
+    from pyspark.sql import functions as F
+
+    return S.knn_join_ivf_trained(e.filter(F.col("vec_id") < N_QUERIES), e, k=KNN_K, nprobe=3)

@@ -156,3 +156,214 @@ def ivf_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ------------------------------------------------------------ kNN join
+
+
+def knn_join_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join: every query row → its top-k corpus neighbors
+    by cosine. The query side is broadcast (the small side by
+    contract: a probe batch, not the corpus); ranking is a per-query
+    window so the corpus is scanned exactly once regardless of the
+    number of queries. For corpus×corpus self-join at 100 TB use
+    ``knn_join_ivf`` — brute force is the recall oracle, not the
+    scale path."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), as_double_vec(vec_col).alias("v")
+    ).withColumn("cn", norm(F.col("v")))
+    scored = (
+        c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(dot(F.col("v"), F.col("qv")) / (F.col("cn") * F.col("qn")), 4).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    dim: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF k-NN join (the scale path): corpus is partitioned by its
+    coarse-quantizer cluster; each query probes only its ``nprobe``
+    nearest centroids. Per-query work drops from |corpus| to
+    nprobe × |cluster|; the probe assignment is a broadcast of the
+    (tiny) centroid table, and the candidate join shuffles on the
+    cluster key — co-partitioned with a corpus table that is bucketed
+    by cluster at rest."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(cluster_col).alias("cl"),
+        as_double_vec(vec_col).alias("v"),
+    ).withColumn("cn", norm(F.col("v")))
+    centroids = c.groupBy("cl").agg(
+        F.array(*[F.avg(F.element_at("v", i + 1)) for i in range(dim)]).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cl"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .select("q_id", "qv", "qn", "cl", cosine(F.col("cv"), F.col("qv"), scale=8).alias("cs"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "qv", "qn", "cl")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        c.join(probes, "cl")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(dot(F.col("v"), F.col("qv")) / (F.col("cn") * F.col("qn")), 4).alias(
+                "score"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------- trained IVF quantizer (k-means)
+
+
+def _dot_lit(v: Column, cent: list[float]) -> Column:
+    """dot(vector column, literal centroid) as a pure JVM expression."""
+    lit = F.array(*[F.lit(float(x)) for x in cent])
+    return dot(v, lit)
+
+
+def _assign_expr(v: Column, cents: list[list[float]]) -> Column:
+    """argmax-cosine cluster id vs broadcast literal centroids.
+    Vectors and centroids are pre-normalized, so dot == cosine."""
+    sims = F.array(*[_dot_lit(v, c) for c in cents])
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def _l2_normalize(v: Column) -> Column:
+    n = norm(v)
+    return F.transform(v, lambda x: x / n)
+
+
+def train_spherical_kmeans(
+    corpus: DataFrame,
+    n_clusters: int = 10,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd) for the IVF coarse
+    quantizer. Each iteration is one map (argmax vs ≤ a few hundred
+    broadcast centroid literals) + one groupBy(cluster) mean — no
+    Python in the row loop; only k×dim floats ever reach the driver.
+    Init is deterministic: the n_clusters vectors with the smallest
+    xxhash64(id) (a pseudo-random but reproducible sample).
+    At 100 TB you train on a sample partition and freeze the
+    centroids; assignment stays a pure column expression."""
+    c = corpus.select(
+        F.col(id_col).alias("id"), _l2_normalize(as_double_vec(vec_col)).alias("v")
+    ).cache()
+    cents = [
+        r.v
+        for r in c.withColumn("h", F.xxhash64("id")).orderBy("h", "id").limit(n_clusters).collect()
+    ]
+    for _ in range(iters):
+        assigned = c.withColumn("cl", _assign_expr(F.col("v"), cents))
+        mean_rows = (
+            assigned.groupBy("cl")
+            .agg(F.array(*[F.avg(F.element_at("v", i + 1)) for i in range(dim)]).alias("cv"))
+            .collect()
+        )
+        by_cl = {r.cl: r.cv for r in mean_rows}
+        new = []
+        for i, old in enumerate(cents):
+            cv = by_cl.get(i)
+            if cv is None:  # empty cluster: keep the old centroid
+                new.append(old)
+                continue
+            n = sum(x * x for x in cv) ** 0.5
+            new.append([x / n for x in cv] if n > 0 else old)
+        cents = new
+    return cents
+
+
+def knn_join_ivf_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 10,
+    nprobe: int = 2,
+    iters: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF k-NN join over a *trained* spherical-k-means quantizer
+    (the corpus 'label' column is not cosine-coherent in general).
+    Corpus is assigned once (pure column expr, shuffled on cluster);
+    each query probes its nprobe nearest centroids."""
+    from pyspark.sql import Window
+
+    cents = train_spherical_kmeans(
+        corpus, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), as_double_vec(vec_col).alias("v")
+    ).withColumn("cn", norm(F.col("v"))).withColumn(
+        "cl", _assign_expr(_l2_normalize(F.col("v")), cents)
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cl"))
+    sims = F.array(*[_dot_lit(_l2_normalize(F.col("qv")), cc) for cc in cents])
+    probes = (
+        q.select("q_id", "qv", "qn", F.posexplode(sims).alias("cl", "cs"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "qv", "qn", "cl")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        c.join(probes, "cl")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(dot(F.col("v"), F.col("qv")) / (F.col("cn") * F.col("qn")), 4).alias(
+                "score"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
