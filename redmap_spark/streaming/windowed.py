@@ -117,3 +117,49 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------------------------------- streaming dedup
+
+
+def dedup_stream(
+    stream: DataFrame, key_cols: tuple[str, ...] = ("event_id",), watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once streaming dedup: dropDuplicatesWithinWatermark
+    keeps state only for the watermark horizon, so state size is
+    bounded by (arrival rate × watermark), not by stream history —
+    the property that makes streaming dedup viable on an unbounded
+    100 TB/day feed. Keys should be the upstream idempotency key
+    (event_id here) or a content fingerprint."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(key_cols))
+
+
+# ------------------------------------------------- stream-static join
+
+
+def enrich_with_customers(stream: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: each micro-batch joins against
+    the (small, slowly-changing) customer dim — no stream-side state,
+    no shuffle of the stream. The batch analogue is a plain broadcast
+    join, which is exactly what each micro-batch plan contains."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+        )
+    )
+    return stream.join(dim, "user_id", "left")
+
+
+def segment_value_counts(
+    stream: DataFrame, customers: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Windowless running agg of enriched stream: per market segment
+    event counts + exact decimal value sums (update mode)."""
+    return (
+        enrich_with_customers(stream.withWatermark("ts", watermark), customers)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )

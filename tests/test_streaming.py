@@ -70,3 +70,67 @@ def test_stream_to_parquet_sink(spark, tmp_path):
     n = spark.read.parquet(out).count()
     want = spark.read.parquet(f"{SF_DIR}/events.parquet").where("event_type = 'purchase'").count()
     assert n == want
+
+
+def test_stream_dedup(spark, tmp_path):
+    """Duplicate the events file in a staging dir: the stream sees
+    every event twice; dropDuplicatesWithinWatermark must restore the
+    exact original multiset."""
+    import shutil
+
+    from redmap_spark.streaming.windowed import EVENTS_RAW_SCHEMA, dedup_stream
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    src = f"{SF_DIR}/events.parquet"
+    shutil.copy(src, stage / "events_a.parquet")
+    shutil.copy(src, stage / "events_b.parquet")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(f"{stage}/events_*.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        dedup_stream(raw)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_src = spark.read.parquet(src).count()
+    assert got.count() == n_src
+    assert got.select("event_id").distinct().count() == n_src
+
+
+def test_stream_static_join_matches_batch(spark):
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.streaming.windowed import events_stream, segment_value_counts
+
+    c = Catalog(spark, SF_DIR)
+    stream = events_stream(spark, SF_DIR)
+    _run_available_now(segment_value_counts(stream, c.customer), "seg_counts")
+    got = {
+        r.c_mktsegment: (r.n_events, r.sum_value)
+        for r in spark.sql("select * from seg_counts").collect()
+    }
+    batch = (
+        c.events.join(
+            c.customer.select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            "user_id",
+            "left",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    want = {r.c_mktsegment: (r.n_events, r.sum_value) for r in batch.collect()}
+    assert got == want
