@@ -84,3 +84,63 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, width int, height int, target_w int, target_h int"
+)
+
+
+def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32, id_col: str = "doc_id") -> DataFrame:
+    """Resize plumbing: payload in → (smaller) payload out, batch by
+    Arrow batch. STUB transform: deterministic byte-decimation to
+    (target_w*target_h) bytes standing in for a real thumbnail (PIL's
+    Image.resize in deployment). The Spark contract — binary in/out,
+    no shuffle, bounded executor memory — is the real part."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload)
+                w, h, _ = decode_image(raw)
+                step = max(1, len(raw) // n_out)
+                rows.append((int(doc_id), raw[::step][:n_out], w, h, target_w, target_h))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "payload", "width", "height", "target_w", "target_h"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_payload binary, frame_md5 string"
+
+
+def sample_frames(df: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling plumbing: 1 video row → N frame rows (the
+    mapInPandas row-expansion pattern — output batches need not align
+    with input rows). STUB extraction: the payload is cut into
+    ``n_frames`` equal chunks (a real deployment uses ffmpeg keyframe
+    extraction); every ``every_n``-th frame is emitted. Row expansion
+    happens executor-side with no shuffle and no driver round-trip,
+    so a 100 TB video corpus fans out to frames at scan parallelism."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload)
+                _, _, n_frames = decode_image(raw)
+                chunk = max(1, len(raw) // n_frames)
+                for i in range(0, n_frames, every_n):
+                    fp = raw[i * chunk : (i + 1) * chunk]
+                    rows.append(
+                        (int(doc_id), i, fp, hashlib.md5(fp).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_payload", "frame_md5"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(frames, schema=FRAME_SCHEMA)
