@@ -46,3 +46,25 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sort-ordered) managed table.
+
+    Bucketing is the at-rest co-location strategy for 100 TB fact-to-
+    fact joins: two tables bucketed by the same key into the same
+    bucket count join with NO exchange on either side (asserted in
+    tests/test_sources.py::test_bucketed_join_has_no_shuffle) — the
+    shuffle is paid once at write time, then amortized over every
+    subsequent join/aggregation on that key."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

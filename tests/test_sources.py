@@ -50,3 +50,53 @@ def test_jsonl_roundtrip_with_schema(spark, tmp_path):
     assert sorted(map(tuple, back.select("r_regionkey", "r_name").collect())) == sorted(
         map(tuple, region.collect())
     )
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key into the same bucket count
+    must sort-merge join with zero Exchange nodes — the at-rest
+    co-location contract that makes repeated fact-fact joins viable
+    at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.plans.explain import executed_plan
+    from redmap_spark.sources.io import write_bucketed
+
+    import shutil
+
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    c = Catalog(spark, SF_SMALL)
+    write_bucketed(
+        c.orders, "orders_b", ["o_orderkey"], n_buckets=4, sort_cols=["o_orderkey"]
+    )
+    write_bucketed(
+        c.lineitem.select("l_orderkey", "l_quantity"),
+        "lineitem_b",
+        ["l_orderkey"],
+        n_buckets=4,
+        sort_cols=["l_orderkey"],
+    )
+    joined = (
+        spark.table("lineitem_b")
+        .join(
+            spark.table("orders_b").hint("merge"),  # force SMJ: at real
+            # scale neither fact side is broadcastable anyway
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    plan = executed_plan(joined)
+    # the join itself must not shuffle either side (the only allowed
+    # exchange is the single-partition gather for the final tiny agg)
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    n = joined.count()
+    assert n >= 1
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
