@@ -334,3 +334,31 @@ def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# -- q_percentiles -----------------------------------------------------
+#
+# Exact interpolated percentiles (Spark `percentile` == DuckDB
+# `quantile_cont`, both type-R7). At 100 TB the production variant is
+# approx_percentile (t-digest style, mergeable partial state, no full
+# sort); the exact version is the oracle-checkable form.
+
+QPCT_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@query("q_percentiles", oracle=QPCT_SQL)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    return c.events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
