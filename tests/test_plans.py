@@ -52,9 +52,10 @@ def test_wordcount_has_partial_aggregation(spark):
 
 def test_hot_paths_have_no_python_eval(spark):
     # every relational / MR / text / dedup / similarity query must be
-    # pure JVM; only mm_features (mapInPandas by design) is exempt
+    # pure JVM; only the mm_* multimodal queries (mapInPandas by
+    # design: opaque binary decode) are exempt
     for name, fn in QUERIES.items():
-        if name == "mm_features":
+        if name.startswith("mm_"):
             continue
         assert not E.has_python_eval(fn(spark, SF_DIR)), f"{name} runs Python per-row"
 
