@@ -221,3 +221,25 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.top_bigram_fraction(d).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "top_bigram_frac"
     )
+
+
+# -- txt_chunk ---------------------------------------------------------
+
+TXT_CHUNK_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (SELECT doc_id, t,
+              unnest(generate_series(1, len(t), 40)) AS start
+       FROM tok)
+SELECT doc_id,
+       CAST((start - 1) / 40 AS BIGINT) AS chunk_idx,
+       array_to_string(t[start:start + 49], ' ') AS chunk_text,
+       CAST(len(t[start:start + 49]) AS BIGINT) AS n_chunk_tokens
+FROM st
+"""
+
+
+@query("txt_chunk", oracle=TXT_CHUNK_SQL)
+def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (50-token chunks, stride 40)."""
+    d = Catalog(spark, sf_dir).documents
+    return T.chunk_documents(d, chunk_tokens=50, stride=40)

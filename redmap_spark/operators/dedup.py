@@ -224,10 +224,16 @@ def simhash_chunks(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     """64-bit SimHash per doc, stored as 4×16-bit chunk ints (the
     blocking representation: hamming ≤ r ⇒ some chunk equal for
     r < SIMHASH_CHUNKS)."""
-    tok = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("t"))
-    h = F.xxhash64("t")
+    # hash once per token row — as a bound projection column, so the
+    # 64 bit-aggregates below share it instead of each re-hashing
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
     bit_aggs = [
-        F.sum(F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
         for j in range(64)
     ]
     bits = tok.groupBy("id").agg(*bit_aggs)
