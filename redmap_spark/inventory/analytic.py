@@ -362,3 +362,49 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# -- q_outer_join ------------------------------------------------------
+
+QFO_SQL = """
+WITH s AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_signups
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT COALESCE(s.day, p.day) AS day,
+       COALESCE(n_signups, 0) AS n_signups,
+       COALESCE(n_purchases, 0) AS n_purchases
+FROM s FULL OUTER JOIN p ON s.day = p.day
+"""
+
+
+@query("q_outer_join", oracle=QFO_SQL)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two per-day aggregates (null-complete axes).
+    At scale both sides are already shuffled on the join key by their
+    groupBys — the outer join reuses that clustering (no extra
+    exchange)."""
+    e = Catalog(spark, sf_dir).events
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_signups"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        s.join(p, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
