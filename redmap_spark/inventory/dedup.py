@@ -76,3 +76,11 @@ WHERE round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
 @query("dedup_embedding", oracle=DEDUP_EMB_SQL)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_dup_pairs(Catalog(spark, sf_dir).embeddings, threshold=0.3)
+
+
+@query("dedup_winnow")  # rows-only: fingerprint values are xxhash64-specific
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003): guaranteed
+    blocking keys for matches ≥ window+k-1 chars; density ~2/(w+1).
+    Verified by property tests in tests/test_dedup.py."""
+    return D.winnow_fingerprints(Catalog(spark, sf_dir).documents)

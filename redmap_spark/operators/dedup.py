@@ -315,3 +315,54 @@ def embedding_dup_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003):
+    hash every k-char gram of the normalized text, then keep the
+    minimum hash of each sliding window of ``window`` gram hashes.
+    Guarantees: any match of length ≥ window+k-1 shares a
+    fingerprint, and fingerprint density is ~2/(window+1).
+
+    One row per (doc, distinct fingerprint) — the blocking key for
+    plagiarism/near-dup lookup. Pure column expressions: char grams
+    via substring over a sequence, window mins via transform+slice on
+    the *bound* hash array (materialized projection — see module
+    header for why the lambda must not re-derive its input)."""
+    from redmap_spark.operators.textstats import normalized
+
+    # Both intermediates are materialized: projection collapsing would
+    # otherwise inline the normalization into every gram lambda call
+    # and the whole gram transform into every window-min lambda call —
+    # turning O(n·w) into O(n²·w) per document (measured: hangs).
+    norm_t = df.select(F.col(id_col).alias("id"), normalized(text_col).alias("nt")).filter(
+        F.length("nt") >= k + window - 1
+    )
+    grams = norm_t.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.length("nt") - (k - 1)),
+            lambda i: F.xxhash64(F.substr("nt", i, F.lit(k))),
+        ).alias("gh"),
+    ).cache()
+    wins = grams.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("gh") - (window - 1)),
+                lambda i: F.array_min(F.slice(F.col("gh"), i, window)),
+            )
+        ).alias("fps"),
+    )
+    return wins.select("id", F.explode("fps").alias("fingerprint")).withColumnRenamed(
+        "id", id_col
+    )

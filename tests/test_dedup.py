@@ -57,3 +57,31 @@ def test_exact_dedup_partitions_corpus(spark):
     classes = D.exact_dedup_classes(docs).collect()
     assert sum(r.n_copies for r in classes) == docs.count()
     assert all(r.rep_id >= 0 for r in classes)
+
+
+def test_winnow_guarantees(spark):
+    """Winnowing invariants: identical docs → identical fingerprint
+    sets; a doc embedded verbatim in a longer doc shares all its
+    fingerprints... of the common region; disjoint docs share none;
+    density ≈ 2/(w+1)."""
+    from pyspark.sql import Row
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    test = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),
+            Row(doc_id=3, text="PREFIX then " + base),
+            Row(doc_id=4, text="completely different words nothing shared here at all"),
+        ]
+    )
+    rows = D.winnow_fingerprints(test, k=5, window=4).collect()
+    sets: dict[int, set] = {}
+    for r in rows:
+        sets.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert sets[1] == sets[2]
+    assert sets[1] <= sets[3]  # contiguous superstring keeps all fps
+    assert not (sets[1] & sets[4])
+    # density: #fingerprints per char within ~3x of the 2/(w+1) bound
+    n_grams = len(base) - 4
+    assert len(sets[1]) <= 3 * (2 / 5) * n_grams
