@@ -81,6 +81,25 @@ class Pipeline:
     def distinct(self) -> "Pipeline":
         return Pipeline(self.df.distinct())
 
+    def join(
+        self, other: "Pipeline", on: str | list[str], how: str = "inner", broadcast: bool = False
+    ) -> "Pipeline":
+        """Keyed join of two pipelines (reference: the join of two
+        job outputs). ``broadcast=True`` marks the other side as a
+        dim table — at scale, the difference between a map-side
+        lookup and a full shuffle."""
+        right = F.broadcast(other.df) if broadcast else other.df
+        return Pipeline(self.df.join(right, on, how))
+
+    def sample(self, fraction: float, key: str) -> "Pipeline":
+        """Deterministic hash sample: keeps rows where
+        xxhash64(key) mod 10000 < fraction·10000. Unlike rand()
+        sampling it is stable across retries/partitionings — the only
+        kind of sample that is reproducible on a cluster."""
+        return Pipeline(
+            self.df.filter(F.pmod(F.xxhash64(key), F.lit(10000)) < int(fraction * 10000))
+        )
+
     # -- terminal actions ----------------------------------------------
 
     def collect(self):

@@ -408,3 +408,51 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
         )
     )
+
+
+# -- q_funnel ----------------------------------------------------------
+
+QFUNNEL_SQL = """
+WITH steps AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+       CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+       CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+FROM steps
+"""
+
+
+@query("q_funnel", oracle=QFUNNEL_SQL)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (first view → later first click →
+    later first purchase). One shuffle on user_id for the step
+    pivot, then a scalar roll-up — the standard two-phase funnel at
+    any scale."""
+    c = Catalog(spark, sf_dir)
+    steps = c.events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    return steps.agg(
+        F.count(one).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), one).otherwise(zero)).alias("step_view"),
+        F.sum(F.when(F.col("t_click") > F.col("t_view"), one).otherwise(zero)).alias(
+            "step_click"
+        ),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                one,
+            ).otherwise(zero)
+        ).alias("step_purchase"),
+    )

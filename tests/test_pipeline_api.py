@@ -7,7 +7,8 @@ from pyspark.sql import functions as F
 
 from redmap_spark.api import Pipeline
 from redmap_spark.inventory.mapreduce import mr_chain, mr_reduce_by_key
-from tests.conftest import SF_SMALL
+from redmap_spark.catalog import Catalog
+from tests.conftest import SF_DIR, SF_SMALL
 
 
 def _sorted(rows):
@@ -56,3 +57,27 @@ def test_pipeline_is_lazy_and_fused(spark):
     )
     plan = p.df._jdf.queryExecution().toString()
     assert "click" in plan  # filter reached the single compiled plan
+
+
+def test_pipeline_join_broadcast(spark):
+    from redmap_spark.plans.explain import plan_string
+
+    c = Catalog(spark, SF_DIR)
+    orders = Pipeline.from_df(c.orders)
+    custs = Pipeline.from_df(c.customer)
+    joined = orders.join(custs.map("c_custkey", "c_mktsegment").map(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment")
+    ), on="o_custkey", broadcast=True)
+    per_seg = joined.reduce_by_key("c_mktsegment", n=F.count(F.lit(1)))
+    assert "BroadcastHashJoin" in plan_string(per_seg.df, "formatted")
+    rows = {r.c_mktsegment: r.n for r in per_seg.collect()}
+    assert sum(rows.values()) == c.orders.count()
+
+
+def test_pipeline_sample_deterministic(spark):
+    c = Catalog(spark, SF_DIR)
+    p = Pipeline.from_df(c.orders).sample(0.1, key="o_orderkey")
+    n1, n2 = p.count(), p.count()
+    assert n1 == n2
+    total = c.orders.count()
+    assert 0.05 * total < n1 < 0.15 * total
