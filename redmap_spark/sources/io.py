@@ -33,11 +33,39 @@ def write_parquet(
     path: str,
     partition_by: Sequence[str] = (),
     mode: str = "overwrite",
+    compression: str = "zstd",
+    max_records_per_file: int | None = None,
 ) -> None:
-    w = df.write.mode(mode)
+    """Partitioned parquet sink. Defaults chosen for 100 TB rest:
+    zstd (better ratio than snappy at similar scan speed on modern
+    CPUs) and an optional maxRecordsPerFile cap so one skewed
+    partition can't produce a multi-GB file that a future task must
+    read whole."""
+    w = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    compression: str = "zstd",
+) -> None:
+    """Backfill sink: dynamic partition overwrite replaces ONLY the
+    partitions present in ``df`` (e.g. re-running one bad day of a
+    365-day table) instead of truncating the whole dataset — the
+    idempotent-reprocessing primitive every large pipeline needs."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", compression)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:

@@ -100,3 +100,48 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert n >= 1
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Rewriting one partition must not clobber its siblings."""
+    from pyspark.sql import functions as F
+
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.sources.io import overwrite_partitions, write_parquet
+
+    c = Catalog(spark, SF_SMALL)
+    ev = c.events.withColumn("etype", F.col("event_type"))
+    path = str(tmp_path / "events_by_type")
+    write_parquet(ev, path, partition_by=["etype"])
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    n_click = before.filter(F.col("etype") == "click").count()
+
+    # backfill ONLY the click partition with doubled values
+    fixed = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    overwrite_partitions(fixed, path, partition_by=["etype"])
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    assert after.filter(F.col("etype") == "click").count() == n_click
+    # non-click partitions untouched
+    assert (
+        after.filter(F.col("etype") == "signup").count()
+        == before.filter(F.col("etype") == "signup").count()
+    )
+
+
+def test_writer_file_sizing(spark, tmp_path):
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.sources.io import write_parquet
+
+    c = Catalog(spark, SF_SMALL)
+    path = str(tmp_path / "sized")
+    write_parquet(c.orders.coalesce(1), path, max_records_per_file=500)
+    import glob
+
+    files = glob.glob(f"{path}/*.parquet")
+    n = c.orders.count()
+    assert len(files) >= n // 500  # cap respected: many small files
+    assert spark.read.parquet(path).count() == n
