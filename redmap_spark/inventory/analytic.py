@@ -456,3 +456,21 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(zero)
         ).alias("step_purchase"),
     )
+
+
+# -- q_approx_users ----------------------------------------------------
+
+
+@query("q_approx_users")  # approximate (HLL): verified by error-bound pytest
+def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type (rsd 2%). The HLL
+    sketch is mergeable partial state — per-partition sketches
+    combine associatively at the reducer, so distinct-counting a
+    100 TB stream needs one pass and kilobytes of state where exact
+    countDistinct needs a full shuffle of every key. Exact variant
+    appears in q_time_bucket (oracle-checked)."""
+    c = Catalog(spark, sf_dir)
+    return c.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

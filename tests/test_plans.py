@@ -71,3 +71,24 @@ def test_asof_join_is_single_shuffle_no_explosion(spark):
     # union+carry-forward pattern: a window over user_id, NO join node
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_approx_users_within_error_bound(spark):
+    """HLL at rsd=2% must land within 3x the nominal bound of exact."""
+    from pyspark.sql import functions as F
+
+    from redmap_spark.catalog import Catalog
+
+    c = Catalog(spark, SF_DIR)
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["q_approx_users"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in c.events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= 0.06 * ex, (et, approx[et], ex)
