@@ -199,25 +199,29 @@ GROUP BY s_name
 @query("q21_sole_returner", oracle=Q21_SQL)
 def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (EXISTS + NOT EXISTS on the same fact table).
-    Spark rewrite: instead of two correlated re-scans of lineitem, one
-    per-order aggregate computes (distinct suppliers, distinct
-    returning suppliers); the EXISTS pair becomes the predicate
-    nsupp > 1 AND nret = 1 — a single extra shuffle on l_orderkey,
-    which at 100 TB is the same clustering the join already needs."""
+    Spark rewrite: instead of two correlated re-scans of lineitem,
+    ONE per-order aggregate computes (distinct suppliers, distinct
+    returners, the sole returner's id, its line count); the EXISTS
+    pair becomes the predicate nsupp > 1 AND nret = 1. Lineitem is
+    scanned and shuffled exactly once at any scale."""
     c = Catalog(spark, sf_dir)
-    per_order = c.lineitem.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+    is_r = F.col("l_returnflag") == "R"
+    # ONE pass over lineitem: when nret == 1, max(R-supplier) IS the
+    # sole returner and sum(R-lines) is its per-order contribution —
+    # so no second lineitem scan and no fact-fact join are needed.
+    per_order = c.lineitem.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("nret"),
+        F.countDistinct(F.when(is_r, F.col("l_suppkey"))).alias("nret"),
+        F.max(F.when(is_r, F.col("l_suppkey"))).alias("ret_supp"),
+        F.sum(F.when(is_r, 1).otherwise(0)).alias("n_ret_lines"),
     )
-    l1 = c.lineitem.filter(F.col("l_returnflag") == "R")
     fl_orders = c.orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     return (
-        l1.join(fl_orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .filter((F.col("nsupp") > 1) & (F.col("nret") == 1))
-        .join(F.broadcast(c.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter((F.col("nsupp") > 1) & (F.col("nret") == 1))
+        .join(fl_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.supplier), F.col("ret_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_ret_lines").cast("long").alias("numwait"))
     )
 
 
