@@ -474,3 +474,72 @@ def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# -- q_grouping_sets ---------------------------------------------------
+
+QGS_SQL = """
+SELECT c_mktsegment, c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), (c_mktsegment, c_nationkey))
+"""
+
+
+@query("q_grouping_sets", oracle=QGS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the engine's SQL surface: the catalog
+    registers every table as a view and the identical ANSI text runs
+    on Spark SQL (one Expand + one aggregate — same plan shape as
+    rollup/cube). Demonstrates full spark.sql parity with the
+    DataFrame inventory."""
+    Catalog(spark, sf_dir).register_all()
+    return spark.sql(QGS_SQL)
+
+
+# -- q_profile ---------------------------------------------------------
+
+_PROF_COLS = ("c_mktsegment", "c_nationkey", "c_acctbal")
+
+QPROF_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col,
+               CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_v,
+               CAST(MAX({c}) AS VARCHAR) AS max_v
+        FROM customer"""
+    for c in _PROF_COLS
+)
+
+
+@query("q_profile", oracle=QPROF_SQL)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (ANALYZE-style stats) in ONE pass over the
+    table: all per-column aggregates run in a single aggregate node,
+    then pivot to one row per column driver-side-free via explode of
+    a struct array. At 100 TB this is one scan; the naive per-column
+    UNION (what the SQL oracle spells) would be len(cols) scans."""
+    c = Catalog(spark, sf_dir)
+    aggs = []
+    for col in _PROF_COLS:
+        aggs += [
+            F.count(col).alias(f"nn_{col}"),
+            F.countDistinct(col).alias(f"nd_{col}"),
+            F.min(col).cast("string").alias(f"mn_{col}"),
+            F.max(col).cast("string").alias(f"mx_{col}"),
+        ]
+    one = c.customer.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("col"),
+                F.col(f"nn_{col}").alias("n_nonnull"),
+                F.col(f"nd_{col}").alias("n_distinct"),
+                F.col(f"mn_{col}").alias("min_v"),
+                F.col(f"mx_{col}").alias("max_v"),
+            )
+            for col in _PROF_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
