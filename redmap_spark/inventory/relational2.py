@@ -216,7 +216,8 @@ SELECT c_mktsegment, COUNT(*) AS numcust,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer, cutoff
 WHERE c_acctbal > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
 GROUP BY c_mktsegment
 """
 
@@ -231,7 +232,11 @@ def q_avg_acctbal_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.crossJoin(F.broadcast(cutoff))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(c.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            c.orders.filter(F.col("o_orderstatus") == "P"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
@@ -261,15 +266,22 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QANTI_SQL = """
 SELECT c_custkey, c_name, c_acctbal FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
 """
 
 
 @query("q_anti_join", oracle=QANTI_SQL)
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join; against the rare P-status orders so the result
+    is non-empty at small SF (every customer has *some* order)."""
     c = Catalog(spark, sf_dir)
     return (
-        c.customer.join(c.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        c.customer.join(
+            c.orders.filter(F.col("o_orderstatus") == "P"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
         .select("c_custkey", "c_name", "c_acctbal")
     )
 
