@@ -145,3 +145,20 @@ def test_writer_file_sizing(spark, tmp_path):
     n = c.orders.count()
     assert len(files) >= n // 500  # cap respected: many small files
     assert spark.read.parquet(path).count() == n
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.plans.explain import plan_string
+    from redmap_spark.sources.io import read_orc, write_orc
+
+    c = Catalog(spark, SF_SMALL)
+    path = str(tmp_path / "orders_orc")
+    write_orc(c.orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == c.orders.count()
+    q = back.filter(F.col("o_orderstatus") == "P").select("o_orderkey")
+    plan = plan_string(q, "formatted")
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
