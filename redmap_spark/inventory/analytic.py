@@ -543,3 +543,36 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# -- q_window_frames ---------------------------------------------------
+
+QWF_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pr,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("q_window_frames", oracle=QWF_SQL)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: ntile quartiles, percent_rank, and an
+    explicit ROWS-frame moving sum — all over ONE window ordering, so
+    Spark evaluates them in a single sort/shuffle of orders."""
+    from pyspark.sql import Window
+
+    c = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-2, 0)
+    return c.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.sum(dec("o_totalprice")).over(wf).cast("double").alias("moving_sum3"),
+    )
