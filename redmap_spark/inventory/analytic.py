@@ -576,3 +576,41 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.sum(dec("o_totalprice")).over(wf).cast("double").alias("moving_sum3"),
     )
+
+
+# -- q_array_ops -------------------------------------------------------
+
+QARR_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       list_sort(list_distinct(toks))[1] AS first_tok,
+       CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
+       round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))), 6) AS total_chars
+FROM t
+"""
+
+
+@query("q_array_ops", oracle=QARR_SQL)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-function breadth: size / array_distinct /
+    array_sort / filter / aggregate — all JVM higher-order functions
+    over a bound token array (one split per row)."""
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select("doc_id", F.split("text", " ").alias("toks"))
+    return tok.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.element_at(F.array_sort(F.array_distinct("toks")), 1).alias("first_tok"),
+        F.size(F.filter("toks", lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
+        F.round(
+            F.aggregate(
+                F.transform("toks", lambda x: F.length(x).cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("total_chars"),
+    )
