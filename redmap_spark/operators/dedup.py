@@ -176,31 +176,40 @@ def minhash_lsh_pairs(
     base = hashed.select(
         "id",
         minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"),
-        "hs",
     )
+    # one 64-bit hash per band (multi-arg xxhash64 over the band's
+    # signature slice — no string round-trip), carried as a bh array
+    # so the self-join can apply the first-matching-band condition
     banded = base.select(
         "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.transform(
-                        F.slice(F.col("sig"), b * rows + 1, rows), lambda v: v.cast("string")
-                    ))).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        F.array(*[
+            F.xxhash64(*[F.col("sig")[b * rows + i] for i in range(rows)]).alias(f"bh{b}")
+            for b in range(bands)
+        ]).alias("bhs"),
+    ).select(
+        "id",
+        "bhs",
+        F.posexplode(F.col("bhs")).alias("band", "bh"),
+    )
 
+    # Emit each pair from its FIRST matching band only (∀ j < band:
+    # bhs[j] differ) — every candidate appears exactly once, so no
+    # distinct() over the candidate set (the dominant shuffle at
+    # corpus scale).
+    first_match = F.lit(True)
+    for j in range(bands):
+        first_match = first_match & (
+            (F.col("a.band") <= j)
+            | (F.col("a.bhs")[j] != F.col("b.bhs")[j])
+        )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"),
               (F.col("a.band") == F.col("b.band"))
               & (F.col("a.bh") == F.col("b.bh"))
-              & (F.col("a.id") < F.col("b.id")))
+              & (F.col("a.id") < F.col("b.id"))
+              & first_match)
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
     )
     s1 = hashed.select(F.col("id").alias("id1"), F.col("hs").alias("sh1"))
     s2 = hashed.select(F.col("id").alias("id2"), F.col("hs").alias("sh2"))
