@@ -162,3 +162,26 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     q = back.filter(F.col("o_orderstatus") == "P").select("o_orderkey")
     plan = plan_string(q, "formatted")
     assert "PushedFilters" in plan and "o_orderstatus" in plan
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """A dataset whose later files gained a column must read as the
+    union schema (old rows null-filled) with mergeSchema — the
+    schema-evolution contract long-lived 100 TB datasets rely on."""
+    from pyspark.sql import functions as F
+
+    from redmap_spark.catalog import Catalog
+
+    c = Catalog(spark, SF_SMALL)
+    path = str(tmp_path / "evolving")
+    v1 = c.orders.select("o_orderkey", "o_totalprice")
+    v1.write.parquet(f"{path}/batch=1")
+    v2 = c.orders.select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
+    )
+    v2.write.parquet(f"{path}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "priority", "batch"}
+    n = c.orders.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("priority").isNull()).count() == n
