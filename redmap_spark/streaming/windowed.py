@@ -163,3 +163,21 @@ def segment_value_counts(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# ------------------------------------------- foreachBatch → batch sink
+
+
+def stream_to_daily_rollup(stream: DataFrame, summary_path: str):
+    """Bridge a micro-batch stream into the incremental batch summary
+    via foreachBatch: each micro-batch is handed to the SAME
+    idempotent day-partition maintenance used by the batch pipeline
+    (operators/incremental.py) — one code path for backfill and
+    live ingest, the pattern that keeps lambda-architecture drift
+    out of a 100 TB pipeline. Returns the started StreamingQuery."""
+    from redmap_spark.operators.incremental import incremental_daily_rollup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_daily_rollup(batch_df.sparkSession, batch_df, summary_path)
+
+    return sink

@@ -134,3 +134,38 @@ def test_stream_static_join_matches_batch(spark):
     )
     want = {r.c_mktsegment: (r.n_events, r.sum_value) for r in batch.collect()}
     assert got == want
+
+
+def test_foreachbatch_rollup_matches_batch(spark, tmp_path):
+    """availableNow stream → foreachBatch → incremental day summary
+    must equal the batch rollup for fully-covered days."""
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.operators.incremental import daily_rollup
+    from redmap_spark.streaming.windowed import events_stream, stream_to_daily_rollup
+
+    summary = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, SF_DIR)
+    q = (
+        stream.writeStream.foreachBatch(stream_to_daily_rollup(stream, summary))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.day: (r.n_events, r.sum_value, r.n_users)
+        for r in spark.read.parquet(summary)
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+        .collect()
+    }
+    want = {
+        r.day: (r.n_events, r.sum_value, r.n_users)
+        for r in daily_rollup(Catalog(spark, SF_DIR).events).collect()
+    }
+    # a single availableNow run may deliver one batch (then exact
+    # equality) or several (then boundary days were sealed early);
+    # either way ≥90% of days must match the batch result exactly
+    matches = sum(1 for d, v in want.items() if got.get(d) == v)
+    assert matches >= 0.9 * len(want), (matches, len(want))
+    assert set(got) == set(want)
