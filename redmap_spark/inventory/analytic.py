@@ -614,3 +614,68 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("total_chars"),
     )
+
+
+# -- q_session_window --------------------------------------------------
+
+QSW_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts) >= {GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM e)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sess
+"""
+
+
+@query("q_session_window", oracle=QSW_SQL)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE session_window aggregate
+    (one groupBy — works identically in batch and streaming, where it
+    also merges across micro-batches). The oracle spells the same
+    semantics as lag+cumsum; note Spark's session end is exclusive,
+    so a gap of exactly 6h starts a new session (oracle breaks on
+    >=). Scale: one shuffle on user_id, sessions merged inside the
+    aggregate — no window-function sort pass."""
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# -- q_heavy_hitters ---------------------------------------------------
+
+
+@query("q_heavy_hitters")  # approximate (superset guarantee): pytest-verified
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item sketch over event users (Karp-Shenker-Papadimitriou
+    via DataFrame.stat.freqItems): one pass, fixed memory, returns a
+    SUPERSET of all items with frequency > support — the streaming-
+    friendly way to find hot keys (e.g. to pick salting targets)
+    without a full groupBy. False positives are filtered by one
+    targeted count over the (tiny) candidate set."""
+    c = Catalog(spark, sf_dir)
+    support = 0.002
+    cand = c.events.stat.freqItems(["user_id"], support).collect()[0][0]
+    total = c.events.count()
+    return (
+        c.events.filter(F.col("user_id").isin(*[int(x) for x in cand]))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > support * total)
+    )

@@ -92,3 +92,24 @@ def test_approx_users_within_error_bound(spark):
     }
     for et, ex in exact.items():
         assert abs(approx[et] - ex) <= 0.06 * ex, (et, approx[et], ex)
+
+
+def test_heavy_hitters_guarantee(spark):
+    """freqItems must return a superset of true heavy hitters; the
+    query's refinement step must make it exact."""
+    from pyspark.sql import functions as F
+
+    from redmap_spark.catalog import Catalog
+
+    c = Catalog(spark, SF_DIR)
+    support = 0.002
+    total = c.events.count()
+    exact = {
+        r.user_id
+        for r in c.events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > support * total)
+        .collect()
+    }
+    got = {r.user_id for r in QUERIES["q_heavy_hitters"](spark, SF_DIR).collect()}
+    assert got == exact
