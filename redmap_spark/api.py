@@ -100,6 +100,28 @@ class Pipeline:
             self.df.filter(F.pmod(F.xxhash64(key), F.lit(10000)) < int(fraction * 10000))
         )
 
+    def stratified_sample(
+        self, fractions: dict, stratum_col: str, key: str
+    ) -> "Pipeline":
+        """Per-stratum deterministic hash sample (e.g. downsample the
+        dominant language, keep 100% of the rare one — the standard
+        training-mixture rebalance). Strata absent from ``fractions``
+        are dropped."""
+        frac_map = F.create_map(
+            *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(int(v * 10000)))]
+        )
+        cut = F.coalesce(F.element_at(frac_map, F.col(stratum_col)), F.lit(0))
+        return Pipeline(self.df.filter(F.pmod(F.xxhash64(key), F.lit(10000)) < cut))
+
+    def observe(self, name: str, **metrics: Column) -> "Pipeline":
+        """MapReduce-counter parity done right: accumulators
+        double-count on task retries, ``DataFrame.observe`` metrics
+        are exactly-once per completed action. Read them back from
+        the observation after an action via the returned plan's
+        listener, or use ``pyspark.sql.Observation`` (see
+        tests/test_pipeline_api.py)."""
+        return Pipeline(self.df.observe(name, *[c.alias(n) for n, c in metrics.items()]))
+
     # -- terminal actions ----------------------------------------------
 
     def collect(self):

@@ -81,3 +81,30 @@ def test_pipeline_sample_deterministic(spark):
     assert n1 == n2
     total = c.orders.count()
     assert 0.05 * total < n1 < 0.15 * total
+
+
+def test_pipeline_stratified_sample(spark):
+    c = Catalog(spark, SF_DIR)
+    fr = {"purchase": 1.0, "view": 0.1}
+    p = Pipeline.from_df(c.events).stratified_sample(fr, "event_type", key="event_id")
+    got = {r.event_type: r.n for r in p.reduce_by_key("event_type", n=F.count(F.lit(1))).collect()}
+    full = {r.event_type: r.n for r in Pipeline.from_df(c.events).reduce_by_key("event_type", n=F.count(F.lit(1))).collect()}
+    assert set(got) == {"purchase", "view"}  # unlisted strata dropped
+    assert got["purchase"] == full["purchase"]
+    assert 0.05 * full["view"] < got["view"] < 0.15 * full["view"]
+    # deterministic
+    again = {r.event_type: r.n for r in p.reduce_by_key("event_type", n=F.count(F.lit(1))).collect()}
+    assert got == again
+
+
+def test_pipeline_observe_metrics(spark):
+    from pyspark.sql import Observation
+
+    c = Catalog(spark, SF_DIR)
+    obs = Observation("metrics")
+    df = c.events.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    n = df.filter(F.col("value") > 0).count()  # any action materializes metrics
+    assert obs.get["n"] == c.events.count()
+    assert n <= obs.get["n"]
