@@ -243,3 +243,19 @@ def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (50-token chunks, stride 40)."""
     d = Catalog(spark, sf_dir).documents
     return T.chunk_documents(d, chunk_tokens=50, stride=40)
+
+
+# -- txt_training_corpus (end-to-end pipeline) -------------------------
+
+
+@query("txt_training_corpus")  # composition: verified by pytest flow tests
+def txt_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep composition (dedup → Gopher gate →
+    repetition gate → PII redact → chunk → mixture rebalance) as one
+    Catalyst plan — see redmap_spark/pipelines.py and
+    tests/test_training_pipeline.py."""
+    from redmap_spark.pipelines import prepare_training_corpus
+
+    return prepare_training_corpus(
+        Catalog(spark, sf_dir).documents, mixture={"en": 1.0, "es": 0.5, "de": 0.5}
+    )

@@ -201,15 +201,17 @@ def chunk_documents(
     stride: int = 40,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep: tuple[str, ...] = (),
 ):
     """Split documents into fixed-size token chunks with overlap
     (stride < chunk_tokens), the standard training-data prep step
     before tokenization. Pure JVM: pre-split token array (bound
     column), posexplode over the stride sequence, slice per chunk —
     1→N row expansion at scan parallelism, no shuffle, no Python."""
-    tok = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    tok = df.select(F.col(id_col), *keep, tokens(text_col).alias("t"))
     st = tok.select(
         id_col,
+        *keep,
         "t",
         F.posexplode(F.sequence(F.lit(1), F.size("t"), F.lit(stride))).alias(
             "chunk_idx", "start"
@@ -218,6 +220,7 @@ def chunk_documents(
     sl = F.slice(F.col("t"), F.col("start"), chunk_tokens)
     return st.select(
         id_col,
+        *keep,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.array_join(sl, " ").alias("chunk_text"),
         F.size(sl).cast("long").alias("n_chunk_tokens"),
