@@ -113,3 +113,18 @@ def test_heavy_hitters_guarantee(spark):
     }
     got = {r.user_id for r in QUERIES["q_heavy_hitters"](spark, SF_DIR).collect()}
     assert got == exact
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """approx_percentile (the mergeable 100 TB path noted in
+    q_percentiles) must land within 2% of the exact quantile."""
+    from pyspark.sql import functions as F
+
+    from redmap_spark.catalog import Catalog
+
+    c = Catalog(spark, SF_DIR)
+    row = c.events.agg(
+        F.percentile("value", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 0.02 * abs(row.exact), row
