@@ -84,3 +84,12 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking keys for matches ≥ window+k-1 chars; density ~2/(w+1).
     Verified by property tests in tests/test_dedup.py."""
     return D.winnow_fingerprints(Catalog(spark, sf_dir).documents)
+
+
+@query("dedup_keep_list")  # graph-iterative: verified by transitivity pytest
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level near-dedup: LSH pairs → transitive clusters
+    (iterative min-label propagation, Kiveris-style MapReduce CC) →
+    one representative per cluster. The step that turns pair lists
+    into an actual deduplicated corpus."""
+    return D.near_dedup_keep_list(Catalog(spark, sf_dir).documents, threshold=0.5)

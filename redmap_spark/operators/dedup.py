@@ -389,3 +389,70 @@ def winnow_fingerprints(
     return wins.select("id", F.explode("fps").alias("fingerprint")).withColumnRenamed(
         "id", id_col
     )
+
+
+# ------------------------------------------- pair → cluster resolution
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: every doc gets
+    the minimum reachable doc id as its cluster label (transitive —
+    a~b, b~c puts all three in cluster min(a,b,c)).
+
+    Iterative min-label propagation over the undirected pair graph
+    (the simple form of the MapReduce connected-components algorithms
+    of Kiveris et al.; near-dup graphs have tiny diameters, so a
+    handful of joins converges). Each iteration is one join + one
+    groupBy; iteration stops early at a fixed point. Labels are
+    DataFrames throughout — nothing corpus-sized touches the driver.
+
+    Returns (id_col, cluster): cluster == id for unique docs; docs
+    with cluster != id are the removable duplicates.
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("lbl")).cache()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.select(F.col("src").alias("dst"), "lbl"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(neighbor_min, "src", "left")
+            .select("src", F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"))
+            .cache()
+        )
+        changed = (
+            new.join(labels.select("src", F.col("lbl").alias("old")), "src")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_col), F.col("lbl").alias("cluster"))
+
+
+def near_dedup_keep_list(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs → transitive clusters
+    → keep one representative (the min id) per cluster. Returns the
+    ids to KEEP."""
+    pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, threshold=threshold)
+    clusters = dup_clusters(pairs, df.select(id_col), id_col=id_col)
+    return clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)

