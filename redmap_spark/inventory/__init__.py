@@ -2,15 +2,20 @@
 
 from redmap_spark.inventory.registry import ORACLES, QUERIES
 
+# Registration order matters: the driver's CORRECTNESS run verifies the FIRST
+# 50 queries() entries in registration order. The LLM-pipeline operators
+# (dedup / similarity / text / multimodal / mapreduce) register first so they
+# land inside that window; the relational/analytic queries (driver-green in
+# round 1) take the overflow slots.
+from redmap_spark.inventory import dedup  # noqa: F401
+from redmap_spark.inventory import similarity  # noqa: F401
+from redmap_spark.inventory import text  # noqa: F401
+from redmap_spark.inventory import multimodal  # noqa: F401
+from redmap_spark.inventory import mapreduce  # noqa: F401
 from redmap_spark.inventory import relational  # noqa: F401
 from redmap_spark.inventory import relational2  # noqa: F401
 from redmap_spark.inventory import analytic  # noqa: F401
 from redmap_spark.inventory import relational3  # noqa: F401
 from redmap_spark.inventory import relational4  # noqa: F401
-from redmap_spark.inventory import mapreduce  # noqa: F401
-from redmap_spark.inventory import text  # noqa: F401
-from redmap_spark.inventory import dedup  # noqa: F401
-from redmap_spark.inventory import similarity  # noqa: F401
-from redmap_spark.inventory import multimodal  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]
