@@ -115,6 +115,18 @@ def test_heavy_hitters_guarantee(spark):
     assert got == exact
 
 
+def test_heavy_hitters_refinement_single_scan(spark):
+    """The refinement plan reads events exactly once, joins the
+    candidate set via broadcast (no codegen isin literal), and derives
+    the support total from the aggregate itself — no second
+    events.count() pass."""
+    df = QUERIES["q_heavy_hitters"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    assert plan.count("events.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert " IN (" not in plan, "candidates leaked into an isin literal"
+
+
 def test_approx_percentile_close_to_exact(spark):
     """approx_percentile (the mergeable 100 TB path noted in
     q_percentiles) must land within 2% of the exact quantile."""
