@@ -406,10 +406,20 @@ def dup_clusters(
 
     Iterative min-label propagation over the undirected pair graph
     (the simple form of the MapReduce connected-components algorithms
-    of Kiveris et al.; near-dup graphs have tiny diameters, so a
-    handful of joins converges). Each iteration is one join + one
-    groupBy; iteration stops early at a fixed point. Labels are
+    of Kiveris et al.), plus PATH HALVING: after each neighbor-min
+    round, every label is replaced by its label's label, so a chain of
+    diameter D converges in O(log D) rounds instead of D — max_iters=10
+    covers diameters up to ~2^10. Each round's labels are
+    `localCheckpoint`ed (eager): lineage is truncated at a MATERIALIZED
+    intermediate each round, so a later round never silently recomputes
+    the whole label history if a cached block is evicted — the
+    written-intermediate posture a 100 TB run needs (at cluster scale
+    the same shape writes each round to a scratch table). Labels are
     DataFrames throughout — nothing corpus-sized touches the driver.
+
+    Warns (loudly) if max_iters rounds exhaust without reaching a fixed
+    point — silent non-convergence would split one transitive cluster
+    into several representatives downstream.
 
     Returns (id_col, cluster): cluster == id for unique docs; docs
     with cluster != id are the removable duplicates.
@@ -420,7 +430,10 @@ def dup_clusters(
         .distinct()
         .cache()
     )
-    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("lbl")).cache()
+    labels = ids.select(
+        F.col(id_col).alias("src"), F.col(id_col).alias("lbl")
+    ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels.select(F.col("src").alias("dst"), "lbl"), "dst")
@@ -430,17 +443,39 @@ def dup_clusters(
         new = (
             labels.join(neighbor_min, "src", "left")
             .select("src", F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"))
-            .cache()
+        )
+        # path halving: lbl <- label(lbl). Valid because label(x) <= x
+        # and label(x) is always reachable from x, so the compressed
+        # label stays inside x's component while chains collapse
+        # exponentially.
+        jumped = (
+            new.join(
+                new.select(F.col("src").alias("lbl"), F.col("lbl").alias("_lbl2")),
+                "lbl",
+                "left",
+            )
+            .select("src", F.coalesce("_lbl2", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
         )
         changed = (
-            new.join(labels.select("src", F.col("lbl").alias("old")), "src")
+            jumped.join(labels.select("src", F.col("lbl").alias("old")), "src")
             .filter(F.col("lbl") != F.col("old"))
             .count()
         )
-        labels.unpersist()
-        labels = new
+        labels = jumped
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing): some transitive clusters "
+            "may carry multiple representatives. Increase max_iters.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    edges.unpersist()
     return labels.select(F.col("src").alias(id_col), F.col("lbl").alias("cluster"))
 
 

@@ -101,6 +101,23 @@ def test_dup_clusters_transitive(spark):
     assert got == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 6: 2, 4: 4}
 
 
+def test_dup_clusters_long_chain_converges(spark):
+    """Path halving must collapse a chain whose diameter (40) exceeds
+    max_iters (10) — plain min-propagation would move the label only 10
+    hops and warn. Converging without a RuntimeWarning is the test."""
+    import warnings
+
+    from pyspark.sql import Row
+
+    n = 41
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+    pairs = spark.createDataFrame([Row(id1=i, id2=i + 1) for i in range(n - 1)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {r.doc_id: r.cluster for r in D.dup_clusters(pairs, ids).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_near_dedup_keep_list(spark):
     """Keep list = one representative per near-dup cluster; every
     dropped doc is reachable from its cluster's representative."""
