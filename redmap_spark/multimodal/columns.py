@@ -2,11 +2,12 @@
 
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct alongside. The Spark-side plumbing — schema, Arrow batch shape,
-partition-parallel decode via ``mapInPandas`` — is real and tested;
-the actual media decode is stubbed (image/audio libraries are not in
-this container) behind ``decode_image``, which either raises
-``NotImplementedError`` or produces a deterministic fake, so swapping
-in a real decoder (PIL/ffmpeg) changes one function, not the plan.
+partition-parallel decode via ``mapInPandas`` — is real and tested.
+``decode_image`` reads REAL dimensions from PNG / JPEG / GIF payloads
+by pure-stdlib magic-byte header parsing (no PIL needed); only the
+full pixel decode (and the deterministic fake used for synthetic
+non-media payloads) remains behind the decoder seam, so swapping in
+PIL/ffmpeg changes one function, not the plan.
 
 At 100 TB: payloads stay in executor memory one Arrow batch at a
 time (``mapInPandas`` is a streaming iterator — no per-partition
@@ -17,6 +18,7 @@ split with zero shuffle.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,15 +29,63 @@ FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, head_md5 string, width int, height int, n_frames int"
 )
 
-REAL_DECODERS_AVAILABLE = False  # flip when PIL/ffmpeg exist
+REAL_DECODERS_AVAILABLE = False  # flip when PIL/ffmpeg exist (full pixel decode)
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers carry dimensions; C4/C8/CC are not SOFs
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
+    """Pure-stdlib (width, height, n_frames) from real image bytes:
+
+    - PNG: IHDR chunk — big-endian u32 width/height at offsets 16/20.
+    - GIF: logical screen descriptor — little-endian u16 at 6/8.
+    - JPEG: walk marker segments to the first SOFn; its body is
+      precision(1) height(2) width(2), big-endian.
+
+    Returns None for unrecognized payloads (caller decides fallback).
+    n_frames is 1 — stills; animated-GIF frame counts need full LZW
+    block walking, which is the pixel decoder's job."""
+    if payload[:8] == _PNG_MAGIC and len(payload) >= 24 and payload[12:16] == b"IHDR":
+        width, height = struct.unpack(">II", payload[16:24])
+        return width, height, 1
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        width, height = struct.unpack("<HH", payload[6:10])
+        return width, height, 1
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                return None  # desynced — not a well-formed JPEG stream
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone marker, no length field
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 9 > len(payload):
+                    return None
+                height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return width, height, 1
+            i += 2 + seg_len
+    return None
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int]:
-    """STUB (SURVEY §2.F): deterministic fake (width, height, frames)
-    derived from the payload bytes. A real deployment replaces this
-    body with PIL/ffmpeg; everything around it stays unchanged."""
+    """(width, height, n_frames) for a binary payload. Real PNG/JPEG/GIF
+    headers are parsed for true dimensions; anything else (the synthetic
+    utf-8 payloads in testdata) gets a deterministic fake so plumbing
+    tests stay reproducible. Full pixel decode sits behind
+    REAL_DECODERS_AVAILABLE (PIL/ffmpeg not in this container)."""
+    parsed = parse_image_header(payload)
+    if parsed is not None:
+        return parsed
     if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("wire a real decoder here")
+        raise NotImplementedError("wire a real pixel decoder here")
     h = hashlib.md5(payload).digest()
     width = 64 + h[0] % 192          # 64..255
     height = 64 + h[1] % 192

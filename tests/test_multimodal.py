@@ -55,6 +55,75 @@ def test_resize_schema_and_bounds(spark):
         assert (r.target_w, r.target_h) == (8, 8)
 
 
+def _tiny_png(width: int, height: int) -> bytes:
+    """A fully valid PNG built with stdlib only (zlib + struct):
+    signature, IHDR, one zlib-compressed IDAT of grey pixels, IEND."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + b"\x7f" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _tiny_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG marker stream: SOI, APP0/JFIF, SOF0 with real
+    dimensions, EOI. Enough for any header parser; not a decodable
+    image (no scan data), which is exactly the seam being tested."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
+
+
+def test_decode_image_real_headers():
+    """Real PNG/JPEG/GIF payloads must yield TRUE dimensions (stdlib
+    magic-byte parsing), not the deterministic fake."""
+    import struct
+
+    assert decode_image(_tiny_png(3, 5)) == (3, 5, 1)
+    assert decode_image(_tiny_png(640, 480)) == (640, 480, 1)
+    assert decode_image(_tiny_jpeg(17, 23)) == (17, 23, 1)
+    assert decode_image(_tiny_jpeg(1920, 1080)) == (1920, 1080, 1)
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 8
+    assert decode_image(gif) == (12, 34, 1)
+    # non-media payloads still take the deterministic-fake path
+    w, h, nf = decode_image(b"plain text payload")
+    assert 64 <= w <= 255 and 64 <= h <= 255 and 1 <= nf <= 4
+
+
+def test_extract_features_real_png_through_spark(spark):
+    """End-to-end: real PNG bytes through the mapInPandas pipeline must
+    surface true header dimensions in the feature frame."""
+    df = spark.createDataFrame(
+        [(1, _tiny_png(3, 5)), (2, _tiny_jpeg(17, 23)), (3, b"not an image")],
+        "doc_id long, payload binary",
+    )
+    feats = {r.doc_id: r for r in extract_features(df).collect()}
+    assert (feats[1].width, feats[1].height, feats[1].n_frames) == (3, 5, 1)
+    assert (feats[2].width, feats[2].height) == (17, 23)
+    assert feats[3].width == decode_image(b"not an image")[0]
+
+
 def test_sample_frames_expansion(spark):
     """1→N expansion: every doc emits ceil(n_frames / every_n) rows,
     deterministically."""
