@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_RESERVED = ("_k", "_t", "_is_left", "_tb")
+
 
 def asof_join(
     left: DataFrame,
@@ -32,12 +34,30 @@ def asof_join(
     """Returns ``left`` with ``payload`` columns (nullable) from the
     latest matching right row. ``strict=True`` uses t_right < t_left
     instead of ≤ (ties: a right row at the exact left timestamp does
-    NOT match). Ties *within* a side resolve by the later row winning
-    carry-forward, deterministically via the payload tuple order."""
+    NOT match).
+
+    Determinism: right rows sharing the same timestamp resolve by a
+    stable content hash of their payload (an arbitrary but
+    run-invariant order), so repeated runs carry the same payload.
+    Reserved internal names (_k/_t/_is_left/_tb) and payload names that
+    collide with left columns are rejected up front instead of silently
+    clobbering output columns."""
+    clash = set(_RESERVED) & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(clash)}; rename them first"
+        )
+    payload_clash = set(payload) & set(left.columns)
+    if payload_clash:
+        raise ValueError(
+            f"payload columns {sorted(payload_clash)} collide with left columns; "
+            "alias them on the right side first"
+        )
     lt = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
+        F.lit(0).cast("long").alias("_tb"),
         "*",
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
     ).drop(on, left_ts)
@@ -45,6 +65,9 @@ def asof_join(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
+        # stable within-timestamp tiebreak: content hash of the carried
+        # payload — equal-_t right rows order the same way every run
+        F.xxhash64(*[F.col(c) for c in payload]).alias("_tb"),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema if f.name not in (on, left_ts)],
         *[F.col(c).alias(f"_p_{c}") for c in payload],
     )
@@ -54,7 +77,7 @@ def asof_join(
     tie = F.col("_is_left").asc() if not strict else F.col("_is_left").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), tie)
+        .orderBy(F.col("_t").asc(), tie, F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -45,7 +45,14 @@ def incremental_daily_rollup(
 
     Scale notes: the done-day set is partition *metadata* (tiny);
     the new-day filter is a partition-pruning predicate when events
-    are stored partitioned by day, so old days are never re-read."""
+    are stored partitioned by day, so old days are never re-read.
+
+    Only a missing summary path is treated as "first run". Any OTHER
+    read failure (corrupt footer, transient FS error, permissions)
+    propagates: treating it as first-run would recompute every day and
+    APPEND on top of existing partitions — silent double counting."""
+    from pyspark.errors import AnalysisException
+
     try:
         done = {
             r.day
@@ -56,8 +63,11 @@ def incremental_daily_rollup(
             .distinct()
             .collect()
         }
-    except Exception:  # first run: no summary yet
-        done = set()
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        done = set()  # first run: no summary yet
     day = F.date_format(F.date_trunc("day", "ts"), DAY_FMT)
     fresh = events.filter(~day.isin(*done) if done else F.lit(True))
     new_days_df = daily_rollup(fresh)

@@ -53,7 +53,18 @@ def salted_join(
     join key itself would give every hot-key row the same salt and
     spread nothing. When omitted, the salt hashes the whole row
     (stable, and distinct-rows-spread; duplicates of an identical
-    row co-locate, which is harmless)."""
+    row co-locate, which is harmless).
+
+    Only ``inner`` and ``left`` joins are supported: under
+    right/full-outer semantics each unmatched small-side row appears
+    once PER REPLICA (n_salts duplicate null-extended rows), which is
+    wrong — and salting exists to protect the big side anyway."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "outer-joining the replicated small side would emit each "
+            "unmatched small row n_salts times"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if big_stable_col is not None:
         b = with_salt(big, big_stable_col, n_salts)

@@ -169,15 +169,50 @@ def segment_value_counts(
 
 
 def stream_to_daily_rollup(stream: DataFrame, summary_path: str):
-    """Bridge a micro-batch stream into the incremental batch summary
-    via foreachBatch: each micro-batch is handed to the SAME
-    idempotent day-partition maintenance used by the batch pipeline
-    (operators/incremental.py) — one code path for backfill and
-    live ingest, the pattern that keeps lambda-architecture drift
-    out of a 100 TB pipeline. Returns the started StreamingQuery."""
-    from redmap_spark.operators.incremental import incremental_daily_rollup
+    """Bridge a micro-batch stream into the day-partitioned summary via
+    foreachBatch. Returns the SINK FUNCTION to attach with
+    ``stream.writeStream.foreachBatch(sink)``.
+
+    A day's events routinely span several micro-batches in live ingest,
+    so skip-if-present maintenance (the batch backfill primitive) would
+    freeze a day at its first partial write. Instead each batch:
+
+    1. APPENDS its raw events to a day-partitioned staging store
+       (bronze), tagged with batch_id;
+    2. recomputes the summary for ONLY the touched days from all staged
+       events of those days, deduped on event_id — so a foreachBatch
+       RETRY that re-appends the same events stays exactly-once;
+    3. dynamic-partition-OVERWRITES exactly those day partitions
+       (sources.io.overwrite_partitions).
+
+    Same summary schema as the batch path (operators/incremental.py),
+    so backfill repairs and live ingest still converge on one table; at
+    100 TB the staging store is the ingest bronze layer every such
+    pipeline already keeps, and each batch touches only its own days'
+    partitions."""
+    from redmap_spark.operators.incremental import DAY_FMT, daily_rollup
+    from redmap_spark.sources.io import overwrite_partitions
+
+    staging_path = summary_path.rstrip("/") + "__staging_events"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        incremental_daily_rollup(batch_df.sparkSession, batch_df, summary_path)
+        spark = batch_df.sparkSession
+        day = F.date_format(F.date_trunc("day", "ts"), DAY_FMT)
+        staged_batch = batch_df.withColumn("day", day).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        staged_batch.write.mode("append").partitionBy("day").parquet(staging_path)
+        touched = [r.day for r in staged_batch.select("day").distinct().collect()]
+        if not touched:
+            return
+        all_staged = (
+            spark.read.option("basePath", staging_path)
+            .parquet(staging_path)
+            .filter(F.col("day").isin(touched))  # partition-pruned scan
+            .dropDuplicates(["event_id"])  # retry-idempotent
+            .select(F.date_format("day", DAY_FMT).alias("day"), *batch_df.columns)
+        )
+        recomputed = daily_rollup(all_staged).filter(F.col("day").isin(touched))
+        overwrite_partitions(recomputed, summary_path, partition_by=["day"])
 
     return sink

@@ -63,3 +63,35 @@ def test_asof_join_single_shuffle(spark):
     )
     assert "Join" not in plan          # union + window, no join node
     assert plan.count("Exchange") == 1  # exactly one shuffle, on the key
+
+
+def test_asof_join_rejects_reserved_and_colliding_columns(spark):
+    import pytest
+
+    from redmap_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, t long, _tb string")
+    right = spark.createDataFrame([(1, 5, 9.0)], "k long, rt long, price double")
+    with pytest.raises(ValueError, match="reserves"):
+        asof_join(left, right, on="k", left_ts="t", right_ts="rt", payload=("price",))
+    left2 = spark.createDataFrame([(1, 10, 3.0)], "k long, t long, price double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left2, right, on="k", left_ts="t", right_ts="rt", payload=("price",))
+
+
+def test_asof_join_equal_ts_ties_are_run_stable(spark):
+    """Two right rows at the same timestamp: the carried payload must be
+    identical across repeated runs (stable content-hash tiebreak)."""
+    from redmap_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 5, 200.0), (1, 5, 300.0)], "k long, rt long, price double"
+    ).repartition(4)
+    vals = {
+        asof_join(left, right, on="k", left_ts="t", right_ts="rt", payload=("price",))
+        .collect()[0]
+        .price
+        for _ in range(5)
+    }
+    assert len(vals) == 1, vals

@@ -52,3 +52,17 @@ def test_salted_join_shuffles_on_salted_key(spark):
     )
     plan = executed_plan(j)
     assert "_salt" in plan  # the exchange key includes the salt
+
+
+def test_salted_join_rejects_outer(spark):
+    """right/full outer would emit each unmatched small row once per
+    replica — the operator must refuse instead of silently duplicating."""
+    import pytest
+
+    from redmap_spark.operators.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(big, small, on="k", how=how)
