@@ -11,6 +11,7 @@ from redmap_spark.inventory import dedup  # noqa: F401
 from redmap_spark.inventory import similarity  # noqa: F401
 from redmap_spark.inventory import text  # noqa: F401
 from redmap_spark.inventory import multimodal  # noqa: F401
+from redmap_spark.inventory import sketches  # noqa: F401
 from redmap_spark.inventory import mapreduce  # noqa: F401
 from redmap_spark.inventory import relational  # noqa: F401
 from redmap_spark.inventory import relational2  # noqa: F401

@@ -658,42 +658,6 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- q_heavy_hitters ---------------------------------------------------
-
-
-@query("q_heavy_hitters")  # approximate (superset guarantee): pytest-verified
-def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent-item sketch over event users (Karp-Shenker-Papadimitriou
-    via DataFrame.stat.freqItems): one pass, fixed memory, returns a
-    SUPERSET of all items with frequency > support — the streaming-
-    friendly way to find hot keys (e.g. to pick salting targets)
-    without a full groupBy.
-
-    Refinement is a SINGLE second scan of events: candidates live in a
-    broadcast DataFrame (not a codegen `isin` literal), every event is
-    bucketed into its candidate user or a single null catch-all group by
-    a broadcast left join + partial agg, and the support threshold's
-    total count falls out of an unpartitioned window SUM over that tiny
-    (n_candidates + 1 row) aggregate — no separate `events.count()`
-    pass. Two fact scans total (sketch + refine), the KSP lower bound
-    for an exact answer."""
-    c = Catalog(spark, sf_dir)
-    support = 0.002
-    cand = c.events.stat.freqItems(["user_id"], support).collect()[0][0]
-    cand_df = spark.createDataFrame(
-        [(int(x),) for x in cand], "user_id bigint"
-    ).withColumn("_is_cand", F.lit(True))
-    bucketed = (
-        c.events.join(F.broadcast(cand_df), "user_id", "left")
-        .groupBy(
-            F.when(F.col("_is_cand"), F.col("user_id")).alias("user_id")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return (
-        bucketed.withColumn(
-            "_total", F.sum("n").over(Window.partitionBy(F.lit(1)))
-        )
-        .filter(F.col("user_id").isNotNull() & (F.col("n") > support * F.col("_total")))
-        .select("user_id", "n")
-    )
+# q_heavy_hitters moved to redmap_spark/inventory/sketches.py (it is
+# exact after refinement, so it carries a DuckDB oracle and registers
+# inside the driver's CORRECTNESS window).

@@ -82,8 +82,38 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003): guaranteed
     blocking keys for matches ≥ window+k-1 chars; density ~2/(w+1).
-    Verified by property tests in tests/test_dedup.py."""
+    Verified by property tests in tests/test_dedup.py; the exact
+    fingerprint VALUES are oracle-verified via dedup_winnow_portable
+    (same algorithm, engine-portable md5-prefix hash)."""
     return D.winnow_fingerprints(Catalog(spark, sf_dir).documents)
+
+
+# Same winnowing algorithm with an md5-prefix gram hash that DuckDB can
+# reproduce bit-for-bit: every selected fingerprint value is checked,
+# not just set-level properties. k=5, window=4, density ~2/(w+1).
+DEDUP_WINNOW_SQL = f"""
+WITH n AS (
+  SELECT doc_id, {NORM} AS nt FROM documents
+), f AS (
+  SELECT doc_id, nt FROM n WHERE length(nt) >= 8
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, length(nt) - 3),
+                        i -> ('0x' || substr(md5(substr(nt, i, 5)), 1, 15))::BIGINT) AS gh
+  FROM f
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(gh) - 2),
+                                      i -> list_min(gh[i:i+3]))) AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM w
+"""
+
+
+@query("dedup_winnow_portable", oracle=DEDUP_WINNOW_SQL)
+def dedup_winnow_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.winnow_fingerprints(Catalog(spark, sf_dir).documents, portable_hash=True)
 
 
 @query("dedup_keep_list")  # graph-iterative: verified by transitivity pytest

@@ -1,5 +1,11 @@
-"""SURVEY §2.F — multimodal inventory entry (rows-only check; the
-decode is a deterministic stub, see redmap_spark.multimodal)."""
+"""SURVEY §2.F — multimodal inventory entries.
+
+mm_features is fully oracle-checked: the synthetic payload is the
+utf-8 bytes of ASCII text, so every feature the mapInPandas pipeline
+emits (md5 head fingerprint + the deterministic md5-derived fallback
+dimensions for non-media payloads) is reproducible in DuckDB with
+string md5 + hex arithmetic. Real-media decode (PNG/JPEG/GIF headers)
+is verified by tests/test_multimodal.py with crafted image bytes."""
 
 from __future__ import annotations
 
@@ -10,8 +16,20 @@ from redmap_spark.inventory.registry import query
 from redmap_spark.multimodal import columns as M
 from redmap_spark.multimodal import attach_payload, extract_features
 
+# h[i] of the md5 digest == hex pair at substr(2*i+1, 2); the corpus is
+# pure ASCII so byte-wise ops on the payload equal char-wise on text.
+MM_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(substr(text, 1, 16)) AS head_md5,
+       CAST(64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS INT) AS width,
+       CAST(64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS INT) AS height,
+       CAST(1 + ('0x' || substr(md5(text), 5, 2))::INT % 4 AS INT) AS n_frames
+FROM documents
+"""
 
-@query("mm_features")  # binary plumbing: verified by tests/test_multimodal.py
+
+@query("mm_features", oracle=MM_FEATURES_SQL)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     return extract_features(attach_payload(docs))

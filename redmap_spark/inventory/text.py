@@ -246,16 +246,69 @@ def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- txt_training_corpus (end-to-end pipeline) -------------------------
+#
+# Oracle = the entire dedup → Gopher gate → repetition gate → PII
+# redact → chunk composition in one DuckDB CTE chain (the mixture
+# rebalance stage hash-samples with xxhash64, which no other engine
+# reproduces, so the ORACLED entry runs mixture=None — keep
+# everything; the mixture path is covered by
+# tests/test_training_pipeline.py).
+
+TXT_CORPUS_SQL = f"""
+WITH reps AS (
+  SELECT md5({NORM}) AS fp, MIN(doc_id) AS doc_id FROM documents GROUP BY 1
+), dd AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN reps r ON d.doc_id = r.doc_id
+), q AS (
+  SELECT doc_id, lang, text FROM dd
+  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
+    AND list_avg(list_transform(string_split(text, ' '),
+                                x -> CAST(length(x) AS DOUBLE))) BETWEEN 2.0 AND 12.0
+    AND CAST(len(list_filter(string_split(text, ' '),
+                             x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / len(string_split(text, ' ')) >= 0.8
+    AND len(list_filter(string_split(text, ' '), x -> x IN {STOPS_SQL})) >= 2
+), bg AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS nt,
+         unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS b
+  FROM q
+), cnt AS (
+  SELECT doc_id, nt, b, COUNT(*) AS c FROM bg GROUP BY doc_id, nt, b
+), rep_ok AS (
+  SELECT doc_id FROM cnt GROUP BY doc_id, nt
+  HAVING round(CAST(MAX(c) AS DOUBLE) / (nt - 1), 6) <= 0.2
+), red AS (
+  SELECT q.doc_id, q.lang,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(q.text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}', '<IP>', 'g'),
+           '\\+?\\d[\\d -]{{7,}}\\d', '<PHONE>', 'g') AS text
+  FROM q JOIN rep_ok USING (doc_id)
+), tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM red
+), st AS (
+  SELECT doc_id, lang, t, unnest(generate_series(1, len(t), 40)) AS start FROM tok
+)
+SELECT doc_id,
+       CAST((start - 1) / 40 AS BIGINT) AS chunk_idx,
+       lang,
+       array_to_string(t[start:start + 49], ' ') AS chunk_text,
+       CAST(len(t[start:start + 49]) AS BIGINT) AS n_chunk_tokens
+FROM st
+"""
 
 
-@query("txt_training_corpus")  # composition: verified by pytest flow tests
+@query("txt_training_corpus", oracle=TXT_CORPUS_SQL)
 def txt_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-prep composition (dedup → Gopher gate →
-    repetition gate → PII redact → chunk → mixture rebalance) as one
-    Catalyst plan — see redmap_spark/pipelines.py and
-    tests/test_training_pipeline.py."""
+    repetition gate → PII redact → chunk) as one Catalyst plan — see
+    redmap_spark/pipelines.py and tests/test_training_pipeline.py
+    (which also covers the mixture-rebalance stage; the oracled entry
+    keeps every language so DuckDB can replay it)."""
     from redmap_spark.pipelines import prepare_training_corpus
 
-    return prepare_training_corpus(
-        Catalog(spark, sf_dir).documents, mixture={"en": 1.0, "es": 0.5, "de": 0.5}
-    )
+    return prepare_training_corpus(Catalog(spark, sf_dir).documents, mixture=None)

@@ -356,6 +356,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 5,
     window: int = 4,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003):
     hash every k-char gram of the normalized text, then keep the
@@ -367,8 +368,18 @@ def winnow_fingerprints(
     plagiarism/near-dup lookup. Pure column expressions: char grams
     via substring over a sequence, window mins via transform+slice on
     the *bound* hash array (materialized projection — see module
-    header for why the lambda must not re-derive its input)."""
+    header for why the lambda must not re-derive its input).
+
+    ``portable_hash=True`` hashes grams with the first 60 bits of md5
+    (reproducible in any SQL engine — the DuckDB-oracle-checkable
+    variant) instead of xxhash64 (faster; Spark-specific values)."""
     from redmap_spark.operators.textstats import normalized
+
+    if portable_hash:
+        def gram_hash(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    else:
+        gram_hash = F.xxhash64
 
     # Both intermediates are materialized: projection collapsing would
     # otherwise inline the normalization into every gram lambda call
@@ -381,7 +392,7 @@ def winnow_fingerprints(
         "id",
         F.transform(
             F.sequence(F.lit(1), F.length("nt") - (k - 1)),
-            lambda i: F.xxhash64(F.substr("nt", i, F.lit(k))),
+            lambda i: gram_hash(F.substr("nt", i, F.lit(k))),
         ).alias("gh"),
     ).cache()
     wins = grams.select(
