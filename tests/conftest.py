@@ -13,7 +13,12 @@ sys.path.insert(0, str(REPO))
 from redmap_spark.catalog import TABLES  # noqa: E402
 from redmap_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+# Cross-SF robustness: override to run the whole suite (oracle parity
+# included) at another scale factor, e.g.
+#   SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 pytest tests/test_oracle.py
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 SF_SMALL = "/root/testdata/sf0.001"
 
 
