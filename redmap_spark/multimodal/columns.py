@@ -4,10 +4,12 @@ Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct alongside. The Spark-side plumbing — schema, Arrow batch shape,
 partition-parallel decode via ``mapInPandas`` — is real and tested.
 ``decode_image`` reads REAL dimensions from PNG / JPEG / GIF payloads
-by pure-stdlib magic-byte header parsing (no PIL needed); only the
-full pixel decode (and the deterministic fake used for synthetic
-non-media payloads) remains behind the decoder seam, so swapping in
-PIL/ffmpeg changes one function, not the plan.
+by pure-stdlib magic-byte header parsing (no PIL needed), and PNG
+payloads get REAL pixel decode / nearest-neighbor resize / re-encode
+via the stdlib codec in ``multimodal/png.py``. Only JPEG/GIF pixel
+decode (and the deterministic fake used for synthetic non-media
+payloads) remains behind the decoder seam, so swapping in PIL/ffmpeg
+changes one function, not the plan.
 
 At 100 TB: payloads stay in executor memory one Arrow batch at a
 time (``mapInPandas`` is a streaming iterator — no per-partition
@@ -142,11 +144,14 @@ RESIZED_SCHEMA = (
 
 
 def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32, id_col: str = "doc_id") -> DataFrame:
-    """Resize plumbing: payload in → (smaller) payload out, batch by
-    Arrow batch. STUB transform: deterministic byte-decimation to
-    (target_w*target_h) bytes standing in for a real thumbnail (PIL's
-    Image.resize in deployment). The Spark contract — binary in/out,
-    no shuffle, bounded executor memory — is the real part."""
+    """Resize: payload in → (smaller) payload out, batch by Arrow
+    batch. REAL for PNG payloads: stdlib decode → nearest-neighbor
+    resample → re-encode (multimodal/png.py), a valid thumbnail PNG
+    out. Non-PNG / unsupported payloads fall back to deterministic
+    byte-decimation to (target_w*target_h) bytes so synthetic-corpus
+    plumbing tests stay reproducible. The Spark contract — binary
+    in/out, no shuffle, bounded executor memory — is unchanged."""
+    from redmap_spark.multimodal.png import resize_png
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_out = target_w * target_h
@@ -155,8 +160,12 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32, id_col:
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 raw = bytes(payload)
                 w, h, _ = decode_image(raw)
-                step = max(1, len(raw) // n_out)
-                rows.append((int(doc_id), raw[::step][:n_out], w, h, target_w, target_h))
+                try:
+                    small = resize_png(raw, target_w, target_h)
+                except ValueError:  # not a (supported) PNG: stub path
+                    step = max(1, len(raw) // n_out)
+                    small = raw[::step][:n_out]
+                rows.append((int(doc_id), small, w, h, target_w, target_h))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "payload", "width", "height", "target_w", "target_h"],
