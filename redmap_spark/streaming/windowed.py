@@ -165,6 +165,62 @@ def segment_value_counts(
     )
 
 
+# ---------------------------------------------- stream-stream join
+
+
+def correlate_streams(
+    stream: DataFrame,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: for every ``type_a`` event,
+    the ``type_b`` events by the same user within ``within`` afterwards
+    (view→purchase attribution, error→retry correlation, …).
+
+    The two legs carry their own watermarks and the join condition
+    time-bounds b.ts to [a.ts, a.ts + within], so Spark can prove when
+    either side's state is safe to evict: state size is bounded by
+    (arrival rate × (watermark + within)), never by stream history —
+    the property that lets this run forever on an unbounded feed. The
+    batch analogue is the same equi+range join, which is exactly what
+    each micro-batch executes."""
+    a = (
+        stream.filter(F.col("event_type") == type_a)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("a_event_id"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        stream.filter(F.col("event_type") == type_b)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_event_id"),
+            F.col("ts").alias("b_ts"),
+            F.col("value").alias("b_value"),
+        )
+    )
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "a_event_id",
+        "b_event_id",
+        F.col("a_ts").alias("ts_a"),
+        F.col("b_ts").alias("ts_b"),
+        "b_value",
+    )
+
+
 # ------------------------------------------- foreachBatch → batch sink
 
 

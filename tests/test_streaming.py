@@ -199,3 +199,32 @@ def test_foreachbatch_rollup_multibatch_day_and_retry(spark, tmp_path):
         "2024-01-01": (3, 7.0, 2),  # both batches' events, users {10, 11}
         "2024-01-02": (1, 8.0, 1),
     }
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream view→purchase correlation over an
+    availableNow run must equal the identical batch range join."""
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.streaming.windowed import correlate_streams, events_stream
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, SF_DIR)
+    q = (
+        correlate_streams(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.a_event_id, r.b_event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.user_id, r.a_event_id, r.b_event_id)
+        for r in correlate_streams(Catalog(spark, SF_DIR).events).collect()
+    }
+    assert got == want and len(want) > 0
