@@ -34,6 +34,29 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(Catalog(spark, sf_dir).embeddings, QUERY_ID, k=10)
 
 
+SIM_RANGE_SQL = f"""
+WITH w AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), q AS (SELECT v AS qv, nrm AS qn FROM w WHERE vec_id = {QUERY_ID})
+SELECT b.vec_id,
+       round(list_sum(list_transform(range(1, 65), i -> b.v[i] * q.qv[i]))
+             / (b.nrm * q.qn), 4) AS score
+FROM w b, q
+WHERE b.vec_id != {QUERY_ID}
+  AND round(list_sum(list_transform(range(1, 65), i -> b.v[i] * q.qv[i]))
+            / (b.nrm * q.qn), 4) >= 0.3
+"""
+
+
+@query("sim_range_search", oracle=SIM_RANGE_SQL)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-matches radius search (cosine ≥ 0.3 vs the query vector):
+    one broadcast scan, no sort, no shuffle."""
+    return S.range_search(Catalog(spark, sf_dir).embeddings, QUERY_ID, radius=0.3)
+
+
 @query("sim_lsh_topk")  # approximate: verified by recall pytest
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(Catalog(spark, sf_dir).embeddings, QUERY_ID, k=10)

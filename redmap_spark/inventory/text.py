@@ -245,6 +245,53 @@ def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_documents(d, chunk_tokens=50, stride=40)
 
 
+# -- txt_ngram_stats ---------------------------------------------------
+
+TXT_NGRAM_SQL = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3),
+tri AS (
+  SELECT unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS ngram
+  FROM toks)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+"""
+
+
+@query("txt_ngram_stats", oracle=TXT_NGRAM_SQL)
+def txt_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 token trigrams — the n-gram generalization
+    of wordcount (boilerplate detection, contamination screens).
+    Map-side combine does the heavy lifting: the explode emits
+    |tokens|·1 rows but partial_count collapses them per partition
+    before the single shuffle; the final top-k is a TakeOrdered over
+    the aggregated (tiny) key space. Split is a bound projection so
+    the trigram lambda never re-derives it (PERF.md §1)."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    tri = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i),
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                ),
+            )
+        ).alias("ngram")
+    )
+    return (
+        tri.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
 # -- txt_training_corpus (end-to-end pipeline) -------------------------
 #
 # Oracle = the entire dedup → Gopher gate → repetition gate → PII

@@ -60,6 +60,28 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    df: DataFrame,
+    query_id: int,
+    radius: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact radius search: every vector with cosine ≥ ``radius`` vs
+    the query embedding (the all-matches dual of top-k — recall sets,
+    duplicate sweeps, policy screens). Same broadcast-scan shape as
+    brute_force_topk but with no global sort: the scan filters and
+    emits, so at 100 TB this is one pass with no shuffle at all."""
+    q = _query_row(df, id_col, vec_col, query_id)
+    base = df.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, cosine(F.col("v"), F.col("qv")).alias("score"))
+        .filter(F.col("score") >= radius)
+    )
+
+
 # ------------------------------------------------ random-hyperplane LSH
 
 N_PLANES = 4
