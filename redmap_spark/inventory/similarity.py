@@ -57,6 +57,14 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.range_search(Catalog(spark, sf_dir).embeddings, QUERY_ID, radius=0.3)
 
 
+@query("sim_quantized_topk")  # approximate: verified by recall pytest
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 two-phase search: integer-cosine candidate scan over the
+    4×-smaller int8 index, exact float rescore of the top 4k. See
+    operators/similarity.py::quantized_topk."""
+    return S.quantized_topk(Catalog(spark, sf_dir).embeddings, QUERY_ID, k=10)
+
+
 @query("sim_lsh_topk")  # approximate: verified by recall pytest
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(Catalog(spark, sf_dir).embeddings, QUERY_ID, k=10)

@@ -31,6 +31,17 @@ def test_ivf_topk_recall(spark):
     assert len(approx & exact) >= 3, f"ivf recall too low: {approx & exact}"
 
 
+def test_quantized_topk_recall(spark):
+    """SQ8 + exact rescore: int8 quantization error is tiny relative
+    to neighbor score gaps, and the 4k-candidate exact rescore fixes
+    rank inversions, so recall should be near-perfect."""
+    emb = Catalog(spark, SF_DIR).embeddings
+    exact = set(_ids(S.brute_force_topk(emb, 0, k=10)))
+    approx = set(_ids(S.quantized_topk(emb, 0, k=10)))
+    assert len(approx) == 10
+    assert len(approx & exact) >= 9, f"sq8 recall too low: {approx & exact}"
+
+
 def test_bruteforce_is_sorted_and_excludes_query(spark):
     emb = Catalog(spark, SF_DIR).embeddings
     rows = S.brute_force_topk(emb, 0, k=10).collect()
