@@ -13,6 +13,7 @@ from redmap_spark.inventory import text  # noqa: F401
 from redmap_spark.inventory import multimodal  # noqa: F401
 from redmap_spark.inventory import sketches  # noqa: F401
 from redmap_spark.inventory import mapreduce  # noqa: F401
+from redmap_spark.inventory import cohorts  # noqa: F401
 from redmap_spark.inventory import relational  # noqa: F401
 from redmap_spark.inventory import relational2  # noqa: F401
 from redmap_spark.inventory import analytic  # noqa: F401

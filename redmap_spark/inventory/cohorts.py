@@ -1,0 +1,109 @@
+"""SURVEY §2.A additions — cohort retention, anomaly detection, and
+deterministic hash sampling over the events/orders tables (all
+oracle-verified)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+
+# -- q_retention_cohorts ----------------------------------------------
+#
+# Classic cohort-retention matrix: cohort = a user's first active day,
+# cell (cohort_day, day_offset) = how many of that cohort's users were
+# active day_offset days later. Scale shape: the raw event stream is
+# collapsed to distinct (user, day) pairs FIRST (one shuffle, and the
+# only one proportional to |events|); everything after operates on the
+# much smaller user-day set, and the first-day join is a same-key
+# self-join that AQE plans as a local join after the groupBy.
+
+RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), firsts AS (
+  SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM ud JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("q_retention_cohorts", oracle=RETENTION_SQL)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        ud.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# -- q_anomaly_zscore --------------------------------------------------
+#
+# Volume-anomaly detection: per event type, z-score each day's event
+# count against that type's own daily distribution; |z| > 2 flags the
+# day. One fact-table scan into a partial-aggregated daily rollup; the
+# window runs over the tiny (type, day) grid, so the stddev/avg pass
+# shuffles only |types|×|days| rows, never the fact table.
+
+ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       round((n - AVG(n) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(n) OVER (PARTITION BY event_type), 6) AS z,
+       abs(round((n - AVG(n) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(n) OVER (PARTITION BY event_type), 6)) > 2.0
+         AS is_anomaly
+FROM daily
+"""
+
+
+@query("q_anomaly_zscore", oracle=ANOMALY_SQL)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    z = F.round((F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 6)
+    return daily.select("event_type", "day", "n", z.alias("z")).withColumn(
+        "is_anomaly", F.abs(F.col("z")) > F.lit(2.0)
+    )
+
+
+# -- q_hash_sample -----------------------------------------------------
+#
+# Deterministic ~5% Bernoulli sample keyed on md5(o_orderkey): the
+# reproducible-sampling primitive a training-data pipeline needs
+# (same subset on every run, every engine, any partitioning — unlike
+# rand()/TABLESAMPLE). Partition-local predicate: zero shuffle, and
+# the scan prunes to the three projected columns.
+
+HASH_SAMPLE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d'
+"""
+
+
+@query("q_hash_sample", oracle=HASH_SAMPLE_SQL)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    keep = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "0d"
+    return o.filter(keep).select("o_orderkey", "o_custkey", "o_totalprice")

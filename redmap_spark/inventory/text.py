@@ -349,6 +349,91 @@ FROM st
 """
 
 
+# -- txt_decontaminate -------------------------------------------------
+#
+# Benchmark-contamination screen: the standard eval-decontamination
+# pass of an LLM data pipeline (flag training docs sharing any token
+# 5-gram with a held-out benchmark set). The "benchmark" here is the
+# deterministic doc_id % 101 == 7 slice of the corpus. At 100 TB the
+# benchmark gram set is tiny (eval suites are MBs, the corpus is TBs),
+# so the gram join broadcasts the benchmark side — the training corpus
+# is scanned exactly once and never shuffled on the gram key.
+
+TXT_DECON_SQL = """
+WITH bgrams AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+             i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS g
+    FROM documents WHERE doc_id % 101 = 7 AND len(string_split(text, ' ')) >= 5
+  )
+), train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 101 <> 7
+), tgrams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+             i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS g
+    FROM train WHERE len(string_split(text, ' ')) >= 5
+  )
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits FROM tgrams JOIN bgrams USING (g) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM train t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def _five_grams(df: DataFrame) -> DataFrame:
+    """(doc_id, g): every token 5-gram per document (with repeats —
+    dedup happens where it's cheap, after any selective join)."""
+    t = df.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 5)
+    return t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i),
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                    F.element_at("t", i + 3),
+                    F.element_at("t", i + 4),
+                ),
+            )
+        ).alias("g"),
+    )
+
+
+@query("txt_decontaminate", oracle=TXT_DECON_SQL)
+def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per training doc, how many of its
+    token 5-grams appear in the benchmark slice. The benchmark gram
+    set is broadcast (small by construction at any corpus scale), so
+    the single training-corpus scan carries no gram-key shuffle: raw
+    (doc_id, gram) pairs hit the broadcast filter first, and only the
+    surviving (contaminated) grams — a vanishing fraction of the
+    corpus — reach the per-doc countDistinct. Deduplicating grams
+    BEFORE the join would shuffle every gram of every doc."""
+    d = Catalog(spark, sf_dir).documents
+    is_bench = F.col("doc_id") % 101 == 7
+    bench_grams = _five_grams(d.filter(is_bench)).select("g").distinct()
+    train = d.filter(~is_bench)
+    hits = (
+        _five_grams(train)
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 @query("txt_training_corpus", oracle=TXT_CORPUS_SQL)
 def txt_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-prep composition (dedup → Gopher gate →
