@@ -268,3 +268,92 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# -- q11: important stock (scalar-subquery HAVING threshold) -----------
+#
+# TPC-H Q11 shape (no partsupp table: per-part supply value is
+# SUM(price × qty) of lineitems shipped by the target nation's
+# suppliers). The correlated HAVING threshold — value > 0.1% of the
+# GLOBAL value — decorrelates into a 1-row aggregate broadcast: the
+# per-part aggregate is computed once, the grand total reduces it to
+# one row, and the filter is a broadcast nested-loop over that single
+# row. Supplier filter broadcast; lineitem scanned exactly once.
+
+Q11_SQL = """
+WITH supply AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS value
+FROM supply
+WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM supply)
+"""
+
+
+@query("q11_important_stock", oracle=Q11_SQL)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    sup = (
+        c.supplier.join(
+            F.broadcast(c.nation.filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    per_part = (
+        c.lineitem.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("val"))
+    )
+    total = per_part.agg((F.sum("val").cast("double") * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+# -- q15: top supplier (scalar-subquery MAX over a derived view) -------
+#
+# TPC-H Q15 shape: quarterly revenue per supplier, return the
+# supplier(s) achieving the maximum. The REVENUE view is computed
+# once (one lineitem scan, partial-aggregated groupBy); the MAX
+# scalar subquery is a 1-row broadcast, and ties are kept exactly as
+# the spec requires (equality on exact decimals, no FP drift). The
+# supplier join broadcasts the (tiny by then) max-revenue rows.
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+@query("q15_top_supplier", oracle=Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    rev = (
+        c.lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(F.broadcast(mx)).filter(F.col("total_revenue") == F.col("mx"))
+    return (
+        c.supplier.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
