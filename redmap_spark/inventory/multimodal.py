@@ -35,6 +35,39 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_payload(docs))
 
 
+# The fallback audio features are pure md5-hex arithmetic on the
+# payload bytes (== text chars: corpus is ASCII), so the whole
+# mapInPandas path is DuckDB-reproducible. Divisions are left
+# unrounded: same IEEE doubles on both engines.
+MM_AUDIO_SQL = """
+SELECT doc_id,
+       'synthetic' AS kind,
+       CAST(1 + ('0x' || substr(md5(text), 1, 2))::INT % 2 AS INT) AS n_channels,
+       CAST(8000 + 100 * (('0x' || substr(md5(text), 3, 2))::INT % 81) AS INT) AS sample_rate,
+       CAST(4 * length(text) AS BIGINT) AS n_samples,
+       CAST(4 * length(text) AS DOUBLE)
+         / (8000 + 100 * (('0x' || substr(md5(text), 3, 2))::INT % 81)) AS duration_s,
+       (('0x' || substr(md5(text), 5, 2))::INT * 256 + ('0x' || substr(md5(text), 7, 2))::INT) % 1000
+         / 1000.0 AS rms,
+       (('0x' || substr(md5(text), 7, 2))::INT * 256 + ('0x' || substr(md5(text), 9, 2))::INT) % 500
+         / 1000.0 AS zcr,
+       (('0x' || substr(md5(text), 9, 2))::INT * 256 + ('0x' || substr(md5(text), 11, 2))::INT) % 1000
+         / 1000.0 AS peak
+FROM documents
+"""
+
+
+@query("mm_audio_features", oracle=MM_AUDIO_SQL)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (REAL decoded-PCM RMS/ZCR/peak for WAV
+    payloads — multimodal/audio.py; md5 fallback for the synthetic
+    corpus, which is what the oracle replays)."""
+    from redmap_spark.multimodal.audio import extract_audio_features
+
+    d = Catalog(spark, sf_dir).documents
+    return extract_audio_features(M.attach_payload(d))
+
+
 @query("mm_resize")  # rows-only: binary transform, verified by pytest
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents

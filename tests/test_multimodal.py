@@ -147,3 +147,55 @@ def test_sample_frames_expansion(spark):
     # determinism: same frame hash for the same (doc, idx) on re-run
     again = {(r.doc_id, r.frame_idx): r.frame_md5 for r in sample_frames(attach_payload(docs), every_n=2).collect()}
     assert {(r.doc_id, r.frame_idx): r.frame_md5 for r in out} == again
+
+
+def test_wav_decode_real_features(spark):
+    """Real WAV payloads (written by stdlib `wave`) produce features
+    from true decoded PCM: a pure 440 Hz sine has rms ~= 1/sqrt(2) of
+    its amplitude and zcr ~= 2*f/sr; silence has rms == 0."""
+    import io
+    import math
+    import struct as st
+    import wave
+
+    from redmap_spark.multimodal.audio import extract_audio_features, parse_wav
+
+    def wav_bytes(samples, sr=8000, ch=1, sampwidth=2):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(sampwidth)
+            w.setframerate(sr)
+            w.writeframes(b"".join(st.pack("<h", int(s)) for s in samples))
+        return buf.getvalue()
+
+    sr = 8000
+    amp = 16000
+    sine = [amp * math.sin(2 * math.pi * 440 * i / sr) for i in range(sr)]  # 1 second
+    silence = [0] * 400
+    rows = [
+        (1, wav_bytes(sine, sr=sr)),
+        (2, wav_bytes(silence, sr=sr)),
+        (3, b"definitely not audio"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = {r.doc_id: r for r in extract_audio_features(df).collect()}
+
+    s1 = feats[1]
+    assert s1.kind == "wav" and s1.n_channels == 1 and s1.sample_rate == sr
+    assert s1.n_samples == sr and abs(s1.duration_s - 1.0) < 1e-9
+    expected_rms = (amp / 32768) / math.sqrt(2)
+    assert abs(s1.rms - expected_rms) < 0.01
+    assert abs(s1.zcr - 2 * 440 / sr) < 0.01  # two crossings per cycle
+    assert abs(s1.peak - amp / 32768) < 0.01
+
+    s2 = feats[2]
+    assert s2.kind == "wav" and s2.rms == 0.0 and s2.zcr == 0.0 and s2.n_samples == 400
+
+    assert feats[3].kind == "synthetic"
+
+    # stereo + 8-bit path through the raw parser
+    stereo = wav_bytes([x for s in sine[:100] for x in (s, -s)], sr=sr, ch=2)
+    ch, rate, bits, mono = parse_wav(stereo)
+    assert (ch, rate, bits) == (2, sr, 16)
+    assert abs(float(max(abs(mono))) ) < 1e-6  # L == -R mixes to silence
