@@ -90,3 +90,95 @@ def compact_parquet(
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    deleted_col: str | None = None,
+) -> list[str]:
+    """MERGE INTO (upsert + optional delete) for a partitioned parquet
+    lake table, without requiring a table format:
+
+    1. The affected-partition set is derived from ``updates`` — tiny
+       metadata, the only thing collected.
+    2. ONLY those partitions of the target are read back (the isin
+       filter is a partition-pruning predicate on the day-partitioned
+       layout — untouched partitions are never scanned).
+    3. Matched target rows are dropped via a left-anti join on the
+       key, updates are unioned in (minus tombstones when
+       ``deleted_col`` names a boolean flag column).
+    4. Dynamic partition overwrite rewrites exactly the affected
+       partitions; a partition whose rows were ALL deleted is cleared
+       explicitly (dynamic overwrite cannot write an empty partition).
+
+    Idempotent: re-running the same updates converges to the same
+    table. Constraint (standard for date-partitioned upserts): a key's
+    partition value must be stable — moving a key between partitions
+    requires a tombstone in the old partition plus an insert in the
+    new one. Returns the sorted affected partition values.
+
+    At 100 TB this is the compaction-friendly upsert pattern (rewrite
+    whole partitions, no row-level indexes); row-level MERGE belongs
+    to a table format (Iceberg/Delta), whose snapshot semantics
+    ``operators/snapshots.py`` models separately.
+    """
+    from pyspark.errors import AnalysisException
+
+    live = updates
+    if deleted_col is not None:
+        live = updates.filter(~F.col(deleted_col)).drop(deleted_col)
+        keys_touched = updates.drop(deleted_col)
+    else:
+        keys_touched = updates
+
+    try:
+        target = spark.read.parquet(target_path)
+        # partition-column type inference may read the partition dir
+        # names back as DATE/INT; normalize to the updates' dtype so
+        # the isin pruning filter and unionByName line up.
+        upd_type = dict(keys_touched.dtypes)[partition_col]
+        target = target.withColumn(
+            partition_col, F.col(partition_col).cast(upd_type)
+        )
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        # first run: the table IS the live updates
+        live.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        return sorted(str(r[0]) for r in live.select(partition_col).distinct().collect())
+
+    parts = [r[0] for r in keys_touched.select(partition_col).distinct().collect()]
+    affected = target.filter(F.col(partition_col).isin(parts))
+    kept = affected.join(
+        keys_touched.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    # materialize BEFORE overwriting: merged's lineage reads the very
+    # files the write below replaces — an unmaterialized plan would
+    # re-scan replaced files on any post-write action (and the write
+    # itself must not race its own input). At cluster scale this is a
+    # scratch-table write; locally localCheckpoint pins the rows.
+    merged = kept.unionByName(live.select(*target.columns)).localCheckpoint(eager=True)
+    written = {r[0] for r in merged.select(partition_col).distinct().collect()}
+
+    from redmap_spark.sources.io import overwrite_partitions
+
+    overwrite_partitions(merged, target_path, [partition_col])
+
+    # partitions emptied by deletes: dynamic overwrite never saw them
+    emptied = [p for p in parts if p not in written]
+    if emptied:
+        # local-FS clear; a cluster deployment routes this through the
+        # Hadoop FileSystem API (same partition-directory semantics)
+        import shutil
+        from pathlib import Path
+
+        for p in emptied:
+            part_dir = Path(target_path) / f"{partition_col}={p}"
+            if part_dir.exists():
+                shutil.rmtree(part_dir)
+    return sorted(str(p) for p in parts)

@@ -55,3 +55,66 @@ def test_compact_parquet(spark, tmp_path):
 
     assert len(glob.glob(f"{out}/*.parquet")) == 1  # tiny data → 1 file
     assert spark.read.parquet(out).count() == c.events.count()
+
+
+def test_merge_upsert_full_cycle(spark, tmp_path):
+    """insert → update → delete → idempotent re-run, with untouched
+    partitions never rewritten (verified by file mtimes)."""
+    import os
+    from pathlib import Path
+
+    from redmap_spark.operators.incremental import merge_upsert
+
+    tgt = str(tmp_path / "users")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "2024-01-01"), (2, "b", 20.0, "2024-01-01"),
+         (3, "c", 30.0, "2024-01-02"), (4, "d", 40.0, "2024-01-03")],
+        "id long, name string, score double, day string",
+    )
+    # first run bootstraps the table
+    assert merge_upsert(spark, tgt, base, ["id"], "day") == [
+        "2024-01-01", "2024-01-02", "2024-01-03",
+    ]
+
+    def snapshot():
+        # normalize the inferred DATE partition column back to string
+        df = spark.read.parquet(tgt).withColumn("day", F.col("day").cast("string"))
+        return {r.id: (r.name, r.score, r.day) for r in df.collect()}
+
+    assert snapshot()[2] == ("b", 20.0, "2024-01-01")
+    mtimes_untouched = {
+        f: os.stat(f).st_mtime for f in map(str, (Path(tgt) / "day=2024-01-03").glob("*.parquet"))
+    }
+    assert mtimes_untouched
+
+    # update id=2, insert id=5, delete id=3 (empties nothing)
+    ups = spark.createDataFrame(
+        [(2, "B2", 25.0, "2024-01-01", False),
+         (5, "e", 50.0, "2024-01-02", False),
+         (3, None, None, "2024-01-02", True)],
+        "id long, name string, score double, day string, _deleted boolean",
+    )
+    parts = merge_upsert(spark, tgt, ups, ["id"], "day", deleted_col="_deleted")
+    assert parts == ["2024-01-01", "2024-01-02"]
+    snap = snapshot()
+    assert snap[2] == ("B2", 25.0, "2024-01-01")
+    assert snap[5] == ("e", 50.0, "2024-01-02")
+    assert 3 not in snap
+    assert snap[1] == ("a", 10.0, "2024-01-01")  # unmatched row in touched partition survives
+    # untouched partition files were not rewritten
+    for f, m in mtimes_untouched.items():
+        assert os.stat(f).st_mtime == m
+
+    # idempotence: same updates converge to the same table
+    merge_upsert(spark, tgt, ups, ["id"], "day", deleted_col="_deleted")
+    assert snapshot() == snap
+
+    # deleting the last row of a partition clears the partition dir
+    wipe = spark.createDataFrame(
+        [(5, None, None, "2024-01-02", True)],
+        "id long, name string, score double, day string, _deleted boolean",
+    )
+    merge_upsert(spark, tgt, wipe, ["id"], "day", deleted_col="_deleted")
+    snap2 = snapshot()
+    assert 5 not in snap2 and set(snap2) == {1, 2, 4}
+    assert not (Path(tgt) / "day=2024-01-02").exists()
