@@ -386,21 +386,27 @@ FROM train t LEFT JOIN hits h USING (doc_id)
 
 
 def _five_grams(df: DataFrame) -> DataFrame:
-    """(doc_id, g): every token 5-gram per document (with repeats —
-    dedup happens where it's cheap, after any selective join)."""
+    """(doc_id, g): every token 5-gram per document, keyed by xxhash64
+    of the gram string rather than the string itself — 8-byte join
+    keys instead of ~30-byte strings (smaller broadcast hashmap,
+    cheaper probes; a 2^-64 collision is far below any data-quality
+    noise floor). Grams repeat — dedup happens where it's cheap,
+    after the selective broadcast join."""
     t = df.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 5)
     return t.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("t") - 4),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("t", i),
-                    F.element_at("t", i + 1),
-                    F.element_at("t", i + 2),
-                    F.element_at("t", i + 3),
-                    F.element_at("t", i + 4),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("t", i),
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                        F.element_at("t", i + 3),
+                        F.element_at("t", i + 4),
+                    )
                 ),
             )
         ).alias("g"),

