@@ -128,3 +128,28 @@ def mr_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+# -- mr_secondary_sort: the shuffle-sort contract ----------------------
+#
+# MapReduce's secondary sort: partition by key, records arrive at
+# each reducer sorted by (key, secondary). Spark's form is
+# repartition(key) + sortWithinPartitions — a per-partition sort with
+# NO global ordering Exchange (the range-partitioning pass a full
+# orderBy needs). The oracle checks content parity (the driver's
+# compare sorts rows anyway); tests/test_plans.py asserts the plan
+# property: exactly one hash Exchange, no rangepartitioning.
+
+MRSS_SQL = """
+SELECT user_id, event_id, ts, value FROM events
+"""
+
+
+@query("mr_secondary_sort", oracle=MRSS_SQL)
+def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.repartition(F.col("user_id"))
+        .sortWithinPartitions("user_id", "ts")
+        .select("user_id", "event_id", "ts", "value")
+    )

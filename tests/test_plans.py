@@ -162,3 +162,26 @@ def test_hll_rollup_error_bound(spark):
     assert set(est) == set(exact)
     for wk, n in exact.items():
         assert abs(est[wk] - n) / n <= 0.05, (wk, est[wk], n)
+
+
+def test_secondary_sort_no_global_sort(spark):
+    """mr_secondary_sort ships the shuffle-sort contract with ONE hash
+    Exchange and a partition-local sort — never the extra sampling +
+    rangepartitioning Exchange of a global orderBy."""
+    df = QUERIES["mr_secondary_sort"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    assert plan.count("+- Exchange") == 1, plan
+    assert "hashpartitioning" in plan and "rangepartitioning" not in plan, plan
+    assert "Sort" in plan  # the within-partition sort is present
+
+    # semantic check: rows within each partition are (user_id, ts)-sorted
+    import itertools
+
+    def check(it):
+        rows = list(it)
+        keys = [(r.user_id, r.ts) for r in rows]
+        assert keys == sorted(keys)
+        return iter(rows)
+
+    parts = df.rdd.mapPartitions(lambda it: check(it)).count()
+    assert parts > 0
