@@ -8,6 +8,7 @@ in tests/test_similarity.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import query
@@ -116,3 +117,36 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return S.knn_join_ivf_trained(e.filter(F.col("vec_id") < N_QUERIES), e, k=KNN_K, nprobe=3)
+
+
+# -- sim_centroids: per-label embedding centroid -----------------------
+#
+# Vector aggregation — the reduce step of k-means / class-prototype /
+# dataset-condensation jobs. posexplode to (label, dim, x) THEN
+# groupBy(label, dim): the per-dimension partial sums combine
+# map-side, so the shuffle carries |labels|×|dims| partial rows per
+# task, not vectors — the associative form of an elementwise mean
+# (an applyInPandas per-label mean would ship every full vector to
+# its group with no combiner).
+
+SIM_CENTROIDS_SQL = """
+SELECT label,
+       CAST(i - 1 AS INT) AS dim,
+       round(AVG(embedding[i]), 6) AS centroid,
+       COUNT(*) AS n_vecs
+FROM embeddings, generate_series(1, 64) AS t(i)
+GROUP BY 1, 2
+"""
+
+
+@query("sim_centroids", oracle=SIM_CENTROIDS_SQL)
+def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+    )
