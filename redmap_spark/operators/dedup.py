@@ -417,23 +417,28 @@ def dup_clusters(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 10,
+    local_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: every doc gets
     the minimum reachable doc id as its cluster label (transitive —
     a~b, b~c puts all three in cluster min(a,b,c)).
 
-    Iterative min-label propagation over the undirected pair graph
-    (the simple form of the MapReduce connected-components algorithms
-    of Kiveris et al.), plus PATH HALVING: after each neighbor-min
-    round, every label is replaced by its label's label, so a chain of
-    diameter D converges in O(log D) rounds instead of D — max_iters=10
-    covers diameters up to ~2^10. Each round's labels are
-    `localCheckpoint`ed (eager): lineage is truncated at a MATERIALIZED
-    intermediate each round, so a later round never silently recomputes
-    the whole label history if a cached block is evicted — the
-    written-intermediate posture a 100 TB run needs (at cluster scale
-    the same shape writes each round to a scratch table). Labels are
-    DataFrames throughout — nothing corpus-sized touches the driver.
+    ADAPTIVE, like AQE's small-side decisions: the pair graph after
+    LSH blocking is orders of magnitude smaller than the corpus, and
+    when it fits comfortably on the driver (≤ ``local_edge_threshold``
+    edges ≈ tens of MB) the exact union-find answer costs microseconds
+    there — versus several distributed rounds of join+checkpoint job
+    overhead. Above the threshold (billion-edge graphs at 100 TB), the
+    distributed path runs: iterative min-label propagation (the simple
+    form of the MapReduce connected-components algorithms of Kiveris
+    et al.) plus PATH HALVING — after each neighbor-min round every
+    label is replaced by its label's label, so a chain of diameter D
+    converges in O(log D) rounds; max_iters=10 covers diameters to
+    ~2^10. Each round's labels are ``localCheckpoint``ed (eager):
+    lineage truncates at a MATERIALIZED intermediate, so a later round
+    never silently recomputes the label history if a cached block is
+    evicted (at cluster scale the same shape writes a scratch table
+    per round). Distributed labels stay DataFrames throughout.
 
     Warns (loudly) if max_iters rounds exhaust without reaching a fixed
     point — silent non-convergence would split one transitive cluster
@@ -442,12 +447,55 @@ def dup_clusters(
     Returns (id_col, cluster): cluster == id for unique docs; docs
     with cluster != id are the removable duplicates.
     """
-    edges = (
-        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
-        .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+    pair_edges = (
+        pairs.select(
+            F.col("id1").cast("long").alias("src"),
+            F.col("id2").cast("long").alias("dst"),
+        )
         .distinct()
         .cache()
     )
+    n_edges = pair_edges.count()
+    if n_edges <= local_edge_threshold:
+        collected = pair_edges.collect()
+        pair_edges.unpersist()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in collected:
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # representative = min id per component (find gives the min:
+        # unions always re-root the larger id under the smaller)
+        nodes = {r.src for r in collected} | {r.dst for r in collected}
+        rows = [(int(x), int(find(x))) for x in nodes]
+        spark = pairs.sparkSession
+        labels = spark.createDataFrame(rows, "src long, lbl long")
+        return (
+            ids.select(F.col(id_col).alias("src"))
+            .join(F.broadcast(labels), "src", "left")
+            .select(
+                F.col("src").alias(id_col),
+                F.coalesce("lbl", F.col("src")).alias("cluster"),
+            )
+        )
+
+    edges = (
+        pair_edges.union(
+            pair_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    pair_edges.unpersist()
     # Propagate only over nodes that appear in some pair: isolated docs
     # (the overwhelming majority of a deduped corpus) keep label == id
     # by definition and would otherwise pay every round's join +

@@ -97,8 +97,16 @@ def test_dup_clusters_transitive(spark):
         [Row(id1=1, id2=3), Row(id1=3, id2=5), Row(id1=5, id2=7),
          Row(id1=2, id2=6)]
     )
+    expected = {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 6: 2, 4: 4}
+    # adaptive local (union-find) path
     got = {r.doc_id: r.cluster for r in D.dup_clusters(pairs, ids).collect()}
-    assert got == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 6: 2, 4: 4}
+    assert got == expected
+    # forced distributed (min-label propagation) path must agree
+    got_dist = {
+        r.doc_id: r.cluster
+        for r in D.dup_clusters(pairs, ids, local_edge_threshold=0).collect()
+    }
+    assert got_dist == expected
 
 
 def test_dup_clusters_long_chain_converges(spark):
@@ -114,7 +122,12 @@ def test_dup_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame([Row(id1=i, id2=i + 1) for i in range(n - 1)])
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
-        got = {r.doc_id: r.cluster for r in D.dup_clusters(pairs, ids).collect()}
+        # force the distributed path: the adaptive cutover would solve
+        # 40 edges locally and skip the propagation rounds under test
+        got = {
+            r.doc_id: r.cluster
+            for r in D.dup_clusters(pairs, ids, local_edge_threshold=0).collect()
+        }
     assert got == {i: 0 for i in range(n)}
 
 
