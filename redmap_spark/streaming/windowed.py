@@ -272,3 +272,80 @@ def stream_to_daily_rollup(stream: DataFrame, summary_path: str):
         overwrite_partitions(recomputed, summary_path, partition_by=["day"])
 
     return sink
+
+
+# ------------------------------------- foreachBatch → HLL sketch table
+
+
+def stream_to_sketch_table(sketch_path: str, lg_k: int = 12):
+    """Maintain a per-day HLL distinct-user sketch table from a
+    micro-batch stream (the streaming form of the batch
+    ``q_hll_rollup`` sketch-table pattern). Returns the sink function
+    for ``writeStream.foreachBatch``.
+
+    Unlike counts, sketches need NO staging bronze for exactly-once:
+    HLL union is idempotent (merging the same items again is a
+    no-op), so a foreachBatch RETRY that re-merges its batch leaves
+    every register unchanged. Each batch:
+
+    1. sketches its own events per day (partial agg, tiny output);
+    2. unions with the stored sketches of ONLY the touched days
+       (partition-pruned read) via ``hll_union_agg``;
+    3. dynamic-partition-overwrites exactly those day partitions.
+
+    Any grain coarser than a day (weekly/all-time uniques) is a pure
+    sketch merge over this table — the fact stream is never replayed.
+    The merged result is materialized (localCheckpoint) before the
+    overwrite because its lineage reads the files being replaced."""
+    from pyspark.errors import AnalysisException
+
+    from redmap_spark.operators.incremental import DAY_FMT
+    from redmap_spark.sources.io import overwrite_partitions
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        day = F.date_format(F.date_trunc("day", "ts"), DAY_FMT)
+        batch_sk = batch_df.groupBy(day.alias("day")).agg(
+            F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")
+        )
+        try:
+            existing = (
+                spark.read.option("basePath", sketch_path)
+                .parquet(sketch_path)
+                .select(F.date_format("day", DAY_FMT).alias("day"), "sk")
+            )
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
+            existing = None
+        if existing is None:
+            merged = batch_sk
+        else:
+            touched = [r.day for r in batch_sk.select("day").collect()]
+            if not touched:
+                return
+            merged = (
+                batch_sk.unionByName(existing.filter(F.col("day").isin(touched)))
+                .groupBy("day")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        merged = merged.localCheckpoint(eager=True)
+        overwrite_partitions(merged, sketch_path, partition_by=["day"])
+
+    return sink
+
+
+def sketch_table_estimates(spark, sketch_path: str) -> DataFrame:
+    """(day, est_users) from the sketch table — and the all-time
+    merge, showing the grain change without touching the stream."""
+    sk = spark.read.parquet(sketch_path)
+    daily = sk.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
+    )
+    total = sk.agg(
+        F.lit("ALL").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users"),
+    )
+    return daily.unionByName(total)

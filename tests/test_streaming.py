@@ -228,3 +228,48 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         for r in correlate_streams(Catalog(spark, SF_DIR).events).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_sketch_table_matches_batch_and_retry_idempotent(spark, tmp_path):
+    """Streaming per-day HLL sketch maintenance: estimates after the
+    stream equal the batch-side sketch estimates exactly (same sketch
+    algorithm, same lg_k), multi-batch days merge correctly, and a
+    foreachBatch retry is a no-op (HLL union idempotence)."""
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.streaming.windowed import (
+        events_stream,
+        sketch_table_estimates,
+        stream_to_sketch_table,
+    )
+
+    sketches = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, SF_DIR)
+    q = (
+        stream.writeStream.foreachBatch(stream_to_sketch_table(sketches))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.day: r.est_users for r in sketch_table_estimates(spark, sketches).collect()}
+    e = Catalog(spark, SF_DIR).events
+    want = {
+        r.day: r.est
+        for r in e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).cast("long").alias("est"))
+        .collect()
+    }
+    want["ALL"] = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).cast("long").alias("est")
+    ).collect()[0].est
+    assert got == want
+
+    # retry idempotence: re-merging one day's events changes nothing
+    sink = stream_to_sketch_table(sketches)
+    sink(e.limit(500), 99)
+    again = {r.day: r.est_users for r in sketch_table_estimates(spark, sketches).collect()}
+    assert again == got
