@@ -38,6 +38,44 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 
+def _gif_frame_count(payload: bytes) -> int:
+    """REAL animated-GIF frame count by walking the block structure
+    (no LZW decode needed — frames are delimited by 0x2C image
+    descriptors; LZW data rides in length-prefixed sub-blocks that
+    skip in O(#blocks)). Falls back to 1 on any truncation/desync."""
+    try:
+        i = 10
+        packed = payload[i]
+        i += 3  # packed fields + bg color index + aspect ratio
+        if packed & 0x80:  # global color table present
+            i += 3 * (2 ** ((packed & 0x07) + 1))
+        frames = 0
+        while i < len(payload):
+            b = payload[i]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: label byte then sub-blocks
+                i += 2
+                while i < len(payload) and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1  # block terminator
+            elif b == 0x2C:  # image descriptor == one frame
+                frames += 1
+                lpacked = payload[i + 9]
+                i += 10
+                if lpacked & 0x80:  # local color table
+                    i += 3 * (2 ** ((lpacked & 0x07) + 1))
+                i += 1  # LZW minimum code size
+                while i < len(payload) and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+            else:  # desync
+                break
+        return max(1, frames)
+    except IndexError:
+        return 1
+
+
 def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
     """Pure-stdlib (width, height, n_frames) from real image bytes:
 
@@ -54,7 +92,7 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
         return width, height, 1
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         width, height = struct.unpack("<HH", payload[6:10])
-        return width, height, 1
+        return width, height, _gif_frame_count(payload)
     if payload[:2] == b"\xff\xd8":
         i = 2
         while i + 4 <= len(payload):

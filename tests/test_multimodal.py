@@ -199,3 +199,31 @@ def test_wav_decode_real_features(spark):
     ch, rate, bits, mono = parse_wav(stereo)
     assert (ch, rate, bits) == (2, sr, 16)
     assert abs(float(max(abs(mono))) ) < 1e-6  # L == -R mixes to silence
+
+
+def test_gif_real_frame_count():
+    """Animated GIF frame counts come from a REAL block walk: two
+    image descriptors → n_frames == 2, extensions and color tables
+    skipped correctly."""
+    import struct as st
+
+    from redmap_spark.multimodal.columns import decode_image
+
+    def frame(w=2, h=2):
+        desc = b"\x2c" + st.pack("<HHHH", 0, 0, w, h) + b"\x00"  # no local table
+        lzw = b"\x02" + bytes([2, 0x4C, 0x01]) + b"\x00"  # min code + 1 sub-block + end
+        return desc + lzw
+
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # graphic control extension
+    header = b"GIF89a" + st.pack("<HH", 5, 7)
+    # global color table: packed 0x80|0x70|0x00 → 2 entries (6 bytes)
+    lsd = b"\x80\x00\x00" + b"\x00" * 6
+    two_frames = header + lsd + gce + frame() + gce + frame() + b"\x3b"
+    assert decode_image(two_frames) == (5, 7, 2)
+
+    one_frame = header + lsd + frame() + b"\x3b"
+    assert decode_image(one_frame) == (5, 7, 1)
+
+    truncated = two_frames[:20]
+    w, h, nf = decode_image(truncated)
+    assert (w, h) == (5, 7) and nf >= 1  # graceful fallback

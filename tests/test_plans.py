@@ -185,3 +185,45 @@ def test_secondary_sort_no_global_sort(spark):
 
     parts = df.rdd.mapPartitions(lambda it: check(it)).count()
     assert parts > 0
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Scale property: on a non-broadcastable selective join, Spark
+    injects a runtime bloom filter — the fact side is pre-filtered by
+    might_contain(bloom(o_orderkey)) BEFORE its shuffle, cutting
+    shuffle volume by the join selectivity. At 100 TB the default
+    thresholds (10 GB application side) trigger this naturally; here
+    they're lowered to assert the engine setting + plan shape we rely
+    on (session.py keeps the feature enabled)."""
+    from pyspark.sql import functions as F
+
+    from redmap_spark.catalog import Catalog
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        c = Catalog(spark, SF_DIR)
+        o = c.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            c.lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+        # the filter must sit on the lineitem (application) side
+        fact_lines = [
+            line for line in plan.splitlines()
+            if "might_contain" in line and "l_orderkey" in line
+        ]
+        assert fact_lines, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
