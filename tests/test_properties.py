@@ -63,3 +63,66 @@ def test_jaccard_pairs_symmetric_bounds(spark, texts):
     scored = {(r.id1, r.id2): r.jaccard for r in rows}
     for p in dup_pairs:
         assert scored.get(p) == 1.0, (p, scored.get(p))
+
+
+# ------------------------------------------------- merge_upsert model
+
+
+upsert_batches = st.lists(  # each batch: list of (key, value, day, deleted)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),         # key
+            st.integers(min_value=0, max_value=99),        # value
+            st.sampled_from(["d1", "d2", "d3"]),           # partition
+            st.booleans(),                                  # tombstone
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=upsert_batches)
+def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, batches):
+    """Applying arbitrary upsert/delete batches through merge_upsert
+    equals the trivial dict model, for any batch composition — with
+    the partition-stability constraint enforced by construction (a
+    key's partition is key-derived)."""
+    from redmap_spark.operators.incremental import merge_upsert
+
+    tgt = str(tmp_path_factory.mktemp("merge") / "tbl")
+    model: dict[int, tuple[int, str]] = {}
+    days = ["d1", "d2", "d3"]
+    for batch in batches:
+        # partition-stable: the partition is key-derived; dedupe keys
+        # within a batch (last write wins in the model, and updates
+        # must carry one row per key for a deterministic merge)
+        rows = {}
+        for key, value, _day, deleted in batch:
+            day = days[key % 3]
+            rows[key] = (key, value, day, deleted)
+        for key, value, day, deleted in rows.values():
+            if deleted:
+                model.pop(key, None)
+            else:
+                model[key] = (value, day)
+        ups = spark.createDataFrame(
+            list(rows.values()), "id long, value long, day string, _deleted boolean"
+        )
+        merge_upsert(spark, tgt, ups, ["id"], "day", deleted_col="_deleted")
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
+
+        try:
+            got = {
+                r.id: (r.value, r.day)
+                for r in spark.read.parquet(tgt)
+                .withColumn("day", F.col("day").cast("string"))
+                .collect()
+            }
+        except AnalysisException:
+            got = {}  # all-tombstone history: table never materialized
+        assert got == {k: v for k, v in model.items()}
