@@ -29,11 +29,19 @@ def main() -> None:
     spark = get_spark("redmap-spark-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
 
+    # SPARK_GRAFT_BENCH_REPEATS > 1 takes the min of N runs per query —
+    # use locally to strip codegen-compile/GC noise (±50% run-to-run on
+    # cold runs, see PERF.md §10) before judging a regression. The
+    # driver's default stays 1 (cold, comparable to BASELINE.md).
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

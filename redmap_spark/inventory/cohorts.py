@@ -107,3 +107,37 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     keep = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "0d"
     return o.filter(keep).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# -- q_group_sample ----------------------------------------------------
+#
+# Deterministic per-group k-sample: rank rows inside each group by
+# md5(key) — a uniform, engine-independent, re-run-stable shuffle
+# order — and keep the first k. The reproducible form of per-class
+# downsampling in a training-mixture pipeline (rand()-based sampling
+# changes membership every run/plan). One window sort per group
+# partition; no global ordering.
+
+GROUP_SAMPLE_SQL = """
+SELECT event_type, event_id, user_id
+FROM (
+  SELECT event_type, event_id, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+)
+WHERE rn <= 100
+"""
+
+
+@query("q_group_sample", oracle=GROUP_SAMPLE_SQL)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        e.select("event_type", "event_id", "user_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+    )
