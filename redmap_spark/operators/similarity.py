@@ -491,3 +491,93 @@ def knn_join_ivf_trained(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------- persisted IVF index
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_clusters: int = 10,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Materialize the IVF index at rest — the 'build once, query
+    many' shape every production ANN service uses (training the
+    quantizer per query batch, as knn_join_ivf_trained does, is the
+    demo shape). Writes under ``index_path``:
+
+    - ``centroids/``: the k×dim spherical-k-means codebook (tiny);
+    - ``corpus/``: every vector with its precomputed norm, PARTITIONED
+      BY its nearest-centroid cluster — so a probe of nprobe clusters
+      is a partition-pruned scan that never touches the other
+      (1 - nprobe/k) of the corpus at rest.
+    """
+    cents = train_spherical_kmeans_df(
+        corpus, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    cents.write.mode("overwrite").parquet(index_path.rstrip("/") + "/centroids")
+    c = (
+        corpus.select(F.col(id_col).alias("c_id"), as_double_vec(vec_col).alias("v"))
+        .withColumn("cn", norm(F.col("v")))
+        .withColumn("nv", _l2_normalize(F.col("v")))
+    )
+    assigned = _nearest_centroid(
+        c.withColumnRenamed("c_id", "id"), cents, keep=("id", "v", "cn")
+    ).select(F.col("id").alias("c_id"), "v", "cn", "cl")
+    assigned.write.mode("overwrite").partitionBy("cl").parquet(
+        index_path.rstrip("/") + "/corpus"
+    )
+
+
+def knn_join_ivf_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """k-NN join against a PERSISTED IVF index: no training, no
+    corpus assignment — the codebook broadcasts from its tiny parquet,
+    each query picks its nprobe clusters, and the candidate scan reads
+    ONLY those cluster partitions (the probed-cluster set is collected
+    — ≤ k cluster ids, driver-side planning metadata — and pushed as a
+    partition-pruning isin filter)."""
+    from pyspark.sql import Window
+
+    base = index_path.rstrip("/")
+    cents = spark.read.parquet(base + "/centroids")
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("qv"))
+        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("nv", _l2_normalize(F.col("qv")))
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cl"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("cs", dot(F.col("nv"), F.col("cv")))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "qv", "qn", "cl")
+    )
+    touched = [r.cl for r in probes.select("cl").distinct().collect()]
+    corpus = spark.read.parquet(base + "/corpus").filter(F.col("cl").isin(touched))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        corpus.join(probes, "cl")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(dot(F.col("v"), F.col("qv")) / (F.col("cn") * F.col("qn")), 4).alias(
+                "score"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

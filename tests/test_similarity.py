@@ -74,3 +74,34 @@ def test_knn_join_ivf_score_ratio(spark):
         ap.setdefault(r.q_id, []).append(r.score)
     ratios = [sum(ap.get(q, [0.0])) / sum(ex[q]) for q in ex if sum(ex[q]) > 0]
     assert sum(ratios) / len(ratios) >= 0.85, ratios
+
+
+def test_persisted_ivf_index_quality_and_pruning(spark, tmp_path):
+    """Build-once / query-many: the persisted index answers kNN joins
+    at the same quality as the train-per-call path, and the candidate
+    scan is partition-pruned to the probed clusters."""
+    from pyspark.sql import functions as F
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, n_clusters=10)
+
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = S.knn_join_bruteforce(qs, emb, k=5).collect()
+    approx = S.knn_join_ivf_index(spark, idx, qs, k=5, nprobe=3)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    rows = approx.collect()
+
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.q_id, []).append(r.score)
+    for r in rows:
+        ap.setdefault(r.q_id, []).append(r.score)
+    ratios = [sum(ap.get(q, [0.0])) / sum(ex[q]) for q in ex if sum(ex[q]) > 0]
+    assert sum(ratios) / len(ratios) >= 0.85, ratios
+
+    # the corpus scan must carry a cl partition filter (pruned probe)
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cl" in pf.group(1), pf.group(1) if pf else plan[:500]
