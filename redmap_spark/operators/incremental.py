@@ -146,7 +146,14 @@ def merge_upsert(
         )
     except AnalysisException as e:
         msg = str(e)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+        # UNABLE_TO_INFER_SCHEMA = the path exists but holds no data
+        # files (e.g. a previous bootstrap whose updates were all
+        # tombstones) — semantically the same as no table yet.
+        if (
+            "PATH_NOT_FOUND" not in msg
+            and "Path does not exist" not in msg
+            and "UNABLE_TO_INFER_SCHEMA" not in msg
+        ):
             raise
         # first run: the table IS the live updates
         live.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
