@@ -122,6 +122,51 @@ class Pipeline:
         tests/test_pipeline_api.py)."""
         return Pipeline(self.df.observe(name, *[c.alias(n) for n, c in metrics.items()]))
 
+    def near_dedup(
+        self, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.5
+    ) -> "Pipeline":
+        """Keep one representative per MinHash-LSH near-dup cluster
+        (operators.dedup.near_dedup_keep_list): the fluent form of the
+        corpus dedup stage — blocking-key candidates, transitive
+        cluster resolution, min-id representative."""
+        from redmap_spark.operators.dedup import near_dedup_keep_list
+
+        keep = near_dedup_keep_list(
+            self.df, id_col=id_col, text_col=text_col, threshold=threshold
+        )
+        return Pipeline(self.df.join(F.broadcast(keep), id_col, "left_semi"))
+
+    def decontaminate(
+        self, benchmark: DataFrame, text_col: str = "text", n: int = 5
+    ) -> "Pipeline":
+        """Drop rows sharing any token ``n``-gram with the benchmark
+        set (eval decontamination). Benchmark grams broadcast; the
+        corpus is scanned once with no gram-key shuffle (see
+        inventory/text.py::txt_decontaminate for the plan notes)."""
+
+        def gram_array(col: str) -> Column:
+            t = F.split(col, " ")
+            return F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+
+        bench_set = (
+            benchmark.select(F.explode(gram_array(text_col)).alias("g"))
+            .agg(F.collect_set("g").alias("_bench_grams"))
+        )
+        kept = (
+            self.df.join(F.broadcast(bench_set))
+            .filter(~F.arrays_overlap(gram_array(text_col), F.col("_bench_grams")))
+            .drop("_bench_grams")
+        )
+        return Pipeline(kept)
+
     # -- terminal actions ----------------------------------------------
 
     def collect(self):

@@ -309,3 +309,39 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(c.supplier.select(F.col("s_nationkey").alias("nationkey")))
         .distinct()
     )
+
+
+# -- q_set_ops: INTERSECT / EXCEPT -------------------------------------
+#
+# Set semantics over derived keysets: customers who bought in BOTH
+# halves of the data (INTERSECT) and only-early customers (EXCEPT).
+# Spark plans both as aggregated left-semi / left-anti joins — the
+# distinct collapses before the join, so the shuffle carries keysets,
+# not order rows.
+
+QSETOPS_SQL = """
+WITH early AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+), late AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT 'both' AS cohort, COUNT(*) AS n_customers
+FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+UNION ALL
+SELECT 'early_only' AS cohort, COUNT(*) AS n_customers
+FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
+"""
+
+
+@query("q_set_ops", oracle=QSETOPS_SQL)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    early = o.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey").distinct()
+    late = o.filter(F.col("o_orderkey") % 2 == 1).select("o_custkey").distinct()
+    both = early.intersect(late).agg(
+        F.lit("both").alias("cohort"), F.count(F.lit(1)).alias("n_customers")
+    )
+    early_only = early.exceptAll(late).agg(
+        F.lit("early_only").alias("cohort"), F.count(F.lit(1)).alias("n_customers")
+    )
+    return both.unionByName(early_only)

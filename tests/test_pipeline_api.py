@@ -108,3 +108,32 @@ def test_pipeline_observe_metrics(spark):
     n = df.filter(F.col("value") > 0).count()  # any action materializes metrics
     assert obs.get["n"] == c.events.count()
     assert n <= obs.get["n"]
+
+
+def test_pipeline_near_dedup(spark):
+    """Fluent near-dedup keeps exactly the keep-list representatives."""
+    from redmap_spark.operators.dedup import near_dedup_keep_list
+
+    docs = Catalog(spark, SF_DIR).documents
+    via_pipeline = {
+        r.doc_id for r in Pipeline.from_df(docs).near_dedup(threshold=0.5).collect()
+    }
+    direct = {r.doc_id for r in near_dedup_keep_list(docs, threshold=0.5).collect()}
+    assert via_pipeline == direct
+    assert via_pipeline  # non-empty
+
+
+def test_pipeline_decontaminate(spark):
+    """Rows sharing a 5-gram with the benchmark are dropped; clean
+    rows and too-short rows survive."""
+    from pyspark.sql import Row
+
+    bench = spark.createDataFrame([Row(text="the quick brown fox jumps over it")])
+    rows = [
+        Row(doc_id=1, text="zzz the quick brown fox jumps over something"),  # shares 5-gram
+        Row(doc_id=2, text="a completely different document body here now"),
+        Row(doc_id=3, text="too short"),
+    ]
+    df = spark.createDataFrame(rows)
+    kept = {r.doc_id for r in Pipeline.from_df(df).decontaminate(bench).collect()}
+    assert kept == {2, 3}
