@@ -183,15 +183,30 @@ RESIZED_SCHEMA = (
 
 def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32, id_col: str = "doc_id") -> DataFrame:
     """Resize: payload in → (smaller) payload out, batch by Arrow
-    batch. REAL for PNG payloads: stdlib decode → nearest-neighbor
-    resample → re-encode (multimodal/png.py), a valid thumbnail PNG
-    out. Non-PNG / unsupported payloads fall back to deterministic
-    byte-decimation to (target_w*target_h) bytes so synthetic-corpus
-    plumbing tests stay reproducible. The Spark contract — binary
-    in/out, no shuffle, bounded executor memory — is unchanged."""
+    batch. REAL for PNG payloads (stdlib codec, multimodal/png.py)
+    AND baseline JPEG payloads (numpy DCT codec, multimodal/jpeg.py —
+    decode → nearest-neighbor resample → re-encode, a valid thumbnail
+    JPEG out when the target dims are multiples of 8). Remaining
+    unsupported payloads (progressive JPEG, animated GIF pixels, the
+    synthetic corpus) fall back to deterministic byte-decimation to
+    (target_w*target_h) bytes so plumbing tests stay reproducible.
+    The Spark contract — binary in/out, no shuffle, bounded executor
+    memory — is unchanged."""
     from redmap_spark.multimodal.png import resize_png
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from redmap_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+        def resize_jpeg(raw: bytes) -> bytes:
+            if raw[:2] != b"\xff\xd8" or target_w % 8 or target_h % 8:
+                raise ValueError("not a resizable-jpeg case")
+            px = decode_jpeg(raw)
+            ys = (np.arange(target_h) * px.shape[0]) // target_h
+            xs = (np.arange(target_w) * px.shape[1]) // target_w
+            return encode_jpeg(px[np.ix_(ys, xs)])
+
         n_out = target_w * target_h
         for pdf in batches:
             rows = []
@@ -200,9 +215,12 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32, id_col:
                 w, h, _ = decode_image(raw)
                 try:
                     small = resize_png(raw, target_w, target_h)
-                except ValueError:  # not a (supported) PNG: stub path
-                    step = max(1, len(raw) // n_out)
-                    small = raw[::step][:n_out]
+                except ValueError:
+                    try:
+                        small = resize_jpeg(raw)
+                    except ValueError:  # unsupported codec: stub path
+                        step = max(1, len(raw) // n_out)
+                        small = raw[::step][:n_out]
                 rows.append((int(doc_id), small, w, h, target_w, target_h))
             yield pd.DataFrame(
                 rows,

@@ -125,3 +125,76 @@ def test_spark_resize_images_real_png(spark):
     assert (w, h, ch) == (2, 2, 3)
     assert (rows[1].width, rows[1].height) == (4, 4)  # true header dims
     assert len(rows[2].payload) <= 4  # fallback decimation to tw*th bytes
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def test_jpeg_roundtrip_gray_and_color():
+    """Baseline JPEG codec (multimodal/jpeg.py): encode → decode must
+    reproduce pixels within rounding error under a flat quant table."""
+    import numpy as np
+
+    from redmap_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(gray))
+    assert out.shape == (16, 24)
+    assert int(np.max(np.abs(out.astype(int) - gray.astype(int)))) <= 1
+
+    rgb = rng.integers(0, 256, (8, 16, 3), dtype=np.uint8)
+    out3 = decode_jpeg(encode_jpeg(rgb))
+    assert out3.shape == (8, 16, 3)
+    # YCbCr forward+inverse adds one more rounding step
+    assert int(np.max(np.abs(out3.astype(int) - rgb.astype(int)))) <= 3
+
+
+def test_jpeg_lossy_quant_still_close():
+    """A non-trivial quant table loses information but a smooth image
+    must stay visually close (mean abs error small)."""
+    import numpy as np
+
+    from redmap_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    xx, yy = np.meshgrid(np.arange(32), np.arange(16))
+    smooth = ((xx * 5 + yy * 3) % 256).astype(np.uint8)
+    q = np.full(64, 8, dtype=np.int64)
+    out = decode_jpeg(encode_jpeg(smooth, quant=q))
+    err = np.abs(out.astype(int) - smooth.astype(int))
+    assert float(err.mean()) < 4.0, err.mean()
+
+
+def test_jpeg_decoder_rejects_progressive():
+    """Progressive (SOF2) streams must raise — the seam's fallback
+    handles them, never a wrong-pixel decode."""
+    import numpy as np
+    import pytest
+
+    from redmap_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    enc = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc))
+
+
+def test_resize_real_jpeg_payload(spark):
+    """mm_resize produces a VALID smaller JPEG for real JPEG payloads:
+    decodable, right dimensions, pixel content preserved."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from redmap_spark.multimodal.columns import resize_images
+    from redmap_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    grad = np.tile(np.arange(0, 256, 8, dtype=np.uint8), (16, 1))  # 16x32 gradient
+    payload = encode_jpeg(grad)
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(payload))])
+    row = resize_images(df, target_w=8, target_h=8).collect()[0]
+    assert (row.width, row.height) == (32, 16)
+    small = decode_jpeg(bytes(row.payload))
+    assert small.shape == (8, 8)
+    # nearest-neighbor of a horizontal gradient stays monotonic
+    assert all(small[0, i] <= small[0, i + 1] + 2 for i in range(7))
