@@ -207,20 +207,34 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32, id_col:
             xs = (np.arange(target_w) * px.shape[1]) // target_w
             return encode_jpeg(px[np.ix_(ys, xs)])
 
+        def resize_gif(raw: bytes) -> bytes:
+            from redmap_spark.multimodal.gif import decode_gif_indexed, encode_gif
+
+            idx, pal = decode_gif_indexed(raw)  # palette-preserving
+            ys = (np.arange(target_h) * idx.shape[0]) // target_h
+            xs = (np.arange(target_w) * idx.shape[1]) // target_w
+            return encode_gif(idx[np.ix_(ys, xs)], pal)
+
         n_out = target_w * target_h
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 raw = bytes(payload)
                 w, h, _ = decode_image(raw)
-                try:
-                    small = resize_png(raw, target_w, target_h)
-                except ValueError:
+                small = None
+                for codec in (
+                    lambda b: resize_png(b, target_w, target_h),
+                    resize_jpeg,
+                    resize_gif,
+                ):
                     try:
-                        small = resize_jpeg(raw)
-                    except ValueError:  # unsupported codec: stub path
-                        step = max(1, len(raw) // n_out)
-                        small = raw[::step][:n_out]
+                        small = codec(raw)
+                        break
+                    except ValueError:
+                        continue
+                if small is None:  # unsupported codec: stub path
+                    step = max(1, len(raw) // n_out)
+                    small = raw[::step][:n_out]
                 rows.append((int(doc_id), small, w, h, target_w, target_h))
             yield pd.DataFrame(
                 rows,

@@ -1,0 +1,196 @@
+"""GIF pixel codec — pure stdlib + numpy (public spec: GIF89a, 1990).
+
+Decoder: first-frame pixels of a non-interlaced GIF — LZW
+variable-width decompression (LSB-first bit packing, CLEAR/EOI,
+KwKwK case, 12-bit cap) + palette lookup → HxWx3 uint8 RGB.
+Interlaced frames raise ValueError (seam fallback).
+
+Encoder (tests): writes a valid single-frame GIF using the classic
+"uncompressed GIF" trick — every index emitted as its own literal
+code with periodic CLEARs so the code width never has to grow.
+Any conforming decoder (including this one) reads it back exactly.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class _LSBBitReader:
+    """GIF packs LZW codes least-significant-bit first."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("gif: LZW stream exhausted")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    reader = _LSBBitReader(data)
+    out: list[int] = []
+    dictionary: list[list[int]] = []
+    code_size = 0
+    prev: list[int] | None = None
+
+    def reset() -> None:
+        nonlocal dictionary, code_size, prev
+        dictionary = [[i] for i in range(clear)] + [[], []]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    while len(out) < n_pixels:
+        code = reader.read(code_size)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(dictionary) and dictionary[code]:
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + [prev[0]]  # KwKwK
+        elif code < clear:
+            entry = [code]
+        else:
+            raise ValueError("gif: invalid LZW code")
+        out.extend(entry)
+        if prev is not None and len(dictionary) < 4096:
+            dictionary.append(prev + [entry[0]])
+            if len(dictionary) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+def decode_gif_indexed(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """(HxW index array, Nx3 palette) of the FIRST frame — the
+    palette-preserving form the resize path re-encodes from."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a gif")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    i = 13
+    gpal = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gpal = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        i += 3 * n
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h = struct.unpack("<HHHH", payload[i + 1 : i + 9])
+            lpacked = payload[i + 9]
+            i += 10
+            if lpacked & 0x40:
+                raise ValueError("gif: interlaced frames unsupported")
+            pal = gpal
+            if lpacked & 0x80:
+                n = 2 ** ((lpacked & 0x07) + 1)
+                pal = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                i += 3 * n
+            if pal is None:
+                raise ValueError("gif: no palette")
+            min_code = payload[i]
+            i += 1
+            chunks = []
+            while payload[i] != 0:
+                ln = payload[i]
+                chunks.append(payload[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            indices = _lzw_decode(b"".join(chunks), min_code, w * h)
+            idx = np.array(indices, dtype=np.int32).reshape(h, w)
+            return np.clip(idx, 0, len(pal) - 1), pal
+        else:
+            raise ValueError("gif: desynced block stream")
+    raise ValueError("gif: no image descriptor")
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """HxWx3 uint8 RGB pixels of the FIRST frame."""
+    idx, pal = decode_gif_indexed(payload)
+    return pal[idx]
+
+
+class _LSBBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, n: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Single-frame GIF from an HxW index array + Nx3 palette
+    (N a power of two, >= 4). 'Uncompressed' LZW: literal codes with
+    a CLEAR before the dictionary would force a width change."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())
+    if 2**bits != n:
+        raise ValueError("palette size must be a power of two")
+    out = bytearray(b"GIF89a")
+    out.extend(struct.pack("<HH", w, h))
+    out.append(0x80 | (bits - 1))  # global palette flag + size
+    out.extend(b"\x00\x00")
+    out.extend(bytes(int(x) for x in palette.flatten()))
+    out.append(0x2C)
+    out.extend(struct.pack("<HHHH", 0, 0, w, h))
+    out.append(0x00)  # no local palette, not interlaced
+    min_code = max(2, bits)
+    clear = 1 << min_code
+    out.append(min_code)
+    writer = _LSBBitWriter()
+    writer.write(clear, min_code + 1)
+    budget = clear - 2  # literals before next_code hits 2^(min_code+1)
+    for v in indices.flatten():
+        if budget == 0:
+            writer.write(clear, min_code + 1)
+            budget = clear - 2
+        writer.write(int(v), min_code + 1)
+        budget -= 1
+    writer.write(clear + 1, min_code + 1)  # EOI
+    data = writer.flush()
+    for j in range(0, len(data), 255):
+        chunk = data[j : j + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0x00)
+    out.append(0x3B)
+    return bytes(out)

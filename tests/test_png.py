@@ -198,3 +198,64 @@ def test_resize_real_jpeg_payload(spark):
     assert small.shape == (8, 8)
     # nearest-neighbor of a horizontal gradient stays monotonic
     assert all(small[0, i] <= small[0, i + 1] + 2 for i in range(7))
+
+
+# ----------------------------------------------------------------- GIF
+
+
+def test_gif_lzw_roundtrip_exact():
+    """GIF LZW codec (multimodal/gif.py): palette images round-trip
+    EXACTLY (LZW is lossless), including the 4-color minimum palette
+    and the KwKwK-exercising uncompressed stream."""
+    import numpy as np
+
+    from redmap_spark.multimodal.gif import decode_gif, decode_gif_indexed, encode_gif
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (13, 21), dtype=np.int32)
+    enc = encode_gif(idx, pal)
+    i2, p2 = decode_gif_indexed(enc)
+    assert (i2 == idx).all() and (p2 == pal).all()
+    assert (decode_gif(enc) == pal[idx]).all()
+
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx4 = rng.integers(0, 4, (8, 8), dtype=np.int32)
+    assert (decode_gif(encode_gif(idx4, pal4)) == pal4[idx4]).all()
+
+
+def test_gif_decoder_rejects_interlaced():
+    import numpy as np
+    import pytest
+
+    from redmap_spark.multimodal.gif import decode_gif, encode_gif
+
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    enc = bytearray(encode_gif(np.zeros((8, 8), dtype=np.int32), pal4))
+    desc = enc.find(b"\x2c")
+    enc[desc + 9] |= 0x40  # set the interlace flag
+    with pytest.raises(ValueError):
+        decode_gif(bytes(enc))
+
+
+def test_resize_real_gif_payload(spark):
+    """mm_resize emits a VALID smaller GIF with the SAME palette for
+    real GIF payloads."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from redmap_spark.multimodal.columns import resize_images
+    from redmap_spark.multimodal.gif import decode_gif_indexed, encode_gif
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = np.tile(np.arange(8, dtype=np.int32), (16, 4))  # 16x32 stripes
+    payload = encode_gif(idx, pal)
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(payload))])
+    row = resize_images(df, target_w=8, target_h=4).collect()[0]
+    assert (row.width, row.height) == (32, 16)
+    small_idx, small_pal = decode_gif_indexed(bytes(row.payload))
+    assert small_idx.shape == (4, 8)
+    assert (small_pal == pal).all()
+    # nearest-neighbor of horizontal stripes keeps the stripe values
+    assert set(np.unique(small_idx)) <= set(range(8))
