@@ -248,19 +248,32 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame_payload binary, frame_md5 stri
 
 
 def sample_frames(df: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> DataFrame:
-    """Frame sampling plumbing: 1 video row → N frame rows (the
-    mapInPandas row-expansion pattern — output batches need not align
-    with input rows). STUB extraction: the payload is cut into
-    ``n_frames`` equal chunks (a real deployment uses ffmpeg keyframe
-    extraction); every ``every_n``-th frame is emitted. Row expansion
-    happens executor-side with no shuffle and no driver round-trip,
-    so a 100 TB video corpus fans out to frames at scan parallelism."""
+    """Frame sampling: 1 video row → N frame rows (the mapInPandas
+    row-expansion pattern — output batches need not align with input
+    rows). REAL for animated GIFs: every ``every_n``-th frame is LZW-
+    decoded and re-emitted as a valid single-frame GIF
+    (multimodal/gif.py). Other payloads keep the deterministic
+    chunk-cut stub (a video deployment slots ffmpeg keyframe
+    extraction into the same seam). Row expansion happens
+    executor-side with no shuffle and no driver round-trip, so a
+    100 TB corpus fans out to frames at scan parallelism."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from redmap_spark.multimodal.gif import decode_gif_frames, encode_gif
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 raw = bytes(payload)
+                try:
+                    gif_frames = decode_gif_frames(raw)
+                    for i in range(0, len(gif_frames), every_n):
+                        idx, pal = gif_frames[i]
+                        fp = encode_gif(idx, pal)
+                        rows.append((int(doc_id), i, fp, hashlib.md5(fp).hexdigest()))
+                    continue
+                except ValueError:
+                    pass
                 _, _, n_frames = decode_image(raw)
                 chunk = max(1, len(raw) // n_frames)
                 for i in range(0, n_frames, every_n):

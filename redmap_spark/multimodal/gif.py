@@ -194,3 +194,78 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     out.append(0x00)
     out.append(0x3B)
     return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> list[tuple[np.ndarray, np.ndarray]]:
+    """[(HxW indices, palette), ...] for EVERY frame of an animated
+    GIF. Supports full-logical-screen frames (our encoder's shape and
+    the common screencap case); partial-region frames would need
+    disposal-method compositing and raise ValueError instead."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a gif")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    i = 13
+    gpal = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gpal = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        i += 3 * n
+    frames: list[tuple[np.ndarray, np.ndarray]] = []
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:
+            x, y, w, h = struct.unpack("<HHHH", payload[i + 1 : i + 9])
+            lpacked = payload[i + 9]
+            i += 10
+            if lpacked & 0x40:
+                raise ValueError("gif: interlaced frames unsupported")
+            if (x, y, w, h) != (0, 0, sw, sh):
+                raise ValueError("gif: partial-region frames unsupported")
+            pal = gpal
+            if lpacked & 0x80:
+                n = 2 ** ((lpacked & 0x07) + 1)
+                pal = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                i += 3 * n
+            if pal is None:
+                raise ValueError("gif: no palette")
+            min_code = payload[i]
+            i += 1
+            chunks = []
+            while payload[i] != 0:
+                ln = payload[i]
+                chunks.append(payload[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            i += 1  # frame's block terminator
+            idx = np.array(
+                _lzw_decode(b"".join(chunks), min_code, w * h), dtype=np.int32
+            ).reshape(h, w)
+            frames.append((np.clip(idx, 0, len(pal) - 1), pal))
+        else:
+            raise ValueError("gif: desynced block stream")
+    if not frames:
+        raise ValueError("gif: no image descriptor")
+    return frames
+
+
+def encode_gif_animated(frames: list[np.ndarray], palette: np.ndarray) -> bytes:
+    """Multi-frame GIF (all frames full-size, shared global palette):
+    the single-frame writer's body repeated per frame."""
+    if not frames:
+        raise ValueError("no frames")
+    single = [encode_gif(f, palette) for f in frames]
+    head_end = len(single[0]) - 1  # strip trailer 0x3B
+    # header + palette of the first, then every frame's descriptor body
+    first = bytearray(single[0][:head_end])
+    desc_off = 13 + 3 * len(palette)  # fixed: header+LSD+global palette
+    for s in single[1:]:
+        first.extend(s[desc_off:-1])
+    first.append(0x3B)
+    return bytes(first)

@@ -259,3 +259,28 @@ def test_resize_real_gif_payload(spark):
     assert (small_pal == pal).all()
     # nearest-neighbor of horizontal stripes keeps the stripe values
     assert set(np.unique(small_idx)) <= set(range(8))
+
+
+def test_sample_frames_real_animated_gif(spark):
+    """sample_frames emits REAL decoded frames for animated GIFs:
+    every_n sampling, each emitted payload a valid single-frame GIF
+    whose pixels equal the source frame exactly."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from redmap_spark.multimodal.columns import sample_frames
+    from redmap_spark.multimodal.gif import (
+        decode_gif_indexed,
+        encode_gif_animated,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 8, (6, 10), dtype=np.int32) for _ in range(5)]
+    payload = encode_gif_animated(frames, pal)
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(payload))])
+    out = sorted(sample_frames(df, every_n=2).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 2, 4]
+    for r in out:
+        idx, p = decode_gif_indexed(bytes(r.frame_payload))
+        assert (idx == frames[r.frame_idx]).all() and (p == pal).all()
