@@ -141,3 +141,34 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .drop("rn")
     )
+
+
+# -- q_stats_moments ---------------------------------------------------
+#
+# Bivariate statistics breadth: per-type Pearson correlation and
+# sample covariance of event value vs hour-of-day (is the metric
+# time-of-day dependent?). Single partial-aggregated scan — corr and
+# covar carry mergeable (n, Σx, Σy, Σxy, Σx², Σy²) state, so the
+# shuffle is |types| rows of moments. Rounded to 6: the moment sums
+# are order-dependent in their last bits.
+
+STATS_MOMENTS_SQL = """
+SELECT event_type,
+       round(corr(value, CAST(extract(hour from ts) AS DOUBLE)), 6) AS hour_corr,
+       round(covar_samp(value, CAST(extract(hour from ts) AS DOUBLE)), 6) AS hour_covar,
+       round(stddev_samp(value), 6) AS value_stddev,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@query("q_stats_moments", oracle=STATS_MOMENTS_SQL)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    hr = F.hour("ts").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.corr("value", hr), 6).alias("hour_corr"),
+        F.round(F.covar_samp("value", hr), 6).alias("hour_covar"),
+        F.round(F.stddev_samp("value"), 6).alias("value_stddev"),
+        F.count(F.lit(1)).alias("n"),
+    )
