@@ -242,14 +242,18 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(img: np.ndarray, quant: np.ndarray = FLAT_Q) -> bytes:
+def encode_jpeg(
+    img: np.ndarray, quant: np.ndarray = FLAT_Q, subsample: bool = False
+) -> bytes:
     """Baseline JPEG bytes from uint8 HxW (grayscale) or HxWx3 (RGB,
-    encoded 4:4:4 YCbCr). Dimensions must be multiples of 8 (test
-    encoder — no padding logic)."""
+    encoded 4:4:4 YCbCr — or 4:2:0 with ``subsample=True``).
+    Dimensions must be multiples of 8 (16 for 4:2:0) — test encoder,
+    no padding logic."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
-    if h % 8 or w % 8:
-        raise ValueError("test encoder requires multiple-of-8 dims")
+    mcu = 16 if subsample and not gray else 8
+    if h % mcu or w % mcu:
+        raise ValueError(f"test encoder requires multiple-of-{mcu} dims")
     out = bytearray(b"\xff\xd8")  # SOI
 
     def seg(marker: int, body: bytes) -> None:
@@ -266,8 +270,13 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = FLAT_Q) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:  # 2x2 mean chroma downsample (4:2:0)
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            comps = bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        else:
+            comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
         planes = [y, cb, cr]
-        comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
     seg(0xC0, struct.pack(">BHHB", 8, h, w, len(planes)) + comps)  # SOF0
 
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> None:
@@ -295,14 +304,23 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = FLAT_Q) -> bytes:
     ]
     writer = _BitWriter()
     preds = [0] * len(planes)
-    for by in range(h // 8):
-        for bx in range(w // 8):
+    # (h_i, v_i) sampling factors per component, matching the SOF
+    factors = [(1, 1)] * len(planes)
+    if not gray and subsample:
+        factors = [(2, 2), (1, 1), (1, 1)]
+    for by in range(h // mcu):
+        for bx in range(w // mcu):
             for ci, plane in enumerate(planes):
+                hi, vi = factors[ci]
                 t = 0 if ci == 0 else 1
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                preds[ci] = _encode_block(
-                    writer, block, quant, preds[ci], dc_codes[t], ac_codes[t]
-                )
+                for v in range(vi):  # blocks raster-ordered within MCU
+                    for u in range(hi):
+                        r0 = (by * vi + v) * 8
+                        c0 = (bx * hi + u) * 8
+                        block = plane[r0 : r0 + 8, c0 : c0 + 8]
+                        preds[ci] = _encode_block(
+                            writer, block, quant, preds[ci], dc_codes[t], ac_codes[t]
+                        )
     out.extend(writer.flush())
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
@@ -350,8 +368,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("jpeg: subsampling unsupported (4:4:4 only)")
+                if samp not in (0x11, 0x22):
+                    raise ValueError("jpeg: only 1x1/2x2 sampling factors supported")
                 comps.append((cid, samp, tq))
         elif marker == 0xC4:
             j = 0
@@ -376,39 +394,63 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("jpeg: missing SOF/SOS")
 
     reader = _BitReader(scan)
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((nby * 8, nbx * 8)) for _ in comps]
+    # per-component sampling factors; MCU spans (8·hmax × 8·vmax) px
+    factors = [((s >> 4) & 0xF, s & 0xF) for _cid, s, _tq in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    nmy = (h + 8 * vmax - 1) // (8 * vmax)
+    nmx = (w + 8 * hmax - 1) // (8 * hmax)
+    planes = [
+        np.zeros((nmy * 8 * vi, nmx * 8 * hi)) for (hi, vi) in factors
+    ]
     preds = [0] * len(comps)
     qt = {cid: qtables[tq] for cid, _s, tq in comps}
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, (cid, dc_tid, ac_tid) in enumerate(scan_comps):
-                dc_table = huff[(0, dc_tid)]
-                ac_table = huff[(1, ac_tid)]
-                zz = np.zeros(64, dtype=np.int64)
-                s = reader.read_huff(dc_table)
-                diff = _extend(reader.read_bits(s), s) if s else 0
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.read_huff(ac_table)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    size = rs & 0xF
-                    if k > 63:
-                        raise ValueError("jpeg: AC index overflow")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                coefs = np.zeros(64)
-                coefs[ZIGZAG] = zz * qt[cid]
-                block = idct(coefs.reshape(8, 8)) + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
+    comp_order = {cid: ci for ci, (cid, _s, _tq) in enumerate(comps)}
+
+    def decode_block(cid: int, dc_tid: int, ac_tid: int, ci: int) -> np.ndarray:
+        dc_table = huff[(0, dc_tid)]
+        ac_table = huff[(1, ac_tid)]
+        zz = np.zeros(64, dtype=np.int64)
+        s = reader.read_huff(dc_table)
+        diff = _extend(reader.read_bits(s), s) if s else 0
+        preds[ci] += diff
+        zz[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = reader.read_huff(ac_table)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            size = rs & 0xF
+            if k > 63:
+                raise ValueError("jpeg: AC index overflow")
+            zz[k] = _extend(reader.read_bits(size), size)
+            k += 1
+        coefs = np.zeros(64)
+        coefs[ZIGZAG] = zz * qt[cid]
+        return idct(coefs.reshape(8, 8)) + 128.0
+
+    for my in range(nmy):
+        for mx in range(nmx):
+            for cid, dc_tid, ac_tid in scan_comps:
+                ci = comp_order[cid]
+                hi, vi = factors[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        block = decode_block(cid, dc_tid, ac_tid, ci)
+                        r0 = (my * vi + v) * 8
+                        c0 = (mx * hi + u) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+    # upsample subsampled components to full resolution, crop to (h, w)
+    full = []
+    for p, (hi, vi) in zip(planes, factors):
+        if hi < hmax or vi < vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    planes = full
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0

@@ -284,3 +284,25 @@ def test_sample_frames_real_animated_gif(spark):
     for r in out:
         idx, p = decode_gif_indexed(bytes(r.frame_payload))
         assert (idx == frames[r.frame_idx]).all() and (p == pal).all()
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 chroma subsampling (the shape real camera JPEGs use):
+    encoder interleaves 4 Y + Cb + Cr blocks per 16x16 MCU, decoder
+    upsamples chroma back. Smooth images stay visually close; the
+    4:4:4 and grayscale paths are unchanged."""
+    import numpy as np
+
+    from redmap_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    xx, yy = np.meshgrid(np.arange(32), np.arange(16))
+    smooth = np.stack(
+        [(xx * 4) % 256, (yy * 6) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    enc = encode_jpeg(smooth, subsample=True)
+    dec = decode_jpeg(enc)
+    assert dec.shape == smooth.shape
+    err = np.abs(dec.astype(int) - smooth.astype(int))
+    assert float(err.mean()) < 3.0 and int(err.max()) <= 16, (err.mean(), err.max())
+    # the subsampled stream is smaller than 4:4:4 of the same image
+    assert len(enc) < len(encode_jpeg(smooth))
