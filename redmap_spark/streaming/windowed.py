@@ -349,3 +349,73 @@ def sketch_table_estimates(spark, sketch_path: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users"),
     )
     return daily.unionByName(total)
+
+
+# ------------------------------- foreachBatch → top-k key counts
+
+
+N_COUNT_BUCKETS = 64
+
+
+def stream_to_key_counts(counts_path: str, key_col: str = "user_id"):
+    """Maintain an exact per-key count table from a micro-batch
+    stream — the state behind a streaming top-k / trending view.
+    Returns the foreachBatch sink.
+
+    Counts are additive, so a naive read-add-overwrite double-counts
+    on foreachBatch retries. Instead each batch:
+
+    1. APPENDS its per-key partial aggregate to a staging store,
+       tagged with batch_id and partitioned by a stable key-hash
+       bucket (``pmod(xxhash64(key), 64)``). A retry re-appends
+       byte-identical (bucket, key, batch_id, n) rows — removable.
+    2. Recomputes ONLY the buckets its keys touch from staged
+       partials, ``dropDuplicates([key, batch_id])`` making retries
+       invisible, and dynamic-partition-overwrites those buckets of
+       the counts table.
+
+    Bucket partitioning bounds each batch's rewrite to the buckets it
+    touched and gives the counts table a stable layout a top-k read
+    can scan in parallel. At 100 TB the staging store gets compacted
+    on a schedule (compact_parquet); the recompute is partial-agg
+    friendly (sum of partials per key)."""
+    from redmap_spark.sources.io import overwrite_partitions
+
+    staging = counts_path.rstrip("/") + "__staging_counts"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("bucket", F.pmod(F.xxhash64(key_col), F.lit(N_COUNT_BUCKETS)))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        partial.write.mode("append").partitionBy("bucket").parquet(staging)
+        touched = [r.bucket for r in partial.select("bucket").distinct().collect()]
+        if not touched:
+            return
+        recomputed = (
+            spark.read.option("basePath", staging)
+            .parquet(staging)
+            .filter(F.col("bucket").isin(touched))  # partition-pruned
+            .dropDuplicates([key_col, "batch_id"])  # retry-idempotent
+            .groupBy("bucket", key_col)
+            .agg(F.sum("n").alias("n"))
+        )
+        overwrite_partitions(recomputed, counts_path, partition_by=["bucket"])
+
+    return sink
+
+
+def key_counts_topk(
+    spark, counts_path: str, key_col: str = "user_id", k: int = 10
+) -> DataFrame:
+    """Exact top-k keys from the maintained counts table (a
+    TakeOrdered over the bucket-partitioned state — no full sort)."""
+    return (
+        spark.read.parquet(counts_path)
+        .orderBy(F.desc("n"), F.asc(key_col))
+        .limit(k)
+        .select(key_col, "n")
+    )

@@ -273,3 +273,44 @@ def test_stream_sketch_table_matches_batch_and_retry_idempotent(spark, tmp_path)
     sink(e.limit(500), 99)
     again = {r.day: r.est_users for r in sketch_table_estimates(spark, sketches).collect()}
     assert again == got
+
+
+def test_stream_key_counts_topk_matches_batch_and_retry(spark, tmp_path):
+    """Streaming key-count maintenance: after the stream drains, the
+    counts table equals the batch groupBy exactly; top-k matches the
+    batch top-k; a foreachBatch retry changes nothing (staged partials
+    dedupe on (key, batch_id))."""
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.streaming.windowed import (
+        events_stream,
+        key_counts_topk,
+        stream_to_key_counts,
+    )
+
+    counts = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, SF_DIR)
+    sink = stream_to_key_counts(counts)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    e = Catalog(spark, SF_DIR).events
+    want = {r.user_id: r.n for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.user_id: r.n for r in spark.read.parquet(counts).collect()}
+    assert got == want
+
+    top = key_counts_topk(spark, counts, k=5).collect()
+    best = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r.user_id, r.n) for r in top] == best
+
+    # retry: foreachBatch re-delivers the SAME batch content under the
+    # same batch_id — the staged partials are byte-identical and the
+    # (key, batch_id) dedup makes the re-run a no-op
+    sink(e, 0)
+    again = {r.user_id: r.n for r in spark.read.parquet(counts).collect()}
+    assert again == want
