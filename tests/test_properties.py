@@ -126,3 +126,50 @@ def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, batches):
         except AnalysisException:
             got = {}  # all-tombstone history: table never materialized
         assert got == {k: v for k, v in model.items()}
+
+
+# ---------------------------------------------- text-op invariants
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=docs_strategy)
+def test_chunking_covers_every_token_in_order(spark, texts):
+    """Chunk invariants for arbitrary corpora: stride-window chunks
+    cover EVERY token of every doc, in order, with exactly
+    (chunk - stride) tokens of overlap between adjacent chunks."""
+    from redmap_spark.operators.textstats import chunk_documents
+
+    chunk, stride = 5, 3
+    out = chunk_documents(_df(spark, texts), chunk_tokens=chunk, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        # reassembly: chunk_idx k starts at token k*stride
+        reassembled = []
+        for k, r in enumerate(rows):
+            ctoks = r.chunk_text.split(" ")
+            assert ctoks == toks[k * stride : k * stride + chunk]
+            reassembled.extend(ctoks if k == 0 else ctoks[chunk - stride :])
+        # every token appears (last chunk may re-cover the tail)
+        assert reassembled[: len(toks)] == toks
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=docs_strategy)
+def test_pii_redaction_idempotent_and_clean_texts_untouched(spark, texts):
+    """Redaction is a fixed point: redact(redact(x)) == redact(x);
+    and the PII-free vocabulary corpus passes through unchanged."""
+    from pyspark.sql import functions as F
+
+    from redmap_spark.operators.textstats import redact_pii
+
+    df = _df(spark, texts).withColumn("r1", redact_pii("text")).withColumn(
+        "r2", redact_pii(F.col("r1"))
+    )
+    rows = df.collect()
+    for r in rows:
+        assert r.r1 == r.r2, (r.r1, r.r2)
+        assert r.r1 == r.text  # VOCAB contains no PII-shaped strings
