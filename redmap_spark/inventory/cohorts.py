@@ -172,3 +172,57 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 6).alias("value_stddev"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# -- q_gap_fill --------------------------------------------------------
+#
+# Time-series regularization: build the full (type × day) date spine
+# and zero-fill days with no events — the step every downstream
+# forecasting/anomaly consumer needs (missing days are DATA, not
+# absent rows). The spine is generated (sequence+explode over the
+# 1-row min/max bounds crossed with the distinct type set — both
+# broadcast-sized), so the only fact-proportional work is the daily
+# rollup's one scan.
+
+GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT t.event_type, CAST(u.day AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN (SELECT unnest(generate_series(
+                 CAST((SELECT MIN(day) FROM daily) AS DATE),
+                 CAST((SELECT MAX(day) FROM daily) AS DATE),
+                 INTERVAL 1 DAY)) AS day) u
+)
+SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n, 0) AS n,
+       COALESCE(d.sv, 0.0) AS sum_value
+FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+"""
+
+
+@query("q_gap_fill", oracle=GAP_FILL_SQL)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = daily.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+        )
+    )
