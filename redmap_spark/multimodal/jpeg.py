@@ -161,6 +161,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padding) and emit RSTn — markers are written
+        raw, never byte-stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out.extend(bytes([0xFF, 0xD0 + (n % 8)]))
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -201,6 +209,20 @@ class _BitReader:
             if (length, code) in table:
                 return table[(length, code)]
         raise ValueError("jpeg: invalid huffman code")
+
+    def sync_restart(self) -> None:
+        """Discard padding bits to the byte boundary and consume the
+        RSTn marker that the encoder wrote between restart
+        intervals."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("jpeg: expected restart marker")
+        self.pos += 2
 
 
 # ---------------------------------------------------------------- encoder
@@ -243,7 +265,10 @@ def _encode_block(
 
 
 def encode_jpeg(
-    img: np.ndarray, quant: np.ndarray = FLAT_Q, subsample: bool = False
+    img: np.ndarray,
+    quant: np.ndarray = FLAT_Q,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JPEG bytes from uint8 HxW (grayscale) or HxWx3 (RGB,
     encoded 4:4:4 YCbCr — or 4:2:0 with ``subsample=True``).
@@ -292,6 +317,8 @@ def encode_jpeg(
         sos_comps = bytes([1, 0x00])
     else:
         sos_comps = bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     seg(0xDA, bytes([len(planes)]) + sos_comps + bytes([0, 63, 0]))
 
     dc_codes = [
@@ -308,8 +335,15 @@ def encode_jpeg(
     factors = [(1, 1)] * len(planes)
     if not gray and subsample:
         factors = [(2, 2), (1, 1), (1, 1)]
+    mcu_i = 0
+    rst_n = 0
     for by in range(h // mcu):
         for bx in range(w // mcu):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                writer.restart(rst_n)
+                rst_n += 1
+                preds = [0] * len(planes)  # RST resets DC prediction
+            mcu_i += 1
             for ci, plane in enumerate(planes):
                 hi, vi = factors[ci]
                 t = 0 if ci == 0 else 1
@@ -337,6 +371,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a jpeg")
     i = 2
+    restart_interval = 0
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     h = w = 0
@@ -380,6 +415,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + nvals])
                 huff[(cls, tid)] = _build_huff_decoder(bits, vals)
                 j += 17 + nvals
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             ncomp = body[0]
             scan_comps = []
@@ -433,8 +470,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         coefs[ZIGZAG] = zz * qt[cid]
         return idct(coefs.reshape(8, 8)) + 128.0
 
+    mcu_i = 0
     for my in range(nmy):
         for mx in range(nmx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                reader.sync_restart()
+                for ci in range(len(preds)):
+                    preds[ci] = 0
+            mcu_i += 1
             for cid, dc_tid, ac_tid in scan_comps:
                 ci = comp_order[cid]
                 hi, vi = factors[ci]

@@ -306,3 +306,23 @@ def test_jpeg_420_subsampled_roundtrip():
     assert float(err.mean()) < 3.0 and int(err.max()) <= 16, (err.mean(), err.max())
     # the subsampled stream is smaller than 4:4:4 of the same image
     assert len(enc) < len(encode_jpeg(smooth))
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn support: restart markers byte-align the stream and
+    reset DC prediction; decode is bit-identical to the no-DRI stream
+    of the same image, in both grayscale and 4:2:0 paths."""
+    import numpy as np
+
+    from redmap_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    enc = encode_jpeg(gray, restart_interval=2)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+    assert (decode_jpeg(enc) == decode_jpeg(encode_jpeg(gray))).all()
+
+    rgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    a = decode_jpeg(encode_jpeg(rgb, subsample=True, restart_interval=1))
+    b = decode_jpeg(encode_jpeg(rgb, subsample=True))
+    assert (a == b).all()
