@@ -1,14 +1,16 @@
 """Baseline JPEG codec — pure stdlib + numpy, no media libraries.
 
 Decoder: baseline sequential DCT (SOF0), Huffman entropy coding,
-grayscale or 4:4:4 YCbCr (the shapes our encoder and most
-screenshot-ish JPEGs use). Progressive / subsampled / arithmetic
-streams raise ValueError and stay behind the decoder seam
-(multimodal/columns.py falls back to header-only parsing for them).
+grayscale, 4:4:4 and 4:2:0-subsampled YCbCr (generalized MCU
+interleave with chroma upsampling), DRI/RSTn restart markers —
+the shapes real camera/screenshot JPEGs use. Progressive /
+arithmetic / exotic-sampling streams raise ValueError and stay
+behind the decoder seam (multimodal/columns.py falls back to
+header-only parsing for them).
 
-Encoder: grayscale and 4:4:4 color baseline writer used by the tests
-to craft genuine JPEG payloads (round-trip: encode → decode → compare
-within quantization error).
+Encoder: grayscale, 4:4:4 and 4:2:0 baseline writer (optional
+restart intervals) used by the tests to craft genuine JPEG payloads
+(round-trip: encode → decode → compare within quantization error).
 
 Everything here is public-spec knowledge: ITU T.81 (JPEG, 1992),
 including the Annex K "typical" Huffman tables. The FDCT/IDCT is the
