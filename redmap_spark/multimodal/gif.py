@@ -269,3 +269,106 @@ def encode_gif_animated(frames: list[np.ndarray], palette: np.ndarray) -> bytes:
         first.extend(s[desc_off:-1])
     first.append(0x3B)
     return bytes(first)
+
+
+def decode_gif_composited(payload: bytes) -> list[np.ndarray]:
+    """RGB frames of an animated GIF with PARTIAL-REGION frames
+    composited onto the logical screen — disposal method 0/1 (leave
+    in place) and 2 (restore background), plus GCE transparency
+    (transparent pixels leave the canvas unchanged). Disposal 3
+    (restore previous) raises — rare and needs a frame stack."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a gif")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    bg_index = payload[11]
+    i = 13
+    gpal = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gpal = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        i += 3 * n
+    bg_rgb = gpal[min(bg_index, len(gpal) - 1)] if gpal is not None else np.zeros(3, np.uint8)
+    canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+    frames: list[np.ndarray] = []
+    disposal, transparent = 0, None
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = payload[i + 1]
+            j = i + 2
+            if label == 0xF9 and payload[j] >= 4:  # graphic control
+                flags = payload[j + 1]
+                disposal = (flags >> 2) & 0x7
+                transparent = payload[j + 4] if flags & 1 else None
+            while payload[j] != 0:
+                j += 1 + payload[j]
+            i = j + 1
+        elif b == 0x2C:
+            x, y, w, h = struct.unpack("<HHHH", payload[i + 1 : i + 9])
+            lpacked = payload[i + 9]
+            i += 10
+            if lpacked & 0x40:
+                raise ValueError("gif: interlaced frames unsupported")
+            if disposal == 3:
+                raise ValueError("gif: disposal=restore-previous unsupported")
+            pal = gpal
+            if lpacked & 0x80:
+                n = 2 ** ((lpacked & 0x07) + 1)
+                pal = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                i += 3 * n
+            if pal is None:
+                raise ValueError("gif: no palette")
+            min_code = payload[i]
+            i += 1
+            chunks = []
+            while payload[i] != 0:
+                ln = payload[i]
+                chunks.append(payload[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            i += 1
+            idx = np.array(
+                _lzw_decode(b"".join(chunks), min_code, w * h), dtype=np.int32
+            ).reshape(h, w)
+            region = pal[np.clip(idx, 0, len(pal) - 1)]
+            target = canvas[y : y + h, x : x + w]
+            if transparent is not None:
+                mask = idx != transparent
+                target[mask] = region[mask]
+            else:
+                target[:, :] = region
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore background inside the region
+                canvas[y : y + h, x : x + w] = bg_rgb
+            disposal, transparent = 0, None
+        else:
+            raise ValueError("gif: desynced block stream")
+    if not frames:
+        raise ValueError("gif: no image descriptor")
+    return frames
+
+
+def encode_gif_partial(
+    base: np.ndarray,
+    patches: list[tuple[np.ndarray, int, int]],
+    palette: np.ndarray,
+) -> bytes:
+    """Animated GIF with a full-size first frame and PARTIAL-REGION
+    follow-up frames (test writer for the compositing decoder):
+    ``patches`` are (indices, x, y) regions, disposal=leave."""
+    full = encode_gif(base, palette)
+    out = bytearray(full[:-1])  # strip trailer
+    for idx, x, y in patches:
+        h, w = idx.shape
+        # GCE: disposal=1 (leave), no transparency
+        out.extend(bytes([0x21, 0xF9, 0x04, 0x04, 0x00, 0x00, 0x00, 0x00]))
+        frame = bytearray(encode_gif(idx, palette))
+        desc_off = 13 + 3 * len(palette)
+        body = bytearray(frame[desc_off:-1])
+        # patch the descriptor's (x, y)
+        body[1:5] = struct.pack("<HH", x, y)
+        out.extend(body)
+    out.append(0x3B)
+    return bytes(out)

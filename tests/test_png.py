@@ -326,3 +326,37 @@ def test_jpeg_restart_markers():
     a = decode_jpeg(encode_jpeg(rgb, subsample=True, restart_interval=1))
     b = decode_jpeg(encode_jpeg(rgb, subsample=True))
     assert (a == b).all()
+
+
+def test_gif_partial_region_compositing():
+    """Partial-region animated GIF frames composite onto the logical
+    screen: a patch frame updates only its (x, y, w, h) region, the
+    rest of the canvas carries over (disposal=leave); disposal=3
+    (restore-previous) is rejected, not mis-rendered."""
+    import numpy as np
+    import pytest
+
+    from redmap_spark.multimodal.gif import (
+        decode_gif_composited,
+        encode_gif_partial,
+    )
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    base = rng.integers(0, 8, (10, 12), dtype=np.int32)
+    patch = rng.integers(0, 8, (4, 5), dtype=np.int32)
+    enc = encode_gif_partial(base, [(patch, 3, 2)], pal)
+    frames = decode_gif_composited(enc)
+    assert len(frames) == 2
+    want0 = pal[base]
+    assert (frames[0] == want0).all()
+    want1 = want0.copy()
+    want1[2:6, 3:8] = pal[patch]
+    assert (frames[1] == want1).all()
+
+    # disposal=3 rejected
+    bad = bytearray(enc)
+    gce = bad.find(b"\x21\xf9")
+    bad[gce + 3] = 0x0C  # disposal bits -> 3
+    with pytest.raises(ValueError):
+        decode_gif_composited(bytes(bad))
