@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -44,13 +45,36 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
-        "metric": "inventory_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }))
+    # Full-precision, full-name timings for humans/BASELINE.md upkeep.
+    print(json.dumps({"full_queries": timings}, sort_keys=True))
+    # The driver stores only the LAST 2000 chars of stdout and json-parses
+    # from there, so the final line must stay under that budget: short query
+    # keys (q<N>_xxx -> q<N>, q_xxx -> xxx; mapping documented in BASELINE.md)
+    # and 2-decimal values keep ~97 queries at ~1800 chars.
+    compact = {
+        re.sub(r"^q(\d+)_.*$", r"q\1", k).removeprefix("q_"): round(v, 2)
+        for k, v in timings.items()
+    }
+    assert len(compact) == len(timings), "short-key collision"
+
+    def render(q: dict[str, float]) -> str:
+        return json.dumps({
+            "metric": "inventory_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+        }, separators=(",", ":"), sort_keys=True)
+
+    line = render(compact)
+    while len(line) >= 1950 and compact:
+        # Over the driver's tail budget (inventory grew): drop the cheapest
+        # queries from the compact dict — the slow ones are what matter for
+        # regression tracking; the full dict is on the line above regardless.
+        cheapest = min(compact, key=compact.get)
+        del compact[cheapest]
+        line = render(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -30,14 +30,30 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
 
+def _as_timestamp(df: DataFrame, col: str) -> F.Column:
+    """Normalize a parquet time column to session-TZ TIMESTAMP.
+
+    Testdata generations have stored ``events.ts`` either as
+    TIMESTAMP(NANOS) (read as BIGINT nanos via nanosAsLong) or as
+    TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ). Both
+    normalize to the same UTC instant under the session's UTC TZ.
+    """
+    dtype = dict(df.dtypes)[col]
+    if dtype in ("bigint", "long"):
+        # Integer DIV: nano values exceed double's 2^53 exact range.
+        return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
+    return F.col(col).cast("timestamp")
+
+
 class Catalog:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
         # Self-defensive session settings: the driver may hand us a
-        # vanilla SparkSession. events.parquet stores TIMESTAMP(NANOS)
-        # which Spark only reads via the nanosAsLong legacy conf, and
-        # all date formatting must be TZ-independent.
+        # vanilla SparkSession. Some testdata generations store
+        # events.ts as TIMESTAMP(NANOS), which Spark only reads via the
+        # nanosAsLong legacy conf, and all date formatting must be
+        # TZ-independent.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -49,9 +65,7 @@ class Catalog:
             raise KeyError(f"unknown table {table!r}")
         df = self.spark.read.parquet(self.path(table))
         if table == "events":
-            # nanos-as-long → proper micros timestamp (integer DIV: the
-            # values exceed double's 2^53 exact range).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            df = df.withColumn("ts", _as_timestamp(df, "ts"))
         return df
 
     def register_all(self) -> None:

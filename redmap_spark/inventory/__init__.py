@@ -20,4 +20,12 @@ from redmap_spark.inventory import analytic  # noqa: F401
 from redmap_spark.inventory import relational3  # noqa: F401
 from redmap_spark.inventory import relational4  # noqa: F401
 
+# The driver's 50-entry CORRECTNESS window is the strongest signal available
+# (rows+schema+value-hash vs DuckDB); entries without an oracle only get a
+# weak rows-only row there. Move the no-oracle entries (approximate ANN,
+# sketch-bound, binary-output multimodal — each covered by recall/error-bound
+# pytest instead) to the END so every window slot is hash-checkable.
+for _name in [k for k in list(QUERIES) if k not in ORACLES]:
+    QUERIES[_name] = QUERIES.pop(_name)
+
 __all__ = ["QUERIES", "ORACLES"]

@@ -24,32 +24,34 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# raw schema as stored (ts is TIMESTAMP(NANOS) → long under the
-# nanosAsLong conf that redmap_spark.session/catalog enable)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Schema as stored on disk. Testdata generations store ts either
+    as TIMESTAMP(NANOS) (→ long under the nanosAsLong conf) or as
+    TIMESTAMP(MICROS) NTZ; a file-footer peek (batch read resolves
+    only the footer, no data scan) tells us which."""
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+
+
+def normalize_ts(raw: DataFrame, schema: StructType) -> DataFrame:
+    """nanos-as-long → micros timestamp, or NTZ → session-TZ timestamp."""
+    if isinstance(schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (at scale: a Kafka
     source with the same downstream plan)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(spark, sf_dir)
     # FileStreamSource force-sets basePath to the path unless it's a
     # glob — a glob pattern is the supported way to stream one file
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("basePath", sf_dir.rstrip("/"))
         .parquet(f"{sf_dir.rstrip('/')}/events*.parquet")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_ts(raw, schema)
 
 
 def windowed_counts(stream: DataFrame, window: str = "1 day", watermark: str = "1 hour") -> DataFrame:

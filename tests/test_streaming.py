@@ -78,17 +78,17 @@ def test_stream_dedup(spark, tmp_path):
     exact original multiset."""
     import shutil
 
-    from redmap_spark.streaming.windowed import EVENTS_RAW_SCHEMA, dedup_stream
+    from redmap_spark.streaming.windowed import _events_raw_schema, dedup_stream, normalize_ts
 
     stage = tmp_path / "stage"
     stage.mkdir()
     src = f"{SF_DIR}/events.parquet"
     shutil.copy(src, stage / "events_a.parquet")
     shutil.copy(src, stage / "events_b.parquet")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(f"{stage}/events_*.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    schema = _events_raw_schema(spark, SF_DIR)
+    raw = normalize_ts(
+        spark.readStream.schema(schema).parquet(f"{stage}/events_*.parquet"),
+        schema,
     )
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
