@@ -450,3 +450,75 @@ def txt_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redmap_spark.pipelines import prepare_training_corpus
 
     return prepare_training_corpus(Catalog(spark, sf_dir).documents, mixture=None)
+
+
+# -- txt_bm25 ----------------------------------------------------------
+#
+# BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed query over the
+# documents table — the lexical-search baseline every RAG/dedup
+# pipeline wants next to its embedding ANN. Scale shape: the explode
+# is immediately filtered to the query's terms (codegen, no shuffle),
+# so only matching (doc, term) rows — a vanishing fraction of the
+# token stream — reach the tf groupBy; document frequencies and the
+# corpus length stats are broadcast 1-row/|terms|-row joins. Per-term
+# contributions are cast to DECIMAL(18,9) before the per-doc sum so
+# the fold is exact and partition-order independent on both engines.
+
+BM25_TERMS = ("spark", "join", "fast", "data")
+_TERMS_SQL = "('" + "', '".join(BM25_TERMS) + "')"
+
+TXT_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), hits AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM toks WHERE term IN {_TERMS_SQL} GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM hits GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM documents
+)
+SELECT h.doc_id,
+       round(CAST(SUM(CAST(
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+FROM hits h JOIN dfreq USING (term) CROSS JOIN stats
+GROUP BY h.doc_id
+ORDER BY score DESC, h.doc_id
+LIMIT 20
+"""
+
+
+@query("txt_bm25", oracle=TXT_BM25_SQL)
+def txt_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    dl = F.size(F.split("text", " "))
+    toks = d.select(
+        "doc_id", dl.alias("dl"), F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    hits = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(dl).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib.cast("decimal(18,9)")).cast("double"), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
