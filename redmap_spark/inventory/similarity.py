@@ -66,6 +66,15 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantized_topk(Catalog(spark, sf_dir).embeddings, QUERY_ID, k=10)
 
 
+@query("sim_pq_topk")  # approximate: verified by recall pytest
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search: 4-bit×16-subspace codes
+    (16 small ints vs 64 doubles at rest), LUT scoring over the code
+    table only, exact rescore of the top 8k. See
+    operators/similarity.py::pq_topk."""
+    return S.pq_topk(Catalog(spark, sf_dir).embeddings, QUERY_ID, k=10)
+
+
 @query("sim_lsh_topk")  # approximate: verified by recall pytest
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(Catalog(spark, sf_dir).embeddings, QUERY_ID, k=10)

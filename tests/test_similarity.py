@@ -105,3 +105,33 @@ def test_persisted_ivf_index_quality_and_pruning(spark, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "cl" in pf.group(1), pf.group(1) if pf else plan[:500]
+
+
+def test_pq_topk_recall(spark):
+    """PQ ADC with 16×4-bit codes + 8k exact rescore: coarse codes,
+    but the rescore phase fixes ordering — require most of the true
+    top-10 to survive."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    approx = set(_ids(S.pq_topk(emb, 0, k=10)))
+    exact = set(_ids(S.brute_force_topk(emb, 0, k=10)))
+    assert len(approx & exact) >= 7, f"pq recall too low: {approx & exact}"
+
+
+def test_pq_encode_matches_reference(spark):
+    """The codegen argmax encode must equal the numpy argmin-d2
+    reference on every vector (same codebooks)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = S.train_pq_codebooks(emb)
+    got = {r.vec_id: list(r.codes) for r in S.pq_encode(emb, books).collect()}
+    m, dsub = len(books), len(books[0][0])
+    for r in emb.select("vec_id", "embedding").limit(50).collect():
+        v = np.array(r.embedding, dtype=np.float64)
+        nv = v / max(np.linalg.norm(v), 1e-12)
+        want = [
+            int(np.argmin([((nv[j * dsub:(j + 1) * dsub] - np.array(books[j][c])) ** 2).sum()
+                           for c in range(len(books[j]))]))
+            for j in range(m)
+        ]
+        assert want == got[r.vec_id], r.vec_id
