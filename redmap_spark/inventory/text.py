@@ -522,3 +522,51 @@ def txt_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+# -- txt_perplexity ----------------------------------------------------
+#
+# Unigram language-model quality scoring: train p(w) = n_w / N over
+# the corpus token stream, score each document by its perplexity
+# exp(-mean log p(w)) — the classic cheap LM filter (low-ppl ≈
+# predictable/templated text, high-ppl ≈ noise or OOV-heavy) used to
+# gate pretraining data. Scale shape: vocab build is one token-stream
+# groupBy (|vocab| rows out); scoring joins the token stream to the
+# vocab — broadcast here, shuffle-join on term beyond broadcast size.
+# Per-token log-probs are cast to DECIMAL(18,9) before the per-doc
+# sum so the fold is exact and partition-order independent.
+
+TXT_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), vocab AS (
+  SELECT term, COUNT(*) AS n_w FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_w) AS DOUBLE) AS n_tot FROM vocab
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(exp(-(CAST(SUM(CAST(ln(n_w / n_tot) AS DECIMAL(18,9))) AS DOUBLE))
+                 / COUNT(*)), 6) AS ppl
+FROM toks JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@query("txt_perplexity", oracle=TXT_PPL_SQL)
+def txt_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = vocab.agg(F.sum("n_w").cast("double").alias("n_tot"))
+    contrib = F.log(F.col("n_w") / F.col("n_tot")).cast("decimal(18,9)")
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.exp(-F.sum(contrib).cast("double") / F.count(F.lit(1))), 6
+            ).alias("ppl"),
+        )
+    )
