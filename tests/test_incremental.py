@@ -118,3 +118,51 @@ def test_merge_upsert_full_cycle(spark, tmp_path):
     snap2 = snapshot()
     assert 5 not in snap2 and set(snap2) == {1, 2, 4}
     assert not (Path(tgt) / "day=2024-01-02").exists()
+
+
+def test_cdc_feed_apply_roundtrip(spark, tmp_path):
+    """End-to-end CDC story: materialize snapshot A, compute the
+    q_change_feed-style diff A→B, replay it through merge_upsert, and
+    require the result to equal snapshot B exactly — i.e. the change
+    feed is a faithful, applyable delta, not just a report."""
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.operators.incremental import merge_upsert
+
+    o = Catalog(spark, SF_SMALL).orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+    )
+    snap_a = o.filter(F.col("month") < "1998-01")
+    snap_b = o.filter(F.col("month") < "1999-01").withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderstatus") == "P", "F").otherwise(F.col("o_orderstatus")),
+    )
+
+    target = str(tmp_path / "orders_lake")
+    snap_a.write.partitionBy("month").parquet(target)
+
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    ak, bk = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    feed = joined.filter(
+        ak.isNull() | bk.isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    ).select(
+        F.coalesce(bk, ak).alias("o_orderkey"),
+        F.coalesce(F.col("b.o_orderstatus"), F.col("a.o_orderstatus")).alias("o_orderstatus"),
+        F.coalesce(F.col("b.o_totalprice"), F.col("a.o_totalprice")).alias("o_totalprice"),
+        F.coalesce(F.col("b.month"), F.col("a.month")).alias("month"),
+        bk.isNull().alias("_deleted"),
+    )
+    assert feed.count() > 0
+
+    merge_upsert(spark, target, feed, ["o_orderkey"], "month", deleted_col="_deleted")
+
+    got = spark.read.parquet(target).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.col("month").cast("string").alias("month"),
+    )
+    assert got.count() == snap_b.count()
+    assert got.exceptAll(snap_b).count() == 0
+    assert snap_b.exceptAll(got).count() == 0
