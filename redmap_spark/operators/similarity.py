@@ -661,19 +661,25 @@ def pq_encode(
     # argmin_c ||v/||v|| - c||^2  ⇔  argmax_c (<v,c> - ||v||*||c||²/2):
     # plain mult-add scalar expressions stay inside whole-stage codegen,
     # where zip_with/aggregate HOF lambdas would be interpreted per row.
-    codes = []
+    # Built as ONE sql string → ONE F.expr call: composing the ~1000
+    # leaf Columns through the Python API costs a py4j round-trip per
+    # operator, which dominated encode wall time at small SF.
+    code_exprs = []
     for j in range(m):
         scores = []
         for c in range(ksub):
             cb = codebooks[j][c]
-            dotp = sum(
-                F.element_at("v", j * dsub + i + 1) * F.lit(cb[i]) for i in range(dsub)
+            dotp = " + ".join(
+                f"element_at(v, {j * dsub + i + 1}) * {cb[i]!r}" for i in range(dsub)
             )
             half_c2 = sum(x * x for x in cb) / 2.0
-            scores.append(dotp - F.col("n") * F.lit(half_c2))
-        arr = F.array(*scores)
-        codes.append((F.array_position(arr, F.array_max(arr)) - 1).cast("int"))
-    return base.select(id_col, F.array(*codes).alias("codes"))
+            scores.append(f"({dotp}) - n * {half_c2!r}")
+        arr = f"array({', '.join(scores)})"
+        code_exprs.append(
+            f"cast(array_position({arr}, array_max({arr})) - 1 as int)"
+        )
+    codes = F.expr(f"array({', '.join(code_exprs)})")
+    return base.select(id_col, codes.alias("codes"))
 
 
 def pq_topk(
@@ -709,9 +715,13 @@ def pq_topk(
         for j in range(m)
     ]
     codes = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
-    ascore = sum(
-        F.element_at(F.array(*[F.lit(v) for v in lut[j]]), F.element_at("codes", j + 1) + 1)
-        for j in range(m)
+    ascore = F.expr(  # one sql string, not ~300 py4j-composed Columns
+        " + ".join(
+            "element_at(array({}), element_at(codes, {}) + 1)".format(
+                ", ".join(repr(v) for v in lut[j]), j + 1
+            )
+            for j in range(m)
+        )
     )
     cand = (
         codes.filter(F.col(id_col) != query_id)
