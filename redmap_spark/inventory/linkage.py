@@ -1,0 +1,95 @@
+"""SURVEY §2.A additions — sequence analytics and record linkage
+(oracle-verified)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+
+# -- q_event_transitions -----------------------------------------------
+#
+# First-order Markov transition matrix over each user's event
+# sequence: P(next event type | current) — the sequence-mining
+# primitive behind funnel discovery and next-action models. Scale
+# shape: ONE shuffle by user_id for the lead() window (output rows =
+# |events|), then the (cur, nxt) groupBy collapses to the tiny
+# |types|² grid; the probability window runs over that grid only.
+
+TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), counts AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur, nxt, n,
+       round(n / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+FROM counts
+"""
+
+
+@query("q_event_transitions", oracle=TRANSITIONS_SQL)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("cur")
+    return counts.select(
+        "cur", "nxt", "n",
+        F.round(F.col("n") / F.sum("n").over(wc).cast("double"), 6).alias("p"),
+    )
+
+
+# -- q_fuzzy_match -----------------------------------------------------
+#
+# Blocked fuzzy record linkage: find near-duplicate part names
+# (levenshtein ≤ 2, not identical) WITHOUT an all-pairs scan — the
+# entity-resolution shape (block → compare within block) that keeps
+# linkage linear-ish at scale. The blocking key is the name's noun
+# (last token): only same-noun names are compared, so the candidate
+# join is an equi-join; the quadratic comparison happens per block,
+# where real deployments bound block size. Pair symmetry is broken
+# by name order (a < b) at the join predicate — no distinct() pass.
+
+FUZZY_SQL = """
+WITH names AS (
+  SELECT p_name, split_part(p_name, ' ', 2) AS blk, COUNT(*) AS n_parts
+  FROM part GROUP BY 1, 2
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.n_parts AS n_a, b.n_parts AS n_b
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query("q_fuzzy_match", oracle=FUZZY_SQL)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    names = p.groupBy(
+        F.col("p_name"), F.split("p_name", " ").getItem(1).alias("blk")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("blk"), F.col("n_parts").alias("n_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("blk"), F.col("n_parts").alias("n_b")
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select(
+            "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+            "n_a", "n_b",
+        )
+    )
