@@ -421,3 +421,61 @@ def key_counts_topk(
         .limit(k)
         .select(key_col, "n")
     )
+
+
+# ------------------------------- foreachBatch → CDC upsert (latest state)
+
+
+def stream_to_latest_state(state_path: str, partition_mod: int = 16):
+    """Maintain a "latest event per user" lake table from the event
+    stream — the streaming CDC-apply: each micro-batch is reduced to
+    one change row per user (its max-(ts, event_id) event), then
+    MERGEd into the state table via operators/incremental.merge_upsert,
+    which rewrites only the hash partitions the batch touches.
+
+    Idempotent under foreachBatch retries: re-merging the same batch
+    compares the same (ts, event_id) ordering and converges to the
+    same state. The partition column is a stable user_id hash bucket
+    (pmod ``partition_mod``) — at 100 TB you size it so a partition
+    rewrite is a bounded job, and only touched buckets are rewritten.
+    Returns the sink for ``writeStream.foreachBatch``.
+    """
+    from pyspark.sql import Window
+
+    from redmap_spark.operators.incremental import merge_upsert
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(partition_mod)).cast("int"))
+        )
+        # keep only updates that are NEWER than the stored state (an
+        # out-of-order replay must not regress a user's latest row)
+        try:
+            cur = latest.sparkSession.read.parquet(state_path).select(
+                F.col("user_id").alias("_u"),
+                F.col("ts").alias("_ts"),
+                F.col("event_id").alias("_eid"),
+            )
+            latest = (
+                latest.join(cur, latest.user_id == cur._u, "left")
+                .filter(
+                    F.col("_u").isNull()
+                    | (F.col("ts") > F.col("_ts"))
+                    | ((F.col("ts") == F.col("_ts")) & (F.col("event_id") >= F.col("_eid")))
+                )
+                .drop("_u", "_ts", "_eid")
+            )
+        except Exception:
+            pass  # first batch: no state table yet
+        merge_upsert(
+            latest.sparkSession, state_path, latest,
+            key_cols=["user_id"], partition_col="bucket",
+        )
+
+    return sink

@@ -314,3 +314,35 @@ def test_stream_key_counts_topk_matches_batch_and_retry(spark, tmp_path):
     sink(e, 0)
     again = {r.user_id: r.n for r in spark.read.parquet(counts).collect()}
     assert again == want
+
+
+def test_stream_to_latest_state(spark, tmp_path):
+    """Streaming CDC-apply: after draining the whole events file, the
+    state table must hold exactly each user's max-(ts,event_id) event
+    — identical to the batch groupBy answer."""
+    from redmap_spark.streaming.windowed import events_stream, stream_to_latest_state
+
+    state = str(tmp_path / "latest_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, SF_DIR)
+    q = (
+        stream.writeStream.foreachBatch(stream_to_latest_state(state))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(state).select("user_id", "ts", "event_id")
+    from pyspark.sql import Window
+
+    from redmap_spark.catalog import Catalog
+    e = Catalog(spark, SF_DIR).events
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("user_id", "ts", "event_id")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
