@@ -227,3 +227,62 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_scd2_single_exchange_shared_sort(spark):
+    """Both windows (lag change-detect, lead interval-close) partition
+    by user_id: ONE shuffle, and the scan prunes to 4 columns."""
+    df = QUERIES["q_scd2_intervals"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    # formatted mode prints each node twice (tree + detail): 1 node = 2 hits
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+    schema = E.read_schema(df)
+    assert "props" not in schema and "value" not in schema, schema
+
+
+def test_event_transitions_grid_window(spark):
+    """The probability window must run AFTER the (cur,nxt) collapse —
+    fact-proportional work is one shuffle + one partial-agg shuffle;
+    the window sort touches only the |types|² grid."""
+    df = QUERIES["q_event_transitions"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    assert "partial_count" in plan, plan  # map-side combine before shuffle
+    # exchanges (x2 textual per node): lead-window by user_id,
+    # groupBy(cur,nxt), window by cur — nothing else
+    assert plan.count("Exchange") <= 6, plan.count("Exchange")
+
+
+def test_bm25_term_filter_before_shuffle(spark):
+    """The explode must be filtered to the query terms pre-shuffle and
+    df/corpus-stats joins must broadcast — no fact-sized shuffle."""
+    df = QUERIES["txt_bm25"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    # generate(explode) feeds a Filter before any Exchange
+    gen = plan.find("Generate")
+    exch = plan.find("Exchange")
+    assert gen != -1
+
+
+def test_fuzzy_match_is_blocked_equi_join(spark):
+    """Linkage must plan as an equi-join on the blocking key — never a
+    cartesian/nested-loop over all name pairs."""
+    df = QUERIES["q_fuzzy_match"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    assert "CartesianProduct" not in plan, "all-pairs comparison!"
+    assert "Join" in plan
+
+
+def test_quantile_bins_partial_agg(spark):
+    """Bin counts must partial-aggregate map-side (the mergeable-
+    sketch property: per-partition partials, additive merge)."""
+    df = QUERIES["q_quantile_bins"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    assert "partial_count" in plan, plan
+
+
+def test_change_feed_single_join(spark):
+    df = QUERIES["q_change_feed"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
