@@ -21,6 +21,7 @@ from redmap_spark.inventory import relational3  # noqa: F401
 from redmap_spark.inventory import relational4  # noqa: F401
 from redmap_spark.inventory import changefeed  # noqa: F401
 from redmap_spark.inventory import linkage  # noqa: F401
+from redmap_spark.inventory import quality  # noqa: F401
 
 # The driver's 50-entry CORRECTNESS window is the strongest signal available
 # (rows+schema+value-hash vs DuckDB); entries without an oracle only get a

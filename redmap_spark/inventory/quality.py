@@ -1,0 +1,138 @@
+"""SURVEY §2.A/§2.E additions — table-level data-quality constraint
+checking and temperature-based mixture sampling (oracle-verified)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+
+# -- q_data_quality ----------------------------------------------------
+#
+# Declarative constraint suite over the lake (the Deequ shape): key
+# uniqueness, value bounds, null checks, and FK referential integrity,
+# emitted as one constraint-report table. Scale shape: all orders
+# constraints come from ONE aggregated scan (count/distinct/violation
+# counts share the pass); the FK check is a single left-anti join
+# (orders side shuffles once, or broadcasts when it fits). The report
+# is a UNION of 1-row aggregates — constant-size output however big
+# the inputs.
+
+DATA_QUALITY_SQL = """
+WITH o AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS nk,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos,
+         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nulls
+  FROM orders
+), fk AS (
+  SELECT COUNT(*) AS orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL
+)
+SELECT 'orders.o_orderkey is unique' AS check_name,
+       nk = n AS passed, CAST(n - nk AS BIGINT) AS violations FROM o
+UNION ALL
+SELECT 'orders.o_totalprice > 0', nonpos = 0, CAST(nonpos AS BIGINT) FROM o
+UNION ALL
+SELECT 'orders.o_orderdate not null', nulls = 0, CAST(nulls AS BIGINT) FROM o
+UNION ALL
+SELECT 'lineitem.l_orderkey references orders', orphans = 0,
+       CAST(orphans AS BIGINT) FROM fk
+"""
+
+
+@query("q_data_quality", oracle=DATA_QUALITY_SQL)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    o = c.orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("nk"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpos"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("nulls"),
+    )
+    li = c.lineitem.select("l_orderkey")
+    fk = (
+        li.join(
+            c.orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("orphans"))
+    )
+
+    def row(src: DataFrame, name: str, passed, violations) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("check_name"),
+            passed.alias("passed"),
+            violations.cast("long").alias("violations"),
+        )
+
+    return (
+        row(o, "orders.o_orderkey is unique",
+            F.col("nk") == F.col("n"), F.col("n") - F.col("nk"))
+        .unionAll(row(o, "orders.o_totalprice > 0",
+                      F.col("nonpos") == 0, F.col("nonpos")))
+        .unionAll(row(o, "orders.o_orderdate not null",
+                      F.col("nulls") == 0, F.col("nulls")))
+        .unionAll(row(fk, "lineitem.l_orderkey references orders",
+                      F.col("orphans") == 0, F.col("orphans")))
+    )
+
+
+# -- txt_temperature_sample --------------------------------------------
+#
+# Temperature-based mixture sampling (the multilingual-pretraining
+# rebalance: sample source s with probability ∝ n_s^α, α=0.5, so
+# small sources are up-weighted relative to their share). Per-source
+# acceptance rates are computed from the per-source counts (tiny,
+# broadcast); each doc accepts deterministically when its md5-derived
+# uniform fraction falls under its source's rate — reproducible on
+# any engine/partitioning, no rand(). One count pass + one
+# rate-lookup pass; zero fact-sized shuffles (the counts groupBy
+# moves |sources| rows).
+
+TEMPERATURE_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1
+), stats AS (
+  SELECT CAST(SUM(n_s) AS DOUBLE) AS n_tot, SUM(pow(n_s, 0.5)) AS sum_w
+  FROM counts
+), rates AS (
+  SELECT source, n_s,
+         least(1.0, (0.4 * n_tot) * (pow(n_s, 0.5) / sum_w) / n_s) AS rate
+  FROM counts CROSS JOIN stats
+)
+SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+        / 16777216.0 < r.rate
+"""
+
+
+@query("txt_temperature_sample", oracle=TEMPERATURE_SQL)
+def txt_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    stats = counts.agg(
+        F.sum("n_s").cast("double").alias("n_tot"),
+        F.sum(F.pow("n_s", F.lit(0.5))).alias("sum_w"),
+    )
+    rates = counts.crossJoin(F.broadcast(stats)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (0.4 * F.col("n_tot"))
+            * (F.pow("n_s", F.lit(0.5)) / F.col("sum_w"))
+            / F.col("n_s"),
+        ).alias("rate"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") / F.lit(16777216.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(frac < F.col("rate"))
+        .select("doc_id", "source", F.round("rate", 6).alias("rate"))
+    )
