@@ -196,3 +196,46 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.99).alias("p99_est"),
         F.max("total_n").cast("long").alias("n"),
     )
+
+
+# -- q_sliding_window --------------------------------------------------
+#
+# Sliding-window aggregation (7-day window, 1-day slide) via the
+# native F.window slide form — each event feeds exactly 7 windows,
+# which Spark plans as a 7-row generate + ONE partial-aggregated
+# shuffle of the (window, partial) pairs, identical to the streaming
+# plan for the same query. The oracle replays the same expansion with
+# generate_series. Trailing/leading partial windows are kept (they
+# are how a live dashboard sees the edges).
+
+SLIDING_SQL = """
+WITH expanded AS (
+  SELECT CAST(unnest(generate_series(
+           CAST(date_trunc('day', ts) AS DATE) - INTERVAL 6 DAY,
+           CAST(date_trunc('day', ts) AS DATE),
+           INTERVAL 1 DAY)) AS DATE) AS w_start,
+         value
+  FROM events
+)
+SELECT strftime(w_start, '%Y-%m-%d') AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM expanded GROUP BY 1
+"""
+
+
+@query("q_sliding_window", oracle=SLIDING_SQL)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
