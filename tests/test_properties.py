@@ -173,3 +173,73 @@ def test_pii_redaction_idempotent_and_clean_texts_untouched(spark, texts):
     for r in rows:
         assert r.r1 == r.r2, (r.r1, r.r2)
         assert r.r1 == r.text  # VOCAB contains no PII-shaped strings
+
+
+# ------------------------- round-4 operator invariants
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False), min_size=5, max_size=60
+    )
+)
+def test_quantile_bins_within_bin_width_of_exact(spark, vals):
+    """The fixed-bin estimate must sit within one bin width above the
+    exact quantile (upper-edge estimator property), for any data."""
+    import numpy as np
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(event_type="t", value=float(v)) for v in vals])
+    bins = df.groupBy(
+        "event_type", F.floor(F.col("value") / 0.5).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("event_type")
+    cum = bins.select(
+        "bin", "n",
+        F.sum("n").over(w).alias("cum_n"), F.sum("n").over(wt).alias("total_n"),
+    )
+    est = cum.agg(
+        F.min(F.when(F.col("cum_n") >= 0.5 * F.col("total_n"), (F.col("bin") + 1) * 0.5))
+    ).collect()[0][0]
+    exact = float(np.quantile(np.array(vals), 0.5, method="inverted_cdf"))
+    assert exact <= est <= exact + 0.5 + 1e-9, (exact, est)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seq=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=30)
+)
+def test_scd2_intervals_tile_the_timeline(spark, seq):
+    """For any single-user event_type sequence: intervals must (1)
+    count exactly the change points, (2) chain valid_to == next
+    valid_from, (3) end with exactly one open current interval."""
+    from pyspark.sql import Row
+
+    from redmap_spark.inventory.changefeed import q_scd2_intervals  # noqa: F401
+    from redmap_spark.inventory import QUERIES
+    import tempfile, os
+
+    # materialize a tiny events parquet the inventory entry can read
+    rows = [
+        Row(event_id=i, ts=__import__("datetime").datetime(2024, 1, 1, 0, 0, i),
+            user_id=1, event_type=t, value=1.0, props="{}")
+        for i, t in enumerate(seq)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = sorted(
+            QUERIES["q_scd2_intervals"](spark, d).collect(),
+            key=lambda r: r.valid_from_us,
+        )
+    n_changes = 1 + sum(1 for x, y in zip(seq, seq[1:]) if x != y)
+    assert len(got) == n_changes
+    assert sum(1 for r in got if r.is_current) == 1
+    assert got[-1].is_current and got[-1].valid_to_us is None
+    for a, b in zip(got, got[1:]):
+        assert a.valid_to_us == b.valid_from_us
+        assert a.state != b.state
