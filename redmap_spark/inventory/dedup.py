@@ -48,6 +48,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(Catalog(spark, sf_dir).documents, k=3, threshold=0.5)
 
 
+DEDUP_CONTAIN_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+d AS (
+  SELECT id1 AS contained_id, id2 AS container_id,
+         round(CAST(c AS DOUBLE) / n1.n, 6) AS containment
+  FROM p JOIN n n1 ON n1.doc_id = id1
+  UNION ALL
+  SELECT id2, id1, round(CAST(c AS DOUBLE) / n2.n, 6)
+  FROM p JOIN n n2 ON n2.doc_id = id2
+)
+SELECT * FROM d WHERE containment >= 0.8
+"""
+
+
+@query("dedup_containment", oracle=DEDUP_CONTAIN_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment ≥ 0.8 — the asymmetric near-dup
+    (short doc quoted inside a long one) that symmetric Jaccard
+    dilutes away. See operators/dedup.py::ngram_containment_pairs."""
+    return D.ngram_containment_pairs(Catalog(spark, sf_dir).documents, k=3, threshold=0.8)
+
+
 @query("dedup_minhash_lsh")  # approximate: verified by recall pytest
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(Catalog(spark, sf_dir).documents, threshold=0.5)

@@ -113,6 +113,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed shingle containment: c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+
+    Catches the asymmetric near-dups Jaccard misses — a short document
+    fully quoted inside a long one scores containment ≈ 1 while its
+    Jaccard stays low (|A∩B| / |A∪B| is diluted by the long side).
+    Same scale shape as ngram_jaccard_pairs: the shared-shingle
+    equi-join generates candidates (never n²), one count per unordered
+    pair, then BOTH directions are emitted from that single count —
+    no second join or shuffle for the reverse direction.
+    """
+    hs = (
+        _token_rows(df, id_col, text_col, k)
+        .select("id", shingle_hashes_from_tokens(F.col("t"), k).alias("hs"))
+        .cache()
+    )
+    ex = hs.select("id", F.size("hs").alias("n"), F.explode("hs").alias("h"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fwd = common.select(
+        F.col("id1").alias("contained_id"),
+        F.col("id2").alias("container_id"),
+        F.round(F.col("c").cast("double") / F.col("n1"), 6).alias("containment"),
+    )
+    rev = common.select(
+        F.col("id2").alias("contained_id"),
+        F.col("id1").alias("container_id"),
+        F.round(F.col("c").cast("double") / F.col("n2"), 6).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
 # ------------------------------------------------------------- minhash
 
 
