@@ -147,17 +147,27 @@ def ngram_containment_pairs(
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    fwd = common.select(
-        F.col("id1").alias("contained_id"),
-        F.col("id2").alias("container_id"),
-        F.round(F.col("c").cast("double") / F.col("n1"), 6).alias("containment"),
+    # both directions from ONE pass over the pair counts (a unionAll of
+    # two selects would re-execute the candidate join per branch)
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("id1").alias("contained_id"),
+                F.col("id2").alias("container_id"),
+                F.round(F.col("c").cast("double") / F.col("n1"), 6).alias("containment"),
+            ),
+            F.struct(
+                F.col("id2").alias("contained_id"),
+                F.col("id1").alias("container_id"),
+                F.round(F.col("c").cast("double") / F.col("n2"), 6).alias("containment"),
+            ),
+        )
     )
-    rev = common.select(
-        F.col("id2").alias("contained_id"),
-        F.col("id1").alias("container_id"),
-        F.round(F.col("c").cast("double") / F.col("n2"), 6).alias("containment"),
+    return (
+        common.select(both.alias("e"))
+        .select("e.*")
+        .filter(F.col("containment") >= threshold)
     )
-    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
 
 
 # ------------------------------------------------------------- minhash
