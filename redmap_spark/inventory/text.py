@@ -570,3 +570,58 @@ def txt_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppl"),
         )
     )
+
+
+# -- txt_tfidf_keywords ------------------------------------------------
+#
+# TF-IDF keyword extraction: top-3 characteristic terms per document
+# (weight = tf · ln(N/df)) — the cheap per-doc topic signal used for
+# corpus exploration and domain tagging. Scale shape: tf is one
+# token-stream groupBy; document frequencies and the corpus count are
+# broadcast; the per-doc top-k window adds one doc_id shuffle of the
+# (already collapsed) tf table — |doc×distinct-term| rows, far below
+# the raw token stream. Ties break on the term itself.
+
+TXT_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS nd FROM documents)
+SELECT doc_id, term,
+       CAST(rn AS BIGINT) AS rank, weight
+FROM (
+  SELECT tf.doc_id, tf.term,
+         round(tf * ln(nd / CAST(df AS DOUBLE)), 6) AS weight,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY round(tf * ln(nd / CAST(df AS DOUBLE)), 6) DESC,
+                                     tf.term) AS rn
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+WHERE rn <= 3
+"""
+
+
+@query("txt_tfidf_keywords", oracle=TXT_TFIDF_SQL)
+def txt_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("nd"))
+    weight = F.round(
+        F.col("tf") * F.log(F.col("nd") / F.col("df").cast("double")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", weight.alias("weight"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", "weight")
+    )
