@@ -153,3 +153,50 @@ def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("user_id", "ts")
         .select("user_id", "event_id", "ts", "value")
     )
+
+
+# -- mr_cogroup: group two datasets by key, pair the groups ------------
+#
+# The remaining classic MapReduce primitive: cogroup(A, B) by key →
+# per key, both groups side by side (the building block joins and
+# set ops were hand-rolled from in MapReduce land). Declarative form:
+# aggregate each side to its per-key group summary FIRST (map-side
+# partial combine), then one full-outer equi-join of the two
+# collapsed sides — null-complete so keys present in only one input
+# still appear, exactly like an empty cogroup bag.
+
+MRCOGROUP_SQL = """
+WITH li AS (
+  SELECT l_orderkey AS k, COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1
+), o AS (
+  SELECT o_orderkey AS k, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  FROM orders GROUP BY 1
+)
+SELECT COALESCE(li.k, o.k) AS k,
+       COALESCE(n_items, 0) AS n_items, COALESCE(sum_qty, 0) AS sum_qty,
+       COALESCE(n_orders, 0) AS n_orders, total_price
+FROM li FULL OUTER JOIN o ON li.k = o.k
+"""
+
+
+@query("mr_cogroup", oracle=MRCOGROUP_SQL)
+def mr_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+    )
+    o = c.orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+    return li.join(o, "k", "full_outer").select(
+        "k",
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.coalesce("sum_qty", F.lit(0)).alias("sum_qty"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        "total_price",
+    )
