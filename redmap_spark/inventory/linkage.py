@@ -93,3 +93,41 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a", "n_b",
         )
     )
+
+
+# -- q_attribution -----------------------------------------------------
+#
+# First/last-touch attribution per user: which event type opened the
+# journey and which closed it, plus purchase count — the min_by /
+# max_by (arg_min/arg_max) aggregate shape, ONE partial-aggregated
+# scan with no window sort at all (contrast q_scd2's window: argmin
+# aggregates carry (key, value) partial state and merge, so the
+# shuffle moves |users| rows, pre-combined map-side). The comparison
+# key is a zero-padded (epoch_us, event_id) string so ordering is
+# total and engine-identical.
+
+ATTRIBUTION_SQL = """
+SELECT user_id,
+       arg_min(event_type, printf('%020d%020d', epoch_us(ts), event_id))
+         AS first_touch,
+       arg_max(event_type, printf('%020d%020d', epoch_us(ts), event_id))
+         AS last_touch,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+@query("q_attribution", oracle=ATTRIBUTION_SQL)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    key = F.format_string("%020d%020d", F.unix_micros("ts"), F.col("event_id"))
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_touch"),
+        F.max_by("event_type", key).alias("last_touch"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

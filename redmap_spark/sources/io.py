@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -115,3 +116,24 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-asset ingestion via the built-in ``binaryFile`` source —
+    how image/audio/video payloads enter the lake before they become
+    typed binary columns (multimodal/columns.py). Emits (path,
+    modificationTime, length, content) plus a ``file_name`` column
+    for joining sidecar metadata. The source supports predicate
+    pushdown on the file-status columns (e.g. length < N skips large
+    assets without reading a byte) and normal partition-dir pruning;
+    at 100 TB you point it at a partitioned asset prefix and prune,
+    never list-then-filter driver-side."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.withColumn(
+        "file_name", F.element_at(F.split(F.col("path"), "/"), -1)
+    )

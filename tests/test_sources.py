@@ -185,3 +185,33 @@ def test_schema_evolution_merge(spark, tmp_path):
     n = c.orders.count()
     assert merged.count() == 2 * n
     assert merged.filter(F.col("priority").isNull()).count() == n
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """binaryFile ingestion: PNG payloads written as loose files come
+    back byte-identical with file metadata, a pushed length filter
+    skips the oversized asset, and the decoded dimensions match the
+    multimodal header parser."""
+    import os
+
+    from redmap_spark.multimodal.columns import parse_image_header
+    from redmap_spark.multimodal.png import encode_png
+    from redmap_spark.sources.io import read_binary_files
+
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    payloads = {}
+    for i, (w, h) in enumerate([(3, 2), (5, 4), (2, 7)]):
+        raw = encode_png(w, h, 3, bytes((x * 7 + y * 11 + i) % 256 for y in range(h) for x in range(w) for _ in (0, 1, 2)))
+        payloads[f"img_{i}.png"] = raw
+        (assets / f"img_{i}.png").write_bytes(raw)
+    (assets / "huge.bin").write_bytes(b"\0" * 100_000)
+
+    df = read_binary_files(spark, str(assets), glob="*")
+    rows = {r.file_name: r for r in df.filter("length < 50000").collect()}
+    assert set(rows) == set(payloads), rows.keys()
+    for name, raw in payloads.items():
+        assert bytes(rows[name].content) == raw
+        assert rows[name].length == len(raw)
+    w, h, _frames = parse_image_header(bytes(rows["img_1.png"].content))
+    assert (w, h) == (5, 4)
