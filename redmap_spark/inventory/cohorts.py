@@ -226,3 +226,42 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+# -- q_period_over_period ----------------------------------------------
+#
+# Period-over-period reporting: daily revenue with previous-day and
+# 7-day-back comparisons off a lag window — the dashboard staple.
+# One fact scan collapses to the daily grid (partial-aggregated);
+# both lags share the single ORDER BY day window sort over that tiny
+# grid. Ratios are guarded against zero denominators and rounded.
+
+POP_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM events GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+       round(revenue - LAG(revenue, 1) OVER (ORDER BY day), 2) AS dod_delta,
+       CASE WHEN LAG(revenue, 7) OVER (ORDER BY day) > 0
+            THEN round(revenue / LAG(revenue, 7) OVER (ORDER BY day) - 1.0, 6)
+       END AS wow_ratio
+FROM daily
+"""
+
+
+@query("q_period_over_period", oracle=POP_SQL)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("day")
+    lag1, lag7 = F.lag("revenue", 1).over(w), F.lag("revenue", 7).over(w)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.round(F.col("revenue") - lag1, 2).alias("dod_delta"),
+        F.when(lag7 > 0, F.round(F.col("revenue") / lag7 - 1.0, 6)).alias("wow_ratio"),
+    )
