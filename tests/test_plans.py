@@ -286,3 +286,31 @@ def test_change_feed_single_join(spark):
     plan = E.plan_string(df, "formatted")
     assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_partial_agg_no_window(spark):
+    """min_by/max_by must plan as a partial-aggregated groupBy (one
+    shuffle of pre-combined |users| rows) — no window sort at all."""
+    df = QUERIES["q_attribution"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    assert "Window" not in plan, "attribution fell back to a window sort"
+    assert "partial_min_by" in plan or "partial_" in plan, plan
+    assert plan.count("Exchange") == 2, plan.count("Exchange")  # 1 node x2 text
+
+
+def test_cogroup_both_sides_precombined(spark):
+    """Each cogroup side collapses to per-key summaries BEFORE the
+    full-outer join — the join moves group rows, not raw records."""
+    df = QUERIES["mr_cogroup"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    assert "FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per side (x2 text)
+
+
+def test_tfidf_window_over_collapsed_tf(spark):
+    """The top-k window runs over the collapsed tf table; the raw
+    token explode feeds only aggregates, never the window sort."""
+    df = QUERIES["txt_tfidf_keywords"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    assert "Generate" in plan and "Window" in plan
+    assert "CartesianProduct" not in plan
