@@ -131,3 +131,37 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_purchases"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# -- q_audience_overlap ------------------------------------------------
+#
+# Segment-overlap matrix: for every event-type pair, how many
+# distinct users did BOTH — the audience-intersection primitive
+# behind campaign planning and cohort design. Scale shape: the fact
+# stream collapses to distinct (user, type) FIRST (one shuffle, the
+# only fact-proportional one); the self-join then runs on |users|×
+# |types| rows keyed by user, and the pair groupBy output is the
+# tiny |types|² grid. At sketch scale the same matrix comes from
+# theta-sketch intersections; this is the exact form.
+
+AUDIENCE_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+@query("q_audience_overlap", oracle=AUDIENCE_SQL)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
