@@ -52,8 +52,9 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocked fuzzy record linkage: find near-duplicate part names
 # (levenshtein ≤ 2, not identical) WITHOUT an all-pairs scan — the
 # entity-resolution shape (block → compare within block) that keeps
-# linkage linear-ish at scale. The blocking key is the name's noun
-# (last token): only same-noun names are compared, so the candidate
+# linkage linear-ish at scale. The blocking key is the name's SECOND
+# token (of the 5-token TPC-H p_name; split_part(...,2) / getItem(1)
+# on both sides): only same-block names are compared, so the candidate
 # join is an equi-join; the quadratic comparison happens per block,
 # where real deployments bound block size. Pair symmetry is broken
 # by name order (a < b) at the join predicate — no distinct() pass.

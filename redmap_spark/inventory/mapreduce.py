@@ -168,7 +168,7 @@ def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 MRCOGROUP_SQL = """
 WITH li AS (
   SELECT l_orderkey AS k, COUNT(*) AS n_items,
-         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
   FROM lineitem GROUP BY 1
 ), o AS (
   SELECT o_orderkey AS k, COUNT(*) AS n_orders,
@@ -187,7 +187,10 @@ def mr_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     li = c.lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        # sum through DECIMAL(18,2) then cast to double on BOTH sides (same
+        # as the money aggregates) so fractional quantities can't diverge
+        # between Spark (cast truncates) and DuckDB (cast rounds half-up).
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
     o = c.orders.groupBy(F.col("o_orderkey").alias("k")).agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -647,8 +647,8 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode every vector to its ``m`` nearest-subcentroid codes —
-    the at-rest PQ index table (id, codes array<int>): 8 small ints
-    per vector vs 64 doubles, a ~64× smaller scan. Codebooks are
+    the at-rest PQ index table (id, codes array<int>): ``m`` (=PQ_M=16)
+    small ints per vector vs 64 doubles, a ~32× smaller scan. Codebooks are
     FROZEN after training, so embedding them as literal expressions
     compiles whole-stage codegen exactly once (the recompile-per-
     change hazard only bites when the constants churn, as in the

@@ -445,6 +445,8 @@ def stream_to_latest_state(state_path: str, partition_mod: int = 16):
     from redmap_spark.operators.incremental import merge_upsert
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         w = Window.partitionBy("user_id").orderBy(
             F.desc("ts"), F.desc("event_id")
         )
@@ -455,13 +457,23 @@ def stream_to_latest_state(state_path: str, partition_mod: int = 16):
             .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(partition_mod)).cast("int"))
         )
         # keep only updates that are NEWER than the stored state (an
-        # out-of-order replay must not regress a user's latest row)
+        # out-of-order replay must not regress a user's latest row).
+        # Only the first-batch missing-path case may be skipped; any other
+        # read failure (corrupt footer, permissions) must fail the batch so
+        # structured streaming retries it rather than silently dropping the
+        # newer-than-stored filter.
         try:
             cur = latest.sparkSession.read.parquet(state_path).select(
                 F.col("user_id").alias("_u"),
                 F.col("ts").alias("_ts"),
                 F.col("event_id").alias("_eid"),
             )
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
+            cur = None  # first batch: no state table yet
+        if cur is not None:
             latest = (
                 latest.join(cur, latest.user_id == cur._u, "left")
                 .filter(
@@ -471,8 +483,6 @@ def stream_to_latest_state(state_path: str, partition_mod: int = 16):
                 )
                 .drop("_u", "_ts", "_eid")
             )
-        except Exception:
-            pass  # first batch: no state table yet
         merge_upsert(
             latest.sparkSession, state_path, latest,
             key_cols=["user_id"], partition_col="bucket",

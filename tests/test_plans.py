@@ -258,10 +258,18 @@ def test_bm25_term_filter_before_shuffle(spark):
     df = QUERIES["txt_bm25"](spark, SF_DIR)
     plan = E.plan_string(df, "formatted")
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2, plan
-    # generate(explode) feeds a Filter before any Exchange
-    gen = plan.find("Generate")
-    exch = plan.find("Exchange")
-    assert gen != -1
+    # generate(explode) feeds the term-IN Filter directly (pre-shuffle):
+    # in formatted-plan numbering the parent of node (n) is (n+1), so every
+    # Generate's immediate consumer must be a Filter with the IN-list —
+    # the explode output is pruned to query terms before any Exchange.
+    import re
+
+    gens = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Generate", plan)]
+    assert gens, plan
+    for g in gens:
+        m = re.search(rf"\({g + 1}\) (\w+)", plan)
+        assert m and m.group(1) == "Filter", (g, m and m.group(1))
+    assert re.search(r"Condition : term#\d+ IN \(", plan), plan
 
 
 def test_fuzzy_match_is_blocked_equi_join(spark):
