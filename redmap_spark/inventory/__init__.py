@@ -23,11 +23,48 @@ from redmap_spark.inventory import changefeed  # noqa: F401
 from redmap_spark.inventory import linkage  # noqa: F401
 from redmap_spark.inventory import quality  # noqa: F401
 
-# The driver's 50-entry CORRECTNESS window is the strongest signal available
-# (rows+schema+value-hash vs DuckDB); entries without an oracle only get a
-# weak rows-only row there. Move the no-oracle entries (approximate ANN,
-# sketch-bound, binary-output multimodal — each covered by recall/error-bound
-# pytest instead) to the END so every window slot is hash-checkable.
+# The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
+# (rows+schema+value-hash vs DuckDB). Rounds 1–4 drove 88 of the oracle
+# entries green; this explicit round-5 rotation puts the REMAINING ones
+# first so the cross-round union covers every oracle entry:
+#   1. the 13 never-driver-verified entries,
+#   2. the round-5 additions (dedup_spans, txt_quality_model),
+#   3. mr_cogroup (sum_qty cast changed in round 5 → re-verify),
+#   4. refreshes of entries last verified in round 1 (oldest code),
+# totalling exactly 50. The four left out (q_semi/anti_join, q_distinct,
+# q_union — trivial set ops, r1-green) stay covered by tests/test_oracle.py.
+_WINDOW_FIRST = [
+    # -- never driver-verified (rounds 1-4 windows missed them) --------
+    "q_set_ops", "q11_important_stock", "q15_top_supplier",
+    "q_scd2_intervals", "q_change_feed", "q_quantile_bins",
+    "q_sliding_window", "q_event_transitions", "q_fuzzy_match",
+    "q_attribution", "q_audience_overlap", "q_data_quality",
+    "txt_temperature_sample",
+    # -- new in round 5 ------------------------------------------------
+    "dedup_spans", "txt_quality_model",
+    # -- changed in round 5 (decimal-parity sum_qty) -------------------
+    "mr_cogroup",
+    # -- last verified round 1: refresh against current code -----------
+    "q_window_running", "q_topk_per_group", "q_rollup", "q_cube",
+    "q_pivot", "q_histogram", "q_json_extract", "q_sessionize",
+    "q_asof_join", "q_range_join", "q_time_bucket", "q_percentiles",
+    "q_outer_join", "q_funnel", "q_grouping_sets", "q_profile",
+    "q_window_frames", "q_array_ops", "q_session_window",
+    "q7_nation_volume", "q12_priority_shipping", "q13_order_distribution",
+    "q14_promo_share", "q16_supplier_variety", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive", "q_string_ops",
+    "q_datetime_ops", "q2_min_cost_supplier", "q9_product_profit",
+    "q20_excess_suppliers", "q21_sole_returner", "q22_global_sales",
+]
+_rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
+_ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}
+QUERIES.clear()
+QUERIES.update(_ordered)
+
+# Entries without an oracle only get a weak rows-only row in the window.
+# Move the no-oracle entries (approximate ANN, sketch-bound, binary-output
+# multimodal — each covered by recall/error-bound pytest instead) to the
+# END so every window slot is hash-checkable.
 for _name in [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)
 

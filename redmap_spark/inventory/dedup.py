@@ -153,3 +153,38 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     one representative per cluster. The step that turns pair lists
     into an actual deduplicated corpus."""
     return D.near_dedup_keep_list(Catalog(spark, sf_dir).documents, threshold=0.5)
+
+
+# Exact duplicate-span (sub-document) dedup: aligned 20-token blocks
+# hashed and rolled up; classes with >= 2 occurrences are emitted per
+# occurrence with the (min doc_id, min span_start) representative.
+# The rep is a single MIN over doc_id*1e9+span_start so both engines
+# agree bit-for-bit (no argmin tie-break semantics to align).
+DEDUP_SPANS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sp AS (
+  SELECT doc_id, CAST((i - 1) * 20 AS BIGINT) AS span_start,
+         md5(array_to_string(t[(i-1)*20+1 : i*20], ' ')) AS fp
+  FROM toks, UNNEST(range(1, CAST(len(t) // 20 AS BIGINT) + 1)) AS u(i)
+  WHERE len(t) >= 20
+),
+cls AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         MIN(doc_id * 1000000000 + span_start) AS rep_key
+  FROM sp GROUP BY fp HAVING COUNT(*) >= 2
+)
+SELECT sp.doc_id, sp.span_start, CAST(20 AS BIGINT) AS span_len, sp.fp,
+       CAST(rep_key // 1000000000 AS BIGINT) AS rep_doc,
+       CAST(rep_key % 1000000000 AS BIGINT) AS rep_start,
+       n_copies, n_docs
+FROM sp JOIN cls USING (fp)
+"""
+
+
+@query("dedup_spans", oracle=DEDUP_SPANS_SQL)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: verbatim 20-token blocks repeated
+    anywhere in the corpus, each occurrence tagged with its class
+    representative (keep the rep, cut the rest)."""
+    return D.duplicate_spans(Catalog(spark, sf_dir).documents, width=20)

@@ -625,3 +625,73 @@ def near_dedup_keep_list(
     pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, threshold=threshold)
     clusters = dup_clusters(pairs, df.select(id_col), id_col=id_col)
     return clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+
+
+# ------------------------------------------------------- duplicate spans
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 20,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection: find token blocks repeated
+    verbatim anywhere in the corpus (boilerplate headers, license
+    blocks, templated paragraphs) — the sub-document complement to
+    whole-doc dedup.
+
+    Documents are cut into aligned ``width``-token blocks (the
+    paragraph analogue for unstructured text; a trailing partial
+    block can't be a full span and is dropped), each block is hashed,
+    and blocks whose hash repeats (>= 2 occurrences) are emitted with
+    the class representative — the occurrence with the smallest
+    (doc_id, span_start). Downstream removal keeps the representative
+    and cuts every other occurrence.
+
+    Scale: per-doc work is linear (one split, n/width hashes computed
+    inside a single ``transform``), the class roll-up is one
+    hash-partitioned groupBy on fp with map-side partial aggregation,
+    and the occurrence join reuses the same fp key (co-partitioned
+    with the groupBy output — no extra shuffle stage beyond the
+    join's own). Nothing is quadratic in corpus size; block hashes
+    are 128-bit md5 so cross-class collisions are negligible.
+
+    The representative is encoded as min(doc_id * 1e9 + span_start) —
+    a single BIGINT min both engines compute identically (span_start
+    < 1e9 tokens/doc is asserted by construction at width >= 1).
+    """
+    w = F.lit(width)
+    spans = (
+        df.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("t"))
+        .filter(F.size("t") >= width)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (F.size("t") / w).cast("int") - 1),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i * w + 1, w))),
+                )
+            ).alias("blk", "fp"),
+        )
+        .select("doc_id", (F.col("blk") * w).cast("long").alias("span_start"), "fp")
+    )
+    classes = (
+        spans.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.col("doc_id") * F.lit(1_000_000_000) + F.col("span_start")).alias("rep_key"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+    return spans.join(classes, "fp").select(
+        "doc_id",
+        "span_start",
+        F.lit(width).cast("long").alias("span_len"),
+        "fp",
+        F.expr("rep_key div 1000000000").alias("rep_doc"),
+        (F.col("rep_key") % F.lit(1_000_000_000)).cast("long").alias("rep_start"),
+        "n_copies",
+        "n_docs",
+    )

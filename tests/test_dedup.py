@@ -145,3 +145,50 @@ def test_near_dedup_keep_list(spark):
     for p in pairs:
         assert not (p.id1 in dropped and p.id2 in dropped) or True
         assert not (p.id1 in keep and p.id2 in keep), (p.id1, p.id2)
+
+
+def test_duplicate_spans_removal_invariant(spark):
+    """Cutting every non-representative occurrence leaves no aligned
+    20-token block repeated anywhere in the corpus, and reps are
+    never cut (each duplicated class survives exactly once)."""
+    from pyspark.sql import functions as F
+
+    docs = Catalog(spark, SF_DIR).documents
+    W = 20
+    out = D.duplicate_spans(docs, width=W)
+    rows = out.collect()
+    assert rows, "testdata should contain duplicated spans"
+
+    # brute-force recompute every aligned block driver-side
+    blocks = {}  # text -> [(doc_id, start)]
+    for r in docs.select("doc_id", "text").collect():
+        t = r.text.split(" ")
+        for i in range(len(t) // W):
+            blocks.setdefault(" ".join(t[i * W:(i + 1) * W]), []).append(
+                (r.doc_id, i * W)
+            )
+    dup_occurrences = {
+        occ for occs in blocks.values() if len(occs) >= 2 for occ in occs
+    }
+    got = {(r.doc_id, r.span_start) for r in rows}
+    assert got == dup_occurrences  # every duplicated block found, no extras
+
+    by_fp = {}  # rep of each class is the min (doc_id, start) occurrence
+    for r in rows:
+        by_fp.setdefault(r.fp, []).append(r)
+    for fp, occs in by_fp.items():
+        rep = (occs[0].rep_doc, occs[0].rep_start)
+        assert rep == min((o.doc_id, o.span_start) for o in occs)
+        assert all((o.rep_doc, o.rep_start) == rep for o in occs)
+        assert occs[0].n_copies == len(occs)
+
+    # the removal plan: keep reps, cut other occurrences → no block
+    # hash appears twice among survivors
+    cut = {(r.doc_id, r.span_start) for r in rows
+           if (r.doc_id, r.span_start) != (r.rep_doc, r.rep_start)}
+    survivors = {}
+    for text, occs in blocks.items():
+        remaining = [o for o in occs if o not in cut]
+        assert len(remaining) >= 1  # rep never cut
+        if len(occs) >= 2:
+            assert len(remaining) == 1, (text[:40], remaining)

@@ -41,3 +41,24 @@ def test_survey_checklist_is_backed():
         # silently gain an oracle tag without the oracle
     extra = [n for n in QUERIES if f"`{n}`" not in text]
     assert not extra, f"inventory queries missing from SURVEY.md: {extra}"
+
+
+def test_window_rotation_covers_all_oracles():
+    """Round-5 window invariants: the driver verifies the FIRST 50
+    queries() entries, so (a) all 50 must be oracle-backed (hash-
+    checkable) and (b) union(first-50, rounds 1-4 driver-green) must
+    cover EVERY oracle entry — no oracle query is forever unverified."""
+    import json
+    from pathlib import Path
+
+    window = list(QUERIES)[:50]
+    no_oracle = [n for n in window if n not in ORACLES]
+    assert not no_oracle, f"weak rows-only entries in window: {no_oracle}"
+
+    verified = set()
+    root = Path(__file__).resolve().parent.parent
+    for p in sorted(root.glob("CORRECTNESS_r0[1-4].json")):
+        d = json.loads(p.read_text())
+        verified |= {k for k, v in d.items() if v.get("hash_match")}
+    uncovered = [n for n in ORACLES if n not in verified and n not in window]
+    assert not uncovered, f"oracle entries never driver-verified: {uncovered}"
