@@ -625,3 +625,86 @@ def txt_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "rank", "weight")
     )
+
+
+# -- txt_quality_model -------------------------------------------------
+#
+# Learned-quality scorer: logistic-model score over the Gopher feature
+# vector (weights are frozen training artifacts embedded as literals —
+# at scale they'd ship exactly the same way: tiny constant vector in
+# the closure, never a join). The squash is the ALGEBRAIC sigmoid
+# 0.5*(1 + z/(1+|z|)) rather than 1/(1+exp(-z)): +, *, /, abs are
+# exactly-rounded IEEE ops so Spark's JVM and DuckDB's libm produce
+# bit-identical scores, which exp() does not guarantee — determinism
+# rule, registry.py docstring. Monotone-equivalent to the logistic
+# (same ranking, accept ⇔ z >= 0 ⇔ score >= 0.5).
+
+_QW = {  # frozen "trained" weights over the Gopher signals
+    "bias": -0.8,
+    "n_words": 0.004,
+    "mean_word_len": 0.15,
+    "alpha_word_frac": 1.2,
+    "symbols_per_word": -0.08,
+    "stop_frac": 2.5,
+}
+
+TXT_QMODEL_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+         round(list_avg(list_transform(string_split(text, ' '),
+                                       x -> CAST(length(x) AS DOUBLE))), 6) AS mwl,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS awf,
+         CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) AS sym,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN {STOPS_SQL})) AS DOUBLE) AS stp
+  FROM documents),
+z AS (
+  SELECT doc_id,
+         -0.8 + 0.004 * nw + 0.15 * mwl + 1.2 * awf
+              + -0.08 * (sym / nw) + 2.5 * (stp / nw) AS z
+  FROM f)
+SELECT doc_id, round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS quality_score,
+       z >= 0.0 AS accept
+FROM z
+"""
+
+
+@query("txt_quality_model", oracle=TXT_QMODEL_SQL)
+def txt_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    nw = T.ws_token_count("text").cast("double")
+    z = (
+        F.lit(_QW["bias"])
+        + F.lit(_QW["n_words"]) * nw
+        + F.lit(_QW["mean_word_len"]) * T.mean_word_length("text")
+        + F.lit(_QW["alpha_word_frac"]) * T.alpha_word_frac("text")
+        + F.lit(_QW["symbols_per_word"]) * (T.symbol_count("text").cast("double") / nw)
+        + F.lit(_QW["stop_frac"]) * (T.marker_hits("text", T.STOPWORDS).cast("double") / nw)
+    )
+    return d.select(
+        "doc_id",
+        F.round(F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z))), 6).alias("quality_score"),
+        (z >= F.lit(0.0)).alias("accept"),
+    )
+
+
+# -- txt_pack ----------------------------------------------------------
+
+
+@query("txt_pack")  # greedy-sequential packing: verified by invariants pytest
+def txt_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: chunk the corpus (50-token windows), then
+    first-fit the chunks into 512-token training rows — deterministic
+    under any input partitioning (bucketed by doc-id hash, packed in
+    (doc_id, chunk_idx) order). Invariants (Σ tokens preserved, every
+    pack ≤ budget, stable under repartitioning) are pytest-verified in
+    tests/test_training_pipeline.py; the greedy loop is inherently
+    sequential so there is no SQL oracle."""
+    from redmap_spark.operators.packing import pack_sequences
+
+    d = Catalog(spark, sf_dir).documents
+    chunks = T.chunk_documents(d, chunk_tokens=50, stride=40)
+    return pack_sequences(chunks, budget=512, n_buckets=64)
