@@ -48,32 +48,37 @@ def main() -> None:
     # Full-precision, full-name timings for humans/BASELINE.md upkeep.
     print(json.dumps({"full_queries": timings}, sort_keys=True))
     # The driver stores only the LAST 2000 chars of stdout and json-parses
-    # from there, so the final line must stay under that budget: short query
-    # keys (q<N>_xxx -> q<N>, q_xxx -> xxx; mapping documented in BASELINE.md)
-    # and 2-decimal values keep ~97 queries at ~1800 chars.
-    compact = {
-        re.sub(r"^q(\d+)_.*$", r"q\1", k).removeprefix("q_"): round(v, 2)
-        for k, v in timings.items()
-    }
+    # from there, so the final line must carry ALL entries under that budget:
+    # family prefixes collapse to one letter (dedup_->d. sim_->s. txt_->t.
+    # mm_->m. mr_->r. q_-> ""), q<N>_xxx -> q<N>, the remainder truncates to
+    # 6 chars (collisions get a deterministic numeric suffix in sorted-name
+    # order), and values round to 1 decimal. The full-name line above is the
+    # human decoder ring; at ~117 entries this stays ≈1750 chars.
+    compact: dict[str, float] = {}
+    for k in sorted(timings):
+        k2 = re.sub(r"^q(\d+)_.*$", r"q\1", k)
+        pre, rest = "", k2
+        for p, r in [("dedup_", "d."), ("sim_", "s."), ("txt_", "t."),
+                     ("mm_", "m."), ("mr_", "r."), ("q_", "")]:
+            if k2.startswith(p):
+                pre, rest = r, k2[len(p):]
+                break
+        s = pre + rest[:6]
+        i = 2
+        while s in compact:
+            s = pre + rest[:5] + str(i)
+            i += 1
+        compact[s] = round(timings[k], 1)
     assert len(compact) == len(timings), "short-key collision"
 
-    def render(q: dict[str, float]) -> str:
-        return json.dumps({
-            "metric": "inventory_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": q,
-            "sf": sf,
-        }, separators=(",", ":"), sort_keys=True)
-
-    line = render(compact)
-    while len(line) >= 1950 and compact:
-        # Over the driver's tail budget (inventory grew): drop the cheapest
-        # queries from the compact dict — the slow ones are what matter for
-        # regression tracking; the full dict is on the line above regardless.
-        cheapest = min(compact, key=compact.get)
-        del compact[cheapest]
-        line = render(compact)
+    line = json.dumps({
+        "metric": "inventory_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": compact,
+        "sf": sf,
+    }, separators=(",", ":"), sort_keys=True)
+    assert len(line) < 1900, f"driver-tail budget exceeded: {len(line)}"
     print(line)
 
 
