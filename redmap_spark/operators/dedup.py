@@ -43,11 +43,30 @@ def exact_dedup_classes(df: DataFrame, text_col: str = "text", id_col: str = "do
 # element (measured 8× slower on the shingle explode).
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan small inputs out to the session's full parallelism.
+
+    The shingle/signature derivations below are CPU-bound at ~100×
+    their input bytes, and a small parquet file arrives in one scan
+    partition — leaving every downstream hash single-threaded (and,
+    worse, concurrent broadcast jobs racing to compute the same
+    uncached partition). One exchange of the raw rows fixes both.
+    Inputs that already have ≥ cores partitions (any real corpus at
+    scale) pass through untouched, so this never ADDS a shuffle on
+    the 100 TB path."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _token_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, t: array<string>) with the split materialized; docs with
     < k tokens dropped (they have no k-shingle)."""
     return (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+        _spread(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
         .filter(F.size("t") >= k)
     )
 
@@ -92,6 +111,7 @@ def ngram_jaccard_pairs(
         .select("id", shingle_hashes_from_tokens(F.col("t"), k).alias("hs"))
         .cache()
     )
+    hs.count()  # eager: both self-join sides read it concurrently
     ex = hs.select("id", F.size("hs").alias("n"), F.explode("hs").alias("h"))
     if max_shingle_df is not None:
         rare = ex.groupBy("h").count().filter(F.col("count") <= max_shingle_df).select("h")
@@ -119,6 +139,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Directed shingle containment: c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
 
@@ -135,7 +156,11 @@ def ngram_containment_pairs(
         .select("id", shingle_hashes_from_tokens(F.col("t"), k).alias("hs"))
         .cache()
     )
+    hs.count()  # eager: both self-join sides read it concurrently
     ex = hs.select("id", F.size("hs").alias("n"), F.explode("hs").alias("h"))
+    if max_shingle_df is not None:  # production df-cap, as in jaccard
+        rare = ex.groupBy("h").count().filter(F.col("count") <= max_shingle_df).select("h")
+        ex = ex.join(rare, "h")
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
@@ -222,28 +247,49 @@ def minhash_lsh_pairs(
     — the bucket-join that replaces the n² comparison at scale.
     """
     rows = num_hashes // bands
-    # Materialize hashed shingles ONCE — projection collapsing would
-    # otherwise inline the split+hash into all 32 remix columns. At
-    # cluster scale this intermediate would be a checkpointed table.
+    # Materialize shingle hashes AND band hashes once, in one cached
+    # intermediate. Three measured lessons baked in here:
+    # (a) each derivation step is its own projection — projection
+    #     collapsing would otherwise inline the split+hash into every
+    #     consumer (and re-evaluate it per array element);
+    # (b) the whole signature chain is built as SQL STRINGS in a few
+    #     selectExpr calls, not composed Column objects: the 32-remix
+    #     tree costs a py4j round-trip per node when composed in
+    #     Python (measured ~1.5s of pure driver time per pair plan —
+    #     the same lesson as the PQ ADC expressions, cd1c9b5);
+    # (c) the cache is materialized EAGERLY (the count below) in one
+    #     parallel job: the pair plan consumes it from four places
+    #     (both band-join sides + both verification sides) which land
+    #     as concurrent broadcast jobs racing to compute the same
+    #     partitions redundantly if left lazy (observed as
+    #     BlockManager "already exists" churn).
+    # At cluster scale this intermediate would be a checkpointed table.
+    shingle_sql = (
+        "array_distinct(transform(sequence(1, size(t)-{km1}), "
+        "i -> xxhash64({args})))"
+    ).format(
+        km1=k - 1,
+        args=", ".join(f"element_at(t, i+{j})" for j in range(k)),
+    )
+    band_sql = "array(" + ", ".join(
+        "xxhash64(" + ", ".join(f"m{b * rows + i}" for i in range(rows)) + ")"
+        for b in range(bands)
+    ) + ") AS bhs"
     hashed = (
         _token_rows(df, id_col, text_col, k)
-        .select("id", shingle_hashes_from_tokens(F.col("t"), k).alias("hs"))
+        .selectExpr("id", f"{shingle_sql} AS hs")
+        .selectExpr(
+            "id", "hs",
+            *[f"array_min(transform(hs, h -> xxhash64(h, {i}))) AS m{i}"
+              for i in range(num_hashes)],
+        )
+        .selectExpr("id", "hs", band_sql)
         .cache()
     )
-    base = hashed.select(
-        "id",
-        minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"),
-    )
-    # one 64-bit hash per band (multi-arg xxhash64 over the band's
-    # signature slice — no string round-trip), carried as a bh array
-    # so the self-join can apply the first-matching-band condition
-    banded = base.select(
-        "id",
-        F.array(*[
-            F.xxhash64(*[F.col("sig")[b * rows + i] for i in range(rows)]).alias(f"bh{b}")
-            for b in range(bands)
-        ]).alias("bhs"),
-    ).select(
+    hashed.count()
+    # bhs carried whole through the explode so the self-join can apply
+    # the first-matching-band condition
+    banded = hashed.select(
         "id",
         "bhs",
         F.posexplode(F.col("bhs")).alias("band", "bh"),
@@ -292,7 +338,7 @@ def simhash_chunks(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     r < SIMHASH_CHUNKS)."""
     # hash once per token row — as a bound projection column, so the
     # 64 bit-aggregates below share it instead of each re-hashing
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("t"),
     ).select("id", F.xxhash64("t").alias("h"))
@@ -324,6 +370,7 @@ def simhash_pairs(
     # cached: read by both sides of the self-join (5000 rows × 4 ints
     # at sf0.1 — at 100 TB this is the written signature table)
     sh = simhash_chunks(df, id_col, text_col).cache()
+    sh.count()  # eager: both self-join sides read it concurrently
     blocked = sh.select(
         "id", *[F.col(f"c{c}") for c in range(SIMHASH_CHUNKS)],
         F.explode(F.array(*[
@@ -442,9 +489,9 @@ def winnow_fingerprints(
     # otherwise inline the normalization into every gram lambda call
     # and the whole gram transform into every window-min lambda call —
     # turning O(n·w) into O(n²·w) per document (measured: hangs).
-    norm_t = df.select(F.col(id_col).alias("id"), normalized(text_col).alias("nt")).filter(
-        F.length("nt") >= k + window - 1
-    )
+    norm_t = _spread(df).select(
+        F.col(id_col).alias("id"), normalized(text_col).alias("nt")
+    ).filter(F.length("nt") >= k + window - 1)
     grams = norm_t.select(
         "id",
         F.transform(
@@ -504,18 +551,18 @@ def dup_clusters(
     Returns (id_col, cluster): cluster == id for unique docs; docs
     with cluster != id are the removable duplicates.
     """
-    pair_edges = (
-        pairs.select(
-            F.col("id1").cast("long").alias("src"),
-            F.col("id2").cast("long").alias("dst"),
-        )
-        .distinct()
-        .cache()
+    raw_edges = pairs.select(
+        F.col("id1").cast("long").alias("src"),
+        F.col("id2").cast("long").alias("dst"),
     )
-    n_edges = pair_edges.count()
-    if n_edges <= local_edge_threshold:
-        collected = pair_edges.collect()
-        pair_edges.unpersist()
+    # Probe-collect with a hard cap instead of count-then-collect: one
+    # Spark job instead of two in the (overwhelmingly common) small-
+    # graph case, with driver memory bounded exactly the same way —
+    # limit(threshold+1) can never pull more than the threshold. The
+    # distinct() is dropped here too: union-find absorbs duplicate
+    # edges for free, so the pre-collect shuffle bought nothing.
+    collected = raw_edges.limit(local_edge_threshold + 1).collect()
+    if len(collected) <= local_edge_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -545,6 +592,9 @@ def dup_clusters(
             )
         )
 
+    # Big-graph path: rebuild the edge set distributed-side (the probe
+    # collect above only materialized a bounded prefix).
+    pair_edges = raw_edges.distinct()
     edges = (
         pair_edges.union(
             pair_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -552,7 +602,6 @@ def dup_clusters(
         .distinct()
         .cache()
     )
-    pair_edges.unpersist()
     # Propagate only over nodes that appear in some pair: isolated docs
     # (the overwhelming majority of a deduped corpus) keep label == id
     # by definition and would otherwise pay every round's join +

@@ -52,10 +52,12 @@ def test_wordcount_has_partial_aggregation(spark):
 
 def test_hot_paths_have_no_python_eval(spark):
     # every relational / MR / text / dedup / similarity query must be
-    # pure JVM; only the mm_* multimodal queries (mapInPandas by
-    # design: opaque binary decode) are exempt
+    # pure JVM; exempt: the mm_* multimodal queries (mapInPandas by
+    # design: opaque binary decode) and txt_pack (applyInPandas by
+    # design: greedy first-fit packing is inherently sequential per
+    # bucket — Arrow-batched, never row-at-a-time Python)
     for name, fn in QUERIES.items():
-        if name.startswith("mm_"):
+        if name.startswith("mm_") or name == "txt_pack":
             continue
         assert not E.has_python_eval(fn(spark, SF_DIR)), f"{name} runs Python per-row"
 
@@ -322,3 +324,28 @@ def test_tfidf_window_over_collapsed_tf(spark):
     plan = E.plan_string(df, "formatted")
     assert "Generate" in plan and "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_jaccard_shingle_df_cap_plan(spark):
+    """With max_shingle_df set (the production default at scale — see
+    SURVEY §6), the plan must contain the document-frequency cap:
+    a per-shingle count aggregate filtered to <= cap, equi-joined back
+    to the exploded shingles BEFORE the pair self-join — boilerplate
+    mega-shingles never reach candidate generation."""
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.operators import dedup as D
+
+    docs = Catalog(spark, SF_DIR).documents
+    df = D.ngram_jaccard_pairs(docs, max_shingle_df=50)
+    plan = E.plan_string(df, "formatted")
+    assert "<= 50" in plan, "df-cap filter missing from plan"
+    # cap join (shingles x rare-shingles) + pair self-join + two count
+    # joins: at least one MORE join than the uncapped plan
+    uncapped = E.plan_string(D.ngram_jaccard_pairs(docs), "formatted")
+    assert plan.count("Join") > uncapped.count("Join"), (
+        plan.count("Join"), uncapped.count("Join"))
+    # and the capped plan still produces the same pairs on this corpus
+    # (50 >> any shingle's doc-frequency here, so semantics unchanged)
+    got = {(r.id1, r.id2) for r in df.collect()}
+    want = {(r.id1, r.id2) for r in D.ngram_jaccard_pairs(docs).collect()}
+    assert got == want
