@@ -78,3 +78,15 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return M.sample_frames(M.attach_payload(d), every_n=2)
+
+
+@query("mm_phash")  # rows-only: hash values depend on the DCT float path
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual DCT pHash per payload + 16-bit blocking chunks —
+    the image-side near-dup dedup signal (multimodal/phash.py).
+    Real-pixel path verified with crafted PNG/JPEG bytes and the
+    hamming-pairs blocking property in tests/test_multimodal.py."""
+    from redmap_spark.multimodal.phash import perceptual_hashes
+
+    d = Catalog(spark, sf_dir).documents
+    return perceptual_hashes(M.attach_payload(d))

@@ -708,3 +708,121 @@ def txt_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     chunks = T.chunk_documents(d, chunk_tokens=50, stride=40)
     return pack_sequences(chunks, budget=512, n_buckets=64)
+
+
+# -- txt_rank_fusion ---------------------------------------------------
+#
+# Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+# fuse the BM25 top-20 with a TF-IDF-density top-20 (same query
+# terms, different scoring model) by rrf = Σ 1/(60 + rank). RRF is
+# the standard way to combine lexical + secondary rankings without
+# score calibration — at scale each ranking is an independent top-k
+# job over broadcast corpus stats, and the fusion is a full-outer
+# join of two k-row lists (driver-trivial, executor-free). Ranks are
+# integers with (score DESC, doc_id) tie-break and 1/(60+r) is exact
+# double arithmetic on both engines, so the fusion is hash-stable.
+
+TXT_RRF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), hits AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM toks WHERE term IN {_TERMS_SQL} GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM hits GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM documents
+), bm AS (
+  SELECT h.doc_id,
+         round(CAST(SUM(CAST(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * 2.2)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+           AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+  FROM hits h JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY h.doc_id ORDER BY score DESC, h.doc_id LIMIT 20
+), tf_rank AS (
+  SELECT h.doc_id,
+         round(CAST(SUM(CAST(
+           tf * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,9)
+         )) AS DOUBLE) / MIN(dl), 6) AS score
+  FROM hits h JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY h.doc_id ORDER BY score DESC, h.doc_id LIMIT 20
+), rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm
+), rt AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM tf_rank
+)
+SELECT COALESCE(rb.doc_id, rt.doc_id) AS doc_id,
+       rb.r AS bm25_rank, rt.r AS tfidf_rank,
+       round(COALESCE(1.0 / (60 + rb.r), 0.0)
+             + COALESCE(1.0 / (60 + rt.r), 0.0), 6) AS rrf
+FROM rb FULL OUTER JOIN rt ON rb.doc_id = rt.doc_id
+ORDER BY rrf DESC, doc_id
+"""
+
+
+@query("txt_rank_fusion", oracle=TXT_RRF_SQL)
+def txt_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    dl = F.size(F.split("text", " "))
+    toks = d.select(
+        "doc_id", dl.alias("dl"), F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    hits = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(dl).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    scored = hits.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+
+    bm_contrib = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    bm = (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum(bm_contrib.cast("decimal(18,9)")).cast("double"), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+    tw_contrib = (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).cast(
+        "decimal(18,9)"
+    )
+    tfr = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(tw_contrib).cast("double") / F.min("dl"), 6
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")  # 20 rows: single-task window
+    rb = bm.select("doc_id", F.row_number().over(w).alias("r_b"))
+    rt = tfr.select(F.col("doc_id").alias("t_doc"), F.row_number().over(w).alias("r_t"))
+    return (
+        rb.join(rt, rb.doc_id == rt.t_doc, "full_outer")
+        .select(
+            F.coalesce("doc_id", "t_doc").alias("doc_id"),
+            F.col("r_b").alias("bm25_rank"),
+            F.col("r_t").alias("tfidf_rank"),
+            F.round(
+                F.coalesce(1.0 / (F.col("r_b") + 60), F.lit(0.0))
+                + F.coalesce(1.0 / (F.col("r_t") + 60), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+    )
