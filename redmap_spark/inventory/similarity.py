@@ -159,3 +159,87 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
         )
     )
+
+
+# -- sim_outliers ------------------------------------------------------
+#
+# Embedding-corpus data quality: flag vectors far from their own
+# label's centroid (mislabeled / noise / garbage embeddings — the
+# vector-side analogue of the Gopher text gate). cos(v, centroid_l)
+# per vector, then a per-label z-score; z <= -2 flags the outliers.
+# Determinism recipe (cross-engine hash-stable): per-dim products are
+# cast to DECIMAL before summing (exact, order-independent), cosine
+# rounds to 4, the per-label moments are decimal sums of the ROUNDED
+# cosines, and z rounds to 3 — every double op downstream of the
+# decimal sums is identical IEEE arithmetic on identical inputs.
+# Scale shape: explode to (vec, dim) rows, one partial-agg groupBy
+# per vector dot, centroids and per-label moments broadcast back —
+# two shuffles total, nothing O(n²).
+
+SIM_OUTLIERS_SQL = """
+WITH cent AS (
+  SELECT label, i AS dim, round(AVG(embedding[i]), 6) AS c
+  FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2
+), ex AS (
+  SELECT vec_id, label, i AS dim, embedding[i] AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+), dots AS (
+  SELECT vec_id, ex.label,
+         CAST(SUM(CAST(x * c AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS vv,
+         CAST(SUM(CAST(c * c AS DECIMAL(28,12))) AS DOUBLE) AS cc
+  FROM ex JOIN cent USING (label, dim) GROUP BY 1, 2
+), cosd AS (
+  SELECT vec_id, label, round(dot / (sqrt(vv) * sqrt(cc)), 4) AS cos_c
+  FROM dots
+), stats AS (
+  SELECT label,
+         CAST(SUM(CAST(cos_c AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(CAST(cos_c * cos_c AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS m2
+  FROM cosd GROUP BY 1
+)
+SELECT vec_id, cosd.label, cos_c,
+       round((cos_c - mu) / sqrt(GREATEST(m2 - mu * mu, 1e-12)), 3) AS z,
+       (cos_c - mu) / sqrt(GREATEST(m2 - mu * mu, 1e-12)) <= -2.0 AS is_outlier
+FROM cosd JOIN stats USING (label)
+"""
+
+
+@query("sim_outliers", oracle=SIM_OUTLIERS_SQL)
+def sim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    cent = ex.groupBy("label", "dim").agg(F.round(F.avg("x"), 6).alias("c"))
+    d = lambda col: F.sum(col.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    dots = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            d(F.col("x") * F.col("c")).alias("dot"),
+            d(F.col("x") * F.col("x")).alias("vv"),
+            d(F.col("c") * F.col("c")).alias("cc"),
+        )
+    )
+    cosd = dots.select(
+        "vec_id", "label",
+        F.round(F.col("dot") / (F.sqrt("vv") * F.sqrt("cc")), 4).alias("cos_c"),
+    )
+    stats = cosd.groupBy("label").agg(
+        (F.sum(F.col("cos_c").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (
+            F.sum((F.col("cos_c") * F.col("cos_c")).cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    zden = F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(1e-12)))
+    zraw = (F.col("cos_c") - F.col("mu")) / zden
+    return (
+        cosd.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id", "label", "cos_c",
+            F.round(zraw, 3).alias("z"),
+            (zraw <= F.lit(-2.0)).alias("is_outlier"),
+        )
+    )
