@@ -265,3 +265,49 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - lag1, 2).alias("dod_delta"),
         F.when(lag7 > 0, F.round(F.col("revenue") / lag7 - 1.0, 6)).alias("wow_ratio"),
     )
+
+
+# -- q_weighted_sample -------------------------------------------------
+#
+# Weight-proportional sampling without replacement (Efraimidis &
+# Spirtes 2006, A-ES): key_i = ln(u_i)/w_i with u_i uniform(0,1),
+# keep the top-k keys — P(selected) ∝ weight, one pass, mergeable
+# (per-partition top-k then global top-k: exactly Spark's
+# TakeOrderedAndProject). u_i is an md5-derived uniform (first 8 hex
+# digits / 2³²) so the sample is deterministic, engine-independent,
+# and re-run-stable — same posture as q_hash_sample/q_group_sample,
+# which rand()-based sampling can't give. The training-mixture use:
+# sample documents ∝ quality score or domain weight.
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         ln(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0 + 1e-12) / o_totalprice AS k
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT o_orderkey, o_totalprice, round(k, 9) + 0.0 AS sample_key
+FROM keyed ORDER BY k DESC, o_orderkey LIMIT 100
+"""
+
+
+@query("q_weighted_sample", oracle=WEIGHTED_SAMPLE_SQL)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    k = F.log(u + F.lit(1e-12)) / F.col("o_totalprice")
+    return (
+        o.filter(F.col("o_totalprice") > 0)
+        .select("o_orderkey", "o_totalprice", k.alias("k"))
+        .orderBy(F.desc("k"), "o_orderkey")
+        .limit(100)
+        .select(
+            "o_orderkey", "o_totalprice",
+            # + 0.0 collapses IEEE -0.0 to 0.0 (u=1 rows) on both engines
+            (F.round("k", 9) + F.lit(0.0)).alias("sample_key"),
+        )
+    )

@@ -826,3 +826,44 @@ def txt_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rrf"), "doc_id")
     )
+
+
+# -- txt_tokens_bpe ----------------------------------------------------
+#
+# BPE-ish regex pre-tokenization (the GPT-2 pattern family, ASCII
+# form — no lookahead so Java regex and DuckDB RE2 agree): optional
+# leading space + letter run | digit run | punctuation run, plus
+# split-off contraction suffixes. n_bpe_tokens counts the pre-tokens;
+# n_subword_est estimates the post-merge subword count with the
+# standard ~4-chars-per-token heuristic applied per pre-token
+# (ceil(len/4)) — the budget estimator a packing/pricing pipeline
+# uses when the real tokenizer is too expensive to run corpus-wide.
+
+_BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")  # quote-doubled for the SQL literal
+
+TXT_BPE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{_BPE_PAT_SQL}') AS ts FROM documents
+)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_bpe_tokens,
+       CAST(list_sum(list_transform(ts, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+            AS BIGINT) AS n_subword_est
+FROM toks
+"""
+
+
+@query("txt_tokens_bpe", oracle=TXT_BPE_SQL)
+def txt_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    ts = F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_bpe_tokens"),
+        F.aggregate(
+            F.transform(ts, lambda t: F.ceil(F.length(t) / 4.0)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_subword_est"),
+    )
