@@ -166,3 +166,43 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query("q_audience_overlap_approx")  # sketch-bound: HLL estimates, pytest error-bound
+def q_audience_overlap_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate audience-overlap matrix — the 100 TB path for
+    q_audience_overlap. One HLL sketch per event type (single scan,
+    |types| rows out), then pairwise |A∩B| ≈ |A| + |B| − |A∪B| via
+    sketch-union inclusion-exclusion on the (tiny) type×type cross of
+    sketches. The exact version shuffles the distinct (user, type)
+    table through a self-join — fact-scale work; this never touches
+    the fact table again after the one sketch scan. Error bound vs
+    exact is pytest-verified (tests/test_properties.py)."""
+    e = Catalog(spark, sf_dir).events
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.approx_count_distinct("user_id", 0.01).alias("n_approx"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_approx").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_approx").alias("n_b"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.greatest(
+                F.col("n_a") + F.col("n_b")
+                - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")),
+                F.lit(0),
+            ).cast("long").alias("n_users_approx"),
+        )
+    )

@@ -1,0 +1,46 @@
+"""bench.py driver contract: rounds 1-3 were never machine-graded
+because the final JSON line overflowed the driver's 2000-char stdout
+tail. This locks the envelope: one parseable line, every inventory
+entry present under the documented key compression, hard length
+margin."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_line_contract():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True, text=True, env=env, timeout=1200, check=True,
+    ).stdout
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    full = json.loads(lines[-2])["full_queries"]
+    final = lines[-1]
+    assert len(final) < 1900, len(final)
+
+    d = json.loads(final)
+    assert d["metric"] == "inventory_total_wall"
+    assert d["unit"] == "sec"
+    assert d["sf"] == 0.001
+    assert d["value"] > 0
+
+    from redmap_spark.inventory import QUERIES
+
+    assert set(full) == set(QUERIES)
+    # every entry survives key compression into the final line
+    assert len(d["queries"]) == len(QUERIES)
+    # and the documented prefix scheme holds (spot checks)
+    shorts = set(d["queries"])
+    assert "q1" in shorts
+    assert any(k.startswith("d.") for k in shorts)
+    assert any(k.startswith("t.") for k in shorts)
+    assert not any(re.match(r"^q\d+_", k) for k in shorts)

@@ -243,3 +243,22 @@ def test_scd2_intervals_tile_the_timeline(spark, seq):
     for a, b in zip(got, got[1:]):
         assert a.valid_to_us == b.valid_from_us
         assert a.state != b.state
+
+
+def test_audience_overlap_approx_error_bound(spark):
+    """HLL inclusion-exclusion overlap stays within 10% relative (or
+    ±30 absolute for small cells) of the exact self-join matrix."""
+    from redmap_spark.inventory import QUERIES
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r.type_a, r.type_b): r.n_users
+        for r in QUERIES["q_audience_overlap"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.type_a, r.type_b): r.n_users_approx
+        for r in QUERIES["q_audience_overlap_approx"](spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for pair, n in exact.items():
+        assert abs(approx[pair] - n) <= max(0.10 * n, 30), (pair, approx[pair], n)
