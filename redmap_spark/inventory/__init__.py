@@ -42,7 +42,7 @@ _WINDOW_FIRST = [
     "txt_temperature_sample",
     # -- new in round 5 ------------------------------------------------
     "dedup_spans", "txt_quality_model", "txt_rank_fusion", "sim_outliers",
-    "txt_tokens_bpe", "q_weighted_sample",
+    "txt_tokens_bpe", "q_weighted_sample", "mr_pagerank",
     # -- changed in round 5 (decimal-parity sum_qty) -------------------
     "mr_cogroup",
     # -- last verified round 1: refresh against current code -----------
@@ -54,11 +54,12 @@ _WINDOW_FIRST = [
     "q7_nation_volume", "q12_priority_shipping", "q13_order_distribution",
     "q14_promo_share", "q16_supplier_variety", "q17_small_qty_revenue",
     "q18_large_orders", "q19_disjunctive", "q_string_ops",
-    "q_datetime_ops", "q2_min_cost_supplier",
-    # q9_product_profit / q20_excess_suppliers / q21_sole_returner /
-    # q22_global_sales dropped from the explicit window to make room
-    # for the six round-5 additions (all four are r1-driver-green,
-    # union-covered, and stay in tests/test_oracle.py)
+    "q_datetime_ops",
+    # q2 / q9 / q20 / q21 / q22 dropped from the explicit window to
+    # make room for the seven round-5 additions (all five are
+    # r1-driver-green, union-covered, and stay in tests/test_oracle.py);
+    # names past slot 50 in this list overflow out of the window
+    # harmlessly — the rotation test pins both invariants.
 ]
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -203,3 +203,100 @@ def mr_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         "total_price",
     )
+
+
+# -- mr_pagerank -------------------------------------------------------
+#
+# The canonical iterative MapReduce algorithm (the demo every
+# MapReduce framework ships after wordcount): PageRank with damping
+# 0.85 over the customer–supplier transaction graph (distinct
+# (o_custkey, l_suppkey) pairs via orders⋈lineitem, symmetrized so
+# the graph has no dangling nodes; node ids are prefixed 'c'/'s' to
+# disjoin the two key spaces). FIXED 3 iterations so the computation
+# is a finite relational expression both engines can evaluate
+# identically — the oracle is the same three join+aggregate rounds as
+# chained CTEs, no recursion. Scale shape per round: one shuffle
+# (groupBy dst of the contribution stream); degrees and N are
+# broadcast; rank vectors are |nodes| rows, never materialized wider.
+# Per-round sums are DOUBLE (order drift ~1e-16) with final round(9):
+# the same determinism budget as sim_centroids' AVG, green in the
+# 7-vs-32-partition suite.
+
+MR_PAGERANK_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+  SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn
+), r1 AS (
+  SELECT nodes.node,
+         0.15 / MIN(nn.n) + 0.85 * COALESCE(SUM(r0.r / deg.d), 0.0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN edges ON edges.dst = nodes.node
+  LEFT JOIN r0 ON r0.node = edges.src
+  LEFT JOIN deg ON deg.src = edges.src
+  GROUP BY nodes.node
+), r2 AS (
+  SELECT nodes.node,
+         0.15 / MIN(nn.n) + 0.85 * COALESCE(SUM(r1.r / deg.d), 0.0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN edges ON edges.dst = nodes.node
+  LEFT JOIN r1 ON r1.node = edges.src
+  LEFT JOIN deg ON deg.src = edges.src
+  GROUP BY nodes.node
+), r3 AS (
+  SELECT nodes.node,
+         0.15 / MIN(nn.n) + 0.85 * COALESCE(SUM(r2.r / deg.d), 0.0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN edges ON edges.dst = nodes.node
+  LEFT JOIN r2 ON r2.node = edges.src
+  LEFT JOIN deg ON deg.src = edges.src
+  GROUP BY nodes.node
+)
+SELECT node, round(r, 9) AS rank FROM r3
+"""
+
+
+@query("mr_pagerank", oracle=MR_PAGERANK_SQL)
+def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    orders = c.orders
+    e0 = (
+        orders.join(
+            c.lineitem.select("l_orderkey", "l_suppkey"),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # bounded: |customers| + |suppliers|
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    # contribution stream: r(u)/deg(u) shipped along each edge u->v,
+    # one groupBy(dst) shuffle per round — the MapReduce shape
+    src_deg = edges.join(deg, "src")
+    for _ in range(3):
+        contrib = (
+            src_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("m"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(0.15 / float(n)) + F.lit(0.85) * F.coalesce("m", F.lit(0.0))).alias("r"),
+        )
+    return ranks.select("node", F.round("r", 9).alias("rank"))
