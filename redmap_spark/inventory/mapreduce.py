@@ -281,22 +281,33 @@ def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()  # bounded: |customers| + |suppliers|
+    # one materialized weighted-edge table for all rounds (at cluster
+    # scale: a written table, partitioned by src) — recomputing the
+    # edges⋈degree join per round tripled the heavy work
+    w_edges = edges.join(deg, "src").cache()
+    nodes = w_edges.select(F.col("src").alias("node")).distinct().cache()
+    n = nodes.count()  # bounded: |customers| + |suppliers|; also
+    # materializes both caches before the multi-consumer rounds
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
     # contribution stream: r(u)/deg(u) shipped along each edge u->v,
-    # one groupBy(dst) shuffle per round — the MapReduce shape
-    src_deg = edges.join(deg, "src")
+    # one groupBy(dst) shuffle per round — the MapReduce shape. The
+    # rank vector is |nodes| rows (tiny next to edges): BROADCAST it
+    # each round so the edge table is never reshuffled.
     for _ in range(3):
         contrib = (
-            src_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            w_edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") / F.col("d")).alias("m"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
             "node",
             (F.lit(0.15 / float(n)) + F.lit(0.85) * F.coalesce("m", F.lit(0.0))).alias("r"),
         )
+        # materialize each round (eager localCheckpoint, |nodes| rows):
+        # without it, round k's broadcast re-executes rounds 1..k-1 —
+        # quadratic total work in the iteration count. Same pattern as
+        # the Lloyd loop in operators/similarity.py.
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("r", 9).alias("rank"))
