@@ -188,3 +188,35 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the corpus, each occurrence tagged with its class
     representative (keep the rep, cut the rest)."""
     return D.duplicate_spans(Catalog(spark, sf_dir).documents, width=20)
+
+
+# Incremental (batch-vs-corpus) near-dedup: the odd-doc_id half plays
+# the incoming batch, the even half the standing corpus — a
+# deterministic split so the oracle replays it exactly. Matches are
+# strictly cross-side: corpus×corpus pairs (full-dedup's cost) never
+# appear.
+DEDUP_INCR_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY 1, 2)
+SELECT new_id, corpus_id,
+       round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) AS jaccard
+FROM p JOIN n n1 ON n1.doc_id = new_id JOIN n n2 ON n2.doc_id = corpus_id
+WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.5
+"""
+
+
+@query("dedup_incremental", oracle=DEDUP_INCR_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    from pyspark.sql import functions as F
+    new_half = d.filter(F.col("doc_id") % 2 == 1)
+    corpus_half = d.filter(F.col("doc_id") % 2 == 0)
+    return D.incremental_jaccard_matches(new_half, corpus_half, threshold=0.5)

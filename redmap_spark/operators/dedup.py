@@ -744,3 +744,48 @@ def duplicate_spans(
         "n_copies",
         "n_docs",
     )
+
+
+# ---------------------------------------------------- incremental dedup
+
+
+def incremental_jaccard_matches(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus: exact n-gram
+    Jaccard matches (new_id, corpus_id, jaccard ≥ threshold) via the
+    shared-shingle equi-join — but strictly ACROSS the two inputs,
+    never corpus×corpus. This is the production shape of continuous
+    ingestion: the corpus side's shingle table is written once (here
+    recomputed — the testdata has no stored index) and each
+    incremental batch only pays |batch| shingling plus the candidate
+    join against it. Cost per batch is independent of how many
+    batches preceded it; the corpus-side re-pairing that full-corpus
+    dedup does every run never happens."""
+    ns = (
+        _token_rows(new_df, id_col, text_col, k)
+        .select("id", shingle_hashes_from_tokens(F.col("t"), k).alias("hs"))
+        .cache()
+    )
+    cs = (
+        _token_rows(corpus_df, id_col, text_col, k)
+        .select("id", shingle_hashes_from_tokens(F.col("t"), k).alias("hs"))
+        .cache()
+    )
+    ns.count(), cs.count()  # eager: joined from multiple consumers
+    ne = ns.select(F.col("id").alias("new_id"), F.size("hs").alias("n1"), F.explode("hs").alias("h"))
+    ce = cs.select(F.col("id").alias("corpus_id"), F.size("hs").alias("n2"), F.explode("hs").alias("h"))
+    common = (
+        ne.join(ce, "h")
+        .groupBy("new_id", "corpus_id", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return common.select(
+        "new_id", "corpus_id", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
