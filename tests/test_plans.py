@@ -349,3 +349,56 @@ def test_jaccard_shingle_df_cap_plan(spark):
     got = {(r.id1, r.id2) for r in df.collect()}
     want = {(r.id1, r.id2) for r in D.ngram_jaccard_pairs(docs).collect()}
     assert got == want
+
+
+def test_round5_entry_plan_shapes(spark):
+    """Scale-shape assertions for the round-5 additions: pure-map
+    entries stay shuffle-free, candidate joins are equi (never
+    cartesian), top-k is mergeable TakeOrdered, sketch/stat sides
+    broadcast, and the only Python is Arrow-batched grouping."""
+    # pure column pipelines: zero exchanges of any kind
+    for name in ("txt_quality_model", "txt_tokens_bpe"):
+        plan = E.plan_string(QUERIES[name](spark, SF_DIR), "formatted")
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+    # weighted sampling: per-partition top-k merged on the driver —
+    # no global sort exchange, no window
+    plan = E.plan_string(QUERIES["q_weighted_sample"](spark, SF_DIR), "formatted")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan and "Window" not in plan, plan
+
+    # span dedup: equi-join on the block hash, partial-agg class
+    # roll-up, never cartesian
+    plan = E.plan_string(QUERIES["dedup_spans"](spark, SF_DIR), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan, plan
+
+    # embedding outliers: centroids/moments broadcast back, never
+    # cartesian. (The moments branch re-plans the cosine subtree, so
+    # a raw exchange count double-counts; the per-branch shape is
+    # cent-agg + dot-agg + stats-agg = 3 hash shuffles max.)
+    plan = E.plan_string(QUERIES["sim_outliers"](spark, SF_DIR), "formatted")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    hash_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert hash_exchanges <= 12, hash_exchanges
+
+    # incremental dedup: cross-side candidate join on the shingle
+    # hash — an equi-join, never cartesian
+    plan = E.plan_string(QUERIES["dedup_incremental"](spark, SF_DIR), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan, plan
+
+    # pagerank: rounds ran eagerly behind localCheckpoints (lineage
+    # truncation is the point — round k must not re-execute rounds
+    # 1..k-1), so the returned plan is a materialized-vector scan
+    # with no sort/shuffle left
+    plan = E.plan_string(QUERIES["mr_pagerank"](spark, SF_DIR), "formatted")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "rangepartitioning" not in plan and "Exchange" not in plan, plan
+
+    # sequence packing: Arrow-batched grouped map, never row Python
+    plan = E.plan_string(QUERIES["txt_pack"](spark, SF_DIR), "formatted")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
