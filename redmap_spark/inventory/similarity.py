@@ -243,3 +243,18 @@ def sim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (zraw <= F.lit(-2.0)).alias("is_outlier"),
         )
     )
+
+
+@query("sim_diversity_sample")  # driver-greedy over a bounded pool: pytest
+def sim_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy diversity selection over a deterministic
+    bounded candidate pool (operators/similarity.py:diversity_sample)
+    — property-tested in tests/test_similarity.py (spread beats
+    random, deterministic, exact size)."""
+    e = Catalog(spark, sf_dir).embeddings
+    sel = S.diversity_sample(e, k=16, pool=256)
+    return (
+        e.join(F.broadcast(sel), "vec_id")
+        .select("vec_id", "picked_order", "label")
+        .orderBy("picked_order")
+    )

@@ -739,3 +739,71 @@ def pq_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ------------------------------------------------- diversity sampling
+
+
+def diversity_sample(
+    corpus: DataFrame,
+    k: int = 10,
+    pool: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Max-min (k-center greedy / farthest-point) diversity selection
+    — the data-curation op that picks k embeddings spread across the
+    space instead of k near-duplicates (Gonzalez 1985 2-approximation
+    of the k-center objective).
+
+    Distributed shape: greedy farthest-point is inherently sequential
+    (each pick depends on all previous), so the selection runs on the
+    driver over a BOUNDED candidate pool — the ``pool`` vectors with
+    the smallest md5(id) (deterministic uniform subsample, same
+    posture as q_hash_sample; at 100 TB the pool collect is ``pool``
+    rows regardless of corpus size, and pool quality scales with
+    pool/k, not corpus). Seed pick = min md5(id) (deterministic);
+    every subsequent pick maximizes cosine distance to the nearest
+    already-selected center, ties broken on id. Returns the selected
+    (id, picked_order) as a DataFrame for a broadcast semi-join back
+    to full rows."""
+    import hashlib
+
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+        .withColumn("hk", F.md5(F.col("id").cast("string")))
+        .orderBy("hk", "id")
+        .limit(pool)
+        .collect()
+    )
+    import math
+
+    def normed(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    cand = {r.id: normed(r.v) for r in rows}
+    order: list[int] = []
+    if rows:
+        first = rows[0].id
+        order = [first]
+        # nearest-center cosine similarity per remaining candidate
+        best_sim = {
+            i: sum(a * b for a, b in zip(v, cand[first]))
+            for i, v in cand.items()
+            if i != first
+        }
+        while len(order) < min(k, len(cand)):
+            # farthest point = minimal similarity to nearest center
+            nxt = min(best_sim, key=lambda i: (best_sim[i], i))
+            order.append(nxt)
+            del best_sim[nxt]
+            nv = cand[nxt]
+            for i in list(best_sim):
+                s = sum(a * b for a, b in zip(cand[i], nv))
+                if s > best_sim[i]:
+                    best_sim[i] = s
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(int(i), p) for p, i in enumerate(order)], "vec_id long, picked_order int"
+    )

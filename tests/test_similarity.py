@@ -135,3 +135,58 @@ def test_pq_encode_matches_reference(spark):
             for j in range(m)
         ]
         assert want == got[r.vec_id], r.vec_id
+
+
+def test_diversity_sample_properties(spark):
+    """k-center greedy: deterministic, exact size, and the selected
+    set is more spread (higher min pairwise cosine distance) than a
+    same-size deterministic hash sample."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from redmap_spark.operators.similarity import diversity_sample
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    k = 16
+    sel = diversity_sample(emb, k=k, pool=256)
+    rows = sel.collect()
+    assert len(rows) == k
+    assert sorted(r.picked_order for r in rows) == list(range(k))
+    again = {(r.vec_id, r.picked_order) for r in diversity_sample(emb, k=k, pool=256).collect()}
+    assert again == {(r.vec_id, r.picked_order) for r in rows}
+
+    vecs = {
+        r.vec_id: r.embedding
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def min_pairwise_dist(ids):
+        def cos(a, b):
+            na = math.sqrt(sum(x * x for x in a)) or 1.0
+            nb = math.sqrt(sum(x * x for x in b)) or 1.0
+            return sum(x * y for x, y in zip(a, b)) / (na * nb)
+        ids = list(ids)
+        return min(
+            1.0 - cos(vecs[a], vecs[b])
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+        )
+
+    picked = [r.vec_id for r in rows]
+    # deterministic baseline: first k by md5 (the pool's own prefix —
+    # what you'd get with no diversity objective at all)
+    baseline = [
+        r.vec_id
+        for r in emb.select("vec_id")
+        .withColumn("hk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("hk", "vec_id")
+        .limit(k)
+        .collect()
+    ]
+    assert min_pairwise_dist(picked) >= min_pairwise_dist(baseline)
+
+    # the inventory entry joins back to full rows in pick order
+    from redmap_spark.inventory import QUERIES
+
+    out = QUERIES["sim_diversity_sample"](spark, SF_DIR).collect()
+    assert [r.picked_order for r in out] == list(range(k))
