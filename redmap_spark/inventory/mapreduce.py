@@ -282,14 +282,17 @@ def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).cache()
+    # the node set IS deg's key column (the graph is symmetrized, so
+    # every node has out-edges) — deriving it from deg reuses that
+    # aggregation instead of paying a second distinct over the edges
+    nodes = deg.select(F.col("src").alias("node"))
     # one materialized weighted-edge table for all rounds (at cluster
     # scale: a written table, partitioned by src) — recomputing the
     # edges⋈degree join per round tripled the heavy work
     w_edges = edges.join(deg, "src").cache()
-    nodes = w_edges.select(F.col("src").alias("node")).distinct().cache()
     n = nodes.count()  # bounded: |customers| + |suppliers|; also
-    # materializes both caches before the multi-consumer rounds
+    # materializes the degree cache before the multi-consumer rounds
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
     # contribution stream: r(u)/deg(u) shipped along each edge u->v,
     # one groupBy(dst) shuffle per round — the MapReduce shape. The
@@ -311,3 +314,35 @@ def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the Lloyd loop in operators/similarity.py.
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("r", 9).alias("rank"))
+
+
+# -- mr_join: reduce-side equi-join as the MapReduce primitive ---------
+#
+# The MapReduce framework user's join: tag records by source, shuffle
+# both inputs on the key, pair per key at the reducer. Declaratively
+# that is just an equi-join — Catalyst picks reduce-side (sort-merge /
+# shuffled-hash) when both sides are large and map-side (broadcast)
+# when one fits, which is exactly the hand-tuning a MapReduce user
+# does manually. Customer enriched with nation name: the dim side
+# broadcasts (plan-asserted class, see test_plans.py q5).
+
+MRJOIN_SQL = """
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+@query("mr_join", oracle=MRJOIN_SQL)
+def mr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    customer, nation = c.customer, c.nation
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .select(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"),
+            dec("c_acctbal").cast("double").alias("acctbal"),
+        )
+    )
