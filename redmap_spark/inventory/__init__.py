@@ -43,7 +43,7 @@ _WINDOW_FIRST = [
     # -- new in round 5 ------------------------------------------------
     "dedup_spans", "txt_quality_model", "txt_rank_fusion", "sim_outliers",
     "txt_tokens_bpe", "q_weighted_sample", "mr_pagerank",
-    "dedup_incremental", "mr_join",
+    "dedup_incremental", "mr_join", "q_salted_join",
     # -- changed in round 5 (decimal-parity sum_qty) -------------------
     "mr_cogroup",
     # -- last verified round 1: refresh against current code -----------

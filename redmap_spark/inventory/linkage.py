@@ -206,3 +206,36 @@ def q_audience_overlap_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_users_approx"),
         )
     )
+
+
+# -- q_salted_join -----------------------------------------------------
+#
+# Deterministic salted join as an inventory entry: events (big,
+# power-law user activity) enriched with a per-user dimension, the
+# shuffle key widened to (user_id, salt) so one hot user's rows
+# spread over 8 even partitions instead of one hot reducer
+# (operators/skew.py; SURVEY §6). Salting must be result-invariant —
+# the oracle is the PLAIN join, which is exactly the property that
+# makes the rewrite safe to apply at scale.
+
+SALTED_SQL = """
+WITH dim AS (
+  SELECT user_id, epoch_us(MIN(ts)) AS first_seen_us, COUNT(*) AS n_total
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.event_type, dim.first_seen_us, dim.n_total
+FROM events e JOIN dim USING (user_id)
+"""
+
+
+@query("q_salted_join", oracle=SALTED_SQL)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators.skew import salted_join
+
+    e = Catalog(spark, sf_dir).events
+    dim = e.groupBy("user_id").agg(
+        F.unix_micros(F.min("ts")).alias("first_seen_us"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    big = e.select("event_id", "user_id", "event_type")
+    return salted_join(big, dim, on="user_id", n_salts=8, big_stable_col="event_id")

@@ -402,3 +402,23 @@ def test_round5_entry_plan_shapes(spark):
     plan = E.plan_string(QUERIES["txt_pack"](spark, SF_DIR), "formatted")
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_salted_join_spreads_shuffle_key(spark):
+    """The salted entry's shuffle must hash on (user_id, _salt) —
+    the widened key that splits a hot user across 8 partitions —
+    and the small side must carry the 8x replication explode. At toy
+    scale AQE broadcasts the dim (no shuffle to salt), so the scale
+    regime is simulated by disabling auto-broadcast, exactly like
+    test_q5_dims_broadcast_facts_shuffle."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = E.plan_string(QUERIES["q_salted_join"](spark, SF_DIR), "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "_salt" in plan, plan
+    assert "explode" in plan, plan  # small-side replication
+    assert re.search(r"hashpartitioning\([^)]*_salt", plan), plan
