@@ -9,7 +9,7 @@ partial aggregation) — no Python in the record loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
@@ -346,3 +346,141 @@ def mr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec("c_acctbal").cast("double").alias("acctbal"),
         )
     )
+
+
+# -- mr_total_sort: TeraSort-shape global total-order sort -------------
+#
+# The MapReduce classic (TotalOrderPartitioner): produce a GLOBAL rank
+# over a total key order without ever sorting on one reducer. Spark
+# expression: repartitionByRange (sampled range boundaries = the
+# partitioner), sortWithinPartitions (per-reducer sort), then the
+# global rank = row_number within partition + the cumulative count of
+# all earlier partitions. The offset pass collects ONE row per
+# partition (bounded planning metadata, same class as the touched-
+# partition lists), broadcast back — the data itself is never moved
+# again and no single-partition window exists anywhere in the plan
+# (asserted in test_plans.py). Key is (price DESC, orderkey,
+# linenumber): total, unique, engine-identical.
+
+MRSORT_SQL = """
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC,
+                  l_orderkey, l_linenumber) AS BIGINT) AS rank,
+       l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM lineitem
+WHERE l_extendedprice > 90000
+"""
+
+
+@query("mr_total_sort", oracle=MRSORT_SQL)
+def mr_total_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.filter(F.col("l_extendedprice") > 90000)
+        .select(
+            "l_orderkey", "l_linenumber", dec("l_extendedprice").alias("price")
+        )
+    )
+    keys = [F.col("price").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
+    parts = li.repartitionByRange(8, *keys).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # cache: the offset pass and the final pass must see identical
+    # range boundaries (they would anyway — deterministic sampling on
+    # identical input — but caching also saves the second shuffle)
+    parts = parts.cache()
+    counts = {
+        r["pid"]: r["n"]
+        for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # bounded: one row per partition
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )  # pid -> rows before this partition, as a literal map
+    wp = Window.partitionBy("pid").orderBy(*keys)
+    return parts.select(
+        (F.row_number().over(wp) + off[F.col("pid")]).cast("bigint").alias("rank"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("price").cast("double").alias("price"),
+    )
+
+
+# -- mr_connected_components: bounded-round min-label propagation ------
+#
+# Connected components over the customer–supplier transaction graph
+# (same bipartite edge set as mr_pagerank): every node starts labeled
+# with itself; each round every node takes the MIN of its own and its
+# neighbors' labels — the MapReduce CC algorithm (one groupBy(dst)
+# shuffle per round). Rounds are FIXED at 3 so the oracle can state
+# the identical computation as chained CTEs (full convergence is the
+# keep-list operator's union-find job, operators/dedup.py; this entry
+# verifies the distributed propagation primitive itself). Per round:
+# label vector is |nodes| rows — broadcast to the edge table, never
+# reshuffling edges; localCheckpoint prevents quadratic re-execution
+# (same lesson as mr_pagerank / PERF.md §22).
+
+MRCC_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS lbl FROM edges
+), l1 AS (
+  SELECT l0.node, LEAST(l0.lbl, MIN(ln.lbl)) AS lbl
+  FROM l0 JOIN edges e ON e.dst = l0.node JOIN l0 ln ON ln.node = e.src
+  GROUP BY l0.node, l0.lbl
+), l2 AS (
+  SELECT l1.node, LEAST(l1.lbl, MIN(ln.lbl)) AS lbl
+  FROM l1 JOIN edges e ON e.dst = l1.node JOIN l1 ln ON ln.node = e.src
+  GROUP BY l1.node, l1.lbl
+), l3 AS (
+  SELECT l2.node, LEAST(l2.lbl, MIN(ln.lbl)) AS lbl
+  FROM l2 JOIN edges e ON e.dst = l2.node JOIN l2 ln ON ln.node = e.src
+  GROUP BY l2.node, l2.lbl
+)
+SELECT node, lbl AS component FROM l3
+"""
+
+
+@query("mr_connected_components", oracle=MRCC_SQL)
+def mr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    orders = c.orders
+    e0 = (
+        orders.join(
+            c.lineitem.select("l_orderkey", "l_suppkey"),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(3):
+        nb = (
+            edges.join(
+                F.broadcast(labels.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        labels = labels.join(F.broadcast(nb), "node").select(
+            "node", F.least("lbl", "nb_lbl").alias("lbl")
+        )
+        labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("lbl").alias("component"))

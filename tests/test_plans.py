@@ -422,3 +422,46 @@ def test_salted_join_spreads_shuffle_key(spark):
     assert "_salt" in plan, plan
     assert "explode" in plan, plan  # small-side replication
     assert re.search(r"hashpartitioning\([^)]*_salt", plan), plan
+
+
+def test_round5b_entry_plan_shapes(spark):
+    """Scale shapes for the later round-5 additions."""
+    import re
+
+    # TeraSort: the data moves through ONE rangepartitioning exchange;
+    # the global rank comes from a pid-partitioned window (+ broadcast
+    # offsets), never a single-partition sort of the data.
+    plan = E.plan_string(QUERIES["mr_total_sort"](spark, SF_DIR), "formatted")
+    assert "rangepartitioning" in plan, plan
+    assert re.search(r"hashpartitioning\([^)]*pid", plan), plan
+    assert "SinglePartition" not in plan, plan
+
+    # CC rounds ran eagerly behind localCheckpoints (same contract as
+    # mr_pagerank): returned plan is a materialized-vector scan.
+    plan = E.plan_string(
+        QUERIES["mr_connected_components"](spark, SF_DIR), "formatted"
+    )
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Exchange" not in plan, plan
+
+    # mode-per-group: dim join broadcasts; windows run over the
+    # aggregated segment×priority grid (partial agg before shuffle).
+    plan = E.plan_string(QUERIES["q_mode_per_group"](spark, SF_DIR), "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan
+
+    # sweep-line: the ±1 generate collapses per (nation, day) BEFORE
+    # the running-sum window, and the window partitions by nation —
+    # no single-partition anything.
+    plan = E.plan_string(QUERIES["q_interval_sweep"](spark, SF_DIR), "formatted")
+    assert "Generate" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+    # skyline / decile: the (documented) global window runs over a
+    # pre-aggregated grid — partial aggregation must appear below it.
+    for name in ("q_skyline", "q_decile_lift"):
+        plan = E.plan_string(QUERIES[name](spark, SF_DIR), "formatted")
+        assert "partial_count" in plan or "partial_sum" in plan, name
+        assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, name
