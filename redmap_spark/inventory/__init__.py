@@ -23,6 +23,7 @@ from redmap_spark.inventory import changefeed  # noqa: F401
 from redmap_spark.inventory import linkage  # noqa: F401
 from redmap_spark.inventory import quality  # noqa: F401
 from redmap_spark.inventory import advanced  # noqa: F401
+from redmap_spark.inventory import text2  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
 # (rows+schema+value-hash vs DuckDB). Rounds 1–4 drove 88 of the oracle
@@ -47,6 +48,7 @@ _WINDOW_FIRST = [
     "dedup_incremental", "mr_join", "q_salted_join",
     "q_mode_per_group", "q_decile_lift", "q_interval_sweep", "q_skyline",
     "mr_total_sort", "mr_connected_components",
+    "txt_word_entropy", "txt_normalize",
     # -- changed in round 5 (decimal-parity sum_qty) -------------------
     "mr_cogroup",
     # -- last verified round 1: refresh against current code -----------

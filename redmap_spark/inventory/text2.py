@@ -1,0 +1,111 @@
+"""SURVEY §2.E additions (round 5, later session) — lexical-diversity
+scoring and text canonicalization (oracle-verified).
+
+Follows text.py's cross-engine determinism conventions: per-term log
+contributions are cast to DECIMAL(18,9) before the fold (exact,
+partition-order independent), ratios are one double division rounded
+to 6, and regexes use only char classes that mean the same thing to
+Java regex and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+
+# -- txt_word_entropy --------------------------------------------------
+#
+# Word-level Shannon entropy + type-token ratio per document: the
+# cheap lexical-diversity gate (near-zero entropy ≈ repeated
+# boilerplate, unusually high ≈ random noise) that complements the
+# character-repetition filter (txt_repetition) at the vocabulary
+# level. Scale shape: one token-stream groupBy to the |doc × distinct
+# term| grid, a doc_id-partitioned window for the per-doc total (runs
+# on the collapsed grid, far below the raw stream), one final per-doc
+# fold. Entropy terms go through DECIMAL(18,9) so the sum is exact.
+
+TXT_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), wtf AS (
+  SELECT doc_id, term, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tf
+)
+SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       round(CAST(SUM(CAST(-(c / CAST(n AS DOUBLE)) *
+                            ln(c / CAST(n AS DOUBLE)) AS DECIMAL(18,9)))
+                  AS DOUBLE), 6) AS entropy,
+       round(COUNT(*) / CAST(MIN(n) AS DOUBLE), 6) AS ttr
+FROM wtf GROUP BY doc_id
+"""
+
+
+@query("txt_word_entropy", oracle=TXT_ENTROPY_SQL)
+def txt_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    wtf = tf.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+    p = F.col("c") / F.col("n").cast("double")
+    contrib = (-p * F.log(p)).cast("decimal(18,9)")
+    return wtf.groupBy("doc_id").agg(
+        F.min("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.sum(contrib).cast("double"), 6).alias("entropy"),
+        F.round(F.count(F.lit(1)) / F.min("n").cast("double"), 6).alias("ttr"),
+    )
+
+
+# -- txt_normalize -----------------------------------------------------
+#
+# Deterministic text canonicalization — the prep step in front of
+# exact/near dedup and tokenization: lowercase, fold every
+# non-alphanumeric to space, squeeze runs, trim. Pure column
+# expressions over one scan: zero shuffles, zero Python (asserted in
+# test_plans.py). Emits the normalized text plus the shrinkage
+# diagnostics a pipeline logs (chars kept ratio, whether anything
+# changed).
+
+TXT_NORM_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+       round(length(norm_text) / CAST(length(text) AS DOUBLE), 6) AS keep_ratio,
+       CAST(CASE WHEN norm_text = text THEN 0 ELSE 1 END AS BIGINT) AS changed
+FROM n
+"""
+
+
+@query("txt_normalize", oracle=TXT_NORM_SQL)
+def txt_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    n = d.select("doc_id", "text", norm.alias("norm_text"))
+    return n.select(
+        "doc_id",
+        "norm_text",
+        F.length("norm_text").cast("bigint").alias("n_chars_norm"),
+        F.round(
+            F.length("norm_text") / F.length("text").cast("double"), 6
+        ).alias("keep_ratio"),
+        F.when(F.col("norm_text") == F.col("text"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("changed"),
+    )

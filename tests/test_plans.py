@@ -459,6 +459,18 @@ def test_round5b_entry_plan_shapes(spark):
     assert "partial_sum" in plan, plan
     assert "SinglePartition" not in plan, plan
 
+    # normalization is a pure column pipeline: one scan, no exchange,
+    # no Python anywhere
+    plan = E.plan_string(QUERIES["txt_normalize"](spark, SF_DIR), "formatted")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "Python" not in plan, plan
+
+    # word entropy: the per-doc window runs on the collapsed doc×term
+    # grid (partial_count below it), never the raw token stream
+    plan = E.plan_string(QUERIES["txt_word_entropy"](spark, SF_DIR), "formatted")
+    assert "partial_count" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
     # skyline / decile: the (documented) global window runs over a
     # pre-aggregated grid — partial aggregation must appear below it.
     for name in ("q_skyline", "q_decile_lift"):
