@@ -48,7 +48,7 @@ _WINDOW_FIRST = [
     "dedup_incremental", "mr_join", "q_salted_join",
     "q_mode_per_group", "q_decile_lift", "q_interval_sweep", "q_skyline",
     "mr_total_sort", "mr_connected_components",
-    "txt_word_entropy", "txt_normalize",
+    "txt_word_entropy", "txt_normalize", "q_cms_sketch",
     # -- changed in round 5 (decimal-parity sum_qty) -------------------
     "mr_cogroup",
     # -- last verified round 1: refresh against current code -----------

@@ -86,3 +86,79 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_days"),
         )
     )
+
+
+# -- q_cms_sketch ------------------------------------------------------
+#
+# Count-min sketch (Cormode & Muthukrishnan 2005): d=4 hash rows ×
+# w=512 columns of additive counters — the fixed-memory, mergeable
+# frequency estimator (est(k) = min_i cell[i][h_i(k)], always >=
+# exact). Scale shape: the build is one explode(×4) + groupBy onto
+# the FIXED 2048-cell grid — partial aggregation does almost all the
+# work map-side and the sketch size is constant in the data size,
+# which is the entire point (per-partition sketches merge by cell
+# addition; the same plan is the streaming foreachBatch maintainer's
+# batch step). The demo estimates the exact top-20 users and emits
+# (exact, estimate) side by side. Hashes are md5-prefix (engine-
+# portable, same idiom as dedup_winnow_portable) so every counter and
+# every estimate is bit-for-bit oracle-checkable — overestimation is
+# part of the checked result, not hand-waved.
+
+CMS_SQL = """
+WITH r AS (
+  SELECT user_id, i FROM events, range(4) t(i)
+), sk AS (
+  SELECT i, ('0x' || substr(md5(i || ':' || user_id), 1, 15))::BIGINT % 512 AS c,
+         COUNT(*) AS n
+  FROM r GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+  ORDER BY exact_n DESC, user_id LIMIT 20
+), probes AS (
+  SELECT user_id, exact_n, i,
+         ('0x' || substr(md5(i || ':' || user_id), 1, 15))::BIGINT % 512 AS c
+  FROM exact, range(4) t(i)
+)
+SELECT p.user_id, CAST(MIN(p.exact_n) AS BIGINT) AS exact_n,
+       CAST(MIN(sk.n) AS BIGINT) AS cms_est
+FROM probes p JOIN sk ON sk.i = p.i AND sk.c = p.c
+GROUP BY p.user_id
+"""
+
+
+def _cms_cell(i_col, key_col, width: int = 512):
+    """Engine-portable CMS column index: first 60 bits of
+    md5(i ':' key) mod width."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", i_col, key_col)), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+@query("q_cms_sketch", oracle=CMS_SQL)
+def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.select("user_id")
+    depth = F.array(*[F.lit(i) for i in range(4)])
+    cells = e.select("user_id", F.explode(depth).alias("i")).select(
+        "i", _cms_cell(F.col("i"), F.col("user_id")).alias("c")
+    )
+    sketch = cells.groupBy("i", "c").agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+    )
+    probes = exact.select(
+        "user_id", "exact_n", F.explode(depth).alias("i")
+    ).select(
+        "user_id", "exact_n", "i", _cms_cell(F.col("i"), F.col("user_id")).alias("c")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["i", "c"])
+        .groupBy("user_id")
+        .agg(
+            F.min("exact_n").cast("bigint").alias("exact_n"),
+            F.min("n").cast("bigint").alias("cms_est"),
+        )
+    )

@@ -459,6 +459,14 @@ def test_round5b_entry_plan_shapes(spark):
     assert "partial_sum" in plan, plan
     assert "SinglePartition" not in plan, plan
 
+    # CMS build: partial aggregation onto the fixed 2048-cell grid
+    # (map-side combine does the work; sketch size constant in data),
+    # probes ride a broadcast join of the tiny sketch.
+    plan = E.plan_string(QUERIES["q_cms_sketch"](spark, SF_DIR), "formatted")
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
     # normalization is a pure column pipeline: one scan, no exchange,
     # no Python anywhere
     plan = E.plan_string(QUERIES["txt_normalize"](spark, SF_DIR), "formatted")
