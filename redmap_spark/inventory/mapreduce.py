@@ -468,10 +468,18 @@ def mr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
+    # Round 1 needs no label join: labels start as the node ids, so
+    # l1(v) = min(v, min neighbor id) falls out of ONE groupBy over
+    # the edge table — which also yields the node set for free (the
+    # graph is symmetrized: every node has in-edges). Saves the
+    # per-round broadcast AND the separate node-set distinct.
+    labels = (
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("nb_lbl"))
+        .select("node", F.least("node", "nb_lbl").alias("lbl"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(3):
+    for _ in range(2):
         nb = (
             edges.join(
                 F.broadcast(labels.withColumnRenamed("node", "src")), "src"
