@@ -49,6 +49,7 @@ _WINDOW_FIRST = [
     "q_mode_per_group", "q_decile_lift", "q_interval_sweep", "q_skyline",
     "mr_total_sort", "mr_connected_components",
     "txt_word_entropy", "txt_normalize", "q_cms_sketch",
+    "q_rfm_features", "q_stratified_sample", "q_winsorize",
     # -- changed in round 5 (decimal-parity sum_qty) -------------------
     "mr_cogroup",
     # -- last verified round 1: refresh against current code -----------

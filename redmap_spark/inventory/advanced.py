@@ -242,3 +242,152 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sky.filter(
         F.col("pred_max_sz").isNull() | (F.col("pred_max_sz") < F.col("sz"))
     ).select("price", F.col("sz").alias("size"), "n_parts")
+
+
+# -- q_rfm_features ----------------------------------------------------
+#
+# RFM feature engineering (recency / frequency / monetary + quintile
+# scores): the canonical customer-feature table a downstream model
+# trains on. Scale shape: one fact scan partial-aggregates to the
+# |customers| grid; the corpus max-date is a 1-row broadcast; the
+# three ntile(5) windows sort only the aggregated grid (documented
+# grid-window compromise, two-pass range sort at cluster scale).
+# Every ntile orders with a custkey tie-break so the quintile cuts
+# are engine-deterministic.
+
+RFM_SQL = """
+WITH agg AS (
+  SELECT o_custkey,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m,
+         MAX(date_trunc('day', o_orderdate)) AS last_day
+  FROM orders GROUP BY 1
+), mx AS (
+  SELECT MAX(last_day) AS corpus_max FROM agg
+), feat AS (
+  SELECT o_custkey, frequency, m,
+         datediff('day', last_day, corpus_max) AS recency_days
+  FROM agg CROSS JOIN mx
+)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(m AS DOUBLE) AS monetary,
+       CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY m DESC, o_custkey) AS BIGINT) AS m_score
+FROM feat
+"""
+
+
+@query("q_rfm_features", oracle=RFM_SQL)
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
+        F.max(F.date_trunc("day", "o_orderdate")).alias("last_day"),
+    )
+    mx = agg.agg(F.max("last_day").alias("corpus_max"))
+    feat = agg.join(F.broadcast(mx)).select(
+        "o_custkey",
+        "frequency",
+        "m",
+        F.datediff("corpus_max", "last_day").alias("recency_days"),
+    )
+    return feat.select(
+        "o_custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("m").cast("double").alias("monetary"),
+        F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
+        .cast("bigint").alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("bigint").alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("m").desc(), "o_custkey"))
+        .cast("bigint").alias("m_score"),
+    )
+
+
+# -- q_stratified_sample -----------------------------------------------
+#
+# Per-stratum deterministic sampling at DIFFERENT rates (training-
+# mixture rebalance: upsample one segment, downsample the rest) —
+# the oracle-checkable form of the Pipeline API's stratified_sample.
+# Keep decision is md5(custkey) prefix < per-stratum hex threshold:
+# zero shuffle, zero rand(), reproducible across engines, runs, and
+# partitionings. Rates: BUILDING ~20% ('33'/256), others ~5%
+# ('0d'/256).
+
+STRAT_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) <
+      CASE WHEN c_mktsegment = 'BUILDING' THEN '33' ELSE '0d' END
+"""
+
+
+@query("q_stratified_sample", oracle=STRAT_SQL)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    thresh = F.when(F.col("c_mktsegment") == "BUILDING", F.lit("33")).otherwise(
+        F.lit("0d")
+    )
+    keep = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) < thresh
+    return c.filter(keep).select("c_custkey", "c_mktsegment")
+
+
+# -- q_winsorize -------------------------------------------------------
+#
+# Robust (winsorized) statistics per group: clip account balances to
+# the segment's [p10, p90] band, then compare raw vs winsorized mean
+# — the outlier-resistant aggregate a feature pipeline prefers over
+# a plain mean. Scale shape: exact percentiles aggregate per segment
+# (tiny grid, broadcast back); the clip + mean is one more scan with
+# exact-decimal folds. Bounds are rounded to 2 decimals BEFORE
+# clipping so every clipped value is decimal-exact in both engines.
+
+WINSOR_SQL = """
+WITH b AS (
+  SELECT c_mktsegment,
+         round(quantile_cont(c_acctbal, 0.10), 2) AS b10,
+         round(quantile_cont(c_acctbal, 0.90), 2) AS b90
+  FROM customer GROUP BY 1
+)
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       b.b10, b.b90,
+       round(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_raw,
+       round(CAST(SUM(CAST(LEAST(GREATEST(c.c_acctbal, b.b10), b.b90)
+                           AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_winsor
+FROM customer c JOIN b ON c.c_mktsegment = b.c_mktsegment
+GROUP BY 1, 3, 4
+"""
+
+
+@query("q_winsorize", oracle=WINSOR_SQL)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    b = c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.10)), 2).alias("b10"),
+        F.round(F.percentile("c_acctbal", F.lit(0.90)), 2).alias("b90"),
+    )
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.col("b10")), F.col("b90"))
+    return (
+        c.join(F.broadcast(b), "c_mktsegment")
+        .groupBy("c_mktsegment", "b10", "b90")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_winsor"),
+        )
+        .select("c_mktsegment", "n", "b10", "b90", "mean_raw", "mean_winsor")
+    )

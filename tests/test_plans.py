@@ -459,6 +459,16 @@ def test_round5b_entry_plan_shapes(spark):
     assert "partial_sum" in plan, plan
     assert "SinglePartition" not in plan, plan
 
+    # stratified sampling is a pushed-down filter: no exchange at all
+    plan = E.plan_string(QUERIES["q_stratified_sample"](spark, SF_DIR), "formatted")
+    assert "Exchange" not in plan, plan
+
+    # winsorize: percentile bounds ride a broadcast join back onto the
+    # table; the clip+mean pass partial-aggregates
+    plan = E.plan_string(QUERIES["q_winsorize"](spark, SF_DIR), "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
     # CMS build: partial aggregation onto the fixed 2048-cell grid
     # (map-side combine does the work; sketch size constant in data),
     # probes ride a broadcast join of the tiny sketch.
