@@ -239,3 +239,88 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big = e.select("event_id", "user_id", "event_type")
     return salted_join(big, dim, on="user_id", n_salts=8, big_stable_col="event_id")
+
+
+# -- q_streaks ---------------------------------------------------------
+#
+# Gaps-and-islands: longest consecutive-day activity streak per user
+# — the retention/engagement shape (login streaks, SLA continuity).
+# Classic trick: within a user, day - row_number(day-order) is
+# constant exactly on a consecutive run, so runs fall out of one
+# groupBy on that anchor. Scale shape: distinct (user, day) collapses
+# the event stream first; both windows partition by user_id — no
+# global sort; the island groupBy reuses the user_id shuffle.
+
+STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) * INTERVAL 1 DAY AS anchor
+  FROM days
+), runs AS (
+  SELECT user_id, anchor, COUNT(*) AS len FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id
+"""
+
+
+@query("q_streaks", oracle=STREAKS_SQL)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id", F.date_sub("day", F.row_number().over(w)).alias("anchor")
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+# -- q_event_paths -----------------------------------------------------
+#
+# Top event trigrams (3-step paths) across all user sequences — the
+# sequence-mining summary behind funnel discovery (q_event_transitions
+# is its first-order cousin). Scale shape: two leads share ONE
+# user_id window sort; the path groupBy collapses to the ≤|types|³
+# grid, and the global top-10 is a mergeable TakeOrdered, not a sort.
+
+PATHS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+  FROM events
+)
+SELECT a || '>' || b || '>' || c AS path, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+"""
+
+
+@query("q_event_paths", oracle=PATHS_SQL)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

@@ -459,6 +459,18 @@ def test_round5b_entry_plan_shapes(spark):
     assert "partial_sum" in plan, plan
     assert "SinglePartition" not in plan, plan
 
+    # event paths: ONE window sort serves both leads; top-10 is
+    # TakeOrdered (mergeable), never a global sort exchange
+    plan = E.plan_string(QUERIES["q_event_paths"](spark, SF_DIR), "formatted")
+    # formatted mode prints each node twice (tree + detail): one
+    # Window operator == one "(N) Window" detail header
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    # streaks: user-partitioned window only — no single-partition stage
+    plan = E.plan_string(QUERIES["q_streaks"](spark, SF_DIR), "formatted")
+    assert "SinglePartition" not in plan, plan
+
     # stratified sampling is a pushed-down filter: no exchange at all
     plan = E.plan_string(QUERIES["q_stratified_sample"](spark, SF_DIR), "formatted")
     assert "Exchange" not in plan, plan
