@@ -391,3 +391,124 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_mktsegment", "n", "b10", "b90", "mean_raw", "mean_winsor")
     )
+
+
+# -- q_time_weighted_avg -----------------------------------------------
+#
+# Time-weighted average (TWAP) of the event value per user: each
+# observation holds until the next one, so its weight is the
+# interval length — the correct average for irregularly-sampled
+# series (prices, gauges). Scale shape: one user-partitioned window
+# (lead) over the stream, then a partial-aggregated per-user fold.
+# Determinism: intervals are EXACT microsecond bigints (epoch-us
+# difference — avoids the boundary-count vs truncation divergence of
+# second-granularity date_diff), value·dt products go through
+# DECIMAL(28,6) so the fold is order-independent; the unit cancels
+# in the ratio.
+
+TWAP_SQL = """
+WITH seq AS (
+  SELECT user_id, value,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       round(CAST(SUM(CAST(value * dt_us AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(dt_us) AS DOUBLE), 6) AS twap
+FROM seq WHERE dt_us IS NOT NULL AND dt_us > 0
+GROUP BY user_id
+"""
+
+
+@query("q_time_weighted_avg", oracle=TWAP_SQL)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").cast("bigint").alias("span_us"),
+        F.round(
+            F.sum((F.col("value") * F.col("dt_us")).cast("decimal(28,6)"))
+            .cast("double")
+            / F.sum("dt_us").cast("double"),
+            6,
+        ).alias("twap"),
+    )
+
+
+# -- q_ab_test ---------------------------------------------------------
+#
+# Deterministic A/B experiment report: users are assigned to arms by
+# md5 parity (the reproducible split every experimentation system
+# needs — no rand(), stable across runs/engines), then order values
+# are compared with a Welch t statistic. Scale shape: ONE fact scan,
+# conditional partial aggregation per arm (no join, no shuffle
+# beyond the 1-group agg); mean/variance derive from exact decimal
+# Σx and Σx² folds so the double arithmetic on top is identical in
+# both engines.
+
+ABTEST_SQL = """
+WITH t AS (
+  SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+              THEN 'control' ELSE 'treatment' END AS arm,
+         o_totalprice AS x
+  FROM orders
+), s AS (
+  SELECT
+    SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS n_c,
+    SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS n_t,
+    SUM(CASE WHEN arm = 'control' THEN CAST(x AS DECIMAL(18,2)) END) AS sx_c,
+    SUM(CASE WHEN arm = 'treatment' THEN CAST(x AS DECIMAL(18,2)) END) AS sx_t,
+    SUM(CASE WHEN arm = 'control' THEN CAST(x * x AS DECIMAL(28,4)) END) AS sxx_c,
+    SUM(CASE WHEN arm = 'treatment' THEN CAST(x * x AS DECIMAL(28,4)) END) AS sxx_t
+  FROM t
+)
+SELECT CAST(n_c AS BIGINT) AS n_control, CAST(n_t AS BIGINT) AS n_treatment,
+       round(CAST(sx_c AS DOUBLE) / n_c, 6) AS mean_control,
+       round(CAST(sx_t AS DOUBLE) / n_t, 6) AS mean_treatment,
+       round((CAST(sx_c AS DOUBLE) / n_c - CAST(sx_t AS DOUBLE) / n_t)
+             / sqrt((CAST(sxx_c AS DOUBLE) - CAST(sx_c AS DOUBLE)
+                     * CAST(sx_c AS DOUBLE) / n_c) / (n_c - 1) / n_c
+                  + (CAST(sxx_t AS DOUBLE) - CAST(sx_t AS DOUBLE)
+                     * CAST(sx_t AS DOUBLE) / n_t) / (n_t - 1) / n_t),
+             6) AS t_welch
+FROM s
+"""
+
+
+@query("q_ab_test", oracle=ABTEST_SQL)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    arm = F.when(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8",
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    t = o.select(arm.alias("arm"), F.col("o_totalprice").alias("x"))
+    is_c, is_t = F.col("arm") == "control", F.col("arm") == "treatment"
+    s = t.agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(is_c, F.col("x").cast("decimal(18,2)"))).alias("sx_c"),
+        F.sum(F.when(is_t, F.col("x").cast("decimal(18,2)"))).alias("sx_t"),
+        F.sum(F.when(is_c, (F.col("x") * F.col("x")).cast("decimal(28,4)"))).alias("sxx_c"),
+        F.sum(F.when(is_t, (F.col("x") * F.col("x")).cast("decimal(28,4)"))).alias("sxx_t"),
+    )
+    nc, nt = F.col("n_c"), F.col("n_t")
+    sxc, sxt = F.col("sx_c").cast("double"), F.col("sx_t").cast("double")
+    sxxc, sxxt = F.col("sxx_c").cast("double"), F.col("sxx_t").cast("double")
+    var_c = (sxxc - sxc * sxc / nc) / (nc - 1) / nc
+    var_t = (sxxt - sxt * sxt / nt) / (nt - 1) / nt
+    return s.select(
+        nc.cast("bigint").alias("n_control"),
+        nt.cast("bigint").alias("n_treatment"),
+        F.round(sxc / nc, 6).alias("mean_control"),
+        F.round(sxt / nt, 6).alias("mean_treatment"),
+        F.round((sxc / nc - sxt / nt) / F.sqrt(var_c + var_t), 6).alias("t_welch"),
+    )

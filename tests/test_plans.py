@@ -471,6 +471,11 @@ def test_round5b_entry_plan_shapes(spark):
     plan = E.plan_string(QUERIES["q_streaks"](spark, SF_DIR), "formatted")
     assert "SinglePartition" not in plan, plan
 
+    # A/B test: one scan, conditional partial aggregation, no join
+    plan = E.plan_string(QUERIES["q_ab_test"](spark, SF_DIR), "formatted")
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+
     # stratified sampling is a pushed-down filter: no exchange at all
     plan = E.plan_string(QUERIES["q_stratified_sample"](spark, SF_DIR), "formatted")
     assert "Exchange" not in plan, plan
