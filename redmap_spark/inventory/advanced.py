@@ -512,3 +512,131 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sxt / nt, 6).alias("mean_treatment"),
         F.round((sxc / nc - sxt / nt) / F.sqrt(var_c + var_t), 6).alias("t_welch"),
     )
+
+
+# -- q_market_basket ---------------------------------------------------
+#
+# Association rules over order baskets: top brand pairs by lift
+# (support / confidence / lift) — the classic co-occurrence mining
+# workload. Scale shape: baskets collapse to DISTINCT (order, brand)
+# first (part dim broadcast); the pair generation is a self
+# equi-join on o_orderkey — co-partitioned, cost Σ basket² with
+# baskets bounded by order size, never |orders|²; per-brand supports
+# and the order count come back as broadcasts. Top-15 by lift is a
+# mergeable TakeOrdered with a pair tie-break.
+
+BASKET_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (
+  SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS n_orders FROM ob
+), sup AS (
+  SELECT b, COUNT(*) AS n_b FROM ob GROUP BY 1
+), pairs AS (
+  SELECT a.b AS brand_a, c.b AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(n_ab / n.n_orders, 6) AS support,
+       round(n_ab / CAST(sa.n_b AS DOUBLE), 6) AS confidence,
+       round(n_ab * n.n_orders / (CAST(sa.n_b AS DOUBLE) * sb.n_b), 6) AS lift
+FROM pairs CROSS JOIN n
+JOIN sup sa ON sa.b = brand_a
+JOIN sup sb ON sb.b = brand_b
+ORDER BY lift DESC, brand_a, brand_b LIMIT 15
+"""
+
+
+@query("q_market_basket", oracle=BASKET_SQL)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ob = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("o").cast("double").alias("n_orders"))
+    sup = ob.groupBy(F.col("b")).agg(F.count(F.lit(1)).alias("n_b"))
+    a, d = ob.alias("a"), ob.alias("d")
+    pairs = (
+        a.join(d, (F.col("a.o") == F.col("d.o")) & (F.col("a.b") < F.col("d.b")))
+        .groupBy(
+            F.col("a.b").alias("brand_a"), F.col("d.b").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = sup.select(F.col("b").alias("brand_a"), F.col("n_b").alias("na"))
+    sb = sup.select(F.col("b").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pairs.join(F.broadcast(n))
+        .join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("na").cast("double"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab") * F.col("n_orders")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(15)
+    )
+
+
+# -- q_funnel_latency --------------------------------------------------
+#
+# Time-to-convert distribution: days between a user's FIRST view and
+# FIRST subsequent purchase, as a histogram — the latency companion
+# to q_funnel's conversion counts. Scale shape: one conditional
+# partial aggregation per user (no join, no window), then the
+# histogram groupBy collapses to the tiny |days| grid. Latency is an
+# exact microsecond difference floor-divided to days (deterministic
+# integer arithmetic in both engines).
+
+FUNNEL_LAT_SQL = """
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+  FROM events GROUP BY 1
+)
+SELECT (p - v) // 86400000000 AS latency_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+GROUP BY 1
+"""
+
+
+@query("q_funnel_latency", oracle=FUNNEL_LAT_SQL)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    u = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("v"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("p"),
+    )
+    return (
+        u.filter(
+            F.col("v").isNotNull()
+            & F.col("p").isNotNull()
+            & (F.col("p") >= F.col("v"))
+        )
+        # integer `div`, not double `/` + cast: a diff of
+        # day-minus-1µs would double-round up across the boundary
+        .select(F.expr("(p - v) div 86400000000").alias("latency_days"))
+        .groupBy("latency_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -471,6 +471,19 @@ def test_round5b_entry_plan_shapes(spark):
     plan = E.plan_string(QUERIES["q_streaks"](spark, SF_DIR), "formatted")
     assert "SinglePartition" not in plan, plan
 
+    # market basket: the pair self-join is an equi-join on the order
+    # key (co-partitioned), never cartesian; supports broadcast back
+    plan = E.plan_string(QUERIES["q_market_basket"](spark, SF_DIR), "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    # funnel latency: no join, no window — one conditional partial
+    # aggregation then the tiny day-grid rollup
+    plan = E.plan_string(QUERIES["q_funnel_latency"](spark, SF_DIR), "formatted")
+    assert "partial_min" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
     # A/B test: one scan, conditional partial aggregation, no join
     plan = E.plan_string(QUERIES["q_ab_test"](spark, SF_DIR), "formatted")
     assert "partial_sum" in plan, plan
