@@ -270,16 +270,19 @@ SELECT node, round(r, 9) AS rank FROM r3
 def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     orders = c.orders
+    # distinct on the NUMERIC key pair, then build the labels: the
+    # dedup shuffle moves 16 bytes/row instead of two strings
     e0 = (
         orders.join(
             c.lineitem.select("l_orderkey", "l_suppkey"),
             orders.o_orderkey == F.col("l_orderkey"),
         )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).cache()
@@ -454,16 +457,19 @@ SELECT node, lbl AS component FROM l3
 def mr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     orders = c.orders
+    # distinct on the NUMERIC key pair, then build the labels: the
+    # dedup shuffle moves 16 bytes/row instead of two strings
     e0 = (
         orders.join(
             c.lineitem.select("l_orderkey", "l_suppkey"),
             orders.o_orderkey == F.col("l_orderkey"),
         )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
     edges = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
