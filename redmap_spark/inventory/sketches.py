@@ -126,7 +126,7 @@ GROUP BY p.user_id
 """
 
 
-def _cms_cell(i_col, key_col, width: int = 512):
+def cms_cell(i_col, key_col, width: int = 512):
     """Engine-portable CMS column index: first 60 bits of
     md5(i ':' key) mod width."""
     h = F.conv(
@@ -140,7 +140,7 @@ def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).events.select("user_id")
     depth = F.array(*[F.lit(i) for i in range(4)])
     cells = e.select("user_id", F.explode(depth).alias("i")).select(
-        "i", _cms_cell(F.col("i"), F.col("user_id")).alias("c")
+        "i", cms_cell(F.col("i"), F.col("user_id")).alias("c")
     )
     sketch = cells.groupBy("i", "c").agg(F.count(F.lit(1)).alias("n"))
     exact = (
@@ -152,7 +152,7 @@ def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = exact.select(
         "user_id", "exact_n", F.explode(depth).alias("i")
     ).select(
-        "user_id", "exact_n", "i", _cms_cell(F.col("i"), F.col("user_id")).alias("c")
+        "user_id", "exact_n", "i", cms_cell(F.col("i"), F.col("user_id")).alias("c")
     )
     return (
         probes.join(F.broadcast(sketch), ["i", "c"])

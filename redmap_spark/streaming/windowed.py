@@ -489,3 +489,67 @@ def stream_to_latest_state(state_path: str, partition_mod: int = 16):
         )
 
     return sink
+
+
+# ------------------------------- foreachBatch → count-min sketch table
+
+
+def stream_to_cms(cms_path: str, key_col: str = "user_id"):
+    """Maintain a count-min sketch table (the FIXED 4x512 additive
+    counter grid of inventory/sketches.q_cms_sketch) from a
+    micro-batch stream — constant-size frequency state where the
+    exact key-count table (stream_to_key_counts) would grow with
+    cardinality. Returns the foreachBatch sink.
+
+    Cells are additive, so retries must not re-add: each batch
+    APPENDS its per-cell partial grid tagged with batch_id (a retry
+    re-appends byte-identical rows), and the table is recomputed from
+    staged partials with a (i, c, batch_id) dedup — the same staging
+    idempotence as stream_to_key_counts, but over a grid whose size
+    is CONSTANT in both data and key cardinality (≤2048 rows + 2048
+    per staged batch; compacted on a schedule at scale)."""
+    from redmap_spark.inventory.sketches import cms_cell
+
+    staging = cms_path.rstrip("/") + "__staging_cells"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        depth = F.array(*[F.lit(i) for i in range(4)])
+        partial = (
+            batch_df.select(F.col(key_col).alias("k"), F.explode(depth).alias("i"))
+            .select("i", cms_cell(F.col("i"), F.col("k")).alias("c"))
+            .groupBy("i", "c")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        partial.write.mode("append").partitionBy("i").parquet(staging)
+        merged = (
+            spark.read.option("basePath", staging)
+            .parquet(staging)
+            .dropDuplicates(["i", "c", "batch_id"])  # retry-idempotent
+            .groupBy("i", "c")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=True)  # lineage reads the files replaced
+        )
+        merged.write.mode("overwrite").parquet(cms_path)
+
+    return sink
+
+
+def cms_estimates(spark, cms_path: str, keys) -> DataFrame:
+    """(key, cms_est) for the given keys from the maintained sketch
+    table: probe the 4 cells per key, take the min — never touches
+    the stream. ``keys`` is a list of key values."""
+    from redmap_spark.inventory.sketches import cms_cell
+
+    sk = spark.read.parquet(cms_path)
+    kdf = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    depth = F.array(*[F.lit(i) for i in range(4)])
+    probes = kdf.select("k", F.explode(depth).alias("i")).select(
+        "k", "i", cms_cell(F.col("i"), F.col("k")).alias("c")
+    )
+    return (
+        probes.join(F.broadcast(sk), ["i", "c"])
+        .groupBy("k")
+        .agg(F.min("n").cast("bigint").alias("cms_est"))
+    )

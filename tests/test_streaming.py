@@ -346,3 +346,58 @@ def test_stream_to_latest_state(spark, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_stream_to_cms(spark, tmp_path):
+    """Streaming CMS maintenance: after draining the events file, the
+    maintained 4x512 grid must equal the one-shot batch sketch
+    cell-for-cell (additive mergeability across micro-batches), the
+    probed estimates must dominate exact counts, and a foreachBatch
+    retry must be a no-op."""
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.inventory.sketches import cms_cell
+    from redmap_spark.streaming.windowed import (
+        cms_estimates,
+        events_stream,
+        stream_to_cms,
+    )
+
+    cms = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, SF_DIR)
+    sink = stream_to_cms(cms)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    e = Catalog(spark, SF_DIR).events
+    depth = F.array(*[F.lit(i) for i in range(4)])
+    batch_grid = {
+        (r.i, r.c): r.n
+        for r in e.select(F.explode(depth).alias("i"), F.col("user_id").alias("k"))
+        .select("i", cms_cell(F.col("i"), F.col("k")).alias("c"))
+        .groupBy("i", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    streamed_grid = {
+        (r.i, r.c): r.n for r in spark.read.parquet(cms).collect()
+    }
+    assert streamed_grid == batch_grid
+
+    exact = {
+        r.user_id: r.n
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    some = sorted(exact)[:20]
+    est = {r.k: r.cms_est for r in cms_estimates(spark, cms, some).collect()}
+    assert all(est[k] >= exact[k] for k in some)
+
+    # retry: same batch content, same batch_id -> staged rows dedupe
+    sink(e.select("user_id"), 0)
+    again = {(r.i, r.c): r.n for r in spark.read.parquet(cms).collect()}
+    assert again == batch_grid
