@@ -1,0 +1,156 @@
+"""Scaling-slope probe: do the engine's plans stay ~linear as data
+grows? (SURVEY §6 / PERF.md evidence.)
+
+Replicates sf0.1 fact tables x4 / x16 into a scratch dir with
+key-space offsets (so key CARDINALITY scales with the data — the
+realistic regime; group sizes stay constant), then times a
+representative operator per shape class at each scale and reports
+the wall-clock slope between consecutive 4x steps:
+
+- scan+agg          q1 shape over lineitem        (shuffle on group keys)
+- window analytics  q_streaks over events         (user-partitioned window)
+- total-order sort  mr_total_sort over lineitem   (range partition + offsets)
+- exact dedup       md5 hash-groupBy over documents
+- sketch build      CMS 4x512 grid over events    (fixed-size state)
+
+A slope near 4 per step (or below — fixed overheads amortizing) means
+shuffle-bound linear scaling; a slope trending toward 16 would flag a
+quadratic term that 1000 executors cannot save. Run:
+
+    python tools/scaling_probe.py            # writes /tmp/scaleprobe + prints one JSON line
+
+Scratch data is written under /tmp (never the repo or testdata).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from redmap_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+SCRATCH = Path("/tmp/scaleprobe")
+SCALES = (1, 4, 16)
+
+
+def replicate(spark, table: str, id_cols: list[str], factor: int, dest: str) -> None:
+    base = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+    parts = []
+    for i in range(factor):
+        shifted = base
+        for c in id_cols:
+            shifted = shifted.withColumn(c, F.col(c) + F.lit(i * 100_000_000))
+        parts.append(shifted)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(dest)
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    spark = get_spark("scaling-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    if SCRATCH.exists():
+        shutil.rmtree(SCRATCH)
+
+    results: dict[str, dict[int, float]] = {}
+    for factor in SCALES:
+        d = SCRATCH / f"x{factor}"
+        replicate(spark, "lineitem", ["l_orderkey"], factor, str(d / "lineitem"))
+        replicate(spark, "events", ["event_id", "user_id"], factor, str(d / "events"))
+        replicate(spark, "documents", ["doc_id"], factor, str(d / "documents"))
+
+        li = spark.read.parquet(str(d / "lineitem"))
+        ev = spark.read.parquet(str(d / "events"))
+        dc = spark.read.parquet(str(d / "documents"))
+
+        def noop(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        probes = {
+            "agg_q1": lambda: noop(
+                li.groupBy("l_returnflag", "l_linestatus").agg(
+                    F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sp"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            ),
+            "window_streaks": lambda: noop(
+                ev.select("user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("day"))
+                .distinct()
+                .select(
+                    "user_id",
+                    F.date_sub(
+                        "day",
+                        F.row_number().over(
+                            Window.partitionBy("user_id").orderBy("day")
+                        ),
+                    ).alias("anchor"),
+                )
+                .groupBy("user_id", "anchor")
+                .agg(F.count(F.lit(1)).alias("len"))
+                .groupBy("user_id")
+                .agg(F.max("len").alias("longest"))
+            ),
+            "total_sort": lambda: noop(
+                li.repartitionByRange(
+                    32, F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+                ).sortWithinPartitions(
+                    F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+                )
+            ),
+            "exact_dedup": lambda: noop(
+                dc.groupBy(F.md5("text").alias("h")).agg(
+                    F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("rep")
+                )
+            ),
+            "cms_build": lambda: noop(
+                ev.select(
+                    "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+                )
+                .select(
+                    "i",
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat_ws(":", "i", "user_id")), 1, 15
+                            ), 16, 10,
+                        ).cast("long"),
+                        F.lit(512),
+                    ).alias("c"),
+                )
+                .groupBy("i", "c")
+                .agg(F.count(F.lit(1)).alias("n"))
+            ),
+        }
+        for name, fn in probes.items():
+            fn()  # warm (codegen compile, page cache)
+            results.setdefault(name, {})[factor] = timed(fn)
+
+    report = {}
+    for name, by_scale in results.items():
+        slopes = [
+            round(by_scale[SCALES[i + 1]] / max(by_scale[SCALES[i]], 1e-9), 2)
+            for i in range(len(SCALES) - 1)
+        ]
+        report[name] = {"sec": by_scale, "slope_per_4x": slopes}
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
