@@ -51,7 +51,7 @@ _WINDOW_FIRST = [
     "txt_word_entropy", "txt_normalize", "q_cms_sketch",
     "q_rfm_features", "q_stratified_sample", "q_winsorize",
     "q_streaks", "q_event_paths", "q_time_weighted_avg", "q_ab_test",
-    "q_market_basket", "q_funnel_latency",
+    "q_market_basket", "q_funnel_latency", "q_entity_survivorship",
     # -- changed in round 5 (decimal-parity sum_qty) -------------------
     "mr_cogroup",
     # -- last verified round 1: refresh against current code -----------

@@ -324,3 +324,63 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+# -- q_entity_survivorship ---------------------------------------------
+#
+# Golden-record survivorship on top of the blocked fuzzy linkage
+# (q_fuzzy_match): for every near-duplicate name pair (levenshtein
+# ≤ 2 within the blocking key), emit the merged record an MDM system
+# keeps — survivor = the name backed by more parts (tie: lexical
+# min), attributes merged as min price / max size / total count
+# across both sides. Same scale shape as the linkage itself (blocked
+# equi-join, per-name attrs pre-aggregated before the join); the
+# merge adds zero extra shuffles.
+
+SURVIVOR_SQL = """
+WITH names AS (
+  SELECT p_name, split_part(p_name, ' ', 2) AS blk, COUNT(*) AS n_parts,
+         MIN(p_retailprice) AS min_price, MAX(p_size) AS max_size
+  FROM part GROUP BY 1, 2
+)
+SELECT CASE WHEN a.n_parts > b.n_parts
+              OR (a.n_parts = b.n_parts AND a.p_name < b.p_name)
+            THEN a.p_name ELSE b.p_name END AS survivor,
+       CASE WHEN a.n_parts > b.n_parts
+              OR (a.n_parts = b.n_parts AND a.p_name < b.p_name)
+            THEN b.p_name ELSE a.p_name END AS merged_from,
+       CAST(a.n_parts + b.n_parts AS BIGINT) AS n_parts_total,
+       LEAST(a.min_price, b.min_price) AS min_price,
+       CAST(GREATEST(a.max_size, b.max_size) AS BIGINT) AS max_size
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query("q_entity_survivorship", oracle=SURVIVOR_SQL)
+def q_entity_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    names = p.groupBy(
+        F.col("p_name"), F.split("p_name", " ").getItem(1).alias("blk")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_size").alias("max_size"),
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_name") < F.col("b.p_name")),
+    ).filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+    a_wins = (F.col("a.n_parts") > F.col("b.n_parts")) | (
+        (F.col("a.n_parts") == F.col("b.n_parts"))
+        & (F.col("a.p_name") < F.col("b.p_name"))
+    )
+    return pair.select(
+        F.when(a_wins, F.col("a.p_name")).otherwise(F.col("b.p_name")).alias("survivor"),
+        F.when(a_wins, F.col("b.p_name")).otherwise(F.col("a.p_name")).alias("merged_from"),
+        (F.col("a.n_parts") + F.col("b.n_parts")).cast("bigint").alias("n_parts_total"),
+        F.least(F.col("a.min_price"), F.col("b.min_price")).alias("min_price"),
+        F.greatest(F.col("a.max_size"), F.col("b.max_size")).cast("bigint").alias("max_size"),
+    )
