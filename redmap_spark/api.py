@@ -167,6 +167,56 @@ class Pipeline:
         )
         return Pipeline(kept)
 
+    def normalize(self, text_col: str = "text") -> "Pipeline":
+        """Canonicalize the text column in place (lowercase, fold
+        non-alphanumerics, squeeze whitespace, trim) — the prep stage
+        in front of dedup/tokenization. Pure column expression, zero
+        shuffle (same transform as inventory/text2.txt_normalize)."""
+        norm = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        )
+        return Pipeline(self.df.withColumn(text_col, norm))
+
+    def quality_gate(self, text_col: str = "text", **gopher_kwargs) -> "Pipeline":
+        """Keep rows passing the Gopher quality rules
+        (operators.textstats.gopher_passes) — the rules-based corpus
+        gate, as one pushable column predicate."""
+        from redmap_spark.operators.textstats import gopher_passes
+
+        return Pipeline(self.df.filter(gopher_passes(text_col, **gopher_kwargs)))
+
+    def chunk(
+        self,
+        chunk_tokens: int = 50,
+        stride: int = 40,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "Pipeline":
+        """Split documents into fixed-size overlapping token chunks
+        (operators.textstats.chunk_documents): 1->N expansion at scan
+        parallelism, no shuffle, no Python."""
+        from redmap_spark.operators.textstats import chunk_documents
+
+        return Pipeline(
+            chunk_documents(
+                self.df, chunk_tokens=chunk_tokens, stride=stride,
+                id_col=id_col, text_col=text_col,
+            )
+        )
+
+    def pack(self, budget: int = 512, id_col: str = "doc_id") -> "Pipeline":
+        """Pack chunks (the output of .chunk()) into fixed-token-budget
+        training rows (operators.packing: bucketed first-fit,
+        loss-less, deterministic under repartitioning)."""
+        from redmap_spark.operators.packing import pack_rows, pack_sequences
+
+        packed = pack_sequences(self.df, budget=budget, id_col=id_col)
+        return Pipeline(pack_rows(packed, self.df))
+
     # -- terminal actions ----------------------------------------------
 
     def collect(self):

@@ -137,3 +137,48 @@ def test_pipeline_decontaminate(spark):
     df = spark.createDataFrame(rows)
     kept = {r.doc_id for r in Pipeline.from_df(df).decontaminate(bench).collect()}
     assert kept == {2, 3}
+
+
+def test_pipeline_training_corpus_chain(spark):
+    """The full fluent training-corpus DSL in one chain:
+    normalize -> quality_gate -> near_dedup -> decontaminate ->
+    chunk -> pack. Invariants: every pack respects the token budget
+    (or is a singleton oversize), no token is lost between the
+    chunked corpus and the packed rows, and the chain is
+    deterministic end-to-end."""
+    from pyspark.sql import Row
+
+    docs = Catalog(spark, SF_DIR).documents
+    bench = spark.createDataFrame(
+        [Row(text="key agg row scan slow fast table value part hash")]
+    )
+
+    def run():
+        gated = (
+            Pipeline.from_df(docs)
+            .normalize()
+            .quality_gate(min_words=10, max_words=1000, min_stop_hits=0)
+            .near_dedup(threshold=0.5)
+            .decontaminate(bench)
+        )
+        chunks = gated.chunk(chunk_tokens=50, stride=50)  # disjoint chunks
+        packs = chunks.pack(budget=64)
+        return chunks, packs
+
+    chunks, packs = run()
+    chunk_rows = chunks.collect()
+    pack_rows_ = packs.collect()
+    assert chunk_rows and pack_rows_
+
+    for r in pack_rows_:
+        assert r.n_tokens <= 64 or r.n_seqs == 1, r
+
+    total_chunk_tokens = sum(r.n_chunk_tokens for r in chunk_rows)
+    total_packed_tokens = sum(r.n_tokens for r in pack_rows_)
+    assert total_packed_tokens == total_chunk_tokens  # loss-less
+
+    # determinism: identical chain -> identical pack count + token sum
+    _, packs2 = run()
+    again = packs2.collect()
+    assert len(again) == len(pack_rows_)
+    assert sum(r.n_tokens for r in again) == total_packed_tokens
