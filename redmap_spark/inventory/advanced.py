@@ -162,35 +162,21 @@ GROUP BY 1, 2
 
 @query("q_interval_sweep", oracle=SWEEP_SQL)
 def q_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators.analytics import peak_concurrency
+
     cat = Catalog(spark, sf_dir)
     base = cat.orders.join(
         F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey")
     ).join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
     day = F.date_trunc("day", "o_orderdate")
-    deltas = base.select(
-        "n_name",
-        F.explode(
-            F.array(
-                F.struct(day.alias("day"), F.lit(1).alias("delta")),
-                F.struct(
-                    (day + F.expr("INTERVAL 30 DAY")).alias("day"),
-                    F.lit(-1).alias("delta"),
-                ),
-            )
-        ).alias("e"),
-    ).select("n_name", "e.day", "e.delta")
-    byday = deltas.groupBy("n_name", "day").agg(F.sum("delta").alias("d"))
-    run = byday.select(
-        "n_name",
-        "day",
-        F.sum("d").over(Window.partitionBy("n_name").orderBy("day")).alias("active"),
+    iv = base.select(
+        "n_name", day.alias("s"), (day + F.expr("INTERVAL 30 DAY")).alias("e")
     )
-    peak = run.groupBy("n_name").agg(F.max("active").alias("peak_active"))
-    return (
-        run.join(peak, ["n_name"])
-        .filter(F.col("active") == F.col("peak_active"))
-        .groupBy("n_name", "peak_active")
-        .agg(F.date_format(F.min("day"), "yyyy-MM-dd").alias("peak_day"))
+    pk = peak_concurrency(iv, "n_name", "s", "e")
+    return pk.select(
+        "n_name",
+        "peak_active",
+        F.date_format("peak_at", "yyyy-MM-dd").alias("peak_day"),
     )
 
 
@@ -225,23 +211,17 @@ WHERE NOT EXISTS (
 
 @query("q_skyline", oracle=SKYLINE_SQL)
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators.analytics import skyline
+
     p = Catalog(spark, sf_dir).part
-    g = p.groupBy(
-        F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
-    ).agg(F.count(F.lit(1)).alias("n_parts"))
-    # Strict predecessors under (price ASC, sz DESC) = all points with
-    # price < mine, or price = mine and sz > mine; any of them with
-    # sz >= mine dominates me.
-    w = (
-        Window.orderBy(F.col("price").asc(), F.col("sz").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    sky = skyline(
+        p.select(F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")),
+        "price",
+        "sz",
     )
-    sky = g.select(
-        "price", "sz", "n_parts", F.max("sz").over(w).alias("pred_max_sz")
+    return sky.select(
+        "price", F.col("sz").alias("size"), F.col("n_rows").alias("n_parts")
     )
-    return sky.filter(
-        F.col("pred_max_sz").isNull() | (F.col("pred_max_sz") < F.col("sz"))
-    ).select("price", F.col("sz").alias("size"), "n_parts")
 
 
 # -- q_rfm_features ----------------------------------------------------

@@ -1,0 +1,70 @@
+"""Reusable analytic operators backing SURVEY §2.A inventory entries
+(q_skyline, q_interval_sweep delegate here; property-tested against
+brute force on arbitrary inputs in tests/test_properties.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skyline(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
+    """Pareto frontier: rows where no other row has ``min_col`` <=
+    AND ``max_col`` >= with at least one strict. Output: one row per
+    distinct (min_col, max_col) point on the frontier, with its
+    multiplicity ``n_rows``.
+
+    Plan: collapse to the DISTINCT point grid (dominance is identical
+    for duplicates), then ONE window pass ordered by (min ASC, max
+    DESC): every strict predecessor in that order is a
+    cheaper-or-equal candidate, so a point is dominated iff the
+    running MAX of ``max_col`` over predecessors reaches its own
+    value. The window sorts only the distinct grid (<< table)."""
+    g = df.groupBy(
+        F.col(min_col).alias("_mn"), F.col(max_col).alias("_mx")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy(F.col("_mn").asc(), F.col("_mx").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = g.select("_mn", "_mx", "n_rows", F.max("_mx").over(w).alias("_pred"))
+    return sky.filter(
+        F.col("_pred").isNull() | (F.col("_pred") < F.col("_mx"))
+    ).select(
+        F.col("_mn").alias(min_col), F.col("_mx").alias(max_col), "n_rows"
+    )
+
+
+def peak_concurrency(
+    df: DataFrame, key_col: str, start_col: str, end_col: str
+) -> DataFrame:
+    """Sweep-line max-overlap per key over half-open [start, end)
+    intervals: (key, peak_active, peak_at) where ``peak_at`` is the
+    FIRST instant the peak is reached.
+
+    Plan: each interval emits one +1 and one -1 delta (flat map, no
+    blowup); deltas collapse per (key, instant) BEFORE the running
+    sum — which removes any intra-instant ordering sensitivity — and
+    the window partitions by key, so there is no global sort."""
+    deltas = df.select(
+        F.col(key_col).alias("_k"),
+        F.explode(
+            F.array(
+                F.struct(F.col(start_col).alias("_t"), F.lit(1).alias("_d")),
+                F.struct(F.col(end_col).alias("_t"), F.lit(-1).alias("_d")),
+            )
+        ).alias("_e"),
+    ).select("_k", "_e._t", "_e._d")
+    by_t = deltas.groupBy("_k", "_t").agg(F.sum("_d").alias("_d"))
+    run = by_t.select(
+        "_k",
+        "_t",
+        F.sum("_d").over(Window.partitionBy("_k").orderBy("_t")).alias("_active"),
+    )
+    peak = run.groupBy("_k").agg(F.max("_active").alias("peak_active"))
+    return (
+        run.join(peak, "_k")
+        .filter(F.col("_active") == F.col("peak_active"))
+        .groupBy(F.col("_k").alias(key_col), "peak_active")
+        .agg(F.min("_t").alias("peak_at"))
+    )

@@ -262,3 +262,64 @@ def test_audience_overlap_approx_error_bound(spark):
     assert set(approx) == set(exact)
     for pair, n in exact.items():
         assert abs(approx[pair] - n) <= max(0.10 * n, 30), (pair, approx[pair], n)
+
+
+points_strategy = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=25
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=points_strategy)
+def test_skyline_equals_bruteforce_dominance(spark, pts):
+    """The one-window-pass skyline rewrite must equal the dominance
+    DEFINITION (no other point <= in min-dim and >= in max-dim with
+    one strict) for arbitrary point sets — ties, duplicates,
+    colinear runs included."""
+    from pyspark.sql import Row
+
+    from redmap_spark.operators.analytics import skyline
+
+    df = spark.createDataFrame([Row(a=a, b=b) for a, b in pts])
+    got = {(r.a, r.b, r.n_rows) for r in skyline(df, "a", "b").collect()}
+
+    distinct = set(pts)
+    want = set()
+    for (a, b) in distinct:
+        dominated = any(
+            (a2 <= a and b2 >= b and (a2 < a or b2 > b)) for (a2, b2) in distinct
+        )
+        if not dominated:
+            want.add((a, b, sum(1 for p in pts if p == (a, b))))
+    assert got == want
+
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 10), st.integers(1, 6)), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(iv=intervals_strategy)
+def test_peak_concurrency_equals_bruteforce(spark, iv):
+    """Sweep-line peak == brute-force max over instants for arbitrary
+    half-open [s, s+len) integer intervals, including the first
+    instant the peak is reached."""
+    from pyspark.sql import Row
+
+    from redmap_spark.operators.analytics import peak_concurrency
+
+    rows = [Row(k="g", s=s, e=s + ln) for s, ln in iv]
+    got = peak_concurrency(
+        spark.createDataFrame(rows), "k", "s", "e"
+    ).collect()
+    assert len(got) == 1
+
+    instants = sorted({s for s, _ in iv})
+    active = {
+        t: sum(1 for s, ln in iv if s <= t < s + ln) for t in instants
+    }
+    peak = max(active.values())
+    first = min(t for t, a in active.items() if a == peak)
+    assert got[0].peak_active == peak
+    assert got[0].peak_at == first
