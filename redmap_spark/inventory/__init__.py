@@ -52,6 +52,7 @@ _WINDOW_FIRST = [
     "q_rfm_features", "q_stratified_sample", "q_winsorize",
     "q_streaks", "q_event_paths", "q_time_weighted_avg", "q_ab_test",
     "q_market_basket", "q_funnel_latency", "q_entity_survivorship",
+    "q_cohort_ltv",
     # -- changed in round 5 (decimal-parity sum_qty) -------------------
     "mr_cogroup",
     # -- last verified round 1: refresh against current code -----------

@@ -311,3 +311,71 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("k", 9) + F.lit(0.0)).alias("sample_key"),
         )
     )
+
+
+# -- q_cohort_ltv ------------------------------------------------------
+#
+# Cohort LTV curves: customers grouped by first-order month, revenue
+# accumulated by months-since-first — the money companion to
+# q_retention_cohorts (which counts activity, not value). Scale
+# shape: first-order month is one groupBy over orders; the facts
+# join that per-customer table on the customer key (co-keyed
+# shuffle); revenue collapses to the tiny |cohorts|×|offsets| grid
+# BEFORE the cumulative window, which partitions by cohort. Month
+# offsets are pure integer arithmetic (year*12+month), never
+# months_between floats.
+
+COHORT_LTV_SQL = """
+WITH f AS (
+  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+  FROM orders GROUP BY 1
+), sz AS (
+  SELECT cohort, COUNT(*) AS n_customers FROM f GROUP BY 1
+), r AS (
+  SELECT f.cohort,
+         (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate))
+           - (YEAR(f.cohort) * 12 + MONTH(f.cohort)) AS month_offset,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT strftime(r.cohort, '%Y-%m') AS cohort_month,
+       CAST(r.month_offset AS BIGINT) AS month_offset,
+       CAST(sz.n_customers AS BIGINT) AS n_customers,
+       CAST(r.rev AS DOUBLE) AS rev,
+       round(CAST(SUM(r.rev) OVER (PARTITION BY r.cohort ORDER BY r.month_offset)
+                  AS DOUBLE) / sz.n_customers, 6) AS ltv_per_customer
+FROM r JOIN sz ON r.cohort = sz.cohort
+"""
+
+
+@query("q_cohort_ltv", oracle=COHORT_LTV_SQL)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    f = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sz = f.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
+    mo = (F.year("o_orderdate") * 12 + F.month("o_orderdate")) - (
+        F.year("cohort") * 12 + F.month("cohort")
+    )
+    r = (
+        o.join(f, "o_custkey")
+        .groupBy("cohort", mo.alias("month_offset"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    cum = F.sum("rev").over(
+        Window.partitionBy("cohort").orderBy("month_offset")
+    )
+    return (
+        r.join(F.broadcast(sz), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            F.col("month_offset").cast("bigint").alias("month_offset"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("rev").cast("double").alias("rev"),
+            F.round(cum.cast("double") / F.col("n_customers"), 6).alias(
+                "ltv_per_customer"
+            ),
+        )
+    )

@@ -137,3 +137,34 @@ def read_binary_files(
     return df.withColumn(
         "file_name", F.element_at(F.split(F.col("path"), "/"), -1)
     )
+
+
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+    header: bool = True,
+) -> DataFrame:
+    """PERMISSIVE CSV ingest with a quarantine column: malformed rows
+    land whole in ``corrupt_col`` (their typed fields null) instead of
+    failing the job — the dirty-feed pattern where a 100 TB load must
+    not die on row 3 billion. Split downstream on
+    ``corrupt_col IS NULL`` into clean / quarantine streams.
+
+    Note Spark's documented restriction: a query may not filter ONLY
+    on the corrupt column straight off the scan — materialize (cache)
+    or project other columns alongside it first (the returned frame
+    is left raw so callers choose; tests/test_sources.py shows the
+    cache form)."""
+    if isinstance(schema, str):
+        base = StructType.fromDDL(schema)
+    else:
+        base = schema
+    full = StructType(base.fields[:]).add(corrupt_col, "string")
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path, header=header)
+    )

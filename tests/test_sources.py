@@ -215,3 +215,28 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
         assert rows[name].length == len(raw)
     w, h, _frames = parse_image_header(bytes(rows["img_1.png"].content))
     assert (w, h) == (5, 4)
+
+
+def test_read_csv_permissive_quarantines_malformed(spark, tmp_path):
+    """Malformed CSV rows must not fail the load: they land whole in
+    the corrupt-record column with typed fields null, clean rows parse
+    normally, and the clean/quarantine split partitions the file."""
+    from redmap_spark.sources.io import read_csv_permissive
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,3,9.50\n"
+        "2,notanumber,1.25\n"
+        "3,7,2.00\n"
+    )
+    df = read_csv_permissive(spark, str(p), "id INT, qty INT, price DOUBLE").cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    dirty = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {(r.id, r.qty) for r in clean.collect()} == {(1, 3), (3, 7)}
+    bad = dirty.collect()
+    assert len(bad) == 1
+    assert bad[0]._corrupt_record == "2,notanumber,1.25"
+    assert bad[0].qty is None
+    assert clean.count() + dirty.count() == df.count() == 3
+    df.unpersist()
