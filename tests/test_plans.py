@@ -484,6 +484,20 @@ def test_round5b_entry_plan_shapes(spark):
     assert "partial_min" in plan, plan
     assert "Join" not in plan and "Window" not in plan, plan
 
+    # cohort LTV: revenue collapses to the cohort×offset grid before
+    # the cumulative window (partial_sum below a non-single-partition
+    # window); cohort sizes broadcast back
+    plan = E.plan_string(QUERIES["q_cohort_ltv"](spark, SF_DIR), "formatted")
+    assert "partial_sum" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    # survivorship rides the same blocked equi-join as the linkage:
+    # never cartesian, attrs pre-aggregated (partial agg present)
+    plan = E.plan_string(QUERIES["q_entity_survivorship"](spark, SF_DIR), "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan
+
     # A/B test: one scan, conditional partial aggregation, no join
     plan = E.plan_string(QUERIES["q_ab_test"](spark, SF_DIR), "formatted")
     assert "partial_sum" in plan, plan
