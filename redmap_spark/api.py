@@ -171,15 +171,12 @@ class Pipeline:
         """Canonicalize the text column in place (lowercase, fold
         non-alphanumerics, squeeze whitespace, trim) — the prep stage
         in front of dedup/tokenization. Pure column expression, zero
-        shuffle (same transform as inventory/text2.txt_normalize)."""
-        norm = F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
-                " +",
-                " ",
-            )
-        )
-        return Pipeline(self.df.withColumn(text_col, norm))
+        shuffle; the ONE shared canonicalization
+        (operators.textstats.normalized — same expression the dedup
+        fingerprints and txt_normalize use)."""
+        from redmap_spark.operators.textstats import normalized
+
+        return Pipeline(self.df.withColumn(text_col, normalized(text_col)))
 
     def quality_gate(self, text_col: str = "text", **gopher_kwargs) -> "Pipeline":
         """Keep rows passing the Gopher quality rules
@@ -208,13 +205,15 @@ class Pipeline:
             )
         )
 
-    def pack(self, budget: int = 512, id_col: str = "doc_id") -> "Pipeline":
-        """Pack chunks (the output of .chunk()) into fixed-token-budget
-        training rows (operators.packing: bucketed first-fit,
-        loss-less, deterministic under repartitioning)."""
+    def pack(self, budget: int = 512) -> "Pipeline":
+        """Pack chunks (the output of .chunk() with its default
+        doc_id/chunk_idx/chunk_text columns — the fixed contract
+        pack_rows joins on) into fixed-token-budget training rows
+        (operators.packing: bucketed first-fit, loss-less,
+        deterministic under repartitioning)."""
         from redmap_spark.operators.packing import pack_rows, pack_sequences
 
-        packed = pack_sequences(self.df, budget=budget, id_col=id_col)
+        packed = pack_sequences(self.df, budget=budget)
         return Pipeline(pack_rows(packed, self.df))
 
     # -- terminal actions ----------------------------------------------

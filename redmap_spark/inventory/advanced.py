@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import money_sum, query
+from redmap_spark.inventory.registry import query
 
 # -- q_mode_per_group --------------------------------------------------
 #

@@ -391,7 +391,10 @@ def mr_total_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cache: the offset pass and the final pass must see identical
     # range boundaries (they would anyway — deterministic sampling on
-    # identical input — but caching also saves the second shuffle)
+    # identical input — but caching also saves the second shuffle).
+    # Bounded: only the filtered 3-column projection is pinned, and
+    # LRU eviction reclaims it; no unpersist hook exists because the
+    # returned plan reads it.
     parts = parts.cache()
     counts = {
         r["pid"]: r["n"]

@@ -74,8 +74,7 @@ def txt_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 TXT_NORM_SQL = """
 WITH n AS (
   SELECT doc_id, text,
-         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                             ' +', ' ', 'g')) AS norm_text
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text
   FROM documents
 )
 SELECT doc_id, norm_text,
@@ -88,15 +87,10 @@ FROM n
 
 @query("txt_normalize", oracle=TXT_NORM_SQL)
 def txt_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators.textstats import normalized
+
     d = Catalog(spark, sf_dir).documents
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
-    )
-    n = d.select("doc_id", "text", norm.alias("norm_text"))
+    n = d.select("doc_id", "text", normalized("text").alias("norm_text"))
     return n.select(
         "doc_id",
         "norm_text",

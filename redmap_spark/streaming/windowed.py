@@ -529,8 +529,9 @@ def stream_to_cms(cms_path: str, key_col: str = "user_id"):
             .dropDuplicates(["i", "c", "batch_id"])  # retry-idempotent
             .groupBy("i", "c")
             .agg(F.sum("n").alias("n"))
-            .localCheckpoint(eager=True)  # lineage reads the files replaced
         )
+        # no checkpoint needed: the lineage reads only the staging
+        # dir, never the cms_path being overwritten
         merged.write.mode("overwrite").parquet(cms_path)
 
     return sink
@@ -539,17 +540,21 @@ def stream_to_cms(cms_path: str, key_col: str = "user_id"):
 def cms_estimates(spark, cms_path: str, keys) -> DataFrame:
     """(key, cms_est) for the given keys from the maintained sketch
     table: probe the 4 cells per key, take the min — never touches
-    the stream. ``keys`` is a list of key values."""
+    the stream. ``keys`` is a list of key values of any type (the
+    schema is inferred; hashing goes through the same string form as
+    the build side). A cell absent from the table means no key ever
+    hashed there — it counts as 0, so a never-seen key estimates 0
+    instead of being dropped or inflated by collision survivors."""
     from redmap_spark.inventory.sketches import cms_cell
 
     sk = spark.read.parquet(cms_path)
-    kdf = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    kdf = spark.createDataFrame([(k,) for k in keys], ["k"])
     depth = F.array(*[F.lit(i) for i in range(4)])
     probes = kdf.select("k", F.explode(depth).alias("i")).select(
         "k", "i", cms_cell(F.col("i"), F.col("k")).alias("c")
     )
     return (
-        probes.join(F.broadcast(sk), ["i", "c"])
+        probes.join(F.broadcast(sk), ["i", "c"], "left")
         .groupBy("k")
-        .agg(F.min("n").cast("bigint").alias("cms_est"))
+        .agg(F.min(F.coalesce("n", F.lit(0))).cast("bigint").alias("cms_est"))
     )

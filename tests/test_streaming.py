@@ -394,10 +394,26 @@ def test_stream_to_cms(spark, tmp_path):
         for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     some = sorted(exact)[:20]
-    est = {r.k: r.cms_est for r in cms_estimates(spark, cms, some).collect()}
+    never_seen = max(exact) + 999_983  # definitely not in the stream
+    est = {
+        r.k: r.cms_est
+        for r in cms_estimates(spark, cms, some + [never_seen]).collect()
+    }
     assert all(est[k] >= exact[k] for k in some)
+    # a never-seen key must come back (not be dropped) and its
+    # estimate is the min over its cells — 0 if any cell is empty
+    assert never_seen in est and est[never_seen] >= 0
 
-    # retry: same batch content, same batch_id -> staged rows dedupe
-    sink(e.select("user_id"), 0)
+    # retry: re-delivering the SAME batch content under the SAME
+    # batch_id must be a no-op. Delivered as an explicit extra batch
+    # so the check holds regardless of how availableNow split the
+    # stream into micro-batches.
+    # deterministic subset (limit() could pick different rows on the
+    # retry re-execution and break the byte-identical premise)
+    extra = e.filter(F.col("event_id") % 20 == 0).select("user_id")
+    sink(extra, 999)
+    after_extra = {(r.i, r.c): r.n for r in spark.read.parquet(cms).collect()}
+    assert after_extra != batch_grid  # the new batch did land
+    sink(extra, 999)  # retry of batch 999: byte-identical staged rows
     again = {(r.i, r.c): r.n for r in spark.read.parquet(cms).collect()}
-    assert again == batch_grid
+    assert again == after_extra

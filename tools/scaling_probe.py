@@ -35,6 +35,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from redmap_spark.inventory.sketches import cms_cell as _cms_cell  # noqa: E402
 from redmap_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -42,13 +43,26 @@ SCRATCH = Path("/tmp/scaleprobe")
 SCALES = (1, 4, 16)
 
 
-def replicate(spark, table: str, id_cols: list[str], factor: int, dest: str) -> None:
+def replicate(
+    spark, table: str, id_cols: list[str], factor: int, dest: str,
+    tag_text_col: str | None = None,
+) -> None:
+    """Union ``factor`` shifted copies. ``tag_text_col`` appends a
+    per-replica suffix to that text column so CONTENT cardinality
+    scales too (without it, replicated documents would be verbatim
+    duplicates and a dedup probe would measure a fixed-cardinality
+    duplicate-heavy workload instead of the growing-key regime)."""
     base = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
     parts = []
     for i in range(factor):
         shifted = base
         for c in id_cols:
             shifted = shifted.withColumn(c, F.col(c) + F.lit(i * 100_000_000))
+        if tag_text_col is not None:
+            shifted = shifted.withColumn(
+                tag_text_col,
+                F.concat(F.col(tag_text_col), F.lit(f" replica{i}")),
+            )
         parts.append(shifted)
     out = parts[0]
     for p in parts[1:]:
@@ -73,7 +87,10 @@ def main() -> None:
         d = SCRATCH / f"x{factor}"
         replicate(spark, "lineitem", ["l_orderkey"], factor, str(d / "lineitem"))
         replicate(spark, "events", ["event_id", "user_id"], factor, str(d / "events"))
-        replicate(spark, "documents", ["doc_id"], factor, str(d / "documents"))
+        replicate(
+            spark, "documents", ["doc_id"], factor, str(d / "documents"),
+            tag_text_col="text",
+        )
 
         li = spark.read.parquet(str(d / "lineitem"))
         ev = spark.read.parquet(str(d / "events"))
@@ -124,15 +141,9 @@ def main() -> None:
                     "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
                 )
                 .select(
-                    "i",
-                    F.pmod(
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat_ws(":", "i", "user_id")), 1, 15
-                            ), 16, 10,
-                        ).cast("long"),
-                        F.lit(512),
-                    ).alias("c"),
+                    # the real kernel, not a copy — so the probe times
+                    # exactly what the inventory/streaming code runs
+                    "i", _cms_cell(F.col("i"), F.col("user_id")).alias("c"),
                 )
                 .groupBy("i", "c")
                 .agg(F.count(F.lit(1)).alias("n"))
