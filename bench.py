@@ -51,9 +51,9 @@ def main() -> None:
     # from there, so the final line must carry ALL entries under that budget:
     # family prefixes collapse to one letter (dedup_->d. sim_->s. txt_->t.
     # mm_->m. mr_->r. q_-> ""), q<N>_xxx -> q<N>, the remainder truncates to
-    # 4 chars (collisions get a deterministic numeric suffix in sorted-name
+    # 3 chars (collisions get a deterministic numeric suffix in sorted-name
     # order), and values round to 1 decimal. The full-name line above is the
-    # human decoder ring; at ~140 entries this stays ≈1700 chars.
+    # human decoder ring; at ~156 entries this stays ≈1650 chars.
     compact: dict[str, float] = {}
     for k in sorted(timings):
         k2 = re.sub(r"^q(\d+)_.*$", r"q\1", k)
@@ -63,10 +63,10 @@ def main() -> None:
             if k2.startswith(p):
                 pre, rest = r, k2[len(p):]
                 break
-        s = pre + rest[:4]
+        s = pre + rest[:3]
         i = 2
         while s in compact:
-            s = pre + rest[:3] + str(i)
+            s = pre + rest[:2] + str(i)
             i += 1
         compact[s] = round(timings[k], 1)
     assert len(compact) == len(timings), "short-key collision"

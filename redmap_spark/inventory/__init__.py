@@ -24,17 +24,20 @@ from redmap_spark.inventory import linkage  # noqa: F401
 from redmap_spark.inventory import quality  # noqa: F401
 from redmap_spark.inventory import advanced  # noqa: F401
 from redmap_spark.inventory import text2  # noqa: F401
+from redmap_spark.inventory import timeseries  # noqa: F401
+from redmap_spark.inventory import mlstats  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
 # (rows+schema+value-hash vs DuckDB). Rounds 1–4 drove 88 of the oracle
-# entries green; this explicit round-5 rotation puts the REMAINING ones
-# first so the cross-round union covers every oracle entry:
-#   1. the 13 never-driver-verified entries,
-#   2. the round-5 additions (dedup_spans, txt_quality_model),
-#   3. mr_cogroup (sum_qty cast changed in round 5 → re-verify),
-#   4. refreshes of entries last verified in round 1 (oldest code),
-# totalling exactly 50. The four left out (q_semi/anti_join, q_distinct,
-# q_union — trivial set ops, r1-green) stay covered by tests/test_oracle.py.
+# entries green; this round-5 rotation packs ALL 50 slots with entries
+# that have no driver-green row yet (13 missed by the rounds-1-4
+# windows + the round-5 additions). Round 5 grew the oracle surface
+# past 13+round-5 = 50, so the tail of this list (51+) overflows out of
+# the window harmlessly and queues for the round-6 rotation — the
+# rotation test asserts no slot is wasted on an already-verified entry
+# while any unverified one waits. Already-verified entries (mr_cogroup,
+# the r1 relational/analytic breadth, the trivial set ops) stay covered
+# by tests/test_oracle.py every session.
 _WINDOW_FIRST = [
     # -- never driver-verified (rounds 1-4 windows missed them) --------
     "q_set_ops", "q11_important_stock", "q15_top_supplier",
@@ -53,23 +56,11 @@ _WINDOW_FIRST = [
     "q_streaks", "q_event_paths", "q_time_weighted_avg", "q_ab_test",
     "q_market_basket", "q_funnel_latency", "q_entity_survivorship",
     "q_cohort_ltv",
-    # -- changed in round 5 (decimal-parity sum_qty) -------------------
-    "mr_cogroup",
-    # -- last verified round 1: refresh against current code -----------
-    "q_window_running", "q_topk_per_group", "q_rollup", "q_cube",
-    "q_pivot", "q_histogram", "q_json_extract", "q_sessionize",
-    "q_asof_join", "q_range_join", "q_time_bucket", "q_percentiles",
-    "q_outer_join", "q_funnel", "q_grouping_sets", "q_profile",
-    "q_window_frames", "q_array_ops", "q_session_window",
-    "q7_nation_volume", "q12_priority_shipping", "q13_order_distribution",
-    "q14_promo_share", "q16_supplier_variety", "q17_small_qty_revenue",
-    "q18_large_orders", "q19_disjunctive", "q_string_ops",
-    "q_datetime_ops",
-    # q2 / q9 / q20 / q21 / q22 dropped from the explicit window to
-    # make room for the seven round-5 additions (all five are
-    # r1-driver-green, union-covered, and stay in tests/test_oracle.py);
-    # names past slot 50 in this list overflow out of the window
-    # harmlessly — the rotation test pins both invariants.
+    # -- new in round 5, fourth session (timeseries + mlstats) ---------
+    "q_ewma", "q_lag_features", "q_bollinger_flags", "q_changepoint",
+    "q_regression", "q_corr_matrix", "q_cumulative_distinct",
+    # slot 51+: overflow queue for the round-6 window
+    "q_benford",
 ]
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

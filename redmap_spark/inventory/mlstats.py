@@ -1,0 +1,282 @@
+"""SURVEY §2.A additions (round 5, fourth session) — statistical
+modeling primitives: per-group OLS regression, a correlation matrix,
+running distinct counts, and a Benford first-digit audit (all
+oracle-verified).
+
+Cross-engine determinism: OLS and Pearson moments are accumulated as
+EXACT decimal sums (n, Σx, Σy, Σxy, Σx², Σy²); the centered forms
+n·Σxy − ΣxΣy etc. are still exact decimal, so the only floating-point
+steps are the final division / sqrt (IEEE-754 correctly rounded in
+both engines) performed in an identical expression shape, then
+round(...,6). Benford digits come from the DECIMAL(18,2) string
+rendering (identical plain format in both engines), never from
+log/pow on doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import dec, query
+
+# -- q_regression ------------------------------------------------------
+#
+# Per-brand OLS of extendedprice on quantity: slope, intercept, r².
+# Scale shape: one fact scan joins the broadcast part dim and
+# partial-aggregates straight down to the |brands| grid carrying six
+# exact-decimal moments; all arithmetic after the shuffle touches
+# ~25 rows. (The decimal moment sums cap at DECIMAL(38,4); at corpus
+# sizes where n·Σxy would overflow 38 digits production would switch
+# the centered products to double — the moments, not the finale, are
+# the exact part of the contract.)
+
+REG_SQL = """
+WITH m AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS syy
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+       round((CAST(n * sxy - sx * sy AS DOUBLE)
+              * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM m
+"""
+
+
+def _moments(df: DataFrame, key: str, x: str, y: str) -> DataFrame:
+    """Exact-decimal OLS/Pearson moment block, grouped by ``key``."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(x)).cast("decimal(18,2)").alias("sx"),
+        F.sum(dec(y)).cast("decimal(18,2)").alias("sy"),
+        F.sum(dec(x) * dec(y)).cast("decimal(30,4)").alias("sxy"),
+        F.sum(dec(x) * dec(x)).cast("decimal(30,4)").alias("sxx"),
+        F.sum(dec(y) * dec(y)).cast("decimal(30,4)").alias("syy"),
+    )
+
+
+def _cov_d() -> Column:
+    return (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+
+
+def _vx_d() -> Column:
+    return (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+
+
+def _vy_d() -> Column:
+    return (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+
+
+@query("q_regression", oracle=REG_SQL)
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    joined = cat.lineitem.join(
+        F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    m = _moments(joined, "p_brand", "l_quantity", "l_extendedprice")
+    slope_d = _cov_d() / _vx_d()
+    return m.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope_d, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope_d * F.col("sx").cast("double"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+        F.round((_cov_d() * _cov_d()) / (_vx_d() * _vy_d()), 6).alias("r2"),
+    )
+
+
+# -- q_corr_matrix -----------------------------------------------------
+#
+# Pairwise Pearson correlation of (quantity, extendedprice, discount)
+# per return flag — the EDA correlation matrix, flattened. One fact
+# scan partial-aggregates nine decimal moment sums down to the
+# |returnflag| grid; corr = cov / sqrt(vx·vy) with the sqrt on exact
+# inputs (IEEE sqrt is correctly rounded in both engines).
+
+CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sp,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sd,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sqq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS spp,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sdd,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sqp,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sqd,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS spd
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sqp - sq * sp AS DOUBLE)
+             / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                    * CAST(n * spp - sp * sp AS DOUBLE)), 6) AS corr_qty_price,
+       round(CAST(n * sqd - sq * sd AS DOUBLE)
+             / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                    * CAST(n * sdd - sd * sd AS DOUBLE)), 6) AS corr_qty_disc,
+       round(CAST(n * spd - sp * sd AS DOUBLE)
+             / sqrt(CAST(n * spp - sp * sp AS DOUBLE)
+                    * CAST(n * sdd - sd * sd AS DOUBLE)), 6) AS corr_price_disc
+FROM m
+"""
+
+
+@query("q_corr_matrix", oracle=CORR_SQL)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sq"),
+        F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sp"),
+        F.sum(dec("l_discount")).cast("decimal(18,2)").alias("sd"),
+        F.sum(dec("l_quantity") * dec("l_quantity"))
+        .cast("decimal(30,4)").alias("sqq"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice"))
+        .cast("decimal(30,4)").alias("spp"),
+        F.sum(dec("l_discount") * dec("l_discount"))
+        .cast("decimal(30,4)").alias("sdd"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice"))
+        .cast("decimal(30,4)").alias("sqp"),
+        F.sum(dec("l_quantity") * dec("l_discount"))
+        .cast("decimal(30,4)").alias("sqd"),
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("decimal(30,4)").alias("spd"),
+    )
+
+    def corr(sxy: str, sx: str, sy: str, sxx: str, syy: str) -> Column:
+        cov = (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        vx = (F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        vy = (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        return F.round(cov / F.sqrt(vx * vy), 6)
+
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )
+
+
+# -- q_cumulative_distinct ---------------------------------------------
+#
+# Running distinct-customer count by order day — "total unique users
+# to date", the growth-dashboard staple, computed exactly without a
+# quadratic distinct-per-prefix: each customer contributes only at
+# their FIRST order day (a groupBy-min), the per-day first-timer
+# counts collapse to the day grid, and one running-sum window over
+# that grid yields the cumulative series. All integers.
+
+CUMD_SQL = """
+WITH first_day AS (
+  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS day
+  FROM orders GROUP BY 1
+), per_day AS (
+  SELECT day, COUNT(*) AS new_customers FROM first_day GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(new_customers AS BIGINT) AS new_customers,
+       CAST(SUM(new_customers) OVER (ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_customers
+FROM per_day
+"""
+
+
+@query("q_cumulative_distinct", oracle=CUMD_SQL)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    first_day = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("day")
+    )
+    per_day = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_customers")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_customers").cast("bigint").alias("new_customers"),
+        F.sum("new_customers").over(w).cast("bigint").alias("cum_customers"),
+    )
+
+
+# -- q_benford ---------------------------------------------------------
+#
+# Benford first-digit audit over order totals — the classic fraud /
+# data-quality screen. The leading digit comes from the DECIMAL(18,2)
+# string rendering (plain format in both engines; no double log/pow
+# anywhere near the digit), expected shares are 6-dp literals of
+# log10(1+1/d), and the total is a 1-row broadcast join. Output is
+# the 9-row digit table.
+
+_BENFORD = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+_BENFORD_CASE = "CAST(CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD.items()
+) + " END AS DOUBLE)"
+
+BENFORD_SQL = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders
+), g AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n / CAST((SELECT SUM(n) FROM g) AS DOUBLE), 6) AS share,
+       {_BENFORD_CASE} AS benford_expected,
+       round(round(n / CAST((SELECT SUM(n) FROM g) AS DOUBLE), 6)
+             - {_BENFORD_CASE}, 6) AS delta
+FROM g
+"""
+
+
+@query("q_benford", oracle=BENFORD_SQL)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    g = o.select(
+        F.substring(dec("o_totalprice").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = g.agg(F.sum("n").cast("double").alias("tot"))
+    expected = F.expr(_BENFORD_CASE)
+    share = F.round(F.col("n") / F.col("tot"), 6)
+    return g.join(F.broadcast(total)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        share.alias("share"),
+        expected.alias("benford_expected"),
+        F.round(share - expected, 6).alias("delta"),
+    )

@@ -1,0 +1,285 @@
+"""SURVEY §2.A additions (round 5, fourth session) — time-series
+analytics over the events stream: EWMA smoothing, lag/rolling feature
+engineering, variance-band outlier flags, and CUSUM changepoint
+detection (all oracle-verified).
+
+Cross-engine determinism: every statistic here is computed in EXACT
+decimal arithmetic end-to-end — EWMA weights are finite powers of 1/2
+(exact decimals), the Bollinger-style band test is multiplied through
+by n so it needs neither a division nor a sqrt, and the CUSUM statistic
+is maximized in its n-scaled integer form |n·P_t − t·S|. The only
+floating-point steps are single final divisions/rounds performed
+identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+
+# Shared daily grid: the events fact stream collapses to the tiny
+# |event_type × day| grid with one partial-aggregated groupBy; every
+# window below runs over that grid, never the raw stream. Revenue
+# stays DECIMAL(18,2) (exact, order-independent) until final output.
+_DAILY_SQL = """
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+
+
+# -- q_ewma ------------------------------------------------------------
+#
+# Exponentially weighted moving average of daily revenue per event
+# type: finite-horizon EWMA (8 terms, alpha = 1/2), i.e.
+# ewma_t = Σ_{j=0..7} (1/2)^j · x_{t−j} / Σ_{j present} (1/2)^j.
+# Powers of 1/2 are EXACT decimals, so numerator and denominator are
+# exact on both engines; one double division at the end. Scale shape:
+# the 7 lags share one window sort over the daily grid.
+
+# (1/2)^j as exact decimal literals: 1.0, 0.5, 0.25, ... 0.0078125
+_EWMA_WEIGHTS = ["1.0000000", "0.5000000", "0.2500000", "0.1250000",
+                 "0.0625000", "0.0312500", "0.0156250", "0.0078125"]
+
+_EWMA_NUM = " + ".join(
+    f"COALESCE(r{j}, CAST(0 AS DECIMAL(18,2))) * CAST({w} AS DECIMAL(9,7))"
+    for j, w in enumerate(_EWMA_WEIGHTS)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN r{j} IS NULL THEN CAST(0 AS DECIMAL(9,7)) "
+    f"ELSE CAST({w} AS DECIMAL(9,7)) END)"
+    for j, w in enumerate(_EWMA_WEIGHTS)
+)
+
+EWMA_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+lagged AS (
+  SELECT event_type, day, rev AS r0,
+         {", ".join(f"LAG(rev, {j}) OVER (PARTITION BY event_type ORDER BY day) AS r{j}" for j in range(1, 8))}
+  FROM daily
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(r0 AS DOUBLE) AS revenue,
+       round(CAST({_EWMA_NUM} AS DOUBLE) /
+             CAST({_EWMA_DEN} AS DOUBLE), 6) AS ewma
+FROM lagged
+"""
+
+
+@query("q_ewma", oracle=EWMA_SQL)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = _daily(spark, sf_dir).select(
+        "event_type",
+        "day",
+        F.col("rev").alias("r0"),
+        *[F.lag("rev", j).over(w).alias(f"r{j}") for j in range(1, 8)],
+    )
+    return lagged.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("r0").cast("double").alias("revenue"),
+        F.round(
+            F.expr(_EWMA_NUM).cast("double") / F.expr(_EWMA_DEN).cast("double"),
+            6,
+        ).alias("ewma"),
+    )
+
+
+# -- q_lag_features ----------------------------------------------------
+#
+# Time-series feature engineering for model training: per event type
+# and day, the revenue with 1-back and 7-back lag features (observed
+# periods) plus a 28-calendar-day rolling sum/count via a RANGE window
+# over the integer day index — the standard lag/rolling feature block
+# a forecasting pipeline materializes. All sums exact decimal; dates
+# anchor to the dataset epoch so the index is reproducible.
+
+LAGF_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+idx AS (
+  SELECT event_type, day, rev,
+         date_diff('day', DATE '2024-01-01', day) AS di
+  FROM daily
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(LAG(rev, 1) OVER w AS DOUBLE) AS lag_1,
+       CAST(LAG(rev, 7) OVER w AS DOUBLE) AS lag_7,
+       CAST(SUM(rev) OVER r28 AS DOUBLE) AS roll28_rev,
+       CAST(COUNT(*) OVER r28 AS BIGINT) AS roll28_days
+FROM idx
+WINDOW w AS (PARTITION BY event_type ORDER BY di),
+       r28 AS (PARTITION BY event_type ORDER BY di
+               RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q_lag_features", oracle=LAGF_SQL)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _daily(spark, sf_dir).withColumn(
+        "di", F.datediff("day", F.lit("2024-01-01"))
+    )
+    w = Window.partitionBy("event_type").orderBy("di")
+    r28 = w.rangeBetween(-27, 0)
+    return idx.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.lag("rev", 1).over(w).cast("double").alias("lag_1"),
+        F.lag("rev", 7).over(w).cast("double").alias("lag_7"),
+        F.sum("rev").over(r28).cast("double").alias("roll28_rev"),
+        F.count(F.lit(1)).over(r28).cast("bigint").alias("roll28_days"),
+    )
+
+
+# -- q_bollinger_flags -------------------------------------------------
+#
+# Rolling variance-band outlier flags (Bollinger-style, 7-day trailing
+# window): flag days where |x − mean| > 2σ. The test is multiplied
+# through by n² so it is pure exact-decimal integer arithmetic —
+#   (n·x − S)² > 4·(n·Q − S²),  S = Σx, Q = Σx² over the frame —
+# no division, no sqrt, hence bit-identical across engines and
+# partition counts. (At petabyte daily magnitudes Q would outgrow
+# DECIMAL(24,4); production would widen the cast or switch to a
+# Welford double pass — the FLAG, not the variance, is the contract.)
+
+BOLL_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+st AS (
+  SELECT event_type, day, rev,
+         CAST(SUM(rev) OVER f AS DECIMAL(19,2)) AS s,
+         CAST(SUM(rev * rev) OVER f AS DECIMAL(24,4)) AS q,
+         CAST(COUNT(*) OVER f AS DECIMAL(2,0)) AS nw
+  FROM daily
+  WINDOW f AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(nw AS BIGINT) AS window_days,
+       CAST(CASE WHEN CAST(nw * rev - s AS DECIMAL(19,2))
+                      * CAST(nw * rev - s AS DECIMAL(19,2))
+                > 4 * (CAST(nw * q AS DECIMAL(26,4))
+                       - CAST(s * s AS DECIMAL(26,4)))
+            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM st
+"""
+
+
+@query("q_bollinger_flags", oracle=BOLL_SQL)
+def q_bollinger_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    st = _daily(spark, sf_dir).select(
+        "event_type",
+        "day",
+        "rev",
+        F.sum("rev").over(f).cast("decimal(18,2)").alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).over(f)
+        .cast("decimal(24,4)")
+        .alias("q"),
+        F.count(F.lit(1)).over(f).cast("decimal(2,0)").alias("nw"),
+    )
+    d = (F.col("nw") * F.col("rev") - F.col("s")).cast("decimal(18,2)")
+    lhs = d * d
+    rhs = 4 * (
+        (F.col("nw") * F.col("q")).cast("decimal(26,4)")
+        - (F.col("s") * F.col("s")).cast("decimal(26,4)")
+    )
+    return st.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("nw").cast("bigint").alias("window_days"),
+        F.when(lhs > rhs, F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_outlier"),
+    )
+
+
+# -- q_changepoint -----------------------------------------------------
+#
+# CUSUM changepoint detection per event type: the day t maximizing the
+# cumulative deviation from the series mean, |Σ_{i≤t} x_i − t·μ|. The
+# statistic is maximized in its n-scaled form |n·P_t − t·S| (P = prefix
+# sum, S = total) — exact decimal, so the argmax and its tie-break
+# (earliest day) are engine- and partition-deterministic; μ-scale
+# CUSUM is recovered by one final double division. Scale shape: one
+# grid groupBy, one window sort per event type, top-1 row filter.
+
+CHG_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+st AS (
+  SELECT event_type, day,
+         CAST(SUM(rev) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS DECIMAL(19,2)) AS p,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         CAST(SUM(rev) OVER (PARTITION BY event_type) AS DECIMAL(19,2)) AS s,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), scored AS (
+  SELECT event_type, day, n,
+         abs(CAST(n * p - t * s AS DECIMAL(28,2))) AS stat,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(CAST(n * p - t * s AS DECIMAL(28,2))) DESC,
+                                     day) AS rk
+  FROM st
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+       CAST(n AS BIGINT) AS n_days,
+       round(CAST(stat AS DOUBLE) / n, 2) AS cusum
+FROM scored WHERE rk = 1
+"""
+
+
+@query("q_changepoint", oracle=CHG_SQL)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    st = _daily(spark, sf_dir).select(
+        "event_type",
+        "day",
+        F.sum("rev")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(18,2)")
+        .alias("p"),
+        F.row_number().over(wo).alias("t"),
+        F.sum("rev").over(wp).cast("decimal(18,2)").alias("s"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    stat = F.abs(
+        (F.col("n") * F.col("p") - F.col("t") * F.col("s")).cast(
+            "decimal(28,2)"
+        )
+    )
+    scored = st.select(
+        "event_type",
+        "day",
+        "n",
+        stat.alias("stat"),
+        F.row_number()
+        .over(wp.orderBy(stat.desc(), "day"))
+        .alias("rk"),
+    )
+    return scored.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.col("stat").cast("double") / F.col("n"), 2).alias("cusum"),
+    )

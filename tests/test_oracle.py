@@ -44,10 +44,13 @@ def test_survey_checklist_is_backed():
 
 
 def test_window_rotation_covers_all_oracles():
-    """Round-5 window invariants: the driver verifies the FIRST 50
-    queries() entries, so (a) all 50 must be oracle-backed (hash-
-    checkable) and (b) union(first-50, rounds 1-4 driver-green) must
-    cover EVERY oracle entry — no oracle query is forever unverified."""
+    """Window-rotation invariants: the driver verifies the FIRST 50
+    queries() entries per round, so (a) all 50 must be oracle-backed
+    (hash-checkable) and (b) no window slot may hold an
+    already-driver-verified entry while an unverified oracle entry
+    waits outside — unverified entries beyond 50 are allowed only when
+    the window is already fully packed with unverified ones (they
+    queue for the next round's rotation)."""
     import json
     from pathlib import Path
 
@@ -57,8 +60,13 @@ def test_window_rotation_covers_all_oracles():
 
     verified = set()
     root = Path(__file__).resolve().parent.parent
-    for p in sorted(root.glob("CORRECTNESS_r0[1-4].json")):
+    for p in sorted(root.glob("CORRECTNESS_r0[1-9].json")):
         d = json.loads(p.read_text())
         verified |= {k for k, v in d.items() if v.get("hash_match")}
-    uncovered = [n for n in ORACLES if n not in verified and n not in window]
-    assert not uncovered, f"oracle entries never driver-verified: {uncovered}"
+    waiting = [n for n in ORACLES if n not in verified and n not in window]
+    if waiting:
+        wasted = [n for n in window if n in verified]
+        assert not wasted, (
+            f"window wastes slots on already-verified {wasted} while "
+            f"unverified {waiting} wait outside"
+        )

@@ -539,3 +539,40 @@ def test_round5b_entry_plan_shapes(spark):
         plan = E.plan_string(QUERIES[name](spark, SF_DIR), "formatted")
         assert "partial_count" in plan or "partial_sum" in plan, name
         assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_round5c_entry_plan_shapes(spark):
+    """Scale shapes for the fourth-session round-5 additions
+    (timeseries + mlstats)."""
+    # timeseries family: every window runs over the event_type-keyed
+    # daily grid (partial aggregation below the window), never the raw
+    # event stream, and nothing collapses to a single partition.
+    for name in ("q_ewma", "q_lag_features", "q_bollinger_flags",
+                 "q_changepoint"):
+        plan = E.plan_string(QUERIES[name](spark, SF_DIR), "formatted")
+        assert "partial_sum" in plan, name
+        assert "SinglePartition" not in plan, name
+        assert "Python" not in plan, name
+
+    # regression / correlation: moment sums partial-aggregate on the
+    # fact scan; regression's part dim rides a broadcast join.
+    plan = E.plan_string(QUERIES["q_regression"](spark, SF_DIR), "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    plan = E.plan_string(QUERIES["q_corr_matrix"](spark, SF_DIR), "formatted")
+    assert "partial_sum" in plan, plan
+    assert "Exchange" in plan and "SinglePartition" not in plan, plan
+
+    # cumulative distinct: per-customer first-day groupBy partial-
+    # aggregates; the (documented) global running-sum window runs over
+    # the collapsed day grid only.
+    plan = E.plan_string(
+        QUERIES["q_cumulative_distinct"](spark, SF_DIR), "formatted"
+    )
+    assert "partial_min" in plan or "partial_count" in plan, plan
+
+    # Benford: one partial-aggregated digit groupBy, 1-row broadcast
+    # total, no cartesian anywhere.
+    plan = E.plan_string(QUERIES["q_benford"](spark, SF_DIR), "formatted")
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
