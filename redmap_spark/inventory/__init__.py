@@ -26,6 +26,7 @@ from redmap_spark.inventory import advanced  # noqa: F401
 from redmap_spark.inventory import text2  # noqa: F401
 from redmap_spark.inventory import timeseries  # noqa: F401
 from redmap_spark.inventory import mlstats  # noqa: F401
+from redmap_spark.inventory import graph  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
 # (rows+schema+value-hash vs DuckDB). Rounds 1–4 drove 88 of the oracle
@@ -60,7 +61,7 @@ _WINDOW_FIRST = [
     "q_ewma", "q_lag_features", "q_bollinger_flags", "q_changepoint",
     "q_regression", "q_corr_matrix", "q_cumulative_distinct",
     # slot 51+: overflow queue for the round-6 window
-    "q_benford",
+    "q_benford", "mr_triangles", "dedup_simhash_portable",
 ]
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

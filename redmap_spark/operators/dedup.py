@@ -789,3 +789,44 @@ def incremental_jaccard_matches(
     return common.select(
         "new_id", "corpus_id", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash32_portable(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc with md5-derived token hashes — the
+    oracle-checkable twin of simhash_chunks (which uses xxhash64).
+
+    Same plan shape as the production signature: one distinct-token
+    explode, ONE groupBy carrying 32 conditional bit-sums (no row
+    explosion over bit positions), bit assembly on the collapsed
+    per-doc grid. md5-prefix hashing is what makes every signature
+    bit reproducible in DuckDB; the xxhash64 variant stays the
+    production call.
+    """
+    tok = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("t"),
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(32)
+    ]
+    bits = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_aggs)
+    sim = F.lit(0).cast("bigint")
+    for j in range(32):
+        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return bits.select(
+        F.col("id").alias("doc_id"),
+        sim.cast("bigint").alias("simhash"),
+        F.col("n").cast("bigint").alias("n_tokens"),
+    )

@@ -576,3 +576,25 @@ def test_round5c_entry_plan_shapes(spark):
     plan = E.plan_string(QUERIES["q_benford"](spark, SF_DIR), "formatted")
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_triangles_and_portable_simhash_plan_shapes(spark):
+    """mr_triangles: the degree lookups broadcast (part-dim-bounded
+    node set) and nothing in the plan is a cartesian product; the
+    returned 1-row summary rides broadcast joins of 1-row aggs.
+    dedup_simhash_portable: the 32 bit-sums ride ONE aggregation over
+    the token stream (partial_sum map-side) — no per-bit row
+    explosion, no Python."""
+    plan = E.plan_string(QUERIES["mr_triangles"](spark, SF_DIR), "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+    import re
+
+    plan = E.plan_string(
+        QUERIES["dedup_simhash_portable"](spark, SF_DIR), "formatted"
+    )
+    assert "partial_sum" in plan, plan
+    # exactly one Generate node: the token explode — never a per-bit one
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert "Python" not in plan, plan
