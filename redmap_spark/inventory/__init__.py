@@ -62,6 +62,7 @@ _WINDOW_FIRST = [
     "q_regression", "q_corr_matrix", "q_cumulative_distinct",
     # slot 51+: overflow queue for the round-6 window
     "q_benford", "mr_triangles", "dedup_simhash_portable",
+    "dedup_minhash_portable", "q_purchase_intervals", "txt_zipf",
 ]
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -311,3 +311,31 @@ FROM bits
 @query("dedup_simhash_portable", oracle=DEDUP_SIMHASH_PORT_SQL)
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash32_portable(Catalog(spark, sf_dir).documents)
+
+
+# Portable k=8 MinHash signatures: md5-hash twin of the xxhash64 LSH
+# signature build (dedup_minhash_lsh stays the production banding
+# path; its recall is pytest-verified). One distinct-shingle explode,
+# ONE groupBy with 8 min-aggregates — no per-hash row explosion.
+DEDUP_MINHASH_PORT_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3)
+SELECT doc_id,
+       MIN(('0x' || substr(md5('0:' || s), 1, 15))::BIGINT) AS m0,
+       MIN(('0x' || substr(md5('1:' || s), 1, 15))::BIGINT) AS m1,
+       MIN(('0x' || substr(md5('2:' || s), 1, 15))::BIGINT) AS m2,
+       MIN(('0x' || substr(md5('3:' || s), 1, 15))::BIGINT) AS m3,
+       MIN(('0x' || substr(md5('4:' || s), 1, 15))::BIGINT) AS m4,
+       MIN(('0x' || substr(md5('5:' || s), 1, 15))::BIGINT) AS m5,
+       MIN(('0x' || substr(md5('6:' || s), 1, 15))::BIGINT) AS m6,
+       MIN(('0x' || substr(md5('7:' || s), 1, 15))::BIGINT) AS m7
+FROM sh GROUP BY doc_id
+"""
+
+
+@query("dedup_minhash_portable", oracle=DEDUP_MINHASH_PORT_SQL)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_portable(Catalog(spark, sf_dir).documents)

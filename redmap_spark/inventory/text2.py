@@ -103,3 +103,84 @@ def txt_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("changed"),
     )
+
+
+# -- txt_zipf ----------------------------------------------------------
+#
+# Zipf's-law fit over the corpus vocabulary: log-log OLS of term
+# frequency on rank (slope ≈ −1 for natural text; a strong deviation
+# flags synthetic/boilerplate corpora — a corpus-level quality gate).
+# Scale shape: the token stream partial-aggregates to the |vocab|
+# grid; the rank window and the regression fold run over that grid
+# only. Determinism: ln() of small exact inputs is correctly rounded
+# in both engines (same convention txt_word_entropy relies on); each
+# log point is cast to DECIMAL(18,9) so the moment sums are exact,
+# and the slope/r² divisions are single double ops rounded to 6.
+
+ZIPF_SQL = """
+WITH tf AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+  GROUP BY 1
+), ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS BIGINT) AS r, c
+  FROM tf
+), pts AS (
+  SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+         CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,9)) AS y
+  FROM ranked
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DECIMAL(19,9)) AS sx,
+         CAST(SUM(y) AS DECIMAL(19,9)) AS sy,
+         CAST(SUM(x * y) AS DECIMAL(30,9)) AS sxy,
+         CAST(SUM(x * x) AS DECIMAL(30,9)) AS sxx,
+         CAST(SUM(y * y) AS DECIMAL(30,9)) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(n * sxy - sx * sy AS DOUBLE)
+              * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM m
+"""
+
+
+@query("txt_zipf", oracle=ZIPF_SQL)
+def txt_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = tf.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "term"))
+        .cast("bigint")
+        .alias("r"),
+        "c",
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).cast("decimal(18,9)").alias("x"),
+        F.log(F.col("c").cast("double")).cast("decimal(18,9)").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(19,9)").alias("sx"),
+        F.sum("y").cast("decimal(19,9)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(30,9)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(30,9)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(30,9)").alias("syy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(cov / vx, 6).alias("zipf_slope"),
+        F.round((cov * cov) / (vx * vy), 6).alias("r2"),
+    )

@@ -283,3 +283,58 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         F.round(F.col("stat").cast("double") / F.col("n"), 2).alias("cusum"),
     )
+
+
+# -- q_purchase_intervals ----------------------------------------------
+#
+# Inter-purchase interval distribution: per customer, the day gaps
+# between consecutive orders (lag window keyed by customer — the
+# natural shuffle key, millions of small partitions at scale), rolled
+# into a weekly-bucket histogram with the exact mean gap per bucket.
+# Pure integer arithmetic; ties inside a day break on order key so the
+# sequence is engine-deterministic.
+
+PURCH_SQL = """
+WITH seq AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day, o_orderkey,
+         LAG(CAST(o_orderdate AS DATE)) OVER
+           (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+            o_orderkey) AS prev_day
+  FROM orders
+), gaps AS (
+  SELECT date_diff('day', prev_day, day) AS gap
+  FROM seq WHERE prev_day IS NOT NULL
+)
+SELECT CAST(LEAST(gap // 7, 12) AS BIGINT) AS week_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       round(CAST(SUM(gap) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_gap_days
+FROM gaps GROUP BY 1
+"""
+
+
+@query("q_purchase_intervals", oracle=PURCH_SQL)
+def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_custkey", F.to_date("o_orderdate").alias("day"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        o.select(F.datediff("day", F.lag("day").over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.groupBy(
+            F.least(F.floor(F.col("gap") / 7), F.lit(12))
+            .cast("bigint")
+            .alias("week_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(
+                F.sum("gap").cast("bigint")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_gap_days"),
+        )
+    )

@@ -830,3 +830,43 @@ def simhash32_portable(df: DataFrame, id_col: str = "doc_id",
         sim.cast("bigint").alias("simhash"),
         F.col("n").cast("bigint").alias("n_tokens"),
     )
+
+
+def minhash_portable(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 8) -> DataFrame:
+    """k-hash MinHash signatures with md5-derived hashes — the
+    oracle-checkable twin of the xxhash64 LSH signature path
+    (which stays the production call; k=8 here keeps the checkable
+    signature compact, production uses more bands).
+
+    Plan shape identical to the production signature build: one
+    distinct-shingle explode, ONE groupBy carrying k min-aggregates
+    (no per-hash row explosion).
+    """
+    tok = _spread(df).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("t")
+    )
+    sh = tok.filter(F.size("t") >= 3).select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            )
+        ).alias("s"),
+    )
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"m{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs).select(
+        F.col("id").alias("doc_id"), *[f"m{i}" for i in range(k)]
+    )

@@ -598,3 +598,29 @@ def test_triangles_and_portable_simhash_plan_shapes(spark):
     # exactly one Generate node: the token explode — never a per-bit one
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
     assert "Python" not in plan, plan
+
+
+def test_portable_minhash_and_zipf_plan_shapes(spark):
+    """dedup_minhash_portable: ONE shingle explode feeding ONE
+    aggregation with k min-sums (map-side partial) — no per-hash row
+    explosion, no Python. txt_zipf: the token stream partial-counts
+    to the vocab grid below the (documented grid-sized) rank window.
+    q_purchase_intervals: the lag window partitions by customer —
+    never a single global sort of the fact table."""
+    import re
+
+    plan = E.plan_string(
+        QUERIES["dedup_minhash_portable"](spark, SF_DIR), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert "partial_min" in plan, plan
+    assert "Python" not in plan, plan
+
+    plan = E.plan_string(QUERIES["txt_zipf"](spark, SF_DIR), "formatted")
+    assert "partial_count" in plan, plan
+
+    plan = E.plan_string(
+        QUERIES["q_purchase_intervals"](spark, SF_DIR), "formatted"
+    )
+    assert "SinglePartition" not in plan, plan
+    assert re.search(r"hashpartitioning\([^)]*o_custkey", plan), plan
