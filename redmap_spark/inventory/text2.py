@@ -184,3 +184,51 @@ def txt_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov / vx, 6).alias("zipf_slope"),
         F.round((cov * cov) / (vx * vy), 6).alias("r2"),
     )
+
+
+# -- txt_source_mix ----------------------------------------------------
+#
+# Corpus composition report per source — the mixture dashboard every
+# pretraining pipeline keeps (docs/tokens per source, token share of
+# the corpus, language spread). One token-counting scan collapses to
+# the |sources| grid; the corpus total joins back as a 1-row
+# broadcast. Token counts are whitespace-split sizes (the repo's
+# ws_token_count convention), all integers until the final share
+# divisions.
+
+SRC_MIX_SQL = """
+WITH per AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         COUNT(DISTINCT lang) AS n_langs
+  FROM documents GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       round(n_tokens / CAST((SELECT SUM(n_tokens) FROM per) AS DOUBLE), 6)
+         AS token_share,
+       round(n_tokens / CAST(n_docs AS DOUBLE), 6) AS avg_doc_tokens
+FROM per
+"""
+
+
+@query("txt_source_mix", oracle=SRC_MIX_SQL)
+def txt_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    total = per.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    return per.join(F.broadcast(total)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.round(F.col("n_tokens") / F.col("tot"), 6).alias("token_share"),
+        F.round(
+            F.col("n_tokens") / F.col("n_docs").cast("double"), 6
+        ).alias("avg_doc_tokens"),
+    )
