@@ -53,58 +53,20 @@ SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
 
 @query("mr_triangles", oracle=TRI_SQL)
 def mr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators.analytics import triangle_stats
+
     li = (
         Catalog(spark, sf_dir)
         .lineitem.filter(F.col("l_shipdate") < "1995-07-01")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
     )
     a, b = li.alias("a"), li.alias("b")
-    # The edge table is orders smaller than the fact pass that builds
-    # it (|E| ≤ Σ per-order basket², deduped) — coalesce the cache so
-    # the graph passes below don't inherit the fact shuffle's task
-    # count, and materialize eagerly: five consumers read it (degrees,
-    # both orientation lookups, the wedge-closure probe, the edge
-    # count). At cluster scale this is the written edge table.
+    # Canonical distinct edges; |E| ≤ Σ per-order basket², orders
+    # smaller than the fact pass that builds it. triangle_stats
+    # caches it once for its five consumers.
     pairs = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
-        .coalesce(8)
-        .cache()
     )
-    pairs.count()
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    # node count is bounded by the part dim (repo-wide a broadcast
-    # table), so the degree lookups broadcast like any dim join
-    low_first = (F.col("du.d") < F.col("dv.d")) | (
-        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
-    )
-    oe = (
-        pairs.join(F.broadcast(deg.alias("du")), F.col("du.node") == F.col("u"))
-        .join(F.broadcast(deg.alias("dv")), F.col("dv.node") == F.col("v"))
-        .select(
-            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-        .cache()
-    )
-    oe.count()  # eager: both wedge-join sides read it concurrently
-    e1, e2 = oe.alias("e1"), oe.alias("e2")
-    wedges = e1.join(
-        e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t"))
-    ).select(F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
-    tri = wedges.join(
-        pairs, (F.col("u") == F.col("x")) & (F.col("v") == F.col("y"))
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    n_edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return (
-        n_nodes.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(tri))
-        .select("n_nodes", "n_edges", "n_triangles")
-    )
+    return triangle_stats(pairs)

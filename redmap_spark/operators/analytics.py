@@ -68,3 +68,54 @@ def peak_concurrency(
         .groupBy(F.col("_k").alias(key_col), "peak_active")
         .agg(F.min("_t").alias("peak_at"))
     )
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Triangle count over an undirected graph given as canonical
+    (``u`` < ``v``) distinct edge pairs. Output: one row with
+    n_nodes / n_edges / n_triangles.
+
+    Plan: the classic degree-orientation algorithm — every edge is
+    oriented from its lower-(degree, key) endpoint, which caps
+    out-degree at O(sqrt(m)) and bounds wedge generation by
+    Σ out_deg²; wedges close against the canonical edge set via one
+    equi-join. Never an all-pairs pass. The edge table is coalesced
+    and cached once (it is orders smaller than whatever fact pass
+    built it) for its five consumers: degrees, both orientation
+    lookups, the closure probe, and the edge count.
+    """
+    pairs = pairs.coalesce(8).cache()
+    pairs.count()
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    low_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        pairs.join(F.broadcast(deg.alias("du")), F.col("du.node") == F.col("u"))
+        .join(F.broadcast(deg.alias("dv")), F.col("dv.node") == F.col("v"))
+        .select(
+            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .cache()
+    )
+    oe.count()  # eager: both wedge-join sides read it concurrently
+    e1, e2 = oe.alias("e1"), oe.alias("e2")
+    wedges = e1.join(
+        e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t"))
+    ).select(F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
+    tri = wedges.join(
+        pairs, (F.col("u") == F.col("x")) & (F.col("v") == F.col("y"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -323,3 +323,40 @@ def test_peak_concurrency_equals_bruteforce(spark, iv):
     first = min(t for t, a in active.items() if a == peak)
     assert got[0].peak_active == peak
     assert got[0].peak_at == first
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edges_strategy)
+def test_triangle_stats_matches_brute_force(spark, edges):
+    """Degree-oriented triangle counting equals the brute-force count
+    over all node triples, for arbitrary small graphs (duplicates and
+    reversed edges collapse to canonical pairs)."""
+    from itertools import combinations
+
+    from pyspark.sql import Row
+
+    from redmap_spark.operators.analytics import triangle_stats
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    if not canon:
+        return  # empty edge set: nothing to count
+    df = spark.createDataFrame([Row(u=u, v=v) for u, v in canon])
+    row = triangle_stats(df).collect()[0]
+    nodes = {n for e in canon for n in e}
+    brute = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in canon and (b, c) in canon and (a, c) in canon
+    )
+    assert row.n_nodes == len(nodes)
+    assert row.n_edges == len(canon)
+    assert row.n_triangles == brute

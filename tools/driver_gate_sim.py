@@ -1,0 +1,97 @@
+"""Driver-gate simulation: replay the per-round CORRECTNESS check
+locally, exactly as the driver runs it.
+
+- VANILLA SparkSession (not redmap_spark.session.get_spark), so the
+  Catalog's self-defensive confs are exercised — the driver does the
+  same.
+- The FIRST 50 ``queries()`` entries from ``__spark_entry__`` (the
+  driver's window), each compared against its ``oracle_sql()`` in
+  DuckDB at sf0.01: row count, sorted column names, and an
+  order-insensitive value hash over stringified cells.
+
+Run:  python tools/driver_gate_sim.py          # prints one line per entry + a summary
+      python tools/driver_gate_sim.py q_ewma   # restrict to named entries
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: str(v))
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return hashlib.md5(
+        df.to_csv(index=False).encode("utf-8")
+    ).hexdigest()
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    only = set(sys.argv[1:])
+    window = [n for n in list(queries)[:50] if not only or n in only]
+
+    ok = bad = 0
+    for name in window:
+        try:
+            got = queries[name](spark, SF_DIR).toPandas()
+            want = con.execute(oracles[name]).df()
+            rows = len(got) == len(want)
+            schema = sorted(got.columns) == sorted(want.columns)
+            hashes = value_hash(got) == value_hash(want)
+            good = rows and schema and hashes
+        except Exception as exc:  # noqa: BLE001 — report, keep going
+            print(f"FAIL {name}: {exc}")
+            bad += 1
+            continue
+        print(
+            f"{'ok  ' if good else 'FAIL'} {name}: rows={rows} "
+            f"schema={schema} hash={hashes} ({len(got)} rows)"
+        )
+        ok += good
+        bad += not good
+    print(f"== {ok} ok / {bad} fail over {len(window)} window entries ==")
+    if bad:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

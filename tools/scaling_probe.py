@@ -12,6 +12,10 @@ the wall-clock slope between consecutive 4x steps:
 - total-order sort  mr_total_sort over lineitem   (range partition + offsets)
 - exact dedup       md5 hash-groupBy over documents
 - sketch build      CMS 4x512 grid over events    (fixed-size state)
+- graph self-join   co-purchase pairs + degree-oriented triangle count
+                    (replica-offset part keys -> disjoint subgraphs, the
+                    growing-key regime; cache cleared per run so the
+                    timing includes the pair build, not a cache read)
 
 A slope near 4 per step (or below — fixed overheads amortizing) means
 shuffle-bound linear scaling; a slope trending toward 16 would flag a
@@ -36,6 +40,7 @@ from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from redmap_spark.inventory.sketches import cms_cell as _cms_cell  # noqa: E402
+from redmap_spark.operators.analytics import triangle_stats  # noqa: E402
 from redmap_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -74,6 +79,33 @@ def timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
     return round(time.perf_counter() - t0, 2)
+
+
+def _graph_triangles(spark, li, noop) -> None:
+    """Graph self-join probe: co-purchase edges + degree-oriented
+    triangle count (the operators.analytics.triangle_stats kernel —
+    the real code, not a copy). Only l_orderkey is replica-offset in
+    the scratch data, so the part keyspace is re-derived per replica
+    (DIV by the offset stride) — each replica becomes a disjoint
+    subgraph and edge cardinality scales with the data, the
+    growing-key regime. triangle_stats caches its edge table, so the
+    cache is cleared first: the timed pass must rebuild the pairs,
+    not read them back."""
+    spark.catalog.clearCache()
+    e = li.select(
+        F.col("l_orderkey").alias("o"),
+        (
+            F.col("l_partkey")
+            + F.expr("l_orderkey DIV 100000000") * F.lit(10_000_000)
+        ).alias("p"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    noop(triangle_stats(pairs))
 
 
 def main() -> None:
@@ -136,6 +168,7 @@ def main() -> None:
                     F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("rep")
                 )
             ),
+            "graph_triangles": lambda: _graph_triangles(spark, li, noop),
             "cms_build": lambda: noop(
                 ev.select(
                     "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
