@@ -63,6 +63,15 @@ _EWMA_DEN = " + ".join(
     for j, w in enumerate(_EWMA_WEIGHTS)
 )
 
+def ewma_cols() -> tuple:
+    """(numerator, denominator) columns of the finite-horizon EWMA
+    fold — the exact-decimal kernel shared by q_ewma and the
+    streaming EWMA state sink. Expects lag columns ``r0``..``r7``
+    (r0 = current value) in scope; missing lags contribute nothing
+    to either side."""
+    return F.expr(_EWMA_NUM), F.expr(_EWMA_DEN)
+
+
 EWMA_SQL = f"""
 WITH daily AS ({_DAILY_SQL}),
 lagged AS (

@@ -558,3 +558,76 @@ def cms_estimates(spark, cms_path: str, keys) -> DataFrame:
         .groupBy("k")
         .agg(F.min(F.coalesce("n", F.lit(0))).cast("bigint").alias("cms_est"))
     )
+
+
+# ------------------------------- foreachBatch → EWMA metric state
+
+
+def stream_to_ewma(state_path: str, key_col: str = "event_type",
+                   value_col: str = "value"):
+    """Maintain per-key EWMA-smoothed batch metrics (finite-horizon,
+    alpha = 1/2 — the streaming twin of inventory q_ewma). Returns
+    the ``writeStream.foreachBatch`` sink.
+
+    Unlike the additive sinks (key counts, HLL, CMS cells), the EWMA
+    recursion is NON-commutative: replaying or reordering a batch
+    through a read-modify-write scalar state would corrupt the
+    smoothing. So the ordered staging log IS the state: each batch
+    appends its per-key exact-decimal sum tagged with batch_id (a
+    retry re-appends byte-identical rows, deduped on
+    (key, batch_id)), and the published state table is recomputed as
+    the weighted fold over the last 8 staged batches per key in
+    batch_id order — replay-safe because the fold input, not the
+    fold result, is what persists. Staged partials are one row per
+    (key, batch); compacted on a schedule at scale.
+    """
+    from pyspark.sql import Window
+
+    from redmap_spark.inventory.timeseries import ewma_cols
+
+    staging = state_path.rstrip("/") + "__staging_sums"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.groupBy(key_col)
+            .agg(
+                F.sum(F.col(value_col).cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("rev")
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        partial.write.mode("append").parquet(staging)
+        w = Window.partitionBy(key_col).orderBy("batch_id")
+        lagged = (
+            spark.read.parquet(staging)
+            .dropDuplicates([key_col, "batch_id"])  # retry-idempotent
+            .select(
+                key_col,
+                "batch_id",
+                F.col("rev").alias("r0"),
+                *[F.lag("rev", j).over(w).alias(f"r{j}") for j in range(1, 8)],
+            )
+        )
+        num, den = ewma_cols()
+        latest = (
+            lagged.select(
+                key_col,
+                F.col("batch_id").alias("last_batch_id"),
+                F.col("r0").cast("double").alias("batch_value"),
+                F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
+                F.row_number()
+                .over(
+                    Window.partitionBy(key_col).orderBy(F.desc("batch_id"))
+                )
+                .alias("_rk"),
+            )
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        # no checkpoint needed: the lineage reads only the staging
+        # dir, never the state_path being overwritten
+        latest.write.mode("overwrite").parquet(state_path)
+
+    return sink

@@ -417,3 +417,61 @@ def test_stream_to_cms(spark, tmp_path):
     sink(extra, 999)  # retry of batch 999: byte-identical staged rows
     again = {(r.i, r.c): r.n for r in spark.read.parquet(cms).collect()}
     assert again == after_extra
+
+
+def test_stream_to_ewma(spark, tmp_path):
+    """Streaming EWMA maintenance: after draining the events file,
+    the state table's per-type EWMA must equal an independent pandas
+    recomputation of the finite-horizon fold over the staged batch
+    log, and replaying a batch (foreachBatch retry) must leave the
+    state bit-identical — the ordered-log state is replay-safe even
+    though the EWMA recursion itself is non-commutative."""
+    import pandas as pd
+
+    from redmap_spark.streaming.windowed import events_stream, stream_to_ewma
+
+    state = str(tmp_path / "ewma")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, SF_DIR)
+    sink = stream_to_ewma(state)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.event_type: r for r in spark.read.parquet(state).collect()}
+    staged = (
+        spark.read.parquet(state.rstrip("/") + "__staging_sums")
+        .dropDuplicates(["event_type", "batch_id"])
+        .toPandas()
+    )
+    weights = [0.5 ** j for j in range(8)]
+    for et, grp in staged.groupby("event_type"):
+        seq = [float(v) for v in grp.sort_values("batch_id")["rev"]]
+        tail = seq[::-1][:8]  # newest first
+        expect = sum(w * v for w, v in zip(weights, tail)) / sum(
+            weights[: len(tail)]
+        )
+        assert abs(got[et].ewma - round(expect, 6)) < 1e-9, (et, got[et])
+        assert got[et].batch_value == seq[-1]
+        assert got[et].last_batch_id == grp["batch_id"].max()
+
+    # retry idempotence: re-invoking the sink with the SAME batch id
+    # and payload must converge to the same state (dedup on
+    # (key, batch_id) makes the re-append a no-op).
+    from pyspark.sql import Row
+
+    replay = spark.createDataFrame(
+        [Row(event_type="view", value=123.45), Row(event_type="view", value=1.0)]
+    )
+    sink(replay, batch_id=10_000)
+    after_once = sorted(map(tuple, spark.read.parquet(state).collect()))
+    sink(replay, batch_id=10_000)
+    after_twice = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert after_once == after_twice
+    pd.testing.assert_frame_equal(
+        pd.DataFrame(after_once), pd.DataFrame(after_twice)
+    )
