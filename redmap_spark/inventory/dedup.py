@@ -228,7 +228,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production call; recall tests cover its pairing behavior). Scale
 # shape identical: distinct-token explode, ONE groupBy with 32
 # conditional bit-sums, assembly on the per-doc grid.
-DEDUP_SIMHASH_PORT_SQL = """
+_SIMHASH_BITS = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(32)
+)
+_SIMHASH_ASM = "\n         + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+)
+
+DEDUP_SIMHASH_PORT_SQL = f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, t
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
@@ -236,73 +244,11 @@ WITH tok AS (
   SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok
 ), bits AS (
   SELECT doc_id, COUNT(*) AS n,
-         SUM(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
-         SUM(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
-         SUM(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
-         SUM(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
-         SUM(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
-         SUM(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
-         SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
-         SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
-         SUM(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
-         SUM(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
-         SUM(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
-         SUM(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
-         SUM(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
-         SUM(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
-         SUM(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
-         SUM(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15,
-         SUM(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16,
-         SUM(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17,
-         SUM(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18,
-         SUM(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19,
-         SUM(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20,
-         SUM(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21,
-         SUM(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22,
-         SUM(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23,
-         SUM(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24,
-         SUM(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25,
-         SUM(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26,
-         SUM(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27,
-         SUM(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28,
-         SUM(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29,
-         SUM(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30,
-         SUM(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31
+         {_SIMHASH_BITS}
   FROM h GROUP BY doc_id
 )
 SELECT doc_id,
-       CAST((CASE WHEN b0 > 0 THEN 1 ELSE 0 END)
-         + (CASE WHEN b1 > 0 THEN 2 ELSE 0 END)
-         + (CASE WHEN b2 > 0 THEN 4 ELSE 0 END)
-         + (CASE WHEN b3 > 0 THEN 8 ELSE 0 END)
-         + (CASE WHEN b4 > 0 THEN 16 ELSE 0 END)
-         + (CASE WHEN b5 > 0 THEN 32 ELSE 0 END)
-         + (CASE WHEN b6 > 0 THEN 64 ELSE 0 END)
-         + (CASE WHEN b7 > 0 THEN 128 ELSE 0 END)
-         + (CASE WHEN b8 > 0 THEN 256 ELSE 0 END)
-         + (CASE WHEN b9 > 0 THEN 512 ELSE 0 END)
-         + (CASE WHEN b10 > 0 THEN 1024 ELSE 0 END)
-         + (CASE WHEN b11 > 0 THEN 2048 ELSE 0 END)
-         + (CASE WHEN b12 > 0 THEN 4096 ELSE 0 END)
-         + (CASE WHEN b13 > 0 THEN 8192 ELSE 0 END)
-         + (CASE WHEN b14 > 0 THEN 16384 ELSE 0 END)
-         + (CASE WHEN b15 > 0 THEN 32768 ELSE 0 END)
-         + (CASE WHEN b16 > 0 THEN 65536 ELSE 0 END)
-         + (CASE WHEN b17 > 0 THEN 131072 ELSE 0 END)
-         + (CASE WHEN b18 > 0 THEN 262144 ELSE 0 END)
-         + (CASE WHEN b19 > 0 THEN 524288 ELSE 0 END)
-         + (CASE WHEN b20 > 0 THEN 1048576 ELSE 0 END)
-         + (CASE WHEN b21 > 0 THEN 2097152 ELSE 0 END)
-         + (CASE WHEN b22 > 0 THEN 4194304 ELSE 0 END)
-         + (CASE WHEN b23 > 0 THEN 8388608 ELSE 0 END)
-         + (CASE WHEN b24 > 0 THEN 16777216 ELSE 0 END)
-         + (CASE WHEN b25 > 0 THEN 33554432 ELSE 0 END)
-         + (CASE WHEN b26 > 0 THEN 67108864 ELSE 0 END)
-         + (CASE WHEN b27 > 0 THEN 134217728 ELSE 0 END)
-         + (CASE WHEN b28 > 0 THEN 268435456 ELSE 0 END)
-         + (CASE WHEN b29 > 0 THEN 536870912 ELSE 0 END)
-         + (CASE WHEN b30 > 0 THEN 1073741824 ELSE 0 END)
-         + (CASE WHEN b31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS simhash,
+       CAST({_SIMHASH_ASM} AS BIGINT) AS simhash,
        CAST(n AS BIGINT) AS n_tokens
 FROM bits
 """

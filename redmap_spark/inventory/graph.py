@@ -53,20 +53,11 @@ SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
 
 @query("mr_triangles", oracle=TRI_SQL)
 def mr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from redmap_spark.operators.analytics import triangle_stats
+    from redmap_spark.operators.analytics import copurchase_pairs, triangle_stats
 
     li = (
         Catalog(spark, sf_dir)
         .lineitem.filter(F.col("l_shipdate") < "1995-07-01")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
     )
-    a, b = li.alias("a"), li.alias("b")
-    # Canonical distinct edges; |E| ≤ Σ per-order basket², orders
-    # smaller than the fact pass that builds it. triangle_stats
-    # caches it once for its five consumers.
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
-    return triangle_stats(pairs)
+    return triangle_stats(copurchase_pairs(li))

@@ -94,16 +94,26 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = _moments(joined, "p_brand", "l_quantity", "l_extendedprice")
     slope_d = _cov_d() / _vx_d()
+    # degenerate groups (constant x and/or y → zero variance): DuckDB
+    # division by zero yields NULL, Spark doubles yield Inf/NaN — the
+    # explicit guards keep both engines at NULL
+    vx_ok = _vx_d() != 0
+    vv_ok = (_vx_d() * _vy_d()) != 0
     return m.select(
         "p_brand",
         F.col("n").cast("bigint").alias("n"),
-        F.round(slope_d, 6).alias("slope"),
-        F.round(
-            (F.col("sy").cast("double") - slope_d * F.col("sx").cast("double"))
-            / F.col("n"),
-            6,
+        F.when(vx_ok, F.round(slope_d, 6)).alias("slope"),
+        F.when(
+            vx_ok,
+            F.round(
+                (F.col("sy").cast("double") - slope_d * F.col("sx").cast("double"))
+                / F.col("n"),
+                6,
+            ),
         ).alias("intercept"),
-        F.round((_cov_d() * _cov_d()) / (_vx_d() * _vy_d()), 6).alias("r2"),
+        F.when(
+            vv_ok, F.round((_cov_d() * _cov_d()) / (_vx_d() * _vy_d()), 6)
+        ).alias("r2"),
     )
 
 
@@ -176,7 +186,9 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov = (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
         vx = (F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
         vy = (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
-        return F.round(cov / F.sqrt(vx * vy), 6)
+        # constant-column group: DuckDB's x/0 is NULL, Spark's is
+        # NaN/Inf — guard so both engines emit NULL
+        return F.when((vx * vy) != 0, F.round(cov / F.sqrt(vx * vy), 6))
 
     return m.select(
         "l_returnflag",

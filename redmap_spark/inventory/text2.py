@@ -179,10 +179,13 @@ def txt_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # degenerate corpora (uniform frequencies / single-term vocab →
+    # zero variance): DuckDB's x/0 is NULL, Spark's is NaN/Inf — the
+    # guards keep both engines at NULL
     return m.select(
         F.col("n").cast("bigint").alias("n_terms"),
-        F.round(cov / vx, 6).alias("zipf_slope"),
-        F.round((cov * cov) / (vx * vy), 6).alias("r2"),
+        F.when(vx != 0, F.round(cov / vx, 6)).alias("zipf_slope"),
+        F.when((vx * vy) != 0, F.round((cov * cov) / (vx * vy), 6)).alias("r2"),
     )
 
 

@@ -70,6 +70,27 @@ def peak_concurrency(
     )
 
 
+def copurchase_pairs(df: DataFrame, group_col: str = "o",
+                     item_col: str = "p") -> DataFrame:
+    """Canonical (``u`` < ``v``) distinct co-occurrence edges: items
+    sharing a group (e.g. parts sharing an order). |E| ≤ Σ per-group
+    basket², orders smaller than the fact pass that builds it. Shared
+    by mr_triangles and the scaling probe so both exercise the same
+    derivation."""
+    a, b = df.alias("a"), df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+            & (F.col(f"a.{item_col}") < F.col(f"b.{item_col}")),
+        )
+        .select(
+            F.col(f"a.{item_col}").alias("u"), F.col(f"b.{item_col}").alias("v")
+        )
+        .distinct()
+    )
+
+
 def triangle_stats(pairs: DataFrame) -> DataFrame:
     """Triangle count over an undirected graph given as canonical
     (``u`` < ``v``) distinct edge pairs. Output: one row with
@@ -79,12 +100,18 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     oriented from its lower-(degree, key) endpoint, which caps
     out-degree at O(sqrt(m)) and bounds wedge generation by
     Σ out_deg²; wedges close against the canonical edge set via one
-    equi-join. Never an all-pairs pass. The edge table is coalesced
-    and cached once (it is orders smaller than whatever fact pass
-    built it) for its five consumers: degrees, both orientation
-    lookups, the closure probe, and the edge count.
+    equi-join. Never an all-pairs pass. Degree lookups are plain
+    equi-joins: Spark/AQE broadcasts the degree table when it is
+    small and shuffle-joins when the node set is large — forcing a
+    broadcast would OOM exactly in the at-scale regime. The edge
+    table is cached once (coalesced relative to the session's
+    parallelism, so small graphs don't pay fact-shuffle task counts)
+    for its five consumers, the bounded 1-row summary is materialized
+    eagerly, and both caches are released before returning.
     """
-    pairs = pairs.coalesce(8).cache()
+    spark = pairs.sparkSession
+    slots = max(1, spark.sparkContext.defaultParallelism // 4)
+    pairs = pairs.coalesce(slots).cache()
     pairs.count()
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -96,8 +123,8 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
     )
     oe = (
-        pairs.join(F.broadcast(deg.alias("du")), F.col("du.node") == F.col("u"))
-        .join(F.broadcast(deg.alias("dv")), F.col("dv.node") == F.col("v"))
+        pairs.join(deg.alias("du"), F.col("du.node") == F.col("u"))
+        .join(deg.alias("dv"), F.col("dv.node") == F.col("v"))
         .select(
             F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("t"),
@@ -105,17 +132,22 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         .cache()
     )
     oe.count()  # eager: both wedge-join sides read it concurrently
-    e1, e2 = oe.alias("e1"), oe.alias("e2")
-    wedges = e1.join(
-        e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t"))
-    ).select(F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
-    tri = wedges.join(
-        pairs, (F.col("u") == F.col("x")) & (F.col("v") == F.col("y"))
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    n_edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return (
-        n_nodes.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(tri))
-        .select("n_nodes", "n_edges", "n_triangles")
+    try:
+        e1, e2 = oe.alias("e1"), oe.alias("e2")
+        wedges = e1.join(
+            e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t"))
+        ).select(F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
+        n_tri = wedges.join(
+            pairs, (F.col("u") == F.col("x")) & (F.col("v") == F.col("y"))
+        ).count()
+        n_nodes = deg.count()
+        n_edges = pairs.count()  # cached: a metadata-cheap second pass
+    finally:
+        # bounded summary is in hand — release executor storage so
+        # repeated calls (bench, probe) don't accumulate cached state
+        oe.unpersist()
+        pairs.unpersist()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_tri)],
+        schema="n_nodes bigint, n_edges bigint, n_triangles bigint",
     )

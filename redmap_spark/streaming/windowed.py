@@ -578,30 +578,43 @@ def stream_to_ewma(state_path: str, key_col: str = "event_type",
     (key, batch_id)), and the published state table is recomputed as
     the weighted fold over the last 8 staged batches per key in
     batch_id order — replay-safe because the fold input, not the
-    fold result, is what persists. Staged partials are one row per
-    (key, batch); compacted on a schedule at scale.
+    fold result, is what persists.
+
+    Per-batch work is BOUNDED: the fold scans only the last
+    ``HORIZON`` (64) batch-id partitions of the log (partition-pruned
+    read), and keys idle longer than that carry their previous
+    published row forward unchanged. A key whose 8 most recent
+    appearances straddle the horizon loses only tail terms of weight
+    ≤ (1/2)^j with the denominator renormalizing — a bounded-horizon
+    approximation, not unbounded-log latency. Old partitions compact
+    / expire on a schedule at scale.
     """
+    from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
     from redmap_spark.inventory.timeseries import ewma_cols
 
     staging = state_path.rstrip("/") + "__staging_sums"
+    HORIZON = 64
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         partial = (
             batch_df.groupBy(key_col)
             .agg(
-                F.sum(F.col(value_col).cast("decimal(18,2)"))
-                .cast("decimal(18,2)")
-                .alias("rev")
+                # keep the widened sum precision: narrowing to
+                # DECIMAL(18,2) would silently NULL on overflow for a
+                # hot key and drop the batch from the fold
+                F.sum(F.col(value_col).cast("decimal(18,2)")).alias("rev")
             )
             .withColumn("batch_id", F.lit(batch_id))
         )
-        partial.write.mode("append").parquet(staging)
+        partial.write.mode("append").partitionBy("batch_id").parquet(staging)
         w = Window.partitionBy(key_col).orderBy("batch_id")
         lagged = (
-            spark.read.parquet(staging)
+            spark.read.option("basePath", staging)
+            .parquet(staging)
+            .filter(F.col("batch_id") >= batch_id - (HORIZON - 1))
             .dropDuplicates([key_col, "batch_id"])  # retry-idempotent
             .select(
                 key_col,
@@ -611,10 +624,10 @@ def stream_to_ewma(state_path: str, key_col: str = "event_type",
             )
         )
         num, den = ewma_cols()
-        latest = (
+        fresh = (
             lagged.select(
                 key_col,
-                F.col("batch_id").alias("last_batch_id"),
+                F.col("batch_id").cast("long").alias("last_batch_id"),
                 F.col("r0").cast("double").alias("batch_value"),
                 F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
                 F.row_number()
@@ -626,8 +639,25 @@ def stream_to_ewma(state_path: str, key_col: str = "event_type",
             .filter(F.col("_rk") == 1)
             .drop("_rk")
         )
-        # no checkpoint needed: the lineage reads only the staging
-        # dir, never the state_path being overwritten
-        latest.write.mode("overwrite").parquet(state_path)
+        # keys with no appearance inside the horizon keep their last
+        # published row; localCheckpoint breaks the read-then-overwrite
+        # file dependency on state_path. Only the first-batch
+        # missing-path case may be skipped (same contract as
+        # stream_to_latest_state).
+        try:
+            prev = spark.read.parquet(state_path).localCheckpoint(eager=True)
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
+            prev = None
+        if prev is not None:
+            carried = prev.join(
+                fresh.select(F.col(key_col).alias("_k")),
+                prev[key_col] == F.col("_k"),
+                "left_anti",
+            )
+            fresh = fresh.unionByName(carried)
+        fresh.write.mode("overwrite").parquet(state_path)
 
     return sink

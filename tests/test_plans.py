@@ -585,9 +585,13 @@ def test_triangles_and_portable_simhash_plan_shapes(spark):
     dedup_simhash_portable: the 32 bit-sums ride ONE aggregation over
     the token stream (partial_sum map-side) — no per-bit row
     explosion, no Python."""
+    # mr_triangles runs eagerly (cached edge table, bounded 1-row
+    # summary collected, caches released) — same contract as
+    # mr_connected_components: the returned plan is the materialized
+    # summary, with no lingering exchange.
     plan = E.plan_string(QUERIES["mr_triangles"](spark, SF_DIR), "formatted")
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
+    assert "Exchange" not in plan, plan
 
     import re
 

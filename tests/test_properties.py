@@ -360,3 +360,41 @@ def test_triangle_stats_matches_brute_force(spark, edges):
     assert row.n_nodes == len(nodes)
     assert row.n_edges == len(canon)
     assert row.n_triangles == brute
+
+
+def test_zipf_degenerate_corpus_matches_oracle(spark, tmp_path):
+    """Zero-variance corpora (single-term vocab; uniform frequencies)
+    must NULL the regression outputs on BOTH engines — Spark doubles
+    would otherwise emit NaN/Inf where DuckDB's division by zero
+    yields NULL, and the value-hash gate would falsely mismatch."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from redmap_spark.inventory.registry import ORACLES, QUERIES
+    from tests.conftest import normalize
+
+    cases = {
+        # single-term vocab: vx = 0 -> slope and r2 NULL
+        "single": ["hello hello hello", "hello"],
+        # every term count equal: vy = 0 -> r2 is 0/0 -> NULL
+        "uniform": ["alpha beta", "gamma delta"],
+    }
+    for name, texts in cases.items():
+        d = tmp_path / name
+        spark.createDataFrame(
+            [
+                Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+                for i, t in enumerate(texts)
+            ]
+        ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+        got = normalize(QUERIES["txt_zipf"](spark, str(d)).toPandas())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet/*.parquet'"
+        )
+        want = normalize(con.execute(ORACLES["txt_zipf"]).df())
+        con.close()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

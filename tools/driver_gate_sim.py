@@ -67,7 +67,20 @@ def main() -> None:
     queries = mod.queries()
     oracles = mod.oracle_sql()
     only = set(sys.argv[1:])
+    unknown = only - set(queries)
+    if unknown:
+        raise SystemExit(f"not in queries(): {sorted(unknown)}")
+    outside = sorted(only & set(queries) - set(list(queries)[:50]))
+    if outside:
+        print(
+            f"WARNING: outside the driver's first-50 window "
+            f"(the real gate will NOT check them): {outside}"
+        )
     window = [n for n in list(queries)[:50] if not only or n in only]
+    if only and not window:
+        raise SystemExit(
+            "no requested entry is inside the driver window; nothing checked"
+        )
 
     ok = bad = 0
     for name in window:

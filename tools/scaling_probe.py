@@ -91,6 +91,8 @@ def _graph_triangles(spark, li, noop) -> None:
     growing-key regime. triangle_stats caches its edge table, so the
     cache is cleared first: the timed pass must rebuild the pairs,
     not read them back."""
+    from redmap_spark.operators.analytics import copurchase_pairs
+
     spark.catalog.clearCache()
     e = li.select(
         F.col("l_orderkey").alias("o"),
@@ -99,13 +101,7 @@ def _graph_triangles(spark, li, noop) -> None:
             + F.expr("l_orderkey DIV 100000000") * F.lit(10_000_000)
         ).alias("p"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
-    noop(triangle_stats(pairs))
+    noop(triangle_stats(copurchase_pairs(e)))
 
 
 def main() -> None:
