@@ -63,7 +63,7 @@ _WINDOW_FIRST = [
     # slot 51+: overflow queue for the round-6 window
     "q_benford", "mr_triangles", "dedup_simhash_portable",
     "dedup_minhash_portable", "q_purchase_intervals", "txt_zipf",
-    "txt_source_mix",
+    "txt_source_mix", "q_calendar_heatmap",
 ]
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

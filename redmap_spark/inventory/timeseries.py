@@ -347,3 +347,45 @@ def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_gap_days"),
         )
     )
+
+
+# -- q_calendar_heatmap ------------------------------------------------
+#
+# Day-of-week × hour activity heatmap over events — the 7×24 usage
+# grid behind every traffic dashboard. One scan partial-aggregates
+# straight onto the fixed 168-cell grid; shares are single double
+# divisions against a 1-row broadcast total. Day-of-week is ISO
+# (1=Monday) via the same date arithmetic on both engines.
+
+CAL_SQL = """
+WITH g AS (
+  SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(dow AS BIGINT) AS dow, hour, CAST(n AS BIGINT) AS n, revenue,
+       round(n / CAST((SELECT SUM(n) FROM g) AS DOUBLE), 6) AS share
+FROM g
+"""
+
+
+@query("q_calendar_heatmap", oracle=CAL_SQL)
+def q_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    g = e.groupBy(
+        F.dayofweek("ts").alias("_d"), F.hour("ts").cast("bigint").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+    # Spark dayofweek is 1=Sunday; normalize to ISO 1=Monday..7=Sunday
+    iso = F.when(F.col("_d") == 1, F.lit(7)).otherwise(F.col("_d") - 1)
+    total = g.agg(F.sum("n").cast("double").alias("tot"))
+    return g.join(F.broadcast(total)).select(
+        iso.cast("bigint").alias("dow"),
+        "hour",
+        F.col("n").cast("bigint").alias("n"),
+        "revenue",
+        F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+    )
