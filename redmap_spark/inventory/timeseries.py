@@ -389,3 +389,203 @@ def q_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("n") / F.col("tot"), 6).alias("share"),
     )
+
+
+# -- q_growth_accounting -----------------------------------------------
+#
+# Daily growth accounting over user activity — the new / retained /
+# resurrected / churned decomposition every growth dashboard runs.
+# Scale shape: the event stream collapses to distinct (user, day)
+# once; the per-user lag window runs on the user shuffle key; the
+# final grid is |days|. Churn on day d is yesterday's actives minus
+# today's retained, reported only when the previous calendar day is
+# in the grid (NULL otherwise — identical convention both engines).
+# Pure integer arithmetic.
+
+GROWTH_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), tagged AS (
+  SELECT day,
+         CASE WHEN LAG(day) OVER w IS NULL THEN 'new'
+              WHEN LAG(day) OVER w = day - 1 THEN 'retained'
+              ELSE 'resurrected' END AS kind
+  FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), per AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM tagged GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_new, n_retained,
+       n_resurrected, n_active,
+       CASE WHEN LAG(day) OVER (ORDER BY day) = day - 1
+            THEN LAG(n_active) OVER (ORDER BY day) - n_retained
+            END AS n_churned
+FROM per
+"""
+
+
+@query("q_growth_accounting", oracle=GROWTH_SQL)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("day").over(w)
+    tagged = ud.select(
+        "day",
+        F.when(prev.isNull(), F.lit("new"))
+        .when(prev == F.date_sub("day", 1), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("kind"),
+    )
+    per = tagged.groupBy("day").agg(
+        F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0))
+        .cast("bigint").alias("n_retained"),
+        F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0))
+        .cast("bigint").alias("n_resurrected"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+    )
+    wd = Window.orderBy("day")
+    return per.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_active",
+        F.when(
+            F.lag("day").over(wd) == F.date_sub("day", 1),
+            F.lag("n_active").over(wd) - F.col("n_retained"),
+        ).alias("n_churned"),
+    )
+
+
+# -- q_forecast_linear -------------------------------------------------
+#
+# Per-series linear-trend forecast: OLS of daily revenue on the day
+# index from exact decimal/integer moments (the mlstats pattern),
+# extrapolated 7 days past the series end. Only slope/intercept/
+# forecast divisions are double, in identical expression shape on
+# both engines; constant-series degenerate groups guard to NULL.
+
+FCST_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+idx AS (
+  SELECT event_type, date_diff('day', DATE '2024-01-01', day) AS di, rev
+  FROM daily
+), m AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(di) AS BIGINT) AS sx,
+         CAST(SUM(rev) AS DECIMAL(19,2)) AS sy,
+         CAST(SUM(di * rev) AS DECIMAL(30,2)) AS sxy,
+         CAST(SUM(di * di) AS BIGINT) AS sxx,
+         MAX(di) AS max_di
+  FROM idx GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         round((CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6)
+         END AS intercept,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         round(((CAST(sy AS DOUBLE)
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n)
+               + (CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) * (max_di + 7), 6)
+         END AS forecast_7d
+FROM m
+"""
+
+
+@query("q_forecast_linear", oracle=FCST_SQL)
+def q_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _daily(spark, sf_dir).select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01")).alias("di"),
+        "rev",
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("di").cast("bigint").alias("sx"),
+        F.sum("rev").cast("decimal(19,2)").alias("sy"),
+        F.sum(F.col("di") * F.col("rev")).cast("decimal(30,2)").alias("sxy"),
+        F.sum(F.col("di") * F.col("di")).cast("bigint").alias("sxx"),
+        F.max("di").alias("max_di"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_d = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den.cast("double")
+    )
+    intercept_d = (
+        F.col("sy").cast("double") - slope_d * F.col("sx")
+    ) / F.col("n")
+    ok = den != 0
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.when(ok, F.round(slope_d, 6)).alias("slope"),
+        F.when(ok, F.round(intercept_d, 6)).alias("intercept"),
+        F.when(
+            ok, F.round(intercept_d + slope_d * (F.col("max_di") + 7), 6)
+        ).alias("forecast_7d"),
+    )
+
+
+# -- q_seasonality -----------------------------------------------------
+#
+# Day-of-week seasonal indices per series: average daily revenue per
+# ISO weekday over the overall average daily revenue — the seasonal
+# decomposition a forecaster multiplies back into the trend. Both
+# averages are exact-decimal-sum / count in one double division; the
+# index is their ratio, rounded.
+
+SEAS_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS overall_avg
+  FROM daily GROUP BY 1
+)
+SELECT daily.event_type, CAST(isodow(day) AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 6) AS dow_avg,
+       round((CAST(SUM(rev) AS DOUBLE) / COUNT(*)) / MIN(overall_avg), 6)
+         AS seasonal_idx
+FROM daily JOIN tot ON daily.event_type = tot.event_type
+GROUP BY 1, 2
+"""
+
+
+@query("q_seasonality", oracle=SEAS_SQL)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    tot = daily.groupBy("event_type").agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("overall_avg")
+    )
+    iso = F.when(F.dayofweek("day") == 1, F.lit(7)).otherwise(
+        F.dayofweek("day") - 1
+    )
+    return (
+        daily.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", iso.cast("bigint").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.sum("rev").cast("double") / F.count(F.lit(1)), 6)
+            .alias("dow_avg"),
+            F.round(
+                (F.sum("rev").cast("double") / F.count(F.lit(1)))
+                / F.min("overall_avg"),
+                6,
+            ).alias("seasonal_idx"),
+        )
+    )

@@ -628,3 +628,25 @@ def test_portable_minhash_and_zipf_plan_shapes(spark):
     )
     assert "SinglePartition" not in plan, plan
     assert re.search(r"hashpartitioning\([^)]*o_custkey", plan), plan
+
+
+def test_growth_forecast_seasonality_plan_shapes(spark):
+    """Growth accounting: the per-user lag window shuffles on
+    user_id, never a single global partition of the activity stream
+    (the final |days|-grid lag is documented grid-sized). Forecast /
+    seasonality: moment sums partial-aggregate onto the series grid;
+    seasonality's per-series totals ride a broadcast join."""
+    import re
+
+    plan = E.plan_string(
+        QUERIES["q_growth_accounting"](spark, SF_DIR), "formatted"
+    )
+    assert re.search(r"hashpartitioning\([^)]*user_id", plan), plan
+
+    plan = E.plan_string(QUERIES["q_forecast_linear"](spark, SF_DIR), "formatted")
+    assert "partial_sum" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+    plan = E.plan_string(QUERIES["q_seasonality"](spark, SF_DIR), "formatted")
+    assert "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
