@@ -80,14 +80,19 @@ def main() -> None:
             "sf": sf,
         }, separators=(",", ":"), sort_keys=True)
 
+    # Staged precision fallback instead of crashing the driver run:
+    # first slow entries (≥10s), then everything ≥1s, drop to whole
+    # seconds. The full-precision line above still carries exact
+    # values; the compact line's job is driver-parseable coverage.
     line = envelope(compact)
-    if len(line) >= 1900:
-        # degrade gracefully instead of crashing the driver run: slow
-        # entries drop to whole seconds (the full-precision line above
-        # still carries exact values)
-        line = envelope({
-            k: (int(round(v)) if v >= 10 else v) for k, v in compact.items()
-        })
+    for floor in (10, 1):
+        if len(line) < 1900:
+            break
+        compact = {
+            k: (int(round(v)) if v >= floor else v)
+            for k, v in compact.items()
+        }
+        line = envelope(compact)
     assert len(line) < 1900, f"driver-tail budget exceeded: {len(line)}"
     print(line)
 

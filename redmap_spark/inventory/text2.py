@@ -235,3 +235,37 @@ def txt_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens") / F.col("n_docs").cast("double"), 6
         ).alias("avg_doc_tokens"),
     )
+
+
+# -- txt_bpe_train / txt_bpe_apply -------------------------------------
+#
+# A real BPE tokenizer pipeline (Sennrich-style word-level BPE), split
+# the way production tokenizers are built: merges are LEARNED on a
+# bounded deterministic md5-ordered doc sample (driver-side, the
+# sanctioned constant-size-collect pattern — same as the PQ
+# codebooks), then APPLIED corpus-wide via Arrow-batched mapInPandas
+# with a per-batch word memo (Zipf vocabularies → the greedy loop
+# runs per DISTINCT word, not per token). Both are deterministic
+# (greedy ties break on count then lexicographic pair) but not
+# SQL-expressible: verified by an independent-reimplementation pytest
+# plus loss-lessness/determinism invariants, not a DuckDB oracle.
+
+
+@query("txt_bpe_train")  # non-SQL: verified by pytest reimplementation
+def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators import bpe
+
+    texts = bpe.sample_texts(Catalog(spark, sf_dir).documents)
+    merges = bpe.train_merges(texts, num_merges=64)
+    return spark.createDataFrame(
+        merges, schema="rank int, left string, right string, merged string, pair_count long"
+    )
+
+
+@query("txt_bpe_apply")  # non-SQL: verified by pytest invariants
+def txt_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators import bpe
+
+    d = Catalog(spark, sf_dir).documents
+    merges = bpe.train_merges(bpe.sample_texts(d), num_merges=64)
+    return bpe.bpe_apply(d, merges)

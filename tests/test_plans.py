@@ -57,7 +57,10 @@ def test_hot_paths_have_no_python_eval(spark):
     # design: greedy first-fit packing is inherently sequential per
     # bucket — Arrow-batched, never row-at-a-time Python)
     for name, fn in QUERIES.items():
-        if name.startswith("mm_") or name == "txt_pack":
+        if name.startswith("mm_") or name in ("txt_pack", "txt_bpe_apply"):
+            # txt_bpe_apply: mapInPandas by design — greedy merge
+            # application is an inherently sequential per-word loop,
+            # Arrow-batched with a per-batch word memo
             continue
         assert not E.has_python_eval(fn(spark, SF_DIR)), f"{name} runs Python per-row"
 

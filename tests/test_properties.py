@@ -398,3 +398,139 @@ def test_zipf_degenerate_corpus_matches_oracle(spark, tmp_path):
         import pandas as pd
 
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+activity_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 9)),  # (user, day offset)
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(activity=activity_strategy)
+def test_growth_accounting_invariants(spark, activity):
+    """For arbitrary (user, day) activity: daily actives decompose
+    exactly into new + retained + resurrected; churn (where defined)
+    equals yesterday's actives minus today's retained and is never
+    negative; total new users over all days equals the distinct user
+    count."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from redmap_spark.inventory.timeseries import q_growth_accounting
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            ts=base + dt.timedelta(days=d, seconds=i),
+            user_id=u,
+            event_type="view",
+            value=1.0,
+            props="{}",
+        )
+        for i, (u, d) in enumerate(activity)
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            f"{td}/events.parquet"
+        )
+        out = {r.day: r for r in q_growth_accounting(spark, td).collect()}
+
+    active_by_day = {}
+    for u, d in activity:
+        active_by_day.setdefault(d, set()).add(u)
+    days = sorted(active_by_day)
+    for d in days:
+        day = (base + dt.timedelta(days=d)).strftime("%Y-%m-%d")
+        r = out[day]
+        assert r.n_active == len(active_by_day[d])
+        assert r.n_new + r.n_retained + r.n_resurrected == r.n_active
+        if d - 1 in active_by_day:
+            assert r.n_churned == len(active_by_day[d - 1]) - r.n_retained
+            assert r.n_churned >= 0
+        else:
+            assert r.n_churned is None
+    assert sum(out[k].n_new for k in out) == len({u for u, _ in activity})
+
+
+
+def _bpe_reference_merges(texts, num_merges):
+    """Independent reimplementation (dict-of-lists, different data
+    layout from operators/bpe.py) for cross-checking training."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] += 1
+    words = {w: list(w) + ["</w>"] for w in wf}
+    out = []
+    for rank in range(num_merges):
+        pc = Counter()
+        for w, sym in words.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += wf[w]
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        out.append((rank, a, b, a + b, c))
+        for w, sym in words.items():
+            i, new = 0, []
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            words[w] = new
+    return out
+
+
+def test_bpe_train_matches_reference_and_apply_is_lossless(spark):
+    """BPE training equals an independent reimplementation on the
+    same sample; applying the merges is loss-less (subwords
+    concatenate back to word+marker), bounded (n_words <= n_subwords
+    <= chars+words), memo-consistent, and deterministic under
+    repartitioning."""
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.operators import bpe
+    from tests.conftest import SF_DIR
+
+    d = Catalog(spark, SF_DIR).documents
+    texts = bpe.sample_texts(d)
+    merges = bpe.train_merges(texts, num_merges=64)
+    assert merges == _bpe_reference_merges(texts, 64)
+    assert [m[0] for m in merges] == list(range(len(merges)))
+    assert len(merges) > 0
+
+    ranks = {(a, b): r for r, a, b, _m, _c in merges}
+    for w in ["the", "table", "query", "zzzqqq"]:
+        sym = bpe.apply_word(w, ranks)
+        assert "".join(sym) == w + bpe.EOW  # loss-less
+
+    out = bpe.bpe_apply(d, merges).toPandas().set_index("doc_id")
+    raw = d.toPandas().set_index("doc_id")
+    for doc_id, row in out.iterrows():
+        words = [w for w in raw.loc[doc_id, "text"].split(" ") if w]
+        assert row["n_words"] == len(words)
+        assert row["n_words"] <= row["n_subwords"]
+        assert row["n_subwords"] <= sum(len(w) + 1 for w in words)
+
+    again = (
+        bpe.bpe_apply(d.repartition(7), merges)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out.sort_index(), again)
