@@ -49,17 +49,17 @@ def main() -> None:
     print(json.dumps({"full_queries": timings}, sort_keys=True))
     # The driver stores only the LAST 2000 chars of stdout and json-parses
     # from there, so the final line must carry ALL entries under that budget:
-    # family prefixes collapse to one letter (dedup_->d. sim_->s. txt_->t.
-    # mm_->m. mr_->r. q_-> ""), q<N>_xxx -> q<N>, the remainder truncates to
+    # family prefixes collapse to one letter (dedup_->d sim_->s txt_->t
+    # mm_->m mr_->r, q_-> ""), q<N>_xxx -> q<N>, the remainder truncates to
     # 3 chars (collisions get a deterministic numeric suffix in sorted-name
     # order), and values round to 1 decimal. The full-name line above is the
-    # human decoder ring; at ~156 entries this stays ≈1650 chars.
+    # human decoder ring; at ~168 entries this stays ≈1830 chars.
     compact: dict[str, float] = {}
     for k in sorted(timings):
         k2 = re.sub(r"^q(\d+)_.*$", r"q\1", k)
         pre, rest = "", k2
-        for p, r in [("dedup_", "d."), ("sim_", "s."), ("txt_", "t."),
-                     ("mm_", "m."), ("mr_", "r."), ("q_", "")]:
+        for p, r in [("dedup_", "d"), ("sim_", "s"), ("txt_", "t"),
+                     ("mm_", "m"), ("mr_", "r"), ("q_", "")]:
             if k2.startswith(p):
                 pre, rest = r, k2[len(p):]
                 break

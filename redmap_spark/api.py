@@ -216,6 +216,22 @@ class Pipeline:
         packed = pack_sequences(self.df, budget=budget)
         return Pipeline(pack_rows(packed, self.df))
 
+    def tokenize_bpe(self, text_col: str = "text", id_col: str = "doc_id",
+                     num_merges: int = 64, sample_docs: int = 256) -> "Pipeline":
+        """Tokenize with a BPE model trained on a bounded
+        deterministic sample of THIS pipeline's current rows
+        (operators.bpe): merges learn driver-side (constant-size
+        collect), application is Arrow-batched mapInPandas with a
+        per-distinct-word memo. Emits per-row word/subword counts and
+        fertility — the token-budget columns .chunk()/.pack()
+        consume downstream."""
+        from redmap_spark.operators import bpe
+
+        merges = bpe.train_merges(
+            bpe.sample_texts(self.df, text_col, sample_docs), num_merges
+        )
+        return Pipeline(bpe.bpe_apply(self.df, merges, id_col, text_col))
+
     # -- terminal actions ----------------------------------------------
 
     def collect(self):

@@ -41,6 +41,6 @@ def test_bench_line_contract():
     # and the documented prefix scheme holds (spot checks)
     shorts = set(d["queries"])
     assert "q1" in shorts
-    assert any(k.startswith("d.") for k in shorts)
-    assert any(k.startswith("t.") for k in shorts)
+    assert any(k.startswith("d") and len(k) == 4 for k in shorts)
+    assert any(k.startswith("t") and len(k) == 4 for k in shorts)
     assert not any(re.match(r"^q\d+_", k) for k in shorts)

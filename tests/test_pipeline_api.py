@@ -182,3 +182,37 @@ def test_pipeline_training_corpus_chain(spark):
     again = packs2.collect()
     assert len(again) == len(pack_rows_)
     assert sum(r.n_tokens for r in again) == total_packed_tokens
+
+
+def test_pipeline_tokenize_bpe(spark):
+    """The fluent chain normalize -> tokenize_bpe produces one row
+    per doc with loss-bounded subword counts, matching the direct
+    operator call."""
+    from redmap_spark.api import Pipeline
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.operators import bpe
+    from tests.conftest import SF_DIR
+
+    d = Catalog(spark, SF_DIR).documents
+    out = (
+        Pipeline(d)
+        .normalize()
+        .tokenize_bpe()
+        .df.toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == d.count()
+    assert (out["n_words"] <= out["n_subwords"]).all()
+
+    from redmap_spark.operators.textstats import normalized
+    from pyspark.sql import functions as F
+
+    norm = d.withColumn("text", normalized("text"))
+    merges = bpe.train_merges(bpe.sample_texts(norm), 64)
+    direct = (
+        bpe.bpe_apply(norm, merges).toPandas().set_index("doc_id").sort_index()
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, direct)
