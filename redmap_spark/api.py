@@ -217,19 +217,27 @@ class Pipeline:
         return Pipeline(pack_rows(packed, self.df))
 
     def tokenize_bpe(self, text_col: str = "text", id_col: str = "doc_id",
-                     num_merges: int = 64, sample_docs: int = 256) -> "Pipeline":
+                     num_merges: int = 64, sample_docs: int = 256,
+                     merges: list | None = None) -> "Pipeline":
         """Tokenize with a BPE model trained on a bounded
         deterministic sample of THIS pipeline's current rows
         (operators.bpe): merges learn driver-side (constant-size
         collect), application is Arrow-batched mapInPandas with a
-        per-distinct-word memo. Emits per-row word/subword counts and
-        fertility — the token-budget columns .chunk()/.pack()
-        consume downstream."""
+        size-capped per-distinct-word memo. The text column passes
+        through annotated with word/subword counts and fertility, so
+        .chunk()/.pack() can still follow in the chain.
+
+        NOTE: unlike the other transforms this stage is EAGER at
+        chain-construction time — training requires one bounded
+        sample job plus a driver merge loop. Pass ``merges`` (from a
+        prior ``operators.bpe.train_merges``) to reuse a trained
+        table and keep construction job-free."""
         from redmap_spark.operators import bpe
 
-        merges = bpe.train_merges(
-            bpe.sample_texts(self.df, text_col, sample_docs), num_merges
-        )
+        if merges is None:
+            merges = bpe.train_merges(
+                bpe.sample_texts(self.df, text_col, sample_docs), num_merges
+            )
         return Pipeline(bpe.bpe_apply(self.df, merges, id_col, text_col))
 
     # -- terminal actions ----------------------------------------------

@@ -470,7 +470,9 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 # index from exact decimal/integer moments (the mlstats pattern),
 # extrapolated 7 days past the series end. Only slope/intercept/
 # forecast divisions are double, in identical expression shape on
-# both engines; constant-series degenerate groups guard to NULL.
+# both engines. The den==0 NULL guard fires for single-observation
+# series (constant revenue does NOT zero the denominator — it
+# depends only on the day indices, so constants fit slope 0).
 
 FCST_SQL = f"""
 WITH daily AS ({_DAILY_SQL}),

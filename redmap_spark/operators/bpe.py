@@ -5,9 +5,9 @@ The split mirrors how production tokenizers are built: the merge
 table is LEARNED on a sample (driver-side, bounded — the same
 sanctioned pattern as the PQ codebook sample collect), then APPLIED
 distributed via Arrow-batched mapInPandas with the merge table
-broadcast and a per-batch word memo (Zipf vocabularies make the memo
-hit rate ≈ 1, so the greedy merge loop runs once per DISTINCT word
-per batch, not once per token).
+broadcast and a size-capped per-task word memo (Zipf vocabularies
+make the memo hit rate ≈ 1, so the greedy merge loop runs once per
+DISTINCT word per task, not once per token).
 
 Word-level BPE (Sennrich et al. 2016 style): each word is split to
 characters plus an end-of-word marker; merges are learned greedily by
@@ -75,9 +75,12 @@ def train_merges(texts: list[str], num_merges: int = 64) -> list[tuple]:
 def sample_texts(df: DataFrame, text_col: str = "text",
                  sample_docs: int = 256) -> list[str]:
     """Deterministic md5-ordered doc sample (bounded driver collect;
-    TakeOrdered, never a full sort materialization)."""
+    TakeOrdered, never a full sort materialization). NULL texts are
+    excluded — md5(NULL) would otherwise sort them to the front of
+    the sample and crash training."""
     rows = (
         df.select(F.col(text_col).alias("t"))
+        .filter(F.col("t").isNotNull())
         .withColumn(
             "_r",
             F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast(
@@ -110,9 +113,11 @@ def bpe_apply(df: DataFrame, merges: list[tuple], id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Tokenize the corpus with a learned merge table: Arrow-batched
     mapInPandas, merge table shipped in the closure (small: the
-    num_merges rows), per-batch word memo. Output per doc: word and
-    subword counts plus the fertility ratio (subwords per word) — the
-    budget numbers a training pipeline needs per document."""
+    num_merges rows), size-capped per-task word memo. The text column
+    passes through unchanged (so Pipeline.chunk()/pack() can follow)
+    annotated with word/subword counts and the fertility ratio
+    (subwords per word) — the budget numbers a training pipeline
+    needs per document. NULL texts tokenize to zero counts."""
     merge_ranks = {(a, b): rank for rank, a, b, _m, _c in merges}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,11 +125,15 @@ def bpe_apply(df: DataFrame, merges: list[tuple], id_col: str = "doc_id",
         for pdf in batches:
             n_words, n_sub = [], []
             for text in pdf[text_col]:
-                words = [w for w in text.split(" ") if w]
+                words = [w for w in text.split(" ") if w] if text else []
                 total = 0
                 for w in words:
                     got = memo.get(w)
                     if got is None:
+                        if len(memo) > 1_000_000:
+                            # bound worker memory on open-vocabulary
+                            # corpora; Zipf reuse keeps hits high
+                            memo.clear()
                         got = apply_word(w, merge_ranks)
                         memo[w] = got
                     total += len(got)
@@ -133,16 +142,23 @@ def bpe_apply(df: DataFrame, merges: list[tuple], id_col: str = "doc_id",
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
+                    text_col: pdf[text_col],
                     "n_words": pd.Series(n_words, dtype="int64"),
                     "n_subwords": pd.Series(n_sub, dtype="int64"),
                 }
             )
 
+    types = dict(df.dtypes)
     out = df.select(id_col, text_col).mapInPandas(
-        run, schema=f"{id_col} long, n_words long, n_subwords long"
+        run,
+        schema=(
+            f"{id_col} {types[id_col]}, {text_col} {types[text_col]}, "
+            "n_words long, n_subwords long"
+        ),
     )
     return out.select(
         id_col,
+        text_col,
         "n_words",
         "n_subwords",
         F.when(
