@@ -501,3 +501,98 @@ def mr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("lbl").alias("component"))
+
+
+# -- mr_bfs ------------------------------------------------------------
+#
+# Bounded breadth-first search — the canonical iterative MapReduce
+# algorithm: frontier distances propagate 3 rounds over the
+# symmetrized customer–supplier graph from a deterministic seed set
+# (suppliers with suppkey % 10 == 0), yielding min hop distance ≤ 3
+# for every reached node. Same scale contract as mr_connected_
+# components / mr_pagerank: the distance vector is |reached nodes|
+# rows and BROADCASTS to the edge table each round (edges never
+# reshuffle), localCheckpoint per round prevents quadratic
+# re-execution, and rounds are FIXED at 3 so the oracle can state the
+# identical computation as chained CTEs.
+
+MRBFS_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), d0 AS (
+  SELECT DISTINCT src AS node, 0 AS dist FROM edges
+  WHERE src LIKE 's%' AND CAST(substr(src, 2) AS BIGINT) % 10 = 0
+), d1 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.dst AS node, d0.dist + 1 AS dist
+    FROM d0 JOIN edges e ON e.src = d0.node
+  ) u GROUP BY 1
+), d2 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT e.dst AS node, d1.dist + 1 AS dist
+    FROM d1 JOIN edges e ON e.src = d1.node
+  ) u GROUP BY 1
+), d3 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT e.dst AS node, d2.dist + 1 AS dist
+    FROM d2 JOIN edges e ON e.src = d2.node
+  ) u GROUP BY 1
+)
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+"""
+
+
+@query("mr_bfs", oracle=MRBFS_SQL)
+def mr_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    orders = c.orders
+    e0 = (
+        orders.join(
+            c.lineitem.select("l_orderkey", "l_suppkey"),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    d = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(
+            F.col("node").startswith("s")
+            & (F.expr("CAST(substring(node, 2) AS BIGINT)") % 10 == 0)
+        )
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(3):
+        prop = (
+            edges.join(
+                F.broadcast(d.withColumnRenamed("node", "src")), "src"
+            )
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        d = (
+            d.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return d.select("node", F.col("dist").cast("bigint").alias("dist"))

@@ -653,3 +653,13 @@ def test_growth_forecast_seasonality_plan_shapes(spark):
     plan = E.plan_string(QUERIES["q_seasonality"](spark, SF_DIR), "formatted")
     assert "partial_sum" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bfs_runs_eagerly_like_cc(spark):
+    """mr_bfs ships the same iterative contract as
+    mr_connected_components: rounds execute eagerly behind
+    localCheckpoints, so the returned plan is a materialized
+    distance-vector scan with no lingering exchange."""
+    plan = E.plan_string(QUERIES["mr_bfs"](spark, SF_DIR), "formatted")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Exchange" not in plan, plan
