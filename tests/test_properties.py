@@ -534,3 +534,98 @@ def test_bpe_train_matches_reference_and_apply_is_lossless(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(out.sort_index(), again)
+
+
+series_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),          # event_type
+        st.integers(0, 11),                   # day offset
+        st.integers(-500, 500),               # value in cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=series_strategy)
+def test_timeseries_family_matches_integer_brute_force(spark, events):
+    """q_ewma / q_bollinger_flags / q_changepoint agree with exact
+    integer-cents brute-force recomputation on arbitrary small
+    series — the determinism story holds off the fixture corpus
+    too."""
+    import datetime as dt
+    from fractions import Fraction
+
+    from pyspark.sql import Row
+
+    from redmap_spark.inventory.timeseries import (
+        q_bollinger_flags,
+        q_changepoint,
+        q_ewma,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            ts=base + dt.timedelta(days=d, seconds=i),
+            user_id=i,
+            event_type=et,
+            value=c / 100.0,
+            props="{}",
+        )
+        for i, (et, d, c) in enumerate(events)
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            f"{td}/events.parquet"
+        )
+        ewma = {(r.event_type, r.day): r for r in q_ewma(spark, td).collect()}
+        boll = {
+            (r.event_type, r.day): r
+            for r in q_bollinger_flags(spark, td).collect()
+        }
+        chg = {r.event_type: r for r in q_changepoint(spark, td).collect()}
+
+    # integer-cents daily sums per (type, day)
+    daily: dict = {}
+    for i, (et, d, c) in enumerate(events):
+        daily[(et, d)] = daily.get((et, d), 0) + c
+    series: dict = {}
+    for (et, d), cents in sorted(daily.items()):
+        series.setdefault(et, []).append((d, cents))
+
+    for et, pts in series.items():
+        days = [d for d, _ in pts]
+        cents = [c for _, c in pts]
+        n = len(pts)
+        total = sum(cents)
+        best = None
+        for t in range(1, n + 1):
+            prefix = sum(cents[:t])
+            stat = abs(n * prefix - t * total)
+            if best is None or stat > best[0]:
+                best = (stat, days[t - 1])
+        key = (base + dt.timedelta(days=best[1])).strftime("%Y-%m-%d")
+        r = chg[et]
+        assert r.change_day == key and r.n_days == n
+        assert abs(r.cusum - round(best[0] / 100 / n, 2)) < 1e-9
+
+        for t in range(n):
+            day = (base + dt.timedelta(days=days[t])).strftime("%Y-%m-%d")
+            # EWMA: exact rational fold over the last <=8 observations
+            tail = cents[: t + 1][::-1][:8]
+            num = sum(Fraction(1, 2**j) * v for j, v in enumerate(tail))
+            den = sum(Fraction(1, 2**j) for j in range(len(tail)))
+            expect = round(float(num / den) / 100, 6)
+            assert abs(ewma[(et, day)].ewma - expect) < 2e-6, (et, day)
+
+            # Bollinger: exact integer inequality (n·x−S)² > 4(n·Q−S²)
+            frame = cents[max(0, t - 6): t + 1]
+            nw, x = len(frame), cents[t]
+            S, Q = sum(frame), sum(v * v for v in frame)
+            flag = 1 if (nw * x - S) ** 2 > 4 * (nw * Q - S * S) else 0
+            assert boll[(et, day)].is_outlier == flag, (et, day)
