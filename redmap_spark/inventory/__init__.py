@@ -65,7 +65,7 @@ _WINDOW_FIRST = [
     "dedup_minhash_portable", "q_purchase_intervals", "txt_zipf",
     "txt_source_mix", "q_calendar_heatmap",
     "q_growth_accounting", "q_forecast_linear", "q_seasonality",
-    "mr_bfs",
+    "mr_bfs", "q_gini", "q_autocorrelation",
 ]
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -292,3 +292,153 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("benford_expected"),
         F.round(share - expected, 6).alias("delta"),
     )
+
+
+# -- q_gini ------------------------------------------------------------
+#
+# Gini coefficient of customer revenue concentration (the Lorenz-curve
+# summary behind q_decile_lift's table): G = 2·Σ(i·x_i)/(n·Σx) −
+# (n+1)/n over revenue-sorted customers. Scale shape: the fact table
+# partial-aggregates to the |customers| grid; the rank window sorts
+# that grid (documented grid-sized global sort, as q_decile_lift);
+# Σ(i·x_i) is exact decimal (rank × DECIMAL(19,2)), so only the final
+# division is floating-point. Ties rank deterministically by custkey.
+
+GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS r
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i FROM rev
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(r) AS DECIMAL(19,2)) AS sr,
+         CAST(SUM(i * r) AS DECIMAL(38,2)) AS sir
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(sr AS DOUBLE) AS total_revenue,
+       round(2.0 * CAST(sir AS DOUBLE) / (n * CAST(sr AS DOUBLE))
+             - (n + 1.0) / n, 6) AS gini
+FROM m
+"""
+
+
+@query("q_gini", oracle=GINI_SQL)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("decimal(19,2)").alias("r")
+    )
+    ranked = rev.select(
+        "r",
+        F.row_number().over(Window.orderBy("r", "o_custkey")).alias("i"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").cast("decimal(19,2)").alias("sr"),
+        F.sum(F.col("i") * F.col("r")).cast("decimal(38,2)").alias("sir"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("sr").cast("double").alias("total_revenue"),
+        F.round(
+            2.0 * F.col("sir").cast("double")
+            / (F.col("n") * F.col("sr").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# -- q_autocorrelation -------------------------------------------------
+#
+# Lag-k autocorrelation (ACF at k=1 and k=7) of the per-series daily
+# revenue — the stationarity/seasonality diagnostic a forecaster
+# checks before q_forecast_linear. Pearson correlation between the
+# series and its k-lagged self over the overlapping pairs, from exact
+# decimal moment sums (mlstats pattern); zero-variance windows guard
+# to NULL on both engines.
+
+_ACF_PAIR = """
+  SELECT event_type, rev AS y,
+         LAG(rev, {k}) OVER (PARTITION BY event_type ORDER BY day) AS x
+  FROM daily
+"""
+
+_ACF_CORR = """
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS DECIMAL(19,2)) AS sx,
+         CAST(SUM(y) AS DECIMAL(19,2)) AS sy,
+         CAST(SUM(x * y) AS DECIMAL(30,4)) AS sxy,
+         CAST(SUM(x * x) AS DECIMAL(30,4)) AS sxx,
+         CAST(SUM(y * y) AS DECIMAL(30,4)) AS syy
+  FROM pairs{k} WHERE x IS NOT NULL GROUP BY 1
+"""
+
+ACF_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM events GROUP BY 1, 2
+), pairs1 AS ({p1}), pairs7 AS ({p7}),
+m1 AS ({c1}), m7 AS ({c7})
+SELECT m1.event_type,
+       CAST(m1.n AS BIGINT) AS n_lag1,
+       CASE WHEN (m1.n * m1.sxx - m1.sx * m1.sx)
+                 * (m1.n * m1.syy - m1.sy * m1.sy) <> 0 THEN
+         round(CAST(m1.n * m1.sxy - m1.sx * m1.sy AS DOUBLE)
+               / sqrt(CAST(m1.n * m1.sxx - m1.sx * m1.sx AS DOUBLE)
+                      * CAST(m1.n * m1.syy - m1.sy * m1.sy AS DOUBLE)), 6)
+       END AS acf_1,
+       CAST(m7.n AS BIGINT) AS n_lag7,
+       CASE WHEN (m7.n * m7.sxx - m7.sx * m7.sx)
+                 * (m7.n * m7.syy - m7.sy * m7.sy) <> 0 THEN
+         round(CAST(m7.n * m7.sxy - m7.sx * m7.sy AS DOUBLE)
+               / sqrt(CAST(m7.n * m7.sxx - m7.sx * m7.sx AS DOUBLE)
+                      * CAST(m7.n * m7.syy - m7.sy * m7.sy AS DOUBLE)), 6)
+       END AS acf_7
+FROM m1 JOIN m7 ON m1.event_type = m7.event_type
+""".format(
+    p1=_ACF_PAIR.format(k=1), p7=_ACF_PAIR.format(k=7),
+    c1=_ACF_CORR.format(k=1), c7=_ACF_CORR.format(k=7),
+)
+
+
+@query("q_autocorrelation", oracle=ACF_SQL)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(19,2)")
+        .alias("rev")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+
+    def acf(k: int, n_name: str, c_name: str) -> DataFrame:
+        pairs = daily.select(
+            "event_type",
+            F.col("rev").alias("y"),
+            F.lag("rev", k).over(w).alias("x"),
+        ).filter(F.col("x").isNotNull())
+        m = pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("decimal(19,2)").alias("sx"),
+            F.sum("y").cast("decimal(19,2)").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("decimal(30,4)").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("decimal(30,4)").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("decimal(30,4)").alias("syy"),
+        )
+        cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        return m.select(
+            "event_type",
+            F.col("n").cast("bigint").alias(n_name),
+            F.when((vx * vy) != 0, F.round(cov / F.sqrt(vx * vy), 6)).alias(
+                c_name
+            ),
+        )
+
+    return acf(1, "n_lag1", "acf_1").join(acf(7, "n_lag7", "acf_7"), "event_type")

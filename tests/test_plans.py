@@ -663,3 +663,16 @@ def test_bfs_runs_eagerly_like_cc(spark):
     plan = E.plan_string(QUERIES["mr_bfs"](spark, SF_DIR), "formatted")
     assert "Scan ExistingRDD" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_gini_and_acf_plan_shapes(spark):
+    """Gini: facts partial-aggregate to the customer grid before the
+    (documented grid-sized) rank window. ACF: both lag windows run
+    over the event_type-partitioned daily grid, never a single
+    partition of the fact stream."""
+    plan = E.plan_string(QUERIES["q_gini"](spark, SF_DIR), "formatted")
+    assert "partial_sum" in plan, plan
+
+    plan = E.plan_string(QUERIES["q_autocorrelation"](spark, SF_DIR), "formatted")
+    assert "partial_sum" in plan, plan
+    assert "SinglePartition" not in plan, plan
