@@ -136,3 +136,79 @@ def txt_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(frac < F.col("rate"))
         .select("doc_id", "source", F.round("rate", 6).alias("rate"))
     )
+
+
+# -- q_fd_audit --------------------------------------------------------
+#
+# Functional-dependency profiling (the schema-discovery / data-quality
+# audit Metanome-style tools run): for each declared candidate FD
+# `det -> dep`, count how many determinant values map to more than one
+# dependent value. Scale shape: each check is one partial-aggregated
+# groupBy on the determinant (distinct-count of the dependent), then a
+# constant-size fold — the report is |checks| rows however big the
+# inputs. The key-derived FD o_orderkey->o_custkey HOLDS by
+# construction (determinant is the primary key), while the
+# nation/segment and customer/priority pairs are genuinely violated.
+
+FD_AUDIT_SQL = """
+WITH c1 AS (
+  SELECT COUNT(*) AS nk, SUM(CASE WHEN g > 1 THEN 1 ELSE 0 END) AS nv,
+         MAX(g) AS mf
+  FROM (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS g
+        FROM customer GROUP BY 1) t
+), c2 AS (
+  SELECT COUNT(*) AS nk, SUM(CASE WHEN g > 1 THEN 1 ELSE 0 END) AS nv,
+         MAX(g) AS mf
+  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS g
+        FROM orders GROUP BY 1) t
+), c3 AS (
+  SELECT COUNT(*) AS nk, SUM(CASE WHEN g > 1 THEN 1 ELSE 0 END) AS nv,
+         MAX(g) AS mf
+  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS g
+        FROM orders GROUP BY 1) t
+), c4 AS (
+  SELECT COUNT(*) AS nk, SUM(CASE WHEN g > 1 THEN 1 ELSE 0 END) AS nv,
+         MAX(g) AS mf
+  FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS g
+        FROM lineitem GROUP BY 1) t
+)
+SELECT 'customer: c_nationkey -> c_mktsegment' AS fd,
+       CAST(nk AS BIGINT) AS n_keys, CAST(nv AS BIGINT) AS n_violating_keys,
+       CAST(mf AS BIGINT) AS max_fanout, nv = 0 AS holds FROM c1
+UNION ALL
+SELECT 'orders: o_custkey -> o_orderpriority', CAST(nk AS BIGINT),
+       CAST(nv AS BIGINT), CAST(mf AS BIGINT), nv = 0 FROM c2
+UNION ALL
+SELECT 'orders: o_orderkey -> o_custkey', CAST(nk AS BIGINT),
+       CAST(nv AS BIGINT), CAST(mf AS BIGINT), nv = 0 FROM c3
+UNION ALL
+SELECT 'lineitem: l_partkey -> l_suppkey', CAST(nk AS BIGINT),
+       CAST(nv AS BIGINT), CAST(mf AS BIGINT), nv = 0 FROM c4
+"""
+
+
+@query("q_fd_audit", oracle=FD_AUDIT_SQL)
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+
+    def check(src: DataFrame, det: str, dep: str, label: str) -> DataFrame:
+        g = src.groupBy(det).agg(F.countDistinct(dep).alias("g"))
+        return g.agg(
+            F.lit(label).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("g") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_keys"),
+            F.max("g").cast("bigint").alias("max_fanout"),
+        ).withColumn("holds", F.col("n_violating_keys") == 0)
+
+    return (
+        check(c.customer, "c_nationkey", "c_mktsegment",
+              "customer: c_nationkey -> c_mktsegment")
+        .unionAll(check(c.orders, "o_custkey", "o_orderpriority",
+                        "orders: o_custkey -> o_orderpriority"))
+        .unionAll(check(c.orders, "o_orderkey", "o_custkey",
+                        "orders: o_orderkey -> o_custkey"))
+        .unionAll(check(c.lineitem, "l_partkey", "l_suppkey",
+                        "lineitem: l_partkey -> l_suppkey"))
+    )

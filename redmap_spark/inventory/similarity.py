@@ -58,6 +58,29 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.range_search(Catalog(spark, sf_dir).embeddings, QUERY_ID, radius=0.3)
 
 
+SIM_MIPS_SQL = f"""
+WITH w AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (SELECT v AS qv FROM w WHERE vec_id = {QUERY_ID})
+SELECT b.vec_id,
+       round(list_sum(list_transform(range(1, 65), i -> b.v[i] * q.qv[i])), 4)
+         AS score
+FROM w b, q WHERE b.vec_id != {QUERY_ID}
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@query("sim_mips_topk", oracle=SIM_MIPS_SQL)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact max-inner-product top-k (MIPS): the retrieval objective
+    for unnormalized two-tower / recommender embeddings, where vector
+    magnitude carries signal cosine throws away. Same one-pass
+    broadcast-scan shape as sim_bruteforce_topk; the sequential
+    left-to-right dot fold matches DuckDB's list_sum order, so the
+    rounded scores agree bit-for-bit."""
+    return S.brute_force_mips(Catalog(spark, sf_dir).embeddings, QUERY_ID, k=10)
+
+
 @query("sim_quantized_topk")  # approximate: verified by recall pytest
 def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 two-phase search: integer-cosine candidate scan over the

@@ -269,3 +269,161 @@ def txt_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     merges = bpe.train_merges(bpe.sample_texts(d), num_merges=64)
     return bpe.bpe_apply(d, merges)
+
+
+# -- txt_blocklist -----------------------------------------------------
+#
+# Blocklist / policy-phrase gate — the deny-list filter every corpus
+# pipeline runs in front of training (toxic terms, boilerplate
+# markers, license strings). Pure column expressions over one scan
+# (split + array filter against a literal term set): zero shuffles,
+# zero Python, trivially scan-parallel at 100 TB. Emits per-doc hit
+# diagnostics plus the gate decision; the decision compares the
+# ROUNDED ratio so both engines flag identically at the boundary.
+
+_BLOCK_TERMS = ("slow", "dup", "big")
+_BLOCK_IN = ", ".join(f"'{t}'" for t in _BLOCK_TERMS)
+
+BLOCKLIST_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(tk, x -> x IN ({_BLOCK_IN}))) AS BIGINT)
+           AS n_hits,
+         CAST(len(list_filter(list_distinct(tk), x -> x IN ({_BLOCK_IN})))
+              AS BIGINT) AS n_hit_terms
+  FROM t
+)
+SELECT doc_id, n_tokens, n_hits, n_hit_terms,
+       round(n_hits / CAST(n_tokens AS DOUBLE), 6) AS hit_ratio,
+       CAST(CASE WHEN round(n_hits / CAST(n_tokens AS DOUBLE), 6) > 0.05
+            THEN 1 ELSE 0 END AS BIGINT) AS blocked
+FROM h
+"""
+
+
+@query("txt_blocklist", oracle=BLOCKLIST_SQL)
+def txt_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    terms = list(_BLOCK_TERMS)
+    tk = F.split("text", " ")
+    h = d.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(tk, lambda x: x.isin(terms)))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.size(F.filter(F.array_distinct(tk), lambda x: x.isin(terms)))
+        .cast("bigint")
+        .alias("n_hit_terms"),
+    )
+    ratio = F.round(F.col("n_hits") / F.col("n_tokens").cast("double"), 6)
+    return h.select(
+        "doc_id", "n_tokens", "n_hits", "n_hit_terms",
+        ratio.alias("hit_ratio"),
+        F.when(ratio > 0.05, F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("blocked"),
+    )
+
+
+# -- txt_collocations --------------------------------------------------
+#
+# PMI collocation mining: the top bigrams by pointwise mutual
+# information, ln(p(xy) / (p(x)p(y))) — the classic "which word pairs
+# co-occur far more than chance" statistic behind phrase detection
+# (word2vec phrases, n-gram vocab induction). Scale shape: the token
+# stream partial-aggregates to the |vocab| and |vocab²| grids; the
+# corpus token/bigram totals come straight off the doc scan (array
+# lengths — no explode needed) as 1-row broadcasts; the |vocab|-sized
+# unigram grid is cached once and broadcast onto BOTH sides of the
+# bigram join, so each explode runs exactly once; the final top-20 is
+# a mergeable TakeOrdered. Determinism: PMI is a fixed-order chain of
+# ln() on exact integer-valued doubles — identical expression,
+# identical IEEE result — rounded to 6 before the (pmi, w1, w2)
+# ordering.
+
+COLLOC_SQL = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS tk FROM documents
+), uc AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(tk) AS w FROM t) u GROUP BY 1
+), nu AS (SELECT CAST(SUM(len(tk)) AS DOUBLE) AS nu FROM t),
+bc AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS c_xy
+  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+                                     i -> [tk[i], tk[i + 1]])) AS pr
+        FROM t WHERE len(tk) > 1) b
+  GROUP BY 1, 2
+), nb AS (SELECT CAST(SUM(CASE WHEN len(tk) > 1 THEN len(tk) - 1
+                              ELSE 0 END) AS DOUBLE) AS nb FROM t)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+       round(((((ln(CAST(c_xy AS DOUBLE)) + 2 * ln(nu.nu)) - ln(nb.nb))
+               - ln(CAST(u1.c AS DOUBLE))) - ln(CAST(u2.c AS DOUBLE))), 6)
+         AS pmi
+FROM bc
+JOIN uc u1 ON bc.w1 = u1.w
+JOIN uc u2 ON bc.w2 = u2.w
+CROSS JOIN nu CROSS JOIN nb
+WHERE c_xy >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
+@query("txt_collocations", oracle=COLLOC_SQL)
+def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(F.split("text", " ").alias("tk"))
+    # the vocab grid feeds both join sides: cache it so the unigram
+    # explode + count runs once, not once per consumer
+    uc = (
+        t.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    nu = t.agg(F.sum(F.size("tk")).cast("double").alias("nu"))
+    pairs = t.filter(F.size("tk") > 1).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(element_at(tk, i) AS w1,"
+                "             element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("pr")
+    )
+    bc = pairs.groupBy(
+        F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("c_xy"))
+    nb = t.agg(
+        F.sum(
+            F.when(F.size("tk") > 1, F.size("tk") - 1).otherwise(0)
+        ).cast("double").alias("nb")
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        (
+            (
+                (F.log(F.col("c_xy").cast("double")) + 2 * F.log("nu"))
+                - F.log("nb")
+            )
+            - F.log(F.col("c1").cast("double"))
+        )
+        - F.log(F.col("c2").cast("double")),
+        6,
+    )
+    return (
+        bc.filter(F.col("c_xy") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(nu))
+        .join(F.broadcast(nb))
+        .select("w1", "w2", F.col("c_xy").cast("bigint").alias("c_xy"),
+                pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )

@@ -591,3 +591,63 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_idx"),
         )
     )
+
+
+# -- q_mad_outliers ----------------------------------------------------
+#
+# Robust (median-absolute-deviation) outlier flags per series: flag
+# days whose daily revenue deviates from the series MEDIAN by more
+# than 3×MAD — the outlier test that, unlike the z-score
+# (q_anomaly_zscore) or variance bands (q_bollinger_flags), is itself
+# immune to the outliers it hunts (50% breakdown point). Scale shape:
+# two exact-percentile aggregations over the tiny |event_type × day|
+# grid (never the raw stream), each broadcast back. Determinism:
+# median/MAD are round(quantile_cont, 2) — F.percentile and DuckDB
+# quantile_cont interpolate identically (the q_winsorize convention)
+# — and the flag compares the same double expression on both engines.
+
+MAD_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+m AS (
+  SELECT event_type, round(quantile_cont(CAST(rev AS DOUBLE), 0.5), 2) AS med
+  FROM daily GROUP BY 1
+), d AS (
+  SELECT daily.event_type, daily.day, daily.rev, m.med,
+         abs(CAST(rev AS DOUBLE) - m.med) AS dev
+  FROM daily JOIN m ON daily.event_type = m.event_type
+), md AS (
+  SELECT event_type, round(quantile_cont(dev, 0.5), 2) AS mad
+  FROM d GROUP BY 1
+)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.rev AS DOUBLE) AS revenue, d.med, md.mad,
+       CAST(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END AS BIGINT)
+         AS is_outlier
+FROM d JOIN md ON d.event_type = md.event_type
+"""
+
+
+@query("q_mad_outliers", oracle=MAD_SQL)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    m = daily.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("rev").cast("double"), F.lit(0.5)), 2)
+        .alias("med")
+    )
+    d = daily.join(F.broadcast(m), "event_type").withColumn(
+        "dev", F.abs(F.col("rev").cast("double") - F.col("med"))
+    )
+    md = d.groupBy("event_type").agg(
+        F.round(F.percentile("dev", F.lit(0.5)), 2).alias("mad")
+    )
+    return d.join(F.broadcast(md), "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev").cast("double").alias("revenue"),
+        "med",
+        "mad",
+        F.when(F.col("dev") > 3 * F.col("mad"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_outlier"),
+    )

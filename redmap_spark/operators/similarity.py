@@ -60,6 +60,30 @@ def brute_force_topk(
     )
 
 
+def brute_force_mips(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by INNER PRODUCT vs the embedding of ``query_id``
+    (MIPS — the retrieval objective for unnormalized two-tower /
+    recommender embeddings, where magnitude carries signal that
+    cosine deliberately throws away). Same broadcast-scan shape as
+    brute_force_topk: one pass, no shuffle beyond the final top-k;
+    ties break on id."""
+    q = _query_row(df, id_col, vec_col, query_id)
+    base = df.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, F.round(dot(F.col("v"), F.col("qv")), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def range_search(
     df: DataFrame,
     query_id: int,

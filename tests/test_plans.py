@@ -676,3 +676,52 @@ def test_gini_and_acf_plan_shapes(spark):
     plan = E.plan_string(QUERIES["q_autocorrelation"](spark, SF_DIR), "formatted")
     assert "partial_sum" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_round5f_entry_plan_shapes(spark):
+    """Scale shapes for the fifth-session round-5 additions."""
+    import re
+
+    # MIPS: same broadcast-scan contract as the cosine baseline —
+    # the query vector broadcasts, the corpus never shuffles beyond
+    # the final mergeable TakeOrdered.
+    plan = E.plan_string(QUERIES["sim_mips_topk"](spark, SF_DIR), "formatted")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan
+
+    # MAD outliers: both percentile aggregations partial-aggregate
+    # below their grid, and both med/mad lookups ride broadcast joins
+    # back onto the grid — never a fact-sized shuffle per statistic.
+    plan = E.plan_string(QUERIES["q_mad_outliers"](spark, SF_DIR), "formatted")
+    assert "partial_sum" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SinglePartition" not in plan or "percentile" in plan, plan
+
+    # FD audit: every check partial-aggregates its determinant groupBy
+    # map-side; the report is a constant-size union, no cartesian.
+    plan = E.plan_string(QUERIES["q_fd_audit"](spark, SF_DIR), "formatted")
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    # blocklist gate: pure column expressions over one scan — zero
+    # exchanges, zero Python (the array-lambda Project is the only
+    # non-codegen node), and only text/doc_id leave the reader.
+    plan = E.plan_string(QUERIES["txt_blocklist"](spark, SF_DIR), "formatted")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "Scan parquet" in plan, plan
+
+    # collocations: exactly two explodes run (unigram + bigram — the
+    # cached vocab grid serves both join sides, so the unigram subtree
+    # is NOT duplicated per consumer), counts partial-aggregate before
+    # their shuffles, the unigram lookups broadcast, and the top-20 is
+    # a mergeable TakeOrdered. The corpus totals come off the doc scan
+    # as array lengths — no third explode.
+    df = QUERIES["txt_collocations"](spark, SF_DIR)
+    plan = E.plan_string(df, "formatted")
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 2, plan
+    assert "InMemoryTableScan" in plan, plan  # vocab grid cached
+    assert "partial_count" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
