@@ -61,3 +61,101 @@ def mr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
     )
     return triangle_stats(copurchase_pairs(li))
+
+
+# -- mr_kcore ----------------------------------------------------------
+#
+# k-core decomposition (bounded peeling) over the symmetrized
+# customer–supplier transaction graph (same edge set as mr_pagerank /
+# mr_connected_components / mr_bfs): each round drops every node with
+# degree < k and restricts the edge set to surviving endpoints — the
+# standard iterative "peel" that isolates the dense engagement core
+# (community seeding, influence pruning, spam-farm detection). Rounds
+# are FIXED at 3 so the oracle states the identical computation as
+# chained CTEs. Scale contract of the graph family: per round, ONE
+# degree groupBy over the edge table plus two broadcast semi-joins of
+# the |nodes|-sized keep vector (edges never reshuffle on a new key;
+# at node counts past broadcast range the joins fall back to shuffle
+# joins on the same plan). Rounds execute eagerly behind
+# localCheckpoints; the per-round summary (nodes/edges surviving) is
+# bounded driver-side planning metadata — 2 scalars per round.
+
+KCORE_K = 25
+
+MRKCORE_SQL = f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), d1 AS (
+  SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1
+), k1 AS (SELECT node FROM d1 WHERE d >= {KCORE_K}),
+e1 AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node
+), d2 AS (
+  SELECT src AS node, COUNT(*) AS d FROM e1 GROUP BY 1
+), k2 AS (SELECT node FROM d2 WHERE d >= {KCORE_K}),
+e2 AS (
+  SELECT e.src, e.dst FROM e1 e
+  JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node
+), d3 AS (
+  SELECT src AS node, COUNT(*) AS d FROM e2 GROUP BY 1
+), k3 AS (SELECT node FROM d3 WHERE d >= {KCORE_K}),
+e3 AS (
+  SELECT e.src, e.dst FROM e2 e
+  JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node
+)
+SELECT CAST(1 AS BIGINT) AS round,
+       CAST((SELECT COUNT(*) FROM k1) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) // 2 FROM e1) AS BIGINT) AS n_edges
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST((SELECT COUNT(*) FROM k2) AS BIGINT),
+       CAST((SELECT COUNT(*) // 2 FROM e2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST((SELECT COUNT(*) FROM k3) AS BIGINT),
+       CAST((SELECT COUNT(*) // 2 FROM e3) AS BIGINT)
+"""
+
+
+@query("mr_kcore", oracle=MRKCORE_SQL)
+def mr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    orders = c.orders
+    e0 = (
+        orders.join(
+            c.lineitem.select("l_orderkey", "l_suppkey"),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    rows = []
+    for r in range(1, 4):
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        keep = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        edges = (
+            edges.join(
+                F.broadcast(keep.withColumnRenamed("node", "src")), "src"
+            )
+            .join(F.broadcast(keep.withColumnRenamed("node", "dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        rows.append((r, keep.count(), edges.count() // 2))
+    return spark.createDataFrame(rows, "round long, n_nodes long, n_edges long")

@@ -725,3 +725,13 @@ def test_round5f_entry_plan_shapes(spark):
     assert "partial_count" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kcore_runs_eagerly_like_cc(spark):
+    """mr_kcore ships the graph family's iterative contract: peel
+    rounds execute eagerly behind localCheckpoints and the returned
+    3-row summary is bounded driver-side metadata — a LocalTableScan
+    with no lingering exchange."""
+    plan = E.plan_string(QUERIES["mr_kcore"](spark, SF_DIR), "formatted")
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
+    assert "Exchange" not in plan, plan
