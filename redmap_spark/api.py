@@ -186,6 +186,23 @@ class Pipeline:
 
         return Pipeline(self.df.filter(gopher_passes(text_col, **gopher_kwargs)))
 
+    def blocklist(
+        self,
+        terms: Iterable[str],
+        text_col: str = "text",
+        max_hit_ratio: float = 0.05,
+    ) -> "Pipeline":
+        """Drop rows where deny-listed terms exceed ``max_hit_ratio``
+        of the tokens (the policy/boilerplate/license gate every
+        corpus pipeline runs — the same decision txt_blocklist
+        reports). Pure column predicate over one scan: zero shuffle,
+        zero Python, and Catalyst may push it into the reader stage."""
+        terms = list(terms)
+        tk = F.split(text_col, " ")
+        hits = F.size(F.filter(tk, lambda x: x.isin(terms)))
+        ratio = F.round(hits / F.size(tk).cast("double"), 6)
+        return Pipeline(self.df.filter(ratio <= max_hit_ratio))
+
     def chunk(
         self,
         chunk_tokens: int = 50,

@@ -216,3 +216,27 @@ def test_pipeline_tokenize_bpe(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(out, direct)
+
+
+def test_pipeline_blocklist(spark):
+    """The fluent blocklist gate keeps exactly the docs txt_blocklist
+    reports unblocked, and the predicate is a pure scan filter (no
+    exchange, no Python)."""
+    from redmap_spark.api import Pipeline
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.inventory.text2 import _BLOCK_TERMS
+    from redmap_spark.inventory import QUERIES
+    from redmap_spark.plans import explain as E
+    from tests.conftest import SF_DIR
+
+    d = Catalog(spark, SF_DIR).documents
+    kept = Pipeline(d).blocklist(_BLOCK_TERMS).df
+    want = {
+        r.doc_id
+        for r in QUERIES["txt_blocklist"](spark, SF_DIR).collect()
+        if r.blocked == 0
+    }
+    got = {r.doc_id for r in kept.collect()}
+    assert got == want
+    plan = E.plan_string(kept, "formatted")
+    assert "Exchange" not in plan and "Python" not in plan, plan
