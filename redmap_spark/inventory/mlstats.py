@@ -442,3 +442,115 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return acf(1, "n_lag1", "acf_1").join(acf(7, "n_lag7", "acf_7"), "event_type")
+
+
+# -- q_survival_km -----------------------------------------------------
+#
+# Kaplan-Meier survival curve for time-to-second-order (repeat
+# purchase), right-censored at the dataset horizon — THE
+# survival-analysis estimator (churn/retention modeling beyond the
+# cohort matrix: censoring-aware, unlike q_retention_cohorts'
+# complete-data grid). Observation: per customer, days from first to
+# second order (event) or to the global max order date (censored).
+# Scale shape: one per-customer window+groupBy on the natural
+# o_custkey shuffle key collapses the fact stream to |customers|
+# observations, then to the |distinct t| grid; the documented global
+# windows run over that bounded grid only (≤ dataset-day-span rows).
+# Determinism: at-risk/event counts are exact integers; the product
+# Π(1 − d/n) is computed as exp(Σ ln((n−d)/n)) with each ln term cast
+# to DECIMAL(18,9) (exact, order-independent fold) and ONE final
+# exp() on an identical double; a running any-(n=d) flag pins
+# survival to exactly 0.0 past a collapse point on both engines.
+
+KM_SQL = """
+WITH obs0 AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         MIN(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey) AS d1
+  FROM orders
+), fs AS (
+  SELECT o_custkey, d1, MIN(CASE WHEN od > d1 THEN od END) AS d2
+  FROM obs0 GROUP BY 1, 2
+), endd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS de FROM orders),
+obs AS (
+  SELECT CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+              ELSE date_diff('day', d1, de) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fs CROSS JOIN endd
+), n_tot AS (SELECT COUNT(*) AS nt FROM obs),
+grid AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS c FROM obs GROUP BY 1
+), r AS (
+  SELECT t, d,
+         nt - COALESCE(CAST(SUM(c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS n
+  FROM grid CROSS JOIN n_tot
+), s AS (
+  SELECT t, d, n,
+         MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER (ORDER BY t) AS dead,
+         CAST(SUM(CASE WHEN d < n THEN
+                CAST(ln((n - d) / CAST(n AS DOUBLE)) AS DECIMAL(18,9))
+              END) OVER (ORDER BY t) AS DOUBLE) AS lsum
+  FROM r
+)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_at_risk,
+       d AS n_events,
+       CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lsum), 6) END AS survival
+FROM s WHERE d > 0
+"""
+
+
+@query("q_survival_km", oracle=KM_SQL)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    wc = Window.partitionBy("o_custkey")
+    obs0 = o.withColumn("d1", F.min("od").over(wc))
+    fs = obs0.groupBy("o_custkey", "d1").agg(
+        F.min(F.when(F.col("od") > F.col("d1"), F.col("od"))).alias("d2")
+    )
+    endd = o.agg(F.max("od").alias("de"))
+    obs = fs.join(F.broadcast(endd)).select(
+        F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+        .otherwise(F.datediff("de", "d1"))
+        .alias("t"),
+        F.when(F.col("d2").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    ntot = obs.agg(F.count(F.lit(1)).alias("nt"))
+    grid = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    # the windows below run over the collapsed |distinct t| grid
+    # (bounded by the dataset day span), never per-customer rows
+    prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    upto = Window.orderBy("t")
+    r = grid.join(F.broadcast(ntot)).withColumn(
+        "n", F.col("nt") - F.coalesce(F.sum("c").over(prev), F.lit(0))
+    )
+    s = r.select(
+        "t", "d", "n",
+        F.max(F.when(F.col("d") >= F.col("n"), 1).otherwise(0))
+        .over(upto)
+        .alias("dead"),
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n"),
+                F.log(
+                    (F.col("n") - F.col("d")) / F.col("n").cast("double")
+                ).cast("decimal(18,9)"),
+            )
+        )
+        .over(upto)
+        .cast("double")
+        .alias("lsum"),
+    )
+    return s.filter(F.col("d") > 0).select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lsum"), 6))
+        .alias("survival"),
+    )

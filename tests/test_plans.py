@@ -735,3 +735,16 @@ def test_kcore_runs_eagerly_like_cc(spark):
     plan = E.plan_string(QUERIES["mr_kcore"](spark, SF_DIR), "formatted")
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_survival_km_plan_shape(spark):
+    """KM curve: the per-customer collapse partial-aggregates on the
+    natural o_custkey shuffle key; the global cumulative windows run
+    over the collapsed |distinct t| grid only (documented
+    grid-sized), and the horizon/total lookups ride broadcast joins."""
+    import re
+
+    plan = E.plan_string(QUERIES["q_survival_km"](spark, SF_DIR), "formatted")
+    assert re.search(r"hashpartitioning\([^)]*o_custkey", plan), plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
