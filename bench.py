@@ -54,22 +54,26 @@ def main() -> None:
     # 3 chars (collisions get a deterministic numeric suffix in sorted-name
     # order), and values round to 1 decimal. The full-name line above is the
     # human decoder ring; at ~168 entries this stays ≈1830 chars.
-    compact: dict[str, float] = {}
-    for k in sorted(timings):
-        k2 = re.sub(r"^q(\d+)_.*$", r"q\1", k)
-        pre, rest = "", k2
-        for p, r in [("dedup_", "d"), ("sim_", "s"), ("txt_", "t"),
-                     ("mm_", "m"), ("mr_", "r"), ("q_", "")]:
-            if k2.startswith(p):
-                pre, rest = r, k2[len(p):]
-                break
-        s = pre + rest[:3]
-        i = 2
-        while s in compact:
-            s = pre + rest[:2] + str(i)
-            i += 1
-        compact[s] = round(timings[k], 1)
-    assert len(compact) == len(timings), "short-key collision"
+    def build_compact(klen: int) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for k in sorted(timings):
+            k2 = re.sub(r"^q(\d+)_.*$", r"q\1", k)
+            pre, rest = "", k2
+            for p, r in [("dedup_", "d"), ("sim_", "s"), ("txt_", "t"),
+                         ("mm_", "m"), ("mr_", "r"), ("q_", "")]:
+                if k2.startswith(p):
+                    pre, rest = r, k2[len(p):]
+                    break
+            s = pre + rest[:klen]
+            i = 2
+            while s in out:
+                s = pre + rest[:klen - 1] + str(i)
+                i += 1
+            out[s] = round(timings[k], 1)
+        assert len(out) == len(timings), "short-key collision"
+        return out
+
+    compact = build_compact(3)
 
     def envelope(q: dict) -> str:
         return json.dumps({
@@ -80,18 +84,23 @@ def main() -> None:
             "sf": sf,
         }, separators=(",", ":"), sort_keys=True)
 
-    # Staged precision fallback instead of crashing the driver run:
-    # first slow entries (≥10s), then everything ≥1s, drop to whole
-    # seconds. The full-precision line above still carries exact
-    # values; the compact line's job is driver-parseable coverage.
+    # Staged fallback instead of crashing the driver run: first floor
+    # slow entries (≥10s) to whole seconds, then everything ≥1s, then
+    # shrink keys to 2 chars (with the 1s floor re-applied). The
+    # full-precision line above still carries exact values; the
+    # compact line's job is driver-parseable coverage.
+    def floored(q: dict, floor: int) -> dict:
+        return {k: (int(round(v)) if v >= floor else v) for k, v in q.items()}
+
     line = envelope(compact)
-    for floor in (10, 1):
+    for fallback in (
+        lambda: floored(compact, 10),
+        lambda: floored(compact, 1),
+        lambda: floored(build_compact(2), 1),
+    ):
         if len(line) < 1900:
             break
-        compact = {
-            k: (int(round(v)) if v >= floor else v)
-            for k, v in compact.items()
-        }
+        compact = fallback()
         line = envelope(compact)
     assert len(line) < 1900, f"driver-tail budget exceeded: {len(line)}"
     print(line)

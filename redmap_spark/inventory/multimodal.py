@@ -90,3 +90,16 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     return perceptual_hashes(M.attach_payload(d))
+
+
+@query("mm_palette")  # rows-only: real pixel decode, verified by pytest
+def mm_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-color palette per payload (top-4 of a 512-cell RGB
+    histogram) — the thumbnail/card-color ingest feature
+    (multimodal/palette.py). Real PNG/JPEG/GIF pixel decode via the
+    repo codecs, verified with crafted solid-region images in
+    tests/test_multimodal.py; Arrow-batched mapInPandas, no shuffle."""
+    from redmap_spark.multimodal.palette import palette_features
+
+    d = Catalog(spark, sf_dir).documents
+    return palette_features(M.attach_payload(d))

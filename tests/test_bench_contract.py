@@ -38,9 +38,12 @@ def test_bench_line_contract():
     assert set(full) == set(QUERIES)
     # every entry survives key compression into the final line
     assert len(d["queries"]) == len(QUERIES)
-    # and the documented prefix scheme holds (spot checks)
+    # and the documented prefix scheme holds (spot checks). Key width
+    # depends on which fallback stage fit the budget: prefix+3 chars
+    # normally, prefix+2 once the inventory outgrows the 3-char stage
+    # (as it did at 179 entries with sub-second sf0.001 timings).
     shorts = set(d["queries"])
     assert "q1" in shorts
-    assert any(k.startswith("d") and len(k) == 4 for k in shorts)
-    assert any(k.startswith("t") and len(k) == 4 for k in shorts)
+    assert any(k.startswith("d") and len(k) in (3, 4) for k in shorts)
+    assert any(k.startswith("t") and len(k) in (3, 4) for k in shorts)
     assert not any(re.match(r"^q\d+_", k) for k in shorts)

@@ -298,3 +298,42 @@ def test_phash_synthetic_corpus_deterministic(spark):
     b = {r.doc_id: (r.phash, r.c0, r.c3)
          for r in QUERIES["mm_phash"](spark, SF_SMALL).collect()}
     assert a == b and len(a) == 500
+
+
+def test_palette_real_pixels_and_shares():
+    """Crafted PNG with a known 3:1 red/blue split must put red first
+    at share 0.75; quantized hex centers land in the right buckets;
+    corrupt payloads fall back deterministically instead of raising."""
+    import numpy as np
+
+    from redmap_spark.multimodal.palette import dominant_palette
+    from redmap_spark.multimodal.png import encode_png
+
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[:, :, 0] = 200  # all red...
+    px[12:, :, :] = [0, 0, 200]  # ...bottom quarter blue
+    payload = encode_png(16, 16, 3, px.tobytes())
+    got = dominant_palette(payload, k=4)
+    assert got[0] == ("#d01010", 0.75), got  # 200→bucket 6→center 208
+    assert got[1] == ("#1010d0", 0.25), got
+    assert len(got) == 2  # only two distinct buckets exist
+
+    # corrupt/truncated PNG routes to the deterministic fallback
+    bad = payload[:40]
+    again = dominant_palette(bad, k=4)
+    assert again == dominant_palette(bad, k=4) and len(again) >= 1
+
+
+def test_palette_entry_rows(spark):
+    """mm_palette: ≤4 rows per doc, rank 1..k, shares in (0,1] and
+    non-increasing, rank-1 share is the max."""
+    from redmap_spark.inventory import QUERIES
+    from tests.conftest import SF_DIR
+
+    pdf = QUERIES["mm_palette"](spark, SF_DIR).toPandas()
+    assert pdf.groupby("doc_id")["rank"].apply(
+        lambda s: sorted(s) == list(range(1, len(s) + 1))
+    ).all()
+    assert ((pdf["share"] > 0) & (pdf["share"] <= 1)).all()
+    by_doc = pdf.sort_values(["doc_id", "rank"]).groupby("doc_id")["share"]
+    assert by_doc.apply(lambda s: (s.diff().dropna() <= 1e-12).all()).all()
