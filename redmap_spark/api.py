@@ -195,13 +195,16 @@ class Pipeline:
         """Drop rows where deny-listed terms exceed ``max_hit_ratio``
         of the tokens (the policy/boilerplate/license gate every
         corpus pipeline runs — the same decision txt_blocklist
-        reports). Pure column predicate over one scan: zero shuffle,
-        zero Python, and Catalyst may push it into the reader stage."""
-        terms = list(terms)
-        tk = F.split(text_col, " ")
-        hits = F.size(F.filter(tk, lambda x: x.isin(terms)))
-        ratio = F.round(hits / F.size(tk).cast("double"), 6)
-        return Pipeline(self.df.filter(ratio <= max_hit_ratio))
+        reports, including its NULL-text convention: no text, no
+        hits, row kept). Pure column predicate over one scan: zero
+        shuffle, zero Python, and Catalyst may push it into the
+        reader stage."""
+        from redmap_spark.operators.textstats import blocklist_hit_ratio
+
+        ratio = blocklist_hit_ratio(text_col, list(terms))
+        return Pipeline(
+            self.df.filter(~(ratio > max_hit_ratio) | ratio.isNull())
+        )
 
     def chunk(
         self,

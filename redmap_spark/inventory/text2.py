@@ -306,11 +306,14 @@ FROM h
 
 @query("txt_blocklist", oracle=BLOCKLIST_SQL)
 def txt_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators.textstats import blocklist_hit_ratio
+
     d = Catalog(spark, sf_dir).documents
     terms = list(_BLOCK_TERMS)
     tk = F.split("text", " ")
     h = d.select(
         "doc_id",
+        "text",
         F.size(tk).cast("bigint").alias("n_tokens"),
         F.size(F.filter(tk, lambda x: x.isin(terms)))
         .cast("bigint")
@@ -319,7 +322,9 @@ def txt_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_hit_terms"),
     )
-    ratio = F.round(F.col("n_hits") / F.col("n_tokens").cast("double"), 6)
+    # the ONE shared decision expression (operators.textstats) — the
+    # fluent Pipeline.blocklist gate applies the same column
+    ratio = blocklist_hit_ratio("text", terms)
     return h.select(
         "doc_id", "n_tokens", "n_hits", "n_hit_terms",
         ratio.alias("hit_ratio"),

@@ -30,31 +30,17 @@ def payload_to_rgb(payload: bytes) -> np.ndarray:
     3 channels; anything else (the synthetic utf-8 corpus) routes to
     a deterministic byte-decimation fake so the plumbing stays
     testable — same fallback contract as phash.payload_to_gray32."""
-    px = None
-    try:
-        if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            from redmap_spark.multimodal.png import decode_png
+    from redmap_spark.multimodal.decode import decode_pixel_array
 
-            w, h, ch, raw = decode_png(payload)
-            a = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, ch)
-            if ch >= 3:
-                px = a[:, :, :3]
-            else:  # gray / gray+alpha
-                px = np.repeat(a[:, :, :1], 3, axis=2)
-        elif payload[:2] == b"\xff\xd8":
-            from redmap_spark.multimodal.jpeg import decode_jpeg
-
-            a = decode_jpeg(payload)
-            px = a if a.ndim == 3 else np.repeat(a[:, :, None], 3, axis=2)
-        elif payload[:6] in (b"GIF87a", b"GIF89a"):
-            from redmap_spark.multimodal.gif import decode_gif_indexed
-
-            idx, pal = decode_gif_indexed(payload)
-            px = pal[idx]
-    except Exception:
-        # a corrupt byte in one payload must never fail the whole
-        # Arrow batch; the fallback IS the contract here
+    a = decode_pixel_array(payload)
+    if a is None:
         px = None
+    elif a.ndim == 2:
+        px = np.repeat(a[:, :, None], 3, axis=2)
+    elif a.shape[2] >= 3:
+        px = a[:, :, :3]
+    else:  # gray / gray+alpha
+        px = np.repeat(a[:, :, :1], 3, axis=2)
     if px is None:
         data = payload if payload else b"\x00"
         pos = (np.arange(32 * 32 * 3) * len(data)) // (32 * 32 * 3)

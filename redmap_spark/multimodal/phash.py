@@ -50,29 +50,20 @@ def payload_to_gray32(payload: bytes) -> np.ndarray:
     """32×32 float grayscale from any payload: real decode for
     PNG/JPEG/GIF via the repo codecs, deterministic byte decimation
     otherwise (so the synthetic corpus still exercises the DCT)."""
-    px = None
-    try:
-        if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            from redmap_spark.multimodal.png import decode_png
+    from redmap_spark.multimodal.decode import decode_pixel_array
 
-            w, h, ch, raw = decode_png(payload)
-            a = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, ch)
-            px = a.mean(axis=2) if ch > 1 else a[:, :, 0]
-        elif payload[:2] == b"\xff\xd8":
-            from redmap_spark.multimodal.jpeg import decode_jpeg
-
-            a = decode_jpeg(payload)
-            px = a.mean(axis=2) if a.ndim == 3 else a
-        elif payload[:6] in (b"GIF87a", b"GIF89a"):
-            from redmap_spark.multimodal.gif import decode_gif_indexed
-
-            idx, pal = decode_gif_indexed(payload)
-            px = pal[idx].mean(axis=2)
-    except Exception:  # malformed/unsupported media of ANY kind routes to
-        # the deterministic fallback — a corrupt byte in one payload must
-        # never fail the whole Arrow batch (unlike state reads, where
-        # swallowing errors loses data; here the fallback IS the contract)
+    # shared magic-byte dispatch (multimodal/decode.py); malformed/
+    # unsupported media of ANY kind routes to the deterministic
+    # fallback — a corrupt byte in one payload must never fail the
+    # whole Arrow batch (unlike state reads, where swallowing errors
+    # loses data; here the fallback IS the contract)
+    a = decode_pixel_array(payload)
+    if a is None:
         px = None
+    elif a.ndim == 3:
+        px = a.mean(axis=2) if a.shape[2] > 1 else a[:, :, 0]
+    else:
+        px = a
     if px is None:
         # byte decimation: sample 1024 evenly-spaced payload bytes
         data = payload if payload else b"\x00"

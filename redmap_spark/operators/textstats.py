@@ -225,3 +225,14 @@ def chunk_documents(
         F.array_join(sl, " ").alias("chunk_text"),
         F.size(sl).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def blocklist_hit_ratio(text_col: Column | str, terms: list[str]) -> Column:
+    """Fraction of whitespace tokens that are deny-listed terms,
+    rounded to 6 (the txt_blocklist decision input — ONE shared
+    expression so the inventory report and the fluent Pipeline gate
+    can never drift). NULL text yields NULL; callers must pick the
+    txt_blocklist convention (NULL → unblocked) explicitly."""
+    tk = F.split(text_col, " ")
+    hits = F.size(F.filter(tk, lambda x: x.isin(list(terms))))
+    return F.round(hits / F.size(tk).cast("double"), 6)

@@ -318,10 +318,21 @@ def test_palette_real_pixels_and_shares():
     assert got[1] == ("#1010d0", 0.25), got
     assert len(got) == 2  # only two distinct buckets exist
 
-    # corrupt/truncated PNG routes to the deterministic fallback
+    # corrupt/truncated PNG routes to the byte-decimation fallback —
+    # pin it against an independent reimplementation of the published
+    # formula so a future lenient/partial decode can't slip in
     bad = payload[:40]
-    again = dominant_palette(bad, k=4)
-    assert again == dominant_palette(bad, k=4) and len(again) >= 1
+    data = np.frombuffer(bad, dtype=np.uint8)
+    pos = (np.arange(32 * 32 * 3) * len(bad)) // (32 * 32 * 3)
+    q = data[pos].reshape(-1, 3) // 32
+    cells = q[:, 0].astype(int) * 64 + q[:, 1] * 8 + q[:, 2]
+    counts = np.bincount(cells, minlength=512)
+    top = sorted(range(512), key=lambda c: (-counts[c], c))[0]
+    want_hex = "#%02x%02x%02x" % (
+        (top // 64) * 32 + 16, ((top // 8) % 8) * 32 + 16, (top % 8) * 32 + 16
+    )
+    got_bad = dominant_palette(bad, k=4)
+    assert got_bad[0] == (want_hex, round(float(counts[top]) / 1024, 6)), got_bad
 
 
 def test_palette_entry_rows(spark):

@@ -240,3 +240,18 @@ def test_pipeline_blocklist(spark):
     assert got == want
     plan = E.plan_string(kept, "formatted")
     assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_pipeline_blocklist_keeps_null_text(spark):
+    """NULL-text rows carry no hits: the fluent gate must KEEP them,
+    matching txt_blocklist's blocked=0 convention."""
+    from pyspark.sql import functions as F
+
+    from redmap_spark.api import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "slow slow slow dup"), (2, "clean words only here"), (3, None)],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in Pipeline(df).blocklist(["slow", "dup"]).df.collect()}
+    assert kept == {2, 3}
