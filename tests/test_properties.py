@@ -612,7 +612,18 @@ def test_timeseries_family_matches_integer_brute_force(spark, events):
         key = (base + dt.timedelta(days=best[1])).strftime("%Y-%m-%d")
         r = chg[et]
         assert r.change_day == key and r.n_days == n
-        assert abs(r.cusum - round(best[0] / 100 / n, 2)) < 1e-9
+        # Spark's round(double, 2) is HALF_UP over the double's
+        # SHORTEST decimal repr (BigDecimal.valueOf): 0.015 -> 0.02.
+        # Python's built-in round is banker's on the binary value
+        # (0.015 -> 0.01), so replicate the engine's semantics here.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        expect_cusum = float(
+            Decimal(repr(best[0] / 100 / n)).quantize(
+                Decimal("0.01"), ROUND_HALF_UP
+            )
+        )
+        assert abs(r.cusum - expect_cusum) < 1e-9
 
         for t in range(n):
             day = (base + dt.timedelta(days=days[t])).strftime("%Y-%m-%d")
