@@ -135,6 +135,9 @@ def mr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
+        # materialize the expensive fact-join edge build ONCE — the
+        # symmetrizing union consumes it twice
+        .localCheckpoint(eager=True)
     )
     edges = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
