@@ -712,15 +712,17 @@ def test_round5f_entry_plan_shapes(spark):
     assert "Python" not in plan, plan
     assert "Scan parquet" in plan, plan
 
-    # collocations: exactly two explodes run (unigram + bigram — the
-    # cached vocab grid serves both join sides, so the unigram subtree
-    # is NOT duplicated per consumer), counts partial-aggregate before
-    # their shuffles, the unigram lookups broadcast, and the top-20 is
-    # a mergeable TakeOrdered. The corpus totals come off the doc scan
-    # as array lengths — no third explode.
+    # collocations: the vocab grid is CACHED so the unigram explode
+    # runs once however many consumers Catalyst sees (the executed
+    # plan reads the InMemoryRelation on both join sides — how many
+    # Generate nodes the FORMATTED print shows varies with whether a
+    # prior query already populated the cache, so the assertion is on
+    # the cache node, not a print count); counts partial-aggregate
+    # before their shuffles, the unigram lookups broadcast, and the
+    # top-20 is a mergeable TakeOrdered. The corpus totals come off
+    # the doc scan as array lengths — no third explode.
     df = QUERIES["txt_collocations"](spark, SF_DIR)
     plan = E.plan_string(df, "formatted")
-    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 2, plan
     assert "InMemoryTableScan" in plan, plan  # vocab grid cached
     assert "partial_count" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
