@@ -554,3 +554,79 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("lsum"), 6))
         .alias("survival"),
     )
+
+
+# -- q_hhi -------------------------------------------------------------
+#
+# Herfindahl-Hirschman concentration index of revenue across each
+# nation's customers — the market-concentration diagnostic behind the
+# decile/Gini reports (HHI = Σ share², 1/n for perfectly even, →1 for
+# monopolized). Scale shape: the fact stream partial-aggregates to
+# the per-customer grid (one shuffle on the join key), nation totals
+# collapse from that grid, and the nation dim broadcasts.
+# Determinism: HHI = Σrev² / total², with Σrev² an EXACT
+# DECIMAL(38,4) fold (operands widened to DECIMAL(19,2) so both
+# engines multiply in int128); the only FP steps are the final
+# identical divisions.
+
+HHI_SQL = """
+WITH cr AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2))
+           AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT c_nationkey,
+         COUNT(*) AS nc,
+         CAST(SUM(rev) AS DECIMAL(19,2)) AS trev,
+         CAST(SUM(CAST(rev * rev AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ssq,
+         CAST(MAX(rev) AS DECIMAL(19,2)) AS maxrev
+  FROM cr GROUP BY 1
+)
+SELECT n_name, CAST(nc AS BIGINT) AS n_customers,
+       round(CAST(ssq AS DOUBLE)
+             / (CAST(trev AS DOUBLE) * CAST(trev AS DOUBLE)), 6) AS hhi,
+       round(CAST(maxrev AS DOUBLE) / CAST(trev AS DOUBLE), 6) AS top_share
+FROM agg JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+@query("q_hhi", oracle=HHI_SQL)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    orders = c.orders
+    cr = (
+        orders.join(
+            c.customer.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("decimal(19,2)").alias("rev")
+        )
+    )
+    agg = cr.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum("rev").cast("decimal(19,2)").alias("trev"),
+        F.sum((F.col("rev") * F.col("rev")).cast("decimal(38,4)"))
+        .cast("decimal(38,4)")
+        .alias("ssq"),
+        F.max("rev").cast("decimal(19,2)").alias("maxrev"),
+    )
+    n = c.nation.select("n_nationkey", "n_name")
+    return (
+        agg.join(F.broadcast(n), agg.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.col("nc").cast("bigint").alias("n_customers"),
+            F.round(
+                F.col("ssq").cast("double")
+                / (F.col("trev").cast("double") * F.col("trev").cast("double")),
+                6,
+            ).alias("hhi"),
+            F.round(
+                F.col("maxrev").cast("double") / F.col("trev").cast("double"), 6
+            ).alias("top_share"),
+        )
+    )

@@ -651,3 +651,45 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_outlier"),
     )
+
+
+# -- q_rolling_actives -------------------------------------------------
+#
+# Trailing-7-day distinct active users per day (the WAU-by-day ops
+# metric). Rolling DISTINCT cannot ride a plain window aggregate, so
+# the scalable rewrite is coverage expansion: collapse the stream to
+# the distinct (user, day) grid ONCE, explode each user-day to the ≤7
+# calendar days it covers (a bounded 7× generate of the grid — far
+# below the raw stream), and count distinct users per covered day,
+# keeping only observed days (broadcast |days| list). All integer/date
+# arithmetic — deterministic by construction.
+
+ROLL_ACT_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cover AS (
+  SELECT user_id, day + CAST(off AS INTEGER) AS rday
+  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS off) s
+), days AS (SELECT DISTINCT day FROM ud)
+SELECT strftime(c.rday, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS actives_7d
+FROM cover c JOIN days d ON c.rday = d.day
+GROUP BY 1
+"""
+
+
+@query("q_rolling_actives", oracle=ROLL_ACT_SQL)
+def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("off")).alias("rday"))
+    days = ud.select("day").distinct()
+    return (
+        cover.join(F.broadcast(days), cover.rday == days.day)
+        .groupBy(F.date_format("rday", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("actives_7d"))
+    )

@@ -750,3 +750,22 @@ def test_survival_km_plan_shape(spark):
     assert re.search(r"hashpartitioning\([^)]*o_custkey", plan), plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_actives_and_hhi_plan_shapes(spark):
+    """Rolling actives: ONE generate expands the distinct (user,day)
+    grid ≤7× (never the raw stream), the observed-days filter rides a
+    broadcast join, and the distinct count partial-aggregates. HHI:
+    the fact stream partial-aggregates to the per-customer grid and
+    the nation dim broadcasts — no window, no cartesian."""
+    import re
+
+    plan = E.plan_string(QUERIES["q_rolling_actives"](spark, SF_DIR), "formatted")
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+
+    plan = E.plan_string(QUERIES["q_hhi"](spark, SF_DIR), "formatted")
+    assert "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
