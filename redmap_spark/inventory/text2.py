@@ -432,3 +432,96 @@ def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
     )
+
+
+# -- txt_js_divergence -------------------------------------------------
+#
+# Per-source Jensen-Shannon divergence from the corpus unigram
+# distribution — the drift/contamination dashboard behind
+# txt_source_mix (a source whose JS suddenly jumps is mis-crawled or
+# mislabeled). The naive JS needs the full |sources|×|vocab| grid;
+# the scalable rewrite folds absent-term mass in closed form:
+#   JS(p,q) = ½·[ Σ_{i∈S} p·ln(p/m) + Σ_{i∈S} q·ln(q/m)
+#                 + (1 − Σ_{i∈S} q)·ln 2 ],   m = (p+q)/2
+# (terms absent from the source have p=0, m=q/2, contributing
+# q·ln 2), so only the source-term grid is ever materialized, with
+# the vocab-sized corpus distribution broadcast onto it.
+# Determinism: p, q, m are identically-computed doubles; each
+# summand casts to DECIMAL(18,9) so the folds are exact and
+# order-independent; one final rounded combination.
+
+JS_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), st AS (
+  SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), ct AS (
+  SELECT term, CAST(SUM(c) AS BIGINT) AS ctot FROM st GROUP BY 1
+), ns AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM st GROUP BY 1
+), nt AS (SELECT CAST(SUM(ctot) AS BIGINT) AS n FROM ct),
+terms AS (
+  SELECT st.source, st.c / CAST(ns.n_s AS DOUBLE) AS p,
+         ct.ctot / CAST(nt.n AS DOUBLE) AS q
+  FROM st JOIN ns ON st.source = ns.source
+  JOIN ct ON st.term = ct.term CROSS JOIN nt
+), folds AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CAST(p * ln(p / ((p + q) / 2)) AS DECIMAL(18,9)))
+              AS DOUBLE) AS s1,
+         CAST(SUM(CAST(q * ln(q / ((p + q) / 2)) AS DECIMAL(18,9)))
+              AS DOUBLE) AS s2,
+         CAST(SUM(CAST(q AS DECIMAL(18,9))) AS DOUBLE) AS qs
+  FROM terms GROUP BY 1
+)
+SELECT source, n_terms,
+       round(0.5 * (s1 + s2 + (1 - qs) * ln(2.0)), 6) AS js_divergence
+FROM folds
+"""
+
+
+@query("txt_js_divergence", oracle=JS_SQL)
+def txt_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    # the source-term grid feeds four consumers (terms/ct/ns/nt):
+    # cache it so the token explode + count runs ONCE, not per branch
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    ct = st.groupBy("term").agg(F.sum("c").cast("bigint").alias("ctot"))
+    ns = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    nt = ct.agg(F.sum("ctot").cast("bigint").alias("n"))
+    p = F.col("c") / F.col("n_s").cast("double")
+    q = F.col("ctot") / F.col("n").cast("double")
+    m = (p + q) / 2
+    terms = (
+        st.join(F.broadcast(ns), "source")
+        .join(F.broadcast(ct), "term")
+        .join(F.broadcast(nt))
+        .select("source", p.alias("p"), q.alias("q"))
+    )
+    p_, q_ = F.col("p"), F.col("q")
+    m_ = (p_ + q_) / 2
+    folds = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum((p_ * F.log(p_ / m_)).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum((q_ * F.log(q_ / m_)).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("s2"),
+        F.sum(q_.cast("decimal(18,9)")).cast("double").alias("qs"),
+    )
+    return folds.select(
+        "source",
+        "n_terms",
+        F.round(
+            0.5
+            * (F.col("s1") + F.col("s2") + (1 - F.col("qs")) * F.log(F.lit(2.0))),
+            6,
+        ).alias("js_divergence"),
+    )

@@ -769,3 +769,16 @@ def test_rolling_actives_and_hhi_plan_shapes(spark):
     assert "partial_sum" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_js_divergence_plan_shape(spark):
+    """JS divergence: the source-term grid is CACHED so the token
+    explode runs once for its four consumers (terms/ct/ns/nt — the
+    cache node is the execute-once guarantee, same contract as
+    txt_collocations); the corpus distribution and totals ride
+    broadcast joins onto that grid — the |sources|x|vocab| dense grid
+    is never materialized."""
+    plan = E.plan_string(QUERIES["txt_js_divergence"](spark, SF_DIR), "formatted")
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
