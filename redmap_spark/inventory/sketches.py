@@ -162,3 +162,77 @@ def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n").cast("bigint").alias("cms_est"),
         )
     )
+
+
+# -- q_kmv_distinct ----------------------------------------------------
+#
+# K-minimum-values distinct-count sketch (k=64), md5-PORTABLE like the
+# CMS/SimHash/MinHash twins: hash every distinct (type,user) to a
+# uniform in [0,1) via the first 60 md5 bits, keep each type's k
+# smallest, estimate distinct = (k−1)/h_(k) — the mergeable
+# order-statistics sketch (Bar-Yossef et al.) that complements HLL
+# (which is not bit-portable across engines) with an estimator DuckDB
+# can verify value-for-value. Exact count rides along so the report
+# doubles as an error dashboard. Shape: the stream collapses to the
+# distinct (type,user) grid; the rank window sorts per type over that
+# grid (the standard top-k-per-group shape — a production KMV at 100 TB
+# swaps in partial per-partition k-mins merged associatively, same
+# estimator).
+
+KMV_K = 64
+
+KMV_SQL = f"""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS hv
+  FROM u
+), r AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS exact_distinct,
+       CAST({KMV_K} AS BIGINT) AS k,
+       CAST(CASE WHEN n >= {KMV_K}
+                 THEN round(({KMV_K} - 1) / hv, 2) ELSE n END AS DOUBLE)
+         AS kmv_estimate
+FROM r
+WHERE rk = CASE WHEN n >= {KMV_K} THEN {KMV_K} ELSE n END
+"""
+
+
+@query("q_kmv_distinct", oracle=KMV_SQL)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).events
+    u = e.select("event_type", "user_id").distinct()
+    hv = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        / F.lit(1152921504606846976.0)
+    )
+    h = u.select("event_type", hv.alias("hv"))
+    w = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w.orderBy("hv")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    kth = F.when(F.col("n") >= KMV_K, F.lit(KMV_K)).otherwise(F.col("n"))
+    return r.filter(F.col("rk") == kth).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("exact_distinct"),
+        F.lit(KMV_K).cast("bigint").alias("k"),
+        F.when(
+            F.col("n") >= KMV_K, F.round((KMV_K - 1) / F.col("hv"), 2)
+        )
+        .otherwise(F.col("n"))
+        .cast("double")
+        .alias("kmv_estimate"),
+    )

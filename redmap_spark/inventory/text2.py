@@ -525,3 +525,81 @@ def txt_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("js_divergence"),
     )
+
+
+# -- txt_corpus_report -------------------------------------------------
+#
+# One-row corpus health dashboard — the summary a pipeline logs per
+# snapshot before/after cleaning: volume (docs/tokens), exact-dup
+# pressure (docs sharing an md5 fingerprint), language spread and the
+# dominant language. Scale shape: one fingerprint groupBy, one lang
+# groupBy, one token-count scan — three constant-size aggregates
+# joined broadcast into a single row. Deterministic: all integers,
+# mode tie-break on lang code, single rounded divisions.
+
+CORPUS_REPORT_SQL = """
+WITH fp AS (
+  SELECT md5(text) AS f, COUNT(*) AS c FROM documents GROUP BY 1
+), dup AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_texts,
+         CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+  FROM fp
+), lg AS (
+  SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1
+), toplang AS (
+  SELECT lang, c FROM lg ORDER BY c DESC, lang LIMIT 1
+), vol AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents
+)
+SELECT vol.n_docs, vol.n_tokens, vol.n_langs,
+       dup.n_texts AS n_distinct_texts, dup.n_dup_docs,
+       round(dup.n_dup_docs / CAST(vol.n_docs AS DOUBLE), 6) AS dup_ratio,
+       toplang.lang AS top_lang,
+       round(toplang.c / CAST(vol.n_docs AS DOUBLE), 6) AS top_lang_share,
+       round(vol.n_tokens / CAST(vol.n_docs AS DOUBLE), 6) AS mean_doc_tokens
+FROM vol CROSS JOIN dup CROSS JOIN toplang
+"""
+
+
+@query("txt_corpus_report", oracle=CORPUS_REPORT_SQL)
+def txt_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    dup = (
+        d.groupBy(F.md5("text").alias("f"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_texts"),
+            F.sum(F.col("c") - 1).cast("bigint").alias("n_dup_docs"),
+        )
+    )
+    toplang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "lang")
+        .limit(1)
+    )
+    vol = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    return (
+        vol.join(F.broadcast(dup))
+        .join(F.broadcast(toplang))
+        .select(
+            "n_docs", "n_tokens", "n_langs", "n_distinct_texts", "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_ratio"),
+            F.col("lang").alias("top_lang"),
+            F.round(F.col("c") / F.col("n_docs").cast("double"), 6).alias(
+                "top_lang_share"
+            ),
+            F.round(
+                F.col("n_tokens") / F.col("n_docs").cast("double"), 6
+            ).alias("mean_doc_tokens"),
+        )
+    )

@@ -782,3 +782,24 @@ def test_js_divergence_plan_shape(spark):
     assert "InMemoryTableScan" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_kmv_and_corpus_report_plan_shapes(spark):
+    """KMV: the stream collapses to the distinct (type,user) grid
+    before the (documented) per-type rank window — never a window
+    over raw events. Corpus report: three constant-size aggregates
+    broadcast-joined into one row, no cartesian beyond the 1-row
+    broadcast nested loops."""
+    import re
+
+    plan = E.plan_string(QUERIES["q_kmv_distinct"](spark, SF_DIR), "formatted")
+    # distinct collapse = map-side HashAggregate pair shuffling the
+    # (type,user) grid, then the window partitions by event_type
+    assert re.search(r"hashpartitioning\([^)]*user_id", plan), plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert re.search(r"hashpartitioning\(event_type", plan), plan
+
+    plan = E.plan_string(QUERIES["txt_corpus_report"](spark, SF_DIR), "formatted")
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # mode top-1 is mergeable

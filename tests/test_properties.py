@@ -640,3 +640,19 @@ def test_timeseries_family_matches_integer_brute_force(spark, events):
             S, Q = sum(frame), sum(v * v for v in frame)
             flag = 1 if (nw * x - S) ** 2 > 4 * (nw * Q - S * S) else 0
             assert boll[(et, day)].is_outlier == flag, (et, day)
+
+
+def test_kmv_estimate_error_bound(spark):
+    """KMV at k=64 has relative std error ~1/sqrt(k-2) ≈ 12.7%; every
+    per-type estimate must land within 4σ of the exact distinct (and
+    be exact when the type has fewer than k users)."""
+    from redmap_spark.inventory import QUERIES
+    from redmap_spark.inventory.sketches import KMV_K
+    from tests.conftest import SF_DIR
+
+    for r in QUERIES["q_kmv_distinct"](spark, SF_DIR).collect():
+        if r.exact_distinct < KMV_K:
+            assert r.kmv_estimate == r.exact_distinct
+        else:
+            rel = abs(r.kmv_estimate - r.exact_distinct) / r.exact_distinct
+            assert rel <= 4 / (KMV_K - 2) ** 0.5, (r.event_type, rel)
