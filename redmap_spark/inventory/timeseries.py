@@ -693,3 +693,62 @@ def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("rday", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("actives_7d"))
     )
+
+
+# -- q_dau_mau ---------------------------------------------------------
+#
+# DAU / MAU stickiness per day — the engagement ratio every growth
+# dashboard tracks (what fraction of the trailing-28-day audience
+# showed up today). Same bounded coverage-expansion rewrite as
+# q_rolling_actives (rolling DISTINCT without a window): the distinct
+# (user,day) grid expands ≤28× (still far below the raw stream),
+# distinct-counts per covered observed day, and joins the per-day DAU
+# off the same grid. All integer/date arithmetic; one final rounded
+# division.
+
+DAU_MAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+), cover AS (
+  SELECT user_id, day + CAST(off AS INTEGER) AS rday
+  FROM ud CROSS JOIN (SELECT unnest(range(0, 28)) AS off) s
+), mau AS (
+  SELECT c.rday AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS mau
+  FROM cover c JOIN (SELECT DISTINCT day FROM ud) d ON c.rday = d.day
+  GROUP BY 1
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+       round(dau.dau / CAST(mau.mau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN mau ON dau.day = mau.day
+"""
+
+
+@query("q_dau_mau", oracle=DAU_MAU_SQL)
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("off"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("off")).alias("rday"))
+    days = ud.select("day").distinct()
+    mau = (
+        cover.join(F.broadcast(days), cover.rday == days.day)
+        .groupBy(F.col("rday").alias("mday"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau.day == mau.mday)
+        .select(
+            F.date_format(dau.day, "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

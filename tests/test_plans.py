@@ -803,3 +803,15 @@ def test_kmv_and_corpus_report_plan_shapes(spark):
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan  # mode top-1 is mergeable
+
+
+def test_dau_mau_plan_shape(spark):
+    """DAU/MAU: one bounded generate expands the distinct (user,day)
+    grid; the observed-days filter broadcasts; both counts
+    partial-aggregate — never a rolling window over raw events."""
+    import re
+
+    plan = E.plan_string(QUERIES["q_dau_mau"](spark, SF_DIR), "formatted")
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
