@@ -630,3 +630,80 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_share"),
         )
     )
+
+
+# -- q_price_index -----------------------------------------------------
+#
+# Laspeyres price index per month (base-quantity-weighted price level
+# relative to the first month — the classic inflation/price-tracking
+# aggregate): index_m = Σ_i p_im·q_ib / Σ_i p_ib·q_ib over parts
+# traded in both the base and current month. Scale shape: one fact
+# scan partial-aggregates to the (part, month) grid with exact
+# decimal Σprice/Σqty; the base-month slice joins back on the part
+# key (grid-sized), and the 1-row base-month marker broadcasts.
+# Determinism: the per-part unit price requires a division, so each
+# term (p_im·q_ib) is an identically-computed double CAST to
+# DECIMAL(18,6) before the fold — exact, order-independent sums (the
+# txt_word_entropy / JS-divergence convention) — and the final index
+# is one rounded division.
+
+PRICE_IDX_SQL = """
+WITH pm AS (
+  SELECT l_partkey AS pk, strftime(l_shipdate, '%Y-%m') AS m,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2))
+           AS e,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS q
+  FROM lineitem GROUP BY 1, 2
+), m0 AS (SELECT MIN(m) AS bm FROM pm),
+base AS (
+  SELECT pk, e AS eb, q AS qb FROM pm CROSS JOIN m0 WHERE m = bm
+), terms AS (
+  SELECT pm.m, 
+         CAST((CAST(pm.e AS DOUBLE) / CAST(pm.q AS DOUBLE))
+              * CAST(base.qb AS DOUBLE) AS DECIMAL(18,6)) AS cur,
+         CAST((CAST(base.eb AS DOUBLE) / CAST(base.qb AS DOUBLE))
+              * CAST(base.qb AS DOUBLE) AS DECIMAL(18,6)) AS bas
+  FROM pm JOIN base ON pm.pk = base.pk
+)
+SELECT m AS month, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       round(CAST(SUM(cur) AS DOUBLE) / CAST(SUM(bas) AS DOUBLE), 6)
+         AS laspeyres_idx
+FROM terms GROUP BY 1
+"""
+
+
+@query("q_price_index", oracle=PRICE_IDX_SQL)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    pm = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+    ).agg(
+        F.sum(dec("l_extendedprice")).cast("decimal(19,2)").alias("e"),
+        F.sum(dec("l_quantity")).cast("decimal(19,2)").alias("q"),
+    )
+    m0 = pm.agg(F.min("m").alias("bm"))
+    base = (
+        pm.join(F.broadcast(m0), pm.m == F.col("bm"))
+        .select(F.col("pk").alias("bpk"), F.col("e").alias("eb"),
+                F.col("q").alias("qb"))
+    )
+    cur = (
+        (F.col("e").cast("double") / F.col("q").cast("double"))
+        * F.col("qb").cast("double")
+    ).cast("decimal(18,6)")
+    bas = (
+        (F.col("eb").cast("double") / F.col("qb").cast("double"))
+        * F.col("qb").cast("double")
+    ).cast("decimal(18,6)")
+    return (
+        pm.join(base, pm.pk == F.col("bpk"))
+        .select("m", cur.alias("cur"), bas.alias("bas"))
+        .groupBy(F.col("m").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum("cur").cast("double") / F.sum("bas").cast("double"), 6
+            ).alias("laspeyres_idx"),
+        )
+    )

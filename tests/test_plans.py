@@ -815,3 +815,14 @@ def test_dau_mau_plan_shape(spark):
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
     assert "partial_count" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_price_index_plan_shape(spark):
+    """Laspeyres index: the fact stream partial-aggregates straight
+    to the (part,month) grid; the 1-row base-month marker broadcasts;
+    the base slice joins the grid on the part key — no window, no
+    cartesian."""
+    plan = E.plan_string(QUERIES["q_price_index"](spark, SF_DIR), "formatted")
+    assert "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
