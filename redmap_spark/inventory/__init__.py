@@ -69,7 +69,7 @@ _WINDOW_FIRST = [
     "sim_mips_topk", "q_mad_outliers", "q_fd_audit", "txt_blocklist",
     "txt_collocations", "mr_kcore", "q_survival_km", "q_rolling_actives",
     "q_hhi", "txt_js_divergence", "q_kmv_distinct", "txt_corpus_report",
-    "q_dau_mau", "q_price_index",
+    "q_dau_mau", "q_price_index", "q_runs_test",
 ]
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

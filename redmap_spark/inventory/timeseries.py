@@ -752,3 +752,97 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- q_runs_test -------------------------------------------------------
+#
+# Wald–Wolfowitz runs test per series: is daily revenue randomly
+# scattered around its median, or does it trend/cluster? (The
+# randomness diagnostic behind the ACF — too few runs = persistence,
+# too many = oscillation.) Days equal to the median are excluded per
+# the standard test. Scale shape: everything runs on the collapsed
+# |event_type × day| grid — exact-percentile median broadcast back,
+# one lag window per type for the run count, integer n/n1/n2/R.
+# Determinism: counts are exact integers; μ, σ and z use identical
+# double expression shapes on both engines with a single round(…,6);
+# one-sided series (n1·n2 = 0) yield NULL z on both engines.
+
+RUNS_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+med AS (
+  SELECT event_type,
+         round(quantile_cont(CAST(rev AS DOUBLE), 0.5), 2) AS med
+  FROM daily GROUP BY 1
+), s AS (
+  SELECT daily.event_type, day,
+         CASE WHEN CAST(rev AS DOUBLE) > med THEN 1
+              WHEN CAST(rev AS DOUBLE) < med THEN 0 END AS sgn
+  FROM daily JOIN med ON daily.event_type = med.event_type
+  WHERE CAST(rev AS DOUBLE) != med
+), r AS (
+  SELECT event_type, sgn,
+         CASE WHEN LAG(sgn) OVER (PARTITION BY event_type ORDER BY day)
+                   IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS brk
+  FROM s
+), agg AS (
+  SELECT event_type,
+         CAST(SUM(brk) AS BIGINT) AS runs,
+         CAST(SUM(sgn) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(sgn) AS BIGINT) AS n2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM r GROUP BY 1
+)
+SELECT event_type, runs, n1, n2,
+       CASE WHEN n1 * n2 > 0 AND n > 1 THEN
+         round((runs - (1 + 2.0 * n1 * n2 / n))
+               / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                      / (1.0 * n * n * (n - 1))), 6)
+       END AS z
+FROM agg
+"""
+
+
+@query("q_runs_test", oracle=RUNS_SQL)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    med = daily.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("rev").cast("double"), F.lit(0.5)), 2)
+        .alias("med")
+    )
+    rev_d = F.col("rev").cast("double")
+    s = (
+        daily.join(F.broadcast(med), "event_type")
+        .filter(rev_d != F.col("med"))
+        .select(
+            "event_type",
+            "day",
+            F.when(rev_d > F.col("med"), F.lit(1))
+            .when(rev_d < F.col("med"), F.lit(0))
+            .alias("sgn"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    # first row: LAG is NULL, IS DISTINCT FROM sgn → counts as a break,
+    # so SUM(brk) directly equals the run count (no +1 needed)
+    r = s.select(
+        "event_type",
+        "sgn",
+        F.when(
+            ~F.lag("sgn").over(w).eqNullSafe(F.col("sgn")), F.lit(1)
+        ).otherwise(F.lit(0)).alias("brk"),
+    )
+    agg = r.groupBy("event_type").agg(
+        F.sum("brk").cast("bigint").alias("runs"),
+        F.sum("sgn").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    n, n1, n2, runs = (F.col(c) for c in ("n", "n1", "n2", "runs"))
+    mu = 1 + 2.0 * n1 * n2 / n
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (1.0 * n * n * (n - 1))
+    return agg.select(
+        "event_type", "runs", "n1", "n2",
+        F.when(
+            (n1 * n2 > 0) & (n > 1), F.round((runs - mu) / F.sqrt(var), 6)
+        ).alias("z"),
+    )

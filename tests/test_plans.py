@@ -826,3 +826,13 @@ def test_price_index_plan_shape(spark):
     assert "partial_sum" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_runs_test_plan_shape(spark):
+    """Runs test: the median broadcast and the lag window both run
+    over the collapsed daily grid (partial aggregation below), never
+    the raw stream; no cartesian."""
+    plan = E.plan_string(QUERIES["q_runs_test"](spark, SF_DIR), "formatted")
+    assert "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
