@@ -29,38 +29,19 @@ from redmap_spark.inventory import mlstats  # noqa: F401
 from redmap_spark.inventory import graph  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
-# (rows+schema+value-hash vs DuckDB). Rounds 1–4 drove 88 of the oracle
-# entries green; this round-5 rotation packs ALL 50 slots with entries
-# that have no driver-green row yet (13 missed by the rounds-1-4
-# windows + the round-5 additions). Round 5 grew the oracle surface
-# past 13+round-5 = 50, so the tail of this list (51+) overflows out of
-# the window harmlessly and queues for the round-6 rotation — the
-# rotation test asserts no slot is wasted on an already-verified entry
-# while any unverified one waits. Already-verified entries (mr_cogroup,
-# the r1 relational/analytic breadth, the trivial set ops) stay covered
-# by tests/test_oracle.py every session.
+# (rows+schema+value-hash vs DuckDB). Rounds 1–5 drove 138 of the 167
+# oracle entries green; this round-6 rotation packs the window with the
+# 29 entries that have never had a driver-green row (the round-5
+# overflow queue: late time-series/stats block, graph algorithms, the
+# portable sketch twins) plus 21 of the stalest round-1 greens as
+# freshness re-checks. Once CORRECTNESS_r06 lands, the cross-round
+# union covers all 167 oracle entries. New round-6 entries append below
+# the 29 so they verify in the same window where slots allow; overflow
+# queues for round 7 (the rotation test allows unverified entries
+# beyond slot 50 only when the window itself is fully packed with
+# unverified ones).
 _WINDOW_FIRST = [
-    # -- never driver-verified (rounds 1-4 windows missed them) --------
-    "q_set_ops", "q11_important_stock", "q15_top_supplier",
-    "q_scd2_intervals", "q_change_feed", "q_quantile_bins",
-    "q_sliding_window", "q_event_transitions", "q_fuzzy_match",
-    "q_attribution", "q_audience_overlap", "q_data_quality",
-    "txt_temperature_sample",
-    # -- new in round 5 ------------------------------------------------
-    "dedup_spans", "txt_quality_model", "txt_rank_fusion", "sim_outliers",
-    "txt_tokens_bpe", "q_weighted_sample", "mr_pagerank",
-    "dedup_incremental", "mr_join", "q_salted_join",
-    "q_mode_per_group", "q_decile_lift", "q_interval_sweep", "q_skyline",
-    "mr_total_sort", "mr_connected_components",
-    "txt_word_entropy", "txt_normalize", "q_cms_sketch",
-    "q_rfm_features", "q_stratified_sample", "q_winsorize",
-    "q_streaks", "q_event_paths", "q_time_weighted_avg", "q_ab_test",
-    "q_market_basket", "q_funnel_latency", "q_entity_survivorship",
-    "q_cohort_ltv",
-    # -- new in round 5, fourth session (timeseries + mlstats) ---------
-    "q_ewma", "q_lag_features", "q_bollinger_flags", "q_changepoint",
-    "q_regression", "q_corr_matrix", "q_cumulative_distinct",
-    # slot 51+: overflow queue for the round-6 window
+    # -- never driver-verified (round-5 overflow queue) ----------------
     "q_benford", "mr_triangles", "dedup_simhash_portable",
     "dedup_minhash_portable", "q_purchase_intervals", "txt_zipf",
     "txt_source_mix", "q_calendar_heatmap",
@@ -70,6 +51,13 @@ _WINDOW_FIRST = [
     "txt_collocations", "mr_kcore", "q_survival_km", "q_rolling_actives",
     "q_hhi", "txt_js_divergence", "q_kmv_distinct", "txt_corpus_report",
     "q_dau_mau", "q_price_index", "q_runs_test",
+    # -- stalest round-1 greens (freshness re-checks) ------------------
+    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
+    "q4_order_priority", "q5_local_volume", "q8_market_share",
+    "q10_returned_items", "q_top_suppliers", "q_avg_acctbal_subquery",
+    "q_semi_join", "q_anti_join", "q_distinct", "q_union",
+    "q_window_running", "q_topk_per_group", "q_rollup", "q_cube",
+    "q_pivot", "q_histogram", "q_json_extract", "q_sessionize",
 ]
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}
