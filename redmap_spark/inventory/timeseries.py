@@ -793,7 +793,7 @@ med AS (
   FROM r GROUP BY 1
 )
 SELECT event_type, runs, n1, n2,
-       CASE WHEN n1 * n2 > 0 AND n > 1 THEN
+       CASE WHEN n1 * n2 > 0 AND n > 1 AND 2.0 * n1 * n2 > n THEN
          round((runs - (1 + 2.0 * n1 * n2 / n))
                / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
                       / (1.0 * n * n * (n - 1))), 6)
@@ -842,7 +842,11 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (1.0 * n * n * (n - 1))
     return agg.select(
         "event_type", "runs", "n1", "n2",
+        # 2*n1*n2 > n keeps the variance strictly positive: at n1=n2=1
+        # (n=2) it is exactly 0 and Spark's non-ANSI /0 → NULL while
+        # DuckDB's IEEE /0 → inf would diverge from the oracle.
         F.when(
-            (n1 * n2 > 0) & (n > 1), F.round((runs - mu) / F.sqrt(var), 6)
+            (n1 * n2 > 0) & (n > 1) & (2.0 * n1 * n2 > n),
+            F.round((runs - mu) / F.sqrt(var), 6),
         ).alias("z"),
     )
