@@ -252,14 +252,18 @@ def sample_frames(df: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> Da
     row-expansion pattern — output batches need not align with input
     rows). REAL for animated GIFs: every ``every_n``-th frame is LZW-
     decoded and re-emitted as a valid single-frame GIF
-    (multimodal/gif.py). Other payloads keep the deterministic
-    chunk-cut stub (a video deployment slots ffmpeg keyframe
-    extraction into the same seam). Row expansion happens
+    (multimodal/gif.py). REAL for MJPEG streams (concatenated JPEGs):
+    a marker-walk splitter (multimodal/jpeg.py split_mjpeg) emits
+    every ``every_n``-th complete JPEG frame verbatim. Genuinely
+    unknown containers keep the deterministic chunk-cut stub (a video
+    deployment slots ffmpeg keyframe extraction into the same seam).
+    Row expansion happens
     executor-side with no shuffle and no driver round-trip, so a
     100 TB corpus fans out to frames at scan parallelism."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from redmap_spark.multimodal.gif import decode_gif_frames, encode_gif
+        from redmap_spark.multimodal.jpeg import split_mjpeg
 
         for pdf in batches:
             rows = []
@@ -271,6 +275,16 @@ def sample_frames(df: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> Da
                         idx, pal = gif_frames[i]
                         fp = encode_gif(idx, pal)
                         rows.append((int(doc_id), i, fp, hashlib.md5(fp).hexdigest()))
+                    continue
+                except ValueError:
+                    pass
+                try:
+                    jpeg_frames = split_mjpeg(raw)
+                    for i in range(0, len(jpeg_frames), every_n):
+                        fp = jpeg_frames[i]
+                        rows.append(
+                            (int(doc_id), i, fp, hashlib.md5(fp).hexdigest())
+                        )
                     continue
                 except ValueError:
                     pass

@@ -503,3 +503,73 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- mjpeg
+
+
+def _jpeg_frame_end(payload: bytes, start: int) -> int:
+    """Index just past the EOI of the JPEG frame starting at ``start``
+    (which must point at an SOI). Walks marker segments by their
+    declared lengths — header segments (DQT/DHT/APPn/COM) may contain
+    raw FF D9 bytes, so a naive EOI search is wrong — and scans
+    entropy-coded data using the stuffing rules (FF 00 = data byte,
+    FF D0–D7 = restart)."""
+    i, n = start + 2, len(payload)
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("expected marker in JPEG header stream")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI before any scan: header-only frame
+            return i + 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: bare
+            i += 2
+            continue
+        if i + 4 > n:
+            break
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        i += 2 + seglen
+        if marker != 0xDA:  # not SOS: next marker follows the segment
+            continue
+        # entropy-coded scan data: FF 00 stuffing, FF D0-D7 restarts;
+        # any other FF xx is a real marker (EOI, or DNL/next SOS for
+        # multi-scan streams — loop back to marker parsing for those)
+        while i + 1 < n:
+            if payload[i] != 0xFF or payload[i + 1] in (0x00,) or (
+                0xD0 <= payload[i + 1] <= 0xD7
+            ):
+                i += 1
+                continue
+            if payload[i + 1] == 0xD9:
+                return i + 2
+            break  # another marker segment (multi-scan); outer loop
+    raise ValueError("truncated JPEG frame")
+
+
+def split_mjpeg(payload: bytes) -> list[bytes]:
+    """Split a concatenated-JPEG (MJPEG-in-a-blob) stream into its
+    individual complete JPEG frames.
+
+    Frames are SOI..EOI spans found by a real marker walk
+    (``_jpeg_frame_end``); 0x00/0xFF fill bytes between frames (common
+    in hardware MJPEG) are skipped. Raises ValueError unless the
+    payload starts at an SOI and contains at least two complete frames
+    with nothing but padding between them — single JPEGs and arbitrary
+    binary blobs fall through to the caller's other codecs.
+    """
+    if len(payload) < 8 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not an MJPEG stream")
+    frames: list[bytes] = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        if payload[pos] in (0x00, 0xFF) and payload[pos : pos + 2] != b"\xff\xd8":
+            pos += 1  # inter-frame fill byte
+            continue
+        if payload[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError("garbage between MJPEG frames")
+        end = _jpeg_frame_end(payload, pos)
+        frames.append(payload[pos:end])
+        pos = end
+    if len(frames) < 2:
+        raise ValueError("single JPEG, not an MJPEG stream")
+    return frames

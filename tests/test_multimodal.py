@@ -348,3 +348,32 @@ def test_palette_entry_rows(spark):
     assert ((pdf["share"] > 0) & (pdf["share"] <= 1)).all()
     by_doc = pdf.sort_values(["doc_id", "rank"]).groupby("doc_id")["share"]
     assert by_doc.apply(lambda s: (s.diff().dropna() <= 1e-12).all()).all()
+
+
+def test_mjpeg_split_and_sample_frames(spark):
+    """MJPEG (concatenated-JPEG) payloads get REAL frame extraction:
+    split_mjpeg walks marker segments (an FF D9 inside a COM header
+    must not end the frame), and sample_frames emits every_n-th
+    complete JPEG verbatim, each decodable to the original pixels."""
+    import numpy as np
+
+    from redmap_spark.multimodal.columns import sample_frames
+    from redmap_spark.multimodal.jpeg import decode_jpeg, encode_jpeg, split_mjpeg
+
+    imgs = [
+        np.full((8, 8), 40 * (i + 1), dtype=np.uint8) for i in range(4)
+    ]
+    jpegs = [encode_jpeg(im) for im in imgs]
+    # embed a COM segment whose body is FF D9 in frame 0: a naive EOI
+    # search would truncate it
+    jpegs[0] = jpegs[0][:2] + b"\xff\xfe\x00\x04\xff\xd9" + jpegs[0][2:]
+    stream = jpegs[0] + b"\x00\x00" + jpegs[1] + jpegs[2] + jpegs[3]
+
+    assert split_mjpeg(stream) == jpegs
+
+    df = spark.createDataFrame([(1, bytearray(stream))], "doc_id long, payload binary")
+    out = {r.frame_idx: bytes(r.frame_payload) for r in sample_frames(df, every_n=2).collect()}
+    assert sorted(out) == [0, 2]
+    for idx, fp in out.items():
+        assert fp == jpegs[idx]
+        assert (decode_jpeg(fp) == imgs[idx]).all()
