@@ -12,7 +12,18 @@ own deterministic fallback (the §2.F contract).
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
+
+# The failure modes a corrupt/truncated payload can legitimately hit in
+# the repo codecs: explicit ValueError (incl. UnsupportedPng subclass),
+# struct.error on short header reads, zlib.error on bad IDAT deflate,
+# IndexError on truncated marker/block walks. Anything else (TypeError,
+# AttributeError, ...) is a codec BUG and must surface, not silently
+# degrade to the caller's fallback.
+_DECODE_ERRORS = (ValueError, struct.error, zlib.error, IndexError)
 
 
 def decode_pixel_array(payload: bytes) -> np.ndarray | None:
@@ -31,6 +42,6 @@ def decode_pixel_array(payload: bytes) -> np.ndarray | None:
 
             idx, pal = decode_gif_indexed(payload)
             return pal[idx]
-    except Exception:
+    except _DECODE_ERRORS:
         return None
     return None

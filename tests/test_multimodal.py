@@ -377,3 +377,26 @@ def test_mjpeg_split_and_sample_frames(spark):
     for idx, fp in out.items():
         assert fp == jpegs[idx]
         assert (decode_jpeg(fp) == imgs[idx]).all()
+
+
+def test_decode_dispatch_narrow_exceptions(monkeypatch):
+    """decode_pixel_array returns None only for legitimate corrupt-
+    payload errors; an injected codec BUG (TypeError) must raise, not
+    silently degrade to the fallback."""
+    import pytest
+
+    import redmap_spark.multimodal.jpeg as jpeg_mod
+    from redmap_spark.multimodal.decode import decode_pixel_array
+
+    # corrupt payloads of each magic → None, no raise
+    assert decode_pixel_array(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) is None
+    assert decode_pixel_array(b"\xff\xd8\xff\xe0trunc") is None
+    assert decode_pixel_array(b"GIF89a\x01") is None
+    assert decode_pixel_array(b"not media at all") is None
+
+    def buggy(_payload):
+        raise TypeError("injected codec bug")
+
+    monkeypatch.setattr(jpeg_mod, "decode_jpeg", buggy)
+    with pytest.raises(TypeError, match="injected codec bug"):
+        decode_pixel_array(b"\xff\xd8\xff\xe0trunc")
