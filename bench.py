@@ -47,63 +47,85 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     # Full-precision, full-name timings for humans/BASELINE.md upkeep.
     print(json.dumps({"full_queries": timings}, sort_keys=True))
-    # The driver stores only the LAST 2000 chars of stdout and json-parses
-    # from there, so the final line must carry ALL entries under that budget:
-    # family prefixes collapse to one letter (dedup_->d sim_->s txt_->t
-    # mm_->m mr_->r, q_-> ""), q<N>_xxx -> q<N>, the remainder truncates to
-    # 3 chars (collisions get a deterministic numeric suffix in sorted-name
-    # order), and values round to 1 decimal. The full-name line above is the
-    # human decoder ring; at ~168 entries this stays ≈1830 chars.
-    def build_compact(klen: int) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for k in sorted(timings):
-            k2 = re.sub(r"^q(\d+)_.*$", r"q\1", k)
-            pre, rest = "", k2
-            for p, r in [("dedup_", "d"), ("sim_", "s"), ("txt_", "t"),
-                         ("mm_", "m"), ("mr_", "r"), ("q_", "")]:
-                if k2.startswith(p):
-                    pre, rest = r, k2[len(p):]
-                    break
-            s = pre + rest[:klen]
-            i = 2
-            while s in out:
-                s = pre + rest[:klen - 1] + str(i)
-                i += 1
-            out[s] = round(timings[k], 1)
-        assert len(out) == len(timings), "short-key collision"
-        return out
+    print(compact_line(timings, total, sf))
 
-    compact = build_compact(3)
 
-    def envelope(q: dict) -> str:
-        return json.dumps({
+def _build_compact(timings: dict[str, float], klen: int) -> dict[str, float]:
+    """Short-key per-query dict: family prefixes collapse to one letter
+    (dedup_->d sim_->s txt_->t mm_->m mr_->r, q_-> ""), q<N>_xxx ->
+    q<N>, the remainder truncates to ``klen`` chars (collisions get a
+    deterministic numeric suffix in sorted-name order), values round
+    to 1 decimal. The full-name line is the human decoder ring."""
+    out: dict[str, float] = {}
+    for k in sorted(timings):
+        k2 = re.sub(r"^q(\d+)_.*$", r"q\1", k)
+        pre, rest = "", k2
+        for p, r in [("dedup_", "d"), ("sim_", "s"), ("txt_", "t"),
+                     ("mm_", "m"), ("mr_", "r"), ("q_", "")]:
+            if k2.startswith(p):
+                pre, rest = r, k2[len(p):]
+                break
+        s = pre + rest[:klen]
+        i = 2
+        while s in out:
+            s = pre + rest[:klen - 1] + str(i)
+            i += 1
+        out[s] = round(timings[k], 1)
+    assert len(out) == len(timings), "short-key collision"
+    return out
+
+
+def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
+    """The driver stores only the LAST 2000 chars of stdout and
+    json-parses from there, so the final line must fit 1900 chars.
+    Staged fallback instead of crashing the driver run: 3-char keys →
+    floor slow entries (≥10s) to whole seconds → floor everything ≥1s
+    → 2-char keys (1s floor re-applied) → finally keep only the N
+    slowest entries plus ``queries_omitted``/``queries_total``
+    counters, shrinking N until the line fits (coverage of every
+    entry then comes from the full-precision line alone)."""
+
+    def envelope(q: dict, extra: dict | None = None) -> str:
+        d = {
             "metric": "inventory_total_wall",
             "value": total,
             "unit": "sec",
             "queries": q,
             "sf": sf,
-        }, separators=(",", ":"), sort_keys=True)
+        }
+        if extra:
+            d.update(extra)
+        return json.dumps(d, separators=(",", ":"), sort_keys=True)
 
-    # Staged fallback instead of crashing the driver run: first floor
-    # slow entries (≥10s) to whole seconds, then everything ≥1s, then
-    # shrink keys to 2 chars (with the 1s floor re-applied). The
-    # full-precision line above still carries exact values; the
-    # compact line's job is driver-parseable coverage.
     def floored(q: dict, floor: int) -> dict:
         return {k: (int(round(v)) if v >= floor else v) for k, v in q.items()}
 
+    compact = _build_compact(timings, 3)
     line = envelope(compact)
     for fallback in (
         lambda: floored(compact, 10),
         lambda: floored(compact, 1),
-        lambda: floored(build_compact(2), 1),
+        lambda: floored(_build_compact(timings, 2), 1),
     ):
         if len(line) < 1900:
-            break
+            return line
         compact = fallback()
         line = envelope(compact)
-    assert len(line) < 1900, f"driver-tail budget exceeded: {len(line)}"
-    print(line)
+    if len(line) < 1900:
+        return line
+    # Last stage: N slowest only. Monotone in N, so walk down from the
+    # largest candidate until the envelope fits.
+    two_char = floored(_build_compact(timings, 2), 1)
+    by_slowest = sorted(two_char, key=lambda k: (-two_char[k], k))
+    for n in range(len(by_slowest), 0, -1):
+        kept = {k: two_char[k] for k in by_slowest[:n]}
+        line = envelope(kept, {
+            "queries_omitted": len(two_char) - n,
+            "queries_total": len(two_char),
+        })
+        if len(line) < 1900:
+            return line
+    raise AssertionError(f"driver-tail budget exceeded even at N=1: {len(line)}")
 
 
 if __name__ == "__main__":

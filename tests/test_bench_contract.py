@@ -47,3 +47,37 @@ def test_bench_line_contract():
     assert any(k.startswith("d") and len(k) in (3, 4) for k in shorts)
     assert any(k.startswith("t") and len(k) in (3, 4) for k in shorts)
     assert not any(re.match(r"^q\d+_", k) for k in shorts)
+
+
+def test_compact_line_survives_300_entries():
+    """The staged fallback must never exceed the 1900-char budget no
+    matter how far the inventory grows: at 300 synthetic entries the
+    N-slowest stage kicks in and reports what it dropped."""
+    sys.path.insert(0, str(REPO))
+    from bench import compact_line
+
+    timings = {f"q_synthetic_entry_{i:03d}": 0.5 + (i % 40) for i in range(300)}
+    total = round(sum(timings.values()), 4)
+    line = compact_line(timings, total, 0.1)
+    assert len(line) < 1900, len(line)
+    d = json.loads(line)
+    assert d["value"] == total
+    assert d["queries_total"] == 300
+    assert d["queries_omitted"] == 300 - len(d["queries"])
+    assert 0 < len(d["queries"]) < 300
+    # the kept entries are the slowest ones: min kept == N-th largest
+    # of the full floored value set
+    floored_vals = sorted(
+        (int(round(v)) if v >= 1 else v for v in timings.values()), reverse=True
+    )
+    assert min(d["queries"].values()) == floored_vals[len(d["queries"]) - 1]
+
+    # and the current real inventory still fits WITHOUT dropping any
+    from redmap_spark.inventory import QUERIES
+
+    real = {name: 1.0 + (i % 13) for i, name in enumerate(sorted(QUERIES))}
+    line2 = compact_line(real, round(sum(real.values()), 4), 0.1)
+    assert len(line2) < 1900
+    d2 = json.loads(line2)
+    assert "queries_omitted" not in d2
+    assert len(d2["queries"]) == len(QUERIES)
