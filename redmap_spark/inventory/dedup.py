@@ -48,6 +48,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(Catalog(spark, sf_dir).documents, k=3, threshold=0.5)
 
 
+DEDUP_JACCARD_CAPPED_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id1, id2, CAST(c AS DOUBLE) / (n1.n + n2.n - c) AS jaccard
+FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.5
+"""
+
+
+@query("dedup_jaccard_capped", oracle=DEDUP_JACCARD_CAPPED_SQL)
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production twin of dedup_ngram_jaccard: candidate
+    generation drops shingles whose doc frequency exceeds
+    max_shingle_df=20 (the 100 TB knob killing boilerplate hot
+    buckets — candidate cost is Σ df² so capping df bounds the
+    worst bucket at cap², while a ≥0.5-jaccard pair shares many
+    shingles and still meets on a rare one). Set sizes n1/n2 stay
+    uncapped, so scores only shift where common shingles were part
+    of the intersection. Same split as the portable/production hash
+    twins: the uncapped entry keeps exact oracle semantics, this one
+    proves the capped path end-to-end with its own oracle."""
+    return D.ngram_jaccard_pairs(
+        Catalog(spark, sf_dir).documents, k=3, threshold=0.5, max_shingle_df=20
+    )
+
+
 DEDUP_CONTAIN_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id,
