@@ -236,3 +236,116 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("kmv_estimate"),
     )
+
+
+# -- q_quantile_sketch -------------------------------------------------
+#
+# Mergeable rank-error-bounded quantile sketch, md5-PORTABLE like the
+# CMS/KMV twins. Design: per group keep the k=256 rows with the
+# smallest md5(event_id) — a bottom-k-by-hash sample, the classic
+# mergeable uniform row sample (merge = union, re-keep k smallest
+# hashes; associative and deterministic under any partitioning, the
+# property KLL buys with random compaction but loses bit-portability
+# over). Quantile estimate = order statistic of the sampled values at
+# rank ceil(q*m); rank error is O(1/sqrt(k)) whp. The exact
+# percentile_disc-style quantiles ride along so the report doubles as
+# an error dashboard, mirroring q_kmv_distinct. Shape: two windows
+# over (group, hash) and (group, value) — at 100 TB the sample pass
+# becomes per-partition k-min heaps merged associatively; the exact
+# pass is the dashboard-only luxury you drop in production.
+
+QSK_K = 256
+
+QSK_SQL = f"""
+WITH h AS (
+  SELECT event_type, value,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM h
+),
+sr AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS vrk,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM r WHERE rk <= {QSK_K}
+),
+est AS (
+  SELECT event_type,
+         MAX(CASE WHEN vrk = GREATEST(1, CAST(ceil(0.50 * m) AS BIGINT))
+                  THEN value END) AS p50_est,
+         MAX(CASE WHEN vrk = GREATEST(1, CAST(ceil(0.90 * m) AS BIGINT))
+                  THEN value END) AS p90_est,
+         MAX(CASE WHEN vrk = GREATEST(1, CAST(ceil(0.99 * m) AS BIGINT))
+                  THEN value END) AS p99_est
+  FROM sr GROUP BY event_type
+),
+er AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS vrk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+ex AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT) AS n_rows,
+         MAX(CASE WHEN vrk = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+                  THEN value END) AS p50_exact,
+         MAX(CASE WHEN vrk = GREATEST(1, CAST(ceil(0.90 * n) AS BIGINT))
+                  THEN value END) AS p90_exact,
+         MAX(CASE WHEN vrk = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT))
+                  THEN value END) AS p99_exact
+  FROM er GROUP BY event_type
+)
+SELECT ex.event_type, n_rows, CAST({QSK_K} AS BIGINT) AS k,
+       p50_est, p90_est, p99_est, p50_exact, p90_exact, p99_exact
+FROM ex JOIN est ON ex.event_type = est.event_type
+"""
+
+
+@query("q_quantile_sketch", oracle=QSK_SQL)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).events.select("event_id", "event_type", "value")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv")
+    )
+    h = e.select("event_type", "value", hv)
+    wg = Window.partitionBy("event_type")
+    samp = h.select(
+        "event_type", "value",
+        F.row_number().over(wg.orderBy("hv")).alias("rk"),
+    ).filter(F.col("rk") <= QSK_K)
+
+    def order_stats(df, n_col, prefix):
+        vrk = F.row_number().over(wg.orderBy("value"))
+        sized = df.select(
+            "event_type", "value",
+            vrk.alias("vrk"), F.count(F.lit(1)).over(wg).alias(n_col),
+        )
+        def at(q):
+            target = F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(F.lit(q) * F.col(n_col)).cast("bigint"),
+            )
+            return F.max(
+                F.when(F.col("vrk") == target, F.col("value"))
+            ).alias(f"p{int(q * 100)}_{prefix}")
+        return sized.groupBy("event_type").agg(
+            F.max(n_col).cast("bigint").alias(n_col),
+            at(0.50), at(0.90), at(0.99),
+        )
+
+    est = order_stats(samp, "m", "est").drop("m")
+    exact = order_stats(e, "n", "exact").withColumnRenamed("n", "n_rows")
+    return exact.join(est, "event_type").select(
+        "event_type", "n_rows", F.lit(QSK_K).cast("bigint").alias("k"),
+        "p50_est", "p90_est", "p99_est",
+        "p50_exact", "p90_exact", "p99_exact",
+    )

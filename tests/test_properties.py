@@ -656,3 +656,44 @@ def test_kmv_estimate_error_bound(spark):
         else:
             rel = abs(r.kmv_estimate - r.exact_distinct) / r.exact_distinct
             assert rel <= 4 / (KMV_K - 2) ** 0.5, (r.event_type, rel)
+
+
+def test_quantile_sketch_rank_error_and_merge(spark):
+    """Bottom-k-by-hash quantile sketch: every estimate's true rank
+    lands within 4σ + 1/k of the target quantile (σ = sqrt(q(1-q)/k)),
+    and the exact columns are real percentile_disc order stats.
+    (Merge-associativity under repartitioning is enforced by
+    test_determinism.py, which parametrizes over all ORACLES.)"""
+    from redmap_spark.inventory import QUERIES
+    from redmap_spark.inventory.sketches import QSK_K
+    from redmap_spark.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    rows = {r.event_type: r for r in QUERIES["q_quantile_sketch"](spark, SF_DIR).collect()}
+    vals = {
+        et: sorted(v.value for v in g)
+        for et, g in __import__("itertools").groupby(
+            sorted(
+                Catalog(spark, SF_DIR).events.select("event_type", "value").collect(),
+                key=lambda v: v.event_type,
+            ),
+            key=lambda v: v.event_type,
+        )
+    }
+    import bisect
+
+    for et, r in rows.items():
+        xs = vals[et]
+        n = len(xs)
+        assert r.n_rows == n
+        for q, est in ((0.5, r.p50_est), (0.9, r.p90_est), (0.99, r.p99_est)):
+            true_rank = bisect.bisect_right(xs, est) / n
+            sigma = (q * (1 - q) / QSK_K) ** 0.5
+            # 4σ sampling error + 1/k order-statistic discretization
+            assert abs(true_rank - q) <= 4 * sigma + 1.0 / QSK_K + 1.0 / n, (
+                et, q, true_rank,
+            )
+        # exact columns really are the percentile_disc order stats
+        import math
+        for q, ex in ((0.5, r.p50_exact), (0.9, r.p90_exact), (0.99, r.p99_exact)):
+            assert ex == xs[max(1, math.ceil(q * n)) - 1], (et, q)
