@@ -349,3 +349,271 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_est", "p90_est", "p99_est",
         "p50_exact", "p90_exact", "p99_exact",
     )
+
+
+# -- q_bloom_join ------------------------------------------------------
+#
+# Bloom-filter semi-join, md5-PORTABLE: the "hot customer" key set
+# (customers with an order over 350k) is folded into an m=16384-bit /
+# h=4-hash Bloom filter whose set-bit positions are
+# md5(key || ':' || j) mod m — a relational encoding of the bitmap so
+# DuckDB can verify membership bit-for-bit. Probing explodes each
+# candidate key to its 4 positions and broadcast-joins the (distinct,
+# ≤m-row) bit table; a key is a candidate iff all 4 rows match. The
+# exact semi-join rides along, so the per-nation report doubles as a
+# false-positive dashboard. Scale shape: at 100 TB the bit table
+# compacts to a 2 KiB broadcast bitarray (Spark's own runtime bloom
+# pushdown uses the same plan shape); the relational twin here keeps
+# the semantics hash-checkable.
+
+BLOOM_M = 16384
+BLOOM_H = 4
+
+BLOOM_SQL = f"""
+WITH hot AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 350000
+),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':' ||
+                              CAST(j AS VARCHAR)), 1, 15))::BIGINT
+           % {BLOOM_M} AS pos
+  FROM hot, range(1, {BLOOM_H} + 1) r(j)
+),
+probe AS (
+  SELECT c_custkey, c_nationkey,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':' ||
+                              CAST(j AS VARCHAR)), 1, 15))::BIGINT
+           % {BLOOM_M} AS pos
+  FROM customer, range(1, {BLOOM_H} + 1) r(j)
+),
+cand AS (
+  SELECT c_custkey, c_nationkey
+  FROM probe JOIN bits USING (pos)
+  GROUP BY 1, 2
+  HAVING COUNT(*) = {BLOOM_H}
+),
+truth AS (SELECT DISTINCT c_custkey FROM customer JOIN hot ON c_custkey = o_custkey),
+per_c AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CASE WHEN cand.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
+         CASE WHEN truth.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM customer c
+  LEFT JOIN cand ON cand.c_custkey = c.c_custkey
+  LEFT JOIN truth ON truth.c_custkey = c.c_custkey
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(is_cand) AS BIGINT) AS bloom_candidates,
+       CAST(SUM(is_true) AS BIGINT) AS true_members,
+       CAST(SUM(is_cand) - SUM(is_true) AS BIGINT) AS false_positives,
+       CASE WHEN COUNT(*) - SUM(is_true) > 0 THEN
+         round(CAST(SUM(is_cand) - SUM(is_true) AS DOUBLE)
+               / (COUNT(*) - SUM(is_true)), 6) ELSE 0.0 END AS fp_rate
+FROM per_c JOIN nation ON n_nationkey = c_nationkey
+GROUP BY 1
+"""
+
+
+def _bloom_pos(key, j):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(":"), j.cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint") % BLOOM_M
+    )
+
+
+@query("q_bloom_join", oracle=BLOOM_SQL)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    js = F.explode(F.sequence(F.lit(1), F.lit(BLOOM_H))).alias("j")
+    hot = (
+        c.orders.filter(F.col("o_totalprice") > 350000)
+        .select("o_custkey").distinct()
+    )
+    bits = (
+        hot.select("o_custkey", js)
+        .select(_bloom_pos(F.col("o_custkey"), F.col("j")).alias("pos"))
+        .distinct()
+    )
+    probe = c.customer.select("c_custkey", "c_nationkey", js).select(
+        "c_custkey", "c_nationkey",
+        _bloom_pos(F.col("c_custkey"), F.col("j")).alias("pos"),
+    )
+    cand = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == BLOOM_H)
+        .select("c_custkey", F.lit(1).alias("is_cand"))
+    )
+    truth = (
+        c.customer.join(hot, F.col("c_custkey") == F.col("o_custkey"), "semi")
+        .select("c_custkey", F.lit(1).alias("is_true"))
+    )
+    per_c = (
+        c.customer.select("c_custkey", "c_nationkey")
+        .join(cand, "c_custkey", "left")
+        .join(truth, "c_custkey", "left")
+        .fillna(0, ["is_cand", "is_true"])
+    )
+    n = c.nation.select("n_nationkey", "n_name")
+    fp = F.sum("is_cand") - F.sum("is_true")
+    tn = F.count(F.lit(1)) - F.sum("is_true")
+    return (
+        per_c.join(F.broadcast(n), per_c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("is_cand").cast("bigint").alias("bloom_candidates"),
+            F.sum("is_true").cast("bigint").alias("true_members"),
+            fp.cast("bigint").alias("false_positives"),
+            F.when(tn > 0, F.round(fp.cast("double") / tn, 6))
+            .otherwise(F.lit(0.0))
+            .alias("fp_rate"),
+        )
+    )
+
+
+# -- q_kmv_setops ------------------------------------------------------
+#
+# KMV set-operation estimates (the theta-sketch trick): for every
+# unordered pair of event types, the k=64 minimum md5 hashes of the
+# UNION of their user sets estimate |A ∪ B| as (k−1)/h_(k), and the
+# fraction of those k minima belonging to BOTH sets estimates the
+# Jaccard similarity, giving |A ∩ B| ≈ ρ · |A ∪ B| — set algebra on
+# mergeable sketches without rescanning facts. Exact union/intersection
+# ride along as the error dashboard. Shape: facts collapse to the
+# distinct (type, user) grid once; the pair fan-out is bounded by
+# |types|², and the rank window runs over the per-pair union grid.
+
+KMV_SETOPS_SQL = f"""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM t a JOIN t b ON a.event_type < b.event_type
+),
+pu AS (
+  SELECT p.type_a, p.type_b, u.user_id,
+         MAX(CASE WHEN u.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN u.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN u ON u.event_type IN (p.type_a, p.type_b)
+  GROUP BY 1, 2, 3
+),
+h AS (
+  SELECT type_a, type_b, in_a, in_b,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS hv
+  FROM pu
+),
+r AS (
+  SELECT type_a, type_b, in_a, in_b, hv,
+         ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rk,
+         COUNT(*) OVER (PARTITION BY type_a, type_b) AS n,
+         CAST(SUM(in_a * in_b) OVER (PARTITION BY type_a, type_b) AS BIGINT)
+           AS exact_inter
+  FROM h
+),
+kept AS (
+  SELECT * FROM r WHERE rk <= CASE WHEN n >= {KMV_K} THEN {KMV_K} ELSE n END
+),
+agg AS (
+  SELECT type_a, type_b,
+         CAST(MAX(n) AS BIGINT) AS exact_union,
+         MAX(exact_inter) AS exact_inter,
+         MAX(CASE WHEN rk = CASE WHEN n >= {KMV_K} THEN {KMV_K} ELSE n END
+                  THEN hv END) AS hk,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS both_k,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM kept GROUP BY 1, 2
+)
+SELECT type_a, type_b, exact_union, exact_inter,
+       CAST({KMV_K} AS BIGINT) AS k,
+       CASE WHEN exact_union >= {KMV_K}
+            THEN round(({KMV_K} - 1) / hk, 2)
+            ELSE CAST(exact_union AS DOUBLE) END AS union_est,
+       CASE WHEN exact_union >= {KMV_K}
+            THEN round((({KMV_K} - 1) / hk)
+                       * (CAST(both_k AS DOUBLE) / m), 2)
+            ELSE CAST(exact_inter AS DOUBLE) END AS inter_est
+FROM agg
+"""
+
+
+@query("q_kmv_setops", oracle=KMV_SETOPS_SQL)
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).events
+    u = e.select("event_type", "user_id").distinct()
+    t = e.select("event_type").distinct()
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b, F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    )
+    pu = (
+        u.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    hv = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        / F.lit(1152921504606846976.0)
+    )
+    w = Window.partitionBy("type_a", "type_b")
+    r = pu.select(
+        "type_a", "type_b", "in_a", "in_b", hv.alias("hv")
+    ).select(
+        "type_a", "type_b", "in_a", "in_b", "hv",
+        F.row_number().over(w.orderBy("hv")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("in_a") * F.col("in_b")).over(w).cast("bigint")
+        .alias("exact_inter"),
+    )
+    kth = F.when(F.col("n") >= KMV_K, F.lit(KMV_K)).otherwise(F.col("n"))
+    kept = r.filter(F.col("rk") <= kth)
+    agg = kept.groupBy("type_a", "type_b").agg(
+        F.max("n").cast("bigint").alias("exact_union"),
+        F.max("exact_inter").alias("exact_inter"),
+        F.max(F.when(F.col("rk") == kth, F.col("hv"))).alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("both_k"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    big = F.col("exact_union") >= KMV_K
+    return agg.select(
+        "type_a", "type_b", "exact_union", "exact_inter",
+        F.lit(KMV_K).cast("bigint").alias("k"),
+        F.when(big, F.round((KMV_K - 1) / F.col("hk"), 2))
+        .otherwise(F.col("exact_union").cast("double"))
+        .alias("union_est"),
+        F.when(
+            big,
+            F.round(
+                ((KMV_K - 1) / F.col("hk"))
+                * (F.col("both_k").cast("double") / F.col("m")),
+                2,
+            ),
+        )
+        .otherwise(F.col("exact_inter").cast("double"))
+        .alias("inter_est"),
+    )
