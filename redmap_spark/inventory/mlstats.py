@@ -707,3 +707,285 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("laspeyres_idx"),
         )
     )
+
+
+# -- q_ks_test ---------------------------------------------------------
+#
+# Two-sample Kolmogorov–Smirnov test per event type: weekday vs
+# weekend value distributions. D = max over distinct values of
+# |F_wd(x) − F_we(x)|; the CDFs are cumulative EXACT integer counts
+# divided once each (deterministic doubles), and MAX is
+# order-independent, so no FP-accumulation drift is possible. The
+# 95% rejection flag uses the asymptotic critical value
+# c(α)·sqrt((n1+n2)/(n1·n2)), c(0.05) = 1.358. Shape: the stream
+# collapses to the distinct (type, value) grid; one window sort per
+# type computes both CDFs.
+
+KS_SQL = """
+WITH s AS (
+  SELECT event_type, value,
+         CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS wk
+  FROM events
+),
+g AS (
+  SELECT event_type, value,
+         CAST(COUNT(*) - SUM(wk) AS BIGINT) AS c1r,
+         CAST(SUM(wk) AS BIGINT) AS c2r
+  FROM s GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type,
+         SUM(c1r) OVER (PARTITION BY event_type ORDER BY value) AS c1,
+         SUM(c2r) OVER (PARTITION BY event_type ORDER BY value) AS c2,
+         SUM(c1r) OVER (PARTITION BY event_type) AS n1,
+         SUM(c2r) OVER (PARTITION BY event_type) AS n2
+  FROM g
+)
+SELECT event_type,
+       CAST(MAX(n1) AS BIGINT) AS n_weekday,
+       CAST(MAX(n2) AS BIGINT) AS n_weekend,
+       round(MAX(abs(c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE))), 6)
+         AS ks_d,
+       CAST(CASE WHEN MAX(abs(c1 / CAST(n1 AS DOUBLE)
+                              - c2 / CAST(n2 AS DOUBLE)))
+                      > 1.358 * sqrt((MAX(n1) + MAX(n2))
+                                     / (CAST(MAX(n1) AS DOUBLE) * MAX(n2)))
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM c GROUP BY 1
+"""
+
+
+@query("q_ks_test", oracle=KS_SQL)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    # Spark dayofweek is 1=Sunday; ISO weekend (Sat/Sun) = {1, 7}
+    wk = F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0)
+    g = (
+        e.select("event_type", "value", wk.alias("wk"))
+        .groupBy("event_type", "value")
+        .agg(
+            (F.count(F.lit(1)) - F.sum("wk")).cast("bigint").alias("c1r"),
+            F.sum("wk").cast("bigint").alias("c2r"),
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("value")
+    c = g.select(
+        "event_type",
+        F.sum("c1r").over(wo).alias("c1"),
+        F.sum("c2r").over(wo).alias("c2"),
+        F.sum("c1r").over(wp).alias("n1"),
+        F.sum("c2r").over(wp).alias("n2"),
+    )
+    diff = F.abs(
+        F.col("c1") / F.col("n1").cast("double")
+        - F.col("c2") / F.col("n2").cast("double")
+    )
+    crit = 1.358 * F.sqrt(
+        (F.max("n1") + F.max("n2"))
+        / (F.max("n1").cast("double") * F.max("n2"))
+    )
+    return c.groupBy("event_type").agg(
+        F.max("n1").cast("bigint").alias("n_weekday"),
+        F.max("n2").cast("bigint").alias("n_weekend"),
+        F.round(F.max(diff), 6).alias("ks_d"),
+        F.when(F.max(diff) > crit, 1).otherwise(0).cast("bigint")
+        .alias("reject_95"),
+    )
+
+
+# -- q_chi2_independence -----------------------------------------------
+#
+# Chi-squared independence test: event_type × ISO day-of-week. Each
+# cell contribution is (o·n − rt·ct)² / (n·rt·ct) with the square in
+# exact DECIMAL(38,0) (BIGINT would overflow past ~3e9-row scales)
+# and the denominator an exact BIGINT, so every per-cell term is ONE
+# deterministic double division. The χ² total is the sum of the
+# per-cell terms rounded to 6 decimals and summed as exact
+# DECIMAL(18,6) — order-independent by construction (a raw double SUM
+# would drift with partition order; the ≤ncells·5e-7 rounding bias is
+# part of the statistic's definition here). Effect size reported as
+# Cramér's V. Shape: one scan to the |types × 7| grid; everything
+# after is grid-sized.
+
+CHI2_SQL = """
+WITH obs AS (
+  SELECT event_type, isodow(ts) AS dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, dow, o,
+         CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+         CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM obs
+),
+cells AS (
+  SELECT event_type, dow, o, rt, ct, n,
+         CAST(round(
+           CAST(CAST(o * n - rt * ct AS DECIMAL(19,0))
+                * CAST(o * n - rt * ct AS DECIMAL(19,0)) AS DOUBLE)
+           / CAST(n * rt * ct AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
+  FROM tot
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_dows,
+       CAST((COUNT(DISTINCT event_type) - 1)
+            * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+       CAST(SUM(contrib) AS DOUBLE) AS chi2,
+       round(sqrt(CAST(SUM(contrib) AS DOUBLE)
+                  / (MAX(n) * least(COUNT(DISTINCT event_type) - 1,
+                                    COUNT(DISTINCT dow) - 1))), 6)
+         AS cramers_v
+FROM cells
+"""
+
+
+@query("q_chi2_independence", oracle=CHI2_SQL)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    iso = F.when(F.dayofweek("ts") == 1, F.lit(7)).otherwise(
+        F.dayofweek("ts") - 1
+    )
+    obs = e.groupBy(
+        "event_type", iso.alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    tot = obs.select(
+        "event_type", "dow", "o",
+        F.sum("o").over(Window.partitionBy("event_type")).cast("bigint")
+        .alias("rt"),
+        F.sum("o").over(Window.partitionBy("dow")).cast("bigint").alias("ct"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).cast("bigint").alias("n"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast(
+        "decimal(19,0)"
+    )
+    contrib = F.round(
+        (num * num).cast("double")
+        / (F.col("n") * F.col("rt") * F.col("ct")).cast("double"),
+        6,
+    ).cast("decimal(18,6)")
+    cells = tot.withColumn("contrib", contrib)
+    chi2 = F.sum("contrib").cast("double")
+    r = F.countDistinct("event_type")
+    c = F.countDistinct("dow")
+    return cells.groupBy().agg(
+        F.max("n").cast("bigint").alias("n"),
+        r.cast("bigint").alias("n_types"),
+        c.cast("bigint").alias("n_dows"),
+        ((r - 1) * (c - 1)).cast("bigint").alias("dof"),
+        chi2.alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n") * F.least(r - 1, c - 1))), 6
+        ).alias("cramers_v"),
+    )
+
+
+# -- q_psi_drift -------------------------------------------------------
+#
+# Population Stability Index per event type: the value distribution of
+# the first half of January vs the second (the train-vs-serve drift
+# check every ML feature pipeline runs). 10 fixed-width bins
+# (width 10, top bin open-ended) with +1 Laplace smoothing so empty
+# bins stay defined; PSI = Σ (p − q)·ln(p/q) with per-bin terms
+# rounded to 6 and summed as exact DECIMAL(18,6) (order-independent,
+# same construction as q_chi2_independence). Shape: one scan to the
+# |types × 2 × 10| grid.
+
+PSI_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half,
+         least(9, CAST(floor(value / 10) AS BIGINT)) AS bin
+  FROM events
+),
+b AS (
+  SELECT event_type, half, bin, COUNT(*) AS c
+  FROM s GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT t.event_type, h.half, g.bin,
+         COALESCE(b.c, 0) + 1 AS c
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(0, 2)) AS half) h
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+  LEFT JOIN b ON b.event_type = t.event_type
+             AND b.half = h.half AND b.bin = g.bin
+),
+tots AS (
+  SELECT event_type, half, bin, c,
+         CAST(SUM(c) OVER (PARTITION BY event_type, half) AS BIGINT) AS tot
+  FROM grid
+),
+pq AS (
+  SELECT a.event_type, a.bin,
+         a.c / CAST(a.tot AS DOUBLE) AS p,
+         d.c / CAST(d.tot AS DOUBLE) AS q
+  FROM tots a JOIN tots d
+    ON a.event_type = d.event_type AND a.bin = d.bin
+   AND a.half = 0 AND d.half = 1
+),
+terms AS (
+  SELECT event_type,
+         CAST(round((p - q) * ln(p / q), 6) AS DECIMAL(18,6)) AS term
+  FROM pq
+)
+SELECT event_type, CAST(SUM(term) AS DOUBLE) AS psi,
+       CAST(CASE WHEN CAST(SUM(term) AS DOUBLE) > 0.2 THEN 1 ELSE 0 END
+            AS BIGINT) AS drifted
+FROM terms GROUP BY 1
+"""
+
+
+@query("q_psi_drift", oracle=PSI_SQL)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    s = e.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(F.lit(9), F.floor(F.col("value") / 10).cast("bigint"))
+        .alias("bin"),
+    )
+    b = s.groupBy("event_type", "half", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    t = e.select("event_type").distinct()
+    halves = spark.range(2).select(F.col("id").cast("int").alias("half"))
+    bins = spark.range(10).select(F.col("id").cast("bigint").alias("bin"))
+    grid = (
+        t.crossJoin(F.broadcast(halves))
+        .crossJoin(F.broadcast(bins))
+        .join(b, ["event_type", "half", "bin"], "left")
+        .select(
+            "event_type", "half", "bin",
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("c"),
+        )
+    )
+    tots = grid.select(
+        "event_type", "half", "bin", "c",
+        F.sum("c").over(Window.partitionBy("event_type", "half"))
+        .cast("bigint").alias("tot"),
+    )
+    a, d = tots.alias("a"), tots.alias("d")
+    pq = a.filter(F.col("a.half") == 0).join(
+        d.filter(F.col("d.half") == 1),
+        (F.col("a.event_type") == F.col("d.event_type"))
+        & (F.col("a.bin") == F.col("d.bin")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("a.c") / F.col("a.tot").cast("double")).alias("p"),
+        (F.col("d.c") / F.col("d.tot").cast("double")).alias("q"),
+    )
+    term = F.round(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
+    ).cast("decimal(18,6)")
+    psi = F.sum(term).cast("double")
+    return pq.groupBy("event_type").agg(
+        psi.alias("psi"),
+        F.when(psi > 0.2, 1).otherwise(0).cast("bigint").alias("drifted"),
+    )
