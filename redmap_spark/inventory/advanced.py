@@ -620,3 +620,78 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("latency_days")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# -- q_decile_transitions ----------------------------------------------
+#
+# Customer spend-decile migration matrix, 1996 → 1997: the rank-
+# mobility report behind churn/upsell dashboards (which decile did
+# last year's decile-1 customers land in?). Deciles are NTILE(10)
+# over exact-decimal yearly spend with custkey tie-break (the same
+# engine-deterministic cut as q_decile_lift); customers active in
+# only one of the two years appear as decile 0 on the missing side,
+# so the matrix is a complete flow. Shape: facts collapse to the
+# per-(customer, year) grid first; the ntile windows sort that grid,
+# and a production 100 TB variant swaps the global ntile for
+# percentile-boundary broadcast joins (the mr_total_sort trick).
+
+DECILE_TRANS_SQL = """
+WITH rev AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2
+),
+cut AS (
+  SELECT o_custkey, yr,
+         NTILE(10) OVER (PARTITION BY yr ORDER BY r DESC, o_custkey)
+           AS decile
+  FROM rev
+),
+flow AS (
+  SELECT COALESCE(a.o_custkey, b.o_custkey) AS ck,
+         COALESCE(a.decile, 0) AS d_prev,
+         COALESCE(b.decile, 0) AS d_curr
+  FROM (SELECT * FROM cut WHERE yr = 1996) a
+  FULL OUTER JOIN (SELECT * FROM cut WHERE yr = 1997) b
+    ON a.o_custkey = b.o_custkey
+)
+SELECT CAST(d_prev AS BIGINT) AS d_prev, CAST(d_curr AS BIGINT) AS d_curr,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM flow GROUP BY 1, 2
+"""
+
+
+@query("q_decile_transitions", oracle=DECILE_TRANS_SQL)
+def q_decile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    rev = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    cut = rev.select(
+        "o_custkey", "yr",
+        F.ntile(10)
+        .over(
+            Window.partitionBy("yr").orderBy(F.col("r").desc(), "o_custkey")
+        )
+        .alias("decile"),
+    )
+    a = cut.filter(F.col("yr") == 1996).select(
+        F.col("o_custkey").alias("ck_a"), F.col("decile").alias("da")
+    )
+    b = cut.filter(F.col("yr") == 1997).select(
+        F.col("o_custkey").alias("ck_b"), F.col("decile").alias("db")
+    )
+    flow = a.join(b, a.ck_a == b.ck_b, "full").select(
+        F.coalesce(F.col("da"), F.lit(0)).alias("d_prev"),
+        F.coalesce(F.col("db"), F.lit(0)).alias("d_curr"),
+    )
+    return flow.groupBy("d_prev", "d_curr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    ).select(
+        F.col("d_prev").cast("bigint").alias("d_prev"),
+        F.col("d_curr").cast("bigint").alias("d_curr"),
+        "n_customers",
+    )

@@ -162,3 +162,88 @@ def mr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((r, keep.count(), edges.count() // 2))
     return spark.createDataFrame(rows, "round long, n_nodes long, n_edges long")
+
+
+# -- mr_adamic_adar ----------------------------------------------------
+#
+# Adamic–Adar link prediction over the co-purchase graph (same edge
+# derivation as mr_triangles): for each non-adjacent pair, score
+# Σ_{w ∈ common neighbors} 1/ln(deg w) and report the top 20
+# predicted links. Hub centers with degree > 64 are EXCLUDED from
+# wedge generation — the standard hub-suppression cap (their 1/ln(d)
+# contribution is negligible while their deg² wedge cost is the whole
+# bill; the df-cap analog of dedup_jaccard_capped, and part of the
+# statistic's definition here so the oracle states it too). Per-center
+# terms are rounded to DECIMAL(18,6) before summing, so pair scores
+# are exact and order-independent; the top-20 cut breaks ties on
+# (u, v). Shape: wedges cost Σ_{deg≤64} deg² ≤ 64·2|E|; everything
+# else is grid-sized joins.
+
+AA_SQL = """
+WITH li AS (
+  SELECT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01'
+), pairs AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), adj AS (
+  SELECT u AS s, v AS t FROM pairs UNION ALL SELECT v, u FROM pairs
+), deg AS (
+  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1
+), ctr AS (
+  SELECT a.s AS w, a.t, deg.d
+  FROM adj a JOIN deg ON deg.node = a.s AND deg.d <= 64
+), wed AS (
+  SELECT a.t AS x, b.t AS y,
+         CAST(round(1.0 / ln(a.d), 6) AS DECIMAL(18,6)) AS term
+  FROM ctr a JOIN ctr b ON a.w = b.w AND a.t < b.t
+), sc AS (
+  SELECT x AS u, y AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(term) AS DOUBLE) AS aa
+  FROM wed GROUP BY 1, 2
+)
+SELECT sc.u, sc.v, sc.n_common, sc.aa
+FROM sc LEFT JOIN pairs ON pairs.u = sc.u AND pairs.v = sc.v
+WHERE pairs.u IS NULL
+ORDER BY sc.aa DESC, sc.u, sc.v
+LIMIT 20
+"""
+
+
+@query("mr_adamic_adar", oracle=AA_SQL)
+def mr_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators.analytics import copurchase_pairs
+
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.filter(F.col("l_shipdate") < "1995-07-01")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    pairs = copurchase_pairs(li).localCheckpoint()
+    adj = pairs.select(
+        F.col("u").alias("s"), F.col("v").alias("t")
+    ).unionAll(pairs.select(F.col("v").alias("s"), F.col("u").alias("t")))
+    deg = adj.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ctr = adj.join(
+        deg, (F.col("node") == F.col("s")) & (F.col("d") <= 64)
+    ).select(F.col("s").alias("w"), "t", "d")
+    a, b = ctr.alias("a"), ctr.alias("b")
+    wed = a.join(
+        b, (F.col("a.w") == F.col("b.w")) & (F.col("a.t") < F.col("b.t"))
+    ).select(
+        F.col("a.t").alias("x"),
+        F.col("b.t").alias("y"),
+        F.round(1.0 / F.log(F.col("a.d")), 6).cast("decimal(18,6)")
+        .alias("term"),
+    )
+    sc = wed.groupBy(F.col("x").alias("u"), F.col("y").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum("term").cast("double").alias("aa"),
+    )
+    nonedge = sc.join(pairs, ["u", "v"], "anti")
+    return nonedge.orderBy(
+        F.col("aa").desc(), "u", "v"
+    ).limit(20)

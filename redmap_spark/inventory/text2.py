@@ -603,3 +603,97 @@ def txt_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_doc_tokens"),
         )
     )
+
+
+# -- txt_readability ---------------------------------------------------
+#
+# Flesch reading-ease per document, rolled up per (lang, source) — the
+# readability gate a curriculum-ordered training mix sorts on.
+# Syllables are approximated as vowel-group runs ([aeiouy]+ on the
+# lowercased text, the standard cheap heuristic), sentences as
+# [.!?]+ runs (min 1), words by the repo's whitespace-token
+# convention. flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W), computed
+# in an identical expression shape on both engines and rounded to 4
+# per doc BEFORE aggregation; the rollup averages exact DECIMAL(18,4)
+# sums, left UNROUNDED (midpoint-free — see the inline note).
+# The hardest doc per bucket is argmin by (flesch, doc_id) —
+# unique-key tie-break. Shape: per-doc map work, one groupBy to the
+# |lang × source| grid, one window for the argmin.
+
+TXT_READ_SQL = """
+WITH per_doc AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS w,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, source, w, s, syl,
+         round(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+                       - 84.6 * (syl / CAST(w AS DOUBLE)), 4) AS flesch
+  FROM per_doc WHERE w > 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+                               ORDER BY flesch, doc_id) AS rk
+  FROM scored
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(flesch AS DECIMAL(18,4))) AS DOUBLE)
+         / COUNT(*) AS avg_flesch,
+       round(CAST(SUM(CASE WHEN flesch >= 60 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS pct_easy,
+       CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+         AS hardest_doc_id
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@query("txt_readability", oracle=TXT_READ_SQL)
+def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    per_doc = d.select(
+        "doc_id", "lang", "source",
+        F.size(F.split(F.col("text"), " ")).alias("w"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+        ).alias("s"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).alias("syl"),
+    )
+    scored = per_doc.filter(F.col("w") > 0).withColumn(
+        "flesch",
+        F.round(
+            206.835
+            - 1.015 * (F.col("w") / F.col("s").cast("double"))
+            - 84.6 * (F.col("syl") / F.col("w").cast("double")),
+            4,
+        ),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang", "source").orderBy("flesch", "doc_id")
+    )
+    ranked = scored.withColumn("rk", rk)
+    return ranked.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        # unrounded on purpose: exact-decimal sum → double cast + one
+        # IEEE division is bit-identical cross-engine, while round(,4)
+        # at a representable midpoint is not (Spark HALF_UP on
+        # shortest-repr vs DuckDB scale-and-round — hit here at
+        # 27.86285 during development)
+        (
+            F.sum(F.col("flesch").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_flesch"),
+        F.round(
+            F.sum(F.when(F.col("flesch") >= 60, 1).otherwise(0)).cast("bigint")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pct_easy"),
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).cast("bigint")
+        .alias("hardest_doc_id"),
+    )

@@ -850,3 +850,120 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((runs - mu) / F.sqrt(var), 6),
         ).alias("z"),
     )
+
+
+# -- q_cusum_control ---------------------------------------------------
+#
+# One-sided CUSUM control chart over daily revenue per event type —
+# the sequential monitoring twin of q_changepoint's retrospective
+# argmax: S_t = max(0, S_{t-1} + x_t − μ − κ) with allowance
+# κ = 0.5σ and decision interval h = 4σ. The recursive fold has the
+# closed form S_t = max(0, P_t − min(0, min_{j<t} P_j)) over the
+# prefix sums P of the allowance-adjusted deviations, so it runs as
+# two window passes — no iterative state. Determinism: deviations,
+# prefix sums and running minima are EXACT DECIMAL end-to-end (μ and
+# κ are rounded to 2 decimals before subtraction); σ comes from exact
+# decimal moments with one sqrt. Shape: everything after the daily
+# collapse is |types × days|-grid sized.
+
+CUSUM_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+mom AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(rev) AS DECIMAL(38,2)) AS sx,
+         CAST(SUM(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(19,2)))
+              AS DECIMAL(38,4)) AS sxx
+  FROM daily GROUP BY 1
+),
+params AS (
+  SELECT event_type, n,
+         CAST(round(CAST(sx AS DOUBLE) / n, 2) AS DECIMAL(18,2)) AS mu,
+         CAST(round(0.5 * sqrt((n * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * n)), 2)
+              AS DECIMAL(18,2)) AS kappa,
+         CAST(round(4.0 * sqrt((n * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * n)), 2)
+              AS DECIMAL(18,2)) AS h
+  FROM mom
+),
+dev AS (
+  SELECT d.event_type, d.day, p.h,
+         CAST(d.rev AS DECIMAL(19,2)) - p.mu - p.kappa AS dv
+  FROM daily d JOIN params p ON d.event_type = p.event_type
+),
+pre AS (
+  SELECT event_type, day, h,
+         SUM(dv) OVER (PARTITION BY event_type ORDER BY day) AS pt
+  FROM dev
+),
+st AS (
+  SELECT event_type, day, h, pt,
+         COALESCE(MIN(pt) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING),
+                  CAST(0 AS DECIMAL(38,2))) AS mp
+  FROM pre
+),
+-- DuckDB least/greatest degrade DECIMAL to DOUBLE, so the clamps are
+-- CASE expressions to keep the arithmetic exact end-to-end
+sp AS (
+  SELECT event_type, day, h,
+         pt - (CASE WHEN mp < 0 THEN mp ELSE CAST(0 AS DECIMAL(38,2)) END)
+           AS raw
+  FROM st
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(CASE WHEN raw > 0 THEN raw
+                 ELSE CAST(0 AS DECIMAL(38,2)) END AS DOUBLE) AS s_plus,
+       CAST(CASE WHEN (CASE WHEN raw > 0 THEN raw
+                            ELSE CAST(0 AS DECIMAL(38,2)) END) > h
+                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM sp
+"""
+
+
+@query("q_cusum_control", oracle=CUSUM_SQL)
+def q_cusum_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("decimal(38,2)").alias("sx"),
+        F.sum(
+            F.col("rev").cast("decimal(19,2)") * F.col("rev").cast("decimal(19,2)")
+        ).cast("decimal(38,4)").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sigma = F.sqrt((n * sxx - sx * sx) / (n.cast("double") * n))
+    params = mom.select(
+        "event_type", "n",
+        F.round(sx / n, 2).cast("decimal(18,2)").alias("mu"),
+        F.round(0.5 * sigma, 2).cast("decimal(18,2)").alias("kappa"),
+        F.round(4.0 * sigma, 2).cast("decimal(18,2)").alias("h"),
+    )
+    dev = daily.join(params, "event_type").select(
+        "event_type", "day", "h",
+        (
+            F.col("rev").cast("decimal(19,2)") - F.col("mu") - F.col("kappa")
+        ).alias("dv"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    pre = dev.select(
+        "event_type", "day", "h", F.sum("dv").over(wo).alias("pt")
+    )
+    zero = F.lit(0).cast("decimal(38,2)")
+    mp = F.coalesce(
+        F.min("pt").over(wo.rowsBetween(Window.unboundedPreceding, -1)), zero
+    )
+    st = pre.select("event_type", "day", "h", "pt", mp.alias("mp"))
+    raw = F.col("pt") - F.when(F.col("mp") < 0, F.col("mp")).otherwise(zero)
+    s_plus = F.when(raw > 0, raw).otherwise(zero)
+    return st.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        s_plus.cast("double").alias("s_plus"),
+        F.when(s_plus > F.col("h"), 1).otherwise(0).cast("bigint")
+        .alias("alarm"),
+    )
