@@ -80,10 +80,12 @@ def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
     json-parses from there, so the final line must fit 1900 chars.
     Staged fallback instead of crashing the driver run: 3-char keys →
     floor slow entries (≥10s) to whole seconds → floor everything ≥1s
-    → 2-char keys (1s floor re-applied) → finally keep only the N
-    slowest entries plus ``queries_omitted``/``queries_total``
-    counters, shrinking N until the line fits (coverage of every
-    entry then comes from the full-precision line alone)."""
+    → 2-char keys (1s floor re-applied) → floor EVERY value to whole
+    seconds (sub-second entries become 0 — full precision stays on
+    the full_queries line) → finally keep only the N slowest entries
+    plus ``queries_omitted``/``queries_total`` counters, shrinking N
+    until the line fits (coverage of every entry then comes from the
+    full-precision line alone)."""
 
     def envelope(q: dict, extra: dict | None = None) -> str:
         d = {
@@ -106,6 +108,7 @@ def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
         lambda: floored(compact, 10),
         lambda: floored(compact, 1),
         lambda: floored(_build_compact(timings, 2), 1),
+        lambda: floored(_build_compact(timings, 2), 0),
     ):
         if len(line) < 1900:
             return line
@@ -115,7 +118,7 @@ def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
         return line
     # Last stage: N slowest only. Monotone in N, so walk down from the
     # largest candidate until the envelope fits.
-    two_char = floored(_build_compact(timings, 2), 1)
+    two_char = floored(_build_compact(timings, 2), 0)
     by_slowest = sorted(two_char, key=lambda k: (-two_char[k], k))
     for n in range(len(by_slowest), 0, -1):
         kept = {k: two_char[k] for k in by_slowest[:n]}

@@ -55,12 +55,11 @@ _WINDOW_FIRST = [
     "dedup_jaccard_capped", "q_quantile_sketch", "q_bloom_join",
     "q_kmv_setops", "q_ks_test", "q_chi2_independence", "q_psi_drift",
     "q_cusum_control", "txt_readability", "q_decile_transitions",
-    "mr_adamic_adar",
+    "mr_adamic_adar", "mr_degree_dist", "txt_heaps_law", "txt_novelty",
+    "txt_langid_eval",
     # -- stalest round-1 greens (freshness re-checks) ------------------
     "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
     "q4_order_priority", "q5_local_volume", "q8_market_share",
-    "q10_returned_items", "q_top_suppliers", "q_avg_acctbal_subquery",
-    "q_semi_join",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

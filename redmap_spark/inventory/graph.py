@@ -247,3 +247,86 @@ def mr_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nonedge.orderBy(
         F.col("aa").desc(), "u", "v"
     ).limit(20)
+
+
+# -- mr_degree_dist ----------------------------------------------------
+#
+# Degree distribution of the co-purchase graph plus a Hill estimator
+# for the power-law tail: α̂ = 1 + n_tail / Σ_{d ≥ dmin} ln(d/dmin)
+# (dmin = 5) — the standard heavy-tail diagnostic that decides
+# whether the skew mitigations (hub caps, salting) are needed at all.
+# Per-node ln terms are rounded to DECIMAL(18,9) before summing
+# (order-independent); the histogram and the 1-row tail fit join by
+# broadcast. Shape: one degree groupBy over the edge table, then
+# |distinct degrees|-sized work.
+
+DEGDIST_SQL = """
+WITH li AS (
+  SELECT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01'
+), pairs AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs) e
+  GROUP BY 1
+), hist AS (
+  SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY 1
+), fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+         CAST(SUM(CAST(round(ln(d / 2.0), 9) AS DECIMAL(18,9)))
+              AS DOUBLE) AS lsum
+  FROM deg WHERE d >= 2
+)
+SELECT degree, n_nodes,
+       round(n_nodes / CAST((SELECT SUM(n_nodes) FROM hist) AS DOUBLE), 6)
+         AS node_share,
+       CAST((SELECT n_tail FROM fit) AS BIGINT) AS n_tail,
+       CASE WHEN (SELECT lsum FROM fit) > 0 THEN
+         round(1.0 + (SELECT n_tail FROM fit)
+                     / (SELECT lsum FROM fit), 6) END AS alpha_hill
+FROM hist
+"""
+
+
+@query("mr_degree_dist", oracle=DEGDIST_SQL)
+def mr_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators.analytics import copurchase_pairs
+
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.filter(F.col("l_shipdate") < "1995-07-01")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    pairs = copurchase_pairs(li)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    fit = deg.filter(F.col("d") >= 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum(
+            F.round(F.log(F.col("d") / 2.0), 9).cast("decimal(18,9)")
+        ).cast("double").alias("lsum"),
+    )
+    total = hist.agg(F.sum("n_nodes").cast("double").alias("tot"))
+    return (
+        hist.join(F.broadcast(total))
+        .join(F.broadcast(fit))
+        .select(
+            "degree", "n_nodes",
+            F.round(F.col("n_nodes") / F.col("tot"), 6).alias("node_share"),
+            "n_tail",
+            F.when(
+                F.col("lsum") > 0,
+                F.round(1.0 + F.col("n_tail") / F.col("lsum"), 6),
+            ).alias("alpha_hill"),
+        )
+    )

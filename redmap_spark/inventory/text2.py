@@ -697,3 +697,211 @@ def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).cast("bigint")
         .alias("hardest_doc_id"),
     )
+
+
+# -- txt_heaps_law -----------------------------------------------------
+#
+# Heaps'-law vocabulary growth per source: each source contributes a
+# (ln n_tokens, ln n_types) point and the corpus-level OLS fit of
+# log V = log K + β log N estimates the growth exponent β — the
+# diagnostic that says how much *new* vocabulary further crawling
+# buys. The fit follows q_regression's exact-moment recipe with ln
+# terms rounded to DECIMAL(18,9) (order-independent sums over the
+# |sources| grid); β and K are single double divisions. Shape: one
+# token groupBy to the (source, term) grid, a |sources|-row fit,
+# broadcast back onto the per-source rows.
+
+HEAPS_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types
+  FROM toks GROUP BY 1
+),
+pts AS (
+  SELECT source, n_tokens, n_types,
+         CAST(round(ln(n_tokens), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(n_types), 9) AS DECIMAL(18,9)) AS y
+  FROM per_src
+),
+fit AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT source, n_tokens, n_types,
+       round((SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) FROM fit), 6)
+         AS beta,
+       round((SELECT exp((sy - ((n * sxy - sx * sy)
+                                / (n * sxx - sx * sx)) * sx) / n)
+              FROM fit), 4) AS k
+FROM pts
+"""
+
+
+@query("txt_heaps_law", oracle=HEAPS_SQL)
+def txt_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("term").cast("bigint").alias("n_types"),
+    )
+    pts = per_src.select(
+        "source", "n_tokens", "n_types",
+        F.round(F.log("n_tokens"), 9).cast("decimal(18,9)").alias("x"),
+        F.round(F.log("n_types"), 9).cast("decimal(18,9)").alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pts.join(F.broadcast(fit)).select(
+        "source", "n_tokens", "n_types",
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp((sy - beta * sx) / n), 4).alias("k"),
+    )
+
+
+# -- txt_novelty -------------------------------------------------------
+#
+# Corpus novelty-decay curve: for each doc-id decile (ingestion-order
+# bucket), the share of its distinct 3-gram shingles seen for the
+# FIRST time in that doc — the curve that tells a crawl pipeline when
+# additional data stops contributing new content (the aggregate view
+# of what incremental dedup enforces pairwise). First occurrence is
+# min(doc_id) per shingle (deterministic); shares are exact-count
+# double divisions rounded to 6. Shape: one shingle groupBy (cost =
+# token stream), then bucket-grid work.
+
+NOVELTY_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT sh.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM sh JOIN firsts f ON f.s = sh.s
+  GROUP BY 1
+),
+mx AS (SELECT MAX(doc_id) AS m FROM documents)
+SELECT CAST(least(9, floor(doc_id * 10.0 / ((SELECT m FROM mx) + 1)))
+            AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       round(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_shingles), 6)
+         AS novelty
+FROM per_doc GROUP BY 1
+"""
+
+
+@query("txt_novelty", oracle=NOVELTY_SQL)
+def txt_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    t = F.split(F.col("text"), " ")
+    toks = d.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3), "
+                "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+            )
+        ).alias("s"),
+    ).distinct()
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+    mx = d.agg(F.max("doc_id").alias("m"))
+    # explicit floor: DuckDB's double→bigint CAST rounds to nearest
+    # while Spark's truncates, so the bucket cut must not rely on it
+    bucket = F.least(
+        F.lit(9).cast("bigint"),
+        F.floor(F.col("doc_id") * 10.0 / (F.col("m") + 1)).cast("bigint"),
+    ).cast("bigint")
+    return (
+        per_doc.join(F.broadcast(mx))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_shingles").cast("bigint").alias("n_shingles"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum("n_novel").cast("double") / F.sum("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+# -- txt_langid_eval ---------------------------------------------------
+#
+# Language-ID confusion matrix: the stopword-marker classifier
+# (txt_langid) evaluated against the corpus's labeled ``lang`` column
+# — per (true, predicted) cell counts and the share of the true
+# class, i.e. the per-language recall diagonal. The oracle restates
+# the classifier inline (same CASE chain as TXT_LANGID_SQL), so the
+# evaluation is hash-checked end-to-end. Shape: map-side classify,
+# one groupBy to the |langs|² grid.
+
+from redmap_spark.inventory.text import TXT_LANGID_SQL as _LANGID_SQL  # noqa: E402
+
+LANGID_EVAL_SQL = f"""
+WITH pred AS ({_LANGID_SQL}),
+cells AS (
+  SELECT d.lang AS lang_true, p.lang_pred,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+)
+SELECT lang_true, lang_pred, n_docs,
+       round(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang_true)
+                           AS DOUBLE), 6) AS share_of_true
+FROM cells
+"""
+
+
+@query("txt_langid_eval", oracle=LANGID_EVAL_SQL)
+def txt_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators import textstats as T
+
+    d = Catalog(spark, sf_dir).documents
+    cells = (
+        d.select(F.col("lang").alias("lang_true"), T.langid("text").alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = Window.partitionBy("lang_true")
+    return cells.select(
+        "lang_true", "lang_pred", "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(tot).cast("double"), 6
+        ).alias("share_of_true"),
+    )

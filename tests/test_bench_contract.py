@@ -36,8 +36,13 @@ def test_bench_line_contract():
     from redmap_spark.inventory import QUERIES
 
     assert set(full) == set(QUERIES)
-    # every entry survives key compression into the final line
-    assert len(d["queries"]) == len(QUERIES)
+    # every entry survives key compression into the final line, unless
+    # the envelope explicitly declares what the N-slowest stage dropped
+    if "queries_omitted" in d:
+        assert d["queries_total"] == len(QUERIES)
+        assert len(d["queries"]) + d["queries_omitted"] == len(QUERIES)
+    else:
+        assert len(d["queries"]) == len(QUERIES)
     # and the documented prefix scheme holds (spot checks). Key width
     # depends on which fallback stage fit the budget: prefix+3 chars
     # normally, prefix+2 once the inventory outgrows the 3-char stage
