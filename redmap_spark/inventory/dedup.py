@@ -320,3 +320,60 @@ FROM sh GROUP BY doc_id
 @query("dedup_minhash_portable", oracle=DEDUP_MINHASH_PORT_SQL)
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_portable(Catalog(spark, sf_dir).documents)
+
+
+DEDUP_SAVINGS_SQL = f"""
+WITH classes AS (
+  SELECT md5({NORM}) AS fp,
+         CAST(COUNT(*) AS BIGINT) AS n_copies,
+         CAST(SUM(n_chars) AS BIGINT) AS class_chars,
+         CAST(MIN(n_chars) AS BIGINT) AS kept_chars
+  FROM documents GROUP BY 1
+)
+SELECT n_copies AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       CAST(SUM(class_chars - kept_chars) AS BIGINT) AS chars_saved,
+       round(CAST(SUM(class_chars - kept_chars) AS DOUBLE)
+             / (SELECT SUM(class_chars) FROM classes), 6)
+         AS corpus_share_saved
+FROM classes GROUP BY 1
+"""
+
+
+@query("dedup_savings", oracle=DEDUP_SAVINGS_SQL)
+def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report: cluster-size histogram of the exact-dedup
+    classes plus the chars a keep-one-representative policy deletes —
+    the capacity-planning number a 100 TB pipeline computes BEFORE
+    committing to a dedup pass (storage saved vs dedup cost). One
+    md5-groupBy (map-side partial) then |distinct cluster sizes|-sized
+    work; the corpus total is a 1-row broadcast."""
+    from pyspark.sql import functions as F
+
+    d = Catalog(spark, sf_dir).documents
+    classes = (
+        d.select(D.fingerprint("text").alias("fp"), "n_chars")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.sum("n_chars").cast("bigint").alias("class_chars"),
+            F.min("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+    tot = classes.agg(F.sum("class_chars").cast("double").alias("tot"))
+    return (
+        classes.groupBy(F.col("n_copies").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_copies").cast("bigint").alias("n_docs"),
+            F.sum(F.col("class_chars") - F.col("kept_chars"))
+            .cast("bigint").alias("chars_saved"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "cluster_size", "n_clusters", "n_docs", "chars_saved",
+            F.round(F.col("chars_saved").cast("double") / F.col("tot"), 6)
+            .alias("corpus_share_saved"),
+        )
+    )

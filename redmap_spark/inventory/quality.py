@@ -212,3 +212,100 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check(c.lineitem, "l_partkey", "l_suppkey",
                         "lineitem: l_partkey -> l_suppkey"))
     )
+
+
+# -- q_skew_report -----------------------------------------------------
+#
+# Join-key skew diagnostic over the lake's canonical shuffle keys
+# (lineitem.l_partkey, orders.o_custkey, events.user_id): per key the
+# distribution of per-value row counts — max/p99/p50 counts, top-1 and
+# top-10 share, and the skew ratio max/avg that decides whether a join
+# needs salting or AQE skew handling (the number the q_salted_join
+# mitigation is justified by). Percentiles of the count distribution
+# are order statistics at rank ceil(q·n_keys) (value-deterministic
+# under ties); shares are exact-count double divisions. Shape: one
+# groupBy per fact scan collapses to the key grid; everything after is
+# |keys|-sized windows.
+
+SKEW_SQL = """
+WITH c AS (
+  SELECT 'lineitem.l_partkey' AS key_name, l_partkey AS k,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+  UNION ALL
+  SELECT 'orders.o_custkey', o_custkey, CAST(COUNT(*) AS BIGINT)
+  FROM orders GROUP BY 1, 2
+  UNION ALL
+  SELECT 'events.user_id', user_id, CAST(COUNT(*) AS BIGINT)
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT key_name, c,
+         ROW_NUMBER() OVER (PARTITION BY key_name ORDER BY c, k) AS vrk,
+         CAST(COUNT(*) OVER (PARTITION BY key_name) AS BIGINT) AS nk,
+         CAST(SUM(c) OVER (PARTITION BY key_name) AS BIGINT) AS n
+  FROM c
+)
+SELECT key_name,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MAX(nk) AS BIGINT) AS n_keys,
+       MAX(CASE WHEN vrk = CAST(ceil(0.5 * nk) AS BIGINT) THEN c END)
+         AS p50_rows_per_key,
+       MAX(CASE WHEN vrk = CAST(ceil(0.99 * nk) AS BIGINT) THEN c END)
+         AS p99_rows_per_key,
+       MAX(c) AS max_rows_per_key,
+       round(MAX(c) / CAST(MAX(n) AS DOUBLE), 6) AS top1_share,
+       round(CAST(SUM(CASE WHEN vrk > nk - 10 THEN c ELSE 0 END) AS BIGINT)
+             / CAST(MAX(n) AS DOUBLE), 6) AS top10_share,
+       round(MAX(c) * CAST(MAX(nk) AS DOUBLE) / MAX(n), 6) AS skew_ratio
+FROM r GROUP BY 1
+"""
+
+
+@query("q_skew_report", oracle=SKEW_SQL)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    parts = [
+        ("lineitem.l_partkey", cat.lineitem.select(F.col("l_partkey").alias("k"))),
+        ("orders.o_custkey", cat.orders.select(F.col("o_custkey").alias("k"))),
+        ("events.user_id", cat.events.select(F.col("user_id").alias("k"))),
+    ]
+    counted = None
+    for name, df in parts:
+        g = df.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("c")) \
+              .select(F.lit(name).alias("key_name"), "k", "c")
+        counted = g if counted is None else counted.unionAll(g)
+    wp = Window.partitionBy("key_name")
+    r = counted.select(
+        "key_name", "c",
+        F.row_number().over(wp.orderBy("c", "k")).alias("vrk"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("nk"),
+        F.sum("c").over(wp).cast("bigint").alias("n"),
+    )
+    def at(q):
+        return F.max(
+            F.when(
+                F.col("vrk") == F.ceil(q * F.col("nk")).cast("bigint"),
+                F.col("c"),
+            )
+        )
+    return r.groupBy("key_name").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.max("nk").cast("bigint").alias("n_keys"),
+        at(0.5).alias("p50_rows_per_key"),
+        at(0.99).alias("p99_rows_per_key"),
+        F.max("c").alias("max_rows_per_key"),
+        F.round(F.max("c") / F.max("n").cast("double"), 6).alias("top1_share"),
+        F.round(
+            F.sum(
+                F.when(F.col("vrk") > F.col("nk") - 10, F.col("c")).otherwise(0)
+            ).cast("bigint")
+            / F.max("n").cast("double"),
+            6,
+        ).alias("top10_share"),
+        F.round(
+            F.max("c") * F.max("nk").cast("double") / F.max("n"), 6
+        ).alias("skew_ratio"),
+    )
