@@ -661,3 +661,84 @@ def stream_to_ewma(state_path: str, key_col: str = "event_type",
         fresh.write.mode("overwrite").parquet(state_path)
 
     return sink
+
+
+# ------------------------------- foreachBatch → bottom-k quantile sketch
+
+
+def stream_to_quantile_sketch(sketch_path: str, key_col: str = "event_type",
+                              id_col: str = "event_id",
+                              value_col: str = "value", k: int = 256):
+    """Maintain the bottom-k-by-hash quantile sketch of
+    inventory/sketches.q_quantile_sketch from a micro-batch stream —
+    constant-size per-key state (≤ k rows per key) where an exact
+    quantile would need the full value log. Returns the
+    ``writeStream.foreachBatch`` sink.
+
+    Bottom-k samples merge by union-then-rekeep: each batch appends
+    its LOCAL per-key bottom-k (≤ k·|keys| rows, constant in batch
+    size) tagged with batch_id, and the sketch table is recomputed as
+    the global bottom-k over staged partials. A retry re-appends
+    byte-identical rows that the (key, hv, batch_id) dedup removes —
+    the same staging idempotence as stream_to_cms. Because merge is
+    associative and the hash is md5(event_id), the drained sketch is
+    bit-identical to the batch sample regardless of micro-batch
+    boundaries (asserted in tests/test_streaming.py)."""
+    from pyspark.sql import Window as W
+
+    staging = sketch_path.rstrip("/") + "__staging_mins"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hv = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+            ).cast("bigint").alias("hv")
+        )
+        partial = (
+            batch_df.select(F.col(key_col).alias("key"), F.col(value_col).alias("value"), hv)
+            .withColumn("rk", F.row_number().over(W.partitionBy("key").orderBy("hv")))
+            .filter(F.col("rk") <= k)
+            .drop("rk")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        partial.write.mode("append").parquet(staging)
+        merged = (
+            spark.read.parquet(staging)
+            .dropDuplicates(["key", "hv", "batch_id"])  # retry-idempotent
+            .dropDuplicates(["key", "hv"])  # same row seen in 2 batches
+            .withColumn("rk", F.row_number().over(W.partitionBy("key").orderBy("hv")))
+            .filter(F.col("rk") <= k)
+            .drop("rk", "batch_id")
+        )
+        merged.write.mode("overwrite").parquet(sketch_path)
+
+    return sink
+
+
+def quantile_sketch_estimates(spark, sketch_path: str) -> DataFrame:
+    """(key, m, p50_est, p90_est, p99_est) from the maintained sketch
+    table: order statistics at rank ceil(q·m) over the ≤k sampled
+    values per key — never touches the stream."""
+    from pyspark.sql import Window as W
+
+    sk = spark.read.parquet(sketch_path)
+    wp = W.partitionBy("key")
+    sized = sk.select(
+        "key", "value",
+        F.row_number().over(wp.orderBy("value")).alias("vrk"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+    )
+
+    def at(q):
+        target = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.lit(q) * F.col("m")).cast("bigint"),
+        )
+        return F.max(F.when(F.col("vrk") == target, F.col("value"))).alias(
+            f"p{int(q * 100)}_est"
+        )
+
+    return sized.groupBy("key").agg(
+        F.max("m").cast("bigint").alias("m"), at(0.5), at(0.9), at(0.99)
+    )

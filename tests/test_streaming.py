@@ -475,3 +475,81 @@ def test_stream_to_ewma(spark, tmp_path):
     pd.testing.assert_frame_equal(
         pd.DataFrame(after_once), pd.DataFrame(after_twice)
     )
+
+
+def test_stream_to_quantile_sketch(spark, tmp_path):
+    """Streaming bottom-k quantile sketch: after draining the events
+    file, the maintained sample must equal the batch bottom-k sample
+    row-for-row (union-then-rekeep mergeability across micro-batch
+    boundaries), the probed order-stat estimates must match the batch
+    computation, and a foreachBatch retry must be a no-op."""
+    from pyspark.sql import Window
+
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.inventory.sketches import QSK_K
+    from redmap_spark.streaming.windowed import (
+        events_stream,
+        quantile_sketch_estimates,
+        stream_to_quantile_sketch,
+    )
+
+    path = str(tmp_path / "qsk")
+    ckpt = str(tmp_path / "ckpt")
+    sink = stream_to_quantile_sketch(path)
+    q = (
+        events_stream(spark, SF_DIR)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    e = Catalog(spark, SF_DIR).events
+    hv = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv")
+    )
+    batch_sample = {
+        (r.key, r.hv, r.value)
+        for r in e.select(F.col("event_type").alias("key"), "value", hv)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("key").orderBy("hv")),
+        )
+        .filter(F.col("rk") <= QSK_K)
+        .drop("rk")
+        .collect()
+    }
+    streamed = {
+        (r.key, r.hv, r.value) for r in spark.read.parquet(path).collect()
+    }
+    assert streamed == batch_sample
+
+    # estimates agree with q_quantile_sketch's sample-side order stats
+    from redmap_spark.inventory import QUERIES
+
+    batch_rows = {
+        r.event_type: r for r in QUERIES["q_quantile_sketch"](spark, SF_DIR).collect()
+    }
+    for r in quantile_sketch_estimates(spark, path).collect():
+        b = batch_rows[r.key]
+        assert (r.p50_est, r.p90_est, r.p99_est) == (
+            b.p50_est, b.p90_est, b.p99_est,
+        ), r.key
+
+    # retry: re-delivering the same rows under the same batch_id is a
+    # no-op (byte-identical staged partials dedup away)
+    extra = e.filter(F.col("event_id") % 20 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    sink(extra, 999)
+    after_extra = {
+        (r.key, r.hv, r.value) for r in spark.read.parquet(path).collect()
+    }
+    sink(extra, 999)
+    again = {
+        (r.key, r.hv, r.value) for r in spark.read.parquet(path).collect()
+    }
+    assert again == after_extra
