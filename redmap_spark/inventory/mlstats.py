@@ -989,3 +989,95 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi.alias("psi"),
         F.when(psi > 0.2, 1).otherwise(0).cast("bigint").alias("drifted"),
     )
+
+
+# -- q_wasserstein_drift -----------------------------------------------
+#
+# 1-D Wasserstein-1 (earth-mover) distance per event type between the
+# first and second half-month value distributions — the integral
+# drift metric that complements q_psi_drift (binned, density-ratio)
+# and q_ks_test (sup-norm): W₁ = ∫ |F₁(x) − F₂(x)| dx, evaluated
+# exactly as Σ |F₁(vᵢ) − F₂(vᵢ)| · (vᵢ₊₁ − vᵢ) over the merged
+# support. CDFs are exact-integer cumulative counts divided once;
+# per-gap terms are rounded to DECIMAL(18,9) and summed exactly
+# (order-independent). Shape: the stream collapses to the distinct
+# (type, value, half) grid; one window sort per type does the rest.
+
+W1_SQL = """
+WITH s AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half
+  FROM events
+),
+g AS (
+  SELECT event_type, value,
+         CAST(SUM(1 - half) AS BIGINT) AS c1r,
+         CAST(SUM(half) AS BIGINT) AS c2r
+  FROM s GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, value,
+         SUM(c1r) OVER w AS c1,
+         SUM(c2r) OVER w AS c2,
+         SUM(c1r) OVER p AS n1,
+         SUM(c2r) OVER p AS n2,
+         LEAD(value) OVER (PARTITION BY event_type ORDER BY value) AS nxt
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY value),
+         p AS (PARTITION BY event_type)
+),
+terms AS (
+  SELECT event_type, n1, n2,
+         CAST(round(abs(c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE))
+                    * (nxt - value), 9) AS DECIMAL(18,9)) AS term
+  FROM c WHERE nxt IS NOT NULL
+)
+SELECT event_type,
+       CAST(MAX(n1) AS BIGINT) AS n_first,
+       CAST(MAX(n2) AS BIGINT) AS n_second,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS w1_distance
+FROM terms GROUP BY 1
+"""
+
+
+@query("q_wasserstein_drift", oracle=W1_SQL)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    s = e.select(
+        "event_type", "value",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+    )
+    g = s.groupBy("event_type", "value").agg(
+        F.sum(1 - F.col("half")).cast("bigint").alias("c1r"),
+        F.sum("half").cast("bigint").alias("c2r"),
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("value")
+    c = g.select(
+        "event_type", "value",
+        F.sum("c1r").over(wo).alias("c1"),
+        F.sum("c2r").over(wo).alias("c2"),
+        F.sum("c1r").over(wp).alias("n1"),
+        F.sum("c2r").over(wp).alias("n2"),
+        F.lead("value").over(wo).alias("nxt"),
+    )
+    term = F.round(
+        F.abs(
+            F.col("c1") / F.col("n1").cast("double")
+            - F.col("c2") / F.col("n2").cast("double")
+        )
+        * (F.col("nxt") - F.col("value")),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        c.filter(F.col("nxt").isNotNull())
+        .select("event_type", "n1", "n2", term.alias("term"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").cast("bigint").alias("n_first"),
+            F.max("n2").cast("bigint").alias("n_second"),
+            F.round(F.sum("term").cast("double"), 6).alias("w1_distance"),
+        )
+    )

@@ -281,3 +281,113 @@ def sim_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "picked_order", "label")
         .orderBy("picked_order")
     )
+
+
+# -- sim_dim_tradeoff --------------------------------------------------
+#
+# Matryoshka-style dimension-truncation retrieval audit: for a
+# hash-chosen query subset (vec_id % 25 == 0), the top-1 neighbor
+# under full 64-dim cosine vs under the FIRST 16 dims only — the
+# measurement that decides whether truncated embeddings (4× cheaper
+# scans, 4× smaller index) are good enough for a coarse first stage.
+# Reports both picks, agreement, and the full-dim score the truncated
+# pick actually achieves (the real retrieval regret). Argmaxes break
+# ties on candidate id; cosines round to 4 like the rest of the sim
+# family. Shape: |queries| × corpus brute force with the query side
+# broadcast — bounded by the 1/25 sample, the same audit-sizing trick
+# as the recall pytests.
+
+SIM_DIMS_SQL = """
+WITH w AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           AS nrm64,
+         sqrt(list_sum(list_transform(embedding[1:16]::DOUBLE[],
+                                      x -> x * x))) AS nrm16
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, nrm64 AS qn64, nrm16 AS qn16
+      FROM w WHERE vec_id % 25 = 0),
+sc AS (
+  SELECT q.qid, b.vec_id,
+         round(list_sum(list_transform(range(1, 65), i -> b.v[i] * q.qv[i]))
+               / (b.nrm64 * q.qn64), 4) AS cos64,
+         round(list_sum(list_transform(range(1, 17), i -> b.v[i] * q.qv[i]))
+               / (b.nrm16 * q.qn16), 4) AS cos16
+  FROM w b, q WHERE b.vec_id != q.qid
+),
+r AS (
+  SELECT qid, vec_id, cos64, cos16,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos64 DESC, vec_id) AS r64,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos16 DESC, vec_id) AS r16
+  FROM sc
+)
+SELECT qid AS query_id,
+       CAST(MAX(CASE WHEN r64 = 1 THEN vec_id END) AS BIGINT) AS top1_full,
+       CAST(MAX(CASE WHEN r16 = 1 THEN vec_id END) AS BIGINT) AS top1_trunc,
+       MAX(CASE WHEN r64 = 1 THEN cos64 END) AS best_cos_full,
+       MAX(CASE WHEN r16 = 1 THEN cos64 END) AS trunc_pick_cos_full,
+       CAST(CASE WHEN MAX(CASE WHEN r64 = 1 THEN vec_id END)
+                      = MAX(CASE WHEN r16 = 1 THEN vec_id END)
+                 THEN 1 ELSE 0 END AS BIGINT) AS agree
+FROM r GROUP BY 1
+"""
+
+
+@query("sim_dim_tradeoff", oracle=SIM_DIMS_SQL)
+def sim_dim_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from redmap_spark.operators.similarity import as_double_vec, norm
+
+    e = Catalog(spark, sf_dir).embeddings
+    w = e.select(
+        "vec_id",
+        as_double_vec("embedding").alias("v"),
+        norm(as_double_vec("embedding")).alias("nrm64"),
+        norm(F.slice(as_double_vec("embedding"), 1, 16)).alias("nrm16"),
+    )
+    q = w.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm64").alias("qn64"),
+        F.col("nrm16").alias("qn16"),
+    )
+    from redmap_spark.operators.similarity import dot
+
+    sc = (
+        w.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(
+                dot(F.col("v"), F.col("qv")) / (F.col("nrm64") * F.col("qn64")),
+                4,
+            ).alias("cos64"),
+            F.round(
+                dot(F.slice(F.col("v"), 1, 16), F.slice(F.col("qv"), 1, 16))
+                / (F.col("nrm16") * F.col("qn16")),
+                4,
+            ).alias("cos16"),
+        )
+    )
+    wq = Window.partitionBy("qid")
+    r = sc.select(
+        "qid", "vec_id", "cos64", "cos16",
+        F.row_number().over(wq.orderBy(F.desc("cos64"), F.asc("vec_id")))
+        .alias("r64"),
+        F.row_number().over(wq.orderBy(F.desc("cos16"), F.asc("vec_id")))
+        .alias("r16"),
+    )
+    pick64 = F.max(F.when(F.col("r64") == 1, F.col("vec_id")))
+    pick16 = F.max(F.when(F.col("r16") == 1, F.col("vec_id")))
+    return r.groupBy(F.col("qid").alias("query_id")).agg(
+        pick64.cast("bigint").alias("top1_full"),
+        pick16.cast("bigint").alias("top1_trunc"),
+        F.max(F.when(F.col("r64") == 1, F.col("cos64"))).alias("best_cos_full"),
+        F.max(F.when(F.col("r16") == 1, F.col("cos64")))
+        .alias("trunc_pick_cos_full"),
+        F.when(pick64 == pick16, 1).otherwise(0).cast("bigint").alias("agree"),
+    )
