@@ -377,3 +377,72 @@ def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("corpus_share_saved"),
         )
     )
+
+
+DEDUP_CROSS_SRC_SQL = f"""
+WITH fps AS (
+  SELECT DISTINCT source, md5({NORM}) AS fp FROM documents
+),
+pair AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_texts
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM fps GROUP BY 1)
+SELECT source_a, source_b, shared_texts,
+       sa.n AS n_a, sb.n AS n_b,
+       round(shared_texts / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+         AS overlap_coeff
+FROM pair
+JOIN sz sa ON sa.source = source_a
+JOIN sz sb ON sb.source = source_b
+"""
+
+
+@query("dedup_cross_source", oracle=DEDUP_CROSS_SRC_SQL)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate overlap: for every source pair, how many
+    distinct normalized texts they share, plus the overlap
+    coefficient |A∩B| / min(|A|,|B|) — the report that tells a
+    mixture-weighting step which sources are re-crawls of each other
+    (double-counting risk) before any per-doc dedup decision. Shape:
+    one md5-groupBy to the distinct (source, fp) grid, a shared-fp
+    equi-join (cost Σ df² over fps, df ≤ |sources|), broadcast size
+    dims."""
+    from pyspark.sql import functions as F
+
+    d = Catalog(spark, sf_dir).documents
+    fps = d.select(
+        "source", D.fingerprint("text").alias("fp")
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_texts"))
+    )
+    sz = fps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "shared_texts", "n_a", "n_b",
+            F.round(
+                F.col("shared_texts")
+                / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+                6,
+            ).alias("overlap_coeff"),
+        )
+    )

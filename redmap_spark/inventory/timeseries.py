@@ -967,3 +967,116 @@ def q_cusum_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(s_plus > F.col("h"), 1).otherwise(0).cast("bigint")
         .alias("alarm"),
     )
+
+
+# -- q_trend_test ------------------------------------------------------
+#
+# Mann–Kendall trend test per event type over the daily revenue grid:
+# S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected variance
+# Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 and the
+# continuity-corrected z — the standard nonparametric "is this series
+# trending" gate (complements q_runs_test's randomness check and
+# q_forecast_linear's parametric slope). Everything up to the final
+# sqrt/division is EXACT integer arithmetic on exact-decimal
+# comparisons; the pair join runs on the collapsed |days|-per-type
+# grid (n² of ~30, never the raw stream).
+
+MK_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+pairs AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                       WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+),
+nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tcorr
+  FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, rev) g
+  WHERE t > 1 GROUP BY 1
+),
+stat AS (
+  SELECT nn.event_type, nn.n, p.s,
+         (nn.n * (nn.n - 1) * (2 * nn.n + 5)
+          - COALESCE(ties.tcorr, 0)) / 18.0 AS var_s
+  FROM nn JOIN pairs p ON p.event_type = nn.event_type
+  LEFT JOIN ties ON ties.event_type = nn.event_type
+)
+SELECT event_type, n, s,
+       CASE WHEN var_s > 0 THEN
+         round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                    WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                    ELSE 0.0 END, 6)
+       END AS z,
+       CAST(CASE WHEN var_s > 0
+                  AND abs(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                               WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                               ELSE 0.0 END) > 1.96
+                 THEN 1 ELSE 0 END AS BIGINT) AS trending_95
+FROM stat
+"""
+
+
+@query("q_trend_test", oracle=MK_SQL)
+def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            ).cast("bigint").alias("s")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "rev")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(t > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("bigint").alias("tcorr")
+        )
+    )
+    n = F.col("n")
+    stat = (
+        nn.join(pairs, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type", "n", "s",
+            (
+                (n * (n - 1) * (2 * n + 5)
+                 - F.coalesce(F.col("tcorr"), F.lit(0))) / 18.0
+            ).alias("var_s"),
+        )
+    )
+    s, var_s = F.col("s"), F.col("var_s")
+    z_raw = (
+        F.when(s > 0, (s - 1) / F.sqrt(var_s))
+        .when(s < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return stat.select(
+        "event_type", "n", "s",
+        F.when(var_s > 0, F.round(z_raw, 6)).alias("z"),
+        F.when((var_s > 0) & (F.abs(z_raw) > 1.96), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("trending_95"),
+    )
