@@ -413,9 +413,12 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     d = Catalog(spark, sf_dir).documents
+    # cached: three consumers (both self-join sides + the size dim)
+    # would otherwise each rescan and re-hash the corpus; at 100 TB
+    # this intermediate is a written (source, fp) table
     fps = d.select(
         "source", D.fingerprint("text").alias("fp")
-    ).distinct()
+    ).distinct().cache()
     a, b = fps.alias("a"), fps.alias("b")
     pair = (
         a.join(
