@@ -1080,3 +1080,73 @@ def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("trending_95"),
     )
+
+
+# -- q_theilsen --------------------------------------------------------
+#
+# Theil–Sen robust slope per event type: the median of all pairwise
+# day-slopes (x_j − x_i)/(day_j − day_i) — Mann–Kendall's standard
+# companion estimator (q_trend_test decides IF there is a trend; this
+# says HOW steep, immune to outlier days that wreck the OLS slope of
+# q_forecast_linear). Each slope is one double division of an exact
+# decimal difference by an exact integer day gap (identical
+# cross-engine); the median is the order statistic at ceil(m/2)
+# (value-deterministic under ties). Same n²-of-~30 pair grid as the
+# trend test — grid-sized, never the raw stream.
+
+THEILSEN_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.rev - a.rev AS DOUBLE)
+           / date_diff('day', a.day, b.day) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+r AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM slopes
+)
+SELECT event_type,
+       CAST(MAX(m) AS BIGINT) AS n_pairs,
+       round(MAX(CASE WHEN rk = CAST(ceil(0.5 * m) AS BIGINT)
+                      THEN slope END), 6) AS theilsen_slope
+FROM r GROUP BY 1
+"""
+
+
+@query("q_theilsen", oracle=THEILSEN_SQL)
+def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+    )
+    wp = Window.partitionBy("event_type")
+    r = slopes.select(
+        "event_type", "slope",
+        F.row_number().over(wp.orderBy("slope")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("m").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rk") == F.ceil(0.5 * F.col("m")).cast("bigint"),
+                    F.col("slope"),
+                )
+            ),
+            6,
+        ).alias("theilsen_slope"),
+    )
