@@ -661,3 +661,60 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_heavy_hitters moved to redmap_spark/inventory/sketches.py (it is
 # exact after refinement, so it carries a DuckDB oracle and registers
 # inside the driver's CORRECTNESS window).
+
+
+# -- q_unpivot ---------------------------------------------------------
+#
+# UNPIVOT / melt — the inverse reshape of q_pivot: a wide per-segment
+# metrics row (order counts in three totalprice bands) melts back to
+# long (segment, band, n_orders) tidy form via Spark's native
+# DataFrame.unpivot (Catalyst Expand, one pass, no join). The oracle
+# states the same melt as a UNION ALL of the three band columns —
+# the engine-portable definition of unpivot. Counts are exact; no FP
+# anywhere. Shape: one fact groupBy to the |segments| grid, then the
+# constant ×3 Expand.
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS band_low,
+         CAST(SUM(CASE WHEN o_totalprice >= 100000
+                        AND o_totalprice < 300000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS band_mid,
+         CAST(SUM(CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS band_high
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT c_mktsegment, 'band_low' AS band, band_low AS n_orders FROM wide
+UNION ALL
+SELECT c_mktsegment, 'band_mid', band_mid FROM wide
+UNION ALL
+SELECT c_mktsegment, 'band_high', band_high FROM wide
+"""
+
+
+@query("q_unpivot", oracle=UNPIVOT_SQL)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    o, cust = c.orders, c.customer
+    tp = F.col("o_totalprice")
+    wide = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(tp < 100000, 1).otherwise(0)).cast("bigint")
+            .alias("band_low"),
+            F.sum(F.when((tp >= 100000) & (tp < 300000), 1).otherwise(0))
+            .cast("bigint").alias("band_mid"),
+            F.sum(F.when(tp >= 300000, 1).otherwise(0)).cast("bigint")
+            .alias("band_high"),
+        )
+    )
+    return wide.unpivot(
+        ["c_mktsegment"],
+        ["band_low", "band_mid", "band_high"],
+        "band",
+        "n_orders",
+    )
