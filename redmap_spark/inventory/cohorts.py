@@ -379,3 +379,62 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- q_ess -------------------------------------------------------------
+#
+# Effective sample size of importance weights per segment:
+# ESS = (Σw)² / Σw² over order totalprice as the weight column — the
+# diagnostic that says how many "real" samples a weighted/temperature
+# mixture (q_weighted_sample, txt_temperature_sample) actually
+# carries; ESS/n near 1 means weights are flat, near 0 means a few
+# heavy rows dominate and the sample degenerates. Moments are exact
+# decimal (w through DECIMAL(18,2), w² through DECIMAL(38,4)); ESS is
+# one double division, the ratio a second. Shape: one fact scan
+# partial-aggregating to the |segments| grid.
+
+ESS_SQL = """
+WITH w AS (
+  SELECT c_mktsegment,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS w
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+m AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(w) AS DECIMAL(38,2)) AS sw,
+         CAST(SUM(CAST(w AS DECIMAL(19,2)) * CAST(w AS DECIMAL(19,2)))
+              AS DECIMAL(38,4)) AS sww
+  FROM w GROUP BY 1
+)
+SELECT c_mktsegment, n,
+       round((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+             / CAST(sww AS DOUBLE), 4) AS ess,
+       round((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+             / CAST(sww AS DOUBLE) / n, 6) AS ess_ratio
+FROM m
+"""
+
+
+@query("q_ess", oracle=ESS_SQL)
+def q_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    o, cust = c.orders, c.customer
+    w = o.join(cust, o.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("w"),
+    )
+    m = w.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("w").cast("decimal(38,2)").alias("sw"),
+        F.sum(
+            F.col("w").cast("decimal(19,2)") * F.col("w").cast("decimal(19,2)")
+        ).cast("decimal(38,4)").alias("sww"),
+    )
+    sw, sww = F.col("sw").cast("double"), F.col("sww").cast("double")
+    ess = (sw * sw) / sww
+    return m.select(
+        "c_mktsegment", "n",
+        F.round(ess, 4).alias("ess"),
+        F.round(ess / F.col("n"), 6).alias("ess_ratio"),
+    )

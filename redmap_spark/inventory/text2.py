@@ -905,3 +905,112 @@ def txt_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") / F.sum("n_docs").over(tot).cast("double"), 6
         ).alias("share_of_true"),
     )
+
+
+# -- txt_compress_ratio ------------------------------------------------
+#
+# Compression-ratio quality signal: zlib-compressed size over raw
+# size per document, rolled up per source — the cheap
+# "is this repetitive junk" detector (boilerplate and template spam
+# compress far below natural text; the DataComp/RefinedWeb-style
+# filter signal). zlib is not SQL-expressible, so this is a rows-only
+# entry: the Arrow-batched mapInPandas does the byte work
+# executor-side (no shuffle before the rollup groupBy), and pytest
+# verifies doc-level ratios against direct zlib calls. Level is
+# pinned (6) so results are deterministic across zlib builds in
+# practice; ratios round to 6.
+
+@query("txt_compress_ratio")  # rows-only: zlib is not SQL-expressible
+def txt_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "source", "text")
+
+    def ratios(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            raw_len = raw.str.len()
+            comp_len = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "raw_len": raw_len,
+                    "comp_len": comp_len,
+                }
+            )
+
+    per_doc = d.mapInPandas(
+        ratios, schema="doc_id long, source string, raw_len long, comp_len long"
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("raw_len").cast("bigint").alias("raw_bytes"),
+        F.sum("comp_len").cast("bigint").alias("comp_bytes"),
+        F.round(
+            F.sum("comp_len").cast("double") / F.sum("raw_len"), 6
+        ).alias("compress_ratio"),
+        F.sum(
+            F.when(
+                F.col("comp_len").cast("double") / F.col("raw_len") < 0.35, 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_suspect_docs"),
+    )
+
+
+# -- txt_burstiness ----------------------------------------------------
+#
+# Term burstiness (Church–Gale): corpus frequency over document
+# frequency for the 50 most document-frequent terms — cf/df ≈ 1 means
+# a term sprinkles evenly (function word), high cf/df means it bursts
+# within few docs (topical/boilerplate). The vocabulary-level
+# companion to txt_repetition's within-doc signal. Exact integer
+# counts, one double division; top-50 cut breaks ties on term. Shape:
+# one token groupBy to the (term, doc) grid then the |vocab| grid.
+
+BURST_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+td AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+v AS (
+  SELECT term,
+         CAST(SUM(c) AS BIGINT) AS cf,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM td GROUP BY 1
+)
+SELECT term, cf, df, round(cf / CAST(df AS DOUBLE), 6) AS burstiness
+FROM v
+ORDER BY df DESC, term
+LIMIT 50
+"""
+
+
+@query("txt_burstiness", oracle=BURST_SQL)
+def txt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    td = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    v = td.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    return (
+        v.select(
+            "term", "cf", "df",
+            F.round(F.col("cf") / F.col("df").cast("double"), 6)
+            .alias("burstiness"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(50)
+    )

@@ -697,3 +697,33 @@ def test_quantile_sketch_rank_error_and_merge(spark):
         import math
         for q, ex in ((0.5, r.p50_exact), (0.9, r.p90_exact), (0.99, r.p99_exact)):
             assert ex == xs[max(1, math.ceil(q * n)) - 1], (et, q)
+
+
+def test_compress_ratio_matches_direct_zlib(spark):
+    """txt_compress_ratio (rows-only entry): the per-source rollup
+    must equal a direct pandas/zlib recomputation over the same
+    corpus, including the suspect-doc counter."""
+    import zlib
+
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.inventory import QUERIES
+    from tests.conftest import SF_DIR
+
+    got = {r.source: r for r in QUERIES["txt_compress_ratio"](spark, SF_DIR).collect()}
+    rows = Catalog(spark, SF_DIR).documents.select("source", "text").collect()
+    agg = {}
+    for r in rows:
+        raw = r.text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        a = agg.setdefault(r.source, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(raw)
+        a[2] += comp
+        a[3] += 1 if comp / len(raw) < 0.35 else 0
+    assert set(got) == set(agg)
+    for src, (n, raw_b, comp_b, suspect) in agg.items():
+        g = got[src]
+        assert (g.n_docs, g.raw_bytes, g.comp_bytes, g.n_suspect_docs) == (
+            n, raw_b, comp_b, suspect,
+        ), src
+        assert g.compress_ratio == round(comp_b / raw_b, 6)
