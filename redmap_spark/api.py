@@ -206,6 +206,47 @@ class Pipeline:
             self.df.filter(~(ratio > max_hit_ratio) | ratio.isNull())
         )
 
+    def readability_gate(
+        self, min_flesch: float = 0.0, text_col: str = "text"
+    ) -> "Pipeline":
+        """Keep rows at or above a Flesch reading-ease floor
+        (operators.textstats.flesch_score — the same heuristic
+        txt_readability reports) — the curriculum/legibility gate.
+        One pushable column predicate: zero shuffle, zero Python."""
+        from redmap_spark.operators.textstats import flesch_score
+
+        return Pipeline(self.df.filter(flesch_score(text_col) >= min_flesch))
+
+    def compress_gate(
+        self, min_ratio: float = 0.35, text_col: str = "text"
+    ) -> "Pipeline":
+        """Drop rows whose zlib compression ratio falls below
+        ``min_ratio`` (repetitive boilerplate compresses far below
+        natural text — the txt_compress_ratio signal as a filter).
+        zlib has no JVM builtin, so this is an Arrow-batched
+        mapInPandas predicate: schema-preserving, executor-side, no
+        shuffle; empty text counts as ratio 1.0 (kept)."""
+        schema = self.df.schema
+        ratio_floor = float(min_ratio)
+
+        def gate(batches):
+            import zlib
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                raw = pdf[text_col].str.encode("utf-8")
+                keep = raw.map(
+                    lambda b: (len(zlib.compress(b, 6)) / len(b))
+                    >= ratio_floor
+                    if len(b)
+                    else True
+                )
+                yield pdf[keep]
+
+        return Pipeline(self.df.mapInPandas(gate, schema=schema))
+
     def chunk(
         self,
         chunk_tokens: int = 50,

@@ -236,3 +236,26 @@ def blocklist_hit_ratio(text_col: Column | str, terms: list[str]) -> Column:
     tk = F.split(text_col, " ")
     hits = F.size(F.filter(tk, lambda x: x.isin(list(terms))))
     return F.round(hits / F.size(tk).cast("double"), 6)
+
+
+def flesch_score(text_col: Column | str) -> Column:
+    """Flesch reading-ease as one column expression (the same
+    vowel-group/sentence heuristics as inventory txt_readability,
+    rounded to 4): 206.835 − 1.015·(W/S) − 84.6·(Syl/W). NULL for
+    empty token streams."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    w = F.size(F.split(c, " "))
+    s = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(c, F.lit("[.!?]+"), F.lit(0)))
+    )
+    syl = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    return F.when(
+        w > 0,
+        F.round(
+            206.835 - 1.015 * (w / s.cast("double"))
+            - 84.6 * (syl / w.cast("double")),
+            4,
+        ),
+    )

@@ -255,3 +255,38 @@ def test_pipeline_blocklist_keeps_null_text(spark):
     )
     kept = {r.doc_id for r in Pipeline(df).blocklist(["slow", "dup"]).df.collect()}
     assert kept == {2, 3}
+
+
+def test_readability_and_compress_gates(spark):
+    """readability_gate keeps only docs at/above the Flesch floor
+    (matching a direct flesch_score computation), and compress_gate
+    drops the repetitive doc while preserving schema and the diverse
+    rows."""
+    from pyspark.sql import Row
+
+    from redmap_spark.api import Pipeline
+    from redmap_spark.operators.textstats import flesch_score
+    from pyspark.sql import functions as F
+
+    docs = [
+        Row(doc_id=0, text="the cat sat. it was flat. a mat!"),
+        Row(doc_id=1, text="incomprehensibility notwithstanding "
+                           "institutionalization perpendicularity"),
+        Row(doc_id=2, text="spam " * 200),
+    ]
+    df = spark.createDataFrame(docs)
+    scores = {
+        r.doc_id: r.f
+        for r in df.select("doc_id", flesch_score("text").alias("f")).collect()
+    }
+    floor = 10.0
+    kept = {r.doc_id for r in Pipeline.from_df(df).readability_gate(floor).collect()}
+    assert kept == {i for i, s in scores.items() if s >= floor}
+    assert 1 not in kept  # polysyllabic monster scores below any sane floor
+
+    out = Pipeline.from_df(df).compress_gate(0.35)
+    rows = out.collect()
+    assert out.df.schema == df.schema
+    ids = {r.doc_id for r in rows}
+    assert 2 not in ids      # "spam spam spam..." compresses to almost nothing
+    assert {0, 1} <= ids     # natural-ish text survives
