@@ -836,3 +836,53 @@ def test_runs_test_plan_shape(spark):
     assert "partial_sum" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_round6_sketch_entries_plan_shapes(spark):
+    """Round-6 scale postures: q_bloom_join probes via a BROADCAST of
+    the ≤m-row bit table (never a shuffle of the customer fan-out);
+    sim_dim_tradeoff broadcasts the 1/25 query sample against one
+    corpus scan; q_quantile_sketch never shuffles the raw stream more
+    than once per window family."""
+    bloom = E.executed_plan(QUERIES["q_bloom_join"](spark, SF_DIR))
+    assert bloom.count("BroadcastHashJoin") >= 1, bloom
+    # the cand-side probe join specifically is the broadcast one:
+    # no sort-merge join on `pos`
+    assert "SortMergeJoin [pos" not in bloom
+
+    dims = E.executed_plan(QUERIES["sim_dim_tradeoff"](spark, SF_DIR))
+    assert dims.count("BroadcastNestedLoopJoin") + dims.count(
+        "BroadcastHashJoin"
+    ) >= 1, dims
+
+    qsk = QUERIES["q_quantile_sketch"](spark, SF_DIR)
+    assert not E.has_python_eval(qsk)
+
+
+def test_round6_graph_entries_plan_shapes(spark):
+    """mr_adamic_adar reuses the checkpointed pair table (no parquet
+    rescan) and stays JVM-side; mr_degree_dist joins its 1-row fit
+    and total by broadcast."""
+    aa = QUERIES["mr_adamic_adar"](spark, SF_DIR)
+    plan = E.executed_plan(aa)
+    assert "Scan parquet" not in plan  # localCheckpoint truncated lineage
+    assert not E.has_python_eval(aa)
+
+    dd = E.executed_plan(QUERIES["mr_degree_dist"](spark, SF_DIR))
+    assert dd.count("BroadcastNestedLoopJoin") >= 1, dd
+
+
+def test_round6_no_python_in_sql_expressible_entries(spark):
+    """Every oracle-backed round-6 entry must stay in JVM codegen —
+    zero BatchEvalPython/ArrowEvalPython anywhere."""
+    for name in (
+        "dedup_jaccard_capped", "q_quantile_sketch", "q_bloom_join",
+        "q_kmv_setops", "q_ks_test", "q_chi2_independence", "q_psi_drift",
+        "q_cusum_control", "txt_readability", "q_decile_transitions",
+        "mr_adamic_adar", "mr_degree_dist", "txt_heaps_law", "txt_novelty",
+        "txt_langid_eval", "dedup_savings", "q_skew_report",
+        "q_wasserstein_drift", "sim_dim_tradeoff", "dedup_cross_source",
+        "q_trend_test", "q_theilsen", "q_unpivot", "txt_burstiness",
+        "q_ess",
+    ):
+        assert not E.has_python_eval(QUERIES[name](spark, SF_DIR)), name
