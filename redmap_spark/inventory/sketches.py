@@ -249,10 +249,12 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over). Quantile estimate = order statistic of the sampled values at
 # rank ceil(q*m); rank error is O(1/sqrt(k)) whp. The exact
 # percentile_disc-style quantiles ride along so the report doubles as
-# an error dashboard, mirroring q_kmv_distinct. Shape: two windows
-# over (group, hash) and (group, value) — at 100 TB the sample pass
-# becomes per-partition k-min heaps merged associatively; the exact
-# pass is the dashboard-only luxury you drop in production.
+# an error dashboard, mirroring q_kmv_distinct. Shape: the sample
+# pass IS the associative two-stage form — per-(group, salt) local
+# bottom-k in parallel, then a global re-keep over ≤ 32·k survivors
+# (never a whole-type sort of the raw stream); the exact-quantile
+# pass still sorts per type and is the dashboard-only luxury you
+# drop in production.
 
 QSK_K = 256
 
@@ -318,7 +320,19 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = e.select("event_type", "value", hv)
     wg = Window.partitionBy("event_type")
-    samp = h.select(
+    # Two-stage bottom-k: a single per-type window over the RAW stream
+    # would sort a whole type in one task at 100 TB. Bottom-k is
+    # associative, so stage 1 keeps k smallest per (type, salt) in
+    # parallel and stage 2 re-keeps k over the ≤ 32·k survivors —
+    # identical result (hv values are distinct), scan-parallel sort.
+    local = h.withColumn("salt", F.pmod(F.col("hv"), F.lit(32))).select(
+        "event_type", "value", "hv",
+        F.row_number()
+        .over(Window.partitionBy("event_type", "salt").orderBy("hv"))
+        .alias("lrk"),
+        "salt",
+    ).filter(F.col("lrk") <= QSK_K)
+    samp = local.select(
         "event_type", "value",
         F.row_number().over(wg.orderBy("hv")).alias("rk"),
     ).filter(F.col("rk") <= QSK_K)
