@@ -3,7 +3,7 @@ datetime / statistical function breadth."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
@@ -316,4 +316,96 @@ def q_datetime_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).cast("long").alias("qtr"),
         F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
         F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch_start"),
+    )
+
+
+# -- q_lateness_percentiles ----------------------------------------------
+#
+# Fulfillment-delay distribution per order priority: days from order
+# date to line ship date, as order statistics p50/p90/max plus the
+# slow share (> 90 days) — the SLA report q12 only thresholds.
+# Delay is exact integer day arithmetic; percentiles are
+# value-deterministic order stats at rank ceil(q·n); the share is one
+# double division. Shape: fact⋈fact join on orderkey (both sides
+# shuffle once on the join key), then per-priority windows over the
+# delay grid.
+
+LATENESS_SQL = """
+WITH l AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS delay_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+tot AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_slow
+  FROM l GROUP BY 1
+),
+r AS (
+  SELECT o_orderpriority, delay_days,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY delay_days) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS m
+  FROM l
+),
+st AS (
+  SELECT o_orderpriority,
+         CAST(MAX(CASE WHEN rk = CAST(ceil(0.5 * m) AS BIGINT)
+                       THEN delay_days END) AS BIGINT) AS p50_delay,
+         CAST(MAX(CASE WHEN rk = CAST(ceil(0.9 * m) AS BIGINT)
+                       THEN delay_days END) AS BIGINT) AS p90_delay,
+         CAST(MAX(delay_days) AS BIGINT) AS max_delay
+  FROM r GROUP BY 1
+)
+SELECT tot.o_orderpriority, n_lines, n_slow,
+       round(n_slow / CAST(n_lines AS DOUBLE), 6) AS slow_share,
+       p50_delay, p90_delay, max_delay
+FROM tot JOIN st ON st.o_orderpriority = tot.o_orderpriority
+"""
+
+
+@query("q_lateness_percentiles", oracle=LATENESS_SQL)
+def q_lateness_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    li, o = c.lineitem, c.orders
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("delay_days"),
+    )
+    tot = l.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("delay_days") > 90, 1).otherwise(0))
+        .cast("bigint").alias("n_slow"),
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    r = l.select(
+        "o_orderpriority", "delay_days",
+        F.row_number().over(wp.orderBy("delay_days")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+    )
+
+    def at(q):
+        return F.max(
+            F.when(
+                F.col("rk") == F.ceil(F.lit(q) * F.col("m")).cast("bigint"),
+                F.col("delay_days"),
+            )
+        ).cast("bigint")
+
+    st = r.groupBy("o_orderpriority").agg(
+        at(0.5).alias("p50_delay"),
+        at(0.9).alias("p90_delay"),
+        F.max("delay_days").cast("bigint").alias("max_delay"),
+    )
+    return tot.join(st, "o_orderpriority").select(
+        "o_orderpriority", "n_lines", "n_slow",
+        F.round(F.col("n_slow") / F.col("n_lines").cast("double"), 6)
+        .alias("slow_share"),
+        "p50_delay", "p90_delay", "max_delay",
     )

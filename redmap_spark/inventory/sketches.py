@@ -631,3 +631,26 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("exact_inter").cast("double"))
         .alias("inter_est"),
     )
+
+
+# -- q_gk_quantiles ------------------------------------------------------
+#
+# Spark's NATIVE quantile sketch (percentile_approx — the
+# Greenwald–Khanna/KLL-family aggregate Catalyst ships with) against
+# the same grouping the portable sketches use: per event type,
+# approx p50/p90/p99 of value at accuracy 1/ε = 1000. Rows-only by
+# design: GK internals are engine-specific so DuckDB cannot replay
+# them — the rank-error bound (|rank(est) − q·n| ≤ n/1000 + ties) is
+# pytest-verified against exact order stats instead, mirroring how
+# HLL is bounded. This is the production path when bit-portability
+# is NOT required; q_quantile_sketch is the portable/mergeable twin.
+
+@query("q_gk_quantiles")  # rows-only: GK sketch internals are engine-specific
+def q_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile_approx("value", 0.5, 1000).alias("p50_gk"),
+        F.percentile_approx("value", 0.9, 1000).alias("p90_gk"),
+        F.percentile_approx("value", 0.99, 1000).alias("p99_gk"),
+    )

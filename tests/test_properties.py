@@ -727,3 +727,32 @@ def test_compress_ratio_matches_direct_zlib(spark):
             n, raw_b, comp_b, suspect,
         ), src
         assert g.compress_ratio == round(comp_b / raw_b, 6)
+
+
+def test_gk_quantiles_rank_error_bound(spark):
+    """q_gk_quantiles (native percentile_approx, accuracy 1000): each
+    estimate must be an actual data value whose rank is within
+    n/1000 (+ tie slack) of the target quantile."""
+    import bisect
+
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.inventory import QUERIES
+    from tests.conftest import SF_DIR
+
+    got = {r.event_type: r for r in QUERIES["q_gk_quantiles"](spark, SF_DIR).collect()}
+    rows = Catalog(spark, SF_DIR).events.select("event_type", "value").collect()
+    vals: dict[str, list] = {}
+    for r in rows:
+        vals.setdefault(r.event_type, []).append(r.value)
+    for et, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        r = got[et]
+        assert r.n == n
+        for q, est in ((0.5, r.p50_gk), (0.9, r.p90_gk), (0.99, r.p99_gk)):
+            lo = bisect.bisect_left(xs, est)
+            hi = bisect.bisect_right(xs, est)
+            assert lo < hi, (et, q, est)  # the estimate is a real value
+            target = q * n
+            slack = n / 1000 + 1
+            assert lo - slack <= target <= hi + slack, (et, q, lo, hi, target)

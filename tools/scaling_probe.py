@@ -165,6 +165,35 @@ def main() -> None:
                 )
             ),
             "graph_triangles": lambda: _graph_triangles(spark, li, noop),
+            # round-6 shape: two-stage salted bottom-k (the
+            # q_quantile_sketch / streaming sketch sample pass) —
+            # stage 1 is scan-parallel per (type, salt), stage 2
+            # touches ≤ 32·k survivors, so wall time must track the
+            # scan, not the per-type sort a naive window would do
+            "bottomk_sketch": lambda: noop(
+                ev.select(
+                    "event_type", "value",
+                    F.conv(
+                        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                        16, 10,
+                    ).cast("bigint").alias("hv"),
+                )
+                .withColumn("salt", F.pmod(F.col("hv"), F.lit(32)))
+                .withColumn(
+                    "lrk",
+                    F.row_number().over(
+                        Window.partitionBy("event_type", "salt").orderBy("hv")
+                    ),
+                )
+                .filter(F.col("lrk") <= 256)
+                .withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.partitionBy("event_type").orderBy("hv")
+                    ),
+                )
+                .filter(F.col("rk") <= 256)
+            ),
             "cms_build": lambda: noop(
                 ev.select(
                     "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
