@@ -14,7 +14,7 @@ distributed triangle algorithm, never an all-pairs pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
@@ -330,3 +330,132 @@ def mr_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alpha_hill"),
         )
     )
+
+
+# -- mr_label_propagation ----------------------------------------------
+#
+# Semi-synchronous label propagation communities (Raghavan et al.
+# 2007) over the symmetrized customer–supplier graph (same edge set
+# as mr_kcore / mr_pagerank): every node starts in its own community
+# and each round adopts its neighbors' most frequent label, ties
+# broken by the lexicographically smallest label — the deterministic
+# variant of LPA that a distributed engine can replay (asynchronous
+# random-order LPA is not reproducible; min-tiebreak synchronous LPA
+# is). Rounds are FIXED at 2 so the oracle states the identical
+# computation as chained CTEs. Output is the per-round community
+# summary (count, largest size, singleton count) — the convergence
+# dashboard, constant-size.
+#
+# Scale contract: per round, one edges⋈labels join (edges are
+# repartitioned on dst once and checkpointed, so the per-round join
+# reshuffles only the |nodes|-sized label table) feeding one
+# (node,label) groupBy and one per-node argmax window over the
+# node-sized vote grid. Labels checkpoint eagerly per round against
+# quadratic lineage re-execution — the graph-family idiom. The
+# per-round summary is 3 scalars driver-side.
+
+LABELPROP_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS lbl FROM edges
+), v1 AS (
+  SELECT e.src AS node, l.lbl, COUNT(*) AS c
+  FROM edges e JOIN l0 l ON l.node = e.dst
+  GROUP BY 1, 2
+), l1 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl) AS rn
+    FROM v1
+  ) WHERE rn = 1
+), v2 AS (
+  SELECT e.src AS node, l.lbl, COUNT(*) AS c
+  FROM edges e JOIN l1 l ON l.node = e.dst
+  GROUP BY 1, 2
+), l2 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl) AS rn
+    FROM v2
+  ) WHERE rn = 1
+), s1 AS (
+  SELECT lbl, COUNT(*) AS sz FROM l1 GROUP BY 1
+), s2 AS (
+  SELECT lbl, COUNT(*) AS sz FROM l2 GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS round,
+       CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST(MAX(sz) AS BIGINT) AS top_size,
+       CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons
+FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(MAX(sz) AS BIGINT),
+       CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM s2
+ORDER BY round
+"""
+
+
+@query("mr_label_propagation", oracle=LABELPROP_SQL)
+def mr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    orders = c.orders
+    e0 = (
+        orders.join(
+            c.lineitem.select("l_orderkey", "l_suppkey"),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # partition on the probe key ONCE: each round's labels join
+        # reuses this partitioning (only the label table reshuffles)
+        .repartition("dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    rows = []
+    for r in (1, 2):
+        votes = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("vnode"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("vnode").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (
+            votes.select(
+                F.col("vnode").alias("node"), "lbl",
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+        sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+        summ = sizes.agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.max("sz").alias("top"),
+            F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).alias("single"),
+        ).first()
+        rows.append((r, summ.nc, summ.top, int(summ.single)))
+    return spark.createDataFrame(
+        rows, "round long, n_communities long, top_size long, n_singletons long"
+    ).orderBy("round")

@@ -1081,3 +1081,252 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term").cast("double"), 6).alias("w1_distance"),
         )
     )
+
+
+# -- q_mannwhitney -----------------------------------------------------
+#
+# Mann–Whitney U rank-sum test, each event type's value distribution
+# vs the pooled rest (the nonparametric two-sample location test —
+# the robust sibling of the z/t tests in q_ab_test). Because every
+# one-vs-rest comparison pools ALL values, the midrank grid is
+# computed ONCE over distinct values (groupBy value → tie count, one
+# grid-sized cumulative window — never a row-level global sort, the
+# q_gini documented-grid-sort shape), then joined back to per-(type,
+# value) counts. All rank algebra is exact integer: 2·avgrank =
+# 2·cum − cnt + 1, so 2·R1 and 2·U1 are exact BIGINTs; the only
+# floating-point steps are the variance (with the standard tie
+# correction T = Σ(t³−t)) and the final z / rank-biserial divisions,
+# identical expression shapes in both engines, then round(...,6).
+
+MANNWHITNEY_SQL = """
+WITH vals AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1
+), rg AS (
+  SELECT value, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY value) AS BIGINT) AS cum
+  FROM g
+), gstat AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+  FROM g
+), tg AS (
+  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM vals GROUP BY 1, 2
+), per AS (
+  SELECT t.event_type,
+         CAST(SUM(t.ct) AS BIGINT) AS n1,
+         CAST(SUM(t.ct * (2 * r.cum - r.cnt + 1)) AS BIGINT) AS r2x
+  FROM tg t JOIN rg r ON r.value = t.value
+  GROUP BY 1
+)
+SELECT event_type,
+       n1,
+       CAST(n - n1 AS BIGINT) AS n2,
+       (r2x - n1 * (n1 + 1)) / 2.0 AS u1,
+       CASE WHEN n1 > 0 AND n - n1 > 0
+                 AND (n + 1.0) - ties / (n * (n - 1.0)) > 0
+            THEN round(
+              (r2x - n1 * (n1 + 1) - n1 * (n - n1))
+              / (2.0 * sqrt(n1 * (n - n1)
+                            * ((n + 1.0) - ties / (n * (n - 1.0)))
+                            / 12.0)), 6)
+            ELSE 0.0 END AS z_mw,
+       round(1.0 - (r2x - n1 * (n1 + 1))
+                   / (CAST(n1 AS DOUBLE) * (n - n1)), 6) AS r_rb
+FROM per CROSS JOIN gstat
+ORDER BY event_type
+"""
+
+
+@query("q_mannwhitney", oracle=MANNWHITNEY_SQL)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    vals = e.filter(F.col("value").isNotNull()).select("event_type", "value")
+    g = vals.groupBy("value").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    rg = g.select(
+        "value", "cnt",
+        F.sum("cnt").over(Window.orderBy("value")).cast("bigint").alias("cum"),
+    )
+    glob = g.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint").alias("ties"),
+    )
+    tg = vals.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    per = (
+        tg.join(rg, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ct").cast("bigint").alias("n1"),
+            F.sum(
+                F.col("ct") * (2 * F.col("cum") - F.col("cnt") + 1)
+            ).cast("bigint").alias("r2x"),
+        )
+    )
+    j = per.join(F.broadcast(glob))
+    n, n1, r2x, ties = (F.col(c) for c in ("n", "n1", "r2x", "ties"))
+    n2 = n - n1
+    u2x = r2x - n1 * (n1 + 1)
+    tie_factor = (n + F.lit(1.0)) - ties / (n * (n - F.lit(1.0)))
+    z = (u2x - n1 * n2) / (
+        2.0 * F.sqrt(n1 * n2 * tie_factor / F.lit(12.0))
+    )
+    return j.select(
+        "event_type",
+        n1.alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        (u2x / F.lit(2.0)).alias("u1"),
+        F.when(
+            (n1 > 0) & (n2 > 0) & (tie_factor > 0), F.round(z, 6)
+        ).otherwise(F.lit(0.0)).alias("z_mw"),
+        F.round(
+            F.lit(1.0) - u2x / (n1.cast("double") * n2), 6
+        ).alias("r_rb"),
+    ).orderBy("event_type")
+
+
+# -- q_bh_fdr ----------------------------------------------------------
+#
+# Benjamini–Hochberg false-discovery-rate control over a family of
+# per-nation hypothesis tests (the multiple-testing companion of
+# q_ab_test: 25 simultaneous "is this nation's mean account balance
+# off the global mean?" z-tests would inflate false positives at
+# α=0.05 without correction). Moments are exact decimal sums
+# (acctbal and acctbal² as DECIMAL(18,2)/DECIMAL(37,4)); z is the
+# one-sample z against the global population std; the two-sided
+# p-value is poly(t)·exp(−x²) via the Abramowitz–Stegun 7.1.26 erfc
+# approximation (the q_survival_km exp() precedent — identical double
+# expression both engines, pre-rounded to 9 decimals so the BH
+# ordering is cross-engine stable). BH adjustment is the textbook
+# step-up: rank p ascending (ties broken by nation), adjusted
+# p_j = min_{k≥j}(p_k·m/k) as a suffix-min window, capped at 1.
+# Scale shape: one customer scan partial-aggregates to the 25-nation
+# grid joined to a broadcast 1-row global; everything after touches
+# 25 rows.
+
+BH_FDR_SQL = """
+WITH c AS (
+  SELECT c_nationkey,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+), per AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(bal) AS DECIMAL(28,2)) AS s1
+  FROM c GROUP BY 1
+), gstat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(bal) AS DECIMAL(28,2)) AS s,
+         CAST(SUM(bal * bal) AS DECIMAL(38,4)) AS ssq
+  FROM c
+), zt AS (
+  SELECT n_name,
+         n1,
+         round(CAST(s1 AS DOUBLE) / n1, 6) AS mean_bal,
+         round(
+           (CAST(s1 AS DOUBLE) / n1 - CAST(s AS DOUBLE) / n)
+           / (sqrt((CAST(ssq AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+              / sqrt(CAST(n1 AS DOUBLE))), 6) AS z
+  FROM per CROSS JOIN gstat
+  JOIN nation ON n_nationkey = c_nationkey
+), pv AS (
+  SELECT n_name, n1, mean_bal, z,
+         round(
+           (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+           * (0.254829592
+              + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+              * (-0.284496736
+                 + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                 * (1.421413741
+                    + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                    * (-1.453152027
+                       + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                       * 1.061405429))))
+           * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0))), 9)
+           AS p_raw
+  FROM zt
+), rk AS (
+  SELECT n_name, n1, mean_bal, z, p_raw,
+         ROW_NUMBER() OVER (ORDER BY p_raw, n_name) AS j,
+         COUNT(*) OVER () AS m
+  FROM pv
+)
+SELECT n_name, n1, mean_bal, z, p_raw,
+       round(LEAST(1.0,
+         MIN(p_raw * m / j) OVER (ORDER BY j DESC)), 6) AS p_adj,
+       CASE WHEN round(LEAST(1.0,
+              MIN(p_raw * m / j) OVER (ORDER BY j DESC)), 6) <= 0.05
+            THEN 1 ELSE 0 END AS rejected
+FROM rk
+ORDER BY n_name
+"""
+
+
+@query("q_bh_fdr", oracle=BH_FDR_SQL)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select(
+        "c_nationkey", dec("c_acctbal").alias("bal")
+    )
+    per = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("bal").cast("decimal(28,2)").alias("s1"),
+    )
+    gstat = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("bal").cast("decimal(28,2)").alias("s"),
+        F.sum(F.col("bal") * F.col("bal")).cast("decimal(38,4)").alias("ssq"),
+    )
+    zt = (
+        per.join(F.broadcast(gstat))
+        .join(
+            F.broadcast(c.nation),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+    )
+    n, n1 = F.col("n"), F.col("n1")
+    sd, s1d = F.col("s").cast("double"), F.col("s1").cast("double")
+    mean1 = s1d / n1
+    mu = sd / n
+    sigma = F.sqrt((F.col("ssq").cast("double") - sd * sd / n) / n)
+    z = (mean1 - mu) / (sigma / F.sqrt(n1.cast("double")))
+    zt = zt.select(
+        "n_name", "n1",
+        F.round(mean1, 6).alias("mean_bal"),
+        F.round(z, 6).alias("z"),
+    )
+    # A&S 7.1.26: p_two = poly(t) * exp(-x^2), x = |z|/sqrt(2)
+    x = F.abs(F.col("z")) / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736
+               + t * (1.421413741
+                      + t * (-1.453152027 + t * 1.061405429)))
+    )
+    pv = zt.select(
+        "n_name", "n1", "mean_bal", "z",
+        F.round(poly * F.exp(-x * x), 9).alias("p_raw"),
+    )
+    w = Window.orderBy("p_raw", "n_name")
+    rk = pv.select(
+        "*",
+        F.row_number().over(w).alias("j"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("m"),
+    )
+    suffix_min = F.min(
+        F.col("p_raw") * F.col("m") / F.col("j")
+    ).over(Window.orderBy(F.desc("j")))
+    p_adj = F.round(F.least(F.lit(1.0), suffix_min), 6)
+    return rk.select(
+        "n_name", "n1", "mean_bal", "z", "p_raw",
+        p_adj.alias("p_adj"),
+        F.when(p_adj <= 0.05, F.lit(1)).otherwise(F.lit(0)).alias("rejected"),
+    ).orderBy("n_name")

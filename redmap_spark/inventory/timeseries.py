@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import query
+from redmap_spark.inventory.registry import dec, query
 
 # Shared daily grid: the events fact stream collapses to the tiny
 # |event_type × day| grid with one partial-aggregated groupBy; every
@@ -1150,3 +1150,106 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("theilsen_slope"),
     )
+
+
+# -- q_sax_symbols -----------------------------------------------------
+#
+# SAX (Symbolic Aggregate approXimation, Lin et al. 2003) of the
+# daily-revenue series: the time-series indexing/motif primitive that
+# compresses a long series to a short symbol word. The daily series
+# (exact DECIMAL(18,2) revenue per ship day) is z-normalized with
+# population moments from exact decimal sums (Σr and Σr² as
+# DECIMAL(37,4) — order-independent, so the only FP steps are the
+# identical final divisions/sqrt), PAA-compressed into 16 equal-width
+# segments (segment id = floor((i−1)·16/n) in exact double products
+# ≪ 2^53), and each segment mean mapped to the 4-symbol alphabet at
+# the standard N(0,1) quartile breakpoints ±0.6745. Scale shape: one
+# fact scan partial-aggregates to the ~2500-day grid; the ROW_NUMBER
+# ordering window is grid-sized (q_gini documented-grid-sort shape);
+# everything after touches 16 rows.
+
+SAX_SQL = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(18,2)) AS r
+  FROM lineitem GROUP BY 1
+), gstat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r) AS DECIMAL(28,2)) AS s,
+         CAST(SUM(r * r) AS DECIMAL(38,4)) AS ssq
+  FROM daily
+), seg AS (
+  SELECT CAST(floor((ROW_NUMBER() OVER (ORDER BY d) - 1) * 16.0
+                    / (SELECT n FROM gstat)) AS BIGINT) AS segment_id,
+         r
+  FROM daily
+), paa AS (
+  SELECT segment_id,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(r) AS DECIMAL(28,2)) AS sr
+  FROM seg GROUP BY 1
+)
+SELECT segment_id, n_days,
+       round((CAST(sr AS DOUBLE) / n_days - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(ssq AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n),
+             6) AS paa_z,
+       CASE
+         WHEN (CAST(sr AS DOUBLE) / n_days - CAST(s AS DOUBLE) / n)
+              / sqrt((CAST(ssq AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+              < -0.6745 THEN 'a'
+         WHEN (CAST(sr AS DOUBLE) / n_days - CAST(s AS DOUBLE) / n)
+              / sqrt((CAST(ssq AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+              < 0.0 THEN 'b'
+         WHEN (CAST(sr AS DOUBLE) / n_days - CAST(s AS DOUBLE) / n)
+              / sqrt((CAST(ssq AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+              < 0.6745 THEN 'c'
+         ELSE 'd' END AS symbol
+FROM paa CROSS JOIN gstat
+ORDER BY segment_id
+"""
+
+
+@query("q_sax_symbols", oracle=SAX_SQL)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+        .cast("decimal(18,2)").alias("r")
+    )
+    gstat = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("decimal(28,2)").alias("s"),
+        F.sum(F.col("r") * F.col("r")).cast("decimal(38,4)").alias("ssq"),
+    )
+    seg = daily.join(F.broadcast(gstat)).select(
+        F.floor(
+            (F.row_number().over(Window.orderBy("d")) - 1)
+            * F.lit(16.0) / F.col("n")
+        ).cast("bigint").alias("segment_id"),
+        "r",
+    )
+    paa = seg.groupBy("segment_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("r").cast("decimal(28,2)").alias("sr"),
+    )
+    j = paa.join(F.broadcast(gstat))
+    sd = F.col("s").cast("double")
+    z = (F.col("sr").cast("double") / F.col("n_days") - sd / F.col("n")) / F.sqrt(
+        (F.col("ssq").cast("double") - sd * sd / F.col("n")) / F.col("n")
+    )
+    return j.select(
+        "segment_id", "n_days",
+        F.round(z, 6).alias("paa_z"),
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d").alias("symbol"),
+    ).orderBy("segment_id")

@@ -57,7 +57,12 @@ def test_hot_paths_have_no_python_eval(spark):
     # design: greedy first-fit packing is inherently sequential per
     # bucket — Arrow-batched, never row-at-a-time Python)
     for name, fn in QUERIES.items():
-        if name.startswith("mm_") or name in ("txt_pack", "txt_bpe_apply"):
+        if name.startswith("mm_") or name in (
+            "txt_pack", "txt_bpe_apply", "txt_compress_ratio",
+        ):
+            # txt_compress_ratio: mapInPandas by design — zlib
+            # compressibility has no JVM builtin; Arrow-batched,
+            # byte work stays executor-side before the rollup
             # txt_bpe_apply: mapInPandas by design — greedy merge
             # application is an inherently sequential per-word loop,
             # Arrow-batched with a per-batch word memo
