@@ -384,3 +384,109 @@ def q_entity_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("a.min_price"), F.col("b.min_price")).alias("min_price"),
         F.greatest(F.col("a.max_size"), F.col("b.max_size")).cast("bigint").alias("max_size"),
     )
+
+
+# -- q_markov_stationary -----------------------------------------------
+#
+# Stationary distribution of the user-journey Markov chain: the
+# q_event_transitions matrix row-normalized to P (entries rounded to
+# DECIMAL(14,12) so both engines iterate identical values), then
+# three power-iteration steps π_{k+1} = π_k·P from the uniform start —
+# the "where does the journey settle" summary behind next-action
+# models and PageRank itself. Every iteration sums EXACT decimal
+# products (14,12)×(14,12) over the |types|² grid (order-independent)
+# and re-rounds through one double round(...,12), so engines never
+# drift. Scale shape: one user-partitioned lead() window over the
+# fact stream; every iteration afterwards touches the |types|-sized
+# grid only. Output: the 25-cell transition matrix with each source
+# row's 3-step stationary mass.
+
+MARKOV_SQL = """
+WITH pairs AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+), counts AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+), p AS (
+  SELECT cur, nxt, n,
+         CAST(round(n / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 12)
+              AS DECIMAL(14,12)) AS pr
+  FROM counts
+), types AS (
+  SELECT DISTINCT cur AS t FROM counts
+), pi0 AS (
+  SELECT t,
+         CAST(round(1.0 / (SELECT COUNT(*) FROM types), 12)
+              AS DECIMAL(14,12)) AS v
+  FROM types
+), pi1 AS (
+  SELECT p.nxt AS t,
+         CAST(round(CAST(SUM(pi0.v * p.pr) AS DOUBLE), 12)
+              AS DECIMAL(14,12)) AS v
+  FROM p JOIN pi0 ON pi0.t = p.cur GROUP BY 1
+), pi2 AS (
+  SELECT p.nxt AS t,
+         CAST(round(CAST(SUM(pi1.v * p.pr) AS DOUBLE), 12)
+              AS DECIMAL(14,12)) AS v
+  FROM p JOIN pi1 ON pi1.t = p.cur GROUP BY 1
+), pi3 AS (
+  SELECT p.nxt AS t,
+         CAST(round(CAST(SUM(pi2.v * p.pr) AS DOUBLE), 12)
+              AS DECIMAL(14,12)) AS v
+  FROM p JOIN pi2 ON pi2.t = p.cur GROUP BY 1
+)
+SELECT p.cur AS from_type, p.nxt AS to_type, p.n AS n_trans,
+       round(CAST(p.pr AS DOUBLE), 6) AS p,
+       round(CAST(pi3.v AS DOUBLE), 6) AS stationary_from
+FROM p JOIN pi3 ON pi3.t = p.cur
+ORDER BY from_type, to_type
+"""
+
+
+@query("q_markov_stationary", oracle=MARKOV_SQL)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wc = Window.partitionBy("cur")
+    p = counts.select(
+        "cur", "nxt", "n",
+        F.round(F.col("n") / F.sum("n").over(wc).cast("double"), 12)
+        .cast("decimal(14,12)").alias("pr"),
+    ).localCheckpoint(eager=True)  # three consumers of the tiny grid
+    types = p.select(F.col("cur").alias("t")).distinct()
+    n_types = types.agg(F.count(F.lit(1)).alias("k"))
+    pi = types.join(F.broadcast(n_types)).select(
+        "t",
+        F.round(F.lit(1.0) / F.col("k"), 12).cast("decimal(14,12)").alias("v"),
+    )
+    for _ in range(3):
+        pi = (
+            p.join(pi, p.cur == pi.t)
+            .groupBy(F.col("nxt").alias("nt"))
+            .agg(
+                F.round(F.sum(F.col("v") * F.col("pr")).cast("double"), 12)
+                .cast("decimal(14,12)").alias("nv")
+            )
+            .select(F.col("nt").alias("t"), F.col("nv").alias("v"))
+        )
+    return (
+        p.join(pi, p.cur == pi.t)
+        .select(
+            F.col("cur").alias("from_type"),
+            F.col("nxt").alias("to_type"),
+            F.col("n").alias("n_trans"),
+            F.round(F.col("pr").cast("double"), 6).alias("p"),
+            F.round(F.col("v").cast("double"), 6).alias("stationary_from"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -1330,3 +1330,264 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_adj.alias("p_adj"),
         F.when(p_adj <= 0.05, F.lit(1)).otherwise(F.lit(0)).alias("rejected"),
     ).orderBy("n_name")
+
+
+# -- q_ips_policy_eval -------------------------------------------------
+#
+# Offline (off-policy) evaluation with inverse-propensity scoring:
+# the counterfactual "what would the greedy policy have earned"
+# estimate a bandit/recommender pipeline computes before shipping.
+# Context = ISO day-of-week, arm = event_type, reward = value. The
+# TRAIN half (ts < Jan 16) fixes both the logging propensities
+# p̂(a|x) (empirical shares, rounded to DECIMAL(14,12) so both
+# engines carry identical weights) and the target policy π(x) =
+# argmax_a mean train reward (ties → smallest arm). The EVAL half is
+# scored two ways: the direct-method mean reward of the chosen arm,
+# and IPS = Σ_{a=π(x)} r · min(1/p̂, 10) / n_eval(x) with the
+# standard weight clip at 10. All sums exact decimal; the only FP
+# steps are the final identical divisions. Scale shape: two scans
+# (train/eval split predicate pushes to the parquet scan) collapsing
+# to the |dow × arms| grid; everything after touches ≤ 70 rows.
+
+IPS_SPLIT = "2024-01-16"
+
+IPS_SQL = f"""
+WITH ev AS (
+  SELECT isodow(CAST(ts AS DATE)) AS dow, event_type AS arm,
+         CAST(value AS DECIMAL(18,2)) AS r,
+         CASE WHEN CAST(ts AS DATE) < DATE '{IPS_SPLIT}' THEN 1 ELSE 0 END
+           AS is_train
+  FROM events
+), tr AS (
+  SELECT dow, arm,
+         CAST(COUNT(*) AS BIGINT) AS n_ta,
+         CAST(SUM(r) AS DECIMAL(28,2)) AS s_ta
+  FROM ev WHERE is_train = 1 GROUP BY 1, 2
+), trx AS (
+  SELECT dow, CAST(SUM(n_ta) AS BIGINT) AS n_tx FROM tr GROUP BY 1
+), pol AS (
+  SELECT dow, arm AS target_arm,
+         CAST(round(n_ta / CAST(n_tx AS DOUBLE), 12) AS DECIMAL(14,12))
+           AS propensity
+  FROM (
+    SELECT tr.dow, arm, n_ta, n_tx,
+           ROW_NUMBER() OVER (
+             PARTITION BY tr.dow
+             ORDER BY CAST(s_ta AS DOUBLE) / n_ta DESC, arm) AS rk
+    FROM tr JOIN trx ON trx.dow = tr.dow
+  ) WHERE rk = 1
+), evx AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_eval FROM ev
+  WHERE is_train = 0 GROUP BY 1
+), mt AS (
+  SELECT e.dow,
+         CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(SUM(e.r) AS DECIMAL(28,2)) AS s_matched
+  FROM ev e JOIN pol ON pol.dow = e.dow AND pol.target_arm = e.arm
+  WHERE e.is_train = 0 GROUP BY 1
+)
+SELECT CAST(pol.dow AS BIGINT) AS dow, pol.target_arm,
+       round(CAST(pol.propensity AS DOUBLE), 6) AS propensity,
+       evx.n_eval, mt.n_matched,
+       round(CAST(s_matched AS DOUBLE) / n_matched, 6) AS dm_value,
+       round(CAST(s_matched AS DOUBLE)
+             * LEAST(1.0 / CAST(propensity AS DOUBLE), 10.0)
+             / n_eval, 6) AS ips_value
+FROM pol JOIN evx ON evx.dow = pol.dow
+JOIN mt ON mt.dow = pol.dow
+ORDER BY dow
+"""
+
+
+@query("q_ips_policy_eval", oracle=IPS_SQL)
+def q_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    iso = F.when(F.dayofweek(F.col("d")) == 1, F.lit(7)).otherwise(
+        F.dayofweek(F.col("d")) - 1
+    )
+    ev = e.select(
+        F.to_date("ts").alias("d"), F.col("event_type").alias("arm"),
+        dec("value").alias("r"),
+    ).select(
+        iso.alias("dow"), "arm", "r",
+        (F.col("d") < F.lit(IPS_SPLIT)).cast("int").alias("is_train"),
+    )
+    tr = ev.filter(F.col("is_train") == 1).groupBy("dow", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ta"),
+        F.sum("r").cast("decimal(28,2)").alias("s_ta"),
+    )
+    trx = tr.groupBy("dow").agg(F.sum("n_ta").cast("bigint").alias("n_tx"))
+    rk = Window.partitionBy("dow").orderBy(
+        F.desc(F.col("s_ta").cast("double") / F.col("n_ta")), F.asc("arm")
+    )
+    pol = (
+        tr.join(F.broadcast(trx), "dow")
+        .select(
+            "dow", F.col("arm").alias("target_arm"),
+            F.round(F.col("n_ta") / F.col("n_tx").cast("double"), 12)
+            .cast("decimal(14,12)").alias("propensity"),
+            F.row_number().over(rk).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    evx = ev.filter(F.col("is_train") == 0).groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval")
+    )
+    mt = (
+        ev.filter(F.col("is_train") == 0)
+        .join(F.broadcast(pol), ["dow"])
+        .filter(F.col("arm") == F.col("target_arm"))
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum("r").cast("decimal(28,2)").alias("s_matched"),
+        )
+    )
+    sm = F.col("s_matched").cast("double")
+    return (
+        pol.join(evx, "dow").join(mt, "dow")
+        .select(
+            F.col("dow").cast("bigint").alias("dow"), "target_arm",
+            F.round(F.col("propensity").cast("double"), 6).alias("propensity"),
+            "n_eval", "n_matched",
+            F.round(sm / F.col("n_matched"), 6).alias("dm_value"),
+            F.round(
+                sm
+                * F.least(
+                    F.lit(1.0) / F.col("propensity").cast("double"), F.lit(10.0)
+                )
+                / F.col("n_eval"),
+                6,
+            ).alias("ips_value"),
+        )
+        .orderBy("dow")
+    )
+
+
+# -- q_calibration_ece -------------------------------------------------
+#
+# Probability-calibration audit (reliability diagram + expected
+# calibration error + Brier score): the model-eval primitive run
+# before trusting any classifier's scores. The "model" is the
+# simplest honest one: predicted purchase propensity = TRAIN-half
+# purchase rate of the event's value bin (10 fixed-width bins,
+# bin = min(floor(value/50), 9) — fixed edges, no quantile pass),
+# rounded to DECIMAL(8,6) so both engines score identically. The
+# EVAL half is grouped by confidence decile floor(score·10):
+# per-bin confidence vs realized purchase rate, |gap|, and the
+# global ECE = Σ (n_b/N)·|acc_b − conf_b| and Brier = mean((s−y)²)
+# — both from exact decimal sums ((8,6)² products are exact), one
+# identical final division each. Scale shape: two scans collapsing
+# to the 10-bin grid joined to a broadcast 1-row total.
+
+CALIB_SPLIT = "2024-01-16"
+
+CALIB_SQL = f"""
+WITH ev AS (
+  SELECT LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS vbin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN CAST(ts AS DATE) < DATE '{CALIB_SPLIT}' THEN 1 ELSE 0 END
+           AS is_train
+  FROM events WHERE value IS NOT NULL
+), model AS (
+  SELECT vbin,
+         CAST(round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(8,6))
+           AS score
+  FROM ev WHERE is_train = 1 GROUP BY 1
+), scored AS (
+  SELECT m.score, e.y,
+         LEAST(CAST(floor(CAST(m.score AS DOUBLE) * 10.0) AS BIGINT), 9)
+           AS cbin
+  FROM ev e JOIN model m ON m.vbin = e.vbin
+  WHERE e.is_train = 0
+), bins AS (
+  SELECT cbin,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(score) AS DECIMAL(28,6)) AS s_conf,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM((score - y) * (score - y)) AS DECIMAL(38,12)) AS s_sq
+  FROM scored GROUP BY 1
+), gstat AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS n,
+         CAST(SUM(s_sq) AS DECIMAL(38,12)) AS brier_num,
+         CAST(SUM(CAST(round(CAST(n_events AS DOUBLE)
+             * abs(n_pos / CAST(n_events AS DOUBLE)
+                   - CAST(s_conf AS DOUBLE) / n_events), 6)
+             AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS ece_num
+  FROM bins
+)
+SELECT cbin, n_events,
+       round(CAST(s_conf AS DOUBLE) / n_events, 6) AS avg_conf,
+       round(n_pos / CAST(n_events AS DOUBLE), 6) AS purchase_rate,
+       round(abs(n_pos / CAST(n_events AS DOUBLE)
+                 - CAST(s_conf AS DOUBLE) / n_events), 6) AS abs_gap,
+       round(CAST(ece_num AS DOUBLE) / n, 6) AS ece,
+       round(CAST(brier_num AS DOUBLE) / n, 6) AS brier
+FROM bins CROSS JOIN gstat
+ORDER BY cbin
+"""
+
+
+@query("q_calibration_ece", oracle=CALIB_SQL)
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ev = e.filter(F.col("value").isNotNull()).select(
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9)
+        ).alias("vbin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (F.to_date("ts") < F.lit(CALIB_SPLIT)).cast("int").alias("is_train"),
+    )
+    model = ev.filter(F.col("is_train") == 1).groupBy("vbin").agg(
+        F.round(F.sum("y") / F.count(F.lit(1)).cast("double"), 6)
+        .cast("decimal(8,6)").alias("score")
+    )
+    scored = (
+        ev.filter(F.col("is_train") == 0)
+        .join(F.broadcast(model), "vbin")
+        .select(
+            "score", "y",
+            F.least(
+                F.floor(F.col("score").cast("double") * 10.0).cast("bigint"),
+                F.lit(9),
+            ).alias("cbin"),
+        )
+    )
+    bins = scored.groupBy("cbin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("score").cast("decimal(28,6)").alias("s_conf"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum((F.col("score") - F.col("y")) * (F.col("score") - F.col("y")))
+        .cast("decimal(38,12)").alias("s_sq"),
+    )
+    acc = F.col("n_pos") / F.col("n_events").cast("double")
+    conf = F.col("s_conf").cast("double") / F.col("n_events")
+    gstat = bins.agg(
+        F.sum("n_events").cast("bigint").alias("n"),
+        F.sum("s_sq").cast("decimal(38,12)").alias("brier_num"),
+        F.sum(
+            F.round(
+                F.col("n_events").cast("double")
+                * F.abs(
+                    F.col("n_pos") / F.col("n_events").cast("double")
+                    - F.col("s_conf").cast("double") / F.col("n_events")
+                ),
+                6,
+            ).cast("decimal(28,6)")
+        ).cast("decimal(28,6)").alias("ece_num"),
+    )
+    return (
+        bins.join(F.broadcast(gstat))
+        .select(
+            "cbin", "n_events",
+            F.round(conf, 6).alias("avg_conf"),
+            F.round(acc, 6).alias("purchase_rate"),
+            F.round(F.abs(acc - conf), 6).alias("abs_gap"),
+            F.round(F.col("ece_num").cast("double") / F.col("n"), 6)
+            .alias("ece"),
+            F.round(F.col("brier_num").cast("double") / F.col("n"), 6)
+            .alias("brier"),
+        )
+        .orderBy("cbin")
+    )

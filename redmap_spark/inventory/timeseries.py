@@ -1253,3 +1253,107 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(z < 0.6745, "c")
         .otherwise("d").alias("symbol"),
     ).orderBy("segment_id")
+
+
+# -- q_cross_correlation -----------------------------------------------
+#
+# Lagged cross-correlation between two daily series (does 'click'
+# revenue lead 'purchase' revenue, and by how many days?): Pearson r
+# of (click_t, purchase_{t+l}) for every lag l = 0..14, computed from
+# EXACT decimal moments per lag (n, Σx, Σy, Σxy, Σx², Σy² — the
+# q_corr_matrix determinism pattern), with the best lag flagged by
+# max |r| (ties → smallest lag). Scale shape: the fact stream
+# collapses to the per-type day grid once; the 15 lags come from one
+# bounded 15× generate of the ~2500-row grid joined back to itself on
+# the shifted day — never a re-scan of the stream per lag.
+
+XCORR_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+), x AS (
+  SELECT day, rev FROM daily WHERE event_type = 'click'
+), y AS (
+  SELECT day, rev FROM daily WHERE event_type = 'purchase'
+), lags AS (
+  SELECT UNNEST(generate_series(0, 14)) AS lag
+), m AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x.rev) AS DECIMAL(28,2)) AS sx,
+         CAST(SUM(y.rev) AS DECIMAL(28,2)) AS sy,
+         CAST(SUM(x.rev * y.rev) AS DECIMAL(38,4)) AS sxy,
+         CAST(SUM(x.rev * x.rev) AS DECIMAL(38,4)) AS sxx,
+         CAST(SUM(y.rev * y.rev) AS DECIMAL(38,4)) AS syy
+  FROM lags l
+  JOIN x ON TRUE
+  JOIN y ON y.day = x.day + CAST(l.lag AS INTEGER)
+  GROUP BY 1
+), r AS (
+  SELECT lag, n_days,
+         round(
+           (n_days * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(n_days * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(n_days * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS xcorr
+  FROM m
+)
+SELECT lag AS lag_days, n_days, xcorr,
+       CASE WHEN ROW_NUMBER() OVER (ORDER BY abs(xcorr) DESC, lag) = 1
+            THEN 1 ELSE 0 END AS is_best_lag
+FROM r
+ORDER BY lag_days
+"""
+
+
+@query("q_cross_correlation", oracle=XCORR_SQL)
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(dec("value")).cast("decimal(19,2)").alias("rev"))
+        .localCheckpoint(eager=True)  # x and y both consume the grid
+    )
+    x = daily.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("xday"), F.col("rev").alias("xrev")
+    )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("rev").alias("yrev")
+    )
+    xl = x.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(14))).alias("lag")
+    ).withColumn("jday", F.date_add("xday", F.col("lag")))
+    m = (
+        xl.join(y, xl.jday == y.yday)
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("xrev").cast("decimal(28,2)").alias("sx"),
+            F.sum("yrev").cast("decimal(28,2)").alias("sy"),
+            F.sum(F.col("xrev") * F.col("yrev")).cast("decimal(38,4)").alias("sxy"),
+            F.sum(F.col("xrev") * F.col("xrev")).cast("decimal(38,4)").alias("sxx"),
+            F.sum(F.col("yrev") * F.col("yrev")).cast("decimal(38,4)").alias("syy"),
+        )
+    )
+    n = F.col("n_days")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = m.select(
+        "lag", "n_days",
+        F.round(
+            (n * F.col("sxy").cast("double") - sx * sy)
+            / (
+                F.sqrt(n * F.col("sxx").cast("double") - sx * sx)
+                * F.sqrt(n * F.col("syy").cast("double") - sy * sy)
+            ),
+            6,
+        ).alias("xcorr"),
+    )
+    wb = Window.orderBy(F.desc(F.abs(F.col("xcorr"))), F.asc("lag"))
+    return r.select(
+        F.col("lag").alias("lag_days"), "n_days", "xcorr",
+        F.when(F.row_number().over(wb) == 1, 1).otherwise(0).alias("is_best_lag"),
+    ).orderBy("lag_days")
