@@ -429,26 +429,36 @@ def mr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("dst")
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
+    labels = None  # round 1 derives labels straight from the edges
     rows = []
     for r in (1, 2):
-        votes = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy(F.col("src").alias("vnode"), "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        w = Window.partitionBy("vnode").orderBy(F.desc("c"), F.asc("lbl"))
-        labels = (
-            votes.select(
-                F.col("vnode").alias("node"), "lbl",
-                F.row_number().over(w).alias("rn"),
+        if r == 1:
+            # Round-1 degenerate argmax: initial labels are all
+            # distinct, so every vote count is 1 and the (count DESC,
+            # label ASC) winner is simply the MIN neighbor id — one
+            # map-side-combinable groupBy, no join, no window. Same
+            # result as the general form the oracle states.
+            labels = (
+                edges.groupBy(F.col("src").alias("node"))
+                .agg(F.min("dst").alias("lbl"))
+                .localCheckpoint(eager=True)
             )
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
-            .localCheckpoint(eager=True)
-        )
+        else:
+            votes = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy(F.col("src").alias("vnode"), "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            w = Window.partitionBy("vnode").orderBy(F.desc("c"), F.asc("lbl"))
+            labels = (
+                votes.select(
+                    F.col("vnode").alias("node"), "lbl",
+                    F.row_number().over(w).alias("rn"),
+                )
+                .filter(F.col("rn") == 1)
+                .select("node", "lbl")
+                .localCheckpoint(eager=True)
+            )
         sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
         summ = sizes.agg(
             F.count(F.lit(1)).alias("nc"),

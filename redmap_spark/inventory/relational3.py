@@ -325,10 +325,14 @@ def q_datetime_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # date to line ship date, as order statistics p50/p90/max plus the
 # slow share (> 90 days) — the SLA report q12 only thresholds.
 # Delay is exact integer day arithmetic; percentiles are
-# value-deterministic order stats at rank ceil(q·n); the share is one
-# double division. Shape: fact⋈fact join on orderkey (both sides
-# shuffle once on the join key), then per-priority windows over the
-# delay grid.
+# value-deterministic order stats (the value at rank ceil(q·m) = the
+# smallest delay whose cumulative count reaches that rank). Shape:
+# fact⋈fact join on orderkey, then ONE partial-aggregated groupBy to
+# the tiny |priority × distinct-delay| grid (delays are bounded
+# integer days, ~600 cells); the cumulative window and the rank
+# lookups run over that grid only — never a per-priority sort of the
+# fact rows (which would put the whole stream through 5 skewed
+# window partitions at scale).
 
 LATENESS_SQL = """
 WITH l AS (
@@ -337,33 +341,33 @@ WITH l AS (
                    CAST(l_shipdate AS DATE)) AS delay_days
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
-tot AS (
-  SELECT o_orderpriority,
-         CAST(COUNT(*) AS BIGINT) AS n_lines,
-         CAST(SUM(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_slow
-  FROM l GROUP BY 1
+g AS (
+  SELECT o_orderpriority, delay_days, CAST(COUNT(*) AS BIGINT) AS c
+  FROM l GROUP BY 1, 2
 ),
-r AS (
-  SELECT o_orderpriority, delay_days,
-         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                            ORDER BY delay_days) AS rk,
-         COUNT(*) OVER (PARTITION BY o_orderpriority) AS m
-  FROM l
+cg AS (
+  SELECT o_orderpriority, delay_days, c,
+         SUM(c) OVER (PARTITION BY o_orderpriority
+                      ORDER BY delay_days) AS cum,
+         SUM(c) OVER (PARTITION BY o_orderpriority) AS m
+  FROM g
 ),
 st AS (
   SELECT o_orderpriority,
-         CAST(MAX(CASE WHEN rk = CAST(ceil(0.5 * m) AS BIGINT)
+         CAST(MAX(m) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN delay_days > 90 THEN c ELSE 0 END) AS BIGINT)
+           AS n_slow,
+         CAST(MIN(CASE WHEN cum >= CAST(ceil(0.5 * m) AS BIGINT)
                        THEN delay_days END) AS BIGINT) AS p50_delay,
-         CAST(MAX(CASE WHEN rk = CAST(ceil(0.9 * m) AS BIGINT)
+         CAST(MIN(CASE WHEN cum >= CAST(ceil(0.9 * m) AS BIGINT)
                        THEN delay_days END) AS BIGINT) AS p90_delay,
          CAST(MAX(delay_days) AS BIGINT) AS max_delay
-  FROM r GROUP BY 1
+  FROM cg GROUP BY 1
 )
-SELECT tot.o_orderpriority, n_lines, n_slow,
+SELECT o_orderpriority, n_lines, n_slow,
        round(n_slow / CAST(n_lines AS DOUBLE), 6) AS slow_share,
        p50_delay, p90_delay, max_delay
-FROM tot JOIN st ON st.o_orderpriority = tot.o_orderpriority
+FROM st
 """
 
 
@@ -378,32 +382,34 @@ def q_lateness_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date"),
         ).alias("delay_days"),
     )
-    tot = l.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-        F.sum(F.when(F.col("delay_days") > 90, 1).otherwise(0))
-        .cast("bigint").alias("n_slow"),
+    g = l.groupBy("o_orderpriority", "delay_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
     )
     wp = Window.partitionBy("o_orderpriority")
-    r = l.select(
-        "o_orderpriority", "delay_days",
-        F.row_number().over(wp.orderBy("delay_days")).alias("rk"),
-        F.count(F.lit(1)).over(wp).alias("m"),
+    cg = g.select(
+        "o_orderpriority", "delay_days", "c",
+        F.sum("c").over(wp.orderBy("delay_days")).alias("cum"),
+        F.sum("c").over(wp).alias("m"),
     )
 
     def at(q):
-        return F.max(
+        return F.min(
             F.when(
-                F.col("rk") == F.ceil(F.lit(q) * F.col("m")).cast("bigint"),
+                F.col("cum")
+                >= F.ceil(F.lit(q) * F.col("m")).cast("bigint"),
                 F.col("delay_days"),
             )
         ).cast("bigint")
 
-    st = r.groupBy("o_orderpriority").agg(
+    st = cg.groupBy("o_orderpriority").agg(
+        F.max("m").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("delay_days") > 90, F.col("c")).otherwise(0))
+        .cast("bigint").alias("n_slow"),
         at(0.5).alias("p50_delay"),
         at(0.9).alias("p90_delay"),
         F.max("delay_days").cast("bigint").alias("max_delay"),
     )
-    return tot.join(st, "o_orderpriority").select(
+    return st.select(
         "o_orderpriority", "n_lines", "n_slow",
         F.round(F.col("n_slow") / F.col("n_lines").cast("double"), 6)
         .alias("slow_share"),
