@@ -695,3 +695,69 @@ def q_decile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_curr").cast("bigint").alias("d_curr"),
         "n_customers",
     )
+
+
+# -- q_rate_limit ------------------------------------------------------
+#
+# Sliding-window rate audit: each user's PEAK events-per-trailing-hour
+# (count over a RANGE frame of 3600 epoch-seconds anchored at every
+# event), reported for the top 20 burstiest users — the abuse /
+# rate-limit capacity check an event platform runs before setting
+# throttle thresholds. A tumbling-bucket count would miss bursts that
+# straddle bucket edges; the RANGE frame is the exact sliding
+# semantics. Scale shape: ONE shuffle by user_id for the range
+# window (the frame scans each user's bounded event history), then a
+# per-user max collapse and a 20-row ordered cut with deterministic
+# (peak DESC, user ASC) ties. Epoch seconds truncate identically
+# (floor) in both engines.
+
+RATE_LIMIT_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), rated AS (
+  SELECT user_id,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS in_hour
+  FROM ev
+), peaks AS (
+  SELECT user_id,
+         CAST(MAX(in_hour) AS BIGINT) AS peak_per_hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM rated GROUP BY 1
+)
+SELECT user_id, peak_per_hour, n_events,
+       round(peak_per_hour / CAST(n_events AS DOUBLE), 6) AS burst_share
+FROM peaks
+ORDER BY peak_per_hour DESC, user_id
+LIMIT 20
+"""
+
+
+@query("q_rate_limit", oracle=RATE_LIMIT_SQL)
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ev = e.select("user_id", F.col("ts").cast("long").alias("sec"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, 0)
+    )
+    rated = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).cast("bigint").alias("in_hour")
+    )
+    peaks = rated.groupBy("user_id").agg(
+        F.max("in_hour").cast("bigint").alias("peak_per_hour"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return (
+        peaks.select(
+            "user_id", "peak_per_hour", "n_events",
+            F.round(
+                F.col("peak_per_hour") / F.col("n_events").cast("double"), 6
+            ).alias("burst_share"),
+        )
+        .orderBy(F.desc("peak_per_hour"), F.asc("user_id"))
+        .limit(20)
+    )

@@ -9,6 +9,7 @@ verified by recall tests in tests/test_dedup.py instead.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import query
@@ -448,4 +449,106 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("overlap_coeff"),
         )
+    )
+
+
+DEDUP_MINHASH_ERR_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2, CAST(c AS DOUBLE) / (n1.n + n2.n - c) AS jaccard
+  FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+  WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.5
+),
+sig AS (
+  SELECT doc_id,
+         MIN(('0x' || substr(md5('0:' || s), 1, 15))::BIGINT) AS m0,
+         MIN(('0x' || substr(md5('1:' || s), 1, 15))::BIGINT) AS m1,
+         MIN(('0x' || substr(md5('2:' || s), 1, 15))::BIGINT) AS m2,
+         MIN(('0x' || substr(md5('3:' || s), 1, 15))::BIGINT) AS m3,
+         MIN(('0x' || substr(md5('4:' || s), 1, 15))::BIGINT) AS m4,
+         MIN(('0x' || substr(md5('5:' || s), 1, 15))::BIGINT) AS m5,
+         MIN(('0x' || substr(md5('6:' || s), 1, 15))::BIGINT) AS m6,
+         MIN(('0x' || substr(md5('7:' || s), 1, 15))::BIGINT) AS m7
+  FROM sh GROUP BY doc_id
+)
+SELECT id1, id2, round(jaccard, 6) AS jaccard,
+       CAST((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match,
+       round(((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END)) / 8.0, 6)
+         AS minhash_est,
+       round(abs(((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END)) / 8.0
+            - jaccard), 6) AS abs_err
+FROM pairs JOIN sig a ON a.doc_id = id1 JOIN sig b ON b.doc_id = id2
+ORDER BY id1, id2
+"""
+
+
+@query("dedup_minhash_error", oracle=DEDUP_MINHASH_ERR_SQL)
+def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality dashboard: for every exact-Jaccard
+    candidate pair (≥ 0.5, the dedup_ngram_jaccard derivation), the
+    8-hash portable-signature estimate (matching-slot fraction —
+    E[est] = true Jaccard, the Broder 1997 identity) next to the
+    exact value and |error| — the measured answer to "how many
+    hashes does OUR corpus need", run before sizing the production
+    LSH band structure. Scale shape: the pairs side is the
+    shared-shingle equi-join (cost Σ df², never n²) and the
+    signature side is the one-groupBy build; two doc-keyed joins
+    stitch them — everything is pair/doc-grid sized."""
+    d = Catalog(spark, sf_dir).documents
+    pairs = D.ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    sig = D.minhash_portable(d)
+    a = sig.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(8)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(8)],
+    )
+    nm = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    est = nm / F.lit(8.0)
+    return (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1", "id2",
+            F.round("jaccard", 6).alias("jaccard"),
+            nm.cast("bigint").alias("n_match"),
+            F.round(est, 6).alias("minhash_est"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+        .orderBy("id1", "id2")
     )

@@ -469,3 +469,127 @@ def mr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round long, n_communities long, top_size long, n_singletons long"
     ).orderBy("round")
+
+
+# -- mr_clustering_coeff -----------------------------------------------
+#
+# Local clustering coefficient per node over the co-purchase graph
+# (same first-half-year edge derivation as mr_triangles): how
+# interconnected each part's co-purchase neighborhood is,
+# cc(v) = 2·tri(v)/(d(v)·(d(v)−1)) — the community-density feature
+# behind spam/anomaly detection and graph embeddings. Triangles are
+# enumerated once with the same degree-orientation trick (wedges
+# from the lower-(degree,key) endpoint, closed against the canonical
+# edge set — Σ out_deg² work, never all-pairs) and each triangle
+# credits its three corners via one bounded 3× generate. Report:
+# the 20 densest neighborhoods among nodes with degree ≥ 5
+# (deterministic (cc DESC, node) order); coefficient is one double
+# division of exact integers.
+
+CLUSTER_COEFF_SQL = """
+WITH li AS (
+  SELECT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01'
+), pairs AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs) e
+  GROUP BY 1
+), oe AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+              THEN u ELSE v END AS s,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+              THEN v ELSE u END AS t
+  FROM pairs
+  JOIN deg du ON du.node = u
+  JOIN deg dv ON dv.node = v
+), tri AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM oe e1 JOIN oe e2 ON e1.s = e2.s AND e1.t < e2.t
+  JOIN pairs ON pairs.u = LEAST(e1.t, e2.t)
+            AND pairs.v = GREATEST(e1.t, e2.t)
+), pt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (SELECT a AS node FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY 1
+)
+SELECT deg.node, deg.d AS degree,
+       COALESCE(pt.n_tri, 0) AS n_triangles,
+       round(2.0 * COALESCE(pt.n_tri, 0) / (deg.d * (deg.d - 1.0)), 6)
+         AS clustering_coeff
+FROM deg LEFT JOIN pt ON pt.node = deg.node
+WHERE deg.d >= 5
+ORDER BY clustering_coeff DESC, deg.node
+LIMIT 20
+"""
+
+
+@query("mr_clustering_coeff", oracle=CLUSTER_COEFF_SQL)
+def mr_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators.analytics import copurchase_pairs
+
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.filter(F.col("l_shipdate") < "1995-07-01")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    pairs = copurchase_pairs(li).localCheckpoint(eager=True)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)  # consumed by orientation AND output
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1 = oe.select(F.col("s"), F.col("t").alias("t1"))
+    e2 = oe.select(F.col("s"), F.col("t").alias("t2"))
+    tri = (
+        e1.join(e2, "s")
+        .filter(F.col("t1") < F.col("t2"))
+        .join(
+            pairs,
+            (F.col("u") == F.least("t1", "t2"))
+            & (F.col("v") == F.greatest("t1", "t2")),
+        )
+        .select(F.col("s").alias("a"), F.col("t1").alias("b"), F.col("t2").alias("c"))
+    )
+    pt = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    return (
+        deg.join(pt, "node", "left")
+        .filter(F.col("d") >= 5)
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
+            .alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("d") * (F.col("d") - F.lit(1.0))),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.desc("clustering_coeff"), F.asc("node"))
+        .limit(20)
+    )
