@@ -538,8 +538,7 @@ def mr_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = copurchase_pairs(li).localCheckpoint(eager=True)
     deg = (
-        pairs.select(F.col("u").alias("node"))
-        .union(pairs.select(F.col("v").alias("node")))
+        pairs.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
         .localCheckpoint(eager=True)  # consumed by orientation AND output
@@ -569,10 +568,11 @@ def mr_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("s").alias("a"), F.col("t1").alias("b"), F.col("t2").alias("c"))
     )
+    # one bounded 3× generate, NOT a 3-way union: union branches would
+    # each re-plan the whole wedge-join subtree (no cross-branch CSE in
+    # the physical plan — 19 SortMergeJoins vs 5, caught by plan_audit)
     pt = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
     )

@@ -1014,3 +1014,106 @@ def txt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(50)
     )
+
+
+# -- txt_source_signature ----------------------------------------------
+#
+# Distinctive vocabulary per source (Monroe, Colaresi & Quinn 2008
+# "Fightin' Words", informative-Dirichlet log-odds): for each source,
+# the 5 terms whose usage most exceeds the rest of the corpus by the
+# smoothed log-odds z-score δ/√(1/(y_s+α) + 1/(y_r+α)) with α = 0.5
+# — the corpus-drift "what makes this slice different" report run
+# when auditing a new data source before mixing it in. Counts are
+# exact integers, so both engines feed identical doubles into ln();
+# the z rounds to 6 (the q_survival_km ln/exp cross-engine
+# precedent). Scale shape: one token explode partial-aggregates to
+# the |source × vocab| grid; broadcast per-source and global totals;
+# the top-5 window runs over the grid only.
+
+SOURCE_SIG_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), sv AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS y_s
+  FROM tok GROUP BY 1, 2
+), tv AS (
+  SELECT term, CAST(SUM(y_s) AS BIGINT) AS y_all FROM sv GROUP BY 1
+), st AS (
+  SELECT source, CAST(SUM(y_s) AS BIGINT) AS n_s FROM sv GROUP BY 1
+), gt AS (
+  SELECT CAST(SUM(y_s) AS BIGINT) AS n_all,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS vocab
+  FROM sv
+), z AS (
+  SELECT sv.source, sv.term, sv.y_s,
+         (tv.y_all - sv.y_s) AS y_r,
+         round(
+           (ln((sv.y_s + 0.5)
+               / (st.n_s + 0.5 * gt.vocab - sv.y_s - 0.5))
+            - ln((tv.y_all - sv.y_s + 0.5)
+                 / (gt.n_all - st.n_s
+                    + 0.5 * gt.vocab - tv.y_all + sv.y_s - 0.5)))
+           / sqrt(1.0 / (sv.y_s + 0.5)
+                  + 1.0 / (tv.y_all - sv.y_s + 0.5)), 6) AS z_score
+  FROM sv
+  JOIN tv ON tv.term = sv.term
+  JOIN st ON st.source = sv.source
+  CROSS JOIN gt
+)
+SELECT source, term, y_s, y_r, z_score,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY z_score DESC, term) AS rk
+  FROM z
+) WHERE rk <= 5
+ORDER BY source, rank
+"""
+
+
+@query("txt_source_signature", oracle=SOURCE_SIG_SQL)
+def txt_source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    sv = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y_s"))
+        .localCheckpoint(eager=True)  # four consumers of the grid
+    )
+    tv = sv.groupBy("term").agg(F.sum("y_s").cast("bigint").alias("y_all"))
+    st = sv.groupBy("source").agg(F.sum("y_s").cast("bigint").alias("n_s"))
+    gt = sv.agg(
+        F.sum("y_s").cast("bigint").alias("n_all"),
+        F.countDistinct("term").cast("bigint").alias("vocab"),
+    )
+    j = (
+        sv.join(tv, "term")
+        .join(F.broadcast(st), "source")
+        .join(F.broadcast(gt))
+    )
+    y_s, y_all = F.col("y_s"), F.col("y_all")
+    n_s, n_all, vocab = F.col("n_s"), F.col("n_all"), F.col("vocab")
+    y_r = y_all - y_s
+    delta = F.log(
+        (y_s + 0.5) / (n_s + 0.5 * vocab - y_s - 0.5)
+    ) - F.log(
+        (y_r + 0.5) / (n_all - n_s + 0.5 * vocab - y_r - 0.5)
+    )
+    z = j.select(
+        "source", "term", "y_s",
+        y_r.alias("y_r"),
+        F.round(
+            delta / F.sqrt(1.0 / (y_s + 0.5) + 1.0 / (y_r + 0.5)), 6
+        ).alias("z_score"),
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("z_score"), F.asc("term"))
+    return (
+        z.select("*", F.row_number().over(wr).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source", "term", "y_s", "y_r", "z_score",
+            F.col("rk").cast("bigint").alias("rank"),
+        )
+        .orderBy("source", "rank")
+    )
