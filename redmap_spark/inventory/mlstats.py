@@ -1591,3 +1591,113 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cbin")
     )
+
+
+# -- q_simpsons_detector -----------------------------------------------
+#
+# Simpson's-paradox detector: does the discount→revenue relationship
+# reverse when conditioned on brand? For the pooled data and for each
+# p_brand, the OLS slope of extendedprice on discount from EXACT
+# decimal moments (the q_regression determinism pattern: n·Σxy − ΣxΣy
+# over n·Σx² − (Σx)² — centered forms stay exact decimal, one double
+# division at the end), flagging brands whose within-slope sign
+# contradicts the pooled sign — the confounding audit run before
+# trusting any aggregate metric trend. Scale shape: one fact scan
+# joins the broadcast part dim and partial-aggregates to the |brands|
+# grid carrying five decimal moments; the pooled row is the same
+# moments re-summed (exact, order-independent), broadcast back.
+
+SIMPSONS_SQL = """
+WITH m AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS sy,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(38,4)) AS sxy,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2)))
+              AS DECIMAL(38,4)) AS sxx
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+), pooled AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS pn,
+         CAST(SUM(sx) AS DECIMAL(38,2)) AS psx,
+         CAST(SUM(sy) AS DECIMAL(38,2)) AS psy,
+         CAST(SUM(sxy) AS DECIMAL(38,4)) AS psxy,
+         CAST(SUM(sxx) AS DECIMAL(38,4)) AS psxx
+  FROM m
+)
+SELECT p_brand, n,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS within_slope,
+       round((pn * CAST(psxy AS DOUBLE)
+              - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+             / (pn * CAST(psxx AS DOUBLE)
+                - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)),
+             6) AS pooled_slope,
+       CAST(CASE WHEN sign(n * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    <> sign(pn * CAST(psxy AS DOUBLE)
+                            - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+            THEN 1 ELSE 0 END AS BIGINT) AS sign_reversed
+FROM m CROSS JOIN pooled
+ORDER BY p_brand
+"""
+
+
+@query("q_simpsons_detector", oracle=SIMPSONS_SQL)
+def q_simpsons_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.select(
+        "l_partkey",
+        dec("l_discount").alias("x"),
+        dec("l_extendedprice").alias("y"),
+    )
+    m = (
+        li.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("decimal(28,2)").alias("sx"),
+            F.sum("y").cast("decimal(28,2)").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("decimal(38,4)").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("sxx"),
+        )
+        .localCheckpoint(eager=True)  # pooled row + output both consume
+    )
+    pooled = m.agg(
+        F.sum("n").cast("bigint").alias("pn"),
+        F.sum("sx").cast("decimal(38,2)").alias("psx"),
+        F.sum("sy").cast("decimal(38,2)").alias("psy"),
+        F.sum("sxy").cast("decimal(38,4)").alias("psxy"),
+        F.sum("sxx").cast("decimal(38,4)").alias("psxx"),
+    )
+    j = m.join(F.broadcast(pooled))
+    n = F.col("n")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    pn = F.col("pn")
+    pnum = pn * F.col("psxy").cast("double") - F.col("psx").cast(
+        "double"
+    ) * F.col("psy").cast("double")
+    pden = pn * F.col("psxx").cast("double") - F.col("psx").cast(
+        "double"
+    ) * F.col("psx").cast("double")
+    return j.select(
+        "p_brand", "n",
+        F.round(num / den, 6).alias("within_slope"),
+        F.round(pnum / pden, 6).alias("pooled_slope"),
+        F.when(F.signum(num) != F.signum(pnum), 1)
+        .otherwise(0).cast("bigint").alias("sign_reversed"),
+    ).orderBy("p_brand")

@@ -309,3 +309,118 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c") * F.max("nk").cast("double") / F.max("n"), 6
         ).alias("skew_ratio"),
     )
+
+
+# -- q_join_size_estimate ----------------------------------------------
+#
+# Join-explosion planner: the exact output cardinality Σ|A_k|·|B_k|
+# of the lineitem self-join on l_partkey (the candidate-pair blowup
+# any naive co-occurrence/dedup pass would trigger), per-key
+# contributions for the 10 worst keys, and the total again under the
+# production df≤64 hub cap — the number consulted BEFORE running a
+# pair-generating join, deciding between exact semantics and the
+# capped variant (the dedup_jaccard_capped / mr_adamic_adar knob).
+# Scale shape: one partial-aggregated groupBy to the |keys| grid; the
+# totals are a broadcast 1-row aggregate; integers exact throughout.
+
+JOIN_SIZE_SQL = """
+WITH k AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_rows * n_rows) AS BIGINT) AS total_pairs,
+         CAST(SUM(CASE WHEN n_rows <= 64
+                       THEN n_rows * n_rows ELSE 0 END) AS BIGINT)
+           AS capped_pairs
+  FROM k
+)
+SELECT l_partkey, n_rows,
+       CAST(n_rows * n_rows AS BIGINT) AS pairs,
+       round(n_rows * n_rows / CAST(total_pairs AS DOUBLE), 6)
+         AS share_of_total,
+       total_pairs, capped_pairs
+FROM k CROSS JOIN tot
+ORDER BY pairs DESC, l_partkey
+LIMIT 10
+"""
+
+
+@query("q_join_size_estimate", oracle=JOIN_SIZE_SQL)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    k = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    pairs = F.col("n_rows") * F.col("n_rows")
+    tot = k.agg(
+        F.sum(pairs).cast("bigint").alias("total_pairs"),
+        F.sum(F.when(F.col("n_rows") <= 64, pairs).otherwise(0))
+        .cast("bigint").alias("capped_pairs"),
+    )
+    return (
+        k.join(F.broadcast(tot))
+        .select(
+            "l_partkey", "n_rows",
+            pairs.cast("bigint").alias("pairs"),
+            F.round(pairs / F.col("total_pairs").cast("double"), 6)
+            .alias("share_of_total"),
+            "total_pairs", "capped_pairs",
+        )
+        .orderBy(F.desc("pairs"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+# -- q_sample_audit ----------------------------------------------------
+#
+# Sampler-bias audit: the deterministic md5 hash sampler (the
+# q_hash_sample / q_temperature_sample keep-decision mechanism) at
+# nominal rate p = 1/16 (first md5 hex nibble = '0'), audited per
+# event type against the binomial expectation — observed k vs n·p
+# and the normal-approximation z = (k−np)/√(np(1−p)) with a |z|≤4
+# pass flag. This is the trust-but-verify run a pipeline does after
+# switching samplers: a biased hash (or a correlated key) shows up
+# here immediately. Exact integer counts; identical double z shape.
+
+SAMPLE_AUDIT_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, k,
+       round(n / 16.0, 6) AS expected,
+       round((k - n / 16.0) / sqrt(n * (1.0 / 16.0) * (15.0 / 16.0)), 6)
+         AS z_bias,
+       CAST(CASE WHEN abs((k - n / 16.0)
+                          / sqrt(n * (1.0 / 16.0) * (15.0 / 16.0))) <= 4.0
+            THEN 1 ELSE 0 END AS BIGINT) AS within_4sigma
+FROM s
+ORDER BY event_type
+"""
+
+
+@query("q_sample_audit", oracle=SAMPLE_AUDIT_SQL)
+def q_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+                == "0",
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    z = (k - n / 16.0) / F.sqrt(n * (1.0 / 16.0) * (15.0 / 16.0))
+    return s.select(
+        "event_type", "n", "k",
+        F.round(n / 16.0, 6).alias("expected"),
+        F.round(z, 6).alias("z_bias"),
+        F.when(F.abs(z) <= 4.0, 1).otherwise(0).cast("bigint")
+        .alias("within_4sigma"),
+    ).orderBy("event_type")
