@@ -121,6 +121,60 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+TRANSITION_STATE_SCHEMA = "last_us long, last_eid long, last_type string"
+TRANSITION_OUT_SCHEMA = "user_id long, cur string, nxt string, n long"
+
+
+def transitions_stateful(events: DataFrame) -> DataFrame:
+    """Streaming first-order transition counting: per-user sequence
+    state (the CONSTANT-SIZE last-event tuple — timestamp, id, type)
+    carries across batches; each batch emits the (cur, nxt) pair
+    DELTAS it observed, ordered by (ts, event_id) exactly like batch
+    q_event_transitions. Summing the deltas over users/batches
+    reproduces the batch transition matrix — the streaming feed for
+    a continuously-updated next-action model. State never grows with
+    history (the 25-cell count matrix lives in the downstream
+    aggregation, not in per-user state)."""
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_us, last_eid, last_type = (
+            state.get if state.exists else (-1, -1, None)
+        )
+        pdf = pd.concat(list(batches)).sort_values(["us", "event_id"])
+        counts: dict[tuple, int] = {}
+        for us, eid, typ in zip(pdf["us"], pdf["event_id"], pdf["event_type"]):
+            if last_type is not None:
+                k = (last_type, typ)
+                counts[k] = counts.get(k, 0) + 1
+            last_us, last_eid, last_type = int(us), int(eid), typ
+        state.update((last_us, last_eid, last_type))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(counts),
+                    "cur": [c for c, _ in counts],
+                    "nxt": [n for _, n in counts],
+                    "n": list(counts.values()),
+                }
+            )
+
+    with_us = events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITION_OUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ----------------------------------------------------- streaming dedup
 
 

@@ -553,3 +553,24 @@ def test_stream_to_quantile_sketch(spark, tmp_path):
         (r.key, r.hv, r.value) for r in spark.read.parquet(path).collect()
     }
     assert again == after_extra
+
+
+def test_transitions_stateful_match_batch(spark):
+    """Streaming per-user sequence-state transition deltas, summed,
+    equal the batch first-order transition matrix counts."""
+    from redmap_spark.inventory import QUERIES
+    from redmap_spark.streaming.windowed import transitions_stateful
+
+    stream = events_stream(spark, SF_DIR)
+    _run_available_now(transitions_stateful(stream), "transitions")
+    got = {
+        (r.cur, r.nxt): r.total
+        for r in spark.sql(
+            "select cur, nxt, sum(n) as total from transitions group by 1, 2"
+        ).collect()
+    }
+    want = {
+        (r.cur, r.nxt): r.n
+        for r in QUERIES["q_event_transitions"](spark, SF_DIR).collect()
+    }
+    assert got == want
