@@ -552,3 +552,83 @@ def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id1", "id2")
     )
+
+
+# -- dedup_lsh_tuning --------------------------------------------------
+#
+# LSH band-structure tuning dashboard: for each candidate (bands b,
+# rows r) configuration, the S-curve detection probability
+# P(candidate | s) = 1 − (1 − s^r)^b evaluated against the CORPUS'S
+# OWN observed near-dup pair similarities (the dedup_ngram_jaccard
+# ≥ 0.5 pairs) — expected recall = mean over observed pairs, plus
+# the signature cost b·r. This is the "which (b,r) do we ship"
+# table: textbook S-curves assume a similarity distribution; this
+# measures ours. All inputs are the exact-jaccard pairs rounded to
+# 6; pow/mean are identical double shapes. Scale: the pairs grid is
+# the Σ df² candidate join (computed once, 6 configs via one bounded
+# 6× generate); everything after is |configs|-sized.
+
+DEDUP_LSH_TUNING_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+pairs AS (
+  SELECT round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) AS s
+  FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+  WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.5
+), cfg AS (
+  SELECT b, r FROM (VALUES (2, 2), (2, 4), (4, 2), (4, 4), (8, 2), (8, 4))
+    AS v(b, r)
+)
+SELECT CAST(cfg.b AS BIGINT) AS bands, CAST(cfg.r AS BIGINT) AS rows_per_band,
+       CAST(cfg.b * cfg.r AS BIGINT) AS n_hashes,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(AVG(1.0 - pow(1.0 - pow(s, cfg.r), cfg.b)), 6)
+         AS expected_recall,
+       round(1.0 - pow(1.0 - pow(0.5, cfg.r), cfg.b), 6) AS p_at_50,
+       round(1.0 - pow(1.0 - pow(0.8, cfg.r), cfg.b), 6) AS p_at_80
+FROM cfg CROSS JOIN pairs
+GROUP BY cfg.b, cfg.r
+ORDER BY bands, rows_per_band
+"""
+
+
+@query("dedup_lsh_tuning", oracle=DEDUP_LSH_TUNING_SQL)
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    pairs = D.ngram_jaccard_pairs(d, k=3, threshold=0.5).select(
+        F.round("jaccard", 6).alias("s")
+    )
+    cfgs = [(2, 2), (2, 4), (4, 2), (4, 4), (8, 2), (8, 4)]
+    cfg = F.explode(
+        F.array(*[F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
+                  for b, r in cfgs])
+    ).alias("cfg")
+    x = pairs.select("s", cfg).select("s", "cfg.b", "cfg.r")
+    bd, rd = F.col("b").cast("double"), F.col("r").cast("double")
+    detect = 1.0 - F.pow(1.0 - F.pow(F.col("s"), rd), bd)
+    return (
+        x.groupBy("b", "r")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg(detect), 6).alias("expected_recall"),
+        )
+        .select(
+            F.col("b").cast("bigint").alias("bands"),
+            F.col("r").cast("bigint").alias("rows_per_band"),
+            (F.col("b") * F.col("r")).cast("bigint").alias("n_hashes"),
+            "n_pairs",
+            "expected_recall",
+            F.round(1.0 - F.pow(1.0 - F.pow(F.lit(0.5), rd), bd), 6)
+            .alias("p_at_50"),
+            F.round(1.0 - F.pow(1.0 - F.pow(F.lit(0.8), rd), bd), 6)
+            .alias("p_at_80"),
+        )
+        .orderBy("bands", "rows_per_band")
+    )

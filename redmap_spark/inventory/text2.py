@@ -1117,3 +1117,78 @@ def txt_source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rank")
     )
+
+
+# -- txt_template_detect -----------------------------------------------
+#
+# Boilerplate/template detection per source: the share of a source's
+# documents opening with its most common 8-token prefix — scraped
+# template corpora (nav headers, license banners, generated pages)
+# spike here long before full-document dedup fires, so this is the
+# cheap first-pass audit of a new source. A prefix counted once per
+# doc (no explode beyond one row/doc); everything collapses to the
+# |source × distinct-prefix| grid, then one per-source argmax window
+# over that grid with (count DESC, prefix ASC) determinism.
+
+TEMPLATE_SQL = """
+WITH pre AS (
+  SELECT source,
+         array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+  FROM documents
+), g AS (
+  SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pre GROUP BY 1, 2
+), st AS (
+  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM g GROUP BY 1
+), top AS (
+  SELECT source, prefix, n_docs FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_docs DESC, prefix) AS rk
+    FROM g
+  ) WHERE rk = 1
+)
+SELECT top.source, top.prefix AS top_prefix, top.n_docs, st.total_docs,
+       round(top.n_docs / CAST(st.total_docs AS DOUBLE), 6)
+         AS template_share,
+       CAST(CASE WHEN top.n_docs / CAST(st.total_docs AS DOUBLE) > 0.01
+            THEN 1 ELSE 0 END AS BIGINT) AS template_suspect
+FROM top JOIN st ON st.source = top.source
+ORDER BY top.source
+"""
+
+
+@query("txt_template_detect", oracle=TEMPLATE_SQL)
+def txt_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    g = (
+        d.select(
+            "source",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))
+            .alias("prefix"),
+        )
+        .groupBy("source", "prefix")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .localCheckpoint(eager=True)  # totals + argmax both consume
+    )
+    st = g.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs")
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("n_docs"), F.asc("prefix"))
+    top = (
+        g.select("*", F.row_number().over(wr).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    share = F.col("n_docs") / F.col("total_docs").cast("double")
+    return (
+        top.join(F.broadcast(st), "source")
+        .select(
+            "source",
+            F.col("prefix").alias("top_prefix"),
+            "n_docs", "total_docs",
+            F.round(share, 6).alias("template_share"),
+            F.when(share > 0.01, 1).otherwise(0).cast("bigint")
+            .alias("template_suspect"),
+        )
+        .orderBy("source")
+    )
