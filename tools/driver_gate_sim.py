@@ -10,6 +10,7 @@ locally, exactly as the driver runs it.
   order-insensitive value hash over stringified cells.
 
 Run:  python tools/driver_gate_sim.py          # prints one line per entry + a summary
+      SPARK_GRAFT_GATE_SF_DIR=/root/testdata/sf0.1 python tools/driver_gate_sim.py   # cross-SF replay
       python tools/driver_gate_sim.py q_ewma   # restrict to named entries
 """
 
@@ -26,7 +27,9 @@ import pandas as pd
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
