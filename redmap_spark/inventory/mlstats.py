@@ -1701,3 +1701,202 @@ def q_simpsons_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.signum(num) != F.signum(pnum), 1)
         .otherwise(0).cast("bigint").alias("sign_reversed"),
     ).orderBy("p_brand")
+
+
+# -- q_qq_normal -------------------------------------------------------
+#
+# Normal Q–Q diagnostic table per event type: empirical deciles of
+# value (exact order statistics — smallest value whose cumulative
+# count reaches ceil(q·n), computed on the distinct-value grid with
+# one cumulative window, the q_lateness_percentiles shape — never a
+# row-level sort) against the fitted-normal quantiles μ + σ·z_q. The
+# standard-normal decile z_q are fixed literal constants (Φ⁻¹ at
+# 0.1..0.9), so the only engine-computed FP is μ/σ from exact
+# decimal moments and one multiply-add per cell; deviations beyond
+# 0.25σ flag non-normality (heavy tails/skew) — the check run before
+# trusting any z-score-based monitor on that metric.
+
+_QQ_Z = [
+    ("0.1", "-1.2815515655446004"), ("0.2", "-0.8416212335729143"),
+    ("0.3", "-0.5244005127080407"), ("0.4", "-0.2533471031357997"),
+    ("0.5", "0.0"), ("0.6", "0.2533471031357997"),
+    ("0.7", "0.5244005127080407"), ("0.8", "0.8416212335729143"),
+    ("0.9", "1.2815515655446004"),
+]
+
+QQ_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x
+  FROM events WHERE value IS NOT NULL
+), mstat AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(28,2)) AS s,
+         CAST(SUM(x * x) AS DECIMAL(38,4)) AS ssq
+  FROM v GROUP BY 1
+), g AS (
+  SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS c
+  FROM v GROUP BY 1, 2
+), cg AS (
+  SELECT event_type, x, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY x) AS cum
+  FROM g
+), qs AS (
+  SELECT q FROM (VALUES {", ".join(f"({q})" for q, _ in _QQ_Z)}) AS t(q)
+), emp AS (
+  SELECT cg.event_type, qs.q,
+         CAST(MIN(CASE WHEN cum >= CAST(ceil(CAST(qs.q AS DOUBLE) * m.n) AS BIGINT)
+                       THEN x END) AS DOUBLE) AS empirical
+  FROM cg JOIN mstat m ON m.event_type = cg.event_type
+  CROSS JOIN qs
+  GROUP BY 1, 2
+)
+SELECT emp.event_type, CAST(emp.q AS DOUBLE) AS q,
+       round(empirical, 6) AS empirical,
+       round(CAST(s AS DOUBLE) / n
+             + sqrt((CAST(ssq AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+               * (CASE {" ".join(f"WHEN emp.q = {q} THEN {z}" for q, z in _QQ_Z)} END),
+             6) AS theoretical,
+       round(empirical
+             - (CAST(s AS DOUBLE) / n
+                + sqrt((CAST(ssq AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+                  * (CASE {" ".join(f"WHEN emp.q = {q} THEN {z}" for q, z in _QQ_Z)} END)),
+             6) AS deviation,
+       CAST(CASE WHEN abs(empirical
+             - (CAST(s AS DOUBLE) / n
+                + sqrt((CAST(ssq AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+                  * (CASE {" ".join(f"WHEN emp.q = {q} THEN {z}" for q, z in _QQ_Z)} END)))
+             > 0.25 * sqrt((CAST(ssq AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+            THEN 1 ELSE 0 END AS BIGINT) AS non_normal_flag
+FROM emp JOIN mstat ON mstat.event_type = emp.event_type
+ORDER BY emp.event_type, q
+"""
+
+
+@query("q_qq_normal", oracle=QQ_SQL)
+def q_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    v = e.filter(F.col("value").isNotNull()).select(
+        "event_type", dec("value").alias("x")
+    )
+    mstat = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(28,2)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("ssq"),
+    )
+    g = v.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cg = g.select(
+        "event_type", "x", "c",
+        F.sum("c").over(
+            Window.partitionBy("event_type").orderBy("x")
+        ).alias("cum"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q, _ in _QQ_Z])
+    ).alias("q")
+    emp = (
+        cg.join(F.broadcast(mstat.select("event_type", "n")), "event_type")
+        .select("event_type", "x", "cum", "n", qs)
+        .groupBy("event_type", "q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.col("q") * F.col("n")).cast("bigint"),
+                    F.col("x"),
+                )
+            ).cast("double").alias("empirical")
+        )
+    )
+    zmap = F.element_at(
+        F.create_map(
+            *[x for q, z in _QQ_Z for x in (F.lit(float(q)), F.lit(float(z)))]
+        ),
+        F.col("q"),
+    )
+    j = emp.join(F.broadcast(mstat), "event_type")
+    sd = F.col("s").cast("double")
+    mu = sd / F.col("n")
+    sigma = F.sqrt((F.col("ssq").cast("double") - sd * sd / F.col("n")) / F.col("n"))
+    theo = mu + sigma * zmap
+    dev = F.col("empirical") - theo
+    return j.select(
+        "event_type", "q",
+        F.round("empirical", 6).alias("empirical"),
+        F.round(theo, 6).alias("theoretical"),
+        F.round(dev, 6).alias("deviation"),
+        F.when(F.abs(dev) > 0.25 * sigma, 1).otherwise(0).cast("bigint")
+        .alias("non_normal_flag"),
+    ).orderBy("event_type", "q")
+
+
+# -- q_power_mde -------------------------------------------------------
+#
+# Experiment power planner: the minimum detectable effect of a
+# two-sample test on value per event type at α=0.05 (two-sided) and
+# 80% power — MDE = (z_{α/2}+z_{β})·σ·√(2/n) with the two z as fixed
+# literal constants (1.959963984540054, 0.8416212335729143) — the
+# "is this experiment even worth running at our traffic" sizing
+# table produced before q_ab_test consumes the data. σ comes from
+# exact decimal moments; one identical double expression per row.
+# Scale shape: one scan → |types| grid; n is halved (per-arm split).
+
+POWER_MDE_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(28,2)) AS s,
+         CAST(SUM(x * x) AS DECIMAL(38,4)) AS ssq
+  FROM v GROUP BY 1
+)
+SELECT event_type, n,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_value,
+       round(sqrt((CAST(ssq AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n), 6)
+         AS sigma,
+       round(CAST(2.8015852181129683 AS DOUBLE)
+             * sqrt((CAST(ssq AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+             * sqrt(2.0 / floor(n / 2.0)), 6) AS mde_abs,
+       round(CAST(2.8015852181129683 AS DOUBLE)
+             * sqrt((CAST(ssq AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+             * sqrt(2.0 / floor(n / 2.0))
+             / (CAST(s AS DOUBLE) / n), 6) AS mde_rel
+FROM m
+ORDER BY event_type
+"""
+
+
+@query("q_power_mde", oracle=POWER_MDE_SQL)
+def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    v = e.filter(F.col("value").isNotNull()).select(
+        "event_type", dec("value").alias("x")
+    )
+    m = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(28,2)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("ssq"),
+    )
+    n, sd = F.col("n"), F.col("s").cast("double")
+    mu = sd / n
+    sigma = F.sqrt((F.col("ssq").cast("double") - sd * sd / n) / n)
+    zsum = F.lit(2.8015852181129683)
+    mde = zsum * sigma * F.sqrt(F.lit(2.0) / F.floor(n / F.lit(2.0)))
+    return m.select(
+        "event_type", "n",
+        F.round(mu, 6).alias("mean_value"),
+        F.round(sigma, 6).alias("sigma"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / mu, 6).alias("mde_rel"),
+    ).orderBy("event_type")
