@@ -1357,3 +1357,219 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lag").alias("lag_days"), "n_days", "xcorr",
         F.when(F.row_number().over(wb) == 1, 1).otherwise(0).alias("is_best_lag"),
     ).orderBy("lag_days")
+
+
+# -- q_stl_lite --------------------------------------------------------
+#
+# Classical additive decomposition of the daily revenue series per
+# event type (the STL-shaped trend/seasonal/residual split behind
+# anomaly baselines): trend = centered 7-day moving average (exact
+# decimal sum / window count), seasonal = per-day-of-week mean of the
+# detrended series, residual = value − trend − seasonal. Detrended
+# values round to 6 before the seasonal mean so the per-dow average
+# (decimal-cast sum of rounded terms, mr_adamic_adar style) is
+# order-independent; every remaining step is one identical double
+# expression. Scale shape: the fact stream collapses to the
+# per-type day grid once; one ROWS-frame window + one |type × dow|
+# groupBy; output trimmed to full 7-day trend windows.
+
+STL_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+tr AS (
+  SELECT event_type, day, rev,
+         CAST(SUM(rev) OVER w AS DECIMAL(28,2)) AS wsum,
+         CAST(COUNT(*) OVER w AS BIGINT) AS wn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dt AS (
+  SELECT event_type, day, rev,
+         CAST(wsum AS DOUBLE) / wn AS trend,
+         round(CAST(rev AS DOUBLE) - CAST(wsum AS DOUBLE) / wn, 6)
+           AS detrended,
+         isodow(day) AS dow, wn
+  FROM tr
+), se AS (
+  SELECT event_type, dow,
+         CAST(SUM(CAST(detrended AS DECIMAL(18,6))) AS DECIMAL(28,6))
+           AS dsum,
+         CAST(COUNT(*) AS BIGINT) AS dn
+  FROM dt WHERE wn = 7 GROUP BY 1, 2
+)
+SELECT dt.event_type, strftime(dt.day, '%Y-%m-%d') AS day,
+       CAST(dt.rev AS DOUBLE) AS revenue,
+       round(dt.trend, 6) AS trend,
+       round(CAST(se.dsum AS DOUBLE) / se.dn, 6) AS seasonal,
+       round(CAST(dt.rev AS DOUBLE) - dt.trend
+             - CAST(se.dsum AS DOUBLE) / se.dn, 6) AS residual
+FROM dt JOIN se ON se.event_type = dt.event_type AND se.dow = dt.dow
+WHERE dt.wn = 7
+ORDER BY dt.event_type, day
+"""
+
+
+@query("q_stl_lite", oracle=STL_SQL)
+def q_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type", "day", "rev",
+        F.sum("rev").over(w).cast("decimal(28,2)").alias("wsum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("wn"),
+    )
+    trend = F.col("wsum").cast("double") / F.col("wn")
+    iso = F.when(F.dayofweek("day") == 1, F.lit(7)).otherwise(
+        F.dayofweek("day") - 1
+    )
+    dt = tr.select(
+        "event_type", "day", "rev",
+        trend.alias("trend"),
+        F.round(F.col("rev").cast("double") - trend, 6).alias("detrended"),
+        iso.alias("dow"), "wn",
+    ).localCheckpoint(eager=True)  # seasonal grid + output both consume
+    se = (
+        dt.filter(F.col("wn") == 7)
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum(F.col("detrended").cast("decimal(18,6)"))
+            .cast("decimal(28,6)").alias("dsum"),
+            F.count(F.lit(1)).cast("bigint").alias("dn"),
+        )
+    )
+    seasonal = F.col("dsum").cast("double") / F.col("dn")
+    return (
+        dt.filter(F.col("wn") == 7)
+        .join(F.broadcast(se), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("rev").cast("double").alias("revenue"),
+            F.round("trend", 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(
+                F.col("rev").cast("double") - F.col("trend") - seasonal, 6
+            ).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# -- q_sprt_monitor ----------------------------------------------------
+#
+# Wald sequential probability-ratio monitor (SPRT) over each event
+# type's daily share of traffic: H0 share = the type's pooled share
+# p0, H1 = a 20% lift (p1 = 1.2·p0), daily binomial log-likelihood
+# increments accumulated in day order, decision boundaries ±ln(19)
+# (α = β = 0.05) — the always-valid sequential test a metrics
+# platform runs instead of waiting for a fixed-horizon q_ab_test.
+# Cross-engine: ln(1.2) and ln(19) are inlined literals; the one
+# data-dependent log coefficient rounds to 12 decimals in both
+# engines before use, and the cumulative sum is an ORDERED window
+# (sequential evaluation order is pinned, so double addition is
+# bit-identical). Scale shape: the stream collapses to the
+# |type × day| grid; one window sort per type over that grid.
+
+_SPRT_LN12 = 0.1823215567939546
+_SPRT_LN19 = 2.9444389791664403
+
+SPRT_SQL = f"""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2
+), n AS (
+  SELECT day, CAST(SUM(k) AS BIGINT) AS n FROM d GROUP BY 1
+), tot AS (
+  SELECT event_type, CAST(SUM(k) AS BIGINT) AS kt FROM d GROUP BY 1
+), g AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM n),
+coef AS (
+  SELECT event_type,
+         round(ln((1.0 - 1.2 * (kt / CAST(nt AS DOUBLE)))
+                  / (1.0 - kt / CAST(nt AS DOUBLE))), 12) AS c2
+  FROM tot CROSS JOIN g
+), llr AS (
+  SELECT d.event_type, d.day,
+         SUM(d.k * CAST({_SPRT_LN12} AS DOUBLE)
+             + (n.n - d.k) * coef.c2)
+           OVER (PARTITION BY d.event_type ORDER BY d.day) AS cum
+  FROM d JOIN n ON n.day = d.day
+  JOIN coef ON coef.event_type = d.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(MAX(CASE WHEN rn = mx THEN cum END), 6) AS final_llr,
+       strftime(MIN(CASE WHEN cum >= CAST({_SPRT_LN19} AS DOUBLE)
+                         THEN day END), '%Y-%m-%d') AS first_accept_h1,
+       strftime(MIN(CASE WHEN cum <= -CAST({_SPRT_LN19} AS DOUBLE)
+                         THEN day END), '%Y-%m-%d') AS first_accept_h0,
+       CAST(CASE
+         WHEN MIN(CASE WHEN cum <= -CAST({_SPRT_LN19} AS DOUBLE)
+                       THEN day END) IS NOT NULL THEN 0
+         WHEN MIN(CASE WHEN cum >= CAST({_SPRT_LN19} AS DOUBLE)
+                       THEN day END) IS NOT NULL THEN 1
+         ELSE -1 END AS BIGINT) AS decision
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS mx
+  FROM llr
+) GROUP BY 1
+ORDER BY event_type
+"""
+
+
+@query("q_sprt_monitor", oracle=SPRT_SQL)
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    ).localCheckpoint(eager=True)  # day totals + per-type joins consume
+    n = d.groupBy("day").agg(F.sum("k").cast("bigint").alias("n"))
+    tot = d.groupBy("event_type").agg(F.sum("k").cast("bigint").alias("kt"))
+    g = n.agg(F.sum("n").cast("bigint").alias("nt"))
+    share = F.col("kt") / F.col("nt").cast("double")
+    coef = tot.join(F.broadcast(g)).select(
+        "event_type",
+        F.round(F.log((1.0 - 1.2 * share) / (1.0 - share)), 12).alias("c2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    llr = (
+        d.join(F.broadcast(n), "day")
+        .join(F.broadcast(coef), "event_type")
+        .select(
+            "event_type", "day",
+            F.sum(
+                F.col("k") * F.lit(_SPRT_LN12)
+                + (F.col("n") - F.col("k")) * F.col("c2")
+            ).over(w).alias("cum"),
+        )
+    )
+    x = llr.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("mx"),
+    )
+    up = F.min(
+        F.when(F.col("cum") >= _SPRT_LN19, F.col("day"))
+    )
+    dn = F.min(
+        F.when(F.col("cum") <= -_SPRT_LN19, F.col("day"))
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.max(F.when(F.col("rn") == F.col("mx"), F.col("cum"))), 6
+            ).alias("final_llr"),
+            F.date_format(up, "yyyy-MM-dd").alias("first_accept_h1"),
+            F.date_format(dn, "yyyy-MM-dd").alias("first_accept_h0"),
+            F.when(dn.isNotNull(), 0)
+            .when(up.isNotNull(), 1)
+            .otherwise(-1).cast("bigint").alias("decision"),
+        )
+        .orderBy("event_type")
+    )
