@@ -1573,3 +1573,82 @@ def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- q_peak_detection --------------------------------------------------
+#
+# Local-peak detection over the daily revenue series per event type:
+# a day is a peak when its revenue STRICTLY exceeds each of the 3
+# preceding and 3 following days AND its prominence over the ±3-day
+# window floor exceeds 25% of the series' mean level — the
+# spike-mining primitive behind promo/incident retrospectives.
+# Strictness is 6 explicit lag/lead comparisons on exact decimals
+# (ties ⇒ not a peak, deterministic); prominence/threshold are one
+# identical double expression. Scale shape: per-type day grid, one
+# window sort shared by the lags and the ROWS-frame min, broadcast
+# per-type means.
+
+PEAK_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+m AS (
+  SELECT event_type,
+         CAST(SUM(rev) AS DECIMAL(28,2)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily GROUP BY 1
+), w AS (
+  SELECT event_type, day, rev,
+         LAG(rev, 1) OVER o AS l1, LAG(rev, 2) OVER o AS l2,
+         LAG(rev, 3) OVER o AS l3,
+         LEAD(rev, 1) OVER o AS d1, LEAD(rev, 2) OVER o AS d2,
+         LEAD(rev, 3) OVER o AS d3,
+         CAST(MIN(rev) OVER f AS DECIMAL(19,2)) AS wmin,
+         CAST(COUNT(*) OVER f AS BIGINT) AS wn
+  FROM daily
+  WINDOW o AS (PARTITION BY event_type ORDER BY day),
+         f AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT w.event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev - wmin AS DOUBLE), 6) AS prominence,
+       CAST(CASE WHEN wn = 7
+                      AND rev > l1 AND rev > l2 AND rev > l3
+                      AND rev > d1 AND rev > d2 AND rev > d3
+                      AND CAST(rev - wmin AS DOUBLE)
+                          > 0.25 * (CAST(s AS DOUBLE) / n)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+FROM w JOIN m ON m.event_type = w.event_type
+ORDER BY w.event_type, day
+"""
+
+
+@query("q_peak_detection", oracle=PEAK_SQL)
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    m = daily.groupBy("event_type").agg(
+        F.sum("rev").cast("decimal(28,2)").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    o = Window.partitionBy("event_type").orderBy("day")
+    f = o.rowsBetween(-3, 3)
+    w = daily.select(
+        "event_type", "day", "rev",
+        *[F.lag("rev", i).over(o).alias(f"l{i}") for i in (1, 2, 3)],
+        *[F.lead("rev", i).over(o).alias(f"d{i}") for i in (1, 2, 3)],
+        F.min("rev").over(f).cast("decimal(19,2)").alias("wmin"),
+        F.count(F.lit(1)).over(f).cast("bigint").alias("wn"),
+    )
+    x = w.join(F.broadcast(m), "event_type")
+    mean_rev = F.col("s").cast("double") / F.col("n")
+    prom = (F.col("rev") - F.col("wmin")).cast("double")
+    strict = (F.col("wn") == 7)
+    for c in ("l1", "l2", "l3", "d1", "d2", "d3"):
+        strict = strict & (F.col("rev") > F.col(c))
+    return x.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(prom, 6).alias("prominence"),
+        F.when(strict & (prom > 0.25 * mean_rev), 1)
+        .otherwise(0).cast("bigint").alias("is_peak"),
+    ).orderBy("event_type", "day")
