@@ -593,3 +593,147 @@ def mr_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("clustering_coeff"), F.asc("node"))
         .limit(20)
     )
+
+
+# -- mr_hits -----------------------------------------------------------
+#
+# HITS hubs & authorities (Kleinberg 1999), 2 fixed iterations over
+# the directed customer→supplier purchase bipartite graph: authority
+# = who the strong buyers buy from, hub = who buys from the strong
+# suppliers — the complementary centrality to mr_pagerank (which
+# ranks by inbound mass, not by mutual reinforcement). Each
+# half-step sums the opposite side's scores along edges and
+# max-normalizes; scores round to DECIMAL(18,12) after every
+# normalization so both engines carry identical values and every
+# edge-sum is an EXACT decimal aggregate (order-independent). The
+# oracle states the identical half-steps as chained CTEs. Output:
+# top-10 authorities and top-10 hubs with deterministic
+# (score DESC, node) ties. Scale shape: the edge table shuffles once
+# per half-step on its join key against the |nodes|-sized score
+# vector; maxima are broadcast 1-row aggregates.
+
+HITS_SQL = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), a1r AS (  -- auth half-step 1: hub0 = 1 ⇒ raw auth = in-degree
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS raw FROM e GROUP BY 1
+), a1 AS (
+  SELECT s, CAST(round(raw / CAST((SELECT MAX(raw) FROM a1r) AS DOUBLE), 12)
+                 AS DECIMAL(18,12)) AS a
+  FROM a1r
+), h1r AS (
+  SELECT e.c, CAST(SUM(a1.a) AS DECIMAL(28,12)) AS raw
+  FROM e JOIN a1 ON a1.s = e.s GROUP BY 1
+), h1 AS (
+  SELECT c, CAST(round(CAST(raw AS DOUBLE)
+                       / CAST((SELECT MAX(raw) FROM h1r) AS DOUBLE), 12)
+                 AS DECIMAL(18,12)) AS h
+  FROM h1r
+), a2r AS (
+  SELECT e.s, CAST(SUM(h1.h) AS DECIMAL(28,12)) AS raw
+  FROM e JOIN h1 ON h1.c = e.c GROUP BY 1
+), a2 AS (
+  SELECT s, CAST(round(CAST(raw AS DOUBLE)
+                       / CAST((SELECT MAX(raw) FROM a2r) AS DOUBLE), 12)
+                 AS DECIMAL(18,12)) AS a
+  FROM a2r
+), h2r AS (
+  SELECT e.c, CAST(SUM(a2.a) AS DECIMAL(28,12)) AS raw
+  FROM e JOIN a2 ON a2.s = e.s GROUP BY 1
+), h2 AS (
+  SELECT c, CAST(round(CAST(raw AS DOUBLE)
+                       / CAST((SELECT MAX(raw) FROM h2r) AS DOUBLE), 12)
+                 AS DECIMAL(18,12)) AS h
+  FROM h2r
+), topa AS (
+  SELECT 'authority' AS role, CAST(s AS BIGINT) AS node,
+         round(CAST(a AS DOUBLE), 6) AS score,
+         ROW_NUMBER() OVER (ORDER BY a DESC, s) AS rank
+  FROM a2 QUALIFY rank <= 10
+), toph AS (
+  SELECT 'hub' AS role, CAST(c AS BIGINT) AS node,
+         round(CAST(h AS DOUBLE), 6) AS score,
+         ROW_NUMBER() OVER (ORDER BY h DESC, c) AS rank
+  FROM h2 QUALIFY rank <= 10
+)
+SELECT role, node, score, CAST(rank AS BIGINT) AS rank FROM topa
+UNION ALL
+SELECT role, node, score, CAST(rank AS BIGINT) AS rank FROM toph
+ORDER BY role, rank
+"""
+
+
+@query("mr_hits", oracle=HITS_SQL)
+def mr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders
+    e = (
+        orders.join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)  # four half-step joins consume
+    )
+
+    def norm(df, key, raw_double):
+        mx = df.agg(F.max(raw_double).alias("mx"))
+        return df.join(F.broadcast(mx)).select(
+            key,
+            F.round(raw_double / F.col("mx"), 12)
+            .cast("decimal(18,12)").alias("score"),
+        )
+
+    a1r = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("raw"))
+    a = norm(a1r.select("s", F.col("raw").cast("double").alias("rawd")),
+             "s", F.col("rawd"))
+    for half in ("h1", "a2", "h2"):
+        if half.startswith("h"):
+            r = (
+                e.join(a.withColumnRenamed("score", "a"), "s")
+                .groupBy("c")
+                .agg(F.sum("a").cast("decimal(28,12)").alias("raw"))
+            )
+            a_or_h = norm(
+                r.select("c", F.col("raw").cast("double").alias("rawd")),
+                "c", F.col("rawd"),
+            )
+            h = a_or_h
+        else:
+            r = (
+                e.join(h.withColumnRenamed("score", "h"), "c")
+                .groupBy("s")
+                .agg(F.sum("h").cast("decimal(28,12)").alias("raw"))
+            )
+            a = norm(
+                r.select("s", F.col("raw").cast("double").alias("rawd")),
+                "s", F.col("rawd"),
+            )
+    wa = Window.orderBy(F.desc("score"), F.asc("s"))
+    wh = Window.orderBy(F.desc("score"), F.asc("c"))
+    topa = (
+        a.select(
+            F.lit("authority").alias("role"),
+            F.col("s").cast("bigint").alias("node"),
+            F.round(F.col("score").cast("double"), 6).alias("sc"),
+            F.row_number().over(wa).alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    toph = (
+        h.select(
+            F.lit("hub").alias("role"),
+            F.col("c").cast("bigint").alias("node"),
+            F.round(F.col("score").cast("double"), 6).alias("sc"),
+            F.row_number().over(wh).alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    return (
+        topa.union(toph)
+        .select("role", "node", F.col("sc").alias("score"),
+                F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("role", "rank")
+    )

@@ -1192,3 +1192,163 @@ def txt_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- txt_chat_format ---------------------------------------------------
+#
+# Training-example rendering: wrap each document into the
+# instruction-tuning chat template
+#   <|system|>…<|user|>…<|assistant|>{text}<|end|>
+# with a deterministic per-doc instruction (keyed by doc_id % 4 — a
+# fixed instruction bank, no RNG), whitespace token accounting for
+# the rendered example, and a 512-token truncation flag — the
+# formatting pass that turns a cleaned corpus into SFT rows. Pure
+# string ops (concat / split / size), map-only: zero shuffle before
+# the per-source rollup; the oracle states the identical rendering.
+
+_CHAT_INSTR = [
+    "Summarize the following passage.",
+    "What are the key facts in this text?",
+    "Rewrite this passage in plain language.",
+    "List the main topics of this document.",
+]
+
+CHAT_FORMAT_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         '<|system|>You are a helpful assistant.<|user|>'
+         || CASE CAST(doc_id % 4 AS INTEGER)
+              WHEN 0 THEN '{_CHAT_INSTR[0]}'
+              WHEN 1 THEN '{_CHAT_INSTR[1]}'
+              WHEN 2 THEN '{_CHAT_INSTR[2]}'
+              ELSE '{_CHAT_INSTR[3]}' END
+         || chr(10) || text || '<|assistant|>' AS prompt,
+         text
+  FROM documents
+), t AS (
+  SELECT doc_id, source, prompt,
+         CAST(len(string_split(prompt, ' ')) AS BIGINT) AS prompt_tokens,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS target_tokens
+  FROM r
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_examples,
+       CAST(SUM(prompt_tokens) AS BIGINT) AS total_prompt_tokens,
+       CAST(SUM(target_tokens) AS BIGINT) AS total_target_tokens,
+       CAST(SUM(CASE WHEN prompt_tokens + target_tokens > 512
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       MIN(CASE WHEN doc_id % 1000 = 0 THEN substr(prompt, 1, 80) END)
+         AS sample_prompt_prefix
+FROM t GROUP BY 1
+ORDER BY source
+"""
+
+
+@query("txt_chat_format", oracle=CHAT_FORMAT_SQL)
+def txt_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    instr = (
+        F.when(F.col("doc_id") % 4 == 0, _CHAT_INSTR[0])
+        .when(F.col("doc_id") % 4 == 1, _CHAT_INSTR[1])
+        .when(F.col("doc_id") % 4 == 2, _CHAT_INSTR[2])
+        .otherwise(_CHAT_INSTR[3])
+    )
+    prompt = F.concat(
+        F.lit("<|system|>You are a helpful assistant.<|user|>"),
+        instr, F.lit("\n"), F.col("text"), F.lit("<|assistant|>"),
+    )
+    t = d.select(
+        "doc_id", "source",
+        prompt.alias("prompt"),
+        F.size(F.split(prompt, " ")).cast("bigint").alias("prompt_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("target_tokens"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+            F.sum("prompt_tokens").cast("bigint").alias("total_prompt_tokens"),
+            F.sum("target_tokens").cast("bigint").alias("total_target_tokens"),
+            F.sum(
+                F.when(
+                    F.col("prompt_tokens") + F.col("target_tokens") > 512, 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_truncated"),
+            F.min(
+                F.when(
+                    F.col("doc_id") % 1000 == 0,
+                    F.substring("prompt", 1, 80),
+                )
+            ).alias("sample_prompt_prefix"),
+        )
+        .orderBy("source")
+    )
+
+
+# -- txt_mixture_plan --------------------------------------------------
+#
+# Static training-mixture planner (the DoReMi/Pile-style weights →
+# sampling-plan step): given target mixture weights per source and a
+# total token budget, compute each source's available whitespace
+# tokens, its target allocation, the sampling rate (≤ 1 ⇒ subsample)
+# or epoch count (> 1 ⇒ repeat), and the repeated-token overflow —
+# the table a pretraining run materializes before drawing a single
+# batch. Weights/budget are fixed literals of the plan; token counts
+# are exact integers; rate/epochs are one identical double division.
+# Scale shape: one scan → |sources| grid.
+
+_MIX_BUDGET = 500_000  # plan tokens
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+_MIX_W_SQL = " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
+)
+
+MIXTURE_SQL = f"""
+WITH avail AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, avail_tokens,
+       round(CASE source {_MIX_W_SQL} ELSE 0.0 END, 6) AS target_weight,
+       CAST(round((CASE source {_MIX_W_SQL} ELSE 0.0 END)
+                  * {_MIX_BUDGET}, 0) AS BIGINT) AS target_tokens,
+       round((CASE source {_MIX_W_SQL} ELSE 0.0 END) * {_MIX_BUDGET}
+             / avail_tokens, 6) AS epochs,
+       CAST(CASE WHEN (CASE source {_MIX_W_SQL} ELSE 0.0 END)
+                      * {_MIX_BUDGET} > avail_tokens
+            THEN 1 ELSE 0 END AS BIGINT) AS needs_repeat
+FROM avail
+ORDER BY source
+"""
+
+
+@query("txt_mixture_plan", oracle=MIXTURE_SQL)
+def txt_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    avail = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint")
+        .alias("avail_tokens"),
+    )
+    w = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[x for s, wt in _MIX_WEIGHTS.items()
+                  for x in (F.lit(s), F.lit(wt))]
+            ),
+            F.col("source"),
+        ),
+        F.lit(0.0),
+    )
+    target = w * _MIX_BUDGET
+    return avail.select(
+        "source", "n_docs", "avail_tokens",
+        F.round(w, 6).alias("target_weight"),
+        F.round(target, 0).cast("bigint").alias("target_tokens"),
+        F.round(target / F.col("avail_tokens"), 6).alias("epochs"),
+        F.when(target > F.col("avail_tokens"), 1).otherwise(0)
+        .cast("bigint").alias("needs_repeat"),
+    ).orderBy("source")
