@@ -679,12 +679,15 @@ def mr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def norm(df, key, raw_double):
+        # eager checkpoint per half-step: the next half-step joins this
+        # vector and the final top-10 union consumes the last two — no
+        # lineage re-execution (the graph-family idiom)
         mx = df.agg(F.max(raw_double).alias("mx"))
         return df.join(F.broadcast(mx)).select(
             key,
             F.round(raw_double / F.col("mx"), 12)
             .cast("decimal(18,12)").alias("score"),
-        )
+        ).localCheckpoint(eager=True)
 
     a1r = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("raw"))
     a = norm(a1r.select("s", F.col("raw").cast("double").alias("rawd")),
