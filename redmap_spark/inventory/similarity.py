@@ -7,7 +7,7 @@ in tests/test_similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
@@ -391,3 +391,124 @@ def sim_dim_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trunc_pick_cos_full"),
         F.when(pick64 == pick16, 1).otherwise(0).cast("bigint").alias("agree"),
     )
+
+
+# -- sim_assignment_purity ---------------------------------------------
+#
+# Nearest-centroid assignment audit (the clustering/labeling QA step:
+# if each label's centroid really separates the embedding space,
+# vectors should assign back to their own label): every vector is
+# scored against ALL 10 label centroids by cosine and assigned to the
+# argmax (cos rounded to 4, ties → smallest label — deterministic),
+# then the label×assignment confusion is reported with per-label
+# recall and the share each cell takes of its true label. Determinism
+# recipe is sim_outliers': centroids round to 6, per-dim products
+# cast to DECIMAL(28,12) before summing (exact, order-independent),
+# cosine rounds to 4 before the argmax. Scale shape: the cross-score
+# is a bounded |labels|× expansion of the (vec, dim) explode — 10
+# centroids, never vector×vector; centroids broadcast.
+
+SIM_ASSIGN_PURITY_SQL = """
+WITH cent AS (
+  SELECT label AS clabel, i AS dim, round(AVG(embedding[i]), 6) AS c
+  FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2
+), ex AS (
+  SELECT vec_id, label, i AS dim, embedding[i] AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+), dots AS (
+  SELECT vec_id, ex.label, cent.clabel,
+         CAST(SUM(CAST(x * c AS DECIMAL(28,12))) AS DOUBLE) AS dot
+  FROM ex JOIN cent ON cent.dim = ex.dim
+  GROUP BY 1, 2, 3
+), vnorm AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS vv
+  FROM ex GROUP BY 1
+), cnorm AS (
+  SELECT clabel, CAST(SUM(CAST(c * c AS DECIMAL(28,12))) AS DOUBLE) AS cc
+  FROM cent GROUP BY 1
+), scored AS (
+  SELECT dots.vec_id, label, dots.clabel,
+         round(dot / (sqrt(vv) * sqrt(cc)), 4) AS cos_c
+  FROM dots JOIN vnorm ON vnorm.vec_id = dots.vec_id
+  JOIN cnorm ON cnorm.clabel = dots.clabel
+), assigned AS (
+  SELECT vec_id, label, clabel AS assigned FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, clabel) AS rk
+    FROM scored
+  ) WHERE rk = 1
+), cells AS (
+  SELECT label, assigned, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM assigned GROUP BY 1, 2
+)
+SELECT label, assigned, n_vecs,
+       round(n_vecs / CAST(SUM(n_vecs) OVER (PARTITION BY label) AS DOUBLE),
+             6) AS share_of_label,
+       CAST(CASE WHEN label = assigned THEN 1 ELSE 0 END AS BIGINT)
+         AS is_correct
+FROM cells
+ORDER BY label, assigned
+"""
+
+
+@query("sim_assignment_purity", oracle=SIM_ASSIGN_PURITY_SQL)
+def sim_assignment_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x")
+    cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    ex = ex.localCheckpoint(eager=True)  # dot grid + vec norms consume
+    cent = cent.localCheckpoint(eager=True)  # dot grid + centroid norms
+    # only the dot needs the |vecs|×|labels| grid; the two norms are
+    # per-vec / per-centroid passes (3× less decimal-sum volume than
+    # folding them into the cross grid — measured 8.6→faster)
+    dots = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("x") * F.col("c")).cast("decimal(28,12)"))
+            .cast("double").alias("dot")
+        )
+    )
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+        .cast("double").alias("vv")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sum((F.col("c") * F.col("c")).cast("decimal(28,12)"))
+        .cast("double").alias("cc")
+    )
+    scored = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id", "label", "clabel",
+            F.round(
+                F.col("dot") / (F.sqrt("vv") * F.sqrt("cc")), 4
+            ).alias("cos_c"),
+        )
+    )
+    rk = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("clabel"))
+    assigned = (
+        scored.select(
+            "vec_id", "label", F.col("clabel").alias("assigned"),
+            F.row_number().over(rk).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    cells = assigned.groupBy("label", "assigned").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    wl = Window.partitionBy("label")
+    return cells.select(
+        "label", "assigned", "n_vecs",
+        F.round(
+            F.col("n_vecs") / F.sum("n_vecs").over(wl).cast("double"), 6
+        ).alias("share_of_label"),
+        F.when(F.col("label") == F.col("assigned"), 1).otherwise(0)
+        .cast("bigint").alias("is_correct"),
+    ).orderBy("label", "assigned")

@@ -36,22 +36,27 @@ def test_bench_line_contract():
     from redmap_spark.inventory import QUERIES
 
     assert set(full) == set(QUERIES)
-    # every entry survives key compression into the final line, unless
-    # the envelope explicitly declares what the N-slowest stage dropped
-    if "queries_omitted" in d:
+    # every entry survives into the final line: as a short-key dict, a
+    # positional array (sorted-full-name order, decoded against
+    # sorted(QUERIES)), or the N-slowest dict that explicitly declares
+    # what it dropped
+    if d.get("queries_key") == "sorted-name-positional":
+        assert isinstance(d["queries"], list)
+        assert len(d["queries"]) == len(QUERIES)
+    elif "queries_omitted" in d:
         assert d["queries_total"] == len(QUERIES)
         assert len(d["queries"]) + d["queries_omitted"] == len(QUERIES)
     else:
         assert len(d["queries"]) == len(QUERIES)
-    # and the documented prefix scheme holds (spot checks). Key width
-    # depends on which fallback stage fit the budget: prefix+3 chars
-    # normally, prefix+2 once the inventory outgrows the 3-char stage
-    # (as it did at 179 entries with sub-second sf0.001 timings).
-    shorts = set(d["queries"])
-    assert "q1" in shorts
-    assert any(k.startswith("d") and len(k) in (3, 4) for k in shorts)
-    assert any(k.startswith("t") and len(k) in (3, 4) for k in shorts)
-    assert not any(re.match(r"^q\d+_", k) for k in shorts)
+        # the documented prefix scheme holds (spot checks). Key width
+        # depends on which fallback stage fit the budget: prefix+3
+        # normally, prefix+2 once the inventory outgrows the 3-char
+        # stage (as at 179 entries with sub-second sf0.001 timings).
+        shorts = set(d["queries"])
+        assert "q1" in shorts
+        assert any(k.startswith("d") and len(k) in (3, 4) for k in shorts)
+        assert any(k.startswith("t") and len(k) in (3, 4) for k in shorts)
+        assert not any(re.match(r"^q\d+_", k) for k in shorts)
 
 
 def test_compact_line_survives_300_entries():
@@ -67,15 +72,28 @@ def test_compact_line_survives_300_entries():
     assert len(line) < 1900, len(line)
     d = json.loads(line)
     assert d["value"] == total
-    assert d["queries_total"] == 300
-    assert d["queries_omitted"] == 300 - len(d["queries"])
-    assert 0 < len(d["queries"]) < 300
-    # the kept entries are the slowest ones: min kept == N-th largest
-    # of the full floored value set
+    # 300 entries resolve via the POSITIONAL stage: every value kept,
+    # array order = sorted full names
+    assert d.get("queries_key") == "sorted-name-positional"
+    assert len(d["queries"]) == 300
+    want = [
+        (int(round(v)) if v >= 1 else round(v, 1))
+        for _, v in sorted(timings.items())
+    ]
+    assert d["queries"] == want
+
+    # the lossy N-slowest stage still guards the far tail (800 entries)
+    big = {f"q_synthetic_entry_{i:03d}": 0.5 + (i % 40) for i in range(800)}
+    line3 = compact_line(big, round(sum(big.values()), 4), 0.1)
+    assert len(line3) < 1900
+    d3 = json.loads(line3)
+    assert d3["queries_total"] == 800
+    assert d3["queries_omitted"] == 800 - len(d3["queries"])
+    assert 0 < len(d3["queries"]) < 800
     floored_vals = sorted(
-        (int(round(v)) if v >= 1 else v for v in timings.values()), reverse=True
+        (int(round(v)) if v >= 1 else v for v in big.values()), reverse=True
     )
-    assert min(d["queries"].values()) == floored_vals[len(d["queries"]) - 1]
+    assert min(d3["queries"].values()) == floored_vals[len(d3["queries"]) - 1]
 
     # and the current real inventory still fits WITHOUT dropping any
     from redmap_spark.inventory import QUERIES
