@@ -587,3 +587,99 @@ def q_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.95).alias("p95_late_s"),
         F.max("late_s").cast("bigint").alias("max_late_s"),
     ).orderBy("event_type")
+
+
+# -- q_kanonymity ------------------------------------------------------
+#
+# k-anonymity / l-diversity audit before sharing a customer extract:
+# with quasi-identifiers (nation, market segment, account-balance
+# bucket of width 2000), how many equivalence classes fall below
+# k = 5 members, how many customers are re-identifiable at each risk
+# tier, and the l-diversity of the sensitive attribute (order
+# priority of the customer's orders) inside small classes — the
+# privacy gate a data-sharing pipeline runs before any export.
+# Exact integer counts; the bucket edge uses floor on an exact
+# decimal/integer ratio (identical both engines). Scale shape: one
+# grouped pass to the |classes| grid, one distinct-count per class
+# for l-diversity, broadcast totals.
+
+KANON_SQL = """
+WITH q AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / 2000.0) AS BIGINT)
+           AS bal_bucket
+  FROM customer
+), sens AS (
+  SELECT q.c_custkey, c_nationkey, c_mktsegment, bal_bucket,
+         o_orderpriority
+  FROM q JOIN orders ON o_custkey = q.c_custkey
+), cls AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_diversity
+  FROM sens GROUP BY 1, 2, 3
+), tiers AS (
+  SELECT CASE WHEN class_size < 2 THEN 'unique'
+              WHEN class_size < 5 THEN 'small_2_4'
+              WHEN class_size < 20 THEN 'medium_5_19'
+              ELSE 'large_20plus' END AS risk_tier,
+         class_size, l_diversity
+  FROM cls
+)
+SELECT risk_tier,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_customers,
+       round(SUM(class_size) / CAST((SELECT SUM(class_size) FROM tiers)
+                                    AS DOUBLE), 6) AS customer_share,
+       CAST(MIN(l_diversity) AS BIGINT) AS min_l_diversity,
+       CAST(SUM(CASE WHEN l_diversity < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity_classes
+FROM tiers GROUP BY 1
+ORDER BY risk_tier
+"""
+
+
+@query("q_kanonymity", oracle=KANON_SQL)
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    q = c.customer.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("decimal(18,2)") / 2000.0)
+        .cast("bigint").alias("bal_bucket"),
+    )
+    sens = q.join(
+        c.orders.select("o_custkey", "o_orderpriority"),
+        q.c_custkey == F.col("o_custkey"),
+    )
+    cls = sens.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.countDistinct("c_custkey").cast("bigint").alias("class_size"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("l_diversity"),
+    )
+    tier = (
+        F.when(F.col("class_size") < 2, "unique")
+        .when(F.col("class_size") < 5, "small_2_4")
+        .when(F.col("class_size") < 20, "medium_5_19")
+        .otherwise("large_20plus")
+    )
+    tiers = cls.select(
+        tier.alias("risk_tier"), "class_size", "l_diversity"
+    ).localCheckpoint(eager=True)  # total + tier rollup both consume
+    tot = tiers.agg(F.sum("class_size").cast("double").alias("tot"))
+    return (
+        tiers.groupBy("risk_tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_customers"),
+            F.min("l_diversity").cast("bigint").alias("min_l_diversity"),
+            F.sum(F.when(F.col("l_diversity") < 2, 1).otherwise(0))
+            .cast("bigint").alias("n_low_diversity_classes"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "risk_tier", "n_classes", "n_customers",
+            F.round(F.col("n_customers") / F.col("tot"), 6)
+            .alias("customer_share"),
+            "min_l_diversity", "n_low_diversity_classes",
+        )
+        .orderBy("risk_tier")
+    )

@@ -1352,3 +1352,37 @@ def txt_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(target > F.col("avail_tokens"), 1).otherwise(0)
         .cast("bigint").alias("needs_repeat"),
     ).orderBy("source")
+
+
+# -- txt_bpe_fertility -------------------------------------------------
+#
+# Tokenizer fertility dashboard (subwords per word — THE tokenizer
+# health metric: high fertility on a language/source means the vocab
+# under-serves it and its effective context shrinks): the repo's own
+# sample-trained BPE (64 merges over a 256-doc deterministic md5
+# sample) applied corpus-wide, fertility aggregated per (lang,
+# source). Rows-only by design — BPE application is the documented
+# Arrow mapInPandas seam — with the per-doc counts pytest-verified
+# against a direct reimplementation; the rollup itself is exact
+# integer sums with one final division.
+
+@query("txt_bpe_fertility")  # rows-only: BPE apply is the Arrow seam
+def txt_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators import bpe as B
+
+    d = Catalog(spark, sf_dir).documents
+    merges = B.train_merges(B.sample_texts(d), num_merges=64)
+    counts = B.bpe_apply(d, merges).select("doc_id", "n_words", "n_subwords")
+    j = d.select("doc_id", "lang", "source").join(counts, "doc_id")
+    return (
+        j.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+            F.round(
+                F.sum("n_subwords") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -756,3 +756,35 @@ def test_gk_quantiles_rank_error_bound(spark):
             target = q * n
             slack = n / 1000 + 1
             assert lo - slack <= target <= hi + slack, (et, q, lo, hi, target)
+
+
+def test_bpe_fertility_matches_direct_apply(spark):
+    """txt_bpe_fertility's per-(lang,source) sums must equal a direct
+    driver-side recomputation with the same sample-trained merges."""
+    from collections import defaultdict
+
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.inventory import QUERIES
+    from redmap_spark.operators import bpe as B
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r.lang, r.source): (r.n_docs, r.n_words, r.n_subwords, r.fertility)
+        for r in QUERIES["txt_bpe_fertility"](spark, SF_DIR).collect()
+    }
+    d = Catalog(spark, SF_DIR).documents
+    merges = B.train_merges(B.sample_texts(d), num_merges=64)
+    ranks = {(a, b): rank for rank, a, b, _m, _c in merges}
+    agg = defaultdict(lambda: [0, 0, 0])
+    for row in d.select("lang", "source", "text").collect():
+        words = row.text.split()
+        subs = sum(len(B.apply_word(w, ranks)) for w in words)
+        a = agg[(row.lang, row.source)]
+        a[0] += 1
+        a[1] += len(words)
+        a[2] += subs
+    assert set(got) == set(agg)
+    for k, (nd, nw, ns) in agg.items():
+        gd, gw, gs, f = got[k]
+        assert (gd, gw, gs) == (nd, nw, ns), k
+        assert f == round(ns / nw, 6), k
