@@ -59,6 +59,7 @@ def test_hot_paths_have_no_python_eval(spark):
     for name, fn in QUERIES.items():
         if name.startswith("mm_") or name in (
             "txt_pack", "txt_bpe_apply", "txt_compress_ratio",
+            "txt_bpe_fertility",
         ):
             # txt_compress_ratio: mapInPandas by design — zlib
             # compressibility has no JVM builtin; Arrow-batched,
