@@ -68,7 +68,7 @@ _WINDOW_FIRST = [
     "q_qq_normal", "q_power_mde", "q_stl_lite", "q_sprt_monitor", "q_peak_detection",
     "txt_chat_format", "txt_mixture_plan", "mr_hits", "q_fk_orphans",
     "q_watermark_planner", "sim_assignment_purity", "q_bootstrap_ci",
-    "q_kanonymity",
+    "q_kanonymity", "q_auc_roc", "mr_assortativity", "q_hill_tail_index",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -740,3 +740,88 @@ def mr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rank").cast("bigint").alias("rank"))
         .orderBy("role", "rank")
     )
+
+
+# -- mr_assortativity --------------------------------------------------
+#
+# Degree assortativity (Newman 2002) of the co-purchase graph: the
+# Pearson correlation of endpoint degrees across edges — positive
+# means hubs co-purchase with hubs (rich-club), negative means hubs
+# anchor stars of low-degree parts; drives whether degree-capped
+# algorithms (the df-cap family) help or hurt. Computed over the
+# symmetrized edge list with EXACT integer moments (degrees are
+# integers; Σjk, Σ(j+k), Σ(j²+k²) as bigints per the standard
+# undirected estimator), one identical double expression at the end.
+# Scale shape: one degree groupBy + one degree-annotated edge pass —
+# grid-sized everything, no wedges.
+
+ASSORT_SQL = """
+WITH li AS (
+  SELECT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01'
+), pairs AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+  GROUP BY 1
+), ed AS (
+  SELECT du.d AS j, dv.d AS k
+  FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(j * k) AS BIGINT) AS sjk,
+         CAST(SUM(j + k) AS BIGINT) AS sjpk,
+         CAST(SUM(j * j + k * k) AS BIGINT) AS sj2k2
+  FROM ed
+)
+SELECT m AS n_edges,
+       round(CAST(sjk AS DOUBLE) / m
+             - (sjpk / (2.0 * m)) * (sjpk / (2.0 * m)), 6) AS cov_term,
+       round((sj2k2 / (2.0 * m))
+             - (sjpk / (2.0 * m)) * (sjpk / (2.0 * m)), 6) AS var_term,
+       round((CAST(sjk AS DOUBLE) / m
+              - (sjpk / (2.0 * m)) * (sjpk / (2.0 * m)))
+             / ((sj2k2 / (2.0 * m))
+                - (sjpk / (2.0 * m)) * (sjpk / (2.0 * m))), 6)
+         AS assortativity
+FROM m
+"""
+
+
+@query("mr_assortativity", oracle=ASSORT_SQL)
+def mr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators.analytics import copurchase_pairs
+
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.filter(F.col("l_shipdate") < "1995-07-01")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    pairs = copurchase_pairs(li).localCheckpoint(eager=True)
+    deg = (
+        pairs.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("j"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("k"))
+    ed = pairs.join(du, "u").join(dv, "v").select("j", "k")
+    m = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+        F.sum(F.col("j") + F.col("k")).cast("bigint").alias("sjpk"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("bigint").alias("sj2k2"),
+    )
+    md, sjk = F.col("m"), F.col("sjk")
+    mu = F.col("sjpk") / (2.0 * md)
+    cov = sjk.cast("double") / md - mu * mu
+    var = F.col("sj2k2") / (2.0 * md) - mu * mu
+    return m.select(
+        md.alias("n_edges"),
+        F.round(cov, 6).alias("cov_term"),
+        F.round(var, 6).alias("var_term"),
+        F.round(cov / var, 6).alias("assortativity"),
+    )

@@ -2082,3 +2082,167 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ci_hi"),
     ).orderBy("event_type")
+
+
+# -- q_auc_roc ---------------------------------------------------------
+#
+# Ranking-quality AUC-ROC of the q_calibration_ece model (train-half
+# value-bin purchase propensity scoring the eval half): AUC via the
+# rank-sum identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁·n₀) — algebraically
+# the Mann–Whitney U, so it reuses the q_mannwhitney exact-integer
+# midrank machinery (2·R₁ on the distinct-score grid; ties between
+# positives and negatives contribute ½ exactly). One identical final
+# division; the score grid has ≤10 distinct values so every window
+# is grid-sized. The model-eval companion of q_calibration_ece:
+# calibration says "are the probabilities honest", AUC says "do they
+# rank".
+
+AUC_SPLIT = "2024-01-16"
+
+AUC_SQL = f"""
+WITH ev AS (
+  SELECT LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS vbin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN CAST(ts AS DATE) < DATE '{AUC_SPLIT}' THEN 1 ELSE 0 END
+           AS is_train
+  FROM events WHERE value IS NOT NULL
+), model AS (
+  SELECT vbin,
+         CAST(round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(8,6))
+           AS score
+  FROM ev WHERE is_train = 1 GROUP BY 1
+), scored AS (
+  SELECT m.score, e.y FROM ev e JOIN model m ON m.vbin = e.vbin
+  WHERE e.is_train = 0
+), g AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1
+), rg AS (
+  SELECT score, cnt, pos,
+         CAST(SUM(cnt) OVER (ORDER BY score) AS BIGINT) AS cum
+  FROM g
+), agg AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n1,
+         CAST(SUM(cnt - pos) AS BIGINT) AS n0,
+         CAST(SUM(pos * (2 * cum - cnt + 1)) AS BIGINT) AS r2x
+  FROM rg
+)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       round((r2x - n1 * (n1 + 1))
+             / (2.0 * CAST(n1 AS DOUBLE) * n0), 6) AS auc,
+       round((r2x - n1 * (n1 + 1)) / (2.0 * CAST(n1 AS DOUBLE) * n0)
+             - 0.5, 6) AS gini_rank
+FROM agg
+"""
+
+
+@query("q_auc_roc", oracle=AUC_SQL)
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ev = e.filter(F.col("value").isNotNull()).select(
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9)
+        ).alias("vbin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (F.to_date("ts") < F.lit(AUC_SPLIT)).cast("int").alias("is_train"),
+    )
+    model = ev.filter(F.col("is_train") == 1).groupBy("vbin").agg(
+        F.round(F.sum("y") / F.count(F.lit(1)).cast("double"), 6)
+        .cast("decimal(8,6)").alias("score")
+    )
+    scored = (
+        ev.filter(F.col("is_train") == 0)
+        .join(F.broadcast(model), "vbin")
+        .select("score", "y")
+    )
+    g = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    rg = g.select(
+        "score", "cnt", "pos",
+        F.sum("cnt").over(Window.orderBy("score")).cast("bigint").alias("cum"),
+    )
+    agg = rg.agg(
+        F.sum("pos").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n0"),
+        F.sum(
+            F.col("pos") * (2 * F.col("cum") - F.col("cnt") + 1)
+        ).cast("bigint").alias("r2x"),
+    )
+    n1, n0, r2x = F.col("n1"), F.col("n0"), F.col("r2x")
+    auc = (r2x - n1 * (n1 + 1)) / (2.0 * n1.cast("double") * n0)
+    return agg.select(
+        n1.alias("n_pos"), n0.alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(auc - 0.5, 6).alias("gini_rank"),
+    )
+
+
+# -- q_hill_tail_index -------------------------------------------------
+#
+# Hill estimator of the revenue-distribution tail index (Hill 1975):
+# α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the k = 100 largest
+# customer revenues — the heavy-tail diagnostic that says whether
+# revenue concentration has finite variance (α > 2) or a single
+# customer can dominate any sample (α ≤ 2); decides if mean-based
+# monitors are even meaningful. Revenues are exact decimal sums; the
+# rank cut is a deterministic (revenue DESC, custkey) row_number
+# over the customer grid (the documented q_gini grid sort); each ln
+# term rounds to DECIMAL(18,9) before the exact sum
+# (order-independent), one final division.
+
+HILL_K = 100
+
+HILL_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS r
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS i FROM rev
+), thr AS (
+  SELECT CAST(r AS DOUBLE) AS xk1 FROM ranked WHERE i = {HILL_K} + 1
+), terms AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE) / xk1), 9) AS DECIMAL(18,9)) AS t
+  FROM ranked CROSS JOIN thr WHERE i <= {HILL_K}
+)
+SELECT CAST({HILL_K} AS BIGINT) AS k,
+       round((SELECT xk1 FROM thr), 6) AS x_k_plus_1,
+       round(CAST(SUM(t) AS DOUBLE) / {HILL_K}, 6) AS mean_log_excess,
+       round({HILL_K} / CAST(SUM(t) AS DOUBLE), 6) AS tail_index
+FROM terms
+"""
+
+
+@query("q_hill_tail_index", oracle=HILL_SQL)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("decimal(19,2)").alias("r")
+    )
+    ranked = rev.select(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("r"), F.asc("o_custkey")))
+        .alias("i"),
+    ).filter(F.col("i") <= HILL_K + 1).localCheckpoint(eager=True)
+    thr = ranked.filter(F.col("i") == HILL_K + 1).select(
+        F.col("r").cast("double").alias("xk1")
+    )
+    terms = (
+        ranked.filter(F.col("i") <= HILL_K)
+        .join(F.broadcast(thr))
+        .select(
+            F.round(F.log(F.col("r").cast("double") / F.col("xk1")), 9)
+            .cast("decimal(18,9)").alias("t"),
+            "xk1",
+        )
+    )
+    return terms.agg(
+        F.lit(HILL_K).cast("bigint").alias("k"),
+        F.round(F.max("xk1"), 6).alias("x_k_plus_1"),
+        F.round(F.sum("t").cast("double") / HILL_K, 6).alias("mean_log_excess"),
+        F.round(F.lit(float(HILL_K)) / F.sum("t").cast("double"), 6)
+        .alias("tail_index"),
+    )
