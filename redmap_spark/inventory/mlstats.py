@@ -2246,3 +2246,203 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(float(HILL_K)) / F.sum("t").cast("double"), 6)
         .alias("tail_index"),
     )
+
+
+# -- q_spearman --------------------------------------------------------
+#
+# Spearman rank correlation between the click and purchase daily
+# revenue series (the robust is-there-a-monotone-relationship test —
+# Pearson on midranks, immune to the heavy tails q_hill_tail_index
+# measures): midranks via the distinct-value cumulative grid in
+# exact 2·rank integers (the q_mannwhitney machinery), then Pearson
+# from exact integer moments — scale-invariance of Pearson means the
+# doubled ranks change nothing. One identical double expression at
+# the end. Scale shape: the stream collapses to the bounded
+# |days| grid; everything after is grid-sized.
+
+SPEARMAN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+), j AS (
+  SELECT x.day, x.rev AS xv, y.rev AS yv
+  FROM (SELECT day, rev FROM daily WHERE event_type = 'click') x
+  JOIN (SELECT day, rev FROM daily WHERE event_type = 'purchase') y
+    ON y.day = x.day
+), rx AS (
+  SELECT xv, CAST(2 * SUM(cnt) OVER (ORDER BY xv) - cnt + 1 AS BIGINT) AS r2
+  FROM (SELECT xv, CAST(COUNT(*) AS BIGINT) AS cnt FROM j GROUP BY 1)
+), ry AS (
+  SELECT yv, CAST(2 * SUM(cnt) OVER (ORDER BY yv) - cnt + 1 AS BIGINT) AS r2
+  FROM (SELECT yv, CAST(COUNT(*) AS BIGINT) AS cnt FROM j GROUP BY 1)
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx.r2) AS BIGINT) AS sx,
+         CAST(SUM(ry.r2) AS BIGINT) AS sy,
+         CAST(SUM(rx.r2 * ry.r2) AS BIGINT) AS sxy,
+         CAST(SUM(rx.r2 * rx.r2) AS BIGINT) AS sxx,
+         CAST(SUM(ry.r2 * ry.r2) AS BIGINT) AS syy
+  FROM j JOIN rx ON rx.xv = j.xv JOIN ry ON ry.yv = j.yv
+)
+SELECT n AS n_days,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+             6) AS spearman_rho
+FROM m
+"""
+
+
+@query("q_spearman", oracle=SPEARMAN_SQL)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(dec("value")).cast("decimal(19,2)").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    x = daily.filter(F.col("event_type") == "click").select(
+        "day", F.col("rev").alias("xv")
+    )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("rev").alias("yv")
+    )
+    j = x.join(y, x.day == y.yday).select("xv", "yv").localCheckpoint(
+        eager=True
+    )  # two rank grids + the moment pass consume
+
+    def ranks(col):
+        g = j.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        return g.select(
+            col,
+            (
+                2 * F.sum("cnt").over(Window.orderBy(col))
+                - F.col("cnt") + 1
+            ).cast("bigint").alias("r2"),
+        )
+
+    rx = ranks("xv").withColumnRenamed("r2", "rx2")
+    ry = ranks("yv").withColumnRenamed("r2", "ry2")
+    m = (
+        j.join(rx, "xv")
+        .join(ry, "yv")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("rx2").cast("bigint").alias("sx"),
+            F.sum("ry2").cast("bigint").alias("sy"),
+            F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+            F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+            F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+        )
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    rho = (n * F.col("sxy").cast("double") - sx * sy) / (
+        F.sqrt(n * F.col("sxx").cast("double") - sx * sx)
+        * F.sqrt(n * F.col("syy").cast("double") - sy * sy)
+    )
+    return m.select(
+        n.alias("n_days"), F.round(rho, 6).alias("spearman_rho")
+    )
+
+
+# -- q_kendall_tau -----------------------------------------------------
+#
+# Kendall's τ-b between the same two series: concordant/discordant
+# pair counts with the standard tie corrections — the
+# finite-sample-robust sibling of q_spearman (τ has better small-n
+# properties and a direct probabilistic reading: P(concordant) −
+# P(discordant)). The pair join is |days|² of the bounded day grid —
+# a documented grid-quadratic (3650 days of history ⇒ 13 M pairs,
+# trivially partitionable), never a row-level product. Exact integer
+# counts; one identical double expression.
+
+KENDALL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+), j AS (
+  SELECT x.day, x.rev AS xv, y.rev AS yv
+  FROM (SELECT day, rev FROM daily WHERE event_type = 'click') x
+  JOIN (SELECT day, rev FROM daily WHERE event_type = 'purchase') y
+    ON y.day = x.day
+), pr AS (
+  SELECT CASE WHEN (a.xv < b.xv AND a.yv < b.yv)
+                OR (a.xv > b.xv AND a.yv > b.yv) THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.xv < b.xv AND a.yv > b.yv)
+                OR (a.xv > b.xv AND a.yv < b.yv) THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.xv = b.xv AND a.yv <> b.yv THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.yv = b.yv AND a.xv <> b.xv THEN 1 ELSE 0 END AS ty
+  FROM j a JOIN j b ON a.day < b.day
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(conc) AS BIGINT) AS c,
+         CAST(SUM(disc) AS BIGINT) AS d,
+         CAST(SUM(tx) AS BIGINT) AS tx,
+         CAST(SUM(ty) AS BIGINT) AS ty
+  FROM pr
+)
+SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+       CASE WHEN (n0 - tx) > 0 AND (n0 - ty) > 0 THEN
+         round((c - d) / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 6)
+       ELSE 0.0 END AS kendall_tau_b
+FROM m
+"""
+
+
+@query("q_kendall_tau", oracle=KENDALL_SQL)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(dec("value")).cast("decimal(19,2)").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    x = daily.filter(F.col("event_type") == "click").select(
+        "day", F.col("rev").alias("xv")
+    )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("rev").alias("yv")
+    )
+    j = x.join(y, x.day == y.yday).select("day", "xv", "yv")
+    a = j.select(
+        F.col("day").alias("ad"), F.col("xv").alias("ax"),
+        F.col("yv").alias("ay"),
+    )
+    b = j.select(
+        F.col("day").alias("bd"), F.col("xv").alias("bx"),
+        F.col("yv").alias("by"),
+    )
+    ax, ay, bx, by = (F.col(c) for c in ("ax", "ay", "bx", "by"))
+    pr = a.join(b, F.col("ad") < F.col("bd")).select(
+        F.when(
+            ((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by)), 1
+        ).otherwise(0).alias("conc"),
+        F.when(
+            ((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by)), 1
+        ).otherwise(0).alias("disc"),
+        F.when((ax == bx) & (ay != by), 1).otherwise(0).alias("tx"),
+        F.when((ay == by) & (ax != bx), 1).otherwise(0).alias("ty"),
+    )
+    m = pr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum("conc").cast("bigint").alias("c"),
+        F.sum("disc").cast("bigint").alias("d"),
+        F.sum("tx").cast("bigint").alias("tx"),
+        F.sum("ty").cast("bigint").alias("ty"),
+    )
+    n0, c, d = F.col("n0"), F.col("c"), F.col("d")
+    tau = (c - d) / F.sqrt(
+        (n0 - F.col("tx")).cast("double") * (n0 - F.col("ty"))
+    )
+    return m.select(
+        n0.alias("n_pairs"), c.alias("concordant"), d.alias("discordant"),
+        F.when(
+            ((n0 - F.col("tx")) > 0) & ((n0 - F.col("ty")) > 0),
+            F.round(tau, 6),
+        ).otherwise(F.lit(0.0)).alias("kendall_tau_b"),
+    )
