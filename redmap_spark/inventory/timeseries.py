@@ -1652,3 +1652,115 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(strict & (prom > 0.25 * mean_rev), 1)
         .otherwise(0).cast("bigint").alias("is_peak"),
     ).orderBy("event_type", "day")
+
+
+# -- q_forecast_backtest -----------------------------------------------
+#
+# Rolling-origin forecast backtest (the honest accuracy number — the
+# in-sample fit q_forecast_linear reports always flatters): for every
+# day t with ≥ 7 prior observations, fit the OLS trend on days < t
+# ONLY and score the 1-step-ahead prediction, then roll up MAPE /
+# sMAPE / signed bias per series. The expanding-window fit needs no
+# per-origin refit pass: all five OLS moments are CUMULATIVE window
+# sums (exact — day indexes are integers, revenue is exact decimal)
+# with a ROWS frame ending at -1 (strictly prior days), so the whole
+# backtest is ONE window sort per series. Per-day error terms round
+# to DECIMAL(18,6) before the exact rollup sum. Scale shape: grid
+# windows only; nothing re-scans the stream per origin.
+
+BACKTEST_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+idx AS (
+  SELECT event_type, day, rev,
+         CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS x
+  FROM daily
+),
+c AS (
+  SELECT event_type, day, rev, x,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(rev) OVER w AS DECIMAL(28,2)) AS sy,
+         CAST(SUM(x * rev) OVER w AS DECIMAL(38,2)) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+  FROM idx
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+pred AS (
+  SELECT event_type, day, CAST(rev AS DOUBLE) AS actual,
+         (CAST(sy AS DOUBLE) / n)
+         + ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+           * (x - CAST(sx AS DOUBLE) / n) AS fc
+  FROM c
+  WHERE n >= 7 AND (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) > 0
+),
+terms AS (
+  SELECT event_type,
+         CAST(round(abs(fc - actual) / actual, 6) AS DECIMAL(18,6)) AS ape,
+         CAST(round(2.0 * abs(fc - actual) / (abs(fc) + abs(actual)), 6)
+              AS DECIMAL(18,6)) AS sape,
+         CAST(round((fc - actual) / actual, 6) AS DECIMAL(18,6)) AS bias
+  FROM pred
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_evals,
+       round(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 6) AS mape,
+       round(CAST(SUM(sape) AS DOUBLE) / COUNT(*), 6) AS smape,
+       round(CAST(SUM(bias) AS DOUBLE) / COUNT(*), 6) AS mean_bias
+FROM terms GROUP BY 1
+ORDER BY event_type
+"""
+
+
+@query("q_forecast_backtest", oracle=BACKTEST_SQL)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _daily(spark, sf_dir).select(
+        "event_type", "day", "rev",
+        F.datediff("day", F.lit("2024-01-01")).cast("bigint").alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = idx.select(
+        "event_type", "day", "rev", "x",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("rev").over(w).cast("decimal(28,2)").alias("sy"),
+        F.sum(F.col("x") * F.col("rev")).over(w).cast("decimal(38,2)")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+    )
+    n, x = F.col("n"), F.col("x")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    den = n * F.col("sxx").cast("double") - sxd * F.col("sx")
+    slope = (n * F.col("sxy").cast("double") - sxd * syd) / den
+    fc = syd / n + slope * (x - sxd / n)
+    pred = c.filter((n >= 7) & (den > 0)).select(
+        "event_type",
+        F.col("rev").cast("double").alias("actual"),
+        fc.alias("fc"),
+    )
+    a, f = F.col("actual"), F.col("fc")
+    terms = pred.select(
+        "event_type",
+        F.round(F.abs(f - a) / a, 6).cast("decimal(18,6)").alias("ape"),
+        F.round(2.0 * F.abs(f - a) / (F.abs(f) + F.abs(a)), 6)
+        .cast("decimal(18,6)").alias("sape"),
+        F.round((f - a) / a, 6).cast("decimal(18,6)").alias("bias"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+            F.round(F.sum("ape").cast("double") / F.count(F.lit(1)), 6)
+            .alias("mape"),
+            F.round(F.sum("sape").cast("double") / F.count(F.lit(1)), 6)
+            .alias("smape"),
+            F.round(F.sum("bias").cast("double") / F.count(F.lit(1)), 6)
+            .alias("mean_bias"),
+        )
+        .orderBy("event_type")
+    )
