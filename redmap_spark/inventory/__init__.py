@@ -69,7 +69,8 @@ _WINDOW_FIRST = [
     "txt_chat_format", "txt_mixture_plan", "mr_hits", "q_fk_orphans",
     "q_watermark_planner", "sim_assignment_purity", "q_bootstrap_ci",
     "q_kanonymity", "q_auc_roc", "mr_assortativity", "q_hill_tail_index",
-    "q_spearman", "q_kendall_tau", "q_forecast_backtest",
+    "q_spearman", "q_kendall_tau", "q_forecast_backtest", "q_pacf",
+    "q_overdispersion",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

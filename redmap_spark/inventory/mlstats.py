@@ -2446,3 +2446,172 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(tau, 6),
         ).otherwise(F.lit(0.0)).alias("kendall_tau_b"),
     )
+
+
+# -- q_pacf ------------------------------------------------------------
+#
+# Partial autocorrelation at lags 1–3 per series (Durbin–Levinson
+# closed forms): together with q_autocorrelation's ACF this is the
+# Box–Jenkins order-identification pair — AR order shows as a PACF
+# cutoff the raw ACF hides. The lagged Pearson ρ₁..ρ₃ are computed
+# exactly as q_autocorrelation does (exact decimal moments, ONE
+# window sort per series feeds all three lags) and ROUNDED to 6
+# before entering the recursion, so both engines run identical
+# closed-form double arithmetic:
+#   φ11 = ρ1,  φ22 = (ρ2 − ρ1²)/(1 − ρ1²),
+#   φ33 = (ρ3 − φ21ρ2 − φ22ρ1)/(1 − φ21ρ1 − φ22ρ2),
+#   φ21 = ρ1(1 − φ22).
+
+_PACF_RHO = """
+  SELECT event_type,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho{k}
+  FROM (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(x) AS DECIMAL(19,2)) AS sx,
+           CAST(SUM(y) AS DECIMAL(19,2)) AS sy,
+           CAST(SUM(x * y) AS DECIMAL(30,4)) AS sxy,
+           CAST(SUM(x * x) AS DECIMAL(30,4)) AS sxx,
+           CAST(SUM(y * y) AS DECIMAL(30,4)) AS syy
+    FROM (
+      SELECT event_type, rev AS y,
+             LAG(rev, {k}) OVER (PARTITION BY event_type ORDER BY day) AS x
+      FROM daily
+    ) WHERE x IS NOT NULL GROUP BY 1
+  )
+"""
+
+PACF_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM events GROUP BY 1, 2
+), r1 AS ({r1}), r2 AS ({r2}), r3 AS ({r3}),
+j AS (
+  SELECT r1.event_type, rho1, rho2, rho3
+  FROM r1 JOIN r2 ON r2.event_type = r1.event_type
+  JOIN r3 ON r3.event_type = r1.event_type
+),
+lv AS (
+  SELECT event_type, rho1, rho2, rho3,
+         (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1) AS phi22
+  FROM j
+)
+SELECT event_type, rho1 AS pacf_1,
+       round(phi22, 6) AS pacf_2,
+       round((rho3 - (rho1 * (1.0 - phi22)) * rho2 - phi22 * rho1)
+             / (1.0 - (rho1 * (1.0 - phi22)) * rho1 - phi22 * rho2), 6)
+         AS pacf_3
+FROM lv
+ORDER BY event_type
+""".format(
+    r1=_PACF_RHO.format(k=1), r2=_PACF_RHO.format(k=2),
+    r3=_PACF_RHO.format(k=3),
+)
+
+
+@query("q_pacf", oracle=PACF_SQL)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(19,2)").alias("rev")
+    ).localCheckpoint(eager=True)  # three lag passes consume
+    w = Window.partitionBy("event_type").orderBy("day")
+
+    def rho(k: int) -> DataFrame:
+        pairs = daily.select(
+            "event_type",
+            F.col("rev").alias("y"),
+            F.lag("rev", k).over(w).alias("x"),
+        ).filter(F.col("x").isNotNull())
+        m = pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("decimal(19,2)").alias("sx"),
+            F.sum("y").cast("decimal(19,2)").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("decimal(30,4)").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("decimal(30,4)").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("decimal(30,4)").alias("syy"),
+        )
+        cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        return m.select(
+            "event_type",
+            F.round(cov / F.sqrt(vx * vy), 6).alias(f"rho{k}"),
+        )
+
+    j = rho(1).join(rho(2), "event_type").join(rho(3), "event_type")
+    r1c, r2c, r3c = F.col("rho1"), F.col("rho2"), F.col("rho3")
+    phi22 = (r2c - r1c * r1c) / (1.0 - r1c * r1c)
+    phi21 = r1c * (1.0 - phi22)
+    return j.select(
+        "event_type",
+        r1c.alias("pacf_1"),
+        F.round(phi22, 6).alias("pacf_2"),
+        F.round(
+            (r3c - phi21 * r2c - phi22 * r1c)
+            / (1.0 - phi21 * r1c - phi22 * r2c),
+            6,
+        ).alias("pacf_3"),
+    ).orderBy("event_type")
+
+
+# -- q_overdispersion --------------------------------------------------
+#
+# Overdispersion audit of daily event counts per type: the
+# variance-to-mean ratio (Fisher dispersion index) with the χ²-based
+# z test — Poisson-distributed counts have ratio 1; a significantly
+# larger ratio (clumped traffic) means Poisson rate alerts and
+# negative-binomial-free capacity models will false-alarm. Counts
+# are exact integers (Σc, Σc² as bigints over the bounded day grid);
+# the index and z = (D − (n−1))/√(2(n−1)) are one identical double
+# expression each. The count-model companion to q_anomaly_zscore.
+
+OVERDISP_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ssq
+  FROM d GROUP BY 1
+)
+SELECT event_type, n AS n_days, s AS n_events,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_daily,
+       round((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+             / (CAST(s AS DOUBLE) / n), 6) AS dispersion_index,
+       round(((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+              / (CAST(s AS DOUBLE) / n) - (n - 1))
+             / sqrt(2.0 * (n - 1)), 6) AS z_overdispersion
+FROM m
+ORDER BY event_type
+"""
+
+
+@query("q_overdispersion", oracle=OVERDISP_SQL)
+def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+    )
+    n, s = F.col("n"), F.col("s")
+    sd, ssqd = s.cast("double"), F.col("ssq").cast("double")
+    mean = sd / n
+    css = ssqd - sd * s / n
+    return m.select(
+        "event_type", n.alias("n_days"), s.alias("n_events"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(css / (n - 1) / mean, 6).alias("dispersion_index"),
+        F.round((css / mean - (n - 1)) / F.sqrt(2.0 * (n - 1)), 6)
+        .alias("z_overdispersion"),
+    ).orderBy("event_type")
