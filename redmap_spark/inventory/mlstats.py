@@ -2615,3 +2615,115 @@ def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((css / mean - (n - 1)) / F.sqrt(2.0 * (n - 1)), 6)
         .alias("z_overdispersion"),
     ).orderBy("event_type")
+
+
+# -- q_james_stein -----------------------------------------------------
+#
+# James–Stein shrinkage of per-nation mean account balances toward
+# the grand mean (Efron–Morris): small nations' noisy means shrink
+# hard, large nations' barely move — the hierarchical-modeling
+# primitive behind every "per-segment estimate with small segments"
+# dashboard, and the fix for q_bh_fdr-style league tables that
+# overreact to small-n extremes. Positive-part estimator with
+# per-group variance σ²/nᵢ: B = max(0, 1 − (k−3)·(σ²/nᵢ)/Σⱼ(mⱼ−μ̂)²)
+# computed per group against the shared squared-deviation total
+# (decimal-rounded terms summed exactly). All moments exact decimal;
+# μ̂, σ², deviations, B and the shrunk mean are identical double
+# expressions; broadcast 1-row globals.
+
+JS_SQL = """
+WITH c AS (
+  SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+), per AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(bal) AS DECIMAL(28,2)) AS s_i
+  FROM c GROUP BY 1
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(bal) AS DECIMAL(28,2)) AS s,
+         CAST(SUM(bal * bal) AS DECIMAL(38,4)) AS ssq,
+         (SELECT COUNT(*) FROM per) AS k
+  FROM c
+), dev AS (
+  SELECT c_nationkey, n_i,
+         CAST(s_i AS DOUBLE) / n_i AS m_i,
+         CAST(s AS DOUBLE) / n AS mu,
+         (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+           / n AS sig2,
+         k
+  FROM per CROSS JOIN g
+), tot AS (
+  SELECT CAST(SUM(CAST(round((m_i - mu) * (m_i - mu), 6)
+                       AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS ssdev
+  FROM dev
+)
+SELECT n_name, n_i,
+       round(m_i, 6) AS raw_mean,
+       round(GREATEST(0.0,
+             1.0 - (k - 3) * (sig2 / n_i) / CAST(ssdev AS DOUBLE)), 6)
+         AS shrink_factor,
+       round(mu + GREATEST(0.0,
+             1.0 - (k - 3) * (sig2 / n_i) / CAST(ssdev AS DOUBLE))
+             * (m_i - mu), 6) AS shrunk_mean
+FROM dev CROSS JOIN tot
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY n_name
+"""
+
+
+@query("q_james_stein", oracle=JS_SQL)
+def q_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.select(
+        "c_nationkey", dec("c_acctbal").alias("bal")
+    )
+    per = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("bal").cast("decimal(28,2)").alias("s_i"),
+    )
+    g = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("bal").cast("decimal(28,2)").alias("s"),
+        F.sum(F.col("bal") * F.col("bal")).cast("decimal(38,4)").alias("ssq"),
+    )
+    k = per.agg(F.count(F.lit(1)).alias("k"))
+    dev = per.join(F.broadcast(g)).join(F.broadcast(k)).select(
+        "c_nationkey", "n_i", "k",
+        (F.col("s_i").cast("double") / F.col("n_i")).alias("m_i"),
+        (F.col("s").cast("double") / F.col("n")).alias("mu"),
+        (
+            (
+                F.col("ssq").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n")
+            )
+            / F.col("n")
+        ).alias("sig2"),
+    ).localCheckpoint(eager=True)  # deviation total + output both consume
+    tot = dev.agg(
+        F.sum(
+            F.round(
+                (F.col("m_i") - F.col("mu")) * (F.col("m_i") - F.col("mu")), 6
+            ).cast("decimal(28,6)")
+        ).cast("decimal(28,6)").alias("ssdev")
+    )
+    j = dev.join(F.broadcast(tot)).join(
+        F.broadcast(cat.nation),
+        F.col("n_nationkey") == F.col("c_nationkey"),
+    )
+    b = F.greatest(
+        F.lit(0.0),
+        1.0
+        - (F.col("k") - 3)
+        * (F.col("sig2") / F.col("n_i"))
+        / F.col("ssdev").cast("double"),
+    )
+    return j.select(
+        "n_name", "n_i",
+        F.round(F.col("m_i"), 6).alias("raw_mean"),
+        F.round(b, 6).alias("shrink_factor"),
+        F.round(F.col("mu") + b * (F.col("m_i") - F.col("mu")), 6)
+        .alias("shrunk_mean"),
+    ).orderBy("n_name")

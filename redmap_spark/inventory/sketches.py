@@ -654,3 +654,68 @@ def q_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.9, 1000).alias("p90_gk"),
         F.percentile_approx("value", 0.99, 1000).alias("p99_gk"),
     )
+
+
+# -- q_capture_recapture -----------------------------------------------
+#
+# Capture–recapture population estimation (Chapman's nearly-unbiased
+# estimator): two INDEPENDENT deterministic hash samples of the user
+# population (disjoint md5 nibbles — sample A keys on hex digit 1,
+# sample B on hex digit 2, so membership is independent per user)
+# estimate the total distinct-user count as
+# N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from the overlap m — the ecology/
+# census trick a pipeline uses when it can enumerate two cheap
+# samples but not the full population, and the third distinct-count
+# strategy next to exact groupBy and HLL/KMV sketches. The exact
+# count rides along as the error dashboard. All integers exact; one
+# identical double expression.
+
+CAPTURE_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), tagged AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3') THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 2, 1)
+                   IN ('0','1','2','3') THEN 1 ELSE 0 END AS in_b
+  FROM u
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(in_a) AS BIGINT) AS n1,
+         CAST(SUM(in_b) AS BIGINT) AS n2,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS m
+  FROM tagged
+)
+SELECT n_true, n1, n2, m AS n_overlap,
+       round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 6) AS chapman_est,
+       round(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 - n_true)
+             / n_true, 6) AS rel_error
+FROM m
+"""
+
+
+@query("q_capture_recapture", oracle=CAPTURE_SQL)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    u = e.select("user_id").distinct()
+    h = F.md5(F.col("user_id").cast("string"))
+    tagged = u.select(
+        F.when(F.substring(h, 1, 1).isin("0", "1", "2", "3"), 1)
+        .otherwise(0).alias("in_a"),
+        F.when(F.substring(h, 2, 1).isin("0", "1", "2", "3"), 1)
+        .otherwise(0).alias("in_b"),
+    )
+    m = tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum("in_a").cast("bigint").alias("n1"),
+        F.sum("in_b").cast("bigint").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("m"),
+    )
+    n_true, n1, n2, mm = (F.col(c) for c in ("n_true", "n1", "n2", "m"))
+    est = (n1 + 1.0) * (n2 + 1.0) / (mm + 1.0) - 1.0
+    return m.select(
+        "n_true", "n1", "n2", mm.alias("n_overlap"),
+        F.round(est, 6).alias("chapman_est"),
+        F.round((est - n_true) / n_true, 6).alias("rel_error"),
+    )
