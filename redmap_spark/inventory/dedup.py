@@ -632,3 +632,103 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands", "rows_per_band")
     )
+
+
+# -- dedup_threshold_sweep ---------------------------------------------
+#
+# Near-dup threshold tuning curve: from ONE shared-shingle pairs pass
+# (jaccard ≥ 0.5), how many candidate pairs and how many distinct
+# documents would each production threshold 0.5/0.6/0.7/0.8/0.9
+# actually touch — the curve a pipeline owner reads before picking
+# the dedup cutoff (the threshold sibling of dedup_lsh_tuning's
+# band-structure curve). Per-doc qualification is max pair jaccard
+# (one bounded 2× corner generate of the pairs grid, the
+# explode-array idiom); the five thresholds are a bounded 5×
+# generate of tiny grids. Exact counts; jaccard rounds to 6 before
+# comparison in both engines.
+
+DEDUP_THRESH_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2,
+         round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) AS j
+  FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+  WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.5
+),
+docmax AS (
+  SELECT doc_id, MAX(j) AS mj FROM (
+    SELECT id1 AS doc_id, j FROM pairs
+    UNION ALL SELECT id2, j FROM pairs
+  ) GROUP BY 1
+),
+ths AS (SELECT UNNEST([0.5, 0.6, 0.7, 0.8, 0.9]) AS th),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT th AS threshold,
+       CAST((SELECT COUNT(*) FROM pairs WHERE j >= th) AS BIGINT)
+         AS n_pairs,
+       CAST((SELECT COUNT(*) FROM docmax WHERE mj >= th) AS BIGINT)
+         AS n_docs_affected,
+       round((SELECT COUNT(*) FROM docmax WHERE mj >= th)
+             / CAST(tot.n_docs AS DOUBLE), 6) AS corpus_share
+FROM ths CROSS JOIN tot
+ORDER BY threshold
+"""
+
+
+@query("dedup_threshold_sweep", oracle=DEDUP_THRESH_SQL)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    pairs = (
+        D.ngram_jaccard_pairs(d, k=3, threshold=0.5)
+        .select("id1", "id2", F.round("jaccard", 6).alias("j"))
+        .localCheckpoint(eager=True)  # pair counts + doc maxima consume
+    )
+    docmax = (
+        pairs.select(
+            F.explode(F.array("id1", "id2")).alias("doc_id"), "j"
+        )
+        .groupBy("doc_id")
+        .agg(F.max("j").alias("mj"))
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ths = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)]))
+        .alias("th")
+    )
+    pc = (
+        ths.join(pairs)
+        .filter(F.col("j") >= F.col("th"))
+        .groupBy("th")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    dc = (
+        ths.join(docmax)
+        .filter(F.col("mj") >= F.col("th"))
+        .groupBy("th")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_affected"))
+    )
+    return (
+        ths.join(pc, "th", "left")
+        .join(dc, "th", "left")
+        .join(F.broadcast(tot))
+        .select(
+            F.col("th").alias("threshold"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0)).cast("bigint")
+            .alias("n_docs_affected"),
+            F.round(
+                F.coalesce("n_docs_affected", F.lit(0))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("corpus_share"),
+        )
+        .orderBy("threshold")
+    )

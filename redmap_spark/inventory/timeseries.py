@@ -1173,7 +1173,7 @@ WITH daily AS (
   SELECT CAST(l_shipdate AS DATE) AS d,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                   * (1 - CAST(l_discount AS DECIMAL(18,2))))
-              AS DECIMAL(18,2)) AS r
+              AS DECIMAL(19,2)) AS r
   FROM lineitem GROUP BY 1
 ), gstat AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -1222,7 +1222,9 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date").alias("d")
     ).agg(
         F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
-        .cast("decimal(18,2)").alias("r")
+        # width 19: keeps DuckDB's r*r off its int64 fast path, which
+        # overflows at sf≥0.1 daily magnitudes (DECIMAL(18) multiply)
+        .cast("decimal(19,2)").alias("r")
     )
     gstat = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
