@@ -194,6 +194,48 @@ def main() -> None:
                 )
                 .filter(F.col("rk") <= 256)
             ),
+            # round-6 shape: the q_bootstrap_ci 96×-replica expansion
+            # (12 md5/row, 8 uniforms per hash, integer-cents sums) —
+            # the bounded-generate + primitive-long agg pattern; wall
+            # time must grow ~linearly in rows, never worse
+            "hash_bootstrap": lambda: noop(
+                ev.select(
+                    "event_type",
+                    (F.col("value").cast("decimal(18,2)") * 100)
+                    .cast("bigint").alias("xc"),
+                    F.explode(F.sequence(F.lit(0), F.lit(11))).alias("g"),
+                    "event_id",
+                )
+                .select(
+                    "event_type", "xc", "g",
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"), F.lit(":"),
+                            F.col("g").cast("string"),
+                        )
+                    ).alias("h"),
+                )
+                .select(
+                    "event_type", "xc",
+                    F.explode(F.sequence(F.lit(0), F.lit(7))).alias("ck"),
+                    "h", "g",
+                )
+                .select(
+                    "event_type", "xc",
+                    (F.col("g") * 8 + F.col("ck")).alias("b"),
+                    F.when(
+                        F.conv(
+                            F.substring(
+                                "h", F.lit(1) + 4 * F.col("ck"), F.lit(4)
+                            ), 16, 10,
+                        ).cast("bigint") / F.lit(65536.0) < 0.7357588823428847,
+                        1,
+                    ).otherwise(2).alias("w"),
+                )
+                .groupBy("event_type", "b")
+                .agg(F.sum(F.col("w") * F.col("xc")).alias("sxc"),
+                     F.sum("w").alias("sw"))
+            ),
             "cms_build": lambda: noop(
                 ev.select(
                     "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
