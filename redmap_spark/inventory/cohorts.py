@@ -438,3 +438,108 @@ def q_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ess, 4).alias("ess"),
         F.round(ess / F.col("n"), 6).alias("ess_ratio"),
     )
+
+
+# -- q_time_to_value ---------------------------------------------------
+#
+# First-passage "time to value": for each user, the days from their
+# first event until their CUMULATIVE event value first crosses the
+# activation bar (500) — the onboarding metric product teams steer
+# by. The crossing is an ordered cumulative window over each user's
+# exact-decimal value stream (ties broken by event_id); the rollup
+# reports conversion share and the exact p50/p90 of days-to-value
+# over converters via the distinct-value cumulative grid (the
+# q_lateness_percentiles shape). Scale: ONE user-partitioned window
+# pass, then grid work only.
+
+TTV_BAR = 500
+
+TTV_SQL = f"""
+WITH c AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,2)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum,
+         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS d0
+  FROM events WHERE value IS NOT NULL
+), fp AS (
+  SELECT user_id,
+         MIN(CASE WHEN cum >= {TTV_BAR}
+                  THEN date_diff('day', d0, day) END) AS days_to_value
+  FROM c GROUP BY 1
+), g AS (
+  SELECT days_to_value AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM fp WHERE days_to_value IS NOT NULL GROUP BY 1
+), cg AS (
+  SELECT d, c, SUM(c) OVER (ORDER BY d) AS cum, SUM(c) OVER () AS m
+  FROM g
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN days_to_value IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_converted
+  FROM fp
+)
+SELECT n_users, n_converted,
+       round(n_converted / CAST(n_users AS DOUBLE), 6) AS conversion_share,
+       CAST((SELECT MIN(CASE WHEN cum >= CAST(ceil(0.5 * m) AS BIGINT)
+                             THEN d END) FROM cg) AS BIGINT) AS p50_days,
+       CAST((SELECT MIN(CASE WHEN cum >= CAST(ceil(0.9 * m) AS BIGINT)
+                             THEN d END) FROM cg) AS BIGINT) AS p90_days,
+       CAST((SELECT MAX(d) FROM cg) AS BIGINT) AS max_days
+FROM tot
+"""
+
+
+@query("q_time_to_value", oracle=TTV_SQL)
+def q_time_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    c = e.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("cum"),
+        F.min(F.to_date("ts")).over(wp).alias("d0"),
+    )
+    fp = c.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= TTV_BAR, F.datediff("day", F.col("d0"))
+            )
+        ).alias("days_to_value")
+    ).localCheckpoint(eager=True)  # grid + totals both consume
+    g = (
+        fp.filter(F.col("days_to_value").isNotNull())
+        .groupBy(F.col("days_to_value").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cg = g.select(
+        "d", "c",
+        F.sum("c").over(Window.orderBy("d")).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("m"),
+    )
+
+    def at(q):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("m")).cast("bigint"),
+                F.col("d"),
+            )
+        ).cast("bigint")
+
+    qs = cg.agg(
+        at(0.5).alias("p50_days"),
+        at(0.9).alias("p90_days"),
+        F.max("d").cast("bigint").alias("max_days"),
+    )
+    tot = fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(
+            F.when(F.col("days_to_value").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_converted"),
+    )
+    return tot.join(F.broadcast(qs)).select(
+        "n_users", "n_converted",
+        F.round(F.col("n_converted") / F.col("n_users").cast("double"), 6)
+        .alias("conversion_share"),
+        "p50_days", "p90_days", "max_days",
+    )
