@@ -761,3 +761,219 @@ def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("peak_per_hour"), F.asc("user_id"))
         .limit(20)
     )
+
+
+# -- q_cuped -----------------------------------------------------------
+#
+# CUPED variance reduction (Deng et al. 2013 — the standard trick
+# that makes A/B tests converge faster): per user, the pre-period
+# (first half) total value is the covariate for the post-period
+# (second half) metric; θ = cov(pre, post)/var(pre) from EXACT
+# decimal moments, and the dashboard reports the achieved variance
+# reduction 1 − var(adj)/var(post) = ρ² — how much experiment
+# traffic the covariate buys back. Only users observed in both
+# halves enter (the experiment population). All moments exact
+# decimal; θ, variances and ρ² are identical double expressions.
+# Scale shape: two grouped scans to the |users| grid, one moment
+# aggregate — nothing user-pairwise.
+
+CUPED_SPLIT = "2024-01-16"
+
+CUPED_SQL = f"""
+WITH per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{CUPED_SPLIT}'
+                       THEN CAST(value AS DECIMAL(18,2)) END)
+              AS DECIMAL(28,2)) AS pre,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{CUPED_SPLIT}'
+                       THEN CAST(value AS DECIMAL(18,2)) END)
+              AS DECIMAL(28,2)) AS post
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), b AS (
+  SELECT pre, post FROM per WHERE pre IS NOT NULL AND post IS NOT NULL
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pre) AS DECIMAL(38,2)) AS sx,
+         CAST(SUM(post) AS DECIMAL(38,2)) AS sy,
+         CAST(SUM(CAST(pre AS DECIMAL(19,2)) * CAST(post AS DECIMAL(19,2)))
+              AS DECIMAL(38,4)) AS sxy,
+         CAST(SUM(CAST(pre AS DECIMAL(19,2)) * CAST(pre AS DECIMAL(19,2)))
+              AS DECIMAL(38,4)) AS sxx,
+         CAST(SUM(CAST(post AS DECIMAL(19,2)) * CAST(post AS DECIMAL(19,2)))
+              AS DECIMAL(38,4)) AS syy
+  FROM b
+)
+SELECT n AS n_users,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS theta,
+       round((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (1.0 * n * n), 6) AS var_post,
+       round(((n * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (n * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((n * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS variance_reduction
+FROM m
+"""
+
+
+@query("q_cuped", oracle=CUPED_SQL)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    v = F.col("value").cast("decimal(18,2)")
+    per = e.filter(F.col("value").isNotNull()).groupBy("user_id").agg(
+        F.sum(F.when(F.to_date("ts") < F.lit(CUPED_SPLIT), v))
+        .cast("decimal(28,2)").alias("pre"),
+        F.sum(F.when(F.to_date("ts") >= F.lit(CUPED_SPLIT), v))
+        .cast("decimal(28,2)").alias("post"),
+    )
+    b = per.filter(
+        F.col("pre").isNotNull() & F.col("post").isNotNull()
+    ).select(
+        F.col("pre").cast("decimal(19,2)").alias("pre"),
+        F.col("post").cast("decimal(19,2)").alias("post"),
+    )
+    m = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pre").cast("decimal(38,2)").alias("sx"),
+        F.sum("post").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("pre") * F.col("post")).cast("decimal(38,4)").alias("sxy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("decimal(38,4)").alias("sxx"),
+        F.sum(F.col("post") * F.col("post")).cast("decimal(38,4)").alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cxy = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    return m.select(
+        n.alias("n_users"),
+        F.round(cxy / vx, 6).alias("theta"),
+        F.round(vy / (1.0 * n * n), 6).alias("var_post"),
+        F.round((cxy * cxy) / (vx * vy), 6).alias("variance_reduction"),
+    )
+
+
+# -- q_diff_in_diff ----------------------------------------------------
+#
+# Difference-in-differences estimate (the workhorse quasi-experiment
+# design): treatment = users who signed up in the pre-period (any
+# 'signup' event before Jan 16), outcome = mean per-user event value
+# in pre vs post; DiD = (T_post − T_pre) − (C_post − C_pre), with
+# the pooled standard error from the four cells' exact decimal
+# moments (independent-cells approximation, stated as part of the
+# statistic). All cell sums exact; means/variances/SE one identical
+# double expression chain. Scale shape: one broadcast semi-join of
+# the treated-user set, one grouped scan to the 4-cell grid.
+
+DID_SPLIT = "2024-01-16"
+
+DID_SQL = f"""
+WITH treated AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'signup' AND CAST(ts AS DATE) < DATE '{DID_SPLIT}'
+), cells AS (
+  SELECT CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_treated,
+         CASE WHEN CAST(e.ts AS DATE) >= DATE '{DID_SPLIT}'
+              THEN 1 ELSE 0 END AS is_post,
+         CAST(e.value AS DECIMAL(18,2)) AS x
+  FROM events e LEFT JOIN treated t ON t.user_id = e.user_id
+  WHERE e.value IS NOT NULL
+), m AS (
+  SELECT is_treated, is_post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(28,2)) AS s,
+         CAST(SUM(x * x) AS DECIMAL(38,4)) AS ssq
+  FROM cells GROUP BY 1, 2
+), w AS (
+  SELECT
+    MAX(CASE WHEN is_treated = 1 AND is_post = 0
+             THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+    MAX(CASE WHEN is_treated = 1 AND is_post = 1
+             THEN CAST(s AS DOUBLE) / n END) AS t_post,
+    MAX(CASE WHEN is_treated = 0 AND is_post = 0
+             THEN CAST(s AS DOUBLE) / n END) AS c_pre,
+    MAX(CASE WHEN is_treated = 0 AND is_post = 1
+             THEN CAST(s AS DOUBLE) / n END) AS c_post,
+    SUM(CASE WHEN is_treated = 1 THEN n ELSE 0 END) AS n_treated,
+    SUM(CASE WHEN is_treated = 0 THEN n ELSE 0 END) AS n_control,
+    SUM(((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+         / (n - 1.0)) / n) AS var_sum
+  FROM m
+)
+SELECT CAST(n_treated AS BIGINT) AS n_treated_events,
+       CAST(n_control AS BIGINT) AS n_control_events,
+       round(t_post - t_pre, 6) AS treated_delta,
+       round(c_post - c_pre, 6) AS control_delta,
+       round((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate,
+       round(sqrt(var_sum), 6) AS did_se,
+       round(((t_post - t_pre) - (c_post - c_pre)) / sqrt(var_sum), 6)
+         AS did_z
+FROM w
+"""
+
+
+@query("q_diff_in_diff", oracle=DID_SQL)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    treated = (
+        e.filter(
+            (F.col("event_type") == "signup")
+            & (F.to_date("ts") < F.lit(DID_SPLIT))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("is_t", F.lit(1))
+    )
+    cells = (
+        e.filter(F.col("value").isNotNull())
+        .join(F.broadcast(treated), "user_id", "left")
+        .select(
+            F.coalesce("is_t", F.lit(0)).alias("is_treated"),
+            (F.to_date("ts") >= F.lit(DID_SPLIT)).cast("int").alias("is_post"),
+            F.col("value").cast("decimal(18,2)").alias("x"),
+        )
+    )
+    m = cells.groupBy("is_treated", "is_post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(28,2)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("ssq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+
+    def cell(t, p):
+        return F.max(
+            F.when((F.col("is_treated") == t) & (F.col("is_post") == p), mean)
+        )
+
+    cellvar = (
+        (F.col("ssq").cast("double")
+         - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"))
+        / (F.col("n") - F.lit(1.0))
+    ) / F.col("n")
+    w = m.agg(
+        cell(1, 0).alias("t_pre"), cell(1, 1).alias("t_post"),
+        cell(0, 0).alias("c_pre"), cell(0, 1).alias("c_post"),
+        F.sum(F.when(F.col("is_treated") == 1, F.col("n")).otherwise(0))
+        .cast("bigint").alias("n_treated"),
+        F.sum(F.when(F.col("is_treated") == 0, F.col("n")).otherwise(0))
+        .cast("bigint").alias("n_control"),
+        F.sum(cellvar).alias("var_sum"),
+    )
+    did = (F.col("t_post") - F.col("t_pre")) - (
+        F.col("c_post") - F.col("c_pre")
+    )
+    return w.select(
+        F.col("n_treated").alias("n_treated_events"),
+        F.col("n_control").alias("n_control_events"),
+        F.round(F.col("t_post") - F.col("t_pre"), 6).alias("treated_delta"),
+        F.round(F.col("c_post") - F.col("c_pre"), 6).alias("control_delta"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(F.sqrt("var_sum"), 6).alias("did_se"),
+        F.round(did / F.sqrt("var_sum"), 6).alias("did_z"),
+    )
