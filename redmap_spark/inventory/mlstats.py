@@ -2418,7 +2418,9 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("yv").alias("by"),
     )
     ax, ay, bx, by = (F.col(c) for c in ("ax", "ay", "bx", "by"))
-    pr = a.join(b, F.col("ad") < F.col("bd")).select(
+    # broadcast the bounded day grid: the inequality self-join must
+    # plan as BroadcastNestedLoopJoin, never CartesianProduct
+    pr = a.join(F.broadcast(b), F.col("ad") < F.col("bd")).select(
         F.when(
             ((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by)), 1
         ).otherwise(0).alias("conc"),
