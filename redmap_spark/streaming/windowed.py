@@ -591,6 +591,65 @@ def stream_to_cms(cms_path: str, key_col: str = "user_id"):
     return sink
 
 
+def stream_to_bloom(bloom_path: str, key_col: str = "user_id"):
+    """Maintain a Bloom-filter bit table (the md5-portable m=16384 /
+    h=4 layout of inventory/sketches.q_bloom_join) from a micro-batch
+    stream — the membership sibling of the CMS (frequency) and HLL
+    (cardinality) sinks, completing the streaming sketch trio. Set
+    bits are idempotent under OR, so retries are naturally safe; the
+    staging append still tags batch_id and dedups (bit, batch_id) so
+    the table rebuild never double-reads a replayed batch's rows, and
+    the maintained table is just the DISTINCT set-bit list (≤ m rows,
+    CONSTANT in data volume). A downstream batch join consumes it
+    exactly like q_bloom_join's broadcast bit table."""
+    from redmap_spark.inventory.sketches import _bloom_pos
+
+    staging = bloom_path.rstrip("/") + "__staging_bits"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashes = F.array(*[F.lit(j) for j in range(4)])
+        partial = (
+            batch_df.select(F.col(key_col).alias("k"),
+                            F.explode(hashes).alias("j"))
+            .select(_bloom_pos(F.col("k"), F.col("j")).alias("bit"))
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        partial.write.mode("append").parquet(staging)
+        merged = (
+            spark.read.parquet(staging)
+            .dropDuplicates(["bit", "batch_id"])  # retry-idempotent
+            .select("bit")
+            .distinct()
+        )
+        merged.write.mode("overwrite").parquet(bloom_path)
+
+    return sink
+
+
+def bloom_contains(spark, bloom_path: str, keys) -> DataFrame:
+    """(key, maybe_present) membership probes against the maintained
+    bit table: present iff ALL 4 bit positions are set (one broadcast
+    semi-join per probe batch, never a stream scan)."""
+    from redmap_spark.inventory.sketches import _bloom_pos
+
+    bits = spark.read.parquet(bloom_path)
+    kdf = spark.createDataFrame([(k,) for k in keys], ["k"])
+    hashes = F.array(*[F.lit(j) for j in range(4)])
+    probes = kdf.select("k", F.explode(hashes).alias("j")).select(
+        "k", _bloom_pos(F.col("k"), F.col("j")).alias("bit")
+    )
+    return (
+        probes.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("k")
+        .agg(
+            (F.sum(F.coalesce("hit", F.lit(0))) == 4).cast("int")
+            .alias("maybe_present")
+        )
+    )
+
+
 def cms_estimates(spark, cms_path: str, keys) -> DataFrame:
     """(key, cms_est) for the given keys from the maintained sketch
     table: probe the 4 cells per key, take the min — never touches

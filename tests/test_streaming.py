@@ -574,3 +574,50 @@ def test_transitions_stateful_match_batch(spark):
         for r in QUERIES["q_event_transitions"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_stream_to_bloom_matches_batch(spark, tmp_path):
+    """The streamed Bloom bit table equals the batch-computed bit set,
+    and membership probes are exact for present keys (no false
+    negatives) with the never-seen probe resolving by ALL-4-bits."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.inventory.sketches import _bloom_pos
+    from redmap_spark.streaming.windowed import (
+        bloom_contains,
+        stream_to_bloom,
+    )
+
+    bloom_path = str(tmp_path / "bloom")
+    stream = events_stream(spark, SF_DIR)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(stream_to_bloom(bloom_path))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    e = Catalog(spark, SF_DIR).events
+    hashes = F.array(*[F.lit(j) for j in range(4)])
+    want_bits = {
+        r.bit
+        for r in e.select(F.col("user_id").alias("k"), F.explode(hashes).alias("j"))
+        .select(_bloom_pos(F.col("k"), F.col("j")).alias("bit"))
+        .distinct()
+        .collect()
+    }
+    got_bits = {r.bit for r in spark.read.parquet(bloom_path).collect()}
+    assert got_bits == want_bits
+
+    present = [r.user_id for r in e.select("user_id").distinct().limit(5).collect()]
+    absent = [10**12 + 7]  # far outside the user_id range
+    got = {
+        r.k: r.maybe_present
+        for r in bloom_contains(spark, bloom_path, present + absent).collect()
+    }
+    assert all(got[k] == 1 for k in present)  # no false negatives
+    assert set(got) == set(present + absent)
