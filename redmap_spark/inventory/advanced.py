@@ -977,3 +977,109 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("var_sum"), 6).alias("did_se"),
         F.round(did / F.sqrt("var_sum"), 6).alias("did_z"),
     )
+
+
+# -- q_neyman_allocation -----------------------------------------------
+#
+# Neyman optimal sample allocation (the survey-statistics answer to
+# "we can afford to deeply audit 1000 orders — how many from each
+# nation?"): allocate n_i ∝ N_i·σ_i, which minimizes the variance of
+# the stratified mean at fixed budget; reported next to proportional
+# allocation and the design-effect gain so the cost of ignoring
+# per-stratum variance is a number. σ_i from exact decimal moments;
+# the share terms round to DECIMAL(18,6) before the exact total (the
+# mr_adamic_adar order-independence pattern); allocations round
+# HALF-free via floor + largest-remainder is overkill here — the
+# dashboard reports the real-valued allocation rounded to 2, the
+# integerization being a presentation concern. Scale shape: one scan
+# to the |nations| grid, broadcast totals.
+
+NEYMAN_BUDGET = 1000
+
+NEYMAN_SQL = f"""
+WITH c AS (
+  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS x, c_nationkey
+  FROM orders JOIN customer ON c_custkey = o_custkey
+), per AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(x) AS DECIMAL(38,2)) AS s,
+         CAST(SUM(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2)))
+              AS DECIMAL(38,4)) AS ssq
+  FROM c GROUP BY 1
+), sig AS (
+  SELECT c_nationkey, n_i,
+         sqrt((CAST(ssq AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_i) / n_i)
+           AS sigma_i
+  FROM per
+), terms AS (
+  SELECT c_nationkey, n_i, sigma_i,
+         CAST(round(n_i * sigma_i, 6) AS DECIMAL(28,6)) AS w
+  FROM sig
+), tot AS (
+  SELECT CAST(SUM(w) AS DECIMAL(28,6)) AS wt,
+         CAST(SUM(n_i) AS BIGINT) AS nt
+  FROM terms
+)
+SELECT n_name,
+       n_i AS n_orders,
+       round(sigma_i, 6) AS sigma,
+       round({NEYMAN_BUDGET} * CAST(w AS DOUBLE) / CAST(wt AS DOUBLE), 2)
+         AS neyman_n,
+       round({NEYMAN_BUDGET} * n_i / CAST(nt AS DOUBLE), 2)
+         AS proportional_n,
+       round({NEYMAN_BUDGET} * CAST(w AS DOUBLE) / CAST(wt AS DOUBLE)
+             - {NEYMAN_BUDGET} * n_i / CAST(nt AS DOUBLE), 2) AS delta_n
+FROM terms CROSS JOIN tot
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY n_name
+"""
+
+
+@query("q_neyman_allocation", oracle=NEYMAN_SQL)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = cat.orders.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        "c_nationkey",
+        F.col("o_totalprice").cast("decimal(19,2)").alias("x"),
+    )
+    per = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("x").cast("decimal(38,2)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("ssq"),
+    )
+    sigma = F.sqrt(
+        (
+            F.col("ssq").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n_i")
+        )
+        / F.col("n_i")
+    )
+    terms = per.select(
+        "c_nationkey", "n_i",
+        sigma.alias("sigma_i"),
+        F.round(F.col("n_i") * sigma, 6).cast("decimal(28,6)").alias("w"),
+    )
+    tot = terms.agg(
+        F.sum("w").cast("decimal(28,6)").alias("wt"),
+        F.sum("n_i").cast("bigint").alias("nt"),
+    )
+    j = terms.join(F.broadcast(tot)).join(
+        F.broadcast(cat.nation),
+        F.col("n_nationkey") == F.col("c_nationkey"),
+    )
+    ney = NEYMAN_BUDGET * F.col("w").cast("double") / F.col("wt").cast("double")
+    prop = NEYMAN_BUDGET * F.col("n_i") / F.col("nt").cast("double")
+    return j.select(
+        "n_name",
+        F.col("n_i").alias("n_orders"),
+        F.round("sigma_i", 6).alias("sigma"),
+        F.round(ney, 2).alias("neyman_n"),
+        F.round(prop, 2).alias("proportional_n"),
+        F.round(ney - prop, 2).alias("delta_n"),
+    ).orderBy("n_name")
