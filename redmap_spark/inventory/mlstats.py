@@ -2729,3 +2729,308 @@ def q_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mu") + b * (F.col("m_i") - F.col("mu")), 6)
         .alias("shrunk_mean"),
     ).orderBy("n_name")
+
+
+# -- q_ljung_box -------------------------------------------------------
+#
+# Ljung–Box portmanteau whiteness test per series: Q = n(n+2)·Σ_{k≤6}
+# ρ_k²/(n−k) against the χ²₆ 5% critical value 12.592 (a literal) —
+# the is-there-ANY-autocorrelation-left gate run on residuals before
+# trusting a forecasting model (the aggregate companion of the
+# per-lag ACF/PACF pair). Each ρ_k comes from the same exact-moment
+# lagged-Pearson block as q_pacf, rounded to 6 before squaring, so
+# both engines run identical doubles; ONE window sort per series
+# feeds all six lags.
+
+LJUNG_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM events GROUP BY 1, 2
+),
+nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1
+),
+r1 AS (
+  SELECT event_type,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho,
+         n
+  FROM (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(x) AS DECIMAL(19,2)) AS sx,
+           CAST(SUM(y) AS DECIMAL(19,2)) AS sy,
+           CAST(SUM(x * y) AS DECIMAL(30,4)) AS sxy,
+           CAST(SUM(x * x) AS DECIMAL(30,4)) AS sxx,
+           CAST(SUM(y * y) AS DECIMAL(30,4)) AS syy
+    FROM (
+      SELECT event_type, rev AS y,
+             LAG(rev, 1) OVER (PARTITION BY event_type ORDER BY day) AS x
+      FROM daily
+    ) WHERE x IS NOT NULL GROUP BY 1
+  )
+),
+r2 AS (
+  SELECT event_type,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho,
+         n
+  FROM (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(x) AS DECIMAL(19,2)) AS sx,
+           CAST(SUM(y) AS DECIMAL(19,2)) AS sy,
+           CAST(SUM(x * y) AS DECIMAL(30,4)) AS sxy,
+           CAST(SUM(x * x) AS DECIMAL(30,4)) AS sxx,
+           CAST(SUM(y * y) AS DECIMAL(30,4)) AS syy
+    FROM (
+      SELECT event_type, rev AS y,
+             LAG(rev, 2) OVER (PARTITION BY event_type ORDER BY day) AS x
+      FROM daily
+    ) WHERE x IS NOT NULL GROUP BY 1
+  )
+),
+r3 AS (
+  SELECT event_type,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho,
+         n
+  FROM (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(x) AS DECIMAL(19,2)) AS sx,
+           CAST(SUM(y) AS DECIMAL(19,2)) AS sy,
+           CAST(SUM(x * y) AS DECIMAL(30,4)) AS sxy,
+           CAST(SUM(x * x) AS DECIMAL(30,4)) AS sxx,
+           CAST(SUM(y * y) AS DECIMAL(30,4)) AS syy
+    FROM (
+      SELECT event_type, rev AS y,
+             LAG(rev, 3) OVER (PARTITION BY event_type ORDER BY day) AS x
+      FROM daily
+    ) WHERE x IS NOT NULL GROUP BY 1
+  )
+),
+r4 AS (
+  SELECT event_type,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho,
+         n
+  FROM (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(x) AS DECIMAL(19,2)) AS sx,
+           CAST(SUM(y) AS DECIMAL(19,2)) AS sy,
+           CAST(SUM(x * y) AS DECIMAL(30,4)) AS sxy,
+           CAST(SUM(x * x) AS DECIMAL(30,4)) AS sxx,
+           CAST(SUM(y * y) AS DECIMAL(30,4)) AS syy
+    FROM (
+      SELECT event_type, rev AS y,
+             LAG(rev, 4) OVER (PARTITION BY event_type ORDER BY day) AS x
+      FROM daily
+    ) WHERE x IS NOT NULL GROUP BY 1
+  )
+),
+r5 AS (
+  SELECT event_type,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho,
+         n
+  FROM (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(x) AS DECIMAL(19,2)) AS sx,
+           CAST(SUM(y) AS DECIMAL(19,2)) AS sy,
+           CAST(SUM(x * y) AS DECIMAL(30,4)) AS sxy,
+           CAST(SUM(x * x) AS DECIMAL(30,4)) AS sxx,
+           CAST(SUM(y * y) AS DECIMAL(30,4)) AS syy
+    FROM (
+      SELECT event_type, rev AS y,
+             LAG(rev, 5) OVER (PARTITION BY event_type ORDER BY day) AS x
+      FROM daily
+    ) WHERE x IS NOT NULL GROUP BY 1
+  )
+),
+r6 AS (
+  SELECT event_type,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho,
+         n
+  FROM (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(x) AS DECIMAL(19,2)) AS sx,
+           CAST(SUM(y) AS DECIMAL(19,2)) AS sy,
+           CAST(SUM(x * y) AS DECIMAL(30,4)) AS sxy,
+           CAST(SUM(x * x) AS DECIMAL(30,4)) AS sxx,
+           CAST(SUM(y * y) AS DECIMAL(30,4)) AS syy
+    FROM (
+      SELECT event_type, rev AS y,
+             LAG(rev, 6) OVER (PARTITION BY event_type ORDER BY day) AS x
+      FROM daily
+    ) WHERE x IS NOT NULL GROUP BY 1
+  )
+)
+SELECT nd.event_type, nd.n AS n_days,
+       round(nd.n * (nd.n + 2.0) * (r1.rho * r1.rho / (nd.n - 1) + r2.rho * r2.rho / (nd.n - 2) + r3.rho * r3.rho / (nd.n - 3) + r4.rho * r4.rho / (nd.n - 4) + r5.rho * r5.rho / (nd.n - 5) + r6.rho * r6.rho / (nd.n - 6)), 6) AS ljung_box_q,
+       CAST(6 AS BIGINT) AS dof,
+       CAST(CASE WHEN nd.n * (nd.n + 2.0) * (r1.rho * r1.rho / (nd.n - 1) + r2.rho * r2.rho / (nd.n - 2) + r3.rho * r3.rho / (nd.n - 3) + r4.rho * r4.rho / (nd.n - 4) + r5.rho * r5.rho / (nd.n - 5) + r6.rho * r6.rho / (nd.n - 6)) > 12.592
+            THEN 1 ELSE 0 END AS BIGINT) AS reject_whiteness
+FROM nd
+JOIN r1 ON r1.event_type = nd.event_type
+JOIN r2 ON r2.event_type = nd.event_type
+JOIN r3 ON r3.event_type = nd.event_type
+JOIN r4 ON r4.event_type = nd.event_type
+JOIN r5 ON r5.event_type = nd.event_type
+JOIN r6 ON r6.event_type = nd.event_type
+ORDER BY nd.event_type
+"""
+
+
+@query("q_ljung_box", oracle=LJUNG_SQL)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(19,2)").alias("rev")
+    ).localCheckpoint(eager=True)  # six lag passes consume
+    w = Window.partitionBy("event_type").orderBy("day")
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+    def rho(k: int) -> DataFrame:
+        pairs = daily.select(
+            "event_type",
+            F.col("rev").alias("y"),
+            F.lag("rev", k).over(w).alias("x"),
+        ).filter(F.col("x").isNotNull())
+        m = pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("decimal(19,2)").alias("sx"),
+            F.sum("y").cast("decimal(19,2)").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("decimal(30,4)").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("decimal(30,4)").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("decimal(30,4)").alias("syy"),
+        )
+        cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        return m.select(
+            "event_type",
+            F.round(cov / F.sqrt(vx * vy), 6).alias(f"rho{k}"),
+        )
+
+    j = nd
+    for k in range(1, 7):
+        j = j.join(rho(k), "event_type")
+    n = F.col("n")
+    qsum = sum(
+        (F.col(f"rho{k}") * F.col(f"rho{k}")) / (n - k) for k in range(1, 7)
+    )
+    q = n * (n + F.lit(2.0)) * qsum
+    return j.select(
+        "event_type", n.alias("n_days"),
+        F.round(q, 6).alias("ljung_box_q"),
+        F.lit(6).cast("bigint").alias("dof"),
+        F.when(q > 12.592, 1).otherwise(0).cast("bigint")
+        .alias("reject_whiteness"),
+    ).orderBy("event_type")
+
+
+# -- q_anova_oneway ----------------------------------------------------
+#
+# One-way ANOVA of account balance across market segments: the
+# classic F test (between-groups vs within-groups mean squares) plus
+# the η² effect size — the many-groups generalization of q_ab_test's
+# two-sample comparison, run before any per-segment mean table is
+# read as signal. Sums of squares decompose from EXACT decimal
+# moments: SS_total and SS_between both reduce to Σs_i²/n_i and
+# (Σs)²/N terms over exact sums, so the only FP is the identical
+# final expression chain. Scale shape: one scan to the |segments|
+# grid; broadcast 1-row totals.
+
+ANOVA_SQL = """
+WITH c AS (
+  SELECT c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(18,2)) AS x
+  FROM customer
+), per AS (
+  SELECT seg,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(x) AS DECIMAL(28,2)) AS s_i
+  FROM c GROUP BY 1
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(28,2)) AS s,
+         CAST(SUM(x * x) AS DECIMAL(38,4)) AS ssq,
+         (SELECT COUNT(*) FROM per) AS k
+  FROM c
+), sb AS (
+  SELECT CAST(SUM(CAST(round(
+           n_i * (CAST(s_i AS DOUBLE) / n_i
+                  - (SELECT CAST(s AS DOUBLE) / n FROM g))
+               * (CAST(s_i AS DOUBLE) / n_i
+                  - (SELECT CAST(s AS DOUBLE) / n FROM g)), 6)
+           AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS ssb
+  FROM per
+)
+SELECT CAST(g.n AS BIGINT) AS n_customers,
+       CAST(g.k AS BIGINT) AS n_segments,
+       round(CAST(ssb AS DOUBLE), 6) AS ss_between,
+       round((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             - CAST(ssb AS DOUBLE), 6) AS ss_within,
+       round((CAST(ssb AS DOUBLE) / (k - 1))
+             / (((CAST(ssq AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 - CAST(ssb AS DOUBLE)) / (n - k)), 6) AS f_stat,
+       round(CAST(ssb AS DOUBLE)
+             / (CAST(ssq AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6)
+         AS eta_squared
+FROM g CROSS JOIN sb
+"""
+
+
+@query("q_anova_oneway", oracle=ANOVA_SQL)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer.select(
+        F.col("c_mktsegment").alias("seg"), dec("c_acctbal").alias("x")
+    )
+    per = c.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("x").cast("decimal(28,2)").alias("s_i"),
+    )
+    g = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(28,2)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("ssq"),
+    )
+    k = per.agg(F.count(F.lit(1)).alias("k"))
+    # ss_between as Σ nᵢ(mᵢ−μ)² with decimal-rounded terms: the
+    # Σsᵢ²/nᵢ − (Σs)²/N form cancels 4e13-scale doubles down to 4e7
+    # and amplifies summation-order ulps past round(…,6)
+    mu = g.select((F.col("s").cast("double") / F.col("n")).alias("mu"))
+    sb = per.join(F.broadcast(mu)).agg(
+        F.sum(
+            F.round(
+                F.col("n_i")
+                * (F.col("s_i").cast("double") / F.col("n_i") - F.col("mu"))
+                * (F.col("s_i").cast("double") / F.col("n_i") - F.col("mu")),
+                6,
+            ).cast("decimal(28,6)")
+        ).cast("decimal(28,6)").alias("ssb")
+    )
+    j = g.join(F.broadcast(k)).join(F.broadcast(sb))
+    n, kk = F.col("n"), F.col("k")
+    sd = F.col("s").cast("double")
+    ss_b = F.col("ssb").cast("double")
+    ss_t = F.col("ssq").cast("double") - sd * sd / n
+    ss_w = ss_t - ss_b
+    return j.select(
+        n.alias("n_customers"),
+        kk.cast("bigint").alias("n_segments"),
+        F.round(ss_b, 6).alias("ss_between"),
+        F.round(ss_w, 6).alias("ss_within"),
+        F.round((ss_b / (kk - 1)) / (ss_w / (n - kk)), 6).alias("f_stat"),
+        F.round(ss_b / ss_t, 6).alias("eta_squared"),
+    )
