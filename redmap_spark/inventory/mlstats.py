@@ -3034,3 +3034,347 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ss_b / (kk - 1)) / (ss_w / (n - kk)), 6).alias("f_stat"),
         F.round(ss_b / ss_t, 6).alias("eta_squared"),
     )
+
+
+# -- q_tukey_hsd -------------------------------------------------------
+#
+# Tukey HSD post-hoc pairwise comparisons after q_anova_oneway: for
+# every segment pair, the studentized-range statistic
+# q = |m_i − m_j| / √(MSW/2 · (1/n_i + 1/n_j)) against the literal
+# k=5, df→∞ 5% critical value 3.858 — which specific segments differ
+# once the omnibus F fires (running pairwise t-tests instead is the
+# multiple-comparison mistake q_bh_fdr exists to fix; HSD controls
+# the familywise rate by design). MSW from the cancellation-safe
+# ANOVA decomposition (decimal-rounded between terms); the 10 pairs
+# are a broadcast self-join of the 5-row segment grid.
+
+TUKEY_CRIT = 3.858  # studentized range q(0.05, k=5, df=inf)
+
+TUKEY_SQL = f"""
+WITH c AS (
+  SELECT c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(18,2)) AS x
+  FROM customer
+), per AS (
+  SELECT seg,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(x) AS DECIMAL(28,2)) AS s_i
+  FROM c GROUP BY 1
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(28,2)) AS s,
+         CAST(SUM(x * x) AS DECIMAL(38,4)) AS ssq,
+         (SELECT COUNT(*) FROM per) AS k
+  FROM c
+), sb AS (
+  SELECT CAST(SUM(CAST(round(
+           n_i * (CAST(s_i AS DOUBLE) / n_i
+                  - (SELECT CAST(s AS DOUBLE) / n FROM g))
+               * (CAST(s_i AS DOUBLE) / n_i
+                  - (SELECT CAST(s AS DOUBLE) / n FROM g)), 6)
+           AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS ssb
+  FROM per
+), msw AS (
+  SELECT ((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+          - CAST(ssb AS DOUBLE)) / (n - k) AS msw
+  FROM g CROSS JOIN sb
+)
+SELECT a.seg AS seg_a, b.seg AS seg_b,
+       round(CAST(a.s_i AS DOUBLE) / a.n_i
+             - CAST(b.s_i AS DOUBLE) / b.n_i, 6) AS mean_diff,
+       round(abs(CAST(a.s_i AS DOUBLE) / a.n_i
+                 - CAST(b.s_i AS DOUBLE) / b.n_i)
+             / sqrt(msw / 2.0 * (1.0 / a.n_i + 1.0 / b.n_i)), 6) AS q_stat,
+       CAST(CASE WHEN abs(CAST(a.s_i AS DOUBLE) / a.n_i
+                          - CAST(b.s_i AS DOUBLE) / b.n_i)
+                      / sqrt(msw / 2.0 * (1.0 / a.n_i + 1.0 / b.n_i))
+                      > {TUKEY_CRIT}
+            THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM per a JOIN per b ON a.seg < b.seg
+CROSS JOIN msw
+ORDER BY seg_a, seg_b
+"""
+
+
+@query("q_tukey_hsd", oracle=TUKEY_SQL)
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer.select(
+        F.col("c_mktsegment").alias("seg"), dec("c_acctbal").alias("x")
+    )
+    per = c.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("x").cast("decimal(28,2)").alias("s_i"),
+    ).localCheckpoint(eager=True)  # grand stats, ssb, and pairs consume
+    g = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(28,2)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("ssq"),
+    )
+    k = per.agg(F.count(F.lit(1)).alias("k"))
+    mu = g.select((F.col("s").cast("double") / F.col("n")).alias("mu"))
+    sb = per.join(F.broadcast(mu)).agg(
+        F.sum(
+            F.round(
+                F.col("n_i")
+                * (F.col("s_i").cast("double") / F.col("n_i") - F.col("mu"))
+                * (F.col("s_i").cast("double") / F.col("n_i") - F.col("mu")),
+                6,
+            ).cast("decimal(28,6)")
+        ).cast("decimal(28,6)").alias("ssb")
+    )
+    msw = (
+        g.join(F.broadcast(k)).join(F.broadcast(sb))
+        .select(
+            (
+                (
+                    (
+                        F.col("ssq").cast("double")
+                        - F.col("s").cast("double") * F.col("s").cast("double")
+                        / F.col("n")
+                    )
+                    - F.col("ssb").cast("double")
+                )
+                / (F.col("n") - F.col("k"))
+            ).alias("msw")
+        )
+    )
+    a = per.select(
+        F.col("seg").alias("seg_a"), F.col("n_i").alias("na"),
+        F.col("s_i").alias("sa"),
+    )
+    b = per.select(
+        F.col("seg").alias("seg_b"), F.col("n_i").alias("nb"),
+        F.col("s_i").alias("sb2"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b")).join(
+        F.broadcast(msw)
+    )
+    diff = F.col("sa").cast("double") / F.col("na") - F.col("sb2").cast(
+        "double"
+    ) / F.col("nb")
+    qstat = F.abs(diff) / F.sqrt(
+        F.col("msw") / 2.0 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return pairs.select(
+        "seg_a", "seg_b",
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(qstat, 6).alias("q_stat"),
+        F.when(qstat > TUKEY_CRIT, 1).otherwise(0).cast("bigint")
+        .alias("significant"),
+    ).orderBy("seg_a", "seg_b")
+
+
+# -- q_mcnemar ---------------------------------------------------------
+#
+# McNemar's paired test for conversion change: each user is a PAIRED
+# observation (did they purchase in the pre-half? in the post-half?),
+# and only the discordant cells carry information — χ² = (b−c)²/(b+c)
+# with the continuity correction (|b−c|−1)²/(b+c), against the χ²₁
+# 5% critical value 3.841 (literal). The right test when "conversion
+# went from 12% to 14%" is computed on the SAME users — the
+# independent-samples z of q_ab_test overstates certainty there.
+# Exact integer cells; identical double expressions. Scale: one
+# grouped scan to the |users| grid, one 4-cell aggregate.
+
+MCNEMAR_SPLIT = "2024-01-16"
+
+MCNEMAR_SQL = f"""
+WITH per AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase'
+                  AND CAST(ts AS DATE) < DATE '{MCNEMAR_SPLIT}'
+             THEN 1 ELSE 0 END) AS pre,
+         MAX(CASE WHEN event_type = 'purchase'
+                  AND CAST(ts AS DATE) >= DATE '{MCNEMAR_SPLIT}'
+             THEN 1 ELSE 0 END) AS post
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS both_halves,
+         CAST(SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS pre_only,
+         CAST(SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS post_only,
+         CAST(SUM(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS neither
+  FROM per
+)
+SELECT n_users, both_halves, pre_only, post_only, neither,
+       CASE WHEN pre_only + post_only > 0 THEN
+         round((abs(pre_only - post_only) - 1.0)
+               * (abs(pre_only - post_only) - 1.0)
+               / (pre_only + post_only), 6)
+       ELSE 0.0 END AS mcnemar_chi2,
+       CAST(CASE WHEN pre_only + post_only > 0
+                 AND (abs(pre_only - post_only) - 1.0)
+                     * (abs(pre_only - post_only) - 1.0)
+                     / (pre_only + post_only) > 3.841
+            THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM m
+"""
+
+
+@query("q_mcnemar", oracle=MCNEMAR_SQL)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    is_p = F.col("event_type") == "purchase"
+    pre = F.max(
+        F.when(is_p & (F.to_date("ts") < F.lit(MCNEMAR_SPLIT)), 1).otherwise(0)
+    )
+    post = F.max(
+        F.when(is_p & (F.to_date("ts") >= F.lit(MCNEMAR_SPLIT)), 1).otherwise(0)
+    )
+    per = e.groupBy("user_id").agg(pre.alias("pre"), post.alias("post"))
+
+    def cell(a, b):
+        return F.sum(
+            F.when((F.col("pre") == a) & (F.col("post") == b), 1).otherwise(0)
+        ).cast("bigint")
+
+    m = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        cell(1, 1).alias("both_halves"),
+        cell(1, 0).alias("pre_only"),
+        cell(0, 1).alias("post_only"),
+        cell(0, 0).alias("neither"),
+    )
+    b, c = F.col("pre_only"), F.col("post_only")
+    chi2 = (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c)
+    return m.select(
+        "n_users", "both_halves", "pre_only", "post_only", "neither",
+        F.when(b + c > 0, F.round(chi2, 6)).otherwise(F.lit(0.0))
+        .alias("mcnemar_chi2"),
+        F.when((b + c > 0) & (chi2 > 3.841), 1).otherwise(0).cast("bigint")
+        .alias("significant"),
+    )
+
+
+# -- q_levene_test -----------------------------------------------------
+#
+# Brown–Forsythe variance-homogeneity test (Levene with median
+# centers — the robust variant): are balance VARIANCES equal across
+# segments? The validity precondition of q_anova_oneway's F and of
+# every pooled-σ z-test upstream. Per-segment medians are exact
+# order statistics from the distinct-value cumulative grid, so the
+# deviations z = |x − med| stay EXACT DECIMAL end-to-end; the
+# one-way F on z reuses the cancellation-safe decomposition
+# (decimal-rounded between terms). Critical value χ²/F≈2.372
+# (F(4,∞) at 5%) as a literal flag. Scale shape: two grouped scans
+# (values grid, deviations) + grid work.
+
+LEVENE_CRIT = 2.372  # F(0.05; k-1=4, inf)
+
+LEVENE_SQL = """
+WITH c AS (
+  SELECT c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(18,2)) AS x
+  FROM customer
+), gv AS (
+  SELECT seg, x, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2
+), cg AS (
+  SELECT seg, x, cnt,
+         SUM(cnt) OVER (PARTITION BY seg ORDER BY x) AS cum,
+         SUM(cnt) OVER (PARTITION BY seg) AS m
+  FROM gv
+), med AS (
+  SELECT seg,
+         MIN(CASE WHEN cum >= CAST(ceil(0.5 * m) AS BIGINT) THEN x END)
+           AS med
+  FROM cg GROUP BY 1
+), z AS (
+  SELECT c.seg, CAST(abs(x - med) AS DECIMAL(18,2)) AS z
+  FROM c JOIN med ON med.seg = c.seg
+), per AS (
+  SELECT seg,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(z) AS DECIMAL(28,2)) AS s_i
+  FROM z GROUP BY 1
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(z) AS DECIMAL(28,2)) AS s,
+         CAST(SUM(CAST(z AS DECIMAL(19,2)) * CAST(z AS DECIMAL(19,2)))
+              AS DECIMAL(38,4)) AS ssq,
+         (SELECT COUNT(*) FROM per) AS k
+  FROM z
+), sb AS (
+  SELECT CAST(SUM(CAST(round(
+           n_i * (CAST(s_i AS DOUBLE) / n_i
+                  - (SELECT CAST(s AS DOUBLE) / n FROM g))
+               * (CAST(s_i AS DOUBLE) / n_i
+                  - (SELECT CAST(s AS DOUBLE) / n FROM g)), 6)
+           AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS ssb
+  FROM per
+)
+SELECT CAST(g.n AS BIGINT) AS n_customers,
+       CAST(g.k AS BIGINT) AS n_segments,
+       round((CAST(ssb AS DOUBLE) / (k - 1))
+             / (((CAST(ssq AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 - CAST(ssb AS DOUBLE)) / (n - k)), 6) AS bf_w_stat,
+       CAST(CASE WHEN (CAST(ssb AS DOUBLE) / (k - 1))
+                      / (((CAST(ssq AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                          - CAST(ssb AS DOUBLE)) / (n - k)) > 2.372
+            THEN 1 ELSE 0 END AS BIGINT) AS heteroscedastic
+FROM g CROSS JOIN sb
+"""
+
+
+@query("q_levene_test", oracle=LEVENE_SQL)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer.select(
+        F.col("c_mktsegment").alias("seg"), dec("c_acctbal").alias("x")
+    )
+    gv = c.groupBy("seg", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wp = Window.partitionBy("seg")
+    cg = gv.select(
+        "seg", "x", "cnt",
+        F.sum("cnt").over(wp.orderBy("x")).alias("cum"),
+        F.sum("cnt").over(wp).alias("m"),
+    )
+    med = cg.groupBy("seg").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.5 * F.col("m")).cast("bigint"),
+                F.col("x"),
+            )
+        ).alias("med")
+    )
+    z = c.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(F.col("x") - F.col("med")).cast("decimal(19,2)").alias("z")
+    ).localCheckpoint(eager=True)  # per-segment and grand moments consume
+    per = z.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("z").cast("decimal(28,2)").alias("s_i"),
+    )
+    g = z.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("decimal(28,2)").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("decimal(38,4)").alias("ssq"),
+    )
+    k = per.agg(F.count(F.lit(1)).alias("k"))
+    mu = g.select((F.col("s").cast("double") / F.col("n")).alias("mu"))
+    sb = per.join(F.broadcast(mu)).agg(
+        F.sum(
+            F.round(
+                F.col("n_i")
+                * (F.col("s_i").cast("double") / F.col("n_i") - F.col("mu"))
+                * (F.col("s_i").cast("double") / F.col("n_i") - F.col("mu")),
+                6,
+            ).cast("decimal(28,6)")
+        ).cast("decimal(28,6)").alias("ssb")
+    )
+    j = g.join(F.broadcast(k)).join(F.broadcast(sb))
+    n, kk = F.col("n"), F.col("k")
+    sd = F.col("s").cast("double")
+    ss_b = F.col("ssb").cast("double")
+    ss_w = (F.col("ssq").cast("double") - sd * sd / n) - ss_b
+    w_stat = (ss_b / (kk - 1)) / (ss_w / (n - kk))
+    return j.select(
+        n.alias("n_customers"),
+        kk.cast("bigint").alias("n_segments"),
+        F.round(w_stat, 6).alias("bf_w_stat"),
+        F.when(w_stat > LEVENE_CRIT, 1).otherwise(0).cast("bigint")
+        .alias("heteroscedastic"),
+    )
