@@ -3378,3 +3378,250 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(w_stat > LEVENE_CRIT, 1).otherwise(0).cast("bigint")
         .alias("heteroscedastic"),
     )
+
+
+# -- q_cochran_armitage -------------------------------------------------
+#
+# Cochran–Armitage trend test: is the purchase share MONOTONICALLY
+# trending across the ordered day-of-week scores 1..7? The χ²
+# independence test only says "differs somewhere"; CA spends its one
+# degree of freedom on the ordered alternative, which is what a
+# weekly-cycle hypothesis actually claims. T = Σsᵢrᵢ with
+# E = p̄Σsᵢnᵢ and Var = p̄(1−p̄)(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N) — all exact
+# integers until the final identical double z. Scale: one scan to
+# the 7-row grid.
+
+CA_SQL = """
+WITH d AS (
+  SELECT isodow(ts) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r_i
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(r_i) AS BIGINT) AS r,
+         CAST(SUM(s * r_i) AS BIGINT) AS t_stat,
+         CAST(SUM(s * n_i) AS BIGINT) AS sn,
+         CAST(SUM(s * s * n_i) AS BIGINT) AS ssn
+  FROM d
+)
+SELECT n AS n_events, r AS n_purchases,
+       round(CAST(r AS DOUBLE) / n, 6) AS overall_share,
+       CAST(t_stat AS BIGINT) AS trend_stat,
+       round((t_stat - (CAST(r AS DOUBLE) / n) * sn)
+             / sqrt((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+                    * (ssn - CAST(sn AS DOUBLE) * sn / n)), 6) AS trend_z
+FROM m
+"""
+
+
+@query("q_cochran_armitage", oracle=CA_SQL)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    iso = F.when(F.dayofweek("ts") == 1, F.lit(7)).otherwise(
+        F.dayofweek("ts") - 1
+    )
+    d = e.groupBy(iso.alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("r_i"),
+    )
+    m = d.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("s") * F.col("r_i")).cast("bigint").alias("t_stat"),
+        F.sum(F.col("s") * F.col("n_i")).cast("bigint").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).cast("bigint")
+        .alias("ssn"),
+    )
+    n, r = F.col("n"), F.col("r")
+    p = r.cast("double") / n
+    z = (F.col("t_stat") - p * F.col("sn")) / F.sqrt(
+        p * (1.0 - p) * (F.col("ssn") - F.col("sn").cast("double") * F.col("sn") / n)
+    )
+    return m.select(
+        n.alias("n_events"), r.alias("n_purchases"),
+        F.round(p, 6).alias("overall_share"),
+        F.col("t_stat").alias("trend_stat"),
+        F.round(z, 6).alias("trend_z"),
+    )
+
+
+# -- q_logrank ---------------------------------------------------------
+#
+# Log-rank test comparing time-to-repeat-purchase survival between
+# AUTOMOBILE-segment customers and everyone else (the two-sample
+# extension of q_survival_km: does the whole survival CURVE differ,
+# not just a point estimate — censoring-aware where a t-test on
+# observed gaps would be biased). At every distinct departure time,
+# group-wise risk sets come from one cumulative window over the
+# common (time × group) grid; the hypergeometric expectation and
+# variance terms round to DECIMAL(18,9) before EXACT sums
+# (order-independent); O₁, χ² = (O₁−E₁)²/V and the χ²₁ 5% flag are
+# identical double expressions. Scale shape: per-customer window +
+# groupBy to observations, then grid-sized everything.
+
+LOGRANK_SQL = """
+WITH obs0 AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         MIN(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey) AS d1
+  FROM orders
+), fs AS (
+  SELECT o_custkey, d1, MIN(CASE WHEN od > d1 THEN od END) AS d2
+  FROM obs0 GROUP BY 1, 2
+), endd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS de FROM orders),
+obs AS (
+  SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS grp,
+         CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+              ELSE date_diff('day', d1, de) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fs CROSS JOIN endd
+  JOIN customer ON c_custkey = o_custkey
+), gtot AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng FROM obs GROUP BY 1
+), tg AS (
+  SELECT grp, t, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM obs GROUP BY 1, 2
+), times AS (SELECT DISTINCT t FROM tg),
+grid AS (
+  SELECT g.grp, times.t,
+         COALESCE(tg.d, 0) AS d, COALESCE(tg.c, 0) AS c
+  FROM times CROSS JOIN (SELECT 0 AS grp UNION ALL SELECT 1) g
+  LEFT JOIN tg ON tg.grp = g.grp AND tg.t = times.t
+), atrisk AS (
+  SELECT grp, t, d,
+         ng - COALESCE(CAST(SUM(c) OVER (PARTITION BY grp ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS nr
+  FROM grid JOIN gtot USING (grp)
+), wide AS (
+  SELECT t,
+         MAX(CASE WHEN grp = 1 THEN d END) AS d1,
+         MAX(CASE WHEN grp = 0 THEN d END) AS d0,
+         MAX(CASE WHEN grp = 1 THEN nr END) AS n1,
+         MAX(CASE WHEN grp = 0 THEN nr END) AS n0
+  FROM atrisk GROUP BY 1
+), terms AS (
+  SELECT d1,
+         CAST(round((d1 + d0) * n1 / CAST(n1 + n0 AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS e1,
+         CAST(round((d1 + d0)
+                    * (n1 / CAST(n1 + n0 AS DOUBLE))
+                    * (n0 / CAST(n1 + n0 AS DOUBLE))
+                    * (n1 + n0 - d1 - d0)
+                    / (n1 + n0 - 1.0), 9) AS DECIMAL(18,9)) AS v
+  FROM wide
+  WHERE d1 + d0 > 0 AND n1 + n0 > 1
+), m AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(e1) AS DECIMAL(28,9)) AS e1,
+         CAST(SUM(v) AS DECIMAL(28,9)) AS v
+  FROM terms
+)
+SELECT o1 AS observed_g1,
+       round(CAST(e1 AS DOUBLE), 6) AS expected_g1,
+       round((o1 - CAST(e1 AS DOUBLE)) * (o1 - CAST(e1 AS DOUBLE))
+             / CAST(v AS DOUBLE), 6) AS logrank_chi2,
+       CAST(CASE WHEN (o1 - CAST(e1 AS DOUBLE)) * (o1 - CAST(e1 AS DOUBLE))
+                      / CAST(v AS DOUBLE) > 3.841
+            THEN 1 ELSE 0 END AS BIGINT) AS curves_differ
+FROM m
+"""
+
+
+@query("q_logrank", oracle=LOGRANK_SQL)
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders
+    wc = Window.partitionBy("o_custkey")
+    obs0 = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.min(F.col("o_orderdate").cast("date")).over(wc).alias("d1"),
+    )
+    fs = obs0.groupBy("o_custkey", "d1").agg(
+        F.min(F.when(F.col("od") > F.col("d1"), F.col("od"))).alias("d2")
+    )
+    endd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("de"))
+    obs = (
+        fs.join(F.broadcast(endd))
+        .join(
+            F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(0)
+            .alias("grp"),
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            ).otherwise(F.datediff("de", "d1")).alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    gtot = obs.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("ng"))
+    tg = obs.groupBy("grp", "t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    ).localCheckpoint(eager=True)  # times grid + join both consume
+    times = tg.select("t").distinct()
+    groups = tg.sparkSession.createDataFrame([(0,), (1,)], "grp int")
+    grid = (
+        times.join(F.broadcast(groups))
+        .join(tg, ["grp", "t"], "left")
+        .select(
+            "grp", "t",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    atrisk = grid.join(F.broadcast(gtot), "grp").select(
+        "grp", "t", "d",
+        (
+            F.col("ng")
+            - F.coalesce(F.sum("c").over(wg).cast("bigint"), F.lit(0))
+        ).alias("nr"),
+    )
+    wide = atrisk.groupBy("t").agg(
+        F.max(F.when(F.col("grp") == 1, F.col("d"))).alias("d1"),
+        F.max(F.when(F.col("grp") == 0, F.col("d"))).alias("d0"),
+        F.max(F.when(F.col("grp") == 1, F.col("nr"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("nr"))).alias("n0"),
+    )
+    d1, d0, n1, n0 = (F.col(c) for c in ("d1", "d0", "n1", "n0"))
+    nt = n1 + n0
+    dt = d1 + d0
+    terms = wide.filter((dt > 0) & (nt > 1)).select(
+        "d1",
+        F.round(dt * n1 / nt.cast("double"), 9).cast("decimal(18,9)")
+        .alias("e1"),
+        F.round(
+            dt
+            * (n1 / nt.cast("double"))
+            * (n0 / nt.cast("double"))
+            * (nt - dt)
+            / (nt - F.lit(1.0)),
+            9,
+        ).cast("decimal(18,9)").alias("v"),
+    )
+    m = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1").cast("decimal(28,9)").alias("e1"),
+        F.sum("v").cast("decimal(28,9)").alias("v"),
+    )
+    o1 = F.col("o1")
+    e1d = F.col("e1").cast("double")
+    chi2 = (o1 - e1d) * (o1 - e1d) / F.col("v").cast("double")
+    return m.select(
+        o1.alias("observed_g1"),
+        F.round(e1d, 6).alias("expected_g1"),
+        F.round(chi2, 6).alias("logrank_chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("bigint")
+        .alias("curves_differ"),
+    )
