@@ -277,6 +277,43 @@ class Pipeline:
         packed = pack_sequences(self.df, budget=budget)
         return Pipeline(pack_rows(packed, self.df))
 
+    def chat_format(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        budget: int = 512,
+    ) -> "Pipeline":
+        """Render each document into the SFT chat template (the
+        inventory txt_chat_format rendering: deterministic
+        instruction bank keyed by id % 4, <|system|>/<|user|>/
+        <|assistant|> wrapping) with whitespace token accounting and
+        a truncation flag at ``budget`` — the last corpus-DSL stage
+        before examples leave for training. Map-only: pure string
+        Columns, zero shuffle, zero Python."""
+        from redmap_spark.inventory.text2 import _CHAT_INSTR
+
+        doc_id = F.col(id_col)
+        instr = (
+            F.when(doc_id % 4 == 0, _CHAT_INSTR[0])
+            .when(doc_id % 4 == 1, _CHAT_INSTR[1])
+            .when(doc_id % 4 == 2, _CHAT_INSTR[2])
+            .otherwise(_CHAT_INSTR[3])
+        )
+        prompt = F.concat(
+            F.lit("<|system|>You are a helpful assistant.<|user|>"),
+            instr, F.lit("\n"), F.col(text_col), F.lit("<|assistant|>"),
+        )
+        out = self.df.withColumn("prompt", prompt).withColumn(
+            "prompt_tokens", F.size(F.split(F.col("prompt"), " ")).cast("long")
+        ).withColumn(
+            "target_tokens", F.size(F.split(F.col(text_col), " ")).cast("long")
+        ).withColumn(
+            "truncated",
+            (F.col("prompt_tokens") + F.col("target_tokens") > budget)
+            .cast("int"),
+        )
+        return Pipeline(out)
+
     def tokenize_bpe(self, text_col: str = "text", id_col: str = "doc_id",
                      num_merges: int = 64, sample_docs: int = 256,
                      merges: list | None = None) -> "Pipeline":

@@ -290,3 +290,23 @@ def test_readability_and_compress_gates(spark):
     ids = {r.doc_id for r in rows}
     assert 2 not in ids      # "spam spam spam..." compresses to almost nothing
     assert {0, 1} <= ids     # natural-ish text survives
+
+
+def test_chat_format_stage(spark):
+    """Pipeline.chat_format renders the same template as the
+    txt_chat_format inventory entry and stays JVM-only."""
+    from redmap_spark.api import Pipeline
+    from redmap_spark.catalog import Catalog
+    from redmap_spark.plans import explain as E
+    from tests.conftest import SF_DIR
+
+    d = Catalog(spark, SF_DIR).documents.limit(50)
+    out = Pipeline.from_df(d).chat_format().df
+    assert not E.has_python_eval(out)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.prompt.startswith("<|system|>You are a helpful assistant.<|user|>")
+        assert r.prompt.endswith("<|assistant|>")
+        assert r.prompt_tokens >= r.target_tokens
+        assert r.truncated == int(r.prompt_tokens + r.target_tokens > 512)
