@@ -490,3 +490,133 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# -- q_markov_entropy --------------------------------------------------
+#
+# Entropy rate of the user-journey Markov chain: H = −Σᵢ πᵢ Σⱼ
+# pᵢⱼ ln pᵢⱼ (bits per step, via ln/ln2) — how PREDICTABLE the next
+# action is given the current one; the single number that says
+# whether a next-action model can beat the base rate, and the
+# information-theoretic companion of q_markov_stationary (same
+# DECIMAL(14,12)-rounded matrix, same 3-step π). Per-row entropy
+# terms round to DECIMAL(18,9) before exact sums; ln on identical
+# rounded doubles. Output: per-state conditional entropy + π, with
+# the chain-level rate on every row (broadcast 1-row aggregate).
+
+MARKOV_ENTROPY_SQL = """
+WITH pairs AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+), counts AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+), p AS (
+  SELECT cur, nxt,
+         CAST(round(n / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 12)
+              AS DECIMAL(14,12)) AS pr
+  FROM counts
+), types AS (SELECT DISTINCT cur AS t FROM counts),
+pi0 AS (
+  SELECT t, CAST(round(1.0 / (SELECT COUNT(*) FROM types), 12)
+                 AS DECIMAL(14,12)) AS v FROM types
+), pi1 AS (
+  SELECT p.nxt AS t, CAST(round(CAST(SUM(pi0.v * p.pr) AS DOUBLE), 12)
+                          AS DECIMAL(14,12)) AS v
+  FROM p JOIN pi0 ON pi0.t = p.cur GROUP BY 1
+), pi2 AS (
+  SELECT p.nxt AS t, CAST(round(CAST(SUM(pi1.v * p.pr) AS DOUBLE), 12)
+                          AS DECIMAL(14,12)) AS v
+  FROM p JOIN pi1 ON pi1.t = p.cur GROUP BY 1
+), pi3 AS (
+  SELECT p.nxt AS t, CAST(round(CAST(SUM(pi2.v * p.pr) AS DOUBLE), 12)
+                          AS DECIMAL(14,12)) AS v
+  FROM p JOIN pi2 ON pi2.t = p.cur GROUP BY 1
+), hrow AS (
+  SELECT cur,
+         CAST(SUM(CASE WHEN CAST(pr AS DOUBLE) > 0 THEN
+           CAST(round(-CAST(pr AS DOUBLE) * ln(CAST(pr AS DOUBLE))
+                      / ln(2.0), 9) AS DECIMAL(18,9)) END)
+           AS DECIMAL(28,9)) AS h_cond
+  FROM p GROUP BY 1
+), rate AS (
+  SELECT CAST(SUM(CAST(round(CAST(pi3.v AS DOUBLE)
+                             * CAST(h_cond AS DOUBLE), 9)
+                       AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS h_rate
+  FROM hrow JOIN pi3 ON pi3.t = hrow.cur
+)
+SELECT hrow.cur AS state,
+       round(CAST(pi3.v AS DOUBLE), 6) AS stationary_p,
+       round(CAST(h_cond AS DOUBLE), 6) AS conditional_entropy_bits,
+       round(CAST(h_rate AS DOUBLE), 6) AS chain_entropy_rate_bits
+FROM hrow JOIN pi3 ON pi3.t = hrow.cur
+CROSS JOIN rate
+ORDER BY state
+"""
+
+
+@query("q_markov_entropy", oracle=MARKOV_ENTROPY_SQL)
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wc = Window.partitionBy("cur")
+    p = counts.select(
+        "cur", "nxt",
+        F.round(F.col("n") / F.sum("n").over(wc).cast("double"), 12)
+        .cast("decimal(14,12)").alias("pr"),
+    ).localCheckpoint(eager=True)
+    types = p.select(F.col("cur").alias("t")).distinct()
+    n_types = types.agg(F.count(F.lit(1)).alias("k"))
+    pi = types.join(F.broadcast(n_types)).select(
+        "t",
+        F.round(F.lit(1.0) / F.col("k"), 12).cast("decimal(14,12)").alias("v"),
+    )
+    for _ in range(3):
+        pi = (
+            p.join(pi, p.cur == pi.t)
+            .groupBy(F.col("nxt").alias("nt"))
+            .agg(
+                F.round(F.sum(F.col("v") * F.col("pr")).cast("double"), 12)
+                .cast("decimal(14,12)").alias("nv")
+            )
+            .select(F.col("nt").alias("t"), F.col("nv").alias("v"))
+        )
+    prd = F.col("pr").cast("double")
+    hrow = p.groupBy("cur").agg(
+        F.sum(
+            F.when(
+                prd > 0,
+                F.round(-prd * F.log(prd) / F.log(F.lit(2.0)), 9)
+                .cast("decimal(18,9)"),
+            )
+        ).cast("decimal(28,9)").alias("h_cond")
+    )
+    j = hrow.join(pi, hrow.cur == pi.t)
+    rate = j.agg(
+        F.sum(
+            F.round(
+                F.col("v").cast("double") * F.col("h_cond").cast("double"), 9
+            ).cast("decimal(18,9)")
+        ).cast("decimal(28,9)").alias("h_rate")
+    )
+    return (
+        j.join(F.broadcast(rate))
+        .select(
+            F.col("cur").alias("state"),
+            F.round(F.col("v").cast("double"), 6).alias("stationary_p"),
+            F.round(F.col("h_cond").cast("double"), 6)
+            .alias("conditional_entropy_bits"),
+            F.round(F.col("h_rate").cast("double"), 6)
+            .alias("chain_entropy_rate_bits"),
+        )
+        .orderBy("state")
+    )

@@ -1766,3 +1766,108 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- q_group_sequential ------------------------------------------------
+#
+# Group-sequential monitoring with O'Brien–Fleming boundaries: the
+# regulated-industry standard for peeking at an experiment 4 times
+# (information fractions 25/50/75/100%, literal boundary z
+# 4.333/2.963/2.359/2.014 — conservative early, near-fixed-sample
+# late; the pre-registered-looks alternative to q_sprt_monitor's
+# fully-sequential test). Monitored statistic: the purchase share
+# vs its first-week baseline p₀, z computed at each look from exact
+# cumulative integer counts (one ordered day grid pass → 4 look
+# rows). All moments exact; one identical double z per look.
+
+_OBF = [(1, "4.333"), (2, "2.963"), (3, "2.359"), (4, "2.014")]
+
+GST_SQL = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM events GROUP BY 1
+), base AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS k0, CAST(SUM(n) AS BIGINT) AS n0
+  FROM d WHERE day < DATE '2024-01-08'
+), span AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1,
+         date_diff('day', MIN(day), MAX(day)) + 1 AS horizon
+  FROM d
+), looks AS (
+  SELECT lk, CAST(CASE {" ".join(f"WHEN lk = {i} THEN {z}" for i, z in _OBF)}
+              ELSE NULL END AS DOUBLE) AS boundary_z
+  FROM (SELECT UNNEST([1, 2, 3, 4]) AS lk)
+), cum AS (
+  SELECT looks.lk, looks.boundary_z,
+         CAST(SUM(d.n) AS BIGINT) AS n_cum,
+         CAST(SUM(d.k) AS BIGINT) AS k_cum
+  FROM looks CROSS JOIN span
+  JOIN d ON date_diff('day', span.d0, d.day)
+            < CAST(ceil(span.horizon * looks.lk / 4.0) AS BIGINT)
+  GROUP BY 1, 2
+)
+SELECT lk AS look, n_cum, k_cum,
+       round(k_cum / CAST(n_cum AS DOUBLE), 6) AS share,
+       round((k_cum / CAST(n_cum AS DOUBLE) - k0 / CAST(n0 AS DOUBLE))
+             / sqrt((k0 / CAST(n0 AS DOUBLE))
+                    * (1.0 - k0 / CAST(n0 AS DOUBLE)) / n_cum), 6)
+         AS z_look,
+       round(boundary_z, 6) AS obf_boundary,
+       CAST(CASE WHEN abs((k_cum / CAST(n_cum AS DOUBLE)
+                           - k0 / CAST(n0 AS DOUBLE))
+                          / sqrt((k0 / CAST(n0 AS DOUBLE))
+                                 * (1.0 - k0 / CAST(n0 AS DOUBLE)) / n_cum))
+                      > boundary_z
+            THEN 1 ELSE 0 END AS BIGINT) AS boundary_crossed
+FROM cum CROSS JOIN base
+ORDER BY look
+"""
+
+
+@query("q_group_sequential", oracle=GST_SQL)
+def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("k"),
+    ).localCheckpoint(eager=True)  # baseline, span, looks all consume
+    base = d.filter(F.col("day") < F.lit("2024-01-08")).agg(
+        F.sum("k").cast("bigint").alias("k0"),
+        F.sum("n").cast("bigint").alias("n0"),
+    )
+    span = d.agg(
+        F.min("day").alias("d0"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("horizon"),
+    )
+    looks = d.sparkSession.createDataFrame(
+        [(i, float(z)) for i, z in _OBF], "lk int, boundary_z double"
+    )
+    cum = (
+        looks.join(F.broadcast(span))
+        .join(
+            d,
+            F.datediff(F.col("day"), F.col("d0"))
+            < F.ceil(F.col("horizon") * F.col("lk") / 4.0).cast("bigint"),
+        )
+        .groupBy("lk", "boundary_z")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_cum"),
+            F.sum("k").cast("bigint").alias("k_cum"),
+        )
+    )
+    j = cum.join(F.broadcast(base))
+    p0 = F.col("k0") / F.col("n0").cast("double")
+    share = F.col("k_cum") / F.col("n_cum").cast("double")
+    z = (share - p0) / F.sqrt(p0 * (1.0 - p0) / F.col("n_cum"))
+    return j.select(
+        F.col("lk").alias("look"), "n_cum", "k_cum",
+        F.round(share, 6).alias("share"),
+        F.round(z, 6).alias("z_look"),
+        F.round("boundary_z", 6).alias("obf_boundary"),
+        F.when(F.abs(z) > F.col("boundary_z"), 1).otherwise(0).cast("bigint")
+        .alias("boundary_crossed"),
+    ).orderBy("look")
