@@ -1083,3 +1083,73 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prop, 2).alias("proportional_n"),
         F.round(ney - prop, 2).alias("delta_n"),
     ).orderBy("n_name")
+
+
+# -- q_srm_check -------------------------------------------------------
+#
+# Sample-ratio-mismatch (SRM) gate: the first thing checked on ANY
+# experiment readout — do the md5-parity assignment buckets actually
+# hold the designed 50/50 user split? A significant χ²₁ here means
+# the assignment or logging pipeline is broken and every downstream
+# metric (q_ab_test, q_cuped, q_group_sequential) is invalid.
+# Assignment = md5 nibble parity of user_id (the deterministic
+# bucketing the A/B entries use); χ² = Σ(o−e)²/e over the 2 cells
+# from exact integer counts, literal 3.841 critical value. One
+# distinct-user scan → 2-row grid.
+
+SRM_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), a AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                   ::INT % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm
+  FROM u
+), m AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control,
+         CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treatment,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a
+)
+SELECT n_control, n_treatment, n AS n_users,
+       round(n_control / CAST(n AS DOUBLE), 6) AS control_share,
+       round((n_control - n / 2.0) * (n_control - n / 2.0) / (n / 2.0)
+             + (n_treatment - n / 2.0) * (n_treatment - n / 2.0) / (n / 2.0),
+             6) AS srm_chi2,
+       CAST(CASE WHEN (n_control - n / 2.0) * (n_control - n / 2.0) / (n / 2.0)
+                      + (n_treatment - n / 2.0) * (n_treatment - n / 2.0)
+                        / (n / 2.0) > 3.841
+            THEN 1 ELSE 0 END AS BIGINT) AS srm_detected
+FROM m
+"""
+
+
+@query("q_srm_check", oracle=SRM_SQL)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    u = e.select("user_id").distinct()
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+        ).cast("int") % 2 == 0,
+        "control",
+    ).otherwise("treatment")
+    m = u.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("bigint").alias("n_control"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("bigint").alias("n_treatment"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    nc, nt, n = F.col("n_control"), F.col("n_treatment"), F.col("n")
+    half = n / 2.0
+    chi2 = (nc - half) * (nc - half) / half + (nt - half) * (nt - half) / half
+    return m.select(
+        "n_control", "n_treatment", n.alias("n_users"),
+        F.round(nc / n.cast("double"), 6).alias("control_share"),
+        F.round(chi2, 6).alias("srm_chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("bigint")
+        .alias("srm_detected"),
+    )
