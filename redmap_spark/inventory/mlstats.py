@@ -3625,3 +3625,104 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(chi2 > 3.841, 1).otherwise(0).cast("bigint")
         .alias("curves_differ"),
     )
+
+
+# -- q_bimodality ------------------------------------------------------
+#
+# Sarle's bimodality coefficient per event type:
+# b = (g₁² + 1)/(g₂ + 3(n−1)²/((n−2)(n−3))) from sample skewness g₁
+# and excess kurtosis g₂ — b > 5/9 (the uniform's value) flags a
+# value distribution that is plausibly a MIXTURE of two populations,
+# i.e. "this metric is two cohorts pretending to be one" (the cheap
+# precursor to any mixture-model fit). Values are bounded decimals
+# (≤ 500.00), so ALL four power sums stay exact: x as DECIMAL(8,2),
+# x² (16,4), x³ (24,6), x⁴ (32,8) — each a width-safe exact decimal
+# aggregate; the central-moment assembly is one identical double
+# expression chain. Scale: one scan to the |types| grid.
+
+BIMODALITY_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(value AS DECIMAL(8,2)) AS x
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(28,2)) AS s1,
+         CAST(SUM(CAST(x * x AS DECIMAL(19,4))) AS DECIMAL(36,4)) AS s2,
+         CAST(SUM(CAST(CAST(x * x AS DECIMAL(19,4)) * x AS DECIMAL(27,6)))
+              AS DECIMAL(38,6)) AS s3,
+         CAST(SUM(CAST(CAST(x * x AS DECIMAL(19,4))
+                       * CAST(x * x AS DECIMAL(15,4)) AS DECIMAL(35,8)))
+              AS DECIMAL(38,8)) AS s4
+  FROM v GROUP BY 1
+), c AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n
+           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+         CAST(s3 AS DOUBLE) / n
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n) AS m3,
+         CAST(s4 AS DOUBLE) / n
+           - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+           + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s2 AS DOUBLE) / n)
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+  FROM m
+)
+SELECT event_type, n,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis,
+       round((m3 / (m2 * sqrt(m2)) * (m3 / (m2 * sqrt(m2))) + 1.0)
+             / ((m4 / (m2 * m2) - 3.0)
+                + 3.0 * (n - 1.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))),
+             6) AS bimodality_coeff,
+       CAST(CASE WHEN (m3 / (m2 * sqrt(m2)) * (m3 / (m2 * sqrt(m2))) + 1.0)
+                      / ((m4 / (m2 * m2) - 3.0)
+                         + 3.0 * (n - 1.0) * (n - 1.0)
+                           / ((n - 2.0) * (n - 3.0))) > 0.555556
+            THEN 1 ELSE 0 END AS BIGINT) AS mixture_suspect
+FROM c
+ORDER BY event_type
+"""
+
+
+@query("q_bimodality", oracle=BIMODALITY_SQL)
+def q_bimodality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    x = F.col("value").cast("decimal(8,2)")
+    # width 19 on ONE factor keeps DuckDB's x2*x2 off its int64 fast
+    # path (the q_sax_symbols overflow lesson) while the (19,4)×(15,4)
+    # product stays ≤38 digits, so Spark never scale-rounds it either
+    x2 = (x * x).cast("decimal(19,4)")
+    x2n = (x * x).cast("decimal(15,4)")
+    m = e.filter(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("decimal(28,2)").alias("s1"),
+        F.sum(x2).cast("decimal(36,4)").alias("s2"),
+        F.sum((x2 * x).cast("decimal(27,6)")).cast("decimal(38,6)").alias("s3"),
+        F.sum((x2 * x2n).cast("decimal(35,8)")).cast("decimal(38,8)").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mu * mu
+    m3 = r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
+    m4 = r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - 3.0
+    bc = (g1 * g1 + 1.0) / (
+        g2 + 3.0 * (n - 1.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+    )
+    return m.select(
+        "event_type", "n",
+        F.round(g1, 6).alias("skewness"),
+        F.round(g2, 6).alias("excess_kurtosis"),
+        F.round(bc, 6).alias("bimodality_coeff"),
+        F.when(bc > 0.555556, 1).otherwise(0).cast("bigint")
+        .alias("mixture_suspect"),
+    ).orderBy("event_type")
