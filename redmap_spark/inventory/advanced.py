@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import query
+from redmap_spark.inventory.registry import dec, query
 
 # -- q_mode_per_group --------------------------------------------------
 #
@@ -1152,4 +1152,96 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("srm_chi2"),
         F.when(chi2 > 3.841, 1).otherwise(0).cast("bigint")
         .alias("srm_detected"),
+    )
+
+
+# -- q_abc_analysis ----------------------------------------------------
+#
+# ABC (Pareto) inventory classification of parts by revenue: A = the
+# parts covering the first 80% of cumulative revenue, B = next 15%,
+# C = the long tail — the warehouse-policy segmentation (count
+# tolerance tightness, reorder automation) that q_decile_lift's
+# customer cut is for parts. Exact decimal revenue sums; the
+# cumulative share boundary is evaluated on the ranked part grid
+# (deterministic (revenue DESC, partkey) order — the q_gini
+# documented grid sort); per-class rollup with share-of-parts vs
+# share-of-revenue showing the 80/20 concentration directly.
+
+ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(21,4)) AS r
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(r) AS DECIMAL(30,4)) AS tr,
+         CAST(COUNT(*) AS BIGINT) AS np
+  FROM rev
+), ranked AS (
+  SELECT l_partkey, r,
+         SUM(r) OVER (ORDER BY r DESC, l_partkey) AS cum
+  FROM rev
+), cls AS (
+  SELECT l_partkey, r,
+         CASE WHEN CAST(cum AS DOUBLE) / CAST(tr AS DOUBLE) <= 0.80 THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(tr AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked CROSS JOIN tot
+)
+SELECT abc AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       round(COUNT(*) / CAST(tot.np AS DOUBLE), 6) AS part_share,
+       CAST(CAST(SUM(r) AS DECIMAL(30,4)) AS DOUBLE) AS class_revenue,
+       round(CAST(CAST(SUM(r) AS DECIMAL(28,2)) AS DOUBLE)
+             / CAST(tot.tr AS DOUBLE), 6) AS revenue_share
+FROM cls CROSS JOIN tot
+GROUP BY 1, tot.np, tot.tr
+ORDER BY abc_class
+"""
+
+
+@query("q_abc_analysis", oracle=ABC_SQL)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+        # scale 4 preserved: casting the scale-4 sum to (.,2) would
+        # RE-ROUND half-cents, where Spark (HALF_UP) and DuckDB
+        # (HALF_EVEN) disagree — keep sums exact, never re-scale down
+        .cast("decimal(21,4)").alias("r")
+    ).localCheckpoint(eager=True)  # totals + ranked grid both consume
+    tot = rev.agg(
+        F.sum("r").cast("decimal(30,4)").alias("tr"),
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+    )
+    ranked = rev.select(
+        "l_partkey", "r",
+        F.sum("r").over(
+            Window.orderBy(F.desc("r"), F.asc("l_partkey"))
+        ).alias("cum"),
+    )
+    share = F.col("cum").cast("double") / F.col("tr").cast("double")
+    cls = ranked.join(F.broadcast(tot)).select(
+        "r", "np", "tr",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        cls.groupBy("abc", "np", "tr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("r").cast("decimal(30,4)").alias("cr"),
+        )
+        .select(
+            F.col("abc").alias("abc_class"),
+            "n_parts",
+            F.round(F.col("n_parts") / F.col("np").cast("double"), 6)
+            .alias("part_share"),
+            F.col("cr").cast("double").alias("class_revenue"),
+            F.round(
+                F.col("cr").cast("double") / F.col("tr").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
     )

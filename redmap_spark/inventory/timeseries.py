@@ -1173,12 +1173,13 @@ WITH daily AS (
   SELECT CAST(l_shipdate AS DATE) AS d,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                   * (1 - CAST(l_discount AS DECIMAL(18,2))))
-              AS DECIMAL(19,2)) AS r
+              AS DECIMAL(21,4)) AS r
   FROM lineitem GROUP BY 1
 ), gstat AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(r) AS DECIMAL(28,2)) AS s,
-         CAST(SUM(r * r) AS DECIMAL(38,4)) AS ssq
+         CAST(SUM(r) AS DECIMAL(30,4)) AS s,
+         CAST(SUM(CAST(CAST(r AS DECIMAL(19,4)) * CAST(r AS DECIMAL(17,4))
+                       AS DECIMAL(36,8))) AS DECIMAL(38,8)) AS ssq
   FROM daily
 ), seg AS (
   SELECT CAST(floor((ROW_NUMBER() OVER (ORDER BY d) - 1) * 16.0
@@ -1188,7 +1189,7 @@ WITH daily AS (
 ), paa AS (
   SELECT segment_id,
          CAST(COUNT(*) AS BIGINT) AS n_days,
-         CAST(SUM(r) AS DECIMAL(28,2)) AS sr
+         CAST(SUM(r) AS DECIMAL(30,4)) AS sr
   FROM seg GROUP BY 1
 )
 SELECT segment_id, n_days,
@@ -1222,14 +1223,20 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date").alias("d")
     ).agg(
         F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
-        # width 19: keeps DuckDB's r*r off its int64 fast path, which
-        # overflows at sf≥0.1 daily magnitudes (DECIMAL(18) multiply)
-        .cast("decimal(19,2)").alias("r")
+        # scale 4 preserved (a (.,2) cast would RE-ROUND half-cents
+        # where Spark HALF_UP and DuckDB HALF_EVEN disagree); one
+        # factor width-19 keeps DuckDB's square off its int64 path
+        # while (19,4)×(17,4) stays ≤38 digits so Spark never
+        # scale-rounds either
+        .cast("decimal(21,4)").alias("r")
     )
     gstat = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("r").cast("decimal(28,2)").alias("s"),
-        F.sum(F.col("r") * F.col("r")).cast("decimal(38,4)").alias("ssq"),
+        F.sum("r").cast("decimal(30,4)").alias("s"),
+        F.sum(
+            (F.col("r").cast("decimal(19,4)") * F.col("r").cast("decimal(17,4)"))
+            .cast("decimal(36,8)")
+        ).cast("decimal(38,8)").alias("ssq"),
     )
     seg = daily.join(F.broadcast(gstat)).select(
         F.floor(
@@ -1240,7 +1247,7 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     paa = seg.groupBy("segment_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.sum("r").cast("decimal(28,2)").alias("sr"),
+        F.sum("r").cast("decimal(30,4)").alias("sr"),
     )
     j = paa.join(F.broadcast(gstat))
     sd = F.col("s").cast("double")
