@@ -3726,3 +3726,116 @@ def q_bimodality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bc > 0.555556, 1).otherwise(0).cast("bigint")
         .alias("mixture_suspect"),
     ).orderBy("event_type")
+
+
+# -- q_pr_curve --------------------------------------------------------
+#
+# Precision–recall operating curve for the calibration model (the
+# q_calibration_ece / q_auc_roc scorer): at every distinct score
+# threshold, precision / recall / F1 plus the KS separation
+# |TPR − FPR| with the max-KS row flagged — the table a deployment
+# reads to PICK the threshold (AUC says the ranking is good; this
+# says where to cut it). Everything derives from ONE descending
+# cumulative pass over the ≤10-row distinct-score grid: cum
+# positives/negatives above each threshold are exact integers, every
+# ratio an identical double. Scale: grid-only after the scan.
+
+PR_SPLIT = "2024-01-16"
+
+PR_SQL = f"""
+WITH ev AS (
+  SELECT LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS vbin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN CAST(ts AS DATE) < DATE '{PR_SPLIT}' THEN 1 ELSE 0 END
+           AS is_train
+  FROM events WHERE value IS NOT NULL
+), model AS (
+  SELECT vbin,
+         CAST(round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(8,6))
+           AS score
+  FROM ev WHERE is_train = 1 GROUP BY 1
+), scored AS (
+  SELECT m.score, e.y FROM ev e JOIN model m ON m.vbin = e.vbin
+  WHERE e.is_train = 0
+), g AS (
+  SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM scored GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS q
+  FROM g
+), c AS (
+  SELECT score,
+         CAST(SUM(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+         CAST(SUM(neg) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+  FROM g
+)
+SELECT CAST(score AS DOUBLE) AS threshold,
+       tp, fp,
+       round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
+       round(tp / CAST(p AS DOUBLE), 6) AS recall,
+       CASE WHEN tp > 0 THEN
+         round(2.0 * tp / CAST(tp + fp AS DOUBLE) * (tp / CAST(p AS DOUBLE))
+               / (tp / CAST(tp + fp AS DOUBLE) + tp / CAST(p AS DOUBLE)), 6)
+       ELSE 0.0 END AS f1,
+       round(abs(tp / CAST(p AS DOUBLE) - fp / CAST(q AS DOUBLE)), 6) AS ks,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+              ORDER BY abs(tp / CAST(p AS DOUBLE) - fp / CAST(q AS DOUBLE))
+                       DESC, score) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS is_max_ks
+FROM c CROSS JOIN tot
+ORDER BY threshold
+"""
+
+
+@query("q_pr_curve", oracle=PR_SQL)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ev = e.filter(F.col("value").isNotNull()).select(
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9)
+        ).alias("vbin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (F.to_date("ts") < F.lit(PR_SPLIT)).cast("int").alias("is_train"),
+    )
+    model = ev.filter(F.col("is_train") == 1).groupBy("vbin").agg(
+        F.round(F.sum("y") / F.count(F.lit(1)).cast("double"), 6)
+        .cast("decimal(8,6)").alias("score")
+    )
+    scored = (
+        ev.filter(F.col("is_train") == 0)
+        .join(F.broadcast(model), "vbin")
+        .select("score", "y")
+    )
+    g = scored.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    tot = g.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum("neg").cast("bigint").alias("q"),
+    )
+    c = g.select(
+        "score",
+        F.sum("pos").over(Window.orderBy(F.desc("score"))).cast("bigint")
+        .alias("tp"),
+        F.sum("neg").over(Window.orderBy(F.desc("score"))).cast("bigint")
+        .alias("fp"),
+    )
+    j = c.join(F.broadcast(tot))
+    tp, fp = F.col("tp"), F.col("fp")
+    prec = tp / (tp + fp).cast("double")
+    rec = tp / F.col("p").cast("double")
+    ks = F.abs(rec - fp / F.col("q").cast("double"))
+    wk = Window.orderBy(F.desc(ks), F.asc("score"))
+    return j.select(
+        F.col("score").cast("double").alias("threshold"),
+        "tp", "fp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.when(tp > 0, F.round(2.0 * prec * rec / (prec + rec), 6))
+        .otherwise(F.lit(0.0)).alias("f1"),
+        F.round(ks, 6).alias("ks"),
+        F.when(F.row_number().over(wk) == 1, 1).otherwise(0).cast("bigint")
+        .alias("is_max_ks"),
+    ).orderBy("threshold")
