@@ -1245,3 +1245,130 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# -- q_covariate_balance -----------------------------------------------
+#
+# Covariate-balance audit of the md5-parity assignment (the
+# randomization-quality companion of q_srm_check: equal COUNTS can
+# still hide skewed COVARIATES): per pre-exposure covariate (event
+# value, events-per-user, weekend share), the standardized mean
+# difference SMD = (m_T − m_C)/√((s²_T + s²_C)/2) with the |SMD| <
+# 0.1 balance convention — imbalance here means the arms differ
+# before treatment and q_cuped-style adjustment is mandatory. All
+# moments exact decimal/integer per arm; identical double SMD.
+
+COVBAL_SQL = """
+WITH per AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                   ::INT % 2 = 0 THEN 0 ELSE 1 END AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sv,
+         CAST(SUM(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+           AS wk
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), cov AS (
+  SELECT arm, 'mean_event_value' AS covariate,
+         CAST(sv AS DOUBLE) / n_events AS x
+  FROM per
+  UNION ALL
+  SELECT arm, 'events_per_user', CAST(n_events AS DOUBLE) FROM per
+  UNION ALL
+  SELECT arm, 'weekend_share', wk / CAST(n_events AS DOUBLE) FROM per
+), m AS (
+  SELECT covariate, arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS s,
+         SUM(CAST(round(x, 6) AS DECIMAL(19,6))
+             * CAST(round(x, 6) AS DECIMAL(19,6))) AS ssq
+  FROM cov GROUP BY 1, 2
+), w AS (
+  SELECT covariate,
+         MAX(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) / n END) AS mt,
+         MAX(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END) AS mc,
+         MAX(CASE WHEN arm = 1 THEN
+           (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+           / (n - 1.0) END) AS vt,
+         MAX(CASE WHEN arm = 0 THEN
+           (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+           / (n - 1.0) END) AS vc
+  FROM m GROUP BY 1
+)
+SELECT covariate,
+       round(mt, 6) AS mean_treatment,
+       round(mc, 6) AS mean_control,
+       round((mt - mc) / sqrt((vt + vc) / 2.0), 6) AS smd,
+       CAST(CASE WHEN abs((mt - mc) / sqrt((vt + vc) / 2.0)) < 0.1
+            THEN 1 ELSE 0 END AS BIGINT) AS balanced
+FROM w
+ORDER BY covariate
+"""
+
+
+@query("q_covariate_balance", oracle=COVBAL_SQL)
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    iso = F.when(F.dayofweek("ts") == 1, F.lit(7)).otherwise(
+        F.dayofweek("ts") - 1
+    )
+    per = e.filter(F.col("value").isNotNull()).groupBy(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+                16, 10,
+            ).cast("int") % 2 != 0
+        ).cast("int").alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(28,2)")
+        .alias("sv"),
+        F.sum(F.when(iso >= 6, 1).otherwise(0)).cast("bigint").alias("wk"),
+    )
+    cov = (
+        per.select(
+            "arm", F.lit("mean_event_value").alias("covariate"),
+            (F.col("sv").cast("double") / F.col("n_events")).alias("x"),
+        )
+        .union(
+            per.select(
+                "arm", F.lit("events_per_user"),
+                F.col("n_events").cast("double"),
+            )
+        )
+        .union(
+            per.select(
+                "arm", F.lit("weekend_share"),
+                F.col("wk") / F.col("n_events").cast("double"),
+            )
+        )
+    )
+    x6 = F.round("x", 6).cast("decimal(19,6)")
+    m = cov.groupBy("covariate", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("x", 9).cast("decimal(28,9)")).alias("s"),
+        F.sum(x6 * x6).alias("ssq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ssq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - F.lit(1.0))
+    w = m.groupBy("covariate").agg(
+        F.max(F.when(F.col("arm") == 1, mean)).alias("mt"),
+        F.max(F.when(F.col("arm") == 0, mean)).alias("mc"),
+        F.max(F.when(F.col("arm") == 1, var)).alias("vt"),
+        F.max(F.when(F.col("arm") == 0, var)).alias("vc"),
+    )
+    smd = (F.col("mt") - F.col("mc")) / F.sqrt(
+        (F.col("vt") + F.col("vc")) / 2.0
+    )
+    return w.select(
+        "covariate",
+        F.round("mt", 6).alias("mean_treatment"),
+        F.round("mc", 6).alias("mean_control"),
+        F.round(smd, 6).alias("smd"),
+        F.when(F.abs(smd) < 0.1, 1).otherwise(0).cast("bigint")
+        .alias("balanced"),
+    ).orderBy("covariate")

@@ -1878,3 +1878,80 @@ def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.abs(z) > F.col("boundary_z"), 1).otherwise(0).cast("bigint")
         .alias("boundary_crossed"),
     ).orderBy("look")
+
+
+# -- q_xmr_chart -------------------------------------------------------
+#
+# Individuals / moving-range (XmR) control chart per series — the
+# Shewhart SPC chart for one-observation-per-period processes, and
+# the pre-CUSUM triage (CUSUM finds small persistent shifts; XmR
+# flags single excursions): center = mean daily revenue, limits =
+# X̄ ± 2.66·m̄R (the d₂-derived individuals constant), mR = |xₜ −
+# xₜ₋₁|. All means from exact decimal sums (revenue and the |diff|
+# moving ranges are exact decimals); the limit comparison is one
+# identical double expression per day. One window sort per series.
+
+XMR_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+mr AS (
+  SELECT event_type, day, rev,
+         CAST(abs(rev - LAG(rev) OVER (PARTITION BY event_type
+                                       ORDER BY day)) AS DECIMAL(19,2))
+           AS mrange
+  FROM daily
+), lim AS (
+  SELECT event_type,
+         CAST(SUM(rev) AS DECIMAL(28,2)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(mrange) AS DECIMAL(28,2)) AS smr,
+         CAST(COUNT(mrange) AS BIGINT) AS nmr
+  FROM mr GROUP BY 1
+)
+SELECT mr.event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(s AS DOUBLE) / n, 6) AS center,
+       round(CAST(s AS DOUBLE) / n
+             + 2.66 * CAST(smr AS DOUBLE) / nmr, 6) AS ucl,
+       round(CAST(s AS DOUBLE) / n
+             - 2.66 * CAST(smr AS DOUBLE) / nmr, 6) AS lcl,
+       CAST(CASE WHEN CAST(rev AS DOUBLE)
+                      > CAST(s AS DOUBLE) / n
+                        + 2.66 * CAST(smr AS DOUBLE) / nmr
+                 OR CAST(rev AS DOUBLE)
+                      < CAST(s AS DOUBLE) / n
+                        - 2.66 * CAST(smr AS DOUBLE) / nmr
+            THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+FROM mr JOIN lim ON lim.event_type = mr.event_type
+ORDER BY mr.event_type, day
+"""
+
+
+@query("q_xmr_chart", oracle=XMR_SQL)
+def q_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    mr = daily.select(
+        "event_type", "day", "rev",
+        F.abs(F.col("rev") - F.lag("rev").over(w)).cast("decimal(19,2)")
+        .alias("mrange"),
+    ).localCheckpoint(eager=True)  # limits + per-day rows both consume
+    lim = mr.groupBy("event_type").agg(
+        F.sum("rev").cast("decimal(28,2)").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mrange").cast("decimal(28,2)").alias("smr"),
+        F.count("mrange").cast("bigint").alias("nmr"),
+    )
+    j = mr.join(F.broadcast(lim), "event_type")
+    center = F.col("s").cast("double") / F.col("n")
+    width = 2.66 * F.col("smr").cast("double") / F.col("nmr")
+    rd = F.col("rev").cast("double")
+    return j.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        rd.alias("revenue"),
+        F.round(center, 6).alias("center"),
+        F.round(center + width, 6).alias("ucl"),
+        F.round(center - width, 6).alias("lcl"),
+        F.when((rd > center + width) | (rd < center - width), 1)
+        .otherwise(0).cast("bigint").alias("out_of_control"),
+    ).orderBy("event_type", "day")
