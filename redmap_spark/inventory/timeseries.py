@@ -1955,3 +1955,173 @@ def q_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((rd > center + width) | (rd < center - width), 1)
         .otherwise(0).cast("bigint").alias("out_of_control"),
     ).orderBy("event_type", "day")
+
+
+# -- q_interrupted_ts --------------------------------------------------
+#
+# Interrupted time-series (segmented regression) around the Jan 16
+# intervention: per event type, separate OLS trend fits on the pre
+# and post segments of the daily-revenue series, the LEVEL and SLOPE
+# changes at the intervention, and the Chow structural-break F
+# comparing pooled vs segmented fits — the no-control-group causal
+# design that complements q_diff_in_diff. Every segment's five
+# moments are exact (day indexes integer, revenue exact decimal);
+# slopes, intercepts, SSEs (centered forms from exact moments) and
+# F are identical double chains. Scale: one scan to the day grid,
+# one 3-way grouped moment pass (pre/post/pooled via a segment tag).
+
+ITS_SPLIT = "2024-01-16"
+
+ITS_SQL = f"""
+WITH daily AS ({{_DAILY}}),
+idx AS (
+  SELECT event_type, rev,
+         CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS x,
+         CASE WHEN day < DATE '{ITS_SPLIT}' THEN 0 ELSE 1 END AS seg
+  FROM daily
+), m AS (
+  SELECT event_type, seg,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(rev) AS DECIMAL(28,2)) AS sy,
+         CAST(SUM(x * rev) AS DECIMAL(38,2)) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(17,2)))
+              AS DECIMAL(38,4)) AS syy
+  FROM idx GROUP BY 1, 2
+), f AS (
+  SELECT event_type, seg, n,
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS b1,
+         CAST(sy AS DOUBLE) / n
+           - (n * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             * (CAST(sx AS DOUBLE) / n) AS b0,
+         ((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+          - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+           / CAST(n AS DOUBLE) AS sse
+  FROM m
+), p AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sx) AS BIGINT) AS sx,
+         CAST(SUM(sy) AS DECIMAL(28,2)) AS sy,
+         CAST(SUM(sxy) AS DECIMAL(38,2)) AS sxy,
+         CAST(SUM(sxx) AS BIGINT) AS sxx,
+         CAST(SUM(syy) AS DECIMAL(38,4)) AS syy
+  FROM m GROUP BY 1
+), pf AS (
+  SELECT event_type,
+         ((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+          - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+           / CAST(n AS DOUBLE) AS sse_pooled,
+         n AS n_all
+  FROM p
+), w AS (
+  SELECT f.event_type,
+         MAX(CASE WHEN seg = 0 THEN b0 END) AS b0_pre,
+         MAX(CASE WHEN seg = 0 THEN b1 END) AS b1_pre,
+         MAX(CASE WHEN seg = 1 THEN b0 END) AS b0_post,
+         MAX(CASE WHEN seg = 1 THEN b1 END) AS b1_post,
+         SUM(f.sse) AS sse_seg,
+         MAX(pf.sse_pooled) AS sse_pooled,
+         MAX(pf.n_all) AS n_all
+  FROM f JOIN pf ON pf.event_type = f.event_type
+  GROUP BY 1
+)
+SELECT event_type,
+       round(b1_pre, 6) AS slope_pre,
+       round(b1_post, 6) AS slope_post,
+       round(b1_post - b1_pre, 6) AS slope_change,
+       round((b0_post + b1_post * 15.0) - (b0_pre + b1_pre * 15.0), 6)
+         AS level_change_at_t0,
+       round(((sse_pooled - sse_seg) / 2.0)
+             / (sse_seg / (n_all - 4.0)), 6) AS chow_f,
+       CAST(CASE WHEN ((sse_pooled - sse_seg) / 2.0)
+                      / (sse_seg / (n_all - 4.0)) > 3.0
+            THEN 1 ELSE 0 END AS BIGINT) AS structural_break
+FROM w
+ORDER BY event_type
+"""
+
+
+@query("q_interrupted_ts", oracle=ITS_SQL.replace("{_DAILY}", _DAILY_SQL))
+def q_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _daily(spark, sf_dir).select(
+        "event_type", "rev",
+        F.datediff("day", F.lit("2024-01-01")).cast("bigint").alias("x"),
+        (F.col("day") >= F.lit(ITS_SPLIT)).cast("int").alias("seg"),
+    )
+    ry19 = F.col("rev").cast("decimal(19,2)")
+    ry17 = F.col("rev").cast("decimal(17,2)")
+    m = idx.groupBy("event_type", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("rev").cast("decimal(28,2)").alias("sy"),
+        F.sum(F.col("x") * F.col("rev")).cast("decimal(38,2)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(ry19 * ry17).cast("decimal(38,4)").alias("syy"),
+    ).localCheckpoint(eager=True)  # segment fits + pooled both consume
+
+    def fit(df):
+        n = F.col("n")
+        sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+        sxyd = F.col("sxy").cast("double")
+        cxy = n * sxyd - sxd * syd
+        cxx = n * F.col("sxx").cast("double") - sxd * F.col("sx")
+        cyy = n * F.col("syy").cast("double") - syd * syd
+        b1 = cxy / cxx
+        b0 = syd / n - b1 * (sxd / n)
+        sse = (cyy - cxy * cxy / cxx) / n.cast("double")
+        return df.select(
+            "*", b1.alias("b1"), b0.alias("b0"), sse.alias("sse")
+        )
+
+    f = fit(m)
+    p = m.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sy").cast("decimal(28,2)").alias("sy"),
+        F.sum("sxy").cast("decimal(38,2)").alias("sxy"),
+        F.sum("sxx").cast("bigint").alias("sxx"),
+        F.sum("syy").cast("decimal(38,4)").alias("syy"),
+    )
+    pf = fit(p).select(
+        "event_type", F.col("sse").alias("sse_pooled"),
+        F.col("n").alias("n_all"),
+    )
+    w = (
+        f.join(F.broadcast(pf), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("seg") == 0, F.col("b0"))).alias("b0_pre"),
+            F.max(F.when(F.col("seg") == 0, F.col("b1"))).alias("b1_pre"),
+            F.max(F.when(F.col("seg") == 1, F.col("b0"))).alias("b0_post"),
+            F.max(F.when(F.col("seg") == 1, F.col("b1"))).alias("b1_post"),
+            F.sum("sse").alias("sse_seg"),
+            F.max("sse_pooled").alias("sse_pooled"),
+            F.max("n_all").alias("n_all"),
+        )
+    )
+    chow = ((F.col("sse_pooled") - F.col("sse_seg")) / 2.0) / (
+        F.col("sse_seg") / (F.col("n_all") - F.lit(4.0))
+    )
+    return w.select(
+        "event_type",
+        F.round("b1_pre", 6).alias("slope_pre"),
+        F.round("b1_post", 6).alias("slope_post"),
+        F.round(F.col("b1_post") - F.col("b1_pre"), 6).alias("slope_change"),
+        F.round(
+            (F.col("b0_post") + F.col("b1_post") * 15.0)
+            - (F.col("b0_pre") + F.col("b1_pre") * 15.0),
+            6,
+        ).alias("level_change_at_t0"),
+        F.round(chow, 6).alias("chow_f"),
+        F.when(chow > 3.0, 1).otherwise(0).cast("bigint")
+        .alias("structural_break"),
+    ).orderBy("event_type")
