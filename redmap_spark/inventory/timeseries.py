@@ -2125,3 +2125,94 @@ def q_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(chow > 3.0, 1).otherwise(0).cast("bigint")
         .alias("structural_break"),
     ).orderBy("event_type")
+
+
+# -- q_rolling_corr ----------------------------------------------------
+#
+# Rolling 14-day correlation between the click and purchase daily
+# series: does their coupling DRIFT over time (q_cross_correlation
+# gives one global number; regime changes show up only in the
+# rolling view)? All five Pearson moments are ROWS-frame window sums
+# over the joined day grid — exact decimal/integer, so each day's r
+# is one identical double expression; full-window days only. ONE
+# window sort over the ~|days| grid.
+
+ROLLCORR_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+), j AS (
+  SELECT x.day, x.rev AS xv, y.rev AS yv
+  FROM (SELECT day, rev FROM daily WHERE event_type = 'click') x
+  JOIN (SELECT day, rev FROM daily WHERE event_type = 'purchase') y
+    ON y.day = x.day
+), c AS (
+  SELECT day,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(xv) OVER w AS DECIMAL(28,2)) AS sx,
+         CAST(SUM(yv) OVER w AS DECIMAL(28,2)) AS sy,
+         CAST(SUM(CAST(xv AS DECIMAL(19,2)) * CAST(yv AS DECIMAL(17,2)))
+              OVER w AS DECIMAL(38,4)) AS sxy,
+         CAST(SUM(CAST(xv AS DECIMAL(19,2)) * CAST(xv AS DECIMAL(17,2)))
+              OVER w AS DECIMAL(38,4)) AS sxx,
+         CAST(SUM(CAST(yv AS DECIMAL(19,2)) * CAST(yv AS DECIMAL(17,2)))
+              OVER w AS DECIMAL(38,4)) AS syy
+  FROM j
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n AS window_days,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS rolling_corr
+FROM c WHERE n = 14
+ORDER BY day
+"""
+
+
+@query("q_rolling_corr", oracle=ROLLCORR_SQL)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(dec("value")).cast("decimal(19,2)").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    x = daily.filter(F.col("event_type") == "click").select(
+        "day", F.col("rev").alias("xv")
+    )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("rev").alias("yv")
+    )
+    j = x.join(y, x.day == y.yday).select("day", "xv", "yv")
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    x19, x17 = F.col("xv").cast("decimal(19,2)"), F.col("xv").cast("decimal(17,2)")
+    y19, y17 = F.col("yv").cast("decimal(19,2)"), F.col("yv").cast("decimal(17,2)")
+    c = j.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("xv").over(w).cast("decimal(28,2)").alias("sx"),
+        F.sum("yv").over(w).cast("decimal(28,2)").alias("sy"),
+        F.sum(x19 * y17).over(w).cast("decimal(38,4)").alias("sxy"),
+        F.sum(x19 * x17).over(w).cast("decimal(38,4)").alias("sxx"),
+        F.sum(y19 * y17).over(w).cast("decimal(38,4)").alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = (n * F.col("sxy").cast("double") - sx * sy) / (
+        F.sqrt(n * F.col("sxx").cast("double") - sx * sx)
+        * F.sqrt(n * F.col("syy").cast("double") - sy * sy)
+    )
+    return (
+        c.filter(n == 14)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            n.alias("window_days"),
+            F.round(r, 6).alias("rolling_corr"),
+        )
+        .orderBy("day")
+    )
