@@ -1372,3 +1372,116 @@ def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.abs(smd) < 0.1, 1).otherwise(0).cast("bigint")
         .alias("balanced"),
     ).orderBy("covariate")
+
+
+# -- q_bcg_matrix ------------------------------------------------------
+#
+# Growth–share (BCG) classification of part brands: 1997 revenue
+# share vs 1996→1997 growth, quadrants split at the median share and
+# zero growth — star / cash-cow / question-mark / dog, the portfolio
+# view that adds the GROWTH axis q_abc_analysis's concentration cut
+# lacks. Exact decimal per-year revenue sums at native scale 4;
+# median share is an exact order statistic on the 25-brand grid;
+# growth and quadrant tests are identical double expressions with
+# deterministic boundary handling (share > median ⇒ high).
+
+BCG_SQL = """
+WITH li AS (
+  SELECT p_brand,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-01-01'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+              AS DECIMAL(21,4)) AS r96,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                        AND l_shipdate < TIMESTAMP '1998-01-01'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+              AS DECIMAL(21,4)) AS r97
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(r97) AS DECIMAL(30,4)) AS t97 FROM li
+), sh AS (
+  SELECT p_brand, r96, r97,
+         CAST(r97 AS DOUBLE) / CAST(t97 AS DOUBLE) AS share
+  FROM li CROSS JOIN tot
+), medg AS (
+  SELECT share AS med FROM (
+    SELECT share, ROW_NUMBER() OVER (ORDER BY share, p_brand) AS rk,
+           COUNT(*) OVER () AS nb
+    FROM sh
+  ) WHERE rk = CAST(ceil(0.5 * nb) AS BIGINT)
+)
+SELECT p_brand,
+       round(CAST(r96 AS DOUBLE), 2) AS revenue_1996,
+       round(CAST(r97 AS DOUBLE), 2) AS revenue_1997,
+       round(share, 6) AS share_1997,
+       round(CASE WHEN CAST(r96 AS DOUBLE) > 0
+                  THEN (CAST(r97 AS DOUBLE) - CAST(r96 AS DOUBLE))
+                       / CAST(r96 AS DOUBLE) END, 6) AS growth,
+       CASE WHEN share > med AND CAST(r97 AS DOUBLE) > CAST(r96 AS DOUBLE)
+              THEN 'star'
+            WHEN share > med THEN 'cash_cow'
+            WHEN CAST(r97 AS DOUBLE) > CAST(r96 AS DOUBLE)
+              THEN 'question_mark'
+            ELSE 'dog' END AS quadrant
+FROM sh CROSS JOIN medg
+ORDER BY p_brand
+"""
+
+
+@query("q_bcg_matrix", oracle=BCG_SQL)
+def q_bcg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem
+
+    def year_rev(y):
+        return F.sum(
+            F.when(
+                (F.col("l_shipdate") >= f"{y}-01-01")
+                & (F.col("l_shipdate") < f"{y + 1}-01-01"),
+                dec("l_extendedprice") * (1 - dec("l_discount")),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).cast("decimal(21,4)")
+
+    rev = (
+        li.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(year_rev(1996).alias("r96"), year_rev(1997).alias("r97"))
+        .localCheckpoint(eager=True)  # totals, median, output all consume
+    )
+    tot = rev.agg(F.sum("r97").cast("decimal(30,4)").alias("t97"))
+    sh = rev.join(F.broadcast(tot)).select(
+        "p_brand", "r96", "r97",
+        (F.col("r97").cast("double") / F.col("t97").cast("double"))
+        .alias("share"),
+    )
+    rk = sh.select(
+        "share",
+        F.row_number().over(Window.orderBy("share", "p_brand")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    medg = rk.filter(
+        F.col("rk") == F.ceil(0.5 * F.col("nb")).cast("bigint")
+    ).select(F.col("share").alias("med"))
+    j = sh.join(F.broadcast(medg))
+    r96d, r97d = F.col("r96").cast("double"), F.col("r97").cast("double")
+    grew = r97d > r96d
+    high = F.col("share") > F.col("med")
+    return j.select(
+        "p_brand",
+        F.round(r96d, 2).alias("revenue_1996"),
+        F.round(r97d, 2).alias("revenue_1997"),
+        F.round("share", 6).alias("share_1997"),
+        F.when(r96d > 0, F.round((r97d - r96d) / r96d, 6)).alias("growth"),
+        F.when(high & grew, "star")
+        .when(high, "cash_cow")
+        .when(grew, "question_mark")
+        .otherwise("dog").alias("quadrant"),
+    ).orderBy("p_brand")
