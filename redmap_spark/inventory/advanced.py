@@ -1485,3 +1485,191 @@ def q_bcg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(grew, "question_mark")
         .otherwise("dog").alias("quadrant"),
     ).orderBy("p_brand")
+
+
+# -- q_price_volume_mix ------------------------------------------------
+#
+# Price–volume revenue bridge per brand, 1996→1997 (the FP&A
+# variance-analysis decomposition): Δrevenue = price effect
+# (Δprice·qty₉₆) + volume effect (price₉₆·Δqty) + joint effect
+# (Δprice·Δqty), where price = revenue/qty per brand-year — the
+# "WHY did revenue move" breakdown behind every finance review.
+# Per-year revenue (scale-4 exact) and quantity (exact integer-ish
+# decimal) sums; effects are identical double chains and the
+# identity price+volume+joint = Δrev holds exactly by construction.
+
+PVM_SQL = """
+WITH li AS (
+  SELECT p_brand,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-01-01'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+              AS DECIMAL(21,4)) AS r96,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                        AND l_shipdate < TIMESTAMP '1998-01-01'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+              AS DECIMAL(21,4)) AS r97,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-01-01'
+                       THEN CAST(l_quantity AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+              AS DECIMAL(21,2)) AS q96,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                        AND l_shipdate < TIMESTAMP '1998-01-01'
+                       THEN CAST(l_quantity AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+              AS DECIMAL(21,2)) AS q97
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+)
+SELECT p_brand,
+       round(CAST(r97 AS DOUBLE) - CAST(r96 AS DOUBLE), 2) AS delta_revenue,
+       round((CAST(r97 AS DOUBLE) / CAST(q97 AS DOUBLE)
+              - CAST(r96 AS DOUBLE) / CAST(q96 AS DOUBLE))
+             * CAST(q96 AS DOUBLE), 2) AS price_effect,
+       round(CAST(r96 AS DOUBLE) / CAST(q96 AS DOUBLE)
+             * (CAST(q97 AS DOUBLE) - CAST(q96 AS DOUBLE)), 2)
+         AS volume_effect,
+       round((CAST(r97 AS DOUBLE) / CAST(q97 AS DOUBLE)
+              - CAST(r96 AS DOUBLE) / CAST(q96 AS DOUBLE))
+             * (CAST(q97 AS DOUBLE) - CAST(q96 AS DOUBLE)), 2)
+         AS joint_effect
+FROM li
+WHERE CAST(q96 AS DOUBLE) > 0 AND CAST(q97 AS DOUBLE) > 0
+ORDER BY p_brand
+"""
+
+
+@query("q_price_volume_mix", oracle=PVM_SQL)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+
+    def year_sum(y, col_expr, out_type):
+        return F.sum(
+            F.when(
+                (F.col("l_shipdate") >= f"{y}-01-01")
+                & (F.col("l_shipdate") < f"{y + 1}-01-01"),
+                col_expr,
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).cast(out_type)
+
+    rev_expr = dec("l_extendedprice") * (1 - dec("l_discount"))
+    li = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            year_sum(1996, rev_expr, "decimal(21,4)").alias("r96"),
+            year_sum(1997, rev_expr, "decimal(21,4)").alias("r97"),
+            year_sum(1996, dec("l_quantity"), "decimal(21,2)").alias("q96"),
+            year_sum(1997, dec("l_quantity"), "decimal(21,2)").alias("q97"),
+        )
+    )
+    r96, r97 = F.col("r96").cast("double"), F.col("r97").cast("double")
+    q96, q97 = F.col("q96").cast("double"), F.col("q97").cast("double")
+    dp = r97 / q97 - r96 / q96
+    dq = q97 - q96
+    return (
+        li.filter((q96 > 0) & (q97 > 0))
+        .select(
+            "p_brand",
+            F.round(r97 - r96, 2).alias("delta_revenue"),
+            F.round(dp * q96, 2).alias("price_effect"),
+            F.round(r96 / q96 * dq, 2).alias("volume_effect"),
+            F.round(dp * dq, 2).alias("joint_effect"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# -- q_rate_depth_decomposition ----------------------------------------
+#
+# Rate × depth decomposition of purchase revenue, pre vs post the
+# Jan 16 split: Δ(revenue/user) = Δconversion·depth̄_pre +
+# conv̄_pre·Δdepth + Δconv·Δdepth — is the move in revenue-per-user
+# driven by MORE buyers (rate), BIGGER baskets (depth), or both —
+# the first follow-up question to any topline movement. Per-period
+# user counts, purchaser counts and purchase-value sums are exact;
+# the three effects are identical double chains and sum exactly to
+# the topline delta by construction.
+
+RATE_DEPTH_SQL = """
+WITH per AS (
+  SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN 0 ELSE 1 END AS period,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                  THEN user_id END) AS BIGINT) AS n_buyers,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(18,2)) END)
+              AS DECIMAL(28,2)) AS pv
+  FROM events GROUP BY 1
+), w AS (
+  SELECT
+    MAX(CASE WHEN period = 0 THEN n_buyers / CAST(n_users AS DOUBLE) END)
+      AS conv0,
+    MAX(CASE WHEN period = 1 THEN n_buyers / CAST(n_users AS DOUBLE) END)
+      AS conv1,
+    MAX(CASE WHEN period = 0 THEN CAST(pv AS DOUBLE) / n_buyers END)
+      AS depth0,
+    MAX(CASE WHEN period = 1 THEN CAST(pv AS DOUBLE) / n_buyers END)
+      AS depth1
+  FROM per
+)
+SELECT round(conv0, 6) AS conversion_pre,
+       round(conv1, 6) AS conversion_post,
+       round(depth0, 6) AS depth_pre,
+       round(depth1, 6) AS depth_post,
+       round(conv1 * depth1 - conv0 * depth0, 6) + 0.0 AS delta_rev_per_user,
+       round((conv1 - conv0) * depth0, 6) + 0.0 AS rate_effect,
+       round(conv0 * (depth1 - depth0), 6) + 0.0 AS depth_effect,
+       round((conv1 - conv0) * (depth1 - depth0), 6) + 0.0 AS joint_effect
+FROM w
+"""
+
+
+@query("q_rate_depth_decomposition", oracle=RATE_DEPTH_SQL)
+def q_rate_depth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    per = e.groupBy(
+        (F.to_date("ts") >= F.lit("2024-01-16")).cast("int").alias("period")
+    ).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).cast("bigint").alias("n_buyers"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            )
+        ).cast("decimal(28,2)").alias("pv"),
+    )
+    conv = F.col("n_buyers") / F.col("n_users").cast("double")
+    depth = F.col("pv").cast("double") / F.col("n_buyers")
+    w = per.agg(
+        F.max(F.when(F.col("period") == 0, conv)).alias("conv0"),
+        F.max(F.when(F.col("period") == 1, conv)).alias("conv1"),
+        F.max(F.when(F.col("period") == 0, depth)).alias("depth0"),
+        F.max(F.when(F.col("period") == 1, depth)).alias("depth1"),
+    )
+    c0, c1 = F.col("conv0"), F.col("conv1")
+    d0, d1 = F.col("depth0"), F.col("depth1")
+    return w.select(
+        F.round(c0, 6).alias("conversion_pre"),
+        F.round(c1, 6).alias("conversion_post"),
+        F.round(d0, 6).alias("depth_pre"),
+        F.round(d1, 6).alias("depth_post"),
+        # + 0.0 normalizes IEEE negative zero (round can emit -0.0 in
+        # one engine and 0.0 in the other; -0.0 + 0.0 = +0.0 in both)
+        (F.round(c1 * d1 - c0 * d0, 6) + 0.0).alias("delta_rev_per_user"),
+        (F.round((c1 - c0) * d0, 6) + 0.0).alias("rate_effect"),
+        (F.round(c0 * (d1 - d0), 6) + 0.0).alias("depth_effect"),
+        (F.round((c1 - c0) * (d1 - d0), 6) + 0.0).alias("joint_effect"),
+    )
