@@ -3839,3 +3839,154 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.row_number().over(wk) == 1, 1).otherwise(0).cast("bigint")
         .alias("is_max_ks"),
     ).orderBy("threshold")
+
+
+# -- q_target_encoding -------------------------------------------------
+#
+# Smoothed target encoding of brand → mean order-line revenue (the
+# m-estimate encoder, m = 100: enc = (Σy + m·μ)/(n + m)) — the
+# categorical-feature primitive that replaces high-cardinality
+# one-hots; smoothing pulls rare brands toward the global mean
+# exactly the way q_james_stein shrinks noisy segments. Exact
+# decimal sums at native scale 4; μ, enc and the shrink weight are
+# identical double expressions; broadcast 1-row global. The table
+# IS the model artifact a pipeline would broadcast-join onto facts.
+
+TARGET_ENC_M = 100
+
+TARGET_ENC_SQL = f"""
+WITH y AS (
+  SELECT p_brand,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), per AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rev) AS DECIMAL(30,4)) AS s
+  FROM y GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(s) AS DECIMAL(38,4)) AS st
+  FROM per
+)
+SELECT p_brand, n AS n_rows,
+       round(CAST(s AS DOUBLE) / n, 6) AS raw_mean,
+       round((CAST(s AS DOUBLE) + {TARGET_ENC_M}
+              * (CAST(st AS DOUBLE) / nt))
+             / (n + {TARGET_ENC_M}.0), 6) AS encoded,
+       round(n / (n + {TARGET_ENC_M}.0), 6) AS trust_weight
+FROM per CROSS JOIN g
+ORDER BY p_brand
+"""
+
+
+@query("q_target_encoding", oracle=TARGET_ENC_SQL)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    y = c.lineitem.join(
+        F.broadcast(c.part.select("p_partkey", "p_brand")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(
+        "p_brand",
+        (dec("l_extendedprice") * (1 - dec("l_discount"))).alias("rev"),
+    )
+    per = y.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev").cast("decimal(30,4)").alias("s"),
+    )
+    g = per.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("decimal(38,4)").alias("st"),
+    )
+    j = per.join(F.broadcast(g))
+    n, sd = F.col("n"), F.col("s").cast("double")
+    mu = F.col("st").cast("double") / F.col("nt")
+    m = float(TARGET_ENC_M)
+    return j.select(
+        "p_brand", n.alias("n_rows"),
+        F.round(sd / n, 6).alias("raw_mean"),
+        F.round((sd + m * mu) / (n + m), 6).alias("encoded"),
+        F.round(n / (n + m), 6).alias("trust_weight"),
+    ).orderBy("p_brand")
+
+
+# -- q_woe_iv ----------------------------------------------------------
+#
+# Weight-of-evidence / information value of the day-of-week feature
+# against the purchase outcome (the credit-scorecard feature-power
+# standard: IV < 0.02 useless, > 0.3 strong): WoEᵢ =
+# ln(eventᵢ_share / non-eventᵢ_share), IV = Σ(eshare − neshare)·WoE
+# with per-bin terms rounded to DECIMAL(18,9) before the exact sum.
+# Exact integer bin counts; ln on identical ratios of exact
+# integers. The scorecard sibling of q_cochran_armitage's trend z.
+
+WOE_SQL = """
+WITH b AS (
+  SELECT isodow(ts) AS dow,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ev,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+              AS BIGINT) AS ne
+  FROM events GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(ev) AS BIGINT) AS tev, CAST(SUM(ne) AS BIGINT) AS tne
+  FROM b
+), woe AS (
+  SELECT dow, ev, ne,
+         round(ln((ev / CAST(tev AS DOUBLE)) / (ne / CAST(tne AS DOUBLE))),
+               6) AS woe,
+         CAST(round((ev / CAST(tev AS DOUBLE) - ne / CAST(tne AS DOUBLE))
+                    * ln((ev / CAST(tev AS DOUBLE))
+                         / (ne / CAST(tne AS DOUBLE))), 9)
+              AS DECIMAL(18,9)) AS iv_term
+  FROM b CROSS JOIN g
+  WHERE ev > 0 AND ne > 0
+), tot AS (
+  SELECT CAST(SUM(iv_term) AS DECIMAL(28,9)) AS iv FROM woe
+)
+SELECT CAST(dow AS BIGINT) AS dow, ev AS n_purchases, ne AS n_other,
+       woe,
+       round(CAST(iv AS DOUBLE), 6) AS information_value
+FROM woe CROSS JOIN tot
+ORDER BY dow
+"""
+
+
+@query("q_woe_iv", oracle=WOE_SQL)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    iso = F.when(F.dayofweek("ts") == 1, F.lit(7)).otherwise(
+        F.dayofweek("ts") - 1
+    )
+    b = e.groupBy(iso.alias("dow")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("ev"),
+        F.sum(F.when(F.col("event_type") == "purchase", 0).otherwise(1))
+        .cast("bigint").alias("ne"),
+    )
+    g = b.agg(
+        F.sum("ev").cast("bigint").alias("tev"),
+        F.sum("ne").cast("bigint").alias("tne"),
+    )
+    j = b.join(F.broadcast(g)).filter((F.col("ev") > 0) & (F.col("ne") > 0))
+    es = F.col("ev") / F.col("tev").cast("double")
+    ns = F.col("ne") / F.col("tne").cast("double")
+    woe_col = F.log(es / ns)
+    woe = j.select(
+        "dow", "ev", "ne",
+        F.round(woe_col, 6).alias("woe"),
+        F.round((es - ns) * woe_col, 9).cast("decimal(18,9)").alias("iv_term"),
+    ).localCheckpoint(eager=True)  # IV total + rows both consume
+    tot = woe.agg(F.sum("iv_term").cast("decimal(28,9)").alias("iv"))
+    return (
+        woe.join(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("ev").alias("n_purchases"),
+            F.col("ne").alias("n_other"),
+            "woe",
+            F.round(F.col("iv").cast("double"), 6).alias("information_value"),
+        )
+        .orderBy("dow")
+    )
