@@ -1386,3 +1386,108 @@ def txt_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# -- q_quantile_normalization ------------------------------------------
+#
+# Cross-source quantile normalization of document lengths (the
+# batch-effect correction standard — map every source's n_chars
+# distribution onto the pooled reference by rank, so per-source
+# length gates compare like with like; the same transform calibrates
+# per-source quality scores before a global cutoff). Per (source,
+# value) tie-block: upper rank share cum/n_src → target pooled rank
+# ceil(share·N) → mapped value = smallest pooled value whose pooled
+# cumulative count reaches that rank (a bounded grid×grid non-equi
+# min-join — both grids are |distinct lengths|-sized, never rows).
+# All counts/ranks exact integers; mapped values are integers, so
+# before/after means are exact-sum ratios. Dashboard: per source,
+# mean/median before vs after (after-medians collapse onto the
+# pooled median — the visible proof the transform worked).
+
+QNORM_SQL = """
+WITH g AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), sg AS (
+  SELECT source, v, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+         SUM(c) OVER (PARTITION BY source) AS ns
+  FROM g
+), pooled AS (
+  SELECT v, SUM(c) AS pc FROM g GROUP BY 1
+), pg AS (
+  SELECT v, SUM(pc) OVER (ORDER BY v) AS pcum,
+         SUM(pc) OVER () AS nt
+  FROM pooled
+), mapped AS (
+  SELECT sg.source, sg.v, sg.c, sg.cum, sg.ns,
+         (SELECT MIN(pg.v) FROM pg
+          WHERE pg.pcum >= CAST(ceil(CAST(sg.cum AS DOUBLE) / sg.ns
+                                     * (SELECT MAX(nt) FROM pg)) AS BIGINT))
+           AS mv
+  FROM sg
+)
+SELECT source,
+       CAST(MAX(ns) AS BIGINT) AS n_docs,
+       round(CAST(SUM(v * c) AS DOUBLE) / MAX(ns), 6) AS mean_before,
+       round(CAST(SUM(mv * c) AS DOUBLE) / MAX(ns), 6) AS mean_after,
+       CAST(MIN(CASE WHEN cum >= CAST(ceil(0.5 * ns) AS BIGINT)
+                     THEN v END) AS BIGINT) AS median_before,
+       CAST(MIN(CASE WHEN cum >= CAST(ceil(0.5 * ns) AS BIGINT)
+                     THEN mv END) AS BIGINT) AS median_after
+FROM mapped GROUP BY 1
+ORDER BY source
+"""
+
+
+@query("q_quantile_normalization", oracle=QNORM_SQL)
+def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    g = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)  # source grids + pooled grid consume
+    ws = Window.partitionBy("source")
+    sg = g.select(
+        "source", "v", "c",
+        F.sum("c").over(ws.orderBy("v")).alias("cum"),
+        F.sum("c").over(ws).alias("ns"),
+    )
+    pooled = g.groupBy("v").agg(F.sum("c").alias("pc"))
+    pg = pooled.select(
+        F.col("v").alias("pv"),
+        F.sum("pc").over(Window.orderBy("v")).alias("pcum"),
+        F.sum("pc").over(Window.partitionBy()).alias("nt"),
+    )
+    tgt = F.ceil(
+        F.col("cum").cast("double") / F.col("ns") * F.col("nt")
+    ).cast("bigint")
+    mapped = (
+        sg.join(F.broadcast(pg), F.col("pcum") >= tgt)
+        .groupBy("source", "v", "c", "cum", "ns")
+        .agg(F.min("pv").alias("mv"))
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.max("ns").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("v") * F.col("c")).cast("double") / F.max("ns"), 6
+            ).alias("mean_before"),
+            F.round(
+                F.sum(F.col("mv") * F.col("c")).cast("double") / F.max("ns"), 6
+            ).alias("mean_after"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(0.5 * F.col("ns")).cast("bigint"),
+                    F.col("v"),
+                )
+            ).cast("bigint").alias("median_before"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(0.5 * F.col("ns")).cast("bigint"),
+                    F.col("mv"),
+                )
+            ).cast("bigint").alias("median_after"),
+        )
+        .orderBy("source")
+    )
