@@ -543,3 +543,136 @@ def q_time_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("conversion_share"),
         "p50_days", "p90_days", "max_days",
     )
+
+
+# -- q_retention_decay_fit ---------------------------------------------
+#
+# Which decay law does retention follow? The pooled retention curve
+# (share of users active at offset t ≥ 1, cohorts pooled) is fit
+# log-linearly two ways — exponential (ln r ~ t) vs power law
+# (ln r ~ ln t, the "retention smile" hypothesis) — and the better
+# R² wins; power-law retention means late cohort-life revenue
+# projections from an exponential fit are badly pessimistic (the
+# growth-modeling decision this diagnostic feeds). Retention shares
+# are exact count ratios; ln terms round to DECIMAL(18,9) before
+# exact moment sums; both fits are identical double chains. Scale:
+# the q_retention_cohorts grid pooled to ≤|offsets| rows.
+
+RET_DECAY_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), firsts AS (
+  SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id
+), total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM firsts),
+curve AS (
+  SELECT CAST(date_diff('day', cohort, day) AS BIGINT) AS t,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+  FROM ud JOIN firsts USING (user_id)
+  WHERE day > cohort GROUP BY 1
+), pts AS (
+  SELECT t,
+         CAST(round(ln(n / CAST(n0 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ly,
+         CAST(round(ln(CAST(t AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lt
+  FROM curve CROSS JOIN total WHERE n > 0 AND t >= 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(t) AS BIGINT) AS sx1,
+         CAST(SUM(t * t) AS BIGINT) AS sxx1,
+         CAST(SUM(lt) AS DECIMAL(28,9)) AS sx2,
+         CAST(SUM(lt * lt) AS DECIMAL(38,18)) AS sxx2,
+         CAST(SUM(ly) AS DECIMAL(28,9)) AS sy,
+         CAST(SUM(ly * ly) AS DECIMAL(38,18)) AS syy,
+         CAST(SUM(t * ly) AS DECIMAL(38,9)) AS sxy1,
+         CAST(SUM(lt * ly) AS DECIMAL(38,18)) AS sxy2
+  FROM pts
+)
+SELECT k AS n_points,
+       round((k * CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (k * CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1), 6)
+         AS exp_decay_rate,
+       round(POW(k * CAST(sxy1 AS DOUBLE)
+                 - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+             / ((k * CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1)
+                * (k * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS exp_r2,
+       round((k * CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (k * CAST(sxx2 AS DOUBLE)
+                - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)), 6)
+         AS power_exponent,
+       round(POW(k * CAST(sxy2 AS DOUBLE)
+                 - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+             / ((k * CAST(sxx2 AS DOUBLE)
+                 - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                * (k * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS power_r2,
+       CASE WHEN POW(k * CAST(sxy2 AS DOUBLE)
+                     - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / ((k * CAST(sxx2 AS DOUBLE)
+                     - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                    * (k * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 > POW(k * CAST(sxy1 AS DOUBLE)
+                       - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                   / ((k * CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1)
+                      * (k * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            THEN 'power_law' ELSE 'exponential' END AS better_fit
+FROM m
+"""
+
+
+@query("q_retention_decay_fit", oracle=RET_DECAY_SQL)
+def q_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    total = firsts.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    curve = (
+        ud.join(firsts, "user_id")
+        .filter(F.col("day") > F.col("cohort"))
+        .groupBy(F.datediff("day", "cohort").cast("bigint").alias("t"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n"))
+    )
+    pts = (
+        curve.join(F.broadcast(total))
+        .filter((F.col("n") > 0) & (F.col("t") >= 1))
+        .select(
+            "t",
+            F.round(F.log(F.col("n") / F.col("n0").cast("double")), 9)
+            .cast("decimal(18,9)").alias("ly"),
+            F.round(F.log(F.col("t").cast("double")), 9)
+            .cast("decimal(18,9)").alias("lt"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("t").cast("bigint").alias("sx1"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("sxx1"),
+        F.sum("lt").cast("decimal(28,9)").alias("sx2"),
+        F.sum(F.col("lt") * F.col("lt")).cast("decimal(38,18)").alias("sxx2"),
+        F.sum("ly").cast("decimal(28,9)").alias("sy"),
+        F.sum(F.col("ly") * F.col("ly")).cast("decimal(38,18)").alias("syy"),
+        F.sum(F.col("t") * F.col("ly")).cast("decimal(38,9)").alias("sxy1"),
+        F.sum(F.col("lt") * F.col("ly")).cast("decimal(38,18)").alias("sxy2"),
+    )
+    k = F.col("k")
+    sx1, sy = F.col("sx1").cast("double"), F.col("sy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    c1 = k * F.col("sxy1").cast("double") - sx1 * sy
+    v1 = k * F.col("sxx1").cast("double") - sx1 * F.col("sx1")
+    c2 = k * F.col("sxy2").cast("double") - sx2 * sy
+    v2 = k * F.col("sxx2").cast("double") - sx2 * sx2
+    vy = k * F.col("syy").cast("double") - sy * sy
+    r2_1 = F.pow(c1, 2) / (v1 * vy)
+    r2_2 = F.pow(c2, 2) / (v2 * vy)
+    return m.select(
+        k.alias("n_points"),
+        F.round(c1 / v1, 6).alias("exp_decay_rate"),
+        F.round(r2_1, 6).alias("exp_r2"),
+        F.round(c2 / v2, 6).alias("power_exponent"),
+        F.round(r2_2, 6).alias("power_r2"),
+        F.when(r2_2 > r2_1, "power_law").otherwise("exponential")
+        .alias("better_fit"),
+    )
