@@ -1673,3 +1673,96 @@ def q_rate_depth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(c0 * (d1 - d0), 6) + 0.0).alias("depth_effect"),
         (F.round((c1 - c0) * (d1 - d0), 6) + 0.0).alias("joint_effect"),
     )
+
+
+# -- q_experiment_runtime ----------------------------------------------
+#
+# Experiment-runtime planner: for a 5%-of-mean lift on value per
+# event type at α=0.05 / 80% power, the per-arm sample size
+# n = 2(z_{α/2}+z_β)²σ²/δ² and the calendar days to collect it at
+# the measured daily distinct-user rate (half per arm) — the
+# go/no-go feasibility number produced BEFORE any experiment is
+# approved (q_power_mde inverts it: effect at fixed n; this is n —
+# and days — at fixed effect). Exact moments; z-sum inlined as the
+# precomputed literal; identical double chain; one ceil at the end
+# computed in both engines from the same doubles.
+
+EXP_RUNTIME_Z = 2.8015852181129683  # z_{0.025} + z_{0.20}, precomputed
+
+EXP_RUNTIME_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x, user_id,
+         CAST(ts AS DATE) AS day
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(28,2)) AS s,
+         CAST(SUM(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(17,2)))
+              AS DECIMAL(38,4)) AS ssq
+  FROM v GROUP BY 1
+), traffic AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS days
+  FROM v GROUP BY 1
+)
+SELECT m.event_type,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_value,
+       round(sqrt((CAST(ssq AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n), 6)
+         AS sigma,
+       round(users / CAST(days AS DOUBLE) / 2.0, 6) AS daily_users_per_arm,
+       CAST(ceil(2.0 * {EXP_RUNTIME_Z} * {EXP_RUNTIME_Z}
+                 * ((CAST(ssq AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+                 / ((0.05 * CAST(s AS DOUBLE) / n)
+                    * (0.05 * CAST(s AS DOUBLE) / n))) AS BIGINT)
+         AS n_per_arm,
+       CAST(ceil(ceil(2.0 * {EXP_RUNTIME_Z} * {EXP_RUNTIME_Z}
+                      * ((CAST(ssq AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+                      / ((0.05 * CAST(s AS DOUBLE) / n)
+                         * (0.05 * CAST(s AS DOUBLE) / n)))
+                 / (users / CAST(days AS DOUBLE) / 2.0)) AS BIGINT)
+         AS runtime_days
+FROM m JOIN traffic ON traffic.event_type = m.event_type
+ORDER BY m.event_type
+"""
+
+
+@query("q_experiment_runtime", oracle=EXP_RUNTIME_SQL)
+def q_experiment_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    v = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("x"),
+        "user_id",
+        F.to_date("ts").alias("day"),
+    )
+    x19, x17 = F.col("x").cast("decimal(19,2)"), F.col("x").cast("decimal(17,2)")
+    m = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(28,2)").alias("s"),
+        F.sum(x19 * x17).cast("decimal(38,4)").alias("ssq"),
+    )
+    traffic = v.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("users"),
+        F.countDistinct("day").cast("bigint").alias("days"),
+    )
+    j = m.join(traffic, "event_type")
+    n, sd = F.col("n"), F.col("s").cast("double")
+    mu = sd / n
+    var = (F.col("ssq").cast("double") - sd * sd / n) / n
+    delta = 0.05 * mu
+    z2 = EXP_RUNTIME_Z * EXP_RUNTIME_Z
+    n_arm = F.ceil(2.0 * z2 * var / (delta * delta))
+    rate = F.col("users") / F.col("days").cast("double") / 2.0
+    return j.select(
+        "event_type",
+        F.round(mu, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+        F.round(rate, 6).alias("daily_users_per_arm"),
+        n_arm.cast("bigint").alias("n_per_arm"),
+        F.ceil(n_arm / rate).cast("bigint").alias("runtime_days"),
+    ).orderBy("event_type")
