@@ -78,7 +78,7 @@ _WINDOW_FIRST = [
     "q_abc_analysis", "q_pr_curve", "q_covariate_balance", "q_xmr_chart",
     "q_interrupted_ts", "q_rolling_corr", "q_bcg_matrix",
     "q_price_volume_mix", "q_rate_depth_decomposition", "q_target_encoding",
-    "q_woe_iv", "q_quantile_normalization", "q_retention_decay_fit", "q_experiment_runtime",
+    "q_woe_iv", "q_quantile_normalization", "q_retention_decay_fit", "q_experiment_runtime", "q_eb_binomial",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

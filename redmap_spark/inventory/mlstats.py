@@ -3990,3 +3990,95 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# -- q_eb_binomial -----------------------------------------------------
+#
+# Empirical-Bayes beta-binomial shrinkage of per-day-of-week
+# purchase rates (the binomial analog of q_james_stein: league
+# tables of RATES overreact to low-traffic rows just like mean
+# tables do): method-of-moments prior α,β from the across-group
+# rounded rates (ᾱ+β̄ = p̄(1−p̄)/s² − 1), posterior rate
+# (k + α)/(n + α + β) — raw vs shrunk side by side with the
+# effective prior weight. Rates round to 9 before the tiny-grid
+# moment pass (7 rows, decimal-exact sums); prior and posteriors
+# are identical double chains from exact integer k,n.
+
+EB_SQL = """
+WITH d AS (
+  SELECT isodow(ts) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM events GROUP BY 1
+), p AS (
+  SELECT dow, n, k,
+         CAST(round(k / CAST(n AS DOUBLE), 9) AS DECIMAL(12,9)) AS r
+  FROM d
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(SUM(r) AS DECIMAL(28,9)) AS sr,
+         CAST(SUM(r * r) AS DECIMAL(38,18)) AS srr
+  FROM p
+), prior AS (
+  SELECT (CAST(sr AS DOUBLE) / g) AS pbar,
+         ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / g)
+          / (g - 1.0)) AS s2,
+         ((CAST(sr AS DOUBLE) / g) * (1.0 - CAST(sr AS DOUBLE) / g)
+          / ((CAST(srr AS DOUBLE)
+              - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / g) / (g - 1.0))
+          - 1.0) AS m0
+  FROM m
+)
+SELECT CAST(dow AS BIGINT) AS dow, n, k,
+       round(k / CAST(n AS DOUBLE), 6) AS raw_rate,
+       round(pbar * m0, 6) AS prior_alpha,
+       round((1.0 - pbar) * m0, 6) AS prior_beta,
+       round((k + pbar * m0) / (n + m0), 6) AS shrunk_rate,
+       round(m0 / (n + m0), 6) AS prior_weight
+FROM p CROSS JOIN prior
+ORDER BY dow
+"""
+
+
+@query("q_eb_binomial", oracle=EB_SQL)
+def q_eb_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    iso = F.when(F.dayofweek("ts") == 1, F.lit(7)).otherwise(
+        F.dayofweek("ts") - 1
+    )
+    d = e.groupBy(iso.alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("k"),
+    )
+    p = d.select(
+        "dow", "n", "k",
+        F.round(F.col("k") / F.col("n").cast("double"), 9)
+        .cast("decimal(12,9)").alias("r"),
+    ).localCheckpoint(eager=True)  # prior moments + rows both consume
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.sum("r").cast("decimal(28,9)").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("decimal(38,18)").alias("srr"),
+    )
+    g = F.col("g")
+    srd = F.col("sr").cast("double")
+    pbar = srd / g
+    s2 = (F.col("srr").cast("double") - srd * srd / g) / (g - F.lit(1.0))
+    m0 = pbar * (1.0 - pbar) / s2 - 1.0
+    prior = m.select(
+        pbar.alias("pbar"), s2.alias("s2"), m0.alias("m0")
+    )
+    j = p.join(F.broadcast(prior))
+    n, k = F.col("n"), F.col("k")
+    return j.select(
+        F.col("dow").cast("bigint").alias("dow"), "n", "k",
+        F.round(k / n.cast("double"), 6).alias("raw_rate"),
+        F.round(F.col("pbar") * F.col("m0"), 6).alias("prior_alpha"),
+        F.round((1.0 - F.col("pbar")) * F.col("m0"), 6).alias("prior_beta"),
+        F.round(
+            (k + F.col("pbar") * F.col("m0")) / (n + F.col("m0")), 6
+        ).alias("shrunk_rate"),
+        F.round(F.col("m0") / (n + F.col("m0")), 6).alias("prior_weight"),
+    ).orderBy("dow")
