@@ -28,6 +28,7 @@ from redmap_spark.inventory import timeseries  # noqa: F401
 from redmap_spark.inventory import mlstats  # noqa: F401
 from redmap_spark.inventory import graph  # noqa: F401
 from redmap_spark.inventory import stats2  # noqa: F401
+from redmap_spark.inventory import stats3  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
 # (rows+schema+value-hash vs DuckDB). Rounds 1–5 drove 138 of the 167
@@ -82,6 +83,8 @@ _WINDOW_FIRST = [
     "q_woe_iv", "q_quantile_normalization", "q_retention_decay_fit", "q_experiment_runtime", "q_eb_binomial",
     "q_kruskal_wallis", "q_jarque_bera", "q_durbin_watson",
     "q_cohens_kappa", "q_mutual_info",
+    "q_cramers_v", "q_theil_index", "q_grubbs_test",
+    "q_granger_lite", "q_page_hinkley",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}
