@@ -29,6 +29,8 @@ from redmap_spark.inventory import mlstats  # noqa: F401
 from redmap_spark.inventory import graph  # noqa: F401
 from redmap_spark.inventory import stats2  # noqa: F401
 from redmap_spark.inventory import stats3  # noqa: F401
+from redmap_spark.inventory import econ  # noqa: F401
+from redmap_spark.inventory import text3  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
 # (rows+schema+value-hash vs DuckDB). Rounds 1–5 drove 138 of the 167
@@ -85,6 +87,8 @@ _WINDOW_FIRST = [
     "q_cohens_kappa", "q_mutual_info",
     "q_cramers_v", "q_theil_index", "q_grubbs_test",
     "q_granger_lite", "q_page_hinkley",
+    "q_elasticity", "q_shapley_attribution", "q_cronbach_alpha",
+    "txt_code_detect", "mr_scc",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -1,0 +1,432 @@
+"""SURVEY §2 additions (round 6, ninth session) — econometrics and
+marketing science: log-log price elasticity per brand, exact Shapley
+channel attribution over the touchpoint subset lattice, and
+Cronbach's alpha reliability of the day-of-week spend profile.
+
+Shared determinism machinery (see registry docstring): log-domain
+per-row terms round to DECIMAL(28,9) before any fold (ln() is libm-
+dependent in the last ulp, so the round-then-fold discipline is what
+keeps the cross-engine hash stable); the Shapley computation is
+EXACT INTEGER throughout (24·φ is an integer because the 4-player
+factorial weights 6/2/2/6 are integers and the characteristic
+function is a conversion count), divided once at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+
+# -- q_elasticity ------------------------------------------------------
+#
+# Log-log price elasticity of demand per brand: slope of
+# ln(quantity) on ln(discounted unit price) across a brand's line
+# items — the multiplicative-model complement to q_regression's
+# LINEAR quantity/price fit (elasticity is the % demand change per
+# % price change; |e|>1 = elastic). Unit price varies per line via
+# discount, which is the identifying variation. All log-domain
+# moments fold per-row DECIMAL(28,9)-rounded terms; the slope /
+# intercept / r² assembly is a single identical double chain.
+# Scale: one broadcast-dim join, one partial-aggregated scan.
+
+ELASTICITY_SQL = """
+WITH li AS (
+  SELECT p.p_brand AS brand,
+         ln(CAST(l_quantity AS DOUBLE)) AS y,
+         ln(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)
+            * (1.0 - CAST(l_discount AS DOUBLE))) AS x
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l_quantity > 0 AND l_extendedprice > 0 AND l_discount < 1.0
+), m AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy
+  FROM li GROUP BY 1
+)
+SELECT brand, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+       round(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx / n,
+             6) AS ln_intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+       CAST(CASE WHEN abs((n * sxy - sx * sy) / (n * sxx - sx * sx)) > 1.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_elastic
+FROM m
+WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+ORDER BY brand
+"""
+
+
+@query("q_elasticity", oracle=ELASTICITY_SQL)
+def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .filter(
+            (F.col("l_quantity") > 0)
+            & (F.col("l_extendedprice") > 0)
+            & (F.col("l_discount") < 1.0)
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_quantity").cast("double")).alias("y"),
+            F.log(
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double")
+                * (F.lit(1.0) - F.col("l_discount").cast("double"))
+            ).alias("x"),
+        )
+    )
+
+    def fold(expr, name):
+        return (
+            F.sum(F.round(expr, 9).cast("decimal(28,9)")).cast("double")
+            .alias(name)
+        )
+
+    m = li.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold(F.col("x"), "sx"), fold(F.col("y"), "sy"),
+        fold(F.col("x") * F.col("y"), "sxy"),
+        fold(F.col("x") * F.col("x"), "sxx"),
+        fold(F.col("y") * F.col("y"), "syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = cov / vx
+    return (
+        m.filter((vx != 0) & (vy != 0))
+        .select(
+            "brand", "n",
+            F.round(slope, 6).alias("elasticity"),
+            F.round(sy / n - slope * sx / n, 6).alias("ln_intercept"),
+            F.round(cov * cov / (vx * vy), 6).alias("r2"),
+            F.when(F.abs(slope) > 1.0, 1).otherwise(0).cast("bigint")
+            .alias("is_elastic"),
+        )
+        .orderBy("brand")
+    )
+
+
+# -- q_shapley_attribution ---------------------------------------------
+#
+# Exact Shapley-value channel attribution (Shapley 1953; applied to
+# marketing touchpoints à la Zhao et al. 2018): each user's journey
+# is the SET of non-purchase channels touched (click/error/signup/
+# view → a 4-bit signature), the characteristic function
+# v(S) = conversions among users whose signature ⊆ S (a coalition
+# "explains" the journeys it fully contains), and
+# φ_i = Σ_{S∌i} |S|!(3−|S|)!/4! · (v(S∪i) − v(S)). With 4 players
+# the weights ×24 are the integers 6/2/2/6 and v is an integer
+# count, so 24·φ is EXACT INTEGER — both engines divide once at the
+# end. The subset lattice is 16 masks; every join past the per-user
+# scan is grid-sized. Efficiency: Σφ = v(full) − v(∅), reported as
+# each channel's share. Scale: one partial-aggregated fact scan →
+# 16-row lattice.
+
+SHAPLEY_SQL = """
+WITH peru AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END)
+       + MAX(CASE WHEN event_type = 'error'  THEN 2 ELSE 0 END)
+       + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+       + MAX(CASE WHEN event_type = 'view'   THEN 8 ELSE 0 END) AS sig,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), cexact AS (
+  SELECT sig, CAST(SUM(conv) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS u
+  FROM peru GROUP BY 1
+), masks AS (
+  SELECT CAST(m AS INT) AS s FROM range(16) t(m)
+), vfun AS (
+  SELECT mk.s, CAST(COALESCE(SUM(ce.c), 0) AS BIGINT) AS v
+  FROM masks mk LEFT JOIN cexact ce ON (ce.sig & mk.s) = ce.sig
+  GROUP BY 1
+), chan AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                        ('signup', 4), ('view', 8)) t(channel, b)
+), pairs AS (
+  SELECT ch.channel, ch.b,
+         CASE ((vs.s >> 0) & 1) + ((vs.s >> 1) & 1)
+            + ((vs.s >> 2) & 1) + ((vs.s >> 3) & 1)
+           WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+           * (vu.v - vs.v) AS contrib24
+  FROM chan ch
+  JOIN vfun vs ON (vs.s & ch.b) = 0
+  JOIN vfun vu ON vu.s = vs.s + ch.b
+), phi AS (
+  SELECT channel, b, CAST(SUM(contrib24) AS BIGINT) AS phi24
+  FROM pairs GROUP BY 1, 2
+), touch AS (
+  SELECT ch.channel,
+         CAST(SUM(ce.u) AS BIGINT) AS touched_users,
+         CAST(SUM(ce.c) AS BIGINT) AS touched_convs
+  FROM chan ch JOIN cexact ce ON (ce.sig & ch.b) <> 0
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(phi24) AS BIGINT) AS t24 FROM phi
+)
+SELECT p.channel,
+       t.touched_users, t.touched_convs,
+       round(p.phi24 / 24.0, 6) AS shapley,
+       round(CASE WHEN tt.t24 <> 0
+                  THEN CAST(p.phi24 AS DOUBLE) / tt.t24 END, 6) AS share
+FROM phi p
+JOIN touch t ON t.channel = p.channel
+CROSS JOIN tot tt
+ORDER BY p.channel
+"""
+
+
+@query("q_shapley_attribution", oracle=SHAPLEY_SQL)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+
+    def touched(t: str, w: int):
+        return F.max(
+            F.when(F.col("event_type") == t, F.lit(w)).otherwise(0)
+        )
+
+    peru = e.groupBy("user_id").agg(
+        (
+            touched("click", 1) + touched("error", 2)
+            + touched("signup", 4) + touched("view", 8)
+        ).alias("sig"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cexact = peru.groupBy("sig").agg(
+        F.sum("conv").cast("bigint").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+    )
+    cexact = cexact.cache()  # consumed by vfun AND touch
+    masks = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    # ⊆-lattice join: 16 masks × ≤16 signatures, broadcast BNLJ
+    vfun = (
+        masks.join(
+            F.broadcast(cexact),
+            cexact.sig.bitwiseAND(masks.s) == cexact.sig,
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    vfun = vfun.cache()  # consumed as both coalition sides
+    chan = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, b int",
+    )
+    vs = vfun.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vu = vfun.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    pop = (
+        F.shiftright(F.col("s0"), 0).bitwiseAND(F.lit(1))
+        + F.shiftright(F.col("s0"), 1).bitwiseAND(F.lit(1))
+        + F.shiftright(F.col("s0"), 2).bitwiseAND(F.lit(1))
+        + F.shiftright(F.col("s0"), 3).bitwiseAND(F.lit(1))
+    )
+    w24 = (
+        F.when(pop == 0, 6).when(pop == 1, 2).when(pop == 2, 2).otherwise(6)
+    )
+    pairs = (
+        chan.join(
+            F.broadcast(vs), vs.s0.bitwiseAND(chan.b) == F.lit(0)
+        )
+        .join(F.broadcast(vu), vu.s1 == vs.s0 + chan.b)
+        .select(
+            "channel", "b",
+            (w24 * (F.col("v1") - F.col("v0"))).alias("contrib24"),
+        )
+    )
+    phi = pairs.groupBy("channel", "b").agg(
+        F.sum("contrib24").cast("bigint").alias("phi24")
+    )
+    phi = phi.cache()  # consumed by tot AND the final projection
+    touch = (
+        chan.join(
+            F.broadcast(cexact), cexact.sig.bitwiseAND(chan.b) != F.lit(0)
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum("u").cast("bigint").alias("touched_users"),
+            F.sum("c").cast("bigint").alias("touched_convs"),
+        )
+    )
+    tot = phi.agg(F.sum("phi24").cast("bigint").alias("t24"))
+    return (
+        phi.join(touch, "channel")
+        .join(F.broadcast(tot))
+        .select(
+            "channel", "touched_users", "touched_convs",
+            F.round(F.col("phi24") / 24.0, 6).alias("shapley"),
+            F.round(
+                F.when(
+                    F.col("t24") != 0,
+                    F.col("phi24").cast("double") / F.col("t24"),
+                ),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+# -- q_cronbach_alpha --------------------------------------------------
+#
+# Cronbach's alpha internal-consistency reliability of the
+# day-of-week spend profile: treating the 7 ISO weekdays as "items"
+# and customers-with-orders as "subjects", is weekly spend a
+# RELIABLE one-dimensional trait (big spenders spend big every day)
+# or do the day columns move independently? α = k/(k−1)·(1 −
+# Σσ²_item/σ²_total). Absent (customer, dow) cells are exact zeros
+# handled ALGEBRAICALLY (sums over present cells, n = all subjects)
+# — no grid materialization. All power sums are exact decimals;
+# the 7-term Σσ²_item fold rounds to DECIMAL(28,6). Scale: one
+# partial-aggregated scan → 7×|customers| cells → 7 rows.
+
+CRONBACH_SQL = """
+WITH cells AS (
+  SELECT o_custkey AS cust, isodow(CAST(o_orderdate AS DATE)) AS dow,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS x
+  FROM orders GROUP BY 1, 2
+), gstat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(x) AS DECIMAL(38,2)) AS sx_all,
+         CAST(COUNT(DISTINCT cust) AS BIGINT) AS n
+  FROM cells
+), u AS (
+  SELECT cust, dow,
+         CAST(x AS DOUBLE) / (CAST(sx_all AS DOUBLE) / n_cells) AS u,
+         x
+  FROM cells CROSS JOIN gstat
+), items AS (
+  SELECT dow,
+         CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+         CAST(SUM(CAST(round(u, 9) AS DECIMAL(28,9))) AS DOUBLE) AS su,
+         CAST(SUM(CAST(round(u * u, 9) AS DECIMAL(28,9))) AS DOUBLE) AS suu
+  FROM u GROUP BY 1
+), k AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k FROM items
+), totals AS (
+  SELECT cust,
+         CAST(CAST(SUM(CAST(round(u, 9) AS DECIMAL(28,9)))
+                   AS DECIMAL(28,9)) AS DOUBLE) AS t
+  FROM u GROUP BY 1
+), tvar AS (
+  SELECT CAST(SUM(CAST(round(t, 9) AS DECIMAL(38,9))) AS DOUBLE) AS st,
+         CAST(SUM(CAST(round(t * t, 9) AS DECIMAL(38,9))) AS DOUBLE) AS stt
+  FROM totals
+), ivar AS (
+  SELECT CAST(SUM(CAST(round(
+           suu / n - (su / n) * (su / n), 9)
+         AS DECIMAL(28,9))) AS DOUBLE) AS sum_item_var
+  FROM items CROSS JOIN gstat
+)
+SELECT i.dow,
+       round(CAST(i.sx AS DOUBLE) / s.n, 6) AS item_mean,
+       round(sqrt(i.suu / s.n - (i.su / s.n) * (i.su / s.n))
+             / (i.su / s.n), 6) AS item_cv,
+       round(v.sum_item_var
+             / (t.stt / s.n - (t.st / s.n) * (t.st / s.n)), 6) AS var_ratio,
+       round(CAST(kk.k AS DOUBLE) / (kk.k - 1)
+             * (1.0 - v.sum_item_var
+                / (t.stt / s.n - (t.st / s.n) * (t.st / s.n))),
+             6) AS cronbach_alpha
+FROM items i CROSS JOIN gstat s CROSS JOIN k kk
+CROSS JOIN tvar t CROSS JOIN ivar v
+ORDER BY i.dow
+"""
+
+
+@query("q_cronbach_alpha", oracle=CRONBACH_SQL)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    iso = F.when(F.dayofweek("o_orderdate") == 1, F.lit(7)).otherwise(
+        F.dayofweek("o_orderdate") - 1
+    )
+    cells = o.groupBy(
+        F.col("o_custkey").alias("cust"), iso.cast("bigint").alias("dow")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("x")
+    )
+    cells = cells.cache()  # consumed by gstat AND the normalized grid
+    gstat = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("x").cast("decimal(38,2)").alias("sx_all"),
+        F.countDistinct("cust").cast("bigint").alias("n"),
+    )
+    mu = F.col("sx_all").cast("double") / F.col("n_cells")
+    u = cells.join(F.broadcast(gstat)).select(
+        "cust", "dow", "x",
+        (F.col("x").cast("double") / mu).alias("u"),
+    )
+    u = u.cache()  # consumed by items AND totals
+    items = u.groupBy("dow").agg(
+        F.sum("x").cast("decimal(38,2)").alias("sx"),
+        F.sum(F.round("u", 9).cast("decimal(28,9)")).cast("double")
+        .alias("su"),
+        F.sum(F.round(F.col("u") * F.col("u"), 9).cast("decimal(28,9)"))
+        .cast("double").alias("suu"),
+    )
+    items = items.cache()  # consumed by k, ivar AND the output
+    k = items.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    totals = u.groupBy("cust").agg(
+        F.sum(F.round("u", 9).cast("decimal(28,9)")).cast("decimal(28,9)")
+        .cast("double").alias("t")
+    )
+    tvar = totals.agg(
+        F.sum(F.round("t", 9).cast("decimal(38,9)")).cast("double")
+        .alias("st"),
+        F.sum(F.round(F.col("t") * F.col("t"), 9).cast("decimal(38,9)"))
+        .cast("double").alias("stt"),
+    )
+    nd = F.col("n")
+    ivar = (
+        items.join(F.broadcast(gstat))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("suu") / nd
+                    - (F.col("su") / nd) * (F.col("su") / nd),
+                    9,
+                ).cast("decimal(28,9)")
+            ).cast("double").alias("sum_item_var")
+        )
+    )
+    item_var = (
+        F.col("suu") / nd - (F.col("su") / nd) * (F.col("su") / nd)
+    )
+    total_var = (
+        F.col("stt") / nd - (F.col("st") / nd) * (F.col("st") / nd)
+    )
+    alpha = (
+        F.col("k").cast("double") / (F.col("k") - 1)
+        * (F.lit(1.0) - F.col("sum_item_var") / total_var)
+    )
+    return (
+        items.join(F.broadcast(gstat)).join(F.broadcast(k))
+        .join(F.broadcast(tvar)).join(F.broadcast(ivar))
+        .select(
+            "dow",
+            F.round(F.col("sx").cast("double") / nd, 6).alias("item_mean"),
+            F.round(F.sqrt(item_var) / (F.col("su") / nd), 6)
+            .alias("item_cv"),
+            F.round(F.col("sum_item_var") / total_var, 6).alias("var_ratio"),
+            F.round(alpha, 6).alias("cronbach_alpha"),
+        )
+        .orderBy("dow")
+    )

@@ -825,3 +825,126 @@ def mr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_term"),
         F.round(cov / var, 6).alias("assortativity"),
     )
+
+
+# -- mr_scc ------------------------------------------------------------
+#
+# Strongly connected components of the DIRECTED nation-level supply
+# graph: edge src→dst when suppliers in nation src ship an
+# above-average number of line items to customers in nation dst
+# (the data-adaptive cnt·n_pairs ≥ total integer threshold keeps the
+# comparison exact at every SF). Reachability closes by REPEATED
+# SQUARING on the reflexive edge set — 5 rounds cover paths ≤ 2⁵=32
+# on a ≤25-node graph, so the closure is exact, with a per-round
+# localCheckpoint cutting lineage. SCC(v) = min nation key among
+# mutually-reachable nodes. The DuckDB oracle uses a recursive CTE
+# for the same closure. Scale: the fact scan reduces to a ≤625-row
+# pair grid BEFORE any iteration; every squaring join is grid-sized
+# (this is the nation-rollup shape — a node-level SCC at 100 TB
+# would instead run the same rounds on a bucketed edge table).
+
+SCC_SQL = """
+WITH RECURSIVE flows AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM flows
+), edges AS (
+  SELECT src, dst FROM flows CROSS JOIN tot
+  WHERE cnt * n_pairs >= total
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+), rr AS (
+  SELECT src, dst FROM reach
+  UNION
+  SELECT n_nationkey, n_nationkey FROM nation
+), mutual AS (
+  SELECT a.src AS v, a.dst AS u
+  FROM rr a JOIN rr b ON b.src = a.dst AND b.dst = a.src
+), scc AS (
+  SELECT v, CAST(MIN(u) AS BIGINT) AS scc_id FROM mutual GROUP BY 1
+), sizes AS (
+  SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+  FROM scc GROUP BY 1
+)
+SELECT n.n_name, rep.n_name AS scc_rep, z.scc_size
+FROM scc
+JOIN nation n ON n.n_nationkey = scc.v
+JOIN nation rep ON rep.n_nationkey = scc.scc_id
+JOIN sizes z ON z.scc_id = scc.scc_id
+ORDER BY n.n_name
+"""
+
+
+@query("mr_scc", oracle=SCC_SQL)
+def mr_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    flows = (
+        cat.lineitem
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("s_nationkey").cast("bigint").alias("src"),
+            F.col("c_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    flows = flows.cache()  # consumed by tot AND edges
+    tot = flows.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    edges = (
+        flows.join(F.broadcast(tot))
+        .filter(F.col("cnt") * F.col("n_pairs") >= F.col("total"))
+        .select("src", "dst")
+    )
+    nodes = cat.nation.select(
+        F.col("n_nationkey").cast("bigint").alias("src"),
+        F.col("n_nationkey").cast("bigint").alias("dst"),
+    )
+    reach = edges.union(nodes).distinct().localCheckpoint(eager=True)
+    for _ in range(5):  # squaring: paths ≤ 2^5 = 32 ≥ any 25-node path
+        hop = reach.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+        ext = reach.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+        reach = (
+            hop.join(ext, "m").select(
+                F.col("a").alias("src"), F.col("b").alias("dst")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    back = reach.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = reach.join(back, ["src", "dst"]).select(
+        F.col("src").alias("v"), F.col("dst").alias("u")
+    )
+    scc = mutual.groupBy("v").agg(F.min("u").cast("bigint").alias("scc_id"))
+    scc = scc.cache()  # consumed by sizes AND the output join
+    sizes = scc.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scc_size")
+    )
+    nat = F.broadcast(cat.nation.select("n_nationkey", "n_name"))
+    rep = F.broadcast(
+        cat.nation.select(
+            F.col("n_nationkey").alias("rep_key"),
+            F.col("n_name").alias("scc_rep"),
+        )
+    )
+    return (
+        scc.join(nat, F.col("n_nationkey") == F.col("v"))
+        .join(rep, F.col("rep_key") == F.col("scc_id"))
+        .join(sizes, "scc_id")
+        .select("n_name", "scc_rep", "scc_size")
+        .orderBy("n_name")
+    )
