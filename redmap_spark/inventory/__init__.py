@@ -30,6 +30,7 @@ from redmap_spark.inventory import graph  # noqa: F401
 from redmap_spark.inventory import stats2  # noqa: F401
 from redmap_spark.inventory import stats3  # noqa: F401
 from redmap_spark.inventory import econ  # noqa: F401
+from redmap_spark.inventory import stats4  # noqa: F401
 from redmap_spark.inventory import text3  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
@@ -89,6 +90,8 @@ _WINDOW_FIRST = [
     "q_granger_lite", "q_page_hinkley",
     "q_elasticity", "q_shapley_attribution", "q_cronbach_alpha",
     "txt_code_detect", "mr_scc",
+    "q_friedman_test", "q_partial_corr", "q_cooks_distance",
+    "q_hurst_exponent", "q_newsvendor",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -14,7 +14,7 @@ function is a conversion count), divided once at the end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
@@ -430,3 +430,119 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# -- q_newsvendor ------------------------------------------------------
+#
+# Newsvendor optimal stocking per brand: with underage cost 4× the
+# overage cost the critical ratio is 0.8, so the optimal daily stock
+# is the 0.8-quantile of the brand's daily-demand distribution
+# (lower-value quantile on the exact distinct-demand grid — the
+# q_quantile_bins shape: cumulative day-counts over a per-brand
+# demand-value grid, never a row-level sort). Expected leftover
+# E[(q−D)⁺] and shortage E[(D−q)⁺] come from the same grid as exact
+# integer sums, so the per-unit-cost expected total is one double
+# division. Scale: one scan → per-brand demand grids → |brands| rows.
+
+NEWSVENDOR_SQL = """
+WITH demand AS (
+  SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), grid AS (
+  SELECT brand, d, CAST(COUNT(*) AS BIGINT) AS days FROM demand
+  GROUP BY 1, 2
+), cum AS (
+  SELECT brand, d, days,
+         CAST(SUM(days) OVER (PARTITION BY brand ORDER BY d) AS BIGINT)
+           AS cdays,
+         CAST(SUM(days) OVER (PARTITION BY brand) AS BIGINT) AS n_days
+  FROM grid
+), q AS (
+  SELECT brand, n_days, CAST(MIN(d) AS BIGINT) AS q_opt
+  FROM cum WHERE 5 * cdays >= 4 * n_days
+  GROUP BY 1, 2
+), cost AS (
+  SELECT g.brand, q.q_opt, q.n_days,
+         CAST(SUM(CASE WHEN g.d < q.q_opt
+                       THEN (q.q_opt - g.d) * g.days ELSE 0 END) AS BIGINT)
+           AS leftover_units,
+         CAST(SUM(CASE WHEN g.d > q.q_opt
+                       THEN (g.d - q.q_opt) * g.days ELSE 0 END) AS BIGINT)
+           AS shortage_units
+  FROM grid g JOIN q ON q.brand = g.brand
+  GROUP BY 1, 2, 3
+)
+SELECT brand, n_days, q_opt,
+       round(CAST(leftover_units AS DOUBLE) / n_days, 6) AS exp_leftover,
+       round(CAST(shortage_units AS DOUBLE) / n_days, 6) AS exp_shortage,
+       round((CAST(leftover_units AS DOUBLE)
+              + 4.0 * shortage_units) / n_days, 6) AS exp_cost_units
+FROM cost
+ORDER BY brand
+"""
+
+
+@query("q_newsvendor", oracle=NEWSVENDOR_SQL)
+def q_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    demand = (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+             .alias("d"))
+    )
+    grid = demand.groupBy("brand", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("days")
+    )
+    grid = grid.cache()  # consumed by cum AND cost
+    wc = Window.partitionBy("brand").orderBy("d")
+    wa = Window.partitionBy("brand")
+    cum = grid.select(
+        "brand", "d", "days",
+        F.sum("days").over(wc).cast("bigint").alias("cdays"),
+        F.sum("days").over(wa).cast("bigint").alias("n_days"),
+    )
+    q = (
+        cum.filter(5 * F.col("cdays") >= 4 * F.col("n_days"))
+        .groupBy("brand", "n_days")
+        .agg(F.min("d").cast("bigint").alias("q_opt"))
+    )
+    cost = (
+        grid.join(q, "brand")
+        .groupBy("brand", "q_opt", "n_days")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("d") < F.col("q_opt"),
+                    (F.col("q_opt") - F.col("d")) * F.col("days"),
+                ).otherwise(0)
+            ).cast("bigint").alias("leftover_units"),
+            F.sum(
+                F.when(
+                    F.col("d") > F.col("q_opt"),
+                    (F.col("d") - F.col("q_opt")) * F.col("days"),
+                ).otherwise(0)
+            ).cast("bigint").alias("shortage_units"),
+        )
+    )
+    nd = F.col("n_days")
+    return cost.select(
+        "brand", "n_days", "q_opt",
+        F.round(F.col("leftover_units").cast("double") / nd, 6)
+        .alias("exp_leftover"),
+        F.round(F.col("shortage_units").cast("double") / nd, 6)
+        .alias("exp_shortage"),
+        F.round(
+            (
+                F.col("leftover_units").cast("double")
+                + 4.0 * F.col("shortage_units")
+            ) / nd, 6
+        ).alias("exp_cost_units"),
+    ).orderBy("brand")

@@ -1,0 +1,550 @@
+"""SURVEY §2 additions (round 6, ninth session) — statistics breadth,
+third wave: blocked nonparametric ANOVA (Friedman), confound-
+controlled association (partial correlation), regression influence
+diagnostics (Cook's distance), and long-memory estimation (Hurst
+exponent via rescaled-range analysis).
+
+Shared determinism machinery (see registry docstring): within-block
+midranks stay exact integers (2·midrank = 2·RANK + ties − 1), every
+cumulative deviation folds exact DECIMALS, and all cross-engine
+double folds round per-row terms to DECIMAL first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+
+# -- q_friedman_test ---------------------------------------------------
+#
+# Friedman rank test across the 7 ISO weekdays with customers as
+# BLOCKS (the repeated-measures sibling of q_kruskal_wallis: each
+# complete customer ranks their own 7 day-of-week spends, removing
+# between-customer spend level as a confound). Only complete blocks
+# (all 7 dows present) enter. 2·midrank = 2·RANK + ties − 1 is exact
+# integer per cell (rank window is PARTITIONED by customer — 7 rows
+# per partition, fully parallel); rank sums are exact BIGINTs, so
+# χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) is one identical double
+# expression. df = k−1 = 6 → α=0.05 critical value 12.592.
+# Scale: one scan → per-customer 7-row rank windows → 7 rows.
+
+FRIEDMAN_SQL = """
+WITH cells AS (
+  SELECT o_custkey AS cust, isodow(CAST(o_orderdate AS DATE)) AS dow,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS x
+  FROM orders GROUP BY 1, 2
+), complete AS (
+  SELECT cust FROM cells GROUP BY 1 HAVING COUNT(*) = 7
+), ranked AS (
+  SELECT c.cust, c.dow,
+         2 * RANK() OVER (PARTITION BY c.cust ORDER BY c.x)
+           + COUNT(*) OVER (PARTITION BY c.cust, c.x) - 1 AS r2
+  FROM cells c JOIN complete k ON k.cust = c.cust
+), sums AS (
+  SELECT dow, CAST(SUM(r2) AS BIGINT) AS r2sum FROM ranked GROUP BY 1
+), nb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM complete
+), chi AS (
+  SELECT CAST(SUM(r2sum * r2sum) AS BIGINT) AS ssq FROM sums
+)
+SELECT s.dow, b.n AS n_blocks,
+       round(s.r2sum / (2.0 * b.n), 6) AS mean_rank,
+       round(12.0 / (b.n * 7 * 8) * (c.ssq / 4.0) - 3.0 * b.n * 8,
+             6) AS chi2_f,
+       CAST(CASE WHEN 12.0 / (b.n * 7 * 8) * (c.ssq / 4.0)
+                      - 3.0 * b.n * 8 > 12.592
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM sums s CROSS JOIN nb b CROSS JOIN chi c
+ORDER BY s.dow
+"""
+
+
+@query("q_friedman_test", oracle=FRIEDMAN_SQL)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    iso = F.when(F.dayofweek("o_orderdate") == 1, F.lit(7)).otherwise(
+        F.dayofweek("o_orderdate") - 1
+    )
+    cells = o.groupBy(
+        F.col("o_custkey").alias("cust"), iso.cast("bigint").alias("dow")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").alias("x")
+    )
+    cells = cells.cache()  # consumed by complete AND ranked
+    complete = cells.groupBy("cust").agg(
+        F.count(F.lit(1)).alias("ct")
+    ).filter(F.col("ct") == 7).select("cust")
+    wr = Window.partitionBy("cust").orderBy("x")
+    wt = Window.partitionBy("cust", "x")
+    ranked = cells.join(complete, "cust").select(
+        "cust", "dow",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+    )
+    sums = ranked.groupBy("dow").agg(
+        F.sum("r2").cast("bigint").alias("r2sum")
+    )
+    sums = sums.cache()  # consumed by chi AND the output
+    nb = complete.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    chi = sums.agg(
+        F.sum(F.col("r2sum") * F.col("r2sum")).cast("bigint").alias("ssq")
+    )
+    n = F.col("n")
+    chi2_f = (
+        F.lit(12.0) / (n * 7 * 8) * (F.col("ssq") / 4.0) - 3.0 * n * 8
+    )
+    return (
+        sums.join(F.broadcast(nb)).join(F.broadcast(chi))
+        .select(
+            "dow",
+            n.alias("n_blocks"),
+            F.round(F.col("r2sum") / (2.0 * n), 6).alias("mean_rank"),
+            F.round(chi2_f, 6).alias("chi2_f"),
+            F.when(chi2_f > 12.592, 1).otherwise(0).cast("bigint")
+            .alias("significant"),
+        )
+        .orderBy("dow")
+    )
+
+
+# -- q_partial_corr ----------------------------------------------------
+#
+# Partial correlation of quantity and extended price per brand,
+# CONTROLLING for discount: r_xy·z = (r_xy − r_xz·r_yz) /
+# √((1−r_xz²)(1−r_yz²)) — "is the qty↔price association real or
+# discount-driven?". The 3×3 moment block is exact decimal
+# (quantity/price/discount are fixed-scale), pairwise Pearson r's
+# assemble in one identical double chain (the q_regression pattern).
+# Scale: one broadcast-dim join, one partial-aggregated scan.
+
+PARTIAL_SQL = """
+WITH li AS (
+  SELECT p.p_brand AS brand,
+         CAST(l_quantity AS DECIMAL(8,2)) AS x,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+         CAST(l_discount AS DECIMAL(8,4)) AS z
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), m AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS DECIMAL(28,2)) AS sx,
+    CAST(SUM(y) AS DECIMAL(28,2)) AS sy,
+    CAST(SUM(z) AS DECIMAL(28,4)) AS sz,
+    CAST(SUM(CAST(x * y AS DECIMAL(26,4))) AS DECIMAL(38,4)) AS sxy,
+    CAST(SUM(CAST(x * z AS DECIMAL(16,6))) AS DECIMAL(38,6)) AS sxz,
+    CAST(SUM(CAST(y * z AS DECIMAL(26,6))) AS DECIMAL(38,6)) AS syz,
+    CAST(SUM(CAST(x * x AS DECIMAL(16,4))) AS DECIMAL(38,4)) AS sxx,
+    CAST(SUM(CAST(y * y AS DECIMAL(36,4))) AS DECIMAL(38,4)) AS syy,
+    CAST(SUM(CAST(z * z AS DECIMAL(16,8))) AS DECIMAL(38,8)) AS szz
+  FROM li GROUP BY 1
+), r AS (
+  SELECT brand, n,
+    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      AS rxy,
+    (n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+      / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+      AS rxz,
+    (n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+      / sqrt((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+      AS ryz
+  FROM m
+  WHERE n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+    AND n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    AND n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) > 0
+)
+SELECT brand, n,
+       round(rxy, 6) AS r_qty_price,
+       round(rxz, 6) AS r_qty_disc,
+       round(ryz, 6) AS r_price_disc,
+       round((rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+         AS partial_r
+FROM r
+WHERE (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+ORDER BY brand
+"""
+
+
+@query("q_partial_corr", oracle=PARTIAL_SQL)
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.join(
+        F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_quantity").cast("decimal(8,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+        F.col("l_discount").cast("decimal(8,4)").alias("z"),
+    )
+    x, y, z = F.col("x"), F.col("y"), F.col("z")
+    m = li.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("decimal(28,2)").alias("sx"),
+        F.sum(y).cast("decimal(28,2)").alias("sy"),
+        F.sum(z).cast("decimal(28,4)").alias("sz"),
+        F.sum((x * y).cast("decimal(26,4)")).cast("decimal(38,4)")
+        .alias("sxy"),
+        F.sum((x * z).cast("decimal(16,6)")).cast("decimal(38,6)")
+        .alias("sxz"),
+        F.sum((y * z).cast("decimal(26,6)")).cast("decimal(38,6)")
+        .alias("syz"),
+        F.sum((x * x).cast("decimal(16,4)")).cast("decimal(38,4)")
+        .alias("sxx"),
+        F.sum((y * y).cast("decimal(36,4)")).cast("decimal(38,4)")
+        .alias("syy"),
+        F.sum((z * z).cast("decimal(16,8)")).cast("decimal(38,8)")
+        .alias("szz"),
+    )
+    n = F.col("n")
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    vx = n * d("sxx") - d("sx") * d("sx")
+    vy = n * d("syy") - d("sy") * d("sy")
+    vz = n * d("szz") - d("sz") * d("sz")
+    rxy = (n * d("sxy") - d("sx") * d("sy")) / F.sqrt(vx * vy)
+    rxz = (n * d("sxz") - d("sx") * d("sz")) / F.sqrt(vx * vz)
+    ryz = (n * d("syz") - d("sy") * d("sz")) / F.sqrt(vy * vz)
+    r = (
+        m.filter((vx > 0) & (vy > 0) & (vz > 0))
+        .select(
+            "brand", "n",
+            rxy.alias("rxy"), rxz.alias("rxz"), ryz.alias("ryz"),
+        )
+    )
+    denom = (
+        (F.lit(1.0) - F.col("rxz") * F.col("rxz"))
+        * (F.lit(1.0) - F.col("ryz") * F.col("ryz"))
+    )
+    return (
+        r.filter(denom > 0)
+        .select(
+            "brand", "n",
+            F.round("rxy", 6).alias("r_qty_price"),
+            F.round("rxz", 6).alias("r_qty_disc"),
+            F.round("ryz", 6).alias("r_price_disc"),
+            F.round(
+                (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+                / F.sqrt(denom), 6
+            ).alias("partial_r"),
+        )
+        .orderBy("brand")
+    )
+
+
+# -- q_cooks_distance --------------------------------------------------
+#
+# Cook's distance influence diagnostics on the daily-revenue linear
+# trend (the q_durbin_watson OLS): which individual DAYS, if
+# dropped, would move the fitted trend the most? Simple-regression
+# closed forms: leverage h_t = 1/n + (t−t̄)²/Sxx (exact-integer t
+# moments), s² = SSR/(n−2) from the DECIMAL(28,6)-rounded residual
+# fold, D_t = e²h/(2s²(1−h)²), influential when D > 4/n. Outputs
+# stay O(1) (standardized residual, leverage, D) so 6-decimal
+# rounding is hash-safe. Scale: one scan → |days| grid → |days| rows.
+
+COOKS_SQL = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2))
+           AS rev
+  FROM lineitem GROUP BY 1
+), idx AS (
+  SELECT day, date_diff('day', DATE '1992-01-01', day) AS t,
+         CAST(rev AS DOUBLE) AS y
+  FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(19,2))) AS DECIMAL(28,2)) AS sy,
+         CAST(SUM(t * CAST(y AS DECIMAL(19,2))) AS DECIMAL(38,2)) AS sxy,
+         CAST(SUM(t * t) AS BIGINT) AS sxx
+  FROM idx
+), fit AS (
+  SELECT n, sx, sxx,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n AS a
+  FROM m WHERE n * sxx - sx * sx <> 0 AND n > 2
+), resid AS (
+  SELECT day, t, y - (a + b * t) AS e, n, sx, sxx
+  FROM idx CROSS JOIN fit
+), s2 AS (
+  SELECT CAST(SUM(CAST(round(e * e, 6) AS DECIMAL(38,6))) AS DOUBLE)
+           / (n - 2) AS s2
+  FROM resid GROUP BY n
+), lev AS (
+  SELECT day, e,
+         1.0 / n + (t - CAST(sx AS DOUBLE) / n)
+                   * (t - CAST(sx AS DOUBLE) / n)
+                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) / n * sx)
+           AS h, n
+  FROM resid
+)
+SELECT CAST(l.day AS VARCHAR) AS day,
+       round(l.e / sqrt(s.s2 * (1.0 - l.h)), 6) AS std_resid,
+       round(l.h, 6) AS leverage,
+       round(l.e * l.e * l.h / (2.0 * s.s2 * (1.0 - l.h) * (1.0 - l.h)),
+             6) AS cooks_d,
+       CAST(CASE WHEN l.e * l.e * l.h
+                      / (2.0 * s.s2 * (1.0 - l.h) * (1.0 - l.h))
+                      > 4.0 / l.n
+                 THEN 1 ELSE 0 END AS BIGINT) AS influential
+FROM lev l CROSS JOIN s2 s
+ORDER BY day
+"""
+
+
+@query("q_cooks_distance", oracle=COOKS_SQL)
+def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(19,2)").alias("rev")
+    )
+    idx = daily.select(
+        "day",
+        F.datediff(F.col("day"), F.lit("1992-01-01")).alias("t"),
+        F.col("rev").cast("double").alias("y"),
+    )
+    idx = idx.cache()  # consumed by m AND resid
+    m = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum(F.col("y").cast("decimal(19,2)")).cast("decimal(28,2)")
+        .alias("sy"),
+        F.sum(F.col("t") * F.col("y").cast("decimal(19,2)"))
+        .cast("decimal(38,2)").alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    b = (n * F.col("sxy") - sx * F.col("sy")).cast("double") / (
+        n * sxx - sx * sx
+    ).cast("double")
+    a = (F.col("sy").cast("double") - b * sx) / n
+    fit = (
+        m.filter(((n * sxx - sx * sx) != 0) & (n > 2))
+        .select("n", "sx", "sxx", b.alias("b"), a.alias("a"))
+    )
+    resid = idx.join(F.broadcast(fit)).select(
+        "day", "t",
+        (F.col("y") - (F.col("a") + F.col("b") * F.col("t"))).alias("e"),
+        "n", "sx", "sxx",
+    )
+    resid = resid.cache()  # consumed by s2 AND lev
+    s2 = resid.groupBy("n").agg(
+        (
+            F.sum(F.round(F.col("e") * F.col("e"), 6).cast("decimal(38,6)"))
+            .cast("double") / (F.col("n") - 2)
+        ).alias("s2")
+    ).select("s2")
+    tb = sx.cast("double") / n
+    h = (
+        F.lit(1.0) / n
+        + (F.col("t") - tb) * (F.col("t") - tb)
+        / (sxx.cast("double") - tb * sx)
+    )
+    lev = resid.select("day", "e", h.alias("h"), "n")
+    d_cook = (
+        F.col("e") * F.col("e") * F.col("h")
+        / (
+            F.lit(2.0) * F.col("s2")
+            * (F.lit(1.0) - F.col("h")) * (F.lit(1.0) - F.col("h"))
+        )
+    )
+    return (
+        lev.join(F.broadcast(s2))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.round(
+                F.col("e")
+                / F.sqrt(F.col("s2") * (F.lit(1.0) - F.col("h"))), 6
+            ).alias("std_resid"),
+            F.round(F.col("h"), 6).alias("leverage"),
+            F.round(d_cook, 6).alias("cooks_d"),
+            F.when(d_cook > 4.0 / F.col("n"), 1).otherwise(0).cast("bigint")
+            .alias("influential"),
+        )
+        .orderBy("day")
+    )
+
+
+# -- q_hurst_exponent --------------------------------------------------
+#
+# Hurst exponent of daily revenue via rescaled-range (R/S) analysis
+# (Hurst 1951; Mandelbrot-Wallis): segment the day grid at scales
+# 8/16/32/64, compute range-of-cumulative-deviations over segment
+# std per full segment, average R/S per scale, and fit
+# ln(R/S) ~ H·ln(scale). H≈0.5 = random walk, H>0.5 = persistent
+# long memory (trending), H<0.5 = mean-reverting. Cumulative
+# deviations fold exact DECIMAL(28,6) (the Page–Hinkley rule:
+# raw-double running sums are window-implementation-dependent);
+# segment R and the 4-point log-log OLS use decimal-rounded folds.
+# Scale: one scan → |days| grid ×4 scales → 4 rows.
+
+HURST_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS rev
+  FROM orders GROUP BY 1
+), grid AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i,
+         CAST(rev AS DOUBLE) AS y
+  FROM daily
+), seg AS (
+  SELECT s.scale, g.i // s.scale AS segid, g.i, g.y
+  FROM grid g CROSS JOIN (VALUES (8), (16), (32), (64)) s(scale)
+), full_seg AS (
+  SELECT scale, segid FROM seg GROUP BY 1, 2 HAVING COUNT(*) = scale
+), segstat AS (
+  SELECT s.scale, s.segid,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(round(s.y, 2) AS DECIMAL(28,2))) AS DOUBLE) AS sy
+  FROM seg s JOIN full_seg f ON f.scale = s.scale AND f.segid = s.segid
+  GROUP BY 1, 2
+), dev AS (
+  SELECT s.scale, s.segid, s.i,
+         CAST(round(s.y - st.sy / st.cnt, 6) AS DECIMAL(28,6)) AS d
+  FROM seg s
+  JOIN segstat st ON st.scale = s.scale AND st.segid = s.segid
+), walk AS (
+  SELECT scale, segid,
+         SUM(d) OVER (PARTITION BY scale, segid ORDER BY i) AS w, d
+  FROM dev
+), rs AS (
+  SELECT w.scale, w.segid,
+         CAST(MAX(w.w) - MIN(w.w) AS DOUBLE) AS r,
+         sqrt(CAST(SUM(CAST(round(CAST(w.d AS DOUBLE)
+                                  * CAST(w.d AS DOUBLE), 4)
+                            AS DECIMAL(38,4))) AS DOUBLE)
+              / COUNT(*)) AS s
+  FROM walk w GROUP BY 1, 2
+), per_scale AS (
+  SELECT scale,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(CAST(round(r / s, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / COUNT(*) AS mean_rs
+  FROM rs WHERE s > 0 GROUP BY 1
+), pts AS (
+  SELECT ln(CAST(scale AS DOUBLE)) AS lx, ln(mean_rs) AS ly FROM per_scale
+), ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+    CAST(SUM(CAST(round(lx, 9) AS DECIMAL(28,9))) AS DOUBLE) AS slx,
+    CAST(SUM(CAST(round(ly, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sly,
+    CAST(SUM(CAST(round(lx * ly, 9) AS DECIMAL(28,9))) AS DOUBLE) AS slxy,
+    CAST(SUM(CAST(round(lx * lx, 9) AS DECIMAL(28,9))) AS DOUBLE) AS slxx
+  FROM pts
+)
+SELECT p.scale, p.n_segments,
+       round(p.mean_rs, 6) AS mean_rs,
+       round((o.np * o.slxy - o.slx * o.sly)
+             / (o.np * o.slxx - o.slx * o.slx), 6) AS hurst
+FROM per_scale p CROSS JOIN ols o
+ORDER BY p.scale
+"""
+
+
+@query("q_hurst_exponent", oracle=HURST_SQL)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").alias("rev")
+    )
+    grid = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("i"),
+        F.col("rev").cast("double").alias("y"),
+    )  # grid-sized sort over unique days
+    scales = spark.createDataFrame(
+        [(8,), (16,), (32,), (64,)], "scale int"
+    )
+    seg = grid.crossJoin(F.broadcast(scales)).select(
+        "scale",
+        (F.col("i") / F.col("scale")).cast("bigint").alias("segid"),
+        "i", "y",
+    )
+    seg = seg.cache()  # consumed by full_seg, segstat AND dev
+    full_seg = seg.groupBy("scale", "segid").agg(
+        F.count(F.lit(1)).alias("ct")
+    ).filter(F.col("ct") == F.col("scale")).select("scale", "segid")
+    segstat = (
+        seg.join(full_seg, ["scale", "segid"])
+        .groupBy("scale", "segid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.round("y", 2).cast("decimal(28,2)")).cast("double")
+            .alias("sy"),
+        )
+    )
+    dev = seg.join(segstat, ["scale", "segid"]).select(
+        "scale", "segid", "i",
+        F.round(F.col("y") - F.col("sy") / F.col("cnt"), 6)
+        .cast("decimal(28,6)").alias("d"),
+    )
+    ww = Window.partitionBy("scale", "segid").orderBy("i")
+    walk = dev.select(
+        "scale", "segid", F.sum("d").over(ww).alias("w"), "d"
+    )
+    rs = walk.groupBy("scale", "segid").agg(
+        (F.max("w") - F.min("w")).cast("double").alias("r"),
+        F.sqrt(
+            F.sum(
+                F.round(
+                    F.col("d").cast("double") * F.col("d").cast("double"), 4
+                ).cast("decimal(38,4)")
+            ).cast("double") / F.count(F.lit(1))
+        ).alias("s"),
+    )
+    per_scale = (
+        rs.filter(F.col("s") > 0)
+        .groupBy("scale")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            (
+                F.sum(
+                    F.round(F.col("r") / F.col("s"), 9).cast("decimal(28,9)")
+                ).cast("double") / F.count(F.lit(1))
+            ).alias("mean_rs"),
+        )
+    )
+    per_scale = per_scale.cache()  # consumed by ols AND the output
+    pts = per_scale.select(
+        F.log(F.col("scale").cast("double")).alias("lx"),
+        F.log("mean_rs").alias("ly"),
+    )
+
+    def fold(expr, name):
+        return (
+            F.sum(F.round(expr, 9).cast("decimal(28,9)")).cast("double")
+            .alias(name)
+        )
+
+    ols = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        fold(F.col("lx"), "slx"), fold(F.col("ly"), "sly"),
+        fold(F.col("lx") * F.col("ly"), "slxy"),
+        fold(F.col("lx") * F.col("lx"), "slxx"),
+    )
+    hurst = (
+        F.col("np") * F.col("slxy") - F.col("slx") * F.col("sly")
+    ) / (F.col("np") * F.col("slxx") - F.col("slx") * F.col("slx"))
+    return (
+        per_scale.join(F.broadcast(ols))
+        .select(
+            "scale", "n_segments",
+            F.round("mean_rs", 6).alias("mean_rs"),
+            F.round(hurst, 6).alias("hurst"),
+        )
+        .orderBy("scale")
+    )
