@@ -948,3 +948,136 @@ def mr_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "scc_rep", "scc_size")
         .orderBy("n_name")
     )
+
+
+# -- mr_digraph_stats --------------------------------------------------
+#
+# Directed-graph degree/reciprocity profile of the nation supply
+# graph (the same above-average-flow edge build as mr_scc — shared
+# by design, like copurchase_pairs across the undirected family):
+# per nation out-degree, in-degree, and reciprocated-edge count,
+# plus the global reciprocity ratio (share of non-loop edges whose
+# reverse edge also exists) — the standard digraph summary before
+# any flow/component analysis. Scale: fact scan → ≤625-row pair
+# grid; every metric join is grid-sized.
+
+DIGRAPH_SQL = """
+WITH flows AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM flows
+), edges AS (
+  SELECT src, dst FROM flows CROSS JOIN tot
+  WHERE cnt * n_pairs >= total AND src <> dst
+), recip AS (
+  SELECT e.src, e.dst,
+         CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS rec
+  FROM edges e
+  LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+), outd AS (
+  SELECT src AS nk, CAST(COUNT(*) AS BIGINT) AS out_deg,
+         CAST(SUM(rec) AS BIGINT) AS reciprocated
+  FROM recip GROUP BY 1
+), ind AS (
+  SELECT dst AS nk, CAST(COUNT(*) AS BIGINT) AS in_deg FROM edges
+  GROUP BY 1
+), gstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(rec) AS BIGINT) AS n_recip
+  FROM recip
+)
+SELECT n.n_name,
+       CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(COALESCE(o.reciprocated, 0) AS BIGINT) AS reciprocated,
+       g.n_edges,
+       round(CASE WHEN g.n_edges > 0
+                  THEN CAST(g.n_recip AS DOUBLE) / g.n_edges END, 6)
+         AS reciprocity
+FROM nation n
+LEFT JOIN outd o ON o.nk = n.n_nationkey
+LEFT JOIN ind i ON i.nk = n.n_nationkey
+CROSS JOIN gstats g
+ORDER BY n.n_name
+"""
+
+
+@query("mr_digraph_stats", oracle=DIGRAPH_SQL)
+def mr_digraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    flows = (
+        cat.lineitem
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("s_nationkey").cast("bigint").alias("src"),
+            F.col("c_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    flows = flows.cache()  # consumed by tot AND edges
+    tot = flows.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    edges = (
+        flows.join(F.broadcast(tot))
+        .filter(
+            (F.col("cnt") * F.col("n_pairs") >= F.col("total"))
+            & (F.col("src") != F.col("dst"))
+        )
+        .select("src", "dst")
+    )
+    edges = edges.cache()  # consumed as both sides of recip AND ind
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(1).alias("has_rev"),
+    )
+    recip = edges.join(rev, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("has_rev", F.lit(0)).alias("rec")
+    )
+    recip = recip.cache()  # consumed by outd AND glob
+    outd = recip.groupBy(F.col("src").alias("nk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_deg"),
+        F.sum("rec").cast("bigint").alias("reciprocated"),
+    )
+    ind = edges.groupBy(F.col("dst").alias("nk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_deg")
+    )
+    glob = recip.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("rec").cast("bigint").alias("n_recip"),
+    )
+    nat = cat.nation.select(
+        F.col("n_nationkey").cast("bigint").alias("nk"), "n_name"
+    )
+    return (
+        nat.join(outd, "nk", "left")
+        .join(ind, "nk", "left")
+        .join(F.broadcast(glob))
+        .select(
+            "n_name",
+            F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("bigint").alias("in_deg"),
+            F.coalesce("reciprocated", F.lit(0)).cast("bigint")
+            .alias("reciprocated"),
+            "n_edges",
+            F.round(
+                F.when(
+                    F.col("n_edges") > 0,
+                    F.col("n_recip").cast("double") / F.col("n_edges"),
+                ), 6
+            ).alias("reciprocity"),
+        )
+        .orderBy("n_name")
+    )

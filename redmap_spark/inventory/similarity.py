@@ -512,3 +512,112 @@ def sim_assignment_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("label") == F.col("assigned"), 1).otherwise(0)
         .cast("bigint").alias("is_correct"),
     ).orderBy("label", "assigned")
+
+
+# -- sim_silhouette ----------------------------------------------------
+#
+# Centroid-based silhouette score of the label partitioning: per
+# vector, squared Euclidean distance to EVERY label centroid via the
+# ||x||² − 2⟨x,c⟩ + ||c||² identity on the same per-dim DECIMAL
+# folds as sim_outliers (a(i) = dist to own centroid, b(i) = min
+# over the other 9), s(i) = (b−a)/max(a,b). Answers "are the labels
+# geometrically coherent clusters?" — the clustering-quality
+# companion to sim_outliers' per-vector flag. Scale: explode to
+# (vec, dim), one groupBy per (vec, label) dot — |vecs|·|labels|
+# partial rows with map-side combine, centroids broadcast; nothing
+# O(n²).
+
+SIM_SILHOUETTE_SQL = """
+WITH cent AS (
+  SELECT label, i AS dim, round(AVG(embedding[i]), 6) AS c
+  FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2
+), ex AS (
+  SELECT vec_id, label, i AS dim, embedding[i] AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+), dists AS (
+  SELECT ex.vec_id, ex.label AS own, cent.label AS target,
+         CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(28,12))) AS DOUBLE)
+           AS d2
+  FROM ex JOIN cent USING (dim) GROUP BY 1, 2, 3
+), ab AS (
+  SELECT vec_id, own,
+         round(sqrt(MIN(CASE WHEN target = own THEN d2 END)), 6) AS a,
+         round(sqrt(MIN(CASE WHEN target <> own THEN d2 END)), 6) AS b
+  FROM dists GROUP BY 1, 2
+), sil AS (
+  SELECT vec_id, own,
+         CASE WHEN a < b THEN 1.0 - a / b
+              WHEN a > b THEN b / a - 1.0 ELSE 0.0 END AS s,
+         a, b
+  FROM ab
+)
+SELECT own AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(CAST(SUM(CAST(round(s, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_silhouette,
+       round(CAST(SUM(CAST(a AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_intra,
+       round(CAST(SUM(CAST(b AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_nearest_other
+FROM sil GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("sim_silhouette", oracle=SIM_SILHOUETTE_SQL)
+def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    ex = e.select(
+        "vec_id", F.col("label").alias("own"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy(F.col("label").alias("target"), "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    dists = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "own", "target")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                .cast("decimal(28,12)")
+            ).cast("double").alias("d2")
+        )
+    )
+    ab = dists.groupBy("vec_id", "own").agg(
+        F.round(
+            F.sqrt(F.min(F.when(F.col("target") == F.col("own"), F.col("d2")))),
+            6,
+        ).alias("a"),
+        F.round(
+            F.sqrt(F.min(F.when(F.col("target") != F.col("own"), F.col("d2")))),
+            6,
+        ).alias("b"),
+    )
+    s = (
+        F.when(F.col("a") < F.col("b"), F.lit(1.0) - F.col("a") / F.col("b"))
+        .when(F.col("a") > F.col("b"), F.col("b") / F.col("a") - F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    sil = ab.select("vec_id", "own", s.alias("s"), "a", "b")
+    return (
+        sil.groupBy(F.col("own").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum(F.round("s", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 6
+            ).alias("mean_silhouette"),
+            F.round(
+                F.sum(F.col("a").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 6
+            ).alias("mean_intra"),
+            F.round(
+                F.sum(F.col("b").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 6
+            ).alias("mean_nearest_other"),
+        )
+        .orderBy("label")
+    )

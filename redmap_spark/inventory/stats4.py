@@ -548,3 +548,451 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scale")
     )
+
+
+# -- q_prais_winsten ---------------------------------------------------
+#
+# Prais–Winsten AR(1)-corrected trend fit on daily revenue: the
+# q_durbin_watson diagnostic SAYS the OLS trend's serial correlation
+# understates uncertainty — this entry FIXES it. ρ̂ = 1 − DW/2 from
+# the OLS residual chain, then the PW quasi-differenced system
+# (y*₁ = √(1−ρ²)·y₁ and y*ₜ = yₜ − ρyₜ₋₁, with the CONSTANT
+# regressor transformed too) refits as a no-intercept 2-regressor
+# OLS via the closed-form 2×2 normal equations (the q_granger_lite
+# machinery). All base moments are exact decimal/bigint; transformed
+# moments fold DECIMAL(38,4)-rounded terms. Scale: one scan →
+# |days| grid → 1 row.
+
+PW_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS rev
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS t,
+         CAST(rev AS DOUBLE) AS y
+  FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(19,2))) AS DECIMAL(28,2)) AS sy,
+         CAST(SUM(t * CAST(y AS DECIMAL(19,2))) AS DECIMAL(38,2)) AS sxy,
+         CAST(SUM(t * t) AS BIGINT) AS sxx
+  FROM idx
+), fit AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n AS a
+  FROM m WHERE n * sxx - sx * sx <> 0
+), resid AS (
+  SELECT t, y, y - (a + b * t) AS e,
+         LAG(y - (a + b * t)) OVER (ORDER BY t) AS ep,
+         LAG(y) OVER (ORDER BY t) AS yp, a, b, n
+  FROM idx CROSS JOIN fit
+), dw AS (
+  SELECT CAST(SUM(CASE WHEN ep IS NOT NULL
+                       THEN CAST(round((e - ep) * (e - ep), 6)
+                                 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(round(e * e, 6) AS DECIMAL(38,6))) AS DOUBLE)
+           AS dwstat,
+         MAX(b) AS b_ols, MAX(n) AS n
+  FROM resid
+), rho AS (
+  SELECT 1.0 - dwstat / 2.0 AS r, b_ols, n, dwstat FROM dw
+), star AS (
+  SELECT CASE WHEN yp IS NULL THEN sqrt(1.0 - r * r) * y
+              ELSE y - r * yp END AS ys,
+         CASE WHEN yp IS NULL THEN sqrt(1.0 - r * r) * t
+              ELSE t - r * (t - 1) END AS xs,
+         CASE WHEN yp IS NULL THEN sqrt(1.0 - r * r)
+              ELSE 1.0 - r END AS cs
+  FROM resid CROSS JOIN rho
+), pm AS (
+  SELECT
+    CAST(SUM(CAST(round(cs * cs, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s11,
+    CAST(SUM(CAST(round(cs * xs, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s12,
+    CAST(SUM(CAST(round(xs * xs, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s22,
+    CAST(SUM(CAST(round(cs * ys, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s1y,
+    CAST(SUM(CAST(round(xs * ys, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s2y
+  FROM star
+)
+SELECT r.n AS n_days,
+       round(r.dwstat, 6) AS dw_stat,
+       round(r.r, 6) AS rho,
+       round(r.b_ols, 6) AS slope_ols,
+       round((p.s2y * p.s11 - p.s1y * p.s12)
+             / (p.s11 * p.s22 - p.s12 * p.s12), 6) AS slope_pw,
+       round((p.s1y * p.s22 - p.s2y * p.s12)
+             / (p.s11 * p.s22 - p.s12 * p.s12), 6) AS intercept_pw
+FROM rho r CROSS JOIN pm p
+WHERE p.s11 * p.s22 - p.s12 * p.s12 <> 0
+"""
+
+
+@query("q_prais_winsten", oracle=PW_SQL)
+def q_prais_winsten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").alias("rev")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        F.col("rev").cast("double").alias("y"),
+    )
+    idx = idx.cache()  # consumed by m AND resid
+    m = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum(F.col("y").cast("decimal(19,2)")).cast("decimal(28,2)")
+        .alias("sy"),
+        F.sum(F.col("t") * F.col("y").cast("decimal(19,2)"))
+        .cast("decimal(38,2)").alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    b = (n * F.col("sxy") - sx * F.col("sy")).cast("double") / (
+        n * sxx - sx * sx
+    ).cast("double")
+    a = (F.col("sy").cast("double") - b * sx) / n
+    fit = (
+        m.filter((n * sxx - sx * sx) != 0)
+        .select("n", b.alias("b"), a.alias("a"))
+    )
+    w = Window.orderBy("t")  # grid-sized sort over unique day indexes
+    ecol = F.col("y") - (F.col("a") + F.col("b") * F.col("t"))
+    resid = idx.join(F.broadcast(fit)).select(
+        "t", "y",
+        ecol.alias("e"),
+        F.lag(ecol).over(w).alias("ep"),
+        F.lag("y").over(w).alias("yp"),
+        "a", "b", "n",
+    )
+    resid = resid.cache()  # consumed by dw AND star
+    dw = resid.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("ep").isNotNull(),
+                    F.round(
+                        (F.col("e") - F.col("ep"))
+                        * (F.col("e") - F.col("ep")), 6
+                    ).cast("decimal(38,6)"),
+                )
+            ).cast("double")
+            / F.sum(
+                F.round(F.col("e") * F.col("e"), 6).cast("decimal(38,6)")
+            ).cast("double")
+        ).alias("dwstat"),
+        F.max("b").alias("b_ols"),
+        F.max("n").alias("n"),
+    )
+    rho = dw.select(
+        (F.lit(1.0) - F.col("dwstat") / 2.0).alias("r"),
+        "b_ols", "n", "dwstat",
+    )
+    r = F.col("r")
+    first = F.col("yp").isNull()
+    star = resid.join(F.broadcast(rho)).select(
+        F.when(first, F.sqrt(F.lit(1.0) - r * r) * F.col("y"))
+        .otherwise(F.col("y") - r * F.col("yp")).alias("ys"),
+        F.when(first, F.sqrt(F.lit(1.0) - r * r) * F.col("t"))
+        .otherwise(F.col("t") - r * (F.col("t") - 1)).alias("xs"),
+        F.when(first, F.sqrt(F.lit(1.0) - r * r))
+        .otherwise(F.lit(1.0) - r).alias("cs"),
+    )
+
+    def fold(ca, cb, name):
+        return (
+            F.sum(F.round(F.col(ca) * F.col(cb), 4).cast("decimal(38,4)"))
+            .cast("double").alias(name)
+        )
+
+    pm = star.agg(
+        fold("cs", "cs", "s11"), fold("cs", "xs", "s12"),
+        fold("xs", "xs", "s22"), fold("cs", "ys", "s1y"),
+        fold("xs", "ys", "s2y"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    return (
+        rho.join(F.broadcast(pm))
+        .filter(det != 0)
+        .select(
+            F.col("n").alias("n_days"),
+            F.round("dwstat", 6).alias("dw_stat"),
+            F.round("r", 6).alias("rho"),
+            F.round("b_ols", 6).alias("slope_ols"),
+            F.round(
+                (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12"))
+                / det, 6
+            ).alias("slope_pw"),
+            F.round(
+                (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12"))
+                / det, 6
+            ).alias("intercept_pw"),
+        )
+    )
+
+
+# -- q_chow_test -------------------------------------------------------
+#
+# Chow structural-break F-test on the daily revenue trend at the
+# midpoint of the observed date range (a deterministic split): do
+# the two halves follow the SAME linear trend, or did slope /
+# level shift? F = ((SSR_p − SSR₁ − SSR₂)/2) / ((SSR₁+SSR₂)/(n−4))
+# against the large-n χ²(2)/2 critical value 2.996. Per-half AND
+# pooled SSRs come from the same exact decimal/bigint moment block
+# (pooled = summed halves), so the whole statistic is one identical
+# double chain — the hypothesis-test companion to
+# q_interrupted_ts's effect estimates. Scale: one scan → 2-row
+# moment grid → 1 row.
+
+CHOW_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS rev
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+), idx AS (
+  SELECT date_diff('day', b.d0, d.day) AS t,
+         CAST(d.rev AS DOUBLE) AS y,
+         CASE WHEN 2 * date_diff('day', b.d0, d.day)
+                   <= date_diff('day', b.d0, b.d1)
+              THEN 0 ELSE 1 END AS half
+  FROM daily d CROSS JOIN bounds b
+), m AS (
+  SELECT half, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(19,2))) AS DECIMAL(28,2)) AS sy,
+         CAST(SUM(t * CAST(y AS DECIMAL(19,2))) AS DECIMAL(38,2)) AS sxy,
+         CAST(SUM(t * t) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(CAST(y AS DECIMAL(19,2))
+                       * CAST(y AS DECIMAL(19,2)) AS DECIMAL(38,4)))
+              AS DECIMAL(38,4)) AS syy
+  FROM idx GROUP BY 1
+), halves AS (
+  SELECT half,
+         n,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+           - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS ssr,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS slope
+  FROM m
+), pooled AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sx) AS BIGINT) AS sx,
+         CAST(SUM(sy) AS DECIMAL(38,2)) AS sy,
+         CAST(SUM(sxy) AS DECIMAL(38,2)) AS sxy,
+         CAST(SUM(sxx) AS BIGINT) AS sxx,
+         CAST(SUM(syy) AS DECIMAL(38,4)) AS syy
+  FROM m
+), pssr AS (
+  SELECT n,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+           - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS ssr,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS slope
+  FROM pooled
+), agg AS (
+  SELECT MIN(CASE WHEN half = 0 THEN n END) AS n1,
+         MIN(CASE WHEN half = 1 THEN n END) AS n2,
+         CAST(SUM(CAST(round(ssr, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS ssr_halves,
+         MIN(CASE WHEN half = 0 THEN slope END) AS slope_pre,
+         MIN(CASE WHEN half = 1 THEN slope END) AS slope_post
+  FROM halves
+)
+SELECT a.n1 AS n_pre, a.n2 AS n_post,
+       round(p.slope, 6) AS slope_pooled,
+       round(a.slope_pre, 6) AS slope_pre,
+       round(a.slope_post, 6) AS slope_post,
+       round(((p.ssr - a.ssr_halves) / 2.0)
+             / (a.ssr_halves / (p.n - 4)), 6) AS f_stat,
+       CAST(CASE WHEN ((p.ssr - a.ssr_halves) / 2.0)
+                      / (a.ssr_halves / (p.n - 4)) > 2.996
+                 THEN 1 ELSE 0 END AS BIGINT) AS break_signif
+FROM agg a CROSS JOIN pssr p
+WHERE a.ssr_halves > 0 AND p.n > 4
+"""
+
+
+@query("q_chow_test", oracle=CHOW_SQL)
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").alias("rev")
+    )
+    daily = daily.cache()  # consumed by bounds AND idx
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    t = F.datediff(F.col("day"), F.col("d0"))
+    span = F.datediff(F.col("d1"), F.col("d0"))
+    idx = daily.join(F.broadcast(bounds)).select(
+        t.alias("t"),
+        F.col("rev").cast("double").alias("y"),
+        F.when(2 * t <= span, 0).otherwise(1).alias("half"),
+    )
+    m = idx.groupBy("half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum(F.col("y").cast("decimal(19,2)")).cast("decimal(28,2)")
+        .alias("sy"),
+        F.sum(F.col("t") * F.col("y").cast("decimal(19,2)"))
+        .cast("decimal(38,2)").alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("sxx"),
+        F.sum(
+            (
+                F.col("y").cast("decimal(19,2)")
+                * F.col("y").cast("decimal(19,2)")
+            ).cast("decimal(38,4)")
+        ).cast("decimal(38,4)").alias("syy"),
+    )
+    m = m.cache()  # consumed by halves AND pooled
+
+    def ssr_slope(df):
+        n = F.col("n")
+        cy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n
+        cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n
+        cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+        return df.withColumn("ssr", cy - cxy * cxy / cxx).withColumn(
+            "slope", cxy / cxx
+        )
+
+    halves = ssr_slope(m)
+    pooled = m.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sy").cast("decimal(38,2)").alias("sy"),
+        F.sum("sxy").cast("decimal(38,2)").alias("sxy"),
+        F.sum("sxx").cast("bigint").alias("sxx"),
+        F.sum("syy").cast("decimal(38,4)").alias("syy"),
+    )
+    pssr = ssr_slope(pooled).select(
+        "n", "ssr", F.col("slope").alias("slope_pooled")
+    )
+    agg = halves.agg(
+        F.min(F.when(F.col("half") == 0, F.col("n"))).alias("n1"),
+        F.min(F.when(F.col("half") == 1, F.col("n"))).alias("n2"),
+        F.sum(F.round("ssr", 2).cast("decimal(38,2)")).cast("double")
+        .alias("ssr_halves"),
+        F.min(F.when(F.col("half") == 0, F.col("slope"))).alias("slope_pre"),
+        F.min(F.when(F.col("half") == 1, F.col("slope")))
+        .alias("slope_post"),
+    )
+    f_stat = ((F.col("ssr") - F.col("ssr_halves")) / 2.0) / (
+        F.col("ssr_halves") / (F.col("n") - 4)
+    )
+    return (
+        agg.join(F.broadcast(pssr))
+        .filter((F.col("ssr_halves") > 0) & (F.col("n") > 4))
+        .select(
+            F.col("n1").alias("n_pre"),
+            F.col("n2").alias("n_post"),
+            F.round("slope_pooled", 6).alias("slope_pooled"),
+            F.round("slope_pre", 6).alias("slope_pre"),
+            F.round("slope_post", 6).alias("slope_post"),
+            F.round(f_stat, 6).alias("f_stat"),
+            F.when(f_stat > 2.996, 1).otherwise(0).cast("bigint")
+            .alias("break_signif"),
+        )
+    )
+
+
+# -- q_rate_ratio ------------------------------------------------------
+#
+# Two-sample Poisson rate-ratio test: is the ERROR event rate per
+# calendar day different on weekends vs weekdays? Exact integer
+# error counts and day counts, rate ratio with the standard
+# log-scale z = ln(r₁/r₂)/√(1/n₁+1/n₂) (count-based SE). The
+# incident-rate companion to q_ab_test's proportion comparison.
+# Scale: one scan → 1 row.
+
+RATE_RATIO_SQL = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(MAX(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+                       THEN 1 ELSE 0 END) AS BIGINT) AS is_we,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errs
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN is_we = 1 THEN errs ELSE 0 END) AS BIGINT)
+           AS n_we,
+         CAST(SUM(CASE WHEN is_we = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_we,
+         CAST(SUM(CASE WHEN is_we = 0 THEN errs ELSE 0 END) AS BIGINT)
+           AS n_wd,
+         CAST(SUM(CASE WHEN is_we = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_wd
+  FROM days
+)
+SELECT n_we, d_we, n_wd, d_wd,
+       round(CAST(n_we AS DOUBLE) / d_we, 6) AS rate_we,
+       round(CAST(n_wd AS DOUBLE) / d_wd, 6) AS rate_wd,
+       round((CAST(n_we AS DOUBLE) / d_we) / (CAST(n_wd AS DOUBLE) / d_wd),
+             6) AS rate_ratio,
+       round(ln((CAST(n_we AS DOUBLE) / d_we)
+                / (CAST(n_wd AS DOUBLE) / d_wd))
+             / sqrt(1.0 / n_we + 1.0 / n_wd), 6) AS z,
+       CAST(CASE WHEN abs(ln((CAST(n_we AS DOUBLE) / d_we)
+                             / (CAST(n_wd AS DOUBLE) / d_wd))
+                          / sqrt(1.0 / n_we + 1.0 / n_wd)) > 1.96
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM agg
+WHERE n_we > 0 AND n_wd > 0 AND d_we > 0 AND d_wd > 0
+"""
+
+
+@query("q_rate_ratio", oracle=RATE_RATIO_SQL)
+def q_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    day = F.col("ts").cast("date")
+    iso = F.when(F.dayofweek(day) == 1, F.lit(7)).otherwise(
+        F.dayofweek(day) - 1
+    )
+    days = e.groupBy(day.alias("day")).agg(
+        F.max(F.when(iso >= 6, 1).otherwise(0)).cast("bigint")
+        .alias("is_we"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint").alias("errs"),
+    )
+    agg = days.agg(
+        F.sum(F.when(F.col("is_we") == 1, F.col("errs")).otherwise(0))
+        .cast("bigint").alias("n_we"),
+        F.sum(F.when(F.col("is_we") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("d_we"),
+        F.sum(F.when(F.col("is_we") == 0, F.col("errs")).otherwise(0))
+        .cast("bigint").alias("n_wd"),
+        F.sum(F.when(F.col("is_we") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("d_wd"),
+    )
+    rate_we = F.col("n_we").cast("double") / F.col("d_we")
+    rate_wd = F.col("n_wd").cast("double") / F.col("d_wd")
+    z = F.log(rate_we / rate_wd) / F.sqrt(
+        F.lit(1.0) / F.col("n_we") + F.lit(1.0) / F.col("n_wd")
+    )
+    return (
+        agg.filter(
+            (F.col("n_we") > 0) & (F.col("n_wd") > 0)
+            & (F.col("d_we") > 0) & (F.col("d_wd") > 0)
+        )
+        .select(
+            "n_we", "d_we", "n_wd", "d_wd",
+            F.round(rate_we, 6).alias("rate_we"),
+            F.round(rate_wd, 6).alias("rate_wd"),
+            F.round(rate_we / rate_wd, 6).alias("rate_ratio"),
+            F.round(z, 6).alias("z"),
+            F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("bigint")
+            .alias("significant"),
+        )
+    )
