@@ -94,6 +94,8 @@ _WINDOW_FIRST = [
     "q_hurst_exponent", "q_newsvendor",
     "sim_silhouette", "q_prais_winsten", "q_chow_test",
     "q_rate_ratio", "mr_digraph_stats",
+    "q_spectral_power", "q_round_number_bias", "q_structuring_detect",
+    "sim_davies_bouldin", "sim_norm_profile",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

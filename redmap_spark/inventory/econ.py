@@ -546,3 +546,137 @@ def q_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / nd, 6
         ).alias("exp_cost_units"),
     ).orderBy("brand")
+
+
+# -- q_round_number_bias -----------------------------------------------
+#
+# Forensic round-number bias audit on order totals (the Benford
+# companion at the OTHER end of the digit string): are .00-cent /
+# whole-hundred / whole-thousand amounts over-represented vs the
+# uniform-endings null? Exact integer cent arithmetic (price×100 as
+# BIGINT, modulo tests), one-proportion z per pattern. Fabricated or
+# hand-keyed amounts cluster on round numbers; machine-priced ones
+# don't. Scale: one partial-aggregated scan → 3 rows.
+
+ROUND_BIAS_SQL = """
+WITH cents AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM orders
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS h100,
+         CAST(SUM(CASE WHEN c % 10000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS h10000,
+         CAST(SUM(CASE WHEN c % 100000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS h100000
+  FROM cents
+), pat AS (
+  SELECT 'cents_00' AS pattern, n, h100 AS hits, 0.01 AS p0 FROM agg
+  UNION ALL
+  SELECT 'whole_hundred', n, h10000, 0.0001 FROM agg
+  UNION ALL
+  SELECT 'whole_thousand', n, h100000, 0.00001 FROM agg
+)
+SELECT pattern, n, hits,
+       round(p0, 6) AS expected_rate,
+       round(CAST(hits AS DOUBLE) / n, 6) AS observed_rate,
+       round((CAST(hits AS DOUBLE) / n - p0)
+             / sqrt(p0 * (1.0 - p0) / n), 6) AS z,
+       CAST(CASE WHEN (CAST(hits AS DOUBLE) / n - p0)
+                      / sqrt(p0 * (1.0 - p0) / n) > 3.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS biased
+FROM pat
+ORDER BY pattern
+"""
+
+
+@query("q_round_number_bias", oracle=ROUND_BIAS_SQL)
+def q_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    c = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    agg = o.select(c.alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("c") % 100 == 0, 1).otherwise(0)).cast("bigint")
+        .alias("h100"),
+        F.sum(F.when(F.col("c") % 10000 == 0, 1).otherwise(0))
+        .cast("bigint").alias("h10000"),
+        F.sum(F.when(F.col("c") % 100000 == 0, 1).otherwise(0))
+        .cast("bigint").alias("h100000"),
+    )
+    pat = agg.selectExpr(
+        "stack(3, 'cents_00', h100, 0.01d, "
+        "'whole_hundred', h10000, 0.0001d, "
+        "'whole_thousand', h100000, 0.00001d) AS (pattern, hits, p0)",
+        "n",
+    )
+    phat = F.col("hits").cast("double") / F.col("n")
+    z = (phat - F.col("p0")) / F.sqrt(
+        F.col("p0") * (F.lit(1.0) - F.col("p0")) / F.col("n")
+    )
+    return pat.select(
+        "pattern", "n", F.col("hits").cast("bigint").alias("hits"),
+        F.round("p0", 6).alias("expected_rate"),
+        F.round(phat, 6).alias("observed_rate"),
+        F.round(z, 6).alias("z"),
+        F.when(z > 3.0, 1).otherwise(0).cast("bigint").alias("biased"),
+    ).orderBy("pattern")
+
+
+# -- q_structuring_detect ----------------------------------------------
+#
+# Structuring ("smurfing") detection on orders: customer-days where
+# TWO OR MORE orders each individually stay under the 200k reporting
+# threshold but together cross it — the classic split-transaction
+# audit. Exact decimal totals and integer counts; the flag is a pure
+# predicate so the result is hash-exact. Scale: one partial-
+# aggregated (cust, day) groupBy → flagged rows only.
+
+STRUCTURING_SQL = """
+WITH cd AS (
+  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS day_total,
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS max_order
+  FROM orders GROUP BY 1, 2
+)
+SELECT cust, CAST(day AS VARCHAR) AS day, n_orders,
+       CAST(day_total AS DOUBLE) AS day_total,
+       CAST(max_order AS DOUBLE) AS max_order
+FROM cd
+WHERE n_orders >= 2 AND max_order < 200000.00
+  AND day_total >= 200000.00
+ORDER BY cust, day
+"""
+
+
+@query("q_structuring_detect", oracle=STRUCTURING_SQL)
+def q_structuring_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    cd = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").alias("day_total"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("max_order"),
+    )
+    return (
+        cd.filter(
+            (F.col("n_orders") >= 2)
+            & (F.col("max_order") < 200000.00)
+            & (F.col("day_total") >= 200000.00)
+        )
+        .select(
+            "cust",
+            F.col("day").cast("string").alias("day"),
+            "n_orders",
+            F.col("day_total").cast("double").alias("day_total"),
+            F.col("max_order").cast("double").alias("max_order"),
+        )
+        .orderBy("cust", "day")
+    )

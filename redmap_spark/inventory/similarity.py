@@ -621,3 +621,261 @@ def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# -- sim_davies_bouldin ------------------------------------------------
+#
+# Davies–Bouldin index of the label partitioning: per label the
+# scatter σ_i = mean member-to-centroid distance (the sim_silhouette
+# machinery), centroid-pair separations M_ij on a |labels|² grid of
+# per-dim DECIMAL folds, R_ij = (σ_i+σ_j)/M_ij, DB_i = max_{j≠i},
+# DB = mean over labels. Lower is better; the pairwise-centroid
+# complement to sim_silhouette's per-point view (the two indexes
+# disagree exactly when clusters are dense but close — worth having
+# both). Scale: one explode scan + a 10×10 centroid grid.
+
+SIM_DB_SQL = """
+WITH cent AS (
+  SELECT label, i AS dim, round(AVG(embedding[i]), 6) AS c
+  FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2
+), ex AS (
+  SELECT vec_id, label, i AS dim, embedding[i] AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+), own AS (
+  SELECT vec_id, ex.label,
+         round(sqrt(CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(28,12)))
+                         AS DOUBLE)), 6) AS d
+  FROM ex JOIN cent USING (label, dim) GROUP BY 1, 2
+), sigma AS (
+  SELECT label,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS s
+  FROM own GROUP BY 1
+), sep AS (
+  SELECT a.label AS la, b.label AS lb,
+         round(sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+                                  AS DECIMAL(28,12))) AS DOUBLE)), 6) AS m
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+  GROUP BY 1, 2
+), ratio AS (
+  SELECT s.la, MAX(round((sa.s + sb.s) / s.m, 6)) AS r
+  FROM sep s
+  JOIN sigma sa ON sa.label = s.la
+  JOIN sigma sb ON sb.label = s.lb
+  WHERE s.m > 0
+  GROUP BY 1
+), db AS (
+  SELECT CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS idx
+  FROM ratio
+)
+SELECT g.label, g.n_vecs,
+       round(g.s, 6) AS sigma,
+       round(r.r, 6) AS db_component,
+       round(d.idx, 6) AS db_index
+FROM sigma g JOIN ratio r ON r.la = g.label CROSS JOIN db d
+ORDER BY g.label
+"""
+
+
+@query("sim_davies_bouldin", oracle=SIM_DB_SQL)
+def sim_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cent = cent.cache()  # consumed by own AND both sides of sep
+    own = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                        .cast("decimal(28,12)")
+                    ).cast("double")
+                ), 6
+            ).alias("d")
+        )
+    )
+    sigma = own.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.sum(F.col("d").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s"),
+    )
+    sigma = sigma.cache()  # consumed by ratio twice AND the output
+    ca = cent.select(
+        F.col("label").alias("la"), "dim", F.col("c").alias("cc_a")
+    )
+    cb = cent.select(
+        F.col("label").alias("lb"), "dim", F.col("c").alias("cc_b")
+    )
+    sep = (
+        ca.join(cb, "dim")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        ((F.col("cc_a") - F.col("cc_b"))
+                         * (F.col("cc_a") - F.col("cc_b")))
+                        .cast("decimal(28,12)")
+                    ).cast("double")
+                ), 6
+            ).alias("m")
+        )
+    )
+    sa = sigma.select(F.col("label").alias("la"), F.col("s").alias("s_a"))
+    sb = sigma.select(F.col("label").alias("lb"), F.col("s").alias("s_b"))
+    ratio = (
+        sep.filter(F.col("m") > 0)
+        .join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .groupBy("la")
+        .agg(
+            F.max(F.round((F.col("s_a") + F.col("s_b")) / F.col("m"), 6))
+            .alias("r")
+        )
+    )
+    ratio = ratio.cache()  # consumed by db AND the output
+    db = ratio.agg(
+        (
+            F.sum(F.col("r").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("idx")
+    )
+    return (
+        sigma.join(ratio, sigma.label == ratio.la)
+        .join(F.broadcast(db))
+        .select(
+            "label", "n_vecs",
+            F.round("s", 6).alias("sigma"),
+            F.round("r", 6).alias("db_component"),
+            F.round("idx", 6).alias("db_index"),
+        )
+        .orderBy("label")
+    )
+
+
+# -- sim_norm_profile --------------------------------------------------
+#
+# Embedding-norm QA profile per label: ‖v‖ distribution stats (mean,
+# CV, min, max) plus a 3σ-outlier count against the GLOBAL norm
+# distribution — near-zero or exploding norms are the classic broken-
+# embedding symptoms (truncated inference, padding rows, fp16
+# overflow) and poison cosine ANN. Per-dim x² DECIMAL folds per
+# vector, rounded norms fold exactly per label. Scale: one explode
+# scan, two grid-sized rollups.
+
+SIM_NORM_SQL = """
+WITH norms AS (
+  SELECT vec_id, label,
+         round(sqrt(CAST(SUM(CAST(embedding[i] * embedding[i]
+                                  AS DECIMAL(28,12))) AS DOUBLE)), 6)
+           AS nrm
+  FROM embeddings, generate_series(1, 64) AS t(i)
+  GROUP BY 1, 2
+), g AS (
+  SELECT CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(CAST(round(nrm * nrm, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / COUNT(*) AS m2
+  FROM norms
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*),
+             6) AS mean_norm,
+       round(sqrt(GREATEST(
+               CAST(SUM(CAST(round(nrm * nrm, 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(*))
+                 * (CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*)), 0.0))
+             / (CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(*)), 6) AS cv_norm,
+       round(MIN(nrm), 6) AS min_norm,
+       round(MAX(nrm), 6) AS max_norm,
+       CAST(SUM(CASE WHEN abs(nrm - g.mu)
+                          > 3.0 * sqrt(GREATEST(g.m2 - g.mu * g.mu, 0.0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM norms CROSS JOIN g
+GROUP BY label, g.mu, g.m2
+ORDER BY label
+"""
+
+
+@query("sim_norm_profile", oracle=SIM_NORM_SQL)
+def sim_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    norms = (
+        e.select("vec_id", "label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+                    .cast("double")
+                ), 6
+            ).alias("nrm")
+        )
+    )
+    norms = norms.cache()  # consumed by g AND the per-label rollup
+    g = norms.agg(
+        (
+            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        (
+            F.sum(F.round(F.col("nrm") * F.col("nrm"), 9)
+                  .cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    mean_n = (
+        F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    m2_n = (
+        F.sum(F.round(F.col("nrm") * F.col("nrm"), 9).cast("decimal(28,9)"))
+        .cast("double") / F.count(F.lit(1))
+    )
+    return (
+        norms.join(F.broadcast(g))
+        .groupBy("label", "mu", "m2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(mean_n, 6).alias("mean_norm"),
+            F.round(
+                F.sqrt(F.greatest(m2_n - mean_n * mean_n, F.lit(0.0)))
+                / mean_n, 6
+            ).alias("cv_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("nrm") - F.col("mu"))
+                    > 3.0 * F.sqrt(
+                        F.greatest(
+                            F.col("m2") - F.col("mu") * F.col("mu"),
+                            F.lit(0.0),
+                        )
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "label", "n_vecs", "mean_norm", "cv_norm", "min_norm",
+            "max_norm", "n_outliers",
+        )
+        .orderBy("label")
+    )

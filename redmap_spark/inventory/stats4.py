@@ -996,3 +996,116 @@ def q_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("significant"),
         )
     )
+
+
+# -- q_spectral_power --------------------------------------------------
+#
+# Single-bin DFT (Goertzel-style) power of daily revenue at the
+# three calendar frequencies (weekly / monthly / annual): amplitude
+# 2·√(C²+S²)/n from C = Σz·cos(2πt/P), S = Σz·sin(2πt/P) on the
+# mean-removed normalized series z = y/ȳ − 1, plus the share of
+# series variance each sinusoid explains (amp²/2 / var). The
+# frequency-domain companion to q_seasonality's grouped means —
+# detects cycles at ANY phase without bucketing. cos/sin arguments
+# are REDUCED to [0, 2π) via the exact integer t mod P before libm
+# (large-argument reduction is where libm implementations diverge);
+# products round to DECIMAL(28,9) pre-fold. Scale: one scan →
+# |days|×3 grid → 3 rows.
+
+SPECTRAL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS rev
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(rev) AS DECIMAL(38,2)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily
+), grid AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS t,
+         CAST(rev AS DOUBLE) / (CAST(s AS DOUBLE) / n) - 1.0 AS z,
+         n
+  FROM daily CROSS JOIN tot
+), terms AS (
+  SELECT p.period, g.n,
+         CAST(round(g.z * cos(2 * pi() * (g.t % p.period) / p.period), 9)
+              AS DECIMAL(28,9)) AS zc,
+         CAST(round(g.z * sin(2 * pi() * (g.t % p.period) / p.period), 9)
+              AS DECIMAL(28,9)) AS zs,
+         CAST(round(g.z * g.z, 9) AS DECIMAL(28,9)) AS zz
+  FROM grid g CROSS JOIN (VALUES (7), (30), (365)) p(period)
+), folds AS (
+  SELECT period, n,
+         CAST(SUM(zc) AS DOUBLE) AS c,
+         CAST(SUM(zs) AS DOUBLE) AS s,
+         CAST(SUM(zz) AS DOUBLE) AS vz
+  FROM terms GROUP BY 1, 2
+)
+SELECT period, n AS n_days,
+       round(2.0 * sqrt(c * c + s * s) / n, 6) AS amplitude,
+       round((2.0 * sqrt(c * c + s * s) / n)
+             * (2.0 * sqrt(c * c + s * s) / n) / 2.0
+             / (vz / n), 6) AS var_share
+FROM folds
+WHERE vz > 0
+ORDER BY period
+"""
+
+
+@query("q_spectral_power", oracle=SPECTRAL_SQL)
+def q_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").alias("rev")
+    )
+    daily = daily.cache()  # consumed by tot AND grid
+    tot = daily.agg(
+        F.sum("rev").cast("decimal(38,2)").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    grid = daily.join(F.broadcast(tot)).select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        (
+            F.col("rev").cast("double")
+            / (F.col("s").cast("double") / F.col("n"))
+            - F.lit(1.0)
+        ).alias("z"),
+        "n",
+    )
+    periods = spark.createDataFrame([(7,), (30,), (365,)], "period int")
+    tau = 2 * math.pi
+    arg = F.lit(tau) * (F.col("t") % F.col("period")) / F.col("period")
+    terms = grid.crossJoin(F.broadcast(periods)).select(
+        "period", "n",
+        F.round(F.col("z") * F.cos(arg), 9).cast("decimal(28,9)")
+        .alias("zc"),
+        F.round(F.col("z") * F.sin(arg), 9).cast("decimal(28,9)")
+        .alias("zs"),
+        F.round(F.col("z") * F.col("z"), 9).cast("decimal(28,9)")
+        .alias("zz"),
+    )
+    folds = terms.groupBy("period", "n").agg(
+        F.sum("zc").cast("double").alias("c"),
+        F.sum("zs").cast("double").alias("s"),
+        F.sum("zz").cast("double").alias("vz"),
+    )
+    amp = (
+        F.lit(2.0)
+        * F.sqrt(F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+        / F.col("n")
+    )
+    return (
+        folds.filter(F.col("vz") > 0)
+        .select(
+            "period",
+            F.col("n").alias("n_days"),
+            F.round(amp, 6).alias("amplitude"),
+            F.round(amp * amp / 2.0 / (F.col("vz") / F.col("n")), 6)
+            .alias("var_share"),
+        )
+        .orderBy("period")
+    )
