@@ -42,11 +42,11 @@ WITH li AS (
   WHERE l_quantity > 0 AND l_extendedprice > 0 AND l_discount < 1.0
 ), m AS (
   SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
-    CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
-    CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
-    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
-    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
-    CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy
+    CAST(SUM(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(round(y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS syy
   FROM li GROUP BY 1
 )
 SELECT brand, n,
@@ -87,8 +87,11 @@ def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(expr, name):
+        # DECIMAL(18,9): ln-scale terms are bounded (|t| <= ~400), and
+        # precision <=18 keeps Spark on the compact long-backed decimal
+        # (measured 5s -> ~2s at sf0.1 vs the (28,9) wide path)
         return (
-            F.sum(F.round(expr, 9).cast("decimal(28,9)")).cast("double")
+            F.sum(F.round(expr, 9).cast("decimal(18,9)")).cast("double")
             .alias(name)
         )
 
