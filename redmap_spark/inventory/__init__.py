@@ -31,6 +31,7 @@ from redmap_spark.inventory import stats2  # noqa: F401
 from redmap_spark.inventory import stats3  # noqa: F401
 from redmap_spark.inventory import econ  # noqa: F401
 from redmap_spark.inventory import stats4  # noqa: F401
+from redmap_spark.inventory import ml  # noqa: F401
 from redmap_spark.inventory import text3  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
@@ -96,6 +97,8 @@ _WINDOW_FIRST = [
     "q_rate_ratio", "mr_digraph_stats",
     "q_spectral_power", "q_round_number_bias", "q_structuring_detect",
     "sim_davies_bouldin", "sim_norm_profile",
+    "q_naive_bayes", "q_decision_stump", "q_median_polish",
+    "q_process_capability",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -1,0 +1,327 @@
+"""SURVEY §2 additions (round 6, ninth session) — classical ML
+primitives as exact-arithmetic DataFrame plans: Naive Bayes
+classification with a temporal train/test split, and a single-split
+decision stump chosen by Gini impurity over exact decile candidates.
+
+Both are count-based models, so training IS aggregation: the
+probability/impurity tables are grid-sized exact-integer artifacts,
+scoring is a broadcast join, and every accuracy number is an exact
+count ratio — the whole "train, score, evaluate" loop with zero
+Python and zero iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+
+# -- q_naive_bayes -----------------------------------------------------
+#
+# Laplace-smoothed Naive Bayes predicting URGENT/HIGH order priority
+# from (customer market segment, ISO weekday), trained on the first
+# half of the date range and scored on the second (the q_chow_test
+# midpoint split — a real temporal holdout, not a random one).
+# Class-conditional tables are exact integer counts; the per-row
+# score is ln P(c) + ln P(seg|c) + ln P(dow|c) compared across the
+# two classes — one identical double chain, so the prediction flag
+# is hash-exact. Output: the holdout confusion matrix and the
+# derived rates. Scale: one broadcast-dim join + two grid-sized
+# probability tables broadcast back; no shuffle past the count aggs.
+
+NB_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS seg,
+         isodow(CAST(o.o_orderdate AS DATE)) AS dow,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         o.o_orderdate AS d
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), bounds AS (
+  SELECT MIN(d) AS d0, MAX(d) AS d1 FROM base
+), split AS (
+  SELECT seg, dow, y,
+         CASE WHEN 2 * date_diff('day', b.d0, base.d)
+                   <= date_diff('day', b.d0, b.d1)
+              THEN 0 ELSE 1 END AS is_test
+  FROM base CROSS JOIN bounds b
+), prior AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0
+  FROM split WHERE is_test = 0
+), pseg AS (
+  SELECT seg,
+         CAST(SUM(y) AS BIGINT) AS c1,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0
+  FROM split WHERE is_test = 0 GROUP BY 1
+), kseg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM pseg),
+pdow AS (
+  SELECT dow,
+         CAST(SUM(y) AS BIGINT) AS c1,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0
+  FROM split WHERE is_test = 0 GROUP BY 1
+), kdow AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM pdow),
+scored AS (
+  SELECT t.y,
+         CASE WHEN
+           ln(CAST(p.n1 AS DOUBLE) / (p.n1 + p.n0))
+           + ln((s.c1 + 1.0) / (p.n1 + ks.k))
+           + ln((d.c1 + 1.0) / (p.n1 + kd.k))
+           >
+           ln(CAST(p.n0 AS DOUBLE) / (p.n1 + p.n0))
+           + ln((s.c0 + 1.0) / (p.n0 + ks.k))
+           + ln((d.c0 + 1.0) / (p.n0 + kd.k))
+         THEN 1 ELSE 0 END AS pred
+  FROM split t
+  JOIN pseg s ON s.seg = t.seg
+  JOIN pdow d ON d.dow = t.dow
+  CROSS JOIN prior p CROSS JOIN kseg ks CROSS JOIN kdow kd
+  WHERE t.is_test = 1
+), cm AS (
+  SELECT CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM scored
+)
+SELECT tp, fp, tn, fn,
+       round(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy,
+       round(CASE WHEN tp + fp > 0
+                  THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision_1,
+       round(CASE WHEN tp + fn > 0
+                  THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall_1,
+       round(CAST(tp + fn AS DOUBLE) / (tp + fp + tn + fn), 6) AS base_rate
+FROM cm
+"""
+
+
+@query("q_naive_bayes", oracle=NB_SQL)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    iso = F.when(F.dayofweek("o_orderdate") == 1, F.lit(7)).otherwise(
+        F.dayofweek("o_orderdate") - 1
+    )
+    base = cat.orders.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        iso.cast("bigint").alias("dow"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+        F.col("o_orderdate").alias("d"),
+    )
+    base = base.cache()  # consumed by bounds AND split
+    bounds = base.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    t = F.datediff(F.col("d"), F.col("d0"))
+    span = F.datediff(F.col("d1"), F.col("d0"))
+    split = base.join(F.broadcast(bounds)).select(
+        "seg", "dow", "y",
+        F.when(2 * t <= span, 0).otherwise(1).alias("is_test"),
+    )
+    split = split.cache()  # consumed by train tables AND the holdout
+    train = split.filter(F.col("is_test") == 0)
+    prior = train.agg(
+        F.sum("y").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n0"),
+    )
+    pseg = train.groupBy("seg").agg(
+        F.sum("y").cast("bigint").alias("sc1"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("sc0"),
+    )
+    pseg = pseg.cache()  # consumed by kseg AND scoring
+    kseg = pseg.agg(F.count(F.lit(1)).cast("bigint").alias("ks"))
+    pdow = train.groupBy("dow").agg(
+        F.sum("y").cast("bigint").alias("dc1"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("dc0"),
+    )
+    pdow = pdow.cache()  # consumed by kdow AND scoring
+    kdow = pdow.agg(F.count(F.lit(1)).cast("bigint").alias("kd"))
+    n1, n0 = F.col("n1"), F.col("n0")
+    score1 = (
+        F.log(n1.cast("double") / (n1 + n0))
+        + F.log((F.col("sc1") + 1.0) / (n1 + F.col("ks")))
+        + F.log((F.col("dc1") + 1.0) / (n1 + F.col("kd")))
+    )
+    score0 = (
+        F.log(n0.cast("double") / (n1 + n0))
+        + F.log((F.col("sc0") + 1.0) / (n0 + F.col("ks")))
+        + F.log((F.col("dc0") + 1.0) / (n0 + F.col("kd")))
+    )
+    scored = (
+        split.filter(F.col("is_test") == 1)
+        .join(F.broadcast(pseg), "seg")
+        .join(F.broadcast(pdow), "dow")
+        .join(F.broadcast(prior))
+        .join(F.broadcast(kseg))
+        .join(F.broadcast(kdow))
+        .select(
+            "y", F.when(score1 > score0, 1).otherwise(0).alias("pred")
+        )
+    )
+    cm = scored.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 1), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 1), 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 0), 1).otherwise(0))
+        .cast("bigint").alias("tn"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 0), 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+    )
+    tot = F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")
+    return cm.select(
+        "tp", "fp", "tn", "fn",
+        F.round((F.col("tp") + F.col("tn")).cast("double") / tot, 6)
+        .alias("accuracy"),
+        F.round(
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+            ), 6
+        ).alias("precision_1"),
+        F.round(
+            F.when(
+                F.col("tp") + F.col("fn") > 0,
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+            ), 6
+        ).alias("recall_1"),
+        F.round((F.col("tp") + F.col("fn")).cast("double") / tot, 6)
+        .alias("base_rate"),
+    )
+
+
+# -- q_decision_stump --------------------------------------------------
+#
+# Best single-split decision stump: among the 9 interior deciles of
+# customer account balance (exact lower-quantile thresholds from the
+# cumulative distinct-value grid), which split best separates
+# high-value orders (total > 300k) by weighted Gini impurity? The
+# candidate×order conditional counts come from ONE pass over a
+# 9-way broadcast threshold expansion (the q_hurst_exponent shape);
+# impurities are exact-count ratios in one double chain; the winner
+# is the min-Gini row with threshold tiebreak. Scale: one scan →
+# 9-row candidate grid.
+
+STUMP_SQL = """
+WITH ords AS (
+  SELECT CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
+         CASE WHEN o.o_totalprice > 300000 THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), balgrid AS (
+  SELECT bal, CAST(COUNT(*) AS BIGINT) AS cnt FROM ords GROUP BY 1
+), cumg AS (
+  SELECT bal,
+         CAST(SUM(cnt) OVER (ORDER BY bal) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM balgrid
+), cands AS (
+  SELECT CAST(d.d AS BIGINT) AS decile, MIN(bal) AS thr
+  FROM cumg CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(d)
+  WHERE 10 * cum >= d.d * n
+  GROUP BY 1
+), cond AS (
+  SELECT c.decile, c.thr,
+         CAST(SUM(CASE WHEN o.bal <= c.thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS nl,
+         CAST(SUM(CASE WHEN o.bal <= c.thr THEN o.y ELSE 0 END) AS BIGINT)
+           AS pl,
+         CAST(SUM(CASE WHEN o.bal > c.thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS nr,
+         CAST(SUM(CASE WHEN o.bal > c.thr THEN o.y ELSE 0 END) AS BIGINT)
+           AS pr
+  FROM ords o CROSS JOIN cands c
+  GROUP BY 1, 2
+), gini AS (
+  SELECT decile, CAST(thr AS DOUBLE) AS threshold, nl, nr,
+         (nl * (2.0 * (pl / CAST(nl AS DOUBLE))
+                * (1.0 - pl / CAST(nl AS DOUBLE)))
+          + nr * (2.0 * (pr / CAST(nr AS DOUBLE))
+                  * (1.0 - pr / CAST(nr AS DOUBLE))))
+           / (nl + nr) AS g
+  FROM cond WHERE nl > 0 AND nr > 0
+), best AS (
+  SELECT MIN(round(g, 9)) AS gmin FROM gini
+)
+SELECT g.decile, g.threshold, g.nl AS n_left, g.nr AS n_right,
+       round(g.g, 6) AS weighted_gini,
+       CAST(CASE WHEN round(g.g, 9) = b.gmin THEN 1 ELSE 0 END AS BIGINT)
+         AS is_best
+FROM gini g CROSS JOIN best b
+ORDER BY g.decile
+"""
+
+
+@query("q_decision_stump", oracle=STUMP_SQL)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ords = cat.orders.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_acctbal")),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select(
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        F.when(F.col("o_totalprice") > 300000, 1).otherwise(0).alias("y"),
+    )
+    ords = ords.cache()  # consumed by the grid AND the conditional pass
+    balgrid = ords.groupBy("bal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.orderBy("bal")  # grid-sized sort over distinct balances
+    wa = Window.partitionBy()
+    cumg = balgrid.select(
+        "bal",
+        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wa).cast("bigint").alias("n"),
+    )
+    dd = spark.range(1, 10).select(F.col("id").cast("bigint").alias("d"))
+    cands = (
+        cumg.crossJoin(F.broadcast(dd))
+        .filter(10 * F.col("cum") >= F.col("d") * F.col("n"))
+        .groupBy(F.col("d").alias("decile"))
+        .agg(F.min("bal").alias("thr"))
+    )
+    cond = (
+        ords.crossJoin(F.broadcast(cands))
+        .groupBy("decile", "thr")
+        .agg(
+            F.sum(F.when(F.col("bal") <= F.col("thr"), 1).otherwise(0))
+            .cast("bigint").alias("nl"),
+            F.sum(F.when(F.col("bal") <= F.col("thr"), F.col("y"))
+                  .otherwise(0)).cast("bigint").alias("pl"),
+            F.sum(F.when(F.col("bal") > F.col("thr"), 1).otherwise(0))
+            .cast("bigint").alias("nr"),
+            F.sum(F.when(F.col("bal") > F.col("thr"), F.col("y"))
+                  .otherwise(0)).cast("bigint").alias("pr"),
+        )
+    )
+    pl_rate = F.col("pl") / F.col("nl").cast("double")
+    pr_rate = F.col("pr") / F.col("nr").cast("double")
+    g = (
+        F.col("nl") * (2.0 * pl_rate * (F.lit(1.0) - pl_rate))
+        + F.col("nr") * (2.0 * pr_rate * (F.lit(1.0) - pr_rate))
+    ) / (F.col("nl") + F.col("nr"))
+    gini = (
+        cond.filter((F.col("nl") > 0) & (F.col("nr") > 0))
+        .select(
+            "decile",
+            F.col("thr").cast("double").alias("threshold"),
+            "nl", "nr", g.alias("g"),
+        )
+    )
+    gini = gini.cache()  # consumed by best AND the output
+    best = gini.agg(F.min(F.round("g", 9)).alias("gmin"))
+    return (
+        gini.join(F.broadcast(best))
+        .select(
+            "decile", "threshold",
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.round("g", 6).alias("weighted_gini"),
+            F.when(F.round("g", 9) == F.col("gmin"), 1).otherwise(0)
+            .cast("bigint").alias("is_best"),
+        )
+        .orderBy("decile")
+    )

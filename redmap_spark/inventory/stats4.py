@@ -1109,3 +1109,225 @@ def q_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+# -- q_median_polish ---------------------------------------------------
+#
+# Tukey median polish of the weekday × month revenue grid (two full
+# row/column sweeps): the ROBUST two-way decomposition — row and
+# column effects that outlying cells can't drag, with the residual
+# grid exposing genuine interactions (q_calendar_heatmap shows the
+# raw grid; this separates it into dow effect + month effect +
+# surprise). Uses the LOW median (the ⌈n/2⌉-th order statistic,
+# deterministic tiebreak on the cross key), so the ENTIRE polish
+# stays in exact integer cents — no division, no doubles, no
+# rounding until the final /100 display conversion. Scale: one
+# scan → 84-cell grid → 4 grid-sized sweeps.
+
+MEDIAN_POLISH_SQL = """
+WITH cells AS (
+  SELECT isodow(CAST(o_orderdate AS DATE)) AS dow,
+         month(CAST(o_orderdate AS DATE)) AS mon,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+              * 100 AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2
+), r1 AS (
+  SELECT dow, v AS lm1 FROM (
+    SELECT dow, v,
+           ROW_NUMBER() OVER (PARTITION BY dow ORDER BY v, mon) AS rn,
+           COUNT(*) OVER (PARTITION BY dow) AS cnt
+    FROM cells) t
+  WHERE rn = (cnt + 1) // 2
+), a1 AS (
+  SELECT c.dow, c.mon, c.v, c.v - r.lm1 AS v1, r.lm1
+  FROM cells c JOIN r1 r ON r.dow = c.dow
+), c1 AS (
+  SELECT mon, v1 AS cm1 FROM (
+    SELECT mon, v1,
+           ROW_NUMBER() OVER (PARTITION BY mon ORDER BY v1, dow) AS rn,
+           COUNT(*) OVER (PARTITION BY mon) AS cnt
+    FROM a1) t
+  WHERE rn = (cnt + 1) // 2
+), a2 AS (
+  SELECT a.dow, a.mon, a.v, a.lm1, a.v1 - c.cm1 AS v2, c.cm1
+  FROM a1 a JOIN c1 c ON c.mon = a.mon
+), r2 AS (
+  SELECT dow, v2 AS lm2 FROM (
+    SELECT dow, v2,
+           ROW_NUMBER() OVER (PARTITION BY dow ORDER BY v2, mon) AS rn,
+           COUNT(*) OVER (PARTITION BY dow) AS cnt
+    FROM a2) t
+  WHERE rn = (cnt + 1) // 2
+), a3 AS (
+  SELECT a.dow, a.mon, a.v, a.lm1, a.cm1, a.v2 - r.lm2 AS v3, r.lm2
+  FROM a2 a JOIN r2 r ON r.dow = a.dow
+), c2 AS (
+  SELECT mon, v3 AS cm2 FROM (
+    SELECT mon, v3,
+           ROW_NUMBER() OVER (PARTITION BY mon ORDER BY v3, dow) AS rn,
+           COUNT(*) OVER (PARTITION BY mon) AS cnt
+    FROM a3) t
+  WHERE rn = (cnt + 1) // 2
+), a4 AS (
+  SELECT a.dow, a.mon, a.v, a.lm1 + a.lm2 AS re, a.cm1 + c.cm2 AS ce,
+         a.v3 - c.cm2 AS resid
+  FROM a3 a JOIN c2 c ON c.mon = a.mon
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(mon AS BIGINT) AS mon,
+       v / 100.0 AS cell,
+       re / 100.0 AS row_effect,
+       ce / 100.0 AS col_effect,
+       resid / 100.0 AS residual
+FROM a4
+ORDER BY dow, mon
+"""
+
+
+@query("q_median_polish", oracle=MEDIAN_POLISH_SQL)
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    iso = F.when(F.dayofweek("o_orderdate") == 1, F.lit(7)).otherwise(
+        F.dayofweek("o_orderdate") - 1
+    )
+    cells = o.groupBy(
+        iso.cast("bigint").alias("dow"),
+        F.month("o_orderdate").cast("bigint").alias("mon"),
+    ).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)") * 100
+        ).cast("bigint").alias("v")
+    )
+
+    def lowmed(df, part: str, val: str, tie: str, out: str):
+        w = Window.partitionBy(part).orderBy(val, tie)
+        wc = Window.partitionBy(part)
+        return (
+            df.select(
+                part, val,
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wc).alias("cnt"),
+            )
+            .filter(
+                F.col("rn") == F.floor((F.col("cnt") + 1) / 2).cast("int")
+            )
+            .select(part, F.col(val).alias(out))
+        )
+
+    a1 = cells.join(lowmed(cells, "dow", "v", "mon", "lm1"), "dow").select(
+        "dow", "mon", "v", (F.col("v") - F.col("lm1")).alias("v1"), "lm1"
+    )
+    a2 = a1.join(lowmed(a1, "mon", "v1", "dow", "cm1"), "mon").select(
+        "dow", "mon", "v", "lm1",
+        (F.col("v1") - F.col("cm1")).alias("v2"), "cm1",
+    )
+    a3 = a2.join(lowmed(a2, "dow", "v2", "mon", "lm2"), "dow").select(
+        "dow", "mon", "v", "lm1", "cm1",
+        (F.col("v2") - F.col("lm2")).alias("v3"), "lm2",
+    )
+    a4 = a3.join(lowmed(a3, "mon", "v3", "dow", "cm2"), "mon").select(
+        "dow", "mon", "v",
+        (F.col("lm1") + F.col("lm2")).alias("re"),
+        (F.col("cm1") + F.col("cm2")).alias("ce"),
+        (F.col("v3") - F.col("cm2")).alias("resid"),
+    )
+    return a4.select(
+        "dow", "mon",
+        (F.col("v") / 100.0).alias("cell"),
+        (F.col("re") / 100.0).alias("row_effect"),
+        (F.col("ce") / 100.0).alias("col_effect"),
+        (F.col("resid") / 100.0).alias("residual"),
+    ).orderBy("dow", "mon")
+
+
+# -- q_process_capability ----------------------------------------------
+#
+# Process capability indices (Cp / Cpk) of order totals per market
+# segment against fixed spec limits [10k, 400k] — the SPC summary
+# that completes the control-chart family (q_xmr_chart watches the
+# process, q_cusum_control detects shifts, Cp/Cpk grades whether
+# the process FITS the spec at all). Exact decimal moments, exact
+# out-of-spec counts; Cp = (USL−LSL)/6σ, Cpk = min(USL−μ, μ−LSL)/3σ
+# in one identical double chain. Scale: one partial-aggregated
+# scan → |segments| rows.
+
+CPK_SQL = """
+WITH v AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), m AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sxx,
+         CAST(SUM(CASE WHEN x < 10000 OR x > 400000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS oos
+  FROM v GROUP BY 1
+), s AS (
+  SELECT seg, n, oos,
+         CAST(sx AS DOUBLE) / n AS mu,
+         sqrt(CAST(sxx AS DOUBLE) / n
+              - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+           AS sigma
+  FROM m
+)
+SELECT seg AS segment, n, oos AS n_out_of_spec,
+       round(CAST(oos AS DOUBLE) / n, 6) AS oos_rate,
+       round(mu, 6) AS mean_total,
+       round((400000.0 - 10000.0) / (6.0 * sigma), 6) AS cp,
+       round(CASE WHEN 400000.0 - mu < mu - 10000.0
+                  THEN (400000.0 - mu) / (3.0 * sigma)
+                  ELSE (mu - 10000.0) / (3.0 * sigma) END, 6) AS cpk
+FROM s
+WHERE sigma > 0
+ORDER BY seg
+"""
+
+
+@query("q_process_capability", oracle=CPK_SQL)
+def q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    m = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(F.col("c_mktsegment").alias("seg"), x.alias("x"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("decimal(38,2)").alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)"))
+            .cast("decimal(38,4)").alias("sxx"),
+            F.sum(
+                F.when((F.col("x") < 10000) | (F.col("x") > 400000), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("oos"),
+        )
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    sigma = F.sqrt(F.col("sxx").cast("double") / F.col("n") - mu * mu)
+    return (
+        m.withColumn("mu", mu).withColumn("sigma", sigma)
+        .filter(F.col("sigma") > 0)
+        .select(
+            F.col("seg").alias("segment"), "n",
+            F.col("oos").alias("n_out_of_spec"),
+            F.round(F.col("oos").cast("double") / F.col("n"), 6)
+            .alias("oos_rate"),
+            F.round("mu", 6).alias("mean_total"),
+            F.round(
+                (F.lit(400000.0) - 10000.0) / (6.0 * F.col("sigma")), 6
+            ).alias("cp"),
+            F.round(
+                F.when(
+                    F.lit(400000.0) - F.col("mu") < F.col("mu") - 10000.0,
+                    (F.lit(400000.0) - F.col("mu")) / (3.0 * F.col("sigma")),
+                ).otherwise(
+                    (F.col("mu") - 10000.0) / (3.0 * F.col("sigma"))
+                ), 6
+            ).alias("cpk"),
+        )
+        .orderBy("segment")
+    )
