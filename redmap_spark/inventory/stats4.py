@@ -1331,3 +1331,235 @@ def q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# -- q_holm_adjust -----------------------------------------------------
+#
+# Holm step-DOWN familywise-error correction over 25 simultaneous
+# per-brand "is this brand's mean order quantity off the global
+# mean?" z-tests — the FWER sibling of q_bh_fdr's FDR step-up (Holm
+# controls ANY false positive; BH controls the false-discovery
+# RATE; run on different test families by design). Same exact
+# decimal moments and A&S 7.1.26 erfc p-values (pre-rounded to 9 so
+# the ordering is cross-engine stable); Holm adjustment is the
+# prefix-MAX of (m−j+1)·p over ascending p, capped at 1. Scale: one
+# broadcast-dim join + partial-aggregated scan → 25-row grid.
+
+HOLM_SQL = """
+WITH li AS (
+  SELECT p.p_brand AS brand, CAST(l.l_quantity AS DECIMAL(8,2)) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), per AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(q) AS DECIMAL(28,2)) AS s1
+  FROM li GROUP BY 1
+), gstat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS DECIMAL(28,2)) AS s,
+         CAST(SUM(CAST(q * q AS DECIMAL(16,4))) AS DECIMAL(38,4)) AS ssq
+  FROM li
+), zt AS (
+  SELECT brand, n1,
+         round(CAST(s1 AS DOUBLE) / n1, 6) AS mean_qty,
+         round(
+           (CAST(s1 AS DOUBLE) / n1 - CAST(s AS DOUBLE) / n)
+           / (sqrt((CAST(ssq AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+              / sqrt(CAST(n1 AS DOUBLE))), 6) AS z
+  FROM per CROSS JOIN gstat
+), pv AS (
+  SELECT brand, n1, mean_qty, z,
+         round(
+           (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+           * (0.254829592
+              + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+              * (-0.284496736
+                 + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                 * (1.421413741
+                    + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                    * (-1.453152027
+                       + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                       * 1.061405429))))
+           * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0))), 9)
+           AS p_raw
+  FROM zt
+), rk AS (
+  SELECT brand, n1, mean_qty, z, p_raw,
+         ROW_NUMBER() OVER (ORDER BY p_raw, brand) AS j,
+         COUNT(*) OVER () AS m
+  FROM pv
+)
+SELECT brand, n1, mean_qty, z, p_raw,
+       round(LEAST(1.0,
+         MAX(p_raw * (m - j + 1)) OVER (ORDER BY j)), 6) AS p_holm,
+       CASE WHEN round(LEAST(1.0,
+              MAX(p_raw * (m - j + 1)) OVER (ORDER BY j)), 6) <= 0.05
+            THEN 1 ELSE 0 END AS rejected
+FROM rk
+ORDER BY brand
+"""
+
+
+@query("q_holm_adjust", oracle=HOLM_SQL)
+def q_holm_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.join(
+        F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_quantity").cast("decimal(8,2)").alias("q"),
+    )
+    li = li.cache()  # consumed by per AND gstat
+    per = li.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("q").cast("decimal(28,2)").alias("s1"),
+    )
+    gstat = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("decimal(28,2)").alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(16,4)"))
+        .cast("decimal(38,4)").alias("ssq"),
+    )
+    n, n1 = F.col("n"), F.col("n1")
+    sd, s1d = F.col("s").cast("double"), F.col("s1").cast("double")
+    mean1 = s1d / n1
+    sigma = F.sqrt((F.col("ssq").cast("double") - sd * sd / n) / n)
+    z = (mean1 - sd / n) / (sigma / F.sqrt(n1.cast("double")))
+    zt = per.join(F.broadcast(gstat)).select(
+        "brand", "n1",
+        F.round(mean1, 6).alias("mean_qty"),
+        F.round(z, 6).alias("z"),
+    )
+    x = F.abs(F.col("z")) / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736
+               + t * (1.421413741
+                      + t * (-1.453152027 + t * 1.061405429)))
+    )
+    pv = zt.select(
+        "brand", "n1", "mean_qty", "z",
+        F.round(poly * F.exp(-x * x), 9).alias("p_raw"),
+    )
+    w = Window.orderBy("p_raw", "brand")  # 25-row grid sort
+    rk = pv.select(
+        "*",
+        F.row_number().over(w).alias("j"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    prefix_max = F.max(
+        F.col("p_raw") * (F.col("m") - F.col("j") + 1)
+    ).over(Window.orderBy("j"))
+    p_holm = F.round(F.least(F.lit(1.0), prefix_max), 6)
+    return rk.select(
+        "brand", "n1", "mean_qty", "z", "p_raw",
+        p_holm.alias("p_holm"),
+        F.when(p_holm <= 0.05, 1).otherwise(0).alias("rejected"),
+    ).orderBy("brand")
+
+
+# -- q_gamma_moments ---------------------------------------------------
+#
+# Method-of-moments Gamma fit of order totals per market segment
+# (shape k = μ²/σ², scale θ = σ²/μ) with the built-in adequacy
+# check: a true Gamma(k,θ) has skewness 2/√k, so empirical skewness
+# (width-safe exact decimal power sums — the q_jarque_bera widths)
+# vs 2/√k measures how Gamma-like the spend distribution really is
+# before anyone samples from the fit. Scale: one broadcast-dim
+# join, one partial-aggregated scan → |segments| rows.
+
+GAMMA_SQL = """
+WITH v AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), m AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,2)) AS s1,
+         CAST(SUM(CAST(x * x AS DECIMAL(19,4))) AS DECIMAL(38,4)) AS s2,
+         CAST(SUM(CAST(CAST(x * x AS DECIMAL(19,4)) * x
+                       AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS s3
+  FROM v GROUP BY 1
+), c AS (
+  SELECT seg, n,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n
+           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+         CAST(s3 AS DOUBLE) / n
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n) AS m3
+  FROM m
+)
+SELECT seg AS segment, n,
+       round(mu, 6) AS mean_total,
+       round(mu * mu / m2, 6) AS k_shape,
+       round(m2 / mu, 6) AS theta_scale,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skew_empirical,
+       round(2.0 / sqrt(mu * mu / m2), 6) AS skew_gamma,
+       round(abs(m3 / (m2 * sqrt(m2)) - 2.0 / sqrt(mu * mu / m2)), 6)
+         AS skew_gap
+FROM c
+WHERE m2 > 0 AND mu > 0
+ORDER BY seg
+"""
+
+
+@query("q_gamma_moments", oracle=GAMMA_SQL)
+def q_gamma_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    x2 = (x * x).cast("decimal(19,4)")
+    m = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(F.col("c_mktsegment").alias("seg"), x.alias("xv"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xv").cast("decimal(38,2)").alias("s1"),
+            F.sum((F.col("xv") * F.col("xv")).cast("decimal(19,4)"))
+            .cast("decimal(38,4)").alias("s2"),
+            F.sum(
+                ((F.col("xv") * F.col("xv")).cast("decimal(19,4)")
+                 * F.col("xv")).cast("decimal(27,6)")
+            ).cast("decimal(38,6)").alias("s3"),
+        )
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    s2d = F.col("s2").cast("double") / n
+    s3d = F.col("s3").cast("double") / n
+    m2 = s2d - mu * mu
+    m3 = s3d - 3.0 * mu * s2d + 2.0 * mu * mu * mu
+    k = mu * mu / m2
+    return (
+        m.withColumn("mu", mu).withColumn("m2", m2).withColumn("m3", m3)
+        .filter((F.col("m2") > 0) & (F.col("mu") > 0))
+        .select(
+            F.col("seg").alias("segment"), "n",
+            F.round("mu", 6).alias("mean_total"),
+            F.round(
+                F.col("mu") * F.col("mu") / F.col("m2"), 6
+            ).alias("k_shape"),
+            F.round(F.col("m2") / F.col("mu"), 6).alias("theta_scale"),
+            F.round(
+                F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 6
+            ).alias("skew_empirical"),
+            F.round(
+                F.lit(2.0)
+                / F.sqrt(F.col("mu") * F.col("mu") / F.col("m2")), 6
+            ).alias("skew_gamma"),
+            F.round(
+                F.abs(
+                    F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))
+                    - F.lit(2.0)
+                    / F.sqrt(F.col("mu") * F.col("mu") / F.col("m2"))
+                ), 6
+            ).alias("skew_gap"),
+        )
+        .orderBy("segment")
+    )

@@ -111,3 +111,153 @@ def txt_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- txt_kn_perplexity -------------------------------------------------
+#
+# Interpolated Kneser–Ney bigram language model (Kneser & Ney 1995;
+# Chen & Goodman 1998), trained on the md5-parity half of the corpus
+# and scored on the other half: P(w|u) = max(c(uw)−d,0)/c(u·) +
+# d·N₁₊(u·)/c(u·) · N₁₊(·w)/|bigram types|, d = 0.75. KN's
+# continuation counts are what distinguish it from txt_perplexity's
+# add-k unigram scorer — "Francisco" is frequent but only ever
+# follows "San", and N₁₊(·w) encodes exactly that. Scoring covers
+# test bigrams whose context AND continuation both occur in
+# training (coverage reported). Counts are exact integers; per-
+# bigram −ln P rounds to DECIMAL(18,9) pre-fold. Scale: token
+# explode → grid-sized count tables joined back to test bigrams.
+
+KN_SQL = """
+WITH docs2 AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_train
+  FROM documents WHERE length(text) > 0
+), big_tr AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM docs2 WHERE is_train AND len(t) >= 2
+), cb AS (
+  SELECT string_split(bg, ' ')[1] AS u, string_split(bg, ' ')[2] AS w,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM big_tr GROUP BY 1, 2
+), cu AS (
+  SELECT u, CAST(SUM(c) AS BIGINT) AS cu,
+         CAST(COUNT(*) AS BIGINT) AS n1u
+  FROM cb GROUP BY 1
+), cont AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n1w FROM cb GROUP BY 1
+), types AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM cb
+), te AS (
+  SELECT source,
+         string_split(bg, ' ')[1] AS u, string_split(bg, ' ')[2] AS w
+  FROM (
+    SELECT source, unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM docs2 WHERE NOT is_train AND len(t) >= 2
+  )
+), scored AS (
+  SELECT te.source,
+         CASE WHEN cu.u IS NOT NULL AND ct.w IS NOT NULL THEN
+           CAST(round(-ln(
+             GREATEST(COALESCE(cb.c, 0) - 0.75, 0.0) / cu.cu
+             + 0.75 * cu.n1u / cu.cu * (ct.n1w / CAST(ty.bt AS DOUBLE))
+           ), 9) AS DECIMAL(18,9))
+         END AS nll
+  FROM te
+  LEFT JOIN cu ON cu.u = te.u
+  LEFT JOIN cont ct ON ct.w = te.w
+  LEFT JOIN cb ON cb.u = te.u AND cb.w = te.w
+  CROSS JOIN types ty
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(nll) AS BIGINT) AS n_scored,
+       round(CAST(COUNT(nll) AS DOUBLE) / COUNT(*), 6) AS coverage,
+       round(CAST(SUM(nll) AS DOUBLE) / COUNT(nll), 6) AS avg_nll,
+       round(exp(CAST(SUM(nll) AS DOUBLE) / COUNT(nll)), 6) AS perplexity
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("txt_kn_perplexity", oracle=KN_SQL)
+def txt_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    docs2 = d.filter(F.length("text") > 0).select(
+        "doc_id", "source",
+        F.split("text", " ").alias("t"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            < "8"
+        ).alias("is_train"),
+    )
+    docs2 = docs2.cache()  # consumed by the train AND test explodes
+
+    def bigrams(df):
+        return df.filter(F.size("t") >= 2).select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("u"),
+                        F.element_at("t", i + 1).alias("w"),
+                    ),
+                )
+            ).alias("p"),
+        ).select("source", "p.u", "p.w")
+
+    cb = (
+        bigrams(docs2.filter("is_train"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cb = cb.cache()  # consumed by cu, cont, types AND scoring
+    cu = cb.groupBy("u").agg(
+        F.sum("c").cast("bigint").alias("cu"),
+        F.count(F.lit(1)).cast("bigint").alias("n1u"),
+    )
+    cont = cb.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1w")
+    )
+    types = cb.agg(F.count(F.lit(1)).cast("bigint").alias("bt"))
+    te = bigrams(docs2.filter(~F.col("is_train")))
+    p = (
+        F.greatest(
+            F.coalesce(F.col("c"), F.lit(0)) - 0.75, F.lit(0.0)
+        ) / F.col("cu")
+        + F.lit(0.75) * F.col("n1u") / F.col("cu")
+        * (F.col("n1w") / F.col("bt").cast("double"))
+    )
+    scored = (
+        te.join(F.broadcast(cu), "u", "left")
+        .join(F.broadcast(cont), "w", "left")
+        .join(F.broadcast(cb), ["u", "w"], "left")
+        .join(F.broadcast(types))
+        .select(
+            "source",
+            F.when(
+                F.col("cu").isNotNull() & F.col("n1w").isNotNull(),
+                F.round(-F.log(p), 9).cast("decimal(18,9)"),
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.count("nll").cast("bigint").alias("n_scored"),
+            F.round(
+                F.count("nll").cast("double") / F.count(F.lit(1)), 6
+            ).alias("coverage"),
+            F.round(
+                F.sum("nll").cast("double") / F.count("nll"), 6
+            ).alias("avg_nll"),
+            F.round(
+                F.exp(F.sum("nll").cast("double") / F.count("nll")), 6
+            ).alias("perplexity"),
+        )
+        .orderBy("source")
+    )
