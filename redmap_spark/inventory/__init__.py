@@ -100,6 +100,7 @@ _WINDOW_FIRST = [
     "q_naive_bayes", "q_decision_stump", "q_median_polish",
     "q_process_capability",
     "txt_kn_perplexity", "q_holm_adjust", "q_gamma_moments",
+    "q_gmm_em", "q_cvm_test",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -325,3 +325,293 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# -- q_gmm_em ----------------------------------------------------------
+#
+# Two-component 1-D Gaussian mixture on order totals, fit by THREE
+# unrolled EM iterations — iterative ML as a deterministic DataFrame
+# plan. Init is exact (μ = P25/P75 lower quantiles off the
+# cumulative distinct-value grid, σ = global, π = 0.5);
+# responsibilities are computed in LOG space (r = σ(la−lb), so a
+# point far from both means underflows to a deterministic 0/1
+# instead of NaN); every M-step moment folds per-row terms rounded
+# to DECIMAL (r→9, r·x→4, r·x²→2) so the refit is partition-order
+# independent. Reports both components plus the final per-row
+# average log-likelihood (log-sum-exp, shift by the larger
+# exponent). Scale: init grid + 3 cached-scan M-steps + 1 loglik
+# scan, params broadcast back each round — the standard distributed
+# EM shape with k fixed.
+
+GMM_SQL = """
+WITH v AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS x
+  FROM orders
+), g AS (
+  SELECT CAST(x AS DECIMAL(18,2)) AS xv, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1
+), cum AS (
+  SELECT xv, CAST(SUM(cnt) OVER (ORDER BY xv) AS BIGINT) AS c,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM g
+), q25 AS (
+  SELECT CAST(MIN(xv) AS DOUBLE) AS mu1 FROM cum WHERE 4 * c >= n
+), q75 AS (
+  SELECT CAST(MIN(xv) AS DOUBLE) AS mu2 FROM cum WHERE 4 * c >= 3 * n
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s1,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s2
+  FROM v
+), p0 AS (
+  SELECT q25.mu1, q75.mu2,
+         sqrt(CAST(s2 AS DOUBLE) / n
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+           AS sg1,
+         sqrt(CAST(s2 AS DOUBLE) / n
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+           AS sg2,
+         0.5 AS pi1
+  FROM q25 CROSS JOIN q75 CROSS JOIN mom
+), e1 AS (
+  SELECT x,
+         round(1.0 / (1.0 + exp(
+           (ln(1.0 - p.pi1) - ln(p.sg2)
+            - (x - p.mu2) * (x - p.mu2) / (2.0 * p.sg2 * p.sg2))
+           - (ln(p.pi1) - ln(p.sg1)
+              - (x - p.mu1) * (x - p.mu1) / (2.0 * p.sg1 * p.sg1)))),
+           9) AS r
+  FROM v CROSS JOIN p0 p
+), m1 AS (
+  SELECT CAST(SUM(CAST(r AS DECIMAL(18,9))) AS DOUBLE) AS n1,
+         CAST(SUM(CAST(round(r * x, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sx1,
+         CAST(SUM(CAST(round(r * x * x, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS sxx1,
+         CAST(SUM(CAST(round((1.0 - r) * x, 4) AS DECIMAL(38,4)))
+              AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(round((1.0 - r) * x * x, 2) AS DECIMAL(38,2)))
+              AS DOUBLE) AS sxx2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e1
+), p1 AS (
+  SELECT sx1 / n1 AS mu1, sx2 / (n - n1) AS mu2,
+         sqrt(GREATEST(sxx1 / n1 - (sx1 / n1) * (sx1 / n1), 1e-6)) AS sg1,
+         sqrt(GREATEST(sxx2 / (n - n1) - (sx2 / (n - n1)) * (sx2 / (n - n1)),
+                       1e-6)) AS sg2,
+         n1 / n AS pi1
+  FROM m1
+), e2 AS (
+  SELECT x,
+         round(1.0 / (1.0 + exp(
+           (ln(1.0 - p.pi1) - ln(p.sg2)
+            - (x - p.mu2) * (x - p.mu2) / (2.0 * p.sg2 * p.sg2))
+           - (ln(p.pi1) - ln(p.sg1)
+              - (x - p.mu1) * (x - p.mu1) / (2.0 * p.sg1 * p.sg1)))),
+           9) AS r
+  FROM v CROSS JOIN p1 p
+), m2 AS (
+  SELECT CAST(SUM(CAST(r AS DECIMAL(18,9))) AS DOUBLE) AS n1,
+         CAST(SUM(CAST(round(r * x, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sx1,
+         CAST(SUM(CAST(round(r * x * x, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS sxx1,
+         CAST(SUM(CAST(round((1.0 - r) * x, 4) AS DECIMAL(38,4)))
+              AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(round((1.0 - r) * x * x, 2) AS DECIMAL(38,2)))
+              AS DOUBLE) AS sxx2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e2
+), p2 AS (
+  SELECT sx1 / n1 AS mu1, sx2 / (n - n1) AS mu2,
+         sqrt(GREATEST(sxx1 / n1 - (sx1 / n1) * (sx1 / n1), 1e-6)) AS sg1,
+         sqrt(GREATEST(sxx2 / (n - n1) - (sx2 / (n - n1)) * (sx2 / (n - n1)),
+                       1e-6)) AS sg2,
+         n1 / n AS pi1
+  FROM m2
+), e3 AS (
+  SELECT x,
+         round(1.0 / (1.0 + exp(
+           (ln(1.0 - p.pi1) - ln(p.sg2)
+            - (x - p.mu2) * (x - p.mu2) / (2.0 * p.sg2 * p.sg2))
+           - (ln(p.pi1) - ln(p.sg1)
+              - (x - p.mu1) * (x - p.mu1) / (2.0 * p.sg1 * p.sg1)))),
+           9) AS r
+  FROM v CROSS JOIN p2 p
+), m3 AS (
+  SELECT CAST(SUM(CAST(r AS DECIMAL(18,9))) AS DOUBLE) AS n1,
+         CAST(SUM(CAST(round(r * x, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sx1,
+         CAST(SUM(CAST(round(r * x * x, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS sxx1,
+         CAST(SUM(CAST(round((1.0 - r) * x, 4) AS DECIMAL(38,4)))
+              AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(round((1.0 - r) * x * x, 2) AS DECIMAL(38,2)))
+              AS DOUBLE) AS sxx2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e3
+), p3 AS (
+  SELECT sx1 / n1 AS mu1, sx2 / (n - n1) AS mu2,
+         sqrt(GREATEST(sxx1 / n1 - (sx1 / n1) * (sx1 / n1), 1e-6)) AS sg1,
+         sqrt(GREATEST(sxx2 / (n - n1) - (sx2 / (n - n1)) * (sx2 / (n - n1)),
+                       1e-6)) AS sg2,
+         n1 / n AS pi1, n
+  FROM m3
+), ll AS (
+  SELECT CAST(SUM(CAST(round(
+           GREATEST(ln(p.pi1) - ln(p.sg1) - 0.918938533204672741
+                      - (x - p.mu1) * (x - p.mu1) / (2.0 * p.sg1 * p.sg1),
+                    ln(1.0 - p.pi1) - ln(p.sg2) - 0.918938533204672741
+                      - (x - p.mu2) * (x - p.mu2) / (2.0 * p.sg2 * p.sg2))
+           + ln(1.0 + exp(
+               -abs((ln(p.pi1) - ln(p.sg1)
+                     - (x - p.mu1) * (x - p.mu1) / (2.0 * p.sg1 * p.sg1))
+                    - (ln(1.0 - p.pi1) - ln(p.sg2)
+                       - (x - p.mu2) * (x - p.mu2)
+                         / (2.0 * p.sg2 * p.sg2))))), 6)
+         AS DECIMAL(28,6))) AS DOUBLE) / MAX(p.n) AS avg_ll
+  FROM v CROSS JOIN p3 p
+)
+SELECT c.k AS component,
+       round(CASE WHEN c.k = 1 THEN p.pi1 ELSE 1.0 - p.pi1 END, 6)
+         AS weight,
+       round(CASE WHEN c.k = 1 THEN p.mu1 ELSE p.mu2 END, 6) AS mu,
+       round(CASE WHEN c.k = 1 THEN p.sg1 ELSE p.sg2 END, 6) AS sigma,
+       round(l.avg_ll, 6) AS avg_loglik
+FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) c(k)
+CROSS JOIN p3 p CROSS JOIN ll l
+ORDER BY c.k
+"""
+
+
+@query("q_gmm_em", oracle=GMM_SQL)
+def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    v = o.select(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("x")
+    )
+    v = v.cache()  # consumed by init grid, 3 E-steps AND the loglik scan
+    g = v.groupBy(F.col("x").cast("decimal(18,2)").alias("xv")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.orderBy("xv")  # distinct-value grid sort
+    wa = Window.partitionBy()
+    cum = g.select(
+        "xv",
+        F.sum("cnt").over(wc).cast("bigint").alias("c"),
+        F.sum("cnt").over(wa).cast("bigint").alias("n"),
+    )
+    cum = cum.cache()  # consumed by both quantile picks
+    q25 = cum.filter(4 * F.col("c") >= F.col("n")).agg(
+        F.min("xv").cast("double").alias("mu1")
+    )
+    q75 = cum.filter(4 * F.col("c") >= 3 * F.col("n")).agg(
+        F.min("xv").cast("double").alias("mu2")
+    )
+    mom = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("decimal(38,2)")
+        .alias("s1"),
+        F.sum(
+            (F.col("x").cast("decimal(18,2)") * F.col("x").cast("decimal(18,2)"))
+            .cast("decimal(38,4)")
+        ).cast("decimal(38,4)").alias("s2"),
+    )
+    mu_g = F.col("s1").cast("double") / F.col("nn")
+    sg_g = F.sqrt(F.col("s2").cast("double") / F.col("nn") - mu_g * mu_g)
+    p = (
+        q25.join(F.broadcast(q75)).join(F.broadcast(mom))
+        .select(
+            "mu1", "mu2",
+            sg_g.alias("sg1"), sg_g.alias("sg2"),
+            F.lit(0.5).alias("pi1"),
+        )
+    )
+
+    def la_lb():
+        la = (
+            F.log("pi1") - F.log("sg1")
+            - (F.col("x") - F.col("mu1")) * (F.col("x") - F.col("mu1"))
+            / (2.0 * F.col("sg1") * F.col("sg1"))
+        )
+        lb = (
+            F.log(F.lit(1.0) - F.col("pi1")) - F.log("sg2")
+            - (F.col("x") - F.col("mu2")) * (F.col("x") - F.col("mu2"))
+            / (2.0 * F.col("sg2") * F.col("sg2"))
+        )
+        return la, lb
+
+    for _ in range(3):
+        la, lb = la_lb()
+        e = v.join(F.broadcast(p)).select(
+            "x",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(lb - la)), 9)
+            .alias("r"),
+        )
+        m = e.agg(
+            F.sum(F.col("r").cast("decimal(18,9)")).cast("double")
+            .alias("n1"),
+            F.sum(F.round(F.col("r") * F.col("x"), 4).cast("decimal(38,4)"))
+            .cast("double").alias("sx1"),
+            F.sum(
+                F.round(F.col("r") * F.col("x") * F.col("x"), 2)
+                .cast("decimal(38,2)")
+            ).cast("double").alias("sxx1"),
+            F.sum(
+                F.round((F.lit(1.0) - F.col("r")) * F.col("x"), 4)
+                .cast("decimal(38,4)")
+            ).cast("double").alias("sx2"),
+            F.sum(
+                F.round((F.lit(1.0) - F.col("r")) * F.col("x") * F.col("x"),
+                        2).cast("decimal(38,2)")
+            ).cast("double").alias("sxx2"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        n1, n = F.col("n1"), F.col("n")
+        mu1 = F.col("sx1") / n1
+        mu2 = F.col("sx2") / (n - n1)
+        p = m.select(
+            mu1.alias("mu1"), mu2.alias("mu2"),
+            F.sqrt(
+                F.greatest(F.col("sxx1") / n1 - mu1 * mu1, F.lit(1e-6))
+            ).alias("sg1"),
+            F.sqrt(
+                F.greatest(
+                    F.col("sxx2") / (n - n1) - mu2 * mu2, F.lit(1e-6)
+                )
+            ).alias("sg2"),
+            (n1 / n).alias("pi1"),
+            n.alias("n"),
+        )
+
+    la, lb = la_lb()
+    lc = F.lit(0.918938533204672741)  # ln(sqrt(2*pi))
+    lad, lbd = la - lc, lb - lc
+    ll_term = F.greatest(lad, lbd) + F.log(
+        F.lit(1.0) + F.exp(-F.abs(lad - lbd))
+    )
+    ll = v.join(F.broadcast(p)).agg(
+        (
+            F.sum(F.round(ll_term, 6).cast("decimal(28,6)")).cast("double")
+            / F.max("n")
+        ).alias("avg_ll")
+    )
+    comps = spark.createDataFrame([(1,), (2,)], "k bigint")
+    return (
+        comps.join(F.broadcast(p)).join(F.broadcast(ll))
+        .select(
+            F.col("k").alias("component"),
+            F.round(
+                F.when(F.col("k") == 1, F.col("pi1"))
+                .otherwise(F.lit(1.0) - F.col("pi1")), 6
+            ).alias("weight"),
+            F.round(
+                F.when(F.col("k") == 1, F.col("mu1")).otherwise(F.col("mu2")),
+                6,
+            ).alias("mu"),
+            F.round(
+                F.when(F.col("k") == 1, F.col("sg1")).otherwise(F.col("sg2")),
+                6,
+            ).alias("sigma"),
+            F.round("avg_ll", 6).alias("avg_loglik"),
+        )
+        .orderBy("component")
+    )

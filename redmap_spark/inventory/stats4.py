@@ -1563,3 +1563,104 @@ def q_gamma_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# -- q_cvm_test --------------------------------------------------------
+#
+# Two-sample Cramér–von Mises test comparing the weekday vs weekend
+# DAILY REVENUE distributions: T = U/(N·n·m) − (4nm−1)/(6N) with
+# U = n·Σ(rᵢ−i)² + m·Σ(sⱼ−j)² over pooled ranks — the INTEGRATED
+# distribution-distance companion to q_ks_test's supremum (CvM sees
+# spread-out differences KS misses). Pooled and within-group ranks
+# share one total order (value, then day — a deterministic tiebreak
+# on the unique key, per the registry rule), so U is EXACT INTEGER;
+# only the final normalization is double. α=0.05 critical value
+# 0.461. Scale: one scan → |days| grid with two grid sorts → 1 row.
+
+CVM_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CASE WHEN isodow(CAST(o_orderdate AS DATE)) >= 6
+              THEN 1 ELSE 0 END AS grp,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS rev
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT grp,
+         ROW_NUMBER() OVER (ORDER BY rev, day) AS r,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rev, day) AS i
+  FROM daily
+), counts AS (
+  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM ranked
+), u AS (
+  SELECT CAST(SUM(CASE WHEN grp = 0
+                       THEN (r - i) * (r - i) END) AS BIGINT) AS su_n,
+         CAST(SUM(CASE WHEN grp = 1
+                       THEN (r - i) * (r - i) END) AS BIGINT) AS su_m
+  FROM ranked
+)
+SELECT c.n AS n_weekday, c.m AS n_weekend,
+       CAST(c.n * u.su_n + c.m * u.su_m AS BIGINT) AS u_stat,
+       round(CAST(c.n * u.su_n + c.m * u.su_m AS DOUBLE)
+             / (CAST(c.n AS DOUBLE) * c.m * (c.n + c.m))
+             - (4.0 * c.n * c.m - 1.0) / (6.0 * (c.n + c.m)), 6) AS t_stat,
+       CAST(CASE WHEN CAST(c.n * u.su_n + c.m * u.su_m AS DOUBLE)
+                      / (CAST(c.n AS DOUBLE) * c.m * (c.n + c.m))
+                      - (4.0 * c.n * c.m - 1.0) / (6.0 * (c.n + c.m))
+                      > 0.461
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM counts c CROSS JOIN u
+"""
+
+
+@query("q_cvm_test", oracle=CVM_SQL)
+def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    day = F.col("o_orderdate").cast("date")
+    iso = F.when(F.dayofweek("o_orderdate") == 1, F.lit(7)).otherwise(
+        F.dayofweek("o_orderdate") - 1
+    )
+    daily = o.groupBy(
+        day.alias("day"),
+        F.when(iso >= 6, 1).otherwise(0).alias("grp"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").alias("rev")
+    )
+    wp = Window.orderBy("rev", "day")  # grid sort over unique days
+    wg = Window.partitionBy("grp").orderBy("rev", "day")
+    ranked = daily.select(
+        "grp",
+        F.row_number().over(wp).alias("r"),
+        F.row_number().over(wg).alias("i"),
+    )
+    ranked = ranked.cache()  # consumed by counts AND u
+    counts = ranked.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("m"),
+    )
+    d2 = (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
+    u = ranked.agg(
+        F.sum(F.when(F.col("grp") == 0, d2)).cast("bigint").alias("su_n"),
+        F.sum(F.when(F.col("grp") == 1, d2)).cast("bigint").alias("su_m"),
+    )
+    n, m = F.col("n"), F.col("m")
+    ustat = n * F.col("su_n") + m * F.col("su_m")
+    t_stat = ustat.cast("double") / (
+        n.cast("double") * m * (n + m)
+    ) - (4.0 * n * m - 1.0) / (6.0 * (n + m))
+    return (
+        counts.join(F.broadcast(u))
+        .select(
+            n.alias("n_weekday"),
+            m.alias("n_weekend"),
+            ustat.cast("bigint").alias("u_stat"),
+            F.round(t_stat, 6).alias("t_stat"),
+            F.when(t_stat > 0.461, 1).otherwise(0).cast("bigint")
+            .alias("significant"),
+        )
+    )

@@ -855,3 +855,108 @@ def quantile_sketch_estimates(spark, sketch_path: str) -> DataFrame:
     return sized.groupBy("key").agg(
         F.max("m").cast("bigint").alias("m"), at(0.5), at(0.9), at(0.99)
     )
+
+
+# -------------------------- foreachBatch → Page–Hinkley drift state
+
+
+def stream_to_page_hinkley(state_path: str, key_col: str = "event_type",
+                           value_col: str = "value",
+                           delta: float = 0.005, lam: float = 0.25):
+    """Maintain a per-key Page–Hinkley drift statistic over the
+    micro-batch mean of ``value_col`` (the streaming twin of
+    inventory q_page_hinkley, at batch granularity). Returns the
+    ``writeStream.foreachBatch`` sink.
+
+    PH is a LEFT FOLD over history (running mean, cumulative slack
+    sum, running minimum) — non-commutative like the EWMA, so the
+    ordered staging log IS the state (the stream_to_ewma contract):
+    each batch appends its per-key exact-decimal (sum, count) tagged
+    with batch_id (a retry re-appends byte-identical rows, deduped
+    on (key, batch_id)), and the published state recomputes the
+    whole fold from the last ``HORIZON`` (256) staged batches in
+    batch_id order. Batch means are normalized by the key's
+    horizon-wide mean so delta/lambda live on the ~1.0 z scale at
+    any traffic volume; every cumulative fold is an exact DECIMAL
+    cumsum (per-term rounded to 9), so replays are bit-identical.
+    Per-key state row: last batch, n_batches folded, z, ph, ph_min,
+    and the drift flag ph − ph_min > lambda.
+    """
+    from pyspark.sql import Window
+
+    staging = state_path.rstrip("/") + "__staging_means"
+    HORIZON = 256
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.groupBy(key_col)
+            .agg(
+                F.sum(F.col(value_col).cast("decimal(18,2)"))
+                .cast("decimal(28,2)").alias("vsum"),
+                F.count(value_col).cast("bigint").alias("vcnt"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        partial.write.mode("append").partitionBy("batch_id").parquet(staging)
+        log = (
+            spark.read.option("basePath", staging)
+            .parquet(staging)
+            .filter(F.col("batch_id") >= batch_id - (HORIZON - 1))
+            .dropDuplicates([key_col, "batch_id"])  # retry-idempotent
+            .filter(F.col("vcnt") > 0)
+        )
+        wk = Window.partitionBy(key_col)
+        wo = Window.partitionBy(key_col).orderBy("batch_id")
+        mu = (
+            F.sum("vsum").over(wk).cast("double")
+            / F.sum("vcnt").over(wk)
+        )
+        grid = log.select(
+            key_col, "batch_id",
+            (F.col("vsum").cast("double") / F.col("vcnt") / mu).alias("z"),
+            (
+                F.sum(F.round(F.col("vsum").cast("double") / F.col("vcnt"),
+                              6).cast("decimal(28,6)")).over(wo)
+                .cast("double")
+                / F.row_number().over(wo) / mu
+            ).alias("zbar"),
+            F.row_number().over(wo).alias("rn"),
+        )
+        terms = grid.select(
+            key_col, "batch_id", "z", "rn",
+            F.round(F.col("z") - F.col("zbar") - delta, 9)
+            .cast("decimal(28,9)").alias("term"),
+        )
+        cum = terms.select(
+            key_col, "batch_id", "z", "rn",
+            F.sum("term").over(wo).cast("decimal(28,9)").alias("ph_dec"),
+        )
+        ph = cum.select(
+            key_col, "batch_id", "z", "rn",
+            F.col("ph_dec").cast("double").alias("ph"),
+            F.min("ph_dec").over(wo).cast("double").alias("ph_min"),
+        )
+        fresh = (
+            ph.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy(key_col).orderBy(F.desc("batch_id"))
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .select(
+                key_col,
+                F.col("batch_id").cast("long").alias("last_batch_id"),
+                F.col("rn").cast("long").alias("n_batches"),
+                F.round("z", 6).alias("z"),
+                F.round("ph", 6).alias("ph"),
+                F.round("ph_min", 6).alias("ph_min"),
+                (F.col("ph") - F.col("ph_min") > lam).cast("int")
+                .alias("drift"),
+            )
+        )
+        # lineage reads only the staging dir, never state_path
+        fresh.write.mode("overwrite").parquet(state_path)
+
+    return sink

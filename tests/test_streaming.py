@@ -621,3 +621,73 @@ def test_stream_to_bloom_matches_batch(spark, tmp_path):
     }
     assert all(got[k] == 1 for k in present)  # no false negatives
     assert set(got) == set(present + absent)
+
+
+def test_stream_to_page_hinkley(spark, tmp_path):
+    """Streaming Page-Hinkley drift state: after draining the events
+    file, each key's (z, ph, ph_min, drift) must equal an independent
+    Python recomputation of the normalized PH fold over the staged
+    batch-mean log (HALF_UP rounding to mirror Spark's round()), and
+    a foreachBatch retry must leave the state bit-identical."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from redmap_spark.streaming.windowed import (
+        events_stream,
+        stream_to_page_hinkley,
+    )
+
+    def r(x, nd):
+        q = Decimal(1).scaleb(-nd)
+        return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+    state = str(tmp_path / "ph")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, SF_DIR)
+    sink = stream_to_page_hinkley(state)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {row.event_type: row for row in spark.read.parquet(state).collect()}
+    staged = (
+        spark.read.parquet(state.rstrip("/") + "__staging_means")
+        .dropDuplicates(["event_type", "batch_id"])
+        .toPandas()
+    )
+    for et, grp in staged.groupby("event_type"):
+        grp = grp.sort_values("batch_id")
+        sums = [float(v) for v in grp["vsum"]]
+        cnts = [int(v) for v in grp["vcnt"]]
+        mu = sum(sums) / sum(cnts)
+        cum_mean = 0.0
+        ph_val, ph_min = 0.0, None
+        for i, (s, c) in enumerate(zip(sums, cnts), start=1):
+            z = s / c / mu
+            cum_mean += r(s / c, 6)
+            zbar = cum_mean / i / mu
+            ph_val += r(z - zbar - 0.005, 9)
+            ph_val = round(ph_val, 9)  # decimal cumsum stays exact
+            ph_min = ph_val if ph_min is None else min(ph_min, ph_val)
+        row = got[et]
+        assert abs(row.z - r(z, 6)) < 1e-9, (et, row)
+        assert abs(row.ph - r(ph_val, 6)) < 1e-9, (et, row)
+        assert abs(row.ph_min - r(ph_min, 6)) < 1e-9, (et, row)
+        assert row.drift == int(ph_val - ph_min > 0.25)
+        assert row.n_batches == len(sums)
+        assert row.last_batch_id == grp["batch_id"].max()
+
+    # retry idempotence: same batch id + payload must be a no-op
+    from pyspark.sql import Row
+
+    replay = spark.createDataFrame(
+        [Row(event_type="view", value=50.0), Row(event_type="view", value=70.0)]
+    )
+    sink(replay, batch_id=10_000)
+    once = sorted(map(tuple, spark.read.parquet(state).collect()))
+    sink(replay, batch_id=10_000)
+    twice = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert once == twice
