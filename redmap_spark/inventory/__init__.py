@@ -32,6 +32,7 @@ from redmap_spark.inventory import stats3  # noqa: F401
 from redmap_spark.inventory import econ  # noqa: F401
 from redmap_spark.inventory import stats4  # noqa: F401
 from redmap_spark.inventory import ml  # noqa: F401
+from redmap_spark.inventory import infer  # noqa: F401
 from redmap_spark.inventory import text3  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
@@ -101,6 +102,8 @@ _WINDOW_FIRST = [
     "q_process_capability",
     "txt_kn_perplexity", "q_holm_adjust", "q_gamma_moments",
     "q_gmm_em", "q_cvm_test",
+    "q_permutation_test", "q_jackknife", "q_ratio_metric_ci",
+    "q_tost_equivalence",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}
