@@ -314,6 +314,104 @@ class Pipeline:
         )
         return Pipeline(out)
 
+    def perplexity_gate(
+        self,
+        max_ppl: float = 1000.0,
+        reference: "Pipeline | DataFrame | None" = None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_coverage: float = 0.2,
+    ) -> "Pipeline":
+        """Drop rows whose interpolated Kneser–Ney bigram perplexity
+        under a REFERENCE corpus model exceeds ``max_ppl`` — the
+        CCNet-style LM quality filter (Wenzek et al. 2020): docs a
+        reference LM finds surprising are boilerplate, garbled, or
+        off-domain. ``reference`` defaults to this pipeline's own
+        md5-parity half (self-referential filtering); pass a curated
+        Pipeline/DataFrame for a real reference corpus. The KN count
+        tables (the txt_kn_perplexity model: d=0.75 absolute
+        discounting, continuation counts) are grid-sized DataFrames
+        broadcast to the scoring join — zero Python, zero
+        collect. Rows whose bigram coverage under the reference
+        vocab is below ``min_coverage`` are KEPT (the model can't
+        judge them; route them to a stricter gate instead of
+        silently dropping)."""
+        ref_df = self.df if reference is None else (
+            reference.df if isinstance(reference, Pipeline) else reference
+        )
+        if reference is None:
+            ref_df = ref_df.filter(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 1) < "8"
+            )
+
+        def bigrams(df, keep):
+            t = F.split(F.col(text_col), " ")
+            return (
+                df.select(*keep, t.alias("_t"))
+                .filter(F.size("_t") >= 2)
+                .select(
+                    *keep,
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("_t") - 1),
+                            lambda i: F.struct(
+                                F.element_at("_t", i).alias("u"),
+                                F.element_at("_t", i + 1).alias("w"),
+                            ),
+                        )
+                    ).alias("_p"),
+                )
+                .select(*keep, "_p.u", "_p.w")
+            )
+
+        cb = (
+            bigrams(ref_df, [])
+            .groupBy("u", "w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        cu = cb.groupBy("u").agg(
+            F.sum("c").cast("bigint").alias("cu"),
+            F.count(F.lit(1)).cast("bigint").alias("n1u"),
+        )
+        cont = cb.groupBy("w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1w")
+        )
+        types = cb.agg(F.count(F.lit(1)).cast("bigint").alias("bt"))
+        p = (
+            F.greatest(
+                F.coalesce(F.col("c"), F.lit(0)) - 0.75, F.lit(0.0)
+            ) / F.col("cu")
+            + F.lit(0.75) * F.col("n1u") / F.col("cu")
+            * (F.col("n1w") / F.col("bt").cast("double"))
+        )
+        scored = (
+            bigrams(self.df, [id_col])
+            .join(F.broadcast(cu), "u", "left")
+            .join(F.broadcast(cont), "w", "left")
+            .join(F.broadcast(cb), ["u", "w"], "left")
+            .join(F.broadcast(types))
+            .select(
+                id_col,
+                F.when(
+                    F.col("cu").isNotNull() & F.col("n1w").isNotNull(),
+                    F.round(-F.log(p), 9).cast("decimal(18,9)"),
+                ).alias("_nll"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("_nb"),
+                F.count("_nll").alias("_ns"),
+                (F.sum("_nll").cast("double") / F.count("_nll"))
+                .alias("_avg_nll"),
+            )
+        )
+        drop = scored.filter(
+            (F.col("_ns") >= F.col("_nb") * min_coverage)
+            & (F.col("_ns") > 0)
+            & (F.exp(F.col("_avg_nll")) > max_ppl)
+        ).select(id_col)
+        return Pipeline(self.df.join(drop, id_col, "left_anti"))
+
     def tokenize_bpe(self, text_col: str = "text", id_col: str = "doc_id",
                      num_merges: int = 64, sample_docs: int = 256,
                      merges: list | None = None) -> "Pipeline":

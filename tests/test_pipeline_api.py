@@ -310,3 +310,35 @@ def test_chat_format_stage(spark):
         assert r.prompt.endswith("<|assistant|>")
         assert r.prompt_tokens >= r.target_tokens
         assert r.truncated == int(r.prompt_tokens + r.target_tokens > 512)
+
+
+def test_perplexity_gate(spark):
+    """perplexity_gate drops the out-of-distribution doc a reference
+    KN bigram model finds surprising, keeps in-distribution docs,
+    keeps docs the model cannot judge (coverage below floor), stays
+    pure-DataFrame (no Python eval nodes), and is deterministic."""
+    from redmap_spark.plans.explain import has_python_eval
+
+    normal = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, normal) for i in range(40)]
+    rows.append((100, "the cat sat on the mat and the dog sat on the rug"))
+    rows.append((101, "rug the mat dog cat on and sat the the mat zz qq"))
+    rows.append((102, "zz qq xx yy ww vv uu tt ss rr"))  # near-zero coverage
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(i, normal) for i in range(40)], "doc_id long, text string"
+    )
+    from redmap_spark.api import Pipeline
+
+    out = Pipeline.from_df(df).perplexity_gate(
+        max_ppl=8.0, reference=Pipeline.from_df(ref)
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 100 in kept        # in-distribution survives
+    assert 101 not in kept    # shuffled word salad is surprising
+    assert 102 in kept        # unjudgeable (low coverage) is kept
+    assert out.df.columns == df.columns
+    assert not has_python_eval(out.df)
+    again = {r.doc_id for r in Pipeline.from_df(df).perplexity_gate(
+        max_ppl=8.0, reference=Pipeline.from_df(ref)).collect()}
+    assert kept == again
