@@ -1664,3 +1664,347 @@ def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("significant"),
         )
     )
+
+
+# -- q_mantel_haenszel -------------------------------------------------
+#
+# Mantel–Haenszel stratified 2×2 pooling: odds ratio of (md5-parity
+# group → URGENT/HIGH priority) POOLED ACROSS the 7 weekday strata —
+# the epidemiology-standard way to estimate a common effect while a
+# stratifier confounds (q_simpsons_detector FLAGS the reversal; MH
+# produces the de-confounded estimate). OR_MH = Σ(aᵢdᵢ/nᵢ) /
+# Σ(bᵢcᵢ/nᵢ), with the MH chi² from hypergeometric means/variances.
+# Cell counts are exact integers; the 7-term folds round to
+# DECIMAL(28,9). Scale: one scan → 7×4 contingency grid → 7 rows.
+
+MH_SQL = """
+WITH base AS (
+  SELECT isodow(CAST(o_orderdate AS DATE)) AS dow,
+         CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS e,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+), cells AS (
+  SELECT dow,
+         CAST(SUM(e * y) AS BIGINT) AS a,
+         CAST(SUM(e * (1 - y)) AS BIGINT) AS b,
+         CAST(SUM((1 - e) * y) AS BIGINT) AS c,
+         CAST(SUM((1 - e) * (1 - y)) AS BIGINT) AS d
+  FROM base GROUP BY 1
+), terms AS (
+  SELECT dow, a, b, c, d, a + b + c + d AS n,
+         CAST(round(CAST(a AS DOUBLE) * d / (a + b + c + d), 9)
+              AS DECIMAL(28,9)) AS ad_n,
+         CAST(round(CAST(b AS DOUBLE) * c / (a + b + c + d), 9)
+              AS DECIMAL(28,9)) AS bc_n,
+         CAST(round(CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d), 9)
+              AS DECIMAL(28,9)) AS ea,
+         CAST(round(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+                    / (CAST(a + b + c + d AS DOUBLE)
+                       * (a + b + c + d) * (a + b + c + d - 1)), 9)
+              AS DECIMAL(28,9)) AS va
+  FROM cells
+), pooled AS (
+  SELECT CAST(SUM(ad_n) AS DOUBLE) AS s_ad,
+         CAST(SUM(bc_n) AS DOUBLE) AS s_bc,
+         CAST(SUM(a) AS BIGINT) AS s_a,
+         CAST(SUM(ea) AS DOUBLE) AS s_ea,
+         CAST(SUM(va) AS DOUBLE) AS s_va
+  FROM terms
+)
+SELECT t.dow, t.a, t.b, t.c, t.d,
+       round(CASE WHEN t.b * t.c > 0
+                  THEN CAST(t.a AS DOUBLE) * t.d / (t.b * t.c) END, 6)
+         AS or_stratum,
+       round(p.s_ad / p.s_bc, 6) AS or_mh,
+       round((p.s_a - p.s_ea) * (p.s_a - p.s_ea) / p.s_va, 6) AS mh_chi2,
+       CAST(CASE WHEN (p.s_a - p.s_ea) * (p.s_a - p.s_ea) / p.s_va > 3.841
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM terms t CROSS JOIN pooled p
+WHERE p.s_bc > 0 AND p.s_va > 0
+ORDER BY t.dow
+"""
+
+
+@query("q_mantel_haenszel", oracle=MH_SQL)
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    iso = F.when(F.dayofweek("o_orderdate") == 1, F.lit(7)).otherwise(
+        F.dayofweek("o_orderdate") - 1
+    )
+    e = F.when(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8", 1
+    ).otherwise(0)
+    y = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    cells = o.select(
+        iso.cast("bigint").alias("dow"), e.alias("e"), y.alias("y")
+    ).groupBy("dow").agg(
+        F.sum(F.col("e") * F.col("y")).cast("bigint").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("y")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y"))).cast("bigint")
+        .alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = a + b + c + d
+    terms = cells.select(
+        "dow", "a", "b", "c", "d", n.alias("n"),
+        F.round(a.cast("double") * d / n, 9).cast("decimal(28,9)")
+        .alias("ad_n"),
+        F.round(b.cast("double") * c / n, 9).cast("decimal(28,9)")
+        .alias("bc_n"),
+        F.round((a + b).cast("double") * (a + c) / n, 9)
+        .cast("decimal(28,9)").alias("ea"),
+        F.round(
+            (a + b).cast("double") * (c + d) * (a + c) * (b + d)
+            / (n.cast("double") * n * (n - 1)), 9
+        ).cast("decimal(28,9)").alias("va"),
+    )
+    terms = terms.cache()  # consumed by pooled AND the output
+    pooled = terms.agg(
+        F.sum("ad_n").cast("double").alias("s_ad"),
+        F.sum("bc_n").cast("double").alias("s_bc"),
+        F.sum("a").cast("bigint").alias("s_a"),
+        F.sum("ea").cast("double").alias("s_ea"),
+        F.sum("va").cast("double").alias("s_va"),
+    )
+    chi2 = (F.col("s_a") - F.col("s_ea")) * (
+        F.col("s_a") - F.col("s_ea")
+    ) / F.col("s_va")
+    return (
+        terms.join(F.broadcast(pooled))
+        .filter((F.col("s_bc") > 0) & (F.col("s_va") > 0))
+        .select(
+            "dow", "a", "b", "c", "d",
+            F.round(
+                F.when(
+                    F.col("b") * F.col("c") > 0,
+                    F.col("a").cast("double") * F.col("d")
+                    / (F.col("b") * F.col("c")),
+                ), 6
+            ).alias("or_stratum"),
+            F.round(F.col("s_ad") / F.col("s_bc"), 6).alias("or_mh"),
+            F.round(chi2, 6).alias("mh_chi2"),
+            F.when(chi2 > 3.841, 1).otherwise(0).cast("bigint")
+            .alias("significant"),
+        )
+        .orderBy("dow")
+    )
+
+
+# -- q_cochran_q -------------------------------------------------------
+#
+# Cochran's Q test for k=3 related binary outcomes: did each
+# customer order in 1995 / 1996 / 1997? Blocks are customers,
+# treatments are years — the BINARY sibling of q_friedman_test
+# (same blocked design, dichotomous response). Q = (k−1)·[k·ΣCᵢ² −
+# N²] / (k·N − ΣRⱼ²) is EXACT INTEGER arithmetic end-to-end (column
+# totals Cᵢ, row totals Rⱼ, grand total N), so only the final
+# division is double. df = 2 → α=0.05 critical value 5.991.
+# Scale: one scan → per-customer year flags → 3 rows.
+
+COCHRAN_SQL = """
+WITH flags AS (
+  SELECT o_custkey AS cust,
+         CAST(MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+         CAST(MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y2,
+         CAST(MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y3
+  FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(y1) AS BIGINT) AS c1,
+         CAST(SUM(y2) AS BIGINT) AS c2,
+         CAST(SUM(y3) AS BIGINT) AS c3,
+         CAST(SUM(y1 + y2 + y3) AS BIGINT) AS nn,
+         CAST(SUM((y1 + y2 + y3) * (y1 + y2 + y3)) AS BIGINT) AS sr2
+  FROM flags
+), q AS (
+  SELECT n_blocks, c1, c2, c3, nn,
+         2.0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - nn * nn)
+           / (3 * nn - sr2) AS qstat
+  FROM tot WHERE 3 * nn - sr2 > 0
+)
+SELECT y.yr AS year, CASE y.yr WHEN 1995 THEN q.c1
+                               WHEN 1996 THEN q.c2 ELSE q.c3 END AS c_year,
+       q.n_blocks,
+       round(q.qstat, 6) AS q_stat,
+       CAST(2 AS BIGINT) AS df,
+       CAST(CASE WHEN q.qstat > 5.991 THEN 1 ELSE 0 END AS BIGINT)
+         AS significant
+FROM (VALUES (CAST(1995 AS BIGINT)), (CAST(1996 AS BIGINT)),
+             (CAST(1997 AS BIGINT))) y(yr)
+CROSS JOIN q
+ORDER BY y.yr
+"""
+
+
+@query("q_cochran_q", oracle=COCHRAN_SQL)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    yr = F.year("o_orderdate")
+    flags = (
+        o.filter(yr.isin(1995, 1996, 1997))
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            *[
+                F.max(F.when(yr == y, 1).otherwise(0)).cast("bigint")
+                .alias(f"y{i}")
+                for i, y in enumerate((1995, 1996, 1997), start=1)
+            ]
+        )
+    )
+    r = F.col("y1") + F.col("y2") + F.col("y3")
+    tot = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("y1").cast("bigint").alias("c1"),
+        F.sum("y2").cast("bigint").alias("c2"),
+        F.sum("y3").cast("bigint").alias("c3"),
+        F.sum(r).cast("bigint").alias("nn"),
+        F.sum(r * r).cast("bigint").alias("sr2"),
+    )
+    qstat = (
+        F.lit(2.0)
+        * (
+            3 * (F.col("c1") * F.col("c1") + F.col("c2") * F.col("c2")
+                 + F.col("c3") * F.col("c3"))
+            - F.col("nn") * F.col("nn")
+        )
+        / (3 * F.col("nn") - F.col("sr2"))
+    )
+    q = (
+        tot.filter(3 * F.col("nn") - F.col("sr2") > 0)
+        .select("n_blocks", "c1", "c2", "c3", qstat.alias("qstat"))
+    )
+    years = spark.createDataFrame(
+        [(1995,), (1996,), (1997,)], "yr bigint"
+    )
+    return (
+        years.join(F.broadcast(q))
+        .select(
+            F.col("yr").alias("year"),
+            F.when(F.col("yr") == 1995, F.col("c1"))
+            .when(F.col("yr") == 1996, F.col("c2"))
+            .otherwise(F.col("c3")).alias("c_year"),
+            "n_blocks",
+            F.round("qstat", 6).alias("q_stat"),
+            F.lit(2).cast("bigint").alias("df"),
+            F.when(F.col("qstat") > 5.991, 1).otherwise(0).cast("bigint")
+            .alias("significant"),
+        )
+        .orderBy("year")
+    )
+
+
+# -- q_icc_reliability -------------------------------------------------
+#
+# One-way random-effects intraclass correlation ICC(1,1) of account
+# balances within nations: what share of balance variance is
+# BETWEEN-nation (the cluster effect that makes iid SEs wrong and
+# q_jackknife necessary)? From the exact per-nation decimal moment
+# block: MSB/MSW via SSB = Σnᵍ(mᵍ−μ)² (decimal-rounded terms, the
+# q_anova_oneway cancellation-safe form), unbalanced k̄ = (n −
+# Σnᵍ²/n)/(G−1), ICC = (MSB−MSW)/(MSB+(k̄−1)·MSW). Scale: one
+# partial-aggregated scan → 25-row grid → 1 row.
+
+ICC_SQL = """
+WITH per AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS s_g,
+         CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                       * CAST(c_acctbal AS DECIMAL(18,2))
+                       AS DECIMAL(37,4))) AS DECIMAL(38,4)) AS ss_g
+  FROM customer GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS DECIMAL(38,2)) AS s,
+         CAST(SUM(ss_g) AS DECIMAL(38,4)) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(SUM(n_g * n_g) AS BIGINT) AS sn2
+  FROM per
+), ssb AS (
+  SELECT CAST(SUM(CAST(round(
+           n_g * (CAST(s_g AS DOUBLE) / n_g - CAST(t.s AS DOUBLE) / t.n)
+               * (CAST(s_g AS DOUBLE) / n_g - CAST(t.s AS DOUBLE) / t.n),
+           6) AS DECIMAL(28,6))) AS DOUBLE) AS ssb
+  FROM per CROSS JOIN tot t
+), parts AS (
+  SELECT t.g, t.n,
+         b.ssb / (t.g - 1) AS msb,
+         (CAST(t.ss AS DOUBLE)
+          - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n
+          - b.ssb) / (t.n - t.g) AS msw,
+         (t.n - CAST(t.sn2 AS DOUBLE) / t.n) / (t.g - 1) AS kbar
+  FROM tot t CROSS JOIN ssb b
+)
+SELECT g AS n_groups, n AS n_obs,
+       round(kbar, 6) AS kbar,
+       round(msb / msw, 6) AS f_stat,
+       round((msb - msw) / (msb + (kbar - 1.0) * msw), 6) AS icc
+FROM parts
+WHERE msw > 0 AND msb + (kbar - 1.0) * msw > 0
+"""
+
+
+@query("q_icc_reliability", oracle=ICC_SQL)
+def q_icc_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    per = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(bal).cast("decimal(28,2)").alias("s_g"),
+        F.sum((bal * bal).cast("decimal(37,4)")).cast("decimal(38,4)")
+        .alias("ss_g"),
+    )
+    per = per.cache()  # consumed by tot AND ssb
+    tot = per.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("decimal(38,2)").alias("s"),
+        F.sum("ss_g").cast("decimal(38,4)").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.sum(F.col("n_g") * F.col("n_g")).cast("bigint").alias("sn2"),
+    )
+    dev = F.col("s_g").cast("double") / F.col("n_g") - F.col("s").cast(
+        "double"
+    ) / F.col("n")
+    ssb = per.join(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(F.col("n_g") * dev * dev, 6).cast("decimal(28,6)")
+        ).cast("double").alias("ssb")
+    )
+    g, nn = F.col("g"), F.col("n")
+    msb = F.col("ssb") / (g - 1)
+    msw = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nn
+        - F.col("ssb")
+    ) / (nn - g)
+    kbar = (nn - F.col("sn2").cast("double") / nn) / (g - 1)
+    return (
+        tot.join(F.broadcast(ssb))
+        .withColumn("msb", msb).withColumn("msw", msw)
+        .withColumn("kbar", kbar)
+        .filter(
+            (F.col("msw") > 0)
+            & (F.col("msb") + (F.col("kbar") - 1.0) * F.col("msw") > 0)
+        )
+        .select(
+            g.alias("n_groups"),
+            nn.alias("n_obs"),
+            F.round("kbar", 6).alias("kbar"),
+            F.round(F.col("msb") / F.col("msw"), 6).alias("f_stat"),
+            F.round(
+                (F.col("msb") - F.col("msw"))
+                / (F.col("msb") + (F.col("kbar") - 1.0) * F.col("msw")), 6
+            ).alias("icc"),
+        )
+    )
