@@ -683,3 +683,286 @@ def q_structuring_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust", "day")
     )
+
+
+# -- q_raking_weights --------------------------------------------------
+#
+# Survey raking (iterative proportional fitting, 2 full sweeps) of
+# an md5-drawn ~10% customer sample to the POPULATION region ×
+# market-segment margins: the calibration-weighting standard when a
+# sample's composition drifts from the frame. Each sweep scales cell
+# weights by (population margin)/(weighted sample margin); weighted
+# margins fold DECIMAL(28,6)-rounded cell terms (≤25 cells). Reports
+# the final weight per cell and the achieved margin relative errors
+# after two sweeps. Scale: two scans (population margins, sample
+# cells) → 25-cell grid → 25 rows.
+
+RAKING_SQL = """
+WITH cust AS (
+  SELECT c.c_custkey AS k, r.r_name AS region, c.c_mktsegment AS seg,
+         CASE WHEN substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 2) < '1a'
+              THEN 1 ELSE 0 END AS in_sample
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+), pop_r AS (
+  SELECT region, CAST(COUNT(*) AS BIGINT) AS pr FROM cust GROUP BY 1
+), pop_s AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS ps FROM cust GROUP BY 1
+), cells AS (
+  SELECT region, seg, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cust WHERE in_sample = 1 GROUP BY 1, 2
+), w0 AS (
+  SELECT region, seg, n, 1.0 AS w FROM cells
+), m1r AS (
+  SELECT region,
+         CAST(SUM(CAST(round(n * w, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sm
+  FROM w0 GROUP BY 1
+), w1 AS (
+  SELECT w0.region, w0.seg, w0.n, w0.w * pr.pr / m.sm AS w
+  FROM w0 JOIN m1r m ON m.region = w0.region
+  JOIN pop_r pr ON pr.region = w0.region
+), m1s AS (
+  SELECT seg,
+         CAST(SUM(CAST(round(n * w, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sm
+  FROM w1 GROUP BY 1
+), w2 AS (
+  SELECT w1.region, w1.seg, w1.n, w1.w * ps.ps / m.sm AS w
+  FROM w1 JOIN m1s m ON m.seg = w1.seg
+  JOIN pop_s ps ON ps.seg = w1.seg
+), m2r AS (
+  SELECT region,
+         CAST(SUM(CAST(round(n * w, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sm
+  FROM w2 GROUP BY 1
+), w3 AS (
+  SELECT w2.region, w2.seg, w2.n, w2.w * pr.pr / m.sm AS w
+  FROM w2 JOIN m2r m ON m.region = w2.region
+  JOIN pop_r pr ON pr.region = w2.region
+), m2s AS (
+  SELECT seg,
+         CAST(SUM(CAST(round(n * w, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sm
+  FROM w3 GROUP BY 1
+), w4 AS (
+  SELECT w3.region, w3.seg, w3.n, w3.w * ps.ps / m.sm AS w
+  FROM w3 JOIN m2s m ON m.seg = w3.seg
+  JOIN pop_s ps ON ps.seg = w3.seg
+), chk_r AS (
+  SELECT region,
+         CAST(SUM(CAST(round(n * w, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sm
+  FROM w4 GROUP BY 1
+)
+SELECT w4.region, w4.seg AS segment, w4.n AS n_sample,
+       round(w4.w, 6) AS weight,
+       round(abs(cr.sm - pr.pr) / pr.pr, 6) AS region_margin_err
+FROM w4
+JOIN chk_r cr ON cr.region = w4.region
+JOIN pop_r pr ON pr.region = w4.region
+ORDER BY w4.region, w4.seg
+"""
+
+
+@query("q_raking_weights", oracle=RAKING_SQL)
+def q_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cust = (
+        cat.customer
+        .join(F.broadcast(cat.nation),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(cat.region),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("seg"),
+            F.when(
+                F.substring(
+                    F.md5(F.col("c_custkey").cast("string")), 1, 2
+                ) < "1a", 1
+            ).otherwise(0).alias("in_sample"),
+        )
+    )
+    cust = cust.cache()  # consumed by both margins AND the sample cells
+    pop_r = cust.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pr")
+    )
+    pop_s = cust.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ps")
+    )
+    cells = (
+        cust.filter(F.col("in_sample") == 1)
+        .groupBy("region", "seg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = cells.withColumn("w", F.lit(1.0))
+
+    def margin_fold(df, key):
+        return df.groupBy(key).agg(
+            F.sum(
+                F.round(F.col("n") * F.col("w"), 6).cast("decimal(28,6)")
+            ).cast("double").alias("sm")
+        )
+
+    for _ in range(2):
+        mr = margin_fold(w, "region")
+        w = (
+            w.join(mr, "region").join(F.broadcast(pop_r), "region")
+            .select(
+                "region", "seg", "n",
+                (F.col("w") * F.col("pr") / F.col("sm")).alias("w"),
+            )
+        )
+        ms = margin_fold(w, "seg")
+        w = (
+            w.join(ms, "seg").join(F.broadcast(pop_s), "seg")
+            .select(
+                "region", "seg", "n",
+                (F.col("w") * F.col("ps") / F.col("sm")).alias("w"),
+            )
+        )
+    w = w.cache()  # consumed by the margin check AND the output
+    chk_r = margin_fold(w, "region")
+    return (
+        w.join(chk_r, "region")
+        .join(F.broadcast(pop_r), "region")
+        .select(
+            "region",
+            F.col("seg").alias("segment"),
+            F.col("n").alias("n_sample"),
+            F.round("w", 6).alias("weight"),
+            F.round(
+                F.abs(F.col("sm") - F.col("pr")) / F.col("pr"), 6
+            ).alias("region_margin_err"),
+        )
+        .orderBy("region", "segment")
+    )
+
+
+# -- q_little_law_audit ------------------------------------------------
+#
+# Little's law audit (L = λW) of the order fulfillment system,
+# monthly for 1996: L = average open orders per day (EXACT integer
+# overlap-days between each order's [orderdate, last shipdate]
+# interval and the month, summed), λ = arrivals/day, W = average
+# residence days of that month's arrivals. The gap |L − λ·W_arr|/L
+# quantifies how far the system is from flow balance that month
+# (ramping backlogs and censoring show up as gap) — the ops-health
+# sibling of q_interval_sweep's PEAK concurrency. Scale: one
+# orders⋈lineitem max-ship aggregation → ×12 broadcast month grid →
+# 12 rows.
+
+LITTLE_SQL = """
+WITH spans AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d0,
+         CAST(MAX(CAST(l.l_shipdate AS DATE)) AS DATE) AS d1
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), months AS (
+  SELECT m.m,
+         CAST('1996-01-01' AS DATE) + INTERVAL (m.m - 1) MONTH AS m0,
+         CAST('1996-01-01' AS DATE) + INTERVAL (m.m) MONTH
+           - INTERVAL 1 DAY AS m1
+  FROM generate_series(1, 12) AS m(m)
+), ov AS (
+  SELECT mo.m,
+         CAST(SUM(GREATEST(0,
+           date_diff('day',
+             GREATEST(s.d0, CAST(mo.m0 AS DATE)),
+             LEAST(s.d1, CAST(mo.m1 AS DATE))) + 1)) AS BIGINT)
+           AS open_days,
+         CAST(date_diff('day', CAST(mo.m0 AS DATE),
+                        CAST(mo.m1 AS DATE)) + 1 AS BIGINT) AS mdays
+  FROM months mo JOIN spans s
+    ON s.d0 <= CAST(mo.m1 AS DATE) AND s.d1 >= CAST(mo.m0 AS DATE)
+  GROUP BY 1, 3
+), arr AS (
+  SELECT mo.m,
+         CAST(COUNT(*) AS BIGINT) AS n_arr,
+         CAST(SUM(date_diff('day', s.d0, s.d1) + 1) AS BIGINT) AS res_days
+  FROM months mo JOIN spans s
+    ON s.d0 >= CAST(mo.m0 AS DATE) AND s.d0 <= CAST(mo.m1 AS DATE)
+  GROUP BY 1
+)
+SELECT o.m AS month,
+       round(CAST(o.open_days AS DOUBLE) / o.mdays, 6) AS l_avg_open,
+       round(CAST(a.n_arr AS DOUBLE) / o.mdays, 6) AS lambda_per_day,
+       round(CAST(a.res_days AS DOUBLE) / a.n_arr, 6) AS w_avg_days,
+       round(abs(CAST(o.open_days AS DOUBLE) / o.mdays
+                 - CAST(a.n_arr AS DOUBLE) / o.mdays
+                   * (CAST(a.res_days AS DOUBLE) / a.n_arr))
+             / (CAST(o.open_days AS DOUBLE) / o.mdays), 6) AS little_gap
+FROM ov o JOIN arr a ON a.m = o.m
+WHERE o.open_days > 0 AND a.n_arr > 0
+ORDER BY o.m
+"""
+
+
+@query("q_little_law_audit", oracle=LITTLE_SQL)
+def q_little_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    spans = (
+        cat.orders.join(
+            cat.lineitem.select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("d0")
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("d1"))
+    )
+    spans = spans.cache()  # consumed by the overlap AND arrival joins
+    months = spark.range(1, 13).select(
+        F.col("id").cast("int").alias("m"),
+        F.add_months(F.lit("1996-01-01").cast("date"),
+                     F.col("id").cast("int") - 1).alias("m0"),
+        F.date_sub(
+            F.add_months(F.lit("1996-01-01").cast("date"),
+                         F.col("id").cast("int")), 1
+        ).alias("m1"),
+    )
+    ov = (
+        months.join(
+            spans,
+            (F.col("d0") <= F.col("m1")) & (F.col("d1") >= F.col("m0")),
+        )
+        .groupBy(
+            "m",
+            (F.datediff("m1", "m0") + 1).cast("bigint").alias("mdays"),
+        )
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.datediff(
+                        F.least("d1", "m1"), F.greatest("d0", "m0")
+                    ) + 1,
+                )
+            ).cast("bigint").alias("open_days")
+        )
+    )
+    arr = (
+        months.join(
+            spans,
+            (F.col("d0") >= F.col("m0")) & (F.col("d0") <= F.col("m1")),
+        )
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_arr"),
+            F.sum(F.datediff("d1", "d0") + 1).cast("bigint")
+            .alias("res_days"),
+        )
+    )
+    l_avg = F.col("open_days").cast("double") / F.col("mdays")
+    lam = F.col("n_arr").cast("double") / F.col("mdays")
+    w_avg = F.col("res_days").cast("double") / F.col("n_arr")
+    return (
+        ov.join(arr, "m")
+        .filter((F.col("open_days") > 0) & (F.col("n_arr") > 0))
+        .select(
+            F.col("m").alias("month"),
+            F.round(l_avg, 6).alias("l_avg_open"),
+            F.round(lam, 6).alias("lambda_per_day"),
+            F.round(w_avg, 6).alias("w_avg_days"),
+            F.round(F.abs(l_avg - lam * w_avg) / l_avg, 6)
+            .alias("little_gap"),
+        )
+        .orderBy("month")
+    )

@@ -879,3 +879,219 @@ def sim_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# -- sim_lsh_recall ----------------------------------------------------
+#
+# EXACTLY-verifiable LSH evaluation: an md5-portable signed-random-
+# projection index (sign(plane j, dim i) from the md5 hex parity —
+# both engines derive the identical hyperplanes) probed with 1-bit
+# multiprobe, scored as recall@10 against the exact brute-force
+# top-10 for 20 query vectors. The production LSH
+# (operators.similarity.lsh_topk, xxhash64 planes) is rows-only by
+# necessity; THIS twin makes the bucketing math itself
+# hash-checkable, like the dedup_*_portable signature twins.
+# Projections fold per-dim DECIMAL(18,9)-rounded terms (order-
+# independent sign decisions); cosines fold DECIMAL(28,12) products.
+# Scale: one explode scan → 512-row plane grid → bucket table;
+# query×corpus scoring is the 20-query eval harness, not the
+# serving path.
+
+N_RECALL_QUERIES = 20
+N_RECALL_PLANES = 8
+
+LSH_RECALL_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, i AS dim, embedding[i] AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+), signs AS (
+  SELECT d.i AS dim, p.j AS plane,
+         CASE WHEN substr(md5('p' || CAST(p.j AS VARCHAR) || '|'
+                            || CAST(d.i AS VARCHAR)), 1, 1) < '8'
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM generate_series(1, 64) AS d(i)
+  CROSS JOIN generate_series(0, {N_RECALL_PLANES - 1}) AS p(j)
+), proj AS (
+  SELECT e.vec_id, s.plane,
+         CAST(SUM(CAST(round(e.x * s.s, 9) AS DECIMAL(18,9)))
+              AS DECIMAL(28,9)) AS pr
+  FROM ex e JOIN signs s ON s.dim = e.dim
+  GROUP BY 1, 2
+), buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pr > 0 THEN 1 << plane ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY 1
+), qs AS (
+  SELECT vec_id AS q FROM embeddings WHERE vec_id < {N_RECALL_QUERIES}
+), pairs AS (
+  SELECT q.q, b.vec_id AS v,
+         CAST(SUM(CAST(eq.x * ev.x AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(eq.x * eq.x AS DECIMAL(28,12))) AS DOUBLE) AS qq,
+         CAST(SUM(CAST(ev.x * ev.x AS DECIMAL(28,12))) AS DOUBLE) AS vv
+  FROM qs q
+  JOIN ex eq ON eq.vec_id = q.q
+  JOIN ex ev ON ev.dim = eq.dim
+  JOIN buckets b ON b.vec_id = ev.vec_id
+  WHERE ev.vec_id <> q.q
+  GROUP BY 1, 2
+), scored AS (
+  SELECT q, v, round(dot / (sqrt(qq) * sqrt(vv)), 4) AS cos
+  FROM pairs
+), exact AS (
+  SELECT q, v FROM (
+    SELECT q, v,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, v) AS rn
+    FROM scored) t
+  WHERE rn <= 10
+), approx AS (
+  SELECT q, v FROM (
+    SELECT s.q, s.v,
+           ROW_NUMBER() OVER (PARTITION BY s.q
+                              ORDER BY s.cos DESC, s.v) AS rn
+    FROM scored s
+    JOIN buckets bq ON bq.vec_id = s.q
+    JOIN buckets bv ON bv.vec_id = s.v
+    WHERE bit_count(xor(bq.bucket, bv.bucket))
+          <= 1) t
+  WHERE rn <= 10
+), cand AS (
+  SELECT s.q, CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM scored s
+  JOIN buckets bq ON bq.vec_id = s.q
+  JOIN buckets bv ON bv.vec_id = s.v
+  WHERE bit_count(xor(bq.bucket, bv.bucket))
+        <= 1
+  GROUP BY 1
+), rec AS (
+  SELECT e.q, CAST(COUNT(a.v) AS BIGINT) AS n_hit
+  FROM exact e LEFT JOIN approx a ON a.q = e.q AND a.v = e.v
+  GROUP BY 1
+), mean_r AS (
+  SELECT CAST(SUM(CAST(n_hit AS DECIMAL(18,6))) AS DOUBLE)
+           / (10.0 * COUNT(*)) AS mr
+  FROM rec
+)
+SELECT r.q AS vec_id, b.bucket,
+       COALESCE(c.n_candidates, 0) AS n_candidates,
+       r.n_hit,
+       round(r.n_hit / 10.0, 6) AS recall_at_10,
+       round(m.mr, 6) AS mean_recall
+FROM rec r
+JOIN buckets b ON b.vec_id = r.q
+LEFT JOIN cand c ON c.q = r.q
+CROSS JOIN mean_r m
+ORDER BY r.q
+"""
+
+
+@query("sim_lsh_recall", oracle=LSH_RECALL_SQL)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    ex = e.select("vec_id", F.posexplode("embedding").alias("dim0", "x")) \
+          .select("vec_id", (F.col("dim0") + 1).alias("dim"), "x")
+    ex = ex.cache()  # consumed by proj AND both scoring sides
+    dims = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
+    planes = spark.range(N_RECALL_PLANES).select(
+        F.col("id").cast("int").alias("plane")
+    )
+    signs = dims.crossJoin(planes).select(
+        "dim", "plane",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("p"), F.col("plane").cast("string"),
+                        F.lit("|"), F.col("dim").cast("string"),
+                    )
+                ), 1, 1,
+            ) < "8",
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)).alias("s"),
+    )
+    proj = (
+        ex.join(F.broadcast(signs), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(
+            F.sum(F.round(F.col("x") * F.col("s"), 9).cast("decimal(18,9)"))
+            .cast("decimal(28,9)").alias("pr")
+        )
+    )
+    buckets = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("pr") > 0, F.expr("shiftleft(1, plane)")
+            ).otherwise(0)
+        ).cast("bigint").alias("bucket")
+    )
+    buckets = buckets.cache()  # consumed by scoring, approx AND output
+    eq = ex.filter(F.col("vec_id") < N_RECALL_QUERIES).select(
+        F.col("vec_id").alias("q"), "dim", F.col("x").alias("xq")
+    )
+    ev = ex.select(F.col("vec_id").alias("v"), "dim", F.col("x").alias("xv"))
+    pairs = (
+        eq.join(ev, "dim")
+        .filter(F.col("v") != F.col("q"))
+        .groupBy("q", "v")
+        .agg(
+            F.sum((F.col("xq") * F.col("xv")).cast("decimal(28,12)"))
+            .cast("double").alias("dot"),
+            F.sum((F.col("xq") * F.col("xq")).cast("decimal(28,12)"))
+            .cast("double").alias("qq"),
+            F.sum((F.col("xv") * F.col("xv")).cast("decimal(28,12)"))
+            .cast("double").alias("vv"),
+        )
+    )
+    scored = pairs.select(
+        "q", "v",
+        F.round(
+            F.col("dot") / (F.sqrt("qq") * F.sqrt("vv")), 4
+        ).alias("cos"),
+    )
+    scored = scored.cache()  # consumed by exact AND approx rankings
+    wq = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("v"))
+    exact = scored.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= 10
+    ).select("q", "v")
+    bq = buckets.select(F.col("vec_id").alias("q"), F.col("bucket").alias("b_q"))
+    bv = buckets.select(F.col("vec_id").alias("v"), F.col("bucket").alias("b_v"))
+    near = (
+        scored.join(F.broadcast(bq), "q").join(F.broadcast(bv), "v")
+        .filter(
+            F.bit_count(F.col("b_q").bitwiseXOR(F.col("b_v"))) <= 1
+        )
+    )
+    near = near.cache()  # consumed by approx ranking AND candidate counts
+    approx = near.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= 10
+    ).select("q", "v")
+    cand = near.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    rec = (
+        exact.join(approx.withColumn("hit", F.lit(1)), ["q", "v"], "left")
+        .groupBy("q")
+        .agg(F.count("hit").cast("bigint").alias("n_hit"))
+    )
+    rec = rec.cache()  # consumed by mean_r AND the output
+    mean_r = rec.agg(
+        (
+            F.sum(F.col("n_hit").cast("decimal(18,6)")).cast("double")
+            / (10.0 * F.count(F.lit(1)))
+        ).alias("mr")
+    )
+    return (
+        rec.join(bq, "q")
+        .join(cand, "q", "left")
+        .join(F.broadcast(mean_r))
+        .select(
+            F.col("q").alias("vec_id"),
+            F.col("b_q").alias("bucket"),
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+            .alias("n_candidates"),
+            "n_hit",
+            F.round(F.col("n_hit") / 10.0, 6).alias("recall_at_10"),
+            F.round("mr", 6).alias("mean_recall"),
+        )
+        .orderBy("vec_id")
+    )
