@@ -23,18 +23,21 @@ from redmap_spark.inventory.registry import query
 # -- q_permutation_test ------------------------------------------------
 #
 # Permutation test of the md5-parity A/B split's mean-order-total
-# difference: 50 null reassignments, each flipping every order's
-# group by the parity of md5(orderkey || ':' || b) — deterministic,
-# engine-portable "randomness" (the q_hash_sample rule), so the null
-# distribution is bit-identical everywhere. diff_b comes from exact
-# decimal conditional sums in ONE pass over a 50-way broadcast
-# expansion (map-side combined to a 50-row grid); p = (1 + #{|d_b| ≥
-# |d_obs|})/(B+1) compares 9-rounded diffs. Scale: one scan × B
-# expansion → B-row grid → 1 row.
+# difference: 50 null reassignments, bit b taken from the PARITY OF
+# HEX CHARACTER b across two md5 digests per order (64 independent
+# bits from 2 hashes) — deterministic, engine-portable "randomness"
+# (the q_hash_sample rule), so the null distribution is
+# bit-identical everywhere. All 50 diffs come from ONE single-scan
+# 100-column conditional aggregation (no row expansion — at 100 TB
+# a 50× explode would be a 5 PB map stage; this is the same scan as
+# the observed diff), then a stack() to the 50-row grid;
+# p = (1 + #{|d_b| ≥ |d_obs|})/(B+1) compares 9-rounded diffs.
+# Scale: one scan → 50-row grid → 1 row.
 
 PERM_SQL = """
 WITH base AS (
-  SELECT o_orderkey AS k,
+  SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h1,
+         md5(CAST(o_orderkey AS VARCHAR) || '#2') AS h2,
          CAST(o_totalprice AS DECIMAL(18,2)) AS x,
          CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
               THEN 0 ELSE 1 END AS grp
@@ -46,23 +49,166 @@ WITH base AS (
            - CAST(SUM(CASE WHEN grp = 1 THEN x END) AS DOUBLE)
              / SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END), 9) AS d_obs
   FROM base
+), wide AS (
+  SELECT CAST(SUM(x) AS DOUBLE) AS st,
+         CAST(COUNT(*) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN substr(h1, 1, 1) < '8' THEN x END) AS DOUBLE) AS sa0,
+         CAST(SUM(CASE WHEN substr(h1, 1, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+         CAST(SUM(CASE WHEN substr(h1, 2, 1) < '8' THEN x END) AS DOUBLE) AS sa1,
+         CAST(SUM(CASE WHEN substr(h1, 2, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na1,
+         CAST(SUM(CASE WHEN substr(h1, 3, 1) < '8' THEN x END) AS DOUBLE) AS sa2,
+         CAST(SUM(CASE WHEN substr(h1, 3, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na2,
+         CAST(SUM(CASE WHEN substr(h1, 4, 1) < '8' THEN x END) AS DOUBLE) AS sa3,
+         CAST(SUM(CASE WHEN substr(h1, 4, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na3,
+         CAST(SUM(CASE WHEN substr(h1, 5, 1) < '8' THEN x END) AS DOUBLE) AS sa4,
+         CAST(SUM(CASE WHEN substr(h1, 5, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na4,
+         CAST(SUM(CASE WHEN substr(h1, 6, 1) < '8' THEN x END) AS DOUBLE) AS sa5,
+         CAST(SUM(CASE WHEN substr(h1, 6, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na5,
+         CAST(SUM(CASE WHEN substr(h1, 7, 1) < '8' THEN x END) AS DOUBLE) AS sa6,
+         CAST(SUM(CASE WHEN substr(h1, 7, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na6,
+         CAST(SUM(CASE WHEN substr(h1, 8, 1) < '8' THEN x END) AS DOUBLE) AS sa7,
+         CAST(SUM(CASE WHEN substr(h1, 8, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na7,
+         CAST(SUM(CASE WHEN substr(h1, 9, 1) < '8' THEN x END) AS DOUBLE) AS sa8,
+         CAST(SUM(CASE WHEN substr(h1, 9, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na8,
+         CAST(SUM(CASE WHEN substr(h1, 10, 1) < '8' THEN x END) AS DOUBLE) AS sa9,
+         CAST(SUM(CASE WHEN substr(h1, 10, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na9,
+         CAST(SUM(CASE WHEN substr(h1, 11, 1) < '8' THEN x END) AS DOUBLE) AS sa10,
+         CAST(SUM(CASE WHEN substr(h1, 11, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na10,
+         CAST(SUM(CASE WHEN substr(h1, 12, 1) < '8' THEN x END) AS DOUBLE) AS sa11,
+         CAST(SUM(CASE WHEN substr(h1, 12, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na11,
+         CAST(SUM(CASE WHEN substr(h1, 13, 1) < '8' THEN x END) AS DOUBLE) AS sa12,
+         CAST(SUM(CASE WHEN substr(h1, 13, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na12,
+         CAST(SUM(CASE WHEN substr(h1, 14, 1) < '8' THEN x END) AS DOUBLE) AS sa13,
+         CAST(SUM(CASE WHEN substr(h1, 14, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na13,
+         CAST(SUM(CASE WHEN substr(h1, 15, 1) < '8' THEN x END) AS DOUBLE) AS sa14,
+         CAST(SUM(CASE WHEN substr(h1, 15, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na14,
+         CAST(SUM(CASE WHEN substr(h1, 16, 1) < '8' THEN x END) AS DOUBLE) AS sa15,
+         CAST(SUM(CASE WHEN substr(h1, 16, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na15,
+         CAST(SUM(CASE WHEN substr(h1, 17, 1) < '8' THEN x END) AS DOUBLE) AS sa16,
+         CAST(SUM(CASE WHEN substr(h1, 17, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na16,
+         CAST(SUM(CASE WHEN substr(h1, 18, 1) < '8' THEN x END) AS DOUBLE) AS sa17,
+         CAST(SUM(CASE WHEN substr(h1, 18, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na17,
+         CAST(SUM(CASE WHEN substr(h1, 19, 1) < '8' THEN x END) AS DOUBLE) AS sa18,
+         CAST(SUM(CASE WHEN substr(h1, 19, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na18,
+         CAST(SUM(CASE WHEN substr(h1, 20, 1) < '8' THEN x END) AS DOUBLE) AS sa19,
+         CAST(SUM(CASE WHEN substr(h1, 20, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na19,
+         CAST(SUM(CASE WHEN substr(h1, 21, 1) < '8' THEN x END) AS DOUBLE) AS sa20,
+         CAST(SUM(CASE WHEN substr(h1, 21, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na20,
+         CAST(SUM(CASE WHEN substr(h1, 22, 1) < '8' THEN x END) AS DOUBLE) AS sa21,
+         CAST(SUM(CASE WHEN substr(h1, 22, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na21,
+         CAST(SUM(CASE WHEN substr(h1, 23, 1) < '8' THEN x END) AS DOUBLE) AS sa22,
+         CAST(SUM(CASE WHEN substr(h1, 23, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na22,
+         CAST(SUM(CASE WHEN substr(h1, 24, 1) < '8' THEN x END) AS DOUBLE) AS sa23,
+         CAST(SUM(CASE WHEN substr(h1, 24, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na23,
+         CAST(SUM(CASE WHEN substr(h1, 25, 1) < '8' THEN x END) AS DOUBLE) AS sa24,
+         CAST(SUM(CASE WHEN substr(h1, 25, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na24,
+         CAST(SUM(CASE WHEN substr(h1, 26, 1) < '8' THEN x END) AS DOUBLE) AS sa25,
+         CAST(SUM(CASE WHEN substr(h1, 26, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na25,
+         CAST(SUM(CASE WHEN substr(h1, 27, 1) < '8' THEN x END) AS DOUBLE) AS sa26,
+         CAST(SUM(CASE WHEN substr(h1, 27, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na26,
+         CAST(SUM(CASE WHEN substr(h1, 28, 1) < '8' THEN x END) AS DOUBLE) AS sa27,
+         CAST(SUM(CASE WHEN substr(h1, 28, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na27,
+         CAST(SUM(CASE WHEN substr(h1, 29, 1) < '8' THEN x END) AS DOUBLE) AS sa28,
+         CAST(SUM(CASE WHEN substr(h1, 29, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na28,
+         CAST(SUM(CASE WHEN substr(h1, 30, 1) < '8' THEN x END) AS DOUBLE) AS sa29,
+         CAST(SUM(CASE WHEN substr(h1, 30, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na29,
+         CAST(SUM(CASE WHEN substr(h1, 31, 1) < '8' THEN x END) AS DOUBLE) AS sa30,
+         CAST(SUM(CASE WHEN substr(h1, 31, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na30,
+         CAST(SUM(CASE WHEN substr(h1, 32, 1) < '8' THEN x END) AS DOUBLE) AS sa31,
+         CAST(SUM(CASE WHEN substr(h1, 32, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na31,
+         CAST(SUM(CASE WHEN substr(h2, 1, 1) < '8' THEN x END) AS DOUBLE) AS sa32,
+         CAST(SUM(CASE WHEN substr(h2, 1, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na32,
+         CAST(SUM(CASE WHEN substr(h2, 2, 1) < '8' THEN x END) AS DOUBLE) AS sa33,
+         CAST(SUM(CASE WHEN substr(h2, 2, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na33,
+         CAST(SUM(CASE WHEN substr(h2, 3, 1) < '8' THEN x END) AS DOUBLE) AS sa34,
+         CAST(SUM(CASE WHEN substr(h2, 3, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na34,
+         CAST(SUM(CASE WHEN substr(h2, 4, 1) < '8' THEN x END) AS DOUBLE) AS sa35,
+         CAST(SUM(CASE WHEN substr(h2, 4, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na35,
+         CAST(SUM(CASE WHEN substr(h2, 5, 1) < '8' THEN x END) AS DOUBLE) AS sa36,
+         CAST(SUM(CASE WHEN substr(h2, 5, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na36,
+         CAST(SUM(CASE WHEN substr(h2, 6, 1) < '8' THEN x END) AS DOUBLE) AS sa37,
+         CAST(SUM(CASE WHEN substr(h2, 6, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na37,
+         CAST(SUM(CASE WHEN substr(h2, 7, 1) < '8' THEN x END) AS DOUBLE) AS sa38,
+         CAST(SUM(CASE WHEN substr(h2, 7, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na38,
+         CAST(SUM(CASE WHEN substr(h2, 8, 1) < '8' THEN x END) AS DOUBLE) AS sa39,
+         CAST(SUM(CASE WHEN substr(h2, 8, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na39,
+         CAST(SUM(CASE WHEN substr(h2, 9, 1) < '8' THEN x END) AS DOUBLE) AS sa40,
+         CAST(SUM(CASE WHEN substr(h2, 9, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na40,
+         CAST(SUM(CASE WHEN substr(h2, 10, 1) < '8' THEN x END) AS DOUBLE) AS sa41,
+         CAST(SUM(CASE WHEN substr(h2, 10, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na41,
+         CAST(SUM(CASE WHEN substr(h2, 11, 1) < '8' THEN x END) AS DOUBLE) AS sa42,
+         CAST(SUM(CASE WHEN substr(h2, 11, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na42,
+         CAST(SUM(CASE WHEN substr(h2, 12, 1) < '8' THEN x END) AS DOUBLE) AS sa43,
+         CAST(SUM(CASE WHEN substr(h2, 12, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na43,
+         CAST(SUM(CASE WHEN substr(h2, 13, 1) < '8' THEN x END) AS DOUBLE) AS sa44,
+         CAST(SUM(CASE WHEN substr(h2, 13, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na44,
+         CAST(SUM(CASE WHEN substr(h2, 14, 1) < '8' THEN x END) AS DOUBLE) AS sa45,
+         CAST(SUM(CASE WHEN substr(h2, 14, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na45,
+         CAST(SUM(CASE WHEN substr(h2, 15, 1) < '8' THEN x END) AS DOUBLE) AS sa46,
+         CAST(SUM(CASE WHEN substr(h2, 15, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na46,
+         CAST(SUM(CASE WHEN substr(h2, 16, 1) < '8' THEN x END) AS DOUBLE) AS sa47,
+         CAST(SUM(CASE WHEN substr(h2, 16, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na47,
+         CAST(SUM(CASE WHEN substr(h2, 17, 1) < '8' THEN x END) AS DOUBLE) AS sa48,
+         CAST(SUM(CASE WHEN substr(h2, 17, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na48,
+         CAST(SUM(CASE WHEN substr(h2, 18, 1) < '8' THEN x END) AS DOUBLE) AS sa49,
+         CAST(SUM(CASE WHEN substr(h2, 18, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na49
+  FROM base
+), stacked AS (
+  SELECT 0 AS b, sa0 AS sa, na0 AS na FROM wide
+  UNION ALL SELECT 1 AS b, sa1 AS sa, na1 AS na FROM wide
+  UNION ALL SELECT 2 AS b, sa2 AS sa, na2 AS na FROM wide
+  UNION ALL SELECT 3 AS b, sa3 AS sa, na3 AS na FROM wide
+  UNION ALL SELECT 4 AS b, sa4 AS sa, na4 AS na FROM wide
+  UNION ALL SELECT 5 AS b, sa5 AS sa, na5 AS na FROM wide
+  UNION ALL SELECT 6 AS b, sa6 AS sa, na6 AS na FROM wide
+  UNION ALL SELECT 7 AS b, sa7 AS sa, na7 AS na FROM wide
+  UNION ALL SELECT 8 AS b, sa8 AS sa, na8 AS na FROM wide
+  UNION ALL SELECT 9 AS b, sa9 AS sa, na9 AS na FROM wide
+  UNION ALL SELECT 10 AS b, sa10 AS sa, na10 AS na FROM wide
+  UNION ALL SELECT 11 AS b, sa11 AS sa, na11 AS na FROM wide
+  UNION ALL SELECT 12 AS b, sa12 AS sa, na12 AS na FROM wide
+  UNION ALL SELECT 13 AS b, sa13 AS sa, na13 AS na FROM wide
+  UNION ALL SELECT 14 AS b, sa14 AS sa, na14 AS na FROM wide
+  UNION ALL SELECT 15 AS b, sa15 AS sa, na15 AS na FROM wide
+  UNION ALL SELECT 16 AS b, sa16 AS sa, na16 AS na FROM wide
+  UNION ALL SELECT 17 AS b, sa17 AS sa, na17 AS na FROM wide
+  UNION ALL SELECT 18 AS b, sa18 AS sa, na18 AS na FROM wide
+  UNION ALL SELECT 19 AS b, sa19 AS sa, na19 AS na FROM wide
+  UNION ALL SELECT 20 AS b, sa20 AS sa, na20 AS na FROM wide
+  UNION ALL SELECT 21 AS b, sa21 AS sa, na21 AS na FROM wide
+  UNION ALL SELECT 22 AS b, sa22 AS sa, na22 AS na FROM wide
+  UNION ALL SELECT 23 AS b, sa23 AS sa, na23 AS na FROM wide
+  UNION ALL SELECT 24 AS b, sa24 AS sa, na24 AS na FROM wide
+  UNION ALL SELECT 25 AS b, sa25 AS sa, na25 AS na FROM wide
+  UNION ALL SELECT 26 AS b, sa26 AS sa, na26 AS na FROM wide
+  UNION ALL SELECT 27 AS b, sa27 AS sa, na27 AS na FROM wide
+  UNION ALL SELECT 28 AS b, sa28 AS sa, na28 AS na FROM wide
+  UNION ALL SELECT 29 AS b, sa29 AS sa, na29 AS na FROM wide
+  UNION ALL SELECT 30 AS b, sa30 AS sa, na30 AS na FROM wide
+  UNION ALL SELECT 31 AS b, sa31 AS sa, na31 AS na FROM wide
+  UNION ALL SELECT 32 AS b, sa32 AS sa, na32 AS na FROM wide
+  UNION ALL SELECT 33 AS b, sa33 AS sa, na33 AS na FROM wide
+  UNION ALL SELECT 34 AS b, sa34 AS sa, na34 AS na FROM wide
+  UNION ALL SELECT 35 AS b, sa35 AS sa, na35 AS na FROM wide
+  UNION ALL SELECT 36 AS b, sa36 AS sa, na36 AS na FROM wide
+  UNION ALL SELECT 37 AS b, sa37 AS sa, na37 AS na FROM wide
+  UNION ALL SELECT 38 AS b, sa38 AS sa, na38 AS na FROM wide
+  UNION ALL SELECT 39 AS b, sa39 AS sa, na39 AS na FROM wide
+  UNION ALL SELECT 40 AS b, sa40 AS sa, na40 AS na FROM wide
+  UNION ALL SELECT 41 AS b, sa41 AS sa, na41 AS na FROM wide
+  UNION ALL SELECT 42 AS b, sa42 AS sa, na42 AS na FROM wide
+  UNION ALL SELECT 43 AS b, sa43 AS sa, na43 AS na FROM wide
+  UNION ALL SELECT 44 AS b, sa44 AS sa, na44 AS na FROM wide
+  UNION ALL SELECT 45 AS b, sa45 AS sa, na45 AS na FROM wide
+  UNION ALL SELECT 46 AS b, sa46 AS sa, na46 AS na FROM wide
+  UNION ALL SELECT 47 AS b, sa47 AS sa, na47 AS na FROM wide
+  UNION ALL SELECT 48 AS b, sa48 AS sa, na48 AS na FROM wide
+  UNION ALL SELECT 49 AS b, sa49 AS sa, na49 AS na FROM wide
 ), perms AS (
-  SELECT b.b,
-         round(
-           CAST(SUM(CASE WHEN substr(md5(CAST(k AS VARCHAR) || ':'
-                                      || CAST(b.b AS VARCHAR)), 1, 1) < '8'
-                         THEN x END) AS DOUBLE)
-             / SUM(CASE WHEN substr(md5(CAST(k AS VARCHAR) || ':'
-                                        || CAST(b.b AS VARCHAR)), 1, 1) < '8'
-                        THEN 1 ELSE 0 END)
-           - CAST(SUM(CASE WHEN substr(md5(CAST(k AS VARCHAR) || ':'
-                                       || CAST(b.b AS VARCHAR)), 1, 1) >= '8'
-                          THEN x END) AS DOUBLE)
-             / SUM(CASE WHEN substr(md5(CAST(k AS VARCHAR) || ':'
-                                        || CAST(b.b AS VARCHAR)), 1, 1) >= '8'
-                        THEN 1 ELSE 0 END), 9) AS d_b
-  FROM base CROSS JOIN (SELECT CAST(b AS INT) AS b FROM range(50) t(b)) b
-  GROUP BY 1
+  SELECT s.b,
+         round(s.sa / s.na - (w.st - s.sa) / (w.nt - s.na), 9) AS d_b
+  FROM stacked s CROSS JOIN wide w
+  WHERE s.na > 0 AND w.nt - s.na > 0
 )
 SELECT round(o.d_obs, 6) AS diff_observed,
        CAST(COUNT(*) AS BIGINT) AS n_perms,
@@ -80,40 +226,58 @@ GROUP BY o.d_obs
 def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     base = o.select(
-        F.col("o_orderkey").alias("k"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("h1"),
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("#2")))
+        .alias("h2"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
         F.when(
             F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
             < "8", 0
         ).otherwise(1).alias("grp"),
     )
-    base = base.cache()  # consumed by obs AND the permutation expansion
-
-    def mean_diff(flag0, flag1):
-        return F.round(
-            F.sum(F.when(flag0, F.col("x"))).cast("double")
-            / F.sum(F.when(flag0, 1).otherwise(0))
-            - F.sum(F.when(flag1, F.col("x"))).cast("double")
-            / F.sum(F.when(flag1, 1).otherwise(0)),
-            9,
-        )
-
+    base = base.cache()  # consumed by obs AND the wide permutation agg
     obs = base.agg(
-        mean_diff(F.col("grp") == 0, F.col("grp") == 1).alias("d_obs")
+        F.round(
+            F.sum(F.when(F.col("grp") == 0, F.col("x"))).cast("double")
+            / F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+            - F.sum(F.when(F.col("grp") == 1, F.col("x"))).cast("double")
+            / F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)),
+            9,
+        ).alias("d_obs")
     )
-    bgrid = spark.range(50).select(F.col("id").cast("int").alias("b"))
-    ph = F.substring(
-        F.md5(
-            F.concat(
-                F.col("k").cast("string"), F.lit(":"),
-                F.col("b").cast("string"),
-            )
-        ), 1, 1,
+
+    def bit(b: int):
+        src, pos = ("h1", b + 1) if b < 32 else ("h2", b - 31)
+        return F.substring(F.col(src), pos, 1) < "8"
+
+    aggs = [
+        F.sum("x").cast("double").alias("st"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    ]
+    for b in range(50):
+        aggs.append(
+            F.sum(F.when(bit(b), F.col("x"))).cast("double").alias(f"sa{b}")
+        )
+        aggs.append(
+            F.sum(F.when(bit(b), 1).otherwise(0)).cast("bigint")
+            .alias(f"na{b}")
+        )
+    wide = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"{b}, sa{b}, na{b}" for b in range(50)
     )
-    perms = (
-        base.crossJoin(F.broadcast(bgrid))
-        .groupBy("b")
-        .agg(mean_diff(ph < "8", ph >= "8").alias("d_b"))
+    stacked = wide.selectExpr(
+        "st", "nt", f"stack(50, {stack_args}) AS (b, sa, na)"
+    )
+    perms = stacked.filter(
+        (F.col("na") > 0) & (F.col("nt") - F.col("na") > 0)
+    ).select(
+        "b",
+        F.round(
+            F.col("sa") / F.col("na")
+            - (F.col("st") - F.col("sa")) / (F.col("nt") - F.col("na")),
+            9,
+        ).alias("d_b"),
     )
     extreme = F.sum(
         F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
