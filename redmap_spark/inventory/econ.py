@@ -966,3 +966,194 @@ def q_little_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# -- q_var_cvar --------------------------------------------------------
+#
+# Value-at-Risk and Conditional VaR of day-over-day revenue CHANGES:
+# VaR95 = the exact 5th-percentile change (lower-quantile on the
+# distinct-value grid — the house quantile shape), CVaR95 = the
+# exact mean of the tail at or below it — the risk pair where CVaR
+# is coherent (subadditive) and VaR alone is not. Day deltas are
+# exact decimals (difference of exact daily sums on the day-grid
+# lag); the tail mean is an exact conditional decimal sum. Scale:
+# one scan → |days| grid → 1 row.
+
+VAR_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS rev
+  FROM orders GROUP BY 1
+), chg AS (
+  SELECT CAST(rev - LAG(rev) OVER (ORDER BY day) AS DECIMAL(28,2)) AS d
+  FROM daily
+), chg2 AS (
+  SELECT d FROM chg WHERE d IS NOT NULL
+), grid AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM chg2 GROUP BY 1
+), cum AS (
+  SELECT d, CAST(SUM(cnt) OVER (ORDER BY d) AS BIGINT) AS c,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM grid
+), var95 AS (
+  SELECT CAST(MIN(d) AS DECIMAL(28,2)) AS v, MAX(n) AS n
+  FROM cum WHERE 20 * c >= n
+), tail AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+         CAST(SUM(c2.d) AS DECIMAL(38,2)) AS s_tail
+  FROM chg2 c2 CROSS JOIN var95 v
+  WHERE c2.d <= v.v
+)
+SELECT v.n AS n_days,
+       CAST(v.v AS DOUBLE) AS var95,
+       t.n_tail,
+       round(CAST(t.s_tail AS DOUBLE) / t.n_tail, 6) AS cvar95
+FROM var95 v CROSS JOIN tail t
+WHERE t.n_tail > 0
+"""
+
+
+@query("q_var_cvar", oracle=VAR_SQL)
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").alias("rev")
+    )
+    w = Window.orderBy("day")  # grid-sized sort over unique days
+    chg2 = daily.select(
+        (F.col("rev") - F.lag("rev").over(w)).cast("decimal(28,2)")
+        .alias("d")
+    ).filter(F.col("d").isNotNull())
+    chg2 = chg2.cache()  # consumed by the grid AND the tail sum
+    grid = chg2.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.orderBy("d")
+    wa = Window.partitionBy()
+    cum = grid.select(
+        "d",
+        F.sum("cnt").over(wc).cast("bigint").alias("c"),
+        F.sum("cnt").over(wa).cast("bigint").alias("n"),
+    )
+    var95 = cum.filter(20 * F.col("c") >= F.col("n")).agg(
+        F.min("d").cast("decimal(28,2)").alias("v"),
+        F.max("n").alias("n"),
+    )
+    tail = chg2.join(F.broadcast(var95)).filter(
+        F.col("d") <= F.col("v")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum("d").cast("decimal(38,2)").alias("s_tail"),
+    )
+    return (
+        var95.join(F.broadcast(tail))
+        .filter(F.col("n_tail") > 0)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("v").cast("double").alias("var95"),
+            "n_tail",
+            F.round(
+                F.col("s_tail").cast("double") / F.col("n_tail"), 6
+            ).alias("cvar95"),
+        )
+    )
+
+
+# -- q_backlog_aging ---------------------------------------------------
+#
+# Open-order backlog aging at a fixed snapshot date (1997-06-30):
+# orders placed but not fully shipped, bucketed by days open
+# (0-30 / 31-90 / 91-180 / 180+) with exact counts and exact
+# decimal value-at-risk-of-churn totals per bucket — the ops
+# dashboard behind every "why is fulfillment slipping" review.
+# "Fully shipped" = the order's LAST lineitem shipdate; open =
+# placed ≤ snapshot < last ship. Scale: one orders⋈lineitem
+# max-ship aggregation → 4-row bucket grid.
+
+BACKLOG_SQL = """
+WITH spans AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d0,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS val,
+         CAST(MAX(CAST(l.l_shipdate AS DATE)) AS DATE) AS d1
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3
+), open_orders AS (
+  SELECT date_diff('day', d0, DATE '1997-06-30') AS age, val
+  FROM spans
+  WHERE d0 <= DATE '1997-06-30' AND d1 > DATE '1997-06-30'
+), bucketed AS (
+  SELECT CASE WHEN age <= 30 THEN '0-30'
+              WHEN age <= 90 THEN '31-90'
+              WHEN age <= 180 THEN '91-180'
+              ELSE '180+' END AS bucket,
+         val
+  FROM open_orders
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_open,
+         CAST(SUM(val) AS DECIMAL(38,2)) AS v_open
+  FROM bucketed
+)
+SELECT b.bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(b.val) AS DECIMAL(38,2)) AS DOUBLE) AS value_open,
+       round(CAST(COUNT(*) AS DOUBLE) / t.n_open, 6) AS order_share,
+       round(CAST(CAST(SUM(b.val) AS DECIMAL(38,2)) AS DOUBLE)
+             / CAST(t.v_open AS DOUBLE), 6) AS value_share
+FROM bucketed b CROSS JOIN tot t
+GROUP BY b.bucket, t.n_open, t.v_open
+ORDER BY b.bucket
+"""
+
+
+@query("q_backlog_aging", oracle=BACKLOG_SQL)
+def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    snap = F.lit("1997-06-30").cast("date")
+    spans = (
+        cat.orders.join(
+            cat.lineitem.select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("val"),
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("d1"))
+    )
+    open_orders = spans.filter(
+        (F.col("d0") <= snap) & (F.col("d1") > snap)
+    ).select(F.datediff(snap, F.col("d0")).alias("age"), "val")
+    bucketed = open_orders.select(
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 90, "31-90")
+        .when(F.col("age") <= 180, "91-180")
+        .otherwise("180+").alias("bucket"),
+        "val",
+    )
+    bucketed = bucketed.cache()  # consumed by tot AND the bucket rollup
+    tot = bucketed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_open"),
+        F.sum("val").cast("decimal(38,2)").alias("v_open"),
+    )
+    return (
+        bucketed.join(F.broadcast(tot))
+        .groupBy("bucket", "n_open", "v_open")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("val").cast("decimal(38,2)").cast("double")
+            .alias("value_open"),
+        )
+        .select(
+            "bucket", "n_orders", "value_open",
+            F.round(
+                F.col("n_orders").cast("double") / F.col("n_open"), 6
+            ).alias("order_share"),
+            F.round(
+                F.col("value_open") / F.col("v_open").cast("double"), 6
+            ).alias("value_share"),
+        )
+        .orderBy("bucket")
+    )

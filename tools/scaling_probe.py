@@ -236,6 +236,53 @@ def main() -> None:
                 .agg(F.sum(F.col("w") * F.col("xc")).alias("sxc"),
                      F.sum("w").alias("sw"))
             ),
+            # round-6 ninth-session shape: the q_permutation_test
+            # single-scan WIDE conditional aggregation (50 resample
+            # bits from per-hex-char md5 parities -> 100 conditional
+            # sums in one partial-agg pass, zero row expansion). The
+            # plan class behind "B resamples for the price of one
+            # scan"; wall time must track the scan.
+            "wide_perm_agg": lambda: noop(
+                li.select(
+                    F.md5(F.col("l_orderkey").cast("string")).alias("h1"),
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"), F.lit("#2")
+                        )
+                    ).alias("h2"),
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    .alias("x"),
+                ).agg(
+                    F.sum("x").alias("st"),
+                    F.count(F.lit(1)).alias("nt"),
+                    *[
+                        agg
+                        for b in range(50)
+                        for agg in (
+                            F.sum(
+                                F.when(
+                                    F.substring(
+                                        F.col("h1" if b < 32 else "h2"),
+                                        (b + 1) if b < 32 else (b - 31),
+                                        1,
+                                    ) < "8",
+                                    F.col("x"),
+                                )
+                            ).alias(f"sa{b}"),
+                            F.sum(
+                                F.when(
+                                    F.substring(
+                                        F.col("h1" if b < 32 else "h2"),
+                                        (b + 1) if b < 32 else (b - 31),
+                                        1,
+                                    ) < "8",
+                                    1,
+                                ).otherwise(0)
+                            ).alias(f"na{b}"),
+                        )
+                    ],
+                )
+            ),
             "cms_build": lambda: noop(
                 ev.select(
                     "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
