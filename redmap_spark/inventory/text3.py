@@ -261,3 +261,166 @@ def txt_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- txt_minhash_recall ------------------------------------------------
+#
+# EMPIRICAL banded-MinHash evaluation: candidates from the
+# md5-portable 8-hash signatures (dedup_minhash_portable's exact
+# machinery) banded 4×2, scored as precision/recall against the
+# EXACT shingle-Jaccard ≥ 0.5 ground truth (the shared-shingle
+# equi-join — cost Σ df², never n²). dedup_lsh_tuning predicts the
+# S-curve; THIS measures it on the corpus, hash-exactly in both
+# engines — the text-side twin of sim_lsh_recall. Scale: one
+# shingle explode feeding both the signature build and the truth
+# join; the eval joins are pair-grid sized.
+
+MINHASH_RECALL_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh GROUP BY 1
+), truth AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh a JOIN sh b ON b.s = a.s AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) * 2 >= (
+    (SELECT nsh FROM sizes WHERE doc_id = a.doc_id)
+    + (SELECT nsh FROM sizes WHERE doc_id = b.doc_id)
+    - COUNT(*))
+), sig AS (
+  SELECT doc_id,
+         MIN(('0x' || substr(md5('0:' || s), 1, 15))::BIGINT) AS m0,
+         MIN(('0x' || substr(md5('1:' || s), 1, 15))::BIGINT) AS m1,
+         MIN(('0x' || substr(md5('2:' || s), 1, 15))::BIGINT) AS m2,
+         MIN(('0x' || substr(md5('3:' || s), 1, 15))::BIGINT) AS m3,
+         MIN(('0x' || substr(md5('4:' || s), 1, 15))::BIGINT) AS m4,
+         MIN(('0x' || substr(md5('5:' || s), 1, 15))::BIGINT) AS m5,
+         MIN(('0x' || substr(md5('6:' || s), 1, 15))::BIGINT) AS m6,
+         MIN(('0x' || substr(md5('7:' || s), 1, 15))::BIGINT) AS m7
+  FROM sh GROUP BY 1
+), bands AS (
+  SELECT doc_id, 0 AS band, m0 AS v1, m1 AS v2 FROM sig
+  UNION ALL SELECT doc_id, 1, m2, m3 FROM sig
+  UNION ALL SELECT doc_id, 2, m4, m5 FROM sig
+  UNION ALL SELECT doc_id, 3, m6, m7 FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a
+  JOIN bands b ON b.band = a.band AND b.v1 = a.v1 AND b.v2 = a.v2
+             AND b.doc_id > a.doc_id
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+          JOIN cand c ON c.da = t.da AND c.db = t.db) AS n_hit
+)
+SELECT n_truth AS n_true_pairs, n_cand AS n_candidates, n_hit AS n_hits,
+       round(CASE WHEN n_cand > 0
+                  THEN CAST(n_hit AS DOUBLE) / n_cand END, 6) AS precision,
+       round(CASE WHEN n_truth > 0
+                  THEN CAST(n_hit AS DOUBLE) / n_truth END, 6) AS recall
+FROM stats
+"""
+
+
+@query("txt_minhash_recall", oracle=MINHASH_RECALL_SQL)
+def txt_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    # deterministic md5 quarter-sample: recall evals run on a sample
+    # at corpus scale; the sample is the same in both engines
+    tok = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    ).select("doc_id", F.split("text", " ").alias("t"))
+    sh = tok.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            )
+        ).alias("s"),
+    )
+    sh = sh.cache()  # consumed by sizes, truth pair join AND signatures
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nsh")
+    )
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("db") > F.col("da"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("da"), F.col("nsh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("db"), F.col("nsh").alias("nb"))
+    truth = (
+        inter.join(na, "da").join(nb, "db")
+        .filter(
+            2 * F.col("inter")
+            >= F.col("na") + F.col("nb") - F.col("inter")
+        )
+        .select("da", "db")
+    )
+    truth = truth.cache()  # consumed by the hit join AND the count
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15),
+                16, 10,
+            ).cast("bigint")
+        ).alias(f"m{i}")
+        for i in range(8)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    # stack(), not a 4-way union: union branches get no CSE, so the
+    # signature build would recompute once per band
+    bands = sig.selectExpr(
+        "doc_id",
+        "stack(4, 0, m0, m1, 1, m2, m3, 2, m4, m5, 3, m6, m7)"
+        " AS (band, v1, v2)",
+    )
+    bands = bands.cache()  # consumed as both sides of the band join
+    ba = bands.select(F.col("doc_id").alias("da"), "band", "v1", "v2")
+    bb = bands.select(F.col("doc_id").alias("db"), "band", "v1", "v2")
+    cand = (
+        ba.join(bb, ["band", "v1", "v2"])
+        .filter(F.col("db") > F.col("da"))
+        .select("da", "db")
+        .distinct()
+    )
+    cand = cand.cache()  # consumed by the hit join AND the count
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    n_hit = truth.join(cand, ["da", "db"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        n_truth.join(F.broadcast(n_cand)).join(F.broadcast(n_hit))
+        .select(
+            F.col("n_truth").alias("n_true_pairs"),
+            F.col("n_cand").alias("n_candidates"),
+            F.col("n_hit").alias("n_hits"),
+            F.round(
+                F.when(
+                    F.col("n_cand") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_cand"),
+                ), 6
+            ).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_truth"),
+                ), 6
+            ).alias("recall"),
+        )
+    )
