@@ -615,3 +615,141 @@ def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# -- q_brier_decomposition ---------------------------------------------
+#
+# Murphy decomposition of the Brier score for a day-of-week purchase
+# forecaster: p̂(dow) from the FIRST half of the event window, scored
+# on the second half. Brier = REL − RES + UNC, where REL (how far
+# forecasts sit from their bin's observed rate — what q_calibration_
+# ece sees), RES (how much the bins separate outcomes — the skill
+# term ECE misses), and UNC (base-rate entropy ō(1−ō)) come from
+# exact per-bin counts: the identity shows WHETHER a bad Brier is a
+# calibration problem or a no-signal problem. Forecasts are
+# 9-rounded count ratios; bin folds round to DECIMAL(28,9). Scale:
+# two partial-aggregated scans → 7-bin grid → 7 rows.
+
+BRIER_SQL = """
+WITH base AS (
+  SELECT isodow(CAST(ts AS DATE)) AS dow,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN 2 * date_diff('day', (SELECT MIN(CAST(ts AS DATE))
+                                         FROM events), CAST(ts AS DATE))
+                   <= date_diff('day', (SELECT MIN(CAST(ts AS DATE))
+                                        FROM events),
+                                       (SELECT MAX(CAST(ts AS DATE))
+                                        FROM events))
+              THEN 0 ELSE 1 END AS is_test
+  FROM events
+), fc AS (
+  SELECT dow,
+         round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 9) AS p_hat
+  FROM base WHERE is_test = 0 GROUP BY 1
+), te AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_k,
+         CAST(SUM(y) AS BIGINT) AS o_k
+  FROM base WHERE is_test = 1 GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+         CAST(SUM(o_k) AS BIGINT) AS o
+  FROM te
+), bins AS (
+  SELECT te.dow, te.n_k, fc.p_hat,
+         CAST(te.o_k AS DOUBLE) / te.n_k AS o_bar_k
+  FROM te JOIN fc ON fc.dow = te.dow
+), terms AS (
+  SELECT CAST(SUM(CAST(round(n_k * (p_hat - o_bar_k)
+                             * (p_hat - o_bar_k), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS rel_sum,
+         CAST(SUM(CAST(round(n_k * (o_bar_k - CAST(t.o AS DOUBLE) / t.n)
+                             * (o_bar_k - CAST(t.o AS DOUBLE) / t.n), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS res_sum,
+         MAX(t.n) AS n, MAX(CAST(t.o AS DOUBLE) / t.n) AS o_bar
+  FROM bins CROSS JOIN tot t
+)
+SELECT b.dow, b.n_k,
+       round(b.p_hat, 6) AS forecast,
+       round(b.o_bar_k, 6) AS observed,
+       round(t.rel_sum / t.n, 6) AS reliability,
+       round(t.res_sum / t.n, 6) AS resolution,
+       round(t.o_bar * (1.0 - t.o_bar), 6) AS uncertainty,
+       round(t.rel_sum / t.n - t.res_sum / t.n
+             + t.o_bar * (1.0 - t.o_bar), 6) AS brier
+FROM bins b CROSS JOIN terms t
+ORDER BY b.dow
+"""
+
+
+@query("q_brier_decomposition", oracle=BRIER_SQL)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    day = F.col("ts").cast("date")
+    iso = F.when(F.dayofweek(day) == 1, F.lit(7)).otherwise(
+        F.dayofweek(day) - 1
+    )
+    raw = e.select(
+        iso.cast("bigint").alias("dow"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        day.alias("d"),
+    )
+    raw = raw.cache()  # consumed by bounds AND the split
+    bounds = raw.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    t = F.datediff(F.col("d"), F.col("d0"))
+    span = F.datediff(F.col("d1"), F.col("d0"))
+    base = raw.join(F.broadcast(bounds)).select(
+        "dow", "y", F.when(2 * t <= span, 0).otherwise(1).alias("is_test")
+    )
+    base = base.cache()  # consumed by the train AND test halves
+    fc = base.filter(F.col("is_test") == 0).groupBy("dow").agg(
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 9)
+        .alias("p_hat")
+    )
+    te = base.filter(F.col("is_test") == 1).groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum("y").cast("bigint").alias("o_k"),
+    )
+    te = te.cache()  # consumed by tot AND bins
+    tot = te.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("o_k").cast("bigint").alias("o"),
+    )
+    bins = te.join(fc, "dow").select(
+        "dow", "n_k", "p_hat",
+        (F.col("o_k").cast("double") / F.col("n_k")).alias("o_bar_k"),
+    )
+    bins = bins.cache()  # consumed by terms AND the output
+    o_bar = F.col("o").cast("double") / F.col("n")
+    terms = bins.join(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                F.col("n_k") * (F.col("p_hat") - F.col("o_bar_k"))
+                * (F.col("p_hat") - F.col("o_bar_k")), 9
+            ).cast("decimal(28,9)")
+        ).cast("double").alias("rel_sum"),
+        F.sum(
+            F.round(
+                F.col("n_k") * (F.col("o_bar_k") - o_bar)
+                * (F.col("o_bar_k") - o_bar), 9
+            ).cast("decimal(28,9)")
+        ).cast("double").alias("res_sum"),
+        F.max("n").alias("n"),
+        F.max(o_bar).alias("o_bar"),
+    )
+    unc = F.col("o_bar") * (F.lit(1.0) - F.col("o_bar"))
+    return (
+        bins.join(F.broadcast(terms))
+        .select(
+            "dow", "n_k",
+            F.round("p_hat", 6).alias("forecast"),
+            F.round("o_bar_k", 6).alias("observed"),
+            F.round(F.col("rel_sum") / F.col("n"), 6).alias("reliability"),
+            F.round(F.col("res_sum") / F.col("n"), 6).alias("resolution"),
+            F.round(unc, 6).alias("uncertainty"),
+            F.round(
+                F.col("rel_sum") / F.col("n")
+                - F.col("res_sum") / F.col("n") + unc, 6
+            ).alias("brier"),
+        )
+        .orderBy("dow")
+    )
