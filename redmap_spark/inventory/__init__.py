@@ -107,7 +107,7 @@ _WINDOW_FIRST = [
     "q_mantel_haenszel", "q_cochran_q", "q_icc_reliability",
     "sim_lsh_recall", "q_raking_weights", "q_little_law_audit",
     "q_var_cvar", "q_backlog_aging", "txt_minhash_recall",
-    "q_brier_decomposition",
+    "q_brier_decomposition", "q_panel_fe", "q_regression_discontinuity",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -1157,3 +1157,304 @@ def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# -- q_panel_fe --------------------------------------------------------
+#
+# Two-way fixed-effects panel regression (the within estimator) on
+# the nation × month revenue panel: demean monthly revenue and order
+# count by nation AND month (ỹ = y − ȳᵢ − ȳₜ + ȳ), then OLS on the
+# demeaned pair — the workhorse that kills any time-invariant
+# nation effect and any nation-invariant month shock before
+# estimating the volume→revenue slope. Reported next to the POOLED
+# slope so the FE correction is visible. Cell sums are exact
+# decimals; demeaned products round to DECIMAL(38,4) pre-fold.
+# Scale: one scan → |nations|×|months| cell grid → 1 row.
+
+PANEL_FE_SQL = """
+WITH cells AS (
+  SELECT c.c_nationkey AS i,
+         year(CAST(o.o_orderdate AS DATE)) * 12
+           + month(CAST(o.o_orderdate AS DATE)) AS t,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS y,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), mi AS (
+  SELECT i, CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cells GROUP BY 1
+), mt AS (
+  SELECT t, CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cells GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT i) AS BIGINT) AS ni,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS nt
+  FROM cells
+), dm AS (
+  SELECT CAST(c.y AS DOUBLE) - CAST(mi.sy AS DOUBLE) / mi.n
+           - CAST(mt.sy AS DOUBLE) / mt.n
+           + CAST(g.sy AS DOUBLE) / g.n AS yd,
+         CAST(c.x AS DOUBLE) - CAST(mi.sx AS DOUBLE) / mi.n
+           - CAST(mt.sx AS DOUBLE) / mt.n
+           + CAST(g.sx AS DOUBLE) / g.n AS xd,
+         CAST(c.y AS DOUBLE) - CAST(g.sy AS DOUBLE) / g.n AS yp,
+         CAST(c.x AS DOUBLE) - CAST(g.sx AS DOUBLE) / g.n AS xp
+  FROM cells c
+  JOIN mi ON mi.i = c.i
+  JOIN mt ON mt.t = c.t
+  CROSS JOIN g
+), folds AS (
+  SELECT
+    CAST(SUM(CAST(round(xd * yd, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(round(xd * xd, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(round(yd * yd, 4) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(round(xp * yp, 4) AS DECIMAL(38,4))) AS DOUBLE) AS pxy,
+    CAST(SUM(CAST(round(xp * xp, 4) AS DECIMAL(38,4))) AS DOUBLE) AS pxx
+  FROM dm
+)
+SELECT g.n AS n_cells, g.ni AS n_nations, g.nt AS n_months,
+       round(f.sxy / f.sxx, 6) AS beta_within,
+       round(f.pxy / f.pxx, 6) AS beta_pooled,
+       round(f.sxy * f.sxy / (f.sxx * f.syy), 6) AS r2_within
+FROM folds f CROSS JOIN g
+WHERE f.sxx > 0 AND f.syy > 0 AND f.pxx > 0
+"""
+
+
+@query("q_panel_fe", oracle=PANEL_FE_SQL)
+def q_panel_fe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cells = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("i"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .alias("t"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)").alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+        )
+    )
+    cells = cells.cache()  # consumed by three margin aggs AND the demean
+    mi = cells.groupBy("i").agg(
+        F.sum("y").cast("decimal(38,2)").alias("sy_i"),
+        F.sum("x").cast("bigint").alias("sx_i"),
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+    )
+    mt = cells.groupBy("t").agg(
+        F.sum("y").cast("decimal(38,2)").alias("sy_t"),
+        F.sum("x").cast("bigint").alias("sx_t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_t"),
+    )
+    g = cells.agg(
+        F.sum("y").cast("decimal(38,2)").alias("sy_g"),
+        F.sum("x").cast("bigint").alias("sx_g"),
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.countDistinct("i").cast("bigint").alias("ni"),
+        F.countDistinct("t").cast("bigint").alias("nt"),
+    )
+    yd = (
+        F.col("y").cast("double")
+        - F.col("sy_i").cast("double") / F.col("n_i")
+        - F.col("sy_t").cast("double") / F.col("n_t")
+        + F.col("sy_g").cast("double") / F.col("n_g")
+    )
+    xd = (
+        F.col("x").cast("double")
+        - F.col("sx_i").cast("double") / F.col("n_i")
+        - F.col("sx_t").cast("double") / F.col("n_t")
+        + F.col("sx_g").cast("double") / F.col("n_g")
+    )
+    yp = F.col("y").cast("double") - F.col("sy_g").cast("double") / F.col("n_g")
+    xp = F.col("x").cast("double") - F.col("sx_g").cast("double") / F.col("n_g")
+    dm = (
+        cells.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mt), "t")
+        .join(F.broadcast(g))
+        .select(
+            yd.alias("yd"), xd.alias("xd"), yp.alias("yp"), xp.alias("xp")
+        )
+    )
+
+    def fold(a, b, name):
+        return (
+            F.sum(F.round(F.col(a) * F.col(b), 4).cast("decimal(38,4)"))
+            .cast("double").alias(name)
+        )
+
+    folds = dm.agg(
+        fold("xd", "yd", "sxy"), fold("xd", "xd", "sxx"),
+        fold("yd", "yd", "syy"), fold("xp", "yp", "pxy"),
+        fold("xp", "xp", "pxx"),
+    )
+    return (
+        folds.join(F.broadcast(g))
+        .filter(
+            (F.col("sxx") > 0) & (F.col("syy") > 0) & (F.col("pxx") > 0)
+        )
+        .select(
+            F.col("n_g").alias("n_cells"),
+            F.col("ni").alias("n_nations"),
+            F.col("nt").alias("n_months"),
+            F.round(F.col("sxy") / F.col("sxx"), 6).alias("beta_within"),
+            F.round(F.col("pxy") / F.col("pxx"), 6).alias("beta_pooled"),
+            F.round(
+                F.col("sxy") * F.col("sxy")
+                / (F.col("sxx") * F.col("syy")), 6
+            ).alias("r2_within"),
+        )
+    )
+
+
+# -- q_regression_discontinuity ----------------------------------------
+#
+# Sharp regression-discontinuity design at the natural account-
+# balance cutoff 0 ("good standing"): local linear fits of customer
+# order counts on balance WITHIN the ±1000 bandwidth on each side,
+# jump = right-intercept(0) − left-intercept(0), plus the same
+# estimator at a placebo cutoff (5000) where the true jump is zero —
+# the design-validity check every RDD report carries. Side moments
+# are exact decimals (bal DECIMAL(18,2), count BIGINT); intercepts
+# are one double chain each. Scale: one partial-aggregated scan →
+# 4 side-moment rows → 1 row.
+
+RDD_SQL = """
+WITH peru AS (
+  SELECT c.c_custkey,
+         CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), sides AS (
+  SELECT CASE WHEN bal >= 0 THEN 'r' ELSE 'l' END AS side,
+         'main' AS cut, CAST(bal AS DOUBLE) AS x, CAST(y AS DOUBLE) AS yv
+  FROM peru WHERE bal >= -1000 AND bal < 1000
+  UNION ALL
+  SELECT CASE WHEN bal >= 5000 THEN 'r' ELSE 'l' END,
+         'placebo', CAST(bal AS DOUBLE) - 5000.0, CAST(y AS DOUBLE)
+  FROM peru WHERE bal >= 4000 AND bal < 6000
+), m AS (
+  SELECT cut, side, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(round(x, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(round(yv, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(round(x * yv, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(round(x * x, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+  FROM sides GROUP BY 1, 2
+), fits AS (
+  SELECT cut, side, n,
+         (sy / n) - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)
+           AS icept,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM m WHERE n * sxx - sx * sx <> 0
+), wide AS (
+  SELECT
+    MIN(CASE WHEN cut = 'main' AND side = 'l' THEN n END) AS n_left,
+    MIN(CASE WHEN cut = 'main' AND side = 'r' THEN n END) AS n_right,
+    MIN(CASE WHEN cut = 'main' AND side = 'l' THEN icept END) AS i_l,
+    MIN(CASE WHEN cut = 'main' AND side = 'r' THEN icept END) AS i_r,
+    MIN(CASE WHEN cut = 'main' AND side = 'l' THEN slope END) AS s_l,
+    MIN(CASE WHEN cut = 'main' AND side = 'r' THEN slope END) AS s_r,
+    MIN(CASE WHEN cut = 'placebo' AND side = 'l' THEN icept END) AS p_l,
+    MIN(CASE WHEN cut = 'placebo' AND side = 'r' THEN icept END) AS p_r
+  FROM fits
+)
+SELECT CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+       round(i_r - i_l, 6) AS jump,
+       round(s_l, 6) AS slope_left,
+       round(s_r, 6) AS slope_right,
+       round(p_r - p_l, 6) AS placebo_jump
+FROM wide
+WHERE i_l IS NOT NULL AND i_r IS NOT NULL
+  AND p_l IS NOT NULL AND p_r IS NOT NULL
+"""
+
+
+@query("q_regression_discontinuity", oracle=RDD_SQL)
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    peru = (
+        cat.customer.join(
+            cat.orders.select("o_custkey", "o_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"), "left",
+        )
+        .groupBy(
+            "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("bal")
+        )
+        .agg(F.count("o_orderkey").cast("bigint").alias("y"))
+    )
+    peru = peru.cache()  # consumed by the main AND placebo windows
+    main = peru.filter((F.col("bal") >= -1000) & (F.col("bal") < 1000)).select(
+        F.when(F.col("bal") >= 0, "r").otherwise("l").alias("side"),
+        F.lit("main").alias("cut"),
+        F.col("bal").cast("double").alias("x"),
+        F.col("y").cast("double").alias("yv"),
+    )
+    placebo = peru.filter(
+        (F.col("bal") >= 4000) & (F.col("bal") < 6000)
+    ).select(
+        F.when(F.col("bal") >= 5000, "r").otherwise("l").alias("side"),
+        F.lit("placebo").alias("cut"),
+        (F.col("bal").cast("double") - 5000.0).alias("x"),
+        F.col("y").cast("double").alias("yv"),
+    )
+    sides = main.union(placebo)
+    m = sides.groupBy("cut", "side").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("x", 2).cast("decimal(18,2)")).cast("double")
+        .alias("sx"),
+        F.sum(F.round("yv", 2).cast("decimal(18,2)")).cast("double")
+        .alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("yv"), 4).cast("decimal(28,4)"))
+        .cast("double").alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(28,4)"))
+        .cast("double").alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    icept = F.col("sy") / n - slope * (F.col("sx") / n)
+    fits = m.filter((n * F.col("sxx") - F.col("sx") * F.col("sx")) != 0) \
+            .select("cut", "side", "n", icept.alias("icept"),
+                    slope.alias("slope"))
+
+    def pick(cut, side, col, name):
+        return F.min(
+            F.when((F.col("cut") == cut) & (F.col("side") == side),
+                   F.col(col))
+        ).alias(name)
+
+    wide = fits.agg(
+        pick("main", "l", "n", "n_left"), pick("main", "r", "n", "n_right"),
+        pick("main", "l", "icept", "i_l"), pick("main", "r", "icept", "i_r"),
+        pick("main", "l", "slope", "s_l"), pick("main", "r", "slope", "s_r"),
+        pick("placebo", "l", "icept", "p_l"),
+        pick("placebo", "r", "icept", "p_r"),
+    )
+    return (
+        wide.filter(
+            F.col("i_l").isNotNull() & F.col("i_r").isNotNull()
+            & F.col("p_l").isNotNull() & F.col("p_r").isNotNull()
+        )
+        .select(
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            F.round(F.col("i_r") - F.col("i_l"), 6).alias("jump"),
+            F.round("s_l", 6).alias("slope_left"),
+            F.round("s_r", 6).alias("slope_right"),
+            F.round(F.col("p_r") - F.col("p_l"), 6).alias("placebo_jump"),
+        )
+    )
