@@ -14,7 +14,7 @@ rule), so every resample is cross-engine reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
@@ -652,5 +652,314 @@ def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z2, 6).alias("z_upper"),
             F.when((z1 > 1.645) & (z2 > 1.645), 1).otherwise(0)
             .cast("bigint").alias("equivalent"),
+        )
+    )
+
+
+# -- q_event_study -----------------------------------------------------
+#
+# Event-study leads-and-lags around a policy date (1997-01-01) for
+# the md5-parity "treated" group: β_k = [mean_T(k) − mean_C(k)] −
+# [mean_T(−1) − mean_C(−1)] for relative months k ∈ [−6, +6] — the
+# pre-trend plot that validates (or kills) a diff-in-diff BEFORE
+# anyone believes the post coefficients (flat pre-period β's = the
+# parallel-trends evidence; q_diff_in_diff reports the single
+# pooled effect, this shows its dynamics). Exact conditional
+# decimal sums per (k, group); the k=−1 anchor is a broadcast
+# 1-row join. Scale: one scan → 13×2 cell grid → 13 rows.
+
+EVENT_STUDY_SQL = """
+WITH base AS (
+  SELECT CAST((year(CAST(o_orderdate AS DATE)) - 1997) * 12
+              + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS k,
+         CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS treat,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders
+), cells AS (
+  SELECT k, treat, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,2)) AS s
+  FROM base WHERE k BETWEEN -6 AND 6 GROUP BY 1, 2
+), diffs AS (
+  SELECT k,
+         MIN(CASE WHEN treat = 1 THEN n END) AS n_t,
+         MIN(CASE WHEN treat = 0 THEN n END) AS n_c,
+         MIN(CASE WHEN treat = 1 THEN CAST(s AS DOUBLE) / n END)
+           - MIN(CASE WHEN treat = 0 THEN CAST(s AS DOUBLE) / n END)
+           AS d
+  FROM cells GROUP BY 1
+), anchor AS (
+  SELECT d AS d_ref FROM diffs WHERE k = -1
+)
+SELECT d.k AS rel_month, d.n_t, d.n_c,
+       round(d.d, 6) AS diff_tc,
+       round(d.d - a.d_ref, 6) AS beta,
+       CAST(CASE WHEN d.k < 0 THEN 1 ELSE 0 END AS BIGINT) AS is_pre
+FROM diffs d CROSS JOIN anchor a
+WHERE d.n_t IS NOT NULL AND d.n_c IS NOT NULL
+ORDER BY d.k
+"""
+
+
+@query("q_event_study", oracle=EVENT_STUDY_SQL)
+def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    k = (
+        (F.year("o_orderdate") - 1997) * 12 + F.month("o_orderdate") - 1
+    ).cast("bigint")
+    base = o.select(
+        k.alias("k"),
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+            < "8", 1
+        ).otherwise(0).alias("treat"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    )
+    cells = (
+        base.filter((F.col("k") >= -6) & (F.col("k") <= 6))
+        .groupBy("k", "treat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("decimal(38,2)").alias("s"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    diffs = cells.groupBy("k").agg(
+        F.min(F.when(F.col("treat") == 1, F.col("n"))).alias("n_t"),
+        F.min(F.when(F.col("treat") == 0, F.col("n"))).alias("n_c"),
+        (
+            F.min(F.when(F.col("treat") == 1, mean))
+            - F.min(F.when(F.col("treat") == 0, mean))
+        ).alias("d"),
+    )
+    diffs = diffs.cache()  # consumed by the anchor AND the output
+    anchor = diffs.filter(F.col("k") == -1).select(
+        F.col("d").alias("d_ref")
+    )
+    return (
+        diffs.join(F.broadcast(anchor))
+        .filter(F.col("n_t").isNotNull() & F.col("n_c").isNotNull())
+        .select(
+            F.col("k").alias("rel_month"),
+            F.col("n_t").cast("bigint").alias("n_t"),
+            F.col("n_c").cast("bigint").alias("n_c"),
+            F.round("d", 6).alias("diff_tc"),
+            F.round(F.col("d") - F.col("d_ref"), 6).alias("beta"),
+            F.when(F.col("k") < 0, 1).otherwise(0).cast("bigint")
+            .alias("is_pre"),
+        )
+        .orderBy("rel_month")
+    )
+
+
+# -- q_quantile_treatment_effect ---------------------------------------
+#
+# Distributional treatment effects: per-decile quantile differences
+# of order totals between the md5-parity groups — the effect an
+# average-only z-test hides (a treatment can move the tails while
+# the mean sits still). Each group's deciles are exact lower
+# quantiles off its cumulative distinct-value grid (the house
+# quantile shape), so every QTE is an exact decimal difference.
+# Scale: one scan → two per-group value grids → 9 rows.
+
+QTE_SQL = """
+WITH base AS (
+  SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+              THEN 0 ELSE 1 END AS grp,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders
+), grid AS (
+  SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT grp, x,
+         CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY x) AS BIGINT) AS c,
+         CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM grid
+), qs AS (
+  SELECT d.d AS decile, cum.grp, CAST(MIN(x) AS DECIMAL(18,2)) AS q
+  FROM cum CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(d)
+  WHERE 10 * c >= d.d * n
+  GROUP BY 1, 2
+)
+SELECT a.decile,
+       CAST(a.q AS DOUBLE) AS q_control,
+       CAST(b.q AS DOUBLE) AS q_treat,
+       CAST(b.q - a.q AS DOUBLE) AS qte
+FROM qs a JOIN qs b ON b.decile = a.decile AND b.grp = 1
+WHERE a.grp = 0
+ORDER BY a.decile
+"""
+
+
+@query("q_quantile_treatment_effect", oracle=QTE_SQL)
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    base = o.select(
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+            < "8", 0
+        ).otherwise(1).alias("grp"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    )
+    grid = base.groupBy("grp", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.partitionBy("grp").orderBy("x")
+    wa = Window.partitionBy("grp")
+    cum = grid.select(
+        "grp", "x",
+        F.sum("cnt").over(wc).cast("bigint").alias("c"),
+        F.sum("cnt").over(wa).cast("bigint").alias("n"),
+    )
+    dd = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    qs = (
+        cum.crossJoin(F.broadcast(dd))
+        .filter(10 * F.col("c") >= F.col("decile") * F.col("n"))
+        .groupBy("decile", "grp")
+        .agg(F.min("x").cast("decimal(18,2)").alias("q"))
+    )
+    qa = qs.filter(F.col("grp") == 0).select(
+        "decile", F.col("q").alias("qa")
+    )
+    qb = qs.filter(F.col("grp") == 1).select(
+        "decile", F.col("q").alias("qb")
+    )
+    return (
+        qa.join(qb, "decile")
+        .select(
+            "decile",
+            F.col("qa").cast("double").alias("q_control"),
+            F.col("qb").cast("double").alias("q_treat"),
+            (F.col("qb") - F.col("qa")).cast("double").alias("qte"),
+        )
+        .orderBy("decile")
+    )
+
+
+# -- q_oaxaca ----------------------------------------------------------
+#
+# Oaxaca–Blinder decomposition of the AUTOMOBILE-vs-HOUSEHOLD mean
+# order-total gap into the part EXPLAINED by account-balance
+# composition ((x̄_A − x̄_B)·β_B, reference-group coefficients) and
+# the UNEXPLAINED remainder — the standard decomposition behind
+# every "is this gap a mix effect?" question
+# (q_rate_depth_decomposition's regression-flavored sibling). Group
+# OLS moments are exact decimals; the decomposition is one double
+# chain. Scale: one broadcast-dim join + partial-aggregated scan →
+# 2-row group grid → 1 row.
+
+OAXACA_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS y,
+         CAST(c.c_acctbal AS DECIMAL(18,2)) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+), m AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+    CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+    CAST(SUM(CAST(x * y AS DECIMAL(37,4))) AS DECIMAL(38,4)) AS sxy,
+    CAST(SUM(CAST(x * x AS DECIMAL(37,4))) AS DECIMAL(38,4)) AS sxx
+  FROM base GROUP BY 1
+), fits AS (
+  SELECT seg, n,
+         CAST(sx AS DOUBLE) / n AS xbar,
+         CAST(sy AS DOUBLE) / n AS ybar,
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sx AS DOUBLE)) AS beta
+  FROM m
+  WHERE n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        <> 0
+), wide AS (
+  SELECT
+    MIN(CASE WHEN seg = 'AUTOMOBILE' THEN n END) AS n_a,
+    MIN(CASE WHEN seg = 'HOUSEHOLD' THEN n END) AS n_b,
+    MIN(CASE WHEN seg = 'AUTOMOBILE' THEN ybar END) AS y_a,
+    MIN(CASE WHEN seg = 'HOUSEHOLD' THEN ybar END) AS y_b,
+    MIN(CASE WHEN seg = 'AUTOMOBILE' THEN xbar END) AS x_a,
+    MIN(CASE WHEN seg = 'HOUSEHOLD' THEN xbar END) AS x_b,
+    MIN(CASE WHEN seg = 'HOUSEHOLD' THEN beta END) AS beta_b
+  FROM fits
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(y_a - y_b, 6) AS gap,
+       round((x_a - x_b) * beta_b, 6) AS explained,
+       round((y_a - y_b) - (x_a - x_b) * beta_b, 6) AS unexplained,
+       round(CASE WHEN y_a - y_b <> 0
+                  THEN (x_a - x_b) * beta_b / (y_a - y_b) END, 6)
+         AS explained_share
+FROM wide
+WHERE y_a IS NOT NULL AND y_b IS NOT NULL AND beta_b IS NOT NULL
+"""
+
+
+@query("q_oaxaca", oracle=OAXACA_SQL)
+def q_oaxaca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat.orders.join(
+            F.broadcast(
+                cat.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("x"),
+        )
+    )
+    m = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,2)").alias("sx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(37,4)"))
+        .cast("decimal(38,4)").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(37,4)"))
+        .cast("decimal(38,4)").alias("sxx"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    beta = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / vx
+    fits = m.filter(vx != 0).select(
+        "seg", "n",
+        (F.col("sx").cast("double") / n).alias("xbar"),
+        (F.col("sy").cast("double") / n).alias("ybar"),
+        beta.alias("beta"),
+    )
+
+    def pick(seg, col, name):
+        return F.min(F.when(F.col("seg") == seg, F.col(col))).alias(name)
+
+    wide = fits.agg(
+        pick("AUTOMOBILE", "n", "n_a"), pick("HOUSEHOLD", "n", "n_b"),
+        pick("AUTOMOBILE", "ybar", "y_a"), pick("HOUSEHOLD", "ybar", "y_b"),
+        pick("AUTOMOBILE", "xbar", "x_a"), pick("HOUSEHOLD", "xbar", "x_b"),
+        pick("HOUSEHOLD", "beta", "beta_b"),
+    )
+    gap = F.col("y_a") - F.col("y_b")
+    expl = (F.col("x_a") - F.col("x_b")) * F.col("beta_b")
+    return (
+        wide.filter(
+            F.col("y_a").isNotNull() & F.col("y_b").isNotNull()
+            & F.col("beta_b").isNotNull()
+        )
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(gap, 6).alias("gap"),
+            F.round(expl, 6).alias("explained"),
+            F.round(gap - expl, 6).alias("unexplained"),
+            F.round(
+                F.when(gap != 0, expl / gap), 6
+            ).alias("explained_share"),
         )
     )
