@@ -1458,3 +1458,114 @@ def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p_r") - F.col("p_l"), 6).alias("placebo_jump"),
         )
     )
+
+
+# -- q_gravity_trade ---------------------------------------------------
+#
+# Gravity model of the nation-to-nation trade flows (the mr_scc /
+# mr_digraph_stats flow matrix): ln(flow_ij) ~ α + β·ln(mass_i ×
+# mass_j), where mass is each nation's total trade volume — the
+# empirical-trade workhorse (β ≈ 1 for classic gravity). ln-domain
+# moments fold DECIMAL(28,9)-rounded terms (the q_elasticity
+# discipline); masses and flows are exact counts. Scale: one fact
+# scan → ≤625-pair grid → 1 row.
+
+GRAVITY_SQL = """
+WITH flows AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS flow
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), mass_s AS (
+  SELECT src, CAST(SUM(flow) AS BIGINT) AS ms FROM flows GROUP BY 1
+), mass_d AS (
+  SELECT dst, CAST(SUM(flow) AS BIGINT) AS md FROM flows GROUP BY 1
+), pts AS (
+  SELECT ln(CAST(f.flow AS DOUBLE)) AS y,
+         ln(CAST(ms.ms AS DOUBLE) * md.md) AS x
+  FROM flows f
+  JOIN mass_s ms ON ms.src = f.src
+  JOIN mass_d md ON md.dst = f.dst
+  WHERE f.flow > 0
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT n AS n_pairs,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta_mass,
+       round(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx / n,
+             6) AS alpha,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+"""
+
+
+@query("q_gravity_trade", oracle=GRAVITY_SQL)
+def q_gravity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    flows = (
+        cat.lineitem
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("s_nationkey").cast("bigint").alias("src"),
+            F.col("c_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("flow"))
+    )
+    flows = flows.cache()  # consumed by both mass margins AND pts
+    mass_s = flows.groupBy("src").agg(
+        F.sum("flow").cast("bigint").alias("ms")
+    )
+    mass_d = flows.groupBy("dst").agg(
+        F.sum("flow").cast("bigint").alias("md")
+    )
+    pts = (
+        flows.filter(F.col("flow") > 0)
+        .join(F.broadcast(mass_s), "src")
+        .join(F.broadcast(mass_d), "dst")
+        .select(
+            F.log(F.col("flow").cast("double")).alias("y"),
+            F.log(F.col("ms").cast("double") * F.col("md")).alias("x"),
+        )
+    )
+
+    def fold(expr, name):
+        return (
+            F.sum(F.round(expr, 9).cast("decimal(28,9)")).cast("double")
+            .alias(name)
+        )
+
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold(F.col("x"), "sx"), fold(F.col("y"), "sy"),
+        fold(F.col("x") * F.col("y"), "sxy"),
+        fold(F.col("x") * F.col("x"), "sxx"),
+        fold(F.col("y") * F.col("y"), "syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    cov = n * F.col("sxy") - sx * sy
+    slope = cov / vx
+    return (
+        m.filter((vx != 0) & (vy != 0))
+        .select(
+            n.alias("n_pairs"),
+            F.round(slope, 6).alias("beta_mass"),
+            F.round(sy / n - slope * sx / n, 6).alias("alpha"),
+            F.round(cov * cov / (vx * vy), 6).alias("r2"),
+        )
+    )

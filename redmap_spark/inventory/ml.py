@@ -753,3 +753,182 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# -- q_poisson_irls ----------------------------------------------------
+#
+# Poisson GLM of daily order counts on time, fit by THREE unrolled
+# IRLS iterations (the q_gmm_em pattern for the other workhorse
+# iterative fit): ln μ = β₀ + β₁·(t/1000), init β₀ = ln ȳ, each
+# round a weighted least squares of the working response z = η +
+# (y−μ)/μ with weights μ — 1 regressor + intercept, so the WLS
+# solve is closed-form 2×2. Weighted moments fold DECIMAL(28,6)-
+# rounded terms; exp/ln chains are identical doubles. Reports the
+# fitted rate curve endpoints and the Pearson overdispersion ratio
+# (the q_overdispersion diagnostic, here measured against THIS
+# model). Scale: init scan + 3 cached-scan IRLS rounds → 1 row.
+
+POISSON_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           / 1000.0 AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), init AS (
+  SELECT ln(CAST(SUM(y) AS DOUBLE) / COUNT(*)) AS b0, 0.0 AS b1,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily
+), it1 AS (
+  SELECT
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x), 6) AS DECIMAL(28,6)))
+         AS DOUBLE) AS sw,
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x) * d.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swx,
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x) * d.x * d.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swxx,
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x)
+                        * ((p.b0 + p.b1 * d.x)
+                           + (d.y - exp(p.b0 + p.b1 * d.x))
+                             / exp(p.b0 + p.b1 * d.x)), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swz,
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x) * d.x
+                        * ((p.b0 + p.b1 * d.x)
+                           + (d.y - exp(p.b0 + p.b1 * d.x))
+                             / exp(p.b0 + p.b1 * d.x)), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swxz
+  FROM daily d CROSS JOIN init p
+), p1 AS (
+  SELECT (swz * swxx - swxz * swx) / (sw * swxx - swx * swx) AS b0,
+         (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+  FROM it1 WHERE sw * swxx - swx * swx <> 0
+), it2 AS (
+  SELECT
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x), 6) AS DECIMAL(28,6)))
+         AS DOUBLE) AS sw,
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x) * d.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swx,
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x) * d.x * d.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swxx,
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x)
+                        * ((p.b0 + p.b1 * d.x)
+                           + (d.y - exp(p.b0 + p.b1 * d.x))
+                             / exp(p.b0 + p.b1 * d.x)), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swz,
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x) * d.x
+                        * ((p.b0 + p.b1 * d.x)
+                           + (d.y - exp(p.b0 + p.b1 * d.x))
+                             / exp(p.b0 + p.b1 * d.x)), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swxz
+  FROM daily d CROSS JOIN p1 p
+), p2 AS (
+  SELECT (swz * swxx - swxz * swx) / (sw * swxx - swx * swx) AS b0,
+         (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+  FROM it2 WHERE sw * swxx - swx * swx <> 0
+), it3 AS (
+  SELECT
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x), 6) AS DECIMAL(28,6)))
+         AS DOUBLE) AS sw,
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x) * d.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swx,
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x) * d.x * d.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swxx,
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x)
+                        * ((p.b0 + p.b1 * d.x)
+                           + (d.y - exp(p.b0 + p.b1 * d.x))
+                             / exp(p.b0 + p.b1 * d.x)), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swz,
+    CAST(SUM(CAST(round(exp(p.b0 + p.b1 * d.x) * d.x
+                        * ((p.b0 + p.b1 * d.x)
+                           + (d.y - exp(p.b0 + p.b1 * d.x))
+                             / exp(p.b0 + p.b1 * d.x)), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swxz
+  FROM daily d CROSS JOIN p2 p
+), p3 AS (
+  SELECT (swz * swxx - swxz * swx) / (sw * swxx - swx * swx) AS b0,
+         (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+  FROM it3 WHERE sw * swxx - swx * swx <> 0
+), pearson AS (
+  SELECT CAST(SUM(CAST(round(
+           (d.y - exp(p.b0 + p.b1 * d.x))
+           * (d.y - exp(p.b0 + p.b1 * d.x))
+           / exp(p.b0 + p.b1 * d.x), 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS chi2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily d CROSS JOIN p3 p
+)
+SELECT pe.n AS n_days,
+       round(p.b0, 6) AS beta0,
+       round(p.b1, 6) AS beta1_per_1000d,
+       round(exp(p.b0), 6) AS rate_at_epoch,
+       round(exp(p.b0 + p.b1 * 2.0), 6) AS rate_at_day2000,
+       round(pe.chi2 / (pe.n - 2), 6) AS pearson_dispersion
+FROM p3 p CROSS JOIN pearson pe
+WHERE pe.n > 2
+"""
+
+
+@query("q_poisson_irls", oracle=POISSON_SQL)
+def q_poisson_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01")
+            ) / 1000.0
+        ).alias("x")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    daily = daily.cache()  # consumed by init AND 3 IRLS rounds + pearson
+    init = daily.agg(
+        F.log(F.sum("y").cast("double") / F.count(F.lit(1))).alias("b0"),
+        F.lit(0.0).alias("b1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    p = init.select("b0", "b1")
+
+    def fold(expr, name):
+        return (
+            F.sum(F.round(expr, 6).cast("decimal(28,6)")).cast("double")
+            .alias(name)
+        )
+
+    for _ in range(3):
+        eta = F.col("b0") + F.col("b1") * F.col("x")
+        mu = F.exp(eta)
+        z = eta + (F.col("y") - mu) / mu
+        it = daily.join(F.broadcast(p)).agg(
+            fold(mu, "sw"), fold(mu * F.col("x"), "swx"),
+            fold(mu * F.col("x") * F.col("x"), "swxx"),
+            fold(mu * z, "swz"), fold(mu * F.col("x") * z, "swxz"),
+        )
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        p = it.filter(det != 0).select(
+            (
+                (F.col("swz") * F.col("swxx") - F.col("swxz") * F.col("swx"))
+                / det
+            ).alias("b0"),
+            (
+                (F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz"))
+                / det
+            ).alias("b1"),
+        )
+
+    eta = F.col("b0") + F.col("b1") * F.col("x")
+    mu = F.exp(eta)
+    pearson = daily.join(F.broadcast(p)).agg(
+        fold((F.col("y") - mu) * (F.col("y") - mu) / mu, "chi2"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        p.join(F.broadcast(pearson))
+        .filter(F.col("n") > 2)
+        .select(
+            F.col("n").alias("n_days"),
+            F.round("b0", 6).alias("beta0"),
+            F.round("b1", 6).alias("beta1_per_1000d"),
+            F.round(F.exp(F.col("b0")), 6).alias("rate_at_epoch"),
+            F.round(F.exp(F.col("b0") + F.col("b1") * 2.0), 6)
+            .alias("rate_at_day2000"),
+            F.round(F.col("chi2") / (F.col("n") - 2), 6)
+            .alias("pearson_dispersion"),
+        )
+    )

@@ -2008,3 +2008,84 @@ def q_icc_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("icc"),
         )
     )
+
+
+# -- q_zero_inflation --------------------------------------------------
+#
+# Zero-inflation score test on per-customer 1995 order counts
+# (customers with no 1995 orders INCLUDED as exact zeros via the
+# left join): does the count distribution carry more zeros than
+# Poisson(λ̂) predicts — the "should I model a separate never-buyer
+# class" gate that decides between Poisson and ZIP/hurdle models
+# (q_overdispersion checks the variance, THIS checks the zeros —
+# they fail independently). z = (n₀ − n·e^−λ̂)/√(n·e^−λ̂(1−e^−λ̂));
+# counts exact, one double chain. Scale: one left-join scan → 1 row.
+
+ZIP_SQL = """
+WITH counts AS (
+  SELECT c.c_custkey,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS y
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey
+   AND year(CAST(o.o_orderdate AS DATE)) = 1995
+  GROUP BY 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM counts
+), s AS (
+  SELECT n, n0, CAST(total AS DOUBLE) / n AS lam,
+         n * exp(-(CAST(total AS DOUBLE) / n)) AS e0
+  FROM agg
+)
+SELECT n AS n_customers, n0 AS n_zeros,
+       round(lam, 6) AS lambda_hat,
+       round(e0, 6) AS expected_zeros,
+       round(CAST(n0 AS DOUBLE) / e0, 6) AS zero_ratio,
+       round((n0 - e0) / sqrt(e0 * (1.0 - e0 / n)), 6) AS z,
+       CAST(CASE WHEN (n0 - e0) / sqrt(e0 * (1.0 - e0 / n)) > 1.645
+                 THEN 1 ELSE 0 END AS BIGINT) AS zero_inflated
+FROM s
+WHERE e0 > 0 AND e0 < n
+"""
+
+
+@query("q_zero_inflation", oracle=ZIP_SQL)
+def q_zero_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o95 = cat.orders.filter(F.year("o_orderdate") == 1995).select(
+        "o_custkey", "o_orderkey"
+    )
+    counts = (
+        cat.customer.join(
+            o95, F.col("o_custkey") == F.col("c_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("y"))
+    )
+    agg = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("total"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n0"),
+    )
+    lam = F.col("total").cast("double") / F.col("n")
+    e0 = F.col("n") * F.exp(-lam)
+    z = (F.col("n0") - e0) / F.sqrt(e0 * (F.lit(1.0) - e0 / F.col("n")))
+    return (
+        agg.withColumn("lam", lam).withColumn("e0", e0)
+        .filter((F.col("e0") > 0) & (F.col("e0") < F.col("n")))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("n0").alias("n_zeros"),
+            F.round("lam", 6).alias("lambda_hat"),
+            F.round("e0", 6).alias("expected_zeros"),
+            F.round(F.col("n0").cast("double") / F.col("e0"), 6)
+            .alias("zero_ratio"),
+            F.round(z, 6).alias("z"),
+            F.when(z > 1.645, 1).otherwise(0).cast("bigint")
+            .alias("zero_inflated"),
+        )
+    )
