@@ -2089,3 +2089,269 @@ def q_zero_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("zero_inflated"),
         )
     )
+
+
+# -- q_mahalanobis -----------------------------------------------------
+#
+# 2-D Mahalanobis outlier gate on (quantity, extended price) per
+# line item: d² = Δ'Σ⁻¹Δ with the 2×2 covariance inverted in closed
+# form from exact decimal moments — the MULTIVARIATE upgrade of
+# q_mad_outliers/q_anomaly_zscore (a line can be normal in each
+# margin yet impossible jointly, e.g. huge price at qty 1). Flags
+# d² > 13.816 (χ²₂ at 0.999); reports per-brand outlier counts and
+# rates. Per-row d² is one identical double chain. Scale: one
+# broadcast-dim join + two partial-aggregated scans → 25 rows.
+
+MAHALANOBIS_SQL = """
+WITH li AS (
+  SELECT p.p_brand AS brand,
+         CAST(l.l_quantity AS DECIMAL(8,2)) AS x,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS DECIMAL(28,2)) AS sx,
+    CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+    CAST(SUM(CAST(x * y AS DECIMAL(26,4))) AS DECIMAL(38,4)) AS sxy,
+    CAST(SUM(CAST(x * x AS DECIMAL(16,4))) AS DECIMAL(38,4)) AS sxx,
+    CAST(SUM(CAST(y * y AS DECIMAL(36,4))) AS DECIMAL(38,4)) AS syy
+  FROM li
+), cov AS (
+  SELECT CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         CAST(sxx AS DOUBLE) / n
+           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vx,
+         CAST(syy AS DOUBLE) / n
+           - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vy,
+         CAST(sxy AS DOUBLE) / n
+           - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS c
+  FROM m
+), scored AS (
+  SELECT li.brand,
+         ((CAST(li.x AS DOUBLE) - cv.mx) * (CAST(li.x AS DOUBLE) - cv.mx)
+            * cv.vy
+          - 2.0 * (CAST(li.x AS DOUBLE) - cv.mx)
+            * (CAST(li.y AS DOUBLE) - cv.my) * cv.c
+          + (CAST(li.y AS DOUBLE) - cv.my)
+            * (CAST(li.y AS DOUBLE) - cv.my) * cv.vx)
+         / (cv.vx * cv.vy - cv.c * cv.c) AS d2
+  FROM li CROSS JOIN cov cv
+  WHERE cv.vx * cv.vy - cv.c * cv.c > 0
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN d2 > 13.816 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(CAST(SUM(CASE WHEN d2 > 13.816 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS outlier_rate,
+       round(CAST(SUM(CAST(round(d2, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_d2
+FROM scored GROUP BY 1
+ORDER BY brand
+"""
+
+
+@query("q_mahalanobis", oracle=MAHALANOBIS_SQL)
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.join(
+        F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_quantity").cast("decimal(8,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    li = li.cache()  # consumed by the moment agg AND the scoring pass
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(28,2)").alias("sx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(26,4)"))
+        .cast("decimal(38,4)").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(16,4)"))
+        .cast("decimal(38,4)").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(36,4)"))
+        .cast("decimal(38,4)").alias("syy"),
+    )
+    n = F.col("n")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    cov = m.select(
+        mx.alias("mx"), my.alias("my"),
+        (F.col("sxx").cast("double") / n - mx * mx).alias("vx"),
+        (F.col("syy").cast("double") / n - my * my).alias("vy"),
+        (F.col("sxy").cast("double") / n - mx * my).alias("c"),
+    )
+    det = F.col("vx") * F.col("vy") - F.col("c") * F.col("c")
+    dx = F.col("x").cast("double") - F.col("mx")
+    dy = F.col("y").cast("double") - F.col("my")
+    d2 = (
+        dx * dx * F.col("vy") - 2.0 * dx * dy * F.col("c")
+        + dy * dy * F.col("vx")
+    ) / det
+    scored = (
+        li.join(F.broadcast(cov))
+        .filter(det > 0)
+        .select("brand", d2.alias("d2"))
+    )
+    return (
+        scored.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("d2") > 13.816, 1).otherwise(0))
+            .cast("bigint").alias("n_outliers"),
+            F.round(
+                F.sum(F.when(F.col("d2") > 13.816, 1).otherwise(0))
+                .cast("double") / F.count(F.lit(1)), 6
+            ).alias("outlier_rate"),
+            F.round(
+                F.sum(F.round("d2", 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)), 6
+            ).alias("mean_d2"),
+        )
+        .orderBy("brand")
+    )
+
+
+# -- q_hotelling_t2 ----------------------------------------------------
+#
+# Two-sample Hotelling T² comparing the (quantity, price) MEAN
+# VECTOR between the md5-parity groups: T² = (n₁n₂/n)·Δ'S⁻¹Δ with
+# the pooled 2×2 covariance inverted in closed form — the
+# multivariate "did ANY dimension move" test that two univariate
+# z-tests with a multiple-comparison patch under-power (it sees
+# correlated shifts). Exact per-group decimal moments, one double
+# chain, large-n critical value χ²₂ = 5.991. Scale: one
+# partial-aggregated scan → 2-row group grid → 1 row.
+
+HOTELLING_SQL = """
+WITH li AS (
+  SELECT CASE WHEN substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '8'
+              THEN 0 ELSE 1 END AS grp,
+         CAST(l_quantity AS DECIMAL(8,2)) AS x,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+  FROM lineitem
+), m AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS DECIMAL(28,2)) AS sx,
+    CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+    CAST(SUM(CAST(x * y AS DECIMAL(26,4))) AS DECIMAL(38,4)) AS sxy,
+    CAST(SUM(CAST(x * x AS DECIMAL(16,4))) AS DECIMAL(38,4)) AS sxx,
+    CAST(SUM(CAST(y * y AS DECIMAL(36,4))) AS DECIMAL(38,4)) AS syy
+  FROM li GROUP BY 1
+), st AS (
+  SELECT grp, n,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS cxx,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS cxy
+  FROM m
+), wide AS (
+  SELECT
+    MIN(CASE WHEN grp = 0 THEN n END) AS n1,
+    MIN(CASE WHEN grp = 1 THEN n END) AS n2,
+    MIN(CASE WHEN grp = 0 THEN mx END) AS mx1,
+    MIN(CASE WHEN grp = 1 THEN mx END) AS mx2,
+    MIN(CASE WHEN grp = 0 THEN my END) AS my1,
+    MIN(CASE WHEN grp = 1 THEN my END) AS my2,
+    SUM(cxx) AS pxx, SUM(cyy) AS pyy, SUM(cxy) AS pxy
+  FROM st
+), t2 AS (
+  SELECT n1, n2,
+         mx2 - mx1 AS dx, my2 - my1 AS dy,
+         pxx / (n1 + n2 - 2) AS sxx,
+         pyy / (n1 + n2 - 2) AS syy,
+         pxy / (n1 + n2 - 2) AS sxy
+  FROM wide WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       round(dx, 6) AS diff_qty,
+       round(dy, 6) AS diff_price,
+       round(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)
+             * (dx * dx * syy - 2.0 * dx * dy * sxy + dy * dy * sxx)
+             / (sxx * syy - sxy * sxy), 6) AS t2_stat,
+       CAST(CASE WHEN CAST(n1 AS DOUBLE) * n2 / (n1 + n2)
+                      * (dx * dx * syy - 2.0 * dx * dy * sxy
+                         + dy * dy * sxx)
+                      / (sxx * syy - sxy * sxy) > 5.991
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM t2
+WHERE sxx * syy - sxy * sxy > 0
+"""
+
+
+@query("q_hotelling_t2", oracle=HOTELLING_SQL)
+def q_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select(
+        F.when(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+            < "8", 0
+        ).otherwise(1).alias("grp"),
+        F.col("l_quantity").cast("decimal(8,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    m = li.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(28,2)").alias("sx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(26,4)"))
+        .cast("decimal(38,4)").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(16,4)"))
+        .cast("decimal(38,4)").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(36,4)"))
+        .cast("decimal(38,4)").alias("syy"),
+    )
+    n = F.col("n")
+    st = m.select(
+        "grp", "n",
+        (F.col("sx").cast("double") / n).alias("mx"),
+        (F.col("sy").cast("double") / n).alias("my"),
+        (F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx") / n).alias("cxx"),
+        (F.col("syy").cast("double")
+         - F.col("sy").cast("double") * F.col("sy") / n).alias("cyy"),
+        (F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy") / n).alias("cxy"),
+    )
+    wide = st.agg(
+        F.min(F.when(F.col("grp") == 0, F.col("n"))).alias("n1"),
+        F.min(F.when(F.col("grp") == 1, F.col("n"))).alias("n2"),
+        F.min(F.when(F.col("grp") == 0, F.col("mx"))).alias("mx1"),
+        F.min(F.when(F.col("grp") == 1, F.col("mx"))).alias("mx2"),
+        F.min(F.when(F.col("grp") == 0, F.col("my"))).alias("my1"),
+        F.min(F.when(F.col("grp") == 1, F.col("my"))).alias("my2"),
+        F.sum("cxx").alias("pxx"), F.sum("cyy").alias("pyy"),
+        F.sum("cxy").alias("pxy"),
+    )
+    dof = F.col("n1") + F.col("n2") - 2
+    t2 = wide.filter(
+        F.col("n1").isNotNull() & F.col("n2").isNotNull()
+    ).select(
+        "n1", "n2",
+        (F.col("mx2") - F.col("mx1")).alias("dx"),
+        (F.col("my2") - F.col("my1")).alias("dy"),
+        (F.col("pxx") / dof).alias("sxx"),
+        (F.col("pyy") / dof).alias("syy"),
+        (F.col("pxy") / dof).alias("sxy"),
+    )
+    det = F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy")
+    stat = (
+        F.col("n1").cast("double") * F.col("n2")
+        / (F.col("n1") + F.col("n2"))
+        * (
+            F.col("dx") * F.col("dx") * F.col("syy")
+            - 2.0 * F.col("dx") * F.col("dy") * F.col("sxy")
+            + F.col("dy") * F.col("dy") * F.col("sxx")
+        ) / det
+    )
+    return (
+        t2.filter(det > 0)
+        .select(
+            F.col("n1").cast("bigint").alias("n_a"),
+            F.col("n2").cast("bigint").alias("n_b"),
+            F.round("dx", 6).alias("diff_qty"),
+            F.round("dy", 6).alias("diff_price"),
+            F.round(stat, 6).alias("t2_stat"),
+            F.when(stat > 5.991, 1).otherwise(0).cast("bigint")
+            .alias("significant"),
+        )
+    )

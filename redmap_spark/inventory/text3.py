@@ -424,3 +424,119 @@ def txt_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# -- txt_burrows_delta -------------------------------------------------
+#
+# Burrows' Delta stylometry (Burrows 2002): z-score each source's
+# relative frequency of the corpus's TOP-30 words (deterministic
+# count-then-word tiebreak) against the across-source mean/std, and
+# report each source's Delta = mean |z| — the distance-from-house-
+# style measure behind authorship attribution and style-drift
+# monitoring (txt_source_signature finds WHICH words distinguish a
+# source; Delta scores HOW FAR the whole profile sits). Frequencies
+# are exact-count ratios; across-source folds round to
+# DECIMAL(28,9). Scale: one token explode → 30-word × |sources|
+# grids → |sources| rows.
+
+BURROWS_SQL = """
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+  WHERE length(text) > 0
+), wc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM words
+  GROUP BY 1, 2
+), stot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM wc GROUP BY 1
+), top AS (
+  SELECT w FROM (
+    SELECT w, SUM(c) AS tc FROM wc GROUP BY 1
+    ORDER BY tc DESC, w LIMIT 30)
+), f AS (
+  SELECT st.source, t.w,
+         COALESCE(wc.c, 0) / CAST(st.tot AS DOUBLE) AS fr
+  FROM stot st CROSS JOIN top t
+  LEFT JOIN wc ON wc.source = st.source AND wc.w = t.w
+), wstat AS (
+  SELECT w,
+         CAST(SUM(CAST(round(fr, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / COUNT(*) AS mu,
+         CAST(SUM(CAST(round(fr * fr, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / COUNT(*) AS m2,
+         CAST(COUNT(*) AS BIGINT) AS ns
+  FROM f GROUP BY 1
+), z AS (
+  SELECT f.source, f.w,
+         abs(f.fr - ws.mu) / sqrt(ws.m2 - ws.mu * ws.mu) AS az
+  FROM f JOIN wstat ws ON ws.w = f.w
+  WHERE ws.m2 - ws.mu * ws.mu > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       round(CAST(SUM(CAST(round(az, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / COUNT(*), 6) AS burrows_delta
+FROM z GROUP BY 1
+ORDER BY source
+"""
+
+
+@query("txt_burrows_delta", oracle=BURROWS_SQL)
+def txt_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    words = d.filter(F.length("text") > 0).select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wc = wc.cache()  # consumed by stot, top AND the frequency grid
+    stot = wc.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    top = (
+        wc.groupBy("w").agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("w"))
+        .limit(30)
+        .select("w")
+    )
+    f = (
+        stot.crossJoin(F.broadcast(top))
+        .join(wc, ["source", "w"], "left")
+        .select(
+            "source", "w",
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                / F.col("tot").cast("double")
+            ).alias("fr"),
+        )
+    )
+    f = f.cache()  # consumed by wstat AND z
+    wstat = f.groupBy("w").agg(
+        (
+            F.sum(F.round("fr", 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        (
+            F.sum(F.round(F.col("fr") * F.col("fr"), 9)
+                  .cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    var = F.col("m2") - F.col("mu") * F.col("mu")
+    z = (
+        f.join(F.broadcast(wstat), "w")
+        .filter(var > 0)
+        .select(
+            "source",
+            (F.abs(F.col("fr") - F.col("mu")) / F.sqrt(var)).alias("az"),
+        )
+    )
+    return (
+        z.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.round(
+                F.sum(F.round("az", 9).cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)), 6
+            ).alias("burrows_delta"),
+        )
+        .orderBy("source")
+    )
