@@ -34,6 +34,7 @@ from redmap_spark.inventory import stats4  # noqa: F401
 from redmap_spark.inventory import ml  # noqa: F401
 from redmap_spark.inventory import infer  # noqa: F401
 from redmap_spark.inventory import text3  # noqa: F401
+from redmap_spark.inventory import ml2  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
 # (rows+schema+value-hash vs DuckDB). Rounds 1–5 drove 138 of the 167
@@ -111,6 +112,7 @@ _WINDOW_FIRST = [
     "q_event_study", "q_quantile_treatment_effect", "q_oaxaca",
     "q_poisson_irls", "q_zero_inflation", "q_gravity_trade",
     "q_mahalanobis", "q_hotelling_t2", "txt_burrows_delta",
+    "q_mcc_confusion", "q_ndcg_eval", "q_weibull_fit",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -1,0 +1,404 @@
+"""SURVEY §2 additions (round 6, continued) — model-evaluation and
+parametric-survival primitives: MCC-centred classifier metrics on an
+operational rule, NDCG@10 ranking evaluation, and a Weibull fit on
+top of the Kaplan-Meier curve.
+
+All three are exact-count aggregations with one identical double
+chain per output number — training/evaluation IS aggregation, the
+same posture as ml.py (Naive Bayes / decision stump).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+
+# -- q_mcc_confusion ---------------------------------------------------
+#
+# Full confusion-matrix metric panel per ship-year for the
+# operational rule "deep discount (l_discount >= 0.06) predicts a
+# return (l_returnflag = 'R')": MCC, F1, balanced accuracy and
+# Youden's J from exact integer cells. MCC is the one single-number
+# metric that survives class imbalance (accuracy and even F1 mislead
+# when positives are ~25%); q_naive_bayes / q_decision_stump report
+# accuracy-family numbers — this is the metric layer they feed.
+# The sqrt denominator is computed in DOUBLE (the 4-factor product
+# overflows BIGINT) with an explicit >0 guard (Spark's non-ANSI /0
+# yields NULL while DuckDB yields inf — never rely on that). Scale:
+# one fact scan partial-aggregated to |years| cells; no joins.
+
+MCC_SQL = """
+WITH base AS (
+  SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CASE WHEN CAST(l_discount AS DECIMAL(4,2)) >= 0.06
+              THEN 1 ELSE 0 END AS pred
+  FROM lineitem
+), cm AS (
+  SELECT ship_year,
+    CAST(SUM(y * pred) AS BIGINT) AS tp,
+    CAST(SUM((1 - y) * pred) AS BIGINT) AS fp,
+    CAST(SUM((1 - y) * (1 - pred)) AS BIGINT) AS tn,
+    CAST(SUM(y * (1 - pred)) AS BIGINT) AS fn
+  FROM base GROUP BY 1
+)
+SELECT ship_year, tp, fp, tn, fn,
+  round(CASE WHEN (tp+fp) > 0 AND (tp+fn) > 0 AND (tn+fp) > 0 AND (tn+fn) > 0
+    THEN (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+         / sqrt(CAST(tp+fp AS DOUBLE) * (tp+fn) * (tn+fp) * (tn+fn))
+    END, 6) AS mcc,
+  round(CASE WHEN 2*tp + fp + fn > 0
+    THEN 2.0 * tp / (2*tp + fp + fn) END, 6) AS f1,
+  round(CASE WHEN (tp+fn) > 0 AND (tn+fp) > 0
+    THEN (CAST(tp AS DOUBLE)/(tp+fn) + CAST(tn AS DOUBLE)/(tn+fp)) / 2.0
+    END, 6) AS balanced_acc,
+  round(CASE WHEN (tp+fn) > 0 AND (tn+fp) > 0
+    THEN CAST(tp AS DOUBLE)/(tp+fn) + CAST(tn AS DOUBLE)/(tn+fp) - 1.0
+    END, 6) AS youden_j,
+  round(CAST(tp + fn AS DOUBLE) / (tp + fp + tn + fn), 6) AS prevalence
+FROM cm ORDER BY ship_year
+"""
+
+
+@query("q_mcc_confusion", oracle=MCC_SQL)
+def q_mcc_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select(
+        F.year(F.to_date("l_shipdate")).cast("bigint").alias("ship_year"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.when(
+            F.col("l_discount").cast("decimal(4,2)") >= 0.06, 1
+        ).otherwise(0).alias("pred"),
+    )
+    cm = li.groupBy("ship_year").agg(
+        F.sum(F.col("y") * F.col("pred")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("pred")).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("y")) * (1 - F.col("pred"))).cast("bigint").alias("tn"),
+        F.sum(F.col("y") * (1 - F.col("pred"))).cast("bigint").alias("fn"),
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    tn, fn = F.col("tn"), F.col("fn")
+    tpr = tp.cast("double") / (tp + fn)
+    tnr = tn.cast("double") / (tn + fp)
+    ok_rates = ((tp + fn) > 0) & ((tn + fp) > 0)
+    return cm.select(
+        "ship_year", "tp", "fp", "tn", "fn",
+        F.round(
+            F.when(
+                ((tp + fp) > 0) & ((tp + fn) > 0)
+                & ((tn + fp) > 0) & ((tn + fn) > 0),
+                (tp.cast("double") * tn - fp.cast("double") * fn)
+                / F.sqrt(
+                    (tp + fp).cast("double") * (tp + fn) * (tn + fp) * (tn + fn)
+                ),
+            ),
+            6,
+        ).alias("mcc"),
+        F.round(
+            F.when((2 * tp + fp + fn) > 0, 2.0 * tp / (2 * tp + fp + fn)), 6
+        ).alias("f1"),
+        F.round(F.when(ok_rates, (tpr + tnr) / 2.0), 6).alias("balanced_acc"),
+        F.round(F.when(ok_rates, tpr + tnr - 1.0), 6).alias("youden_j"),
+        F.round((tp + fn).cast("double") / (tp + fp + tn + fn), 6)
+        .alias("prevalence"),
+    ).orderBy("ship_year")
+
+
+# -- q_ndcg_eval -------------------------------------------------------
+#
+# NDCG@10 retrieval evaluation per market segment: the "model" ranks
+# a segment's customers by account balance (the scoring proxy);
+# graded relevance 3..0 is the customer's exact within-segment
+# 1995-revenue quartile (no-1995-orders customers grade 0, from the
+# left join). DCG@10 = Σ (2^g − 1)/log2(rank+1) over the model's top
+# 10; IDCG re-ranks by grade itself — NDCG = DCG/IDCG is the
+# standard search/recsys offline metric txt_bm25/txt_rank_fusion
+# produce rankings FOR but nothing previously scored. Determinism:
+# both rankings tie-break on custkey; each gain term is an identical
+# double rounded to DECIMAL(28,9) so the 10-term fold is exact.
+# Scale: facts collapse to the |customers| grid; the three windows
+# run on that grid, range-partitioned by segment at cluster scale.
+
+NDCG_SQL = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+  GROUP BY 1
+), cust AS (
+  SELECT c.c_mktsegment AS seg, c.c_custkey AS ck, c.c_acctbal AS bal,
+         COALESCE(rev.r, CAST(0 AS DECIMAL(18,2))) AS r
+  FROM customer c LEFT JOIN rev ON rev.o_custkey = c.c_custkey
+), graded AS (
+  SELECT seg, ck, bal, r,
+         CASE WHEN r > 0 THEN 4 - NTILE(4) OVER
+                (PARTITION BY seg, CASE WHEN r > 0 THEN 1 ELSE 0 END
+                 ORDER BY r DESC, ck)
+              ELSE 0 END AS g
+  FROM cust
+), ranked AS (
+  SELECT seg, g,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY bal DESC, ck)
+           AS model_rk,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY g DESC, ck)
+           AS ideal_rk
+  FROM graded
+), terms AS (
+  SELECT seg,
+    SUM(CASE WHEN model_rk <= 10 THEN
+      CAST(round((power(2.0, g) - 1.0) / log2(model_rk + 1.0), 9)
+           AS DECIMAL(28,9)) END) AS dcg,
+    SUM(CASE WHEN ideal_rk <= 10 THEN
+      CAST(round((power(2.0, g) - 1.0) / log2(ideal_rk + 1.0), 9)
+           AS DECIMAL(28,9)) END) AS idcg,
+    CAST(SUM(CASE WHEN model_rk <= 10 AND g >= 2 THEN 1 ELSE 0 END)
+         AS BIGINT) AS hits_at_10
+  FROM ranked GROUP BY seg
+)
+SELECT seg, round(CAST(dcg AS DOUBLE), 6) AS dcg_10,
+       round(CAST(idcg AS DOUBLE), 6) AS idcg_10,
+       round(CASE WHEN CAST(idcg AS DOUBLE) > 0
+                  THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END, 6)
+         AS ndcg_10,
+       hits_at_10
+FROM terms ORDER BY seg
+"""
+
+
+@query("q_ndcg_eval", oracle=NDCG_SQL)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.orders.filter(
+            (F.to_date("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.to_date("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    cust = cat.customer.join(
+        rev, F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("ck"),
+        F.col("c_acctbal").alias("bal"),
+        F.coalesce(F.col("r"), F.lit(0).cast("decimal(18,2)")).alias("r"),
+    )
+    has_rev = F.when(F.col("r") > 0, 1).otherwise(0)
+    graded = cust.select(
+        "seg", "ck", "bal", "r",
+        F.when(
+            F.col("r") > 0,
+            4 - F.ntile(4).over(
+                Window.partitionBy("seg", has_rev)
+                .orderBy(F.col("r").desc(), "ck")
+            ),
+        ).otherwise(0).alias("g"),
+    )
+    ranked = graded.select(
+        "seg", "g",
+        F.row_number().over(
+            Window.partitionBy("seg").orderBy(F.col("bal").desc(), "ck")
+        ).alias("model_rk"),
+        F.row_number().over(
+            Window.partitionBy("seg").orderBy(F.col("g").desc(), "ck")
+        ).alias("ideal_rk"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("g")) - 1.0
+    terms = ranked.groupBy("seg").agg(
+        F.sum(
+            F.when(
+                F.col("model_rk") <= 10,
+                F.round(gain / F.log2(F.col("model_rk") + 1.0), 9)
+                .cast("decimal(28,9)"),
+            )
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ideal_rk") <= 10,
+                F.round(gain / F.log2(F.col("ideal_rk") + 1.0), 9)
+                .cast("decimal(28,9)"),
+            )
+        ).alias("idcg"),
+        F.sum(
+            F.when((F.col("model_rk") <= 10) & (F.col("g") >= 2), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("hits_at_10"),
+    )
+    dcg_d = F.col("dcg").cast("double")
+    idcg_d = F.col("idcg").cast("double")
+    return terms.select(
+        "seg",
+        F.round(dcg_d, 6).alias("dcg_10"),
+        F.round(idcg_d, 6).alias("idcg_10"),
+        F.round(F.when(idcg_d > 0, dcg_d / idcg_d), 6).alias("ndcg_10"),
+        "hits_at_10",
+    ).orderBy("seg")
+
+
+# -- q_weibull_fit -----------------------------------------------------
+#
+# Weibull parametric fit of the time-to-second-order distribution,
+# estimated by OLS on the linearized KM curve: for event times with
+# 0 < S(t) < 1, ln(−ln S(t)) = k·ln t − k·ln λ, so the regression
+# slope IS the shape k (k < 1 = decreasing repeat-purchase hazard,
+# the classic "buy again soon or never" signature) and
+# λ = exp(−intercept/k). Reports k, λ, the implied median and p90,
+# and the fit R² — the parametric summary q_survival_km's
+# nonparametric curve cannot extrapolate from. Determinism: S(t) is
+# the 6-rounded KM survival (identical by construction), x/y moment
+# folds round to DECIMAL(28,9). Scale: identical to q_survival_km —
+# facts collapse to |customers| then to the day grid; the regression
+# runs on ≤ day-span rows.
+
+WEIBULL_SQL = """
+WITH obs0 AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         MIN(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey) AS d1
+  FROM orders
+), fs AS (
+  SELECT o_custkey, d1, MIN(CASE WHEN od > d1 THEN od END) AS d2
+  FROM obs0 GROUP BY 1, 2
+), endd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS de FROM orders),
+obs AS (
+  SELECT CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+              ELSE date_diff('day', d1, de) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fs CROSS JOIN endd
+), n_tot AS (SELECT COUNT(*) AS nt FROM obs),
+grid AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS c FROM obs GROUP BY 1
+), r AS (
+  SELECT t, d,
+         nt - COALESCE(CAST(SUM(c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS n
+  FROM grid CROSS JOIN n_tot
+), s AS (
+  SELECT t, d, n,
+         MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER (ORDER BY t) AS dead,
+         CAST(SUM(CASE WHEN d < n THEN
+                CAST(ln((n - d) / CAST(n AS DOUBLE)) AS DECIMAL(18,9))
+              END) OVER (ORDER BY t) AS DOUBLE) AS lsum
+  FROM r
+), pts AS (
+  SELECT ln(CAST(t AS DOUBLE)) AS x,
+         ln(-ln(round(exp(lsum), 6))) AS y
+  FROM s
+  WHERE d > 0 AND dead = 0 AND t > 0
+    AND round(exp(lsum), 6) > 0 AND round(exp(lsum), 6) < 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy
+  FROM pts
+), fit AS (
+  SELECT n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS k,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b,
+         (n * sxy - sx * sy) * (n * sxy - sx * sy)
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+  FROM m WHERE n > 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+)
+SELECT n AS n_points, round(k, 6) AS shape_k,
+       round(exp(-b / k), 6) AS scale_lambda,
+       round(exp(-b / k) * power(ln(2.0), 1.0 / k), 6) AS median_days,
+       round(exp(-b / k) * power(ln(10.0), 1.0 / k), 6) AS p90_days,
+       round(r2, 6) AS r_squared
+FROM fit
+"""
+
+
+@query("q_weibull_fit", oracle=WEIBULL_SQL)
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    wc = Window.partitionBy("o_custkey")
+    obs0 = o.withColumn("d1", F.min("od").over(wc))
+    fs = obs0.groupBy("o_custkey", "d1").agg(
+        F.min(F.when(F.col("od") > F.col("d1"), F.col("od"))).alias("d2")
+    )
+    endd = o.agg(F.max("od").alias("de"))
+    obs = fs.join(F.broadcast(endd)).select(
+        F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+        .otherwise(F.datediff("de", "d1"))
+        .alias("t"),
+        F.when(F.col("d2").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    nt = obs.agg(F.count(F.lit(1)).alias("nt"))
+    grid = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    wt = Window.orderBy("t")
+    r = grid.join(F.broadcast(nt)).select(
+        "t", "d",
+        (
+            F.col("nt")
+            - F.coalesce(
+                F.sum("c").over(wt.rowsBetween(Window.unboundedPreceding, -1))
+                .cast("bigint"),
+                F.lit(0),
+            )
+        ).alias("n"),
+    )
+    s = r.select(
+        "t", "d", "n",
+        F.max(F.when(F.col("d") >= F.col("n"), 1).otherwise(0))
+        .over(wt).alias("dead"),
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n"),
+                F.log((F.col("n") - F.col("d")) / F.col("n").cast("double"))
+                .cast("decimal(18,9)"),
+            )
+        ).over(wt).cast("double").alias("lsum"),
+    )
+    surv = F.round(F.exp(F.col("lsum")), 6)
+    pts = s.filter(
+        (F.col("d") > 0) & (F.col("dead") == 0) & (F.col("t") > 0)
+        & (surv > 0) & (surv < 1)
+    ).select(
+        F.log(F.col("t").cast("double")).alias("x"),
+        F.log(-F.log(surv)).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("x", 9).cast("decimal(28,9)")).cast("double").alias("sx"),
+        F.sum(F.round("y", 9).cast("decimal(28,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(28,9)"))
+        .cast("double").alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,9)"))
+        .cast("double").alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 9).cast("decimal(28,9)"))
+        .cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    vxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    fit = m.filter((n > 2) & (vxx > 0) & (vyy > 0)).select(
+        "n",
+        (cxy / vxx).alias("k"),
+        ((F.col("sy") - cxy / vxx * F.col("sx")) / n).alias("b"),
+        (cxy * cxy / (vxx * vyy)).alias("r2"),
+    )
+    lam = F.exp(-F.col("b") / F.col("k"))
+    return fit.select(
+        F.col("n").alias("n_points"),
+        F.round("k", 6).alias("shape_k"),
+        F.round(lam, 6).alias("scale_lambda"),
+        F.round(lam * F.pow(F.log(F.lit(2.0)), 1.0 / F.col("k")), 6)
+        .alias("median_days"),
+        F.round(lam * F.pow(F.log(F.lit(10.0)), 1.0 / F.col("k")), 6)
+        .alias("p90_days"),
+        F.round("r2", 6).alias("r_squared"),
+    )
