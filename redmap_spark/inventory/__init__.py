@@ -113,6 +113,7 @@ _WINDOW_FIRST = [
     "q_poisson_irls", "q_zero_inflation", "q_gravity_trade",
     "q_mahalanobis", "q_hotelling_t2", "txt_burrows_delta",
     "q_mcc_confusion", "q_ndcg_eval", "q_weibull_fit",
+    "mr_modularity", "q_fairness_audit", "q_item_cf",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -1081,3 +1081,126 @@ def mr_digraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# -- mr_modularity -----------------------------------------------------
+#
+# Newman modularity Q of the NATION partition over the distinct
+# customer–supplier co-purchase graph (same edge set as
+# mr_connected_components): Q = Σ_C [ l_C/m − (d_C/2m)² ] asks
+# whether trade clusters within nations — the community-QUALITY
+# metric on the categorical partition, complementing
+# mr_assortativity's degree-mixing view and mr_label_propagation's
+# community DISCOVERY. Per-nation rows expose each community's
+# within-edge count l_C, degree volume d_C and signed contribution;
+# the overall Q is the decimal-exact fold of the rounded per-nation
+# terms, broadcast back onto every row. Scale: one distinct on the
+# numeric key pair, two grid-sized degree aggs, one broadcast-dim
+# join — no iteration, edges shuffle once.
+
+MODULARITY_SQL = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), en AS (
+  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+  FROM e JOIN customer c ON c.c_custkey = e.ck
+         JOIN supplier s ON s.s_suppkey = e.sk
+), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM en),
+dc AS (
+  SELECT nk, CAST(SUM(d) AS BIGINT) AS d_c FROM (
+    SELECT cn AS nk, COUNT(*) AS d FROM en GROUP BY 1
+    UNION ALL
+    SELECT sn AS nk, COUNT(*) AS d FROM en GROUP BY 1
+  ) GROUP BY 1
+), lc AS (
+  SELECT cn AS nk, CAST(COUNT(*) AS BIGINT) AS l_c
+  FROM en WHERE cn = sn GROUP BY 1
+), per AS (
+  SELECT n.n_name, COALESCE(lc.l_c, 0) AS l_c, COALESCE(dc.d_c, 0) AS d_c,
+         round(COALESCE(lc.l_c, 0) / CAST(m.m AS DOUBLE)
+               - (COALESCE(dc.d_c, 0) / (2.0 * m.m))
+               * (COALESCE(dc.d_c, 0) / (2.0 * m.m)), 9) AS contrib
+  FROM nation n
+  LEFT JOIN dc ON dc.nk = n.n_nationkey
+  LEFT JOIN lc ON lc.nk = n.n_nationkey
+  CROSS JOIN m
+), q AS (
+  SELECT CAST(SUM(CAST(contrib AS DECIMAL(18,9))) AS DOUBLE) AS q
+  FROM per
+)
+SELECT per.n_name, per.l_c, per.d_c,
+       round(per.contrib, 6) AS contribution,
+       round(q.q, 6) AS modularity_q
+FROM per CROSS JOIN q
+ORDER BY per.n_name
+"""
+
+
+@query("mr_modularity", oracle=MODULARITY_SQL)
+def mr_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    e = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    en = (
+        e.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(cat.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select(F.col("c_nationkey").alias("cn"), F.col("s_nationkey").alias("sn"))
+    )
+    en = en.cache()  # consumed by m, both degree aggs and l_c
+    m = en.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    dc = (
+        en.select(F.col("cn").alias("nk"))
+        .union(en.select(F.col("sn").alias("nk")))
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    lc = (
+        en.filter(F.col("cn") == F.col("sn"))
+        .groupBy(F.col("cn").alias("nk2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("l_c"))
+    )
+    md = F.col("m").cast("double")
+    per = (
+        cat.nation.select(F.col("n_nationkey").alias("nk"), "n_name")
+        .join(dc, "nk", "left")
+        .join(lc, F.col("nk") == F.col("nk2"), "left")
+        .join(F.broadcast(m))
+        .select(
+            "n_name",
+            F.coalesce("l_c", F.lit(0)).cast("bigint").alias("l_c"),
+            F.coalesce("d_c", F.lit(0)).cast("bigint").alias("d_c"),
+            F.round(
+                F.coalesce("l_c", F.lit(0)) / md
+                - (F.coalesce("d_c", F.lit(0)) / (2.0 * F.col("m")))
+                * (F.coalesce("d_c", F.lit(0)) / (2.0 * F.col("m"))),
+                9,
+            ).alias("contrib"),
+        )
+    )
+    per = per.cache()  # consumed by the Q fold AND the output rows
+    q = per.agg(
+        F.sum(F.col("contrib").cast("decimal(18,9)")).cast("double").alias("q")
+    )
+    return (
+        per.join(F.broadcast(q))
+        .select(
+            "n_name", "l_c", "d_c",
+            F.round("contrib", 6).alias("contribution"),
+            F.round("q", 6).alias("modularity_q"),
+        )
+        .orderBy("n_name")
+    )

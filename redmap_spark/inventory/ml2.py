@@ -402,3 +402,206 @@ def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_days"),
         F.round("r2", 6).alias("r_squared"),
     )
+
+
+# -- q_fairness_audit --------------------------------------------------
+#
+# Group-fairness audit of a selection rule across market segments
+# (the protected attribute): the rule "flag orders with
+# o_totalprice >= 150000" is scored per segment for demographic
+# parity (selection rate and its disparate-impact ratio vs the
+# most-selected segment — the 80% rule), and for equalized odds
+# (TPR/FPR gaps vs the pooled rates) against the outcome "order was
+# URGENT/HIGH priority". All cells are exact integer counts; every
+# rate is one identical double chain. The responsible-AI audit layer
+# over the same confusion-cell machinery as q_mcc_confusion — but
+# sliced by group, where the pooled numbers hide the disparity.
+# Scale: one broadcast-dim join, one |segments| grid, one 1-row
+# pooled agg broadcast back.
+
+FAIRNESS_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS seg,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         CASE WHEN CAST(o.o_totalprice AS DECIMAL(18,2)) >= 150000
+              THEN 1 ELSE 0 END AS sel
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), g AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(sel) AS BIGINT) AS n_sel,
+    CAST(SUM(y * sel) AS BIGINT) AS tp,
+    CAST(SUM((1 - y) * sel) AS BIGINT) AS fp,
+    CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM base GROUP BY 1
+), pooled AS (
+  SELECT CAST(SUM(tp) AS DOUBLE) / SUM(n_pos) AS tpr_all,
+         CAST(SUM(fp) AS DOUBLE) / SUM(n - n_pos) AS fpr_all,
+         MAX(CAST(n_sel AS DOUBLE) / n) AS max_rate
+  FROM g
+)
+SELECT g.seg, g.n, g.n_sel,
+  round(CAST(g.n_sel AS DOUBLE) / g.n, 6) AS sel_rate,
+  round((CAST(g.n_sel AS DOUBLE) / g.n) / p.max_rate, 6) AS di_ratio,
+  CAST(CASE WHEN (CAST(g.n_sel AS DOUBLE) / g.n) / p.max_rate < 0.8
+            THEN 1 ELSE 0 END AS BIGINT) AS di_violation,
+  round(CAST(g.tp AS DOUBLE) / g.n_pos, 6) AS tpr,
+  round(CAST(g.fp AS DOUBLE) / (g.n - g.n_pos), 6) AS fpr,
+  round(CAST(g.tp AS DOUBLE) / g.n_pos - p.tpr_all, 6) AS tpr_gap,
+  round(CAST(g.fp AS DOUBLE) / (g.n - g.n_pos) - p.fpr_all, 6) AS fpr_gap
+FROM g CROSS JOIN pooled p
+ORDER BY g.seg
+"""
+
+
+@query("q_fairness_audit", oracle=FAIRNESS_SQL)
+def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    base = cat.orders.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+        F.when(
+            F.col("o_totalprice").cast("decimal(18,2)") >= 150000, 1
+        ).otherwise(0).alias("sel"),
+    )
+    g = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sel").cast("bigint").alias("n_sel"),
+        F.sum(F.col("y") * F.col("sel")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("sel")).cast("bigint").alias("fp"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    g = g.cache()  # consumed by the pooled agg AND the output rows
+    pooled = g.agg(
+        (F.sum("tp").cast("double") / F.sum("n_pos")).alias("tpr_all"),
+        (
+            F.sum("fp").cast("double") / F.sum(F.col("n") - F.col("n_pos"))
+        ).alias("fpr_all"),
+        F.max(F.col("n_sel").cast("double") / F.col("n")).alias("max_rate"),
+    )
+    rate = F.col("n_sel").cast("double") / F.col("n")
+    tpr = F.col("tp").cast("double") / F.col("n_pos")
+    fpr = F.col("fp").cast("double") / (F.col("n") - F.col("n_pos"))
+    return (
+        g.join(F.broadcast(pooled))
+        .select(
+            "seg", "n", "n_sel",
+            F.round(rate, 6).alias("sel_rate"),
+            F.round(rate / F.col("max_rate"), 6).alias("di_ratio"),
+            F.when(rate / F.col("max_rate") < 0.8, 1).otherwise(0)
+            .cast("bigint").alias("di_violation"),
+            F.round(tpr, 6).alias("tpr"),
+            F.round(fpr, 6).alias("fpr"),
+            F.round(tpr - F.col("tpr_all"), 6).alias("tpr_gap"),
+            F.round(fpr - F.col("fpr_all"), 6).alias("fpr_gap"),
+        )
+        .orderBy("seg")
+    )
+
+
+# -- q_item_cf ---------------------------------------------------------
+#
+# Item-item collaborative filtering at the brand grain: baskets =
+# distinct (order, brand); co-occurrence counts from the bounded
+# per-order self-join (orders hold ≤7 line items, so pair fan-out is
+# ≤21 per order — Σk² over baskets, never |brands|² and never
+# |orders|²); cosine similarity c_ij/√(c_i·c_j); top-3 neighbors per
+# brand by (cosine, neighbor) with row_number. This is the
+# normalized-similarity recsys primitive q_market_basket's
+# support/confidence/lift table stops short of — cosine is what
+# item-CF serving actually ranks by. Determinism: counts exact,
+# cosine one double chain, ties broken on neighbor name. Scale: the
+# basket table shuffles once on orderkey; the pair grid is
+# |brands|²-bounded (625) so the window is trivial.
+
+ITEMCF_SQL = """
+WITH basket AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), cnt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM basket GROUP BY 1
+), pairs AS (
+  SELECT a.b AS b1, bb.b AS b2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM basket a JOIN basket bb ON bb.ok = a.ok AND a.b < bb.b
+  GROUP BY 1, 2
+), sym AS (
+  SELECT b1 AS b, b2 AS nb, c12 FROM pairs
+  UNION ALL
+  SELECT b2 AS b, b1 AS nb, c12 FROM pairs
+), scored AS (
+  SELECT s.b, s.nb, s.c12,
+         s.c12 / sqrt(CAST(c1.c AS DOUBLE) * c2.c) AS cosine
+  FROM sym s JOIN cnt c1 ON c1.b = s.b JOIN cnt c2 ON c2.b = s.nb
+), ranked AS (
+  SELECT b, nb, c12, cosine,
+         ROW_NUMBER() OVER (PARTITION BY b
+                            ORDER BY cosine DESC, nb) AS rk
+  FROM scored
+)
+SELECT b AS brand, nb AS neighbor, c12 AS n_co_orders,
+       round(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= 3
+ORDER BY brand, rank
+"""
+
+
+@query("q_item_cf", oracle=ITEMCF_SQL)
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    basket = (
+        cat.lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    basket = basket.cache()  # consumed by cnt AND both self-join sides
+    cnt = basket.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, bb = basket.alias("a"), basket.alias("bb")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("bb.ok") == F.col("a.ok")) & (F.col("a.b") < F.col("bb.b")),
+        )
+        .groupBy(F.col("a.b").alias("b1"), F.col("bb.b").alias("b2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    sym = pairs.select(
+        F.col("b1").alias("b"), F.col("b2").alias("nb"), "c12"
+    ).union(pairs.select(F.col("b2").alias("b"), F.col("b1").alias("nb"), "c12"))
+    c1 = cnt.select(F.col("b").alias("cb"), F.col("c").alias("c1"))
+    c2 = cnt.select(F.col("b").alias("nbb"), F.col("c").alias("c2"))
+    scored = (
+        sym.join(F.broadcast(c1), F.col("cb") == F.col("b"))
+        .join(F.broadcast(c2), F.col("nbb") == F.col("nb"))
+        .select(
+            "b", "nb", "c12",
+            (
+                F.col("c12") / F.sqrt(F.col("c1").cast("double") * F.col("c2"))
+            ).alias("cosine"),
+        )
+    )
+    ranked = scored.select(
+        "b", "nb", "c12", "cosine",
+        F.row_number().over(
+            Window.partitionBy("b").orderBy(F.col("cosine").desc(), "nb")
+        ).alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 3)
+        .select(
+            F.col("b").alias("brand"),
+            F.col("nb").alias("neighbor"),
+            F.col("c12").alias("n_co_orders"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("bigint").alias("rank"),
+        )
+        .orderBy("brand", "rank")
+    )
