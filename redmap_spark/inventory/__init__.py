@@ -114,6 +114,7 @@ _WINDOW_FIRST = [
     "q_mahalanobis", "q_hotelling_t2", "txt_burrows_delta",
     "q_mcc_confusion", "q_ndcg_eval", "q_weibull_fit",
     "mr_modularity", "q_fairness_audit", "q_item_cf",
+    "sim_pca_power", "q_bass_diffusion", "q_cointegration",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -1569,3 +1569,148 @@ def q_gravity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cov * cov / (vx * vy), 6).alias("r2"),
         )
     )
+
+
+# -- q_bass_diffusion --------------------------------------------------
+#
+# Bass diffusion model (Bass 1969) fit to monthly first-order
+# adoptions by the discrete-time regression a_t = β₀ + β₁N + β₂N²
+# (N = cumulative adopters entering the month), solved in closed
+# form by Cramer's rule on the 3×3 normal equations. Every moment
+# (Σa, ΣN…ΣN⁴, ΣaN, ΣaN²) is an EXACT integer fold in DECIMAL(38,0)
+# — a and N are counts, so determinism is free — and the parameter
+# recovery M = (−β₁−√(β₁²−4β₂β₀))/(2β₂), p = β₀/M, q = −β₂M plus
+# peak time t* = ln(q/p)/(p+q) is one identical double chain.
+# The product-adoption forecaster (market size M, innovation p,
+# imitation q) on top of the same first-order grid as
+# q_retention_cohorts. Scale: orders collapse to |customers| then to
+# the ~80-month grid; the regression is a 1-row fold.
+
+BASS_SQL = """
+WITH fo AS (
+  SELECT o_custkey, MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS m
+  FROM orders GROUP BY 1
+), adopt AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS a FROM fo GROUP BY 1
+), cum AS (
+  SELECT m, a,
+         COALESCE(CAST(SUM(a) OVER (ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS z
+  FROM adopt
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(z AS DECIMAL(38,0)) * z) AS DOUBLE) AS s2,
+    CAST(SUM(CAST(z AS DECIMAL(38,0)) * z * z) AS DOUBLE) AS s3,
+    CAST(SUM(CAST(z AS DECIMAL(38,0)) * z * z * z) AS DOUBLE) AS s4,
+    CAST(SUM(CAST(a AS DECIMAL(38,0))) AS DOUBLE) AS t0,
+    CAST(SUM(CAST(a AS DECIMAL(38,0)) * z) AS DOUBLE) AS t1,
+    CAST(SUM(CAST(a AS DECIMAL(38,0)) * z * z) AS DOUBLE) AS t2
+  FROM cum
+), det AS (
+  SELECT n, s1, s2, s3, s4, t0, t1, t2,
+    n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+      + s2 * (s1 * s3 - s2 * s2) AS d,
+    t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3)
+      + s2 * (t1 * s3 - t2 * s2) AS d0,
+    n * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3)
+      + s2 * (s1 * t2 - s2 * t1) AS d1,
+    n * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s2 * t1)
+      + t0 * (s1 * s3 - s2 * s2) AS d2
+  FROM mom
+), beta AS (
+  SELECT n, d0 / d AS b0, d1 / d AS b1, d2 / d AS b2
+  FROM det WHERE d != 0
+), fit AS (
+  SELECT n, b0, b1, b2,
+         (-b1 - sqrt(b1 * b1 - 4.0 * b2 * b0)) / (2.0 * b2) AS m_total
+  FROM beta
+  WHERE b2 < 0 AND b1 * b1 - 4.0 * b2 * b0 > 0
+)
+SELECT n AS n_months,
+       round(b0, 6) AS beta0, round(b1, 6) AS beta1,
+       round(b2, 9) AS beta2,
+       round(m_total, 2) AS market_size,
+       round(b0 / m_total, 6) AS p_innovation,
+       round(-b2 * m_total, 6) AS q_imitation,
+       round(CASE WHEN b0 / m_total > 0 AND -b2 * m_total > 0
+                  THEN ln((-b2 * m_total) / (b0 / m_total))
+                       / (b0 / m_total + (-b2 * m_total)) END, 4)
+         AS peak_month
+FROM fit
+"""
+
+
+@query("q_bass_diffusion", oracle=BASS_SQL)
+def q_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    fo = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.to_date("o_orderdate"))).alias("m")
+    )
+    adopt = fo.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    cum = adopt.select(
+        "m", "a",
+        F.coalesce(F.sum("a").over(w).cast("bigint"), F.lit(0)).alias("z"),
+    )
+    zd = F.col("z").cast("decimal(38,0)")
+    ad = F.col("a").cast("decimal(38,0)")
+    mom = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(zd).cast("double").alias("s1"),
+        F.sum(zd * F.col("z")).cast("double").alias("s2"),
+        F.sum(zd * F.col("z") * F.col("z")).cast("double").alias("s3"),
+        F.sum(zd * F.col("z") * F.col("z") * F.col("z")).cast("double")
+        .alias("s4"),
+        F.sum(ad).cast("double").alias("t0"),
+        F.sum(ad * F.col("z")).cast("double").alias("t1"),
+        F.sum(ad * F.col("z") * F.col("z")).cast("double").alias("t2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s3, s4 = F.col("s3"), F.col("s4")
+    t0, t1, t2 = F.col("t0"), F.col("t1"), F.col("t2")
+    det = mom.select(
+        "n", "s1", "s2", "s3", "s4", "t0", "t1", "t2",
+        (
+            n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+            + s2 * (s1 * s3 - s2 * s2)
+        ).alias("d"),
+        (
+            t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3)
+            + s2 * (t1 * s3 - t2 * s2)
+        ).alias("d0"),
+        (
+            n * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3)
+            + s2 * (s1 * t2 - s2 * t1)
+        ).alias("d1"),
+        (
+            n * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s2 * t1)
+            + t0 * (s1 * s3 - s2 * s2)
+        ).alias("d2"),
+    )
+    beta = det.filter(F.col("d") != 0).select(
+        "n",
+        (F.col("d0") / F.col("d")).alias("b0"),
+        (F.col("d1") / F.col("d")).alias("b1"),
+        (F.col("d2") / F.col("d")).alias("b2"),
+    )
+    b0, b1, b2 = F.col("b0"), F.col("b1"), F.col("b2")
+    disc = b1 * b1 - 4.0 * b2 * b0
+    fit = beta.filter((b2 < 0) & (disc > 0)).select(
+        "n", "b0", "b1", "b2",
+        ((-b1 - F.sqrt(disc)) / (2.0 * b2)).alias("m_total"),
+    )
+    p = b0 / F.col("m_total")
+    q = -b2 * F.col("m_total")
+    return fit.select(
+        F.col("n").alias("n_months"),
+        F.round("b0", 6).alias("beta0"),
+        F.round("b1", 6).alias("beta1"),
+        F.round("b2", 9).alias("beta2"),
+        F.round("m_total", 2).alias("market_size"),
+        F.round(p, 6).alias("p_innovation"),
+        F.round(q, 6).alias("q_imitation"),
+        F.round(F.when((p > 0) & (q > 0), F.log(q / p) / (p + q)), 4)
+        .alias("peak_month"),
+    )

@@ -1095,3 +1095,196 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# -- sim_pca_power -----------------------------------------------------
+#
+# Top principal component of the embedding cloud by THREE unrolled
+# power-iteration rounds over the explicit 64×64 covariance grid —
+# the dimensionality-reduction primitive behind whitening, drift
+# visualization and sim_dim_tradeoff's truncation choices. The Gram
+# pass is the documented n·d² shape (per-vector outer products,
+# map-side combined into d² = 4096 cells — whole vectors are never
+# shuffled); every fold (Gram cells, means, each matvec, norms,
+# Rayleigh quotient, trace) rounds terms to DECIMAL(28,9) so the
+# across-row sums are exact and order-independent. v₀ = 1/8·𝟙 (unit
+# norm at d = 64, exact in binary); each round renormalizes and
+# 9-rounds v so both engines iterate identical doubles. Output: the
+# top-8 |loading| dims with the Rayleigh eigenvalue estimate and its
+# explained-variance share of trace(C).
+
+PCA_SQL = """
+WITH w AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), e AS (
+  SELECT vec_id, r.range AS i, v[r.range] AS x
+  FROM w, range(1, 65) r
+), n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+mu AS (
+  SELECT i, CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+            / (SELECT n FROM n_tot) AS m
+  FROM e GROUP BY 1
+), gram AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(round(a.x * b.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+  FROM e a JOIN e b ON b.vec_id = a.vec_id
+  GROUP BY 1, 2
+), c AS (
+  SELECT g.i, g.j, g.s / (SELECT n FROM n_tot) - mi.m * mj.m AS cv
+  FROM gram g JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j
+), v0 AS (SELECT r.range AS j, 0.125 AS val FROM range(1, 65) r),
+u1 AS (
+  SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS u
+  FROM c JOIN v0 v ON v.j = c.j GROUP BY 1
+), n1 AS (
+  SELECT sqrt(CAST(SUM(CAST(round(u * u, 9) AS DECIMAL(28,9)))
+              AS DOUBLE)) AS nr FROM u1
+), v1 AS (SELECT j, round(u / (SELECT nr FROM n1), 9) AS val FROM u1),
+u2 AS (
+  SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS u
+  FROM c JOIN v1 v ON v.j = c.j GROUP BY 1
+), n2 AS (
+  SELECT sqrt(CAST(SUM(CAST(round(u * u, 9) AS DECIMAL(28,9)))
+              AS DOUBLE)) AS nr FROM u2
+), v2 AS (SELECT j, round(u / (SELECT nr FROM n2), 9) AS val FROM u2),
+u3 AS (
+  SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS u
+  FROM c JOIN v2 v ON v.j = c.j GROUP BY 1
+), n3 AS (
+  SELECT sqrt(CAST(SUM(CAST(round(u * u, 9) AS DECIMAL(28,9)))
+              AS DOUBLE)) AS nr FROM u3
+), v3 AS (SELECT j, round(u / (SELECT nr FROM n3), 9) AS val FROM u3),
+cv3 AS (
+  SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
+                   AS DECIMAL(28,9))) AS DOUBLE) AS u
+  FROM c JOIN v3 v ON v.j = c.j GROUP BY 1
+), lam AS (
+  SELECT CAST(SUM(CAST(round(v3.val * cv3.u, 9) AS DECIMAL(28,9)))
+         AS DOUBLE) AS l
+  FROM v3 JOIN cv3 ON cv3.j = v3.j
+), tr AS (
+  SELECT CAST(SUM(CAST(round(cv, 9) AS DECIMAL(28,9))) AS DOUBLE) AS t
+  FROM c WHERE i = j
+), ranked AS (
+  SELECT j, val, ROW_NUMBER() OVER (ORDER BY abs(val) DESC, j) AS rk
+  FROM v3
+)
+SELECT CAST(r.j AS BIGINT) AS dim, round(r.val, 6) AS loading,
+       CAST(r.rk AS BIGINT) AS rank,
+       round(lam.l, 6) AS eigenvalue,
+       round(lam.l / tr.t, 6) AS explained_share
+FROM ranked r CROSS JOIN lam CROSS JOIN tr
+WHERE r.rk <= 8 ORDER BY r.rk
+"""
+
+
+@query("sim_pca_power", oracle=PCA_SQL)
+def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("x")
+    )
+    e = e.cache()  # consumed by n, mu AND both Gram sides
+    n = e.select("vec_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    mu = (
+        e.groupBy("i")
+        .agg(
+            F.sum(F.round("x", 9).cast("decimal(28,9)")).cast("double")
+            .alias("sm")
+        )
+        .join(F.broadcast(n))
+        .select("i", (F.col("sm") / F.col("n")).alias("m"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    gram = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(
+                F.round(F.col("a.x") * F.col("b.x"), 9).cast("decimal(28,9)")
+            ).cast("double").alias("s")
+        )
+    )
+    mi = mu.select(F.col("i").alias("mi_i"), F.col("m").alias("mi"))
+    mj = mu.select(F.col("i").alias("mj_j"), F.col("m").alias("mj"))
+    c = (
+        gram.join(F.broadcast(n))
+        .join(F.broadcast(mi), F.col("mi_i") == F.col("i"))
+        .join(F.broadcast(mj), F.col("mj_j") == F.col("j"))
+        .select(
+            "i", "j",
+            (F.col("s") / F.col("n") - F.col("mi") * F.col("mj")).alias("cv"),
+        )
+    )
+    c = c.cache()  # the 4096-cell grid drives three matvecs + trace
+    spark_local = emb.sparkSession
+    v = spark_local.range(1, 65).select(
+        F.col("id").alias("j"), F.lit(0.125).alias("val")
+    )
+    for _ in range(3):
+        u = (
+            c.join(F.broadcast(v), "j")
+            .groupBy(F.col("i").alias("j"))
+            .agg(
+                F.sum(
+                    F.round(F.col("cv") * F.col("val"), 9).cast("decimal(28,9)")
+                ).cast("double").alias("u")
+            )
+        )
+        u = u.cache()  # consumed by the norm AND the renormalized v
+        nr = u.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("u") * F.col("u"), 9).cast("decimal(28,9)"))
+                .cast("double")
+            ).alias("nr")
+        )
+        v = u.join(F.broadcast(nr)).select(
+            "j", F.round(F.col("u") / F.col("nr"), 9).alias("val")
+        )
+    v = v.cache()  # consumed by the Rayleigh quotient AND the output rows
+    cv3 = (
+        c.join(F.broadcast(v), "j")
+        .groupBy(F.col("i").alias("j"))
+        .agg(
+            F.sum(
+                F.round(F.col("cv") * F.col("val"), 9).cast("decimal(28,9)")
+            ).cast("double").alias("u")
+        )
+    )
+    lam = (
+        v.join(cv3, "j")
+        .agg(
+            F.sum(
+                F.round(F.col("val") * F.col("u"), 9).cast("decimal(28,9)")
+            ).cast("double").alias("l")
+        )
+    )
+    tr = c.filter(F.col("i") == F.col("j")).agg(
+        F.sum(F.round("cv", 9).cast("decimal(28,9)")).cast("double").alias("t")
+    )
+    ranked = v.select(
+        "j", "val",
+        F.row_number().over(
+            Window.orderBy(F.abs(F.col("val")).desc(), "j")
+        ).alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 8)
+        .join(F.broadcast(lam))
+        .join(F.broadcast(tr))
+        .select(
+            F.col("j").cast("bigint").alias("dim"),
+            F.round("val", 6).alias("loading"),
+            F.col("rk").cast("bigint").alias("rank"),
+            F.round("l", 6).alias("eigenvalue"),
+            F.round(F.col("l") / F.col("t"), 6).alias("explained_share"),
+        )
+        .orderBy("rank")
+    )

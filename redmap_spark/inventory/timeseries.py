@@ -2216,3 +2216,165 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# -- q_cointegration ---------------------------------------------------
+#
+# Engle–Granger two-step cointegration check between the BUILDING
+# and MACHINERY segments' daily revenue series: step 1 fits the
+# long-run relation y = α + βx by OLS (exact DECIMAL(18,2) daily
+# sums, decimal-rounded moment folds); step 2 runs the
+# Dickey–Fuller regression Δe_t = ρ·e_{t−1} on the residuals (no
+# intercept, no augmentation) and compares the t-statistic to the
+# −3.34 Engle–Granger 5% critical value (2 variables, large n).
+# q_granger_lite asks who predicts whom at short lags; this asks
+# whether the two series share a long-run equilibrium at all — the
+# pairs-trading / deflator-choice prerequisite. Determinism: daily
+# revenues are exact decimals, residuals one double chain rounded
+# to 9 before the lag/diff folds. Scale: facts collapse to the
+# |days| grid; the two regressions are grid-sized folds, the lag
+# runs on the ordered day grid.
+
+COINT_SQL = """
+WITH daily AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS d, c.c_mktsegment AS seg,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY 1, 2
+), wide AS (
+  SELECT d,
+         CAST(MIN(CASE WHEN seg = 'BUILDING' THEN rev END) AS DOUBLE) AS y,
+         CAST(MIN(CASE WHEN seg = 'MACHINERY' THEN rev END) AS DOUBLE) AS x
+  FROM daily GROUP BY 1
+  HAVING MIN(CASE WHEN seg = 'BUILDING' THEN rev END) IS NOT NULL
+     AND MIN(CASE WHEN seg = 'MACHINERY' THEN rev END) IS NOT NULL
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM wide
+), ols AS (
+  SELECT n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS alpha
+  FROM m WHERE n * sxx - sx * sx > 0
+), resid AS (
+  SELECT d, round(y - (o.alpha + o.beta * x), 9) AS e
+  FROM wide CROSS JOIN ols o
+), lagged AS (
+  SELECT e - LAG(e) OVER (ORDER BY d) AS de,
+         LAG(e) OVER (ORDER BY d) AS el
+  FROM resid
+), df AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+    CAST(SUM(CAST(round(de * el, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sde,
+    CAST(SUM(CAST(round(el * el, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sll
+  FROM lagged WHERE el IS NOT NULL
+), rho AS (
+  SELECT nd, sde / sll AS rho, sll FROM df WHERE sll > 0
+), sse AS (
+  SELECT r.nd, r.rho, r.sll,
+    CAST(SUM(CAST(round((l.de - r.rho * l.el) * (l.de - r.rho * l.el), 6)
+         AS DECIMAL(38,6))) AS DOUBLE) AS s2
+  FROM lagged l CROSS JOIN rho r
+  WHERE l.el IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT o.n AS n_days, round(o.alpha, 4) AS alpha, round(o.beta, 6) AS beta,
+       round(s.rho, 6) AS rho,
+       round(s.rho / sqrt((s.s2 / (s.nd - 1)) / s.sll), 6) AS df_stat,
+       CAST(CASE WHEN s.rho / sqrt((s.s2 / (s.nd - 1)) / s.sll) < -3.34
+                 THEN 1 ELSE 0 END AS BIGINT) AS cointegrated
+FROM ols o CROSS JOIN sse s
+"""
+
+
+@query("q_cointegration", oracle=COINT_SQL)
+def q_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    wide = (
+        daily.groupBy("d")
+        .agg(
+            F.min(F.when(F.col("seg") == "BUILDING", F.col("rev")))
+            .cast("double").alias("y"),
+            F.min(F.when(F.col("seg") == "MACHINERY", F.col("rev")))
+            .cast("double").alias("x"),
+        )
+        .filter(F.col("y").isNotNull() & F.col("x").isNotNull())
+    )
+    wide = wide.cache()  # consumed by the OLS fold AND the residual pass
+    m = wide.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("x", 9).cast("decimal(28,9)")).cast("double").alias("sx"),
+        F.sum(F.round("y", 9).cast("decimal(28,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(38,6)"))
+        .cast("double").alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(38,6)"))
+        .cast("double").alias("sxx"),
+    )
+    n = F.col("n")
+    vxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / vxx
+    ols = m.filter(vxx > 0).select(
+        "n",
+        slope.alias("beta"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("alpha"),
+    )
+    resid = wide.join(F.broadcast(ols)).select(
+        "d",
+        F.round(
+            F.col("y") - (F.col("alpha") + F.col("beta") * F.col("x")), 9
+        ).alias("e"),
+    )
+    wd = Window.orderBy("d")
+    lagged = resid.select(
+        (F.col("e") - F.lag("e").over(wd)).alias("de"),
+        F.lag("e").over(wd).alias("el"),
+    ).filter(F.col("el").isNotNull())
+    lagged = lagged.cache()  # consumed by the rho fold AND the SSE pass
+    df = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum(F.round(F.col("de") * F.col("el"), 6).cast("decimal(38,6)"))
+        .cast("double").alias("sde"),
+        F.sum(F.round(F.col("el") * F.col("el"), 6).cast("decimal(38,6)"))
+        .cast("double").alias("sll"),
+    )
+    rho = df.filter(F.col("sll") > 0).select(
+        "nd", (F.col("sde") / F.col("sll")).alias("rho"), "sll"
+    )
+    err = F.col("de") - F.col("rho") * F.col("el")
+    sse = (
+        lagged.join(F.broadcast(rho))
+        .groupBy("nd", "rho", "sll")
+        .agg(
+            F.sum(F.round(err * err, 6).cast("decimal(38,6)"))
+            .cast("double").alias("s2")
+        )
+    )
+    dfstat = F.col("rho") / F.sqrt(
+        (F.col("s2") / (F.col("nd") - 1)) / F.col("sll")
+    )
+    return ols.join(F.broadcast(sse)).select(
+        F.col("n").alias("n_days"),
+        F.round("alpha", 4).alias("alpha"),
+        F.round("beta", 6).alias("beta"),
+        F.round("rho", 6).alias("rho"),
+        F.round(dfstat, 6).alias("df_stat"),
+        F.when(dfstat < -3.34, 1).otherwise(0).cast("bigint")
+        .alias("cointegrated"),
+    )
