@@ -1766,3 +1766,207 @@ def q_experiment_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm.cast("bigint").alias("n_per_arm"),
         F.ceil(n_arm / rate).cast("bigint").alias("runtime_days"),
     ).orderBy("event_type")
+
+
+# -- q_cem_att ---------------------------------------------------------
+#
+# Coarsened Exact Matching (Iacus-King-Porro) estimate of the ATT:
+# units = customers, "treatment" = placed ≥1 URGENT-priority 1995
+# order, outcome = 1996 revenue; covariates coarsen to market
+# segment × exact account-balance quintile (ntile with custkey
+# tie-break). Strata holding both arms survive; control rows carry
+# the CEM weight (nT_s/nC_s)·(M_C/M_T) so the control distribution
+# is reweighted onto the treated strata mix. Reports the matched ATT
+# next to the naive unmatched difference — the whole point of
+# matching is that gap. The MATCHING member of the causal family
+# (q_diff_in_diff = trends, q_cuped = variance, q_ips_policy_eval =
+# weighting by propensity). All counts exact; outcome sums exact
+# DECIMAL(18,2); the weighted control fold rounds identical per-row
+# doubles to DECIMAL(38,6). Scale: facts collapse to |customers|;
+# the quintile window runs on that grid; strata joins are
+# 25-row broadcasts.
+
+CEM_SQL = """
+WITH t95 AS (
+  SELECT o_custkey, MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS trt
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+  GROUP BY 1
+), y96 AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+  GROUP BY 1
+), units AS (
+  SELECT c.c_custkey AS ck, c.c_mktsegment AS seg,
+         NTILE(5) OVER (ORDER BY c.c_acctbal, c.c_custkey) AS bq,
+         COALESCE(t.trt, 0) AS trt,
+         CAST(COALESCE(y.y, 0) AS DOUBLE) AS y
+  FROM customer c
+  LEFT JOIN t95 t ON t.o_custkey = c.c_custkey
+  LEFT JOIN y96 y ON y.o_custkey = c.c_custkey
+), strata AS (
+  SELECT seg, bq,
+         CAST(SUM(trt) AS BIGINT) AS n_t,
+         CAST(COUNT(*) - SUM(trt) AS BIGINT) AS n_c
+  FROM units GROUP BY 1, 2
+), matched AS (
+  SELECT seg, bq, n_t, n_c FROM strata WHERE n_t > 0 AND n_c > 0
+), tot AS (
+  SELECT CAST(SUM(n_t) AS BIGINT) AS m_t, CAST(SUM(n_c) AS BIGINT) AS m_c
+  FROM matched
+), wsum AS (
+  SELECT
+    CAST(SUM(CASE WHEN u.trt = 1
+         THEN CAST(round(u.y, 6) AS DECIMAL(38,6)) END) AS DOUBLE) AS sy_t,
+    CAST(SUM(CASE WHEN u.trt = 0 THEN
+         CAST(round(u.y * ((CAST(m.n_t AS DOUBLE) / m.n_c)
+                           * (CAST(t.m_c AS DOUBLE) / t.m_t)), 6)
+              AS DECIMAL(38,6)) END) AS DOUBLE) AS swy_c,
+    CAST(SUM(CASE WHEN u.trt = 0 THEN
+         CAST(round((CAST(m.n_t AS DOUBLE) / m.n_c)
+                    * (CAST(t.m_c AS DOUBLE) / t.m_t), 6)
+              AS DECIMAL(38,6)) END) AS DOUBLE) AS sw_c,
+    CAST(SUM(u.trt) AS BIGINT) AS n_t_m
+  FROM units u
+  JOIN matched m ON m.seg = u.seg AND m.bq = u.bq
+  CROSS JOIN tot t
+), naive AS (
+  SELECT CAST(SUM(CASE WHEN trt = 1
+           THEN CAST(round(y, 6) AS DECIMAL(38,6)) END) AS DOUBLE)
+           / SUM(trt) AS mu_t,
+         CAST(SUM(CASE WHEN trt = 0
+           THEN CAST(round(y, 6) AS DECIMAL(38,6)) END) AS DOUBLE)
+           / (COUNT(*) - SUM(trt)) AS mu_c
+  FROM units
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM strata) AS n_strata,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM matched) AS n_matched_strata,
+       w.n_t_m AS n_treated,
+       (SELECT m_c FROM tot) AS n_control,
+       round(w.sy_t / w.n_t_m - w.swy_c / w.sw_c, 4) AS att,
+       round(n.mu_t - n.mu_c, 4) AS naive_diff
+FROM wsum w CROSS JOIN naive n
+"""
+
+
+@query("q_cem_att", oracle=CEM_SQL)
+def q_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders
+    od = F.to_date("o_orderdate")
+    t95 = (
+        orders.filter(
+            (od >= F.lit("1995-01-01").cast("date"))
+            & (od < F.lit("1996-01-01").cast("date"))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("trt")
+        )
+        .withColumnRenamed("o_custkey", "tck")
+    )
+    y96 = (
+        orders.filter(
+            (od >= F.lit("1996-01-01").cast("date"))
+            & (od < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+        .withColumnRenamed("o_custkey", "yck")
+    )
+    units = (
+        cat.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .join(t95, F.col("tck") == F.col("c_custkey"), "left")
+        .join(y96, F.col("yck") == F.col("c_custkey"), "left")
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+            F.ntile(5).over(Window.orderBy("c_acctbal", "c_custkey"))
+            .alias("bq"),
+            F.coalesce("trt", F.lit(0)).alias("trt"),
+            F.coalesce(F.col("y"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double").alias("y"),
+        )
+    )
+    units = units.cache()  # consumed by strata, the weighted fold AND naive
+    strata = units.groupBy("seg", "bq").agg(
+        F.sum("trt").cast("bigint").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("trt")).cast("bigint").alias("n_c"),
+    )
+    strata = strata.cache()  # counted twice and joined back
+    matched = strata.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    tot = matched.agg(
+        F.sum("n_t").cast("bigint").alias("m_t"),
+        F.sum("n_c").cast("bigint").alias("m_c"),
+    )
+    n_strata = strata.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata")
+    )
+    n_matched = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_strata")
+    )
+    w_expr = (F.col("n_t").cast("double") / F.col("n_c")) * (
+        F.col("m_c").cast("double") / F.col("m_t")
+    )
+    wsum = (
+        units.join(
+            F.broadcast(matched.select("seg", "bq", "n_t", "n_c")),
+            ["seg", "bq"],
+        )
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("trt") == 1,
+                    F.round("y", 6).cast("decimal(38,6)"),
+                )
+            ).cast("double").alias("sy_t"),
+            F.sum(
+                F.when(
+                    F.col("trt") == 0,
+                    F.round(F.col("y") * w_expr, 6).cast("decimal(38,6)"),
+                )
+            ).cast("double").alias("swy_c"),
+            F.sum(
+                F.when(
+                    F.col("trt") == 0,
+                    F.round(w_expr, 6).cast("decimal(38,6)"),
+                )
+            ).cast("double").alias("sw_c"),
+            F.sum("trt").cast("bigint").alias("n_t_m"),
+        )
+    )
+    naive = units.agg(
+        (
+            F.sum(
+                F.when(F.col("trt") == 1, F.round("y", 6).cast("decimal(38,6)"))
+            ).cast("double") / F.sum("trt")
+        ).alias("mu_t"),
+        (
+            F.sum(
+                F.when(F.col("trt") == 0, F.round("y", 6).cast("decimal(38,6)"))
+            ).cast("double") / (F.count(F.lit(1)) - F.sum("trt"))
+        ).alias("mu_c"),
+    )
+    return (
+        wsum.join(F.broadcast(naive))
+        .join(F.broadcast(n_strata))
+        .join(F.broadcast(n_matched))
+        .join(F.broadcast(tot.select("m_c")))
+        .select(
+            "n_strata", "n_matched_strata",
+            F.col("n_t_m").alias("n_treated"),
+            F.col("m_c").alias("n_control"),
+            F.round(
+                F.col("sy_t") / F.col("n_t_m")
+                - F.col("swy_c") / F.col("sw_c"), 4
+            ).alias("att"),
+            F.round(F.col("mu_t") - F.col("mu_c"), 4).alias("naive_diff"),
+        )
+    )

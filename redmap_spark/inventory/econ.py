@@ -1714,3 +1714,161 @@ def q_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when((p > 0) & (q > 0), F.log(q / p) / (p + q)), 4)
         .alias("peak_month"),
     )
+
+
+# -- q_shift_share -----------------------------------------------------
+#
+# Shift-share decomposition of each nation's 1994→1995 revenue
+# growth into NATIONAL (rode the overall tide), INDUSTRY-MIX
+# (weighted toward fast/slow brands) and COMPETITIVE (out/under-
+# performed its brands' own growth) effects — the regional-economics
+# standard for "why did this region grow": Δ_n = Σ_b e_nb·g + Σ_b
+# e_nb·(g_b − g) + Σ_b e_nb·(g_nb − g_b). The three effects sum to
+# the actual change by construction (checked by the residual
+# column). Base-year cells, brand totals and the grand total are
+# exact DECIMAL sums; per-brand terms are identical double chains
+# 9-rounded into exact per-nation folds. Scale: one fact scan
+# partial-aggregated to the |nations|×|brands| grid (625 cells);
+# brand/grand totals broadcast back; no second fact pass.
+
+SHIFT_SQL = """
+WITH cells AS (
+  SELECT n.n_name AS nat, p.p_brand AS b,
+    SUM(CASE WHEN year(CAST(o.o_orderdate AS DATE)) = 1994
+        THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+      AS e0,
+    SUM(CASE WHEN year(CAST(o.o_orderdate AS DATE)) = 1995
+        THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+      AS e1
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE year(CAST(o.o_orderdate AS DATE)) IN (1994, 1995)
+  GROUP BY 1, 2
+), btot AS (
+  SELECT b, CAST(SUM(e0) AS DOUBLE) AS b0, CAST(SUM(e1) AS DOUBLE) AS b1
+  FROM cells GROUP BY 1
+), gtot AS (
+  SELECT CAST(SUM(e0) AS DOUBLE) AS g0, CAST(SUM(e1) AS DOUBLE) AS g1
+  FROM cells
+), terms AS (
+  SELECT c.nat,
+    CAST(round(CAST(c.e0 AS DOUBLE), 2) AS DECIMAL(28,2)) AS e0,
+    CAST(round(CAST(c.e1 AS DOUBLE) - CAST(c.e0 AS DOUBLE), 2)
+         AS DECIMAL(28,2)) AS actual,
+    CAST(round(CAST(c.e0 AS DOUBLE) * (g.g1 / g.g0 - 1.0), 9)
+         AS DECIMAL(28,9)) AS nat_term,
+    CAST(round(CAST(c.e0 AS DOUBLE)
+               * ((bt.b1 / bt.b0 - 1.0) - (g.g1 / g.g0 - 1.0)), 9)
+         AS DECIMAL(28,9)) AS mix_term,
+    CAST(round(CAST(c.e0 AS DOUBLE)
+               * ((CAST(c.e1 AS DOUBLE) / CAST(c.e0 AS DOUBLE) - 1.0)
+                  - (bt.b1 / bt.b0 - 1.0)), 9)
+         AS DECIMAL(28,9)) AS comp_term
+  FROM cells c
+  JOIN btot bt ON bt.b = c.b
+  CROSS JOIN gtot g
+  WHERE c.e0 > 0 AND bt.b0 > 0 AND g.g0 > 0
+)
+SELECT nat AS n_name,
+       CAST(SUM(e0) AS DOUBLE) AS base_rev,
+       CAST(SUM(actual) AS DOUBLE) AS actual_change,
+       round(CAST(SUM(nat_term) AS DOUBLE), 2) AS national_effect,
+       round(CAST(SUM(mix_term) AS DOUBLE), 2) AS mix_effect,
+       round(CAST(SUM(comp_term) AS DOUBLE), 2) AS competitive_effect,
+       round(CAST(SUM(actual) AS DOUBLE)
+             - CAST(SUM(nat_term) + SUM(mix_term) + SUM(comp_term)
+                    AS DOUBLE), 2) AS residual
+FROM terms GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q_shift_share", oracle=SHIFT_SQL)
+def q_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    yr = F.year(F.to_date("o_orderdate"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    cells = (
+        cat.lineitem.select("l_orderkey", "l_partkey", "l_extendedprice",
+                            "l_discount")
+        .join(
+            cat.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+            .filter(yr.isin(1994, 1995)),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(F.col("n_name").alias("nat"), F.col("p_brand").alias("b"))
+        .agg(
+            F.sum(
+                F.when(yr == 1994, rev.cast("decimal(18,2)")).otherwise(zero)
+            ).alias("e0"),
+            F.sum(
+                F.when(yr == 1995, rev.cast("decimal(18,2)")).otherwise(zero)
+            ).alias("e1"),
+        )
+    )
+    cells = cells.cache()  # consumed by btot, gtot AND the term grid
+    btot = cells.groupBy("b").agg(
+        F.sum("e0").cast("double").alias("b0"),
+        F.sum("e1").cast("double").alias("b1"),
+    )
+    gtot = cells.agg(
+        F.sum("e0").cast("double").alias("g0"),
+        F.sum("e1").cast("double").alias("g1"),
+    )
+    e0d = F.col("e0").cast("double")
+    e1d = F.col("e1").cast("double")
+    g_rate = F.col("g1") / F.col("g0") - 1.0
+    b_rate = F.col("b1") / F.col("b0") - 1.0
+    c_rate = e1d / e0d - 1.0
+    terms = (
+        cells.join(F.broadcast(btot), "b")
+        .join(F.broadcast(gtot))
+        .filter((F.col("e0") > 0) & (F.col("b0") > 0) & (F.col("g0") > 0))
+        .select(
+            "nat",
+            F.round(e0d, 2).cast("decimal(28,2)").alias("e0"),
+            F.round(e1d - e0d, 2).cast("decimal(28,2)").alias("actual"),
+            F.round(e0d * g_rate, 9).cast("decimal(28,9)").alias("nat_term"),
+            F.round(e0d * (b_rate - g_rate), 9).cast("decimal(28,9)")
+            .alias("mix_term"),
+            F.round(e0d * (c_rate - b_rate), 9).cast("decimal(28,9)")
+            .alias("comp_term"),
+        )
+    )
+    return (
+        terms.groupBy(F.col("nat").alias("n_name"))
+        .agg(
+            F.sum("e0").cast("double").alias("base_rev"),
+            F.sum("actual").cast("double").alias("actual_change"),
+            F.round(F.sum("nat_term").cast("double"), 2)
+            .alias("national_effect"),
+            F.round(F.sum("mix_term").cast("double"), 2).alias("mix_effect"),
+            F.round(F.sum("comp_term").cast("double"), 2)
+            .alias("competitive_effect"),
+            F.round(
+                F.sum("actual").cast("double")
+                - (
+                    F.sum("nat_term") + F.sum("mix_term") + F.sum("comp_term")
+                ).cast("double"),
+                2,
+            ).alias("residual"),
+        )
+        .orderBy("n_name")
+    )

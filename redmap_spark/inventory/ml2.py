@@ -605,3 +605,191 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand", "rank")
     )
+
+
+# -- q_competing_risks -------------------------------------------------
+#
+# Aalen–Johansen cumulative incidence functions for two COMPETING
+# first events after a user's arrival: first 'purchase' vs first
+# 'error' (whichever strikes first claims the user; purchase wins
+# exact ties deterministically). Naive per-cause 1−KM overstates
+# risk when causes compete — CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s)
+# with the OVERALL survival S is the correct decomposition, and
+# CIF_A+CIF_B ≤ 1−S always holds. Determinism: the same
+# exp-of-decimal-ln-fold S(s−) machinery as q_survival_km (6-rounded
+# survival, collapse flag pins post-collapse terms to 0), CIF terms
+# 9-rounded into exact decimal cumsums. Scale: events collapse to
+# |users| observations on the user_id shuffle key, then to the
+# bounded day grid; all windows run on that grid.
+
+CRISK_SQL = """
+WITH u AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY 1
+), firsts AS (
+  SELECT u.user_id, u.t0,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > u.t0
+                  THEN e.ts END) AS ta,
+         MIN(CASE WHEN e.event_type = 'error' AND e.ts > u.t0
+                  THEN e.ts END) AS tb
+  FROM u JOIN events e ON e.user_id = u.user_id
+  GROUP BY 1, 2
+), horizon AS (SELECT MAX(ts) AS hz FROM events),
+obs AS (
+  SELECT CASE
+           WHEN ta IS NOT NULL AND (tb IS NULL OR ta <= tb)
+             THEN date_diff('day', t0, ta)
+           WHEN tb IS NOT NULL THEN date_diff('day', t0, tb)
+           ELSE date_diff('day', t0, hz) END AS t,
+         CASE WHEN ta IS NOT NULL AND (tb IS NULL OR ta <= tb) THEN 1
+              ELSE 0 END AS ea,
+         CASE WHEN (ta IS NULL OR (tb IS NOT NULL AND tb < ta))
+                   AND tb IS NOT NULL THEN 1 ELSE 0 END AS eb
+  FROM firsts CROSS JOIN horizon
+), n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM obs),
+grid AS (
+  SELECT t, CAST(SUM(ea) AS BIGINT) AS da, CAST(SUM(eb) AS BIGINT) AS db,
+         COUNT(*) AS c
+  FROM obs GROUP BY 1
+), r AS (
+  SELECT t, da, db,
+         nt - COALESCE(CAST(SUM(c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS n
+  FROM grid CROSS JOIN n_tot
+), s AS (
+  SELECT t, da, db, n,
+         COALESCE(MAX(CASE WHEN da + db >= n THEN 1 ELSE 0 END)
+             OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS dead_prev,
+         COALESCE(CAST(SUM(CASE WHEN da + db < n THEN
+                CAST(ln((n - da - db) / CAST(n AS DOUBLE))
+                     AS DECIMAL(18,9)) END)
+             OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS DOUBLE), 0.0) AS lsum_prev
+  FROM r
+), terms AS (
+  SELECT t, da, db, n,
+    CASE WHEN dead_prev = 1 THEN CAST(0.0 AS DECIMAL(18,9))
+         ELSE CAST(round(round(exp(lsum_prev), 6) * da / n, 9)
+                   AS DECIMAL(18,9)) END AS ia,
+    CASE WHEN dead_prev = 1 THEN CAST(0.0 AS DECIMAL(18,9))
+         ELSE CAST(round(round(exp(lsum_prev), 6) * db / n, 9)
+                   AS DECIMAL(18,9)) END AS ib
+  FROM s
+)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_at_risk,
+       da AS d_purchase, db AS d_error,
+       round(CAST(SUM(ia) OVER (ORDER BY t) AS DOUBLE), 6) AS cif_purchase,
+       round(CAST(SUM(ib) OVER (ORDER BY t) AS DOUBLE), 6) AS cif_error
+FROM terms WHERE da + db > 0
+ORDER BY t
+"""
+
+
+@query("q_competing_risks", oracle=CRISK_SQL)
+def q_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "event_type")
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    firsts = (
+        u.join(ev.withColumnRenamed("user_id", "uid"),
+               F.col("uid") == F.col("user_id"))
+        .groupBy("user_id", "t0")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("ta"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("ts") > F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("tb"),
+        )
+    )
+    horizon = ev.agg(F.max("ts").alias("hz"))
+    a_first = F.col("ta").isNotNull() & (
+        F.col("tb").isNull() | (F.col("ta") <= F.col("tb"))
+    )
+    b_first = (
+        F.col("ta").isNull() | (F.col("tb").isNotNull() & (F.col("tb") < F.col("ta")))
+    ) & F.col("tb").isNotNull()
+    obs = firsts.join(F.broadcast(horizon)).select(
+        F.when(a_first, F.datediff(F.to_date("ta"), F.to_date("t0")))
+        .when(F.col("tb").isNotNull(),
+              F.datediff(F.to_date("tb"), F.to_date("t0")))
+        .otherwise(F.datediff(F.to_date("hz"), F.to_date("t0")))
+        .alias("t"),
+        F.when(a_first, 1).otherwise(0).alias("ea"),
+        F.when(b_first, 1).otherwise(0).alias("eb"),
+    )
+    obs = obs.cache()  # consumed by the total AND the grid agg
+    nt = obs.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    grid = obs.groupBy("t").agg(
+        F.sum("ea").cast("bigint").alias("da"),
+        F.sum("eb").cast("bigint").alias("db"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    wt = Window.orderBy("t")
+    wprev = wt.rowsBetween(Window.unboundedPreceding, -1)
+    r = grid.join(F.broadcast(nt)).select(
+        "t", "da", "db",
+        (
+            F.col("nt")
+            - F.coalesce(
+                F.sum("c").over(wprev).cast("bigint"), F.lit(0)
+            )
+        ).alias("n"),
+    )
+    d_all = F.col("da") + F.col("db")
+    s = r.select(
+        "t", "da", "db", "n",
+        F.coalesce(
+            F.max(F.when(d_all >= F.col("n"), 1).otherwise(0)).over(wprev),
+            F.lit(0),
+        ).alias("dead_prev"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    d_all < F.col("n"),
+                    F.log(
+                        (F.col("n") - d_all) / F.col("n").cast("double")
+                    ).cast("decimal(18,9)"),
+                )
+            ).over(wprev).cast("double"),
+            F.lit(0.0),
+        ).alias("lsum_prev"),
+    )
+    s_prev = F.round(F.exp(F.col("lsum_prev")), 6)
+    terms = s.select(
+        "t", "da", "db", "n",
+        F.when(F.col("dead_prev") == 1, F.lit(0.0).cast("decimal(18,9)"))
+        .otherwise(
+            F.round(s_prev * F.col("da") / F.col("n"), 9).cast("decimal(18,9)")
+        ).alias("ia"),
+        F.when(F.col("dead_prev") == 1, F.lit(0.0).cast("decimal(18,9)"))
+        .otherwise(
+            F.round(s_prev * F.col("db") / F.col("n"), 9).cast("decimal(18,9)")
+        ).alias("ib"),
+    )
+    return (
+        terms.select(
+            F.col("t").cast("bigint").alias("t_days"),
+            F.col("n").cast("bigint").alias("n_at_risk"),
+            F.col("da").alias("d_purchase"),
+            F.col("db").alias("d_error"),
+            F.round(F.sum("ia").over(wt).cast("double"), 6)
+            .alias("cif_purchase"),
+            F.round(F.sum("ib").over(wt).cast("double"), 6).alias("cif_error"),
+            (F.col("da") + F.col("db")).alias("_d"),
+        )
+        .filter(F.col("_d") > 0)
+        .drop("_d")
+        .orderBy("t_days")
+    )
