@@ -793,3 +793,445 @@ def q_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_d")
         .orderBy("t_days")
     )
+
+
+# -- q_life_table ------------------------------------------------------
+#
+# Actuarial life table of time-to-second-order in 30-day intervals:
+# the grouped-data survival estimator (exposure n′ = n − c/2 credits
+# within-interval censors half an interval — the demography/
+# insurance convention) next to q_survival_km's exact-time KM and
+# q_weibull_fit's parametric curve. Per interval: entrants, events,
+# censors, conditional q̂ = d/n′, and the survival fold
+# S = exp(Σ ln(1−q̂)) with DECIMAL(18,9) ln terms and a collapse
+# guard, 6-rounded. Scale: the same |customers|→day-grid collapse
+# as KM, then a 30-day floor-div regroup to ≤ span/30 rows; all
+# windows run on that bounded grid.
+
+LIFE_SQL = """
+WITH obs0 AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         MIN(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey) AS d1
+  FROM orders
+), fs AS (
+  SELECT o_custkey, d1, MIN(CASE WHEN od > d1 THEN od END) AS d2
+  FROM obs0 GROUP BY 1, 2
+), endd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS de FROM orders),
+obs AS (
+  SELECT CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+              ELSE date_diff('day', d1, de) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fs CROSS JOIN endd
+), n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM obs),
+ivl AS (
+  SELECT CAST(t // 30 AS BIGINT) AS k,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+  FROM obs GROUP BY 1
+), r AS (
+  SELECT k, d, c,
+         nt - COALESCE(CAST(SUM(d + c) OVER (ORDER BY k
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS n
+  FROM ivl CROSS JOIN n_tot
+), qk AS (
+  SELECT k, d, c, n,
+         CAST(n AS DOUBLE) - c / 2.0 AS n_prime,
+         d / (CAST(n AS DOUBLE) - c / 2.0) AS q
+  FROM r WHERE CAST(n AS DOUBLE) - c / 2.0 > 0
+), s AS (
+  SELECT k, d, c, n, n_prime, q,
+         MAX(CASE WHEN q >= 1 THEN 1 ELSE 0 END)
+           OVER (ORDER BY k) AS dead,
+         CAST(SUM(CASE WHEN q < 1 THEN
+                CAST(ln(1.0 - q) AS DECIMAL(18,9)) END)
+           OVER (ORDER BY k) AS DOUBLE) AS lsum
+  FROM qk
+)
+SELECT k AS interval_no, k * 30 AS t_start, n AS n_enter, d AS n_events,
+       c AS n_censored, round(n_prime, 1) AS exposure,
+       round(q, 6) AS q_hat,
+       CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lsum), 6) END
+         AS survival_end
+FROM s ORDER BY k
+"""
+
+
+@query("q_life_table", oracle=LIFE_SQL)
+def q_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    wc = Window.partitionBy("o_custkey")
+    obs0 = o.withColumn("d1", F.min("od").over(wc))
+    fs = obs0.groupBy("o_custkey", "d1").agg(
+        F.min(F.when(F.col("od") > F.col("d1"), F.col("od"))).alias("d2")
+    )
+    endd = o.agg(F.max("od").alias("de"))
+    obs = fs.join(F.broadcast(endd)).select(
+        F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+        .otherwise(F.datediff("de", "d1"))
+        .alias("t"),
+        F.when(F.col("d2").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    obs = obs.cache()  # consumed by the total AND the interval agg
+    nt = obs.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    ivl = obs.groupBy(F.floor(F.col("t") / 30).cast("bigint").alias("k")).agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("bigint").alias("c"),
+    )
+    wk = Window.orderBy("k")
+    r = ivl.join(F.broadcast(nt)).select(
+        "k", "d", "c",
+        (
+            F.col("nt")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c"))
+                .over(wk.rowsBetween(Window.unboundedPreceding, -1))
+                .cast("bigint"),
+                F.lit(0),
+            )
+        ).alias("n"),
+    )
+    n_prime = F.col("n").cast("double") - F.col("c") / 2.0
+    qk = r.filter(n_prime > 0).select(
+        "k", "d", "c", "n",
+        n_prime.alias("n_prime"),
+        (F.col("d") / n_prime).alias("q"),
+    )
+    s = qk.select(
+        "k", "d", "c", "n", "n_prime", "q",
+        F.max(F.when(F.col("q") >= 1, 1).otherwise(0)).over(wk).alias("dead"),
+        F.sum(
+            F.when(F.col("q") < 1, F.log(1.0 - F.col("q")).cast("decimal(18,9)"))
+        ).over(wk).cast("double").alias("lsum"),
+    )
+    return s.select(
+        F.col("k").alias("interval_no"),
+        (F.col("k") * 30).alias("t_start"),
+        F.col("n").alias("n_enter"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.round("n_prime", 1).alias("exposure"),
+        F.round("q", 6).alias("q_hat"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lsum"), 6)).alias("survival_end"),
+    ).orderBy("interval_no")
+
+
+# -- q_nbd_fit ---------------------------------------------------------
+#
+# Negative-binomial (NBD) moment fit of per-user event counts — the
+# count-mixture workhorse for activity modeling: p̂ = m/v, r̂ =
+# m²/(v−m) from EXACT integer moments (Σk, Σk² over users), then
+# the recurrence P(K=k+1) = P(K=k)·(r+k)/(k+1)·(1−p) unrolled for
+# k = 0..4 (each step 9-rounded so both engines chain identical
+# doubles), a 5+ tail bucket by complement, and the observed-vs-
+# expected χ² — q_overdispersion DETECTS v>m, this FITS the model
+# that explains it. Scale: one |users| grid agg, a 1-row moment
+# fold, and a 6-row exploded frequency comparison (explode(array),
+# not a union, so the fit row computes once).
+
+NBD_SQL = """
+WITH ku AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k FROM events GROUP BY 1
+), kc AS (
+  SELECT CASE WHEN k >= 5 THEN 5 ELSE k END AS kb,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM ku GROUP BY 1
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(k AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(k AS DECIMAL(38,0)) * k) AS DOUBLE) AS s2
+  FROM ku
+), fit AS (
+  SELECT n, s1 / n AS m,
+         s2 / n - (s1 / n) * (s1 / n) AS v,
+         (s1 / n) / (s2 / n - (s1 / n) * (s1 / n)) AS p,
+         (s1 / n) * (s1 / n)
+           / ((s2 / n - (s1 / n) * (s1 / n)) - s1 / n) AS r
+  FROM mom
+  WHERE s2 / n - (s1 / n) * (s1 / n) > s1 / n
+), probs AS (
+  SELECT n, m, v, p, r,
+         round(power(p, r), 9) AS p0
+  FROM fit
+), chain AS (
+  SELECT n, m, v, p, r, p0,
+         round(p0 * r * (1.0 - p) / 1.0, 9) AS p1,
+         round(round(p0 * r * (1.0 - p) / 1.0, 9)
+               * (r + 1.0) * (1.0 - p) / 2.0, 9) AS p2,
+         round(round(round(p0 * r * (1.0 - p) / 1.0, 9)
+               * (r + 1.0) * (1.0 - p) / 2.0, 9)
+               * (r + 2.0) * (1.0 - p) / 3.0, 9) AS p3,
+         round(round(round(round(p0 * r * (1.0 - p) / 1.0, 9)
+               * (r + 1.0) * (1.0 - p) / 2.0, 9)
+               * (r + 2.0) * (1.0 - p) / 3.0, 9)
+               * (r + 3.0) * (1.0 - p) / 4.0, 9) AS p4
+  FROM probs
+), expgrid AS (
+  SELECT c.n, c.r, c.p, g.kb,
+         CASE g.kb
+           WHEN 0 THEN c.p0 WHEN 1 THEN c.p1 WHEN 2 THEN c.p2
+           WHEN 3 THEN c.p3 WHEN 4 THEN c.p4
+           ELSE round(1.0 - c.p0 - c.p1 - c.p2 - c.p3 - c.p4, 9) END AS pk
+  FROM chain c CROSS JOIN (SELECT r.range AS kb FROM range(0, 6) r) g
+), cmp AS (
+  SELECT e.kb, COALESCE(o.n_obs, 0) AS n_obs,
+         round(e.n * e.pk, 4) AS n_exp,
+         e.r, e.p,
+         CASE WHEN e.n * e.pk > 0
+              THEN CAST(round((COALESCE(o.n_obs, 0) - e.n * e.pk)
+                              * (COALESCE(o.n_obs, 0) - e.n * e.pk)
+                              / (e.n * e.pk), 9) AS DECIMAL(28,9))
+              ELSE CAST(0 AS DECIMAL(28,9)) END AS chi_term
+  FROM expgrid e LEFT JOIN kc o ON o.kb = e.kb
+), chi AS (
+  SELECT CAST(SUM(chi_term) AS DOUBLE) AS chi2 FROM cmp
+)
+SELECT cmp.kb AS k_bucket, cmp.n_obs, cmp.n_exp,
+       round(cmp.r, 6) AS r_shape, round(cmp.p, 6) AS p_param,
+       round(chi.chi2, 4) AS chi2_stat
+FROM cmp CROSS JOIN chi ORDER BY cmp.kb
+"""
+
+
+@query("q_nbd_fit", oracle=NBD_SQL)
+def q_nbd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    ku = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    ku = ku.cache()  # consumed by the bucket counts AND the moment fold
+    kc = ku.groupBy(
+        F.when(F.col("k") >= 5, 5).otherwise(F.col("k")).alias("kb")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    mom = ku.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("k").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k")).cast("double")
+        .alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    m = s1 / n
+    v = s2 / n - m * m
+    fit = mom.filter(v > m).select(
+        "n", m.alias("m"), v.alias("v"),
+        (m / v).alias("p"), (m * m / (v - m)).alias("r"),
+    )
+    p, r = F.col("p"), F.col("r")
+    probs = fit.select(
+        "n", "m", "v", "p", "r", F.round(F.pow(p, r), 9).alias("p0")
+    )
+    p1 = F.round(F.col("p0") * r * (1.0 - p) / 1.0, 9)
+    p2 = F.round(p1 * (r + 1.0) * (1.0 - p) / 2.0, 9)
+    p3 = F.round(p2 * (r + 2.0) * (1.0 - p) / 3.0, 9)
+    p4 = F.round(p3 * (r + 3.0) * (1.0 - p) / 4.0, 9)
+    chain = probs.select(
+        "n", "m", "v", "p", "r", "p0",
+        p1.alias("p1"), p2.alias("p2"), p3.alias("p3"), p4.alias("p4"),
+    )
+    # 6-way fan-out via explode(array) so the 1-row fit computes once
+    # (no union-branch duplication of the upstream aggregates)
+    expgrid = chain.select(
+        "n", "r", "p",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(kb).cast("bigint").alias("kb"),
+                        (
+                            F.col(f"p{kb}")
+                            if kb < 5
+                            else F.round(
+                                1.0 - F.col("p0") - F.col("p1") - F.col("p2")
+                                - F.col("p3") - F.col("p4"), 9
+                            )
+                        ).alias("pk"),
+                    )
+                    for kb in range(6)
+                ]
+            )
+        ).alias("g"),
+    ).select("n", "r", "p", F.col("g.kb").alias("kb"), F.col("g.pk").alias("pk"))
+    cmp_df = expgrid.join(F.broadcast(kc), "kb", "left").select(
+        "kb",
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+        F.round(F.col("n") * F.col("pk"), 4).alias("n_exp"),
+        "r", "p",
+        F.when(
+            F.col("n") * F.col("pk") > 0,
+            F.round(
+                (F.coalesce("n_obs", F.lit(0)) - F.col("n") * F.col("pk"))
+                * (F.coalesce("n_obs", F.lit(0)) - F.col("n") * F.col("pk"))
+                / (F.col("n") * F.col("pk")),
+                9,
+            ).cast("decimal(28,9)"),
+        ).otherwise(F.lit(0).cast("decimal(28,9)")).alias("chi_term"),
+    )
+    cmp_df = cmp_df.cache()  # consumed by the chi2 fold AND the output rows
+    chi = cmp_df.agg(F.sum("chi_term").cast("double").alias("chi2"))
+    return (
+        cmp_df.join(F.broadcast(chi))
+        .select(
+            F.col("kb").alias("k_bucket"), "n_obs", "n_exp",
+            F.round("r", 6).alias("r_shape"),
+            F.round("p", 6).alias("p_param"),
+            F.round("chi2", 4).alias("chi2_stat"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# -- q_absorbing_chain -------------------------------------------------
+#
+# Absorbing-Markov-chain funnel analysis with the closed-form 2×2
+# fundamental matrix N = (I−Q)⁻¹: consecutive event pairs map to
+# transient classes {browse = view|click, engage = signup} and
+# absorbing classes {purchase, error}; transition probabilities are
+# exact count ratios, and N·𝟙 / N·R give expected remaining touches
+# and absorption probabilities per starting class — the quantities
+# q_event_transitions' raw matrix and q_markov_stationary's
+# long-run mix don't answer ("how many touches until conversion,
+# and does it end in purchase or error?"). Determinism: the 2×2
+# inverse is one literal double chain over exact ratios. Scale: one
+# lag window on the user_id-partitioned event stream → a ≤16-cell
+# transition grid; everything after is 1-row algebra.
+
+ABSORB_SQL = """
+WITH seq AS (
+  SELECT CASE WHEN event_type IN ('view', 'click') THEN 'browse'
+              WHEN event_type = 'signup' THEN 'engage'
+              ELSE event_type END AS cls,
+         LEAD(CASE WHEN event_type IN ('view', 'click') THEN 'browse'
+                   WHEN event_type = 'signup' THEN 'engage'
+                   ELSE event_type END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), pairs AS (
+  SELECT cls, nxt FROM seq
+  WHERE nxt IS NOT NULL AND cls IN ('browse', 'engage')
+), cnt AS (
+  SELECT cls, nxt, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2
+), tot AS (
+  SELECT cls, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+), p AS (
+  SELECT MAX(CASE WHEN cls = 'browse' AND nxt = 'browse' THEN pr END) AS qbb,
+         MAX(CASE WHEN cls = 'browse' AND nxt = 'engage' THEN pr END) AS qbe,
+         MAX(CASE WHEN cls = 'engage' AND nxt = 'browse' THEN pr END) AS qeb,
+         MAX(CASE WHEN cls = 'engage' AND nxt = 'engage' THEN pr END) AS qee,
+         MAX(CASE WHEN cls = 'browse' AND nxt = 'purchase' THEN pr END) AS rbp,
+         MAX(CASE WHEN cls = 'browse' AND nxt = 'error' THEN pr END) AS rbx,
+         MAX(CASE WHEN cls = 'engage' AND nxt = 'purchase' THEN pr END) AS rep,
+         MAX(CASE WHEN cls = 'engage' AND nxt = 'error' THEN pr END) AS rex
+  FROM (
+    SELECT c.cls, c.nxt, c.c / CAST(t.t AS DOUBLE) AS pr
+    FROM cnt c JOIN tot t ON t.cls = c.cls
+  )
+), f AS (
+  SELECT COALESCE(qbb, 0.0) AS qbb, COALESCE(qbe, 0.0) AS qbe,
+         COALESCE(qeb, 0.0) AS qeb, COALESCE(qee, 0.0) AS qee,
+         COALESCE(rbp, 0.0) AS rbp, COALESCE(rbx, 0.0) AS rbx,
+         COALESCE(rep, 0.0) AS rep, COALESCE(rex, 0.0) AS rex
+  FROM p
+), inv AS (
+  SELECT *,
+         (1.0 - qbb) * (1.0 - qee) - qbe * qeb AS det
+  FROM f
+), nmat AS (
+  SELECT *,
+         (1.0 - qee) / det AS nbb, qbe / det AS nbe,
+         qeb / det AS neb, (1.0 - qbb) / det AS nee
+  FROM inv WHERE det > 0
+)
+SELECT s.state,
+  round(CASE s.state WHEN 'browse' THEN nbb + nbe ELSE neb + nee END, 6)
+    AS expected_touches,
+  round(CASE s.state WHEN 'browse' THEN nbb * rbp + nbe * rep
+                     ELSE neb * rbp + nee * rep END, 6) AS p_purchase,
+  round(CASE s.state WHEN 'browse' THEN nbb * rbx + nbe * rex
+                     ELSE neb * rbx + nee * rex END, 6) AS p_error
+FROM nmat CROSS JOIN (SELECT 'browse' AS state UNION ALL
+                      SELECT 'engage') s
+ORDER BY s.state
+"""
+
+
+@query("q_absorbing_chain", oracle=ABSORB_SQL)
+def q_absorbing_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    cls = (
+        F.when(F.col("event_type").isin("view", "click"), "browse")
+        .when(F.col("event_type") == "signup", "engage")
+        .otherwise(F.col("event_type"))
+    )
+    seq = ev.select(
+        cls.alias("cls"),
+        F.lead(cls).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("nxt"),
+    )
+    pairs = seq.filter(
+        F.col("nxt").isNotNull() & F.col("cls").isin("browse", "engage")
+    )
+    cnt = pairs.groupBy("cls", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cnt = cnt.cache()  # consumed by the row totals AND the prob pivot
+    tot = cnt.groupBy(F.col("cls").alias("tcls")).agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    pr = cnt.join(F.broadcast(tot), F.col("tcls") == F.col("cls")).select(
+        "cls", "nxt", (F.col("c") / F.col("t").cast("double")).alias("pr")
+    )
+
+    def cell(c: str, nx: str):
+        return F.max(
+            F.when((F.col("cls") == c) & (F.col("nxt") == nx), F.col("pr"))
+        )
+
+    p = pr.agg(
+        cell("browse", "browse").alias("qbb"),
+        cell("browse", "engage").alias("qbe"),
+        cell("engage", "browse").alias("qeb"),
+        cell("engage", "engage").alias("qee"),
+        cell("browse", "purchase").alias("rbp"),
+        cell("browse", "error").alias("rbx"),
+        cell("engage", "purchase").alias("rep"),
+        cell("engage", "error").alias("rex"),
+    )
+    f = p.select(
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+            for c in ("qbb", "qbe", "qeb", "qee", "rbp", "rbx", "rep", "rex")
+        ]
+    )
+    det = (1.0 - F.col("qbb")) * (1.0 - F.col("qee")) - F.col("qbe") * F.col("qeb")
+    nmat = f.withColumn("det", det).filter(F.col("det") > 0).select(
+        "*",
+        ((1.0 - F.col("qee")) / F.col("det")).alias("nbb"),
+        (F.col("qbe") / F.col("det")).alias("nbe"),
+        (F.col("qeb") / F.col("det")).alias("neb"),
+        ((1.0 - F.col("qbb")) / F.col("det")).alias("nee"),
+    )
+    states = nmat.select(
+        "*",
+        F.explode(F.array(F.lit("browse"), F.lit("engage"))).alias("state"),
+    )
+    is_b = F.col("state") == "browse"
+    return states.select(
+        "state",
+        F.round(
+            F.when(is_b, F.col("nbb") + F.col("nbe"))
+            .otherwise(F.col("neb") + F.col("nee")), 6
+        ).alias("expected_touches"),
+        F.round(
+            F.when(is_b, F.col("nbb") * F.col("rbp") + F.col("nbe") * F.col("rep"))
+            .otherwise(F.col("neb") * F.col("rbp") + F.col("nee") * F.col("rep")),
+            6,
+        ).alias("p_purchase"),
+        F.round(
+            F.when(is_b, F.col("nbb") * F.col("rbx") + F.col("nbe") * F.col("rex"))
+            .otherwise(F.col("neb") * F.col("rbx") + F.col("nee") * F.col("rex")),
+            6,
+        ).alias("p_error"),
+    ).orderBy("state")
