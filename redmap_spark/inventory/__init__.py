@@ -117,6 +117,7 @@ _WINDOW_FIRST = [
     "sim_pca_power", "q_bass_diffusion", "q_cointegration",
     "q_competing_risks", "q_cem_att", "q_shift_share",
     "q_life_table", "q_nbd_fit", "q_absorbing_chain",
+    "txt_rake_keywords", "txt_source_overlap", "q_kde_density",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -2355,3 +2355,108 @@ def q_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("significant"),
         )
     )
+
+
+# -- q_kde_density -----------------------------------------------------
+#
+# Gaussian kernel density estimate of the order-value distribution
+# on a fixed 32-point grid with the Silverman rule-of-thumb
+# bandwidth h = 1.06·σ̂·n^(−1/5) — the smooth distribution view
+# where q_histogram gives bars and q_quantile_sketch gives ranks
+# (multimodality shows up here first; cf. q_bimodality's
+# coefficient). σ̂ comes from exact DECIMAL moments; the grid is an
+# exact span split; each kernel term exp(−u²/2)/√(2π) is an
+# identical double 12-rounded into exact per-gridpoint folds.
+# Scale: the n×32 fan-out is map-side (broadcast 1-row stats +
+# 32-row grid), partial-aggregated straight down to 32 cells — no
+# data-sized shuffle at any point.
+
+KDE_SQL = """
+WITH x AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS x
+  FROM orders
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+         CAST(MAX(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS hi,
+         CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(round(x * x, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s2
+  FROM x
+), bw AS (
+  SELECT n, lo, hi,
+         1.06 * sqrt(s2 / n - (s1 / n) * (s1 / n))
+              * power(CAST(n AS DOUBLE), -0.2) AS h
+  FROM st WHERE s2 / n - (s1 / n) * (s1 / n) > 0
+), grid AS (
+  SELECT r.range AS j,
+         bw.lo + r.range * (bw.hi - bw.lo) / 31.0 AS g,
+         bw.n, bw.h
+  FROM bw, range(0, 32) r
+), terms AS (
+  SELECT g.j, g.g,
+         CAST(round(exp(-0.5 * ((x.x - g.g) / g.h) * ((x.x - g.g) / g.h))
+                    / sqrt(2.0 * pi()) / (g.n * g.h), 12)
+              AS DECIMAL(28,12)) AS t
+  FROM x CROSS JOIN grid g
+)
+SELECT CAST(j AS BIGINT) AS grid_no, round(g, 2) AS x_grid,
+       round(CAST(SUM(t) AS DOUBLE), 9) AS density
+FROM terms GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+@query("q_kde_density", oracle=KDE_SQL)
+def q_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    o = Catalog(spark, sf_dir).orders
+    x = o.select(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("x")
+    )
+    x = x.cache()  # consumed by the stats fold AND the kernel fan-out
+    st = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min(F.col("x").cast("decimal(18,2)")).cast("double").alias("lo"),
+        F.max(F.col("x").cast("decimal(18,2)")).cast("double").alias("hi"),
+        F.sum(F.col("x").cast("decimal(28,2)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(38,4)"))
+        .cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    var = F.col("s2") / n - (F.col("s1") / n) * (F.col("s1") / n)
+    bw = st.filter(var > 0).select(
+        "n", "lo", "hi",
+        (1.06 * F.sqrt(var) * F.pow(n.cast("double"), -0.2)).alias("h"),
+    )
+    spark_sess = o.sparkSession
+    grid = (
+        spark_sess.range(0, 32)
+        .select(F.col("id").alias("j"))
+        .join(F.broadcast(bw))
+        .select(
+            "j",
+            (
+                F.col("lo") + F.col("j") * (F.col("hi") - F.col("lo")) / 31.0
+            ).alias("g"),
+            "n", "h",
+        )
+    )
+    u = (F.col("x") - F.col("g")) / F.col("h")
+    terms = x.crossJoin(F.broadcast(grid)).select(
+        "j", "g",
+        F.round(
+            F.exp(-0.5 * u * u) / F.sqrt(F.lit(2.0 * math.pi))
+            / (F.col("n") * F.col("h")),
+            12,
+        ).cast("decimal(28,12)").alias("t"),
+    )
+    return (
+        terms.groupBy("j", "g")
+        .agg(F.round(F.sum("t").cast("double"), 9).alias("density"))
+        .select(
+            F.col("j").cast("bigint").alias("grid_no"),
+            F.round("g", 2).alias("x_grid"),
+            "density",
+        )
+        .orderBy("grid_no")
+    )

@@ -540,3 +540,249 @@ def txt_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- txt_rake_keywords -------------------------------------------------
+#
+# RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+# candidate phrases are maximal stopword-free token runs (capped at
+# 4 tokens), word scores deg(w)/freq(w) are exact-count ratios where
+# deg(w) sums the lengths of every candidate containing w, and a
+# phrase scores the decimal-exact sum of its words' 9-rounded
+# scores. Top-15 multiword phrases by (score, occurrences, phrase).
+# The phrase-level keyword view next to txt_tfidf_keywords'
+# single-word ranking and txt_collocations' PMI pairs. Determinism:
+# phrase reassembly orders tokens by position (string_agg ORDER BY /
+# sorted-struct array_join — never a bare collect_list). Scale:
+# token explode → windows partitioned by doc_id → two grid-sized
+# count aggs; no joins beyond the broadcast word-score table.
+
+_RAKE_STOPS = "('the', 'a', 'of', 'and', 'in', 'to', 'is', '')"
+
+RAKE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  WHERE length(text) > 0
+), tok AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS i, unnest(tk) AS w
+  FROM t
+), mk AS (
+  SELECT doc_id, i, w,
+         CASE WHEN w IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS stp
+  FROM tok
+), ph AS (
+  SELECT doc_id, i, w, stp,
+         SUM(stp) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+  FROM mk
+), cand AS (
+  SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS len,
+         string_agg(w, ' ' ORDER BY i) AS phrase
+  FROM ph WHERE stp = 0 GROUP BY 1, 2
+  HAVING COUNT(*) <= 4
+), cw AS (
+  SELECT p.doc_id, p.pid, p.w, c.len, c.phrase
+  FROM ph p JOIN cand c ON c.doc_id = p.doc_id AND c.pid = p.pid
+  WHERE p.stp = 0
+), ws AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(len) AS BIGINT) AS deg
+  FROM cw GROUP BY 1
+), inst AS (
+  SELECT cw.doc_id, cw.pid, cw.phrase, cw.len,
+         CAST(SUM(CAST(round(CAST(ws.deg AS DOUBLE) / ws.freq, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS score
+  FROM cw JOIN ws ON ws.w = cw.w
+  GROUP BY 1, 2, 3, 4
+)
+SELECT phrase, CAST(MIN(len) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       round(MIN(score), 6) AS rake_score
+FROM inst WHERE len >= 2
+GROUP BY 1
+ORDER BY rake_score DESC, n_occ DESC, phrase
+LIMIT 15
+"""
+
+
+@query("txt_rake_keywords", oracle=RAKE_SQL)
+def txt_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents.filter(F.length("text") > 0)
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " "))
+    ).select("doc_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("w"))
+    stops = ["the", "a", "of", "and", "in", "to", "is", ""]
+    mk = tok.select(
+        "doc_id", "i", "w",
+        F.when(F.col("w").isin(stops), 1).otherwise(0).alias("stp"),
+    )
+    ph = mk.select(
+        "doc_id", "i", "w", "stp",
+        F.sum("stp").over(
+            Window.partitionBy("doc_id").orderBy("i")
+        ).alias("pid"),
+    )
+    ph = ph.cache()  # consumed by cand AND the candidate-word join
+    cand = (
+        ph.filter(F.col("stp") == 0)
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("len"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s.w,
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .filter(F.col("len") <= 4)
+    )
+    cw = (
+        ph.filter(F.col("stp") == 0)
+        .select("doc_id", "pid", "w")
+        .join(cand, ["doc_id", "pid"])
+    )
+    cw = cw.cache()  # consumed by the word-score table AND the instance scores
+    ws = cw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("len").cast("bigint").alias("deg"),
+    )
+    inst = (
+        cw.join(F.broadcast(ws), "w")
+        .groupBy("doc_id", "pid", "phrase", "len")
+        .agg(
+            F.sum(
+                F.round(F.col("deg").cast("double") / F.col("freq"), 9)
+                .cast("decimal(28,9)")
+            ).cast("double").alias("score")
+        )
+    )
+    return (
+        inst.filter(F.col("len") >= 2)
+        .groupBy("phrase")
+        .agg(
+            F.min("len").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.round(F.min("score"), 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.desc("n_occ"), "phrase")
+        .limit(15)
+    )
+
+
+# -- txt_source_overlap ------------------------------------------------
+#
+# Pairwise corpus-overlap matrix: each source's top-50 trigram set
+# (count desc, gram tie-break) intersected with every other
+# source's — Jaccard |A∩B|/|A∪B| over the fixed-size signature
+# sets. The corpus-DIVERSITY diagnostic for mixture planning
+# (txt_mixture_plan weights sources; this says which sources are
+# near-duplicates of each other at the phrase level, where
+# txt_js_divergence compares unigram distributions). Determinism:
+# top-50 via row_number with full tie-break; set sizes are exactly
+# 50 so the union is 100 − |∩|. Scale: one trigram explode →
+# per-source count grids → a 50×|sources| signature table that
+# self-joins on gram (250 rows total — trivial).
+
+OVERLAP_SQL = """
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS tk FROM documents
+  WHERE length(text) > 0
+), tri AS (
+  SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+    FROM t WHERE len(tk) > 2
+  ) GROUP BY 1, 2
+), top AS (
+  SELECT source, g FROM (
+    SELECT source, g,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY c DESC, g) AS rk
+    FROM tri
+  ) WHERE rk <= 50
+), inter AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM top a JOIN top b ON b.g = a.g AND a.source < b.source
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT x.source AS s1, y.source AS s2
+  FROM (SELECT DISTINCT source FROM top) x
+  JOIN (SELECT DISTINCT source FROM top) y ON x.source < y.source
+)
+SELECT p.s1, p.s2, COALESCE(i.n_inter, 0) AS n_inter,
+       round(COALESCE(i.n_inter, 0)
+             / (100.0 - COALESCE(i.n_inter, 0)), 6) AS jaccard
+FROM pairs p LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2
+ORDER BY p.s1, p.s2
+"""
+
+
+@query("txt_source_overlap", oracle=OVERLAP_SQL)
+def txt_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents.filter(F.length("text") > 0)
+    tk = d.select("source", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") > 2
+    )
+    tri = (
+        tk.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("tk"), i + 1),
+                        F.element_at(F.col("tk"), i + 2),
+                        F.element_at(F.col("tk"), i + 3),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = (
+        tri.select(
+            "source", "g",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("c"), "g")
+            ).alias("rk"),
+        )
+        .filter(F.col("rk") <= 50)
+        .select("source", "g")
+    )
+    top = top.cache()  # both self-join sides AND the source list
+    a = top.select(F.col("source").alias("s1"), "g")
+    b = top.select(F.col("source").alias("s2"), F.col("g").alias("g2"))
+    inter = (
+        a.join(b, (F.col("g2") == F.col("g")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    srcs = top.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("s1"))
+        .join(
+            srcs.select(F.col("source").alias("s2")),
+            F.col("s1") < F.col("s2"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(inter), ["s1", "s2"], "left")
+        .select(
+            "s1", "s2",
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
+            F.round(
+                F.coalesce("n_inter", F.lit(0))
+                / (100.0 - F.coalesce("n_inter", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
