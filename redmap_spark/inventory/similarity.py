@@ -1288,3 +1288,241 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# -- q_second_pc -------------------------------------------------------
+#
+# Spectral summary of the embedding covariance: after sim_pca_power's
+# three-round top component, DEFLATE (C₂ = C − λ₁v₁v₁′) and run two
+# more power rounds for the second eigenpair — λ₂/λ₁ (the eigengap)
+# is the "is one direction dominating?" diagnostic that decides
+# whether PCA-whitening or a 1-D drift projection is safe, and the
+# two Rayleigh quotients are labeled BY SIZE (on a near-isotropic
+# cloud the fixed 3+2 rounds leave them statistically tied, so the
+# deflated pass can out-Rayleigh the first — ratio ≈ 1 IS the
+# diagnostic answer: no dominant direction), and the
+# cumulative explained share says how 2-dimensional the cloud really
+# is. Same determinism contract as sim_pca_power (decimal-rounded
+# Gram/matvec/norm folds, 9-rounded renormalized vectors); the
+# deflated matrix is a 4096-cell grid join, never materialized
+# per-row. Scale: identical to sim_pca_power — one n·d² Gram pass,
+# then grid-sized algebra.
+
+SECOND_PC_SQL = """
+WITH w AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM w
+), n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+mu AS (
+  SELECT i, CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+            / (SELECT n FROM n_tot) AS m
+  FROM e GROUP BY 1
+), gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(round(a.x * b.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+  FROM e a JOIN e b ON b.vec_id = a.vec_id
+  GROUP BY 1, 2
+), c AS MATERIALIZED (
+  SELECT g.i, g.j, g.s / (SELECT n FROM n_tot) - mi.m * mj.m AS cv
+  FROM gram g JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j
+), v0 AS (SELECT r.range AS j, 0.125 AS val FROM range(1, 65) r),
+u1 AS (
+  SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS u
+  FROM c JOIN v0 v ON v.j = c.j GROUP BY 1
+), n1 AS (SELECT sqrt(CAST(SUM(CAST(round(u * u, 9) AS DECIMAL(28,9)))
+              AS DOUBLE)) AS nr FROM u1),
+v1 AS (SELECT j, round(u / (SELECT nr FROM n1), 9) AS val FROM u1),
+u2 AS (
+  SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS u
+  FROM c JOIN v1 v ON v.j = c.j GROUP BY 1
+), n2 AS (SELECT sqrt(CAST(SUM(CAST(round(u * u, 9) AS DECIMAL(28,9)))
+              AS DOUBLE)) AS nr FROM u2),
+v2 AS (SELECT j, round(u / (SELECT nr FROM n2), 9) AS val FROM u2),
+u3 AS (
+  SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS u
+  FROM c JOIN v2 v ON v.j = c.j GROUP BY 1
+), n3 AS (SELECT sqrt(CAST(SUM(CAST(round(u * u, 9) AS DECIMAL(28,9)))
+              AS DOUBLE)) AS nr FROM u3),
+v3 AS MATERIALIZED (SELECT j, round(u / (SELECT nr FROM n3), 9) AS val FROM u3),
+cv3 AS (
+  SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
+                   AS DECIMAL(28,9))) AS DOUBLE) AS u
+  FROM c JOIN v3 v ON v.j = c.j GROUP BY 1
+), lam1 AS (
+  SELECT CAST(SUM(CAST(round(v3.val * cv3.u, 9) AS DECIMAL(28,9)))
+         AS DOUBLE) AS l
+  FROM v3 JOIN cv3 ON cv3.j = v3.j
+), c2 AS MATERIALIZED (
+  SELECT c.i, c.j,
+         c.cv - (SELECT l FROM lam1) * vi.val * vj.val AS cv
+  FROM c JOIN v3 vi ON vi.j = c.i JOIN v3 vj ON vj.j = c.j
+), w0 AS (
+  SELECT r.range AS j,
+         CASE WHEN r.range % 2 = 1 THEN 0.125 ELSE -0.125 END AS val
+  FROM range(1, 65) r
+), x1 AS (
+  SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS u
+  FROM c2 c JOIN w0 v ON v.j = c.j GROUP BY 1
+), m1 AS (SELECT sqrt(CAST(SUM(CAST(round(u * u, 9) AS DECIMAL(28,9)))
+              AS DOUBLE)) AS nr FROM x1),
+w1 AS (SELECT j, round(u / (SELECT nr FROM m1), 9) AS val FROM x1),
+x2 AS (
+  SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS u
+  FROM c2 c JOIN w1 v ON v.j = c.j GROUP BY 1
+), m2 AS (SELECT sqrt(CAST(SUM(CAST(round(u * u, 9) AS DECIMAL(28,9)))
+              AS DOUBLE)) AS nr FROM x2),
+w2 AS MATERIALIZED (SELECT j, round(u / (SELECT nr FROM m2), 9) AS val FROM x2),
+cw2 AS (
+  SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
+                   AS DECIMAL(28,9))) AS DOUBLE) AS u
+  FROM c2 c JOIN w2 v ON v.j = c.j GROUP BY 1
+), lam2 AS (
+  SELECT CAST(SUM(CAST(round(w2.val * cw2.u, 9) AS DECIMAL(28,9)))
+         AS DOUBLE) AS l
+  FROM w2 JOIN cw2 ON cw2.j = w2.j
+), tr AS (
+  SELECT CAST(SUM(CAST(round(cv, 9) AS DECIMAL(28,9))) AS DOUBLE) AS t
+  FROM c WHERE i = j
+)
+SELECT round(GREATEST(l1.l, l2.l), 6) AS lambda1,
+       round(LEAST(l1.l, l2.l), 6) AS lambda2,
+       round(LEAST(l1.l, l2.l) / GREATEST(l1.l, l2.l), 6) AS eigengap_ratio,
+       round(GREATEST(l1.l, l2.l) / tr.t, 6) AS explained_1,
+       round(LEAST(l1.l, l2.l) / tr.t, 6) AS explained_2,
+       round((l1.l + l2.l) / tr.t, 6) AS cum_explained
+FROM lam1 l1 CROSS JOIN lam2 l2 CROSS JOIN tr
+"""
+
+
+@query("q_second_pc", oracle=SECOND_PC_SQL)
+def q_second_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("x"))
+    e = e.cache()
+    n = e.select("vec_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    mu = (
+        e.groupBy("i")
+        .agg(
+            F.sum(F.round("x", 9).cast("decimal(28,9)")).cast("double")
+            .alias("sm")
+        )
+        .join(F.broadcast(n))
+        .select("i", (F.col("sm") / F.col("n")).alias("m"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    gram = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(
+                F.round(F.col("a.x") * F.col("b.x"), 9).cast("decimal(28,9)")
+            ).cast("double").alias("s")
+        )
+    )
+    mi = mu.select(F.col("i").alias("mi_i"), F.col("m").alias("mi"))
+    mj = mu.select(F.col("i").alias("mj_j"), F.col("m").alias("mj"))
+    c = (
+        gram.join(F.broadcast(n))
+        .join(F.broadcast(mi), F.col("mi_i") == F.col("i"))
+        .join(F.broadcast(mj), F.col("mj_j") == F.col("j"))
+        .select(
+            "i", "j",
+            (F.col("s") / F.col("n") - F.col("mi") * F.col("mj")).alias("cv"),
+        )
+    )
+    # Eager localCheckpoint (mr_pagerank precedent): the 4096-cell grid
+    # materializes ONCE and every matvec below starts from a flat scan —
+    # without it the 5-round iterative plan nests joins-of-joins deep
+    # enough that Catalyst tree-walks overflow the stack.
+    c = c.localCheckpoint()
+
+    def matvec(cgrid: DataFrame, v: DataFrame) -> DataFrame:
+        return (
+            cgrid.join(F.broadcast(v), "j")
+            .groupBy(F.col("i").alias("j"))
+            .agg(
+                F.sum(
+                    F.round(F.col("cv") * F.col("val"), 9).cast("decimal(28,9)")
+                ).cast("double").alias("u")
+            )
+        )
+
+    def normalize(u: DataFrame) -> DataFrame:
+        u = u.localCheckpoint()  # 64 rows; truncates the per-round lineage
+        nr = u.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("u") * F.col("u"), 9).cast("decimal(28,9)"))
+                .cast("double")
+            ).alias("nr")
+        )
+        return u.join(F.broadcast(nr)).select(
+            "j", F.round(F.col("u") / F.col("nr"), 9).alias("val")
+        )
+
+    def rayleigh(cgrid: DataFrame, v: DataFrame):
+        cv = matvec(cgrid, v)
+        return (
+            v.join(cv, "j")
+            .agg(
+                F.sum(
+                    F.round(F.col("val") * F.col("u"), 9).cast("decimal(28,9)")
+                ).cast("double").alias("l")
+            )
+        )
+
+    sess = emb.sparkSession
+    v = sess.range(1, 65).select(
+        F.col("id").alias("j"), F.lit(0.125).alias("val")
+    )
+    for _ in range(3):
+        v = normalize(matvec(c, v))
+    v = v.localCheckpoint()
+    lam1 = rayleigh(c, v)
+    vi = v.select(F.col("j").alias("vi_j"), F.col("val").alias("vi"))
+    vj = v.select(F.col("j").alias("vj_j"), F.col("val").alias("vj"))
+    c2 = (
+        c.join(F.broadcast(lam1))
+        .join(F.broadcast(vi), F.col("vi_j") == F.col("i"))
+        .join(F.broadcast(vj), F.col("vj_j") == F.col("j"))
+        .select(
+            "i", "j",
+            (F.col("cv") - F.col("l") * F.col("vi") * F.col("vj")).alias("cv"),
+        )
+    )
+    c2 = c2.localCheckpoint()
+    w = sess.range(1, 65).select(
+        F.col("id").alias("j"),
+        F.when(F.col("id") % 2 == 1, 0.125).otherwise(-0.125).alias("val"),
+    )
+    for _ in range(2):
+        w = normalize(matvec(c2, w))
+    w = w.localCheckpoint()
+    lam2 = rayleigh(c2, w).withColumnRenamed("l", "l2")
+    tr = c.filter(F.col("i") == F.col("j")).agg(
+        F.sum(F.round("cv", 9).cast("decimal(28,9)")).cast("double").alias("t")
+    )
+    return (
+        lam1.join(F.broadcast(lam2))
+        .join(F.broadcast(tr))
+        .select(
+            F.round(F.greatest("l", "l2"), 6).alias("lambda1"),
+            F.round(F.least("l", "l2"), 6).alias("lambda2"),
+            F.round(F.least("l", "l2") / F.greatest("l", "l2"), 6).alias(
+                "eigengap_ratio"
+            ),
+            F.round(F.greatest("l", "l2") / F.col("t"), 6).alias("explained_1"),
+            F.round(F.least("l", "l2") / F.col("t"), 6).alias("explained_2"),
+            F.round((F.col("l") + F.col("l2")) / F.col("t"), 6)
+            .alias("cum_explained"),
+        )
+    )

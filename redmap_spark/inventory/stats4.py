@@ -2460,3 +2460,194 @@ def q_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grid_no")
     )
+
+
+# -- q_fleiss_kappa ----------------------------------------------------
+#
+# Fleiss' kappa agreement among THREE deterministic "raters" of
+# order importance (priority rule, price rule, weekday rule) — the
+# multi-rater generalization q_cohens_kappa (2 raters) cannot
+# handle: per order k = # positive votes ∈ {0..3}, per-item
+# agreement P_i = [k(k−1) + (3−k)(2−k)]/6, chance agreement from
+# the pooled positive share. All numbers are exact integer-count
+# ratios folded through the 4-cell k histogram — no per-row doubles
+# at all until the final κ chain. Scale: one fact scan partial-
+# aggregated to 4 cells.
+
+FLEISS_SQL = """
+WITH votes AS (
+  SELECT (CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) >= 150000
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN isodow(CAST(o_orderdate AS DATE)) <= 3
+               THEN 1 ELSE 0 END) AS k
+  FROM orders
+), hist AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM votes GROUP BY 1
+), agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * k) AS BIGINT) AS pos,
+         CAST(SUM(c * (k * (k - 1) + (3 - k) * (2 - k))) AS BIGINT) AS agree6
+  FROM hist
+)
+SELECT n AS n_items,
+       CAST((SELECT COALESCE(MAX(c), 0) FROM hist WHERE k = 0) AS BIGINT)
+         AS n_k0,
+       CAST((SELECT COALESCE(MAX(c), 0) FROM hist WHERE k = 1) AS BIGINT)
+         AS n_k1,
+       CAST((SELECT COALESCE(MAX(c), 0) FROM hist WHERE k = 2) AS BIGINT)
+         AS n_k2,
+       CAST((SELECT COALESCE(MAX(c), 0) FROM hist WHERE k = 3) AS BIGINT)
+         AS n_k3,
+       round(CAST(pos AS DOUBLE) / (3 * n), 6) AS p_positive,
+       round(CAST(agree6 AS DOUBLE) / (6 * n), 6) AS p_bar,
+       round((CAST(agree6 AS DOUBLE) / (6 * n)
+              - ((CAST(pos AS DOUBLE) / (3 * n))
+                 * (CAST(pos AS DOUBLE) / (3 * n))
+                 + (1.0 - CAST(pos AS DOUBLE) / (3 * n))
+                 * (1.0 - CAST(pos AS DOUBLE) / (3 * n))))
+             / (1.0 - ((CAST(pos AS DOUBLE) / (3 * n))
+                 * (CAST(pos AS DOUBLE) / (3 * n))
+                 + (1.0 - CAST(pos AS DOUBLE) / (3 * n))
+                 * (1.0 - CAST(pos AS DOUBLE) / (3 * n)))), 6)
+         AS fleiss_kappa
+FROM agg
+"""
+
+
+@query("q_fleiss_kappa", oracle=FLEISS_SQL)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    k = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        + F.when(F.col("o_totalprice").cast("decimal(18,2)") >= 150000, 1)
+        .otherwise(0)
+        + F.when(F.dayofweek(F.to_date("o_orderdate")).isin(2, 3, 4), 1)
+        .otherwise(0)
+    )
+    hist = o.select(k.alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    hist = hist.cache()  # consumed by the agg fold AND the 4 cell lookups
+    agg = hist.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("k")).cast("bigint").alias("pos"),
+        F.sum(
+            F.col("c")
+            * (
+                F.col("k") * (F.col("k") - 1)
+                + (3 - F.col("k")) * (2 - F.col("k"))
+            )
+        ).cast("bigint").alias("agree6"),
+    )
+
+    def cell(kv: int, name: str) -> DataFrame:
+        return hist.filter(F.col("k") == kv).agg(
+            F.coalesce(F.max("c"), F.lit(0)).cast("bigint").alias(name)
+        )
+
+    p1 = F.col("pos").cast("double") / (3 * F.col("n"))
+    pe = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    pbar = F.col("agree6").cast("double") / (6 * F.col("n"))
+    return (
+        agg.join(F.broadcast(cell(0, "n_k0")))
+        .join(F.broadcast(cell(1, "n_k1")))
+        .join(F.broadcast(cell(2, "n_k2")))
+        .join(F.broadcast(cell(3, "n_k3")))
+        .select(
+            F.col("n").alias("n_items"),
+            "n_k0", "n_k1", "n_k2", "n_k3",
+            F.round(p1, 6).alias("p_positive"),
+            F.round(pbar, 6).alias("p_bar"),
+            F.round((pbar - pe) / (1.0 - pe), 6).alias("fleiss_kappa"),
+        )
+    )
+
+
+# -- q_gumbel_fit ------------------------------------------------------
+#
+# Gumbel extreme-value fit of MONTHLY MAXIMA of daily revenue by
+# the method of moments (β̂ = s√6/π, μ̂ = m̄ − γβ̂ with the
+# Euler–Mascheroni literal), plus 12- and 120-month return levels
+# x_T = μ − β·ln(−ln(1−1/T)) — the capacity-planning question
+# ("what daily peak should we provision for?") that q_var_cvar's
+# in-sample tail and q_hill_tail_index's power-law exponent don't
+# answer for block maxima. Daily sums are exact decimals; the
+# ~|months| maxima grid folds through 9-rounded decimal moments;
+# everything after is one double chain. Scale: facts collapse to
+# the day grid, then the month grid; the fit is a 1-row fold.
+
+GUMBEL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+), mx AS (
+  SELECT date_trunc('month', d) AS m,
+         CAST(MAX(rev) AS DOUBLE) AS x
+  FROM daily GROUP BY 1
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(round(x, 2) AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(round(x * x, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s2
+  FROM mx
+), fit AS (
+  SELECT n,
+         s1 / n AS mean_max,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) * sqrt(6.0) / pi() AS beta
+  FROM mom WHERE n > 2 AND s2 - s1 * s1 / n > 0
+)
+SELECT n AS n_months,
+       round(mean_max, 2) AS mean_monthly_max,
+       round(beta, 4) AS beta_scale,
+       round(mean_max - 0.5772156649015329 * beta, 2) AS mu_location,
+       round((mean_max - 0.5772156649015329 * beta)
+             - beta * ln(-ln(1.0 - 1.0 / 12.0)), 2) AS return_level_12m,
+       round((mean_max - 0.5772156649015329 * beta)
+             - beta * ln(-ln(1.0 - 1.0 / 120.0)), 2) AS return_level_120m
+FROM fit
+"""
+
+
+@query("q_gumbel_fit", oracle=GUMBEL_SQL)
+def q_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    mx = daily.groupBy(F.date_trunc("month", "d").alias("m")).agg(
+        F.max("rev").cast("double").alias("x")
+    )
+    mom = mx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("x", 2).cast("decimal(28,2)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(38,4)"))
+        .cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    ss = s2 - s1 * s1 / n
+    fit = mom.filter((n > 2) & (ss > 0)).select(
+        "n",
+        (s1 / n).alias("mean_max"),
+        (
+            F.sqrt(ss / (n - 1)) * F.sqrt(F.lit(6.0)) / F.lit(math.pi)
+        ).alias("beta"),
+    )
+    gamma = 0.5772156649015329
+    mu = F.col("mean_max") - gamma * F.col("beta")
+    return fit.select(
+        F.col("n").alias("n_months"),
+        F.round("mean_max", 2).alias("mean_monthly_max"),
+        F.round("beta", 4).alias("beta_scale"),
+        F.round(mu, 2).alias("mu_location"),
+        F.round(
+            mu - F.col("beta") * F.log(-F.log(F.lit(1.0 - 1.0 / 12.0))), 2
+        ).alias("return_level_12m"),
+        F.round(
+            mu - F.col("beta") * F.log(-F.log(F.lit(1.0 - 1.0 / 120.0))), 2
+        ).alias("return_level_120m"),
+    )

@@ -1,0 +1,1213 @@
+"""Regression-diagnostics inventory batch 5: multicollinearity (VIF),
+heteroskedasticity (Breusch-Pagan), and AR(2) Yule-Walker.
+
+Reference parity: the reference's fold/reduce-by-key surface computes
+arbitrary grouped moment folds; these entries re-express three classic
+econometric diagnostics as one- or two-pass exact-decimal moment
+aggregations (SURVEY §2 stats block). Determinism contract as
+registry.py: exact decimal folds, identical double chains, 6-rounded
+outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+
+# -- q_vif -------------------------------------------------------------
+#
+# Variance-inflation factors of the three lineitem regressors
+# (quantity, extendedprice, discount) from the pooled 3x3 correlation
+# matrix — THE multicollinearity gate a modeler runs before trusting
+# q_regression's coefficients (q_corr_matrix shows the pairwise r's;
+# VIF_j = [R^-1]_jj says how much variance inflation the OTHER two
+# inflict jointly). Closed form for 3 variables: with a = r(q,p),
+# b = r(q,d), c = r(p,d) and det R = 1 + 2abc - a^2 - b^2 - c^2,
+# VIF_q = (1 - c^2)/det, VIF_p = (1 - b^2)/det, VIF_d = (1 - a^2)/det.
+# Scale: ONE fact scan partial-aggregates nine exact decimal moments
+# to a single row; the matrix algebra is constant work. The pairwise
+# r's are 6-rounded BEFORE the determinant chain so both engines run
+# the identical double polynomial.
+
+VIF_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sp,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sd,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sqq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS spp,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sdd,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sqp,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sqd,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS spd
+  FROM lineitem
+), r AS (
+  SELECT CAST(n AS BIGINT) AS n,
+    round(CAST(n * sqp - sq * sp AS DOUBLE)
+          / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                 * CAST(n * spp - sp * sp AS DOUBLE)), 6) AS a,
+    round(CAST(n * sqd - sq * sd AS DOUBLE)
+          / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                 * CAST(n * sdd - sd * sd AS DOUBLE)), 6) AS b,
+    round(CAST(n * spd - sp * sd AS DOUBLE)
+          / sqrt(CAST(n * spp - sp * sp AS DOUBLE)
+                 * CAST(n * sdd - sd * sd AS DOUBLE)), 6) AS c
+  FROM m
+), d AS (
+  SELECT n, a, b, c,
+         1.0 + 2.0 * a * b * c - a * a - b * b - c * c AS det
+  FROM r
+)
+SELECT variable, n,
+       round(num / det, 6) AS vif,
+       round(1.0 - det / num, 6) AS r2_others
+FROM (
+  SELECT 'l_quantity' AS variable, n, 1.0 - c * c AS num, det FROM d
+  UNION ALL
+  SELECT 'l_extendedprice', n, 1.0 - b * b, det FROM d
+  UNION ALL
+  SELECT 'l_discount', n, 1.0 - a * a, det FROM d
+)
+WHERE det <> 0
+ORDER BY variable
+"""
+
+
+@query("q_vif", oracle=VIF_SQL)
+def q_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("decimal(19,2)").alias("sq"),
+        F.sum(p).cast("decimal(19,2)").alias("sp"),
+        F.sum(d).cast("decimal(19,2)").alias("sd"),
+        F.sum(q * q).cast("decimal(30,4)").alias("sqq"),
+        F.sum(p * p).cast("decimal(30,4)").alias("spp"),
+        F.sum(d * d).cast("decimal(30,4)").alias("sdd"),
+        F.sum(q * p).cast("decimal(30,4)").alias("sqp"),
+        F.sum(q * d).cast("decimal(30,4)").alias("sqd"),
+        F.sum(p * d).cast("decimal(30,4)").alias("spd"),
+    )
+
+    def corr(sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        n = F.col("n")
+        cov = (n * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        vx = (n * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        vy = (n * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        return F.round(cov / F.sqrt(vx * vy), 6)
+
+    r = m.select(
+        F.col("n").cast("bigint").alias("n"),
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("a"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("b"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("c"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    det = 1.0 + 2.0 * a * b * c - a * a - b * b - c * c
+    rows = r.select(
+        "n",
+        det.alias("det"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_quantity").alias("variable"),
+                    (1.0 - c * c).alias("num"),
+                ),
+                F.struct(
+                    F.lit("l_extendedprice").alias("variable"),
+                    (1.0 - b * b).alias("num"),
+                ),
+                F.struct(
+                    F.lit("l_discount").alias("variable"),
+                    (1.0 - a * a).alias("num"),
+                ),
+            )
+        ).alias("v"),
+    )
+    return (
+        rows.filter(F.col("det") != 0)
+        .select(
+            F.col("v.variable").alias("variable"),
+            "n",
+            F.round(F.col("v.num") / F.col("det"), 6).alias("vif"),
+            F.round(1.0 - F.col("det") / F.col("v.num"), 6).alias("r2_others"),
+        )
+        .orderBy("variable")
+    )
+
+
+# -- q_breusch_pagan ---------------------------------------------------
+#
+# Breusch-Pagan heteroskedasticity test of the pooled price~quantity
+# OLS fit: does residual VARIANCE grow with quantity? (q_regression
+# fits the line per brand; q_durbin_watson checks residual
+# autocorrelation in time — this is the third classic residual
+# diagnostic, the cross-sectional variance one, deciding whether OLS
+# standard errors / q_bootstrap_ci are trustworthy.) Koenker's LM
+# form: fit y = a + bx, regress e^2 on x, LM = n * R2_aux ~ chi2(1);
+# reject at the literal 3.841 critical value. Two fact scans — one for
+# the exact-decimal OLS moments, one folding the residual-square
+# moments with 4/2-rounded decimal sums (order-independent) against
+# the broadcast 1-row fit. Scale: both passes are map-side partial
+# aggregations to a single row; nothing shuffles but 10 numbers.
+
+BP_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sxx
+  FROM lineitem
+), fit AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(sx AS DOUBLE) AS sx_d, CAST(sxx AS DOUBLE) AS sxx_d,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS beta,
+         round((CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE)) / n, 6) AS alpha
+  FROM m WHERE n * sxx - sx * sx <> 0
+), u AS (
+  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS x,
+         (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+          - (SELECT alpha FROM fit)
+          - (SELECT beta FROM fit)
+            * CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)) AS e
+  FROM lineitem
+), aux AS (
+  SELECT CAST(SUM(CAST(round(e * e, 4) AS DECIMAL(38,4))) AS DOUBLE) AS su,
+         CAST(SUM(CAST(round(x * e * e, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxu,
+         CAST(SUM(CAST(round(e * e * e * e, 2) AS DECIMAL(38,2))) AS DOUBLE) AS suu
+  FROM u
+)
+SELECT f.n AS n_rows,
+       round(f.beta, 6) AS slope,
+       f.alpha AS intercept,
+       round((f.n * a.sxu - f.sx_d * a.su) * (f.n * a.sxu - f.sx_d * a.su)
+             / ((f.n * f.sxx_d - f.sx_d * f.sx_d)
+                * (f.n * a.suu - a.su * a.su)), 6) AS r2_aux,
+       round(f.n * (f.n * a.sxu - f.sx_d * a.su) * (f.n * a.sxu - f.sx_d * a.su)
+             / ((f.n * f.sxx_d - f.sx_d * f.sx_d)
+                * (f.n * a.suu - a.su * a.su)), 4) AS lm_stat,
+       CASE WHEN f.n * (f.n * a.sxu - f.sx_d * a.su)
+                 * (f.n * a.sxu - f.sx_d * a.su)
+                 / ((f.n * f.sxx_d - f.sx_d * f.sx_d)
+                    * (f.n * a.suu - a.su * a.su)) > 3.841
+            THEN 1 ELSE 0 END AS heteroskedastic_5pct
+FROM fit f CROSS JOIN aux a
+WHERE (f.n * f.sxx_d - f.sx_d * f.sx_d) * (f.n * a.suu - a.su * a.su) <> 0
+"""
+
+
+@query("q_breusch_pagan", oracle=BP_SQL)
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    xq = F.col("l_quantity").cast("decimal(18,2)")
+    yp = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xq).cast("decimal(19,2)").alias("sx"),
+        F.sum(yp).cast("decimal(19,2)").alias("sy"),
+        F.sum(xq * yp).cast("decimal(30,4)").alias("sxy"),
+        F.sum(xq * xq).cast("decimal(30,4)").alias("sxx"),
+    )
+    n = F.col("n")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    fit = m.filter(vx != 0).select(
+        n.cast("bigint").alias("n"),
+        F.col("sx").cast("double").alias("sx_d"),
+        F.col("sxx").cast("double").alias("sxx_d"),
+        F.round(cov / vx, 9).alias("beta"),
+        F.round(
+            (F.col("sy").cast("double") - cov / vx * F.col("sx").cast("double"))
+            / n,
+            6,
+        ).alias("alpha"),
+    )
+    x_d = xq.cast("double")
+    y_d = yp.cast("double")
+    e = y_d - F.col("alpha") - F.col("beta") * x_d
+    aux = (
+        li.crossJoin(F.broadcast(fit))
+        .select(F.col("n"), F.col("sx_d"), F.col("sxx_d"),
+                F.col("beta"), F.col("alpha"),
+                x_d.alias("x"), (e * e).alias("u"))
+        .groupBy("n", "sx_d", "sxx_d", "beta", "alpha")
+        .agg(
+            F.sum(F.round(F.col("u"), 4).cast("decimal(38,4)"))
+            .cast("double").alias("su"),
+            F.sum(F.round(F.col("x") * F.col("u"), 4).cast("decimal(38,4)"))
+            .cast("double").alias("sxu"),
+            F.sum(F.round(F.col("u") * F.col("u"), 2).cast("decimal(38,2)"))
+            .cast("double").alias("suu"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxu") - F.col("sx_d") * F.col("su")
+    den = (nd * F.col("sxx_d") - F.col("sx_d") * F.col("sx_d")) * (
+        nd * F.col("suu") - F.col("su") * F.col("su")
+    )
+    r2_aux = num * num / den
+    return aux.filter(den != 0).select(
+        F.col("n").alias("n_rows"),
+        F.round("beta", 6).alias("slope"),
+        F.col("alpha").alias("intercept"),
+        F.round(r2_aux, 6).alias("r2_aux"),
+        F.round(nd * r2_aux, 4).alias("lm_stat"),
+        F.when(nd * r2_aux > 3.841, 1).otherwise(0).alias(
+            "heteroskedastic_5pct"
+        ),
+    )
+
+
+# -- q_yule_walker -----------------------------------------------------
+#
+# AR(2) Yule-Walker fit of total daily order revenue: phi1, phi2 from
+# the biased autocovariances (c0, c1, c2 with the GLOBAL mean — the
+# positive-definite estimator), residual-variance ratio
+# 1 - phi1*r1 - phi2*r2, and the triangle stationarity check
+# (phi1+phi2<1, phi2-phi1<1, |phi2|<1). q_autocorrelation reads the
+# raw ACF and q_pacf its partial projection; this entry closes the
+# loop by producing the actual AR(2) MODEL coefficients a forecaster
+# would hand to q_forecast_backtest. Scale: facts collapse to the
+# bounded day grid; the two lag self-joins run on that grid only; the
+# fit is a 1-row fold of 6-rounded ratios.
+
+YW_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM orders GROUP BY 1
+), mu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS m
+  FROM daily
+), cen AS (
+  SELECT d, CAST(rev AS DOUBLE) - (SELECT m FROM mu) AS z FROM daily
+), c0 AS (
+  SELECT CAST(SUM(CAST(round(z * z, 4) AS DECIMAL(38,4))) AS DOUBLE)
+         / (SELECT n FROM mu) AS c
+  FROM cen
+), c1 AS (
+  SELECT CAST(SUM(CAST(round(a.z * b.z, 4) AS DECIMAL(38,4))) AS DOUBLE)
+         / (SELECT n FROM mu) AS c
+  FROM cen a JOIN cen b ON b.d = a.d - 1
+), c2 AS (
+  SELECT CAST(SUM(CAST(round(a.z * b.z, 4) AS DECIMAL(38,4))) AS DOUBLE)
+         / (SELECT n FROM mu) AS c
+  FROM cen a JOIN cen b ON b.d = a.d - 2
+), r AS (
+  SELECT (SELECT n FROM mu) AS n,
+         round((SELECT c FROM c1) / (SELECT c FROM c0), 6) AS r1,
+         round((SELECT c FROM c2) / (SELECT c FROM c0), 6) AS r2
+  WHERE (SELECT c FROM c0) > 0
+), fit AS (
+  SELECT n, r1, r2,
+         round(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) AS phi1,
+         round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS phi2
+  FROM r WHERE 1.0 - r1 * r1 <> 0
+)
+SELECT n AS n_days, r1 AS acf_1, r2 AS acf_2, phi1, phi2,
+       round(1.0 - phi1 * r1 - phi2 * r2, 6) AS resid_var_ratio,
+       CASE WHEN phi1 + phi2 < 1.0 AND phi2 - phi1 < 1.0
+                 AND abs(phi2) < 1.0
+            THEN 1 ELSE 0 END AS stationary
+FROM fit
+"""
+
+
+@query("q_yule_walker", oracle=YW_SQL)
+def q_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(19,2)")
+        .alias("rev")
+    )
+    daily = daily.cache()  # day grid feeds mu, c0, and both lag joins
+    mu = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    cen = daily.crossJoin(F.broadcast(mu)).select(
+        "n", "d", (F.col("rev").cast("double") - F.col("m")).alias("z")
+    )
+    cen = cen.cache()  # centered grid feeds c0 and both lag joins
+
+    def acov(k: int) -> DataFrame:
+        if k == 0:
+            pairs = cen.select("n", (F.col("z") * F.col("z")).alias("p"))
+        else:
+            lagged = cen.select(
+                F.date_add(F.col("d"), k).alias("d"), F.col("z").alias("zl")
+            )
+            pairs = cen.join(lagged, "d").select(
+                "n", (F.col("z") * F.col("zl")).alias("p")
+            )
+        return pairs.groupBy("n").agg(
+            (
+                F.sum(F.round("p", 4).cast("decimal(38,4)")).cast("double")
+                / F.col("n")
+            ).alias(f"c{k}")
+        ).select(f"c{k}")
+
+    r = (
+        acov(0)
+        .crossJoin(acov(1))
+        .crossJoin(acov(2))
+        .crossJoin(F.broadcast(mu.select("n")))
+        .filter(F.col("c0") > 0)
+        .select(
+            "n",
+            F.round(F.col("c1") / F.col("c0"), 6).alias("r1"),
+            F.round(F.col("c2") / F.col("c0"), 6).alias("r2"),
+        )
+    )
+    r1, r2 = F.col("r1"), F.col("r2")
+    fit = r.filter((1.0 - r1 * r1) != 0).select(
+        "n", "r1", "r2",
+        F.round(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6).alias("phi1"),
+        F.round((r2 - r1 * r1) / (1.0 - r1 * r1), 6).alias("phi2"),
+    )
+    p1, p2 = F.col("phi1"), F.col("phi2")
+    return fit.select(
+        F.col("n").alias("n_days"),
+        r1.alias("acf_1"),
+        r2.alias("acf_2"),
+        "phi1",
+        "phi2",
+        F.round(1.0 - p1 * r1 - p2 * r2, 6).alias("resid_var_ratio"),
+        F.when(
+            (p1 + p2 < 1.0) & (p2 - p1 < 1.0) & (F.abs(p2) < 1.0), 1
+        ).otherwise(0).alias("stationary"),
+    )
+
+
+# -- q_isotonic_pava ---------------------------------------------------
+#
+# Isotonic (monotone non-decreasing) regression of return rate on
+# discount level — the order-constrained calibration fit (Barlow's
+# pool-adjacent-violators solution) a pipeline uses to turn a noisy
+# empirical rate curve into a monotone one before thresholding.
+# Computed by the closed-form minimax characterization (equivalent to
+# PAVA, but associative): fitted(i) = max_{s<=i} min_{t>=i}
+# weightedmean(y over levels s..t). The discount grid has 11 levels,
+# so the (s,t) pair grid is 66 cells — one fact scan collapses to
+# exact integer (n, pos) per level; everything after is grid algebra
+# on integer-ratio doubles (identical in both engines, no rounding
+# until output). Scale: map-side partial agg to 11 rows; the nested
+# min/max runs on ≤ 11x66 joined rows.
+
+ISO_SQL = """
+WITH lev AS (
+  SELECT CAST(round(CAST(l_discount AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS lvl,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM lineitem GROUP BY 1
+), pref AS (
+  SELECT lvl, n, pos,
+         ROW_NUMBER() OVER (ORDER BY lvl) AS rk,
+         SUM(n) OVER (ORDER BY lvl) AS cn,
+         SUM(pos) OVER (ORDER BY lvl) AS cp
+  FROM lev
+), pairs AS (
+  SELECT s.rk AS s, t.rk AS t,
+         CAST(t.cp - COALESCE(sp.cp, 0) AS DOUBLE)
+         / CAST(t.cn - COALESCE(sp.cn, 0) AS DOUBLE) AS avgy
+  FROM pref s
+  JOIN pref t ON t.rk >= s.rk
+  LEFT JOIN pref sp ON sp.rk = s.rk - 1
+), inner_min AS (
+  SELECT i.rk, p.s, MIN(p.avgy) AS mn
+  FROM pref i JOIN pairs p ON p.s <= i.rk AND p.t >= i.rk
+  GROUP BY 1, 2
+), fit AS (
+  SELECT rk, MAX(mn) AS iso FROM inner_min GROUP BY 1
+)
+SELECT l.lvl AS discount_pct, l.n, l.pos,
+       round(CAST(l.pos AS DOUBLE) / l.n, 6) AS emp_rate,
+       round(f.iso, 6) AS iso_rate,
+       CASE WHEN round(CAST(l.pos AS DOUBLE) / l.n, 6) <> round(f.iso, 6)
+            THEN 1 ELSE 0 END AS pooled
+FROM pref l JOIN fit f ON f.rk = l.rk
+ORDER BY l.lvl
+"""
+
+
+@query("q_isotonic_pava", oracle=ISO_SQL)
+def q_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = Catalog(spark, sf_dir).lineitem
+    lev = li.groupBy(
+        F.round(F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("lvl")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    w = Window.orderBy("lvl")
+    pref = lev.select(
+        "lvl", "n", "pos",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    pref = pref.cache()  # 11-row grid feeds pairs, the level probe, and output
+    s = pref.select(F.col("rk").alias("s"))
+    t = pref.select(
+        F.col("rk").alias("t"), F.col("cp").alias("tcp"), F.col("cn").alias("tcn")
+    )
+    sp = pref.select(
+        (F.col("rk") + 1).alias("s"), F.col("cp").alias("scp"),
+        F.col("cn").alias("scn"),
+    )
+    pairs = (
+        s.join(t, F.col("t") >= F.col("s"))
+        .join(sp, "s", "left")
+        .select(
+            "s", "t",
+            (
+                (F.col("tcp") - F.coalesce(F.col("scp"), F.lit(0))).cast("double")
+                / (F.col("tcn") - F.coalesce(F.col("scn"), F.lit(0))).cast(
+                    "double"
+                )
+            ).alias("avgy"),
+        )
+    )
+    i = pref.select(F.col("rk").alias("irk"))
+    inner_min = (
+        i.join(pairs, (F.col("s") <= F.col("irk")) & (F.col("t") >= F.col("irk")))
+        .groupBy("irk", "s")
+        .agg(F.min("avgy").alias("mn"))
+    )
+    fit = inner_min.groupBy("irk").agg(F.max("mn").alias("iso"))
+    emp = F.round(F.col("pos").cast("double") / F.col("n"), 6)
+    iso = F.round(F.col("iso"), 6)
+    return (
+        pref.join(F.broadcast(fit), F.col("irk") == F.col("rk"))
+        .select(
+            F.col("lvl").alias("discount_pct"),
+            "n", "pos",
+            emp.alias("emp_rate"),
+            iso.alias("iso_rate"),
+            F.when(emp != iso, 1).otherwise(0).alias("pooled"),
+        )
+        .orderBy("lvl")
+    )
+
+
+# -- q_hosmer_lemeshow -------------------------------------------------
+#
+# Hosmer-Lemeshow goodness-of-fit test of the q_calibration_ece
+# scorer (train-half purchase rate per fixed value bin, DECIMAL(8,6)
+# scores) on the eval half: group by predicted score, chi-square
+# HL = sum (O - n*s)^2 / (n*s*(1-s)) over the score groups, df = g-2,
+# and the Wilson-Hilferty cube-root normal approximation turns the
+# chi-square into a z and a one-sided p via the house A&S 7.1.26 erfc
+# chain (q_bh_fdr precedent). Where q_calibration_ece reports the
+# gap SIZES (ECE/Brier), this is the significance TEST of the same
+# reliability diagram. Each HL term is 6-rounded then decimal-folded
+# (order-independent); everything downstream is one identical double
+# chain. Scale: two scans to the <=10-score grid.
+
+HL_SPLIT = "2024-01-16"
+
+HL_SQL = f"""
+WITH ev AS (
+  SELECT LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS vbin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN CAST(ts AS DATE) < DATE '{HL_SPLIT}' THEN 1 ELSE 0 END
+           AS is_train
+  FROM events WHERE value IS NOT NULL
+), model AS (
+  SELECT vbin,
+         CAST(round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(8,6))
+           AS score
+  FROM ev WHERE is_train = 1 GROUP BY 1
+), grp AS (
+  SELECT CAST(m.score AS DOUBLE) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(e.y) AS BIGINT) AS obs
+  FROM ev e JOIN model m ON m.vbin = e.vbin
+  WHERE e.is_train = 0
+  GROUP BY 1
+), term AS (
+  SELECT s, n, obs, s * n AS expd,
+         round((obs - s * n) * (obs - s * n) / (n * s * (1.0 - s)), 6)
+           AS hl_term
+  FROM grp WHERE s > 0 AND s < 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(SUM(CAST(hl_term AS DECIMAL(28,6))) AS DOUBLE) AS hl
+  FROM term
+), wh AS (
+  SELECT g, hl, g - 2 AS df,
+         round((pow(hl / (g - 2), 1.0 / 3.0)
+                - (1.0 - 2.0 / (9.0 * (g - 2))))
+               / sqrt(2.0 / (9.0 * (g - 2))), 6) AS z
+  FROM tot WHERE g > 2 AND hl > 0
+)
+SELECT t.s AS score, t.n, t.obs, round(t.expd, 2) AS expected,
+       t.hl_term,
+       round(w.hl, 4) AS hl_stat,
+       CAST(w.df AS BIGINT) AS df,
+       w.z AS z_wh,
+       round(CASE WHEN w.z >= 0 THEN
+         0.5 * (1.0 / (1.0 + 0.3275911 * (w.z / sqrt(2.0))))
+         * (0.254829592
+            + (1.0 / (1.0 + 0.3275911 * (w.z / sqrt(2.0))))
+            * (-0.284496736
+               + (1.0 / (1.0 + 0.3275911 * (w.z / sqrt(2.0))))
+               * (1.421413741
+                  + (1.0 / (1.0 + 0.3275911 * (w.z / sqrt(2.0))))
+                  * (-1.453152027
+                     + (1.0 / (1.0 + 0.3275911 * (w.z / sqrt(2.0))))
+                     * 1.061405429))))
+         * exp(-(w.z / sqrt(2.0)) * (w.z / sqrt(2.0)))
+       ELSE
+         1.0 - 0.5 * (1.0 / (1.0 + 0.3275911 * (-w.z / sqrt(2.0))))
+         * (0.254829592
+            + (1.0 / (1.0 + 0.3275911 * (-w.z / sqrt(2.0))))
+            * (-0.284496736
+               + (1.0 / (1.0 + 0.3275911 * (-w.z / sqrt(2.0))))
+               * (1.421413741
+                  + (1.0 / (1.0 + 0.3275911 * (-w.z / sqrt(2.0))))
+                  * (-1.453152027
+                     + (1.0 / (1.0 + 0.3275911 * (-w.z / sqrt(2.0))))
+                     * 1.061405429))))
+         * exp(-(w.z / sqrt(2.0)) * (w.z / sqrt(2.0)))
+       END, 6) AS p_miscalibrated
+FROM term t CROSS JOIN wh w
+ORDER BY t.s
+"""
+
+
+def _erfc_half(x):
+    """0.5*erfc(x/sqrt(2)) for x >= 0 via A&S 7.1.26 (house chain)."""
+    u = x / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * u)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736
+               + t * (1.421413741
+                      + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return 0.5 * poly * F.exp(-u * u)
+
+
+@query("q_hosmer_lemeshow", oracle=HL_SQL)
+def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ev = e.filter(F.col("value").isNotNull()).select(
+        F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9)).alias(
+            "vbin"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (F.to_date("ts") < F.lit(HL_SPLIT)).alias("is_train"),
+    )
+    model = (
+        ev.filter("is_train")
+        .groupBy("vbin")
+        .agg(
+            F.round(F.sum("y") / F.count(F.lit(1)).cast("double"), 6)
+            .cast("decimal(8,6)")
+            .alias("score")
+        )
+    )
+    grp = (
+        ev.filter(~F.col("is_train"))
+        .join(F.broadcast(model), "vbin")
+        .groupBy(F.col("score").cast("double").alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("obs"),
+        )
+    )
+    s, n, obs = F.col("s"), F.col("n"), F.col("obs")
+    term = grp.filter((s > 0) & (s < 1)).select(
+        "s", "n", "obs",
+        (s * n).alias("expd"),
+        F.round((obs - s * n) * (obs - s * n) / (n * s * (1.0 - s)), 6).alias(
+            "hl_term"
+        ),
+    )
+    term = term.cache()  # <=10-row grid feeds the fold AND the output rows
+    tot = term.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.sum(F.col("hl_term").cast("decimal(28,6)")).cast("double").alias("hl"),
+    )
+    g, hl = F.col("g"), F.col("hl")
+    dfree = (g - 2).cast("double")
+    wh = tot.filter((g > 2) & (hl > 0)).select(
+        "g", "hl", (g - 2).alias("df"),
+        F.round(
+            (F.pow(hl / dfree, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dfree)))
+            / F.sqrt(2.0 / (9.0 * dfree)),
+            6,
+        ).alias("z"),
+    )
+    z = F.col("z")
+    p = F.when(z >= 0, _erfc_half(z)).otherwise(1.0 - _erfc_half(-z))
+    return (
+        term.crossJoin(F.broadcast(wh))
+        .select(
+            s.alias("score"), "n", "obs",
+            F.round("expd", 2).alias("expected"),
+            "hl_term",
+            F.round(hl, 4).alias("hl_stat"),
+            F.col("df").cast("bigint").alias("df"),
+            z.alias("z_wh"),
+            F.round(p, 6).alias("p_miscalibrated"),
+        )
+        .orderBy("score")
+    )
+
+
+# -- q_storey_pi0 ------------------------------------------------------
+#
+# Storey's positive-FDR q-values over a 25-test family (per-brand
+# "is this brand's mean retail price off the global mean?" z-tests):
+# estimate the null proportion pi0 = #{p > 0.5}/(m * 0.5) (lambda =
+# 0.5, clamped to [1/m, 1]), then q_j = min_{k>=j}(pi0 * m * p_k / k)
+# — the sharper, adaptive version of q_bh_fdr's step-up (BH assumes
+# pi0 = 1; Storey recovers power when many alternatives are real).
+# P-values via the house A&S 7.1.26 erfc chain on exact-decimal
+# moment z's, 9-rounded before ranking so the order is cross-engine
+# stable. Scale: one part scan to the 25-brand grid + broadcast
+# 1-row global; everything after touches 25 rows.
+
+STOREY_SQL = """
+WITH p0 AS (
+  SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS pr FROM part
+), per AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(pr) AS DECIMAL(28,2)) AS s1
+  FROM p0 GROUP BY 1
+), gstat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pr) AS DECIMAL(28,2)) AS s,
+         CAST(SUM(pr * pr) AS DECIMAL(38,4)) AS ssq
+  FROM p0
+), zt AS (
+  SELECT p_brand, n1,
+         round(CAST(s1 AS DOUBLE) / n1, 6) AS mean_price,
+         round(
+           (CAST(s1 AS DOUBLE) / n1 - CAST(s AS DOUBLE) / n)
+           / (sqrt((CAST(ssq AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+              / sqrt(CAST(n1 AS DOUBLE))), 6) AS z
+  FROM per CROSS JOIN gstat
+), pv AS (
+  SELECT p_brand, n1, mean_price, z,
+         round(
+           (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+           * (0.254829592
+              + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+              * (-0.284496736
+                 + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                 * (1.421413741
+                    + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                    * (-1.453152027
+                       + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                       * 1.061405429))))
+           * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0))), 9)
+           AS p_raw
+  FROM zt
+), pi0c AS (
+  SELECT round(
+           LEAST(1.0,
+             GREATEST(
+               CAST(SUM(CASE WHEN p_raw > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+               / (COUNT(*) * 0.5),
+               1.0 / COUNT(*))), 6) AS pi0,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM pv
+), rk AS (
+  SELECT p_brand, n1, mean_price, z, p_raw, pi0, m,
+         ROW_NUMBER() OVER (ORDER BY p_raw, p_brand) AS j
+  FROM pv CROSS JOIN pi0c
+)
+SELECT p_brand, n1, mean_price, z, p_raw, pi0,
+       round(LEAST(1.0,
+         MIN(p_raw * pi0 * m / j) OVER (ORDER BY j DESC)), 6) AS q_value,
+       CASE WHEN round(LEAST(1.0,
+              MIN(p_raw * pi0 * m / j) OVER (ORDER BY j DESC)), 6) <= 0.10
+            THEN 1 ELSE 0 END AS discovery
+FROM rk
+ORDER BY p_brand
+"""
+
+
+@query("q_storey_pi0", oracle=STOREY_SQL)
+def q_storey_pi0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = Catalog(spark, sf_dir).part
+    p0 = part.select(
+        "p_brand", F.col("p_retailprice").cast("decimal(18,2)").alias("pr")
+    )
+    per = p0.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("pr").cast("decimal(28,2)").alias("s1"),
+    )
+    gstat = p0.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pr").cast("decimal(28,2)").alias("s"),
+        F.sum(F.col("pr") * F.col("pr")).cast("decimal(38,4)").alias("ssq"),
+    )
+    n, n1 = F.col("n"), F.col("n1")
+    sd, s1d = F.col("s").cast("double"), F.col("s1").cast("double")
+    mean1, mu = s1d / n1, sd / n
+    sigma = F.sqrt((F.col("ssq").cast("double") - sd * sd / n) / n)
+    zt = per.join(F.broadcast(gstat)).select(
+        "p_brand", "n1",
+        F.round(mean1, 6).alias("mean_price"),
+        F.round((mean1 - mu) / (sigma / F.sqrt(n1.cast("double"))), 6).alias(
+            "z"
+        ),
+    )
+    pv = zt.select(
+        "p_brand", "n1", "mean_price", "z",
+        F.round(2.0 * _erfc_half(F.abs(F.col("z"))), 9).alias("p_raw"),
+    )
+    pv = pv.cache()  # 25-row grid feeds pi0 AND the ranked q-value chain
+    pi0c = pv.agg(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.sum(F.when(F.col("p_raw") > 0.5, 1).otherwise(0)).cast(
+                        "double"
+                    )
+                    / (F.count(F.lit(1)) * 0.5),
+                    1.0 / F.count(F.lit(1)),
+                ),
+            ),
+            6,
+        ).alias("pi0"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    rk = pv.crossJoin(F.broadcast(pi0c)).select(
+        "*", F.row_number().over(Window.orderBy("p_raw", "p_brand")).alias("j")
+    )
+    suffix_min = F.min(
+        F.col("p_raw") * F.col("pi0") * F.col("m") / F.col("j")
+    ).over(Window.orderBy(F.desc("j")))
+    qv = F.round(F.least(F.lit(1.0), suffix_min), 6)
+    return rk.select(
+        "p_brand", "n1", "mean_price", "z", "p_raw", "pi0",
+        qv.alias("q_value"),
+        F.when(qv <= 0.10, 1).otherwise(0).alias("discovery"),
+    ).orderBy("p_brand")
+
+
+# -- q_wilcoxon_signed_rank --------------------------------------------
+#
+# Wilcoxon signed-rank test of per-customer spend, first half of the
+# horizon vs second (paired, customers active in both): the
+# distribution-free paired-difference test q_mannwhitney (independent
+# samples) and q_ab_test (z on means) don't cover. Differences are
+# exact decimals so tie groups are deterministic; average ranks are
+# half-integers folded as DECIMAL(28,1); the tie-corrected normal
+# approximation z = (W+ − n(n+1)/4)/sigma with sigma^2 =
+# n(n+1)(2n+1)/24 − Σ(t³−t)/48, p two-sided via the house A&S chain.
+# Scale: one orders scan collapses to per-customer pairs (natural
+# custkey shuffle); the rank is ONE global sort over the paired
+# customers (range-partitioned total order, mr_total_sort precedent);
+# everything after is a 1-row fold.
+
+WSR_SPLIT = "1995-06-01"
+
+WSR_SQL = f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '{WSR_SPLIT}'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+              AS DECIMAL(28,2)) AS s1,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{WSR_SPLIT}'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+              AS DECIMAL(28,2)) AS s2
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT o_custkey, s2 - s1 AS d, abs(s2 - s1) AS absd
+  FROM per WHERE s1 IS NOT NULL AND s2 IS NOT NULL AND s2 <> s1
+), rk AS (
+  SELECT d, absd,
+         RANK() OVER (ORDER BY absd) AS lo,
+         COUNT(*) OVER (PARTITION BY absd) AS t
+  FROM pairs
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN d > 0
+                  THEN CAST(lo + (t - 1) / 2.0 AS DECIMAL(28,1)) END)
+              AS DOUBLE) AS w_plus
+  FROM rk
+), ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tcorr
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pairs GROUP BY absd)
+), stat AS (
+  SELECT n, n_pos, w_plus,
+         n * (n + 1.0) / 4.0 AS mu,
+         sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+              - (SELECT tcorr FROM ties) / 48.0) AS sigma
+  FROM agg WHERE n > 1
+)
+SELECT n AS n_pairs, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+       w_plus, round(mu, 2) AS mu,
+       round(sigma, 6) AS sigma,
+       round((w_plus - mu) / sigma, 6) AS z,
+       round(
+         (1.0 / (1.0 + 0.3275911 * (abs((w_plus - mu) / sigma) / sqrt(2.0))))
+         * (0.254829592
+            + (1.0 / (1.0 + 0.3275911
+                      * (abs((w_plus - mu) / sigma) / sqrt(2.0))))
+            * (-0.284496736
+               + (1.0 / (1.0 + 0.3275911
+                         * (abs((w_plus - mu) / sigma) / sqrt(2.0))))
+               * (1.421413741
+                  + (1.0 / (1.0 + 0.3275911
+                            * (abs((w_plus - mu) / sigma) / sqrt(2.0))))
+                  * (-1.453152027
+                     + (1.0 / (1.0 + 0.3275911
+                               * (abs((w_plus - mu) / sigma) / sqrt(2.0))))
+                     * 1.061405429))))
+         * exp(-(abs((w_plus - mu) / sigma) / sqrt(2.0))
+               * (abs((w_plus - mu) / sigma) / sqrt(2.0))), 9) AS p_two
+FROM stat WHERE sigma > 0
+"""
+
+
+@query("q_wilcoxon_signed_rank", oracle=WSR_SQL)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    tp = F.col("o_totalprice").cast("decimal(18,2)")
+    early = F.to_date("o_orderdate") < F.lit(WSR_SPLIT)
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.when(early, tp)).cast("decimal(28,2)").alias("s1"),
+        F.sum(F.when(~early, tp)).cast("decimal(28,2)").alias("s2"),
+    )
+    pairs = per.filter(
+        F.col("s1").isNotNull()
+        & F.col("s2").isNotNull()
+        & (F.col("s2") != F.col("s1"))
+    ).select(
+        (F.col("s2") - F.col("s1")).alias("d"),
+        F.abs(F.col("s2") - F.col("s1")).alias("absd"),
+    )
+    pairs = pairs.cache()  # feeds the rank pass AND the tie-group fold
+    rk = pairs.select(
+        "d",
+        F.rank().over(Window.orderBy("absd")).alias("lo"),
+        F.count(F.lit(1)).over(Window.partitionBy("absd")).alias("t"),
+    )
+    avg_rank = (F.col("lo") + (F.col("t") - 1) / 2.0).cast("decimal(28,1)")
+    agg = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("bigint").alias(
+            "n_pos"
+        ),
+        F.sum(F.when(F.col("d") > 0, avg_rank)).cast("double").alias("w_plus"),
+    )
+    ties = (
+        pairs.groupBy("absd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tcorr")
+        )
+    )
+    n = F.col("n")
+    stat = (
+        agg.filter(n > 1)
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n", "n_pos", "w_plus",
+            (n * (n + 1.0) / 4.0).alias("mu"),
+            F.sqrt(
+                n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col("tcorr") / 48.0
+            ).alias("sigma"),
+        )
+    )
+    z = (F.col("w_plus") - F.col("mu")) / F.col("sigma")
+    return stat.filter(F.col("sigma") > 0).select(
+        n.alias("n_pairs"),
+        "n_pos",
+        (n - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        "w_plus",
+        F.round("mu", 2).alias("mu"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round(z, 6).alias("z"),
+        F.round(2.0 * _erfc_half(F.abs(z)), 9).alias("p_two"),
+    )
+
+
+# -- q_atkinson_index --------------------------------------------------
+#
+# Atkinson inequality indices (epsilon = 0.5 and 1.0) of per-customer
+# total spend: the welfare-theoretic inequality family beside q_gini
+# (rank-based), q_theil_index (entropy) and q_hhi (concentration) —
+# epsilon makes the bottom-sensitivity explicit. A_eps = 1 −
+# EDE/mean with EDE = (mean sqrt(y))² at eps=.5 and geomean =
+# exp(mean ln y) at eps=1. The sqrt/ln per-customer terms are
+# 9-rounded decimal folds (q_survival_km exp/ln precedent) so the
+# one final exp/square runs on identical doubles. Scale: one orders
+# scan to per-customer sums on the natural custkey shuffle, then a
+# 1-row fold.
+
+ATKINSON_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS y
+  FROM orders GROUP BY 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS DOUBLE) AS s,
+         CAST(SUM(CAST(round(sqrt(CAST(y AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS s_sqrt,
+         CAST(SUM(CAST(round(ln(CAST(y AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS s_ln
+  FROM per WHERE y > 0
+)
+SELECT n AS n_customers,
+       round(s / n, 2) AS mean_spend,
+       round((s_sqrt / n) * (s_sqrt / n), 2) AS ede_05,
+       round(exp(s_ln / n), 2) AS ede_10,
+       round(1.0 - (s_sqrt / n) * (s_sqrt / n) / (s / n), 6) AS atkinson_05,
+       round(1.0 - exp(s_ln / n) / (s / n), 6) AS atkinson_10
+FROM agg WHERE n > 0 AND s > 0
+"""
+
+
+@query("q_atkinson_index", oracle=ATKINSON_SQL)
+def q_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("y")
+    )
+    y_d = F.col("y").cast("double")
+    agg = per.filter(F.col("y") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("double").alias("s"),
+        F.sum(F.round(F.sqrt(y_d), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("s_sqrt"),
+        F.sum(F.round(F.log(y_d), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("s_ln"),
+    )
+    n, s = F.col("n"), F.col("s")
+    ede05 = (F.col("s_sqrt") / n) * (F.col("s_sqrt") / n)
+    ede10 = F.exp(F.col("s_ln") / n)
+    return agg.filter((n > 0) & (s > 0)).select(
+        n.alias("n_customers"),
+        F.round(s / n, 2).alias("mean_spend"),
+        F.round(ede05, 2).alias("ede_05"),
+        F.round(ede10, 2).alias("ede_10"),
+        F.round(1.0 - ede05 / (s / n), 6).alias("atkinson_05"),
+        F.round(1.0 - ede10 / (s / n), 6).alias("atkinson_10"),
+    )
+
+
+# -- q_moran_i ---------------------------------------------------------
+#
+# Moran's I spatial autocorrelation of nation mean account balance
+# over the same-region adjacency (w_ij = 1 iff regions match, i != j):
+# "do nearby nations have similar balances?" — the spatial-stats
+# primitive none of the variance tests cover. The pair sum needs NO
+# pair join: Σ_{i≠j,same r} z_i z_j = Σ_r [(Σ_i z_i)² − Σ_i z_i²],
+# S0 = Σ_r s_r(s_r−1), S1 = 2·S0, S2 = 4·Σ_r s_r(s_r−1)² — all
+# region-level integer/decimal folds. z-score under the normality
+# null with E[I] = −1/(n−1) and the standard S0/S1/S2 variance;
+# p one-sided (clustered if high) via the house A&S chain. Scale:
+# one customer scan to the 25-nation grid (broadcast nation dim),
+# then region-grid algebra.
+
+MORAN_SQL = """
+WITH nm AS (
+  SELECT n_nationkey, n_regionkey,
+         round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 6) AS v
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS vbar
+  FROM nm
+), z AS (
+  SELECT n_regionkey,
+         CAST(round(v - (SELECT vbar FROM g), 9) AS DECIMAL(28,9)) AS z
+  FROM nm
+), reg AS (
+  SELECT n_regionkey,
+         CAST(COUNT(*) AS BIGINT) AS s_r,
+         CAST(SUM(z) AS DOUBLE) AS sz,
+         CAST(SUM(CAST(round(CAST(z AS DOUBLE) * CAST(z AS DOUBLE), 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS szz
+  FROM z GROUP BY 1
+), agg AS (
+  SELECT (SELECT n FROM g) AS n,
+         CAST(SUM(s_r * (s_r - 1)) AS BIGINT) AS s0,
+         CAST(SUM(s_r * (s_r - 1) * (s_r - 1)) AS BIGINT) AS srow2,
+         CAST(SUM(CAST(round(sz * sz - szz, 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS num,
+         CAST(SUM(szz) AS DOUBLE) AS den
+  FROM reg
+), stat AS (
+  SELECT n, s0,
+         round(n * num / (s0 * den), 6) AS moran_i,
+         round(-1.0 / (n - 1), 6) AS e_i,
+         (n * n * (2.0 * s0) - n * (4.0 * srow2) + 3.0 * s0 * s0)
+         / (CAST(s0 AS DOUBLE) * s0 * (n * n - 1.0))
+         - 1.0 / ((n - 1.0) * (n - 1.0)) AS var_i
+  FROM agg WHERE s0 > 0 AND den > 0 AND n > 2
+)
+SELECT n AS n_nations, s0,
+       moran_i, e_i,
+       round(var_i, 9) AS var_i,
+       round((moran_i - e_i) / sqrt(var_i), 6) AS z,
+       round(CASE WHEN (moran_i - e_i) / sqrt(var_i) >= 0 THEN
+         0.5 * (1.0 / (1.0 + 0.3275911
+                       * (((moran_i - e_i) / sqrt(var_i)) / sqrt(2.0))))
+         * (0.254829592
+            + (1.0 / (1.0 + 0.3275911
+                      * (((moran_i - e_i) / sqrt(var_i)) / sqrt(2.0))))
+            * (-0.284496736
+               + (1.0 / (1.0 + 0.3275911
+                         * (((moran_i - e_i) / sqrt(var_i)) / sqrt(2.0))))
+               * (1.421413741
+                  + (1.0 / (1.0 + 0.3275911
+                            * (((moran_i - e_i) / sqrt(var_i)) / sqrt(2.0))))
+                  * (-1.453152027
+                     + (1.0 / (1.0 + 0.3275911
+                               * (((moran_i - e_i) / sqrt(var_i))
+                                  / sqrt(2.0))))
+                     * 1.061405429))))
+         * exp(-(((moran_i - e_i) / sqrt(var_i)) / sqrt(2.0))
+               * (((moran_i - e_i) / sqrt(var_i)) / sqrt(2.0)))
+       ELSE
+         1.0 - 0.5 * (1.0 / (1.0 + 0.3275911
+                       * ((-(moran_i - e_i) / sqrt(var_i)) / sqrt(2.0))))
+         * (0.254829592
+            + (1.0 / (1.0 + 0.3275911
+                      * ((-(moran_i - e_i) / sqrt(var_i)) / sqrt(2.0))))
+            * (-0.284496736
+               + (1.0 / (1.0 + 0.3275911
+                         * ((-(moran_i - e_i) / sqrt(var_i)) / sqrt(2.0))))
+               * (1.421413741
+                  + (1.0 / (1.0 + 0.3275911
+                            * ((-(moran_i - e_i) / sqrt(var_i)) / sqrt(2.0))))
+                  * (-1.453152027
+                     + (1.0 / (1.0 + 0.3275911
+                               * ((-(moran_i - e_i) / sqrt(var_i))
+                                  / sqrt(2.0))))
+                     * 1.061405429))))
+         * exp(-((-(moran_i - e_i) / sqrt(var_i)) / sqrt(2.0))
+               * ((-(moran_i - e_i) / sqrt(var_i)) / sqrt(2.0)))
+       END, 9) AS p_clustered,
+       CASE WHEN (moran_i - e_i) / sqrt(var_i) > 1.645 THEN 1 ELSE 0 END
+         AS clustered_5pct
+FROM stat WHERE var_i > 0
+"""
+
+
+@query("q_moran_i", oracle=MORAN_SQL)
+def q_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    nm = (
+        cat.customer.join(
+            F.broadcast(cat.nation),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("n_nationkey", "n_regionkey")
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
+    )
+    nm = nm.cache()  # 25-row grid feeds the global mean AND the z grid
+    g = nm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("vbar"),
+    )
+    z = nm.crossJoin(F.broadcast(g)).select(
+        "n_regionkey", "n",
+        F.round(F.col("v") - F.col("vbar"), 9).cast("decimal(28,9)").alias("z"),
+    )
+    zd = F.col("z").cast("double")
+    reg = z.groupBy("n_regionkey", "n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_r"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(F.round(zd * zd, 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("szz"),
+    )
+    sr = F.col("s_r")
+    agg = reg.groupBy("n").agg(
+        F.sum(sr * (sr - 1)).cast("bigint").alias("s0"),
+        F.sum(sr * (sr - 1) * (sr - 1)).cast("bigint").alias("srow2"),
+        F.sum(
+            F.round(F.col("sz") * F.col("sz") - F.col("szz"), 9).cast(
+                "decimal(28,9)"
+            )
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum("szz").cast("double").alias("den"),
+    )
+    n, s0 = F.col("n"), F.col("s0")
+    stat = agg.filter((s0 > 0) & (F.col("den") > 0) & (n > 2)).select(
+        "n", "s0",
+        F.round(n * F.col("num") / (s0 * F.col("den")), 6).alias("moran_i"),
+        F.round(-1.0 / (n - 1), 6).alias("e_i"),
+        (
+            (n * n * (2.0 * s0) - n * (4.0 * F.col("srow2")) + 3.0 * s0 * s0)
+            / (s0.cast("double") * s0 * (n * n - 1.0))
+            - 1.0 / ((n - 1.0) * (n - 1.0))
+        ).alias("var_i"),
+    )
+    zs = (F.col("moran_i") - F.col("e_i")) / F.sqrt(F.col("var_i"))
+    p = F.when(zs >= 0, _erfc_half(zs)).otherwise(1.0 - _erfc_half(-zs))
+    return stat.filter(F.col("var_i") > 0).select(
+        n.alias("n_nations"), "s0", "moran_i", "e_i",
+        F.round("var_i", 9).alias("var_i"),
+        F.round(zs, 6).alias("z"),
+        F.round(p, 9).alias("p_clustered"),
+        F.when(zs > 1.645, 1).otherwise(0).alias("clustered_5pct"),
+    )
