@@ -1211,3 +1211,213 @@ def q_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 9).alias("p_clustered"),
         F.when(zs > 1.645, 1).otherwise(0).alias("clustered_5pct"),
     )
+
+
+# -- q_kpss_lite -------------------------------------------------------
+#
+# KPSS level-stationarity statistic of daily revenue (lag-0 /
+# short-run variance form): eta = sum_t S_t^2 / (n^2 sigma^2) with
+# S_t the running partial sums of the demeaned series — the
+# complement of the unit-root diagnostics (q_cointegration tests a
+# relationship, q_hurst_exponent long memory, q_runs_test sign
+# randomness; KPSS's null is STATIONARITY, so a level series is
+# flagged only when evidence is strong). Partial sums fold 6-rounded
+# decimals through ONE ordered day-grid window (deterministic order,
+# exact accumulation); the squares fold as 4-rounded decimals.
+# Compared against the literal 5% critical value 0.463. Scale: facts
+# collapse to the bounded day grid; the window runs on that grid.
+
+KPSS_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS m
+  FROM daily
+), z AS (
+  SELECT d, CAST(round(CAST(rev AS DOUBLE) - (SELECT m FROM g), 6)
+            AS DECIMAL(28,6)) AS z
+  FROM daily
+), cum AS (
+  SELECT d, CAST(z AS DOUBLE) AS zd,
+         CAST(SUM(z) OVER (ORDER BY d) AS DOUBLE) AS s_t
+  FROM z
+), agg AS (
+  SELECT (SELECT n FROM g) AS n,
+         CAST(SUM(CAST(round(s_t * s_t, 4) AS DECIMAL(38,4))) AS DOUBLE)
+           AS ss,
+         CAST(SUM(CAST(round(zd * zd, 4) AS DECIMAL(38,4))) AS DOUBLE)
+           AS szz
+  FROM cum
+)
+SELECT n AS n_days,
+       round(szz / n, 2) AS sigma2,
+       round(ss / (CAST(n AS DOUBLE) * n * (szz / n)), 6) AS kpss_stat,
+       CASE WHEN ss / (CAST(n AS DOUBLE) * n * (szz / n)) < 0.463
+            THEN 1 ELSE 0 END AS level_stationary_5pct
+FROM agg WHERE n > 1 AND szz > 0
+"""
+
+
+@query("q_kpss_lite", oracle=KPSS_SQL)
+def q_kpss_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(19,2)")
+        .alias("rev")
+    )
+    daily = daily.cache()  # day grid feeds the global mean AND the window
+    g = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    z = daily.crossJoin(F.broadcast(g)).select(
+        "d", "n",
+        F.round(F.col("rev").cast("double") - F.col("m"), 6)
+        .cast("decimal(28,6)")
+        .alias("z"),
+    )
+    cum = z.select(
+        "n",
+        F.col("z").cast("double").alias("zd"),
+        F.sum("z").over(Window.orderBy("d")).cast("double").alias("s_t"),
+    )
+    agg = cum.groupBy("n").agg(
+        F.sum(F.round(F.col("s_t") * F.col("s_t"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("ss"),
+        F.sum(F.round(F.col("zd") * F.col("zd"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("szz"),
+    )
+    n = F.col("n")
+    stat = F.col("ss") / (n.cast("double") * n * (F.col("szz") / n))
+    return agg.filter((n > 1) & (F.col("szz") > 0)).select(
+        n.alias("n_days"),
+        F.round(F.col("szz") / n, 2).alias("sigma2"),
+        F.round(stat, 6).alias("kpss_stat"),
+        F.when(stat < 0.463, 1).otherwise(0).alias("level_stationary_5pct"),
+    )
+
+
+# -- q_market_beta -----------------------------------------------------
+#
+# Per-brand "market beta" of daily ship revenue vs the total market:
+# beta_b = cov(brand, market)/var(market) over the zero-filled day
+# grid, with alpha and correlation — the systematic-vs-idiosyncratic
+# decomposition (which brands amplify marketwide swings, which hedge
+# them) that q_rolling_corr (two fixed series) and q_item_cf
+# (basket cosine) don't answer. Zero-filling matters: a brand with
+# no sales on a hot market day has beta pulled DOWN, which the
+# sparse join would silently miss. Scale: one fact scan to the
+# |brand|x|day| grid (broadcast brands x bounded day grid), exact
+# decimal moment folds per brand, constant-work algebra after.
+
+MKT_BETA_SQL = """
+WITH bd AS (
+  SELECT p_brand, CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2))
+           AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), days AS (
+  SELECT d, CAST(SUM(rev) AS DECIMAL(19,2)) AS mkt FROM bd GROUP BY 1
+), grid AS (
+  SELECT b.p_brand, dy.d, dy.mkt, COALESCE(bd.rev, 0) AS rev
+  FROM (SELECT DISTINCT p_brand FROM bd) b
+  CROSS JOIN days dy
+  LEFT JOIN bd ON bd.p_brand = b.p_brand AND bd.d = dy.d
+), m AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rev) AS DECIMAL(19,2)) AS sb,
+         CAST(SUM(mkt) AS DECIMAL(19,2)) AS sm,
+         CAST(SUM(rev * mkt) AS DECIMAL(30,4)) AS sbm,
+         CAST(SUM(rev * rev) AS DECIMAL(30,4)) AS sbb,
+         CAST(SUM(mkt * mkt) AS DECIMAL(30,4)) AS smm
+  FROM grid GROUP BY 1
+)
+SELECT p_brand, n AS n_days,
+       round(CAST(sb AS DOUBLE) / n, 2) AS mean_brand,
+       round(CAST(n * sbm - sb * sm AS DOUBLE)
+             / CAST(n * smm - sm * sm AS DOUBLE), 6) AS beta,
+       round(CAST(sb AS DOUBLE) / n
+             - CAST(n * sbm - sb * sm AS DOUBLE)
+               / CAST(n * smm - sm * sm AS DOUBLE)
+               * CAST(sm AS DOUBLE) / n, 2) AS alpha,
+       round(CAST(n * sbm - sb * sm AS DOUBLE)
+             / sqrt(CAST(n * sbb - sb * sb AS DOUBLE)
+                    * CAST(n * smm - sm * sm AS DOUBLE)), 6) AS corr_mkt,
+       CASE WHEN CAST(n * sbm - sb * sm AS DOUBLE)
+                 / CAST(n * smm - sm * sm AS DOUBLE) > 1.0
+            THEN 1 ELSE 0 END AS amplifier
+FROM m
+WHERE n * smm - sm * sm <> 0 AND n * sbb - sb * sb <> 0
+ORDER BY p_brand
+"""
+
+
+@query("q_market_beta", oracle=MKT_BETA_SQL)
+def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    bd = (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .groupBy("p_brand", F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(19,2)")
+            .alias("rev")
+        )
+    )
+    bd = bd.cache()  # brand-day grid feeds market totals, brands, and the fill
+    days = bd.groupBy("d").agg(
+        F.sum("rev").cast("decimal(19,2)").alias("mkt")
+    )
+    brands = bd.select("p_brand").distinct()
+    grid = (
+        brands.crossJoin(days)
+        .join(bd, ["p_brand", "d"], "left")
+        .select(
+            "p_brand", "mkt",
+            F.coalesce(F.col("rev"), F.lit(0).cast("decimal(19,2)")).alias(
+                "rev"
+            ),
+        )
+    )
+    m = grid.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev").cast("decimal(19,2)").alias("sb"),
+        F.sum("mkt").cast("decimal(19,2)").alias("sm"),
+        F.sum(F.col("rev") * F.col("mkt")).cast("decimal(30,4)").alias("sbm"),
+        F.sum(F.col("rev") * F.col("rev")).cast("decimal(30,4)").alias("sbb"),
+        F.sum(F.col("mkt") * F.col("mkt")).cast("decimal(30,4)").alias("smm"),
+    )
+    n = F.col("n")
+    cov = (n * F.col("sbm") - F.col("sb") * F.col("sm")).cast("double")
+    vm = (n * F.col("smm") - F.col("sm") * F.col("sm")).cast("double")
+    vb = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    beta = cov / vm
+    return (
+        m.filter((vm != 0) & (vb != 0))
+        .select(
+            "p_brand",
+            n.alias("n_days"),
+            F.round(F.col("sb").cast("double") / n, 2).alias("mean_brand"),
+            F.round(beta, 6).alias("beta"),
+            F.round(
+                F.col("sb").cast("double") / n
+                - beta * F.col("sm").cast("double") / n,
+                2,
+            ).alias("alpha"),
+            F.round(cov / F.sqrt(vb * vm), 6).alias("corr_mkt"),
+            F.when(beta > 1.0, 1).otherwise(0).alias("amplifier"),
+        )
+        .orderBy("p_brand")
+    )

@@ -786,3 +786,76 @@ def txt_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s1", "s2")
     )
+
+
+# -- txt_segment_ttr ---------------------------------------------------
+#
+# Segmented type-token ratio (TTR over fixed 50-token windows,
+# averaged per source — the segment-based cousin of MATTR): the
+# lexical-diversity quality signal that raw TTR can't give because
+# TTR falls mechanically with document length (Heaps' law,
+# txt_heaps_law), while fixed-width segments are comparable across
+# documents and sources. Low-diversity segments (< 0.5) mark
+# template/boilerplate-heavy text for the curation gates. Exact
+# integer type/token counts per segment, 9-rounded decimal fold for
+# the source mean. Scale: the token explode is map-side; the
+# (doc, segment) groupBy rides the natural doc_id shuffle; the
+# source rollup touches |sources| rows.
+
+SEG_TTR_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, generate_subscripts(tk, 1) AS pos, unnest(tk) AS term
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents)
+), seg AS (
+  SELECT doc_id, source, CAST((pos - 1) // 50 AS BIGINT) AS seg,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS types,
+         CAST(COUNT(*) AS BIGINT) AS toks
+  FROM toks GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       round(CAST(SUM(CAST(round(CAST(types AS DOUBLE) / toks, 9)
+                      AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_seg_ttr,
+       round(CAST(SUM(CASE WHEN CAST(types AS DOUBLE) / toks < 0.5
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS low_diversity_share
+FROM seg
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("txt_segment_ttr", oracle=SEG_TTR_SQL)
+def txt_segment_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", "source",
+        F.posexplode(F.split("text", " ")).alias("pos0", "term"),
+    )
+    seg = toks.groupBy(
+        "doc_id", "source", F.floor(F.col("pos0") / 50).cast("bigint").alias("seg")
+    ).agg(
+        F.countDistinct("term").cast("bigint").alias("types"),
+        F.count(F.lit(1)).cast("bigint").alias("toks"),
+    )
+    ttr = F.col("types").cast("double") / F.col("toks")
+    return (
+        seg.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.round(
+                F.sum(F.round(ttr, 9).cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_seg_ttr"),
+            F.round(
+                F.sum(F.when(ttr < 0.5, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("low_diversity_share"),
+        )
+        .orderBy("source")
+    )
