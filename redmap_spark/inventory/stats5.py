@@ -1421,3 +1421,226 @@ def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# -- q_iv_wald ---------------------------------------------------------
+#
+# Instrumental-variables (Wald) estimate of the discount -> quantity
+# effect using first-line-of-order position as the binary instrument
+# (line position is assigned by order assembly, plausibly unrelated
+# to the item's own demand shock): beta_iv =
+# (E[y|z=1] − E[y|z=0]) / (E[x|z=1] − E[x|z=0]) — the causal-
+# inference estimator for when the regressor is endogenous (observed
+# discount correlates with unobserved demand; q_regression's OLS
+# slope is then biased, q_diff_in_diff needs a time shock, q_cem_att
+# needs conditioning covariates — IV needs only an exogenous
+# instrument). Reports the first-stage strength (difference in x
+# with its z/F statistic — weak-instrument gate at F < 10) and the
+# naive OLS slope for contrast. Everything is two-group exact
+# decimal moments from ONE fact scan; the estimator is a 1-row
+# double chain.
+
+IV_SQL = """
+WITH m AS (
+  SELECT CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END AS z,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sy,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sxx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sxy
+  FROM lineitem GROUP BY 1
+), two AS (
+  SELECT
+    (SELECT n FROM m WHERE z = 1) AS n1,
+    (SELECT n FROM m WHERE z = 0) AS n0,
+    CAST((SELECT sx FROM m WHERE z = 1) AS DOUBLE) AS sx1,
+    CAST((SELECT sx FROM m WHERE z = 0) AS DOUBLE) AS sx0,
+    CAST((SELECT sy FROM m WHERE z = 1) AS DOUBLE) AS sy1,
+    CAST((SELECT sy FROM m WHERE z = 0) AS DOUBLE) AS sy0,
+    CAST((SELECT sxx FROM m WHERE z = 1) AS DOUBLE)
+      + CAST((SELECT sxx FROM m WHERE z = 0) AS DOUBLE) AS sxx,
+    CAST((SELECT sxy FROM m WHERE z = 1) AS DOUBLE)
+      + CAST((SELECT sxy FROM m WHERE z = 0) AS DOUBLE) AS sxy
+), s AS (
+  SELECT n1, n0, n1 + n0 AS n,
+         sx1 / n1 - sx0 / n0 AS dx,
+         sy1 / n1 - sy0 / n0 AS dy,
+         (sxx - (sx1 + sx0) * (sx1 + sx0) / (n1 + n0))
+           / (n1 + n0) AS vx,
+         (sxy - (sx1 + sx0) * (sy1 + sy0) / (n1 + n0))
+           / (n1 + n0) AS cxy
+  FROM two WHERE n1 > 0 AND n0 > 0
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(n1 AS BIGINT) AS n_instrumented,
+       round(dx, 6) AS first_stage_dx,
+       round(dx * dx / (vx * (1.0 / n1 + 1.0 / n0)), 4) AS first_stage_f,
+       CASE WHEN dx * dx / (vx * (1.0 / n1 + 1.0 / n0)) < 10.0
+            THEN 1 ELSE 0 END AS weak_instrument,
+       round(dy / dx, 6) AS wald_beta,
+       round(cxy / vx, 6) AS ols_beta
+FROM s WHERE dx <> 0 AND vx > 0
+"""
+
+
+@query("q_iv_wald", oracle=IV_SQL)
+def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    xd = F.col("l_discount").cast("decimal(18,2)")
+    yq = F.col("l_quantity").cast("decimal(18,2)")
+    m = li.groupBy(
+        F.when(F.col("l_linenumber") == 1, 1).otherwise(0).alias("z")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).cast("decimal(19,2)").alias("sx"),
+        F.sum(yq).cast("decimal(19,2)").alias("sy"),
+        F.sum(xd * xd).cast("decimal(30,4)").alias("sxx"),
+        F.sum(xd * yq).cast("decimal(30,4)").alias("sxy"),
+    )
+    m = m.cache()  # 2-row grid feeds both group pivots
+    g1 = m.filter(F.col("z") == 1).select(
+        F.col("n").alias("n1"),
+        F.col("sx").cast("double").alias("sx1"),
+        F.col("sy").cast("double").alias("sy1"),
+        F.col("sxx").cast("double").alias("sxx1"),
+        F.col("sxy").cast("double").alias("sxy1"),
+    )
+    g0 = m.filter(F.col("z") == 0).select(
+        F.col("n").alias("n0"),
+        F.col("sx").cast("double").alias("sx0"),
+        F.col("sy").cast("double").alias("sy0"),
+        F.col("sxx").cast("double").alias("sxx0"),
+        F.col("sxy").cast("double").alias("sxy0"),
+    )
+    two = g1.crossJoin(F.broadcast(g0)).filter(
+        (F.col("n1") > 0) & (F.col("n0") > 0)
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    n = n1 + n0
+    sx = F.col("sx1") + F.col("sx0")
+    sy = F.col("sy1") + F.col("sy0")
+    dx = F.col("sx1") / n1 - F.col("sx0") / n0
+    dy = F.col("sy1") / n1 - F.col("sy0") / n0
+    vx = ((F.col("sxx1") + F.col("sxx0")) - sx * sx / n) / n
+    cxy = ((F.col("sxy1") + F.col("sxy0")) - sx * sy / n) / n
+    fstat = dx * dx / (vx * (1.0 / n1 + 1.0 / n0))
+    return two.filter((dx != 0) & (vx > 0)).select(
+        n.cast("bigint").alias("n_rows"),
+        n1.cast("bigint").alias("n_instrumented"),
+        F.round(dx, 6).alias("first_stage_dx"),
+        F.round(fstat, 4).alias("first_stage_f"),
+        F.when(fstat < 10.0, 1).otherwise(0).alias("weak_instrument"),
+        F.round(dy / dx, 6).alias("wald_beta"),
+        F.round(cxy / vx, 6).alias("ols_beta"),
+    )
+
+
+# -- q_lognormal_fit ---------------------------------------------------
+#
+# Lognormal fit of per-customer total spend by log-moments (mu =
+# mean ln y, sigma = sd ln y), with the implied median exp(mu),
+# implied mean exp(mu + sigma^2/2), and implied P90 exp(mu +
+# 1.2815515655*sigma) checked against the EMPIRICAL mean and P90 —
+# the distributional model beside q_gamma_moments / q_weibull_fit /
+# q_gumbel_fit that's usually right for spend data (multiplicative
+# growth). ln terms are 9-rounded decimal folds (q_survival_km
+# precedent); the empirical P90 is the exact order statistic at rank
+# ceil(0.9 n) (rank tie-broken by value — deterministic). Scale:
+# one orders scan to per-customer sums, a 1-row moment fold, and
+# ONE bounded sort for the order statistic.
+
+LOGNORM_SQL = """
+WITH per AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS y
+  FROM orders GROUP BY o_custkey
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS DOUBLE) AS s,
+         CAST(SUM(CAST(round(ln(CAST(y AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS sl,
+         CAST(SUM(CAST(round(ln(CAST(y AS DOUBLE))
+                             * ln(CAST(y AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS sll
+  FROM per WHERE y > 0
+), p90 AS (
+  SELECT CAST(y AS DOUBLE) AS emp_p90
+  FROM (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rk FROM per WHERE y > 0)
+  WHERE rk = CAST(ceil(0.9 * (SELECT n FROM agg)) AS BIGINT)
+), fit AS (
+  SELECT n, s / n AS emp_mean, sl / n AS mu,
+         sqrt((sll - sl * sl / n) / (n - 1)) AS sigma
+  FROM agg WHERE n > 2 AND sll - sl * sl / n > 0
+)
+SELECT n AS n_customers,
+       round(mu, 6) AS mu,
+       round(sigma, 6) AS sigma,
+       round(exp(mu), 2) AS implied_median,
+       round(exp(mu + sigma * sigma / 2.0), 2) AS implied_mean,
+       round(emp_mean, 2) AS empirical_mean,
+       round(exp(mu + sigma * sigma / 2.0) / emp_mean, 6) AS mean_ratio,
+       round(exp(mu + 1.2815515655 * sigma), 2) AS implied_p90,
+       round(emp_p90, 2) AS empirical_p90,
+       round(exp(mu + 1.2815515655 * sigma) / emp_p90, 6) AS p90_ratio
+FROM fit CROSS JOIN p90
+"""
+
+
+@query("q_lognormal_fit", oracle=LOGNORM_SQL)
+def q_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("y")
+        )
+        .filter(F.col("y") > 0)
+        .select("y")
+    )
+    per = per.cache()  # per-customer sums feed the moment fold AND the rank
+    ln_y = F.log(F.col("y").cast("double"))
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("double").alias("s"),
+        F.sum(F.round(ln_y, 9).cast("decimal(28,9)")).cast("double").alias(
+            "sl"
+        ),
+        F.sum(F.round(ln_y * ln_y, 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sll"),
+    )
+    n, s, sl, sll = F.col("n"), F.col("s"), F.col("sl"), F.col("sll")
+    fit = agg.filter((n > 2) & (sll - sl * sl / n > 0)).select(
+        "n",
+        (s / n).alias("emp_mean"),
+        (sl / n).alias("mu"),
+        F.sqrt((sll - sl * sl / n) / (n - 1)).alias("sigma"),
+    )
+    ranked = per.select(
+        F.col("y"), F.row_number().over(Window.orderBy("y")).alias("rk")
+    )
+    p90 = (
+        ranked.crossJoin(F.broadcast(fit.select("n")))
+        .filter(F.col("rk") == F.ceil(0.9 * F.col("n")).cast("bigint"))
+        .select(F.col("y").cast("double").alias("emp_p90"))
+    )
+    mu, sigma = F.col("mu"), F.col("sigma")
+    implied_mean = F.exp(mu + sigma * sigma / 2.0)
+    implied_p90 = F.exp(mu + 1.2815515655 * sigma)
+    return fit.crossJoin(F.broadcast(p90)).select(
+        n.alias("n_customers"),
+        F.round(mu, 6).alias("mu"),
+        F.round(sigma, 6).alias("sigma"),
+        F.round(F.exp(mu), 2).alias("implied_median"),
+        F.round(implied_mean, 2).alias("implied_mean"),
+        F.round("emp_mean", 2).alias("empirical_mean"),
+        F.round(implied_mean / F.col("emp_mean"), 6).alias("mean_ratio"),
+        F.round(implied_p90, 2).alias("implied_p90"),
+        F.round("emp_p90", 2).alias("empirical_p90"),
+        F.round(implied_p90 / F.col("emp_p90"), 6).alias("p90_ratio"),
+    )

@@ -859,3 +859,82 @@ def txt_segment_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- txt_boilerplate_affixes -------------------------------------------
+#
+# Header/footer boilerplate detection: the top-10 most-shared
+# 3-token document PREFIXES and SUFFIXES across the corpus (distinct
+# doc counts + corpus share) — the affix-level curation diagnostic
+# that catches templated openings/closings dedup_spans (interior
+# spans) and txt_template_detect (whole-doc shape) miss. A 100 TB
+# pipeline runs this before stripping: the top shared affixes ARE
+# the strip list. Exact integer doc counts; ties broken by affix
+# text; per-kind top-10 via one rank over the affix grid. Scale:
+# map-side slice of each doc's token array (no explode), groupBy on
+# the bounded affix space, rank on the aggregated grid only.
+
+AFFIX_SQL = """
+WITH docs3 AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), affixes AS (
+  SELECT 'prefix' AS kind, array_to_string(tk[1:3], ' ') AS affix, doc_id
+  FROM docs3
+  UNION ALL
+  SELECT 'suffix', array_to_string(tk[-3:], ' '), doc_id FROM docs3
+), grp AS (
+  SELECT kind, affix, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM affixes GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs3
+), rk AS (
+  SELECT kind, affix, n_docs,
+         ROW_NUMBER() OVER (PARTITION BY kind
+                            ORDER BY n_docs DESC, affix) AS r
+  FROM grp
+)
+SELECT kind, affix, n_docs,
+       round(CAST(n_docs AS DOUBLE) / (SELECT n FROM tot), 6) AS doc_share
+FROM rk WHERE r <= 10
+ORDER BY kind, n_docs DESC, affix
+"""
+
+
+@query("txt_boilerplate_affixes", oracle=AFFIX_SQL)
+def txt_boilerplate_affixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    tk = F.split("text", " ")
+    docs3 = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 3)
+    docs3 = docs3.cache()  # feeds both affix scans AND the total count
+    prefix = docs3.select(
+        F.lit("prefix").alias("kind"),
+        F.array_join(F.slice("tk", 1, 3), " ").alias("affix"),
+        "doc_id",
+    )
+    suffix = docs3.select(
+        F.lit("suffix").alias("kind"),
+        F.array_join(F.slice("tk", -3, 3), " ").alias("affix"),
+        "doc_id",
+    )
+    grp = (
+        prefix.unionAll(suffix)
+        .groupBy("kind", "affix")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    )
+    tot = docs3.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("kind").orderBy(F.desc("n_docs"), "affix")
+    return (
+        grp.select("*", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= 10)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "kind", "affix", "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy("kind", F.desc("n_docs"), "affix")
+    )
