@@ -125,6 +125,7 @@ _WINDOW_FIRST = [
     "q_wilcoxon_signed_rank", "q_atkinson_index", "q_moran_i",
     "q_kpss_lite", "q_market_beta", "txt_segment_ttr",
     "q_iv_wald", "q_lognormal_fit", "txt_boilerplate_affixes",
+    "q_bradley_terry", "q_ucb_policy",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -1644,3 +1644,284 @@ def q_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("emp_p90", 2).alias("empirical_p90"),
         F.round(implied_p90 / F.col("emp_p90"), 6).alias("p90_ratio"),
     )
+
+
+# -- q_bradley_terry ---------------------------------------------------
+#
+# Bradley-Terry preference strengths over brands from within-order
+# "contests" (in each order, the brand with the larger line-revenue
+# sum beats each smaller one; ties skipped): the pairwise-comparison
+# model behind ranking-from-preferences pipelines (RLHF reward
+# heads, match-making) — two unrolled MM rounds (Hunter 2004) from
+# the uniform start, p_i <- W_i / sum_j n_ij/(p_i+p_j), sum-
+# normalized and 9-rounded between rounds so both engines iterate on
+# identical doubles. Scale: the per-order brand roll-up rides the
+# natural orderkey shuffle; the pair self-join is per-order (<=
+# brands-per-order squared rows); everything after lives on the
+# <=625-cell pair grid and the 25-row strength vector.
+
+BT_SQL = """
+WITH ob AS MATERIALIZED (
+  SELECT l_orderkey AS ok, p_brand AS b,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2))
+           AS spend
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), duels AS MATERIALIZED (
+  SELECT CASE WHEN a.spend > b.spend THEN a.b ELSE b.b END AS winner,
+         CASE WHEN a.spend > b.spend THEN b.b ELSE a.b END AS loser,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM ob a JOIN ob b ON a.ok = b.ok AND a.b < b.b
+  WHERE a.spend <> b.spend
+  GROUP BY 1, 2
+), pairs AS MATERIALIZED (
+  SELECT i, j, CAST(SUM(n) AS BIGINT) AS n_ij FROM (
+    SELECT winner AS i, loser AS j, w AS n FROM duels
+    UNION ALL
+    SELECT loser, winner, w FROM duels
+  ) GROUP BY 1, 2
+), wins AS MATERIALIZED (
+  SELECT winner AS b, CAST(SUM(w) AS BIGINT) AS wi FROM duels GROUP BY 1
+), brands AS MATERIALIZED (
+  SELECT i AS b FROM pairs GROUP BY 1
+), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM brands),
+p0 AS MATERIALIZED (
+  SELECT b, 1.0 / (SELECT m FROM m) AS p FROM brands
+), d1 AS (
+  SELECT pr.i AS b,
+         CAST(SUM(CAST(round(pr.n_ij / (pi.p + pj.p), 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS dnm
+  FROM pairs pr JOIN p0 pi ON pi.b = pr.i JOIN p0 pj ON pj.b = pr.j
+  GROUP BY 1
+), r1 AS (
+  SELECT d1.b, COALESCE(w.wi, 0) / dnm AS praw
+  FROM d1 LEFT JOIN wins w ON w.b = d1.b
+), p1 AS MATERIALIZED (
+  SELECT b, round(praw / (SELECT CAST(SUM(CAST(round(praw, 9)
+                   AS DECIMAL(28,9))) AS DOUBLE) FROM r1), 9) AS p
+  FROM r1
+), d2 AS (
+  SELECT pr.i AS b,
+         CAST(SUM(CAST(round(pr.n_ij / (pi.p + pj.p), 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS dnm
+  FROM pairs pr JOIN p1 pi ON pi.b = pr.i JOIN p1 pj ON pj.b = pr.j
+  GROUP BY 1
+), r2 AS (
+  SELECT d2.b, COALESCE(w.wi, 0) / dnm AS praw
+  FROM d2 LEFT JOIN wins w ON w.b = d2.b
+), p2 AS (
+  SELECT b, round(praw / (SELECT CAST(SUM(CAST(round(praw, 9)
+                   AS DECIMAL(28,9))) AS DOUBLE) FROM r2), 9) AS p
+  FROM r2
+)
+SELECT p2.b AS p_brand,
+       COALESCE(w.wi, 0) AS wins,
+       CAST((SELECT SUM(n_ij) FROM pairs WHERE i = p2.b) AS BIGINT)
+         AS contests,
+       round(p2.p, 6) AS strength,
+       CAST(ROW_NUMBER() OVER (ORDER BY p2.p DESC, p2.b) AS BIGINT) AS rank
+FROM p2 LEFT JOIN wins w ON w.b = p2.b
+ORDER BY rank
+"""
+
+
+@query("q_bradley_terry", oracle=BT_SQL)
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    ob = (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(19,2)")
+            .alias("spend")
+        )
+    )
+    a = ob.select(
+        F.col("ok"), F.col("b").alias("ab"), F.col("spend").alias("asp")
+    )
+    bb = ob.select(
+        F.col("ok"), F.col("b").alias("bb"), F.col("spend").alias("bsp")
+    )
+    duels = (
+        a.join(bb, "ok")
+        .filter((F.col("ab") < F.col("bb")) & (F.col("asp") != F.col("bsp")))
+        .select(
+            F.when(F.col("asp") > F.col("bsp"), F.col("ab"))
+            .otherwise(F.col("bb"))
+            .alias("winner"),
+            F.when(F.col("asp") > F.col("bsp"), F.col("bb"))
+            .otherwise(F.col("ab"))
+            .alias("loser"),
+        )
+        .groupBy("winner", "loser")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    duels = duels.localCheckpoint()  # <=625 rows; feeds pairs/wins/iterations
+    pairs = (
+        duels.select(
+            F.col("winner").alias("i"), F.col("loser").alias("j"),
+            F.col("w").alias("n"),
+        )
+        .unionAll(
+            duels.select(
+                F.col("loser").alias("i"), F.col("winner").alias("j"),
+                F.col("w").alias("n"),
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("bigint").alias("n_ij"))
+    )
+    pairs = pairs.localCheckpoint()
+    wins = duels.groupBy(F.col("winner").alias("b")).agg(
+        F.sum("w").cast("bigint").alias("wi")
+    )
+    brands = pairs.select(F.col("i").alias("b")).distinct()
+    mrow = brands.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    p = brands.crossJoin(F.broadcast(mrow)).select(
+        "b", (1.0 / F.col("m")).alias("p")
+    )
+
+    def mm_round(pvec: DataFrame) -> DataFrame:
+        pi = pvec.select(F.col("b").alias("i"), F.col("p").alias("p_i"))
+        pj = pvec.select(F.col("b").alias("j"), F.col("p").alias("p_j"))
+        d = (
+            pairs.join(F.broadcast(pi), "i")
+            .join(F.broadcast(pj), "j")
+            .groupBy(F.col("i").alias("b"))
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("n_ij") / (F.col("p_i") + F.col("p_j")), 9
+                    ).cast("decimal(28,9)")
+                )
+                .cast("double")
+                .alias("dnm")
+            )
+        )
+        r = d.join(F.broadcast(wins), "b", "left").select(
+            "b",
+            (
+                F.coalesce(F.col("wi"), F.lit(0)).cast("double")
+                / F.col("dnm")
+            ).alias("praw"),
+        )
+        r = r.localCheckpoint()  # 25 rows; truncates per-round lineage
+        tot = r.agg(
+            F.sum(F.round("praw", 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("tot")
+        )
+        return r.crossJoin(F.broadcast(tot)).select(
+            "b", F.round(F.col("praw") / F.col("tot"), 9).alias("p")
+        )
+
+    for _ in range(2):
+        p = mm_round(p)
+    contests = pairs.groupBy(F.col("i").alias("b")).agg(
+        F.sum("n_ij").cast("bigint").alias("contests")
+    )
+    out = (
+        p.join(F.broadcast(wins), "b", "left")
+        .join(F.broadcast(contests), "b")
+        .select(
+            F.col("b").alias("p_brand"),
+            F.coalesce(F.col("wi"), F.lit(0)).cast("bigint").alias("wins"),
+            "contests",
+            F.round("p", 6).alias("strength"),
+        )
+    )
+    w = Window.orderBy(F.desc("p"), "b")
+    ranked = (
+        p.select("b", F.row_number().over(w).cast("bigint").alias("rank"))
+    )
+    return (
+        out.join(
+            F.broadcast(ranked), F.col("p_brand") == F.col("b")
+        )
+        .select("p_brand", "wins", "contests", "strength", "rank")
+        .orderBy("rank")
+    )
+
+
+# -- q_ucb_policy ------------------------------------------------------
+#
+# UCB1 bandit policy table over event-type "arms" (Auer 2002):
+# mean reward + sqrt(2 ln N / n_a) per arm from the historical log,
+# the arm the policy would pull next, and each arm's pull share so
+# far — the deterministic exploration-bonus counterpart of
+# q_ips_policy_eval's counterfactual scoring (IPS evaluates a fixed
+# policy; UCB1 says what an online learner would do next). Means
+# are exact decimal sums over one events scan; the bonus chain is
+# identical doubles. Scale: one scan to the |arms| grid + broadcast
+# 1-row total.
+
+UCB_SQL = """
+WITH arm AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS s
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS n FROM arm
+), scored AS (
+  SELECT event_type, n_a,
+         round(CAST(s AS DOUBLE) / n_a, 6) AS mean_reward,
+         round(sqrt(2.0 * ln(CAST((SELECT n FROM tot) AS DOUBLE)) / n_a), 6)
+           AS bonus
+  FROM arm
+)
+SELECT event_type, n_a AS pulls,
+       round(CAST(n_a AS DOUBLE) / (SELECT n FROM tot), 6) AS pull_share,
+       mean_reward, bonus,
+       round(mean_reward + bonus, 6) AS ucb,
+       CASE WHEN ROW_NUMBER() OVER (ORDER BY mean_reward + bonus DESC,
+                                    event_type) = 1
+            THEN 1 ELSE 0 END AS pull_next
+FROM scored
+ORDER BY ucb DESC, event_type
+"""
+
+
+@query("q_ucb_policy", oracle=UCB_SQL)
+def q_ucb_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).events
+    arm = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("s"),
+    )
+    tot = arm.agg(F.sum("n_a").cast("bigint").alias("n"))
+    scored = arm.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n_a", "n",
+        F.round(F.col("s").cast("double") / F.col("n_a"), 6).alias(
+            "mean_reward"
+        ),
+        F.round(
+            F.sqrt(2.0 * F.log(F.col("n").cast("double")) / F.col("n_a")), 6
+        ).alias("bonus"),
+    )
+    ucb = F.round(F.col("mean_reward") + F.col("bonus"), 6)
+    w = Window.orderBy(
+        F.desc(F.col("mean_reward") + F.col("bonus")), "event_type"
+    )
+    return scored.select(
+        "event_type",
+        F.col("n_a").alias("pulls"),
+        F.round(F.col("n_a").cast("double") / F.col("n"), 6).alias(
+            "pull_share"
+        ),
+        "mean_reward", "bonus",
+        ucb.alias("ucb"),
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias(
+            "pull_next"
+        ),
+    ).orderBy(F.desc("ucb"), "event_type")
