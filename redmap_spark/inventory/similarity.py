@@ -1526,3 +1526,117 @@ def q_second_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_explained"),
         )
     )
+
+
+# -- sim_centroid_shift ------------------------------------------------
+#
+# Embedding-drift monitor: per-label centroid of the FIRST id-half of
+# the corpus vs the SECOND (vec_id < median id as the deterministic
+# "before/after" split), reporting centroid cosine, L2 shift, and a
+# drifted flag — the embedding-space counterpart of q_psi_drift
+# (tabular bins) and q_wasserstein_drift (1-D values): when a model
+# or upstream corpus changes, per-label centroids move first.
+# Centroid sums fold 9-rounded decimals per (label, half, dim); the
+# cosine/L2 chain runs on the |labels| x 64 grid only. Scale: one
+# embeddings scan partial-aggregated to the label-dim grid; no
+# pairwise work.
+
+CENTROID_SHIFT_SQL = """
+WITH mid AS (
+  SELECT CAST(round(CAST(MAX(vec_id) AS DOUBLE) / 2, 0) AS BIGINT) AS m
+  FROM embeddings
+), ex AS (
+  SELECT label,
+         CASE WHEN vec_id < (SELECT m FROM mid) THEN 0 ELSE 1 END AS half,
+         i AS dim, embedding[i] AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+), cent AS (
+  SELECT label, half, dim,
+         CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM ex GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT a.label, a.dim, a.c AS c0, b.c AS c1
+  FROM cent a JOIN cent b
+    ON b.label = a.label AND b.dim = a.dim AND a.half = 0 AND b.half = 1
+), dots AS (
+  SELECT label,
+         CAST(SUM(CAST(round(c0 * c1, 12) AS DECIMAL(28,12))) AS DOUBLE)
+           AS dot,
+         CAST(SUM(CAST(round(c0 * c0, 12) AS DECIMAL(28,12))) AS DOUBLE)
+           AS n0,
+         CAST(SUM(CAST(round(c1 * c1, 12) AS DECIMAL(28,12))) AS DOUBLE)
+           AS n1,
+         CAST(SUM(CAST(round((c1 - c0) * (c1 - c0), 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS d2
+  FROM pairs GROUP BY 1
+)
+SELECT label,
+       round(dot / (sqrt(n0) * sqrt(n1)), 6) AS centroid_cos,
+       round(sqrt(d2), 6) AS l2_shift,
+       CASE WHEN dot / (sqrt(n0) * sqrt(n1)) < 0.95 THEN 1 ELSE 0 END
+         AS drifted
+FROM dots WHERE n0 > 0 AND n1 > 0
+ORDER BY label
+"""
+
+
+@query("sim_centroid_shift", oracle=CENTROID_SHIFT_SQL)
+def sim_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    mid = emb.agg(
+        F.round(F.max("vec_id").cast("double") / 2, 0)
+        .cast("bigint")
+        .alias("m")
+    )
+    ex = (
+        emb.crossJoin(F.broadcast(mid))
+        .select(
+            "label",
+            F.when(F.col("vec_id") < F.col("m"), 0).otherwise(1).alias("half"),
+            F.posexplode(F.col("embedding").cast("array<double>")),
+        )
+        .select("label", "half", (F.col("pos") + 1).alias("dim"), "col")
+    )
+    cent = ex.groupBy("label", "half", "dim").agg(
+        (
+            F.sum(F.round("col", 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    c0 = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("c0")
+    )
+    c1 = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("c1")
+    )
+    pairs = c0.join(c1, ["label", "dim"])
+    dots = pairs.groupBy("label").agg(
+        F.sum(F.round(F.col("c0") * F.col("c1"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("dot"),
+        F.sum(F.round(F.col("c0") * F.col("c0"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("n0"),
+        F.sum(F.round(F.col("c1") * F.col("c1"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("n1"),
+        F.sum(
+            F.round(
+                (F.col("c1") - F.col("c0")) * (F.col("c1") - F.col("c0")), 12
+            ).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("d2"),
+    )
+    cos = F.col("dot") / (F.sqrt(F.col("n0")) * F.sqrt(F.col("n1")))
+    return (
+        dots.filter((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            "label",
+            F.round(cos, 6).alias("centroid_cos"),
+            F.round(F.sqrt("d2"), 6).alias("l2_shift"),
+            F.when(cos < 0.95, 1).otherwise(0).alias("drifted"),
+        )
+        .orderBy("label")
+    )

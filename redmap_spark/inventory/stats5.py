@@ -1925,3 +1925,196 @@ def q_ucb_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pull_next"
         ),
     ).orderBy(F.desc("ucb"), "event_type")
+
+
+# -- q_taylor_law ------------------------------------------------------
+#
+# Taylor's power law (fluctuation scaling) across brands: regress
+# ln(variance) on ln(mean) of daily brand revenue over the 25-brand
+# ensemble — slope b near 1 means Poisson-like (independent) demand,
+# near 2 means synchronized/bursty demand; the aggregation-design
+# diagnostic (how variance grows when you roll small units into big
+# ones) that q_overdispersion answers for counts and this answers
+# for revenue. Per-brand mean/variance from exact decimal moments
+# with IMPLICIT zero-fill (sums over present days divided by the
+# global day count — 0-revenue days contribute 0 to both s and ss,
+# so no grid join is needed, unlike q_market_beta's cross moments);
+# the ln-ln fit folds 9-rounded decimals over 25 points. Scale: one
+# fact scan to the brand-day grid, then constant-size algebra.
+
+TAYLOR_SQL = """
+WITH bd AS (
+  SELECT p_brand, CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2))
+           AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), days AS (
+  SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS nd FROM bd
+), m AS (
+  SELECT p_brand,
+         CAST(SUM(rev) AS DOUBLE) AS s,
+         CAST(SUM(rev * rev) AS DOUBLE) AS ss,
+         (SELECT nd FROM days) AS nd
+  FROM bd GROUP BY 1
+), mv AS (
+  SELECT p_brand,
+         round(ln(s / nd), 9) AS lx,
+         round(ln((ss - s * s / nd) / (nd - 1)), 9) AS ly
+  FROM m WHERE nd > 1 AND s > 0 AND ss - s * s / nd > 0
+), fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(lx AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ly AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(lx * ly, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(round(lx * lx, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           AS sxx
+  FROM mv
+)
+SELECT k AS n_brands,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS taylor_b,
+       round(exp((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k),
+             6) AS taylor_a,
+       CASE WHEN (k * sxy - sx * sy) / (k * sxx - sx * sx) > 1.5
+            THEN 1 ELSE 0 END AS synchronized
+FROM fit WHERE k > 2 AND k * sxx - sx * sx <> 0
+"""
+
+
+@query("q_taylor_law", oracle=TAYLOR_SQL)
+def q_taylor_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    bd = (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .groupBy("p_brand", F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(19,2)")
+            .alias("rev")
+        )
+    )
+    bd = bd.cache()  # brand-day grid feeds the day count AND the moments
+    days = bd.agg(F.countDistinct("d").cast("bigint").alias("nd"))
+    m = (
+        bd.groupBy("p_brand")
+        .agg(
+            F.sum("rev").cast("double").alias("s"),
+            F.sum(F.col("rev") * F.col("rev")).cast("double").alias("ss"),
+        )
+        .crossJoin(F.broadcast(days))
+    )
+    s, ss, nd = F.col("s"), F.col("ss"), F.col("nd")
+    var = (ss - s * s / nd) / (nd - 1)
+    mv = m.filter((nd > 1) & (s > 0) & (var * (nd - 1) > 0)).select(
+        F.round(F.log(s / nd), 9).alias("lx"),
+        F.round(F.log(var), 9).alias("ly"),
+    )
+    fit = mv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("lx").cast("decimal(18,9)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(18,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("lx") * F.col("ly"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("lx") * F.col("lx"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    k = F.col("k")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.filter(
+        (k > 2) & (k * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+    ).select(
+        k.alias("n_brands"),
+        F.round(slope, 6).alias("taylor_b"),
+        F.round(F.exp((F.col("sy") - slope * F.col("sx")) / k), 6).alias(
+            "taylor_a"
+        ),
+        F.when(slope > 1.5, 1).otherwise(0).alias("synchronized"),
+    )
+
+
+# -- q_records ---------------------------------------------------------
+#
+# Record-breaking days: how many days set a new all-time daily
+# revenue high, when the last record fell, and the count compared
+# against the i.i.d. expectation H_n ≈ ln n + γ (record theory: for
+# exchangeable series the k-th prefix is a record with probability
+# 1/k) — a drift detector with zero tuned parameters: far more
+# records than H_n means a trending series (q_trend_test's
+# Mann-Kendall asks the same with ranks; records ask it with maxima,
+# q_peak_detection finds local peaks, not records). One ordered
+# day-grid window computes the running max; the expectation chain is
+# one identical double expression. Scale: facts collapse to the
+# bounded day grid; the window runs on that grid.
+
+RECORDS_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM orders GROUP BY 1
+), runs AS (
+  SELECT d, rev,
+         CASE WHEN rev > COALESCE(MAX(rev) OVER
+                (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), CAST(-1 AS DECIMAL(19,2)))
+              THEN 1 ELSE 0 END AS is_record
+  FROM daily
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(is_record) AS BIGINT) AS n_records,
+       CAST(MAX(CASE WHEN is_record = 1 THEN d END) AS VARCHAR)
+         AS last_record_day,
+       round(ln(CAST(COUNT(*) AS DOUBLE)) + 0.5772156649015329, 6)
+         AS expected_records,
+       round(CAST(SUM(is_record) AS DOUBLE)
+             / (ln(CAST(COUNT(*) AS DOUBLE)) + 0.5772156649015329), 6)
+         AS record_ratio,
+       CASE WHEN CAST(SUM(is_record) AS DOUBLE)
+                 / (ln(CAST(COUNT(*) AS DOUBLE)) + 0.5772156649015329) > 2.0
+            THEN 1 ELSE 0 END AS trending
+FROM runs
+"""
+
+
+@query("q_records", oracle=RECORDS_SQL)
+def q_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(19,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    runs = daily.select(
+        "d", "rev",
+        F.when(
+            F.col("rev")
+            > F.coalesce(
+                F.max("rev").over(w), F.lit(-1).cast("decimal(19,2)")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_record"),
+    )
+    n_d = F.count(F.lit(1)).cast("double")
+    harm = F.log(n_d) + 0.5772156649015329
+    rec = F.sum("is_record").cast("double")
+    return runs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("is_record").cast("bigint").alias("n_records"),
+        F.max(F.when(F.col("is_record") == 1, F.col("d")))
+        .cast("string")
+        .alias("last_record_day"),
+        F.round(harm, 6).alias("expected_records"),
+        F.round(rec / harm, 6).alias("record_ratio"),
+        F.when(rec / harm > 2.0, 1).otherwise(0).alias("trending"),
+    )
