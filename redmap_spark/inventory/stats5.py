@@ -1546,10 +1546,10 @@ def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the distributional model beside q_gamma_moments / q_weibull_fit /
 # q_gumbel_fit that's usually right for spend data (multiplicative
 # growth). ln terms are 9-rounded decimal folds (q_survival_km
-# precedent); the empirical P90 is the exact order statistic at rank
-# ceil(0.9 n) (rank tie-broken by value — deterministic). Scale:
-# one orders scan to per-customer sums, a 1-row moment fold, and
-# ONE bounded sort for the order statistic.
+# precedent); the empirical P90 is Spark's exact `percentile` ==
+# DuckDB `quantile_cont` (type-R7, the q_percentiles equivalence) —
+# a mergeable aggregate, NOT a global sort. Scale: one orders scan
+# to per-customer sums, then two 1-row folds.
 
 LOGNORM_SQL = """
 WITH per AS (
@@ -1565,9 +1565,8 @@ WITH per AS (
                   AS DECIMAL(28,9))) AS DOUBLE) AS sll
   FROM per WHERE y > 0
 ), p90 AS (
-  SELECT CAST(y AS DOUBLE) AS emp_p90
-  FROM (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rk FROM per WHERE y > 0)
-  WHERE rk = CAST(ceil(0.9 * (SELECT n FROM agg)) AS BIGINT)
+  SELECT quantile_cont(CAST(y AS DOUBLE), 0.9) AS emp_p90
+  FROM per WHERE y > 0
 ), fit AS (
   SELECT n, s / n AS emp_mean, sl / n AS mu,
          sqrt((sll - sl * sl / n) / (n - 1)) AS sigma
@@ -1589,8 +1588,6 @@ FROM fit CROSS JOIN p90
 
 @query("q_lognormal_fit", oracle=LOGNORM_SQL)
 def q_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = Catalog(spark, sf_dir).orders
     per = (
         o.groupBy("o_custkey")
@@ -1621,13 +1618,8 @@ def q_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sl / n).alias("mu"),
         F.sqrt((sll - sl * sl / n) / (n - 1)).alias("sigma"),
     )
-    ranked = per.select(
-        F.col("y"), F.row_number().over(Window.orderBy("y")).alias("rk")
-    )
-    p90 = (
-        ranked.crossJoin(F.broadcast(fit.select("n")))
-        .filter(F.col("rk") == F.ceil(0.9 * F.col("n")).cast("bigint"))
-        .select(F.col("y").cast("double").alias("emp_p90"))
+    p90 = per.agg(
+        F.percentile(F.col("y").cast("double"), 0.9).alias("emp_p90")
     )
     mu, sigma = F.col("mu"), F.col("sigma")
     implied_mean = F.exp(mu + sigma * sigma / 2.0)
@@ -2117,4 +2109,224 @@ def q_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(harm, 6).alias("expected_records"),
         F.round(rec / harm, 6).alias("record_ratio"),
         F.when(rec / harm > 2.0, 1).otherwise(0).alias("trending"),
+    )
+
+
+# -- q_hawkes_branching ------------------------------------------------
+#
+# Self-excitation (Hawkes branching-ratio) estimate of the event
+# stream: count ordered same-user event pairs within a 1-hour
+# trigger window and compare against the homogeneous-Poisson
+# expectation sum_u n_u(n_u-1)*delta/T_u — excess pairs mean events
+# TRIGGER follow-on events (sessions, cascades), the point-process
+# question q_purchase_intervals (marginal spacing stats) and
+# q_sessionize (hard gap cutoff) don't answer. Timestamps are exact
+# epoch-microsecond bigints (house convention); the pair count is an
+# exact integer from a per-user range self-join (bounded window =
+# bounded fan-out); the expectation folds 6-rounded decimals over
+# the per-user grid. Scale: both passes ride the natural user_id
+# shuffle; nothing global but the 1-row fold.
+
+HAWKES_DELTA_US = 3_600_000_000
+
+HAWKES_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), per AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_u,
+         CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+  FROM ev GROUP BY 1
+), pairs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM ev a JOIN ev b
+    ON b.user_id = a.user_id
+   AND b.us > a.us AND b.us - a.us <= {HAWKES_DELTA_US}
+), expect AS (
+  SELECT CAST(SUM(CAST(round(
+           n_u * (n_u - 1.0) * {HAWKES_DELTA_US} / span_us, 6)
+           AS DECIMAL(28,6))) AS DOUBLE) AS e_pairs,
+         CAST(SUM(n_u) AS BIGINT) AS n_events
+  FROM per WHERE n_u > 1 AND span_us > 0
+)
+SELECT n_events,
+       n_pairs AS pairs_1h,
+       round(e_pairs, 2) AS expected_pairs,
+       round(n_pairs / e_pairs, 6) AS excess_ratio,
+       CASE WHEN n_pairs / e_pairs > 1.2 THEN 1 ELSE 0 END
+         AS self_exciting
+FROM pairs CROSS JOIN expect WHERE e_pairs > 0
+"""
+
+
+@query("q_hawkes_branching", oracle=HAWKES_SQL)
+def q_hawkes_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ev = e.select("user_id", F.unix_micros("ts").alias("us"))
+    ev = ev.cache()  # feeds the per-user grid AND both pair-join sides
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("span_us"),
+    )
+    a = ev.select(F.col("user_id"), F.col("us").alias("a_us"))
+    b = ev.select(F.col("user_id"), F.col("us").alias("b_us"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("b_us") > F.col("a_us"))
+            & (F.col("b_us") - F.col("a_us") <= HAWKES_DELTA_US)
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    n_u, span = F.col("n_u"), F.col("span_us")
+    expect = per.filter((n_u > 1) & (span > 0)).agg(
+        F.sum(
+            F.round(
+                n_u * (n_u - 1.0) * HAWKES_DELTA_US / span, 6
+            ).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("e_pairs"),
+        F.sum(n_u).cast("bigint").alias("n_events"),
+    )
+    ratio = F.col("n_pairs") / F.col("e_pairs")
+    return (
+        pairs.crossJoin(F.broadcast(expect))
+        .filter(F.col("e_pairs") > 0)
+        .select(
+            "n_events",
+            F.col("n_pairs").alias("pairs_1h"),
+            F.round("e_pairs", 2).alias("expected_pairs"),
+            F.round(ratio, 6).alias("excess_ratio"),
+            F.when(ratio > 1.2, 1).otherwise(0).alias("self_exciting"),
+        )
+    )
+
+
+# -- q_interevent_burstiness -------------------------------------------
+#
+# Goh-Barabasi burstiness B = (sigma-mu)/(sigma+mu) and memory
+# M = corr(tau_i, tau_i+1) of inter-event times per event type — the
+# two-coordinate map separating bursty-and-correlated (cascades),
+# bursty-uncorrelated (heavy-tailed arrivals) and regular streams;
+# the per-type refinement of q_hawkes_branching's single global
+# number (txt_burstiness does the document-frequency analog for
+# words). Intervals are exact epoch-us bigints from ONE per-user
+# window; moments and the lag-pair correlation fold 6-rounded
+# decimal seconds. Scale: window rides the user_id shuffle; the
+# rest is |event types| rows.
+
+BURSTY_SQL = """
+WITH iv AS (
+  SELECT event_type,
+         CAST((LEAD(epoch_us(ts)) OVER w - epoch_us(ts)) AS BIGINT) AS gap_us,
+         CAST((LEAD(epoch_us(ts), 2) OVER w
+               - LEAD(epoch_us(ts)) OVER w) AS BIGINT) AS next_gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), tau AS (
+  SELECT event_type,
+         round(gap_us / 1000000.0, 6) AS t,
+         round(next_gap_us / 1000000.0, 6) AS t2
+  FROM iv WHERE gap_us IS NOT NULL
+), mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(round(t * t, 4) AS DECIMAL(38,4))) AS DOUBLE) AS ss
+  FROM tau GROUP BY 1
+), lagm AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(t2 AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(t * t2, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(t * t, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(t2 * t2, 4) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM tau WHERE t2 IS NOT NULL GROUP BY 1
+)
+SELECT m.event_type,
+       m.n AS n_intervals,
+       round(m.s / m.n, 2) AS mean_gap_s,
+       round(sqrt((m.ss - m.s * m.s / m.n) / m.n), 2) AS sd_gap_s,
+       round((sqrt((m.ss - m.s * m.s / m.n) / m.n) - m.s / m.n)
+             / (sqrt((m.ss - m.s * m.s / m.n) / m.n) + m.s / m.n), 6)
+         AS burstiness,
+       CASE WHEN (l.np * l.sxx - l.sx * l.sx)
+                 * (l.np * l.syy - l.sy * l.sy) > 0 THEN
+         round((l.np * l.sxy - l.sx * l.sy)
+               / sqrt((l.np * l.sxx - l.sx * l.sx)
+                      * (l.np * l.syy - l.sy * l.sy)), 6)
+       END AS memory_coef
+FROM mom m JOIN lagm l ON l.event_type = m.event_type
+WHERE m.n > 1 AND m.ss - m.s * m.s / m.n > 0
+  AND sqrt((m.ss - m.s * m.s / m.n) / m.n) + m.s / m.n > 0
+ORDER BY m.event_type
+"""
+
+
+@query("q_interevent_burstiness", oracle=BURSTY_SQL)
+def q_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    iv = e.select(
+        "event_type",
+        (F.lead(us).over(w) - us).cast("bigint").alias("gap_us"),
+        (F.lead(us, 2).over(w) - F.lead(us).over(w))
+        .cast("bigint")
+        .alias("next_gap_us"),
+    )
+    tau = iv.filter(F.col("gap_us").isNotNull()).select(
+        "event_type",
+        F.round(F.col("gap_us") / 1000000.0, 6).alias("t"),
+        F.round(F.col("next_gap_us") / 1000000.0, 6).alias("t2"),
+    )
+    tau = tau.cache()  # feeds the marginal moments AND the lag-pair moments
+    mom = tau.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("t").cast("decimal(28,6)")).cast("double").alias("s"),
+        F.sum(F.round(F.col("t") * F.col("t"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    lagm = tau.filter(F.col("t2").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum(F.col("t").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(F.col("t2").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("t") * F.col("t2"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("t") * F.col("t"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("t2") * F.col("t2"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    sd = F.sqrt((ss - s * s / n) / n)
+    mu = s / n
+    np_, sx, sy = F.col("np"), F.col("sx"), F.col("sy")
+    vx = np_ * F.col("sxx") - sx * sx
+    vy = np_ * F.col("syy") - sy * sy
+    return (
+        mom.join(lagm, "event_type")
+        .filter((n > 1) & (ss - s * s / n > 0) & (sd + mu > 0))
+        .select(
+            "event_type",
+            n.alias("n_intervals"),
+            F.round(mu, 2).alias("mean_gap_s"),
+            F.round(sd, 2).alias("sd_gap_s"),
+            F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+            F.when(
+                vx * vy > 0,
+                F.round(
+                    (np_ * F.col("sxy") - sx * sy) / F.sqrt(vx * vy), 6
+                ),
+            ).alias("memory_coef"),
+        )
+        .orderBy("event_type")
     )
