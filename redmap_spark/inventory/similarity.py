@@ -1097,6 +1097,104 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- shared embedding covariance grid ----------------------------------
+#
+# Both spectral entries (sim_pca_power, q_second_pc) start from the
+# same 64x64 covariance grid. The Gram pass is the dominant cost
+# (n*d^2 product rows), so it runs on the UPPER TRIANGLE only
+# (b.i >= a.i — half the rows; the mirror is a grid-sized copy) and
+# folds with LONG-BACKED 1e-9-scaled sums: round(x*y*1e9) as BIGINT
+# is the same 9-decimal rounding as the decimal(28,9) fold but sums
+# ~3x faster (the q_elasticity narrowing, PERF.md). Range: |x*y|*1e9
+# is ~1e10/term, so the long fold holds past 1e8 vectors. The grid
+# is eagerly localCheckpoint-ed so every downstream matvec starts
+# from a flat 4096-row scan (PERF.md #47 lineage discipline).
+
+_COV_SQL = """WITH w AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM w
+), n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+mu AS MATERIALIZED (
+  SELECT i, CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+            / (SELECT n FROM n_tot) AS m
+  FROM e GROUP BY 1
+), gram_ut AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(round(a.x * b.x * 1000000000.0, 0) AS BIGINT))
+              AS DOUBLE) / 1000000000.0 AS s
+  FROM e a JOIN e b ON b.vec_id = a.vec_id AND b.i >= a.i
+  GROUP BY 1, 2
+), gram AS (
+  SELECT i, j, s FROM gram_ut
+  UNION ALL
+  SELECT j AS i, i AS j, s FROM gram_ut WHERE i < j
+), c AS MATERIALIZED (
+  SELECT g.i, g.j, g.s / (SELECT n FROM n_tot) - mi.m * mj.m AS cv
+  FROM gram g JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j
+)"""
+
+
+def _cov_grid(spark: SparkSession, sf_dir: str):
+    """(i, j, cv) 64x64 covariance grid, eagerly checkpointed."""
+    emb = Catalog(spark, sf_dir).embeddings
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("x"))
+    e = e.cache()  # consumed by mu AND both Gram sides
+    n = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mu = (
+        e.groupBy("i")
+        .agg(
+            F.sum(F.round("x", 9).cast("decimal(28,9)")).cast("double")
+            .alias("sm")
+        )
+        .join(F.broadcast(n))
+        .select("i", (F.col("sm") / F.col("n")).alias("m"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    gram_ut = (
+        a.join(
+            b,
+            (F.col("b.vec_id") == F.col("a.vec_id"))
+            & (F.col("b.i") >= F.col("a.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("a.x") * F.col("b.x") * 1000000000.0, 0)
+                    .cast("long")
+                ).cast("double")
+                / 1000000000.0
+            ).alias("s")
+        )
+    )
+    # Checkpoint BEFORE the mirror union: Spark does no CSE across
+    # union branches, so an un-materialized gram_ut would run the
+    # expensive self-join twice (the union-subtree-duplication trap).
+    gram_ut = gram_ut.localCheckpoint()
+    gram = gram_ut.unionAll(
+        gram_ut.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s"
+        )
+    )
+    mi = mu.select(F.col("i").alias("mi_i"), F.col("m").alias("mi"))
+    mj = mu.select(F.col("i").alias("mj_j"), F.col("m").alias("mj"))
+    c = (
+        gram.join(F.broadcast(n))
+        .join(F.broadcast(mi), F.col("mi_i") == F.col("i"))
+        .join(F.broadcast(mj), F.col("mj_j") == F.col("j"))
+        .select(
+            "i", "j",
+            (F.col("s") / F.col("n") - F.col("mi") * F.col("mj")).alias("cv"),
+        )
+    )
+    c = c.localCheckpoint()
+    e.unpersist()
+    return c
+
+
 # -- sim_pca_power -----------------------------------------------------
 #
 # Top principal component of the embedding cloud by THREE unrolled
@@ -1104,35 +1202,17 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the dimensionality-reduction primitive behind whitening, drift
 # visualization and sim_dim_tradeoff's truncation choices. The Gram
 # pass is the documented n·d² shape (per-vector outer products,
-# map-side combined into d² = 4096 cells — whole vectors are never
-# shuffled); every fold (Gram cells, means, each matvec, norms,
-# Rayleigh quotient, trace) rounds terms to DECIMAL(28,9) so the
-# across-row sums are exact and order-independent. v₀ = 1/8·𝟙 (unit
+# map-side combined into d² cells — whole vectors are never
+# shuffled), shared with q_second_pc via _cov_grid (upper-triangle
+# long-backed folds, see above); every downstream fold (matvecs,
+# norms, Rayleigh quotient, trace) rounds terms to DECIMAL(28,9) so
+# the across-row sums are exact and order-independent. v₀ = 1/8·𝟙 (unit
 # norm at d = 64, exact in binary); each round renormalizes and
 # 9-rounds v so both engines iterate identical doubles. Output: the
 # top-8 |loading| dims with the Rayleigh eigenvalue estimate and its
 # explained-variance share of trace(C).
 
-PCA_SQL = """
-WITH w AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), e AS (
-  SELECT vec_id, r.range AS i, v[r.range] AS x
-  FROM w, range(1, 65) r
-), n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
-mu AS (
-  SELECT i, CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
-            / (SELECT n FROM n_tot) AS m
-  FROM e GROUP BY 1
-), gram AS (
-  SELECT a.i AS i, b.i AS j,
-         CAST(SUM(CAST(round(a.x * b.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
-  FROM e a JOIN e b ON b.vec_id = a.vec_id
-  GROUP BY 1, 2
-), c AS (
-  SELECT g.i, g.j, g.s / (SELECT n FROM n_tot) - mi.m * mj.m AS cv
-  FROM gram g JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j
-), v0 AS (SELECT r.range AS j, 0.125 AS val FROM range(1, 65) r),
+PCA_SQL = _COV_SQL + """, v0 AS (SELECT r.range AS j, 0.125 AS val FROM range(1, 65) r),
 u1 AS (
   SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
                   AS DECIMAL(28,9))) AS DOUBLE) AS u
@@ -1183,49 +1263,8 @@ WHERE r.rk <= 8 ORDER BY r.rk
 
 @query("sim_pca_power", oracle=PCA_SQL)
 def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = Catalog(spark, sf_dir).embeddings
-    e = emb.select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
-    ).select(
-        "vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("x")
-    )
-    e = e.cache()  # consumed by n, mu AND both Gram sides
-    n = e.select("vec_id").distinct().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    mu = (
-        e.groupBy("i")
-        .agg(
-            F.sum(F.round("x", 9).cast("decimal(28,9)")).cast("double")
-            .alias("sm")
-        )
-        .join(F.broadcast(n))
-        .select("i", (F.col("sm") / F.col("n")).alias("m"))
-    )
-    a, b = e.alias("a"), e.alias("b")
-    gram = (
-        a.join(b, F.col("b.vec_id") == F.col("a.vec_id"))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.sum(
-                F.round(F.col("a.x") * F.col("b.x"), 9).cast("decimal(28,9)")
-            ).cast("double").alias("s")
-        )
-    )
-    mi = mu.select(F.col("i").alias("mi_i"), F.col("m").alias("mi"))
-    mj = mu.select(F.col("i").alias("mj_j"), F.col("m").alias("mj"))
-    c = (
-        gram.join(F.broadcast(n))
-        .join(F.broadcast(mi), F.col("mi_i") == F.col("i"))
-        .join(F.broadcast(mj), F.col("mj_j") == F.col("j"))
-        .select(
-            "i", "j",
-            (F.col("s") / F.col("n") - F.col("mi") * F.col("mj")).alias("cv"),
-        )
-    )
-    c = c.cache()  # the 4096-cell grid drives three matvecs + trace
-    spark_local = emb.sparkSession
-    v = spark_local.range(1, 65).select(
+    c = _cov_grid(spark, sf_dir)  # checkpointed; drives 3 matvecs + trace
+    v = spark.range(1, 65).select(
         F.col("id").alias("j"), F.lit(0.125).alias("val")
     )
     for _ in range(3):
@@ -1302,31 +1341,14 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deflated pass can out-Rayleigh the first — ratio ≈ 1 IS the
 # diagnostic answer: no dominant direction), and the
 # cumulative explained share says how 2-dimensional the cloud really
-# is. Same determinism contract as sim_pca_power (decimal-rounded
-# Gram/matvec/norm folds, 9-rounded renormalized vectors); the
+# is. Same determinism contract as sim_pca_power (the shared
+# _cov_grid Gram, decimal matvec/norm folds, 9-rounded renormalized
+# vectors); the
 # deflated matrix is a 4096-cell grid join, never materialized
 # per-row. Scale: identical to sim_pca_power — one n·d² Gram pass,
 # then grid-sized algebra.
 
-SECOND_PC_SQL = """
-WITH w AS MATERIALIZED (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), e AS MATERIALIZED (
-  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM w
-), n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
-mu AS (
-  SELECT i, CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
-            / (SELECT n FROM n_tot) AS m
-  FROM e GROUP BY 1
-), gram AS MATERIALIZED (
-  SELECT a.i AS i, b.i AS j,
-         CAST(SUM(CAST(round(a.x * b.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
-  FROM e a JOIN e b ON b.vec_id = a.vec_id
-  GROUP BY 1, 2
-), c AS MATERIALIZED (
-  SELECT g.i, g.j, g.s / (SELECT n FROM n_tot) - mi.m * mj.m AS cv
-  FROM gram g JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j
-), v0 AS (SELECT r.range AS j, 0.125 AS val FROM range(1, 65) r),
+SECOND_PC_SQL = _COV_SQL + """, v0 AS (SELECT r.range AS j, 0.125 AS val FROM range(1, 65) r),
 u1 AS (
   SELECT c.i AS j, CAST(SUM(CAST(round(c.cv * v.val, 9)
                   AS DECIMAL(28,9))) AS DOUBLE) AS u
@@ -1402,49 +1424,11 @@ FROM lam1 l1 CROSS JOIN lam2 l2 CROSS JOIN tr
 
 @query("q_second_pc", oracle=SECOND_PC_SQL)
 def q_second_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = Catalog(spark, sf_dir).embeddings
-    e = emb.select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
-    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("x"))
-    e = e.cache()
-    n = e.select("vec_id").distinct().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    mu = (
-        e.groupBy("i")
-        .agg(
-            F.sum(F.round("x", 9).cast("decimal(28,9)")).cast("double")
-            .alias("sm")
-        )
-        .join(F.broadcast(n))
-        .select("i", (F.col("sm") / F.col("n")).alias("m"))
-    )
-    a, b = e.alias("a"), e.alias("b")
-    gram = (
-        a.join(b, F.col("b.vec_id") == F.col("a.vec_id"))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.sum(
-                F.round(F.col("a.x") * F.col("b.x"), 9).cast("decimal(28,9)")
-            ).cast("double").alias("s")
-        )
-    )
-    mi = mu.select(F.col("i").alias("mi_i"), F.col("m").alias("mi"))
-    mj = mu.select(F.col("i").alias("mj_j"), F.col("m").alias("mj"))
-    c = (
-        gram.join(F.broadcast(n))
-        .join(F.broadcast(mi), F.col("mi_i") == F.col("i"))
-        .join(F.broadcast(mj), F.col("mj_j") == F.col("j"))
-        .select(
-            "i", "j",
-            (F.col("s") / F.col("n") - F.col("mi") * F.col("mj")).alias("cv"),
-        )
-    )
-    # Eager localCheckpoint (mr_pagerank precedent): the 4096-cell grid
-    # materializes ONCE and every matvec below starts from a flat scan —
-    # without it the 5-round iterative plan nests joins-of-joins deep
-    # enough that Catalyst tree-walks overflow the stack.
-    c = c.localCheckpoint()
+    # _cov_grid is eagerly checkpointed (mr_pagerank precedent): every
+    # matvec below starts from a flat 4096-row scan — without it the
+    # 5-round iterative plan nests joins-of-joins deep enough that
+    # Catalyst tree-walks overflow the stack.
+    c = _cov_grid(spark, sf_dir)
 
     def matvec(cgrid: DataFrame, v: DataFrame) -> DataFrame:
         return (
@@ -1480,8 +1464,7 @@ def q_second_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    sess = emb.sparkSession
-    v = sess.range(1, 65).select(
+    v = spark.range(1, 65).select(
         F.col("id").alias("j"), F.lit(0.125).alias("val")
     )
     for _ in range(3):
@@ -1500,7 +1483,7 @@ def q_second_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c2 = c2.localCheckpoint()
-    w = sess.range(1, 65).select(
+    w = spark.range(1, 65).select(
         F.col("id").alias("j"),
         F.when(F.col("id") % 2 == 1, 0.125).otherwise(-0.125).alias("val"),
     )
