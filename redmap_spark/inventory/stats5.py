@@ -371,8 +371,8 @@ def q_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = (
         acov(0)
-        .crossJoin(acov(1))
-        .crossJoin(acov(2))
+        .crossJoin(F.broadcast(acov(1)))
+        .crossJoin(F.broadcast(acov(2)))
         .crossJoin(F.broadcast(mu.select("n")))
         .filter(F.col("c0") > 0)
         .select(
@@ -1382,7 +1382,7 @@ def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     brands = bd.select("p_brand").distinct()
     grid = (
-        brands.crossJoin(days)
+        F.broadcast(brands).crossJoin(days)
         .join(bd, ["p_brand", "d"], "left")
         .select(
             "p_brand", "mkt",
@@ -2329,4 +2329,392 @@ def q_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("memory_coef"),
         )
         .orderBy("event_type")
+    )
+
+
+# -- q_conformal_interval ----------------------------------------------
+#
+# Split-conformal prediction interval for the daily-revenue trend
+# model (Vovk's conformal guarantee, distribution-free): fit the
+# linear trend on the FIT third, take the ceil((n+1)*0.9)-th
+# smallest absolute residual on the CALIBRATION third as the
+# interval half-width, and report EMPIRICAL coverage on the TEST
+# third — the finite-sample-valid uncertainty band that
+# q_forecast_linear (point) and q_bootstrap_ci (resampling,
+# asymptotic) don't give. The conformal quantile is an exact order
+# statistic on the bounded calibration day grid; the fit is exact
+# decimal moments; coverage is an integer ratio. Scale: facts
+# collapse to the day grid; every window runs on that grid only.
+
+CONF_FIT_END = "1994-07-01"
+CONF_CAL_END = "1996-01-01"
+
+CONFORMAL_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM orders GROUP BY 1, 2
+), fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fit,
+         round(CAST(COUNT(*) * SUM(x * rev) - SUM(x) * SUM(rev) AS DOUBLE)
+               / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE), 9)
+           AS beta,
+         round((CAST(SUM(rev) AS DOUBLE)
+                - CAST(COUNT(*) * SUM(x * rev) - SUM(x) * SUM(rev) AS DOUBLE)
+                  / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+                  * CAST(SUM(x) AS DOUBLE)) / COUNT(*), 6) AS alpha
+  FROM daily WHERE d < DATE '{CONF_FIT_END}'
+), cal AS (
+  SELECT abs(CAST(rev AS DOUBLE)
+             - (SELECT alpha FROM fit) - (SELECT beta FROM fit) * x) AS r
+  FROM daily
+  WHERE d >= DATE '{CONF_FIT_END}' AND d < DATE '{CONF_CAL_END}'
+), q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal
+), width AS (
+  SELECT r AS w
+  FROM (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rk FROM cal)
+  WHERE rk = LEAST((SELECT n_cal FROM q),
+                   CAST(ceil(0.9 * ((SELECT n_cal FROM q) + 1)) AS BIGINT))
+), test AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN abs(CAST(rev AS DOUBLE)
+                       - (SELECT alpha FROM fit)
+                       - (SELECT beta FROM fit) * x)
+                       <= (SELECT w FROM width)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM daily WHERE d >= DATE '{CONF_CAL_END}'
+)
+SELECT f.n_fit, q.n_cal, t.n_test,
+       round(f.beta, 6) AS slope,
+       round((SELECT w FROM width), 2) AS interval_halfwidth,
+       round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6) AS coverage,
+       CASE WHEN CAST(t.n_covered AS DOUBLE) / t.n_test >= 0.85
+            THEN 1 ELSE 0 END AS coverage_ok
+FROM fit f CROSS JOIN q CROSS JOIN test t
+WHERE q.n_cal > 0 AND t.n_test > 0
+"""
+
+
+@query("q_conformal_interval", oracle=CONFORMAL_SQL)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("x"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(19,2)")
+        .alias("rev")
+    )
+    daily = daily.cache()  # day grid feeds fit, calibration AND test passes
+    ft = daily.filter(F.col("d") < CONF_FIT_END)
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    srev = F.sum("rev")
+    sxr = F.sum(F.col("x") * F.col("rev"))
+    cov_n = (n * sxr - sx * srev).cast("double")
+    vx_n = (n * sxx - sx * sx).cast("double")
+    fit = ft.agg(
+        n.cast("bigint").alias("n_fit"),
+        F.round(cov_n / vx_n, 9).alias("beta"),
+        F.round(
+            (srev.cast("double") - cov_n / vx_n * sx.cast("double")) / n, 6
+        ).alias("alpha"),
+    )
+    resid = F.abs(
+        F.col("rev").cast("double") - F.col("alpha") - F.col("beta") * F.col("x")
+    )
+    cal = (
+        daily.filter((F.col("d") >= CONF_FIT_END) & (F.col("d") < CONF_CAL_END))
+        .crossJoin(F.broadcast(fit))
+        .select(resid.alias("r"))
+    )
+    cal = cal.cache()  # bounded calib grid feeds the count AND the rank
+    q = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    ranked = cal.select(
+        "r", F.row_number().over(Window.orderBy("r")).alias("rk")
+    )
+    width = (
+        ranked.crossJoin(F.broadcast(q))
+        .filter(
+            F.col("rk")
+            == F.least(
+                F.col("n_cal"),
+                F.ceil(0.9 * (F.col("n_cal") + 1)).cast("bigint"),
+            )
+        )
+        .select(F.col("r").alias("w"))
+    )
+    test = (
+        daily.filter(F.col("d") >= CONF_CAL_END)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(width))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(resid <= F.col("w"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    coverage = F.col("n_covered").cast("double") / F.col("n_test")
+    return (
+        fit.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(test))
+        .crossJoin(F.broadcast(width))
+        .filter((F.col("n_cal") > 0) & (F.col("n_test") > 0))
+        .select(
+            "n_fit", "n_cal", "n_test",
+            F.round("beta", 6).alias("slope"),
+            F.round("w", 2).alias("interval_halfwidth"),
+            F.round(coverage, 6).alias("coverage"),
+            F.when(coverage >= 0.85, 1).otherwise(0).alias("coverage_ok"),
+        )
+    )
+
+
+# -- q_kendall_w -------------------------------------------------------
+#
+# Kendall's coefficient of concordance W among three deterministic
+# brand rankings (total revenue, total quantity, distinct buyers):
+# do the three business lenses agree on the brand order? — the
+# m-judges generalization of q_kendall_tau (pairwise) and the
+# ranking twin of q_fleiss_kappa (categorical votes); chi2 =
+# m(n-1)W links it to q_friedman_test. Metrics are exact decimal /
+# integer sums; ranks are row_number with brand tie-break (cross-
+# engine stable); S folds exact quarter-integers as DECIMAL(28,2).
+# Scale: one lineitem+orders pass to the 25-brand grid (broadcast
+# part dim); the ranking windows run on 25 rows.
+
+KENDALL_W_SQL = """
+WITH b AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS rev,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS qty,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS buyers
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1
+), rk AS (
+  SELECT p_brand,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, p_brand) AS r1,
+         ROW_NUMBER() OVER (ORDER BY qty DESC, p_brand) AS r2,
+         ROW_NUMBER() OVER (ORDER BY buyers DESC, p_brand) AS r3
+  FROM b
+), devs AS (
+  SELECT r1 + r2 + r3 AS rsum, COUNT(*) OVER () AS nn FROM rk
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST((rsum - 3.0 * (nn + 1) / 2.0)
+                       * (rsum - 3.0 * (nn + 1) / 2.0)
+                  AS DECIMAL(28,2))) AS DOUBLE) AS ssq
+  FROM devs
+)
+SELECT n AS n_brands, CAST(3 AS BIGINT) AS n_judges,
+       round(12.0 * ssq / (9.0 * (n * n * n - n)), 6) AS kendall_w,
+       round(3.0 * (n - 1) * 12.0 * ssq / (9.0 * (n * n * n - n)), 4)
+         AS chi2_approx,
+       CASE WHEN 12.0 * ssq / (9.0 * (n * n * n - n)) > 0.5
+            THEN 1 ELSE 0 END AS concordant
+FROM s WHERE n > 1
+"""
+
+
+@query("q_kendall_w", oracle=KENDALL_W_SQL)
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    b = (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("qty"),
+            F.countDistinct("o_custkey").cast("bigint").alias("buyers"),
+        )
+    )
+    rk = b.select(
+        "p_brand",
+        F.row_number().over(Window.orderBy(F.desc("rev"), "p_brand")).alias(
+            "r1"
+        ),
+        F.row_number().over(Window.orderBy(F.desc("qty"), "p_brand")).alias(
+            "r2"
+        ),
+        F.row_number()
+        .over(Window.orderBy(F.desc("buyers"), "p_brand"))
+        .alias("r3"),
+    )
+    nw = F.count(F.lit(1)).over(Window.partitionBy())
+    dev = F.col("r1") + F.col("r2") + F.col("r3") - 3.0 * (nw + 1) / 2.0
+    s = rk.select((dev * dev).cast("decimal(28,2)").alias("d2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d2").cast("double").alias("ssq"),
+    )
+    n = F.col("n")
+    w = 12.0 * F.col("ssq") / (9.0 * (n * n * n - n))
+    return s.filter(n > 1).select(
+        n.alias("n_brands"),
+        F.lit(3).cast("bigint").alias("n_judges"),
+        F.round(w, 6).alias("kendall_w"),
+        F.round(3.0 * (n - 1) * w, 4).alias("chi2_approx"),
+        F.when(w > 0.5, 1).otherwise(0).alias("concordant"),
+    )
+
+
+# -- q_ordinal_association ---------------------------------------------
+#
+# Ordinal association of discount level vs quantity from the bounded
+# contingency grid: Goodman-Kruskal gamma, Kendall tau-b, and
+# Somers' D_yx — the three standard concordance measures, all from
+# ONE 11x50-cell grid (concordant/discordant/tied pair counts are
+# grid-pair sums, never row pairs: the n^2 pair space collapses to
+# |cells|^2 = ~300k products of exact integers). q_kendall_tau ranks
+# continuous pairs; this is the tied-heavy categorical form a
+# scorecard pipeline needs (discount levels and integer quantities
+# tie constantly, which is exactly what tau-b/Somers correct for).
+# Pair counts fold as DECIMAL(38,0) (they reach n^2/2). Scale: one
+# fact scan to the grid; the grid self-join is constant-size.
+
+ORDINAL_SQL = """
+WITH g AS (
+  SELECT CAST(round(CAST(l_discount AS DECIMAL(18,2)) * 100) AS BIGINT) AS x,
+         CAST(round(CAST(l_quantity AS DECIMAL(18,2)), 0) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM g
+), cd AS (
+  SELECT
+    CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+             THEN CAST(a.c AS DECIMAL(38,0)) * b.c END) AS DOUBLE) AS conc,
+    CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+             THEN CAST(a.c AS DECIMAL(38,0)) * b.c END) AS DOUBLE) AS disc
+  FROM g a JOIN g b ON NOT (b.x = a.x AND b.y = a.y)
+), ties AS (
+  SELECT
+    (SELECT CAST(SUM(CAST(cx AS DECIMAL(38,0)) * (cx - 1)) AS DOUBLE) / 2
+     FROM (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM g GROUP BY x)) AS tx,
+    (SELECT CAST(SUM(CAST(cy AS DECIMAL(38,0)) * (cy - 1)) AS DOUBLE) / 2
+     FROM (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM g GROUP BY y)) AS ty
+)
+SELECT t.n AS n_rows,
+       round(cd.conc, 0) AS concordant,
+       round(cd.disc, 0) AS discordant,
+       round((cd.conc - cd.disc) / (cd.conc + cd.disc), 6) AS gamma,
+       round((cd.conc - cd.disc)
+             / sqrt((t.n * (t.n - 1.0) / 2.0 - ti.tx)
+                    * (t.n * (t.n - 1.0) / 2.0 - ti.ty)), 6) AS tau_b,
+       round((cd.conc - cd.disc)
+             / (t.n * (t.n - 1.0) / 2.0 - ti.tx), 6) AS somers_dyx
+FROM cd CROSS JOIN ties ti CROSS JOIN tot t
+WHERE cd.conc + cd.disc > 0
+  AND t.n * (t.n - 1.0) / 2.0 - ti.tx > 0
+  AND t.n * (t.n - 1.0) / 2.0 - ti.ty > 0
+"""
+
+
+@query("q_ordinal_association", oracle=ORDINAL_SQL)
+def q_ordinal_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    g = li.groupBy(
+        F.round(F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("l_quantity").cast("decimal(18,2)"), 0)
+        .cast("bigint")
+        .alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    g = g.localCheckpoint()  # ~550-cell grid feeds 4 independent folds
+    tot = g.agg(F.sum("c").cast("bigint").alias("n"))
+    a = g.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = g.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    prod = F.col("ac").cast("decimal(38,0)") * F.col("bc")
+    cd = (
+        a.join(
+            F.broadcast(b),
+            ~((F.col("bx") == F.col("ax")) & (F.col("by") == F.col("ay"))),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")),
+                    prod,
+                )
+            )
+            .cast("double")
+            .alias("conc"),
+            F.sum(
+                F.when(
+                    (F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")),
+                    prod,
+                )
+            )
+            .cast("double")
+            .alias("disc"),
+        )
+    )
+    tx = (
+        g.groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("cx"))
+        .agg(
+            (
+                F.sum(
+                    F.col("cx").cast("decimal(38,0)") * (F.col("cx") - 1)
+                ).cast("double")
+                / 2
+            ).alias("tx")
+        )
+    )
+    ty = (
+        g.groupBy("y")
+        .agg(F.sum("c").cast("bigint").alias("cy"))
+        .agg(
+            (
+                F.sum(
+                    F.col("cy").cast("decimal(38,0)") * (F.col("cy") - 1)
+                ).cast("double")
+                / 2
+            ).alias("ty")
+        )
+    )
+    n = F.col("n").cast("double")
+    pairs = n * (n - 1.0) / 2.0
+    num = F.col("conc") - F.col("disc")
+    out = (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.filter(
+        (F.col("conc") + F.col("disc") > 0)
+        & (pairs - F.col("tx") > 0)
+        & (pairs - F.col("ty") > 0)
+    ).select(
+        F.col("n").alias("n_rows"),
+        F.round("conc", 0).alias("concordant"),
+        F.round("disc", 0).alias("discordant"),
+        F.round(num / (F.col("conc") + F.col("disc")), 6).alias("gamma"),
+        F.round(
+            num / F.sqrt((pairs - F.col("tx")) * (pairs - F.col("ty"))), 6
+        ).alias("tau_b"),
+        F.round(num / (pairs - F.col("tx")), 6).alias("somers_dyx"),
     )

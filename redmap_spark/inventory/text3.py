@@ -938,3 +938,75 @@ def txt_boilerplate_affixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind", F.desc("n_docs"), "affix")
     )
+
+
+# -- txt_chao1_richness ------------------------------------------------
+#
+# Chao1 unseen-vocabulary estimator per source (Chao 1984, the
+# abundance-based richness bound ecologists and corpus linguists
+# share): chao1 = V + F1(F1-1)/(2(F2+1)) from the singleton/doubleton
+# counts, plus Good-Turing sample coverage C = 1 - F1/N and the
+# implied unseen-vocabulary share — "how much vocabulary has this
+# source NOT shown us yet", the curation question txt_heaps_law
+# (growth-curve fit) and txt_zipf (rank law) frame differently and
+# q_capture_recapture answers for entity overlap. Exact integer
+# term-frequency histogram folds; one identical double chain after.
+# Scale: token explode rides map-side; term counts shuffle once on
+# (source, term); the F-histogram is |sources| x small.
+
+CHAO1_SQL = """
+WITH tf AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY 1, 2
+), hist AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM tf GROUP BY 1
+)
+SELECT source, n_tokens, vocab, f1, f2,
+       round(vocab + f1 * (f1 - 1.0) / (2.0 * (f2 + 1)), 2) AS chao1,
+       round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS gt_coverage,
+       round(1.0 - vocab / (vocab + f1 * (f1 - 1.0) / (2.0 * (f2 + 1))), 6)
+         AS unseen_share
+FROM hist WHERE n_tokens > 0
+ORDER BY source
+"""
+
+
+@query("txt_chao1_richness", oracle=CHAO1_SQL)
+def txt_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    hist = tf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias(
+            "f1"
+        ),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint").alias(
+            "f2"
+        ),
+    )
+    v, f1, f2 = F.col("vocab"), F.col("f1"), F.col("f2")
+    chao1 = v + f1 * (f1 - 1.0) / (2.0 * (f2 + 1))
+    return (
+        hist.filter(F.col("n_tokens") > 0)
+        .select(
+            "source", "n_tokens", "vocab", "f1", "f2",
+            F.round(chao1, 2).alias("chao1"),
+            F.round(
+                1.0 - f1.cast("double") / F.col("n_tokens"), 6
+            ).alias("gt_coverage"),
+            F.round(1.0 - v / chao1, 6).alias("unseen_share"),
+        )
+        .orderBy("source")
+    )
