@@ -130,6 +130,7 @@ _WINDOW_FIRST = [
     "q_hawkes_branching", "q_interevent_burstiness",
     "q_conformal_interval", "txt_chao1_richness",
     "q_kendall_w", "q_ordinal_association",
+    "txt_log_odds", "q_otsu_threshold",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

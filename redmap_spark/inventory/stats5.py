@@ -2718,3 +2718,113 @@ def q_ordinal_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tau_b"),
         F.round(num / (pairs - F.col("tx")), 6).alias("somers_dyx"),
     )
+
+
+# -- q_otsu_threshold --------------------------------------------------
+#
+# Otsu's threshold (1979) on the order-value histogram: the 32-bin
+# fixed-width histogram of o_totalprice, choose the bin boundary
+# maximizing between-class variance w0*w1*(mu0-mu1)^2 — the
+# image-segmentation classic applied to 1-D business segmentation
+# ("where does 'small order' end?"), a principled alternative to
+# q_quantile_bins' equal-count cuts and q_decision_stump's
+# supervised split. All moments are exact integer counts and bin-
+# index sums via one prefix window over the 32-row grid; the argmax
+# tie-breaks on the smallest threshold. Scale: one fact scan map-
+# side binned to 32 cells; everything after is grid work.
+
+OTSU_BINS = 32
+OTSU_WIDTH = 18750.0
+
+OTSU_SQL = f"""
+WITH h AS (
+  SELECT LEAST(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))
+                          / {OTSU_WIDTH}) AS BIGINT), {OTSU_BINS - 1}) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), grid AS (
+  SELECT r.range AS b, COALESCE(h.c, 0) AS c
+  FROM range(0, {OTSU_BINS}) r LEFT JOIN h ON h.b = r.range
+), pre AS (
+  SELECT b,
+         SUM(c) OVER (ORDER BY b) AS cum_c,
+         SUM(b * c) OVER (ORDER BY b) AS cum_bc,
+         SUM(c) OVER () AS n,
+         SUM(b * c) OVER () AS total_bc
+  FROM grid
+), scored AS (
+  SELECT b AS t,
+         CAST(cum_c AS DOUBLE) / n AS w0,
+         CASE WHEN cum_c > 0 AND cum_c < n THEN
+           round((CAST(cum_c AS DOUBLE) / n) * (1.0 - CAST(cum_c AS DOUBLE) / n)
+                 * (CAST(cum_bc AS DOUBLE) / cum_c
+                    - CAST(total_bc - cum_bc AS DOUBLE) / (n - cum_c))
+                 * (CAST(cum_bc AS DOUBLE) / cum_c
+                    - CAST(total_bc - cum_bc AS DOUBLE) / (n - cum_c)), 9)
+         END AS between_var
+  FROM pre WHERE b < {OTSU_BINS - 1}
+), best AS (
+  SELECT t, w0, between_var,
+         ROW_NUMBER() OVER (ORDER BY between_var DESC, t) AS r
+  FROM scored WHERE between_var IS NOT NULL
+)
+SELECT CAST(t AS BIGINT) AS threshold_bin,
+       round((t + 1) * {OTSU_WIDTH}, 2) AS threshold_value,
+       round(between_var, 6) AS between_var,
+       round(w0, 6) AS share_below
+FROM best WHERE r = 1
+"""
+
+
+@query("q_otsu_threshold", oracle=OTSU_SQL)
+def q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    h = o.groupBy(
+        F.least(
+            F.floor(
+                F.col("o_totalprice").cast("decimal(18,2)") / OTSU_WIDTH
+            ).cast("bigint"),
+            F.lit(OTSU_BINS - 1),
+        ).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    grid = (
+        spark.range(0, OTSU_BINS)
+        .select(F.col("id").alias("b"))
+        .join(F.broadcast(h), "b", "left")
+        .select("b", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    wcum = Window.orderBy("b")
+    wall = Window.partitionBy()
+    pre = grid.select(
+        "b",
+        F.sum("c").over(wcum).alias("cum_c"),
+        F.sum(F.col("b") * F.col("c")).over(wcum).alias("cum_bc"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum(F.col("b") * F.col("c")).over(wall).alias("total_bc"),
+    )
+    cum_c, n = F.col("cum_c"), F.col("n")
+    w0 = cum_c.cast("double") / n
+    mu0 = F.col("cum_bc").cast("double") / cum_c
+    mu1 = (F.col("total_bc") - F.col("cum_bc")).cast("double") / (n - cum_c)
+    scored = pre.filter(F.col("b") < OTSU_BINS - 1).select(
+        F.col("b").alias("t"),
+        w0.alias("w0"),
+        F.when(
+            (cum_c > 0) & (cum_c < n),
+            F.round(w0 * (1.0 - w0) * (mu0 - mu1) * (mu0 - mu1), 9),
+        ).alias("between_var"),
+    )
+    best = scored.filter(F.col("between_var").isNotNull()).select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("between_var"), "t"))
+        .alias("r"),
+    )
+    return best.filter(F.col("r") == 1).select(
+        F.col("t").cast("bigint").alias("threshold_bin"),
+        F.round((F.col("t") + 1) * OTSU_WIDTH, 2).alias("threshold_value"),
+        F.round("between_var", 6).alias("between_var"),
+        F.round("w0", 6).alias("share_below"),
+    )

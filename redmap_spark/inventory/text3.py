@@ -1010,3 +1010,150 @@ def txt_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- txt_log_odds ------------------------------------------------------
+#
+# Monroe/Colaresi/Quinn "fightin' words" (2008): log-odds-ratio of
+# word use between the two largest sources with an informative
+# Dirichlet prior drawn from the pooled corpus (alpha0 = 500 spread
+# proportionally to pooled frequency), z-scored by the delta's
+# variance 1/(y1+a) + 1/(y2+a) — the statistically-grounded
+# which-words-distinguish-these-corpora tool (txt_js_divergence
+# gives one number; txt_tfidf_keywords has no variance model; this
+# ranks WORDS with uncertainty). Top-10 each direction by 6-rounded
+# z (term tie-break). Counts are exact integers; the prior/z chain
+# is one identical double expression. Scale: token explode -> one
+# (source, term) shuffle; the z ranking runs on the vocab grid.
+
+LOG_ODDS_ALPHA0 = 500.0
+
+LOG_ODDS_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), top2 AS MATERIALIZED (
+  SELECT source, r FROM (
+    SELECT source, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source) AS r
+    FROM toks GROUP BY 1
+  ) WHERE r <= 2
+), tf AS MATERIALIZED (
+  SELECT t2.r, term, CAST(COUNT(*) AS BIGINT) AS y
+  FROM toks JOIN top2 t2 ON t2.source = toks.source
+  GROUP BY 1, 2
+), pool AS MATERIALIZED (
+  SELECT term, CAST(SUM(y) AS BIGINT) AS yp FROM tf GROUP BY 1
+), npool AS (SELECT CAST(SUM(yp) AS BIGINT) AS np FROM pool),
+n12 AS (
+  SELECT
+    CAST((SELECT SUM(y) FROM tf WHERE r = 1) AS BIGINT) AS n1,
+    CAST((SELECT SUM(y) FROM tf WHERE r = 2) AS BIGINT) AS n2
+), z AS (
+  SELECT p.term,
+         COALESCE(t1.y, 0) AS y1, COALESCE(t2.y, 0) AS y2,
+         round(
+           (ln((COALESCE(t1.y, 0) + a.aw)
+               / (n.n1 + {LOG_ODDS_ALPHA0} - COALESCE(t1.y, 0) - a.aw))
+            - ln((COALESCE(t2.y, 0) + a.aw)
+                 / (n.n2 + {LOG_ODDS_ALPHA0} - COALESCE(t2.y, 0) - a.aw)))
+           / sqrt(1.0 / (COALESCE(t1.y, 0) + a.aw)
+                  + 1.0 / (COALESCE(t2.y, 0) + a.aw)), 6) AS zscore
+  FROM pool p
+  CROSS JOIN n12 n
+  JOIN (SELECT term,
+               {LOG_ODDS_ALPHA0} * yp / (SELECT np FROM npool) AS aw
+        FROM pool) a ON a.term = p.term
+  LEFT JOIN tf t1 ON t1.term = p.term AND t1.r = 1
+  LEFT JOIN tf t2 ON t2.term = p.term AND t2.r = 2
+), ranked AS (
+  SELECT term, y1, y2, zscore,
+         ROW_NUMBER() OVER (ORDER BY zscore DESC, term) AS r_hi,
+         ROW_NUMBER() OVER (ORDER BY zscore ASC, term) AS r_lo
+  FROM z
+)
+SELECT term, y1, y2, zscore,
+       CASE WHEN r_hi <= 10 THEN 1 ELSE 2 END AS distinctive_of,
+       CAST(CASE WHEN r_hi <= 10 THEN r_hi ELSE r_lo END AS BIGINT) AS rank
+FROM ranked WHERE r_hi <= 10 OR r_lo <= 10
+ORDER BY distinctive_of, rank
+"""
+
+
+@query("txt_log_odds", oracle=LOG_ODDS_SQL)
+def txt_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    toks = toks.cache()  # feeds the top-2 pick AND the per-source counts
+    top2 = (
+        toks.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "source",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "source"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 2)
+    )
+    tf = (
+        toks.join(F.broadcast(top2), "source")
+        .groupBy("r", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    tf = tf.cache()  # feeds pool, n1/n2 AND both direction legs
+    pool = tf.groupBy("term").agg(F.sum("y").cast("bigint").alias("yp"))
+    npool = pool.agg(F.sum("yp").cast("bigint").alias("np"))
+    n1 = tf.filter(F.col("r") == 1).agg(
+        F.sum("y").cast("bigint").alias("n1")
+    )
+    n2 = tf.filter(F.col("r") == 2).agg(
+        F.sum("y").cast("bigint").alias("n2")
+    )
+    t1 = tf.filter(F.col("r") == 1).select("term", F.col("y").alias("y1r"))
+    t2 = tf.filter(F.col("r") == 2).select("term", F.col("y").alias("y2r"))
+    a0 = LOG_ODDS_ALPHA0
+    z = (
+        pool.join(t1, "term", "left")
+        .join(t2, "term", "left")
+        .crossJoin(F.broadcast(npool))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "term",
+            F.coalesce(F.col("y1r"), F.lit(0)).cast("bigint").alias("y1"),
+            F.coalesce(F.col("y2r"), F.lit(0)).cast("bigint").alias("y2"),
+            (a0 * F.col("yp") / F.col("np")).alias("aw"),
+            "n1", "n2",
+        )
+    )
+    y1, y2, aw = F.col("y1"), F.col("y2"), F.col("aw")
+    delta = F.log((y1 + aw) / (F.col("n1") + a0 - y1 - aw)) - F.log(
+        (y2 + aw) / (F.col("n2") + a0 - y2 - aw)
+    )
+    zscore = F.round(
+        delta / F.sqrt(1.0 / (y1 + aw) + 1.0 / (y2 + aw)), 6
+    )
+    ranked = z.select(
+        "term", "y1", "y2", zscore.alias("zscore")
+    ).select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("zscore"), "term"))
+        .alias("r_hi"),
+        F.row_number().over(Window.orderBy("zscore", "term")).alias("r_lo"),
+    )
+    return (
+        ranked.filter((F.col("r_hi") <= 10) | (F.col("r_lo") <= 10))
+        .select(
+            "term", "y1", "y2", "zscore",
+            F.when(F.col("r_hi") <= 10, 1).otherwise(2).alias(
+                "distinctive_of"
+            ),
+            F.when(F.col("r_hi") <= 10, F.col("r_hi"))
+            .otherwise(F.col("r_lo"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+        .orderBy("distinctive_of", "rank")
+    )
