@@ -1,0 +1,604 @@
+"""Causal / GLM / survey-design inventory batch 6: grouped logistic
+IRLS, inverse-propensity-weighted ATE, cluster-sampling design effect,
+and Brown's double exponential smoothing.
+
+Reference parity: the reference's fold/reduce-by-key surface computes
+arbitrary grouped moment folds; these entries re-express four
+workhorse modeling steps as one- or two-pass exact-decimal moment
+aggregations plus constant-size closed-form algebra (SURVEY §2 stats
+block). Determinism contract as registry.py: exact decimal folds,
+identical double chains on both engines, 6-rounded outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redmap_spark.catalog import Catalog
+from redmap_spark.inventory.registry import query
+
+# -- q_logit_irls ------------------------------------------------------
+#
+# Grouped logistic regression of P(order is urgent-class priority) on
+# order value, fit by THREE unrolled Newton/IRLS rounds (the
+# q_poisson_irls pattern for the binomial family): orders collapse to
+# a ≤13-row (price-bucket → trials m, successes y) grid in ONE
+# partial-aggregated scan, then every IRLS round is a closed-form 2×2
+# weighted least squares over that broadcast-tiny grid — η = β₀+β₁x,
+# p = 1/(1+e^−η), weights w = m·p·(1−p), working response
+# z = η + (y − m·p)/w. Init β₀ = logit(pooled rate), β₁ = 0.
+# Scale: the fact scan happens once; iteration cost is constant work
+# on 13 rows. Weighted moments fold 6-rounded DECIMAL(28,6) terms so
+# partition order cannot perturb the fit on either engine.
+
+LOGIT_SQL = """
+WITH grid AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT), 12) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT bin / 4.0 AS x, m, y FROM grid
+), init AS (
+  SELECT ln(CAST(SUM(y) AS DOUBLE) / (SUM(m) - SUM(y))) AS b0, 0.0 AS b1
+  FROM g
+), it1 AS (
+  SELECT
+    CAST(SUM(CAST(round(g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                               * (1.0 + exp(p.b0 + p.b1 * g.x))), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS sw,
+    CAST(SUM(CAST(round(g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                               * (1.0 + exp(p.b0 + p.b1 * g.x))) * g.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swx,
+    CAST(SUM(CAST(round(g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                               * (1.0 + exp(p.b0 + p.b1 * g.x))) * g.x * g.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swxx,
+    CAST(SUM(CAST(round(g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                               * (1.0 + exp(p.b0 + p.b1 * g.x)))
+                        * (p.b0 + p.b1 * g.x)
+                        + (g.y - g.m / (1.0 + exp(-(p.b0 + p.b1 * g.x)))), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swz,
+    CAST(SUM(CAST(round((g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                                * (1.0 + exp(p.b0 + p.b1 * g.x)))
+                         * (p.b0 + p.b1 * g.x)
+                         + (g.y - g.m / (1.0 + exp(-(p.b0 + p.b1 * g.x)))))
+                        * g.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swxz
+  FROM g CROSS JOIN init p
+), p1 AS (
+  SELECT (swz * swxx - swxz * swx) / (sw * swxx - swx * swx) AS b0,
+         (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+  FROM it1 WHERE sw * swxx - swx * swx <> 0
+), it2 AS (
+  SELECT
+    CAST(SUM(CAST(round(g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                               * (1.0 + exp(p.b0 + p.b1 * g.x))), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS sw,
+    CAST(SUM(CAST(round(g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                               * (1.0 + exp(p.b0 + p.b1 * g.x))) * g.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swx,
+    CAST(SUM(CAST(round(g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                               * (1.0 + exp(p.b0 + p.b1 * g.x))) * g.x * g.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swxx,
+    CAST(SUM(CAST(round(g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                               * (1.0 + exp(p.b0 + p.b1 * g.x)))
+                        * (p.b0 + p.b1 * g.x)
+                        + (g.y - g.m / (1.0 + exp(-(p.b0 + p.b1 * g.x)))), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swz,
+    CAST(SUM(CAST(round((g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                                * (1.0 + exp(p.b0 + p.b1 * g.x)))
+                         * (p.b0 + p.b1 * g.x)
+                         + (g.y - g.m / (1.0 + exp(-(p.b0 + p.b1 * g.x)))))
+                        * g.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swxz
+  FROM g CROSS JOIN p1 p
+), p2 AS (
+  SELECT (swz * swxx - swxz * swx) / (sw * swxx - swx * swx) AS b0,
+         (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+  FROM it2 WHERE sw * swxx - swx * swx <> 0
+), it3 AS (
+  SELECT
+    CAST(SUM(CAST(round(g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                               * (1.0 + exp(p.b0 + p.b1 * g.x))), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS sw,
+    CAST(SUM(CAST(round(g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                               * (1.0 + exp(p.b0 + p.b1 * g.x))) * g.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swx,
+    CAST(SUM(CAST(round(g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                               * (1.0 + exp(p.b0 + p.b1 * g.x))) * g.x * g.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swxx,
+    CAST(SUM(CAST(round(g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                               * (1.0 + exp(p.b0 + p.b1 * g.x)))
+                        * (p.b0 + p.b1 * g.x)
+                        + (g.y - g.m / (1.0 + exp(-(p.b0 + p.b1 * g.x)))), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swz,
+    CAST(SUM(CAST(round((g.m / ((1.0 + exp(-(p.b0 + p.b1 * g.x)))
+                                * (1.0 + exp(p.b0 + p.b1 * g.x)))
+                         * (p.b0 + p.b1 * g.x)
+                         + (g.y - g.m / (1.0 + exp(-(p.b0 + p.b1 * g.x)))))
+                        * g.x, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS swxz
+  FROM g CROSS JOIN p2 p
+), p3 AS (
+  SELECT (swz * swxx - swxz * swx) / (sw * swxx - swx * swx) AS b0,
+         (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+  FROM it3 WHERE sw * swxx - swx * swx <> 0
+), tot AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM g
+)
+SELECT t.n, t.n_pos, t.n_bins,
+       round(p.b0, 6) AS beta0,
+       round(p.b1, 6) AS beta1,
+       round(exp(p.b1), 6) AS odds_ratio_per_unit,
+       round(1.0 / (1.0 + exp(-p.b0)), 6) AS p_at_x0,
+       round(1.0 / (1.0 + exp(-(p.b0 + p.b1 * 2.0))), 6) AS p_at_x2
+FROM p3 p CROSS JOIN tot t
+"""
+
+
+@query("q_logit_irls", oracle=LOGIT_SQL)
+def q_logit_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    g = (
+        o.groupBy(
+            F.least(
+                F.floor(F.col("o_totalprice") / 25000.0).cast("bigint"),
+                F.lit(12).cast("bigint"),
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select((F.col("bin") / 4.0).alias("x"), "m", "y")
+    )
+    g = g.cache()  # ≤13 rows, consumed by init + 3 IRLS rounds + totals
+    init = g.agg(
+        F.log(
+            F.sum("y").cast("double") / (F.sum("m") - F.sum("y"))
+        ).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+    p = init
+
+    def fold(expr, name):
+        return (
+            F.sum(F.round(expr, 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    for _ in range(3):
+        eta = F.col("b0") + F.col("b1") * F.col("x")
+        # w = m·p·(1−p) written as m / ((1+e^−η)(1+e^η)) so both
+        # engines run the identical double chain
+        w = F.col("m") / ((1.0 + F.exp(-eta)) * (1.0 + F.exp(eta)))
+        # w·z = w·η + (y − m·p)
+        mp = F.col("m") / (1.0 + F.exp(-eta))
+        wz = w * eta + (F.col("y") - mp)
+        it = g.join(F.broadcast(p)).agg(
+            fold(w, "sw"),
+            fold(w * F.col("x"), "swx"),
+            fold(w * F.col("x") * F.col("x"), "swxx"),
+            fold(wz, "swz"),
+            fold(wz * F.col("x"), "swxz"),
+        )
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        p = it.filter(det != 0).select(
+            (
+                (F.col("swz") * F.col("swxx") - F.col("swxz") * F.col("swx"))
+                / det
+            ).alias("b0"),
+            (
+                (F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz"))
+                / det
+            ).alias("b1"),
+        )
+
+    tot = g.agg(
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+    b0, b1 = F.col("b0"), F.col("b1")
+    return p.join(F.broadcast(tot)).select(
+        "n",
+        "n_pos",
+        "n_bins",
+        F.round(b0, 6).alias("beta0"),
+        F.round(b1, 6).alias("beta1"),
+        F.round(F.exp(b1), 6).alias("odds_ratio_per_unit"),
+        F.round(1.0 / (1.0 + F.exp(-b0)), 6).alias("p_at_x0"),
+        F.round(1.0 / (1.0 + F.exp(-(b0 + b1 * 2.0))), 6).alias("p_at_x2"),
+    )
+
+
+# -- q_ipw_ate ---------------------------------------------------------
+#
+# Inverse-propensity-weighted average treatment effect (Horvitz-
+# Thompson and stabilized Hajek forms) with stratum-estimated
+# propensities: "exposure" is a deterministic md5-threshold rule whose
+# rate VARIES BY market segment (the confounding q_ab_test's pure
+# 50/50 split cannot exhibit), so the naive treated-vs-control spread
+# and the IPW-deconfounded estimate genuinely differ. Propensities
+# p̂(segment) come from exact per-segment counts; each customer's
+# weighted outcome folds as a 6-rounded DECIMAL(28,6) term. Scale:
+# one customer scan → 5-row segment grid (broadcast back) → one
+# weighted-fold scan → 1 row. Complements q_cuped / q_diff_in_diff /
+# q_cem_att in the causal block.
+
+IPW_SQL = """
+WITH c AS (
+  SELECT c_mktsegment AS seg,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS y,
+         CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) <
+                   CASE c_mktsegment
+                     WHEN 'AUTOMOBILE' THEN '3'
+                     WHEN 'BUILDING'   THEN '6'
+                     WHEN 'FURNITURE'  THEN '9'
+                     WHEN 'HOUSEHOLD'  THEN 'b'
+                     ELSE 'd' END
+              THEN 1 ELSE 0 END AS t
+  FROM customer
+), seg AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_seg,
+         CAST(SUM(t) AS BIGINT) AS nt_seg
+  FROM c GROUP BY seg
+), w AS (
+  SELECT c.y, c.t,
+         round(CAST(s.nt_seg AS DOUBLE) / s.n_seg, 6) AS ps
+  FROM c JOIN seg s ON c.seg = s.seg
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN t = 1 THEN y END) AS DOUBLE) AS sy_t,
+         CAST(SUM(CASE WHEN t = 0 THEN y END) AS DOUBLE) AS sy_c,
+         CAST(SUM(CAST(round(CASE WHEN t = 1 THEN CAST(y AS DOUBLE) / ps
+                                  ELSE 0.0 END, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS s_ty_w,
+         CAST(SUM(CAST(round(CASE WHEN t = 0 THEN CAST(y AS DOUBLE) / (1.0 - ps)
+                                  ELSE 0.0 END, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS s_cy_w,
+         CAST(SUM(CAST(round(CASE WHEN t = 1 THEN 1.0 / ps
+                                  ELSE 0.0 END, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS s_t_w,
+         CAST(SUM(CAST(round(CASE WHEN t = 0 THEN 1.0 / (1.0 - ps)
+                                  ELSE 0.0 END, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS s_c_w
+  FROM w
+)
+SELECT n, n_t,
+       round(sy_t / n_t - sy_c / (n - n_t), 6) AS naive_diff,
+       round(s_ty_w / n - s_cy_w / n, 6) AS ipw_ate,
+       round(s_ty_w / s_t_w - s_cy_w / s_c_w, 6) AS hajek_ate,
+       round(s_t_w / n, 6) AS treated_weight_share,
+       round(s_c_w / n, 6) AS control_weight_share
+FROM agg
+WHERE n_t > 0 AND n - n_t > 0
+"""
+
+
+@query("q_ipw_ate", oracle=IPW_SQL)
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).customer
+    thresh = (
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", "3")
+        .when(F.col("c_mktsegment") == "BUILDING", "6")
+        .when(F.col("c_mktsegment") == "FURNITURE", "9")
+        .when(F.col("c_mktsegment") == "HOUSEHOLD", "b")
+        .otherwise("d")
+    )
+    c = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("y"),
+        F.when(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+            < thresh,
+            1,
+        )
+        .otherwise(0)
+        .alias("t"),
+    )
+    seg = c.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seg"),
+        F.sum("t").cast("bigint").alias("nt_seg"),
+    )
+    w = c.join(F.broadcast(seg), "seg").select(
+        "y",
+        "t",
+        F.round(F.col("nt_seg").cast("double") / F.col("n_seg"), 6).alias(
+            "ps"
+        ),
+    )
+
+    def fold(expr, name):
+        return (
+            F.sum(F.round(expr, 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    is_t, is_c = F.col("t") == 1, F.col("t") == 0
+    yd = F.col("y").cast("double")
+    agg = w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("n_t"),
+        F.sum(F.when(is_t, F.col("y"))).cast("double").alias("sy_t"),
+        F.sum(F.when(is_c, F.col("y"))).cast("double").alias("sy_c"),
+        fold(F.when(is_t, yd / F.col("ps")).otherwise(0.0), "s_ty_w"),
+        fold(F.when(is_c, yd / (1.0 - F.col("ps"))).otherwise(0.0), "s_cy_w"),
+        fold(F.when(is_t, 1.0 / F.col("ps")).otherwise(0.0), "s_t_w"),
+        fold(F.when(is_c, 1.0 / (1.0 - F.col("ps"))).otherwise(0.0), "s_c_w"),
+    )
+    n, nt = F.col("n"), F.col("n_t")
+    return agg.filter((nt > 0) & (n - nt > 0)).select(
+        "n",
+        "n_t",
+        F.round(
+            F.col("sy_t") / nt - F.col("sy_c") / (n - nt), 6
+        ).alias("naive_diff"),
+        F.round(F.col("s_ty_w") / n - F.col("s_cy_w") / n, 6).alias(
+            "ipw_ate"
+        ),
+        F.round(
+            F.col("s_ty_w") / F.col("s_t_w")
+            - F.col("s_cy_w") / F.col("s_c_w"),
+            6,
+        ).alias("hajek_ate"),
+        F.round(F.col("s_t_w") / n, 6).alias("treated_weight_share"),
+        F.round(F.col("s_c_w") / n, 6).alias("control_weight_share"),
+    )
+
+
+# -- q_design_effect ---------------------------------------------------
+#
+# Cluster-sampling design effect per region (Kish DEFF): treating
+# nations as sampling clusters of customers and account balance as
+# the survey variable, the one-way ANOVA ICC estimator
+# ρ̂ = (MSB − MSW) / (MSB + (m₀ − 1)·MSW) with the unequal-cluster-
+# size correction m₀ = (N − Σm²/N)/(k − 1), then
+# DEFF = 1 + (m̄_w − 1)·ρ̂ at the weighted mean cluster size
+# m̄_w = Σm²/N, and the effective sample size N/DEFF — the number
+# that says how much a nation-clustered sample really buys vs SRS.
+# Complements q_ess (weighting loss) and q_neyman_allocation
+# (stratified gain). Scale: one customer scan partial-aggregates
+# per-nation exact moments (≤25 rows), region algebra is constant.
+
+DEFF_SQL = """
+WITH cl AS (
+  SELECT n.n_regionkey AS rk, c.c_nationkey AS nk,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS s,
+         CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))
+                  * CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS ss
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), reg AS (
+  SELECT rk, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(m) AS BIGINT) AS n,
+         CAST(SUM(s) AS DOUBLE) AS sy,
+         CAST(SUM(ss) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / m, 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS s2m,
+         CAST(SUM(m * m) AS BIGINT) AS smm
+  FROM cl GROUP BY rk
+), f AS (
+  SELECT r.rk, r.k, r.n,
+         (r.s2m - r.sy * r.sy / r.n) / (r.k - 1) AS msb,
+         (r.syy - r.s2m) / (r.n - r.k) AS msw,
+         (r.n - CAST(r.smm AS DOUBLE) / r.n) / (r.k - 1) AS m0,
+         CAST(r.smm AS DOUBLE) / r.n AS mw
+  FROM reg r
+  WHERE r.k > 1 AND r.n > r.k
+)
+SELECT rg.r_name AS region, f.k AS n_clusters, f.n,
+       round(f.m0, 6) AS m0,
+       round((f.msb - f.msw) / (f.msb + (f.m0 - 1.0) * f.msw), 6) AS icc,
+       round(1.0 + (f.mw - 1.0)
+             * ((f.msb - f.msw) / (f.msb + (f.m0 - 1.0) * f.msw)), 6)
+         AS deff,
+       round(f.n / (1.0 + (f.mw - 1.0)
+             * ((f.msb - f.msw) / (f.msb + (f.m0 - 1.0) * f.msw))), 6)
+         AS n_effective
+FROM f JOIN region rg ON f.rk = rg.r_regionkey
+WHERE f.msb + (f.m0 - 1.0) * f.msw <> 0
+ORDER BY region
+"""
+
+
+@query("q_design_effect", oracle=DEFF_SQL)
+def q_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cust, nation, region = cat.customer, cat.nation, cat.region
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    cl = (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(
+            F.col("n_regionkey").alias("rk"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum(bal).cast("decimal(19,2)").alias("s"),
+            F.sum(bal * bal).cast("decimal(30,4)").alias("ss"),
+        )
+    )
+    reg = cl.groupBy("rk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum("s").cast("double").alias("sy"),
+        F.sum("ss").cast("double").alias("syy"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("m"),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("s2m"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("smm"),
+    )
+    k, n = F.col("k"), F.col("n")
+    f = reg.filter((k > 1) & (n > k)).select(
+        "rk",
+        "k",
+        "n",
+        ((F.col("s2m") - F.col("sy") * F.col("sy") / n) / (k - 1)).alias(
+            "msb"
+        ),
+        ((F.col("syy") - F.col("s2m")) / (n - k)).alias("msw"),
+        ((n - F.col("smm").cast("double") / n) / (k - 1)).alias("m0"),
+        (F.col("smm").cast("double") / n).alias("mw"),
+    )
+    icc = (F.col("msb") - F.col("msw")) / (
+        F.col("msb") + (F.col("m0") - 1.0) * F.col("msw")
+    )
+    deff = 1.0 + (F.col("mw") - 1.0) * icc
+    return (
+        f.filter(F.col("msb") + (F.col("m0") - 1.0) * F.col("msw") != 0)
+        .join(F.broadcast(region), F.col("rk") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("k").alias("n_clusters"),
+            "n",
+            F.round("m0", 6).alias("m0"),
+            F.round(icc, 6).alias("icc"),
+            F.round(deff, 6).alias("deff"),
+            F.round(F.col("n") / deff, 6).alias("n_effective"),
+        )
+        .orderBy("region")
+    )
+
+
+# -- q_holt_brown ------------------------------------------------------
+#
+# Brown's double exponential smoothing (linear-trend forecast) of
+# daily revenue per event type, built from the SAME exact finite-
+# horizon α = 1/2 smoother as q_ewma: S¹ smooths the revenue, S² the
+# 6-rounded S¹ (round-before-reuse keeps the second-level double
+# chain identical on both engines), then level = 2S¹ − S², trend =
+# (α/(1−α))(S¹−S²) = S¹ − S², and the 1-step-ahead forecast
+# level + trend. Powers of 1/2 are exact decimals so each smoother
+# numerator/denominator folds exactly. Scale: two chained window
+# passes share the (event_type, day) sort over the tiny daily grid —
+# never the raw event stream.
+
+_HB_W = ["1.0000000", "0.5000000", "0.2500000", "0.1250000",
+         "0.0625000", "0.0312500", "0.0156250", "0.0078125"]
+
+_HB_NUM1 = " + ".join(
+    f"COALESCE(r{j}, CAST(0 AS DECIMAL(18,2))) * CAST({w} AS DECIMAL(9,7))"
+    for j, w in enumerate(_HB_W)
+)
+_HB_DEN1 = " + ".join(
+    f"(CASE WHEN r{j} IS NULL THEN CAST(0 AS DECIMAL(9,7)) "
+    f"ELSE CAST({w} AS DECIMAL(9,7)) END)"
+    for j, w in enumerate(_HB_W)
+)
+_HB_NUM2 = " + ".join(
+    f"COALESCE(t{j}, CAST(0 AS DECIMAL(18,6))) * CAST({w} AS DECIMAL(9,7))"
+    for j, w in enumerate(_HB_W)
+)
+_HB_DEN2 = " + ".join(
+    f"(CASE WHEN t{j} IS NULL THEN CAST(0 AS DECIMAL(9,7)) "
+    f"ELSE CAST({w} AS DECIMAL(9,7)) END)"
+    for j, w in enumerate(_HB_W)
+)
+
+HOLT_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+  FROM events GROUP BY 1, 2
+), lag1 AS (
+  SELECT event_type, day, rev AS r0,
+         {", ".join(f"LAG(rev, {j}) OVER (PARTITION BY event_type ORDER BY day) AS r{j}" for j in range(1, 8))}
+  FROM daily
+), s1 AS (
+  SELECT event_type, day, r0,
+         CAST(round(CAST({_HB_NUM1} AS DOUBLE) /
+                    CAST({_HB_DEN1} AS DOUBLE), 6) AS DECIMAL(18,6)) AS s1
+  FROM lag1
+), lag2 AS (
+  SELECT event_type, day, r0, s1 AS t0,
+         {", ".join(f"LAG(s1, {j}) OVER (PARTITION BY event_type ORDER BY day) AS t{j}" for j in range(1, 8))}
+  FROM s1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(r0 AS DOUBLE) AS revenue,
+       CAST(t0 AS DOUBLE) AS s1,
+       round(CAST({_HB_NUM2} AS DOUBLE) / CAST({_HB_DEN2} AS DOUBLE), 6) AS s2,
+       round(2.0 * CAST(t0 AS DOUBLE)
+             - CAST({_HB_NUM2} AS DOUBLE) / CAST({_HB_DEN2} AS DOUBLE), 6)
+         AS level,
+       round(CAST(t0 AS DOUBLE)
+             - CAST({_HB_NUM2} AS DOUBLE) / CAST({_HB_DEN2} AS DOUBLE), 6)
+         AS trend,
+       round(3.0 * CAST(t0 AS DOUBLE)
+             - 2.0 * (CAST({_HB_NUM2} AS DOUBLE) / CAST({_HB_DEN2} AS DOUBLE)), 6)
+         AS forecast_1
+FROM lag2
+"""
+
+
+@query("q_holt_brown", oracle=HOLT_SQL)
+def q_holt_brown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(19,2)")
+        .alias("rev")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lag1 = daily.select(
+        "event_type",
+        "day",
+        F.col("rev").alias("r0"),
+        *[F.lag("rev", j).over(w).alias(f"r{j}") for j in range(1, 8)],
+    )
+    s1 = lag1.select(
+        "event_type",
+        "day",
+        "r0",
+        F.round(
+            F.expr(_HB_NUM1).cast("double")
+            / F.expr(_HB_DEN1).cast("double"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("s1"),
+    )
+    lag2 = s1.select(
+        "event_type",
+        "day",
+        "r0",
+        F.col("s1").alias("t0"),
+        *[F.lag("s1", j).over(w).alias(f"t{j}") for j in range(1, 8)],
+    )
+    s2 = F.expr(_HB_NUM2).cast("double") / F.expr(_HB_DEN2).cast("double")
+    s0d = F.col("t0").cast("double")
+    return lag2.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("r0").cast("double").alias("revenue"),
+        F.col("t0").cast("double").alias("s1"),
+        F.round(s2, 6).alias("s2"),
+        F.round(2.0 * s0d - s2, 6).alias("level"),
+        F.round(s0d - s2, 6).alias("trend"),
+        F.round(3.0 * s0d - 2.0 * s2, 6).alias("forecast_1"),
+    )
