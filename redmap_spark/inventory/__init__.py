@@ -37,6 +37,7 @@ from redmap_spark.inventory import text3  # noqa: F401
 from redmap_spark.inventory import ml2  # noqa: F401
 from redmap_spark.inventory import stats5  # noqa: F401
 from redmap_spark.inventory import stats6  # noqa: F401
+from redmap_spark.inventory import ops  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
 # (rows+schema+value-hash vs DuckDB). Rounds 1–5 drove 138 of the 167
@@ -133,6 +134,7 @@ _WINDOW_FIRST = [
     "q_kendall_w", "q_ordinal_association",
     "txt_log_odds", "q_otsu_threshold",
     "q_logit_irls", "q_ipw_ate", "q_design_effect", "q_holt_brown",
+    "q_drawdown", "q_erlang_c", "q_anderson_darling",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}
