@@ -1235,3 +1235,278 @@ def q_absorbing_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_error"),
     ).orderBy("state")
+
+
+# -- q_markov_attribution ----------------------------------------------
+#
+# Markov removal-effect attribution (Anderl et al. 2014): user event
+# journeys form a first-order chain over the touch channels
+# {view, click, signup} with absorbing CONV (purchase) and DROP
+# (error / journey end); each channel's credit is how much the
+# START→CONV absorption probability falls when that channel's state
+# is deleted (transitions into it lost to DROP). Absorption
+# probabilities come from CLOSED-FORM solves — Cramer's rule on the
+# full 3×3 (I−Q) system and a shared 2×2 formula for the three
+# removal variants (a 3-row variant table over the 1-row scalar grid,
+# the q_absorbing_chain fundamental-matrix pattern generalized) — so
+# there is NO iteration and no checkpoint chain. Determinism: exact
+# count ratios, identical double algebra both engines, 6-rounded
+# outputs; attribution shares normalize GREATEST(effect, 0).
+# Scale: one lag window over the user-partitioned stream → ≤20-cell
+# transition grid + 5-cell start grid; everything after is 1-row
+# algebra.
+
+MARKOV_ATTR_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         CASE event_type WHEN 'purchase' THEN 'CONV'
+                         WHEN 'error' THEN 'DROP'
+                         ELSE event_type END AS cls,
+         COALESCE(LEAD(CASE event_type WHEN 'purchase' THEN 'CONV'
+                                       WHEN 'error' THEN 'DROP'
+                                       ELSE event_type END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  'DROP') AS nxt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), cnt AS (
+  SELECT cls, nxt, CAST(COUNT(*) AS BIGINT) AS c FROM seq
+  WHERE cls IN ('view', 'click', 'signup') GROUP BY 1, 2
+), tot AS (
+  SELECT cls, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+), st AS (
+  SELECT cls, CAST(COUNT(*) AS BIGINT) AS c FROM seq
+  WHERE rn = 1 GROUP BY 1
+), stt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM st),
+f AS MATERIALIZED (
+  SELECT
+    COALESCE(MAX(CASE WHEN cls='view' AND nxt='view' THEN pr END),0.0) AS pvv,
+    COALESCE(MAX(CASE WHEN cls='view' AND nxt='click' THEN pr END),0.0) AS pvc,
+    COALESCE(MAX(CASE WHEN cls='view' AND nxt='signup' THEN pr END),0.0) AS pvg,
+    COALESCE(MAX(CASE WHEN cls='view' AND nxt='CONV' THEN pr END),0.0) AS rv,
+    COALESCE(MAX(CASE WHEN cls='click' AND nxt='view' THEN pr END),0.0) AS pcv,
+    COALESCE(MAX(CASE WHEN cls='click' AND nxt='click' THEN pr END),0.0) AS pcc,
+    COALESCE(MAX(CASE WHEN cls='click' AND nxt='signup' THEN pr END),0.0) AS pcg,
+    COALESCE(MAX(CASE WHEN cls='click' AND nxt='CONV' THEN pr END),0.0) AS rc,
+    COALESCE(MAX(CASE WHEN cls='signup' AND nxt='view' THEN pr END),0.0) AS pgv,
+    COALESCE(MAX(CASE WHEN cls='signup' AND nxt='click' THEN pr END),0.0) AS pgc,
+    COALESCE(MAX(CASE WHEN cls='signup' AND nxt='signup' THEN pr END),0.0) AS pgg,
+    COALESCE(MAX(CASE WHEN cls='signup' AND nxt='CONV' THEN pr END),0.0) AS rg,
+    COALESCE(MAX(CASE WHEN scls='view' THEN spr END),0.0) AS qv,
+    COALESCE(MAX(CASE WHEN scls='click' THEN spr END),0.0) AS qc,
+    COALESCE(MAX(CASE WHEN scls='signup' THEN spr END),0.0) AS qg,
+    COALESCE(MAX(CASE WHEN scls='CONV' THEN spr END),0.0) AS qconv
+  FROM (
+    SELECT c.cls, c.nxt, c.c / CAST(t.t AS DOUBLE) AS pr,
+           NULL AS scls, NULL AS spr
+    FROM cnt c JOIN tot t ON t.cls = c.cls
+    UNION ALL
+    SELECT NULL, NULL, NULL, s.cls, s.c / CAST(stt.t AS DOUBLE)
+    FROM st s CROSS JOIN stt
+  )
+), solve AS (
+  SELECT *,
+         (1.0-pvv) * ((1.0-pcc)*(1.0-pgg) - pcg*pgc)
+         - (-pvc) * ((-pcv)*(1.0-pgg) - pcg*(-pgv))
+         + (-pvg) * ((-pcv)*(-pgc) - (1.0-pcc)*(-pgv)) AS det3
+  FROM f
+), x3 AS (
+  SELECT *,
+         (rv * ((1.0-pcc)*(1.0-pgg) - pcg*pgc)
+          - (-pvc) * (rc*(1.0-pgg) - pcg*rg)
+          + (-pvg) * (rc*(-pgc) - (1.0-pcc)*rg)) / det3 AS xv,
+         ((1.0-pvv) * (rc*(1.0-pgg) - pcg*rg)
+          - rv * ((-pcv)*(1.0-pgg) - pcg*(-pgv))
+          + (-pvg) * ((-pcv)*rg - rc*(-pgv))) / det3 AS xc,
+         ((1.0-pvv) * ((1.0-pcc)*rg - rc*(-pgc))
+          - (-pvc) * ((-pcv)*rg - rc*(-pgv))
+          + rv * ((-pcv)*(-pgc) - (1.0-pcc)*(-pgv))) / det3 AS xg
+  FROM solve WHERE det3 <> 0
+), full_p AS (
+  SELECT *, qconv + qv*xv + qc*xc + qg*xg AS pfull FROM x3
+), rm AS (
+  SELECT 'view' AS channel, pcc AS paa, pcg AS pab, pgc AS pba, pgg AS pbb,
+         rc AS ra, rg AS rb, qc AS qa, qg AS qb, qconv, pfull
+  FROM full_p
+  UNION ALL
+  SELECT 'click', pvv, pvg, pgv, pgg, rv, rg, qv, qg, qconv, pfull
+  FROM full_p
+  UNION ALL
+  SELECT 'signup', pvv, pvc, pcv, pcc, rv, rc, qv, qc, qconv, pfull
+  FROM full_p
+), rm2 AS (
+  SELECT channel, qconv, pfull,
+         (1.0-paa)*(1.0-pbb) - pab*pba AS det2,
+         qa * ((1.0-pbb)*ra + pab*rb) + qb * (pba*ra + (1.0-paa)*rb) AS wnum
+  FROM rm
+), rm3 AS (
+  SELECT channel, pfull,
+         qconv + wnum / det2 AS prm
+  FROM rm2 WHERE det2 <> 0
+), eff AS (
+  SELECT channel, pfull, prm,
+         GREATEST(1.0 - prm / pfull, 0.0) AS re
+  FROM rm3 WHERE pfull > 0
+), nrm AS (
+  SELECT CAST(SUM(CAST(round(re, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sre
+  FROM eff
+)
+SELECT e.channel,
+       round(e.pfull, 6) AS p_conv_full,
+       round(e.prm, 6) AS p_conv_removed,
+       round(e.re, 6) AS removal_effect,
+       round(CASE WHEN n.sre > 0 THEN e.re / n.sre ELSE 0.0 END, 6)
+         AS attribution_share
+FROM eff e CROSS JOIN nrm n
+ORDER BY e.channel
+"""
+
+
+@query("q_markov_attribution", oracle=MARKOV_ATTR_SQL)
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    cls = (
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .when(F.col("event_type") == "error", "DROP")
+        .otherwise(F.col("event_type"))
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        cls.alias("cls"),
+        F.coalesce(F.lead(cls).over(wseq), F.lit("DROP")).alias("nxt"),
+        F.row_number().over(wseq).alias("rn"),
+    )
+    seq = seq.cache()  # one window pass feeds transition AND start counts
+    cnt = (
+        seq.filter(F.col("cls").isin("view", "click", "signup"))
+        .groupBy("cls", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cnt = cnt.cache()  # ≤20 cells feed per-row totals and the pivot
+    tot = cnt.groupBy("cls").agg(F.sum("c").cast("bigint").alias("t"))
+    pr = cnt.join(tot, "cls").select(
+        "cls", "nxt", (F.col("c") / F.col("t").cast("double")).alias("pr")
+    )
+    st = seq.filter(F.col("rn") == 1).groupBy("cls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    st = st.cache()  # ≤5 rows feed the total and the pivot
+    stt = st.agg(F.sum("c").cast("bigint").alias("t"))
+    spr = st.join(F.broadcast(stt)).select(
+        F.col("cls").alias("scls"),
+        (F.col("c") / F.col("t").cast("double")).alias("spr"),
+    )
+
+    trans = pr.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("cls") == a) & (F.col("nxt") == b),
+                        F.col("pr"),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(nm)
+            for a, b, nm in [
+                ("view", "view", "pvv"), ("view", "click", "pvc"),
+                ("view", "signup", "pvg"), ("view", "CONV", "rv"),
+                ("click", "view", "pcv"), ("click", "click", "pcc"),
+                ("click", "signup", "pcg"), ("click", "CONV", "rc"),
+                ("signup", "view", "pgv"), ("signup", "click", "pgc"),
+                ("signup", "signup", "pgg"), ("signup", "CONV", "rg"),
+            ]
+        ]
+    )
+    starts = spr.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("scls") == k, F.col("spr"))), F.lit(0.0)
+            ).alias(nm)
+            for k, nm in [
+                ("view", "qv"), ("click", "qc"), ("signup", "qg"),
+                ("CONV", "qconv"),
+            ]
+        ]
+    )
+    f = trans.join(F.broadcast(starts))
+    f = f.cache()  # 1-row scalar grid: full solve + 3 removal variants
+    c = F.col
+    det3 = (
+        (1.0 - c("pvv"))
+        * ((1.0 - c("pcc")) * (1.0 - c("pgg")) - c("pcg") * c("pgc"))
+        - (-c("pvc"))
+        * ((-c("pcv")) * (1.0 - c("pgg")) - c("pcg") * (-c("pgv")))
+        + (-c("pvg"))
+        * ((-c("pcv")) * (-c("pgc")) - (1.0 - c("pcc")) * (-c("pgv")))
+    )
+    x3 = f.withColumn("det3", det3).filter(c("det3") != 0)
+    xv = (
+        c("rv") * ((1.0 - c("pcc")) * (1.0 - c("pgg")) - c("pcg") * c("pgc"))
+        - (-c("pvc")) * (c("rc") * (1.0 - c("pgg")) - c("pcg") * c("rg"))
+        + (-c("pvg")) * (c("rc") * (-c("pgc")) - (1.0 - c("pcc")) * c("rg"))
+    ) / c("det3")
+    xc = (
+        (1.0 - c("pvv")) * (c("rc") * (1.0 - c("pgg")) - c("pcg") * c("rg"))
+        - c("rv") * ((-c("pcv")) * (1.0 - c("pgg")) - c("pcg") * (-c("pgv")))
+        + (-c("pvg")) * ((-c("pcv")) * c("rg") - c("rc") * (-c("pgv")))
+    ) / c("det3")
+    xg = (
+        (1.0 - c("pvv")) * ((1.0 - c("pcc")) * c("rg") - c("rc") * (-c("pgc")))
+        - (-c("pvc")) * ((-c("pcv")) * c("rg") - c("rc") * (-c("pgv")))
+        + c("rv") * ((-c("pcv")) * (-c("pgc")) - (1.0 - c("pcc")) * (-c("pgv")))
+    ) / c("det3")
+    full_p = x3.withColumn(
+        "pfull",
+        c("qconv") + c("qv") * xv + c("qc") * xc + c("qg") * xg,
+    )
+    full_p = full_p.cache()  # 1 row consumed by 3 variant branches
+    variants = [
+        ("view", "pcc", "pcg", "pgc", "pgg", "rc", "rg", "qc", "qg"),
+        ("click", "pvv", "pvg", "pgv", "pgg", "rv", "rg", "qv", "qg"),
+        ("signup", "pvv", "pvc", "pcv", "pcc", "rv", "rc", "qv", "qc"),
+    ]
+    rm = None
+    for ch, paa, pab, pba, pbb, ra, rb, qa, qb in variants:
+        sel = full_p.select(
+            F.lit(ch).alias("channel"),
+            c(paa).alias("paa"), c(pab).alias("pab"),
+            c(pba).alias("pba"), c(pbb).alias("pbb"),
+            c(ra).alias("ra"), c(rb).alias("rb"),
+            c(qa).alias("qa"), c(qb).alias("qb"),
+            "qconv", "pfull",
+        )
+        rm = sel if rm is None else rm.unionAll(sel)
+    det2 = (1.0 - c("paa")) * (1.0 - c("pbb")) - c("pab") * c("pba")
+    wnum = c("qa") * (
+        (1.0 - c("pbb")) * c("ra") + c("pab") * c("rb")
+    ) + c("qb") * (c("pba") * c("ra") + (1.0 - c("paa")) * c("rb"))
+    rm3 = (
+        rm.withColumn("det2", det2)
+        .filter(c("det2") != 0)
+        .withColumn("prm", c("qconv") + wnum / c("det2"))
+        .filter(c("pfull") > 0)
+        .withColumn(
+            "re", F.greatest(1.0 - c("prm") / c("pfull"), F.lit(0.0))
+        )
+    )
+    rm3 = rm3.cache()  # 3 rows feed the share total and the output
+    nrm = rm3.agg(
+        F.sum(F.round("re", 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sre")
+    )
+    return (
+        rm3.join(F.broadcast(nrm))
+        .select(
+            "channel",
+            F.round("pfull", 6).alias("p_conv_full"),
+            F.round("prm", 6).alias("p_conv_removed"),
+            F.round("re", 6).alias("removal_effect"),
+            F.round(
+                F.when(c("sre") > 0, c("re") / c("sre")).otherwise(0.0), 6
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )

@@ -602,3 +602,148 @@ def q_holt_brown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s0d - s2, 6).alias("trend"),
         F.round(3.0 * s0d - 2.0 * s2, 6).alias("forecast_1"),
     )
+
+
+# -- q_getis_ord -------------------------------------------------------
+#
+# Getis-Ord Gi local hotspot statistic of nation mean account balance
+# over the same-region adjacency (w_ij = 1 iff regions match, i ≠ j —
+# the self-excluded Gi form, so scores VARY within a region):
+# Gi = (Σ_j w_ij x_j − x̄_(i)·W_i)
+#      / (S_(i)·sqrt(((n−1)·W_i − W_i²)/(n−2))),
+# where the mean and spread EXCLUDE i (leave-one-out) per Getis &
+# Ord 1992. Like q_moran_i (its global twin) the neighbor sum needs
+# NO pair join: Σ_j w_ij x_j = region sum − x_i; W_i = s_r − 1;
+# leave-one-out moments come from the global Σx / Σx² decimal folds.
+# Scale: one customer scan to the 25-nation grid, then grid algebra.
+# Hot/cold flags at the one-sided 5% normal cut (|z| > 1.645).
+
+GETIS_SQL = """
+WITH nm AS (
+  SELECT n_nationkey, n_name, n_regionkey,
+         round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 6) AS v
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2, 3
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM nm
+), reg AS (
+  SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS s_r,
+         CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS szr
+  FROM nm GROUP BY 1
+), scored AS (
+  SELECT m.n_nationkey, m.n_name, r2.r_name, m.v,
+         r.s_r - 1 AS wi,
+         (g.sx - m.v) / (g.n - 1) AS mu_i,
+         sqrt(GREATEST((g.sxx - round(m.v * m.v, 6)) / (g.n - 1)
+                       - ((g.sx - m.v) / (g.n - 1))
+                         * ((g.sx - m.v) / (g.n - 1)), 0.0)) AS s_i,
+         r.szr - m.v AS nbr_sum,
+         g.n
+  FROM nm m
+  JOIN reg r ON m.n_regionkey = r.n_regionkey
+  JOIN region r2 ON m.n_regionkey = r2.r_regionkey
+  CROSS JOIN g
+  WHERE r.s_r > 1 AND g.n > 2
+), z AS (
+  SELECT n_nationkey, n_name, r_name, v,
+         round((nbr_sum - mu_i * wi)
+               / (s_i * sqrt(((n - 1.0) * wi - CAST(wi AS DOUBLE) * wi)
+                             / (n - 2.0))), 6) AS gi_z
+  FROM scored WHERE s_i > 0 AND (n - 1) > wi
+)
+SELECT n_name AS nation, r_name AS region, round(v, 2) AS mean_bal,
+       gi_z,
+       CAST(CASE WHEN gi_z > 1.645 THEN 1
+                 WHEN gi_z < -1.645 THEN -1 ELSE 0 END AS INT) AS hotspot
+FROM z
+ORDER BY nation
+"""
+
+
+@query("q_getis_ord", oracle=GETIS_SQL)
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    cust, nat, regn = c.customer, c.nation, c.region
+    nm = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
+    )
+    nm = nm.cache()  # 25-row grid: feeds globals, region sums, and rows
+    g = nm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("v") * F.col("v"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    reg = nm.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_r"),
+        F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("szr"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    v, s_r, szr = F.col("v"), F.col("s_r"), F.col("szr")
+    mu_i = (sx - v) / (n - 1)
+    scored = (
+        nm.join(F.broadcast(reg), "n_regionkey")
+        .join(
+            F.broadcast(regn),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(g))
+        .filter((s_r > 1) & (n > 2))
+        .select(
+            "n_nationkey",
+            "n_name",
+            "r_name",
+            "v",
+            (s_r - 1).alias("wi"),
+            mu_i.alias("mu_i"),
+            F.sqrt(
+                F.greatest(
+                    (sxx - F.round(v * v, 6)) / (n - 1) - mu_i * mu_i,
+                    F.lit(0.0),
+                )
+            ).alias("s_i"),
+            (szr - v).alias("nbr_sum"),
+            "n",
+        )
+    )
+    wi, s_i = F.col("wi"), F.col("s_i")
+    gi_z = F.round(
+        (F.col("nbr_sum") - F.col("mu_i") * wi)
+        / (
+            s_i
+            * F.sqrt(
+                ((n - 1.0) * wi - wi.cast("double") * wi) / (n - 2.0)
+            )
+        ),
+        6,
+    )
+    z = (
+        scored.filter((s_i > 0) & ((n - 1) > wi))
+        .select("n_name", "r_name", "v", gi_z.alias("gi_z"))
+    )
+    return z.select(
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        F.round("v", 2).alias("mean_bal"),
+        "gi_z",
+        F.when(F.col("gi_z") > 1.645, 1)
+        .when(F.col("gi_z") < -1.645, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("hotspot"),
+    ).orderBy("nation")

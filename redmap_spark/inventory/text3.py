@@ -14,7 +14,7 @@ patterns (no lookaround, no backrefs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
@@ -1156,4 +1156,170 @@ def txt_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
         .orderBy("distinctive_of", "rank")
+    )
+
+
+# -- txt_textrank ------------------------------------------------------
+#
+# TextRank keyword extraction (Mihalcea & Tarau 2004): adjacent-token
+# co-occurrence edges over the ≤200-word vocabulary (length ≥ 4,
+# top-by-count with word tie-break), symmetrized and out-strength-
+# normalized, then FIVE unrolled damped PageRank rounds (d = 0.85)
+# over the word graph — the graph-based keyworder beside txt_rake /
+# txt_tfidf_keywords's frequency-based ones. Determinism: per-round
+# contributions fold as 9-rounded DECIMAL(28,9) sums; dangling mass is
+# dropped identically on both engines; ranks tie-break on word. Scale:
+# one corpus scan for unigrams + one for bigrams; every round is a
+# join on the bounded vocab-edge grid (localCheckpoint per round pins
+# plan depth — the mr_pagerank discipline; oracle rounds are
+# MATERIALIZED for the same reason).
+
+_TR_D = "0.85"
+_TR_ROUNDS = 5
+
+
+def _textrank_sql() -> str:
+    rounds = []
+    for r in range(1, _TR_ROUNDS + 1):
+        prev = "s0" if r == 1 else f"s{r - 1}"
+        rounds.append(f"""s{r} AS MATERIALIZED (
+  SELECT v.w, (1.0 - {_TR_D}) / n.nv + {_TR_D} * COALESCE(con.c, 0.0) AS s
+  FROM vocab v CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS w,
+           CAST(SUM(CAST(round(e.p * s.s, 9) AS DECIMAL(28,9)))
+                AS DOUBLE) AS c
+    FROM edges e JOIN {prev} s ON e.src = s.w GROUP BY 1) con
+    ON v.w = con.w
+)""")
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT string_split(text, ' ') AS tk FROM documents
+), uc AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(tk) AS w FROM t) u GROUP BY 1
+), vocab AS MATERIALIZED (
+  SELECT w FROM uc WHERE length(w) >= 4
+  ORDER BY c DESC, w LIMIT 200
+), bc AS MATERIALIZED (
+  SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS c_xy
+  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+                                     i -> [tk[i], tk[i + 1]])) AS pr
+        FROM t WHERE len(tk) > 1) b
+  JOIN vocab v1 ON pr[1] = v1.w
+  JOIN vocab v2 ON pr[2] = v2.w
+  WHERE pr[1] <> pr[2]
+  GROUP BY 1, 2
+), er AS (
+  SELECT w1 AS src, w2 AS dst, c_xy AS c FROM bc
+  UNION ALL
+  SELECT w2 AS src, w1 AS dst, c_xy AS c FROM bc
+), ew AS (
+  SELECT src, dst, CAST(SUM(c) AS BIGINT) AS c FROM er GROUP BY 1, 2
+), strength AS (
+  SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM ew GROUP BY 1
+), edges AS MATERIALIZED (
+  SELECT e.src, e.dst, e.c / CAST(s.tot AS DOUBLE) AS p
+  FROM ew e JOIN strength s ON e.src = s.src
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM vocab),
+s0 AS (
+  SELECT v.w, 1.0 / n.nv AS s FROM vocab v CROSS JOIN n
+), {', '.join(rounds)}
+SELECT w AS word, round(s, 6) AS score,
+       CAST(ROW_NUMBER() OVER (ORDER BY s DESC, w) AS BIGINT) AS rank
+FROM s{_TR_ROUNDS}
+ORDER BY rank LIMIT 15
+"""
+
+
+@query("txt_textrank", oracle=_textrank_sql())
+def txt_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(F.split("text", " ").alias("tk"))
+    uc = (
+        t.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        uc.filter(F.length("w") >= 4)
+        .orderBy(F.desc("c"), "w")
+        .limit(200)
+        .select("w")
+    )
+    vocab = vocab.cache()  # ≤200 rows: feeds both edge sides, N, rounds
+    pairs = t.filter(F.size("tk") > 1).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(element_at(tk, i) AS w1,"
+                "             element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("pr")
+    )
+    bc = (
+        pairs.select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .filter(F.col("w1") != F.col("w2"))
+        .join(F.broadcast(vocab.select(F.col("w").alias("w1"))), "w1")
+        .join(F.broadcast(vocab.select(F.col("w").alias("w2"))), "w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    bc = bc.cache()  # consumed by BOTH union branches (no CSE across union)
+    er = bc.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), F.col("c_xy")
+    ).unionAll(
+        bc.select(
+            F.col("w2").alias("src"), F.col("w1").alias("dst"),
+            F.col("c_xy"),
+        )
+    )
+    ew = er.groupBy("src", "dst").agg(
+        F.sum("c_xy").cast("bigint").alias("c")
+    )
+    strength = ew.groupBy("src").agg(F.sum("c").cast("bigint").alias("tot"))
+    edges = ew.join(strength, "src").select(
+        "src", "dst", (F.col("c") / F.col("tot").cast("double")).alias("p")
+    )
+    edges = edges.localCheckpoint()  # bounded grid reused every round
+    n = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    s = vocab.join(F.broadcast(n)).select(
+        "w", (1.0 / F.col("nv")).alias("s")
+    )
+    d_lit = float(_TR_D)
+    for _ in range(_TR_ROUNDS):
+        con = (
+            edges.join(s.select(F.col("w").alias("src"), "s"), "src")
+            .groupBy(F.col("dst").alias("w"))
+            .agg(
+                F.sum(F.round(F.col("p") * F.col("s"), 9).cast(
+                    "decimal(28,9)"
+                ))
+                .cast("double")
+                .alias("c")
+            )
+        )
+        s = (
+            vocab.join(F.broadcast(n))
+            .join(con, "w", "left")
+            .select(
+                "w",
+                (
+                    (1.0 - d_lit) / F.col("nv")
+                    + d_lit * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("s"),
+            )
+            .localCheckpoint()  # pin plan depth per round (mr_pagerank rule)
+        )
+    return (
+        s.select(
+            F.col("w").alias("word"),
+            F.round("s", 6).alias("score"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("s"), "w"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+        .orderBy("rank")
+        .limit(15)
     )
