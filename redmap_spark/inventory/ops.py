@@ -465,3 +465,360 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_5pct"
         ),
     ).orderBy("segment")
+
+
+# -- q_croston ---------------------------------------------------------
+#
+# Croston intermittent-demand forecast for the 5 highest-volume SKU
+# groups (p_brand/p_size): daily shipped quantity per group is a
+# genuinely sparse series (~2% demand days at sf0.01), where naive
+# EWMA understates
+# demand — Croston 1972 smooths the non-zero demand SIZES z_t and the
+# inter-demand INTERVALS p_t separately and forecasts z Hat/p Hat units
+# per day; the Syntetos-Boylan approximation multiplies by (1−α/2).
+# Both smoothers are the house finite-horizon α=1/2 EWMA (8 most
+# recent demand events, pow(0.5, j) weights — exact powers of two),
+# with 6-rounded decimal numerator folds. Scale: one lineitem⋈part
+# scan to the |sku × demand-day| grid; windows run on that grid.
+
+CROSTON_SQL = """
+WITH dem AS MATERIALIZED (
+  SELECT p_brand || '/' || CAST(p_size AS VARCHAR) AS sku,
+         l_shipdate AS day,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS z
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), top5 AS (
+  SELECT sku,
+         CAST(SUM(z) AS DECIMAL(28,2)) AS total
+  FROM dem GROUP BY 1
+  ORDER BY total DESC, sku LIMIT 5
+), g AS (
+  SELECT d.sku, d.day, d.z,
+         date_diff('day',
+                   LAG(d.day) OVER (PARTITION BY d.sku
+                                    ORDER BY d.day),
+                   d.day) AS gap,
+         ROW_NUMBER() OVER (PARTITION BY d.sku
+                            ORDER BY d.day DESC) AS rd,
+         CAST(COUNT(*) OVER (PARTITION BY d.sku) AS BIGINT)
+           AS n_demand_days
+  FROM dem d JOIN top5 t ON d.sku = t.sku
+), ew AS (
+  SELECT sku, n_demand_days,
+         CAST(SUM(CAST(round(pow(0.5, rd - 1) * CAST(z AS DOUBLE), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS z_num,
+         SUM(pow(0.5, rd - 1)) AS z_den,
+         CAST(SUM(CASE WHEN gap IS NOT NULL THEN
+                    CAST(round(pow(0.5, rd - 1) * gap, 6)
+                         AS DECIMAL(28,6)) END) AS DOUBLE) AS p_num,
+         SUM(CASE WHEN gap IS NOT NULL THEN pow(0.5, rd - 1) END) AS p_den
+  FROM g WHERE rd <= 8
+  GROUP BY 1, 2
+)
+SELECT sku, n_demand_days,
+       round(z_num / z_den, 6) AS z_hat,
+       round(p_num / p_den, 6) AS p_hat,
+       round((z_num / z_den) / (p_num / p_den), 6) AS croston_rate,
+       round(0.75 * (z_num / z_den) / (p_num / p_den), 6) AS sba_rate
+FROM ew WHERE p_den > 0 AND p_num > 0
+ORDER BY sku
+"""
+
+
+@query("q_croston", oracle=CROSTON_SQL)
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    dem = (
+        c.lineitem.join(
+            c.part.select("p_partkey", "p_brand", "p_size"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.concat_ws(
+                "/", F.col("p_brand"), F.col("p_size").cast("string")
+            ).alias("sku"),
+            F.col("l_shipdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("z")
+        )
+    )
+    dem = dem.cache()  # grid feeds the top-5 ranking AND the smoother
+    top5 = (
+        dem.groupBy("sku")
+        .agg(F.sum("z").cast("decimal(28,2)").alias("total"))
+        .orderBy(F.desc("total"), "sku")
+        .limit(5)
+        .select("sku")
+    )
+    wasc = Window.partitionBy("sku").orderBy("day")
+    wdesc = Window.partitionBy("sku").orderBy(F.desc("day"))
+    g = dem.join(F.broadcast(top5), "sku").select(
+        "sku",
+        "day",
+        "z",
+        F.datediff(F.col("day"), F.lag("day").over(wasc)).alias("gap"),
+        F.row_number().over(wdesc).alias("rd"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("sku"))
+        .cast("bigint")
+        .alias("n_demand_days"),
+    )
+    w = F.pow(F.lit(0.5), F.col("rd") - 1)
+    ew = (
+        g.filter(F.col("rd") <= 8)
+        .groupBy("sku", "n_demand_days")
+        .agg(
+            F.sum(
+                F.round(w * F.col("z").cast("double"), 6).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("z_num"),
+            F.sum(w).alias("z_den"),
+            F.sum(
+                F.when(
+                    F.col("gap").isNotNull(),
+                    F.round(w * F.col("gap"), 6).cast("decimal(28,6)"),
+                )
+            )
+            .cast("double")
+            .alias("p_num"),
+            F.sum(F.when(F.col("gap").isNotNull(), w)).alias("p_den"),
+        )
+    )
+    rate = (F.col("z_num") / F.col("z_den")) / (
+        F.col("p_num") / F.col("p_den")
+    )
+    return (
+        ew.filter((F.col("p_den") > 0) & (F.col("p_num") > 0))
+        .select(
+            "sku",
+            "n_demand_days",
+            F.round(F.col("z_num") / F.col("z_den"), 6).alias("z_hat"),
+            F.round(F.col("p_num") / F.col("p_den"), 6).alias("p_hat"),
+            F.round(rate, 6).alias("croston_rate"),
+            F.round(0.75 * rate, 6).alias("sba_rate"),
+        )
+        .orderBy("sku")
+    )
+
+
+# -- q_session_entry_exit ----------------------------------------------
+#
+# Entry/exit session report: gap-based sessions (the q_sessionize 6h
+# break) summarized per ENTRY event type — session counts, bounce rate
+# (single-event sessions), mean session length, and the share that
+# EXITS on a purchase. Entry/exit rows come from two row_number
+# windows over the same (user, session) sort, so ties are pinned by
+# (ts, event_id); ratios are single double divisions over exact
+# counts. Scale: one user-partitioned window pass → per-session rows
+# → |entry types| grid. The landing-page analytics shape beside
+# q_funnel / q_attribution.
+
+ENTRY_EXIT_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              > 21600000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess
+  FROM e
+), r AS (
+  SELECT user_id, sess, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts DESC, event_id DESC) AS rz
+  FROM s
+), per_sess AS (
+  SELECT user_id, sess,
+         MAX(CASE WHEN ra = 1 THEN event_type END) AS entry,
+         MAX(CASE WHEN rz = 1 THEN event_type END) AS exit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM r GROUP BY 1, 2
+)
+SELECT entry AS entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+       round(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
+       round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+       round(SUM(CASE WHEN exit = 'purchase' THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS p_exit_purchase
+FROM per_sess
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q_session_entry_exit", oracle=ENTRY_EXIT_SQL)
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    brk = F.when(us - F.lag(us).over(wo) > 21600000000, 1).otherwise(0)
+    s = e.select(
+        "user_id", "ts", "event_id", "event_type", brk.alias("brk")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("brk").over(wsum).alias("sess"),
+    )
+    wsa = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    wsz = Window.partitionBy("user_id", "sess").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = s.select(
+        "user_id",
+        "sess",
+        "event_type",
+        F.row_number().over(wsa).alias("ra"),
+        F.row_number().over(wsz).alias("rz"),
+    )
+    per_sess = r.groupBy("user_id", "sess").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("event_type"))).alias("entry"),
+        F.max(F.when(F.col("rz") == 1, F.col("event_type"))).alias("exit"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    n = F.col("n")
+    return (
+        per_sess.groupBy(F.col("entry").alias("entry_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(n == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("bounces"),
+            F.round(
+                F.sum(F.when(n == 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("bounce_rate"),
+            F.round(
+                F.sum(n).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_events"),
+            F.round(
+                F.sum(
+                    F.when(F.col("exit") == "purchase", 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("p_exit_purchase"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+# -- q_tail_dependence -------------------------------------------------
+#
+# Empirical tail-dependence coefficients between order value and the
+# customer's account balance, per market segment: rank both margins
+# into the empirical copula (row_number with o_orderkey tie-breaks —
+# integer ranks, so no double-boundary ambiguity), then
+# λ_U ≈ #{both in top k}/k and λ_L ≈ #{both in bottom k}/k with
+# k = ⌊n/20⌋ (the 5% tail) — the co-crash/co-boom measure a
+# correlation matrix misses (q_corr_matrix sees only linear middle-
+# of-distribution association). Under independence both λ ≈ 0.05.
+# Scale: two grouped rank windows over the joined fact + one count
+# scan; output is the 5-row segment grid.
+
+TAIL_DEP_SQL = """
+WITH j AS (
+  SELECT c_mktsegment AS segment, o_orderkey,
+         o_totalprice AS x, c_acctbal AS y
+  FROM orders JOIN customer ON c_custkey = o_custkey
+), ranked AS (
+  SELECT segment,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY x, o_orderkey) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY y, o_orderkey) AS ry,
+         CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+  FROM j
+), agg AS (
+  SELECT segment, n, n // 20 AS k,
+         CAST(SUM(CASE WHEN rx > n - n // 20 AND ry > n - n // 20
+                       THEN 1 ELSE 0 END) AS BIGINT) AS joint_upper,
+         CAST(SUM(CASE WHEN rx <= n // 20 AND ry <= n // 20
+                       THEN 1 ELSE 0 END) AS BIGINT) AS joint_lower
+  FROM ranked GROUP BY 1, 2, 3
+)
+SELECT segment, n, CAST(k AS BIGINT) AS k, joint_upper, joint_lower,
+       round(joint_upper / CAST(k AS DOUBLE), 6) AS lambda_upper,
+       round(joint_lower / CAST(k AS DOUBLE), 6) AS lambda_lower
+FROM agg WHERE k > 0
+ORDER BY segment
+"""
+
+
+@query("q_tail_dependence", oracle=TAIL_DEP_SQL)
+def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    j = c.orders.join(
+        c.customer.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("x"),
+        F.col("c_acctbal").alias("y"),
+    )
+    ranked = j.select(
+        "segment",
+        F.row_number()
+        .over(Window.partitionBy("segment").orderBy("x", "o_orderkey"))
+        .alias("rx"),
+        F.row_number()
+        .over(Window.partitionBy("segment").orderBy("y", "o_orderkey"))
+        .alias("ry"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("segment"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    k = F.expr("n div 20")
+    rx, ry, n = F.col("rx"), F.col("ry"), F.col("n")
+    agg = ranked.groupBy("segment", "n").agg(
+        F.sum(
+            F.when((rx > n - F.expr("n div 20"))
+                   & (ry > n - F.expr("n div 20")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("joint_upper"),
+        F.sum(
+            F.when(
+                (rx <= F.expr("n div 20")) & (ry <= F.expr("n div 20")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("joint_lower"),
+    ).withColumn("k", k)
+    return (
+        agg.filter(F.col("k") > 0)
+        .select(
+            "segment",
+            "n",
+            F.col("k").cast("bigint").alias("k"),
+            "joint_upper",
+            "joint_lower",
+            F.round(
+                F.col("joint_upper") / F.col("k").cast("double"), 6
+            ).alias("lambda_upper"),
+            F.round(
+                F.col("joint_lower") / F.col("k").cast("double"), 6
+            ).alias("lambda_lower"),
+        )
+        .orderBy("segment")
+    )
