@@ -137,6 +137,7 @@ _WINDOW_FIRST = [
     "q_drawdown", "q_erlang_c", "q_anderson_darling",
     "txt_textrank", "q_getis_ord", "q_markov_attribution",
     "q_croston", "q_session_entry_exit", "q_tail_dependence",
+    "q_rsi", "q_cross_elasticity", "sim_hubness",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -1872,3 +1872,210 @@ def q_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# -- q_cross_elasticity ------------------------------------------------
+#
+# Cross-price elasticity between the two highest-volume brands: slope
+# of ln(daily quantity of brand B) on ln(daily mean discounted unit
+# price of brand A), both directions — substitutes show positive
+# cross-elasticity, complements negative; the between-product
+# companion to q_elasticity's own-price fit. The identifying
+# variation is day-to-day discount mix. Daily grids are exact:
+# revenue folds DECIMAL(18,2), quantity DECIMAL(18,2); ln() runs on
+# the one exact ratio per day; log-domain moments fold 9-rounded
+# DECIMAL(18,9) terms (the q_elasticity contract). Matched days only
+# (inner join of the two brand grids). Scale: one lineitem⋈part scan
+# to the |brand × day| grid; the top-2 pick and both fits are grid
+# algebra.
+
+CROSS_ELAST_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT p_brand AS brand, l_shipdate AS day,
+         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 2)
+                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), top2 AS (
+  SELECT brand, ROW_NUMBER() OVER (ORDER BY tq DESC, brand) AS rk
+  FROM (SELECT brand, CAST(SUM(qty) AS DECIMAL(28,2)) AS tq
+        FROM daily GROUP BY 1)
+  QUALIFY rk <= 2
+), ab AS (
+  SELECT a.day,
+         ln(CAST(a.rev AS DOUBLE) / CAST(a.qty AS DOUBLE)) AS pa,
+         ln(CAST(b.qty AS DOUBLE)) AS qb,
+         ln(CAST(b.rev AS DOUBLE) / CAST(b.qty AS DOUBLE)) AS pb,
+         ln(CAST(a.qty AS DOUBLE)) AS qa,
+         ta.brand AS brand_a, tb.brand AS brand_b
+  FROM top2 ta JOIN daily a ON a.brand = ta.brand AND ta.rk = 1
+  JOIN top2 tb ON tb.rk = 2
+  JOIN daily b ON b.brand = tb.brand AND b.day = a.day
+  WHERE a.qty > 0 AND b.qty > 0 AND a.rev > 0 AND b.rev > 0
+), pairs AS (
+  SELECT brand_a AS price_brand, brand_b AS demand_brand,
+         pa AS x, qb AS y FROM ab
+  UNION ALL
+  SELECT brand_b, brand_a, pb AS x, qa AS y FROM ab
+), m AS (
+  SELECT price_brand, demand_brand, CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(round(y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT price_brand, demand_brand, n_days,
+       round((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx), 6)
+         AS cross_elasticity,
+       round((n_days * sxy - sx * sy) * (n_days * sxy - sx * sy)
+             / ((n_days * sxx - sx * sx) * (n_days * syy - sy * sy)), 6)
+         AS r2,
+       CAST(CASE WHEN (n_days * sxy - sx * sy)
+                      / (n_days * sxx - sx * sx) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_substitute
+FROM m
+WHERE n_days * sxx - sx * sx <> 0 AND n_days * syy - sy * sy <> 0
+ORDER BY price_brand
+"""
+
+
+@query("q_cross_elasticity", oracle=CROSS_ELAST_SQL)
+def q_cross_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    daily = (
+        c.lineitem.join(
+            c.part.select("p_partkey", "p_brand"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1.0 - F.col("l_discount")),
+                    2,
+                ).cast("decimal(18,2)")
+            )
+            .cast("decimal(18,2)")
+            .alias("rev"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("qty"),
+        )
+    )
+    daily = daily.cache()  # grid feeds top-2 pick AND both join sides
+    top2 = (
+        daily.groupBy("brand")
+        .agg(F.sum("qty").cast("decimal(28,2)").alias("tq"))
+        .select(
+            "brand",
+            F.row_number()
+            .over(Window.orderBy(F.desc("tq"), "brand"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 2)
+    )
+    top2 = top2.cache()  # 2 rows
+    a = (
+        top2.filter(F.col("rk") == 1)
+        .join(daily, "brand")
+        .select(
+            F.col("brand").alias("brand_a"),
+            "day",
+            F.col("rev").alias("rev_a"),
+            F.col("qty").alias("qty_a"),
+        )
+    )
+    b = (
+        top2.filter(F.col("rk") == 2)
+        .join(daily, "brand")
+        .select(
+            F.col("brand").alias("brand_b"),
+            F.col("day").alias("day_b"),
+            F.col("rev").alias("rev_b"),
+            F.col("qty").alias("qty_b"),
+        )
+    )
+    ab = (
+        a.join(F.broadcast(b), F.col("day") == F.col("day_b"))
+        .filter(
+            (F.col("qty_a") > 0)
+            & (F.col("qty_b") > 0)
+            & (F.col("rev_a") > 0)
+            & (F.col("rev_b") > 0)
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            F.log(
+                F.col("rev_a").cast("double") / F.col("qty_a").cast("double")
+            ).alias("pa"),
+            F.log(F.col("qty_b").cast("double")).alias("qb"),
+            F.log(
+                F.col("rev_b").cast("double") / F.col("qty_b").cast("double")
+            ).alias("pb"),
+            F.log(F.col("qty_a").cast("double")).alias("qa"),
+        )
+    )
+    ab = ab.cache()  # ~|days| rows consumed by both union branches
+    pairs = ab.select(
+        F.col("brand_a").alias("price_brand"),
+        F.col("brand_b").alias("demand_brand"),
+        F.col("pa").alias("x"),
+        F.col("qb").alias("y"),
+    ).unionAll(
+        ab.select(
+            F.col("brand_b").alias("price_brand"),
+            F.col("brand_a").alias("demand_brand"),
+            F.col("pb").alias("x"),
+            F.col("qa").alias("y"),
+        )
+    )
+
+    def fold(expr, name):
+        return (
+            F.sum(F.round(expr, 9).cast("decimal(18,9)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    x, y = F.col("x"), F.col("y")
+    m = pairs.groupBy("price_brand", "demand_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        fold(x, "sx"),
+        fold(y, "sy"),
+        fold(x * y, "sxy"),
+        fold(x * x, "sxx"),
+        fold(y * y, "syy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx, sy, sxy, sxx, syy = (
+        F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx"), F.col("syy")
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        m.filter(
+            ((n * sxx - sx * sx) != 0) & ((n * syy - sy * sy) != 0)
+        )
+        .select(
+            "price_brand",
+            "demand_brand",
+            "n_days",
+            F.round(slope, 6).alias("cross_elasticity"),
+            F.round(
+                (n * sxy - sx * sy)
+                * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("r2"),
+            F.when(slope > 0, 1).otherwise(0).cast("bigint").alias(
+                "is_substitute"
+            ),
+        )
+        .orderBy("price_brand")
+    )

@@ -822,3 +822,136 @@ def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# -- q_rsi -------------------------------------------------------------
+#
+# Cutler's RSI (14-day simple-mean relative strength index) on daily
+# revenue per event type: trailing-window average gain vs average
+# loss, RSI = 100 − 100/(1 + G/L) — the overbought/oversold momentum
+# flag beside q_bollinger_flags' volatility bands. Cutler's
+# simple-average variant (not Wilder's recursive smoothing) is chosen
+# because the 14-row window sums of EXACT DECIMAL(18,2) day-over-day
+# gains/losses make every RSI value exact-up-to-one-division on both
+# engines — no recursion, no drift. Zero-loss windows pin RSI = 100.
+# Output: per type, the latest-day RSI plus overbought/oversold day
+# counts across the series. Scale: one fact scan to the daily grid,
+# two ordered windows on that grid.
+
+RSI_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, day, rev,
+         CAST(rev - LAG(rev) OVER (PARTITION BY event_type ORDER BY day)
+              AS DECIMAL(18,2)) AS chg
+  FROM daily
+), w AS (
+  SELECT event_type, day,
+         CAST(SUM(GREATEST(chg, CAST(0 AS DECIMAL(18,2)))) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+              AS DECIMAL(28,2)) AS g,
+         CAST(SUM(GREATEST(-chg, CAST(0 AS DECIMAL(18,2)))) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+              AS DECIMAL(28,2)) AS l,
+         COUNT(chg) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS nw
+  FROM d
+), rsi AS (
+  SELECT event_type, day,
+         CASE WHEN l = 0 THEN 100.0
+              ELSE round(100.0 - 100.0
+                         / (1.0 + CAST(g AS DOUBLE) / CAST(l AS DOUBLE)),
+                         6) END AS rsi,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY day DESC) AS rd
+  FROM w WHERE nw = 14
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       MAX(CASE WHEN rd = 1 THEN strftime(day, '%Y-%m-%d') END) AS last_day,
+       MAX(CASE WHEN rd = 1 THEN rsi END) AS rsi_last,
+       CAST(SUM(CASE WHEN rsi > 70.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overbought,
+       CAST(SUM(CASE WHEN rsi < 30.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversold
+FROM rsi
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q_rsi", oracle=RSI_SQL)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type",
+        "day",
+        (F.col("rev") - F.lag("rev").over(wo))
+        .cast("decimal(18,2)")
+        .alias("chg"),
+    )
+    w14 = wo.rowsBetween(-13, Window.currentRow)
+    zero = F.lit(0).cast("decimal(18,2)")
+    w = d.select(
+        "event_type",
+        "day",
+        F.sum(F.greatest(F.col("chg"), zero))
+        .over(w14)
+        .cast("decimal(28,2)")
+        .alias("g"),
+        F.sum(F.greatest(-F.col("chg"), zero))
+        .over(w14)
+        .cast("decimal(28,2)")
+        .alias("l"),
+        F.count("chg").over(w14).alias("nw"),
+    )
+    rsi_val = F.when(F.col("l") == 0, F.lit(100.0)).otherwise(
+        F.round(
+            100.0
+            - 100.0
+            / (1.0 + F.col("g").cast("double") / F.col("l").cast("double")),
+            6,
+        )
+    )
+    rsi = (
+        w.filter(F.col("nw") == 14)
+        .select(
+            "event_type",
+            "day",
+            rsi_val.alias("rsi"),
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy(F.desc("day")))
+            .alias("rd"),
+        )
+    )
+    return (
+        rsi.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max(
+                F.when(
+                    F.col("rd") == 1, F.date_format("day", "yyyy-MM-dd")
+                )
+            ).alias("last_day"),
+            F.max(F.when(F.col("rd") == 1, F.col("rsi"))).alias("rsi_last"),
+            F.sum(F.when(F.col("rsi") > 70.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_overbought"),
+            F.sum(F.when(F.col("rsi") < 30.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oversold"),
+        )
+        .orderBy("event_type")
+    )

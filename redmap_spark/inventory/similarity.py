@@ -1623,3 +1623,137 @@ def sim_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# -- sim_hubness -------------------------------------------------------
+#
+# Hubness diagnostic of the embedding space (Radovanović et al. 2010):
+# in high dimensions the k-occurrence distribution N_k (how often a
+# vector appears in other points' top-k) grows right-skewed — a few
+# "hub" vectors dominate neighbor lists and silently distort kNN
+# retrieval, dedup and diversity sampling. Computed over the
+# deterministic vec_id % 5 == 0 query sample (the standard sampled-
+# hubness estimator; candidates remain the FULL corpus) with the
+# house exact cosine top-10 (S.knn_join_bruteforce — sequential dot
+# fold matches DuckDB list_sum order). N_k are INTEGERS, so the
+# skewness raw moments Σc, Σc², Σc³ fold exactly as BIGINTs and the
+# g₁ assembly is one identical double chain. Scale: |sample|×|corpus|
+# scored pairs — 5× the sim_knn_join shape; the production path swaps
+# in the IVF join, the estimator is unchanged.
+
+HUB_K = 10
+
+SIM_HUBNESS_SQL = f"""
+WITH w AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                      x -> x * x))) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM w WHERE vec_id % 5 = 0
+), scored AS (
+  SELECT q.q_id, b.vec_id AS c_id,
+         round(list_sum(list_transform(range(1, 65), i -> b.v[i] * q.qv[i]))
+               / (b.nrm * q.qn), 4) AS score
+  FROM w b, q WHERE b.vec_id != q.q_id
+), r AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, c_id) AS rn
+  FROM scored
+), occ AS (
+  SELECT a.vec_id, CAST(COALESCE(h.c, 0) AS BIGINT) AS nk
+  FROM (SELECT vec_id FROM embeddings) a
+  LEFT JOIN (SELECT c_id, COUNT(*) AS c FROM r WHERE rn <= {HUB_K}
+             GROUP BY 1) h
+    ON a.vec_id = h.c_id
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(nk) AS BIGINT) AS s1,
+         CAST(SUM(nk * nk) AS BIGINT) AS s2,
+         CAST(SUM(nk * nk * nk) AS BIGINT) AS s3,
+         CAST(MAX(nk) AS BIGINT) AS max_occ,
+         CAST(SUM(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_never
+  FROM occ
+), hub AS (
+  SELECT vec_id AS hub_vec_id, nk AS hub_occ
+  FROM occ ORDER BY nk DESC, vec_id LIMIT 1
+)
+SELECT m.n AS n_vectors, m.s1 AS total_occurrences,
+       round(CAST(m.s1 AS DOUBLE) / m.n, 6) AS mean_occ,
+       round((CAST(m.s3 AS DOUBLE) / m.n
+              - 3.0 * (CAST(m.s1 AS DOUBLE) / m.n)
+                * (CAST(m.s2 AS DOUBLE) / m.n)
+              + 2.0 * (CAST(m.s1 AS DOUBLE) / m.n)
+                * (CAST(m.s1 AS DOUBLE) / m.n)
+                * (CAST(m.s1 AS DOUBLE) / m.n))
+             / pow(CAST(m.s2 AS DOUBLE) / m.n
+                   - (CAST(m.s1 AS DOUBLE) / m.n)
+                     * (CAST(m.s1 AS DOUBLE) / m.n), 1.5), 6)
+         AS skewness,
+       m.max_occ, m.n_never,
+       h.hub_vec_id, h.hub_occ
+FROM mom m CROSS JOIN hub h
+WHERE m.s2 * m.n > m.s1 * m.s1
+"""
+
+
+@query("sim_hubness", oracle=SIM_HUBNESS_SQL)
+def sim_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    knn = S.knn_join_bruteforce(
+        e.filter(F.col("vec_id") % 5 == 0), e, k=HUB_K
+    )
+    h = knn.groupBy(F.col("c_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    occ = (
+        e.select("vec_id")
+        .join(F.broadcast(h), "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("nk")
+        )
+    )
+    occ = occ.cache()  # |corpus| id/count rows: feeds moments AND argmax
+    nk = F.col("nk")
+    mom = occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(nk).cast("bigint").alias("s1"),
+        F.sum(nk * nk).cast("bigint").alias("s2"),
+        F.sum(nk * nk * nk).cast("bigint").alias("s3"),
+        F.max(nk).cast("bigint").alias("max_occ"),
+        F.sum(F.when(nk == 0, 1).otherwise(0)).cast("bigint").alias(
+            "n_never"
+        ),
+    )
+    hub = (
+        occ.orderBy(F.desc("nk"), "vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("hub_vec_id"), F.col("nk").alias("hub_occ")
+        )
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / n
+        - 3.0 * mu * (F.col("s2").cast("double") / n)
+        + 2.0 * mu * mu * mu
+    )
+    return (
+        mom.filter(
+            F.col("s2") * F.col("n") > F.col("s1") * F.col("s1")
+        )
+        .join(F.broadcast(hub))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("s1").alias("total_occurrences"),
+            F.round(mu, 6).alias("mean_occ"),
+            F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+            "max_occ",
+            "n_never",
+            "hub_vec_id",
+            "hub_occ",
+        )
+    )
