@@ -2079,3 +2079,255 @@ def q_cross_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_brand")
     )
+
+
+# -- q_heckman_mills ---------------------------------------------------
+#
+# Heckman two-step sample-selection correction for customer spend:
+# ln(total spend) is OBSERVED only for customers who ever order, so a
+# naive OLS of spend on balance is conditioned on selection. Step 1
+# estimates the selection propensity per balance bucket (exact
+# empirical shares, clamped + 6-rounded), maps it through the house
+# A&S 26.2.23 inverse-normal rational chain to a probit index z, and
+# forms the inverse Mills ratio λ = φ(z)/Φ(z) (φ literal-constant
+# normal pdf, Φ the house erfc chain). Step 2 regresses y on
+# [1, x, λ] via the closed-form 3×3 Cramer solve over 9-rounded
+# decimal moment folds, reporting the naive slope, the corrected
+# slope, the Mills coefficient and the bias shift. Scale: one
+# customer∪orders scan per step; the bucket grid broadcasts back;
+# the solve is 1-row algebra.
+
+_INV_NORM_CONSTS = (2.515517, 0.802853, 0.010328, 1.432788, 0.189269,
+                    0.001308)
+
+
+def _inv_norm_sql(p: str) -> str:
+    """A&S 26.2.23 rational approximation of Φ⁻¹(p), |err| < 4.5e-4."""
+    c0, c1, c2, d1, d2, d3 = _INV_NORM_CONSTS
+    pp = f"(CASE WHEN ({p}) <= 0.5 THEN ({p}) ELSE 1.0 - ({p}) END)"
+    sgn = f"(CASE WHEN ({p}) <= 0.5 THEN -1.0 ELSE 1.0 END)"
+    t = f"sqrt(-2.0 * ln({pp}))"
+    return (
+        f"({sgn} * ({t} - ({c0} + {t} * ({c1} + {t} * {c2}))"
+        f" / (1.0 + {t} * ({d1} + {t} * ({d2} + {t} * {d3})))))"
+    )
+
+
+def _inv_norm_col(p):
+    """Column twin of _inv_norm_sql (identical double chain)."""
+    c0, c1, c2, d1, d2, d3 = _INV_NORM_CONSTS
+    pp = F.when(p <= 0.5, p).otherwise(1.0 - p)
+    sgn = F.when(p <= 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+    t = F.sqrt(-2.0 * F.log(pp))
+    return sgn * (
+        t - (c0 + t * (c1 + t * c2)) / (1.0 + t * (d1 + t * (d2 + t * d3)))
+    )
+
+
+HECKMAN_SQL = f"""
+WITH sel AS MATERIALIZED (
+  SELECT c_custkey, c_acctbal,
+         LEAST(GREATEST(CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT), -1), 9)
+           AS bin,
+         CASE WHEN o.k IS NULL THEN 0 ELSE 1 END AS s
+  FROM customer
+  LEFT JOIN (SELECT DISTINCT o_custkey AS k FROM orders) o
+    ON o.k = c_custkey
+), bins AS (
+  SELECT bin,
+         round(LEAST(GREATEST(SUM(s) / CAST(COUNT(*) AS DOUBLE), 0.0001),
+                     0.9999), 6) AS p
+  FROM sel GROUP BY 1
+), mills AS (
+  SELECT bin, z,
+         round(exp(-z * z / 2.0) / 2.506628274631
+               / GREATEST({{PHI}}, 1e-12), 6) AS lam
+  FROM (SELECT bin, round({_inv_norm_sql('p')}, 6) AS z FROM bins)
+), spend AS (
+  SELECT o_custkey AS cust,
+         ln(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)) AS y
+  FROM orders GROUP BY 1
+), rows_ AS (
+  SELECT s.c_acctbal / 1000.0 AS x, m.lam AS l, sp.y
+  FROM sel s
+  JOIN spend sp ON sp.cust = s.c_custkey
+  JOIN mills m ON m.bin = s.bin
+  WHERE s.s = 1
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(round(l, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sl,
+    CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(round(x * l, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxl,
+    CAST(SUM(CAST(round(l * l, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sll,
+    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(round(l * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sly
+  FROM rows_
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(s) AS BIGINT) AS n_selected
+  FROM sel
+), solve AS (
+  SELECT n, sx, sl, sy, sxx, sxl, sll, sxy, sly,
+         n * (sxx * sll - sxl * sxl)
+         - sx * (sx * sll - sxl * sl)
+         + sl * (sx * sxl - sxx * sl) AS deta
+  FROM mom
+)
+SELECT t.n_customers, t.n_selected,
+       round((s.n * s.sxy - s.sx * s.sy)
+             / (s.n * s.sxx - s.sx * s.sx), 6) + 0.0 AS beta_x_naive,
+       round((s.n * (s.sxy * s.sll - s.sxl * s.sly)
+              - s.sy * (s.sx * s.sll - s.sxl * s.sl)
+              + s.sl * (s.sx * s.sly - s.sxy * s.sl)) / s.deta, 6) + 0.0
+         AS beta_x_heckman,
+       round((s.n * (s.sxx * s.sly - s.sxy * s.sxl)
+              - s.sx * (s.sx * s.sly - s.sxy * s.sl)
+              + s.sy * (s.sx * s.sxl - s.sxx * s.sl)) / s.deta, 6) + 0.0
+         AS beta_mills,
+       round((s.n * (s.sxy * s.sll - s.sxl * s.sly)
+              - s.sy * (s.sx * s.sll - s.sxl * s.sl)
+              + s.sl * (s.sx * s.sly - s.sxy * s.sl)) / s.deta
+             - (s.n * s.sxy - s.sx * s.sy)
+               / (s.n * s.sxx - s.sx * s.sx), 6) + 0.0 AS bias_shift
+FROM solve s CROSS JOIN tot t
+WHERE s.deta <> 0 AND s.n * s.sxx - s.sx * s.sx <> 0
+"""
+
+
+def _phi_sql_local(x: str) -> str:
+    from redmap_spark.inventory.ops import _phi_sql
+
+    return _phi_sql(x)
+
+
+HECKMAN_SQL = HECKMAN_SQL.replace("{PHI}", _phi_sql_local("z"))
+
+
+@query("q_heckman_mills", oracle=HECKMAN_SQL)
+def q_heckman_mills(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.inventory.ops import _phi_col
+
+    c = Catalog(spark, sf_dir)
+    sel = (
+        c.customer.select("c_custkey", "c_acctbal")
+        .join(
+            c.orders.select(F.col("o_custkey").alias("k")).distinct(),
+            F.col("k") == F.col("c_custkey"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.least(
+                F.greatest(
+                    F.floor(F.col("c_acctbal") / 1000.0).cast("bigint"),
+                    F.lit(-1).cast("bigint"),
+                ),
+                F.lit(9).cast("bigint"),
+            ).alias("bin"),
+            F.when(F.col("k").isNull(), 0).otherwise(1).alias("s"),
+        )
+    )
+    sel = sel.cache()  # feeds bins, the outcome rows AND the totals
+    bins = sel.groupBy("bin").agg(
+        F.round(
+            F.least(
+                F.greatest(
+                    F.sum("s") / F.count(F.lit(1)).cast("double"),
+                    F.lit(0.0001),
+                ),
+                F.lit(0.9999),
+            ),
+            6,
+        ).alias("p")
+    )
+    z = F.round(_inv_norm_col(F.col("p")), 6)
+    zc = F.col("z")
+    mills = bins.select("bin", z.alias("z")).select(
+        "bin",
+        "z",
+        F.round(
+            F.exp(-zc * zc / 2.0)
+            / 2.506628274631
+            / F.greatest(_phi_col(zc), F.lit(1e-12)),
+            6,
+        ).alias("lam"),
+    )
+    spend = c.orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.log(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+        ).alias("y")
+    )
+    rows_ = (
+        sel.filter(F.col("s") == 1)
+        .join(spend, F.col("cust") == F.col("c_custkey"))
+        .join(F.broadcast(mills), "bin")
+        .select(
+            (F.col("c_acctbal") / 1000.0).alias("x"),
+            F.col("lam").alias("l"),
+            "y",
+        )
+    )
+
+    def fold(expr, name):
+        return (
+            F.sum(F.round(expr, 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    x, l, y = F.col("x"), F.col("l"), F.col("y")
+    mom = rows_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold(x, "sx"),
+        fold(l, "sl"),
+        fold(y, "sy"),
+        fold(x * x, "sxx"),
+        fold(x * l, "sxl"),
+        fold(l * l, "sll"),
+        fold(x * y, "sxy"),
+        fold(l * y, "sly"),
+    )
+    tot = sel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("s").cast("bigint").alias("n_selected"),
+    )
+    n = F.col("n")
+    sx, sl, sy = F.col("sx"), F.col("sl"), F.col("sy")
+    sxx, sxl, sll = F.col("sxx"), F.col("sxl"), F.col("sll")
+    sxy, sly = F.col("sxy"), F.col("sly")
+    deta = (
+        n * (sxx * sll - sxl * sxl)
+        - sx * (sx * sll - sxl * sl)
+        + sl * (sx * sxl - sxx * sl)
+    )
+    solve = mom.withColumn("deta", deta)
+    bx_heck = (
+        n * (sxy * sll - sxl * sly)
+        - sy * (sx * sll - sxl * sl)
+        + sl * (sx * sly - sxy * sl)
+    ) / F.col("deta")
+    b_mills = (
+        n * (sxx * sly - sxy * sxl)
+        - sx * (sx * sly - sxy * sl)
+        + sy * (sx * sxl - sxx * sl)
+    ) / F.col("deta")
+    bx_naive = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        solve.filter(
+            (F.col("deta") != 0) & ((n * sxx - sx * sx) != 0)
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "n_customers",
+            "n_selected",
+            (F.round(bx_naive, 6) + 0.0).alias("beta_x_naive"),
+            (F.round(bx_heck, 6) + 0.0).alias("beta_x_heckman"),
+            (F.round(b_mills, 6) + 0.0).alias("beta_mills"),
+            (F.round(bx_heck - bx_naive, 6) + 0.0).alias("bias_shift"),
+        )
+    )

@@ -1510,3 +1510,177 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# -- q_als_rank1 -------------------------------------------------------
+#
+# Rank-1 alternating least squares on the customer × brand quantity
+# matrix — the Spark-native recommender factorization primitive
+# (q_item_cf's model-based sibling): with a single latent factor the
+# ALS subproblems are CLOSED FORM, u_i = Σ_b r_ib·v_b / Σ_b v_b² and
+# v_b = Σ_i r_ib·u_i / Σ_i u_i², each one partial-aggregated pass over
+# the ratings table (v broadcast into the u-step; the v-step is a
+# key-shuffled fold). Two full alternations from v₀ = 1, factors
+# ROUNDED TO 9 BEFORE REUSE (the iterative round-before-reuse
+# contract), 6-rounded decimal numerator folds, plus the observed-cell
+# RMSE of the final u·v reconstruction. Brand ranks tie-break on
+# brand. Scale: ratings build is one fact join-aggregate; each ALS
+# step shuffles only (key, partial-sum) pairs, never vectors; the
+# oracle MATERIALIZEs every round.
+
+ALS_SQL = """
+WITH ratings AS MATERIALIZED (
+  SELECT o_custkey AS cust, p_brand AS brand,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), u1 AS MATERIALIZED (
+  SELECT cust,
+         round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 9) AS u
+  FROM ratings GROUP BY 1
+), v1 AS MATERIALIZED (
+  SELECT brand,
+         round(CAST(SUM(CAST(round(CAST(r.r AS DOUBLE) * u1.u, 6)
+                        AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(SUM(CAST(round(u1.u * u1.u, 9)
+                          AS DECIMAL(28,9))) AS DOUBLE), 9) AS v
+  FROM ratings r JOIN u1 ON r.cust = u1.cust
+  GROUP BY 1
+  HAVING CAST(SUM(CAST(round(u1.u * u1.u, 9) AS DECIMAL(28,9)))
+              AS DOUBLE) > 0
+), u2 AS MATERIALIZED (
+  SELECT cust,
+         round(CAST(SUM(CAST(round(CAST(r.r AS DOUBLE) * v1.v, 6)
+                        AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(SUM(CAST(round(v1.v * v1.v, 9)
+                          AS DECIMAL(28,9))) AS DOUBLE), 9) AS u
+  FROM ratings r JOIN v1 ON r.brand = v1.brand
+  GROUP BY 1
+  HAVING CAST(SUM(CAST(round(v1.v * v1.v, 9) AS DECIMAL(28,9)))
+              AS DOUBLE) > 0
+), v2 AS MATERIALIZED (
+  SELECT brand,
+         round(CAST(SUM(CAST(round(CAST(r.r AS DOUBLE) * u2.u, 6)
+                        AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(SUM(CAST(round(u2.u * u2.u, 9)
+                          AS DECIMAL(28,9))) AS DOUBLE), 9) AS v
+  FROM ratings r JOIN u2 ON r.cust = u2.cust
+  GROUP BY 1
+  HAVING CAST(SUM(CAST(round(u2.u * u2.u, 9) AS DECIMAL(28,9)))
+              AS DOUBLE) > 0
+), err AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         sqrt(CAST(SUM(CAST(round(
+                 (CAST(r.r AS DOUBLE) - u2.u * v2.v)
+                 * (CAST(r.r AS DOUBLE) - u2.u * v2.v), 6)
+               AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) AS rmse
+  FROM ratings r
+  JOIN u2 ON r.cust = u2.cust
+  JOIN v2 ON r.brand = v2.brand
+)
+SELECT v2.brand, round(v2.v, 6) AS v_factor,
+       CAST(ROW_NUMBER() OVER (ORDER BY v2.v DESC, v2.brand) AS BIGINT)
+         AS rank,
+       e.n_cells, round(e.rmse, 6) AS rmse
+FROM v2 CROSS JOIN err e
+ORDER BY rank
+"""
+
+
+@query("q_als_rank1", oracle=ALS_SQL)
+def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ratings = (
+        c.lineitem.join(
+            c.orders.select("o_orderkey", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("r")
+        )
+    )
+    ratings = ratings.localCheckpoint()  # reused by every ALS step + RMSE
+
+    rd = F.col("r").cast("double")
+
+    def num(factor):
+        return (
+            F.sum(F.round(rd * factor, 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("num")
+        )
+
+    def den(factor):
+        return (
+            F.sum(F.round(factor * factor, 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("den")
+        )
+
+    u1 = ratings.groupBy("cust").agg(
+        F.round(
+            F.sum("r").cast("double") / F.count(F.lit(1)), 9
+        ).alias("u")
+    )
+    v1 = (
+        ratings.join(u1, "cust")
+        .groupBy("brand")
+        .agg(num(F.col("u")), den(F.col("u")))
+        .filter(F.col("den") > 0)
+        .select("brand", F.round(F.col("num") / F.col("den"), 9).alias("v"))
+    )
+    v1 = v1.localCheckpoint()  # 25-row factor table: pin per-round lineage
+    u2 = (
+        ratings.join(F.broadcast(v1), "brand")
+        .groupBy("cust")
+        .agg(num(F.col("v")), den(F.col("v")))
+        .filter(F.col("den") > 0)
+        .select("cust", F.round(F.col("num") / F.col("den"), 9).alias("u"))
+    )
+    u2 = u2.localCheckpoint()  # consumed by v2 step AND the RMSE join
+    v2 = (
+        ratings.join(u2, "cust")
+        .groupBy("brand")
+        .agg(num(F.col("u")), den(F.col("u")))
+        .filter(F.col("den") > 0)
+        .select("brand", F.round(F.col("num") / F.col("den"), 9).alias("v"))
+    )
+    v2 = v2.localCheckpoint()
+    resid = rd - F.col("u") * F.col("v")
+    err = (
+        ratings.join(u2, "cust")
+        .join(F.broadcast(v2), "brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sqrt(
+                F.sum(F.round(resid * resid, 6).cast("decimal(28,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("rmse"),
+        )
+    )
+    return (
+        v2.join(F.broadcast(err))
+        .select(
+            "brand",
+            F.round("v", 6).alias("v_factor"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("v"), "brand"))
+            .cast("bigint")
+            .alias("rank"),
+            "n_cells",
+            F.round("rmse", 6).alias("rmse"),
+        )
+        .orderBy("rank")
+    )

@@ -747,3 +747,167 @@ def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("hotspot"),
     ).orderBy("nation")
+
+
+# -- q_bartlett_test ---------------------------------------------------
+#
+# Bartlett's test for equal variances of account balances across the
+# five market segments — the parametric (normal-theory, most
+# powerful) twin of q_levene_test's robust check, completing the
+# variance-test pair beside q_anova_oneway's mean test. Per-segment
+# variances use the two-pass cancellation-safe form (exact decimal
+# mean, 6-rounded (x−m)² decimal folds); the statistic
+# χ² = [(N−k)·ln s_p² − Σ(nᵢ−1)·ln sᵢ²] / C with Bartlett's
+# correction C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)) is a ≤5-row
+# grid fold (ln terms 9-rounded decimals), and the p-value maps
+# through the Wilson-Hilferty chi2→normal cube-root plus the house
+# A&S erfc chain. Scale: two customer scans → 5-row grid → 1 row.
+
+BARTLETT_SQL = """
+WITH m1 AS (
+  SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS mu
+  FROM customer GROUP BY 1
+), v AS (
+  SELECT c.c_mktsegment AS segment, m.n,
+         CAST(SUM(CAST(round((c.c_acctbal - m.mu) * (c.c_acctbal - m.mu),
+                             6) AS DECIMAL(28,6))) AS DOUBLE)
+           / (m.n - 1) AS s2
+  FROM customer c JOIN m1 m ON c.c_mktsegment = m.segment
+  WHERE m.n > 1
+  GROUP BY 1, 2
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS bign,
+         CAST(SUM(CAST(round((n - 1) * s2, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS pooled_num,
+         CAST(SUM(CAST(round((n - 1) * ln(s2), 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS sum_nl,
+         CAST(SUM(CAST(round(1.0 / (n - 1), 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS sum_inv
+  FROM v WHERE s2 > 0
+), stat AS (
+  SELECT k, bign,
+         ((bign - k) * ln(pooled_num / (bign - k)) - sum_nl)
+         / (1.0 + (sum_inv - 1.0 / (bign - k)) / (3.0 * (k - 1))) AS x2,
+         k - 1 AS df
+  FROM g WHERE k > 1 AND bign > k
+), wh AS (
+  SELECT k, bign, x2, CAST(df AS BIGINT) AS df,
+         round((pow(x2 / df, 1.0 / 3.0)
+                - (1.0 - 2.0 / (9.0 * df)))
+               / sqrt(2.0 / (9.0 * df)), 6) AS z
+  FROM stat WHERE x2 > 0
+)
+SELECT k AS n_groups, bign AS n_total, round(x2, 6) AS bartlett_x2, df,
+       z AS z_wh,
+       round(CASE WHEN z >= 0 THEN
+         0.5 * (1.0 / (1.0 + 0.3275911 * (z / sqrt(2.0))))
+         * (0.254829592
+            + (1.0 / (1.0 + 0.3275911 * (z / sqrt(2.0))))
+            * (-0.284496736
+               + (1.0 / (1.0 + 0.3275911 * (z / sqrt(2.0))))
+               * (1.421413741
+                  + (1.0 / (1.0 + 0.3275911 * (z / sqrt(2.0))))
+                  * (-1.453152027
+                     + (1.0 / (1.0 + 0.3275911 * (z / sqrt(2.0))))
+                     * 1.061405429))))
+         * exp(-(z / sqrt(2.0)) * (z / sqrt(2.0)))
+       ELSE
+         1.0 - 0.5 * (1.0 / (1.0 + 0.3275911 * (-z / sqrt(2.0))))
+         * (0.254829592
+            + (1.0 / (1.0 + 0.3275911 * (-z / sqrt(2.0))))
+            * (-0.284496736
+               + (1.0 / (1.0 + 0.3275911 * (-z / sqrt(2.0))))
+               * (1.421413741
+                  + (1.0 / (1.0 + 0.3275911 * (-z / sqrt(2.0))))
+                  * (-1.453152027
+                     + (1.0 / (1.0 + 0.3275911 * (-z / sqrt(2.0))))
+                     * 1.061405429))))
+         * exp(-(z / sqrt(2.0)) * (z / sqrt(2.0)))
+       END, 6) AS p_unequal_var
+FROM wh
+"""
+
+
+@query("q_bartlett_test", oracle=BARTLETT_SQL)
+def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).customer
+    m1 = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+    )
+    v = (
+        cust.join(
+            F.broadcast(m1.filter(F.col("n") > 1)),
+            cust["c_mktsegment"] == F.col("segment"),
+        )
+        .groupBy("segment", "n")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("c_acctbal") - F.col("mu"))
+                        * (F.col("c_acctbal") - F.col("mu")),
+                        6,
+                    ).cast("decimal(28,6)")
+                ).cast("double")
+                / (F.col("n") - 1)
+            ).alias("s2")
+        )
+    )
+    n, s2 = F.col("n"), F.col("s2")
+    g = v.filter(s2 > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(n).cast("bigint").alias("bign"),
+        F.sum(F.round((n - 1) * s2, 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("pooled_num"),
+        F.sum(F.round((n - 1) * F.log(s2), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sum_nl"),
+        F.sum(F.round(1.0 / (n - 1), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sum_inv"),
+    )
+    k, bign = F.col("k"), F.col("bign")
+    x2 = (
+        (bign - k) * F.log(F.col("pooled_num") / (bign - k))
+        - F.col("sum_nl")
+    ) / (
+        1.0
+        + (F.col("sum_inv") - 1.0 / (bign - k)) / (3.0 * (k - 1))
+    )
+    stat = (
+        g.filter((k > 1) & (bign > k))
+        .select("k", "bign", x2.alias("x2"), (k - 1).alias("df"))
+        .filter(F.col("x2") > 0)
+    )
+    df = F.col("df")
+    z = F.round(
+        (
+            F.pow(F.col("x2") / df, F.lit(1.0 / 3.0))
+            - (1.0 - 2.0 / (9.0 * df))
+        )
+        / F.sqrt(2.0 / (9.0 * df)),
+        6,
+    )
+    wh = stat.select(
+        "k", "bign", "x2", df.cast("bigint").alias("df"), z.alias("z")
+    )
+    zc = F.col("z")
+    from redmap_spark.inventory.stats5 import _erfc_half
+
+    p = F.when(zc >= 0, _erfc_half(zc)).otherwise(1.0 - _erfc_half(-zc))
+    return wh.select(
+        F.col("k").alias("n_groups"),
+        F.col("bign").alias("n_total"),
+        F.round("x2", 6).alias("bartlett_x2"),
+        "df",
+        zc.alias("z_wh"),
+        F.round(p, 6).alias("p_unequal_var"),
+    )
