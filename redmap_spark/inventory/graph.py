@@ -1204,3 +1204,142 @@ def mr_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# -- mr_ppr ------------------------------------------------------------
+#
+# Personalized PageRank from the best-connected customer node over
+# the symmetrized customer–supplier purchase graph — the seeded
+# variant of mr_pagerank (global importance) that answers "which
+# nodes matter RELATIVE TO this one": the standard graph-proximity
+# score for recommendation and expansion. Seed = highest-degree
+# 'c'-node (degree DESC, node tie-break); 3 fixed rounds of
+# r ← 0.15·e_seed + 0.85·A'r kept SPARSE (only touched nodes carry
+# rows). The HITS determinism discipline: every per-edge
+# contribution r/d rounds to DECIMAL(18,12) before the fold, every
+# round's result re-rounds, so edge-sum order cannot drift either
+# engine. Output: top-15 by score with (score DESC, node) ties.
+# Scale shape: one shuffle per round on the contribution stream's
+# dst key; the rank vector stays |touched nodes| rows.
+
+PPR_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1
+), seed AS (
+  SELECT src AS snode FROM deg WHERE src LIKE 'c%'
+  ORDER BY d DESC, src LIMIT 1
+), r0 AS (
+  SELECT snode AS node, CAST(1.0 AS DECIMAL(18,12)) AS r FROM seed
+), r1 AS MATERIALIZED (
+  SELECT node, CAST(SUM(v) AS DECIMAL(18,12)) AS r FROM (
+    SELECT e.dst AS node,
+           CAST(round(0.85 * CAST(r0.r AS DOUBLE) / deg.d, 12)
+                AS DECIMAL(18,12)) AS v
+    FROM r0 JOIN edges e ON e.src = r0.node JOIN deg ON deg.src = r0.node
+    UNION ALL
+    SELECT snode, CAST(0.15 AS DECIMAL(18,12)) FROM seed
+  ) GROUP BY 1
+), r2 AS MATERIALIZED (
+  SELECT node, CAST(SUM(v) AS DECIMAL(18,12)) AS r FROM (
+    SELECT e.dst AS node,
+           CAST(round(0.85 * CAST(r1.r AS DOUBLE) / deg.d, 12)
+                AS DECIMAL(18,12)) AS v
+    FROM r1 JOIN edges e ON e.src = r1.node JOIN deg ON deg.src = r1.node
+    UNION ALL
+    SELECT snode, CAST(0.15 AS DECIMAL(18,12)) FROM seed
+  ) GROUP BY 1
+), r3 AS (
+  SELECT node, CAST(SUM(v) AS DECIMAL(18,12)) AS r FROM (
+    SELECT e.dst AS node,
+           CAST(round(0.85 * CAST(r2.r AS DOUBLE) / deg.d, 12)
+                AS DECIMAL(18,12)) AS v
+    FROM r2 JOIN edges e ON e.src = r2.node JOIN deg ON deg.src = r2.node
+    UNION ALL
+    SELECT snode, CAST(0.15 AS DECIMAL(18,12)) FROM seed
+  ) GROUP BY 1
+)
+SELECT node, round(CAST(r AS DOUBLE), 9) AS ppr,
+       CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS BIGINT) AS rank
+FROM r3
+ORDER BY rank LIMIT 15
+"""
+
+
+@query("mr_ppr", oracle=PPR_SQL)
+def mr_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    e0 = (
+        c.orders.join(
+            c.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = edges.localCheckpoint()  # reused every round (union twin of e0)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    deg = deg.cache()
+    seed = (
+        deg.filter(F.col("src").startswith("c"))
+        .orderBy(F.desc("d"), "src")
+        .limit(1)
+        .select(F.col("src").alias("snode"))
+    )
+    seed = seed.cache()  # 1 row: teleport row every round
+    r = seed.select(
+        F.col("snode").alias("node"),
+        F.lit(1.0).cast("decimal(18,12)").alias("r"),
+    )
+    teleport = seed.select(
+        F.col("snode").alias("node"),
+        F.lit(0.15).cast("decimal(18,12)").alias("v"),
+    )
+    for _ in range(3):
+        contrib = (
+            r.join(edges, F.col("src") == F.col("node"))
+            .join(deg.select(F.col("src").alias("dsrc"), "d"),
+                  F.col("dsrc") == F.col("node"))
+            .select(
+                F.col("dst").alias("cnode"),
+                F.round(
+                    0.85 * F.col("r").cast("double") / F.col("d"), 12
+                )
+                .cast("decimal(18,12)")
+                .alias("v"),
+            )
+            .select(F.col("cnode").alias("node"), "v")
+        )
+        r = (
+            contrib.unionAll(teleport)
+            .groupBy("node")
+            .agg(F.sum("v").cast("decimal(18,12)").alias("r"))
+            .localCheckpoint()  # pin per-round lineage (mr_pagerank rule)
+        )
+    return (
+        r.select(
+            "node",
+            F.round(F.col("r").cast("double"), 9).alias("ppr"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("r"), "node"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+        .orderBy("rank")
+        .limit(15)
+    )

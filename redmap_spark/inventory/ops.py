@@ -955,3 +955,67 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- q_dtw_similarity --------------------------------------------------
+#
+# Banded dynamic-time-warping distances between the event types'
+# z-normalized daily revenue curves — which demand streams share a
+# SHAPE even when their peaks are time-shifted (q_rolling_corr and
+# q_cross_correlation only see fixed-lag alignment; DTW warps time).
+# DTW's O(n·band) DP is genuinely outside relational algebra, so this
+# is the documented Arrow seam (operators/dtw.py): the fact stream
+# collapses to the |type × day| grid and z-normalizes JVM-side
+# (decimal folds, 6-rounded z), and only the ≤|days|-length arrays
+# cross into one mapInPandas batch. Series length is bounded by the
+# TIME WINDOW, not data volume — the 100 TB posture. No SQL oracle by
+# nature (rows-only driver check); the DP is pinned by
+# tests/test_dtw.py against hand-computed cases and invariants.
+
+@query("q_dtw_similarity")  # DP over warping paths: not SQL-expressible
+def q_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redmap_spark.operators.dtw import dtw_pairs
+
+    e = Catalog(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    daily = daily.cache()  # feeds the moment grid AND the z rows
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    m2 = (
+        daily.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mu")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        (F.col("rev").cast("double") - F.col("mu"))
+                        * (F.col("rev").cast("double") - F.col("mu")),
+                        6,
+                    ).cast("decimal(28,6)")
+                ).cast("double")
+                / (F.col("n") - 1)
+            ).alias("sd")
+        )
+    )
+    z = (
+        daily.join(F.broadcast(m2), "event_type")
+        .filter(F.col("sd") > 0)
+        .select(
+            "event_type",
+            "day",
+            F.round(
+                (F.col("rev").cast("double") - F.col("mu")) / F.col("sd"), 6
+            ).alias("z"),
+        )
+    )
+    return dtw_pairs(z, "event_type", "day", "z", band=7).orderBy(
+        "key_a", "key_b"
+    )

@@ -911,3 +911,171 @@ def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         zc.alias("z_wh"),
         F.round(p, 6).alias("p_unequal_var"),
     )
+
+
+# -- q_piecewise_hazard ------------------------------------------------
+#
+# Piecewise-exponential hazard model for time-to-repeat-purchase per
+# market segment (the regression-flavored member of the survival
+# block: q_survival_km's curve and q_logrank's test assume nothing,
+# the life table bins — this one yields interpretable RATES): over
+# the intervals [0,30)/[30,90)/[90,180)/[180,365)/[365,∞) days, each
+# (interval, segment) cell's hazard is events ÷ person-days, with the
+# person-time exposure max(0, min(t,b)−a) accumulated as EXACT
+# integer day sums in ONE conditional-aggregate scan (no interval
+# explode), and the rate ratio vs the interval's POOLED hazard gets a
+# log-normal CI exp(±1.96/√d). Censoring at the dataset horizon as
+# in q_survival_km. Scale: one o_custkey window pass → |customers|
+# observations → 5×|segments| grid algebra.
+
+_HAZ_CUTS = [(0, 30), (30, 90), (90, 180), (180, 365), (365, 100000)]
+
+
+def _hazard_sql() -> str:
+    cells = []
+    for i, (a, b) in enumerate(_HAZ_CUTS):
+        cells.append(
+            f"CAST(SUM(CASE WHEN ev = 1 AND t >= {a} AND t < {b} "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS d{i},\n"
+            f"  CAST(SUM(GREATEST(LEAST(t, {b}) - {a}, 0)) AS BIGINT) "
+            f"AS pt{i}"
+        )
+        # unpivot branch
+    branches = []
+    for i, (a, b) in enumerate(_HAZ_CUTS):
+        label = f"'[{a},{b})'" if b < 100000 else f"'[{a},inf)'"
+        branches.append(
+            f"SELECT segment, {label} AS interval, {a} AS lo, "
+            f"d{i} AS d, pt{i} AS pt FROM grid"
+        )
+    return f"""
+WITH obs0 AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         MIN(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey) AS d1
+  FROM orders
+), fs AS (
+  SELECT o_custkey, d1, MIN(CASE WHEN od > d1 THEN od END) AS d2
+  FROM obs0 GROUP BY 1, 2
+), endd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS de FROM orders),
+obs AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN f.d2 IS NOT NULL THEN date_diff('day', f.d1, f.d2)
+              ELSE date_diff('day', f.d1, e.de) END AS t,
+         CASE WHEN f.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fs f JOIN customer c ON c.c_custkey = f.o_custkey
+  CROSS JOIN endd e
+), grid AS MATERIALIZED (
+  SELECT segment,
+  {','.join(cells)}
+  FROM obs GROUP BY 1
+), cells AS MATERIALIZED (
+  {' UNION ALL '.join(branches)}
+), pooled AS (
+  SELECT interval, CAST(SUM(d) AS BIGINT) AS dp,
+         CAST(SUM(pt) AS BIGINT) AS ptp
+  FROM cells GROUP BY 1
+)
+SELECT c.segment, c.interval,
+       c.d AS events, c.pt AS person_days,
+       round(1000.0 * c.d / c.pt, 6) AS hazard_per_1kday,
+       round((1000.0 * c.d / c.pt) / (1000.0 * p.dp / p.ptp), 6)
+         AS rate_ratio,
+       round((1000.0 * c.d / c.pt) / (1000.0 * p.dp / p.ptp)
+             * exp(-1.96 / sqrt(c.d)), 6) AS rr_lo,
+       round((1000.0 * c.d / c.pt) / (1000.0 * p.dp / p.ptp)
+             * exp(1.96 / sqrt(c.d)), 6) AS rr_hi
+FROM cells c JOIN pooled p ON c.interval = p.interval
+WHERE c.d > 0 AND c.pt > 0 AND p.dp > 0 AND p.ptp > 0
+ORDER BY c.segment, c.lo
+"""
+
+
+@query("q_piecewise_hazard", oracle=_hazard_sql())
+def q_piecewise_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    wc = Window.partitionBy("o_custkey")
+    obs0 = c.orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.min(F.col("o_orderdate").cast("date")).over(wc).alias("d1"),
+    )
+    fs = obs0.groupBy("o_custkey", "d1").agg(
+        F.min(F.when(F.col("od") > F.col("d1"), F.col("od"))).alias("d2")
+    )
+    endd = c.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("de")
+    )
+    obs = (
+        fs.join(
+            F.broadcast(
+                c.customer.select("c_custkey", "c_mktsegment")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(endd))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(
+                F.col("d2").isNotNull(),
+                F.datediff(F.col("d2"), F.col("d1")),
+            )
+            .otherwise(F.datediff(F.col("de"), F.col("d1")))
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    t, ev = F.col("t"), F.col("ev")
+    aggs = []
+    for i, (a, b) in enumerate(_HAZ_CUTS):
+        aggs.append(
+            F.sum(
+                F.when((ev == 1) & (t >= a) & (t < b), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"d{i}")
+        )
+        aggs.append(
+            F.sum(F.greatest(F.least(t, F.lit(b)) - a, F.lit(0)))
+            .cast("bigint")
+            .alias(f"pt{i}")
+        )
+    grid = obs.groupBy("segment").agg(*aggs)
+    grid = grid.cache()  # ≤5 rows feed all 5 unpivot branches
+    cells = None
+    for i, (a, b) in enumerate(_HAZ_CUTS):
+        label = f"[{a},{b})" if b < 100000 else f"[{a},inf)"
+        sel = grid.select(
+            "segment",
+            F.lit(label).alias("interval"),
+            F.lit(a).alias("lo"),
+            F.col(f"d{i}").alias("d"),
+            F.col(f"pt{i}").alias("pt"),
+        )
+        cells = sel if cells is None else cells.unionAll(sel)
+    cells = cells.cache()  # 25-row grid feeds pooled AND the output join
+    pooled = cells.groupBy("interval").agg(
+        F.sum("d").cast("bigint").alias("dp"),
+        F.sum("pt").cast("bigint").alias("ptp"),
+    )
+    d, pt, dp, ptp = F.col("d"), F.col("pt"), F.col("dp"), F.col("ptp")
+    haz = 1000.0 * d / pt
+    hazp = 1000.0 * dp / ptp
+    rr = haz / hazp
+    return (
+        cells.join(F.broadcast(pooled), "interval")
+        .filter((d > 0) & (pt > 0) & (dp > 0) & (ptp > 0))
+        .select(
+            "segment",
+            "interval",
+            d.alias("events"),
+            pt.alias("person_days"),
+            F.round(haz, 6).alias("hazard_per_1kday"),
+            F.round(rr, 6).alias("rate_ratio"),
+            F.round(rr * F.exp(-1.96 / F.sqrt(d)), 6).alias("rr_lo"),
+            F.round(rr * F.exp(1.96 / F.sqrt(d)), 6).alias("rr_hi"),
+            "lo",
+        )
+        .orderBy("segment", "lo")
+        .drop("lo")
+    )

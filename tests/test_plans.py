@@ -59,8 +59,11 @@ def test_hot_paths_have_no_python_eval(spark):
     for name, fn in QUERIES.items():
         if name.startswith("mm_") or name in (
             "txt_pack", "txt_bpe_apply", "txt_compress_ratio",
-            "txt_bpe_fertility",
+            "txt_bpe_fertility", "q_dtw_similarity",
         ):
+            # q_dtw_similarity: mapInPandas by design — the banded
+            # DTW dynamic program has no relational form; arrays are
+            # time-window-bounded (operators/dtw.py)
             # txt_compress_ratio: mapInPandas by design — zlib
             # compressibility has no JVM builtin; Arrow-batched,
             # byte work stays executor-side before the rollup
