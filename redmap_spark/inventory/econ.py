@@ -2331,3 +2331,184 @@ def q_heckman_mills(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(bx_heck - bx_naive, 6) + 0.0).alias("bias_shift"),
         )
     )
+
+
+# -- q_bid_rigging_screen ----------------------------------------------
+#
+# Competition-economics collusion screens over supplier "bids": each
+# supplier's mean discounted unit price for a part is a bid, and for
+# every part with ≥3 bidders the two standard screens run — the
+# coefficient of variation (rigged markets show abnormally LOW price
+# dispersion) and the relative distance (b₂−b₁)/b₁ between the two
+# lowest bids (cover bids leave an abnormally LARGE gap). Flag = low
+# CV (<0.05) AND high RD (>0.05), rolled up per brand. Two-pass exact
+# variance at (part, supplier) then part grain (decimal folds,
+# mean-join); b₁/b₂ via one ordered window with suppkey tie-breaks.
+# Scale: everything shuffles on the natural partkey; no pair joins.
+
+BID_SCREEN_SQL = """
+WITH bids AS MATERIALIZED (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 2)
+                  AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS bid
+  FROM lineitem GROUP BY 1, 2
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 0
+), pm AS (
+  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_sup,
+         CAST(SUM(CAST(round(bid, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(*) AS mu
+  FROM bids GROUP BY 1 HAVING COUNT(*) >= 3
+), pv AS (
+  SELECT b.pk, m.n_sup, m.mu,
+         sqrt(CAST(SUM(CAST(round((b.bid - m.mu) * (b.bid - m.mu), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) / (m.n_sup - 1)) AS sd
+  FROM bids b JOIN pm m ON b.pk = m.pk
+  GROUP BY 1, 2, 3
+), low2 AS (
+  SELECT pk,
+         MAX(CASE WHEN rn = 1 THEN bid END) AS b1,
+         MAX(CASE WHEN rn = 2 THEN bid END) AS b2
+  FROM (
+    SELECT b.pk, b.bid,
+           ROW_NUMBER() OVER (PARTITION BY b.pk
+                              ORDER BY b.bid, b.sk) AS rn
+    FROM bids b JOIN pm m ON b.pk = m.pk
+  ) WHERE rn <= 2 GROUP BY 1
+), screen AS (
+  SELECT v.pk, v.n_sup,
+         v.sd / v.mu AS cv,
+         (l.b2 - l.b1) / l.b1 AS rd
+  FROM pv v JOIN low2 l ON v.pk = l.pk
+  WHERE v.mu > 0 AND l.b1 > 0 AND l.b2 IS NOT NULL
+)
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_screened,
+       round(CAST(SUM(CAST(round(s.cv, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_cv,
+       round(CAST(SUM(CAST(round(s.rd, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_rd,
+       CAST(SUM(CASE WHEN s.cv < 0.05 AND s.rd > 0.05
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       round(SUM(CASE WHEN s.cv < 0.05 AND s.rd > 0.05
+                      THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS flag_rate
+FROM screen s JOIN part p ON p.p_partkey = s.pk
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q_bid_rigging_screen", oracle=BID_SCREEN_SQL)
+def q_bid_rigging_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem
+    bids = (
+        li.groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1.0 - F.col("l_discount")),
+                    2,
+                ).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revs"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qtys"),
+        )
+        .filter(F.col("qtys") > 0)
+        .select(
+            "pk", "sk",
+            (F.col("revs") / F.col("qtys").cast("double")).alias("bid"),
+        )
+    )
+    bids = bids.cache()  # (part, supplier) grid feeds pm, pv and low2
+    pm = (
+        bids.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sup"),
+            (
+                F.sum(F.round("bid", 6).cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("mu"),
+        )
+        .filter(F.col("n_sup") >= 3)
+    )
+    pv = (
+        bids.join(pm, "pk")
+        .groupBy("pk", "n_sup", "mu")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        (F.col("bid") - F.col("mu"))
+                        * (F.col("bid") - F.col("mu")),
+                        6,
+                    ).cast("decimal(28,6)")
+                ).cast("double")
+                / (F.col("n_sup") - 1)
+            ).alias("sd")
+        )
+    )
+    ranked = bids.join(pm.select("pk"), "pk").select(
+        "pk",
+        "bid",
+        F.row_number()
+        .over(Window.partitionBy("pk").orderBy("bid", "sk"))
+        .alias("rn"),
+    )
+    low2 = (
+        ranked.filter(F.col("rn") <= 2)
+        .groupBy("pk")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("bid"))).alias("b1"),
+            F.max(F.when(F.col("rn") == 2, F.col("bid"))).alias("b2"),
+        )
+    )
+    screen = (
+        pv.join(low2, "pk")
+        .filter(
+            (F.col("mu") > 0) & (F.col("b1") > 0) & F.col("b2").isNotNull()
+        )
+        .select(
+            "pk",
+            "n_sup",
+            (F.col("sd") / F.col("mu")).alias("cv"),
+            ((F.col("b2") - F.col("b1")) / F.col("b1")).alias("rd"),
+        )
+    )
+    cv, rd = F.col("cv"), F.col("rd")
+    flag = F.when((cv < 0.05) & (rd > 0.05), 1).otherwise(0)
+
+    def dmean6(expr, name):
+        return F.round(
+            F.sum(F.round(expr, 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(name)
+
+    return (
+        screen.join(
+            F.broadcast(
+                c.part.select(
+                    F.col("p_partkey").alias("pk"), "p_brand"
+                )
+            ),
+            "pk",
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts_screened"),
+            dmean6(cv, "mean_cv"),
+            dmean6(rd, "mean_rd"),
+            F.sum(flag).cast("bigint").alias("n_flagged"),
+            F.round(
+                F.sum(flag) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("flag_rate"),
+        )
+        .orderBy("brand")
+    )

@@ -683,3 +683,117 @@ def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("risk_tier")
     )
+
+
+# -- q_mus_sampling ----------------------------------------------------
+#
+# Monetary-unit sampling (dollar-unit / PPS systematic audit
+# sampling): every order's selection probability is proportional to
+# its VALUE, by walking the cumulative cents of the o_orderkey-ordered
+# population with a fixed step of total_cents ÷ 200 — an order is
+# selected iff a sampling boundary falls inside its cents interval,
+# i.e. ⌊cum/step⌋ > ⌊(cum−price)/step⌋, ALL IN BIGINT CENTS, so both
+# engines agree bit-for-bit with no double boundary ambiguity (the
+# audit-sampling standard beside q_weighted_sample's md5 Poisson
+# draws — MUS guarantees every item above one step is selected).
+# Output: per order priority, population vs selected counts/value and
+# the value-coverage ratio. Scale: one running-sum window over the
+# population order (the documented distributed-sort shape), then a
+# grid rollup.
+
+MUS_SQL = """
+WITH pop AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+  FROM orders
+), cum AS (
+  SELECT o_orderkey, o_orderpriority, cents,
+         SUM(cents) OVER (ORDER BY o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c
+  FROM pop
+), tot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) // 200 AS step FROM pop
+), flagged AS (
+  SELECT o_orderpriority, cents,
+         CASE WHEN c // t.step > (c - cents) // t.step
+              THEN 1 ELSE 0 END AS sel
+  FROM cum CROSS JOIN tot t WHERE t.step > 0
+)
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS pop_n,
+       round(CAST(SUM(cents) AS BIGINT) / 100.0, 2) AS pop_value,
+       CAST(SUM(sel) AS BIGINT) AS n_selected,
+       round(CAST(SUM(CASE WHEN sel = 1 THEN cents ELSE 0 END) AS BIGINT)
+             / 100.0, 2) AS sampled_value,
+       round(CAST(SUM(CASE WHEN sel = 1 THEN cents ELSE 0 END) AS BIGINT)
+             / CAST(SUM(cents) AS DOUBLE), 6) AS value_coverage
+FROM flagged
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q_mus_sampling", oracle=MUS_SQL)
+def q_mus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    pop = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    pop = pop.cache()  # feeds the running sum AND the step total
+    cum = pop.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.sum("cents")
+        .over(
+            Window.orderBy("o_orderkey").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("c"),
+    )
+    tot = pop.agg(
+        F.expr("CAST(sum(cents) AS BIGINT) div 200").alias("step")
+    )
+    step = F.col("step")
+    flagged = (
+        cum.join(F.broadcast(tot.filter(step > 0)))
+        .select(
+            "o_orderpriority",
+            "cents",
+            F.when(
+                F.expr("c div step") > F.expr("(c - cents) div step"), 1
+            )
+            .otherwise(0)
+            .alias("sel"),
+        )
+    )
+    sel = F.col("sel")
+    return (
+        flagged.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("pop_n"),
+            F.round(F.sum("cents").cast("bigint") / 100.0, 2).alias(
+                "pop_value"
+            ),
+            F.sum(sel).cast("bigint").alias("n_selected"),
+            F.round(
+                F.sum(F.when(sel == 1, F.col("cents")).otherwise(0))
+                .cast("bigint")
+                / 100.0,
+                2,
+            ).alias("sampled_value"),
+            F.round(
+                F.sum(F.when(sel == 1, F.col("cents")).otherwise(0))
+                .cast("bigint")
+                / F.sum("cents").cast("double"),
+                6,
+            ).alias("value_coverage"),
+        )
+        .orderBy("priority")
+    )

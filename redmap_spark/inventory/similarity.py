@@ -1757,3 +1757,112 @@ def sim_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hub_occ",
         )
     )
+
+
+# -- sim_margin_audit --------------------------------------------------
+#
+# Triplet-margin separability audit of the labeled embedding space:
+# for each sampled anchor (vec_id % 5 == 0 — the sim_hubness sample
+# convention), the best SAME-label cosine and the best CROSS-label
+# cosine over the full corpus, per-label means and the violation rate
+# (cross beats same — the pairs a contrastive fine-tune would fix,
+# and the vectors a label-blocked dedup would wrongly merge). MAX of
+# 4-rounded scores needs no tie-break; per-label means fold 6-rounded
+# decimal sums. Scale: the same one-pass broadcast-anchor scan as
+# sim_knn_join — no per-label shuffle of vectors.
+
+SIM_MARGIN_SQL = """
+WITH w AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                      x -> x * x))) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+  FROM w WHERE vec_id % 5 = 0
+), scored AS (
+  SELECT q.q_id, q.q_label, w.label AS c_label,
+         round(list_sum(list_transform(range(1, 65), i -> w.v[i] * q.qv[i]))
+               / (w.nrm * q.qn), 4) AS score
+  FROM w, q WHERE w.vec_id != q.q_id
+), per_q AS (
+  SELECT q_id, q_label,
+         MAX(CASE WHEN c_label = q_label THEN score END) AS same_top1,
+         MAX(CASE WHEN c_label != q_label THEN score END) AS cross_top1
+  FROM scored GROUP BY 1, 2
+)
+SELECT q_label AS label, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       round(CAST(SUM(CAST(round(same_top1, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_same_top1,
+       round(CAST(SUM(CAST(round(cross_top1, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_cross_top1,
+       round(CAST(SUM(CAST(round(same_top1 - cross_top1, 6)
+                  AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_margin,
+       round(SUM(CASE WHEN cross_top1 > same_top1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate
+FROM per_q
+WHERE same_top1 IS NOT NULL AND cross_top1 IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("sim_margin_audit", oracle=SIM_MARGIN_SQL)
+def sim_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    from redmap_spark.operators.similarity import as_double_vec, dot, norm
+
+    w = e.select(
+        "vec_id", "label", as_double_vec("embedding").alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    q = (
+        w.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    scored = w.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "q_label",
+        F.col("label").alias("c_label"),
+        F.round(
+            dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 4
+        ).alias("score"),
+    )
+    per_q = scored.groupBy("q_id", "q_label").agg(
+        F.max(
+            F.when(F.col("c_label") == F.col("q_label"), F.col("score"))
+        ).alias("same_top1"),
+        F.max(
+            F.when(F.col("c_label") != F.col("q_label"), F.col("score"))
+        ).alias("cross_top1"),
+    )
+    st, ct = F.col("same_top1"), F.col("cross_top1")
+
+    def dmean6(expr, name):
+        return F.round(
+            F.sum(F.round(expr, 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(name)
+
+    return (
+        per_q.filter(st.isNotNull() & ct.isNotNull())
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            dmean6(st, "mean_same_top1"),
+            dmean6(ct, "mean_cross_top1"),
+            dmean6(st - ct, "mean_margin"),
+            F.round(
+                F.sum(F.when(ct > st, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("violation_rate"),
+        )
+        .orderBy("label")
+    )
