@@ -2512,3 +2512,186 @@ def q_bid_rigging_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# -- q_optimal_reserve -------------------------------------------------
+#
+# Optimal reserve price for a second-price auction, estimated
+# nonparametrically from observed "bids" (per-part supplier mean unit
+# prices, taking the two HIGHEST per part with >=2 bidders): for each
+# of 20 candidate reserves (exact 5%-step order statistics of the b1
+# distribution, integer-rank thresholds) expected seller revenue per
+# auction is mean(b2 if b2 >= r; r if b1 >= r > b2; 0 if r > b1) —
+# the Myerson trade-off made empirical. EVERY bid, threshold and
+# revenue term lives in EXACT BIGINT MICRO-DOLLARS
+# (cents x (100 - discount%) line folds, integer div by quantity
+# units): round(double) never appears in a fold or comparison, which
+# this round's cross-engine probe showed is the only fully portable
+# arithmetic for division-derived prices (Spark rounds the shortest
+# repr, DuckDB the binary value). The candidate x auction grid is a
+# bounded 20x broadcast expansion, NOT a data x data join. Optimal
+# row flagged with (revenue DESC, reserve ASC) ties. Scale: one
+# lineitem scan -> per-part b1/b2 via one window -> 20-candidate grid
+# algebra.
+
+RESERVE_SQL = """
+WITH bids AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         (SUM(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))
+          * 10000)
+         // SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS bidm
+  FROM lineitem GROUP BY 1, 2
+  HAVING SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) > 0
+), top2 AS MATERIALIZED (
+  SELECT pk,
+         MAX(CASE WHEN rn = 1 THEN bidm END) AS b1,
+         MAX(CASE WHEN rn = 2 THEN bidm END) AS b2
+  FROM (
+    SELECT pk, bidm,
+           ROW_NUMBER() OVER (PARTITION BY pk
+                              ORDER BY bidm DESC, sk) AS rn,
+           COUNT(*) OVER (PARTITION BY pk) AS ns
+    FROM bids
+  ) WHERE rn <= 2 AND ns >= 2 GROUP BY 1
+), ranked AS (
+  SELECT b1, ROW_NUMBER() OVER (ORDER BY b1, pk) AS r,
+         COUNT(*) OVER () AS n
+  FROM top2
+), cand AS MATERIALIZED (
+  SELECT g.q AS q_idx, MAX(rk.b1) AS reserve
+  FROM ranked rk
+  JOIN (SELECT UNNEST(generate_series(1, 20)) AS q) g
+    ON rk.r = GREATEST((rk.n * g.q) // 20, 1)
+  GROUP BY 1
+), rev AS (
+  SELECT c.q_idx, c.reserve,
+         CAST(COUNT(*) AS BIGINT) AS n_auctions,
+         CAST(SUM(CASE WHEN t.b2 >= c.reserve THEN 1
+                       WHEN t.b1 >= c.reserve THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_sold,
+         CAST(SUM(CASE WHEN t.b2 >= c.reserve THEN t.b2
+                       WHEN t.b1 >= c.reserve THEN c.reserve
+                       ELSE 0 END) AS BIGINT) AS total_micro
+  FROM top2 t CROSS JOIN cand c
+  GROUP BY 1, 2
+), scored AS (
+  SELECT q_idx, reserve, n_auctions, n_sold,
+         round(n_sold / CAST(n_auctions AS DOUBLE), 6) AS sold_rate,
+         round(total_micro / 1000000.0 / n_auctions, 6)
+           AS rev_per_auction,
+         ROW_NUMBER() OVER (ORDER BY total_micro * 1.0 / n_auctions DESC,
+                            reserve ASC) AS opt_rank
+  FROM rev
+)
+SELECT CAST(q_idx AS BIGINT) AS pctile_step,
+       round(reserve / 1000000.0, 6) AS reserve,
+       n_auctions, n_sold, sold_rate, rev_per_auction,
+       CAST(CASE WHEN opt_rank = 1 THEN 1 ELSE 0 END AS INT) AS is_optimal
+FROM scored
+ORDER BY pctile_step
+"""
+
+
+@query("q_optimal_reserve", oracle=RESERVE_SQL)
+def q_optimal_reserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint")
+    dpct = F.round(F.col("l_discount") * 100.0, 0).cast("bigint")
+    qunits = F.round(F.col("l_quantity") * 100.0, 0).cast("bigint")
+    bids = (
+        c.lineitem.groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(
+            F.sum(cents * (100 - dpct)).alias("rev4"),
+            F.sum(qunits).alias("q2"),
+        )
+        .filter(F.col("q2") > 0)
+        .select("pk", "sk", F.expr("(rev4 * 10000) div q2").alias("bidm"))
+    )
+    wp = Window.partitionBy("pk")
+    ranked0 = bids.select(
+        "pk",
+        "bidm",
+        F.row_number().over(wp.orderBy(F.desc("bidm"), "sk")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("ns"),
+    )
+    top2 = (
+        ranked0.filter((F.col("rn") <= 2) & (F.col("ns") >= 2))
+        .groupBy("pk")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("bidm"))).alias("b1"),
+            F.max(F.when(F.col("rn") == 2, F.col("bidm"))).alias("b2"),
+        )
+    )
+    top2 = top2.cache()  # auction grid feeds candidates AND revenue scan
+    ranked = top2.select(
+        "b1",
+        F.row_number().over(Window.orderBy("b1", "pk")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    qs = spark.range(1, 21).select(F.col("id").alias("q"))
+    cand = (
+        ranked.join(
+            F.broadcast(qs),
+            F.col("r")
+            == F.greatest(
+                F.expr("(n * q) div 20"), F.lit(1).cast("bigint")
+            ),
+        )
+        .groupBy(F.col("q").alias("q_idx"))
+        .agg(F.max("b1").alias("reserve"))
+    )
+    t_b1, t_b2, res = F.col("b1"), F.col("b2"), F.col("reserve")
+    sold = F.when(t_b2 >= res, 1).when(t_b1 >= res, 1).otherwise(0)
+    price = (
+        F.when(t_b2 >= res, t_b2)
+        .when(t_b1 >= res, res)
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    rev = (
+        top2.join(F.broadcast(cand))
+        .groupBy("q_idx", "reserve")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_auctions"),
+            F.sum(sold).cast("bigint").alias("n_sold"),
+            F.sum(price).cast("bigint").alias("total_micro"),
+        )
+    )
+    scored = rev.select(
+        "q_idx",
+        "reserve",
+        "n_auctions",
+        "n_sold",
+        F.round(
+            F.col("n_sold") / F.col("n_auctions").cast("double"), 6
+        ).alias("sold_rate"),
+        F.round(
+            F.col("total_micro") / 1000000.0 / F.col("n_auctions"), 6
+        ).alias("rev_per_auction"),
+        F.col("total_micro"),
+    ).withColumn(
+        "opt_rank",
+        F.row_number().over(
+            Window.orderBy(
+                (F.col("total_micro") * 1.0 / F.col("n_auctions")).desc(),
+                F.asc("reserve"),
+            )
+        ),
+    )
+    return (
+        scored.select(
+            F.col("q_idx").cast("bigint").alias("pctile_step"),
+            F.round(F.col("reserve") / 1000000.0, 6).alias("reserve"),
+            "n_auctions",
+            "n_sold",
+            "sold_rate",
+            "rev_per_auction",
+            F.when(F.col("opt_rank") == 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_optimal"),
+        )
+        .orderBy("pctile_step")
+    )

@@ -1019,3 +1019,160 @@ def q_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtw_pairs(z, "event_type", "day", "z", band=7).orderBy(
         "key_a", "key_b"
     )
+
+
+# -- q_xyz_class -------------------------------------------------------
+#
+# ABC-XYZ inventory classification matrix over brand/size SKU groups
+# (the q_croston key): ABC from cumulative revenue share (A ≤ 80%,
+# B ≤ 95%, C rest — the q_abc_analysis thresholds applied at SKU
+# grain) crossed with XYZ demand-variability classes from the CV of
+# WEEKLY demand (X < 0.5 steady, Y < 1.0 variable, Z erratic) — the
+# planning matrix that routes X-A items to automated replenishment
+# and Z-C items to make-to-order. Exact decimal weekly sums; CV via
+# the mean-join two-pass form; cumulative shares use a window over
+# exact decimal revenue with SKU tie-breaks. Output: the ≤9-cell
+# class matrix with counts and revenue share. Scale: one
+# lineitem⋈part scan → |sku × week| grid → |sku| grid → 9 cells.
+
+XYZ_SQL = """
+WITH sku_week AS MATERIALIZED (
+  SELECT p_brand || '/' || CAST(p_size AS VARCHAR) AS sku,
+         date_trunc('week', l_shipdate) AS wk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS qty,
+         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 2)
+                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), m1 AS (
+  SELECT sku, CAST(COUNT(*) AS BIGINT) AS nw,
+         CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(rev) AS DECIMAL(28,2)) AS skurev
+  FROM sku_week GROUP BY 1
+), cv AS (
+  SELECT w.sku, m.nw, m.skurev,
+         CASE WHEN m.nw > 1 AND m.mu > 0 THEN
+           sqrt(CAST(SUM(CAST(round(
+                  (CAST(w.qty AS DOUBLE) - m.mu)
+                  * (CAST(w.qty AS DOUBLE) - m.mu), 6)
+                AS DECIMAL(28,6))) AS DOUBLE) / (m.nw - 1)) / m.mu
+         END AS cv
+  FROM sku_week w JOIN m1 m ON w.sku = m.sku
+  GROUP BY 1, 2, 3, m.mu
+), shares AS (
+  SELECT sku, nw, cv, skurev,
+         SUM(skurev) OVER (ORDER BY skurev DESC, sku
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cumrev,
+         SUM(skurev) OVER () AS totrev
+  FROM cv WHERE cv IS NOT NULL
+), classed AS (
+  SELECT sku, skurev,
+         CASE WHEN CAST(cumrev AS DOUBLE) / CAST(totrev AS DOUBLE) <= 0.80
+              THEN 'A'
+              WHEN CAST(cumrev AS DOUBLE) / CAST(totrev AS DOUBLE) <= 0.95
+              THEN 'B' ELSE 'C' END AS abc,
+         CASE WHEN cv < 0.5 THEN 'X'
+              WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz,
+         totrev
+  FROM shares
+)
+SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_skus,
+       round(CAST(SUM(skurev) AS DOUBLE) / CAST(MIN(totrev) AS DOUBLE), 6)
+         AS revenue_share
+FROM classed
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q_xyz_class", oracle=XYZ_SQL)
+def q_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    sku_week = (
+        c.lineitem.join(
+            c.part.select("p_partkey", "p_brand", "p_size"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.concat_ws(
+                "/", F.col("p_brand"), F.col("p_size").cast("string")
+            ).alias("sku"),
+            F.date_trunc("week", F.col("l_shipdate")).alias("wk"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("qty"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1.0 - F.col("l_discount")),
+                    2,
+                ).cast("decimal(18,2)")
+            )
+            .cast("decimal(18,2)")
+            .alias("rev"),
+        )
+    )
+    sku_week = sku_week.cache()  # grid feeds the mean pass AND the CV pass
+    m1 = sku_week.groupBy("sku").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+        (F.sum("qty").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sum("rev").cast("decimal(28,2)").alias("skurev"),
+    )
+    qd = F.col("qty").cast("double")
+    cv = (
+        sku_week.join(m1, "sku")
+        .groupBy("sku", "nw", "skurev", "mu")
+        .agg(
+            F.when(
+                (F.col("nw") > 1) & (F.col("mu") > 0),
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            (qd - F.col("mu")) * (qd - F.col("mu")), 6
+                        ).cast("decimal(28,6)")
+                    ).cast("double")
+                    / (F.col("nw") - 1)
+                )
+                / F.col("mu"),
+            ).alias("cv")
+        )
+        .drop("mu")
+    )
+    wcum = Window.orderBy(F.desc("skurev"), "sku").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    shares = cv.filter(F.col("cv").isNotNull()).select(
+        "sku",
+        "cv",
+        "skurev",
+        F.sum("skurev").over(wcum).alias("cumrev"),
+        F.sum("skurev").over(Window.partitionBy()).alias("totrev"),
+    )
+    share = F.col("cumrev").cast("double") / F.col("totrev").cast("double")
+    classed = shares.select(
+        "sku",
+        "skurev",
+        "totrev",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise(
+            "C"
+        ).alias("abc"),
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_skus"),
+            F.round(
+                F.sum("skurev").cast("double")
+                / F.min("totrev").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc", "xyz")
+    )

@@ -797,3 +797,95 @@ def q_mus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# -- q_wilson_returns --------------------------------------------------
+#
+# Return-rate audit per brand with Wilson score intervals: the
+# binomial CI that behaves at small n and extreme rates (the
+# frequentist counterpart of q_eb_binomial's empirical-Bayes
+# shrinkage — Wilson needs no prior and is the standard for flagging
+# "is this brand's return rate credibly above the fleet rate").
+# p̂ = returned lines / lines, z = 1.96:
+# center = (p̂ + z²/2n)/(1 + z²/n), half = z·√(p̂(1−p̂)/n + z²/4n²)
+# /(1+z²/n); a brand is flagged when its LOWER bound clears the
+# pooled rate. Exact integer counts; one identical double chain.
+# Scale: one lineitem⋈part scan → |brand| grid → grid algebra.
+
+WILSON_SQL = """
+WITH b AS (
+  SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+), pool AS (
+  SELECT CAST(SUM(r) AS DOUBLE) / SUM(n) AS pooled FROM b
+), wil AS (
+  SELECT brand, n, r, pooled,
+         r / CAST(n AS DOUBLE) AS p,
+         (r / CAST(n AS DOUBLE) + 1.9208 / n)
+           / (1.0 + 3.8416 / n) AS center,
+         1.96 * sqrt(r / CAST(n AS DOUBLE) * (1.0 - r / CAST(n AS DOUBLE))
+                     / n + 0.9604 / (CAST(n AS DOUBLE) * n))
+           / (1.0 + 3.8416 / n) AS half
+  FROM b CROSS JOIN pool WHERE n > 0
+)
+SELECT brand, n AS n_lines, r AS n_returned,
+       round(p, 6) AS return_rate,
+       round(center - half, 6) AS wilson_lo,
+       round(center + half, 6) AS wilson_hi,
+       round(pooled, 6) AS pooled_rate,
+       CAST(CASE WHEN center - half > pooled THEN 1 ELSE 0 END AS INT)
+         AS flag_high
+FROM wil
+ORDER BY brand
+"""
+
+
+@query("q_wilson_returns", oracle=WILSON_SQL)
+def q_wilson_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    b = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    b = b.cache()  # 25-row grid feeds pooled rate AND the interval rows
+    pool = b.agg(
+        (F.sum("r").cast("double") / F.sum("n")).alias("pooled")
+    )
+    n, r = F.col("n"), F.col("r")
+    p = r / n.cast("double")
+    center = (p + 1.9208 / n) / (1.0 + 3.8416 / n)
+    half = (
+        1.96
+        * F.sqrt(p * (1.0 - p) / n + 0.9604 / (n.cast("double") * n))
+        / (1.0 + 3.8416 / n)
+    )
+    return (
+        b.filter(n > 0)
+        .join(F.broadcast(pool))
+        .select(
+            "brand",
+            n.alias("n_lines"),
+            r.alias("n_returned"),
+            F.round(p, 6).alias("return_rate"),
+            F.round(center - half, 6).alias("wilson_lo"),
+            F.round(center + half, 6).alias("wilson_hi"),
+            F.round("pooled", 6).alias("pooled_rate"),
+            F.when(center - half > F.col("pooled"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("flag_high"),
+        )
+        .orderBy("brand")
+    )
