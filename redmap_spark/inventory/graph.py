@@ -1343,3 +1343,134 @@ def mr_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(15)
     )
+
+
+# -- mr_matching -------------------------------------------------------
+#
+# Greedy maximal matching by locally-minimal edge keys (the classic
+# distributed matching kernel: an edge joins the matching iff its key
+# is the minimum at BOTH endpoints — conflict-free in one round, so
+# rounds need no coordination): 3 fixed rounds over the distinct
+# customer–supplier edge set, removing matched vertices between
+# rounds via anti-joins. Edge keys are 'src>dst' strings (ASCII
+# codepoint order — identical on both engines); every per-vertex MIN
+# is an exact string aggregate, so the matching is fully
+# deterministic. Output: per-round matched-edge counts plus the
+# remaining-edge count. Scale shape per round: two groupBy-mins on
+# the edge endpoints + two anti-joins — all on the natural vertex
+# keys; the oracle unrolls the same rounds as MATERIALIZED CTEs.
+
+def _matching_sql() -> str:
+    rounds = []
+    prev = "e0"
+    for r in range(1, 4):
+        rounds.append(f"""vm{r} AS MATERIALIZED (
+  SELECT v, MIN(ek) AS mek FROM (
+    SELECT c AS v, ek FROM {prev}
+    UNION ALL
+    SELECT s AS v, ek FROM {prev}
+  ) GROUP BY 1
+), m{r} AS MATERIALIZED (
+  SELECT e.c, e.s, e.ek
+  FROM {prev} e
+  JOIN vm{r} a ON a.v = e.c AND a.mek = e.ek
+  JOIN vm{r} b ON b.v = e.s AND b.mek = e.ek
+), e{r} AS MATERIALIZED (
+  SELECT e.c, e.s, e.ek FROM {prev} e
+  WHERE NOT EXISTS (SELECT 1 FROM m{r} m
+                    WHERE m.c = e.c OR m.s = e.s)
+)""")
+        prev = f"e{r}"
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l_suppkey AS VARCHAR) AS s,
+                  'c' || CAST(o_custkey AS VARCHAR) || '>'
+                      || 's' || CAST(l_suppkey AS VARCHAR) AS ek
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), {', '.join(rounds)}
+SELECT * FROM (
+  SELECT 1 AS round, CAST((SELECT COUNT(*) FROM m1) AS BIGINT) AS n_matched,
+         CAST((SELECT COUNT(*) FROM e1) AS BIGINT) AS n_edges_remaining
+  UNION ALL
+  SELECT 2, CAST((SELECT COUNT(*) FROM m2) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM e2) AS BIGINT)
+  UNION ALL
+  SELECT 3, CAST((SELECT COUNT(*) FROM m3) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
+) ORDER BY round
+"""
+
+
+@query("mr_matching", oracle=_matching_sql())
+def mr_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    e = (
+        cat.orders.join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+        .withColumn("ek", F.concat(F.col("c"), F.lit(">"), F.col("s")))
+    )
+    e = e.localCheckpoint()
+    out = []
+    for rnd in range(1, 4):
+        vm = (
+            e.select(F.col("c").alias("v"), "ek")
+            .unionAll(e.select(F.col("s").alias("v"), "ek"))
+            .groupBy("v")
+            .agg(F.min("ek").alias("mek"))
+        )
+        m = (
+            e.join(
+                vm.select(F.col("v").alias("va"), F.col("mek").alias("ma")),
+                (F.col("va") == F.col("c")) & (F.col("ma") == F.col("ek")),
+            )
+            .join(
+                vm.select(F.col("v").alias("vb"), F.col("mek").alias("mb")),
+                (F.col("vb") == F.col("s")) & (F.col("mb") == F.col("ek")),
+            )
+            .select("c", "s", "ek")
+        )
+        m = m.localCheckpoint()  # consumed by count + two anti-joins
+        e = (
+            e.join(
+                m.select(F.col("c").alias("mc")),
+                F.col("mc") == F.col("c"),
+                "left_anti",
+            )
+            .join(
+                m.select(F.col("s").alias("ms")),
+                F.col("ms") == F.col("s"),
+                "left_anti",
+            )
+            .localCheckpoint()  # pin per-round lineage
+        )
+        out.append(
+            m.agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+            .join(
+                e.agg(
+                    F.count(F.lit(1))
+                    .cast("bigint")
+                    .alias("n_edges_remaining")
+                )
+            )
+            .select(
+                F.lit(rnd).alias("round"),
+                "n_matched",
+                "n_edges_remaining",
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res.orderBy("round")

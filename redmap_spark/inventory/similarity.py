@@ -1866,3 +1866,121 @@ def sim_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# -- sim_twonn ---------------------------------------------------------
+#
+# TwoNN intrinsic-dimension estimate of the embedding space (Facco et
+# al. 2017): using only each sampled anchor's two nearest EUCLIDEAN
+# neighbors, μ = r₂/r₁ is Pareto(d) under local uniformity, so
+# d̂ = n / Σ ln μ — the modern answer to "are these 64-dim vectors
+# really 64-dimensional?", which prices how hard ANN indexing /
+# dedup of this space will be (hubness' sibling diagnostic).
+# Distances via the norms+dot identity (no per-pair explode of
+# dimensions); r₁/r₂ by one ranked window with c_id tie-breaks;
+# ln μ folds as 9-rounded decimals (ratios of irrational sqrt
+# distances never sit on a rounding boundary). Scale: the same
+# |sample|×|corpus| broadcast-anchor scan as sim_hubness.
+
+SIM_TWONN_SQL = """
+WITH w AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS sq
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, sq AS qsq FROM w WHERE vec_id % 5 = 0
+), scored AS (
+  SELECT q.q_id, w.vec_id AS c_id,
+         sqrt(GREATEST(w.sq + q.qsq
+              - 2.0 * list_sum(list_transform(range(1, 65),
+                                              i -> w.v[i] * q.qv[i])),
+              0.0)) AS dist
+  FROM w, q WHERE w.vec_id != q.q_id
+), ranked AS (
+  SELECT q_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY dist, c_id) AS rn
+  FROM scored
+), mu AS (
+  SELECT q_id,
+         MAX(CASE WHEN rn = 2 THEN dist END)
+           / MAX(CASE WHEN rn = 1 THEN dist END) AS mu
+  FROM ranked WHERE rn <= 2 GROUP BY 1
+  HAVING MAX(CASE WHEN rn = 1 THEN dist END) > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       round(CAST(SUM(CAST(round(mu, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_mu,
+       round(COUNT(*)
+             / CAST(SUM(CAST(round(ln(mu), 9) AS DECIMAL(18,9)))
+               AS DOUBLE), 6) AS intrinsic_dim
+FROM mu
+WHERE mu IS NOT NULL
+"""
+
+
+@query("sim_twonn", oracle=SIM_TWONN_SQL)
+def sim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    from redmap_spark.operators.similarity import as_double_vec, dot
+
+    w = e.select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    ).withColumn(
+        "sq",
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    q = w.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("sq").alias("qsq"),
+    )
+    scored = w.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        F.sqrt(
+            F.greatest(
+                F.col("sq")
+                + F.col("qsq")
+                - 2.0 * dot(F.col("v"), F.col("qv")),
+                F.lit(0.0),
+            )
+        ).alias("dist"),
+    )
+    ranked = scored.select(
+        "q_id",
+        "dist",
+        F.row_number()
+        .over(Window.partitionBy("q_id").orderBy("dist", "c_id"))
+        .alias("rn"),
+    )
+    mu = (
+        ranked.filter(F.col("rn") <= 2)
+        .groupBy("q_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("r1"),
+            F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("r2"),
+        )
+        .filter(F.col("r1") > 0)
+        .select("q_id", (F.col("r2") / F.col("r1")).alias("mu"))
+        .filter(F.col("mu").isNotNull())
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.round(
+            F.sum(F.round("mu", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_mu"),
+        F.round(
+            F.count(F.lit(1))
+            / F.sum(F.round(F.log("mu"), 9).cast("decimal(18,9)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("intrinsic_dim"),
+    )

@@ -1079,3 +1079,198 @@ def q_piecewise_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("segment", "lo")
         .drop("lo")
     )
+
+
+# -- q_mediation_sobel -------------------------------------------------
+#
+# Baron-Kenny mediation analysis with the Sobel test: does discount
+# (X) move revenue (Y = ln extendedprice) THROUGH quantity
+# (M = ln quantity)? Path a from the 2-var OLS M~X, paths (c', b)
+# from the 3×3 Cramer solve of Y~[1, X, M] (the q_heckman_mills
+# machinery), indirect effect a·b, proportion mediated
+# a·b/(c'+a·b), and Sobel z = a·b / √(b²·SE_a² + a²·SE_b²) with
+# SE_a² = σ̂_M²/S_xx^c and SE_b² = σ̂_Y²·(n·S_xx−S_x²)/det — both
+# residual variances recovered from the same raw-moment grid (RSS =
+# S_yy − β'X'y). One fact scan folds all ten 9-rounded decimal
+# moments; everything after is 1-row algebra through the house erfc
+# chain for the two-sided p. Scale: single partial-aggregated scan.
+
+MEDIATION_SQL = """
+WITH rows_ AS (
+  SELECT CAST(l_discount AS DOUBLE) AS x,
+         ln(CAST(l_quantity AS DOUBLE)) AS m,
+         ln(CAST(l_extendedprice AS DOUBLE)) AS y
+  FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(round(m, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sm,
+    CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(round(x * m, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxm,
+    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(round(m * m, 9) AS DECIMAL(28,9))) AS DOUBLE) AS smm,
+    CAST(SUM(CAST(round(m * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS smy,
+    CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy
+  FROM rows_
+), paths AS (
+  SELECT n, sx, sm, sy, sxx, sxm, sxy, smm, smy, syy,
+         (n * sxm - sx * sm) / (n * sxx - sx * sx) AS a,
+         n * (sxx * smm - sxm * sxm)
+         - sx * (sx * smm - sxm * sm)
+         + sm * (sx * sxm - sxx * sm) AS det
+  FROM mom WHERE n > 3 AND n * sxx - sx * sx <> 0
+), solved AS (
+  SELECT *,
+         (n * (sxy * smm - sxm * smy)
+          - sy * (sx * smm - sxm * sm)
+          + sm * (sx * smy - sxy * sm)) / det AS cprime,
+         (n * (sxx * smy - sxy * sxm)
+          - sx * (sx * smy - sxy * sm)
+          + sy * (sx * sxm - sxx * sm)) / det AS b,
+         (sy * (sxx * smm - sxm * sxm)
+          - sx * (sxy * smm - sxm * smy)
+          + sm * (sxy * sxm - sxx * smy)) / det AS b0
+  FROM paths WHERE det <> 0
+), err AS (
+  SELECT *,
+         ((smm - sm * sm / n) - a * a * (sxx - sx * sx / n)) / (n - 2)
+           AS s2m,
+         (syy - (b0 * sy + cprime * sxy + b * smy)) / (n - 3) AS s2y
+  FROM solved
+), sob AS (
+  SELECT n, a, b, cprime, s2m, s2y,
+         s2m / (sxx - sx * sx / n) AS se2a,
+         s2y * (n * sxx - sx * sx) / det AS se2b
+  FROM err WHERE s2m > 0 AND s2y > 0
+), z AS (
+  SELECT n, a, b, cprime,
+         round(a * b / sqrt(b * b * se2a + a * a * se2b), 6) AS sobel_z
+  FROM sob WHERE b * b * se2a + a * a * se2b > 0
+)
+SELECT n, round(a, 6) AS a_path, round(b, 6) AS b_path,
+       round(cprime, 6) AS c_prime,
+       round(a * b, 6) AS indirect,
+       round(cprime + a * b, 6) AS total_effect,
+       round(a * b / (cprime + a * b), 6) AS prop_mediated,
+       sobel_z,
+       round(2.0 * (CASE WHEN abs(sobel_z) >= 0 THEN
+         0.5 * (1.0 / (1.0 + 0.3275911 * (abs(sobel_z) / sqrt(2.0))))
+         * (0.254829592
+            + (1.0 / (1.0 + 0.3275911 * (abs(sobel_z) / sqrt(2.0))))
+            * (-0.284496736
+               + (1.0 / (1.0 + 0.3275911 * (abs(sobel_z) / sqrt(2.0))))
+               * (1.421413741
+                  + (1.0 / (1.0 + 0.3275911 * (abs(sobel_z) / sqrt(2.0))))
+                  * (-1.453152027
+                     + (1.0 / (1.0 + 0.3275911 * (abs(sobel_z) / sqrt(2.0))))
+                     * 1.061405429))))
+         * exp(-(abs(sobel_z) / sqrt(2.0)) * (abs(sobel_z) / sqrt(2.0)))
+       END), 6) AS p_two_sided
+FROM z WHERE cprime + a * b <> 0
+"""
+
+
+@query("q_mediation_sobel", oracle=MEDIATION_SQL)
+def q_mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    rows_ = li.filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    ).select(
+        F.col("l_discount").cast("double").alias("x"),
+        F.log(F.col("l_quantity").cast("double")).alias("m"),
+        F.log(F.col("l_extendedprice").cast("double")).alias("y"),
+    )
+
+    def fold(expr, name):
+        return (
+            F.sum(F.round(expr, 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    x, m_, y = F.col("x"), F.col("m"), F.col("y")
+    mom = rows_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold(x, "sx"),
+        fold(m_, "sm"),
+        fold(y, "sy"),
+        fold(x * x, "sxx"),
+        fold(x * m_, "sxm"),
+        fold(x * y, "sxy"),
+        fold(m_ * m_, "smm"),
+        fold(m_ * y, "smy"),
+        fold(y * y, "syy"),
+    )
+    n = F.col("n")
+    sx, sm, sy = F.col("sx"), F.col("sm"), F.col("sy")
+    sxx, sxm, sxy = F.col("sxx"), F.col("sxm"), F.col("sxy")
+    smm, smy, syy = F.col("smm"), F.col("smy"), F.col("syy")
+    a = (n * sxm - sx * sm) / (n * sxx - sx * sx)
+    det = (
+        n * (sxx * smm - sxm * sxm)
+        - sx * (sx * smm - sxm * sm)
+        + sm * (sx * sxm - sxx * sm)
+    )
+    paths = (
+        mom.filter((n > 3) & ((n * sxx - sx * sx) != 0))
+        .withColumn("a", a)
+        .withColumn("det", det)
+        .filter(F.col("det") != 0)
+    )
+    av, detv = F.col("a"), F.col("det")
+    cprime = (
+        n * (sxy * smm - sxm * smy)
+        - sy * (sx * smm - sxm * sm)
+        + sm * (sx * smy - sxy * sm)
+    ) / detv
+    b = (
+        n * (sxx * smy - sxy * sxm)
+        - sx * (sx * smy - sxy * sm)
+        + sy * (sx * sxm - sxx * sm)
+    ) / detv
+    b0 = (
+        sy * (sxx * smm - sxm * sxm)
+        - sx * (sxy * smm - sxm * smy)
+        + sm * (sxy * sxm - sxx * smy)
+    ) / detv
+    solved = (
+        paths.withColumn("cprime", cprime)
+        .withColumn("b", b)
+        .withColumn("b0", b0)
+    )
+    bv, b0v, cp = F.col("b"), F.col("b0"), F.col("cprime")
+    err = solved.withColumn(
+        "s2m",
+        ((smm - sm * sm / n) - av * av * (sxx - sx * sx / n)) / (n - 2),
+    ).withColumn(
+        "s2y", (syy - (b0v * sy + cp * sxy + bv * smy)) / (n - 3)
+    )
+    sob = (
+        err.filter((F.col("s2m") > 0) & (F.col("s2y") > 0))
+        .withColumn("se2a", F.col("s2m") / (sxx - sx * sx / n))
+        .withColumn("se2b", F.col("s2y") * (n * sxx - sx * sx) / detv)
+    )
+    se2a, se2b = F.col("se2a"), F.col("se2b")
+    var_ab = bv * bv * se2a + av * av * se2b
+    z = (
+        sob.filter(var_ab > 0)
+        .withColumn("sobel_z", F.round(av * bv / F.sqrt(var_ab), 6))
+    )
+    from redmap_spark.inventory.stats5 import _erfc_half
+
+    zc = F.col("sobel_z")
+    return (
+        z.filter((cp + av * bv) != 0)
+        .select(
+            "n",
+            F.round(av, 6).alias("a_path"),
+            F.round(bv, 6).alias("b_path"),
+            F.round(cp, 6).alias("c_prime"),
+            F.round(av * bv, 6).alias("indirect"),
+            F.round(cp + av * bv, 6).alias("total_effect"),
+            F.round(av * bv / (cp + av * bv), 6).alias("prop_mediated"),
+            "sobel_z",
+            F.round(2.0 * _erfc_half(F.abs(zc)), 6).alias("p_two_sided"),
+        )
+    )
