@@ -788,3 +788,128 @@ def test_bpe_fertility_matches_direct_apply(spark):
         gd, gw, gs, f = got[k]
         assert (gd, gw, gs) == (nd, nw, ns), k
         assert f == round(ns / nw, 6), k
+
+
+# -- round-6 continuation: numeric-primitive property tests ------------
+
+
+@given(
+    st.floats(min_value=0.0001, max_value=0.9999,
+              allow_nan=False, allow_infinity=False)
+)
+@settings(max_examples=200, deadline=None)
+def test_inverse_normal_chain_accuracy_and_monotonicity(p):
+    """The house A&S 26.2.23 Φ⁻¹ chain (q_heckman_mills) round-trips
+    through the A&S 7.1.26 Φ chain within the documented 4.5e-4 +
+    erfc-chain error budget, and is monotone."""
+    import math
+
+    from redmap_spark.inventory.econ import _INV_NORM_CONSTS
+
+    c0, c1, c2, d1, d2, d3 = _INV_NORM_CONSTS
+
+    def inv(pp):
+        q = pp if pp <= 0.5 else 1.0 - pp
+        sgn = -1.0 if pp <= 0.5 else 1.0
+        t = math.sqrt(-2.0 * math.log(q))
+        return sgn * (
+            t - (c0 + t * (c1 + t * c2))
+            / (1.0 + t * (d1 + t * (d2 + t * d3)))
+        )
+
+    z = inv(p)
+    # exact Φ for the round-trip check
+    phi = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+    assert abs(phi - p) < 1.5e-3
+    eps = 1e-6
+    if p + eps < 0.9999:
+        assert inv(p + eps) >= z - 1e-9
+
+
+def test_erlang_c_monotone_and_bounded(spark):
+    from tests.conftest import SF_DIR
+    """q_erlang_c invariants: wait probability strictly decreases as
+    servers are added (same type), occupancy < 1 on every candidate
+    row, and P_wait ∈ (0, 1)."""
+    from collections import defaultdict
+
+    from redmap_spark.inventory import QUERIES
+
+    rows = QUERIES["q_erlang_c"](spark, SF_DIR).collect()
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        assert 0.0 < r.occupancy < 1.0, r
+        assert 0.0 <= r.p_wait < 1.0, r
+        assert r.asa_minutes >= 0.0, r
+        by_type[r.event_type].append((r.servers, r.p_wait))
+    for tp, lst in by_type.items():
+        lst.sort()
+        waits = [w for _, w in lst]
+        assert waits == sorted(waits, reverse=True), (tp, waits)
+
+
+def test_mus_sampling_invariants(spark):
+    from tests.conftest import SF_DIR
+    """Monetary-unit sampling guarantees: every order worth more than
+    one sampling step is selected; total selections ≈ 200 (systematic
+    PPS yields between 150 and 250 boundary hits on this population);
+    value coverage exceeds count share (PPS oversamples value)."""
+    from redmap_spark.inventory import QUERIES
+
+    rows = QUERIES["q_mus_sampling"](spark, SF_DIR).collect()
+    assert rows
+    tot_sel = sum(r.n_selected for r in rows)
+    tot_n = sum(r.pop_n for r in rows)
+    assert 150 <= tot_sel <= 250, tot_sel
+    # PPS: value coverage strictly exceeds the raw count share
+    tot_val = sum(r.pop_value for r in rows)
+    tot_sval = sum(r.sampled_value for r in rows)
+    assert tot_sval / tot_val > tot_sel / tot_n
+
+
+def test_optimal_reserve_microunit_bids_match_fraction_arithmetic(spark):
+    from tests.conftest import SF_DIR
+    """The BIGINT micro-dollar bid construction in q_optimal_reserve
+    equals exact Fraction arithmetic floor((revs·10⁴·10⁴)/qty·10²)
+    on a sampled set of (part, supplier) groups."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from redmap_spark.catalog import Catalog
+
+    li = Catalog(spark, SF_DIR).lineitem.filter(F.col("l_partkey") <= 20)
+    rows = li.select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_quantity",
+    ).collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in rows:
+        cents = round(r.l_extendedprice * 100.0)
+        dpct = round(r.l_discount * 100.0)
+        q2 = round(r.l_quantity * 100.0)
+        key = (r.l_partkey, r.l_suppkey)
+        agg[key][0] += cents * (100 - dpct)
+        agg[key][1] += q2
+    cents_e = F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint")
+    dpct_e = F.round(F.col("l_discount") * 100.0, 0).cast("bigint")
+    q_e = F.round(F.col("l_quantity") * 100.0, 0).cast("bigint")
+    got = {
+        (r.pk, r.sk): r.bidm
+        for r in li.groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(
+            F.sum(cents_e * (100 - dpct_e)).alias("rev4"),
+            F.sum(q_e).alias("q2"),
+        )
+        .select("pk", "sk", F.expr("(rev4 * 10000) div q2").alias("bidm"))
+        .collect()
+    }
+    assert got
+    for key, (rev4, q2) in agg.items():
+        expect = (Fraction(rev4) * 10000) // q2
+        assert got[key] == expect, key
