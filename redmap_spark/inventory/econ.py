@@ -1892,8 +1892,9 @@ def q_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 CROSS_ELAST_SQL = """
 WITH daily AS MATERIALIZED (
   SELECT p_brand AS brand, l_shipdate AS day,
-         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 2)
-                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(18,4)) AS rev,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
   FROM lineitem JOIN part ON p_partkey = l_partkey
   GROUP BY 1, 2
@@ -1956,12 +1957,10 @@ def q_cross_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1.0 - F.col("l_discount")),
-                    2,
-                ).cast("decimal(18,2)")
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
             )
-            .cast("decimal(18,2)")
+            .cast("decimal(18,4)")
             .alias("rev"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
@@ -2349,8 +2348,8 @@ def q_heckman_mills(spark: SparkSession, sf_dir: str) -> DataFrame:
 BID_SCREEN_SQL = """
 WITH bids AS MATERIALIZED (
   SELECT l_partkey AS pk, l_suppkey AS sk,
-         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 2)
-                  AS DECIMAL(18,2))) AS DOUBLE)
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
            / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS bid
   FROM lineitem GROUP BY 1, 2
   HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 0
@@ -2409,10 +2408,8 @@ def q_bid_rigging_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1.0 - F.col("l_discount")),
-                    2,
-                ).cast("decimal(18,2)")
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
             )
             .cast("double")
             .alias("revs"),

@@ -1041,8 +1041,9 @@ WITH sku_week AS MATERIALIZED (
          date_trunc('week', l_shipdate) AS wk,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
            AS qty,
-         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 2)
-                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(18,4)) AS rev
   FROM lineitem JOIN part ON p_partkey = l_partkey
   GROUP BY 1, 2
 ), m1 AS (
@@ -1106,12 +1107,10 @@ def q_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,2)")
             .alias("qty"),
             F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1.0 - F.col("l_discount")),
-                    2,
-                ).cast("decimal(18,2)")
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
             )
-            .cast("decimal(18,2)")
+            .cast("decimal(18,4)")
             .alias("rev"),
         )
     )
@@ -1175,4 +1174,299 @@ def q_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
         .orderBy("abc", "xyz")
+    )
+
+
+# -- q_eoq_policy ------------------------------------------------------
+#
+# Economic-order-quantity policy table per brand: EOQ = √(2DK/h) with
+# order cost K = 100 and holding cost h = 20% of the brand's mean
+# unit price per year, reorder point ROP = d̄·LT + 1.645·σ_d·√LT at a
+# 7-day lead time (95% cycle service, house z constant) — the
+# continuous-review (Q, r) policy beside q_newsvendor's single-period
+# quantile stocking and q_croston's intermittent forecast. Demand
+# moments come from the dense per-brand daily grid (exact decimal
+# sums, two-pass cancellation-safe σ); every output is closed-form
+# grid algebra. Scale: one lineitem⋈part scan → |brand × day| grid →
+# |brand| rows.
+
+EOQ_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT p_brand AS brand, l_shipdate AS day,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(18,4)) AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), m1 AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(qty) AS DOUBLE) AS tot_qty,
+         CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS dbar,
+         CAST(SUM(rev) AS DOUBLE) / CAST(SUM(qty) AS DOUBLE) AS unit_price,
+         (CAST(SUM(rev) * 10000 AS BIGINT) * 100)
+           // CAST(SUM(qty) * 100 AS BIGINT) AS unit_micro
+  FROM daily GROUP BY 1 HAVING SUM(qty) > 0
+), m2 AS (
+  SELECT d.brand, m.nd, m.tot_qty, m.dbar, m.unit_price, m.unit_micro,
+         sqrt(CAST(SUM(CAST(round(
+                (CAST(d.qty AS DOUBLE) - m.dbar)
+                * (CAST(d.qty AS DOUBLE) - m.dbar), 6)
+              AS DECIMAL(28,6))) AS DOUBLE) / (m.nd - 1)) AS sigma_d
+  FROM daily d JOIN m1 m ON d.brand = m.brand
+  WHERE m.nd > 1
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT brand, nd AS n_days,
+       round(tot_qty * 365.0 / nd, 2) AS annual_demand,
+       round(unit_micro / 1000000.0, 6) AS unit_price,
+       round(sqrt(2.0 * (tot_qty * 365.0 / nd) * 100.0
+                  / (0.2 * unit_price)), 6) AS eoq,
+       round((tot_qty * 365.0 / nd)
+             / sqrt(2.0 * (tot_qty * 365.0 / nd) * 100.0
+                    / (0.2 * unit_price)), 6) AS orders_per_year,
+       round(dbar * 7.0 + 1.645 * sigma_d * sqrt(7.0), 6)
+         AS reorder_point,
+       round(1.645 * sigma_d * sqrt(7.0), 6) AS safety_stock
+FROM m2
+WHERE unit_price > 0
+ORDER BY brand
+"""
+
+
+@query("q_eoq_policy", oracle=EOQ_SQL)
+def q_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    daily = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("qty"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("decimal(18,4)")
+            .alias("rev"),
+        )
+    )
+    daily = daily.cache()  # grid feeds the mean pass AND the sigma pass
+    m1 = (
+        daily.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nd"),
+            F.sum("qty").cast("double").alias("tot_qty"),
+            (F.sum("qty").cast("double") / F.count(F.lit(1))).alias(
+                "dbar"
+            ),
+            (
+                F.sum("rev").cast("double") / F.sum("qty").cast("double")
+            ).alias("unit_price"),
+            F.expr(
+                "(CAST(sum(rev) * 10000 AS BIGINT) * 100)"
+                " div CAST(sum(qty) * 100 AS BIGINT)"
+            ).alias("unit_micro"),
+        )
+        .filter(F.col("tot_qty") > 0)
+    )
+    qd = F.col("qty").cast("double")
+    m2 = (
+        daily.join(F.broadcast(m1.filter(F.col("nd") > 1)), "brand")
+        .groupBy("brand", "nd", "tot_qty", "dbar", "unit_price",
+                 "unit_micro")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        (qd - F.col("dbar")) * (qd - F.col("dbar")), 6
+                    ).cast("decimal(28,6)")
+                ).cast("double")
+                / (F.col("nd") - 1)
+            ).alias("sigma_d")
+        )
+    )
+    nd, tot, up = F.col("nd"), F.col("tot_qty"), F.col("unit_price")
+    dbar, sig = F.col("dbar"), F.col("sigma_d")
+    annual = tot * 365.0 / nd
+    eoq = F.sqrt(2.0 * annual * 100.0 / (0.2 * up))
+    return (
+        m2.filter(up > 0)
+        .select(
+            "brand",
+            nd.alias("n_days"),
+            F.round(annual, 2).alias("annual_demand"),
+            F.round(F.col("unit_micro") / 1000000.0, 6).alias(
+                "unit_price"
+            ),
+            F.round(eoq, 6).alias("eoq"),
+            F.round(annual / eoq, 6).alias("orders_per_year"),
+            F.round(dbar * 7.0 + 1.645 * sig * F.sqrt(F.lit(7.0)), 6)
+            .alias("reorder_point"),
+            F.round(1.645 * sig * F.sqrt(F.lit(7.0)), 6).alias(
+                "safety_stock"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+# -- q_knapsack_budget -------------------------------------------------
+#
+# Fractional-knapsack budget allocation: given a procurement budget
+# of 10% of the catalog's total retail cost, which parts (ranked by
+# revenue-per-cost density) fit, and how much revenue do they
+# capture? The greedy density order is OPTIMAL for the fractional
+# relaxation, so this is an exact LP solution, not a heuristic. All
+# money is BIGINT CENTS (costs, budget, cumulative sums) and the
+# boundary item's fraction is an integer micro-unit division — the
+# q_optimal_reserve portability discipline: round(double) never
+# touches a fold or comparison. Density ordering is a double ratio
+# of exact integers with partkey tie-breaks. Scale: one lineitem
+# scan → |part| grid → one ordered window → 1 summary row.
+
+KNAPSACK_SQL = """
+WITH items AS (
+  SELECT l.l_partkey AS pk,
+         CAST(round(ANY_VALUE(p.p_retailprice) * 100.0, 0) AS BIGINT)
+           AS cost_c,
+         SUM(CAST(round(l.l_extendedprice * 100.0, 0) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100.0, 0) AS BIGINT)))
+           // 100 AS val_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+  HAVING CAST(round(ANY_VALUE(p.p_retailprice) * 100.0, 0) AS BIGINT) > 0
+), budget AS (
+  SELECT CAST(SUM(cost_c) AS BIGINT) // 10 AS b FROM items
+), ordered AS (
+  SELECT pk, cost_c, val_c,
+         SUM(cost_c) OVER (ORDER BY val_c * 1.0 / cost_c DESC, pk
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+  FROM items
+), flagged AS (
+  SELECT o.pk, o.cost_c, o.val_c, o.cum, b.b,
+         CASE WHEN o.cum <= b.b THEN 1 ELSE 0 END AS full_take,
+         CASE WHEN o.cum > b.b AND o.cum - o.cost_c < b.b THEN 1
+              ELSE 0 END AS boundary
+  FROM ordered o CROSS JOIN budget b
+)
+SELECT round(CAST(MIN(b) AS BIGINT) / 100.0, 2) AS budget,
+       CAST(SUM(full_take) AS BIGINT) AS n_items_full,
+       CAST(SUM(CASE WHEN full_take = 1 THEN val_c ELSE 0 END) AS BIGINT)
+         / 100.0 AS value_full,
+       CAST(MAX(CASE WHEN boundary = 1 THEN pk END) AS BIGINT)
+         AS boundary_part,
+       CAST(SUM(CASE WHEN boundary = 1 THEN
+              (val_c * ((b - (cum - cost_c)) * 1000000 // cost_c))
+              // 10000 END) AS BIGINT) / 100.0 AS value_boundary,
+       round(CAST(SUM(CASE WHEN boundary = 1 THEN
+              (b - (cum - cost_c)) * 1000000 // cost_c END) AS BIGINT)
+             / 1000000.0, 6) AS boundary_fraction
+FROM flagged
+"""
+
+
+@query("q_knapsack_budget", oracle=KNAPSACK_SQL)
+def q_knapsack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint")
+    dpct = F.round(F.col("l_discount") * 100.0, 0).cast("bigint")
+    items = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_retailprice")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.round(F.first("p_retailprice") * 100.0, 0)
+            .cast("bigint")
+            .alias("cost_c"),
+            F.expr(
+                "sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)"
+                " * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))"
+                " div 100"
+            ).alias("val_c"),
+        )
+        .filter(F.col("cost_c") > 0)
+    )
+    items = items.cache()  # feeds the budget total AND the ordered walk
+    budget = items.agg(
+        F.expr("CAST(sum(cost_c) AS BIGINT) div 10").alias("b")
+    )
+    ordered = items.select(
+        "pk",
+        "cost_c",
+        "val_c",
+        F.sum("cost_c")
+        .over(
+            Window.orderBy(
+                (F.col("val_c") * 1.0 / F.col("cost_c")).desc(), "pk"
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+    )
+    flagged = ordered.join(F.broadcast(budget)).select(
+        "pk",
+        "cost_c",
+        "val_c",
+        "cum",
+        "b",
+        F.when(F.col("cum") <= F.col("b"), 1).otherwise(0).alias(
+            "full_take"
+        ),
+        F.when(
+            (F.col("cum") > F.col("b"))
+            & (F.col("cum") - F.col("cost_c") < F.col("b")),
+            1,
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    return flagged.agg(
+        F.round(F.min("b").cast("bigint") / 100.0, 2).alias("budget"),
+        F.sum("full_take").cast("bigint").alias("n_items_full"),
+        (
+            F.sum(
+                F.when(F.col("full_take") == 1, F.col("val_c")).otherwise(
+                    0
+                )
+            ).cast("bigint")
+            / 100.0
+        ).alias("value_full"),
+        F.max(F.when(F.col("boundary") == 1, F.col("pk")))
+        .cast("bigint")
+        .alias("boundary_part"),
+        (
+            F.sum(
+                F.when(
+                    F.col("boundary") == 1,
+                    F.expr(
+                        "(val_c * (((b - (cum - cost_c)) * 1000000)"
+                        " div cost_c)) div 10000"
+                    ),
+                )
+            ).cast("bigint")
+            / 100.0
+        ).alias("value_boundary"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("boundary") == 1,
+                    F.expr(
+                        "((b - (cum - cost_c)) * 1000000) div cost_c"
+                    ),
+                )
+            ).cast("bigint")
+            / 1000000.0,
+            6,
+        ).alias("boundary_fraction"),
     )

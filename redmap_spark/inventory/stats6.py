@@ -1274,3 +1274,166 @@ def q_mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(2.0 * _erfc_half(F.abs(zc)), 6).alias("p_two_sided"),
         )
     )
+
+
+# -- q_dunn_posthoc ----------------------------------------------------
+#
+# Dunn's post-hoc test with Bonferroni correction — WHICH event-type
+# pairs differ once q_kruskal_wallis rejects (the nonparametric
+# sibling of q_tukey_hsd, closing the post-hoc gap). Reuses the
+# Kruskal midrank algebra: one distinct-value grid gives exact BIGINT
+# 2·R_i per group, mean ranks R̄_i = r2x/(2n_i), and
+# z_ij = (R̄_i−R̄_j)/√((N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/n_i+1/n_j))
+# with the tie correction; two-sided p through the house erfc chain,
+# Bonferroni ×k(k−1)/2 capped at 1. The pair join is the ≤5-row
+# group grid against itself. Scale: one fact scan → value grid →
+# 5-row grid → 10 pair rows.
+
+DUNN_SQL = """
+WITH vals AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1
+), rg AS (
+  SELECT value, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY value) AS BIGINT) AS cum
+  FROM g
+), gstat AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+  FROM g
+), tg AS (
+  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM vals GROUP BY 1, 2
+), per AS MATERIALIZED (
+  SELECT t.event_type,
+         CAST(SUM(t.ct) AS BIGINT) AS n1,
+         CAST(SUM(t.ct * (2 * r.cum - r.cnt + 1)) AS BIGINT) AS r2x
+  FROM tg t JOIN rg r ON r.value = t.value
+  GROUP BY 1
+), kc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM per),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n1 AS na, b.n1 AS nb,
+         a.r2x / (2.0 * a.n1) - b.r2x / (2.0 * b.n1) AS diff,
+         g.n, g.ties, k.k
+  FROM per a JOIN per b ON a.event_type < b.event_type
+  CROSS JOIN gstat g CROSS JOIN kc k
+), z AS (
+  SELECT type_a, type_b, na, nb, k,
+         round(diff / sqrt((n * (n + 1.0) / 12.0
+                            - ties / (12.0 * (n - 1.0)))
+                           * (1.0 / na + 1.0 / nb)), 6) AS z
+  FROM pairs
+  WHERE n > 1
+    AND n * (n + 1.0) / 12.0 - ties / (12.0 * (n - 1.0)) > 0
+)
+SELECT type_a, type_b, na AS n_a, nb AS n_b, z,
+       round(LEAST(1.0, k * (k - 1) / 2.0 * 2.0 * (
+         0.5 * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+         * (0.254829592
+            + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+            * (-0.284496736
+               + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+               * (1.421413741
+                  + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                  * (-1.453152027
+                     + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                     * 1.061405429))))
+         * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0))))), 6)
+         AS p_bonferroni,
+       CAST(CASE WHEN abs(z) > 2.807 THEN 1 ELSE 0 END AS INT)
+         AS significant_05
+FROM z
+ORDER BY type_a, type_b
+"""
+
+
+@query("q_dunn_posthoc", oracle=DUNN_SQL)
+def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    vals = e.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    vals = vals.cache()  # feeds the value grid AND the per-type grid
+    g = vals.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    g = g.cache()  # value grid feeds ranks AND global stats
+    rg = g.select(
+        "value",
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("value")).cast("bigint").alias(
+            "cum"
+        ),
+    )
+    gstat = g.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("ties"),
+    )
+    tg = vals.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    per = (
+        tg.join(rg, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ct").cast("bigint").alias("n1"),
+            F.sum(
+                F.col("ct") * (2 * F.col("cum") - F.col("cnt") + 1)
+            )
+            .cast("bigint")
+            .alias("r2x"),
+        )
+    )
+    per = per.cache()  # ≤5 rows feed both pair sides and k
+    kc = per.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    a = per.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n1").alias("na"),
+        F.col("r2x").alias("r2a"),
+    )
+    b = per.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n1").alias("nb"),
+        F.col("r2x").alias("r2b"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(gstat))
+        .join(F.broadcast(kc))
+    )
+    n, ties, k = F.col("n"), F.col("ties"), F.col("k")
+    na, nb = F.col("na"), F.col("nb")
+    diff = F.col("r2a") / (2.0 * na) - F.col("r2b") / (2.0 * nb)
+    var = n * (n + 1.0) / 12.0 - ties / (12.0 * (n - 1.0))
+    z = F.round(diff / F.sqrt(var * (1.0 / na + 1.0 / nb)), 6)
+    zdf = (
+        pairs.filter((n > 1) & (var > 0))
+        .select("type_a", "type_b", na, nb, k, z.alias("z"))
+    )
+    from redmap_spark.inventory.stats5 import _erfc_half
+
+    zc = F.col("z")
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            k * (k - 1) / 2.0 * 2.0 * _erfc_half(F.abs(zc)),
+        ),
+        6,
+    )
+    return zdf.select(
+        "type_a",
+        "type_b",
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        "z",
+        p.alias("p_bonferroni"),
+        F.when(F.abs(zc) > 2.807, 1).otherwise(0).cast("int").alias(
+            "significant_05"
+        ),
+    ).orderBy("type_a", "type_b")
