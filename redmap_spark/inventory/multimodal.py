@@ -103,3 +103,29 @@ def mm_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     return palette_features(M.attach_payload(d))
+
+
+@query("mm_audio_match")  # rows-only: STFT landmark matching, pytest-pinned
+def mm_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shazam-style audio matching (Wang 2003 constellation hashes):
+    STFT magnitude-peak landmarks per asset, then a BUCKETED
+    equi-join on the landmark hash finds assets sharing ≥4 landmarks
+    — the audio-dedup/retrieval shape that never compares signal
+    pairs directly (LSH discipline, stop-hash bucket cap). Real WAV
+    payloads go through the true FFT path (pytest-pinned on crafted
+    tones in tests/test_audio_fp.py); the synthetic corpus exercises
+    the identical plumbing via content shingle hashes, so near-
+    duplicate documents surface as matches here too. Scale: one
+    Arrow decode pass → |asset × landmarks| rows → hash-bucket join."""
+    from redmap_spark.multimodal.audio import (
+        fingerprint_hashes,
+        match_by_fingerprint,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    hashes = fingerprint_hashes(M.attach_payload(d))
+    return (
+        match_by_fingerprint(hashes, min_shared=4)
+        .orderBy("id_a", "id_b")
+        .limit(50)
+    )

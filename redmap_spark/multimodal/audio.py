@@ -128,3 +128,111 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, "payload").mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# -- constellation fingerprinting (SURVEY §2.F audio matching) ---------
+#
+# Shazam-style landmark hashing (Wang 2003): STFT magnitude peaks
+# form a sparse constellation; (anchor_bin, target_bin, Δframe)
+# triples hash into compact integers that survive noise and offset.
+# Matching assets is then a BUCKETED EQUI-JOIN on hash — the LSH
+# shape, never an all-pairs signal comparison.
+
+FP_FRAME = 1024
+FP_HOP = 512
+FP_PEAKS = 3
+FP_FANOUT = 3
+
+
+def fingerprint_samples(mono: np.ndarray, sample_rate: int) -> list[int]:
+    """Landmark hashes from mono float samples. Deterministic: peak
+    bins tie-break toward the lower bin; hash packs
+    (b1 << 12) | (b2 << 3) | dt with 9-bit bins and 2-bit dt."""
+    n = len(mono)
+    if n < FP_FRAME:
+        return []
+    peaks: list[list[int]] = []
+    for start in range(0, n - FP_FRAME + 1, FP_HOP):
+        frame = mono[start : start + FP_FRAME]
+        mag = np.abs(np.fft.rfft(frame * np.hanning(FP_FRAME)))
+        # top-K by magnitude, ties toward lower bin: sort by
+        # (-mag, bin) via stable argsort on -mag
+        order = np.argsort(-mag, kind="stable")[:FP_PEAKS]
+        peaks.append(sorted(int(b) for b in order))
+    hashes: list[int] = []
+    for i, anchor_bins in enumerate(peaks):
+        for dt in range(1, FP_FANOUT + 1):
+            if i + dt >= len(peaks):
+                break
+            for b1 in anchor_bins:
+                for b2 in peaks[i + dt]:
+                    hashes.append((b1 << 12) | (b2 << 3) | dt)
+    return hashes
+
+
+def _fallback_hashes(payload: bytes) -> list[int]:
+    """Content-derived fingerprint for non-WAV payloads: md5 of each
+    4-byte-aligned 16-byte shingle, 8 smallest kept — duplicate-ish
+    payloads share hashes, so the bucketed matcher is exercised
+    end-to-end on the synthetic corpus."""
+    hs = set()
+    for off in range(0, max(len(payload) - 16, 0) + 1, 4):
+        h = hashlib.md5(payload[off : off + 16]).hexdigest()[:8]
+        hs.add(int(h, 16) & 0x7FFFFF)
+    return sorted(hs)[:8]
+
+
+def fingerprint_hashes(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, hash) landmark rows per asset — real STFT constellation
+    for WAV payloads, content shingle hashes otherwise."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids: list[int] = []
+            out_hashes: list[int] = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col])
+                parsed = parse_wav(payload)
+                if parsed is not None:
+                    _nc, sr, _bits, mono = parsed
+                    hs = fingerprint_samples(mono, sr)
+                else:
+                    hs = _fallback_hashes(payload)
+                for h in hs:
+                    out_ids.append(int(row[id_col]))
+                    out_hashes.append(h)
+            yield pd.DataFrame({"id": out_ids, "hash": out_hashes})
+
+    return df.mapInPandas(extract, schema="id long, hash long")
+
+
+def match_by_fingerprint(
+    hashes: DataFrame, min_shared: int = 4, max_bucket: int = 64
+) -> DataFrame:
+    """Pairs of assets sharing >= min_shared landmark hashes.
+
+    Bucketed join on the hash value (distinct per asset first so a
+    repeated landmark inside one asset counts once); buckets larger
+    than ``max_bucket`` assets are dropped as degenerate (the
+    stop-hash guard — the dedup `max_shingle_df` discipline)."""
+    from pyspark.sql import functions as F
+
+    h = hashes.distinct()
+    df_per_hash = h.groupBy("hash").agg(F.count(F.lit(1)).alias("nb"))
+    kept = h.join(
+        F.broadcast(
+            df_per_hash.filter(F.col("nb") <= max_bucket).select("hash")
+        ),
+        "hash",
+    )
+    a = kept.select("hash", F.col("id").alias("id_a"))
+    b = kept.select("hash", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
