@@ -889,3 +889,180 @@ def q_wilson_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# -- q_duplicate_payments ----------------------------------------------
+#
+# Double-payment audit: pairs of orders from the SAME customer with
+# the IDENTICAL total amount within a 7-day window — the classic AP
+# duplicate-invoice screen (dedup_exact's forensic sibling on the
+# transaction table). The pair join is bucketed on the natural
+# (customer, exact DECIMAL(18,2) amount) key — cost Σ bucket², never
+# |orders|² — with o_orderkey ordering deduplicating each pair once.
+# Output: the 20 largest flagged pairs (amount DESC, key ties) plus
+# the global flagged-pair count on every row. Scale: one shuffle on
+# the composite key; date window applied inside buckets.
+
+DUP_PAY_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS amt,
+         CAST(o_orderdate AS DATE) AS day
+  FROM orders
+), pairs AS MATERIALIZED (
+  SELECT a.o_custkey AS custkey,
+         CAST(a.amt AS DOUBLE) AS amount,
+         strftime(a.day, '%Y-%m-%d') AS day_a,
+         strftime(b.day, '%Y-%m-%d') AS day_b,
+         a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b
+  FROM o a JOIN o b
+    ON a.o_custkey = b.o_custkey AND a.amt = b.amt
+   AND a.o_orderkey < b.o_orderkey
+   AND abs(date_diff('day', a.day, b.day)) <= 7
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_flagged FROM pairs)
+SELECT p.custkey, p.amount, p.day_a, p.day_b,
+       p.orderkey_a, p.orderkey_b, t.n_flagged
+FROM pairs p CROSS JOIN tot t
+ORDER BY p.amount DESC, p.orderkey_a, p.orderkey_b
+LIMIT 20
+"""
+
+
+@query("q_duplicate_payments", oracle=DUP_PAY_SQL)
+def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amt"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("amt"),
+        F.col("day").alias("da"),
+        F.col("o_orderkey").alias("orderkey_a"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck_b"),
+        F.col("amt").alias("amt_b"),
+        F.col("day").alias("db"),
+        F.col("o_orderkey").alias("orderkey_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("custkey") == F.col("ck_b"))
+        & (F.col("amt") == F.col("amt_b"))
+        & (F.col("orderkey_a") < F.col("orderkey_b"))
+        & (F.abs(F.datediff(F.col("db"), F.col("da"))) <= 7),
+    ).select(
+        "custkey",
+        F.col("amt").cast("double").alias("amount"),
+        F.date_format("da", "yyyy-MM-dd").alias("day_a"),
+        F.date_format("db", "yyyy-MM-dd").alias("day_b"),
+        "orderkey_a",
+        "orderkey_b",
+    )
+    pairs = pairs.cache()  # flagged set feeds the count AND the top-20
+    tot = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
+    return (
+        pairs.join(F.broadcast(tot))
+        .orderBy(F.desc("amount"), "orderkey_a", "orderkey_b")
+        .limit(20)
+    )
+
+
+# -- q_benford_entity --------------------------------------------------
+#
+# Per-supplier Benford conformity screen: which suppliers' line
+# amounts deviate most from the first-digit law (q_benford is the
+# global test; forensic practice ranks ENTITIES by deviation to find
+# fabricated pricing). For suppliers with ≥ 200 lines, the chi²
+# statistic Σ(obs − n·p_d)²/(n·p_d) over digits 1–9 folds as
+# 6-rounded decimal terms on the ≤|suppliers|×9 grid; top 10 by
+# (chi² DESC, suppkey). Scale: one lineitem scan → digit grid →
+# grid algebra.
+
+_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_ENTITY_CASE = "CAST(CASE digit " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+) + " END AS DOUBLE)"
+
+BENFORD_ENTITY_SQL = f"""
+WITH d AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem
+), g AS (
+  SELECT suppkey, digit, CAST(COUNT(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+), tot AS (
+  SELECT suppkey, CAST(SUM(n) AS BIGINT) AS nt FROM g GROUP BY 1
+  HAVING SUM(n) >= 200
+), chi AS (
+  SELECT g.suppkey, t.nt,
+         CAST(SUM(CAST(round(
+             (g.n - t.nt * {_BENFORD_ENTITY_CASE})
+             * (g.n - t.nt * {_BENFORD_ENTITY_CASE})
+             / (t.nt * {_BENFORD_ENTITY_CASE}), 6)
+           AS DECIMAL(28,6))) AS DOUBLE) AS chi2
+  FROM g JOIN tot t ON g.suppkey = t.suppkey
+  GROUP BY 1, 2
+)
+SELECT suppkey, nt AS n_lines, round(chi2, 6) AS chi2,
+       CAST(CASE WHEN chi2 > 20.09 THEN 1 ELSE 0 END AS INT)
+         AS reject_benford,
+       CAST(ROW_NUMBER() OVER (ORDER BY round(chi2, 6) DESC, suppkey)
+            AS BIGINT) AS rank
+FROM chi
+ORDER BY rank LIMIT 10
+"""
+
+
+@query("q_benford_entity", oracle=BENFORD_ENTITY_SQL)
+def q_benford_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    d = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.substring(
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit"),
+    )
+    g = d.groupBy("suppkey", "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    g = g.cache()  # digit grid feeds totals AND the chi2 fold
+    tot = g.groupBy("suppkey").agg(
+        F.sum("n").cast("bigint").alias("nt")
+    ).filter(F.col("nt") >= 200)
+    p = F.expr(_BENFORD_ENTITY_CASE)
+    nt, n = F.col("nt"), F.col("n")
+    term = F.round((n - nt * p) * (n - nt * p) / (nt * p), 6)
+    chi = (
+        g.join(tot, "suppkey")
+        .groupBy("suppkey", "nt")
+        .agg(
+            F.sum(term.cast("decimal(28,6)")).cast("double").alias("chi2")
+        )
+    )
+    return (
+        chi.select(
+            "suppkey",
+            nt.alias("n_lines"),
+            F.round("chi2", 6).alias("chi2"),
+            F.when(F.col("chi2") > 20.09, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("reject_benford"),
+            F.row_number()
+            .over(Window.orderBy(F.round(F.col("chi2"), 6).desc(), "suppkey"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+        .orderBy("rank")
+        .limit(10)
+    )

@@ -2378,3 +2378,141 @@ def q_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(dfstat < -3.34, 1).otherwise(0).cast("bigint")
         .alias("cointegrated"),
     )
+
+
+# -- q_lead_lag_matrix -------------------------------------------------
+#
+# Lead-lag network across ALL event-type pairs: q_cross_correlation
+# resolves one pair (click→purchase); this sweeps every unordered
+# pair over lags −7…+7 and reports each pair's best alignment and
+# WHO LEADS (best lag > 0 ⇒ the first series' today predicts the
+# second's future). Pearson r per (pair, lag) from exact decimal
+# moments (the q_corr_matrix pattern); the winner per pair picks by
+# (round(|r|,6) DESC, lag ASC) so ties are pinned. Scale: the daily
+# grid joins to itself on the lag-shifted day through one bounded
+# 15× lag explode — |types|²·15 grid cells, never a stream re-scan.
+
+LEADLAG_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+  FROM events GROUP BY 1, 2
+), lags AS (SELECT UNNEST(generate_series(-7, 7)) AS lag),
+cells AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.rev) AS DOUBLE) AS sx,
+         CAST(SUM(b.rev) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(a.rev * b.rev AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(a.rev * a.rev AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(b.rev * b.rev AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b
+    ON b.event_type > a.event_type
+   AND b.day = a.day + CAST(l.lag AS INT)
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT type_a, type_b, lag, n,
+         round((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+  FROM cells
+  WHERE n > 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+), best AS (
+  SELECT type_a, type_b, lag, n, r,
+         ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                            ORDER BY abs(r) DESC, lag ASC) AS rn
+  FROM r
+)
+SELECT type_a, type_b, CAST(lag AS BIGINT) AS best_lag, n AS n_days,
+       r AS best_r,
+       CASE WHEN lag > 0 THEN type_a
+            WHEN lag < 0 THEN type_b
+            ELSE 'simultaneous' END AS leader
+FROM best WHERE rn = 1
+ORDER BY type_a, type_b
+"""
+
+
+@query("q_lead_lag_matrix", oracle=LEADLAG_SQL)
+def q_lead_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    daily = daily.cache()  # both join sides of the lag sweep
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day").alias("da"),
+        F.col("rev").alias("ra"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("db"),
+        F.col("rev").alias("rb"),
+    )
+    cells = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("type_b") > F.col("type_a"))
+            & (F.col("db") == F.date_add(F.col("da"), F.col("lag"))),
+        )
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("ra").cast("double").alias("sx"),
+            F.sum("rb").cast("double").alias("sy"),
+            F.sum((F.col("ra") * F.col("rb")).cast("decimal(38,4)"))
+            .cast("double")
+            .alias("sxy"),
+            F.sum((F.col("ra") * F.col("ra")).cast("decimal(38,4)"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("rb") * F.col("rb")).cast("decimal(38,4)"))
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    det = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r = (
+        cells.filter((n > 2) & (det > 0))
+        .select(
+            "type_a",
+            "type_b",
+            "lag",
+            "n",
+            F.round((n * sxy - sx * sy) / F.sqrt(det), 6).alias("r"),
+        )
+    )
+    best = r.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("type_a", "type_b").orderBy(
+                F.abs(F.col("r")).desc(), F.asc("lag")
+            )
+        ),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").cast("bigint").alias("best_lag"),
+            F.col("n").alias("n_days"),
+            F.col("r").alias("best_r"),
+            F.when(F.col("lag") > 0, F.col("type_a"))
+            .when(F.col("lag") < 0, F.col("type_b"))
+            .otherwise(F.lit("simultaneous"))
+            .alias("leader"),
+        )
+        .orderBy("type_a", "type_b")
+    )
