@@ -2692,3 +2692,138 @@ def q_optimal_reserve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pctile_step")
     )
+
+
+# -- q_price_recommendation --------------------------------------------
+#
+# Price recommendation from estimated own-price elasticity: the
+# constant-elasticity monopoly rule p* = c/(1 + 1/e) (Lerner index
+# (p−c)/p = −1/e) applied per brand with a 60%-of-price unit-cost
+# proxy — the decision layer on top of q_elasticity's measurement
+# (elastic brands get a concrete reprice; inelastic brands are
+# flagged no-interior-optimum). Elasticity comes from the identical
+# 9-rounded log-domain moment folds; current price and cost are
+# EXACT BIGINT micro-dollars (the portable-arithmetic discipline),
+# so every reported level is boundary-free; p* itself is a
+# high-entropy double chain safe to round. Scale: one lineitem⋈part
+# scan folds both the log moments and the micro-unit totals.
+
+PRICE_REC_SQL = """
+WITH li AS (
+  SELECT p.p_brand AS brand,
+         ln(CAST(l_quantity AS DOUBLE)) AS y,
+         ln(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)
+            * (1.0 - CAST(l_discount AS DOUBLE))) AS x,
+         CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS rev4,
+         CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS q2
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l_quantity > 0 AND l_extendedprice > 0 AND l_discount < 1.0
+), m AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(round(y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx,
+    (SUM(rev4) * 10000) // SUM(q2) AS price_micro
+  FROM li GROUP BY 1
+), e AS (
+  SELECT brand, n, price_micro,
+         (price_micro * 6) // 10 AS cost_micro,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS elast
+  FROM m WHERE n * sxx - sx * sx <> 0
+)
+SELECT brand, n,
+       round(elast, 6) AS elasticity,
+       round(price_micro / 1000000.0, 6) AS avg_price,
+       round(cost_micro / 1000000.0, 6) AS cost_assumed,
+       round(CASE WHEN elast < -1.0 THEN
+               (cost_micro / 1000000.0) / (1.0 + 1.0 / elast) END, 6)
+         AS optimal_price,
+       round(CASE WHEN elast < -1.0 THEN
+               ((cost_micro / 1000000.0) / (1.0 + 1.0 / elast)
+                - price_micro / 1000000.0)
+               / (price_micro / 1000000.0) END, 6) AS change_pct,
+       CAST(CASE WHEN elast < -1.0 THEN 1 ELSE 0 END AS INT) AS is_elastic
+FROM e
+ORDER BY brand
+"""
+
+
+@query("q_price_recommendation", oracle=PRICE_REC_SQL)
+def q_price_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    li = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(
+            (F.col("l_quantity") > 0)
+            & (F.col("l_extendedprice") > 0)
+            & (F.col("l_discount") < 1.0)
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_quantity").cast("double")).alias("y"),
+            F.log(
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double")
+                * (1.0 - F.col("l_discount").cast("double"))
+            ).alias("x"),
+            (
+                F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint")
+                * (
+                    100
+                    - F.round(F.col("l_discount") * 100.0, 0).cast(
+                        "bigint"
+                    )
+                )
+            ).alias("rev4"),
+            F.round(F.col("l_quantity") * 100.0, 0)
+            .cast("bigint")
+            .alias("q2"),
+        )
+    )
+
+    def fold(expr, name):
+        return (
+            F.sum(F.round(expr, 9).cast("decimal(18,9)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    x, y = F.col("x"), F.col("y")
+    m = li.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold(x, "sx"),
+        fold(y, "sy"),
+        fold(x * y, "sxy"),
+        fold(x * x, "sxx"),
+        F.expr("(sum(rev4) * 10000) div sum(q2)").alias("price_micro"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    e = (
+        m.filter((n * sxx - sx * sx) != 0)
+        .withColumn("cost_micro", F.expr("(price_micro * 6) div 10"))
+        .withColumn(
+            "elast", (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        )
+    )
+    el = F.col("elast")
+    price = F.col("price_micro") / 1000000.0
+    cost = F.col("cost_micro") / 1000000.0
+    pstar = cost / (1.0 + 1.0 / el)
+    return e.select(
+        "brand",
+        "n",
+        F.round(el, 6).alias("elasticity"),
+        F.round(price, 6).alias("avg_price"),
+        F.round(cost, 6).alias("cost_assumed"),
+        F.round(F.when(el < -1.0, pstar), 6).alias("optimal_price"),
+        F.round(F.when(el < -1.0, (pstar - price) / price), 6).alias(
+            "change_pct"
+        ),
+        F.when(el < -1.0, 1).otherwise(0).cast("int").alias("is_elastic"),
+    ).orderBy("brand")

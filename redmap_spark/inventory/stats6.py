@@ -1437,3 +1437,219 @@ def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_05"
         ),
     ).orderBy("type_a", "type_b")
+
+
+# -- q_hazard_ratio ----------------------------------------------------
+#
+# Pike hazard-ratio estimator per market segment vs the rest,
+# HR = (O_s/E_s) / ((O−O_s)/(E−E_s)), on the q_survival_km
+# time-to-repeat-purchase observations — the EFFECT SIZE the logrank
+# test omits (q_logrank answers "different?", this answers "how many
+# times the repeat-purchase hazard?"), with the standard log-normal
+# CI exp(±1.96·√(1/E_s + 1/(E−E_s))). Determinism: expected counts
+# E_s = Σ_t n_s(t)·d(t)/n(t) fold as EXACT BIGINT MICROS
+# ((n_s·d·10⁶) div n per event time — integer div, no per-row double
+# rounding), so O and E are exact and the HR is one
+# integer-ratio double division. Scale: one o_custkey window pass →
+# |customers| observations → |times × segments| grid → 5 rows.
+
+HAZARD_RATIO_SQL = """
+WITH obs0 AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         MIN(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey) AS d1
+  FROM orders
+), fs AS (
+  SELECT o_custkey, d1, MIN(CASE WHEN od > d1 THEN od END) AS d2
+  FROM obs0 GROUP BY 1, 2
+), endd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS de FROM orders),
+obs AS MATERIALIZED (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN f.d2 IS NOT NULL THEN date_diff('day', f.d1, f.d2)
+              ELSE date_diff('day', f.d1, e.de) END AS t,
+         CASE WHEN f.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fs f JOIN customer c ON c.c_custkey = f.o_custkey
+  CROSS JOIN endd e
+), gridc AS MATERIALIZED (
+  SELECT segment, t, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(ev) AS BIGINT) AS d
+  FROM obs GROUP BY 1, 2
+), alltimes AS (SELECT DISTINCT t FROM gridc),
+segtot AS (
+  SELECT segment, CAST(SUM(c) AS BIGINT) AS ns_tot FROM gridc GROUP BY 1
+), dense AS (
+  SELECT st.segment, at.t,
+         COALESCE(g.c, 0) AS c, COALESCE(g.d, 0) AS d,
+         st.ns_tot
+  FROM segtot st CROSS JOIN alltimes at
+  LEFT JOIN gridc g ON g.segment = st.segment AND g.t = at.t
+), risk AS (
+  SELECT segment, t, d,
+         ns_tot - COALESCE(CAST(SUM(c) OVER (
+             PARTITION BY segment ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS n_s
+  FROM dense
+), gl AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS d_tot,
+         CAST(SUM(n_s) AS BIGINT) AS n_tot
+  FROM risk GROUP BY 1 HAVING SUM(d) > 0
+), seg AS (
+  SELECT r.segment,
+         CAST(SUM(r.d) AS BIGINT) AS o_s,
+         CAST(SUM((r.n_s * g.d_tot * 1000000) // g.n_tot) AS BIGINT)
+           AS e_micro
+  FROM risk r JOIN gl g ON r.t = g.t
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(o_s) AS BIGINT) AS o_t,
+         CAST(SUM(e_micro) AS BIGINT) AS e_t
+  FROM seg
+)
+SELECT s.segment, s.o_s AS observed,
+       round(s.e_micro / 1000000.0, 6) AS expected,
+       round((s.o_s * CAST(t.e_t - s.e_micro AS DOUBLE))
+             / (CAST(s.e_micro AS DOUBLE) * (t.o_t - s.o_s)), 6)
+         AS hazard_ratio,
+       round((s.o_s * CAST(t.e_t - s.e_micro AS DOUBLE))
+             / (CAST(s.e_micro AS DOUBLE) * (t.o_t - s.o_s))
+             * exp(-1.96 * sqrt(1000000.0 / s.e_micro
+                                + 1000000.0 / (t.e_t - s.e_micro))), 6)
+         AS hr_lo,
+       round((s.o_s * CAST(t.e_t - s.e_micro AS DOUBLE))
+             / (CAST(s.e_micro AS DOUBLE) * (t.o_t - s.o_s))
+             * exp(1.96 * sqrt(1000000.0 / s.e_micro
+                               + 1000000.0 / (t.e_t - s.e_micro))), 6)
+         AS hr_hi,
+       CAST(CASE WHEN (s.o_s * CAST(t.e_t - s.e_micro AS DOUBLE))
+                      / (CAST(s.e_micro AS DOUBLE) * (t.o_t - s.o_s))
+                      * exp(-1.96 * sqrt(1000000.0 / s.e_micro
+                            + 1000000.0 / (t.e_t - s.e_micro))) > 1.0
+                 THEN 1
+                 WHEN (s.o_s * CAST(t.e_t - s.e_micro AS DOUBLE))
+                      / (CAST(s.e_micro AS DOUBLE) * (t.o_t - s.o_s))
+                      * exp(1.96 * sqrt(1000000.0 / s.e_micro
+                            + 1000000.0 / (t.e_t - s.e_micro))) < 1.0
+                 THEN -1 ELSE 0 END AS INT) AS signif_direction
+FROM seg s CROSS JOIN tot t
+WHERE s.e_micro > 0 AND t.e_t > s.e_micro AND t.o_t > s.o_s
+ORDER BY s.segment
+"""
+
+
+@query("q_hazard_ratio", oracle=HAZARD_RATIO_SQL)
+def q_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    wc = Window.partitionBy("o_custkey")
+    obs0 = c.orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.min(F.col("o_orderdate").cast("date")).over(wc).alias("d1"),
+    )
+    fs = obs0.groupBy("o_custkey", "d1").agg(
+        F.min(F.when(F.col("od") > F.col("d1"), F.col("od"))).alias("d2")
+    )
+    endd = c.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("de")
+    )
+    obs = (
+        fs.join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(endd))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(
+                F.col("d2").isNotNull(),
+                F.datediff(F.col("d2"), F.col("d1")),
+            )
+            .otherwise(F.datediff(F.col("de"), F.col("d1")))
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    gridc = obs.groupBy("segment", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    gridc = gridc.cache()  # bounded |segment × t| grid, three consumers
+    alltimes = gridc.select("t").distinct()
+    segtot = gridc.groupBy("segment").agg(
+        F.sum("c").cast("bigint").alias("ns_tot")
+    )
+    dense = (
+        segtot.crossJoin(F.broadcast(alltimes))
+        .join(gridc, ["segment", "t"], "left")
+        .select(
+            "segment",
+            "t",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            "ns_tot",
+        )
+    )
+    wpre = (
+        Window.partitionBy("segment")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = dense.select(
+        "segment",
+        "t",
+        "d",
+        (
+            F.col("ns_tot")
+            - F.coalesce(F.sum("c").over(wpre).cast("bigint"), F.lit(0))
+        ).alias("n_s"),
+    )
+    risk = risk.cache()  # feeds per-time totals AND the segment fold
+    glob = (
+        risk.groupBy("t")
+        .agg(
+            F.sum("d").cast("bigint").alias("d_tot"),
+            F.sum("n_s").cast("bigint").alias("n_tot"),
+        )
+        .filter(F.col("d_tot") > 0)
+    )
+    seg = (
+        risk.join(glob, "t")
+        .groupBy("segment")
+        .agg(
+            F.sum("d").cast("bigint").alias("o_s"),
+            F.sum(F.expr("(n_s * d_tot * 1000000) div n_tot"))
+            .cast("bigint")
+            .alias("e_micro"),
+        )
+    )
+    seg = seg.cache()  # 5 rows feed the totals AND the output
+    tot = seg.agg(
+        F.sum("o_s").cast("bigint").alias("o_t"),
+        F.sum("e_micro").cast("bigint").alias("e_t"),
+    )
+    o_s, e_m = F.col("o_s"), F.col("e_micro")
+    o_t, e_t = F.col("o_t"), F.col("e_t")
+    hr = (o_s * (e_t - e_m).cast("double")) / (
+        e_m.cast("double") * (o_t - o_s)
+    )
+    half = F.sqrt(1000000.0 / e_m + 1000000.0 / (e_t - e_m))
+    lo = hr * F.exp(-1.96 * half)
+    hi = hr * F.exp(1.96 * half)
+    return (
+        seg.join(F.broadcast(tot))
+        .filter((e_m > 0) & (e_t > e_m) & (o_t > o_s))
+        .select(
+            "segment",
+            o_s.alias("observed"),
+            F.round(e_m / 1000000.0, 6).alias("expected"),
+            F.round(hr, 6).alias("hazard_ratio"),
+            F.round(lo, 6).alias("hr_lo"),
+            F.round(hi, 6).alias("hr_hi"),
+            F.when(lo > 1.0, 1)
+            .when(hi < 1.0, -1)
+            .otherwise(0)
+            .cast("int")
+            .alias("signif_direction"),
+        )
+        .orderBy("segment")
+    )
