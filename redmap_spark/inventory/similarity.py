@@ -1984,3 +1984,134 @@ def sim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intrinsic_dim"),
     )
+
+
+# -- sim_calinski ------------------------------------------------------
+#
+# Calinski-Harabasz variance-ratio index of the labeled embedding
+# clustering, CH = (B/(k−1)) / (W/(n−k)) — completing the internal
+# cluster-validity trio beside sim_silhouette (pairwise-distance
+# view) and sim_davies_bouldin (worst-neighbor view); CH is the
+# cheapest of the three (pure centroid algebra) and the one ANOVA
+# generalizes. Between-scatter B = Σ_k n_k·‖c_k − c‖² from the
+# |labels|×64 centroid grid; within-scatter W from one second pass
+# joining 6-rounded broadcast centroids back to the exploded
+# (vec, dim) rows; every fold is a 6-rounded decimal sum. Scale: two
+# posexplode partial-agg scans, centroids broadcast — nothing O(n²).
+
+SIM_CALINSKI_SQL = """
+WITH xd AS (
+  SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+         CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+), cg AS MATERIALIZED (
+  SELECT label, dim,
+         CAST(COUNT(*) AS BIGINT) AS n_k,
+         round(CAST(SUM(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*), 6) AS c_kd
+  FROM xd GROUP BY 1, 2
+), gg AS (
+  SELECT dim,
+         round(CAST(SUM(CAST(round(c_kd * n_k, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) / SUM(n_k), 6) AS c_d,
+         CAST(SUM(n_k) AS BIGINT) AS n
+  FROM cg GROUP BY 1
+), b AS (
+  SELECT CAST(SUM(CAST(round(cg.n_k * (cg.c_kd - gg.c_d)
+                             * (cg.c_kd - gg.c_d), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS bs
+  FROM cg JOIN gg ON cg.dim = gg.dim
+), w AS (
+  SELECT CAST(SUM(CAST(round((xd.x - cg.c_kd) * (xd.x - cg.c_kd), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS ws
+  FROM xd JOIN cg ON xd.label = cg.label AND xd.dim = cg.dim
+), meta AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT label) AS BIGINT) AS k
+  FROM embeddings
+)
+SELECT m.n AS n_vecs, m.k AS k_labels,
+       round(b.bs, 4) AS between_scatter,
+       round(w.ws, 4) AS within_scatter,
+       round((b.bs / (m.k - 1)) / (w.ws / (m.n - m.k)), 6) AS ch_index
+FROM b CROSS JOIN w CROSS JOIN meta m
+WHERE m.k > 1 AND m.n > m.k AND w.ws > 0
+"""
+
+
+@query("sim_calinski", oracle=SIM_CALINSKI_SQL)
+def sim_calinski(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    xd = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x0")
+    ).select(
+        "vec_id", "label", "dim", F.col("x0").cast("double").alias("x")
+    )
+    cg = xd.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.round(
+            F.sum(F.round("x", 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c_kd"),
+    )
+    cg = cg.cache()  # |labels|×64 grid: feeds gg, B and the W join
+    gg = cg.groupBy("dim").agg(
+        F.round(
+            F.sum(
+                F.round(F.col("c_kd") * F.col("n_k"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / F.sum("n_k"),
+            6,
+        ).alias("c_d"),
+        F.sum("n_k").cast("bigint").alias("n"),
+    )
+    b = (
+        cg.join(F.broadcast(gg), "dim")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("n_k")
+                    * (F.col("c_kd") - F.col("c_d"))
+                    * (F.col("c_kd") - F.col("c_d")),
+                    6,
+                ).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("bs")
+        )
+    )
+    w = (
+        xd.join(F.broadcast(cg), ["label", "dim"])
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x") - F.col("c_kd"))
+                    * (F.col("x") - F.col("c_kd")),
+                    6,
+                ).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("ws")
+        )
+    )
+    meta = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("label").cast("bigint").alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    bs, ws = F.col("bs"), F.col("ws")
+    return (
+        b.join(F.broadcast(w))
+        .join(F.broadcast(meta))
+        .filter((k > 1) & (n > k) & (ws > 0))
+        .select(
+            n.alias("n_vecs"),
+            k.alias("k_labels"),
+            F.round(bs, 4).alias("between_scatter"),
+            F.round(ws, 4).alias("within_scatter"),
+            F.round((bs / (k - 1)) / (ws / (n - k)), 6).alias("ch_index"),
+        )
+    )

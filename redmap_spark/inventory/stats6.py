@@ -1653,3 +1653,233 @@ def q_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# -- q_survival_rmst ---------------------------------------------------
+#
+# Restricted mean survival time to τ = 180 days per market segment —
+# the modern model-free survival effect measure ("average
+# repeat-purchase-free days in the first 180"), the area under each
+# segment's Kaplan-Meier curve: q_survival_km draws the global
+# curve, q_logrank tests, q_hazard_ratio rates — RMST puts the
+# difference in DAYS. Per-segment KM runs on the segment's own
+# event-time grid (prefix-window at-risk, exp(Σ ln((n−d)/n)) with
+# DECIMAL(18,9) ln folds — the KM determinism recipe), survival
+# rounds to 6 BEFORE the integral reuses it, and the stepwise area
+# Σ S(t_prev)·(min(t,τ)−t_prev) (+ tail to τ) folds as 6-rounded
+# decimals. Scale: one o_custkey window pass → |segment × t| grid →
+# 5 rows.
+
+RMST_TAU = 180
+
+RMST_SQL = f"""
+WITH obs0 AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         MIN(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey) AS d1
+  FROM orders
+), fs AS (
+  SELECT o_custkey, d1, MIN(CASE WHEN od > d1 THEN od END) AS d2
+  FROM obs0 GROUP BY 1, 2
+), endd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS de FROM orders),
+obs AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN f.d2 IS NOT NULL THEN date_diff('day', f.d1, f.d2)
+              ELSE date_diff('day', f.d1, e.de) END AS t,
+         CASE WHEN f.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fs f JOIN customer c ON c.c_custkey = f.o_custkey
+  CROSS JOIN endd e
+), grid AS MATERIALIZED (
+  SELECT segment, t, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(ev) AS BIGINT) AS d
+  FROM obs GROUP BY 1, 2
+), segtot AS (
+  SELECT segment, CAST(SUM(c) AS BIGINT) AS ns FROM grid GROUP BY 1
+), r AS (
+  SELECT g.segment, g.t, g.d,
+         st.ns - COALESCE(CAST(SUM(g.c) OVER (
+             PARTITION BY g.segment ORDER BY g.t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS n
+  FROM grid g JOIN segtot st ON g.segment = st.segment
+), s AS MATERIALIZED (
+  SELECT segment, t, d, n,
+         round(CASE WHEN MAX(CASE WHEN d >= n THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY segment ORDER BY t) = 1
+               THEN 0.0
+               ELSE exp(CAST(SUM(CASE WHEN d > 0 AND d < n THEN
+                      CAST(ln((n - d) / CAST(n AS DOUBLE))
+                           AS DECIMAL(18,9)) END)
+                    OVER (PARTITION BY segment ORDER BY t)
+                    AS DOUBLE)) END, 6) AS surv
+  FROM r WHERE d > 0
+), stepped AS (
+  SELECT segment, t, surv,
+         COALESCE(LAG(t) OVER (PARTITION BY segment ORDER BY t), 0)
+           AS t_prev,
+         COALESCE(LAG(surv) OVER (PARTITION BY segment ORDER BY t), 1.0)
+           AS s_prev,
+         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY t DESC) AS rd
+  FROM s
+), area AS (
+  SELECT segment,
+         CAST(SUM(CASE WHEN t_prev < {RMST_TAU} THEN
+             CAST(round(s_prev * (LEAST(t, {RMST_TAU}) - t_prev), 6)
+                  AS DECIMAL(18,6)) END) AS DOUBLE) AS core,
+         CAST(SUM(CASE WHEN rd = 1 AND t < {RMST_TAU} THEN
+             CAST(round(surv * ({RMST_TAU} - t), 6) AS DECIMAL(18,6))
+           END) AS DOUBLE) AS tail
+  FROM stepped GROUP BY 1
+), nseg AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CASE WHEN ev = 1 AND t <= {RMST_TAU} THEN 1 ELSE 0 END)
+              AS BIGINT) AS events_le_tau
+  FROM obs GROUP BY 1
+)
+SELECT a.segment, n.n_customers, n.events_le_tau,
+       round(a.core + COALESCE(a.tail, 0.0), 6) AS rmst_{RMST_TAU}
+FROM area a JOIN nseg n ON a.segment = n.segment
+ORDER BY a.segment
+"""
+
+
+@query("q_survival_rmst", oracle=RMST_SQL)
+def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    wc = Window.partitionBy("o_custkey")
+    obs0 = c.orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.min(F.col("o_orderdate").cast("date")).over(wc).alias("d1"),
+    )
+    fs = obs0.groupBy("o_custkey", "d1").agg(
+        F.min(F.when(F.col("od") > F.col("d1"), F.col("od"))).alias("d2")
+    )
+    endd = c.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("de")
+    )
+    obs = (
+        fs.join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(endd))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(
+                F.col("d2").isNotNull(),
+                F.datediff(F.col("d2"), F.col("d1")),
+            )
+            .otherwise(F.datediff(F.col("de"), F.col("d1")))
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    obs = obs.cache()  # feeds the KM grid AND the per-segment counts
+    grid = obs.groupBy("segment", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    segtot = grid.groupBy("segment").agg(
+        F.sum("c").cast("bigint").alias("ns")
+    )
+    wpre = (
+        Window.partitionBy("segment")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = grid.join(F.broadcast(segtot), "segment").select(
+        "segment",
+        "t",
+        "d",
+        (
+            F.col("ns")
+            - F.coalesce(F.sum("c").over(wpre).cast("bigint"), F.lit(0))
+        ).alias("n"),
+    )
+    wcum = (
+        Window.partitionBy("segment")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d, n = F.col("d"), F.col("n")
+    dead = F.max(F.when(d >= n, 1).otherwise(0)).over(wcum)
+    lsum = (
+        F.sum(
+            F.when(
+                (d > 0) & (d < n),
+                F.log((n - d) / n.cast("double")).cast("decimal(18,9)"),
+            )
+        )
+        .over(wcum)
+        .cast("double")
+    )
+    s = (
+        r.filter(d > 0)
+        .select(
+            "segment",
+            "t",
+            F.round(
+                F.when(dead == 1, 0.0).otherwise(F.exp(lsum)), 6
+            ).alias("surv"),
+        )
+    )
+    s = s.localCheckpoint()  # bounded KM step grid feeds lag + tail picks
+    wlag = Window.partitionBy("segment").orderBy("t")
+    stepped = s.select(
+        "segment",
+        "t",
+        "surv",
+        F.coalesce(F.lag("t").over(wlag), F.lit(0)).alias("t_prev"),
+        F.coalesce(F.lag("surv").over(wlag), F.lit(1.0)).alias("s_prev"),
+        F.row_number()
+        .over(Window.partitionBy("segment").orderBy(F.desc("t")))
+        .alias("rd"),
+    )
+    tau = RMST_TAU
+    area = stepped.groupBy("segment").agg(
+        F.sum(
+            F.when(
+                F.col("t_prev") < tau,
+                F.round(
+                    F.col("s_prev")
+                    * (F.least(F.col("t"), F.lit(tau)) - F.col("t_prev")),
+                    6,
+                ).cast("decimal(18,6)"),
+            )
+        )
+        .cast("double")
+        .alias("core"),
+        F.sum(
+            F.when(
+                (F.col("rd") == 1) & (F.col("t") < tau),
+                F.round(F.col("surv") * (tau - F.col("t")), 6).cast(
+                    "decimal(18,6)"
+                ),
+            )
+        )
+        .cast("double")
+        .alias("tail"),
+    )
+    nseg = obs.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(
+            F.when((F.col("ev") == 1) & (F.col("t") <= tau), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("events_le_tau"),
+    )
+    return (
+        area.join(nseg, "segment")
+        .select(
+            "segment",
+            "n_customers",
+            "events_le_tau",
+            F.round(
+                F.col("core") + F.coalesce(F.col("tail"), F.lit(0.0)), 6
+            ).alias(f"rmst_{tau}"),
+        )
+        .orderBy("segment")
+    )

@@ -119,10 +119,14 @@ def main() -> None:
             spark, "documents", ["doc_id"], factor, str(d / "documents"),
             tag_text_col="text",
         )
+        replicate(
+            spark, "embeddings", ["vec_id"], factor, str(d / "embeddings")
+        )
 
         li = spark.read.parquet(str(d / "lineitem"))
         ev = spark.read.parquet(str(d / "events"))
         dc = spark.read.parquet(str(d / "documents"))
+        em = spark.read.parquet(str(d / "embeddings"))
 
         def noop(df):
             df.write.format("noop").mode("overwrite").save()
@@ -235,6 +239,43 @@ def main() -> None:
                 .groupBy("event_type", "b")
                 .agg(F.sum(F.col("w") * F.col("xc")).alias("sxc"),
                      F.sum("w").alias("sw"))
+            ),
+            # round-6 continuation shape: the broadcast-anchor
+            # similarity scan (sim_knn_join / sim_hubness /
+            # sim_margin_audit / sim_twonn family with a FIXED probe
+            # batch): 200 anchors x N corpus dot products, one
+            # streaming pass, per-anchor max — wall time must track
+            # the corpus scan linearly (the quadratic %-sample
+            # variants are documented separately as the hubness
+            # estimator's own regime)
+            "anchor_scan": lambda: noop(
+                em.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"),
+                )
+                .join(
+                    F.broadcast(
+                        em.filter(F.col("vec_id") < 200).select(
+                            F.col("vec_id").alias("q_id"),
+                            F.col("embedding").cast("array<double>")
+                            .alias("qv"),
+                        )
+                    ),
+                    F.col("vec_id") != F.col("q_id"),
+                )
+                .select(
+                    "q_id",
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"), F.col("qv"),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ).alias("dot"),
+                )
+                .groupBy("q_id")
+                .agg(F.max("dot").alias("best"))
             ),
             # round-6 ninth-session shape: the q_permutation_test
             # single-scan WIDE conditional aggregation (50 resample
