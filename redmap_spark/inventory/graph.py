@@ -1474,3 +1474,106 @@ def mr_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionAll(df)
     return res.orderBy("round")
+
+
+# -- mr_bipartite_cc ---------------------------------------------------
+#
+# Robins-Alexander bipartite clustering coefficient of the
+# customer–supplier purchase graph: ordinary clustering (mr_
+# clustering_coeff) is identically 0 on a bipartite graph, so
+# bipartite cohesion is 4-cycle density CC₄ = 4·C₄ / L₃ — closed
+# quadrilaterals over length-3 paths. C₄ = Σ_{s<s'} C(m_ss', 2)
+# where m_ss' counts customers shared by a supplier pair, built by
+# the triangle-counting discipline: per-customer supplier-pair
+# explode (cost Σ deg² — bounded per-customer degree), ONE groupBy.
+# L₃ = Σ_{edges (c,s)} (deg_c − 1)·(deg_s − 1) — exact integer
+# algebra on the degree-joined edge list. One summary row. Scale:
+# the same Σ deg² growing-key regime documented for mr_triangles.
+
+BIPARTITE_CC_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), degc AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS dc FROM e GROUP BY 1
+), degs AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS ds FROM e GROUP BY 1
+), sp AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS m
+  FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2
+), c4 AS (
+  SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_c4 FROM sp WHERE m > 1
+), l3 AS (
+  SELECT CAST(SUM((dc.dc - 1) * (ds.ds - 1)) AS BIGINT) AS n_l3
+  FROM e JOIN degc dc ON e.c = dc.c JOIN degs ds ON e.s = ds.s
+), meta AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS n_customers,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_suppliers
+  FROM e
+)
+SELECT m.n_customers, m.n_suppliers, m.n_edges,
+       c4.n_c4, l3.n_l3,
+       round(4.0 * c4.n_c4 / l3.n_l3, 6) AS bipartite_cc
+FROM c4 CROSS JOIN l3 CROSS JOIN meta m
+WHERE l3.n_l3 > 0
+"""
+
+
+@query("mr_bipartite_cc", oracle=BIPARTITE_CC_SQL)
+def mr_bipartite_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    e = (
+        cat.orders.join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    e = e.cache()  # edge list feeds degrees, the pair explode and meta
+    degc = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
+    degs = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("ds"))
+    a = e.select("c", F.col("s").alias("s1"))
+    b = e.select(F.col("c").alias("cb"), F.col("s").alias("s2"))
+    sp = (
+        a.join(b, (F.col("c") == F.col("cb")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    m = F.col("m")
+    c4 = sp.filter(m > 1).agg(
+        F.sum(F.expr("m * (m - 1) div 2")).cast("bigint").alias("n_c4")
+    )
+    l3 = (
+        e.join(degc, "c")
+        .join(degs, "s")
+        .agg(
+            F.sum((F.col("dc") - 1) * (F.col("ds") - 1))
+            .cast("bigint")
+            .alias("n_l3")
+        )
+    )
+    meta = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.countDistinct("c").cast("bigint").alias("n_customers"),
+        F.countDistinct("s").cast("bigint").alias("n_suppliers"),
+    )
+    return (
+        c4.join(F.broadcast(l3))
+        .join(F.broadcast(meta))
+        .filter(F.col("n_l3") > 0)
+        .select(
+            "n_customers",
+            "n_suppliers",
+            "n_edges",
+            "n_c4",
+            "n_l3",
+            F.round(4.0 * F.col("n_c4") / F.col("n_l3"), 6).alias(
+                "bipartite_cc"
+            ),
+        )
+    )
