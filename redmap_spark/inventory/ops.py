@@ -1470,3 +1470,363 @@ def q_knapsack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("boundary_fraction"),
     )
+
+
+# -- q_hill_diversity --------------------------------------------------
+#
+# Hill-number diversity profile of the product mix per market segment
+# (ecology's unified diversity framework applied to assortment):
+# q=0 richness (distinct parts bought), q=1 exp(Shannon H) — the
+# "effective number of equally-selling parts", q=2 inverse-Simpson
+# 1/Σs² (q_hhi's reciprocal lens). One revenue-share grid per
+# segment; −s·ln s and s² terms fold as 9-rounded decimals; shares
+# come from exact decimal revenue sums with ONE double division per
+# part. The three orders together say whether a segment's revenue is
+# broad or hit-driven. Scale: one lineitem⋈orders⋈customer scan →
+# |segment × part| grid → 5 rows.
+
+HILL_SQL = """
+WITH pr AS MATERIALIZED (
+  SELECT c.c_mktsegment AS segment, l.l_partkey AS pk,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(18,4)) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), seg AS (
+  SELECT segment, CAST(SUM(rev) AS DOUBLE) AS tot FROM pr GROUP BY 1
+), terms AS (
+  SELECT p.segment,
+         CAST(p.rev AS DOUBLE) / s.tot AS sh
+  FROM pr p JOIN seg s ON p.segment = s.segment
+  WHERE s.tot > 0 AND p.rev > 0
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS hill0_richness,
+       round(exp(-CAST(SUM(CAST(round(sh * ln(sh), 9)
+                        AS DECIMAL(18,9))) AS DOUBLE)), 6)
+         AS hill1_shannon,
+       round(1.0 / CAST(SUM(CAST(round(sh * sh, 9)
+                        AS DECIMAL(18,9))) AS DOUBLE), 6)
+         AS hill2_simpson
+FROM terms
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q_hill_diversity", oracle=HILL_SQL)
+def q_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    pr = (
+        c.lineitem.join(
+            c.orders.select("o_orderkey", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("l_partkey").alias("pk"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("decimal(18,4)")
+            .alias("rev")
+        )
+    )
+    pr = pr.cache()  # share grid feeds segment totals AND the terms
+    seg = pr.groupBy("segment").agg(
+        F.sum("rev").cast("double").alias("tot")
+    )
+    terms = (
+        pr.join(F.broadcast(seg), "segment")
+        .filter((F.col("tot") > 0) & (F.col("rev") > 0))
+        .select(
+            "segment",
+            (F.col("rev").cast("double") / F.col("tot")).alias("sh"),
+        )
+    )
+    sh = F.col("sh")
+    return (
+        terms.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("hill0_richness"),
+            F.round(
+                F.exp(
+                    -F.sum(
+                        F.round(sh * F.log(sh), 9).cast("decimal(18,9)")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("hill1_shannon"),
+            F.round(
+                1.0
+                / F.sum(F.round(sh * sh, 9).cast("decimal(18,9)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("hill2_simpson"),
+        )
+        .orderBy("segment")
+    )
+
+
+# -- q_share_of_wallet -------------------------------------------------
+#
+# Brand loyalty via share-of-wallet: each customer's top-brand share
+# of their own spend, summarized per segment (mean share and the
+# exact median via pinned integer ranks) plus the share of customers
+# who are single-brand — the loyalty distribution behind q_item_cf's
+# recommendations and q_retention_cohorts' activity view. Top-brand
+# pick ties on brand name; mean folds 6-rounded decimals; the median
+# is the value at rank ⌈n/2⌉ (odd-style pick — deterministic, no
+# midpoint averaging). Scale: one fact scan → |customer × brand|
+# grid → |customer| rows → 5 rows.
+
+WALLET_SQL = """
+WITH cb AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey AS cust,
+         p.p_brand AS brand,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(18,4)) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2, 3
+), per_cust AS MATERIALIZED (
+  SELECT segment, cust,
+         CAST(COUNT(*) AS BIGINT) AS n_brands,
+         CAST(MAX(rev) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) AS sow
+  FROM cb GROUP BY 1, 2
+  HAVING SUM(rev) > 0
+), ranked AS (
+  SELECT segment, n_brands, sow,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY sow, cust) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+  FROM per_cust
+)
+SELECT segment, MAX(n) AS n_customers,
+       round(CAST(SUM(CAST(round(sow, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / MAX(n), 6) AS mean_sow,
+       round(MAX(CASE WHEN rn = (n + 1) // 2 THEN sow END), 6)
+         AS median_sow,
+       round(SUM(CASE WHEN n_brands = 1 THEN 1 ELSE 0 END)
+             / CAST(MAX(n) AS DOUBLE), 6) AS single_brand_share
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q_share_of_wallet", oracle=WALLET_SQL)
+def q_share_of_wallet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    cb = (
+        c.lineitem.join(
+            c.orders.select("o_orderkey", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("cust"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("decimal(18,4)")
+            .alias("rev")
+        )
+    )
+    per_cust = (
+        cb.groupBy("segment", "cust")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+            (
+                F.max("rev").cast("double") / F.sum("rev").cast("double")
+            ).alias("sow"),
+            F.sum("rev").alias("revsum"),
+        )
+        .filter(F.col("revsum") > 0)
+        .drop("revsum")
+    )
+    wseg = Window.partitionBy("segment")
+    ranked = per_cust.select(
+        "segment",
+        "n_brands",
+        "sow",
+        F.row_number().over(wseg.orderBy("sow", "cust")).alias("rn"),
+        F.count(F.lit(1)).over(wseg).cast("bigint").alias("n"),
+    )
+    n, rn, sow = F.col("n"), F.col("rn"), F.col("sow")
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.round(
+                F.sum(F.round(sow, 6).cast("decimal(18,6)")).cast("double")
+                / F.max("n"),
+                6,
+            ).alias("mean_sow"),
+            F.round(
+                F.max(F.when(rn == F.expr("(n + 1) div 2"), sow)), 6
+            ).alias("median_sow"),
+            F.round(
+                F.sum(F.when(F.col("n_brands") == 1, 1).otherwise(0))
+                / F.max("n").cast("double"),
+                6,
+            ).alias("single_brand_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+# -- q_assortment_overlap ----------------------------------------------
+#
+# Assortment overlap between market segments: Jaccard similarity of
+# the part sets each segment buys, for all 10 segment pairs — do
+# segments shop the same catalog (shared merchandising) or disjoint
+# niches (segment-specific buying)? NO pair join over parts: each
+# part collapses to a 5-bit segment-presence profile in one grid
+# pass, and every pairwise intersection count is a conditional
+# aggregate over that profile; unions come from inclusion-exclusion
+# on the per-segment distinct counts. Scale: one fact scan →
+# |part| profile grid → 10 rows of integer algebra.
+
+ASSORT_SQL = """
+WITH pp AS MATERIALIZED (
+  SELECT l.l_partkey AS pk,
+         MAX(CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS s1,
+         MAX(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS s2,
+         MAX(CASE WHEN c.c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS s3,
+         MAX(CASE WHEN c.c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS s4,
+         MAX(CASE WHEN c.c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS s5
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+), m AS (
+  SELECT CAST(SUM(s1) AS BIGINT) AS n1, CAST(SUM(s2) AS BIGINT) AS n2,
+         CAST(SUM(s3) AS BIGINT) AS n3, CAST(SUM(s4) AS BIGINT) AS n4,
+         CAST(SUM(s5) AS BIGINT) AS n5,
+         CAST(SUM(s1 * s2) AS BIGINT) AS i12,
+         CAST(SUM(s1 * s3) AS BIGINT) AS i13,
+         CAST(SUM(s1 * s4) AS BIGINT) AS i14,
+         CAST(SUM(s1 * s5) AS BIGINT) AS i15,
+         CAST(SUM(s2 * s3) AS BIGINT) AS i23,
+         CAST(SUM(s2 * s4) AS BIGINT) AS i24,
+         CAST(SUM(s2 * s5) AS BIGINT) AS i25,
+         CAST(SUM(s3 * s4) AS BIGINT) AS i34,
+         CAST(SUM(s3 * s5) AS BIGINT) AS i35,
+         CAST(SUM(s4 * s5) AS BIGINT) AS i45
+  FROM pp
+)
+SELECT p.seg_a, p.seg_b, p.na AS n_parts_a, p.nb AS n_parts_b,
+       p.inter AS n_shared,
+       round(p.inter / CAST(p.na + p.nb - p.inter AS DOUBLE), 6)
+         AS jaccard
+FROM (
+  SELECT 'AUTOMOBILE' AS seg_a, 'BUILDING' AS seg_b,
+         n1 AS na, n2 AS nb, i12 AS inter FROM m
+  UNION ALL SELECT 'AUTOMOBILE', 'FURNITURE', n1, n3, i13 FROM m
+  UNION ALL SELECT 'AUTOMOBILE', 'HOUSEHOLD', n1, n4, i14 FROM m
+  UNION ALL SELECT 'AUTOMOBILE', 'MACHINERY', n1, n5, i15 FROM m
+  UNION ALL SELECT 'BUILDING', 'FURNITURE', n2, n3, i23 FROM m
+  UNION ALL SELECT 'BUILDING', 'HOUSEHOLD', n2, n4, i24 FROM m
+  UNION ALL SELECT 'BUILDING', 'MACHINERY', n2, n5, i25 FROM m
+  UNION ALL SELECT 'FURNITURE', 'HOUSEHOLD', n3, n4, i34 FROM m
+  UNION ALL SELECT 'FURNITURE', 'MACHINERY', n3, n5, i35 FROM m
+  UNION ALL SELECT 'HOUSEHOLD', 'MACHINERY', n4, n5, i45 FROM m
+) p
+WHERE p.na + p.nb - p.inter > 0
+ORDER BY p.seg_a, p.seg_b
+"""
+
+_ASSORT_SEGS = [
+    ("s1", "AUTOMOBILE"), ("s2", "BUILDING"), ("s3", "FURNITURE"),
+    ("s4", "HOUSEHOLD"), ("s5", "MACHINERY"),
+]
+
+
+@query("q_assortment_overlap", oracle=ASSORT_SQL)
+def q_assortment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    base = (
+        c.lineitem.join(
+            c.orders.select("o_orderkey", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+    )
+    pp = base.groupBy(F.col("l_partkey").alias("pk")).agg(
+        *[
+            F.max(
+                F.when(F.col("c_mktsegment") == seg, 1).otherwise(0)
+            ).alias(col)
+            for col, seg in _ASSORT_SEGS
+        ]
+    )
+    aggs = []
+    for i, (ca, _sa) in enumerate(_ASSORT_SEGS):
+        aggs.append(F.sum(ca).cast("bigint").alias(f"n{i + 1}"))
+    for i, (ca, _sa) in enumerate(_ASSORT_SEGS):
+        for j, (cb, _sb) in enumerate(_ASSORT_SEGS):
+            if i < j:
+                aggs.append(
+                    F.sum(F.col(ca) * F.col(cb))
+                    .cast("bigint")
+                    .alias(f"i{i + 1}{j + 1}")
+                )
+    m = pp.agg(*aggs)
+    m = m.cache()  # 1-row profile fold feeds all 10 pair branches
+    rows = None
+    for i, (_ca, sa) in enumerate(_ASSORT_SEGS):
+        for j, (_cb, sb) in enumerate(_ASSORT_SEGS):
+            if i < j:
+                sel = m.select(
+                    F.lit(sa).alias("seg_a"),
+                    F.lit(sb).alias("seg_b"),
+                    F.col(f"n{i + 1}").alias("na"),
+                    F.col(f"n{j + 1}").alias("nb"),
+                    F.col(f"i{i + 1}{j + 1}").alias("inter"),
+                )
+                rows = sel if rows is None else rows.unionAll(sel)
+    union_sz = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        rows.filter(union_sz > 0)
+        .select(
+            "seg_a",
+            "seg_b",
+            F.col("na").alias("n_parts_a"),
+            F.col("nb").alias("n_parts_b"),
+            F.col("inter").alias("n_shared"),
+            F.round(
+                F.col("inter") / union_sz.cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
