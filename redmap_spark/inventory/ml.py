@@ -932,3 +932,425 @@ def q_poisson_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pearson_dispersion"),
         )
     )
+
+
+# -- q_kfold_cv --------------------------------------------------------
+#
+# 5-fold cross-validated decision stump on a task with REAL signal
+# (does order value predict whether the order contains a returned
+# line? bigger orders carry more lines, so the link is genuinely
+# monotone): md5-derived folds, shared 9-decile candidate grid, and
+# the inclusion-exclusion trick — per-(candidate, fold) conditional
+# counts from ONE scan, training counts for fold k = totals − cell_k,
+# so 5 trainings cost one pass. Per-fold winner by min weighted Gini
+# (threshold tie-break), majority-label sides, test accuracy from the
+# same grid's fold-k cells. The CV spread is the generalization
+# check q_decision_stump's single fit can't give. Scale: one fact
+# scan → 45-cell grid → 5 rows.
+
+KFOLD_SQL = """
+WITH ret AS (
+  SELECT l_orderkey, MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           AS y
+  FROM lineitem GROUP BY 1
+), rows_ AS (
+  SELECT CAST(o.o_totalprice AS DECIMAL(18,2)) AS x, r.y,
+         CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 6))
+              ::BIGINT % 5 AS BIGINT) AS fold
+  FROM orders o JOIN ret r ON r.l_orderkey = o.o_orderkey
+), xgrid AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1
+), cumg AS (
+  SELECT x, CAST(SUM(cnt) OVER (ORDER BY x) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM xgrid
+), cands AS (
+  SELECT CAST(d.d AS BIGINT) AS decile, MIN(x) AS thr
+  FROM cumg CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(d)
+  WHERE 10 * cum >= d.d * n
+  GROUP BY 1
+), cells AS MATERIALIZED (
+  SELECT c.decile, c.thr, r.fold,
+         CAST(SUM(CASE WHEN r.x <= c.thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS nl,
+         CAST(SUM(CASE WHEN r.x <= c.thr THEN r.y ELSE 0 END) AS BIGINT)
+           AS pl,
+         CAST(SUM(CASE WHEN r.x > c.thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS nr,
+         CAST(SUM(CASE WHEN r.x > c.thr THEN r.y ELSE 0 END) AS BIGINT)
+           AS pr
+  FROM rows_ r CROSS JOIN cands c
+  GROUP BY 1, 2, 3
+), tots AS (
+  SELECT decile, CAST(SUM(nl) AS BIGINT) AS tnl,
+         CAST(SUM(pl) AS BIGINT) AS tpl,
+         CAST(SUM(nr) AS BIGINT) AS tnr,
+         CAST(SUM(pr) AS BIGINT) AS tpr
+  FROM cells GROUP BY 1
+), train AS (
+  SELECT c.fold, c.decile, c.thr,
+         t.tnl - c.nl AS nl, t.tpl - c.pl AS pl,
+         t.tnr - c.nr AS nr, t.tpr - c.pr AS pr,
+         c.nl AS test_nl, c.pl AS test_pl,
+         c.nr AS test_nr, c.pr AS test_pr
+  FROM cells c JOIN tots t ON c.decile = t.decile
+), scored AS (
+  SELECT *,
+         nl * (2.0 * (pl / CAST(nl AS DOUBLE))
+               * (1.0 - pl / CAST(nl AS DOUBLE)))
+         + nr * (2.0 * (pr / CAST(nr AS DOUBLE))
+                 * (1.0 - pr / CAST(nr AS DOUBLE))) AS gini,
+         CASE WHEN 2 * pl > nl THEN 1 ELSE 0 END AS lab_l,
+         CASE WHEN 2 * pr > nr THEN 1 ELSE 0 END AS lab_r,
+         ROW_NUMBER() OVER (PARTITION BY fold
+                            ORDER BY nl * (2.0 * (pl / CAST(nl AS DOUBLE))
+                                     * (1.0 - pl / CAST(nl AS DOUBLE)))
+                                     + nr * (2.0 * (pr / CAST(nr AS DOUBLE))
+                                     * (1.0 - pr / CAST(nr AS DOUBLE))) ASC,
+                                     thr ASC) AS rn
+  FROM train WHERE nl > 0 AND nr > 0
+)
+SELECT fold,
+       CAST(nl + nr AS BIGINT) AS n_train,
+       CAST(test_nl + test_nr AS BIGINT) AS n_test,
+       CAST(thr AS DOUBLE) AS threshold,
+       round((CASE WHEN lab_l = 1 THEN test_pl
+                   ELSE test_nl - test_pl END
+              + CASE WHEN lab_r = 1 THEN test_pr
+                     ELSE test_nr - test_pr END)
+             / CAST(test_nl + test_nr AS DOUBLE), 6) AS test_acc,
+       round((test_pl + test_pr)
+             / CAST(test_nl + test_nr AS DOUBLE), 6) AS test_base_rate
+FROM scored WHERE rn = 1 AND test_nl + test_nr > 0
+ORDER BY fold
+"""
+
+
+@query("q_kfold_cv", oracle=KFOLD_SQL)
+def q_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ret = cat.lineitem.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("y")
+    )
+    rows_ = cat.orders.join(
+        ret, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        "y",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+    )
+    rows_ = rows_.cache()  # feeds the decile grid AND the cell pass
+    xgrid = rows_.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cumg = xgrid.select(
+        "x",
+        F.sum("cnt").over(Window.orderBy("x")).cast("bigint").alias("cum"),
+        F.sum("cnt")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    dd = spark.range(1, 10).select(F.col("id").cast("bigint").alias("d"))
+    cands = (
+        cumg.crossJoin(F.broadcast(dd))
+        .filter(10 * F.col("cum") >= F.col("d") * F.col("n"))
+        .groupBy(F.col("d").alias("decile"))
+        .agg(F.min("x").alias("thr"))
+    )
+    x, y, thr = F.col("x"), F.col("y"), F.col("thr")
+    cells = (
+        rows_.crossJoin(F.broadcast(cands))
+        .groupBy("decile", "thr", "fold")
+        .agg(
+            F.sum(F.when(x <= thr, 1).otherwise(0)).cast("bigint").alias(
+                "nl"
+            ),
+            F.sum(F.when(x <= thr, y).otherwise(0)).cast("bigint").alias(
+                "pl"
+            ),
+            F.sum(F.when(x > thr, 1).otherwise(0)).cast("bigint").alias(
+                "nr"
+            ),
+            F.sum(F.when(x > thr, y).otherwise(0)).cast("bigint").alias(
+                "pr"
+            ),
+        )
+    )
+    cells = cells.cache()  # 45 cells feed the totals AND the train rows
+    tots = cells.groupBy("decile").agg(
+        F.sum("nl").cast("bigint").alias("tnl"),
+        F.sum("pl").cast("bigint").alias("tpl"),
+        F.sum("nr").cast("bigint").alias("tnr"),
+        F.sum("pr").cast("bigint").alias("tpr"),
+    )
+    train = cells.join(F.broadcast(tots), "decile").select(
+        "fold",
+        "decile",
+        "thr",
+        (F.col("tnl") - F.col("nl")).alias("nl"),
+        (F.col("tpl") - F.col("pl")).alias("pl"),
+        (F.col("tnr") - F.col("nr")).alias("nr"),
+        (F.col("tpr") - F.col("pr")).alias("pr"),
+        F.col("nl").alias("test_nl"),
+        F.col("pl").alias("test_pl"),
+        F.col("nr").alias("test_nr"),
+        F.col("pr").alias("test_pr"),
+    )
+    nl, pl, nr, pr = F.col("nl"), F.col("pl"), F.col("nr"), F.col("pr")
+    plr = pl / nl.cast("double")
+    prr = pr / nr.cast("double")
+    gini = nl * (2.0 * plr * (1.0 - plr)) + nr * (2.0 * prr * (1.0 - prr))
+    scored = (
+        train.filter((nl > 0) & (nr > 0))
+        .withColumn("gini", gini)
+        .withColumn(
+            "lab_l", F.when(2 * pl > nl, 1).otherwise(0)
+        )
+        .withColumn("lab_r", F.when(2 * pr > nr, 1).otherwise(0))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fold").orderBy(
+                    F.asc("gini"), F.asc("thr")
+                )
+            ),
+        )
+    )
+    tn = F.col("test_nl") + F.col("test_nr")
+    correct = F.when(
+        F.col("lab_l") == 1, F.col("test_pl")
+    ).otherwise(F.col("test_nl") - F.col("test_pl")) + F.when(
+        F.col("lab_r") == 1, F.col("test_pr")
+    ).otherwise(
+        F.col("test_nr") - F.col("test_pr")
+    )
+    return (
+        scored.filter((F.col("rn") == 1) & (tn > 0))
+        .select(
+            "fold",
+            (nl + nr).cast("bigint").alias("n_train"),
+            tn.cast("bigint").alias("n_test"),
+            thr.cast("double").alias("threshold"),
+            F.round(correct / tn.cast("double"), 6).alias("test_acc"),
+            F.round(
+                (F.col("test_pl") + F.col("test_pr")) / tn.cast("double"),
+                6,
+            ).alias("test_base_rate"),
+        )
+        .orderBy("fold")
+    )
+
+
+# -- q_learning_curve --------------------------------------------------
+#
+# Learning curve of the return-prediction stump: holdout accuracy vs
+# training-set size over NESTED md5 subsets (10% ⊂ 20% ⊂ 40% ⊂ 80%
+# of orders; the fixed ≥80% bucket is the holdout) — the
+# "do we need more data?" curve every training pipeline budgets
+# against. All four trainings AND the holdout evaluation come from
+# ONE conditional-aggregate pass per candidate threshold (20
+# measures on the 9-row candidate grid); each size's winner is the
+# min-Gini candidate (threshold tie-break) evaluated on the same
+# grid row's holdout cells. Scale: one fact scan → 9-row grid →
+# 4 rows.
+
+LEARNING_CURVE_SQL = """
+WITH ret AS (
+  SELECT l_orderkey, MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           AS y
+  FROM lineitem GROUP BY 1
+), rows_ AS (
+  SELECT CAST(o.o_totalprice AS DECIMAL(18,2)) AS x, r.y,
+         CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 6))
+              ::BIGINT % 100 AS BIGINT) AS b
+  FROM orders o JOIN ret r ON r.l_orderkey = o.o_orderkey
+), xgrid AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1
+), cumg AS (
+  SELECT x, CAST(SUM(cnt) OVER (ORDER BY x) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM xgrid
+), cands AS (
+  SELECT CAST(d.d AS BIGINT) AS decile, MIN(x) AS thr
+  FROM cumg CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(d)
+  WHERE 10 * cum >= d.d * n
+  GROUP BY 1
+), grid AS MATERIALIZED (
+  SELECT c.decile, c.thr, f.frac,
+         CAST(SUM(CASE WHEN r.b < f.frac AND r.x <= c.thr
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         CAST(SUM(CASE WHEN r.b < f.frac AND r.x <= c.thr
+                       THEN r.y ELSE 0 END) AS BIGINT) AS pl,
+         CAST(SUM(CASE WHEN r.b < f.frac AND r.x > c.thr
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+         CAST(SUM(CASE WHEN r.b < f.frac AND r.x > c.thr
+                       THEN r.y ELSE 0 END) AS BIGINT) AS pr,
+         CAST(SUM(CASE WHEN r.b >= 80 AND r.x <= c.thr
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hnl,
+         CAST(SUM(CASE WHEN r.b >= 80 AND r.x <= c.thr
+                       THEN r.y ELSE 0 END) AS BIGINT) AS hpl,
+         CAST(SUM(CASE WHEN r.b >= 80 AND r.x > c.thr
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hnr,
+         CAST(SUM(CASE WHEN r.b >= 80 AND r.x > c.thr
+                       THEN r.y ELSE 0 END) AS BIGINT) AS hpr
+  FROM rows_ r
+  CROSS JOIN cands c
+  CROSS JOIN (VALUES (10),(20),(40),(80)) f(frac)
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT *,
+         nl * (2.0 * (pl / CAST(nl AS DOUBLE))
+               * (1.0 - pl / CAST(nl AS DOUBLE)))
+         + nr * (2.0 * (pr / CAST(nr AS DOUBLE))
+                 * (1.0 - pr / CAST(nr AS DOUBLE))) AS gini,
+         CASE WHEN 2 * pl > nl THEN 1 ELSE 0 END AS lab_l,
+         CASE WHEN 2 * pr > nr THEN 1 ELSE 0 END AS lab_r,
+         ROW_NUMBER() OVER (PARTITION BY frac
+                            ORDER BY nl * (2.0 * (pl / CAST(nl AS DOUBLE))
+                                     * (1.0 - pl / CAST(nl AS DOUBLE)))
+                                     + nr * (2.0 * (pr / CAST(nr AS DOUBLE))
+                                     * (1.0 - pr / CAST(nr AS DOUBLE))) ASC,
+                                     thr ASC) AS rn
+  FROM grid WHERE nl > 0 AND nr > 0
+)
+SELECT CAST(frac AS BIGINT) AS train_pct,
+       CAST(nl + nr AS BIGINT) AS n_train,
+       CAST(thr AS DOUBLE) AS threshold,
+       round((nl * (2.0 * (pl / CAST(nl AS DOUBLE))
+              * (1.0 - pl / CAST(nl AS DOUBLE)))
+              + nr * (2.0 * (pr / CAST(nr AS DOUBLE))
+                * (1.0 - pr / CAST(nr AS DOUBLE))))
+             / (nl + nr), 6) AS train_gini,
+       round((CASE WHEN lab_l = 1 THEN hpl ELSE hnl - hpl END
+              + CASE WHEN lab_r = 1 THEN hpr ELSE hnr - hpr END)
+             / CAST(hnl + hnr AS DOUBLE), 6) AS holdout_acc
+FROM scored
+WHERE rn = 1 AND hnl + hnr > 0
+ORDER BY train_pct
+"""
+
+
+@query("q_learning_curve", oracle=LEARNING_CURVE_SQL)
+def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ret = cat.lineitem.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("y")
+    )
+    rows_ = cat.orders.join(
+        ret, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        "y",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        ).alias("b"),
+    )
+    rows_ = rows_.cache()  # feeds the decile grid AND the big cell pass
+    xgrid = rows_.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cumg = xgrid.select(
+        "x",
+        F.sum("cnt").over(Window.orderBy("x")).cast("bigint").alias("cum"),
+        F.sum("cnt")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    dd = spark.range(1, 10).select(F.col("id").cast("bigint").alias("d"))
+    cands = (
+        cumg.crossJoin(F.broadcast(dd))
+        .filter(10 * F.col("cum") >= F.col("d") * F.col("n"))
+        .groupBy(F.col("d").alias("decile"))
+        .agg(F.min("x").alias("thr"))
+    )
+    fr = spark.createDataFrame(
+        [(10,), (20,), (40,), (80,)], "frac long"
+    )
+    x, y, thr, b = F.col("x"), F.col("y"), F.col("thr"), F.col("b")
+    frac = F.col("frac")
+    tr = b < frac
+    ho = b >= 80
+    grid = (
+        rows_.crossJoin(F.broadcast(cands))
+        .crossJoin(F.broadcast(fr))
+        .groupBy("decile", "thr", "frac")
+        .agg(
+            F.sum(F.when(tr & (x <= thr), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nl"),
+            F.sum(F.when(tr & (x <= thr), y).otherwise(0))
+            .cast("bigint")
+            .alias("pl"),
+            F.sum(F.when(tr & (x > thr), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nr"),
+            F.sum(F.when(tr & (x > thr), y).otherwise(0))
+            .cast("bigint")
+            .alias("pr"),
+            F.sum(F.when(ho & (x <= thr), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hnl"),
+            F.sum(F.when(ho & (x <= thr), y).otherwise(0))
+            .cast("bigint")
+            .alias("hpl"),
+            F.sum(F.when(ho & (x > thr), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hnr"),
+            F.sum(F.when(ho & (x > thr), y).otherwise(0))
+            .cast("bigint")
+            .alias("hpr"),
+        )
+    )
+    nl, pl, nr, pr = F.col("nl"), F.col("pl"), F.col("nr"), F.col("pr")
+    plr = pl / nl.cast("double")
+    prr = pr / nr.cast("double")
+    gini = nl * (2.0 * plr * (1.0 - plr)) + nr * (2.0 * prr * (1.0 - prr))
+    scored = (
+        grid.filter((nl > 0) & (nr > 0))
+        .withColumn("gini", gini)
+        .withColumn("lab_l", F.when(2 * pl > nl, 1).otherwise(0))
+        .withColumn("lab_r", F.when(2 * pr > nr, 1).otherwise(0))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("frac").orderBy(
+                    F.asc("gini"), F.asc("thr")
+                )
+            ),
+        )
+    )
+    hn = F.col("hnl") + F.col("hnr")
+    correct = F.when(F.col("lab_l") == 1, F.col("hpl")).otherwise(
+        F.col("hnl") - F.col("hpl")
+    ) + F.when(F.col("lab_r") == 1, F.col("hpr")).otherwise(
+        F.col("hnr") - F.col("hpr")
+    )
+    return (
+        scored.filter((F.col("rn") == 1) & (hn > 0))
+        .select(
+            frac.cast("bigint").alias("train_pct"),
+            (nl + nr).cast("bigint").alias("n_train"),
+            thr.cast("double").alias("threshold"),
+            F.round(F.col("gini") / (nl + nr), 6).alias("train_gini"),
+            F.round(correct / hn.cast("double"), 6).alias("holdout_acc"),
+        )
+        .orderBy("train_pct")
+    )
