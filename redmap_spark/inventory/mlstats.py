@@ -4082,3 +4082,164 @@ def q_eb_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shrunk_rate"),
         F.round(F.col("m0") / (n + F.col("m0")), 6).alias("prior_weight"),
     ).orderBy("dow")
+
+
+# -- q_dr_policy_eval --------------------------------------------------
+#
+# Doubly-robust off-policy evaluation — the modern OPE estimator that
+# stays consistent if EITHER the outcome model OR the propensities
+# are right: DR(x) = q̂(x, π(x)) + 1{a=π(x)}·w·(r − q̂(x,a))/n_eval,
+# beside q_ips_policy_eval's plain IPS (same context = ISO
+# day-of-week, arm = event type, reward = value, train/eval split,
+# DECIMAL(14,12) propensities, weight clip 10). With the grid
+# construction every piece reduces to exact decimal sums:
+# DR = q̂ + w·(s_matched − n_matched·q̂)/n_eval per context, one
+# identical double chain at the end. Scale: two split-pushdown scans
+# → |dow × arms| grid algebra.
+
+DR_SQL = f"""
+WITH ev AS (
+  SELECT isodow(CAST(ts AS DATE)) AS dow, event_type AS arm,
+         CAST(value AS DECIMAL(18,2)) AS r,
+         CASE WHEN CAST(ts AS DATE) < DATE '{IPS_SPLIT}' THEN 1 ELSE 0 END
+           AS is_train
+  FROM events
+), tr AS (
+  SELECT dow, arm,
+         CAST(COUNT(*) AS BIGINT) AS n_ta,
+         CAST(SUM(r) AS DECIMAL(28,2)) AS s_ta
+  FROM ev WHERE is_train = 1 GROUP BY 1, 2
+), trx AS (
+  SELECT dow, CAST(SUM(n_ta) AS BIGINT) AS n_tx FROM tr GROUP BY 1
+), pol AS (
+  SELECT dow, arm AS target_arm,
+         CAST(round(n_ta / CAST(n_tx AS DOUBLE), 12) AS DECIMAL(14,12))
+           AS propensity,
+         CAST(s_ta AS DOUBLE) / n_ta AS q_hat
+  FROM (
+    SELECT tr.dow, arm, n_ta, s_ta, n_tx,
+           ROW_NUMBER() OVER (
+             PARTITION BY tr.dow
+             ORDER BY CAST(s_ta AS DOUBLE) / n_ta DESC, arm) AS rk
+    FROM tr JOIN trx ON trx.dow = tr.dow
+  ) WHERE rk = 1
+), evx AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_eval FROM ev
+  WHERE is_train = 0 GROUP BY 1
+), mt AS (
+  SELECT e.dow,
+         CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(SUM(e.r) AS DECIMAL(28,2)) AS s_matched
+  FROM ev e JOIN pol ON pol.dow = e.dow AND pol.target_arm = e.arm
+  WHERE e.is_train = 0 GROUP BY 1
+)
+SELECT CAST(pol.dow AS BIGINT) AS dow, pol.target_arm,
+       round(pol.q_hat, 6) AS q_hat,
+       round(CAST(s_matched AS DOUBLE) / n_matched, 6) AS dm_value,
+       round(CAST(s_matched AS DOUBLE)
+             * LEAST(1.0 / CAST(propensity AS DOUBLE), 10.0)
+             / n_eval, 6) AS ips_value,
+       round(pol.q_hat
+             + LEAST(1.0 / CAST(propensity AS DOUBLE), 10.0)
+               * (CAST(s_matched AS DOUBLE) - n_matched * pol.q_hat)
+               / n_eval, 6) AS dr_value
+FROM pol JOIN evx ON evx.dow = pol.dow
+JOIN mt ON mt.dow = pol.dow
+ORDER BY dow
+"""
+
+
+@query("q_dr_policy_eval", oracle=DR_SQL)
+def q_dr_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    iso = F.when(F.dayofweek(F.col("d")) == 1, F.lit(7)).otherwise(
+        F.dayofweek(F.col("d")) - 1
+    )
+    ev = e.select(
+        F.to_date("ts").alias("d"),
+        F.col("event_type").alias("arm"),
+        F.col("value").cast("decimal(18,2)").alias("r"),
+    ).select(
+        iso.alias("dow"),
+        "arm",
+        "r",
+        (F.col("d") < F.lit(IPS_SPLIT)).cast("int").alias("is_train"),
+    )
+    ev = ev.cache()  # feeds train grid, eval totals AND matched sums
+    tr = (
+        ev.filter(F.col("is_train") == 1)
+        .groupBy("dow", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ta"),
+            F.sum("r").cast("decimal(28,2)").alias("s_ta"),
+        )
+    )
+    tr = tr.cache()
+    trx = tr.groupBy("dow").agg(F.sum("n_ta").cast("bigint").alias("n_tx"))
+    pol = (
+        tr.join(trx, "dow")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("dow").orderBy(
+                    (F.col("s_ta").cast("double") / F.col("n_ta")).desc(),
+                    "arm",
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "dow",
+            F.col("arm").alias("target_arm"),
+            F.round(F.col("n_ta") / F.col("n_tx").cast("double"), 12)
+            .cast("decimal(14,12)")
+            .alias("propensity"),
+            (F.col("s_ta").cast("double") / F.col("n_ta")).alias("q_hat"),
+        )
+    )
+    evx = (
+        ev.filter(F.col("is_train") == 0)
+        .groupBy("dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval"))
+    )
+    mt = (
+        ev.filter(F.col("is_train") == 0)
+        .join(
+            F.broadcast(
+                pol.select(
+                    F.col("dow").alias("pdow"),
+                    F.col("target_arm").alias("parm"),
+                )
+            ),
+            (F.col("dow") == F.col("pdow"))
+            & (F.col("arm") == F.col("parm")),
+        )
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum("r").cast("decimal(28,2)").alias("s_matched"),
+        )
+    )
+    w = F.least(
+        1.0 / F.col("propensity").cast("double"), F.lit(10.0)
+    )
+    sm = F.col("s_matched").cast("double")
+    return (
+        pol.join(evx, "dow")
+        .join(mt, "dow")
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            "target_arm",
+            F.round("q_hat", 6).alias("q_hat"),
+            F.round(sm / F.col("n_matched"), 6).alias("dm_value"),
+            F.round(sm * w / F.col("n_eval"), 6).alias("ips_value"),
+            F.round(
+                F.col("q_hat")
+                + w
+                * (sm - F.col("n_matched") * F.col("q_hat"))
+                / F.col("n_eval"),
+                6,
+            ).alias("dr_value"),
+        )
+        .orderBy("dow")
+    )

@@ -1830,3 +1830,120 @@ def q_assortment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_a", "seg_b")
     )
+
+
+# -- q_weighted_median -------------------------------------------------
+#
+# Quantity-weighted price quartiles per brand: the robust "typical
+# unit price" where each line counts by its VOLUME, not once (the
+# weighted complement of q_percentiles' row-quantiles and
+# q_mode_per_group's modal pick). Unit prices live in EXACT BIGINT
+# MICRO-DOLLARS ((cents·(100−disc%)·10⁴) div qty-units — the
+# portable-arithmetic discipline), weights are exact quantity
+# centi-units, and each quartile is the FIRST price whose running
+# weight reaches the corresponding share of total weight (4·cumw ≥
+# q·totw in pure integers — no double boundary anywhere). Ties pin
+# on (price, orderkey, linenumber). Scale: one lineitem⋈part scan →
+# per-brand ordered walk (the grouped-order-stat shape).
+
+WMEDIAN_SQL = """
+WITH li AS (
+  SELECT p.p_brand AS brand,
+         l.l_orderkey, l.l_linenumber,
+         (CAST(round(l.l_extendedprice * 100.0, 0) AS BIGINT)
+          * (100 - CAST(round(l.l_discount * 100.0, 0) AS BIGINT))
+          * 10000)
+         // CAST(round(l.l_quantity * 100.0, 0) AS BIGINT) AS pm,
+         CAST(round(l.l_quantity * 100.0, 0) AS BIGINT) AS w
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0
+), walk AS (
+  SELECT brand, pm, w,
+         SUM(w) OVER (PARTITION BY brand
+                      ORDER BY pm, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw,
+         SUM(w) OVER (PARTITION BY brand) AS totw,
+         CAST(COUNT(*) OVER (PARTITION BY brand) AS BIGINT) AS n
+  FROM li
+)
+SELECT brand, MAX(n) AS n_lines,
+       round(CAST(MAX(totw) AS BIGINT) / 100.0, 2) AS total_qty,
+       round(MIN(CASE WHEN 4 * cumw >= totw THEN pm END) / 1000000.0, 6)
+         AS wp25,
+       round(MIN(CASE WHEN 2 * cumw >= totw THEN pm END) / 1000000.0, 6)
+         AS wmedian,
+       round(MIN(CASE WHEN 4 * cumw >= 3 * totw THEN pm END) / 1000000.0,
+             6) AS wp75
+FROM walk
+GROUP BY brand
+ORDER BY brand
+"""
+
+
+@query("q_weighted_median", oracle=WMEDIAN_SQL)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint")
+    dpct = F.round(F.col("l_discount") * 100.0, 0).cast("bigint")
+    qw = F.round(F.col("l_quantity") * 100.0, 0).cast("bigint")
+    li = (
+        c.lineitem.filter(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            "l_orderkey",
+            "l_linenumber",
+            (cents * (100 - dpct) * 10000).alias("pm0"),
+            qw.alias("w"),
+        )
+        .select(
+            "brand",
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("pm0 div w").alias("pm"),
+            "w",
+        )
+    )
+    wb = Window.partitionBy("brand")
+    walk = li.select(
+        "brand",
+        "pm",
+        "w",
+        F.sum("w")
+        .over(
+            wb.orderBy("pm", "l_orderkey", "l_linenumber").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cumw"),
+        F.sum("w").over(wb).alias("totw"),
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("n"),
+    )
+    cumw, totw = F.col("cumw"), F.col("totw")
+    return (
+        walk.groupBy("brand")
+        .agg(
+            F.max("n").alias("n_lines"),
+            F.round(F.max("totw").cast("bigint") / 100.0, 2).alias(
+                "total_qty"
+            ),
+            F.round(
+                F.min(F.when(4 * cumw >= totw, F.col("pm"))) / 1000000.0,
+                6,
+            ).alias("wp25"),
+            F.round(
+                F.min(F.when(2 * cumw >= totw, F.col("pm"))) / 1000000.0,
+                6,
+            ).alias("wmedian"),
+            F.round(
+                F.min(F.when(4 * cumw >= 3 * totw, F.col("pm")))
+                / 1000000.0,
+                6,
+            ).alias("wp75"),
+        )
+        .orderBy("brand")
+    )

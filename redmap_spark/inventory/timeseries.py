@@ -2516,3 +2516,174 @@ def q_lead_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# -- q_changepoint_binseg ----------------------------------------------
+#
+# Two-level binary-segmentation changepoints per event type:
+# q_changepoint finds the single strongest CUSUM break; binary
+# segmentation then RECURSES into the left and right segments and
+# finds each side's own strongest break — the standard multiple-
+# changepoint scheme, unrolled to depth 2 (three breaks per series).
+# Each level reuses the exact n-scaled statistic |n·P_t − t·S| on
+# SEGMENT-LOCAL prefix sums (p − p_offset, windows re-partitioned by
+# (type, side)), so every argmax and tie-break (earliest day) stays
+# exact-decimal deterministic. Scale: the daily grid sorts once per
+# level — two bounded window passes, no stream re-scan.
+
+BINSEG_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+  FROM events GROUP BY 1, 2
+), st AS MATERIALIZED (
+  SELECT event_type, day, rev,
+         CAST(SUM(rev) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING)
+              AS DECIMAL(19,2)) AS p,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         CAST(SUM(rev) OVER (PARTITION BY event_type)
+              AS DECIMAL(19,2)) AS s,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM st0
+), cp1 AS (
+  SELECT event_type, day AS cp_day, p AS p_cp, t AS t_cp, n
+  FROM (
+    SELECT event_type, day, p, t, n,
+           ROW_NUMBER() OVER (
+             PARTITION BY event_type
+             ORDER BY abs(CAST(n * p - t * s AS DECIMAL(28,2))) DESC,
+                      day) AS rk
+    FROM st
+  ) WHERE rk = 1
+), sided AS (
+  SELECT st.event_type,
+         CASE WHEN st.day <= c.cp_day THEN 'L' ELSE 'R' END AS side,
+         st.day,
+         CASE WHEN st.day <= c.cp_day THEN st.p
+              ELSE CAST(st.p - c.p_cp AS DECIMAL(19,2)) END AS lp,
+         CASE WHEN st.day <= c.cp_day THEN st.t
+              ELSE st.t - c.t_cp END AS lt,
+         CASE WHEN st.day <= c.cp_day THEN c.p_cp
+              ELSE CAST(st.s - c.p_cp AS DECIMAL(19,2)) END AS ls,
+         CASE WHEN st.day <= c.cp_day THEN c.t_cp
+              ELSE st.n - c.t_cp END AS ln_
+  FROM st JOIN cp1 c ON st.event_type = c.event_type
+), lvl2 AS (
+  SELECT event_type, side, day, ln_,
+         abs(CAST(ln_ * lp - lt * ls AS DECIMAL(38,2))) AS stat,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, side
+           ORDER BY abs(CAST(ln_ * lp - lt * ls AS DECIMAL(38,2))) DESC,
+                    day) AS rk
+  FROM sided WHERE ln_ > 2
+)
+SELECT event_type, 1 AS level, 'C' AS side,
+       strftime(cp_day, '%Y-%m-%d') AS change_day,
+       CAST(n AS BIGINT) AS seg_days
+FROM cp1
+UNION ALL
+SELECT event_type, 2, side, strftime(day, '%Y-%m-%d'),
+       CAST(ln_ AS BIGINT)
+FROM lvl2 WHERE rk = 1
+ORDER BY event_type, level, side
+"""
+
+BINSEG_SQL = BINSEG_SQL.replace(
+    "FROM st0",
+    "FROM daily",
+)
+
+
+@query("q_changepoint_binseg", oracle=BINSEG_SQL)
+def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    daily = daily.cache()
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    st = daily.select(
+        "event_type",
+        "day",
+        "rev",
+        F.sum("rev")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(19,2)")
+        .alias("p"),
+        F.row_number().over(wo).alias("t"),
+        F.sum("rev").over(wp).cast("decimal(19,2)").alias("s"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    st = st.localCheckpoint()  # level-1 grid reused by level 2
+    stat1 = F.abs(
+        (F.col("n") * F.col("p") - F.col("t") * F.col("s")).cast(
+            "decimal(28,2)"
+        )
+    )
+    cp1 = (
+        st.withColumn(
+            "rk",
+            F.row_number().over(
+                wp.orderBy(stat1.desc(), F.asc("day"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            F.col("p").alias("p_cp"),
+            F.col("t").alias("t_cp"),
+            F.col("n").alias("n1"),
+        )
+    )
+    cp1 = cp1.cache()  # ≤|types| rows: level-1 output + level-2 offsets
+    j = st.join(F.broadcast(cp1), "event_type")
+    is_l = F.col("day") <= F.col("cp_day")
+    sided = j.select(
+        "event_type",
+        F.when(is_l, "L").otherwise("R").alias("side"),
+        "day",
+        F.when(is_l, F.col("p"))
+        .otherwise((F.col("p") - F.col("p_cp")).cast("decimal(19,2)"))
+        .alias("lp"),
+        F.when(is_l, F.col("t")).otherwise(F.col("t") - F.col("t_cp")).alias(
+            "lt"
+        ),
+        F.when(is_l, F.col("p_cp"))
+        .otherwise((F.col("s") - F.col("p_cp")).cast("decimal(19,2)"))
+        .alias("ls"),
+        F.when(is_l, F.col("t_cp")).otherwise(F.col("n") - F.col("t_cp")).alias(
+            "ln_"
+        ),
+    )
+    stat2 = F.abs(
+        (F.col("ln_") * F.col("lp") - F.col("lt") * F.col("ls")).cast(
+            "decimal(38,2)"
+        )
+    )
+    lvl2 = (
+        sided.filter(F.col("ln_") > 2)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type", "side").orderBy(
+                    stat2.desc(), F.asc("day")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    out1 = cp1.select(
+        "event_type",
+        F.lit(1).alias("level"),
+        F.lit("C").alias("side"),
+        F.date_format("cp_day", "yyyy-MM-dd").alias("change_day"),
+        F.col("n1").cast("bigint").alias("seg_days"),
+    )
+    out2 = lvl2.select(
+        "event_type",
+        F.lit(2).alias("level"),
+        "side",
+        F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+        F.col("ln_").cast("bigint").alias("seg_days"),
+    )
+    return out1.unionAll(out2).orderBy("event_type", "level", "side")
