@@ -150,6 +150,7 @@ _WINDOW_FIRST = [
     "q_hill_diversity", "q_share_of_wallet", "q_assortment_overlap",
     "q_kfold_cv", "q_learning_curve",
     "q_dr_policy_eval", "q_weighted_median", "q_changepoint_binseg",
+    "q_km_greenwood",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -4243,3 +4243,153 @@ def q_dr_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# -- q_km_greenwood ----------------------------------------------------
+#
+# Kaplan-Meier curve with Greenwood 95% log-log confidence bands —
+# the uncertainty q_survival_km's point curve omits (bands are what
+# make a retention curve decision-grade): Var(Ŝ)/Ŝ² = Σ d/(n(n−d))
+# accumulates as a 12-rounded DECIMAL(18,12) fold alongside the ln
+# survival fold, and the log-log transform exp(±1.96·σ/ln Ŝ)
+# guarantees bands inside (0,1). Same observation construction and
+# at-risk prefix windows as q_survival_km; survival rounds to 6
+# before the band algebra reuses it. Output: the event-time grid
+# rows with S, lo, hi. Scale: one o_custkey window pass → |distinct
+# t| grid.
+
+KM_GREENWOOD_SQL = """
+WITH obs0 AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         MIN(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey) AS d1
+  FROM orders
+), fs AS (
+  SELECT o_custkey, d1, MIN(CASE WHEN od > d1 THEN od END) AS d2
+  FROM obs0 GROUP BY 1, 2
+), endd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS de FROM orders),
+obs AS (
+  SELECT CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+              ELSE date_diff('day', d1, de) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fs CROSS JOIN endd
+), n_tot AS (SELECT COUNT(*) AS nt FROM obs),
+grid AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS c
+  FROM obs GROUP BY 1
+), r AS (
+  SELECT t, d,
+         nt - COALESCE(CAST(SUM(c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS n
+  FROM grid CROSS JOIN n_tot
+), s AS (
+  SELECT t, d, n,
+         round(exp(CAST(SUM(CASE WHEN d < n THEN
+                CAST(ln((n - d) / CAST(n AS DOUBLE)) AS DECIMAL(18,9))
+              END) OVER (ORDER BY t) AS DOUBLE)), 6) AS surv,
+         CAST(SUM(CASE WHEN d < n THEN
+                CAST(round(d / (CAST(n AS DOUBLE) * (n - d)), 12)
+                     AS DECIMAL(18,12)) END)
+              OVER (ORDER BY t) AS DOUBLE) AS gw
+  FROM r WHERE d > 0
+)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_at_risk,
+       d AS n_events, surv,
+       round(pow(surv, exp(1.96 * sqrt(gw) / ln(surv))), 6) AS ci_lo,
+       round(pow(surv, exp(-1.96 * sqrt(gw) / ln(surv))), 6) AS ci_hi
+FROM s
+WHERE surv > 0 AND surv < 1 AND gw > 0
+ORDER BY t_days
+"""
+
+
+@query("q_km_greenwood", oracle=KM_GREENWOOD_SQL)
+def q_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    wc = Window.partitionBy("o_custkey")
+    obs0 = c.orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.min(F.col("o_orderdate").cast("date")).over(wc).alias("d1"),
+    )
+    fs = obs0.groupBy("o_custkey", "d1").agg(
+        F.min(F.when(F.col("od") > F.col("d1"), F.col("od"))).alias("d2")
+    )
+    endd = c.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("de")
+    )
+    obs = fs.join(F.broadcast(endd)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+        )
+        .otherwise(F.datediff(F.col("de"), F.col("d1")))
+        .alias("t"),
+        F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    obs = obs.cache()
+    n_tot = obs.agg(F.count(F.lit(1)).alias("nt"))
+    grid = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    wpre = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = grid.join(F.broadcast(n_tot)).select(
+        "t",
+        "d",
+        (
+            F.col("nt")
+            - F.coalesce(F.sum("c").over(wpre).cast("bigint"), F.lit(0))
+        ).alias("n"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d, n = F.col("d"), F.col("n")
+    surv = F.round(
+        F.exp(
+            F.sum(
+                F.when(
+                    d < n,
+                    F.log((n - d) / n.cast("double")).cast(
+                        "decimal(18,9)"
+                    ),
+                )
+            )
+            .over(wcum)
+            .cast("double")
+        ),
+        6,
+    )
+    gw = (
+        F.sum(
+            F.when(
+                d < n,
+                F.round(d / (n.cast("double") * (n - d)), 12).cast(
+                    "decimal(18,12)"
+                ),
+            )
+        )
+        .over(wcum)
+        .cast("double")
+    )
+    s = r.filter(d > 0).select(
+        "t", "d", "n", surv.alias("surv"), gw.alias("gw")
+    )
+    sv, g = F.col("surv"), F.col("gw")
+    return (
+        s.filter((sv > 0) & (sv < 1) & (g > 0))
+        .select(
+            F.col("t").cast("bigint").alias("t_days"),
+            n.cast("bigint").alias("n_at_risk"),
+            d.alias("n_events"),
+            "surv",
+            F.round(
+                F.pow(sv, F.exp(1.96 * F.sqrt(g) / F.log(sv))), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.pow(sv, F.exp(-1.96 * F.sqrt(g) / F.log(sv))), 6
+            ).alias("ci_hi"),
+        )
+        .orderBy("t_days")
+    )
