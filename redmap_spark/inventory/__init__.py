@@ -38,6 +38,7 @@ from redmap_spark.inventory import ml2  # noqa: F401
 from redmap_spark.inventory import stats5  # noqa: F401
 from redmap_spark.inventory import stats6  # noqa: F401
 from redmap_spark.inventory import ops  # noqa: F401
+from redmap_spark.inventory import stats7  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
 # (rows+schema+value-hash vs DuckDB). Rounds 1–5 drove 138 of the 167
@@ -150,7 +151,8 @@ _WINDOW_FIRST = [
     "q_hill_diversity", "q_share_of_wallet", "q_assortment_overlap",
     "q_kfold_cv", "q_learning_curve",
     "q_dr_policy_eval", "q_weighted_median", "q_changepoint_binseg",
-    "q_km_greenwood",
+    "q_km_greenwood", "q_fisher_exact", "q_haar_energy",
+    "q_session_gap_sweep",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}
