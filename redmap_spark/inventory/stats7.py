@@ -464,3 +464,461 @@ def q_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     return rows.orderBy("gap_min")
+
+
+# -- q_cox_onestep -----------------------------------------------------
+#
+# Cox proportional-hazards one-step estimator (single Newton step from
+# beta = 0, Breslow ties) for the ASIA-region effect on time-to-repeat
+# purchase: at the null the risk-set covariate mean is just the
+# exposed-at-risk share p(t) = n1/n, so the score U = sum(d1 - d*p)
+# and information I = sum(d*p*(1-p)) come straight off the same
+# event-time grid q_survival_km builds — suffix at-risk counts from
+# one prefix window per group, no per-event risk-set join. beta = U/I,
+# HR = exp(beta), Wald 95% CI. Terms are 9-rounded decimals summed
+# exactly; the finale is the only double chain. The companion ESTIMATE
+# to q_logrank's TEST (different covariate: region, not segment).
+
+COX_SQL = """
+WITH obs0 AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         MIN(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey) AS d1
+  FROM orders
+), fs AS (
+  SELECT o_custkey, d1, MIN(CASE WHEN od > d1 THEN od END) AS d2
+  FROM obs0 GROUP BY 1, 2
+), endd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS de FROM orders),
+obs AS (
+  SELECT CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END AS grp,
+         CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+              ELSE date_diff('day', d1, de) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fs CROSS JOIN endd
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+), gtot AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng FROM obs GROUP BY 1
+), tg AS (
+  SELECT grp, t, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM obs GROUP BY 1, 2
+), times AS (SELECT DISTINCT t FROM tg),
+grid AS (
+  SELECT g.grp, times.t,
+         COALESCE(tg.d, 0) AS d, COALESCE(tg.c, 0) AS c
+  FROM times CROSS JOIN (SELECT 0 AS grp UNION ALL SELECT 1) g
+  LEFT JOIN tg ON tg.grp = g.grp AND tg.t = times.t
+), atrisk AS (
+  SELECT grp, t, d,
+         ng - COALESCE(CAST(SUM(c) OVER (PARTITION BY grp ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS nr
+  FROM grid JOIN gtot USING (grp)
+), wide AS (
+  SELECT t,
+         MAX(CASE WHEN grp = 1 THEN d END) AS d1,
+         MAX(CASE WHEN grp = 0 THEN d END) AS d0,
+         MAX(CASE WHEN grp = 1 THEN nr END) AS n1,
+         MAX(CASE WHEN grp = 0 THEN nr END) AS n0
+  FROM wide_src
+), terms AS (
+  SELECT CAST(d1 AS BIGINT) AS d1, d1 + d0 AS d, n1 + n0 AS n,
+         CAST(round((d1 + d0) * n1 / CAST(n1 + n0 AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS e1,
+         CAST(round((d1 + d0)
+                    * (n1 / CAST(n1 + n0 AS DOUBLE))
+                    * (n0 / CAST(n1 + n0 AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS i_t
+  FROM wide
+  WHERE d1 + d0 > 0 AND n1 + n0 > 0
+), m AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(e1) AS DECIMAL(28,9)) AS e1,
+         CAST(SUM(i_t) AS DECIMAL(28,9)) AS inf,
+         (SELECT COUNT(*) FROM obs) AS n_subjects,
+         (SELECT SUM(ev) FROM obs) AS n_events,
+         (SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) FROM obs)
+           AS n_exposed
+  FROM terms
+)
+SELECT CAST(n_subjects AS BIGINT) AS n_subjects,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_exposed AS BIGINT) AS n_exposed,
+       round((o1 - CAST(e1 AS DOUBLE)) / CAST(inf AS DOUBLE), 6) AS beta,
+       round(exp((o1 - CAST(e1 AS DOUBLE)) / CAST(inf AS DOUBLE)), 6)
+         AS hazard_ratio,
+       round(1 / sqrt(CAST(inf AS DOUBLE)), 6) AS se,
+       round(exp((o1 - CAST(e1 AS DOUBLE)) / CAST(inf AS DOUBLE)
+                 - 1.96 / sqrt(CAST(inf AS DOUBLE))), 6) AS hr_ci_lo,
+       round(exp((o1 - CAST(e1 AS DOUBLE)) / CAST(inf AS DOUBLE)
+                 + 1.96 / sqrt(CAST(inf AS DOUBLE))), 6) AS hr_ci_hi
+FROM m
+"""
+COX_SQL = COX_SQL.replace("FROM wide_src", "FROM atrisk GROUP BY 1")
+
+
+@query("q_cox_onestep", oracle=COX_SQL)
+def q_cox_onestep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    wc = Window.partitionBy("o_custkey")
+    obs0 = c.orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.min(F.col("o_orderdate").cast("date")).over(wc).alias("d1"),
+    )
+    fs = obs0.groupBy("o_custkey", "d1").agg(
+        F.min(F.when(F.col("od") > F.col("d1"), F.col("od"))).alias("d2")
+    )
+    endd = c.orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("de"))
+    cust = (
+        c.customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(c.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(c.region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "c_custkey",
+            F.when(F.col("r_name") == "ASIA", 1).otherwise(0).alias("grp"),
+        )
+    )
+    obs = (
+        fs.join(F.broadcast(endd))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "grp",
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("de", "d1"))
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+        .localCheckpoint()
+    )
+    gtot = obs.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("ng"))
+    tg = obs.groupBy("grp", "t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    times = tg.select("t").distinct()
+    groups = obs.sparkSession.createDataFrame([(0,), (1,)], ["grp"])
+    grid = (
+        times.crossJoin(F.broadcast(groups))
+        .join(tg, ["grp", "t"], "left")
+        .select(
+            "grp", "t",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    wpre = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    atrisk = grid.join(F.broadcast(gtot), "grp").select(
+        "grp", "t", "d",
+        (
+            F.col("ng")
+            - F.coalesce(F.sum("c").over(wpre).cast("bigint"), F.lit(0))
+        ).alias("nr"),
+    )
+    wide = atrisk.groupBy("t").agg(
+        F.max(F.when(F.col("grp") == 1, F.col("d"))).alias("d1"),
+        F.max(F.when(F.col("grp") == 0, F.col("d"))).alias("d0"),
+        F.max(F.when(F.col("grp") == 1, F.col("nr"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("nr"))).alias("n0"),
+    )
+    d1, d0, n1, n0 = (F.col(x) for x in ["d1", "d0", "n1", "n0"])
+    terms = wide.filter((d1 + d0 > 0) & (n1 + n0 > 0)).select(
+        d1.cast("bigint").alias("d1"),
+        F.round((d1 + d0) * n1 / (n1 + n0).cast("double"), 9)
+        .cast("decimal(18,9)")
+        .alias("e1"),
+        F.round(
+            (d1 + d0)
+            * (n1 / (n1 + n0).cast("double"))
+            * (n0 / (n1 + n0).cast("double")),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("i_t"),
+    )
+    m = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1").cast("decimal(28,9)").alias("e1"),
+        F.sum("i_t").cast("decimal(28,9)").alias("inf"),
+    )
+    tot = obs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum("ev").cast("bigint").alias("n_events"),
+        F.sum("grp").cast("bigint").alias("n_exposed"),
+    )
+    beta = (F.col("o1") - F.col("e1").cast("double")) / F.col("inf").cast(
+        "double"
+    )
+    half = 1.96 / F.sqrt(F.col("inf").cast("double"))
+    return m.join(F.broadcast(tot)).select(
+        "n_subjects",
+        "n_events",
+        "n_exposed",
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(beta), 6).alias("hazard_ratio"),
+        F.round(1 / F.sqrt(F.col("inf").cast("double")), 6).alias("se"),
+        F.round(F.exp(beta - half), 6).alias("hr_ci_lo"),
+        F.round(F.exp(beta + half), 6).alias("hr_ci_hi"),
+    )
+
+
+# -- q_circular_stats --------------------------------------------------
+#
+# Directional statistics of the hour-of-day profile per event type:
+# each timestamp maps to an angle theta = 2*pi*(us-in-day)/86400e6, and
+# ONE groupBy accumulates 12-rounded cos/sin terms as exact decimal
+# sums (order-independent), giving the circular mean hour
+# atan2(S,C) -> [0,24), the resultant length Rbar (0 = uniform,
+# 1 = a single spike), circular variance, and the Rayleigh uniformity
+# test z = n*Rbar^2 with the small-sample-corrected p-value. The
+# directional complement to q_calendar_heatmap's bin counts. Scale:
+# map-side partial aggregation straight to |types| rows.
+
+CIRC_SQL = """
+WITH pts AS (
+  SELECT event_type,
+         2 * pi() * ((epoch_us(ts) % 86400000000) / 86400000000.0)
+           AS theta
+  FROM events
+), agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(round(cos(theta), 12) AS DECIMAL(14,12)))
+              AS DECIMAL(38,12)) AS cs,
+         CAST(SUM(CAST(round(sin(theta), 12) AS DECIMAL(14,12)))
+              AS DECIMAL(38,12)) AS sn
+  FROM pts GROUP BY 1
+), r AS (
+  SELECT event_type, n, CAST(cs AS DOUBLE) AS c, CAST(sn AS DOUBLE) AS s,
+         sqrt(CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+              + CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) / n AS rbar
+  FROM agg
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(((atan2(s, c) + 2 * pi()) % (2 * pi())) / (2 * pi()) * 24, 4)
+         AS mean_hour,
+       round(rbar, 6) AS resultant,
+       round(1 - rbar, 6) AS circ_variance,
+       round(n * rbar * rbar, 6) AS rayleigh_z,
+       round(exp(-n * rbar * rbar)
+             * (1 + (2 * n * rbar * rbar
+                     - n * rbar * rbar * n * rbar * rbar) / (4 * n)), 6)
+         AS rayleigh_p
+FROM r
+ORDER BY event_type
+"""
+
+
+@query("q_circular_stats", oracle=CIRC_SQL)
+def q_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    theta = (
+        2
+        * 3.141592653589793
+        * ((F.unix_micros(F.col("ts")) % 86400000000) / 86400000000.0)
+    )
+    agg = (
+        e.select("event_type", theta.alias("theta"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.cos("theta"), 12).cast("decimal(14,12)"))
+            .cast("decimal(38,12)")
+            .alias("cs"),
+            F.sum(F.round(F.sin("theta"), 12).cast("decimal(14,12)"))
+            .cast("decimal(38,12)")
+            .alias("sn"),
+        )
+    )
+    c, s = F.col("cs").cast("double"), F.col("sn").cast("double")
+    n = F.col("n")
+    rbar = F.sqrt(c * c + s * s) / n
+    two_pi = F.lit(2 * 3.141592653589793)
+    z = n * rbar * rbar
+    return (
+        agg.select(
+            "event_type",
+            n.cast("bigint").alias("n"),
+            F.round(
+                ((F.atan2(s, c) + two_pi) % two_pi) / two_pi * 24, 4
+            ).alias("mean_hour"),
+            F.round(rbar, 6).alias("resultant"),
+            F.round(1 - rbar, 6).alias("circ_variance"),
+            F.round(z, 6).alias("rayleigh_z"),
+            F.round(
+                F.exp(-z) * (1 + (2 * z - z * z) / (4 * n)), 6
+            ).alias("rayleigh_p"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- q_transfer_entropy ------------------------------------------------
+#
+# Pairwise lag-1 binary transfer entropy between event-type daily
+# series: each type's calendar-day count collapses to an up/down state
+# s_t = [cnt_t > cnt_{t-1}], and TE(X->Y) = sum p(y',y,x) *
+# ln[ p(y'|y,x) / p(y'|y) ] over the 8 joint states measures how much
+# knowing X's move today sharpens tomorrow's Y forecast beyond Y's own
+# history — the DIRECTED, nonlinear counterpart to q_cross_correlation
+# and q_granger_lite. All probabilities are ratios of exact integer
+# triple counts over the shared day grid (zero-filled from one
+# calendar sequence), marginals are window sums over the grouped
+# triple table, and each c3*ln(...) term is 9-rounded decimal before
+# the exact final fold. Scale: |days|x|types| grid, |types|^2 pairs —
+# grid algebra only after one fact scan.
+
+TE_SQL = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+  FROM events
+), days AS (
+  SELECT UNNEST(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+), types AS (SELECT DISTINCT event_type FROM events),
+cnts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, d.day, COALESCE(c.cnt, 0) AS cnt
+  FROM days d CROSS JOIN types t
+  LEFT JOIN cnts c ON c.day = d.day AND c.event_type = t.event_type
+), st AS (
+  SELECT event_type, day,
+         CASE WHEN cnt > LAG(cnt) OVER
+                (PARTITION BY event_type ORDER BY day)
+              THEN 1 ELSE 0 END AS s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM grid
+), sy AS (
+  SELECT event_type, day, s,
+         LEAD(s) OVER (PARTITION BY event_type ORDER BY day) AS s_next,
+         rn
+  FROM st
+), triple AS (
+  SELECT x.event_type AS x_type, y.event_type AS y_type,
+         y.s_next AS yn, y.s AS y, x.s AS x
+  FROM sy y JOIN st x ON x.day = y.day
+  WHERE y.rn >= 2 AND y.s_next IS NOT NULL
+    AND x.event_type <> y.event_type
+), c3 AS (
+  SELECT x_type, y_type, yn, y, x, COUNT(*) AS c3
+  FROM triple GROUP BY 1, 2, 3, 4, 5
+), marg AS (
+  SELECT *,
+         SUM(c3) OVER (PARTITION BY x_type, y_type, y, x) AS c_yx,
+         SUM(c3) OVER (PARTITION BY x_type, y_type, y, yn) AS c_yyn,
+         SUM(c3) OVER (PARTITION BY x_type, y_type, y) AS c_y,
+         SUM(c3) OVER (PARTITION BY x_type, y_type) AS n
+  FROM c3
+), terms AS (
+  SELECT x_type, y_type, n,
+         CAST(round(c3 * ln((CAST(c3 AS DOUBLE) * c_y)
+                            / (CAST(c_yx AS DOUBLE) * c_yyn)), 9)
+              AS DECIMAL(24,9)) AS term
+  FROM marg
+)
+SELECT x_type, y_type, CAST(MAX(n) AS BIGINT) AS n,
+       round(CAST(SUM(term) AS DOUBLE) / MAX(n), 6) AS te_nats
+FROM terms
+GROUP BY x_type, y_type
+ORDER BY x_type, y_type
+"""
+
+
+@query("q_transfer_entropy", oracle=TE_SQL)
+def q_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    day = F.col("ts").cast("date")
+    bounds = e.agg(
+        F.min(day).alias("dmin"), F.max(day).alias("dmax")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("dmin", "dmax", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    cnts = e.groupBy(day.alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(cnts, ["day", "event_type"], "left")
+        .select(
+            "event_type", "day", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    st = grid.select(
+        "event_type", "day",
+        F.when(F.col("cnt") > F.lag("cnt").over(wt), 1)
+        .otherwise(0)
+        .alias("s"),
+        F.row_number().over(wt).alias("rn"),
+    ).localCheckpoint()
+    sy = st.select(
+        "event_type", "day", "s",
+        F.lead("s").over(wt).alias("s_next"), "rn",
+    )
+    triple = (
+        sy.alias("y")
+        .join(st.alias("x"), F.col("y.day") == F.col("x.day"))
+        .filter(
+            (F.col("y.rn") >= 2)
+            & F.col("y.s_next").isNotNull()
+            & (F.col("x.event_type") != F.col("y.event_type"))
+        )
+        .select(
+            F.col("x.event_type").alias("x_type"),
+            F.col("y.event_type").alias("y_type"),
+            F.col("y.s_next").alias("yn"),
+            F.col("y.s").alias("y"),
+            F.col("x.s").alias("x"),
+        )
+    )
+    c3 = triple.groupBy("x_type", "y_type", "yn", "y", "x").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    wp = Window.partitionBy("x_type", "y_type")
+    marg = c3.select(
+        "*",
+        F.sum("c3").over(wp.partitionBy("x_type", "y_type", "y", "x"))
+        .alias("c_yx"),
+        F.sum("c3").over(wp.partitionBy("x_type", "y_type", "y", "yn"))
+        .alias("c_yyn"),
+        F.sum("c3").over(wp.partitionBy("x_type", "y_type", "y"))
+        .alias("c_y"),
+        F.sum("c3").over(wp).alias("n"),
+    )
+    term = F.round(
+        F.col("c3")
+        * F.log(
+            (F.col("c3").cast("double") * F.col("c_y"))
+            / (F.col("c_yx").cast("double") * F.col("c_yyn"))
+        ),
+        9,
+    ).cast("decimal(24,9)")
+    return (
+        marg.select("x_type", "y_type", "n", term.alias("term"))
+        .groupBy("x_type", "y_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(
+                F.sum("term").cast("double") / F.max("n"), 6
+            ).alias("te_nats"),
+        )
+        .orderBy("x_type", "y_type")
+    )
