@@ -922,3 +922,404 @@ def q_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x_type", "y_type")
     )
+
+
+# -- q_dissimilarity_index ---------------------------------------------
+#
+# Residential-segregation indices applied to market segments across
+# nations: Duncan dissimilarity D = 0.5*sum|a_i/A - b_i/B| between
+# AUTOMOBILE and BUILDING customers, the exposure P*(A->B) and
+# isolation P*(A->A) interaction indices, and the MULTIGROUP Theil
+# information index H over all five segments (nation-entropy shortfall
+# vs global entropy) — the standard toolkit for "is a segment
+# concentrated in a few geographies". ONE scan collapses to the
+# |nation x segment| grid; every share is a ratio of exact BIGINT
+# counts, each |.|/ln term is 12-rounded decimal before the exact
+# fold, and only the final divisions are unrounded doubles.
+
+DISSIM_SQL = """
+WITH g AS (
+  SELECT n_name, c_mktsegment AS seg, COUNT(*) AS t
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), tots AS (
+  SELECT SUM(t) AS tt,
+         SUM(CASE WHEN seg = 'AUTOMOBILE' THEN t ELSE 0 END) AS ta,
+         SUM(CASE WHEN seg = 'BUILDING' THEN t ELSE 0 END) AS tb
+  FROM g
+), segtot AS (
+  SELECT seg, SUM(t) AS ts FROM g GROUP BY 1
+), ent AS (
+  SELECT CAST(SUM(CAST(round(-(ts / CAST(tt AS DOUBLE))
+                             * ln(ts / CAST(tt AS DOUBLE)), 12)
+                       AS DECIMAL(16,12))) AS DOUBLE) AS e_glob
+  FROM segtot CROSS JOIN tots
+), gw AS (
+  SELECT n_name, seg, t,
+         SUM(t) OVER (PARTITION BY n_name) AS tn_w
+  FROM g
+), nat AS (
+  SELECT n_name, SUM(t) AS tn,
+         SUM(CASE WHEN seg = 'AUTOMOBILE' THEN t ELSE 0 END) AS a,
+         SUM(CASE WHEN seg = 'BUILDING' THEN t ELSE 0 END) AS b,
+         CAST(SUM(CAST(round(
+               -(t / CAST(tn_w AS DOUBLE))
+               * ln(t / CAST(tn_w AS DOUBLE)),
+               12) AS DECIMAL(16,12))) AS DOUBLE) AS e_i
+  FROM gw GROUP BY 1
+), terms AS (
+  SELECT
+    CAST(SUM(CAST(round(abs(a / CAST(ta AS DOUBLE)
+                            - b / CAST(tb AS DOUBLE)), 12)
+                  AS DECIMAL(16,12))) AS DOUBLE) AS d2,
+    CAST(SUM(CASE WHEN a + b > 0 THEN
+          CAST(round((a / CAST(ta AS DOUBLE)) * (b / CAST(a + b AS DOUBLE)),
+                     12) AS DECIMAL(16,12)) END) AS DOUBLE) AS expo,
+    CAST(SUM(CASE WHEN a + b > 0 THEN
+          CAST(round((a / CAST(ta AS DOUBLE)) * (a / CAST(a + b AS DOUBLE)),
+                     12) AS DECIMAL(16,12)) END) AS DOUBLE) AS iso,
+    CAST(SUM(CAST(round(tn * (e_glob - e_i), 9) AS DECIMAL(24,9)))
+         AS DOUBLE) AS h_num,
+    COUNT(*) AS n_units
+  FROM nat CROSS JOIN tots CROSS JOIN ent
+)
+SELECT CAST(n_units AS BIGINT) AS n_units,
+       round(d2 / 2, 6) AS duncan_d,
+       round(expo, 6) AS exposure_ab,
+       round(iso, 6) AS isolation_a,
+       round(h_num / (CAST(tt AS DOUBLE) * e_glob), 6) AS theil_h
+FROM terms CROSS JOIN tots CROSS JOIN ent
+"""
+
+
+@query("q_dissimilarity_index", oracle=DISSIM_SQL)
+def q_dissimilarity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    g = (
+        c.customer.join(
+            F.broadcast(c.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("t"))
+        .localCheckpoint()
+    )
+    tots = g.agg(
+        F.sum("t").alias("tt"),
+        F.sum(F.when(F.col("seg") == "AUTOMOBILE", F.col("t")).otherwise(0))
+        .alias("ta"),
+        F.sum(F.when(F.col("seg") == "BUILDING", F.col("t")).otherwise(0))
+        .alias("tb"),
+    )
+    segtot = g.groupBy("seg").agg(F.sum("t").alias("ts"))
+    ts, tt = F.col("ts"), F.col("tt")
+    ent = (
+        segtot.join(F.broadcast(tots))
+        .select(
+            F.round(
+                -(ts / tt.cast("double")) * F.log(ts / tt.cast("double")),
+                12,
+            )
+            .cast("decimal(16,12)")
+            .alias("term")
+        )
+        .agg(F.sum("term").cast("double").alias("e_glob"))
+    )
+    wn = Window.partitionBy("n_name")
+    tn_w = F.sum("t").over(wn)
+    nat = (
+        g.select(
+            "n_name", "seg", "t",
+            F.round(
+                -(F.col("t") / tn_w.cast("double"))
+                * F.log(F.col("t") / tn_w.cast("double")),
+                12,
+            )
+            .cast("decimal(16,12)")
+            .alias("eterm"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum("t").alias("tn"),
+            F.sum(
+                F.when(F.col("seg") == "AUTOMOBILE", F.col("t")).otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("seg") == "BUILDING", F.col("t")).otherwise(0)
+            ).alias("b"),
+            F.sum("eterm").cast("double").alias("e_i"),
+        )
+    )
+    a, b = F.col("a"), F.col("b")
+    ta, tb = F.col("ta"), F.col("tb")
+    terms = (
+        nat.join(F.broadcast(tots))
+        .join(F.broadcast(ent))
+        .agg(
+            F.sum(
+                F.round(
+                    F.abs(
+                        a / ta.cast("double") - b / tb.cast("double")
+                    ),
+                    12,
+                ).cast("decimal(16,12)")
+            )
+            .cast("double")
+            .alias("d2"),
+            F.sum(
+                F.when(
+                    a + b > 0,
+                    F.round(
+                        (a / ta.cast("double"))
+                        * (b / (a + b).cast("double")),
+                        12,
+                    ).cast("decimal(16,12)"),
+                )
+            )
+            .cast("double")
+            .alias("expo"),
+            F.sum(
+                F.when(
+                    a + b > 0,
+                    F.round(
+                        (a / ta.cast("double"))
+                        * (a / (a + b).cast("double")),
+                        12,
+                    ).cast("decimal(16,12)"),
+                )
+            )
+            .cast("double")
+            .alias("iso"),
+            F.sum(
+                F.round(
+                    F.col("tn") * (F.col("e_glob") - F.col("e_i")), 9
+                ).cast("decimal(24,9)")
+            )
+            .cast("double")
+            .alias("h_num"),
+            F.count(F.lit(1)).alias("n_units"),
+        )
+    )
+    return terms.join(F.broadcast(tots)).join(F.broadcast(ent)).select(
+        F.col("n_units").cast("bigint").alias("n_units"),
+        F.round(F.col("d2") / 2, 6).alias("duncan_d"),
+        F.round(F.col("expo"), 6).alias("exposure_ab"),
+        F.round(F.col("iso"), 6).alias("isolation_a"),
+        F.round(
+            F.col("h_num") / (tt.cast("double") * F.col("e_glob")), 6
+        ).alias("theil_h"),
+    )
+
+
+# -- q_bullwhip --------------------------------------------------------
+#
+# Bullwhip-effect ratio per brand: variance amplification of the
+# shipment signal over the order signal, BW = CV^2(monthly shipped
+# qty) / CV^2(monthly ordered qty) on a shared zero-filled calendar
+# month grid (BW > 1 = the supply side amplifies demand noise — the
+# Lee/Padmanabhan/Whang measure). One fact scan (lineitem ⋈ broadcast
+# part ⋈ orders) feeds BOTH monthly signals as conditional aggregates
+# over an exploded two-signal key, so order-month and ship-month
+# series come from the same shuffle; moments are exact DECIMAL sums
+# (n, Σq, Σq²) per brand and the CV algebra is the only double chain.
+
+BULLWHIP_SQL = """
+WITH f AS (
+  SELECT p_brand,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS om,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS sm,
+         CAST(l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+), months AS (
+  SELECT DISTINCT om AS m FROM f UNION SELECT DISTINCT sm FROM f
+), brands AS (SELECT DISTINCT p_brand FROM f),
+ord AS (
+  SELECT p_brand, om AS m, CAST(SUM(q) AS DECIMAL(20,2)) AS q
+  FROM f GROUP BY 1, 2
+), shp AS (
+  SELECT p_brand, sm AS m, CAST(SUM(q) AS DECIMAL(20,2)) AS q
+  FROM f GROUP BY 1, 2
+), grid AS (
+  SELECT b.p_brand, mo.m,
+         COALESCE(o.q, CAST(0 AS DECIMAL(20,2))) AS oq,
+         COALESCE(s.q, CAST(0 AS DECIMAL(20,2))) AS sq
+  FROM brands b CROSS JOIN months mo
+  LEFT JOIN ord o ON o.p_brand = b.p_brand AND o.m = mo.m
+  LEFT JOIN shp s ON s.p_brand = b.p_brand AND s.m = mo.m
+), mom AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(oq) AS DECIMAL(28,2)) AS so,
+         CAST(SUM(oq * oq) AS DECIMAL(38,4)) AS so2,
+         CAST(SUM(sq) AS DECIMAL(28,2)) AS ss,
+         CAST(SUM(sq * sq) AS DECIMAL(38,4)) AS ss2
+  FROM grid GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_months,
+       round(CAST(so AS DOUBLE) / n, 4) AS order_mean,
+       round(CAST(ss AS DOUBLE) / n, 4) AS ship_mean,
+       round(((CAST(so2 AS DOUBLE) - CAST(so AS DOUBLE) * CAST(so AS DOUBLE) / n)
+              / (n - 1))
+             / ((CAST(so AS DOUBLE) / n) * (CAST(so AS DOUBLE) / n)), 6)
+         AS order_cv2,
+       round(((CAST(ss2 AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n)
+              / (n - 1))
+             / ((CAST(ss AS DOUBLE) / n) * (CAST(ss AS DOUBLE) / n)), 6)
+         AS ship_cv2,
+       round((((CAST(ss2 AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n)
+               / (n - 1))
+              / ((CAST(ss AS DOUBLE) / n) * (CAST(ss AS DOUBLE) / n)))
+             / (((CAST(so2 AS DOUBLE) - CAST(so AS DOUBLE) * CAST(so AS DOUBLE) / n)
+                 / (n - 1))
+                / ((CAST(so AS DOUBLE) / n) * (CAST(so AS DOUBLE) / n))), 6)
+         AS bullwhip
+FROM mom
+ORDER BY p_brand
+"""
+
+
+@query("q_bullwhip", oracle=BULLWHIP_SQL)
+def q_bullwhip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    f = (
+        c.lineitem.join(
+            c.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            .alias("om"),
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")
+            .alias("sm"),
+            dec("l_quantity").alias("q"),
+        )
+        .localCheckpoint()
+    )
+    months = (
+        f.select(F.col("om").alias("m"))
+        .union(f.select(F.col("sm").alias("m")))
+        .distinct()
+    )
+    brands = f.select("p_brand").distinct()
+    ord_ = f.groupBy("p_brand", F.col("om").alias("m")).agg(
+        F.sum("q").cast("decimal(20,2)").alias("q")
+    )
+    shp = f.groupBy("p_brand", F.col("sm").alias("m")).agg(
+        F.sum("q").cast("decimal(20,2)").alias("q")
+    )
+    zero = F.lit(0).cast("decimal(20,2)")
+    grid = (
+        brands.crossJoin(F.broadcast(months))
+        .join(ord_.withColumnRenamed("q", "oq"), ["p_brand", "m"], "left")
+        .join(shp.withColumnRenamed("q", "sq"), ["p_brand", "m"], "left")
+        .select(
+            "p_brand", "m",
+            F.coalesce("oq", zero).alias("oq"),
+            F.coalesce("sq", zero).alias("sq"),
+        )
+    )
+    mom = grid.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("oq").cast("decimal(28,2)").alias("so"),
+        F.sum(F.col("oq") * F.col("oq")).cast("decimal(38,4)").alias("so2"),
+        F.sum("sq").cast("decimal(28,2)").alias("ss"),
+        F.sum(F.col("sq") * F.col("sq")).cast("decimal(38,4)").alias("ss2"),
+    )
+    n = F.col("n")
+    so, so2 = F.col("so").cast("double"), F.col("so2").cast("double")
+    ss, ss2 = F.col("ss").cast("double"), F.col("ss2").cast("double")
+    ocv2 = ((so2 - so * so / n) / (n - 1)) / ((so / n) * (so / n))
+    scv2 = ((ss2 - ss * ss / n) / (n - 1)) / ((ss / n) * (ss / n))
+    return mom.select(
+        "p_brand",
+        n.cast("bigint").alias("n_months"),
+        F.round(so / n, 4).alias("order_mean"),
+        F.round(ss / n, 4).alias("ship_mean"),
+        F.round(ocv2, 6).alias("order_cv2"),
+        F.round(scv2, 6).alias("ship_cv2"),
+        F.round(scv2 / ocv2, 6).alias("bullwhip"),
+    ).orderBy("p_brand")
+
+
+# -- q_output_file_planner ---------------------------------------------
+#
+# Writer planning table: per ship-year, the EXACT serialized-size
+# estimate of the lineitem slice under a documented width model
+# (8 B per BIGINT/DOUBLE, 4 B per INT/DATE-ish, octet_length + 4 per
+# string) and the derived write plan — how many 128 MiB output files,
+# rows per file, and the maxRecordsPerFile knob value. All integer
+# arithmetic end to end (BIGINT byte sums, ceil via (x+M-1) DIV M), so
+# the plan is bit-identical on both engines. The query-shaped twin of
+# the §2.H writer knobs / compaction capabilities: the numbers a real
+# pipeline would feed into sources/io.py's writer options. Scale: one
+# scan, map-side partial agg to |years| rows.
+
+FILEPLAN_SQL = """
+WITH w AS (
+  SELECT CAST(strftime(CAST(l_shipdate AS DATE), '%Y') AS BIGINT) AS yr,
+         CAST(8 * 4 + 4 + 8 * 4 + 8
+              + strlen(l_returnflag) + 4
+              + strlen(l_linestatus) + 4 AS BIGINT) AS bytes
+  FROM lineitem
+), agg AS (
+  SELECT yr, COUNT(*) AS rows_, SUM(bytes) AS total_bytes
+  FROM w GROUP BY 1
+)
+SELECT yr AS ship_year,
+       CAST(rows_ AS BIGINT) AS n_rows,
+       CAST(total_bytes AS BIGINT) AS est_bytes,
+       round(CAST(total_bytes AS DOUBLE) / rows_, 2) AS bytes_per_row,
+       CAST((total_bytes + 134217727) // 134217728 AS BIGINT)
+         AS files_128mb,
+       CAST((rows_ + (total_bytes + 134217727) // 134217728 - 1)
+            // ((total_bytes + 134217727) // 134217728) AS BIGINT)
+         AS rows_per_file
+FROM agg
+ORDER BY ship_year
+"""
+
+
+@query("q_output_file_planner", oracle=FILEPLAN_SQL)
+def q_output_file_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    bytes_ = (
+        F.lit(8 * 4 + 4 + 8 * 4 + 8)
+        + F.octet_length("l_returnflag") + 4
+        + F.octet_length("l_linestatus") + 4
+    ).cast("bigint")
+    agg = (
+        li.select(
+            F.year(F.col("l_shipdate").cast("date"))
+            .cast("bigint")
+            .alias("yr"),
+            bytes_.alias("bytes"),
+        )
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("rows_"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+    )
+    m = F.lit(134217728).cast("bigint")
+    files = F.expr("(total_bytes + 134217727) div 134217728")
+    return agg.select(
+        F.col("yr").alias("ship_year"),
+        F.col("rows_").cast("bigint").alias("n_rows"),
+        F.col("total_bytes").cast("bigint").alias("est_bytes"),
+        F.round(
+            F.col("total_bytes").cast("double") / F.col("rows_"), 2
+        ).alias("bytes_per_row"),
+        files.cast("bigint").alias("files_128mb"),
+        F.expr(
+            "(rows_ + (total_bytes + 134217727) div 134217728 - 1)"
+            " div ((total_bytes + 134217727) div 134217728)"
+        )
+        .cast("bigint")
+        .alias("rows_per_file"),
+    ).orderBy("ship_year")
