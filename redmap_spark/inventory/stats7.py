@@ -1323,3 +1323,192 @@ def q_output_file_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rows_per_file"),
     ).orderBy("ship_year")
+
+
+# -- mr_betweenness ----------------------------------------------------
+#
+# Sampled-source Brandes betweenness centrality on the customer ⋈
+# supplier bipartite graph (the same edge set as mr_bfs): from each
+# sampled source (suppliers with key % 50 = 0) a 3-level BFS computes
+# shortest-path counts sigma level by level (bipartite alternation
+# means the only de-dup needed is the source itself at level 2 and
+# level-1 customers at level 3), then the dependency accumulation
+# delta(v) = sum_w sigma(v)/sigma(w) * (1 + delta(w)) runs backward
+# over the SAME level tables; bc(v) = sum over sources of delta(v).
+# Every delta term is 9-rounded decimal before the exact per-node
+# fold, so the accumulation is order-independent and cross-engine
+# identical. Depth-3 truncation is the documented estimator (it is
+# exact for all pairs within 3 hops of a source) — the same fixed-
+# round contract as mr_bfs. Scale: each round is one join of the
+# frontier against the edge table; pair state is |sources| x |reached|.
+
+MRBETW_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), l0 AS (
+  SELECT DISTINCT src AS s, src AS node, CAST(1 AS BIGINT) AS sigma
+  FROM edges
+  WHERE src LIKE 's%' AND CAST(substr(src, 2) AS BIGINT) % 50 = 0
+), l1 AS (
+  SELECT l0.s, e.dst AS node, CAST(SUM(l0.sigma) AS BIGINT) AS sigma
+  FROM l0 JOIN edges e ON e.src = l0.node
+  GROUP BY 1, 2
+), l2 AS (
+  SELECT l1.s, e.dst AS node, CAST(SUM(l1.sigma) AS BIGINT) AS sigma
+  FROM l1 JOIN edges e ON e.src = l1.node
+  WHERE e.dst <> l1.s
+  GROUP BY 1, 2
+), l3 AS (
+  SELECT l2.s, e.dst AS node, CAST(SUM(l2.sigma) AS BIGINT) AS sigma
+  FROM l2 JOIN edges e ON e.src = l2.node
+  LEFT JOIN l1 seen ON seen.s = l2.s AND seen.node = e.dst
+  WHERE seen.node IS NULL
+  GROUP BY 1, 2
+), d2 AS (
+  SELECT l2.s, l2.node,
+         CAST(SUM(CAST(round(l2.sigma / CAST(w.sigma AS DOUBLE), 9)
+                       AS DECIMAL(20,9))) AS DECIMAL(28,9)) AS delta
+  FROM l2 JOIN edges e ON e.src = l2.node
+  JOIN l3 w ON w.s = l2.s AND w.node = e.dst
+  GROUP BY 1, 2
+), d1 AS (
+  SELECT l1.s, l1.node,
+         CAST(SUM(CAST(round(l1.sigma / CAST(w.sigma AS DOUBLE)
+                             * (1 + CAST(COALESCE(d2.delta, 0) AS DOUBLE)),
+                             9) AS DECIMAL(20,9))) AS DECIMAL(28,9)) AS delta
+  FROM l1 JOIN edges e ON e.src = l1.node
+  JOIN l2 w ON w.s = l1.s AND w.node = e.dst
+  LEFT JOIN d2 ON d2.s = w.s AND d2.node = w.node
+  GROUP BY 1, 2
+), alldelta AS (
+  SELECT s, node, delta FROM d1
+  UNION ALL SELECT s, node, delta FROM d2
+), bc AS (
+  SELECT node, CAST(SUM(delta) AS DECIMAL(38,9)) AS bc,
+         COUNT(*) AS n_sources
+  FROM alldelta GROUP BY 1
+), ranked AS (
+  SELECT node, bc, n_sources,
+         ROW_NUMBER() OVER (ORDER BY bc DESC, node) AS rk
+  FROM bc
+)
+SELECT CAST(rk AS BIGINT) AS rk, node,
+       round(CAST(bc AS DOUBLE), 6) AS betweenness,
+       CAST(n_sources AS BIGINT) AS n_sources
+FROM ranked WHERE rk <= 15
+ORDER BY rk
+"""
+
+
+@query("mr_betweenness", oracle=MRBETW_SQL)
+def mr_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    e0 = (
+        c.orders.join(
+            c.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    l0 = (
+        edges.filter(
+            F.col("src").startswith("s")
+            & (F.expr("CAST(substr(src, 2) AS BIGINT)") % 50 == 0)
+        )
+        .select(F.col("src").alias("s"), F.col("src").alias("node"))
+        .distinct()
+        .withColumn("sigma", F.lit(1).cast("bigint"))
+        .localCheckpoint()
+    )
+
+    def expand(level: DataFrame) -> DataFrame:
+        lv, e = level.alias("lv"), edges.alias("e")
+        return (
+            lv.join(e, F.col("lv.node") == F.col("e.src"))
+            .groupBy(F.col("lv.s").alias("s"), F.col("e.dst").alias("node"))
+            .agg(F.sum(F.col("lv.sigma")).cast("bigint").alias("sigma"))
+        )
+
+    l1 = expand(l0).localCheckpoint()
+    l2 = (
+        l0.select(F.col("s").alias("s0"))
+        .distinct()
+        .join(expand(l1), F.col("s0") == F.col("s"))
+        .filter(F.col("node") != F.col("s0"))
+        .select("s", "node", "sigma")
+        .localCheckpoint()
+    )
+    l3 = (
+        expand(l2)
+        .join(
+            l1.select(F.col("s").alias("s_"), F.col("node").alias("node_")),
+            (F.col("s") == F.col("s_")) & (F.col("node") == F.col("node_")),
+            "left_anti",
+        )
+        .localCheckpoint()
+    )
+
+    def accumulate(level: DataFrame, nxt: DataFrame) -> DataFrame:
+        v = level.alias("v")
+        w = nxt.alias("w")
+        joined = (
+            v.join(edges.alias("e"), F.col("v.node") == F.col("e.src"))
+            .join(
+                w,
+                (F.col("w.s") == F.col("v.s"))
+                & (F.col("w.node") == F.col("e.dst")),
+            )
+        )
+        term = F.round(
+            F.col("v.sigma") / F.col("w.sigma").cast("double")
+            * (
+                1
+                + F.coalesce(F.col("w.delta"), F.lit(0)).cast("double")
+            ),
+            9,
+        ).cast("decimal(20,9)")
+        return joined.groupBy(
+            F.col("v.s").alias("s"), F.col("v.node").alias("node")
+        ).agg(F.sum(term).cast("decimal(28,9)").alias("delta"))
+
+    d2 = accumulate(
+        l2, l3.withColumn("delta", F.lit(None).cast("decimal(28,9)"))
+    ).localCheckpoint()
+    l2d = l2.join(d2.select("s", "node", "delta"), ["s", "node"], "left")
+    d1 = accumulate(l1, l2d)
+    alldelta = d1.select("s", "node", "delta").union(
+        d2.select("s", "node", "delta")
+    )
+    bc = alldelta.groupBy("node").agg(
+        F.sum("delta").cast("decimal(38,9)").alias("bc"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    ranked = bc.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("bc").desc(), "node"))
+        .alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 15)
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "node",
+            F.round(F.col("bc").cast("double"), 6).alias("betweenness"),
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+        )
+        .orderBy("rk")
+    )
