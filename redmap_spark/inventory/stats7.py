@@ -1512,3 +1512,350 @@ def mr_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# -- q_chain_ladder ----------------------------------------------------
+#
+# Chain-ladder reserving on the order->ship development triangle:
+# origin = order month, development age = months from order month to
+# ship month, "claims" = shipped revenue. Cumulative triangle C(i,j)
+# from one fact scan + a dev-ordered window cumsum; volume-weighted
+# development factors f_j = sum_i C(i,j+1) / sum_i C(i,j) over origins
+# old enough to have observed age j+1; each origin's ultimate =
+# latest diagonal value * prod of remaining factors (product via an
+# exact-decimal fold of 12-rounded ln f). The actuarial IBNR estimate
+# ("how much revenue is still to ship for each order cohort"), exact
+# decimal triangle end to end. Scale: triangle is |origins| x |ages|.
+
+CHAINLADDER_SQL = """
+WITH f AS (
+  SELECT (CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS BIGINT) * 12
+          + CAST(strftime(CAST(o_orderdate AS DATE), '%m') AS BIGINT)) AS om,
+         (CAST(strftime(CAST(l_shipdate AS DATE), '%Y') AS BIGINT) * 12
+          + CAST(strftime(CAST(l_shipdate AS DATE), '%m') AS BIGINT)) AS sm,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), mx AS (SELECT MAX(sm) AS maxm FROM f),
+inc AS (
+  SELECT om, sm - om AS dev, CAST(SUM(rev) AS DECIMAL(24,2)) AS rev
+  FROM f GROUP BY 1, 2
+), cum AS (
+  SELECT om, dev,
+         CAST(SUM(rev) OVER (PARTITION BY om ORDER BY dev)
+              AS DECIMAL(28,2)) AS c
+  FROM inc
+), fac AS (
+  SELECT a.dev AS j,
+         round(CAST(SUM(b.c) AS DOUBLE) / CAST(SUM(a.c) AS DOUBLE), 9)
+           AS fj
+  FROM cum a
+  JOIN cum b ON b.om = a.om AND b.dev = a.dev + 1
+  CROSS JOIN mx
+  WHERE a.om + a.dev + 1 <= maxm
+  GROUP BY 1
+), latest AS (
+  SELECT om, MAX(dev) AS ldev FROM cum GROUP BY 1
+), diag AS (
+  SELECT cum.om, cum.dev AS ldev, cum.c
+  FROM cum JOIN latest ON latest.om = cum.om AND latest.ldev = cum.dev
+), fullfac AS (
+  SELECT d.om,
+         CAST(COALESCE(SUM(CAST(round(ln(fac.fj), 12)
+                                AS DECIMAL(20,12))), 0)
+              AS DOUBLE) AS lnprod
+  FROM diag d
+  LEFT JOIN fac ON fac.j >= d.ldev
+  GROUP BY 1
+)
+SELECT d.om AS origin_month,
+       CAST(d.ldev AS BIGINT) AS latest_dev,
+       CAST(d.c AS DOUBLE) AS latest_cum,
+       round(CAST(d.c AS DOUBLE) * exp(ff.lnprod), 2) AS ultimate,
+       round(CAST(d.c AS DOUBLE) * exp(ff.lnprod)
+             - CAST(d.c AS DOUBLE), 2) AS reserve
+FROM diag d JOIN fullfac ff ON ff.om = d.om
+ORDER BY origin_month
+"""
+
+
+@query("q_chain_ladder", oracle=CHAINLADDER_SQL)
+def q_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    midx = lambda col: (  # noqa: E731
+        F.year(F.col(col).cast("date")).cast("bigint") * 12
+        + F.month(F.col(col).cast("date")).cast("bigint")
+    )
+    f = (
+        c.lineitem.join(
+            c.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            midx("o_orderdate").alias("om"),
+            midx("l_shipdate").alias("sm"),
+            dec("l_extendedprice").alias("rev"),
+        )
+    )
+    mx = f.agg(F.max("sm").alias("maxm"))
+    inc = f.groupBy(
+        "om", (F.col("sm") - F.col("om")).alias("dev")
+    ).agg(F.sum("rev").cast("decimal(24,2)").alias("rev"))
+    cum = inc.select(
+        "om", "dev",
+        F.sum("rev")
+        .over(Window.partitionBy("om").orderBy("dev"))
+        .cast("decimal(28,2)")
+        .alias("c"),
+    ).localCheckpoint()
+    a, b = cum.alias("a"), cum.alias("b")
+    fac = (
+        a.join(
+            b,
+            (F.col("b.om") == F.col("a.om"))
+            & (F.col("b.dev") == F.col("a.dev") + 1),
+        )
+        .join(F.broadcast(mx))
+        .filter(F.col("a.om") + F.col("a.dev") + 1 <= F.col("maxm"))
+        .groupBy(F.col("a.dev").alias("j"))
+        .agg(
+            F.round(
+                F.sum(F.col("b.c")).cast("double")
+                / F.sum(F.col("a.c")).cast("double"),
+                9,
+            ).alias("fj")
+        )
+    )
+    latest = cum.groupBy("om").agg(F.max("dev").alias("ldev"))
+    c1, l1 = cum.alias("c1"), latest.alias("l1")
+    diag = (
+        c1.join(
+            l1,
+            (F.col("c1.om") == F.col("l1.om"))
+            & (F.col("c1.dev") == F.col("l1.ldev")),
+        )
+        .select(F.col("c1.om").alias("om"), F.col("l1.ldev").alias("ldev"),
+                F.col("c1.c").alias("c"))
+        .localCheckpoint()
+    )
+    fullfac = (
+        diag.join(F.broadcast(fac), F.col("j") >= F.col("ldev"), "left")
+        .groupBy("om")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.round(F.log("fj"), 12).cast("decimal(20,12)")
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("lnprod")
+        )
+    )
+    d = diag.alias("d")
+    cd = F.col("d.c").cast("double")
+    return (
+        d.join(fullfac.alias("ff"), F.col("ff.om") == F.col("d.om"))
+        .select(
+            F.col("d.om").alias("origin_month"),
+            F.col("d.ldev").cast("bigint").alias("latest_dev"),
+            cd.alias("latest_cum"),
+            F.round(cd * F.exp(F.col("lnprod")), 2).alias("ultimate"),
+            F.round(cd * F.exp(F.col("lnprod")) - cd, 2).alias("reserve"),
+        )
+        .orderBy("origin_month")
+    )
+
+
+# -- q_gpd_tail --------------------------------------------------------
+#
+# Peaks-over-threshold generalized-Pareto tail fit per market segment:
+# threshold u = the exact empirical p95 of order totals (rank-selected,
+# not interpolated — deterministic), excesses y = price - u as exact
+# DECIMAL, GPD method-of-moments xi = (1 - m^2/s^2)/2 and
+# beta = m(m^2/s^2 + 1)/2, and the implied p99.9 POT quantile
+# u + beta/xi * ((N/n_u * (1-p))^(-xi) - 1). The shape/scale view of
+# the tail that q_hill_tail_index's log-rank slope summarizes with one
+# number. All moments are exact decimal sums; one double finale.
+
+GPD_SQL = """
+WITH o AS (
+  SELECT c_mktsegment AS seg, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), rk AS (
+  SELECT seg, p,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY p, seg) AS r,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM o
+), thr AS (
+  SELECT seg, MAX(n) AS n,
+         MAX(CASE WHEN r = CAST(ceil(0.95 * n) AS BIGINT) THEN p END) AS u
+  FROM rk GROUP BY seg
+), ex AS (
+  SELECT o.seg, thr.n, thr.u, o.p - thr.u AS y
+  FROM o JOIN thr ON thr.seg = o.seg
+  WHERE o.p > thr.u
+), mom AS (
+  SELECT seg, MAX(n) AS n, MAX(u) AS u, COUNT(*) AS nu,
+         CAST(SUM(CAST(y AS DECIMAL(19,2))) AS DECIMAL(28,2)) AS sy,
+         CAST(SUM(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2)))
+              AS DECIMAL(38,4)) AS sy2
+  FROM ex GROUP BY seg
+), fit AS (
+  SELECT seg, n, nu, CAST(u AS DOUBLE) AS u,
+         CAST(sy AS DOUBLE) / nu AS m,
+         (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / nu)
+           / (nu - 1) AS s2
+  FROM mom
+)
+SELECT seg,
+       round(u, 2) AS threshold,
+       CAST(nu AS BIGINT) AS n_exceed,
+       round(0.5 * (1 - m * m / s2), 6) AS xi,
+       round(0.5 * m * (m * m / s2 + 1), 6) AS beta,
+       round(u + (0.5 * m * (m * m / s2 + 1))
+                 / (0.5 * (1 - m * m / s2))
+                 * (pow(CAST(n AS DOUBLE) / nu * 0.001,
+                        -(0.5 * (1 - m * m / s2))) - 1), 2) AS q999
+FROM fit
+ORDER BY seg
+"""
+
+
+@query("q_gpd_tail", oracle=GPD_SQL)
+def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"), dec("o_totalprice").alias("p")
+    )
+    wseg = Window.partitionBy("seg")
+    rk = o.select(
+        "seg", "p",
+        F.row_number().over(wseg.orderBy("p", "seg")).alias("r"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+    thr = rk.groupBy("seg").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(
+                F.col("r") == F.ceil(0.95 * F.col("n")).cast("bigint"),
+                F.col("p"),
+            )
+        ).alias("u"),
+    )
+    ex = (
+        o.join(F.broadcast(thr), "seg")
+        .filter(F.col("p") > F.col("u"))
+        .select(
+            "seg", "n", "u", (F.col("p") - F.col("u")).alias("y")
+        )
+    )
+    y19 = F.col("y").cast("decimal(19,2)")
+    mom = ex.groupBy("seg").agg(
+        F.max("n").alias("n"),
+        F.max("u").alias("u"),
+        F.count(F.lit(1)).alias("nu"),
+        F.sum(y19).cast("decimal(28,2)").alias("sy"),
+        F.sum(y19 * y19).cast("decimal(38,4)").alias("sy2"),
+    )
+    nu, n = F.col("nu"), F.col("n")
+    u = F.col("u").cast("double")
+    m = F.col("sy").cast("double") / nu
+    s2 = (
+        F.col("sy2").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / nu
+    ) / (nu - 1)
+    xi = 0.5 * (1 - m * m / s2)
+    beta = 0.5 * m * (m * m / s2 + 1)
+    return mom.select(
+        "seg",
+        F.round(u, 2).alias("threshold"),
+        nu.cast("bigint").alias("n_exceed"),
+        F.round(xi, 6).alias("xi"),
+        F.round(beta, 6).alias("beta"),
+        F.round(
+            u
+            + beta / xi * (F.pow(n.cast("double") / nu * 0.001, -xi) - 1),
+            2,
+        ).alias("q999"),
+    ).orderBy("seg")
+
+
+# -- q_lorenz_asymmetry ------------------------------------------------
+#
+# Lorenz asymmetry coefficient S = F(mu) + L(mu) per market segment on
+# per-customer spend: F(mu) = share of customers at-or-below the mean,
+# L(mu) = share of total spend they hold. S < 1 means inequality is
+# driven by many small customers, S > 1 by a few whales — the SHAPE
+# diagnostic that q_gini's single area number cannot distinguish
+# (Damgaard & Weiner 2000). Spend is an exact per-customer decimal
+# fold; the mean is one double; the below-mean partition compares
+# exact decimals to it identically on both engines. Scale: fact scan
+# -> |customers| grid -> |segments| rows.
+
+LORENZ_ASYM_SQL = """
+WITH spend AS (
+  SELECT c_mktsegment AS seg, o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2))
+           AS s
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), mu AS (
+  SELECT seg, COUNT(*) AS n,
+         CAST(SUM(s) AS DECIMAL(30,2)) AS tot,
+         CAST(SUM(s) AS DOUBLE) / COUNT(*) AS m
+  FROM spend GROUP BY 1
+)
+SELECT spend.seg,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       round(SUM(CASE WHEN CAST(s AS DOUBLE) <= m THEN 1 ELSE 0 END)
+             / CAST(MAX(n) AS DOUBLE), 6) AS f_mu,
+       round(CAST(SUM(CASE WHEN CAST(s AS DOUBLE) <= m THEN s
+                           ELSE CAST(0 AS DECIMAL(24,2)) END) AS DOUBLE)
+             / CAST(MAX(tot) AS DOUBLE), 6) AS l_mu,
+       round(SUM(CASE WHEN CAST(s AS DOUBLE) <= m THEN 1 ELSE 0 END)
+             / CAST(MAX(n) AS DOUBLE)
+             + CAST(SUM(CASE WHEN CAST(s AS DOUBLE) <= m THEN s
+                             ELSE CAST(0 AS DECIMAL(24,2)) END) AS DOUBLE)
+               / CAST(MAX(tot) AS DOUBLE), 6) AS lorenz_s
+FROM spend JOIN mu ON mu.seg = spend.seg
+GROUP BY spend.seg
+ORDER BY spend.seg
+"""
+
+
+@query("q_lorenz_asymmetry", oracle=LORENZ_ASYM_SQL)
+def q_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    spend = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("s"))
+    )
+    mu = spend.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").cast("decimal(30,2)").alias("tot"),
+        (F.sum("s").cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    below = F.col("s").cast("double") <= F.col("m")
+    zero = F.lit(0).cast("decimal(24,2)")
+    j = spend.join(F.broadcast(mu), "seg")
+    f_mu = F.sum(F.when(below, 1).otherwise(0)) / F.max("n").cast("double")
+    l_mu = F.sum(F.when(below, F.col("s")).otherwise(zero)).cast(
+        "double"
+    ) / F.max("tot").cast("double")
+    return (
+        j.groupBy("seg")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.round(f_mu, 6).alias("f_mu"),
+            F.round(l_mu, 6).alias("l_mu"),
+            F.round(f_mu + l_mu, 6).alias("lorenz_s"),
+        )
+        .orderBy("seg")
+    )
