@@ -155,7 +155,8 @@ _WINDOW_FIRST = [
     "q_session_gap_sweep", "q_cox_onestep", "q_circular_stats",
     "q_transfer_entropy", "q_dissimilarity_index", "q_bullwhip",
     "q_output_file_planner", "mr_betweenness", "q_chain_ladder",
-    "q_gpd_tail", "q_lorenz_asymmetry",
+    "q_gpd_tail", "q_lorenz_asymmetry", "q_energy_distance",
+    "q_threshold_opt",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -1859,3 +1859,331 @@ def q_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# -- q_energy_distance -------------------------------------------------
+#
+# Szekely energy-distance two-sample test between AUTOMOBILE and
+# BUILDING per-customer spend — the E-statistic D^2 = 2E|X-Y| -
+# E|X-X'| - E|Y-Y'| that detects ANY distributional difference (not
+# just location like Mann-Whitney, nor max-gap like KS). The naive
+# form is O(n*m) pairwise; here each double sum collapses to EXACT
+# rank prefix algebra on the sorted pooled sample: within-sample
+# sum|xi-xj| = 2*sum_k x_(k)*(2k-n-1), and cross-sample sum|xi-yj| =
+# sum_i [x_i*(2c_i - m) + S_y - 2P_i] with c_i/P_i the cumulative
+# count/sum of y-values <= x_i off ONE pooled window pass (y sorts
+# before x at ties; tied pairs contribute 0 either way). Everything
+# is decimal * integer-rank — exact until the three final divisions.
+# T = nm/(n+m) * D^2 is the test statistic. Scale: fact scan ->
+# |customers| grid -> pooled-grid windows.
+
+ENERGY_SQL = """
+WITH spend AS (
+  SELECT c_mktsegment AS seg, o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2))
+           AS s
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+  GROUP BY 1, 2
+), xs AS (
+  SELECT s, CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END AS is_x,
+         o_custkey AS k
+  FROM spend
+), nn AS (
+  SELECT SUM(is_x) AS n, SUM(1 - is_x) AS m,
+         CAST(SUM(CASE WHEN is_x = 0 THEN s
+                       ELSE CAST(0 AS DECIMAL(24,2)) END)
+              AS DECIMAL(30,2)) AS sy
+  FROM xs
+), w2 AS (
+  SELECT is_x,
+         s * CAST(2 * ROW_NUMBER() OVER (PARTITION BY is_x ORDER BY s, k)
+                  - COUNT(*) OVER (PARTITION BY is_x) - 1 AS BIGINT) AS t
+  FROM xs
+), wsum AS (
+  SELECT CAST(SUM(CASE WHEN is_x = 1 THEN t END) AS DECIMAL(38,2)) AS sxx2,
+         CAST(SUM(CASE WHEN is_x = 0 THEN t END) AS DECIMAL(38,2)) AS syy2
+  FROM w2
+), pooled AS (
+  SELECT s, is_x,
+         COALESCE(CAST(SUM(CASE WHEN is_x = 0 THEN 1 END) OVER
+             (ORDER BY s, is_x, k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT), 0) AS cy,
+         COALESCE(CAST(SUM(CASE WHEN is_x = 0 THEN s END) OVER
+             (ORDER BY s, is_x, k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DECIMAL(30,2)), CAST(0 AS DECIMAL(30,2))) AS py
+  FROM xs
+), xonly AS (
+  SELECT CAST(SUM(s * CAST(2 * cy AS BIGINT)) AS DECIMAL(38,2)) AS s2cy,
+         CAST(SUM(s) AS DECIMAL(38,2)) AS sx,
+         CAST(SUM(CAST(2 AS BIGINT) * py) AS DECIMAL(38,2)) AS s2py
+  FROM pooled WHERE is_x = 1
+), fin AS (
+  SELECT n, m,
+         CAST(s2cy AS DOUBLE) - CAST(sx AS DOUBLE) * m
+           + n * CAST(sy AS DOUBLE) - CAST(s2py AS DOUBLE) AS sxy,
+         CAST(sxx2 AS DOUBLE) AS sxx2, CAST(syy2 AS DOUBLE) AS syy2
+  FROM xonly CROSS JOIN nn CROSS JOIN wsum
+)
+SELECT CAST(n AS BIGINT) AS n_x, CAST(m AS BIGINT) AS n_y,
+       round(sxy / (n * CAST(m AS DOUBLE)), 4) AS e_xy,
+       round(sxx2 / (n * CAST(n AS DOUBLE)), 4) AS e_xx,
+       round(syy2 / (m * CAST(m AS DOUBLE)), 4) AS e_yy,
+       round(2 * sxy / (n * CAST(m AS DOUBLE))
+             - sxx2 / (n * CAST(n AS DOUBLE))
+             - syy2 / (m * CAST(m AS DOUBLE)), 4) AS energy_d2,
+       round((n * CAST(m AS DOUBLE) / (n + m))
+             * (2 * sxy / (n * CAST(m AS DOUBLE))
+                - sxx2 / (n * CAST(n AS DOUBLE))
+                - syy2 / (m * CAST(m AS DOUBLE))), 4) AS t_stat
+FROM fin
+"""
+
+
+@query("q_energy_distance", oracle=ENERGY_SQL)
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    spend = (
+        cat.orders.join(
+            F.broadcast(
+                cat.customer.filter(
+                    F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+                ).select("c_custkey", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("s"))
+    )
+    xs = spend.select(
+        "s",
+        F.when(F.col("seg") == "AUTOMOBILE", 1).otherwise(0).alias("is_x"),
+        F.col("o_custkey").alias("k"),
+    ).localCheckpoint()
+    zero2 = F.lit(0).cast("decimal(24,2)")
+    nn = xs.agg(
+        F.sum("is_x").alias("n"),
+        F.sum(1 - F.col("is_x")).alias("m"),
+        F.sum(F.when(F.col("is_x") == 0, F.col("s")).otherwise(zero2))
+        .cast("decimal(30,2)")
+        .alias("sy"),
+    )
+    ww = Window.partitionBy("is_x")
+    t = F.col("s") * (
+        2 * F.row_number().over(ww.orderBy("s", "k"))
+        - F.count(F.lit(1)).over(ww)
+        - 1
+    ).cast("bigint")
+    w2 = xs.select("is_x", t.alias("t"))
+    wsum = w2.agg(
+        F.sum(F.when(F.col("is_x") == 1, F.col("t")))
+        .cast("decimal(38,2)")
+        .alias("sxx2"),
+        F.sum(F.when(F.col("is_x") == 0, F.col("t")))
+        .cast("decimal(38,2)")
+        .alias("syy2"),
+    )
+    wp = Window.orderBy("s", "is_x", "k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pooled = xs.select(
+        "s", "is_x",
+        F.coalesce(
+            F.sum(F.when(F.col("is_x") == 0, 1)).over(wp).cast("bigint"),
+            F.lit(0),
+        ).alias("cy"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_x") == 0, F.col("s")))
+            .over(wp)
+            .cast("decimal(30,2)"),
+            F.lit(0).cast("decimal(30,2)"),
+        ).alias("py"),
+    )
+    xonly = pooled.filter(F.col("is_x") == 1).agg(
+        F.sum(F.col("s") * (2 * F.col("cy")).cast("bigint"))
+        .cast("decimal(38,2)")
+        .alias("s2cy"),
+        F.sum("s").cast("decimal(38,2)").alias("sx"),
+        F.sum(F.lit(2).cast("bigint") * F.col("py"))
+        .cast("decimal(38,2)")
+        .alias("s2py"),
+    )
+    n, m = F.col("n"), F.col("m")
+    j = xonly.join(F.broadcast(nn)).join(F.broadcast(wsum))
+    sxy = (
+        F.col("s2cy").cast("double")
+        - F.col("sx").cast("double") * m
+        + n * F.col("sy").cast("double")
+        - F.col("s2py").cast("double")
+    )
+    e_xy = sxy / (n * m.cast("double"))
+    e_xx = F.col("sxx2").cast("double") / (n * n.cast("double"))
+    e_yy = F.col("syy2").cast("double") / (m * m.cast("double"))
+    d2 = 2 * e_xy - e_xx - e_yy
+    return j.select(
+        n.cast("bigint").alias("n_x"),
+        m.cast("bigint").alias("n_y"),
+        F.round(e_xy, 4).alias("e_xy"),
+        F.round(e_xx, 4).alias("e_xx"),
+        F.round(e_yy, 4).alias("e_yy"),
+        F.round(d2, 4).alias("energy_d2"),
+        F.round((n * m.cast("double") / (n + m)) * d2, 4).alias("t_stat"),
+    )
+
+
+# -- q_threshold_opt ---------------------------------------------------
+#
+# Decision-threshold optimization for the q_auc_roc / q_calibration_ece
+# propensity model: for every distinct score on the eval half, the
+# confusion counts of "predict purchase iff score >= t" come from ONE
+# descending suffix-sum window over the <=10-row score grid, and the
+# table reports TPR/FPR/precision/F1/Youden-J per threshold with
+# deterministic argmax flags (metric desc, threshold desc). AUC says
+# the model ranks; this picks the operating point. Counts are exact
+# BIGINTs; the ratio block is the only double chain, 6-rounded.
+
+THRESH_SPLIT = "2024-01-16"
+
+THRESH_SQL = f"""
+WITH ev AS (
+  SELECT LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS vbin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN CAST(ts AS DATE) < DATE '{THRESH_SPLIT}' THEN 1 ELSE 0
+           END AS is_train
+  FROM events WHERE value IS NOT NULL
+), model AS (
+  SELECT vbin,
+         CAST(round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(8,6))
+           AS score
+  FROM ev WHERE is_train = 1 GROUP BY 1
+), scored AS (
+  SELECT m.score, e.y FROM ev e JOIN model m ON m.vbin = e.vbin
+  WHERE e.is_train = 0
+), g AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS p,
+         CAST(SUM(cnt - pos) AS BIGINT) AS nneg
+  FROM g
+), sfx AS (
+  SELECT score,
+         CAST(SUM(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+         CAST(SUM(cnt - pos) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+  FROM g
+), m2 AS (
+  SELECT CAST(score AS DOUBLE) AS threshold, tp, fp,
+         p - tp AS fn, nneg - fp AS tn,
+         tp / CAST(p AS DOUBLE) AS tpr,
+         fp / CAST(nneg AS DOUBLE) AS fpr,
+         CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) END
+           AS prec,
+         CASE WHEN 2 * tp + fp + p - tp > 0
+              THEN 2 * tp / CAST(2 * tp + fp + (p - tp) AS DOUBLE) END
+           AS f1,
+         tp / CAST(p AS DOUBLE) - fp / CAST(nneg AS DOUBLE) AS j
+  FROM sfx CROSS JOIN tot
+), flagged AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY round(j, 6) DESC, threshold DESC)
+           AS rj,
+         ROW_NUMBER() OVER (ORDER BY round(COALESCE(f1, -1), 6) DESC,
+                            threshold DESC) AS rf
+  FROM m2
+)
+SELECT round(threshold, 6) AS threshold, tp, fp, fn, tn,
+       round(tpr, 6) AS tpr, round(fpr, 6) AS fpr,
+       round(prec, 6) AS precision_, round(f1, 6) AS f1,
+       round(j, 6) AS youden_j,
+       CAST(CASE WHEN rj = 1 THEN 1 ELSE 0 END AS BIGINT) AS best_j,
+       CAST(CASE WHEN rf = 1 THEN 1 ELSE 0 END AS BIGINT) AS best_f1
+FROM flagged
+ORDER BY threshold
+"""
+
+
+@query("q_threshold_opt", oracle=THRESH_SQL)
+def q_threshold_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ev = e.filter(F.col("value").isNotNull()).select(
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9)
+        ).alias("vbin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (F.to_date("ts") < F.lit(THRESH_SPLIT)).cast("int").alias("is_train"),
+    )
+    model = (
+        ev.filter(F.col("is_train") == 1)
+        .groupBy("vbin")
+        .agg(
+            F.round(F.sum("y") / F.count(F.lit(1)).cast("double"), 6)
+            .cast("decimal(8,6)")
+            .alias("score")
+        )
+    )
+    scored = (
+        ev.filter(F.col("is_train") == 0)
+        .join(F.broadcast(model), "vbin")
+        .select("score", "y")
+    )
+    g = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = g.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("nneg"),
+    )
+    wd = Window.orderBy(F.col("score").desc())
+    sfx = g.select(
+        "score",
+        F.sum("pos").over(wd).cast("bigint").alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(wd).cast("bigint")
+        .alias("fp"),
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    p, nneg = F.col("p"), F.col("nneg")
+    m2 = sfx.join(F.broadcast(tot)).select(
+        F.col("score").cast("double").alias("threshold"),
+        tp, fp,
+        (p - tp).alias("fn"),
+        (nneg - fp).alias("tn"),
+        (tp / p.cast("double")).alias("tpr"),
+        (fp / nneg.cast("double")).alias("fpr"),
+        F.when(tp + fp > 0, tp / (tp + fp).cast("double")).alias("prec"),
+        F.when(
+            2 * tp + fp + (p - tp) > 0,
+            2 * tp / (2 * tp + fp + (p - tp)).cast("double"),
+        ).alias("f1"),
+        (tp / p.cast("double") - fp / nneg.cast("double")).alias("j"),
+    )
+    flagged = m2.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.round("j", 6).desc(), F.col("threshold").desc()))
+        .alias("rj"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(F.coalesce("f1", F.lit(-1.0)), 6).desc(),
+                F.col("threshold").desc(),
+            )
+        )
+        .alias("rf"),
+    )
+    return flagged.select(
+        F.round("threshold", 6).alias("threshold"),
+        "tp", "fp", "fn", "tn",
+        F.round("tpr", 6).alias("tpr"),
+        F.round("fpr", 6).alias("fpr"),
+        F.round("prec", 6).alias("precision_"),
+        F.round("f1", 6).alias("f1"),
+        F.round("j", 6).alias("youden_j"),
+        F.when(F.col("rj") == 1, 1).otherwise(0).cast("bigint")
+        .alias("best_j"),
+        F.when(F.col("rf") == 1, 1).otherwise(0).cast("bigint")
+        .alias("best_f1"),
+    ).orderBy("threshold")
