@@ -2187,3 +2187,270 @@ def q_threshold_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("rf") == 1, 1).otherwise(0).cast("bigint")
         .alias("best_f1"),
     ).orderBy("threshold")
+
+
+# -- q_p_chart ---------------------------------------------------------
+#
+# Attribute control chart (p-chart) for the monthly return-rate of
+# shipped lines: centerline p-bar = total returns / total lines, and
+# per-month 3-sigma limits p-bar +- 3*sqrt(p-bar(1-p-bar)/n_i) that
+# WIDEN for thin months (the varying-n limits that make a p-chart a
+# p-chart, vs q_xmr_chart's fixed individuals limits). Counts are
+# exact BIGINTs off one scan; the limit algebra is one identical
+# double chain, 6-rounded; out-of-control flags compare the exact
+# monthly ratio to the rounded limits on both engines identically.
+
+P_CHART_SQL = """
+WITH m AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS mon,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(x) AS DOUBLE) / SUM(n) AS pbar FROM m
+)
+SELECT mon,
+       n AS n_lines, x AS n_returns,
+       round(x / CAST(n AS DOUBLE), 6) AS p,
+       round(pbar, 6) AS p_bar,
+       round(pbar + 3 * sqrt(pbar * (1 - pbar) / n), 6) AS ucl,
+       round(GREATEST(pbar - 3 * sqrt(pbar * (1 - pbar) / n), 0.0), 6)
+         AS lcl,
+       CAST(CASE WHEN x / CAST(n AS DOUBLE)
+                      > round(pbar + 3 * sqrt(pbar * (1 - pbar) / n), 6)
+                 OR x / CAST(n AS DOUBLE)
+                      < round(GREATEST(pbar - 3 * sqrt(pbar * (1 - pbar)
+                                       / n), 0.0), 6)
+            THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+FROM m CROSS JOIN tot
+ORDER BY mon
+"""
+
+
+@query("q_p_chart", oracle=P_CHART_SQL)
+def q_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    m = li.groupBy(
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")
+        .alias("mon")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    tot = m.agg(
+        (F.sum("x").cast("double") / F.sum("n")).alias("pbar")
+    )
+    n, x, pbar = F.col("n"), F.col("x"), F.col("pbar")
+    sig = 3 * F.sqrt(pbar * (1 - pbar) / n)
+    ucl = F.round(pbar + sig, 6)
+    lcl = F.round(F.greatest(pbar - sig, F.lit(0.0)), 6)
+    p = x / n.cast("double")
+    return (
+        m.join(F.broadcast(tot))
+        .select(
+            "mon",
+            n.alias("n_lines"),
+            x.alias("n_returns"),
+            F.round(p, 6).alias("p"),
+            F.round(pbar, 6).alias("p_bar"),
+            ucl.alias("ucl"),
+            lcl.alias("lcl"),
+            F.when((p > ucl) | (p < lcl), 1).otherwise(0).cast("bigint")
+            .alias("out_of_control"),
+        )
+        .orderBy("mon")
+    )
+
+
+# -- q_huber_m ---------------------------------------------------------
+#
+# One-step Huber M-estimator of location per event type (k = 1.345,
+# MAD scale): start at the median, clip residuals at +-k*1.4826*MAD,
+# and average the clipped sample — the 95%-efficient robust center
+# that q_winsorize's fixed-percentile trim approximates without a
+# breakdown guarantee. Median/MAD via the house interpolated-quantile
+# + round pattern (identical on both engines); each clipped value is
+# 8-rounded decimal so the mean's numerator folds exactly. Reports
+# the clipped-tail count as the contamination diagnostic. Scale: one
+# scan -> per-type quantiles -> one conditional aggregate.
+
+HUBER_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, round(quantile_cont(x, 0.5), 6) AS med
+  FROM v GROUP BY 1
+), d AS (
+  SELECT v.event_type, v.x, med.med, abs(v.x - med.med) AS dev
+  FROM v JOIN med ON v.event_type = med.event_type
+), s AS (
+  SELECT event_type, round(1.4826 * quantile_cont(dev, 0.5), 6) AS scale
+  FROM d GROUP BY 1
+), clip AS (
+  SELECT d.event_type, d.med, s.scale,
+         CAST(round(d.med + LEAST(GREATEST(d.x - d.med,
+                                           -1.345 * s.scale),
+                                  1.345 * s.scale), 8)
+              AS DECIMAL(18,8)) AS cx,
+         CASE WHEN abs(d.x - d.med) > 1.345 * s.scale THEN 1 ELSE 0 END
+           AS clipped
+  FROM d JOIN s ON d.event_type = s.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(med) AS median,
+       MAX(scale) AS scale,
+       round(CAST(SUM(cx) AS DOUBLE) / COUNT(*), 6) AS huber_mu,
+       CAST(SUM(clipped) AS BIGINT) AS n_clipped
+FROM clip
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_huber_m", oracle=HUBER_SQL)
+def q_huber_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    v = e.filter(F.col("value").isNotNull()).select(
+        "event_type", F.col("value").cast("double").alias("x")
+    )
+    med = v.groupBy("event_type").agg(
+        F.round(F.percentile("x", F.lit(0.5)), 6).alias("med")
+    )
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "x", "med",
+        F.abs(F.col("x") - F.col("med")).alias("dev"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.round(1.4826 * F.percentile("dev", F.lit(0.5)), 6).alias("scale")
+    )
+    k = 1.345
+    clip = d.join(F.broadcast(s), "event_type").select(
+        "event_type", "med", "scale",
+        F.round(
+            F.col("med")
+            + F.least(
+                F.greatest(
+                    F.col("x") - F.col("med"), -k * F.col("scale")
+                ),
+                k * F.col("scale"),
+            ),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("cx"),
+        F.when(
+            F.abs(F.col("x") - F.col("med")) > k * F.col("scale"), 1
+        )
+        .otherwise(0)
+        .alias("clipped"),
+    )
+    return (
+        clip.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("med").alias("median"),
+            F.max("scale").alias("scale"),
+            F.round(
+                F.sum("cx").cast("double") / F.count(F.lit(1)), 6
+            ).alias("huber_mu"),
+            F.sum("clipped").cast("bigint").alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- q_location_quotient -----------------------------------------------
+#
+# Regional-economics concentration table: location quotient
+# LQ(nation, segment) = local segment share / global segment share
+# (LQ > 1 = the nation over-indexes on that segment) plus the
+# per-nation Krugman specialization index K = sum_s |local share -
+# global share| (0 = mirror of the world, 2 = fully specialized).
+# Exact BIGINT counts from one scan; shares and LQ are identical
+# double chains, 12-rounded Krugman terms folded exactly. The
+# cell-level view that q_dissimilarity_index's global numbers
+# summarize.
+
+LQ_SQL = """
+WITH g AS (
+  SELECT n_name, c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS c
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), w AS (
+  SELECT n_name, seg, c,
+         SUM(c) OVER (PARTITION BY n_name) AS cn,
+         SUM(c) OVER (PARTITION BY seg) AS cs,
+         SUM(c) OVER () AS ct
+  FROM g
+), k AS (
+  SELECT n_name,
+         CAST(SUM(CAST(round(abs(c / CAST(cn AS DOUBLE)
+                                 - cs / CAST(ct AS DOUBLE)), 12)
+                       AS DECIMAL(16,12))) AS DOUBLE) AS krugman
+  FROM w GROUP BY 1
+)
+SELECT w.n_name, w.seg,
+       w.c AS n_customers,
+       round(w.c / CAST(w.cn AS DOUBLE), 6) AS local_share,
+       round(w.cs / CAST(w.ct AS DOUBLE), 6) AS global_share,
+       round((w.c / CAST(w.cn AS DOUBLE))
+             / (w.cs / CAST(w.ct AS DOUBLE)), 6) AS lq,
+       round(k.krugman, 6) AS krugman_nation
+FROM w JOIN k ON k.n_name = w.n_name
+ORDER BY w.n_name, w.seg
+"""
+
+
+@query("q_location_quotient", oracle=LQ_SQL)
+def q_location_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    g = (
+        cat.customer.join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = g.select(
+        "n_name", "seg", "c",
+        F.sum("c").over(Window.partitionBy("n_name")).alias("cn"),
+        F.sum("c").over(Window.partitionBy("seg")).alias("cs"),
+        F.sum("c").over(
+            Window.partitionBy().orderBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("ct"),
+    ).localCheckpoint()
+    c, cn, cs, ct = (F.col(x) for x in ["c", "cn", "cs", "ct"])
+    k = (
+        w.select(
+            "n_name",
+            F.round(
+                F.abs(c / cn.cast("double") - cs / ct.cast("double")), 12
+            )
+            .cast("decimal(16,12)")
+            .alias("t"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("t").cast("double").alias("krugman"))
+    )
+    return (
+        w.join(k, "n_name")
+        .select(
+            "n_name", "seg",
+            c.alias("n_customers"),
+            F.round(c / cn.cast("double"), 6).alias("local_share"),
+            F.round(cs / ct.cast("double"), 6).alias("global_share"),
+            F.round(
+                (c / cn.cast("double")) / (cs / ct.cast("double")), 6
+            ).alias("lq"),
+            F.round(F.col("krugman"), 6).alias("krugman_nation"),
+        )
+        .orderBy("n_name", "seg")
+    )
