@@ -2454,3 +2454,370 @@ def q_location_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "seg")
     )
+
+
+# -- q_slo_burn_rate ---------------------------------------------------
+#
+# SRE error-budget burn-rate table over the event stream: treating
+# value > 450 as a "bad" request against a 95% SLO (5% budget), each
+# day reports the trailing 1d / 7d / 28d bad-rate divided by the
+# budget — the multi-window, multi-burn-rate alert rule (Google SRE
+# workbook ch.5) where the fast window catches cliffs and the slow
+# window filters blips. Day grid is zero-filled from one calendar
+# sequence; window numerators/denominators are exact BIGINT sums
+# over ROWS frames; the burn ratios are the only doubles, 6-rounded.
+# Alert fires when BOTH the 1d and 7d burns exceed 2x. Scale: fact
+# scan partial-aggregates to |days|; windows run on the tiny grid.
+
+SLO_SQL = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+  FROM events
+), days AS (
+  SELECT UNNEST(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+), d0 AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         SUM(CASE WHEN value > 450 THEN 1 ELSE 0 END) AS bad
+  FROM events GROUP BY 1
+), grid AS (
+  SELECT days.day,
+         CAST(COALESCE(d0.n, 0) AS BIGINT) AS n,
+         CAST(COALESCE(d0.bad, 0) AS BIGINT) AS bad
+  FROM days LEFT JOIN d0 ON d0.day = days.day
+), w AS (
+  SELECT day, n, bad,
+         CAST(SUM(n) OVER (ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7,
+         CAST(SUM(bad) OVER (ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS b7,
+         CAST(SUM(n) OVER (ORDER BY day
+              ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT) AS n28,
+         CAST(SUM(bad) OVER (ORDER BY day
+              ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT) AS b28
+  FROM grid
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n AS n_events, bad AS n_bad,
+       round(CASE WHEN n > 0 THEN bad / (0.05 * n) END, 6) AS burn_1d,
+       round(CASE WHEN n7 > 0 THEN b7 / (0.05 * n7) END, 6) AS burn_7d,
+       round(CASE WHEN n28 > 0 THEN b28 / (0.05 * n28) END, 6)
+         AS burn_28d,
+       CAST(CASE WHEN n > 0 AND n7 > 0
+                  AND bad / (0.05 * n) > 2 AND b7 / (0.05 * n7) > 2
+            THEN 1 ELSE 0 END AS BIGINT) AS alert
+FROM w
+ORDER BY day
+"""
+
+
+@query("q_slo_burn_rate", oracle=SLO_SQL)
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    day = F.col("ts").cast("date")
+    bounds = e.agg(F.min(day).alias("dmin"), F.max(day).alias("dmax"))
+    days = bounds.select(
+        F.explode(
+            F.sequence("dmin", "dmax", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    d0 = e.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") > 450, 1).otherwise(0)).alias("bad"),
+    )
+    grid = days.join(d0, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce("bad", F.lit(0)).cast("bigint").alias("bad"),
+    )
+    wo = Window.orderBy("day")
+    w7 = wo.rowsBetween(-6, 0)
+    w28 = wo.rowsBetween(-27, 0)
+    w = grid.select(
+        "day", "n", "bad",
+        F.sum("n").over(w7).cast("bigint").alias("n7"),
+        F.sum("bad").over(w7).cast("bigint").alias("b7"),
+        F.sum("n").over(w28).cast("bigint").alias("n28"),
+        F.sum("bad").over(w28).cast("bigint").alias("b28"),
+    )
+    n, bad = F.col("n"), F.col("bad")
+    n7, b7 = F.col("n7"), F.col("b7")
+    n28, b28 = F.col("n28"), F.col("b28")
+    burn1 = F.when(n > 0, bad / (0.05 * n))
+    burn7 = F.when(n7 > 0, b7 / (0.05 * n7))
+    return w.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        n.alias("n_events"),
+        bad.alias("n_bad"),
+        F.round(burn1, 6).alias("burn_1d"),
+        F.round(burn7, 6).alias("burn_7d"),
+        F.round(F.when(n28 > 0, b28 / (0.05 * n28)), 6).alias("burn_28d"),
+        F.when(
+            (n > 0) & (n7 > 0) & (burn1 > 2) & (burn7 > 2), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("alert"),
+    ).orderBy("day")
+
+
+# -- q_forecast_combo --------------------------------------------------
+#
+# Forecast combination on the daily revenue series: three base
+# forecasters (naive last-value, drift line, seasonal-naive dow mean)
+# are fit on train-minus-validation, weighted by inverse validation
+# MSE (the Bates-Granger scheme the "forecast combination puzzle"
+# literature benchmarks), refit on the full train span, and scored on
+# a 28-day holdout. The combined forecast nearly always beats the
+# single best at horizon — this entry MEASURES it per split rather
+# than asserting it. Per-day squared/absolute errors are 4-rounded
+# decimals folded exactly; weights and the final MAE/RMSE are the
+# only double chains. Output: one row per model + 'combo' with
+# weight, MAE, RMSE. Scale: fact scan -> |days| grid; everything
+# after is grid algebra.
+
+FCOMBO_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2))
+           AS rev,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS idx
+  FROM orders GROUP BY 1
+), nn AS (SELECT MAX(idx) AS nall FROM daily),
+marks AS (
+  SELECT nall, nall - 28 AS tr_end, nall - 56 AS tr2_end FROM nn
+), fit2 AS (
+  SELECT
+    MAX(CASE WHEN idx = tr2_end THEN CAST(rev AS DOUBLE) END) AS last2,
+    MAX(CASE WHEN idx = 1 THEN CAST(rev AS DOUBLE) END) AS first2,
+    MAX(tr2_end) AS n2
+  FROM daily CROSS JOIN marks WHERE idx <= tr2_end
+), dow2 AS (
+  SELECT dayofweek(day) AS dw,
+         CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS m
+  FROM daily CROSS JOIN marks WHERE idx <= tr2_end
+  GROUP BY 1
+), val AS (
+  SELECT d.idx - f.n2 AS h, CAST(d.rev AS DOUBLE) AS y,
+         f.last2 AS f_naive,
+         f.last2 + (f.last2 - f.first2) / (f.n2 - 1) * (d.idx - f.n2)
+           AS f_drift,
+         dow2.m AS f_seas
+  FROM daily d CROSS JOIN fit2 f CROSS JOIN marks
+  JOIN dow2 ON dow2.dw = dayofweek(d.day)
+  WHERE d.idx > tr2_end AND d.idx <= tr_end
+), mse AS (
+  SELECT
+    CAST(SUM(CAST(round((y - f_naive) * (y - f_naive), 4)
+                  AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS m_naive,
+    CAST(SUM(CAST(round((y - f_drift) * (y - f_drift), 4)
+                  AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS m_drift,
+    CAST(SUM(CAST(round((y - f_seas) * (y - f_seas), 4)
+                  AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS m_seas
+  FROM val
+), wts AS (
+  SELECT round((1 / m_naive) / (1 / m_naive + 1 / m_drift + 1 / m_seas), 6)
+           AS w_naive,
+         round((1 / m_drift) / (1 / m_naive + 1 / m_drift + 1 / m_seas), 6)
+           AS w_drift,
+         round((1 / m_seas) / (1 / m_naive + 1 / m_drift + 1 / m_seas), 6)
+           AS w_seas
+  FROM mse
+), fit AS (
+  SELECT
+    MAX(CASE WHEN idx = tr_end THEN CAST(rev AS DOUBLE) END) AS last1,
+    MAX(CASE WHEN idx = 1 THEN CAST(rev AS DOUBLE) END) AS first1,
+    MAX(tr_end) AS n1
+  FROM daily CROSS JOIN marks WHERE idx <= tr_end
+), dow1 AS (
+  SELECT dayofweek(day) AS dw,
+         CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS m
+  FROM daily CROSS JOIN marks WHERE idx <= tr_end
+  GROUP BY 1
+), hold AS (
+  SELECT CAST(d.rev AS DOUBLE) AS y,
+         f.last1 AS f_naive,
+         f.last1 + (f.last1 - f.first1) / (f.n1 - 1) * (d.idx - f.n1)
+           AS f_drift,
+         dow1.m AS f_seas,
+         w.w_naive, w.w_drift, w.w_seas
+  FROM daily d CROSS JOIN fit f CROSS JOIN marks CROSS JOIN wts w
+  JOIN dow1 ON dow1.dw = dayofweek(d.day)
+  WHERE d.idx > tr_end
+), errs AS (
+  SELECT 'combo' AS model,
+         MAX(w_naive) AS weight,
+         CAST(SUM(CAST(round(abs(y - (w_naive * f_naive + w_drift * f_drift
+                                      + w_seas * f_seas)), 4)
+                       AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS mae,
+         CAST(SUM(CAST(round((y - (w_naive * f_naive + w_drift * f_drift
+                                   + w_seas * f_seas))
+                             * (y - (w_naive * f_naive + w_drift * f_drift
+                                     + w_seas * f_seas)), 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS mse
+  FROM hold
+  UNION ALL
+  SELECT 'naive', MAX(w_naive),
+         CAST(SUM(CAST(round(abs(y - f_naive), 4) AS DECIMAL(28,4)))
+              AS DOUBLE) / COUNT(*),
+         CAST(SUM(CAST(round((y - f_naive) * (y - f_naive), 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+  FROM hold
+  UNION ALL
+  SELECT 'drift', MAX(w_drift),
+         CAST(SUM(CAST(round(abs(y - f_drift), 4) AS DECIMAL(28,4)))
+              AS DOUBLE) / COUNT(*),
+         CAST(SUM(CAST(round((y - f_drift) * (y - f_drift), 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+  FROM hold
+  UNION ALL
+  SELECT 'seasonal', MAX(w_seas),
+         CAST(SUM(CAST(round(abs(y - f_seas), 4) AS DECIMAL(28,4)))
+              AS DOUBLE) / COUNT(*),
+         CAST(SUM(CAST(round((y - f_seas) * (y - f_seas), 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+  FROM hold
+)
+SELECT model,
+       CASE WHEN model = 'combo' THEN NULL ELSE weight END AS weight,
+       round(mae, 4) AS mae, round(sqrt(mse), 4) AS rmse
+FROM errs
+ORDER BY model
+"""
+FCOMBO_SQL = FCOMBO_SQL.replace(
+    "SELECT 'naive', MAX(w_naive),",
+    "SELECT 'naive' AS model, MAX(w_naive) AS weight,",
+)
+
+
+@query("q_forecast_combo", oracle=FCOMBO_SQL)
+def q_forecast_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+        .select(
+            "day", "rev",
+            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        )
+        .localCheckpoint()
+    )
+    marks = daily.agg(
+        F.max("idx").alias("nall"),
+        (F.max("idx") - 28).alias("tr_end"),
+        (F.max("idx") - 56).alias("tr2_end"),
+    )
+    dw = F.dayofweek("day")
+
+    def fit(upto_col: str):
+        d = daily.join(F.broadcast(marks)).filter(F.col("idx") <= F.col(upto_col))
+        consts = d.agg(
+            F.max(
+                F.when(
+                    F.col("idx") == F.col(upto_col).cast("int"),
+                    F.col("rev").cast("double"),
+                )
+            ).alias("last_"),
+            F.max(
+                F.when(F.col("idx") == 1, F.col("rev").cast("double"))
+            ).alias("first_"),
+            F.max(upto_col).alias("nfit"),
+        )
+        dows = d.groupBy(dw.alias("dw")).agg(
+            (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("m")
+        )
+        return consts, dows
+
+    consts2, dow2 = fit("tr2_end")
+    val = (
+        daily.join(F.broadcast(marks))
+        .filter(
+            (F.col("idx") > F.col("tr2_end"))
+            & (F.col("idx") <= F.col("tr_end"))
+        )
+        .join(F.broadcast(consts2))
+        .join(F.broadcast(dow2), dw == F.col("dw"))
+        .select(
+            F.col("rev").cast("double").alias("y"),
+            F.col("last_").alias("f_naive"),
+            (
+                F.col("last_")
+                + (F.col("last_") - F.col("first_"))
+                / (F.col("nfit") - 1)
+                * (F.col("idx") - F.col("nfit"))
+            ).alias("f_drift"),
+            F.col("m").alias("f_seas"),
+        )
+    )
+
+    def mse_of(c):
+        e = F.col("y") - F.col(c)
+        return F.sum(
+            F.round(e * e, 4).cast("decimal(38,4)")
+        ).cast("double") / F.count(F.lit(1))
+
+    mse = val.agg(
+        mse_of("f_naive").alias("m_naive"),
+        mse_of("f_drift").alias("m_drift"),
+        mse_of("f_seas").alias("m_seas"),
+    )
+    tot_inv = 1 / F.col("m_naive") + 1 / F.col("m_drift") + 1 / F.col("m_seas")
+    wts = mse.select(
+        F.round((1 / F.col("m_naive")) / tot_inv, 6).alias("w_naive"),
+        F.round((1 / F.col("m_drift")) / tot_inv, 6).alias("w_drift"),
+        F.round((1 / F.col("m_seas")) / tot_inv, 6).alias("w_seas"),
+    )
+    consts1, dow1 = fit("tr_end")
+    hold = (
+        daily.join(F.broadcast(marks))
+        .filter(F.col("idx") > F.col("tr_end"))
+        .join(F.broadcast(consts1))
+        .join(F.broadcast(dow1), dw == F.col("dw"))
+        .join(F.broadcast(wts))
+        .select(
+            F.col("rev").cast("double").alias("y"),
+            F.col("last_").alias("f_naive"),
+            (
+                F.col("last_")
+                + (F.col("last_") - F.col("first_"))
+                / (F.col("nfit") - 1)
+                * (F.col("idx") - F.col("nfit"))
+            ).alias("f_drift"),
+            F.col("m").alias("f_seas"),
+            "w_naive", "w_drift", "w_seas",
+        )
+        .localCheckpoint()
+    )
+    combo = (
+        F.col("w_naive") * F.col("f_naive")
+        + F.col("w_drift") * F.col("f_drift")
+        + F.col("w_seas") * F.col("f_seas")
+    )
+
+    def row(model: str, pred, wcol):
+        e = F.col("y") - pred
+        return hold.agg(
+            wcol.alias("weight"),
+            (
+                F.sum(F.round(F.abs(e), 4).cast("decimal(28,4)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("mae"),
+            (
+                F.sum(F.round(e * e, 4).cast("decimal(38,4)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("mse"),
+        ).select(F.lit(model).alias("model"), "weight", "mae", "mse")
+
+    errs = (
+        row("combo", combo, F.max(F.lit(None).cast("double")))
+        .union(row("naive", F.col("f_naive"), F.max("w_naive")))
+        .union(row("drift", F.col("f_drift"), F.max("w_drift")))
+        .union(row("seasonal", F.col("f_seas"), F.max("w_seas")))
+    )
+    return errs.select(
+        "model",
+        F.col("weight"),
+        F.round("mae", 4).alias("mae"),
+        F.round(F.sqrt("mse"), 4).alias("rmse"),
+    ).orderBy("model")
