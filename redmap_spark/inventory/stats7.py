@@ -2821,3 +2821,387 @@ def q_forecast_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mae", 4).alias("mae"),
         F.round(F.sqrt("mse"), 4).alias("rmse"),
     ).orderBy("model")
+
+
+# -- q_meta_analysis ---------------------------------------------------
+#
+# Fixed- and random-effects meta-analysis (DerSimonian-Laird) pooling
+# the per-nation URGENT/HIGH -> status-F log odds ratios: y_i = ln OR
+# with variance v_i = 1/a + 1/b + 1/c + 1/d per nation "study",
+# inverse-variance fixed pooling, Cochran Q heterogeneity, I^2, the
+# DL tau^2 moment estimator, and the random-effects re-pool with
+# widened weights — the method family that turns 25 per-nation
+# q_fisher_exact tables into ONE defensible effect estimate. All
+# weight/Q terms are 9-rounded decimals folded exactly; the grid is
+# |nations| rows after one fact scan.
+
+META_SQL = """
+WITH cells AS (
+  SELECT n_name,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS d
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+), yv AS (
+  SELECT n_name,
+         ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)) AS y,
+         1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d AS v
+  FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+), fe AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(CAST(round(1 / v, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sw,
+         CAST(SUM(CAST(round(y / v, 9) AS DECIMAL(20,9))) AS DOUBLE) AS swy,
+         CAST(SUM(CAST(round(1 / (v * v), 9) AS DECIMAL(24,9)))
+              AS DOUBLE) AS sw2
+  FROM yv
+), q AS (
+  SELECT k, sw, swy, sw2, swy / sw AS mu_fe,
+         CAST(SUM(CAST(round((yv.y - swy / sw) * (yv.y - swy / sw) / yv.v,
+                             9) AS DECIMAL(20,9))) AS DOUBLE) AS qstat
+  FROM yv CROSS JOIN fe
+  GROUP BY k, sw, swy, sw2
+), tau AS (
+  SELECT *,
+         GREATEST((qstat - (k - 1)) / (sw - sw2 / sw), 0.0) AS tau2
+  FROM q
+), re AS (
+  SELECT tau.k, tau.mu_fe, tau.sw, tau.qstat, tau.tau2,
+         CAST(SUM(CAST(round(1 / (yv.v + tau.tau2), 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS swr,
+         CAST(SUM(CAST(round(yv.y / (yv.v + tau.tau2), 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS swyr
+  FROM yv CROSS JOIN tau
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT CAST(k AS BIGINT) AS k_studies,
+       round(exp(mu_fe), 6) AS or_fixed,
+       round(exp(mu_fe - 1.96 / sqrt(sw)), 6) AS or_fixed_lo,
+       round(exp(mu_fe + 1.96 / sqrt(sw)), 6) AS or_fixed_hi,
+       round(qstat, 6) AS cochran_q,
+       round(GREATEST((qstat - (k - 1)) / qstat, 0.0), 6) AS i2,
+       round(tau2, 6) AS tau2,
+       round(exp(swyr / swr), 6) AS or_random,
+       round(exp(swyr / swr - 1.96 / sqrt(swr)), 6) AS or_random_lo,
+       round(exp(swyr / swr + 1.96 / sqrt(swr)), 6) AS or_random_hi
+FROM re
+"""
+
+
+@query("q_meta_analysis", oracle=META_SQL)
+def q_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    exposed = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    outcome = F.col("o_orderstatus") == "F"
+    cells = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(exposed & outcome, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(exposed & ~outcome, 1).otherwise(0)).alias("b"),
+            F.sum(F.when(~exposed & outcome, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(~exposed & ~outcome, 1).otherwise(0)).alias("d"),
+        )
+    )
+    a, b, c, d = (F.col(x) for x in ["a", "b", "c", "d"])
+    yv = (
+        cells.filter((a > 0) & (b > 0) & (c > 0) & (d > 0))
+        .select(
+            "n_name",
+            F.log((a.cast("double") * d) / (b.cast("double") * c))
+            .alias("y"),
+            (1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    y, v = F.col("y"), F.col("v")
+    r9 = lambda e, p=20: F.round(e, 9).cast(f"decimal({p},9)")  # noqa: E731
+    fe = yv.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(r9(1 / v)).cast("double").alias("sw"),
+        F.sum(r9(y / v)).cast("double").alias("swy"),
+        F.sum(r9(1 / (v * v), 24)).cast("double").alias("sw2"),
+    )
+    mu_fe = F.col("swy") / F.col("sw")
+    q = (
+        yv.join(F.broadcast(fe))
+        .groupBy("k", "sw", "swy", "sw2")
+        .agg(
+            F.sum(r9((y - mu_fe) * (y - mu_fe) / v))
+            .cast("double")
+            .alias("qstat")
+        )
+    )
+    tau = q.select(
+        "*",
+        F.greatest(
+            (F.col("qstat") - (F.col("k") - 1))
+            / (F.col("sw") - F.col("sw2") / F.col("sw")),
+            F.lit(0.0),
+        ).alias("tau2"),
+        mu_fe.alias("mu_fe"),
+    )
+    re = (
+        yv.join(F.broadcast(tau))
+        .groupBy("k", "mu_fe", "sw", "qstat", "tau2")
+        .agg(
+            F.sum(r9(1 / (v + F.col("tau2")))).cast("double").alias("swr"),
+            F.sum(r9(y / (v + F.col("tau2")))).cast("double").alias("swyr"),
+        )
+    )
+    k, sw, qs, tau2 = (F.col(x) for x in ["k", "sw", "qstat", "tau2"])
+    mu = F.col("mu_fe")
+    mur = F.col("swyr") / F.col("swr")
+    return re.select(
+        k.cast("bigint").alias("k_studies"),
+        F.round(F.exp(mu), 6).alias("or_fixed"),
+        F.round(F.exp(mu - 1.96 / F.sqrt(sw)), 6).alias("or_fixed_lo"),
+        F.round(F.exp(mu + 1.96 / F.sqrt(sw)), 6).alias("or_fixed_hi"),
+        F.round(qs, 6).alias("cochran_q"),
+        F.round(F.greatest((qs - (k - 1)) / qs, F.lit(0.0)), 6).alias("i2"),
+        F.round(tau2, 6).alias("tau2"),
+        F.round(F.exp(mur), 6).alias("or_random"),
+        F.round(F.exp(mur - 1.96 / F.sqrt(F.col("swr"))), 6)
+        .alias("or_random_lo"),
+        F.round(F.exp(mur + 1.96 / F.sqrt(F.col("swr"))), 6)
+        .alias("or_random_hi"),
+    )
+
+
+# -- q_safety_stock ----------------------------------------------------
+#
+# Safety-stock and reorder-point policy per brand under demand AND
+# lead-time uncertainty: SS = z * sqrt(Lbar * sigma_d^2 +
+# dbar^2 * sigma_L^2) (z = 1.645 for a 95% cycle service level) with
+# daily demand moments from a zero-filled calendar grid and lead-time
+# moments from per-line order->ship day gaps — the standard
+# formula (Silver-Pyck-Peterson) that q_newsvendor's single-period
+# quantile answer doesn't give. Exact decimal demand sums and BIGINT
+# day-gap sums; the sqrt chain is the only double algebra. Scale:
+# two partial-aggregated fact scans to |brands| grids.
+
+SAFETY_SQL = """
+WITH f AS (
+  SELECT p_brand, CAST(l_shipdate AS DATE) AS sd,
+         CAST(o_orderdate AS DATE) AS od,
+         CAST(l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+), bounds AS (
+  SELECT MIN(sd) AS dmin, MAX(sd) AS dmax FROM f
+), days AS (
+  SELECT UNNEST(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+), brands AS (SELECT DISTINCT p_brand FROM f),
+dd AS (
+  SELECT p_brand, sd AS day, CAST(SUM(q) AS DECIMAL(24,2)) AS dq
+  FROM f GROUP BY 1, 2
+), grid AS (
+  SELECT b.p_brand, d.day,
+         COALESCE(dd.dq, CAST(0 AS DECIMAL(24,2))) AS dq
+  FROM brands b CROSS JOIN days d
+  LEFT JOIN dd ON dd.p_brand = b.p_brand AND dd.day = d.day
+), dmom AS (
+  SELECT p_brand, COUNT(*) AS nd,
+         CAST(SUM(dq) AS DECIMAL(30,2)) AS s1,
+         CAST(SUM(dq * dq) AS DECIMAL(38,4)) AS s2
+  FROM grid GROUP BY 1
+), lmom AS (
+  SELECT p_brand, COUNT(*) AS nl,
+         CAST(SUM(date_diff('day', od, sd)) AS BIGINT) AS l1,
+         CAST(SUM(CAST(date_diff('day', od, sd) AS BIGINT)
+                  * date_diff('day', od, sd)) AS BIGINT) AS l2
+  FROM f GROUP BY 1
+), fin AS (
+  SELECT d.p_brand,
+         CAST(d.s1 AS DOUBLE) / d.nd AS dbar,
+         (CAST(d.s2 AS DOUBLE)
+          - CAST(d.s1 AS DOUBLE) * CAST(d.s1 AS DOUBLE) / d.nd)
+           / (d.nd - 1) AS var_d,
+         CAST(l.l1 AS DOUBLE) / l.nl AS lbar,
+         (CAST(l.l2 AS DOUBLE)
+          - CAST(l.l1 AS DOUBLE) * CAST(l.l1 AS DOUBLE) / l.nl)
+           / (l.nl - 1) AS var_l
+  FROM dmom d JOIN lmom l ON l.p_brand = d.p_brand
+)
+SELECT p_brand,
+       round(dbar, 4) AS daily_demand,
+       round(sqrt(var_d), 4) AS sigma_demand,
+       round(lbar, 4) AS lead_days,
+       round(sqrt(var_l), 4) AS sigma_lead,
+       round(1.645 * sqrt(lbar * var_d + dbar * dbar * var_l), 4)
+         AS safety_stock,
+       round(dbar * lbar
+             + 1.645 * sqrt(lbar * var_d + dbar * dbar * var_l), 4)
+         AS reorder_point
+FROM fin
+ORDER BY p_brand
+"""
+
+
+@query("q_safety_stock", oracle=SAFETY_SQL)
+def q_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    f = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.col("l_shipdate").cast("date").alias("sd"),
+            F.col("o_orderdate").cast("date").alias("od"),
+            dec("l_quantity").alias("q"),
+        )
+        .localCheckpoint()
+    )
+    bounds = f.agg(F.min("sd").alias("dmin"), F.max("sd").alias("dmax"))
+    days = bounds.select(
+        F.explode(
+            F.sequence("dmin", "dmax", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    brands = f.select("p_brand").distinct()
+    dd = f.groupBy("p_brand", F.col("sd").alias("day")).agg(
+        F.sum("q").cast("decimal(24,2)").alias("dq")
+    )
+    zero = F.lit(0).cast("decimal(24,2)")
+    grid = (
+        brands.crossJoin(F.broadcast(days))
+        .join(dd, ["p_brand", "day"], "left")
+        .select("p_brand", "day", F.coalesce("dq", zero).alias("dq"))
+    )
+    dmom = grid.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("dq").cast("decimal(30,2)").alias("s1"),
+        F.sum(F.col("dq") * F.col("dq")).cast("decimal(38,4)").alias("s2"),
+    )
+    gap = F.datediff("sd", "od").cast("bigint")
+    lmom = f.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("nl"),
+        F.sum(gap).cast("bigint").alias("l1"),
+        F.sum(gap * gap).cast("bigint").alias("l2"),
+    )
+    j = dmom.join(lmom, "p_brand")
+    nd, nl = F.col("nd"), F.col("nl")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    l1, l2 = F.col("l1").cast("double"), F.col("l2").cast("double")
+    dbar = s1 / nd
+    var_d = (s2 - s1 * s1 / nd) / (nd - 1)
+    lbar = l1 / nl
+    var_l = (l2 - l1 * l1 / nl) / (nl - 1)
+    ss = 1.645 * F.sqrt(lbar * var_d + dbar * dbar * var_l)
+    return j.select(
+        "p_brand",
+        F.round(dbar, 4).alias("daily_demand"),
+        F.round(F.sqrt(var_d), 4).alias("sigma_demand"),
+        F.round(lbar, 4).alias("lead_days"),
+        F.round(F.sqrt(var_l), 4).alias("sigma_lead"),
+        F.round(ss, 4).alias("safety_stock"),
+        F.round(dbar * lbar + ss, 4).alias("reorder_point"),
+    ).orderBy("p_brand")
+
+
+# -- q_turning_points --------------------------------------------------
+#
+# Turning-points randomness test per event type: count strict local
+# peaks + troughs T in the daily revenue series; under randomness
+# E[T] = 2(n-2)/3 and Var[T] = (16n-29)/90, so z = (T-E)/sqrt(V)
+# flags series that are too smooth (trend, z << 0) or too jagged
+# (negative autocorrelation, z >> 0) — the extrema-based complement
+# to q_runs_test's sign-based view. Daily revenue is an exact decimal
+# so strict peak/trough comparisons are exact; T and n are BIGINTs
+# and the z chain is the single double step, 6-rounded.
+
+TURNING_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type,
+         LAG(rev) OVER w AS prv, rev,
+         LEAD(rev) OVER w AS nxt
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN prv IS NOT NULL AND nxt IS NOT NULL
+                        AND ((rev > prv AND rev > nxt)
+                             OR (rev < prv AND rev < nxt))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS t
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, t AS turning_points,
+       round(2.0 * (n - 2) / 3, 6) AS expected,
+       round((t - 2.0 * (n - 2) / 3)
+             / sqrt((16.0 * n - 29) / 90), 6) AS z
+FROM agg
+ORDER BY event_type
+"""
+
+
+@query("q_turning_points", oracle=TURNING_SQL)
+def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("decimal(24,2)")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.lag("rev").over(w).alias("prv"),
+        "rev",
+        F.lead("rev").over(w).alias("nxt"),
+    )
+    rev, prv, nxt = F.col("rev"), F.col("prv"), F.col("nxt")
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                prv.isNotNull()
+                & nxt.isNotNull()
+                & (((rev > prv) & (rev > nxt)) | ((rev < prv) & (rev < nxt))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    n, t = F.col("n"), F.col("t")
+    return agg.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        t.alias("turning_points"),
+        F.round(2.0 * (n - 2) / 3, 6).alias("expected"),
+        F.round(
+            (t - 2.0 * (n - 2) / 3) / F.sqrt((16.0 * n - 29) / 90), 6
+        ).alias("z"),
+    ).orderBy("event_type")
