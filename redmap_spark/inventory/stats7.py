@@ -3205,3 +3205,455 @@ def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             (t - 2.0 * (n - 2) / 3) / F.sqrt((16.0 * n - 29) / 90), 6
         ).alias("z"),
     ).orderBy("event_type")
+
+
+# -- q_qini_auuc -------------------------------------------------------
+#
+# Qini curve / AUUC uplift evaluation: customers split into a
+# reproducible md5 pseudo-treatment (the house A/B convention),
+# outcome = ordered in the final 365 days, and the "uplift model"
+# ranks customers by prior spend. Per cumulative decile the Qini
+# value Y_t(k) - Y_c(k) * N_t(k)/N_c(k) is compared against the
+# random-targeting diagonal; AUUC = mean Qini excess over deciles —
+# the standard uplift-model acceptance metric (Radcliffe), one
+# level up from q_decile_lift's response-rate view. Exact BIGINT
+# counts, deterministic (score desc, custkey) decile assignment,
+# double finale 6-rounded.
+
+QINI_SQL = """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+cust AS (
+  SELECT c_custkey,
+         CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '8'
+              THEN 0 ELSE 1 END AS treated
+  FROM customer
+), pre AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < dmax - 365
+                       THEN CAST(o_totalprice AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+              AS DECIMAL(24,2)) AS spend,
+         MAX(CASE WHEN CAST(o_orderdate AS DATE) >= dmax - 365
+                  THEN 1 ELSE 0 END) AS y
+  FROM orders CROSS JOIN mx GROUP BY 1
+), scored AS (
+  SELECT c.c_custkey, c.treated,
+         COALESCE(p.spend, CAST(0 AS DECIMAL(24,2))) AS spend,
+         COALESCE(p.y, 0) AS y
+  FROM cust c LEFT JOIN pre p ON p.o_custkey = c.c_custkey
+), ranked AS (
+  SELECT *,
+         CAST(ceil(10.0 * ROW_NUMBER() OVER
+                (ORDER BY spend DESC, c_custkey)
+              / COUNT(*) OVER ()) AS BIGINT) AS decile
+  FROM scored
+), g AS (
+  SELECT decile,
+         CAST(SUM(treated) AS BIGINT) AS n_t,
+         CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+           AS y_t,
+         CAST(SUM(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+           AS y_c
+  FROM ranked GROUP BY 1
+), cum AS (
+  SELECT decile,
+         CAST(SUM(n_t) OVER w AS BIGINT) AS cnt,
+         CAST(SUM(n_c) OVER w AS BIGINT) AS cnc,
+         CAST(SUM(y_t) OVER w AS BIGINT) AS cyt,
+         CAST(SUM(y_c) OVER w AS BIGINT) AS cyc
+  FROM g WINDOW w AS (ORDER BY decile)
+), tot AS (
+  SELECT MAX(cyt) AS tyt, MAX(cyc) AS tyc,
+         MAX(cnt) AS tnt, MAX(cnc) AS tnc
+  FROM cum
+), q AS (
+  SELECT decile, cnt, cnc,
+         cyt - cyc * (cnt / CAST(cnc AS DOUBLE)) AS qini,
+         (tyt - tyc * (tnt / CAST(tnc AS DOUBLE)))
+           * ((cnt + cnc) / CAST(tnt + tnc AS DOUBLE)) AS random_qini
+  FROM cum CROSS JOIN tot
+)
+SELECT decile, cnt AS cum_n_treated, cnc AS cum_n_control,
+       round(qini, 6) AS qini,
+       round(random_qini, 6) AS random_qini,
+       round(qini - random_qini, 6) AS qini_excess,
+       round(CAST(AVG(round(qini - random_qini, 6)) OVER () AS DOUBLE), 6)
+         AS auuc
+FROM q
+ORDER BY decile
+"""
+
+
+@query("q_qini_auuc", oracle=QINI_SQL)
+def q_qini_auuc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    mx = cat.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("dmax")
+    )
+    cust = cat.customer.select(
+        "c_custkey",
+        F.when(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+            < "8",
+            0,
+        )
+        .otherwise(1)
+        .alias("treated"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    od = F.col("o_orderdate").cast("date")
+    pre = (
+        cat.orders.join(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    od < F.date_sub(F.col("dmax"), 365),
+                    dec("o_totalprice"),
+                ).otherwise(zero)
+            )
+            .cast("decimal(24,2)")
+            .alias("spend"),
+            F.max(
+                F.when(od >= F.date_sub(F.col("dmax"), 365), 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    scored = cust.join(
+        pre, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        "c_custkey", "treated",
+        F.coalesce("spend", F.lit(0).cast("decimal(24,2)")).alias("spend"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = scored.select(
+        "*",
+        F.ceil(
+            10.0
+            * F.row_number().over(
+                Window.orderBy(F.col("spend").desc(), "c_custkey")
+            )
+            / F.count(F.lit(1)).over(wall)
+        )
+        .cast("bigint")
+        .alias("decile"),
+    )
+    t = F.col("treated")
+    g = ranked.groupBy("decile").agg(
+        F.sum(t).cast("bigint").alias("n_t"),
+        F.sum(1 - t).cast("bigint").alias("n_c"),
+        F.sum(F.when(t == 1, F.col("y")).otherwise(0)).cast("bigint")
+        .alias("y_t"),
+        F.sum(F.when(t == 0, F.col("y")).otherwise(0)).cast("bigint")
+        .alias("y_c"),
+    )
+    wc = Window.orderBy("decile")
+    cum = g.select(
+        "decile",
+        F.sum("n_t").over(wc).cast("bigint").alias("cnt"),
+        F.sum("n_c").over(wc).cast("bigint").alias("cnc"),
+        F.sum("y_t").over(wc).cast("bigint").alias("cyt"),
+        F.sum("y_c").over(wc).cast("bigint").alias("cyc"),
+    ).localCheckpoint()
+    tot = cum.agg(
+        F.max("cyt").alias("tyt"),
+        F.max("cyc").alias("tyc"),
+        F.max("cnt").alias("tnt"),
+        F.max("cnc").alias("tnc"),
+    )
+    cnt, cnc = F.col("cnt"), F.col("cnc")
+    qini = F.col("cyt") - F.col("cyc") * (cnt / cnc.cast("double"))
+    rand = (
+        F.col("tyt") - F.col("tyc") * (F.col("tnt") / F.col("tnc").cast("double"))
+    ) * ((cnt + cnc) / (F.col("tnt") + F.col("tnc")).cast("double"))
+    q = cum.join(F.broadcast(tot)).select(
+        "decile", cnt.alias("cum_n_treated"), cnc.alias("cum_n_control"),
+        F.round(qini, 6).alias("qini"),
+        F.round(rand, 6).alias("random_qini"),
+        F.round(qini - rand, 6).alias("qini_excess"),
+    )
+    return q.select(
+        "*",
+        F.round(F.avg("qini_excess").over(wall), 6).alias("auuc"),
+    ).orderBy("decile")
+
+
+# -- q_msprt -----------------------------------------------------------
+#
+# Always-valid sequential inference (mSPRT, the Optimizely "always
+# valid p-value"): the md5-split two-arm experiment monitored DAILY,
+# with the normal-mixture likelihood ratio Lambda_n =
+# sqrt(V/(V+tau2)) * exp(tau2 * d^2 / (2V(V+tau2))) at each day's
+# cumulative arm means (V = sigma2(1/n_c + 1/n_t), plug-in pooled
+# sigma2, tau2 = 400 documented), and p_n = 1/max_{k<=n} Lambda_k
+# monotone non-increasing — the peeking-proof replacement for
+# q_group_sequential's fixed looks. Cumulative counts/sums are exact
+# decimal window folds; Lambda is one identical double chain,
+# 9-rounded before the running max so the argmax is cross-engine
+# stable. Scale: fact scan -> day grid; windows on the grid.
+
+MSPRT_SQL = """
+WITH t AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+              THEN 0 ELSE 1 END AS arm,
+         CAST(round(value, 6) AS DECIMAL(18,6)) AS x
+  FROM events WHERE value IS NOT NULL
+), sig AS (
+  SELECT (CAST(SUM(CAST(x AS DECIMAL(20,6)) * x) AS DOUBLE)
+          - CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE)
+            * CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*))
+         / (COUNT(*) - 1) AS s2
+  FROM t
+), d AS (
+  SELECT day,
+         CAST(SUM(arm) AS BIGINT) AS nt,
+         CAST(SUM(1 - arm) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN arm = 1 THEN CAST(x AS DECIMAL(20,6))
+                       ELSE CAST(0 AS DECIMAL(20,6)) END)
+              AS DECIMAL(28,6)) AS st,
+         CAST(SUM(CASE WHEN arm = 0 THEN CAST(x AS DECIMAL(20,6))
+                       ELSE CAST(0 AS DECIMAL(20,6)) END)
+              AS DECIMAL(28,6)) AS sc
+  FROM t GROUP BY 1
+), c AS (
+  SELECT day,
+         CAST(SUM(nt) OVER w AS BIGINT) AS cnt,
+         CAST(SUM(nc) OVER w AS BIGINT) AS cnc,
+         CAST(SUM(st) OVER w AS DECIMAL(32,6)) AS cst,
+         CAST(SUM(sc) OVER w AS DECIMAL(32,6)) AS csc
+  FROM d WINDOW w AS (ORDER BY day)
+), lam AS (
+  SELECT day, cnt, cnc,
+         CAST(cst AS DOUBLE) / cnt - CAST(csc AS DOUBLE) / cnc AS diff,
+         CAST(round(
+           sqrt((s2 * (1.0 / cnt + 1.0 / cnc))
+                / (s2 * (1.0 / cnt + 1.0 / cnc) + 400))
+           * exp(400
+                 * (CAST(cst AS DOUBLE) / cnt - CAST(csc AS DOUBLE) / cnc)
+                 * (CAST(cst AS DOUBLE) / cnt - CAST(csc AS DOUBLE) / cnc)
+                 / (2 * (s2 * (1.0 / cnt + 1.0 / cnc))
+                    * (s2 * (1.0 / cnt + 1.0 / cnc) + 400))), 9)
+           AS DECIMAL(28,9)) AS lambda_
+  FROM c CROSS JOIN sig
+  WHERE cnt > 0 AND cnc > 0
+), run AS (
+  SELECT day, cnt, cnc, diff, lambda_,
+         MAX(lambda_) OVER (ORDER BY day) AS maxlam
+  FROM lam
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       cnt AS n_treated, cnc AS n_control,
+       round(diff, 6) AS diff,
+       round(CAST(lambda_ AS DOUBLE), 6) AS lambda,
+       round(LEAST(1.0, 1.0 / CAST(maxlam AS DOUBLE)), 6)
+         AS always_valid_p,
+       CAST(CASE WHEN 1.0 / CAST(maxlam AS DOUBLE) < 0.05
+            THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM run
+ORDER BY day
+"""
+
+
+@query("q_msprt", oracle=MSPRT_SQL)
+def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    t = e.filter(F.col("value").isNotNull()).select(
+        F.col("ts").cast("date").alias("day"),
+        F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+            < "8",
+            0,
+        )
+        .otherwise(1)
+        .alias("arm"),
+        F.round("value", 6).cast("decimal(18,6)").alias("x"),
+    ).localCheckpoint()
+    x20 = F.col("x").cast("decimal(20,6)")
+    sig = t.agg(
+        (
+            (
+                F.sum(x20 * F.col("x")).cast("double")
+                - F.sum(x20).cast("double")
+                * F.sum(x20).cast("double")
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("s2")
+    )
+    zero = F.lit(0).cast("decimal(20,6)")
+    arm = F.col("arm")
+    d = t.groupBy("day").agg(
+        F.sum(arm).cast("bigint").alias("nt"),
+        F.sum(1 - arm).cast("bigint").alias("nc"),
+        F.sum(F.when(arm == 1, x20).otherwise(zero))
+        .cast("decimal(28,6)")
+        .alias("st"),
+        F.sum(F.when(arm == 0, x20).otherwise(zero))
+        .cast("decimal(28,6)")
+        .alias("sc"),
+    )
+    w = Window.orderBy("day")
+    c = d.select(
+        "day",
+        F.sum("nt").over(w).cast("bigint").alias("cnt"),
+        F.sum("nc").over(w).cast("bigint").alias("cnc"),
+        F.sum("st").over(w).cast("decimal(32,6)").alias("cst"),
+        F.sum("sc").over(w).cast("decimal(32,6)").alias("csc"),
+    )
+    cnt, cnc = F.col("cnt"), F.col("cnc")
+    s2 = F.col("s2")
+    diff = F.col("cst").cast("double") / cnt - F.col("csc").cast(
+        "double"
+    ) / cnc
+    vv = s2 * (1.0 / cnt + 1.0 / cnc)
+    tau2 = 400
+    lam_expr = F.round(
+        F.sqrt(vv / (vv + tau2))
+        * F.exp(tau2 * diff * diff / (2 * vv * (vv + tau2))),
+        9,
+    ).cast("decimal(28,9)")
+    lam = (
+        c.join(F.broadcast(sig))
+        .filter((cnt > 0) & (cnc > 0))
+        .select(
+            "day", "cnt", "cnc",
+            diff.alias("diff"),
+            lam_expr.alias("lambda_"),
+        )
+    )
+    run = lam.select(
+        "*", F.max("lambda_").over(Window.orderBy("day")).alias("maxlam")
+    )
+    ml = F.col("maxlam").cast("double")
+    return run.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        cnt.alias("n_treated"),
+        cnc.alias("n_control"),
+        F.round("diff", 6).alias("diff"),
+        F.round(F.col("lambda_").cast("double"), 6).alias("lambda"),
+        F.round(F.least(F.lit(1.0), 1.0 / ml), 6).alias("always_valid_p"),
+        F.when(1.0 / ml < 0.05, 1).otherwise(0).cast("bigint")
+        .alias("significant"),
+    ).orderBy("day")
+
+
+# -- q_ridge_path ------------------------------------------------------
+#
+# Ridge regularization path for the two-feature revenue model
+# (extendedprice ~ quantity + retailprice): closed-form 2x2 solve
+# (X'X + lambda*n*I)^{-1} X'y on centered exact-decimal moments for
+# lambda in {0, 0.01, 0.1, 1, 10} — the shrinkage trace that shows
+# which coefficient survives regularization (q_vif tells you the
+# collinearity; this shows the consequence). One fact scan builds the
+# six moments; the path is 5 rows of identical double algebra off a
+# broadcast 1-row aggregate, unpivoted via explode.
+
+RIDGE_SQL = """
+WITH f AS (
+  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+         CAST(p_retailprice AS DECIMAL(18,2)) AS x2,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS sx1, CAST(SUM(x2) AS DOUBLE) AS sx2,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,4))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,4))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(28,4))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(28,4))) AS DOUBLE) AS s2y,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
+  FROM f
+), cen AS (
+  SELECT n, sy / n AS ybar,
+         s11 - sx1 * sx1 / n AS c11,
+         s12 - sx1 * sx2 / n AS c12,
+         s22 - sx2 * sx2 / n AS c22,
+         s1y - sx1 * sy / n AS c1y,
+         s2y - sx2 * sy / n AS c2y,
+         syy - sy * sy / n AS cyy,
+         sx1 / n AS x1bar, sx2 / n AS x2bar
+  FROM m
+), lambdas AS (
+  SELECT UNNEST([0.0, 0.01, 0.1, 1.0, 10.0]) AS lam
+), solved AS (
+  SELECT lam, n, ybar, x1bar, x2bar, cyy, c1y, c2y,
+         (c1y * (c22 + lam * n) - c2y * c12)
+           / ((c11 + lam * n) * (c22 + lam * n) - c12 * c12) AS b1,
+         (c2y * (c11 + lam * n) - c1y * c12)
+           / ((c11 + lam * n) * (c22 + lam * n) - c12 * c12) AS b2
+  FROM cen CROSS JOIN lambdas
+)
+SELECT lam AS lambda,
+       round(b1, 6) AS beta_quantity,
+       round(b2, 6) AS beta_retailprice,
+       round(ybar - b1 * x1bar - b2 * x2bar, 4) AS intercept,
+       round((b1 * c1y + b2 * c2y) / cyy, 6) AS r2_train
+FROM solved
+ORDER BY lambda
+"""
+
+
+@query("q_ridge_path", oracle=RIDGE_SQL)
+def q_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    f = cat.lineitem.join(
+        F.broadcast(cat.part.select("p_partkey", "p_retailprice")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        dec("l_quantity").alias("x1"),
+        dec("p_retailprice").alias("x2"),
+        dec("l_extendedprice").alias("y"),
+    )
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    p28 = lambda e: F.sum(e.cast("decimal(28,4)")).cast("double")  # noqa: E731
+    m = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).cast("double").alias("sx1"),
+        F.sum(x2).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        p28(x1 * x2).alias("s12"),
+        p28(x2 * x2).alias("s22"),
+        p28(x1 * y).alias("s1y"),
+        p28(x2 * y).alias("s2y"),
+        p28(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    cen = m.select(
+        n,
+        (F.col("sy") / n).alias("ybar"),
+        (F.col("s11") - F.col("sx1") * F.col("sx1") / n).alias("c11"),
+        (F.col("s12") - F.col("sx1") * F.col("sx2") / n).alias("c12"),
+        (F.col("s22") - F.col("sx2") * F.col("sx2") / n).alias("c22"),
+        (F.col("s1y") - F.col("sx1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("sx2") * F.col("sy") / n).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("cyy"),
+        (F.col("sx1") / n).alias("x1bar"),
+        (F.col("sx2") / n).alias("x2bar"),
+    )
+    lambdas = cen.sparkSession.createDataFrame(
+        [(0.0,), (0.01,), (0.1,), (1.0,), (10.0,)], ["lam"]
+    )
+    j = cen.join(F.broadcast(lambdas))
+    lam = F.col("lam")
+    c11, c12, c22 = F.col("c11"), F.col("c12"), F.col("c22")
+    c1y, c2y = F.col("c1y"), F.col("c2y")
+    det = (c11 + lam * n) * (c22 + lam * n) - c12 * c12
+    b1 = (c1y * (c22 + lam * n) - c2y * c12) / det
+    b2 = (c2y * (c11 + lam * n) - c1y * c12) / det
+    return j.select(
+        lam.alias("lambda"),
+        F.round(b1, 6).alias("beta_quantity"),
+        F.round(b2, 6).alias("beta_retailprice"),
+        F.round(
+            F.col("ybar") - b1 * F.col("x1bar") - b2 * F.col("x2bar"), 4
+        ).alias("intercept"),
+        F.round((b1 * c1y + b2 * c2y) / F.col("cyy"), 6).alias("r2_train"),
+    ).orderBy("lambda")
