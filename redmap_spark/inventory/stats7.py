@@ -3657,3 +3657,279 @@ def q_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round((b1 * c1y + b2 * c2y) / F.col("cyy"), 6).alias("r2_train"),
     ).orderBy("lambda")
+
+
+# -- q_var_backtest ----------------------------------------------------
+#
+# VaR backtesting with the Kupiec proportion-of-failures test: a
+# rolling parametric 95% VaR (trailing 60-day mean - 1.645 * std of
+# daily revenue log-changes) is scored against the NEXT day's actual
+# change, violations are counted, and the Kupiec LR_pof = -2 ln of
+# the binomial likelihood ratio says whether the violation rate is
+# consistent with 5% — the Basel-style model-validation loop over
+# q_var_cvar's static estimate. Rolling moments are exact decimal
+# window folds (9-rounded log-changes); the VaR/LR chain is identical
+# double algebra. Output: one summary row (days, violations, rate,
+# kupiec LR, reject flag at chi2_1 95% = 3.841).
+
+VARBT_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev
+  FROM orders GROUP BY 1
+), chg AS (
+  SELECT day,
+         CAST(round(ln(CAST(rev AS DOUBLE)
+                       / CAST(LAG(rev) OVER (ORDER BY day) AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS r
+  FROM daily
+), roll AS (
+  SELECT day, r,
+         CAST(COUNT(r) OVER w AS BIGINT) AS n60,
+         CAST(SUM(r) OVER w AS DECIMAL(28,9)) AS s1,
+         CAST(SUM(CAST(r * r AS DECIMAL(28,9))) OVER w
+              AS DECIMAL(38,9)) AS s2
+  FROM chg
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT day, CAST(r AS DOUBLE) AS r,
+         CAST(s1 AS DOUBLE) / n60
+           - 1.645 * sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n60)
+                          / (n60 - 1)) AS var95
+  FROM roll WHERE n60 >= 60 AND r IS NOT NULL
+), agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN r < var95 THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM scored
+)
+SELECT CAST(n AS BIGINT) AS n_days, x AS violations,
+       round(x / CAST(n AS DOUBLE), 6) AS violation_rate,
+       round(-2 * ((n - x) * ln(0.95) + x * ln(0.05)
+                   - (n - x) * ln(1 - x / CAST(n AS DOUBLE))
+                   - x * ln(x / CAST(n AS DOUBLE))), 6) AS kupiec_lr,
+       CAST(CASE WHEN -2 * ((n - x) * ln(0.95) + x * ln(0.05)
+                            - (n - x) * ln(1 - x / CAST(n AS DOUBLE))
+                            - x * ln(x / CAST(n AS DOUBLE))) > 3.841
+            THEN 1 ELSE 0 END AS BIGINT) AS reject_model
+FROM agg
+"""
+
+
+@query("q_var_backtest", oracle=VARBT_SQL)
+def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = cat.orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+    wd = Window.orderBy("day")
+    chg = daily.select(
+        "day",
+        F.round(
+            F.log(
+                F.col("rev").cast("double")
+                / F.lag("rev").over(wd).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("r"),
+    )
+    wroll = wd.rowsBetween(-60, -1)
+    roll = chg.select(
+        "day", "r",
+        F.count("r").over(wroll).cast("bigint").alias("n60"),
+        F.sum("r").over(wroll).cast("decimal(28,9)").alias("s1"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(28,9)"))
+        .over(wroll)
+        .cast("decimal(38,9)")
+        .alias("s2"),
+    )
+    n60 = F.col("n60")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    var95 = s1 / n60 - 1.645 * F.sqrt(
+        (s2 - s1 * s1 / n60) / (n60 - 1)
+    )
+    scored = roll.filter((n60 >= 60) & F.col("r").isNotNull()).select(
+        F.col("r").cast("double").alias("r"), var95.alias("var95")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("r") < F.col("var95"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    n, x = F.col("n"), F.col("x")
+    lr = -2 * (
+        (n - x) * F.log(F.lit(0.95))
+        + x * F.log(F.lit(0.05))
+        - (n - x) * F.log(1 - x / n.cast("double"))
+        - x * F.log(x / n.cast("double"))
+    )
+    return agg.select(
+        n.cast("bigint").alias("n_days"),
+        x.alias("violations"),
+        F.round(x / n.cast("double"), 6).alias("violation_rate"),
+        F.round(lr, 6).alias("kupiec_lr"),
+        F.when(lr > 3.841, 1).otherwise(0).cast("bigint")
+        .alias("reject_model"),
+    )
+
+
+# -- q_adstock_mmm -----------------------------------------------------
+#
+# Marketing-mix-model lite: geometric adstock of daily "promo
+# pressure" (click+view event counts carry over with theta = 0.7 per
+# day, truncated at 14 lags where the weight is < 1%) regressed
+# log-log against next-day purchase revenue — carryover plus
+# diminishing returns, the two effects a naive same-day correlation
+# misses. Adstock is an EXACT decimal fold: the day grid joins a
+# broadcast 14-row lag table with 6-rounded theta^k weights, so
+# sum w_k * x_{t-k} is a decimal dot product, not a recursive state;
+# the OLS uses the house exact-moment pattern. Output: elasticity
+# (log-log slope), carryover share captured, r2, n. Scale: fact scan
+# -> day grid; grid x 14 lag join.
+
+ADSTOCK_SQL = """
+WITH d0 AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS pressure
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+), rev AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS r
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+), bounds AS (
+  SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM d0
+), days AS (
+  SELECT UNNEST(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+), lags AS (
+  SELECT k, CAST(round(pow(0.7, k), 6) AS DECIMAL(8,6)) AS w
+  FROM (SELECT UNNEST(generate_series(0, 13)) AS k)
+), ad AS (
+  SELECT d.day,
+         CAST(SUM(COALESCE(p.pressure, 0) * l.w) AS DECIMAL(24,6))
+           AS adstock
+  FROM days d CROSS JOIN lags l
+  LEFT JOIN d0 p ON p.day = d.day - CAST(l.k AS INTEGER)
+  GROUP BY 1
+), xy AS (
+  SELECT CAST(round(ln(CAST(a.adstock AS DOUBLE)), 9) AS DECIMAL(18,9))
+           AS x,
+         CAST(round(ln(CAST(r.r AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM ad a JOIN rev r ON r.day = a.day + 1
+  WHERE a.adstock > 0 AND r.r > 0
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,9))) AS DOUBLE) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+       round(1 - pow(0.7, 14), 6) AS carryover_captured
+FROM m
+"""
+
+
+@query("q_adstock_mmm", oracle=ADSTOCK_SQL)
+def q_adstock_mmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    day = F.col("ts").cast("date")
+    d0 = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pressure"))
+        .localCheckpoint()
+    )
+    rev = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(day.alias("day"))
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("decimal(24,2)")
+            .alias("r")
+        )
+    )
+    bounds = d0.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    days = bounds.select(
+        F.explode(
+            F.sequence("dmin", "dmax", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    lags = (
+        e.sparkSession.range(0, 14)
+        .select(
+            F.col("id").alias("k"),
+            F.round(F.pow(F.lit(0.7), F.col("id")), 6)
+            .cast("decimal(8,6)")
+            .alias("w"),
+        )
+    )
+    ad = (
+        days.crossJoin(F.broadcast(lags))
+        .join(
+            d0.select(F.col("day").alias("pday"), "pressure"),
+            F.expr("pday = day - CAST(k AS INT)"),
+            "left",
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.coalesce("pressure", F.lit(0)) * F.col("w"))
+            .cast("decimal(24,6)")
+            .alias("adstock")
+        )
+    )
+    xy = (
+        ad.join(
+            rev.select(F.col("day").alias("rday"), "r"),
+            F.expr("rday = day + 1"),
+        )
+        .filter((F.col("adstock") > 0) & (F.col("r") > 0))
+        .select(
+            F.round(F.log(F.col("adstock").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("x"),
+            F.round(F.log(F.col("r").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("y"),
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    p28 = lambda ex: F.sum(ex.cast("decimal(28,9)")).cast("double")  # noqa: E731
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        p28(x * x).alias("sxx"),
+        p28(x * y).alias("sxy"),
+        p28(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.cast("bigint").alias("n_days"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+        F.round(1 - F.pow(F.lit(0.7), 14), 6).alias("carryover_captured"),
+    )
