@@ -3933,3 +3933,279 @@ def q_adstock_mmm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r2"),
         F.round(1 - F.pow(F.lit(0.7), 14), 6).alias("carryover_captured"),
     )
+
+
+# -- q_fh_smallarea ----------------------------------------------------
+#
+# Fay-Herriot small-area estimation of per-customer spend by nation:
+# the direct survey estimate ybar_i (sampling variance v_i = s_i^2 /
+# n_i) is shrunk toward a synthetic regression on mean account
+# balance, with gamma_i = tau2/(tau2 + v_i) and a simplified
+# Prasad-Rao moment tau2 = max(0, mean residual^2 - mean v) — small
+# nations borrow strength from the model, big nations keep their
+# data. This is the named survey-statistics layer ABOVE
+# q_james_stein's equal-variance shrinkage: heteroscedastic, with a
+# covariate. Domain moments are exact decimal folds; the two-stage
+# algebra runs on the 25-row grid with 9-rounded terms.
+
+FH_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS ab
+  FROM customer
+), spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2))
+           AS s
+  FROM orders GROUP BY 1
+), dom AS (
+  SELECT n_name, COUNT(*) AS n,
+         CAST(SUM(COALESCE(s, CAST(0 AS DECIMAL(24,2))))
+              AS DECIMAL(30,2)) AS s1,
+         CAST(SUM(COALESCE(s, CAST(0 AS DECIMAL(24,2)))
+                  * COALESCE(s, CAST(0 AS DECIMAL(24,2))))
+              AS DECIMAL(38,4)) AS s2,
+         CAST(SUM(ab) AS DECIMAL(28,2)) AS sab
+  FROM cust
+  LEFT JOIN spend ON o_custkey = c_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1
+), direct AS (
+  SELECT n_name, n,
+         CAST(s1 AS DOUBLE) / n AS ybar,
+         ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+          / (n - 1)) / n AS v,
+         CAST(sab AS DOUBLE) / n AS x
+  FROM dom
+), ols AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(CAST(round(x, 9) AS DECIMAL(24,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(ybar, 9) AS DECIMAL(24,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(round(x * ybar, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sv
+  FROM direct
+), beta AS (
+  SELECT k, sv,
+         (k * sxy - sx * sy) / (k * sxx - sx * sx) AS b,
+         (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k AS a
+  FROM ols
+), tau AS (
+  SELECT k, a, b,
+         GREATEST(
+           CAST(SUM(CAST(round((ybar - a - b * x) * (ybar - a - b * x), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) / (k - 2)
+           - sv / k, 0.0) AS tau2
+  FROM direct CROSS JOIN beta
+  GROUP BY k, a, b, sv
+)
+SELECT d.n_name, CAST(d.n AS BIGINT) AS n_customers,
+       round(d.ybar, 4) AS direct_est,
+       round(t.a + t.b * d.x, 4) AS synthetic_est,
+       round(t.tau2 / (t.tau2 + d.v), 6) AS gamma,
+       round((t.tau2 / (t.tau2 + d.v)) * d.ybar
+             + (1 - t.tau2 / (t.tau2 + d.v)) * (t.a + t.b * d.x), 4)
+         AS fh_estimate
+FROM direct d CROSS JOIN tau t
+ORDER BY d.n_name
+"""
+
+
+@query("q_fh_smallarea", oracle=FH_SQL)
+def q_fh_smallarea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    zero = F.lit(0).cast("decimal(24,2)")
+    spend = cat.orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("s")
+    )
+    s = F.coalesce("s", zero)
+    dom = (
+        cat.customer.join(
+            spend, F.col("o_custkey") == F.col("c_custkey"), "left"
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s).cast("decimal(30,2)").alias("s1"),
+            F.sum(s * s).cast("decimal(38,4)").alias("s2"),
+            F.sum(dec("c_acctbal")).cast("decimal(28,2)").alias("sab"),
+        )
+    )
+    n = F.col("n")
+    direct = dom.select(
+        "n_name", "n",
+        (F.col("s1").cast("double") / n).alias("ybar"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+            )
+            / (n - 1)
+            / n
+        ).alias("v"),
+        (F.col("sab").cast("double") / n).alias("x"),
+    ).localCheckpoint()
+    x, ybar, v = F.col("x"), F.col("ybar"), F.col("v")
+    ols = direct.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round(x, 9).cast("decimal(24,9)")).cast("double")
+        .alias("sx"),
+        F.sum(F.round(ybar, 9).cast("decimal(24,9)")).cast("double")
+        .alias("sy"),
+        F.sum(F.round(x * x, 6).cast("decimal(28,6)")).cast("double")
+        .alias("sxx"),
+        F.sum(F.round(x * ybar, 6).cast("decimal(28,6)")).cast("double")
+        .alias("sxy"),
+        F.sum(F.round(v, 6).cast("decimal(28,6)")).cast("double")
+        .alias("sv"),
+    )
+    k = F.col("k")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    beta = ols.select(
+        "k", "sv",
+        slope.alias("b"),
+        ((F.col("sy") - slope * F.col("sx")) / k).alias("a"),
+    )
+    res = ybar - F.col("a") - F.col("b") * x
+    tau = (
+        direct.join(F.broadcast(beta))
+        .groupBy("k", "a", "b", "sv")
+        .agg(
+            F.greatest(
+                F.sum(F.round(res * res, 6).cast("decimal(28,6)"))
+                .cast("double")
+                / (F.col("k") - 2)
+                - F.col("sv") / F.col("k"),
+                F.lit(0.0),
+            ).alias("tau2")
+        )
+    )
+    g = F.col("tau2") / (F.col("tau2") + v)
+    synth = F.col("a") + F.col("b") * x
+    return (
+        direct.join(F.broadcast(tau))
+        .select(
+            "n_name",
+            n.cast("bigint").alias("n_customers"),
+            F.round(ybar, 4).alias("direct_est"),
+            F.round(synth, 4).alias("synthetic_est"),
+            F.round(g, 6).alias("gamma"),
+            F.round(g * ybar + (1 - g) * synth, 4).alias("fh_estimate"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# -- q_mcf_recurrent ---------------------------------------------------
+#
+# Mean cumulative function (Nelson estimator) for recurrent orders:
+# at customer age t (days since first order), MCF(t) = sum over ages
+# s <= t of d(s)/n(s), where d(s) counts repeat orders landing at age
+# s and n(s) counts customers still under observation (followup =
+# data end - first order >= s) — the reliability-engineering
+# "expected cumulative repeat purchases per customer by tenure",
+# censoring-aware where a naive cumulative average is not. At-risk
+# counts come from ONE suffix window over the followup distribution
+# (the q_survival_km shape applied to a RECURRENT process);
+# increments are 12-rounded decimals cumulated exactly. Output: the
+# age grid with d, n, MCF.
+
+MCF_SQL = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders GROUP BY 1
+), endd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS de FROM orders),
+fup AS (
+  SELECT f.o_custkey, date_diff('day', f.d1, e.de) AS fu
+  FROM firsts f CROSS JOIN endd e
+), rec AS (
+  SELECT date_diff('day', f.d1, CAST(o.o_orderdate AS DATE)) AS t
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+  WHERE CAST(o.o_orderdate AS DATE) > f.d1
+), d AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS d FROM rec GROUP BY 1
+), fdist AS (
+  SELECT fu, CAST(COUNT(*) AS BIGINT) AS c FROM fup GROUP BY 1
+), ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM fup),
+atrisk AS (
+  SELECT d.t, d.d,
+         n0 - COALESCE(CAST((SELECT SUM(c) FROM fdist
+                             WHERE fdist.fu < d.t) AS BIGINT), 0) AS n
+  FROM d CROSS JOIN ntot
+), inc AS (
+  SELECT t, d, n,
+         CAST(round(d / CAST(n AS DOUBLE), 12) AS DECIMAL(16,12)) AS i
+  FROM atrisk WHERE n > 0
+)
+SELECT CAST(t AS BIGINT) AS age_days, d AS n_events, n AS n_at_risk,
+       round(CAST(SUM(i) OVER (ORDER BY t) AS DOUBLE), 6) AS mcf
+FROM inc
+ORDER BY age_days
+"""
+
+
+@query("q_mcf_recurrent", oracle=MCF_SQL)
+def q_mcf_recurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    od = F.col("o_orderdate").cast("date")
+    firsts = cat.orders.groupBy("o_custkey").agg(F.min(od).alias("d1"))
+    endd = cat.orders.agg(F.max(od).alias("de"))
+    fup = firsts.join(F.broadcast(endd)).select(
+        "o_custkey", F.datediff("de", "d1").alias("fu")
+    ).localCheckpoint()
+    rec = (
+        cat.orders.select("o_orderkey", "o_custkey", od.alias("odd"))
+        .join(
+            firsts.select(F.col("o_custkey").alias("ck"), "d1"),
+            F.col("o_custkey") == F.col("ck"),
+        )
+        .filter(F.col("odd") > F.col("d1"))
+        .select(F.datediff("odd", "d1").alias("t"))
+    )
+    d = rec.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    fdist = fup.groupBy("fu").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ntot = fup.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    # n(t) = n0 - #{fu < t}: join the d-grid against the cumulative
+    # followup distribution via a range-style window over the union
+    # of (t) and (fu) keys — grid-sized, no per-customer join.
+    keys = d.select(F.col("t").alias("key")).union(
+        fdist.select(F.col("fu").alias("key"))
+    ).distinct()
+    wk = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, -1)
+    cume = (
+        keys.join(fdist, F.col("key") == F.col("fu"), "left")
+        .select("key", F.coalesce("c", F.lit(0)).alias("c"))
+        .select(
+            "key",
+            F.coalesce(F.sum("c").over(wk).cast("bigint"), F.lit(0))
+            .alias("below"),
+        )
+    )
+    atrisk = (
+        d.join(cume, d["t"] == cume["key"])
+        .join(F.broadcast(ntot))
+        .select("t", "d", (F.col("n0") - F.col("below")).alias("n"))
+    )
+    inc = atrisk.filter(F.col("n") > 0).select(
+        "t", "d", "n",
+        F.round(F.col("d") / F.col("n").cast("double"), 12)
+        .cast("decimal(16,12)")
+        .alias("i"),
+    )
+    return inc.select(
+        F.col("t").cast("bigint").alias("age_days"),
+        F.col("d").alias("n_events"),
+        F.col("n").alias("n_at_risk"),
+        F.round(
+            F.sum("i").over(Window.orderBy("t")).cast("double"), 6
+        ).alias("mcf"),
+    ).orderBy("age_days")
