@@ -4209,3 +4209,301 @@ def q_mcf_recurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("i").over(Window.orderBy("t")).cast("double"), 6
         ).alias("mcf"),
     ).orderBy("age_days")
+
+
+# -- q_kraljic ---------------------------------------------------------
+#
+# Kraljic procurement portfolio matrix per brand: profit impact =
+# share of total purchase spend, supply risk = supplier-concentration
+# HHI within the brand (sum of squared supplier shares — one supplier
+# = 1.0, fully diversified -> 1/k), median-split into the four named
+# quadrants (strategic / leverage / bottleneck / non-critical). The
+# procurement counterpart of q_bcg_matrix's sales view. Exact decimal
+# spend folds; shares/HHI are identical double chains; the quadrant
+# split compares 6-rounded values to 6-rounded medians.
+
+KRALJIC_SQL = """
+WITH bs AS (
+  SELECT p_brand, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS s
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), brand AS (
+  SELECT p_brand,
+         CAST(SUM(s) AS DECIMAL(30,2)) AS spend,
+         CAST(SUM(CAST(round((CAST(s AS DOUBLE)
+                              / CAST(SUM(s) OVER (PARTITION BY p_brand)
+                                     AS DOUBLE))
+                             * (CAST(s AS DOUBLE)
+                                / CAST(SUM(s) OVER (PARTITION BY p_brand)
+                                       AS DOUBLE)), 12)
+                       AS DECIMAL(16,12))) AS DOUBLE) AS hhi
+  FROM bs GROUP BY p_brand
+  QUALIFY FALSE
+), bw AS (
+  SELECT p_brand, s,
+         CAST(SUM(s) OVER (PARTITION BY p_brand) AS DECIMAL(30,2)) AS bsp
+  FROM bs
+), brand2 AS (
+  SELECT p_brand, MAX(bsp) AS spend,
+         CAST(SUM(CAST(round((CAST(s AS DOUBLE) / CAST(bsp AS DOUBLE))
+                             * (CAST(s AS DOUBLE) / CAST(bsp AS DOUBLE)),
+                             12) AS DECIMAL(16,12))) AS DOUBLE) AS hhi
+  FROM bw GROUP BY 1
+), tot AS (SELECT CAST(SUM(spend) AS DOUBLE) AS t FROM brand2),
+med AS (
+  SELECT round(quantile_cont(CAST(spend AS DOUBLE) / t, 0.5), 6) AS m_imp,
+         round(quantile_cont(hhi, 0.5), 6) AS m_risk
+  FROM brand2 CROSS JOIN tot
+)
+SELECT p_brand,
+       CAST(spend AS DOUBLE) AS spend,
+       round(CAST(spend AS DOUBLE) / t, 6) AS profit_impact,
+       round(hhi, 6) AS supply_risk_hhi,
+       CASE
+         WHEN round(CAST(spend AS DOUBLE) / t, 6) > m_imp
+              AND round(hhi, 6) > m_risk THEN 'strategic'
+         WHEN round(CAST(spend AS DOUBLE) / t, 6) > m_imp THEN 'leverage'
+         WHEN round(hhi, 6) > m_risk THEN 'bottleneck'
+         ELSE 'non-critical' END AS quadrant
+FROM brand2 CROSS JOIN tot CROSS JOIN med
+ORDER BY p_brand
+"""
+KRALJIC_SQL = KRALJIC_SQL.replace(
+    """), brand AS (
+  SELECT p_brand,
+         CAST(SUM(s) AS DECIMAL(30,2)) AS spend,
+         CAST(SUM(CAST(round((CAST(s AS DOUBLE)
+                              / CAST(SUM(s) OVER (PARTITION BY p_brand)
+                                     AS DOUBLE))
+                             * (CAST(s AS DOUBLE)
+                                / CAST(SUM(s) OVER (PARTITION BY p_brand)
+                                       AS DOUBLE)), 12)
+                       AS DECIMAL(16,12))) AS DOUBLE) AS hhi
+  FROM bs GROUP BY p_brand
+  QUALIFY FALSE
+""",
+    "",
+)
+
+
+@query("q_kraljic", oracle=KRALJIC_SQL)
+def q_kraljic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    bs = (
+        cat.lineitem.join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(dec("l_extendedprice")).cast("decimal(28,2)").alias("s"))
+    )
+    bw = bs.select(
+        "p_brand", "s",
+        F.sum("s")
+        .over(Window.partitionBy("p_brand"))
+        .cast("decimal(30,2)")
+        .alias("bsp"),
+    )
+    share = F.col("s").cast("double") / F.col("bsp").cast("double")
+    brand2 = bw.groupBy("p_brand").agg(
+        F.max("bsp").alias("spend"),
+        F.sum(F.round(share * share, 12).cast("decimal(16,12)"))
+        .cast("double")
+        .alias("hhi"),
+    ).localCheckpoint()
+    tot = brand2.agg(F.sum("spend").cast("double").alias("t"))
+    imp = F.round(F.col("spend").cast("double") / F.col("t"), 6)
+    risk = F.round(F.col("hhi"), 6)
+    med = (
+        brand2.join(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.percentile(
+                    F.col("spend").cast("double") / F.col("t"), F.lit(0.5)
+                ),
+                6,
+            ).alias("m_imp"),
+            F.round(F.percentile("hhi", F.lit(0.5)), 6).alias("m_risk"),
+        )
+    )
+    return (
+        brand2.join(F.broadcast(tot))
+        .join(F.broadcast(med))
+        .select(
+            "p_brand",
+            F.col("spend").cast("double").alias("spend"),
+            imp.alias("profit_impact"),
+            risk.alias("supply_risk_hhi"),
+            F.when(
+                (imp > F.col("m_imp")) & (risk > F.col("m_risk")),
+                "strategic",
+            )
+            .when(imp > F.col("m_imp"), "leverage")
+            .when(risk > F.col("m_risk"), "bottleneck")
+            .otherwise("non-critical")
+            .alias("quadrant"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# -- q_stl_strength ----------------------------------------------------
+#
+# Hyndman trend/seasonal strength features per event type over the
+# q_stl_lite decomposition: F_trend = max(0, 1 - var(R)/var(T+R)) and
+# F_seasonal = max(0, 1 - var(R)/var(S+R)) — the two numbers that
+# compress a decomposition into "is this series trendy / seasonal
+# enough to route to a seasonal model" (the feasts/M4 feature pair).
+# Components are 6-rounded doubles folded as exact decimals; the
+# variance ratios are the only unrounded doubles.
+
+STL_STRENGTH_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, day, rev,
+         CAST(SUM(rev) OVER w AS DECIMAL(28,2)) AS wsum,
+         CAST(COUNT(*) OVER w AS BIGINT) AS wn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dt AS (
+  SELECT event_type, day, rev,
+         CAST(wsum AS DOUBLE) / wn AS trend,
+         round(CAST(rev AS DOUBLE) - CAST(wsum AS DOUBLE) / wn, 6)
+           AS detrended,
+         isodow(day) AS dow, wn
+  FROM tr
+), se AS (
+  SELECT event_type, dow,
+         round(CAST(SUM(CAST(detrended AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*), 6) AS seas
+  FROM dt WHERE wn = 7 GROUP BY 1, 2
+), comp AS (
+  SELECT dt.event_type,
+         CAST(round(dt.trend, 6) AS DECIMAL(18,6)) AS t,
+         CAST(se.seas AS DECIMAL(18,6)) AS s,
+         CAST(round(CAST(dt.rev AS DOUBLE) - dt.trend - se.seas, 6)
+              AS DECIMAL(18,6)) AS r
+  FROM dt JOIN se ON se.event_type = dt.event_type AND se.dow = dt.dow
+  WHERE dt.wn = 7
+), mom AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(r) AS DOUBLE) AS sr,
+         CAST(SUM(CAST(round(CAST(r AS DOUBLE) * CAST(r AS DOUBLE), 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS srr,
+         CAST(SUM(t + r) AS DOUBLE) AS str_,
+         CAST(SUM(CAST(round((CAST(t AS DOUBLE) + CAST(r AS DOUBLE))
+                             * (CAST(t AS DOUBLE) + CAST(r AS DOUBLE)), 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS strr,
+         CAST(SUM(s + r) AS DOUBLE) AS ssr,
+         CAST(SUM(CAST(round((CAST(s AS DOUBLE) + CAST(r AS DOUBLE))
+                             * (CAST(s AS DOUBLE) + CAST(r AS DOUBLE)), 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS ssrr
+  FROM comp GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       round(GREATEST(0.0, 1 - ((srr - sr * sr / n) / (n - 1))
+                             / ((strr - str_ * str_ / n) / (n - 1))), 6)
+         AS trend_strength,
+       round(GREATEST(0.0, 1 - ((srr - sr * sr / n) / (n - 1))
+                             / ((ssrr - ssr * ssr / n) / (n - 1))), 6)
+         AS seasonal_strength
+FROM mom
+ORDER BY event_type
+"""
+
+
+@query("q_stl_strength", oracle=STL_STRENGTH_SQL)
+def q_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("decimal(24,2)")
+            .alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type", "day", "rev",
+        F.sum("rev").over(w).cast("decimal(28,2)").alias("wsum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("wn"),
+    )
+    trend = F.col("wsum").cast("double") / F.col("wn")
+    dt = tr.select(
+        "event_type", "day", "rev",
+        trend.alias("trend"),
+        F.round(F.col("rev").cast("double") - trend, 6).alias("detrended"),
+        F.dayofweek("day").alias("dow"),
+        "wn",
+    ).localCheckpoint()
+    se = (
+        dt.filter(F.col("wn") == 7)
+        .groupBy("event_type", "dow")
+        .agg(
+            F.round(
+                F.sum(F.col("detrended").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("seas")
+        )
+    )
+    comp = (
+        dt.filter(F.col("wn") == 7)
+        .join(F.broadcast(se), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.round("trend", 6).cast("decimal(18,6)").alias("t"),
+            F.col("seas").cast("decimal(18,6)").alias("s"),
+            F.round(
+                F.col("rev").cast("double")
+                - F.col("trend")
+                - F.col("seas"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("r"),
+        )
+    )
+    t, s, r = F.col("t"), F.col("s"), F.col("r")
+    td, sd, rd = (c.cast("double") for c in (t, s, r))
+    mom = comp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(r).cast("double").alias("sr"),
+        F.sum(F.round(rd * rd, 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("srr"),
+        F.sum(t + r).cast("double").alias("str_"),
+        F.sum(F.round((td + rd) * (td + rd), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("strr"),
+        F.sum(s + r).cast("double").alias("ssr"),
+        F.sum(F.round((sd + rd) * (sd + rd), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("ssrr"),
+    )
+    n = F.col("n")
+    var_r = (F.col("srr") - F.col("sr") * F.col("sr") / n) / (n - 1)
+    var_tr = (F.col("strr") - F.col("str_") * F.col("str_") / n) / (n - 1)
+    var_sr = (F.col("ssrr") - F.col("ssr") * F.col("ssr") / n) / (n - 1)
+    return mom.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        F.round(F.greatest(F.lit(0.0), 1 - var_r / var_tr), 6)
+        .alias("trend_strength"),
+        F.round(F.greatest(F.lit(0.0), 1 - var_r / var_sr), 6)
+        .alias("seasonal_strength"),
+    ).orderBy("event_type")
