@@ -4507,3 +4507,231 @@ def q_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.greatest(F.lit(0.0), 1 - var_r / var_sr), 6)
         .alias("seasonal_strength"),
     ).orderBy("event_type")
+
+
+# -- q_rolling_beta ----------------------------------------------------
+#
+# Rolling 91-day market beta per brand, snapshotted at each month's
+# last trading day: cov(brand, market)/var(market) over a trailing
+# ROWS window on the zero-filled brand x day grid — the TIME-VARYING
+# exposure q_market_beta's full-sample number averages away (a brand
+# de-rating from beta 1.3 to 0.7 is invisible there). Window moments
+# are exact decimal folds (4-rounded cross products); beta is one
+# double division; the month-end snapshot picks rn = 1 per (brand,
+# month) deterministically. Scale: |brands| x |days| grid windows.
+
+ROLLBETA_SQL = """
+WITH bd0 AS (
+  SELECT p_brand, CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(19,2)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), days AS (
+  SELECT d, CAST(SUM(rev) AS DECIMAL(22,2)) AS mkt FROM bd0 GROUP BY 1
+), brands AS (SELECT DISTINCT p_brand FROM bd0),
+grid AS (
+  SELECT b.p_brand, d.d, d.mkt,
+         COALESCE(bd0.rev, CAST(0 AS DECIMAL(19,2))) AS rev
+  FROM brands b CROSS JOIN days d
+  LEFT JOIN bd0 ON bd0.p_brand = b.p_brand AND bd0.d = d.d
+), roll AS (
+  SELECT p_brand, d,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(mkt) OVER w AS DECIMAL(30,2)) AS sx,
+         CAST(SUM(rev) OVER w AS DECIMAL(30,2)) AS sy,
+         CAST(SUM(CAST(round(CAST(mkt AS DOUBLE) * CAST(mkt AS DOUBLE), 4)
+                       AS DECIMAL(38,4))) OVER w AS DECIMAL(38,4)) AS sxx,
+         CAST(SUM(CAST(round(CAST(mkt AS DOUBLE) * CAST(rev AS DOUBLE), 4)
+                       AS DECIMAL(38,4))) OVER w AS DECIMAL(38,4)) AS sxy
+  FROM grid
+  WINDOW w AS (PARTITION BY p_brand ORDER BY d
+               ROWS BETWEEN 90 PRECEDING AND CURRENT ROW)
+), snap AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY p_brand, strftime(d, '%Y-%m')
+                            ORDER BY d DESC) AS rn
+  FROM roll
+)
+SELECT p_brand, strftime(d, '%Y-%m') AS month,
+       round((n * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta
+FROM snap
+WHERE rn = 1 AND n = 91
+ORDER BY p_brand, month
+"""
+
+
+@query("q_rolling_beta", oracle=ROLLBETA_SQL)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    bd0 = (
+        cat.lineitem.join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.sum(dec("l_extendedprice")).cast("decimal(19,2)").alias("rev"))
+        .localCheckpoint()
+    )
+    days = bd0.groupBy("d").agg(
+        F.sum("rev").cast("decimal(22,2)").alias("mkt")
+    )
+    brands = bd0.select("p_brand").distinct()
+    grid = (
+        brands.crossJoin(F.broadcast(days))
+        .join(bd0, ["p_brand", "d"], "left")
+        .select(
+            "p_brand", "d", "mkt",
+            F.coalesce("rev", F.lit(0).cast("decimal(19,2)")).alias("rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("d")
+        .rowsBetween(-90, 0)
+    )
+    mktd = F.col("mkt").cast("double")
+    revd = F.col("rev").cast("double")
+    roll = grid.select(
+        "p_brand", "d",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("mkt").over(w).cast("decimal(30,2)").alias("sx"),
+        F.sum("rev").over(w).cast("decimal(30,2)").alias("sy"),
+        F.sum(F.round(mktd * mktd, 4).cast("decimal(38,4)"))
+        .over(w)
+        .cast("decimal(38,4)")
+        .alias("sxx"),
+        F.sum(F.round(mktd * revd, 4).cast("decimal(38,4)"))
+        .over(w)
+        .cast("decimal(38,4)")
+        .alias("sxy"),
+    )
+    snap = roll.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy(
+                "p_brand", F.date_format("d", "yyyy-MM")
+            ).orderBy(F.col("d").desc())
+        )
+        .alias("rn"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    return (
+        snap.filter((F.col("rn") == 1) & (n == 91))
+        .select(
+            "p_brand",
+            F.date_format("d", "yyyy-MM").alias("month"),
+            F.round(
+                (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+            ).alias("beta"),
+        )
+        .orderBy("p_brand", "month")
+    )
+
+
+# -- q_cohort_payback --------------------------------------------------
+#
+# Cohort payback period: for each monthly acquisition cohort, the
+# first age (months since first order) at which cumulative revenue
+# per acquired customer reaches 2x the age-0 value — the "months to
+# recover acquisition spend" growth metric that LTV curves
+# (q_cohort_ltv) imply but don't state. Cumulative per-cohort revenue
+# is an exact decimal window fold; the threshold comparison is exact
+# decimal vs decimal (age-0 value doubled exactly), so the argmin age
+# is cross-engine stable; cohorts that never pay back report NULL.
+
+PAYBACK_SQL = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(strftime(CAST(o_orderdate AS DATE), '%Y-%m'))
+           AS cohort
+  FROM orders GROUP BY 1
+), sized AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cust FROM firsts GROUP BY 1
+), rev AS (
+  SELECT f.cohort,
+         (CAST(strftime(CAST(o.o_orderdate AS DATE), '%Y') AS BIGINT) * 12
+          + CAST(strftime(CAST(o.o_orderdate AS DATE), '%m') AS BIGINT))
+         - (CAST(substr(f.cohort, 1, 4) AS BIGINT) * 12
+            + CAST(substr(f.cohort, 6, 2) AS BIGINT)) AS age,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS r
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, age,
+         CAST(SUM(r) OVER (PARTITION BY cohort ORDER BY age)
+              AS DECIMAL(30,2)) AS cr,
+         CAST(FIRST_VALUE(r) OVER (PARTITION BY cohort ORDER BY age)
+              AS DECIMAL(30,2)) AS r0
+  FROM rev
+), pb AS (
+  SELECT cohort, MIN(CASE WHEN age > 0 AND cr >= 2 * r0 THEN age END)
+           AS payback_age,
+         MAX(CASE WHEN age = 0 THEN CAST(r0 AS DOUBLE) END) AS m0
+  FROM cum GROUP BY 1
+)
+SELECT pb.cohort, s.n_cust,
+       round(pb.m0 / s.n_cust, 2) AS month0_rev_per_cust,
+       CAST(pb.payback_age AS BIGINT) AS payback_age_months
+FROM pb JOIN sized s ON s.cohort = pb.cohort
+ORDER BY pb.cohort
+"""
+
+
+@query("q_cohort_payback", oracle=PAYBACK_SQL)
+def q_cohort_payback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    od = F.col("o_orderdate").cast("date")
+    firsts = cat.orders.groupBy("o_custkey").agg(
+        F.min(F.date_format(od, "yyyy-MM")).alias("cohort")
+    ).localCheckpoint()
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust")
+    )
+    midx = F.year(od).cast("bigint") * 12 + F.month(od).cast("bigint")
+    cidx = (
+        F.substring("cohort", 1, 4).cast("bigint") * 12
+        + F.substring("cohort", 6, 2).cast("bigint")
+    )
+    rev = (
+        cat.orders.join(
+            firsts.select(F.col("o_custkey").alias("ck"), "cohort"),
+            F.col("o_custkey") == F.col("ck"),
+        )
+        .groupBy("cohort", (midx - cidx).alias("age"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(28,2)").alias("r"))
+    )
+    wc = Window.partitionBy("cohort").orderBy("age")
+    cum = rev.select(
+        "cohort", "age",
+        F.sum("r").over(wc).cast("decimal(30,2)").alias("cr"),
+        F.first("r").over(wc).cast("decimal(30,2)").alias("r0"),
+    )
+    pb = cum.groupBy("cohort").agg(
+        F.min(
+            F.when(
+                (F.col("age") > 0) & (F.col("cr") >= 2 * F.col("r0")),
+                F.col("age"),
+            )
+        ).alias("payback_age"),
+        F.max(
+            F.when(F.col("age") == 0, F.col("r0").cast("double"))
+        ).alias("m0"),
+    )
+    return (
+        pb.join(sized, "cohort")
+        .select(
+            "cohort", "n_cust",
+            F.round(F.col("m0") / F.col("n_cust"), 2)
+            .alias("month0_rev_per_cust"),
+            F.col("payback_age").cast("bigint")
+            .alias("payback_age_months"),
+        )
+        .orderBy("cohort")
+    )
