@@ -161,7 +161,8 @@ _WINDOW_FIRST = [
     "q_safety_stock", "q_turning_points", "q_qini_auuc", "q_msprt",
     "q_ridge_path", "q_var_backtest", "q_adstock_mmm",
     "q_fh_smallarea", "q_mcf_recurrent", "q_kraljic", "q_stl_strength",
-    "q_rolling_beta", "q_cohort_payback",
+    "q_rolling_beta", "q_cohort_payback", "q_perfect_order",
+    "q_es_backtest",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

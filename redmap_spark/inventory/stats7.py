@@ -4735,3 +4735,207 @@ def q_cohort_payback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# -- q_perfect_order ---------------------------------------------------
+#
+# Perfect-order KPI by order month: an order is ON TIME when every
+# line ships within 30 days of the order date, CLEAN when no line
+# comes back (returnflag 'R'), and PERFECT when both — the composite
+# supply-chain service metric whose multiplicative decay explains why
+# 95% x 95% is a mediocre 90%. One lineitem ⋈ orders scan collapses
+# to order-level flags via MIN/MAX conditional aggregation, then to
+# the month grid; all counts exact BIGINTs, rates 6-rounded doubles.
+
+PERFECT_SQL = """
+WITH ol AS (
+  SELECT o_orderkey,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+         MIN(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE)) <= 30
+                  THEN 1 ELSE 0 END) AS on_time,
+         MIN(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS clean
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT mon,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(SUM(on_time) / CAST(COUNT(*) AS DOUBLE), 6) AS on_time_rate,
+       round(SUM(clean) / CAST(COUNT(*) AS DOUBLE), 6) AS clean_rate,
+       round(SUM(on_time * clean) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS perfect_rate
+FROM ol
+GROUP BY mon
+ORDER BY mon
+"""
+
+
+@query("q_perfect_order", oracle=PERFECT_SQL)
+def q_perfect_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ol = (
+        cat.orders.join(
+            cat.lineitem.select("l_orderkey", "l_shipdate", "l_returnflag"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            .alias("mon"),
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.datediff(
+                        F.col("l_shipdate").cast("date"),
+                        F.col("o_orderdate").cast("date"),
+                    )
+                    <= 30,
+                    1,
+                ).otherwise(0)
+            ).alias("on_time"),
+            F.min(
+                F.when(F.col("l_returnflag") == "R", 0).otherwise(1)
+            ).alias("clean"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return (
+        ol.groupBy("mon")
+        .agg(
+            n.cast("bigint").alias("n_orders"),
+            F.round(F.sum("on_time") / n.cast("double"), 6)
+            .alias("on_time_rate"),
+            F.round(F.sum("clean") / n.cast("double"), 6)
+            .alias("clean_rate"),
+            F.round(
+                F.sum(F.col("on_time") * F.col("clean")) / n.cast("double"),
+                6,
+            ).alias("perfect_rate"),
+        )
+        .orderBy("mon")
+    )
+
+
+# -- q_es_backtest -----------------------------------------------------
+#
+# Expected-shortfall backtest (Acerbi-Szekely Z2) companion to
+# q_var_backtest: the rolling parametric 97.5% ES_t = mu - sigma *
+# phi(z_.025)/.025 (normal tail mean, phi(z_.025)/.025 = 2.337803
+# documented constant) is scored against realized next-day
+# log-changes; Z2 = sum(r_t * I[r_t < VaR_t] / (n * alpha * ES_t)) + 1
+# should sit near 0 under a correct model, < 0 when tail losses are
+# understated — the FRTB-era test that replaced pure VaR counting.
+# Rolling moments are the same exact decimal window folds as
+# q_var_backtest; Z2 terms are 9-rounded decimals folded exactly.
+
+ESBT_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev
+  FROM orders GROUP BY 1
+), chg AS (
+  SELECT day,
+         CAST(round(ln(CAST(rev AS DOUBLE)
+                       / CAST(LAG(rev) OVER (ORDER BY day) AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS r
+  FROM daily
+), roll AS (
+  SELECT day, r,
+         CAST(COUNT(r) OVER w AS BIGINT) AS n60,
+         CAST(SUM(r) OVER w AS DECIMAL(28,9)) AS s1,
+         CAST(SUM(CAST(r * r AS DECIMAL(28,9))) OVER w
+              AS DECIMAL(38,9)) AS s2
+  FROM chg
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT CAST(r AS DOUBLE) AS r,
+         CAST(s1 AS DOUBLE) / n60
+           - 1.96 * sqrt((CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n60)
+                         / (n60 - 1)) AS var_t,
+         CAST(s1 AS DOUBLE) / n60
+           - 2.337803 * sqrt((CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                / n60)
+                             / (n60 - 1)) AS es_t
+  FROM roll WHERE n60 >= 60 AND r IS NOT NULL
+), terms AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN r < var_t THEN 1 ELSE 0 END) AS BIGINT)
+           AS viol,
+         CAST(SUM(CASE WHEN r < var_t THEN
+               CAST(round(r / es_t, 9) AS DECIMAL(20,9)) END) AS DOUBLE)
+           AS sz
+  FROM scored
+)
+SELECT CAST(n AS BIGINT) AS n_days, viol AS violations,
+       round(COALESCE(sz, 0) / (n * 0.025) - 1, 6) AS z2,
+       CAST(CASE WHEN COALESCE(sz, 0) / (n * 0.025) - 1 < -0.7
+            THEN 1 ELSE 0 END AS BIGINT) AS reject_model
+FROM terms
+"""
+
+
+@query("q_es_backtest", oracle=ESBT_SQL)
+def q_es_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = cat.orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+    wd = Window.orderBy("day")
+    chg = daily.select(
+        "day",
+        F.round(
+            F.log(
+                F.col("rev").cast("double")
+                / F.lag("rev").over(wd).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("r"),
+    )
+    wroll = wd.rowsBetween(-60, -1)
+    roll = chg.select(
+        "day", "r",
+        F.count("r").over(wroll).cast("bigint").alias("n60"),
+        F.sum("r").over(wroll).cast("decimal(28,9)").alias("s1"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(28,9)"))
+        .over(wroll)
+        .cast("decimal(38,9)")
+        .alias("s2"),
+    )
+    n60 = F.col("n60")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    sd = F.sqrt((s2 - s1 * s1 / n60) / (n60 - 1))
+    scored = roll.filter((n60 >= 60) & F.col("r").isNotNull()).select(
+        F.col("r").cast("double").alias("r"),
+        (s1 / n60 - 1.96 * sd).alias("var_t"),
+        (s1 / n60 - 2.337803 * sd).alias("es_t"),
+    )
+    hit = F.col("r") < F.col("var_t")
+    terms = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("viol"),
+        F.sum(
+            F.when(
+                hit,
+                F.round(F.col("r") / F.col("es_t"), 9).cast(
+                    "decimal(20,9)"
+                ),
+            )
+        )
+        .cast("double")
+        .alias("sz"),
+    )
+    n = F.col("n")
+    z2 = F.coalesce(F.col("sz"), F.lit(0.0)) / (n * 0.025) - 1
+    return terms.select(
+        n.cast("bigint").alias("n_days"),
+        F.col("viol").alias("violations"),
+        F.round(z2, 6).alias("z2"),
+        F.when(z2 < -0.7, 1).otherwise(0).cast("bigint")
+        .alias("reject_model"),
+    )
