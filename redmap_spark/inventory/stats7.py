@@ -4939,3 +4939,368 @@ def q_es_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(z2 < -0.7, 1).otherwise(0).cast("bigint")
         .alias("reject_model"),
     )
+
+
+# -- q_apportionment ---------------------------------------------------
+#
+# Largest-remainder (Hamilton) apportionment of a fixed 100-slot
+# budget across nations proportional to customer counts — the exact
+# integer allocation problem behind sampling quotas, shard counts and
+# seat assignment, where naive rounding over- or under-shoots. Quota
+# q_i = 100 * n_i / N as an exact fraction (integer 100*n_i DIV N and
+# remainder 100*n_i MOD N — no floating point anywhere), floor seats
+# first, the R = 100 - sum(floor) leftover seats to the R largest
+# remainders (tie-break: larger nation, then name). Fully BIGINT;
+# bit-identical across engines by construction.
+
+APPORTION_SQL = """
+WITH pop AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM pop),
+quota AS (
+  SELECT n_name, n,
+         (100 * n) // nt AS fl,
+         (100 * n) % nt AS rem
+  FROM pop CROSS JOIN tot
+), leftover AS (
+  SELECT CAST(100 - SUM(fl) AS BIGINT) AS r FROM quota
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, n DESC, n_name) AS rk
+  FROM quota
+)
+SELECT n_name, n AS n_customers,
+       round(100.0 * n / nt, 6) AS quota,
+       CAST(fl AS BIGINT) AS floor_seats,
+       CAST(fl + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT) AS seats
+FROM ranked CROSS JOIN leftover CROSS JOIN tot
+ORDER BY n_name
+"""
+
+
+@query("q_apportionment", oracle=APPORTION_SQL)
+def q_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    pop = (
+        cat.customer.join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = pop.agg(F.sum("n").cast("bigint").alias("nt"))
+    quota = pop.join(F.broadcast(tot)).select(
+        "n_name", "n", "nt",
+        F.expr("(100 * n) div nt").alias("fl"),
+        ((100 * F.col("n")) % F.col("nt")).alias("rem"),
+    ).localCheckpoint()
+    leftover = quota.agg(
+        (100 - F.sum("fl")).cast("bigint").alias("r")
+    )
+    ranked = quota.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("rem").desc(), F.col("n").desc(), "n_name"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(leftover))
+        .select(
+            "n_name",
+            F.col("n").alias("n_customers"),
+            F.round(100.0 * F.col("n") / F.col("nt"), 6).alias("quota"),
+            F.col("fl").cast("bigint").alias("floor_seats"),
+            (
+                F.col("fl")
+                + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("seats"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# -- q_smr_indirect ----------------------------------------------------
+#
+# Indirectly standardized morbidity ratio per nation: expected
+# F-status orders from the GLOBAL priority-specific rates applied to
+# each nation's priority mix, SMR = observed/expected with the Byar
+# approximation 95% CI — the epidemiology answer to "is this nation's
+# failure rate high, or does it just have a risky order mix", i.e.
+# the standardization q_simpsons_detector flags the need for.
+# Stratum counts are exact BIGINTs; expected counts are 9-rounded
+# decimal folds; the Byar cube-root chain is one identical double
+# expression.
+
+SMR_SQL = """
+WITH strat AS (
+  SELECT n_name, o_orderpriority AS pri,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), grates AS (
+  SELECT pri, SUM(d) / CAST(SUM(n) AS DOUBLE) AS rate
+  FROM strat GROUP BY 1
+), nat AS (
+  SELECT s.n_name,
+         CAST(SUM(s.d) AS BIGINT) AS obs,
+         CAST(SUM(CAST(round(s.n * g.rate, 9) AS DECIMAL(20,9)))
+              AS DOUBLE) AS exp_
+  FROM strat s JOIN grates g ON g.pri = s.pri
+  GROUP BY 1
+)
+SELECT n_name, obs AS observed, round(exp_, 4) AS expected,
+       round(obs / exp_, 6) AS smr,
+       round((obs * pow(1 - 1.0 / (9 * obs)
+                        - 1.96 / (3 * sqrt(CAST(obs AS DOUBLE))), 3))
+             / exp_, 6) AS smr_ci_lo,
+       round(((obs + 1) * pow(1 - 1.0 / (9 * (obs + 1))
+                              + 1.96 / (3 * sqrt(obs + 1.0)), 3))
+             / exp_, 6) AS smr_ci_hi
+FROM nat
+ORDER BY n_name
+"""
+
+
+@query("q_smr_indirect", oracle=SMR_SQL)
+def q_smr_indirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    strat = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .localCheckpoint()
+    )
+    glob = strat.groupBy("pri").agg(
+        (F.sum("d") / F.sum("n").cast("double")).alias("rate")
+    )
+    nat = (
+        strat.join(F.broadcast(glob), "pri")
+        .groupBy("n_name")
+        .agg(
+            F.sum("d").cast("bigint").alias("obs"),
+            F.sum(
+                F.round(F.col("n") * F.col("rate"), 9).cast("decimal(20,9)")
+            )
+            .cast("double")
+            .alias("exp_"),
+        )
+    )
+    obs, exp_ = F.col("obs"), F.col("exp_")
+    lo = (
+        obs
+        * F.pow(
+            1 - 1.0 / (9 * obs) - 1.96 / (3 * F.sqrt(obs.cast("double"))),
+            3,
+        )
+    ) / exp_
+    hi = (
+        (obs + 1)
+        * F.pow(
+            1 - 1.0 / (9 * (obs + 1)) + 1.96 / (3 * F.sqrt(obs + 1.0)),
+            3,
+        )
+    ) / exp_
+    return nat.select(
+        "n_name",
+        obs.alias("observed"),
+        F.round(exp_, 4).alias("expected"),
+        F.round(obs / exp_, 6).alias("smr"),
+        F.round(lo, 6).alias("smr_ci_lo"),
+        F.round(hi, 6).alias("smr_ci_hi"),
+    ).orderBy("n_name")
+
+
+# -- q_enrichment_ora --------------------------------------------------
+#
+# Over-representation analysis: is each market segment enriched among
+# the top-1000 spenders? Hypergeometric upper-tail p via the SAME
+# zero-lgamma recurrence machinery as q_fisher_exact (log-weight
+# cumsum over the support, max-normalized exact-decimal weights; the
+# tail sums k >= observed overlap) plus the fold-enrichment ratio —
+# the GSEA-style ORA pattern applied to customer cohorts. Top-k
+# membership ranks deterministically by (spend desc, custkey); the
+# support enumeration is min(k, |segment|) rows per segment.
+
+ORA_SQL = """
+WITH spend AS (
+  SELECT c_custkey, c_mktsegment AS seg,
+         CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+                       CAST(0 AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS s
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT seg,
+         CASE WHEN ROW_NUMBER() OVER (ORDER BY s DESC, c_custkey) <= 1000
+              THEN 1 ELSE 0 END AS topk
+  FROM spend
+), cells AS (
+  SELECT seg,
+         CAST(SUM(topk) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(SUM(topk)) OVER () AS BIGINT) AS k,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+  FROM ranked GROUP BY seg
+), support AS (
+  SELECT seg, x, m, k, n,
+         UNNEST(generate_series(CAST(GREATEST(0, k + m - n) AS BIGINT),
+                                CAST(LEAST(k, m) AS BIGINT))) AS j
+  FROM cells
+), inc AS (
+  SELECT *,
+         CASE WHEN j = GREATEST(0, k + m - n)
+              THEN CAST(0 AS DECIMAL(24,12))
+              ELSE CAST(round(ln(
+                     (CAST(m - j + 1 AS DOUBLE) * (k - j + 1))
+                     / (CAST(j AS DOUBLE) * (n - m - k + j))), 12)
+                   AS DECIMAL(24,12)) END AS lr
+  FROM support
+), lw AS (
+  SELECT *, SUM(lr) OVER (PARTITION BY seg ORDER BY j) AS logw
+  FROM inc
+), norm AS (
+  SELECT *, MAX(logw) OVER (PARTITION BY seg) AS mx
+  FROM lw
+), w AS (
+  SELECT seg, x, m, k, n, j,
+         CAST(round(exp(CAST(logw - mx AS DOUBLE)), 12)
+              AS DECIMAL(14,12)) AS wt
+  FROM norm
+)
+SELECT seg,
+       CAST(x AS BIGINT) AS in_topk,
+       CAST(m AS BIGINT) AS segment_size,
+       round((CAST(x AS DOUBLE) / k) / (CAST(m AS DOUBLE) / n), 6)
+         AS fold_enrichment,
+       round(CAST(SUM(CASE WHEN j >= x THEN wt END) AS DOUBLE)
+             / CAST(SUM(wt) AS DOUBLE), 6) AS p_enriched
+FROM w
+GROUP BY seg, x, m, k, n
+ORDER BY seg
+"""
+
+
+@query("q_enrichment_ora", oracle=ORA_SQL)
+def q_enrichment_ora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    spend = (
+        cat.customer.join(
+            cat.orders.select("o_custkey", "o_totalprice"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.coalesce(
+                F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)")
+            )
+            .cast("decimal(24,2)")
+            .alias("s")
+        )
+    )
+    ranked = spend.select(
+        "seg",
+        F.when(
+            F.row_number().over(
+                Window.orderBy(F.col("s").desc(), "c_custkey")
+            )
+            <= 1000,
+            1,
+        )
+        .otherwise(0)
+        .alias("topk"),
+    )
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cells = (
+        ranked.groupBy("seg")
+        .agg(
+            F.sum("topk").cast("bigint").alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+        .select(
+            "seg", "x", "m",
+            F.sum("x").over(wall).cast("bigint").alias("k"),
+            F.sum("m").over(wall).cast("bigint").alias("n"),
+        )
+        .localCheckpoint()
+    )
+    m, k, n, j = F.col("m"), F.col("k"), F.col("n"), F.col("j")
+    jmin = F.greatest(F.lit(0).cast("bigint"), k + m - n)
+    support = cells.select(
+        "seg", "x", "m", "k", "n",
+        F.explode(F.sequence(jmin, F.least(k, m))).alias("j"),
+    )
+    lr = (
+        F.when(j == jmin, F.lit(0).cast("decimal(24,12)"))
+        .otherwise(
+            F.round(
+                F.log(
+                    ((m - j + 1).cast("double") * (k - j + 1))
+                    / (j.cast("double") * (n - m - k + j))
+                ),
+                12,
+            ).cast("decimal(24,12)")
+        )
+        .alias("lr")
+    )
+    ws = Window.partitionBy("seg")
+    lw = support.select("*", lr).select(
+        "*", F.sum("lr").over(ws.orderBy("j")).alias("logw")
+    )
+    norm = lw.select("*", F.max("logw").over(ws).alias("mx"))
+    w = norm.select(
+        "seg", "x", "m", "k", "n", "j",
+        F.round(F.exp((F.col("logw") - F.col("mx")).cast("double")), 12)
+        .cast("decimal(14,12)")
+        .alias("wt"),
+    )
+    x = F.col("x")
+    return (
+        w.groupBy("seg", "x", "m", "k", "n")
+        .agg(
+            F.sum(F.when(j >= x, F.col("wt"))).alias("s_tail"),
+            F.sum("wt").alias("s_all"),
+        )
+        .select(
+            "seg",
+            x.cast("bigint").alias("in_topk"),
+            m.cast("bigint").alias("segment_size"),
+            F.round(
+                (x.cast("double") / k) / (m.cast("double") / n), 6
+            ).alias("fold_enrichment"),
+            F.round(
+                F.col("s_tail").cast("double")
+                / F.col("s_all").cast("double"),
+                6,
+            ).alias("p_enriched"),
+        )
+        .orderBy("seg")
+    )
