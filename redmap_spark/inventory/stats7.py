@@ -5304,3 +5304,315 @@ def q_enrichment_ora(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# -- q_direct_standardization ------------------------------------------
+#
+# DIRECT standardization companion to q_smr_indirect: each nation's
+# priority-specific F-status rates are applied to the GLOBAL priority
+# mix (the "standard population"), yielding the rate the nation WOULD
+# show with an average order mix — comparable across nations where
+# crude rates are not, and the converse adjustment to SMR's indirect
+# form. Stratum weights w_s = global n_s / N; DSR = sum w_s * r_{i,s}
+# over 9-rounded decimal terms; strata the nation never sees
+# contribute their weight times zero (documented, matches the epi
+# convention of treating unobserved strata as rate 0 only when truly
+# absent — here every nation has all five priorities at tested SFs).
+
+DSTD_SQL = """
+WITH strat AS (
+  SELECT n_name, o_orderpriority AS pri,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), std AS (
+  SELECT pri, CAST(SUM(n) AS BIGINT) AS ns,
+         CAST(SUM(SUM(n)) OVER () AS BIGINT) AS nt
+  FROM strat GROUP BY 1
+), dsr AS (
+  SELECT s.n_name,
+         CAST(SUM(s.d) AS BIGINT) AS obs,
+         CAST(SUM(s.n) AS BIGINT) AS n,
+         CAST(SUM(CAST(round((CAST(t.ns AS DOUBLE) / t.nt)
+                             * (s.d / CAST(s.n AS DOUBLE)), 9)
+                       AS DECIMAL(16,9))) AS DOUBLE) AS rate_std
+  FROM strat s JOIN std t ON t.pri = s.pri
+  GROUP BY 1
+)
+SELECT n_name,
+       round(obs / CAST(n AS DOUBLE), 6) AS crude_rate,
+       round(rate_std, 6) AS standardized_rate,
+       round(rate_std - obs / CAST(n AS DOUBLE), 6) AS mix_effect
+FROM dsr
+ORDER BY n_name
+"""
+
+
+@query("q_direct_standardization", oracle=DSTD_SQL)
+def q_direct_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    strat = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("d"),
+        )
+        .localCheckpoint()
+    )
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    std = (
+        strat.groupBy("pri")
+        .agg(F.sum("n").cast("bigint").alias("ns"))
+        .select("pri", "ns", F.sum("ns").over(wall).cast("bigint").alias("nt"))
+    )
+    term = F.round(
+        (F.col("ns").cast("double") / F.col("nt"))
+        * (F.col("d") / F.col("n").cast("double")),
+        9,
+    ).cast("decimal(16,9)")
+    dsr = (
+        strat.join(F.broadcast(std), "pri")
+        .groupBy("n_name")
+        .agg(
+            F.sum("d").cast("bigint").alias("obs"),
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum(term).cast("double").alias("rate_std"),
+        )
+    )
+    crude = F.col("obs") / F.col("n").cast("double")
+    return dsr.select(
+        "n_name",
+        F.round(crude, 6).alias("crude_rate"),
+        F.round(F.col("rate_std"), 6).alias("standardized_rate"),
+        F.round(F.col("rate_std") - crude, 6).alias("mix_effect"),
+    ).orderBy("n_name")
+
+
+# -- q_sharpe_panel ----------------------------------------------------
+#
+# Risk-adjusted performance panel per brand on daily revenue
+# log-changes: Sharpe ratio (mean/sd, rf = 0), market beta, Jensen's
+# alpha (mean_b - beta * mean_mkt), Treynor ratio (mean/beta), and
+# the information ratio (mean active return / tracking error vs the
+# market) — the four numbers an allocator reads together, built from
+# ONE set of exact decimal moment folds over the shared brand x day
+# return grid (9-rounded log-changes, 4-rounded cross products). The
+# panel view of what q_market_beta / q_rolling_beta report singly.
+
+SHARPE_SQL = """
+WITH bd AS (
+  SELECT p_brand, CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(19,2)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), mkt AS (
+  SELECT d, CAST(SUM(rev) AS DECIMAL(22,2)) AS mrev FROM bd GROUP BY 1
+), ret AS (
+  SELECT b.p_brand, b.d,
+         CAST(round(ln(CAST(b.rev AS DOUBLE)
+                       / CAST(LAG(b.rev) OVER
+                              (PARTITION BY b.p_brand ORDER BY b.d)
+                              AS DOUBLE)), 9) AS DECIMAL(18,9)) AS rb,
+         CAST(round(ln(CAST(m.mrev AS DOUBLE)
+                       / CAST(LAG(m.mrev) OVER
+                              (PARTITION BY b.p_brand ORDER BY b.d)
+                              AS DOUBLE)), 9) AS DECIMAL(18,9)) AS rm
+  FROM bd b JOIN mkt m ON m.d = b.d
+), mom AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(rb) AS DOUBLE) AS sb, CAST(SUM(rm) AS DOUBLE) AS sm,
+         CAST(SUM(CAST(round(CAST(rb AS DOUBLE) * CAST(rb AS DOUBLE), 4)
+                       AS DECIMAL(28,4))) AS DOUBLE) AS sbb,
+         CAST(SUM(CAST(round(CAST(rm AS DOUBLE) * CAST(rm AS DOUBLE), 4)
+                       AS DECIMAL(28,4))) AS DOUBLE) AS smm,
+         CAST(SUM(CAST(round(CAST(rb AS DOUBLE) * CAST(rm AS DOUBLE), 4)
+                       AS DECIMAL(28,4))) AS DOUBLE) AS sbm,
+         CAST(SUM(CAST(round((CAST(rb AS DOUBLE) - CAST(rm AS DOUBLE))
+                             * (CAST(rb AS DOUBLE) - CAST(rm AS DOUBLE)),
+                             4) AS DECIMAL(28,4))) AS DOUBLE) AS sdd
+  FROM ret WHERE rb IS NOT NULL AND rm IS NOT NULL
+  GROUP BY 1
+), f AS (
+  SELECT p_brand, n, sb / n AS mb, sm / n AS mm,
+         sqrt((sbb - sb * sb / n) / (n - 1)) AS sdb,
+         (n * sbm - sb * sm) / (n * smm - sm * sm) AS beta,
+         sqrt((sdd - (sb - sm) * (sb - sm) / n) / (n - 1)) AS te
+  FROM mom
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_days,
+       round(mb / sdb, 6) AS sharpe,
+       round(beta, 6) AS beta,
+       round(mb - beta * mm, 6) AS jensen_alpha,
+       round(mb / beta, 6) AS treynor,
+       round((mb - mm) / te, 6) AS information_ratio
+FROM f
+ORDER BY p_brand
+"""
+
+
+@query("q_sharpe_panel", oracle=SHARPE_SQL)
+def q_sharpe_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    bd = (
+        cat.lineitem.join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.sum(dec("l_extendedprice")).cast("decimal(19,2)").alias("rev"))
+        .localCheckpoint()
+    )
+    mkt = bd.groupBy("d").agg(
+        F.sum("rev").cast("decimal(22,2)").alias("mrev")
+    )
+    wb = Window.partitionBy("p_brand").orderBy("d")
+    lr = lambda c: F.round(  # noqa: E731
+        F.log(c.cast("double") / F.lag(c).over(wb).cast("double")), 9
+    ).cast("decimal(18,9)")
+    ret = bd.join(F.broadcast(mkt), "d").select(
+        "p_brand", "d", lr(F.col("rev")).alias("rb"),
+        lr(F.col("mrev")).alias("rm"),
+    )
+    rbd = F.col("rb").cast("double")
+    rmd = F.col("rm").cast("double")
+    r4 = lambda e: F.sum(F.round(e, 4).cast("decimal(28,4)")).cast(  # noqa: E731
+        "double"
+    )
+    mom = (
+        ret.filter(F.col("rb").isNotNull() & F.col("rm").isNotNull())
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rb").cast("double").alias("sb"),
+            F.sum("rm").cast("double").alias("sm"),
+            r4(rbd * rbd).alias("sbb"),
+            r4(rmd * rmd).alias("smm"),
+            r4(rbd * rmd).alias("sbm"),
+            r4((rbd - rmd) * (rbd - rmd)).alias("sdd"),
+        )
+    )
+    n = F.col("n")
+    sb, sm = F.col("sb"), F.col("sm")
+    mb, mm = sb / n, sm / n
+    sdb = F.sqrt((F.col("sbb") - sb * sb / n) / (n - 1))
+    beta = (n * F.col("sbm") - sb * sm) / (n * F.col("smm") - sm * sm)
+    te = F.sqrt((F.col("sdd") - (sb - sm) * (sb - sm) / n) / (n - 1))
+    return mom.select(
+        "p_brand",
+        n.cast("bigint").alias("n_days"),
+        F.round(mb / sdb, 6).alias("sharpe"),
+        F.round(beta, 6).alias("beta"),
+        F.round(mb - beta * mm, 6).alias("jensen_alpha"),
+        F.round(mb / beta, 6).alias("treynor"),
+        F.round((mb - mm) / te, 6).alias("information_ratio"),
+    ).orderBy("p_brand")
+
+
+# -- txt_lmir_dirichlet ------------------------------------------------
+#
+# Dirichlet-smoothed language-model retrieval (LMIR.DIR, mu = 2000)
+# over the same 4-term query as txt_bm25: score(q, d) = sum_t
+# ln((tf + mu * p(t|C)) / (dl + mu)) — including the ZERO-tf terms a
+# sparse hits table misses, via a docs x query-terms grid left-joined
+# against term hits (|q| = 4 rows broadcast, so the grid costs one
+# map-side expansion). Collection LM p(t|C) from exact token counts.
+# The probabilistic-IR counterpart to txt_bm25's heuristic scoring;
+# ranks can and do differ on short docs, which is the point.
+
+_LMIR_TERMS = ("spark", "join", "fast", "data")
+_LMIR_SQL_TERMS = "('" + "', '".join(_LMIR_TERMS) + "')"
+
+LMIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), docs AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), coll AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens FROM toks
+), cf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+  FROM toks WHERE term IN {_LMIR_SQL_TERMS} GROUP BY 1
+), qterms AS (
+  SELECT UNNEST(['spark', 'join', 'fast', 'data']) AS term
+), hits AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN {_LMIR_SQL_TERMS} GROUP BY 1, 2
+), grid AS (
+  SELECT d.doc_id, d.dl, q.term,
+         COALESCE(h.tf, 0) AS tf, c.cf, coll.total_tokens
+  FROM docs d CROSS JOIN qterms q
+  JOIN cf c ON c.term = q.term
+  CROSS JOIN coll
+  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.term = q.term
+)
+SELECT doc_id,
+       round(CAST(SUM(CAST(round(
+         ln((tf + 2000.0 * cf / total_tokens) / (dl + 2000.0)), 9)
+         AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+FROM grid
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("txt_lmir_dirichlet", oracle=LMIR_SQL)
+def txt_lmir_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).localCheckpoint()
+    docs = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    coll = toks.agg(F.count(F.lit(1)).cast("bigint").alias("total_tokens"))
+    inq = toks.filter(F.col("term").isin(*_LMIR_TERMS))
+    cf = inq.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    qterms = d.sparkSession.createDataFrame(
+        [(t,) for t in _LMIR_TERMS], ["term"]
+    )
+    hits = inq.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    grid = (
+        docs.crossJoin(F.broadcast(qterms))
+        .join(F.broadcast(cf), "term")
+        .join(F.broadcast(coll))
+        .join(hits, ["doc_id", "term"], "left")
+        .select(
+            "doc_id", "dl", "term",
+            F.coalesce("tf", F.lit(0)).alias("tf"),
+            "cf", "total_tokens",
+        )
+    )
+    term_score = F.round(
+        F.log(
+            (F.col("tf") + 2000.0 * F.col("cf") / F.col("total_tokens"))
+            / (F.col("dl") + 2000.0)
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        grid.groupBy("doc_id")
+        .agg(F.round(F.sum(term_score).cast("double"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
