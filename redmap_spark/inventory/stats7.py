@@ -1353,6 +1353,7 @@ WITH e0 AS (
   SELECT DISTINCT src AS s, src AS node, CAST(1 AS BIGINT) AS sigma
   FROM edges
   WHERE src LIKE 's%' AND CAST(substr(src, 2) AS BIGINT) % 50 = 0
+    AND CAST(substr(src, 2) AS BIGINT) <= 500
 ), l1 AS (
   SELECT l0.s, e.dst AS node, CAST(SUM(l0.sigma) AS BIGINT) AS sigma
   FROM l0 JOIN edges e ON e.src = l0.node
@@ -1427,6 +1428,7 @@ def mr_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.filter(
             F.col("src").startswith("s")
             & (F.expr("CAST(substr(src, 2) AS BIGINT)") % 50 == 0)
+            & (F.expr("CAST(substr(src, 2) AS BIGINT)") <= 500)
         )
         .select(F.col("src").alias("s"), F.col("src").alias("node"))
         .distinct()
@@ -1435,7 +1437,10 @@ def mr_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def expand(level: DataFrame) -> DataFrame:
-        lv, e = level.alias("lv"), edges.alias("e")
+        # Frontier broadcasts to the (unshuffled) edge table — the
+        # mr_bfs scale shape: edges never re-sort, only the expansion
+        # output shuffles for its groupBy.
+        lv, e = F.broadcast(level.alias("lv")), edges.alias("e")
         return (
             lv.join(e, F.col("lv.node") == F.col("e.src"))
             .groupBy(F.col("lv.s").alias("s"), F.col("e.dst").alias("node"))
@@ -1454,7 +1459,11 @@ def mr_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     l3 = (
         expand(l2)
         .join(
-            l1.select(F.col("s").alias("s_"), F.col("node").alias("node_")),
+            F.broadcast(
+                l1.select(
+                    F.col("s").alias("s_"), F.col("node").alias("node_")
+                )
+            ),
             (F.col("s") == F.col("s_")) & (F.col("node") == F.col("node_")),
             "left_anti",
         )
@@ -1465,9 +1474,10 @@ def mr_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = level.alias("v")
         w = nxt.alias("w")
         joined = (
-            v.join(edges.alias("e"), F.col("v.node") == F.col("e.src"))
+            F.broadcast(v)
+            .join(edges.alias("e"), F.col("v.node") == F.col("e.src"))
             .join(
-                w,
+                F.broadcast(w),
                 (F.col("w.s") == F.col("v.s"))
                 & (F.col("w.node") == F.col("e.dst")),
             )
@@ -5616,3 +5626,203 @@ def txt_lmir_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+# -- q_bayes_factor_bic ------------------------------------------------
+#
+# Bayes factor (BIC approximation) for the md5 two-arm experiment:
+# BF10 ~= exp((BIC0 - BIC1)/2) comparing the one-mean null against
+# the two-mean model, with BIC = n ln(RSS/n) + k ln n from EXACT
+# decimal moment folds — the evidence statement ("data are X times
+# more likely under a real difference") that q_ab_test's p-value
+# cannot make, and the Bayesian sibling of q_group_sequential /
+# q_msprt. Also reports ln BF (stable when BF overflows) and the
+# Kass-Raftery verbal category thresholds as flags.
+
+BFBIC_SQL = """
+WITH t AS (
+  SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+              THEN 0 ELSE 1 END AS arm,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders
+), s AS (
+  SELECT COUNT(*) AS n,
+         SUM(arm) AS n1,
+         CAST(SUM(x) AS DECIMAL(30,2)) AS sx,
+         CAST(SUM(CASE WHEN arm = 1 THEN x
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+              AS DECIMAL(30,2)) AS sx1,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sxx
+  FROM t
+), f AS (
+  SELECT n, n1, n - n1 AS n0,
+         CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS rss0,
+         CAST(sxx AS DOUBLE)
+           - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n1
+           - (CAST(sx AS DOUBLE) - CAST(sx1 AS DOUBLE))
+             * (CAST(sx AS DOUBLE) - CAST(sx1 AS DOUBLE)) / (n - n1)
+           AS rss1
+  FROM s
+), b AS (
+  SELECT n, n1, n0,
+         (n * ln(rss0 / n) + 2 * ln(CAST(n AS DOUBLE))
+          - (n * ln(rss1 / n) + 3 * ln(CAST(n AS DOUBLE)))) / 2 AS lnbf
+  FROM f
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n1 AS BIGINT) AS n_treated,
+       round(lnbf, 6) AS ln_bf10,
+       round(exp(lnbf), 6) AS bf10,
+       CAST(CASE WHEN lnbf > ln(3.0) THEN 1 ELSE 0 END AS BIGINT)
+         AS positive_evidence,
+       CAST(CASE WHEN lnbf < -ln(3.0) THEN 1 ELSE 0 END AS BIGINT)
+         AS supports_null
+FROM b
+"""
+
+
+@query("q_bayes_factor_bic", oracle=BFBIC_SQL)
+def q_bayes_factor_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    t = o.select(
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+            < "8",
+            0,
+        )
+        .otherwise(1)
+        .alias("arm"),
+        dec("o_totalprice").alias("x"),
+    )
+    x, arm = F.col("x"), F.col("arm")
+    s = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(arm).alias("n1"),
+        F.sum(x).cast("decimal(30,2)").alias("sx"),
+        F.sum(F.when(arm == 1, x).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("decimal(30,2)")
+        .alias("sx1"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("decimal(38,4)")
+        .alias("sxx"),
+    )
+    n, n1 = F.col("n"), F.col("n1")
+    sx = F.col("sx").cast("double")
+    sx1 = F.col("sx1").cast("double")
+    sxx = F.col("sxx").cast("double")
+    rss0 = sxx - sx * sx / n
+    rss1 = sxx - sx1 * sx1 / n1 - (sx - sx1) * (sx - sx1) / (n - n1)
+    lnbf = (
+        n * F.log(rss0 / n)
+        + 2 * F.log(n.cast("double"))
+        - (n * F.log(rss1 / n) + 3 * F.log(n.cast("double")))
+    ) / 2
+    import math
+
+    ln3 = math.log(3.0)
+    return s.select(
+        n.cast("bigint").alias("n"),
+        n1.cast("bigint").alias("n_treated"),
+        F.round(lnbf, 6).alias("ln_bf10"),
+        F.round(F.exp(lnbf), 6).alias("bf10"),
+        F.when(lnbf > ln3, 1).otherwise(0).cast("bigint")
+        .alias("positive_evidence"),
+        F.when(lnbf < -ln3, 1).otherwise(0).cast("bigint")
+        .alias("supports_null"),
+    )
+
+
+# -- q_evalue_sensitivity ----------------------------------------------
+#
+# VanderWeele-Ding E-value per nation for the URGENT/HIGH -> F-status
+# risk ratio: the minimum strength of association an UNMEASURED
+# confounder would need with both exposure and outcome to explain the
+# observed RR away (E = RR + sqrt(RR(RR-1)) on the away-from-null
+# scale; RR < 1 inverts first), plus the E-value for the CI bound
+# closer to 1 (NULL when the CI crosses 1 — no confounding needed).
+# The sensitivity-analysis layer q_rate_ratio's CI cannot express.
+# Exact counts; log-RR CI via the standard delta-method SE.
+
+EVALUE_SQL = """
+WITH cells AS (
+  SELECT n_name,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS n0
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+), rr AS (
+  SELECT n_name, a, n1, c, n0,
+         (a / CAST(n1 AS DOUBLE)) / (c / CAST(n0 AS DOUBLE)) AS rr,
+         sqrt(1.0 / a - 1.0 / n1 + 1.0 / c - 1.0 / n0) AS se
+  FROM cells WHERE a > 0 AND c > 0
+), tx AS (
+  SELECT n_name, rr,
+         exp(ln(rr) - 1.96 * se) AS lo, exp(ln(rr) + 1.96 * se) AS hi,
+         CASE WHEN rr >= 1 THEN rr ELSE 1 / rr END AS rstar,
+         CASE WHEN rr >= 1 THEN exp(ln(rr) - 1.96 * se)
+              ELSE 1 / exp(ln(rr) + 1.96 * se) END AS bstar
+  FROM rr
+)
+SELECT n_name, round(rr, 6) AS risk_ratio,
+       round(lo, 6) AS rr_ci_lo, round(hi, 6) AS rr_ci_hi,
+       round(rstar + sqrt(rstar * (rstar - 1)), 6) AS evalue_point,
+       CASE WHEN bstar > 1
+            THEN round(bstar + sqrt(bstar * (bstar - 1)), 6) END
+         AS evalue_ci
+FROM tx
+ORDER BY n_name
+"""
+
+
+@query("q_evalue_sensitivity", oracle=EVALUE_SQL)
+def q_evalue_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    exposed = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    outcome = F.col("o_orderstatus") == "F"
+    cells = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(exposed & outcome, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(exposed, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(~exposed & outcome, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(~exposed, 1).otherwise(0)).alias("n0"),
+        )
+    )
+    a, n1, c, n0 = (F.col(k) for k in ["a", "n1", "c", "n0"])
+    rr = (a / n1.cast("double")) / (c / n0.cast("double"))
+    se = F.sqrt(1.0 / a - 1.0 / n1 + 1.0 / c - 1.0 / n0)
+    base = cells.filter((a > 0) & (c > 0)).select(
+        "n_name", rr.alias("rr"), se.alias("se")
+    )
+    rrc, sec = F.col("rr"), F.col("se")
+    lo = F.exp(F.log(rrc) - 1.96 * sec)
+    hi = F.exp(F.log(rrc) + 1.96 * sec)
+    rstar = F.when(rrc >= 1, rrc).otherwise(1 / rrc)
+    bstar = F.when(rrc >= 1, lo).otherwise(1 / hi)
+    return base.select(
+        "n_name",
+        F.round(rrc, 6).alias("risk_ratio"),
+        F.round(lo, 6).alias("rr_ci_lo"),
+        F.round(hi, 6).alias("rr_ci_hi"),
+        F.round(rstar + F.sqrt(rstar * (rstar - 1)), 6)
+        .alias("evalue_point"),
+        F.when(
+            bstar > 1, F.round(bstar + F.sqrt(bstar * (bstar - 1)), 6)
+        ).alias("evalue_ci"),
+    ).orderBy("n_name")
