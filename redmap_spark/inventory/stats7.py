@@ -5826,3 +5826,170 @@ def q_evalue_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             bstar > 1, F.round(bstar + F.sqrt(bstar * (bstar - 1)), 6)
         ).alias("evalue_ci"),
     ).orderBy("n_name")
+
+
+# -- q_eta_promise -----------------------------------------------------
+#
+# Delivery-promise table with hierarchical quantile backoff: the p90
+# ship-delay promise per (supplier-nation -> customer-nation) lane,
+# falling back to the supplier-nation origin p90 when the lane has
+# under 30 shipments, and to the global p90 when the origin is thin
+# too — the coverage-vs-sharpness tradeoff every real ETA system
+# ships. Quantiles are EXACT rank selections (ceil(0.9 n)-th order
+# statistic by (delay, orderkey, linenumber) — no interpolation, so
+# cross-engine stable) computed at all three levels from the same
+# scan; the output marks which level backed each lane. Scale: one
+# fact scan; quantile windows partition by lane / origin.
+
+ETA_SQL = """
+WITH lanes AS (
+  SELECT sn.n_name AS origin, cn.n_name AS dest,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS delay,
+         l.l_orderkey AS ok, l.l_linenumber AS ln
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+), lane_q AS (
+  SELECT origin, dest, MAX(n) AS n, MAX(q) AS p90
+  FROM (
+    SELECT origin, dest,
+           COUNT(*) OVER w AS n,
+           CASE WHEN ROW_NUMBER() OVER
+                  (PARTITION BY origin, dest ORDER BY delay, ok, ln)
+                = CAST(ceil(0.9 * COUNT(*) OVER w) AS BIGINT)
+                THEN delay END AS q
+    FROM lanes WINDOW w AS (PARTITION BY origin, dest)
+  ) GROUP BY 1, 2
+), orig_q AS (
+  SELECT origin, MAX(n) AS n, MAX(q) AS p90
+  FROM (
+    SELECT origin,
+           COUNT(*) OVER w AS n,
+           CASE WHEN ROW_NUMBER() OVER
+                  (PARTITION BY origin ORDER BY delay, ok, ln)
+                = CAST(ceil(0.9 * COUNT(*) OVER w) AS BIGINT)
+                THEN delay END AS q
+    FROM lanes WINDOW w AS (PARTITION BY origin)
+  ) GROUP BY 1
+), glob_q AS (
+  SELECT MAX(q) AS p90 FROM (
+    SELECT CASE WHEN ROW_NUMBER() OVER (ORDER BY delay, ok, ln)
+                = CAST(ceil(0.9 * COUNT(*) OVER ()) AS BIGINT)
+                THEN delay END AS q
+    FROM lanes
+  )
+)
+SELECT l.origin, l.dest, CAST(l.n AS BIGINT) AS n_shipments,
+       CAST(CASE WHEN l.n >= 30 THEN l.p90
+                 WHEN o.n >= 30 THEN o.p90
+                 ELSE g.p90 END AS BIGINT) AS promise_days,
+       CASE WHEN l.n >= 30 THEN 'lane'
+            WHEN o.n >= 30 THEN 'origin'
+            ELSE 'global' END AS backoff_level
+FROM lane_q l
+JOIN orig_q o ON o.origin = l.origin
+CROSS JOIN glob_q g
+ORDER BY l.origin, l.dest
+"""
+
+
+@query("q_eta_promise", oracle=ETA_SQL)
+def q_eta_promise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    lanes = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_orderdate", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(cat.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                cat.nation.select(
+                    F.col("n_nationkey").alias("snk"),
+                    F.col("n_name").alias("origin"),
+                )
+            ),
+            F.col("snk") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(
+                cat.nation.select(
+                    F.col("n_nationkey").alias("cnk"),
+                    F.col("n_name").alias("dest"),
+                )
+            ),
+            F.col("cnk") == F.col("c_nationkey"),
+        )
+        .select(
+            "origin", "dest",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("delay"),
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+        )
+        .localCheckpoint()
+    )
+
+    def rank_p90(df: DataFrame, keys: list) -> DataFrame:
+        if keys:
+            wp = Window.partitionBy(*keys)
+            wo = wp.orderBy("delay", "ok", "ln")
+        else:
+            wp = Window.partitionBy()
+            wo = Window.orderBy("delay", "ok", "ln")
+        cnt = F.count(F.lit(1)).over(
+            wp.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        q = F.when(
+            F.row_number().over(wo)
+            == F.ceil(0.9 * cnt).cast("bigint"),
+            F.col("delay"),
+        )
+        inner = df.select(*keys, cnt.alias("n"), q.alias("q"))
+        if keys:
+            return inner.groupBy(*keys).agg(
+                F.max("n").alias("n"), F.max("q").alias("p90")
+            )
+        return inner.agg(F.max("n").alias("n"), F.max("q").alias("p90"))
+
+    lane_q = rank_p90(lanes, ["origin", "dest"])
+    orig_q = rank_p90(lanes, ["origin"]).select(
+        F.col("origin").alias("o2"),
+        F.col("n").alias("on"),
+        F.col("p90").alias("op90"),
+    )
+    glob_q = rank_p90(lanes, []).select(F.col("p90").alias("gp90"))
+    ln_, on = F.col("n"), F.col("on")
+    return (
+        lane_q.join(orig_q, F.col("origin") == F.col("o2"))
+        .join(F.broadcast(glob_q))
+        .select(
+            "origin", "dest",
+            ln_.cast("bigint").alias("n_shipments"),
+            F.when(ln_ >= 30, F.col("p90"))
+            .when(on >= 30, F.col("op90"))
+            .otherwise(F.col("gp90"))
+            .cast("bigint")
+            .alias("promise_days"),
+            F.when(ln_ >= 30, "lane")
+            .when(on >= 30, "origin")
+            .otherwise("global")
+            .alias("backoff_level"),
+        )
+        .orderBy("origin", "dest")
+    )
