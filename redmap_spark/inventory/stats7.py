@@ -5993,3 +5993,308 @@ def q_eta_promise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("origin", "dest")
     )
+
+
+# -- q_recsys_coverage -------------------------------------------------
+#
+# Beyond-accuracy evaluation of the q_item_cf recommender: catalog
+# coverage (share of brands that ever appear in a top-3 list),
+# recommendation-concentration Gini over appearance counts (0 = every
+# item recommended equally, 1 = one blockbuster), and popularity bias
+# (mean popularity percentile of recommended slots — near 1.0 means
+# the model just recommends bestsellers). The Castells/Vargas metric
+# trio that accuracy-only evals (q_ndcg_eval) miss. Same basket ->
+# cosine top-3 construction as q_item_cf; every metric is exact
+# integer rank algebra with one double finale per metric.
+
+RECSYS_COV_SQL = """
+WITH basket AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), cnt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM basket GROUP BY 1
+), pairs AS (
+  SELECT a.b AS b1, bb.b AS b2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM basket a JOIN basket bb ON bb.ok = a.ok AND a.b < bb.b
+  GROUP BY 1, 2
+), sym AS (
+  SELECT b1 AS b, b2 AS nb, c12 FROM pairs
+  UNION ALL SELECT b2, b1, c12 FROM pairs
+), ranked AS (
+  SELECT s.b, s.nb,
+         ROW_NUMBER() OVER (PARTITION BY s.b
+           ORDER BY s.c12 / sqrt(CAST(c1.c AS DOUBLE) * c2.c) DESC, s.nb)
+           AS rk
+  FROM sym s JOIN cnt c1 ON c1.b = s.b JOIN cnt c2 ON c2.b = s.nb
+), recs AS (SELECT b, nb FROM ranked WHERE rk <= 3),
+appear AS (
+  SELECT nb, CAST(COUNT(*) AS BIGINT) AS a FROM recs GROUP BY 1
+), gini AS (
+  SELECT CAST(SUM((2 * ROW_NUMBER() OVER (ORDER BY a, nb)
+                   - COUNT(*) OVER () - 1) * a) AS DOUBLE)
+           / (COUNT(*) OVER () * 1.0) AS gnum_over_n,
+         CAST(SUM(a) OVER () AS BIGINT) AS atot,
+         ROW_NUMBER() OVER (ORDER BY a, nb) AS rn
+  FROM appear QUALIFY rn = 1
+), pop AS (
+  SELECT b, CAST(ROW_NUMBER() OVER (ORDER BY c, b) AS DOUBLE)
+              / COUNT(*) OVER () AS pct
+  FROM cnt
+), bias AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS slots,
+         CAST(SUM(CAST(round(p.pct, 9) AS DECIMAL(12,9))) AS DOUBLE)
+           AS spct
+  FROM recs r JOIN pop p ON p.b = r.nb
+), agg AS (
+  SELECT (SELECT COUNT(*) FROM cnt) AS n_items,
+         (SELECT COUNT(*) FROM appear) AS n_recommended,
+         (SELECT CAST(SUM((2 * rn - n - 1) * a) AS DOUBLE)
+          FROM (SELECT a, ROW_NUMBER() OVER (ORDER BY a, nb) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM appear)) AS gnum,
+         (SELECT CAST(SUM(a) AS BIGINT) FROM appear) AS atot,
+         (SELECT COUNT(*) FROM appear) AS k
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(n_recommended AS BIGINT) AS n_recommended,
+       round(n_recommended / CAST(n_items AS DOUBLE), 6) AS coverage,
+       round(gnum / (CAST(k AS DOUBLE) * atot), 6) AS rec_gini,
+       (SELECT round(spct / slots, 6) FROM bias) AS popularity_bias
+FROM agg
+"""
+# drop the unused exploratory `gini` CTE (QUALIFY kept it inert)
+RECSYS_COV_SQL = RECSYS_COV_SQL.replace(
+    """), gini AS (
+  SELECT CAST(SUM((2 * ROW_NUMBER() OVER (ORDER BY a, nb)
+                   - COUNT(*) OVER () - 1) * a) AS DOUBLE)
+           / (COUNT(*) OVER () * 1.0) AS gnum_over_n,
+         CAST(SUM(a) OVER () AS BIGINT) AS atot,
+         ROW_NUMBER() OVER (ORDER BY a, nb) AS rn
+  FROM appear QUALIFY rn = 1
+""",
+    "",
+)
+
+
+@query("q_recsys_coverage", oracle=RECSYS_COV_SQL)
+def q_recsys_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    basket = (
+        cat.lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cnt = basket.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()
+    a, bb = basket.alias("a"), basket.alias("bb")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("bb.ok") == F.col("a.ok"))
+            & (F.col("a.b") < F.col("bb.b")),
+        )
+        .groupBy(F.col("a.b").alias("b1"), F.col("bb.b").alias("b2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    sym = pairs.select(
+        F.col("b1").alias("b"), F.col("b2").alias("nb"), "c12"
+    ).union(
+        pairs.select(
+            F.col("b2").alias("b"), F.col("b1").alias("nb"), "c12"
+        )
+    )
+    c1 = cnt.select(F.col("b").alias("cb"), F.col("c").alias("cc1"))
+    c2 = cnt.select(F.col("b").alias("nb2"), F.col("c").alias("cc2"))
+    scored = (
+        sym.join(F.broadcast(c1), F.col("b") == F.col("cb"))
+        .join(F.broadcast(c2), F.col("nb") == F.col("nb2"))
+        .select(
+            "b", "nb",
+            (
+                F.col("c12")
+                / F.sqrt(F.col("cc1").cast("double") * F.col("cc2"))
+            ).alias("cosine"),
+        )
+    )
+    ranked = scored.select(
+        "b", "nb",
+        F.row_number()
+        .over(
+            Window.partitionBy("b").orderBy(F.col("cosine").desc(), "nb")
+        )
+        .alias("rk"),
+    )
+    recs = ranked.filter(F.col("rk") <= 3).select("b", "nb")
+    appear = recs.groupBy("nb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    ).localCheckpoint()
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gtab = appear.select(
+        (
+            (
+                2 * F.row_number().over(Window.orderBy("a", "nb"))
+                - F.count(F.lit(1)).over(wall)
+                - 1
+            )
+            * F.col("a")
+        ).alias("gterm"),
+        "a",
+    ).agg(
+        F.sum("gterm").cast("double").alias("gnum"),
+        F.sum("a").cast("bigint").alias("atot"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    pop = cnt.select(
+        "b",
+        (
+            F.row_number().over(Window.orderBy("c", "b")).cast("double")
+            / F.count(F.lit(1)).over(wall)
+        ).alias("pct"),
+    )
+    bias = (
+        recs.join(F.broadcast(pop), recs["nb"] == pop["b"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("slots"),
+            F.sum(F.round("pct", 9).cast("decimal(12,9)"))
+            .cast("double")
+            .alias("spct"),
+        )
+    )
+    n_items = cnt.agg(F.count(F.lit(1)).alias("n_items"))
+    n_rec = appear.agg(F.count(F.lit(1)).alias("n_recommended"))
+    return (
+        n_items.join(F.broadcast(n_rec))
+        .join(F.broadcast(gtab))
+        .join(F.broadcast(bias))
+        .select(
+            F.col("n_items").cast("bigint").alias("n_items"),
+            F.col("n_recommended").cast("bigint").alias("n_recommended"),
+            F.round(
+                F.col("n_recommended") / F.col("n_items").cast("double"), 6
+            ).alias("coverage"),
+            F.round(
+                F.col("gnum")
+                / (F.col("k").cast("double") * F.col("atot")),
+                6,
+            ).alias("rec_gini"),
+            F.round(F.col("spct") / F.col("slots"), 6)
+            .alias("popularity_bias"),
+        )
+    )
+
+
+# -- q_hoover_index ----------------------------------------------------
+#
+# Hoover (Robin Hood) index of spend vs customer base across nations:
+# H = 0.5 * sum_i |spend_share_i - customer_share_i| — the fraction of
+# total revenue that would have to MOVE between nations for spend to
+# mirror headcount, the most interpretable inequality number next to
+# q_gini's area and q_lorenz_asymmetry's shape. Both share vectors
+# come from exact counts/decimal sums; the 12-rounded |diff| terms
+# fold exactly; one double finale. Also reports the largest
+# over-served nation as the headline.
+
+HOOVER_SQL = """
+WITH nat AS (
+  SELECT n_name,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS ncust,
+         CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+                       CAST(0 AS DECIMAL(18,2))) AS DECIMAL(30,2))
+           AS spend
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(ncust) AS BIGINT) AS tc,
+         CAST(SUM(spend) AS DOUBLE) AS ts
+  FROM nat
+), terms AS (
+  SELECT n_name,
+         CAST(spend AS DOUBLE) / ts - ncust / CAST(tc AS DOUBLE) AS diff
+  FROM nat CROSS JOIN tot
+), agg AS (
+  SELECT COUNT(*) AS n_units,
+         CAST(SUM(CAST(round(abs(diff), 12) AS DECIMAL(16,12)))
+              AS DOUBLE) AS sdiff
+  FROM terms
+), top AS (
+  SELECT n_name, diff,
+         ROW_NUMBER() OVER (ORDER BY diff DESC, n_name) AS rk
+  FROM terms
+)
+SELECT CAST(n_units AS BIGINT) AS n_units,
+       round(sdiff / 2, 6) AS hoover_index,
+       (SELECT n_name FROM top WHERE rk = 1) AS most_overserved,
+       (SELECT round(diff, 6) FROM top WHERE rk = 1) AS excess_share
+FROM agg
+"""
+
+
+@query("q_hoover_index", oracle=HOOVER_SQL)
+def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    nat = (
+        cat.customer.join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            cat.orders.select("o_custkey", "o_totalprice"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").cast("bigint").alias("ncust"),
+            F.coalesce(
+                F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)")
+            )
+            .cast("decimal(30,2)")
+            .alias("spend"),
+        )
+    )
+    tot = nat.agg(
+        F.sum("ncust").cast("bigint").alias("tc"),
+        F.sum("spend").cast("double").alias("ts"),
+    )
+    diff = (
+        F.col("spend").cast("double") / F.col("ts")
+        - F.col("ncust") / F.col("tc").cast("double")
+    )
+    terms = nat.join(F.broadcast(tot)).select(
+        "n_name", diff.alias("diff")
+    ).localCheckpoint()
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.round(F.abs("diff"), 12).cast("decimal(16,12)"))
+        .cast("double")
+        .alias("sdiff"),
+    )
+    top = (
+        terms.select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.col("diff").desc(), "n_name"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("n_name").alias("most_overserved"),
+            F.round("diff", 6).alias("excess_share"),
+        )
+    )
+    return agg.join(F.broadcast(top)).select(
+        F.col("n_units").cast("bigint").alias("n_units"),
+        F.round(F.col("sdiff") / 2, 6).alias("hoover_index"),
+        "most_overserved",
+        "excess_share",
+    )
