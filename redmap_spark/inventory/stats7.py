@@ -6298,3 +6298,124 @@ def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "most_overserved",
         "excess_share",
     )
+
+
+# -- sim_knn_classifier ------------------------------------------------
+#
+# Leave-one-out 5-NN cosine label classification on the embeddings
+# table, evaluated on the deterministic vec_id % 10 = 0 probe subset
+# (50 queries x 500 corpus — the bounded eval shape; the production
+# retrieval path is the persisted partition-pruned IVF index, this
+# entry measures LABEL QUALITY of the space itself). Cosines are
+# 4-rounded before ranking (ties break on vec_id), majority vote
+# breaks ties on the smaller label, and per-label accuracy comes out
+# as exact counts — the "are these embeddings any good" acceptance
+# check beside sim_silhouette's geometric view.
+
+KNN_CLS_SQL = """
+WITH w AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           AS nrm
+  FROM embeddings
+), q AS (SELECT * FROM w WHERE vec_id % 10 = 0),
+scored AS (
+  SELECT q.vec_id AS qid, q.label AS true_label,
+         b.vec_id AS nid, b.label AS nlabel,
+         round(list_sum(list_transform(range(1, 65),
+                                       i -> b.v[i] * q.v[i]))
+               / (b.nrm * q.nrm), 4) AS score
+  FROM q JOIN w b ON b.vec_id <> q.vec_id
+), topk AS (
+  SELECT qid, true_label, nlabel,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, nid) AS rk
+  FROM scored
+), votes AS (
+  SELECT qid, true_label, nlabel, COUNT(*) AS c
+  FROM topk WHERE rk <= 5 GROUP BY 1, 2, 3
+), pred AS (
+  SELECT qid, true_label, nlabel AS pred_label,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nlabel)
+           AS vr
+  FROM votes
+)
+SELECT CAST(true_label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM pred WHERE vr = 1
+GROUP BY true_label
+ORDER BY label
+"""
+
+
+@query("sim_knn_classifier", oracle=KNN_CLS_SQL)
+def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w = emb.select(
+        "vec_id", "label", v.alias("v"), nrm.alias("nrm")
+    ).localCheckpoint()
+    q = w.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        w.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "true_label",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            F.round(dot / (F.col("nrm") * F.col("qn")), 4).alias("score"),
+        )
+    )
+    topk = scored.select(
+        "qid", "true_label", "nlabel",
+        F.row_number()
+        .over(
+            Window.partitionBy("qid").orderBy(F.col("score").desc(), "nid")
+        )
+        .alias("rk"),
+    )
+    votes = (
+        topk.filter(F.col("rk") <= 5)
+        .groupBy("qid", "true_label", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pred = votes.select(
+        "qid", "true_label",
+        F.col("nlabel").alias("pred_label"),
+        F.row_number()
+        .over(
+            Window.partitionBy("qid").orderBy(F.col("c").desc(), "nlabel")
+        )
+        .alias("vr"),
+    ).filter(F.col("vr") == 1)
+    hit = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.groupBy(F.col("true_label").cast("bigint").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6)
+            .alias("accuracy"),
+        )
+        .orderBy("label")
+    )
