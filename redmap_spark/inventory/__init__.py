@@ -166,7 +166,7 @@ _WINDOW_FIRST = [
     "q_enrichment_ora", "q_direct_standardization", "q_sharpe_panel",
     "txt_lmir_dirichlet", "q_bayes_factor_bic", "q_evalue_sensitivity",
     "q_eta_promise", "q_recsys_coverage", "q_hoover_index",
-    "sim_knn_classifier",
+    "sim_knn_classifier", "q_effect_sizes", "q_bland_altman",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -6419,3 +6419,242 @@ def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# -- q_effect_sizes ----------------------------------------------------
+#
+# Standardized effect-size panel for the md5 two-arm experiment:
+# Cohen's d (pooled sd), Hedges' g (small-sample corrected via the
+# J = 1 - 3/(4df - 1) factor), Glass's delta (control-sd denominator,
+# for unequal variances), and the common-language effect size
+# Phi(d / sqrt(2)) under normality (reported via the house
+# Zelen-Severo Phi approximation) — the reporting layer journals
+# demand where q_ab_test stops at a p-value. All moments are exact
+# decimal folds shared across the four statistics.
+
+EFFSIZE_SQL = """
+WITH t AS (
+  SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+              THEN 0 ELSE 1 END AS arm,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders
+), s AS (
+  SELECT arm, COUNT(*) AS n,
+         CAST(SUM(x) AS DECIMAL(30,2)) AS sx,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sxx
+  FROM t GROUP BY 1
+), w AS (
+  SELECT
+    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+    MAX(CASE WHEN arm = 1 THEN CAST(sx AS DOUBLE) END) AS sx1,
+    MAX(CASE WHEN arm = 0 THEN CAST(sx AS DOUBLE) END) AS sx0,
+    MAX(CASE WHEN arm = 1 THEN CAST(sxx AS DOUBLE) END) AS sxx1,
+    MAX(CASE WHEN arm = 0 THEN CAST(sxx AS DOUBLE) END) AS sxx0
+  FROM s
+), f AS (
+  SELECT n1, n0,
+         sx1 / n1 - sx0 / n0 AS diff,
+         (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+         (sxx0 - sx0 * sx0 / n0) / (n0 - 1) AS v0
+  FROM w
+), d AS (
+  SELECT n1, n0, diff, v1, v0,
+         diff / sqrt(((n1 - 1) * v1 + (n0 - 1) * v0) / (n1 + n0 - 2))
+           AS cohen_d
+  FROM f
+)
+SELECT CAST(n1 AS BIGINT) AS n_treated, CAST(n0 AS BIGINT) AS n_control,
+       round(diff, 4) AS mean_diff,
+       round(cohen_d, 6) AS cohens_d,
+       round(cohen_d * (1 - 3.0 / (4 * (n1 + n0 - 2) - 1)), 6)
+         AS hedges_g,
+       round(diff / sqrt(v0), 6) AS glass_delta,
+       round(1 - 0.5 * pow(1 + 0.196854 * abs(cohen_d / sqrt(2.0))
+                           + 0.115194 * pow(abs(cohen_d / sqrt(2.0)), 2)
+                           + 0.000344 * pow(abs(cohen_d / sqrt(2.0)), 3)
+                           + 0.019527 * pow(abs(cohen_d / sqrt(2.0)), 4),
+                           -4), 6) AS cles
+FROM d
+"""
+
+
+@query("q_effect_sizes", oracle=EFFSIZE_SQL)
+def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    t = o.select(
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+            < "8",
+            0,
+        )
+        .otherwise(1)
+        .alias("arm"),
+        dec("o_totalprice").alias("x"),
+    )
+    x = F.col("x")
+    s = t.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("decimal(30,2)").alias("sx"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("decimal(38,4)")
+        .alias("sxx"),
+    )
+    pick = lambda a, c, dbl=True: F.max(  # noqa: E731
+        F.when(
+            F.col("arm") == a,
+            F.col(c).cast("double") if dbl else F.col(c),
+        )
+    )
+    w = s.agg(
+        pick(1, "n", False).alias("n1"),
+        pick(0, "n", False).alias("n0"),
+        pick(1, "sx").alias("sx1"),
+        pick(0, "sx").alias("sx0"),
+        pick(1, "sxx").alias("sxx1"),
+        pick(0, "sxx").alias("sxx0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    diff = F.col("sx1") / n1 - F.col("sx0") / n0
+    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (n1 - 1)
+    v0 = (F.col("sxx0") - F.col("sx0") * F.col("sx0") / n0) / (n0 - 1)
+    d = diff / F.sqrt(((n1 - 1) * v1 + (n0 - 1) * v0) / (n1 + n0 - 2))
+    z = F.abs(d / F.sqrt(F.lit(2.0)))
+    cles = 1 - 0.5 * F.pow(
+        1
+        + 0.196854 * z
+        + 0.115194 * F.pow(z, 2)
+        + 0.000344 * F.pow(z, 3)
+        + 0.019527 * F.pow(z, 4),
+        -4,
+    )
+    return w.select(
+        n1.cast("bigint").alias("n_treated"),
+        n0.cast("bigint").alias("n_control"),
+        F.round(diff, 4).alias("mean_diff"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (1 - 3.0 / (4 * (n1 + n0 - 2) - 1)), 6)
+        .alias("hedges_g"),
+        F.round(diff / F.sqrt(v0), 6).alias("glass_delta"),
+        F.round(cles, 6).alias("cles"),
+    )
+
+
+# -- q_bland_altman ----------------------------------------------------
+#
+# Bland-Altman agreement analysis between the two independent
+# measurements of each order's value that the schema actually
+# carries: the header total o_totalprice vs the line-reconstructed
+# sum(extendedprice * (1 - discount) * (1 + tax)) — bias and 95%
+# limits of agreement expressed as a share of the mean order total
+# (O(1)-normalized before rounding per the cross-engine round-safety
+# rule), plus the share of orders outside the limits. The named method-comparison
+# analysis behind every "do these two systems agree" reconciliation.
+# Differences are exact decimals (per-line products rounded to cents
+# before the fold); moments are exact; the limits are one double
+# chain.
+
+BLAND_SQL = """
+WITH line AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax), 2) AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS m2
+  FROM lineitem GROUP BY 1
+), pairs AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS m1, line.m2,
+         CAST(o_totalprice AS DECIMAL(18,2)) - line.m2 AS d
+  FROM orders JOIN line ON l_orderkey = o_orderkey
+), mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(d) AS DECIMAL(30,2)) AS sd1,
+         CAST(SUM(CAST(d * d AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sd2,
+         CAST(SUM(m1) AS DECIMAL(32,2)) AS sm1
+  FROM pairs
+), lim AS (
+  SELECT n,
+         (CAST(sd1 AS DOUBLE) / n) / (CAST(sm1 AS DOUBLE) / n) AS bias,
+         sqrt((CAST(sd2 AS DOUBLE)
+               - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / n)
+              / (n - 1)) / (CAST(sm1 AS DOUBLE) / n) AS sdd,
+         CAST(sm1 AS DOUBLE) / n AS mbar
+  FROM mom
+)
+SELECT CAST(l.n AS BIGINT) AS n_orders,
+       round(l.bias, 6) AS bias_pct_of_mean,
+       round(l.bias - 1.96 * l.sdd, 6) AS loa_lo_pct,
+       round(l.bias + 1.96 * l.sdd, 6) AS loa_hi_pct,
+       round(SUM(CASE WHEN CAST(p.d AS DOUBLE) / l.mbar
+                           < round(l.bias - 1.96 * l.sdd, 6)
+                       OR CAST(p.d AS DOUBLE) / l.mbar
+                           > round(l.bias + 1.96 * l.sdd, 6)
+                      THEN 1 ELSE 0 END) / CAST(l.n AS DOUBLE), 6)
+         AS outside_loa_rate
+FROM pairs p CROSS JOIN lim l
+GROUP BY l.n, l.bias, l.sdd, l.mbar
+"""
+
+
+@query("q_bland_altman", oracle=BLAND_SQL)
+def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    line = cat.lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                2,
+            ).cast("decimal(18,2)")
+        )
+        .cast("decimal(24,2)")
+        .alias("m2")
+    )
+    pairs = (
+        cat.orders.join(line, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (dec("o_totalprice") - F.col("m2")).alias("d"),
+            dec("o_totalprice").alias("m1"),
+        )
+        .localCheckpoint()
+    )
+    d = F.col("d")
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("decimal(30,2)").alias("sd1"),
+        F.sum((d * d).cast("decimal(28,4)")).cast("decimal(38,4)")
+        .alias("sd2"),
+        F.sum("m1").cast("decimal(32,2)").alias("sm1"),
+    )
+    n = F.col("n")
+    sd1, sd2 = F.col("sd1").cast("double"), F.col("sd2").cast("double")
+    mbar = F.col("sm1").cast("double") / n
+    lim = mom.select(
+        n,
+        ((sd1 / n) / mbar).alias("bias"),
+        (F.sqrt((sd2 - sd1 * sd1 / n) / (n - 1)) / mbar).alias("sdd"),
+        mbar.alias("mbar"),
+    )
+    lo = F.round(F.col("bias") - 1.96 * F.col("sdd"), 6)
+    hi = F.round(F.col("bias") + 1.96 * F.col("sdd"), 6)
+    dp = d.cast("double") / F.col("mbar")
+    return (
+        pairs.join(F.broadcast(lim))
+        .groupBy("n", "bias", "sdd", "mbar")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when((dp < lo) | (dp > hi), 1).otherwise(0)
+                )
+                / n.cast("double"),
+                6,
+            ).alias("outside_loa_rate")
+        )
+        .select(
+            n.cast("bigint").alias("n_orders"),
+            F.round("bias", 6).alias("bias_pct_of_mean"),
+            lo.alias("loa_lo_pct"),
+            hi.alias("loa_hi_pct"),
+            "outside_loa_rate",
+        )
+    )
