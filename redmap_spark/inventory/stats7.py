@@ -6658,3 +6658,360 @@ def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outside_loa_rate",
         )
     )
+
+
+# -- q_interval_score --------------------------------------------------
+#
+# Winkler/interval score for an empirical 80% prediction interval:
+# train-period daily revenue gives EXACT rank-selected q10/q90
+# bounds, the last-56-day holdout is scored with
+# IS = (u-l) + (2/alpha)(l-y)I(y<l) + (2/alpha)(y-u)I(y>u) — the
+# proper scoring rule that punishes BOTH wide intervals and misses,
+# the interval counterpart of q_brier_decomposition's point-
+# probability score. Also reports empirical coverage vs the nominal
+# 80%. Bounds are exact decimals, per-day scores 4-rounded decimals
+# folded exactly; one double finale.
+
+INTERVAL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS idx
+  FROM orders GROUP BY 1
+), mark AS (SELECT MAX(idx) - 56 AS tr_end FROM daily),
+train AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, day) AS r,
+         COUNT(*) OVER () AS n
+  FROM daily CROSS JOIN mark WHERE idx <= tr_end
+), bounds AS (
+  SELECT MAX(CASE WHEN r = CAST(ceil(0.1 * n) AS BIGINT) THEN rev END)
+           AS lo,
+         MAX(CASE WHEN r = CAST(ceil(0.9 * n) AS BIGINT) THEN rev END)
+           AS hi
+  FROM train
+), scored AS (
+  SELECT d.rev AS y, b.lo, b.hi,
+         CAST(round(CAST(b.hi - b.lo AS DOUBLE)
+                    + CASE WHEN d.rev < b.lo
+                           THEN 10 * CAST(b.lo - d.rev AS DOUBLE)
+                           ELSE 0 END
+                    + CASE WHEN d.rev > b.hi
+                           THEN 10 * CAST(d.rev - b.hi AS DOUBLE)
+                           ELSE 0 END, 4) AS DECIMAL(24,4)) AS sc,
+         CASE WHEN d.rev >= b.lo AND d.rev <= b.hi THEN 1 ELSE 0 END
+           AS covered
+  FROM daily d CROSS JOIN mark CROSS JOIN bounds b
+  WHERE d.idx > tr_end
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_holdout,
+       CAST(MAX(lo) AS DOUBLE) AS lo,
+       CAST(MAX(hi) AS DOUBLE) AS hi,
+       round(SUM(covered) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage,
+       round(CAST(SUM(sc) AS DOUBLE) / COUNT(*), 4) AS mean_interval_score
+FROM scored
+"""
+
+
+@query("q_interval_score", oracle=INTERVAL_SQL)
+def q_interval_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+        .select(
+            "day", "rev",
+            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        )
+        .localCheckpoint()
+    )
+    mark = daily.agg((F.max("idx") - 56).alias("tr_end"))
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    train = (
+        daily.join(F.broadcast(mark))
+        .filter(F.col("idx") <= F.col("tr_end"))
+        .select(
+            "rev",
+            F.row_number().over(Window.orderBy("rev", "day")).alias("r"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+    )
+    bounds = train.agg(
+        F.max(
+            F.when(
+                F.col("r") == F.ceil(0.1 * F.col("n")).cast("bigint"),
+                F.col("rev"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("r") == F.ceil(0.9 * F.col("n")).cast("bigint"),
+                F.col("rev"),
+            )
+        ).alias("hi"),
+    )
+    y, lo, hi = F.col("rev"), F.col("lo"), F.col("hi")
+    sc = F.round(
+        (hi - lo).cast("double")
+        + F.when(y < lo, 10 * (lo - y).cast("double")).otherwise(0)
+        + F.when(y > hi, 10 * (y - hi).cast("double")).otherwise(0),
+        4,
+    ).cast("decimal(24,4)")
+    scored = (
+        daily.join(F.broadcast(mark))
+        .filter(F.col("idx") > F.col("tr_end"))
+        .join(F.broadcast(bounds))
+        .select(
+            sc.alias("sc"),
+            F.when((y >= lo) & (y <= hi), 1).otherwise(0).alias("covered"),
+            lo, hi,
+        )
+    )
+    n = F.count(F.lit(1))
+    return scored.agg(
+        n.cast("bigint").alias("n_holdout"),
+        F.max("lo").cast("double").alias("lo"),
+        F.max("hi").cast("double").alias("hi"),
+        F.round(F.sum("covered") / n.cast("double"), 6).alias("coverage"),
+        F.round(F.sum("sc").cast("double") / n, 4)
+        .alias("mean_interval_score"),
+    )
+
+
+# -- q_crps_empirical --------------------------------------------------
+#
+# Continuous ranked probability score of the train-period empirical
+# distribution as a probabilistic forecast for holdout daily revenue:
+# CRPS(F, y) = E|X - y| - 0.5 E|X - X'| with BOTH expectations
+# collapsed to exact rank prefix algebra — E|X-X'| via the sorted
+# 2*sum x_(k)(2k-n-1) identity (the q_energy_distance kernel) and
+# E|X-y| per holdout point via the pooled train+holdout cumulative
+# count/sum window (y(2c-n) + S - 2P). The proper scoring rule that
+# grades the WHOLE predictive distribution where q_forecast_combo's
+# MAE grades a point. Exact decimals until the final divisions.
+
+CRPS_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS idx
+  FROM daily_src GROUP BY 1
+), mark AS (SELECT MAX(idx) - 56 AS tr_end FROM daily),
+tagged AS (
+  SELECT day, rev, CASE WHEN idx <= tr_end THEN 1 ELSE 0 END AS is_tr
+  FROM daily CROSS JOIN mark
+), trw AS (
+  SELECT rev,
+         rev * CAST(2 * ROW_NUMBER() OVER (ORDER BY rev, day)
+                    - COUNT(*) OVER () - 1 AS BIGINT) AS t
+  FROM tagged WHERE is_tr = 1
+), tr AS (
+  SELECT COUNT(*) AS n, CAST(SUM(rev) AS DECIMAL(32,2)) AS s,
+         CAST(SUM(t) AS DECIMAL(38,2)) AS within2
+  FROM trw
+), pooled AS (
+  SELECT day, rev, is_tr,
+         COALESCE(CAST(SUM(CASE WHEN is_tr = 1 THEN 1 END) OVER
+             (ORDER BY rev, is_tr DESC, day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT), 0) AS c,
+         COALESCE(CAST(SUM(CASE WHEN is_tr = 1 THEN rev END) OVER
+             (ORDER BY rev, is_tr DESC, day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DECIMAL(32,2)), CAST(0 AS DECIMAL(32,2))) AS p
+  FROM tagged
+), percy AS (
+  SELECT day,
+         CAST(round((CAST(rev AS DOUBLE) * (2 * c - (SELECT n FROM tr))
+                     + CAST((SELECT s FROM tr) AS DOUBLE)
+                     - 2 * CAST(p AS DOUBLE))
+                    / (SELECT n FROM tr), 4) AS DECIMAL(24,4)) AS eabs
+  FROM pooled WHERE is_tr = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_holdout,
+       round(CAST(SUM(eabs) AS DOUBLE) / COUNT(*)
+             - 0.5 * CAST((SELECT within2 FROM tr) AS DOUBLE)
+               / (CAST((SELECT n FROM tr) AS DOUBLE)
+                  * (SELECT n FROM tr)), 4) AS mean_crps,
+       round(CAST(SUM(eabs) AS DOUBLE) / COUNT(*), 4) AS mean_eabs
+FROM percy
+"""
+CRPS_SQL = CRPS_SQL.replace("FROM daily_src", "FROM orders").replace(
+    "GROUP BY ()", ""
+)
+
+
+@query("q_crps_empirical", oracle=CRPS_SQL)
+def q_crps_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+        .select(
+            "day", "rev",
+            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        )
+    )
+    mark = daily.agg((F.max("idx") - 56).alias("tr_end"))
+    tagged = (
+        daily.join(F.broadcast(mark))
+        .select(
+            "day", "rev",
+            F.when(F.col("idx") <= F.col("tr_end"), 1)
+            .otherwise(0)
+            .alias("is_tr"),
+        )
+        .localCheckpoint()
+    )
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    trn = tagged.filter(F.col("is_tr") == 1)
+    within = trn.select(
+        "rev",
+        (
+            F.col("rev")
+            * (
+                2 * F.row_number().over(Window.orderBy("rev", "day"))
+                - F.count(F.lit(1)).over(wall)
+                - 1
+            ).cast("bigint")
+        ).alias("t"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("decimal(32,2)").alias("s"),
+        F.sum("t").cast("decimal(38,2)").alias("within2"),
+    )
+    wp = Window.orderBy(
+        "rev", F.col("is_tr").desc(), "day"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pooled = tagged.select(
+        "day", "rev", "is_tr",
+        F.coalesce(
+            F.sum(F.when(F.col("is_tr") == 1, 1)).over(wp).cast("bigint"),
+            F.lit(0),
+        ).alias("c"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_tr") == 1, F.col("rev")))
+            .over(wp)
+            .cast("decimal(32,2)"),
+            F.lit(0).cast("decimal(32,2)"),
+        ).alias("p"),
+    )
+    n, s = F.col("n"), F.col("s").cast("double")
+    eabs = F.round(
+        (
+            F.col("rev").cast("double") * (2 * F.col("c") - n)
+            + s
+            - 2 * F.col("p").cast("double")
+        )
+        / n,
+        4,
+    ).cast("decimal(24,4)")
+    percy = (
+        pooled.filter(F.col("is_tr") == 0)
+        .join(F.broadcast(within))
+        .select(eabs.alias("eabs"), "n", "within2")
+    )
+    cnt = F.count(F.lit(1))
+    return percy.groupBy("n", "within2").agg(
+        cnt.cast("bigint").alias("n_holdout"),
+        F.round(
+            F.sum("eabs").cast("double") / cnt
+            - 0.5
+            * F.col("within2").cast("double")
+            / (F.col("n").cast("double") * F.col("n")),
+            4,
+        ).alias("mean_crps"),
+        F.round(F.sum("eabs").cast("double") / cnt, 4).alias("mean_eabs"),
+    ).select("n_holdout", "mean_crps", "mean_eabs")
+
+
+# -- q_haberman_residuals ----------------------------------------------
+#
+# Haberman adjusted residuals for the nation x order-priority
+# contingency table: cell residual (O - E)/sqrt(E) divided by
+# sqrt((1 - row_share)(1 - col_share)) is asymptotically N(0,1), so
+# |adj| > 2 marks WHICH cells drive a significant chi-square — the
+# cell-level follow-up q_chi2_independence (table-level) and
+# q_cramers_v (strength) leave open. Counts exact; E and the residual
+# chain are identical double algebra; flags compare 6-rounded values.
+
+HABERMAN_SQL = """
+WITH cells AS (
+  SELECT n_name, o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), w AS (
+  SELECT n_name, pri, o,
+         SUM(o) OVER (PARTITION BY n_name) AS ro,
+         SUM(o) OVER (PARTITION BY pri) AS co,
+         SUM(o) OVER () AS t
+  FROM cells
+), r AS (
+  SELECT n_name, pri, o,
+         ro * co / CAST(t AS DOUBLE) AS e,
+         (o - ro * co / CAST(t AS DOUBLE))
+           / sqrt(ro * co / CAST(t AS DOUBLE)) AS resid,
+         (o - ro * co / CAST(t AS DOUBLE))
+           / sqrt(ro * co / CAST(t AS DOUBLE)
+                  * (1 - ro / CAST(t AS DOUBLE))
+                  * (1 - co / CAST(t AS DOUBLE))) AS adj,
+         ro, co, t
+  FROM w
+)
+SELECT n_name, pri, o AS observed,
+       round(e, 4) AS expected,
+       round(resid, 6) AS pearson_residual,
+       round(adj, 6) AS adjusted_residual,
+       CAST(CASE WHEN abs(round(adj, 6)) > 2 THEN 1 ELSE 0 END AS BIGINT)
+         AS flagged
+FROM r
+ORDER BY n_name, pri
+"""
+
+
+@query("q_haberman_residuals", oracle=HABERMAN_SQL)
+def q_haberman_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cells = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = cells.select(
+        "n_name", "pri", "o",
+        F.sum("o").over(Window.partitionBy("n_name")).alias("ro"),
+        F.sum("o").over(Window.partitionBy("pri")).alias("co"),
+        F.sum("o").over(wall).alias("t"),
+    )
+    o, ro, co, t = (F.col(x) for x in ["o", "ro", "co", "t"])
+    e = ro * co / t.cast("double")
+    resid = (o - e) / F.sqrt(e)
+    adj = (o - e) / F.sqrt(
+        e * (1 - ro / t.cast("double")) * (1 - co / t.cast("double"))
+    )
+    return w.select(
+        "n_name", "pri",
+        o.alias("observed"),
+        F.round(e, 4).alias("expected"),
+        F.round(resid, 6).alias("pearson_residual"),
+        F.round(adj, 6).alias("adjusted_residual"),
+        F.when(F.abs(F.round(adj, 6)) > 2, 1).otherwise(0).cast("bigint")
+        .alias("flagged"),
+    ).orderBy("n_name", "pri")
