@@ -7015,3 +7015,367 @@ def q_haberman_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.abs(F.round(adj, 6)) > 2, 1).otherwise(0).cast("bigint")
         .alias("flagged"),
     ).orderBy("n_name", "pri")
+
+
+# -- q_pit_calibration -------------------------------------------------
+#
+# Probability-integral-transform calibration of the empirical
+# forecast distribution that q_crps_empirical scores: PIT(y) =
+# F_train(y) per holdout day (exact cumulative train counts from the
+# SAME pooled rank window — no quantile inversion), binned into
+# deciles with a chi-square uniformity statistic. U-shaped PIT =
+# underdispersed forecasts, hump = overdispersed — the diagnosis CRPS
+# compresses into one number. Exact integer bin counts; chi2 is the
+# one double chain.
+
+PIT_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS idx
+  FROM orders GROUP BY 1
+), mark AS (SELECT MAX(idx) - 56 AS tr_end FROM daily),
+tagged AS (
+  SELECT day, rev, CASE WHEN idx <= tr_end THEN 1 ELSE 0 END AS is_tr
+  FROM daily CROSS JOIN mark
+), ntr AS (SELECT COUNT(*) AS n FROM tagged WHERE is_tr = 1),
+pooled AS (
+  SELECT day, rev, is_tr,
+         COALESCE(CAST(SUM(CASE WHEN is_tr = 1 THEN 1 END) OVER
+             (ORDER BY rev, is_tr DESC, day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT), 0) AS c
+  FROM tagged
+), pit AS (
+  SELECT LEAST(CAST(10 * c AS BIGINT) // (SELECT n FROM ntr),
+               CAST(9 AS BIGINT)) AS bin
+  FROM pooled WHERE is_tr = 0
+), bins AS (
+  SELECT b.bin, COALESCE(p.c, 0) AS c
+  FROM (SELECT UNNEST(generate_series(CAST(0 AS BIGINT),
+                                      CAST(9 AS BIGINT))) AS bin) b
+  LEFT JOIN (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c
+             FROM pit GROUP BY 1) p ON p.bin = b.bin
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM bins)
+SELECT CAST(bin AS BIGINT) AS decile,
+       CAST(c AS BIGINT) AS n_obs,
+       round(c / CAST(m AS DOUBLE), 6) AS share,
+       round(CAST(SUM(CAST(round((c - m / 10.0) * (c - m / 10.0)
+                                 / (m / 10.0), 9) AS DECIMAL(20,9)))
+                  OVER () AS DOUBLE), 6) AS chi2_uniformity
+FROM bins CROSS JOIN tot
+ORDER BY decile
+"""
+
+
+@query("q_pit_calibration", oracle=PIT_SQL)
+def q_pit_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+        .select(
+            "day", "rev",
+            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        )
+    )
+    mark = daily.agg((F.max("idx") - 56).alias("tr_end"))
+    tagged = (
+        daily.join(F.broadcast(mark))
+        .select(
+            "day", "rev",
+            F.when(F.col("idx") <= F.col("tr_end"), 1)
+            .otherwise(0)
+            .alias("is_tr"),
+        )
+        .localCheckpoint()
+    )
+    ntr = tagged.filter(F.col("is_tr") == 1).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.orderBy(
+        "rev", F.col("is_tr").desc(), "day"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pooled = tagged.select(
+        "is_tr",
+        F.coalesce(
+            F.sum(F.when(F.col("is_tr") == 1, 1)).over(wp).cast("bigint"),
+            F.lit(0),
+        ).alias("c"),
+    )
+    pit = (
+        pooled.filter(F.col("is_tr") == 0)
+        .join(F.broadcast(ntr))
+        .select(
+            F.least(
+                F.expr("CAST(10 * c AS BIGINT) div n"),
+                F.lit(9).cast("bigint"),
+            ).alias("bin")
+        )
+    )
+    bins10 = pit.sparkSession.range(0, 10).select(
+        F.col("id").cast("bigint").alias("bin")
+    )
+    counts = pit.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bins = bins10.join(counts, "bin", "left").select(
+        "bin", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+    )
+    tot = bins.agg(F.sum("c").cast("bigint").alias("m"))
+    m, c = F.col("m"), F.col("c")
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    chi_term = F.round(
+        (c - m / 10.0) * (c - m / 10.0) / (m / 10.0), 9
+    ).cast("decimal(20,9)")
+    return (
+        bins.join(F.broadcast(tot))
+        .select(
+            c.alias("n_obs"),
+            F.col("bin").alias("decile"),
+            F.round(c / m.cast("double"), 6).alias("share"),
+            F.round(F.sum(chi_term).over(wall).cast("double"), 6)
+            .alias("chi2_uniformity"),
+        )
+        .select("decile", "n_obs", "share", "chi2_uniformity")
+        .orderBy("decile")
+    )
+
+
+# -- q_mase ------------------------------------------------------------
+#
+# Mean absolute SCALED error (Hyndman-Koehler) for the seasonal-naive
+# forecaster on the 56-day holdout: MAE(model) divided by the
+# in-sample MAE of the one-step naive — the scale-free forecast error
+# that lets accuracy compare across series where MAPE breaks on
+# near-zero days. MASE < 1 = beats naive. Per-day absolute errors are
+# exact decimals (the dow-mean forecast is 2-rounded before
+# differencing); the scaling division is the one double.
+
+MASE_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS idx
+  FROM orders GROUP BY 1
+), mark AS (SELECT MAX(idx) - 56 AS tr_end FROM daily),
+nv0 AS (
+  SELECT CAST(abs(CAST(rev AS DOUBLE)
+                  - CAST(LAG(rev) OVER (ORDER BY day) AS DOUBLE))
+              AS DECIMAL(24,4)) AS ad
+  FROM daily CROSS JOIN mark WHERE idx <= tr_end
+), naive AS (
+  SELECT CAST(SUM(ad) AS DOUBLE) / (COUNT(*) - 1) AS mae_naive
+  FROM nv0
+), dowm AS (
+  SELECT dayofweek(day) AS dw,
+         CAST(round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 2)
+              AS DECIMAL(24,2)) AS f
+  FROM daily CROSS JOIN mark WHERE idx <= tr_end GROUP BY 1
+), hold AS (
+  SELECT CAST(abs(CAST(d.rev - w.f AS DOUBLE)) AS DECIMAL(24,4)) AS ae
+  FROM daily d CROSS JOIN mark
+  JOIN dowm w ON w.dw = dayofweek(d.day)
+  WHERE d.idx > tr_end
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_holdout,
+       round(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 4) AS mae_model,
+       round((SELECT mae_naive FROM naive), 4) AS mae_naive_insample,
+       round((CAST(SUM(ae) AS DOUBLE) / COUNT(*))
+             / (SELECT mae_naive FROM naive), 6) AS mase
+FROM hold
+"""
+
+
+@query("q_mase", oracle=MASE_SQL)
+def q_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+        .select(
+            "day", "rev",
+            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        )
+        .localCheckpoint()
+    )
+    mark = daily.agg((F.max("idx") - 56).alias("tr_end"))
+    tr = daily.join(F.broadcast(mark)).filter(
+        F.col("idx") <= F.col("tr_end")
+    )
+    lagrev = F.lag("rev").over(Window.orderBy("day"))
+    naive = tr.select(
+        F.abs(F.col("rev").cast("double") - lagrev.cast("double"))
+        .cast("decimal(24,4)")
+        .alias("ad")
+    ).agg(
+        (
+            F.sum("ad").cast("double") / (F.count(F.lit(1)) - 1)
+        ).alias("mae_naive")
+    )
+    dowm = tr.groupBy(F.dayofweek("day").alias("dw")).agg(
+        F.round(F.sum("rev").cast("double") / F.count(F.lit(1)), 2)
+        .cast("decimal(24,2)")
+        .alias("f")
+    )
+    hold = (
+        daily.join(F.broadcast(mark))
+        .filter(F.col("idx") > F.col("tr_end"))
+        .join(F.broadcast(dowm), F.dayofweek("day") == F.col("dw"))
+        .select(
+            F.abs((F.col("rev") - F.col("f")).cast("double"))
+            .cast("decimal(24,4)")
+            .alias("ae")
+        )
+    )
+    n = F.count(F.lit(1))
+    mae = F.sum("ae").cast("double") / n
+    return hold.join(F.broadcast(naive)).agg(
+        n.cast("bigint").alias("n_holdout"),
+        F.round(mae, 4).alias("mae_model"),
+        F.round(F.max("mae_naive"), 4).alias("mae_naive_insample"),
+        F.round(mae / F.max("mae_naive"), 6).alias("mase"),
+    )
+
+
+# -- q_diebold_mariano -------------------------------------------------
+#
+# Diebold-Mariano test comparing the naive and seasonal-naive
+# forecasters on the 56-day holdout: loss differential d_t = |e_naive|
+# - |e_seasonal| per day, DM = dbar / sqrt((gamma0 + 2*gamma1)/n)
+# with the lag-1 Newey-West (HAC) variance that forecast-error
+# autocorrelation demands — the honest "is model A actually better"
+# test that a paired t-test on autocorrelated errors fakes.
+# Differentials are exact decimals; the autocovariances fold 4-rounded
+# products exactly; DM is one double chain.
+
+DM_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS idx
+  FROM orders GROUP BY 1
+), mark AS (SELECT MAX(idx) - 56 AS tr_end FROM daily),
+fit AS (
+  SELECT MAX(CASE WHEN idx = tr_end THEN rev END) AS last_rev
+  FROM daily CROSS JOIN mark WHERE idx <= tr_end
+), dowm AS (
+  SELECT dayofweek(day) AS dw,
+         CAST(round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 2)
+              AS DECIMAL(24,2)) AS f
+  FROM daily CROSS JOIN mark WHERE idx <= tr_end GROUP BY 1
+), d AS (
+  SELECT dd.day,
+         CAST(abs(CAST(dd.rev - ft.last_rev AS DOUBLE))
+              - abs(CAST(dd.rev - w.f AS DOUBLE)) AS DECIMAL(24,4)) AS dt
+  FROM daily dd CROSS JOIN mark CROSS JOIN fit ft
+  JOIN dowm w ON w.dw = dayofweek(dd.day)
+  WHERE dd.idx > tr_end
+), lagd AS (
+  SELECT dt, LAG(dt) OVER (ORDER BY day) AS dtp FROM d
+), mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dt) AS DECIMAL(32,4)) AS s1,
+         CAST(SUM(CAST(round(CAST(dt AS DOUBLE) * CAST(dt AS DOUBLE), 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+         CAST(SUM(CASE WHEN dtp IS NOT NULL THEN
+               CAST(round(CAST(dt AS DOUBLE) * CAST(dtp AS DOUBLE), 4)
+                    AS DECIMAL(38,4)) END) AS DOUBLE) AS s11
+  FROM lagd
+), f AS (
+  SELECT n, CAST(s1 AS DOUBLE) / n AS dbar,
+         s2 / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+           AS g0,
+         s11 / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+           AS g1
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_holdout,
+       round(dbar, 4) AS mean_loss_diff,
+       round(g0, 4) AS gamma0,
+       round(g1, 4) AS gamma1,
+       round(dbar / sqrt(GREATEST(g0 + 2 * g1, g0 * 0.1) / n), 6)
+         AS dm_stat
+FROM f
+"""
+
+
+@query("q_diebold_mariano", oracle=DM_SQL)
+def q_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+        .select(
+            "day", "rev",
+            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        )
+        .localCheckpoint()
+    )
+    mark = daily.agg((F.max("idx") - 56).alias("tr_end"))
+    tr = daily.join(F.broadcast(mark)).filter(
+        F.col("idx") <= F.col("tr_end")
+    )
+    fit = tr.agg(
+        F.max(
+            F.when(F.col("idx") == F.col("tr_end"), F.col("rev"))
+        ).alias("last_rev")
+    )
+    dowm = tr.groupBy(F.dayofweek("day").alias("dw")).agg(
+        F.round(F.sum("rev").cast("double") / F.count(F.lit(1)), 2)
+        .cast("decimal(24,2)")
+        .alias("f")
+    )
+    d = (
+        daily.join(F.broadcast(mark))
+        .filter(F.col("idx") > F.col("tr_end"))
+        .join(F.broadcast(fit))
+        .join(F.broadcast(dowm), F.dayofweek("day") == F.col("dw"))
+        .select(
+            "day",
+            (
+                F.abs((F.col("rev") - F.col("last_rev")).cast("double"))
+                - F.abs((F.col("rev") - F.col("f")).cast("double"))
+            )
+            .cast("decimal(24,4)")
+            .alias("dt"),
+        )
+    )
+    lagd = d.select(
+        "dt", F.lag("dt").over(Window.orderBy("day")).alias("dtp")
+    )
+    dtd = F.col("dt").cast("double")
+    dtpd = F.col("dtp").cast("double")
+    mom = lagd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dt").cast("decimal(32,4)").alias("s1"),
+        F.sum(F.round(dtd * dtd, 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("s2"),
+        F.sum(
+            F.when(
+                F.col("dtp").isNotNull(),
+                F.round(dtd * dtpd, 4).cast("decimal(38,4)"),
+            )
+        )
+        .cast("double")
+        .alias("s11"),
+    )
+    n = F.col("n")
+    dbar = F.col("s1").cast("double") / n
+    g0 = F.col("s2") / n - dbar * dbar
+    g1 = F.col("s11") / n - dbar * dbar
+    return mom.select(
+        n.cast("bigint").alias("n_holdout"),
+        F.round(dbar, 4).alias("mean_loss_diff"),
+        F.round(g0, 4).alias("gamma0"),
+        F.round(g1, 4).alias("gamma1"),
+        F.round(
+            dbar / F.sqrt(F.greatest(g0 + 2 * g1, g0 * 0.1) / n), 6
+        ).alias("dm_stat"),
+    )
