@@ -7379,3 +7379,288 @@ def q_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
             dbar / F.sqrt(F.greatest(g0 + 2 * g1, g0 * 0.1) / n), 6
         ).alias("dm_stat"),
     )
+
+
+# -- txt_self_bleu -----------------------------------------------------
+#
+# Self-BLEU-2 corpus diversity (Zhu et al.): each document is scored
+# against a deterministic partner (consecutive docs in md5(doc_id)
+# order — the house no-rand pairing), with modified bigram precision
+# sum min(tf_cand, tf_ref) / len_cand and the brevity penalty
+# exp(1 - ref/cand) when the candidate is shorter; HIGH mean
+# self-BLEU = the corpus repeats itself (mode collapse in generated
+# data), complementing dedup's binary verdicts with a graded
+# diversity number. Clipped counts are exact integers off one bigram
+# groupBy + pair join; per-pair scores are 6-rounded decimals folded
+# exactly.
+
+SELF_BLEU_SQL = """
+WITH ordered AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS cand, b.doc_id AS ref
+  FROM ordered a JOIN ordered b ON b.rn = a.rn + 1
+  WHERE a.rn % 2 = 1
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram
+  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+), cnt AS (
+  SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY 1, 2
+), dlen AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb FROM cnt GROUP BY 1
+), clipped AS (
+  SELECT p.cand, p.ref,
+         CAST(SUM(LEAST(cc.c, cr.c)) AS BIGINT) AS clip
+  FROM pairs p
+  JOIN cnt cc ON cc.doc_id = p.cand
+  JOIN cnt cr ON cr.doc_id = p.ref AND cr.bigram = cc.bigram
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.cand,
+         COALESCE(cl.clip, 0) / CAST(dc.nb AS DOUBLE) AS prec,
+         CASE WHEN dc.nb < dr.nb
+              THEN exp(1 - dr.nb / CAST(dc.nb AS DOUBLE)) ELSE 1.0 END
+           AS bp
+  FROM pairs p
+  JOIN dlen dc ON dc.doc_id = p.cand
+  JOIN dlen dr ON dr.doc_id = p.ref
+  LEFT JOIN clipped cl ON cl.cand = p.cand AND cl.ref = p.ref
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(CAST(round(bp * prec, 6) AS DECIMAL(10,6)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_self_bleu2,
+       round(CAST(SUM(CAST(round(prec, 6) AS DECIMAL(10,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_bigram_precision
+FROM scored
+"""
+
+
+@query("txt_self_bleu", oracle=SELF_BLEU_SQL)
+def txt_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    ordered = d.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        )
+        .alias("rn"),
+    ).localCheckpoint()
+    a = ordered.alias("a")
+    b = ordered.alias("b")
+    pairs = (
+        a.join(b, F.col("b.rn") == F.col("a.rn") + 1)
+        .filter(F.col("a.rn") % 2 == 1)
+        .select(
+            F.col("a.doc_id").alias("cand"), F.col("b.doc_id").alias("ref")
+        )
+        .localCheckpoint()
+    )
+    ws = F.split("text", " ")
+    toks = d.select("doc_id", ws.alias("ws"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(ws[i - 1], ' ', ws[i]))"
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()
+    dlen = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("nb")
+    )
+    cc = cnt.select(
+        F.col("doc_id").alias("cdoc"), "bigram", F.col("c").alias("c1")
+    )
+    cr = cnt.select(
+        F.col("doc_id").alias("rdoc"),
+        F.col("bigram").alias("rbigram"),
+        F.col("c").alias("c2"),
+    )
+    clipped = (
+        pairs.join(cc, F.col("cdoc") == F.col("cand"))
+        .join(
+            cr,
+            (F.col("rdoc") == F.col("ref"))
+            & (F.col("rbigram") == F.col("bigram")),
+        )
+        .groupBy("cand", "ref")
+        .agg(
+            F.sum(F.least(F.col("c1"), F.col("c2")))
+            .cast("bigint")
+            .alias("clip")
+        )
+    )
+    dc = dlen.select(F.col("doc_id").alias("cd"), F.col("nb").alias("ncb"))
+    dr = dlen.select(F.col("doc_id").alias("rd"), F.col("nb").alias("nrb"))
+    scored = (
+        pairs.join(F.broadcast(dc), F.col("cd") == F.col("cand"))
+        .join(F.broadcast(dr), F.col("rd") == F.col("ref"))
+        .join(clipped, ["cand", "ref"], "left")
+        .select(
+            (
+                F.coalesce("clip", F.lit(0)) / F.col("ncb").cast("double")
+            ).alias("prec"),
+            F.when(
+                F.col("ncb") < F.col("nrb"),
+                F.exp(1 - F.col("nrb") / F.col("ncb").cast("double")),
+            )
+            .otherwise(1.0)
+            .alias("bp"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return scored.agg(
+        n.cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(
+                F.round(F.col("bp") * F.col("prec"), 6).cast("decimal(10,6)")
+            ).cast("double")
+            / n,
+            6,
+        ).alias("mean_self_bleu2"),
+        F.round(
+            F.sum(F.round("prec", 6).cast("decimal(10,6)")).cast("double")
+            / n,
+            6,
+        ).alias("mean_bigram_precision"),
+    )
+
+
+# -- mr_rich_club ------------------------------------------------------
+#
+# Rich-club coefficient on the customer ⋈ supplier graph: for each
+# degree threshold k in {2, 4, 8, 16, 32}, phi(k) = observed edges
+# among nodes of degree > k divided by the bipartite maximum
+# n_c(k) * n_s(k) — do the best-connected customers concentrate on
+# the best-connected suppliers? (Colizza et al., adapted to the
+# bipartite maximum.) Degrees come from one groupBy of the edge
+# table; each threshold is a broadcast-semi-join filter, and the
+# density ratio is exact-integer / exact-integer. Completes the
+# macro-structure family beside mr_assortativity / mr_modularity.
+
+RICHCLUB_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), deg AS (
+  SELECT node, CAST(SUM(c) AS BIGINT) AS d FROM (
+    SELECT src AS node, COUNT(*) AS c FROM e0 GROUP BY 1
+    UNION ALL
+    SELECT dst, COUNT(*) FROM e0 GROUP BY 1
+  ) GROUP BY 1
+), ks AS (SELECT UNNEST([2, 4, 8, 16, 32]) AS k),
+rich AS (
+  SELECT ks.k, deg.node, substr(deg.node, 1, 1) AS side
+  FROM ks JOIN deg ON deg.d > ks.k
+), side_counts AS (
+  SELECT k,
+         CAST(SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+           AS nc,
+         CAST(SUM(CASE WHEN side = 's' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ns
+  FROM rich GROUP BY 1
+), rich_edges AS (
+  SELECT r1.k, CAST(COUNT(*) AS BIGINT) AS ec
+  FROM e0
+  JOIN rich r1 ON r1.node = e0.src
+  JOIN rich r2 ON r2.node = e0.dst AND r2.k = r1.k
+  GROUP BY 1
+)
+SELECT s.k AS degree_threshold, s.nc AS n_rich_customers,
+       s.ns AS n_rich_suppliers,
+       COALESCE(re.ec, 0) AS rich_edges,
+       round(CASE WHEN s.nc * s.ns > 0
+                  THEN COALESCE(re.ec, 0)
+                       / (CAST(s.nc AS DOUBLE) * s.ns) END, 6)
+         AS phi
+FROM side_counts s LEFT JOIN rich_edges re ON re.k = s.k
+ORDER BY degree_threshold
+"""
+
+
+@query("mr_rich_club", oracle=RICHCLUB_SQL)
+def mr_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    e0 = (
+        cat.orders.join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e0.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .union(
+            e0.groupBy(F.col("dst").alias("node")).agg(
+                F.count(F.lit(1)).alias("c")
+            )
+        )
+        .groupBy("node")
+        .agg(F.sum("c").cast("bigint").alias("d"))
+    )
+    ks = e0.sparkSession.createDataFrame(
+        [(2,), (4,), (8,), (16,), (32,)], ["k"]
+    )
+    rich = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("d") > F.col("k"))
+        .select("k", "node", F.substring("node", 1, 1).alias("side"))
+        .localCheckpoint()
+    )
+    side_counts = rich.groupBy("k").agg(
+        F.sum(F.when(F.col("side") == "c", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("side") == "s", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ns"),
+    )
+    r1 = rich.select(F.col("k").alias("k1"), F.col("node").alias("n1"))
+    r2 = rich.select(F.col("k").alias("k2"), F.col("node").alias("n2"))
+    rich_edges = (
+        e0.join(F.broadcast(r1), F.col("n1") == F.col("src"))
+        .join(
+            F.broadcast(r2),
+            (F.col("n2") == F.col("dst")) & (F.col("k2") == F.col("k1")),
+        )
+        .groupBy(F.col("k1").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ec"))
+    )
+    nc, ns = F.col("nc"), F.col("ns")
+    ec = F.coalesce("ec", F.lit(0))
+    return (
+        side_counts.join(rich_edges, "k", "left")
+        .select(
+            F.col("k").alias("degree_threshold"),
+            nc.alias("n_rich_customers"),
+            ns.alias("n_rich_suppliers"),
+            ec.cast("bigint").alias("rich_edges"),
+            F.round(
+                F.when(
+                    nc * ns > 0, ec / (nc.cast("double") * ns)
+                ),
+                6,
+            ).alias("phi"),
+        )
+        .orderBy("degree_threshold")
+    )
