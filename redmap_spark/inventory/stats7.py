@@ -7664,3 +7664,309 @@ def mr_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree_threshold")
     )
+
+
+# -- q_lee_bounds ------------------------------------------------------
+#
+# Lee (2009) bounds for the md5 pseudo-treatment effect on FIRST-YEAR
+# spend under differential attrition: only customers who order at all
+# have an outcome, so if the arms "retain" at different rates the
+# naive conditional-on-ordering contrast is selection-biased. The
+# treated outcome distribution is trimmed by the differential share
+# p = (ret_t - ret_c)/ret_t from the top (lower bound) and bottom
+# (upper bound) via EXACT rank cutoffs (floor(p*n) rows, ties broken
+# on custkey), giving sharp bounds on the effect for always-takers.
+# The bounds framing q_ips_policy_eval / q_cem_att assume away.
+# Counts and trimmed decimal sums are exact; four double divisions.
+
+LEE_SQL = """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+cust AS (
+  SELECT c_custkey,
+         CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '8'
+              THEN 0 ELSE 1 END AS arm
+  FROM customer
+), outc AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS y
+  FROM orders CROSS JOIN mx
+  WHERE CAST(o_orderdate AS DATE) >= dmax - 365
+  GROUP BY 1
+), j AS (
+  SELECT c.arm, o.y FROM cust c
+  LEFT JOIN outc o ON o.o_custkey = c.c_custkey
+), ret AS (
+  SELECT arm, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS resp
+  FROM j GROUP BY 1
+), p AS (
+  SELECT GREATEST(
+           ((SELECT resp / CAST(n AS DOUBLE) FROM ret WHERE arm = 1)
+            - (SELECT resp / CAST(n AS DOUBLE) FROM ret WHERE arm = 0))
+           / (SELECT resp / CAST(n AS DOUBLE) FROM ret WHERE arm = 1),
+           0.0) AS trim
+), tr AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY y, rowid_) AS r,
+         COUNT(*) OVER () AS n
+  FROM (SELECT c.c_custkey AS rowid_, o.y
+        FROM cust c JOIN outc o ON o.o_custkey = c.c_custkey
+        WHERE c.arm = 1)
+), ctrl AS (
+  SELECT CAST(SUM(o.y) AS DOUBLE) / COUNT(*) AS mu_c
+  FROM cust c JOIN outc o ON o.o_custkey = c.c_custkey
+  WHERE c.arm = 0
+), cut AS (
+  SELECT CAST(floor(trim * (SELECT MAX(n) FROM tr)) AS BIGINT) AS k,
+         trim
+  FROM p
+), bounds AS (
+  SELECT
+    (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) FROM tr CROSS JOIN cut
+     WHERE r <= (SELECT MAX(n) FROM tr) - k) AS mu_lo,
+    (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) FROM tr CROSS JOIN cut
+     WHERE r > k) AS mu_hi
+)
+SELECT round((SELECT trim FROM p), 6) AS trim_share,
+       round((SELECT mu_c FROM ctrl), 4) AS control_mean,
+       round(mu_lo - (SELECT mu_c FROM ctrl), 4) AS effect_lower,
+       round(mu_hi - (SELECT mu_c FROM ctrl), 4) AS effect_upper
+FROM bounds
+"""
+
+
+@query("q_lee_bounds", oracle=LEE_SQL)
+def q_lee_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    mx = cat.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("dmax")
+    )
+    cust = cat.customer.select(
+        "c_custkey",
+        F.when(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+            < "8",
+            0,
+        )
+        .otherwise(1)
+        .alias("arm"),
+    )
+    outc = (
+        cat.orders.join(F.broadcast(mx))
+        .filter(
+            F.col("o_orderdate").cast("date")
+            >= F.date_sub(F.col("dmax"), 365)
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("y"))
+    )
+    j = cust.join(
+        outc, F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select("c_custkey", "arm", "y").localCheckpoint()
+    ret = j.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("y").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("resp"),
+    )
+    rates = ret.agg(
+        F.max(
+            F.when(
+                F.col("arm") == 1, F.col("resp") / F.col("n").cast("double")
+            )
+        ).alias("rt"),
+        F.max(
+            F.when(
+                F.col("arm") == 0, F.col("resp") / F.col("n").cast("double")
+            )
+        ).alias("rc"),
+    )
+    p = rates.select(
+        F.greatest(
+            (F.col("rt") - F.col("rc")) / F.col("rt"), F.lit(0.0)
+        ).alias("trim")
+    )
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tr = (
+        j.filter((F.col("arm") == 1) & F.col("y").isNotNull())
+        .select(
+            "y",
+            F.row_number().over(Window.orderBy("y", "c_custkey")).alias("r"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .localCheckpoint()
+    )
+    ctrl = (
+        j.filter((F.col("arm") == 0) & F.col("y").isNotNull())
+        .agg(
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("mu_c")
+        )
+    )
+    cut = tr.agg(F.max("n").alias("nt")).join(F.broadcast(p)).select(
+        F.floor(F.col("trim") * F.col("nt")).cast("bigint").alias("k"),
+        "trim", "nt",
+    )
+    lo = (
+        tr.join(F.broadcast(cut))
+        .filter(F.col("r") <= F.col("nt") - F.col("k"))
+        .agg(
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("mu_lo")
+        )
+    )
+    hi = (
+        tr.join(F.broadcast(cut))
+        .filter(F.col("r") > F.col("k"))
+        .agg(
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("mu_hi")
+        )
+    )
+    return (
+        lo.join(F.broadcast(hi))
+        .join(F.broadcast(ctrl))
+        .join(F.broadcast(p))
+        .select(
+            F.round("trim", 6).alias("trim_share"),
+            F.round("mu_c", 4).alias("control_mean"),
+            F.round(F.col("mu_lo") - F.col("mu_c"), 4)
+            .alias("effect_lower"),
+            F.round(F.col("mu_hi") - F.col("mu_c"), 4)
+            .alias("effect_upper"),
+        )
+    )
+
+
+# -- q_mover_stayer ----------------------------------------------------
+#
+# Blumen mover-stayer model on customers' spend-half state (above /
+# below the period median) across three consecutive 2-year periods:
+# a share s of "stayers" never leaves their state while movers follow
+# a Markov chain with persistence p, identified in closed form from
+# the one- and two-step diagonal shares P1 = s + (1-s)p and
+# P2 = s + (1-s)p^2 (so p = (P2 - P1)/(P1 - 1) + 1 ... solved as
+# p = (P2 - P1)/(P1 - 1) + 1 simplified below, s from back-
+# substitution) — the classic heterogeneity correction showing a
+# single Markov chain OVERSTATES mobility (q_markov_stationary's
+# implicit assumption). Diagonal shares are exact counts over the
+# median-split states; the closed-form solve is one double chain.
+
+MOVER_SQL = """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+per AS (
+  SELECT o_custkey,
+         CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE), dmax)
+                    / 730.0) AS BIGINT) AS back,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders CROSS JOIN mx
+), spend AS (
+  SELECT o_custkey, 2 - back AS period,
+         CAST(SUM(x) AS DECIMAL(28,2)) AS s
+  FROM per WHERE back <= 2 GROUP BY 1, 2
+), med AS (
+  SELECT period,
+         round(quantile_cont(CAST(s AS DOUBLE), 0.5), 2) AS m
+  FROM spend GROUP BY 1
+), st AS (
+  SELECT spend.o_custkey, spend.period,
+         CASE WHEN CAST(s AS DOUBLE) > m THEN 1 ELSE 0 END AS hi
+  FROM spend JOIN med ON med.period = spend.period
+), wide AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN period = 0 THEN hi END) AS s0,
+         MAX(CASE WHEN period = 1 THEN hi END) AS s1,
+         MAX(CASE WHEN period = 2 THEN hi END) AS s2
+  FROM st GROUP BY 1
+), c AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN s0 = s1 THEN 1 ELSE 0 END) AS BIGINT) AS d1a,
+         CAST(SUM(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) AS BIGINT) AS d1b,
+         CAST(SUM(CASE WHEN s0 = s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+  FROM wide
+  WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
+), f AS (
+  SELECT n,
+         (d1a + d1b) / (2.0 * n) AS p1,
+         d2 / CAST(n AS DOUBLE) AS p2
+  FROM c
+), solved AS (
+  SELECT n, p1, p2,
+         CASE WHEN p1 < 1 THEN (p2 - p1) / (p1 - 1) + 1 END AS pm
+  FROM f
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(p1, 6) AS one_step_stay,
+       round(p2, 6) AS two_step_stay,
+       round(pm, 6) AS mover_persistence,
+       round(CASE WHEN pm < 1 THEN (p1 - pm) / (1 - pm) END, 6)
+         AS stayer_share
+FROM solved
+"""
+
+
+@query("q_mover_stayer", oracle=MOVER_SQL)
+def q_mover_stayer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    mx = cat.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("dmax")
+    )
+    per = cat.orders.join(F.broadcast(mx)).select(
+        "o_custkey",
+        F.floor(
+            F.datediff("dmax", F.col("o_orderdate").cast("date")) / 730.0
+        )
+        .cast("bigint")
+        .alias("back"),
+        dec("o_totalprice").alias("x"),
+    )
+    spend = (
+        per.filter(F.col("back") <= 2)
+        .groupBy("o_custkey", (2 - F.col("back")).alias("period"))
+        .agg(F.sum("x").cast("decimal(28,2)").alias("s"))
+    )
+    med = spend.groupBy("period").agg(
+        F.round(F.percentile(F.col("s").cast("double"), F.lit(0.5)), 2)
+        .alias("m")
+    )
+    st = spend.join(F.broadcast(med), "period").select(
+        "o_custkey", "period",
+        F.when(F.col("s").cast("double") > F.col("m"), 1)
+        .otherwise(0)
+        .alias("hi"),
+    )
+    wide = st.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("period") == 0, F.col("hi"))).alias("s0"),
+        F.max(F.when(F.col("period") == 1, F.col("hi"))).alias("s1"),
+        F.max(F.when(F.col("period") == 2, F.col("hi"))).alias("s2"),
+    )
+    s0, s1, s2 = F.col("s0"), F.col("s1"), F.col("s2")
+    c = wide.filter(
+        s0.isNotNull() & s1.isNotNull() & s2.isNotNull()
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(s0 == s1, 1).otherwise(0)).cast("bigint").alias("d1a"),
+        F.sum(F.when(s1 == s2, 1).otherwise(0)).cast("bigint").alias("d1b"),
+        F.sum(F.when(s0 == s2, 1).otherwise(0)).cast("bigint").alias("d2"),
+    )
+    n = F.col("n")
+    p1 = (F.col("d1a") + F.col("d1b")) / (2.0 * n)
+    p2 = F.col("d2") / n.cast("double")
+    f = c.select(n, p1.alias("p1"), p2.alias("p2"))
+    pm = F.when(
+        F.col("p1") < 1, (F.col("p2") - F.col("p1")) / (F.col("p1") - 1) + 1
+    )
+    solved = f.select("n", "p1", "p2", pm.alias("pm"))
+    return solved.select(
+        n.cast("bigint").alias("n_customers"),
+        F.round("p1", 6).alias("one_step_stay"),
+        F.round("p2", 6).alias("two_step_stay"),
+        F.round("pm", 6).alias("mover_persistence"),
+        F.round(
+            F.when(
+                F.col("pm") < 1,
+                (F.col("p1") - F.col("pm")) / (1 - F.col("pm")),
+            ),
+            6,
+        ).alias("stayer_share"),
+    )
