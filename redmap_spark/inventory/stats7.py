@@ -7970,3 +7970,289 @@ def q_mover_stayer(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("stayer_share"),
     )
+
+
+# -- q_berkson_logit ---------------------------------------------------
+#
+# Berkson minimum-chi-square (grouped) logit for brand choice: within
+# each (nation, month) market, ln(share_j / share_base) is regressed
+# on the price premium (avg unit price_j - price_base), weighting
+# each cell by the Berkson weight n*s_j*(1-s_j) — the discrete-choice
+# price coefficient WITHOUT iterative MLE, the aggregate-logit
+# classic (and the shape of BLP's inner loop). Markets keep only
+# cells with >= 5 orders of both brands so log-shares are stable.
+# Counts/prices are exact decimals; weighted moments fold 6-rounded
+# terms exactly; beta is one double division.
+
+BERKSON_SQL = """
+WITH f AS (
+  SELECT n_name, strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+         p_brand,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS rev,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS qty
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2, 3
+), base AS (
+  SELECT n_name, mon, c AS c0, rev AS rev0, qty AS qty0
+  FROM f WHERE p_brand = 'Brand#11'
+), cells AS (
+  SELECT f.n_name, f.mon, f.p_brand, f.c, b.c0,
+         CAST(f.c AS DOUBLE) / (f.c + b.c0) AS s,
+         CAST(f.rev AS DOUBLE) / CAST(f.qty AS DOUBLE)
+           - CAST(b.rev0 AS DOUBLE) / CAST(b.qty0 AS DOUBLE) AS dp,
+         ln(CAST(f.c AS DOUBLE) / b.c0) AS lo
+  FROM f JOIN base b ON b.n_name = f.n_name AND b.mon = f.mon
+  WHERE f.p_brand <> 'Brand#11' AND f.c >= 5 AND b.c0 >= 5
+), wts AS (
+  SELECT lo, dp,
+         (f0.c + c0) * s * (1 - s) AS w
+  FROM cells f0
+), mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(w, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sw,
+         CAST(SUM(CAST(round(w * dp, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS swx,
+         CAST(SUM(CAST(round(w * lo, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS swy,
+         CAST(SUM(CAST(round(w * dp * dp, 6) AS DECIMAL(32,6)))
+              AS DOUBLE) AS swxx,
+         CAST(SUM(CAST(round(w * dp * lo, 6) AS DECIMAL(32,6)))
+              AS DOUBLE) AS swxy
+  FROM wts
+)
+SELECT CAST(n AS BIGINT) AS n_cells,
+       round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 6)
+         AS price_beta,
+       round((swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+                    * swx) / sw, 6) AS intercept
+FROM mom
+"""
+BERKSON_SQL = BERKSON_SQL.replace(
+    """), wts AS (
+  SELECT lo, dp,
+         (f0.c + c0) * s * (1 - s) AS w
+  FROM cells f0
+),""",
+    """), wts AS (
+  SELECT lo, dp, (c + c0) * s * (1 - s) AS w
+  FROM cells
+),""",
+)
+
+
+@query("q_berkson_logit", oracle=BERKSON_SQL)
+def q_berkson_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    f = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_orderdate", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            .alias("mon"),
+            "p_brand",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(dec("l_extendedprice")).cast("decimal(28,2)").alias("rev"),
+            F.sum(dec("l_quantity")).cast("decimal(24,2)").alias("qty"),
+        )
+        .localCheckpoint()
+    )
+    base = f.filter(F.col("p_brand") == "Brand#11").select(
+        "n_name", "mon",
+        F.col("c").alias("c0"),
+        F.col("rev").alias("rev0"),
+        F.col("qty").alias("qty0"),
+    )
+    cells = (
+        f.filter(F.col("p_brand") != "Brand#11")
+        .join(base, ["n_name", "mon"])
+        .filter((F.col("c") >= 5) & (F.col("c0") >= 5))
+        .select(
+            "c", "c0",
+            (F.col("c").cast("double") / (F.col("c") + F.col("c0")))
+            .alias("s"),
+            (
+                F.col("rev").cast("double") / F.col("qty").cast("double")
+                - F.col("rev0").cast("double") / F.col("qty0").cast("double")
+            ).alias("dp"),
+            F.log(F.col("c").cast("double") / F.col("c0")).alias("lo"),
+        )
+    )
+    w = (F.col("c") + F.col("c0")) * F.col("s") * (1 - F.col("s"))
+    wts = cells.select("lo", "dp", w.alias("w"))
+    r6 = lambda e, p: F.sum(F.round(e, 6).cast(f"decimal({p},6)")).cast(  # noqa: E731
+        "double"
+    )
+    wv, dp, lo = F.col("w"), F.col("dp"), F.col("lo")
+    mom = wts.agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(wv, 24).alias("sw"),
+        r6(wv * dp, 28).alias("swx"),
+        r6(wv * lo, 28).alias("swy"),
+        r6(wv * dp * dp, 32).alias("swxx"),
+        r6(wv * dp * lo, 32).alias("swxy"),
+    )
+    sw, swx, swy = F.col("sw"), F.col("swx"), F.col("swy")
+    swxx, swxy = F.col("swxx"), F.col("swxy")
+    beta = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_cells"),
+        F.round(beta, 6).alias("price_beta"),
+        F.round((swy - beta * swx) / sw, 6).alias("intercept"),
+    )
+
+
+# -- q_twfe_did --------------------------------------------------------
+#
+# Two-way fixed-effects difference-in-differences on the nation x
+# month revenue panel: treatment = ASIA nations from 1997-01 onward
+# (the synthetic policy window), beta from the DOUBLE-DEMEANED
+# regression y_it - ybar_i - ybar_t + ybar on the demeaned treatment
+# dummy — unit AND time fixed effects absorbed without building
+# dummies, the modern DiD workhorse one level above q_diff_in_diff's
+# 2x2 means. Panel cells are exact decimal revenue; the demeaning
+# constants are exact-sum/count doubles applied in one identical
+# chain; moments fold 4-rounded products exactly.
+
+TWFE_SQL = """
+WITH panel AS (
+  SELECT n_name, strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS y,
+         MAX(CASE WHEN r_name = 'ASIA'
+                   AND strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+                       >= '1997-01'
+                  THEN 1 ELSE 0 END) AS d
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY 1, 2
+), mi AS (
+  SELECT n_name, CAST(SUM(y) AS DOUBLE) / COUNT(*) AS yi,
+         CAST(SUM(d) AS DOUBLE) / COUNT(*) AS di
+  FROM panel GROUP BY 1
+), mt AS (
+  SELECT mon, CAST(SUM(y) AS DOUBLE) / COUNT(*) AS yt,
+         CAST(SUM(d) AS DOUBLE) / COUNT(*) AS dt
+  FROM panel GROUP BY 1
+), mg AS (
+  SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS yg,
+         CAST(SUM(d) AS DOUBLE) / COUNT(*) AS dg
+  FROM panel
+), dd AS (
+  SELECT CAST(p.y AS DOUBLE) - mi.yi - mt.yt + mg.yg AS yd,
+         p.d - mi.di - mt.dt + mg.dg AS xd
+  FROM panel p
+  JOIN mi ON mi.n_name = p.n_name
+  JOIN mt ON mt.mon = p.mon
+  CROSS JOIN mg
+), mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(xd * xd, 6) AS DECIMAL(24,6))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(round(xd * yd, 4) AS DECIMAL(34,4))) AS DOUBLE)
+           AS sxy
+  FROM dd
+)
+SELECT CAST(n AS BIGINT) AS n_cells,
+       round(sxy / sxx, 4) AS twfe_beta
+FROM mom
+"""
+
+
+@query("q_twfe_did", oracle=TWFE_SQL)
+def q_twfe_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    mon = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+    panel = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                cat.nation.select("n_nationkey", "n_name", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name", mon.alias("mon"))
+        .agg(
+            F.sum(dec("o_totalprice")).cast("decimal(28,2)").alias("y"),
+            F.max(
+                F.when(
+                    (F.col("r_name") == "ASIA") & (mon >= "1997-01"), 1
+                ).otherwise(0)
+            ).alias("d"),
+        )
+        .localCheckpoint()
+    )
+    mi = panel.groupBy("n_name").agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("yi"),
+        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("di"),
+    )
+    mt = panel.groupBy("mon").agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("yt"),
+        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("dt"),
+    )
+    mg = panel.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("yg"),
+        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("dg"),
+    )
+    dd = (
+        panel.join(F.broadcast(mi), "n_name")
+        .join(F.broadcast(mt), "mon")
+        .join(F.broadcast(mg))
+        .select(
+            (
+                F.col("y").cast("double")
+                - F.col("yi")
+                - F.col("yt")
+                + F.col("yg")
+            ).alias("yd"),
+            (
+                F.col("d") - F.col("di") - F.col("dt") + F.col("dg")
+            ).alias("xd"),
+        )
+    )
+    xd, yd = F.col("xd"), F.col("yd")
+    mom = dd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(xd * xd, 6).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(xd * yd, 4).cast("decimal(34,4)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_cells"),
+        F.round(F.col("sxy") / F.col("sxx"), 4).alias("twfe_beta"),
+    )
