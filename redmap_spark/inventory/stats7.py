@@ -8256,3 +8256,317 @@ def q_twfe_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_cells"),
         F.round(F.col("sxy") / F.col("sxx"), 4).alias("twfe_beta"),
     )
+
+
+# -- q_arch_lm ---------------------------------------------------------
+#
+# Engle's ARCH LM test for volatility clustering in daily revenue
+# log-changes: regress r_t^2 on r_{t-1}^2; LM = n * R^2 is chi2_1
+# under homoskedasticity — q_ljung_box / q_durbin_watson test serial
+# dependence in LEVELS, this tests it in VARIANCE, the signature of
+# bursty series that invalidates iid-based intervals. Squared returns
+# are 9-rounded-log-change squares folded as exact decimals; the
+# regression is the house exact-moment chain.
+
+ARCH_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT day,
+         CAST(round(ln(CAST(rev AS DOUBLE)
+                       / CAST(LAG(rev) OVER (ORDER BY day) AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS ret
+  FROM daily
+), r2 AS (
+  SELECT day,
+         CAST(round(CAST(ret AS DOUBLE) * CAST(ret AS DOUBLE), 12)
+              AS DECIMAL(18,12)) AS y,
+         CAST(round(CAST(LAG(ret) OVER (ORDER BY day) AS DOUBLE)
+                    * CAST(LAG(ret) OVER (ORDER BY day) AS DOUBLE), 12)
+              AS DECIMAL(18,12)) AS x
+  FROM r WHERE ret IS NOT NULL
+), clean AS (SELECT y, x FROM r2 WHERE x IS NOT NULL),
+mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 18)
+                       AS DECIMAL(24,18))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 18)
+                       AS DECIMAL(24,18))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 18)
+                       AS DECIMAL(24,18))) AS DOUBLE) AS syy
+  FROM clean
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS arch_coef,
+       round(n * ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS lm_stat,
+       CAST(CASE WHEN n * ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      > 3.841 THEN 1 ELSE 0 END AS BIGINT)
+         AS arch_present
+FROM mom
+"""
+
+
+@query("q_arch_lm", oracle=ARCH_SQL)
+def q_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = cat.orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+    wd = Window.orderBy("day")
+    r = daily.select(
+        "day",
+        F.round(
+            F.log(
+                F.col("rev").cast("double")
+                / F.lag("rev").over(wd).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("ret"),
+    )
+    retd = F.col("ret").cast("double")
+    lagd = F.lag("ret").over(wd).cast("double")
+    r2 = r.filter(F.col("ret").isNotNull()).select(
+        "day",
+        F.round(retd * retd, 12).cast("decimal(18,12)").alias("y"),
+        F.round(lagd * lagd, 12).cast("decimal(18,12)").alias("x"),
+    )
+    clean = r2.filter(F.col("x").isNotNull())
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    r18 = lambda e: F.sum(  # noqa: E731
+        F.round(e, 18).cast("decimal(24,18)")
+    ).cast("double")
+    mom = clean.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        r18(xd * xd).alias("sxx"),
+        r18(xd * yd).alias("sxy"),
+        r18(yd * yd).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    coef = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lm = (
+        n
+        * ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return mom.select(
+        n.cast("bigint").alias("n_days"),
+        F.round(coef, 6).alias("arch_coef"),
+        F.round(lm, 6).alias("lm_stat"),
+        F.when(lm > 3.841, 1).otherwise(0).cast("bigint")
+        .alias("arch_present"),
+    )
+
+
+# -- q_variance_ratio --------------------------------------------------
+#
+# Lo-MacKinlay variance-ratio test (q = 5) on daily revenue
+# log-changes: VR = Var(5-day overlapping returns) / (5 * Var(1-day)),
+# with the homoskedastic z statistic z = (VR - 1) /
+# sqrt(2(2q-1)(q-1)/(3qn)) — VR < 1 flags mean reversion, > 1
+# momentum; the market-efficiency companion to q_hurst_exponent's
+# rescaled-range view. Five-day sums are ROWS-window folds of the
+# exact decimal returns; both variances use the house moment pattern.
+
+VRATIO_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT day,
+         CAST(round(ln(CAST(rev AS DOUBLE)
+                       / CAST(LAG(rev) OVER (ORDER BY day) AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS ret
+  FROM daily
+), rr AS (SELECT day, ret FROM r WHERE ret IS NOT NULL),
+r5 AS (
+  SELECT day, ret,
+         CAST(SUM(ret) OVER (ORDER BY day
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           AS DECIMAL(24,9)) AS s5,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM rr
+), mom1 AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(ret) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(round(CAST(ret AS DOUBLE) * CAST(ret AS DOUBLE),
+                             12) AS DECIMAL(20,12))) AS DOUBLE) AS s2
+  FROM rr
+), mom5 AS (
+  SELECT COUNT(*) AS n5,
+         CAST(SUM(s5) AS DOUBLE) AS t1,
+         CAST(SUM(CAST(round(CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE), 12)
+                       AS DECIMAL(24,12))) AS DOUBLE) AS t2
+  FROM r5 WHERE rn >= 5
+), f AS (
+  SELECT n, n5,
+         (s2 - s1 * s1 / n) / (n - 1) AS v1,
+         (t2 - t1 * t1 / n5) / (n5 - 1) AS v5
+  FROM mom1 CROSS JOIN mom5
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(v5 / (5 * v1), 6) AS variance_ratio,
+       round((v5 / (5 * v1) - 1)
+             / sqrt(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * n)), 6)
+         AS z_stat
+FROM f
+"""
+
+
+@query("q_variance_ratio", oracle=VRATIO_SQL)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = cat.orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+    wd = Window.orderBy("day")
+    r = daily.select(
+        "day",
+        F.round(
+            F.log(
+                F.col("rev").cast("double")
+                / F.lag("rev").over(wd).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("ret"),
+    )
+    rr = r.filter(F.col("ret").isNotNull()).localCheckpoint()
+    r5 = rr.select(
+        "ret",
+        F.sum("ret").over(wd.rowsBetween(-4, 0)).cast("decimal(24,9)")
+        .alias("s5"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    retd = F.col("ret").cast("double")
+    mom1 = rr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ret").cast("double").alias("s1"),
+        F.sum(F.round(retd * retd, 12).cast("decimal(20,12)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    s5d = F.col("s5").cast("double")
+    mom5 = r5.filter(F.col("rn") >= 5).agg(
+        F.count(F.lit(1)).alias("n5"),
+        F.sum("s5").cast("double").alias("t1"),
+        F.sum(F.round(s5d * s5d, 12).cast("decimal(24,12)"))
+        .cast("double")
+        .alias("t2"),
+    )
+    n, n5 = F.col("n"), F.col("n5")
+    v1 = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    v5 = (F.col("t2") - F.col("t1") * F.col("t1") / n5) / (n5 - 1)
+    vr = v5 / (5 * v1)
+    return mom1.join(F.broadcast(mom5)).select(
+        n.cast("bigint").alias("n_days"),
+        F.round(vr, 6).alias("variance_ratio"),
+        F.round(
+            (vr - 1) / F.sqrt(2.0 * 9 * 4 / (15.0 * n)), 6
+        ).alias("z_stat"),
+    )
+
+
+# -- q_amihud ----------------------------------------------------------
+#
+# Amihud illiquidity per brand: mean of |daily log revenue change| /
+# daily quantity (x 1e6) — how much the "price" signal moves per unit
+# of volume, the standard cross-sectional illiquidity ranking. Daily
+# grids are exact decimals; each day's ratio is 9-rounded decimal
+# before the exact fold; brands rank by the final double. The
+# microstructure companion to q_sharpe_panel's risk-adjusted returns.
+
+AMIHUD_SQL = """
+WITH bd AS (
+  SELECT p_brand, CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(19,2)) AS rev,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+              AS DECIMAL(19,2)) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), r AS (
+  SELECT p_brand, d, qty,
+         CAST(round(abs(ln(CAST(rev AS DOUBLE)
+                           / CAST(LAG(rev) OVER
+                                  (PARTITION BY p_brand ORDER BY d)
+                                  AS DOUBLE))), 9)
+              AS DECIMAL(18,9)) AS aret
+  FROM bd
+), t AS (
+  SELECT p_brand,
+         CAST(round(1000000 * CAST(aret AS DOUBLE)
+                    / CAST(qty AS DOUBLE), 9) AS DECIMAL(20,9)) AS illiq
+  FROM r WHERE aret IS NOT NULL AND qty > 0
+)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(CAST(SUM(illiq) AS DOUBLE) / COUNT(*), 6) AS amihud_illiq
+FROM t
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query("q_amihud", oracle=AMIHUD_SQL)
+def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    bd = (
+        cat.lineitem.join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.col("l_shipdate").cast("date").alias("d"))
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("decimal(19,2)").alias("rev"),
+            F.sum(dec("l_quantity")).cast("decimal(19,2)").alias("qty"),
+        )
+    )
+    wb = Window.partitionBy("p_brand").orderBy("d")
+    r = bd.select(
+        "p_brand", "qty",
+        F.round(
+            F.abs(
+                F.log(
+                    F.col("rev").cast("double")
+                    / F.lag("rev").over(wb).cast("double")
+                )
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("aret"),
+    )
+    t = r.filter(F.col("aret").isNotNull() & (F.col("qty") > 0)).select(
+        "p_brand",
+        F.round(
+            1000000 * F.col("aret").cast("double")
+            / F.col("qty").cast("double"),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("illiq"),
+    )
+    return (
+        t.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sum("illiq").cast("double") / F.count(F.lit(1)), 6
+            ).alias("amihud_illiq"),
+        )
+        .orderBy("p_brand")
+    )
