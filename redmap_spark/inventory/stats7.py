@@ -8570,3 +8570,280 @@ def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# -- q_price_stickiness ------------------------------------------------
+#
+# Price-stickiness table per brand (Calvo framing): share of
+# month-over-month moves where the average unit price changes by more
+# than 1%, the implied Calvo expected price duration 1/freq (months),
+# and the mean absolute change conditional on changing — the
+# micro-pricing facts (Bils-Klenow) behind inflation persistence
+# debates, computed on the monthly unit-price grid. Unit prices are
+# exact-decimal revenue/qty doubles; the change flag compares a
+# 6-rounded relative move to the 1% threshold identically on both
+# engines.
+
+STICKY_SQL = """
+WITH m AS (
+  SELECT p_brand, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS mon,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS rev,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), p AS (
+  SELECT p_brand, mon,
+         CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE) AS up
+  FROM m WHERE qty > 0
+), chg AS (
+  SELECT p_brand,
+         round(abs(up / LAG(up) OVER (PARTITION BY p_brand ORDER BY mon)
+                   - 1), 6) AS rel
+  FROM p
+), f AS (
+  SELECT p_brand, COUNT(rel) AS n_moves,
+         CAST(SUM(CASE WHEN rel > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changes,
+         CAST(SUM(CASE WHEN rel > 0.01 THEN
+               CAST(rel AS DECIMAL(12,6)) END) AS DOUBLE) AS s_chg
+  FROM chg GROUP BY 1
+)
+SELECT p_brand, CAST(n_moves AS BIGINT) AS n_months,
+       round(n_changes / CAST(n_moves AS DOUBLE), 6) AS change_freq,
+       round(CASE WHEN n_changes > 0
+                  THEN CAST(n_moves AS DOUBLE) / n_changes END, 4)
+         AS calvo_duration_months,
+       round(CASE WHEN n_changes > 0 THEN s_chg / n_changes END, 6)
+         AS mean_abs_change
+FROM f
+ORDER BY p_brand
+"""
+
+
+@query("q_price_stickiness", oracle=STICKY_SQL)
+def q_price_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    m = (
+        cat.lineitem.join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            "p_brand",
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")
+            .alias("mon"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("decimal(28,2)").alias("rev"),
+            F.sum(dec("l_quantity")).cast("decimal(24,2)").alias("qty"),
+        )
+    )
+    p = m.filter(F.col("qty") > 0).select(
+        "p_brand", "mon",
+        (F.col("rev").cast("double") / F.col("qty").cast("double"))
+        .alias("up"),
+    )
+    wb = Window.partitionBy("p_brand").orderBy("mon")
+    chg = p.select(
+        "p_brand",
+        F.round(
+            F.abs(F.col("up") / F.lag("up").over(wb) - 1), 6
+        ).alias("rel"),
+    )
+    rel = F.col("rel")
+    f = chg.groupBy("p_brand").agg(
+        F.count("rel").alias("n_moves"),
+        F.sum(F.when(rel > 0.01, 1).otherwise(0)).cast("bigint")
+        .alias("n_changes"),
+        F.sum(F.when(rel > 0.01, rel.cast("decimal(12,6)")))
+        .cast("double")
+        .alias("s_chg"),
+    )
+    nm, nc = F.col("n_moves"), F.col("n_changes")
+    return f.select(
+        "p_brand",
+        nm.cast("bigint").alias("n_months"),
+        F.round(nc / nm.cast("double"), 6).alias("change_freq"),
+        F.round(
+            F.when(nc > 0, nm.cast("double") / nc), 4
+        ).alias("calvo_duration_months"),
+        F.round(F.when(nc > 0, F.col("s_chg") / nc), 6)
+        .alias("mean_abs_change"),
+    ).orderBy("p_brand")
+
+
+# -- q_ledoit_wolf -----------------------------------------------------
+#
+# Ledoit-Wolf shrinkage covariance of the five event-type daily count
+# series (identity target scaled by the mean variance): the optimal
+# shrinkage intensity rho = min(1, b2/d2) with d2 = ||S - m*I||^2 and
+# b2 = (1/n^2) sum_t ||x_t x_t' - S||^2 estimated from the SAME
+# (day, i, j) product grid that builds S — the estimator that makes
+# covariance usable when p is not << n, one level above
+# q_corr_matrix's raw S. Output: the upper-triangle cells with raw
+# and shrunk values plus the shared (m, rho) columns. Demeaned
+# products fold as 6-rounded decimals; the scalar algebra is one
+# double chain.
+
+LW_SQL = """
+WITH daily AS (
+  SELECT event_type AS et, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), mu AS (
+  SELECT et, CAST(SUM(c) AS DOUBLE) / COUNT(*) AS m FROM daily GROUP BY 1
+), x AS (
+  SELECT d.day, d.et, d.c - mu.m AS xv
+  FROM daily d JOIN mu ON mu.et = d.et
+), grid AS (
+  SELECT a.day, a.et AS i, b.et AS j,
+         CAST(round(a.xv * b.xv, 6) AS DECIMAL(24,6)) AS xx
+  FROM x a JOIN x b ON b.day = a.day AND a.et <= b.et
+), s AS (
+  SELECT i, j, COUNT(*) AS n,
+         CAST(SUM(xx) AS DOUBLE) / COUNT(*) AS sij
+  FROM grid GROUP BY 1, 2
+), scal AS (
+  SELECT CAST(SUM(CASE WHEN i = j THEN CAST(round(sij, 9)
+                       AS DECIMAL(24,9)) END) AS DOUBLE)
+           / SUM(CASE WHEN i = j THEN 1 ELSE 0 END) AS m,
+         MAX(n) AS n
+  FROM s
+), d2 AS (
+  SELECT CAST(SUM(CAST(round(
+           CASE WHEN i = j THEN (sij - m) * (sij - m)
+                ELSE 2 * sij * sij END, 9) AS DECIMAL(28,9)))
+           AS DOUBLE) AS d2
+  FROM s CROSS JOIN scal
+), b2 AS (
+  SELECT CAST(SUM(CAST(round(
+           CASE WHEN g.i = g.j
+                THEN (CAST(g.xx AS DOUBLE) - s.sij)
+                     * (CAST(g.xx AS DOUBLE) - s.sij)
+                ELSE 2 * (CAST(g.xx AS DOUBLE) - s.sij)
+                      * (CAST(g.xx AS DOUBLE) - s.sij) END, 4)
+           AS DECIMAL(38,4))) AS DOUBLE)
+           / ((SELECT n FROM scal) * CAST((SELECT n FROM scal)
+                                          AS DOUBLE)) AS b2
+  FROM grid g JOIN s ON s.i = g.i AND s.j = g.j
+), rho AS (
+  SELECT LEAST(1.0, b2.b2 / d2.d2) AS rho FROM b2 CROSS JOIN d2
+)
+SELECT s.i, s.j,
+       round(s.sij, 4) + 0.0 AS sample_cov,
+       round(CASE WHEN s.i = s.j
+                  THEN rho.rho * scal.m + (1 - rho.rho) * s.sij
+                  ELSE (1 - rho.rho) * s.sij END, 4) + 0.0 AS shrunk_cov,
+       round(scal.m, 4) AS mean_var,
+       round(rho.rho, 6) AS shrinkage
+FROM s CROSS JOIN scal CROSS JOIN rho
+ORDER BY s.i, s.j
+"""
+
+
+@query("q_ledoit_wolf", oracle=LW_SQL)
+def q_ledoit_wolf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = e.groupBy(
+        F.col("event_type").alias("et"), F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    mu = daily.groupBy("et").agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    x = daily.join(F.broadcast(mu), "et").select(
+        "day", "et", (F.col("c") - F.col("m")).alias("xv")
+    ).localCheckpoint()
+    a = x.alias("a")
+    b = x.alias("b")
+    grid = (
+        a.join(
+            b,
+            (F.col("b.day") == F.col("a.day"))
+            & (F.col("a.et") <= F.col("b.et")),
+        )
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.et").alias("i"),
+            F.col("b.et").alias("j"),
+            F.round(F.col("a.xv") * F.col("b.xv"), 6)
+            .cast("decimal(24,6)")
+            .alias("xx"),
+        )
+        .localCheckpoint()
+    )
+    s = grid.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("xx").cast("double") / F.count(F.lit(1))).alias("sij"),
+    ).localCheckpoint()
+    diag = F.col("i") == F.col("j")
+    scal = s.agg(
+        (
+            F.sum(
+                F.when(diag, F.round("sij", 9).cast("decimal(24,9)"))
+            ).cast("double")
+            / F.sum(F.when(diag, 1).otherwise(0))
+        ).alias("m"),
+        F.max("n").alias("n"),
+    )
+    sij, mcol = F.col("sij"), F.col("m")
+    d2 = (
+        s.join(F.broadcast(scal))
+        .agg(
+            F.sum(
+                F.round(
+                    F.when(diag, (sij - mcol) * (sij - mcol)).otherwise(
+                        2 * sij * sij
+                    ),
+                    9,
+                ).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    xxd = F.col("xx").cast("double")
+    dev = xxd - sij
+    b2 = (
+        grid.join(s.select("i", "j", "sij"), ["i", "j"])
+        .join(F.broadcast(scal))
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.when(diag, dev * dev).otherwise(2 * dev * dev),
+                        4,
+                    ).cast("decimal(38,4)")
+                ).cast("double")
+                / (F.max("n") * F.max("n").cast("double"))
+            ).alias("b2")
+        )
+    )
+    rho = (
+        b2.join(F.broadcast(d2))
+        .select(
+            F.least(F.lit(1.0), F.col("b2") / F.col("d2")).alias("rho")
+        )
+    )
+    r = F.col("rho")
+    return (
+        s.join(F.broadcast(scal))
+        .join(F.broadcast(rho))
+        .select(
+            "i", "j",
+            (F.round(sij, 4) + 0.0).alias("sample_cov"),
+            (
+                F.round(
+                    F.when(diag, r * mcol + (1 - r) * sij).otherwise(
+                        (1 - r) * sij
+                    ),
+                    4,
+                )
+                + 0.0
+            ).alias("shrunk_cov"),
+            F.round(mcol, 4).alias("mean_var"),
+            F.round(r, 6).alias("shrinkage"),
+        )
+        .orderBy("i", "j")
+    )
