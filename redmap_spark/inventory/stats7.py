@@ -8847,3 +8847,258 @@ def q_ledoit_wolf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# -- txt_umass_coherence -----------------------------------------------
+#
+# UMass topic coherence over the corpus's top-12 content words
+# (stopword-filtered document frequencies): C(wi, wj) =
+# ln((D(wi, wj) + 1) / D(wj)) summed over ordered frequent-word pairs
+# — the standard intrinsic score for whether a word cluster "hangs
+# together" (Mimno et al.), here applied to the global top words as a
+# corpus-cohesion diagnostic beside txt_collocations' PMI pairs.
+# Document frequencies and co-occurrence counts are exact integers
+# from one distinct-(doc, word) table; pair terms are 9-rounded
+# decimals folded exactly. The pair set is top-k × top-k — bounded.
+
+UMASS_STOP = (
+    "a", "the", "and", "of", "to", "in", "is", "on", "for", "with",
+)
+_UMASS_STOP_SQL = "('" + "', '".join(UMASS_STOP) + "')"
+
+UMASS_SQL = f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), filt AS (
+  SELECT doc_id, w FROM dw
+  WHERE w NOT IN {_UMASS_STOP_SQL} AND len(w) >= 3
+), df AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM filt GROUP BY 1
+), topw AS (
+  SELECT w, d, ROW_NUMBER() OVER (ORDER BY d DESC, w) AS rk
+  FROM df QUALIFY rk <= 12
+), pairs AS (
+  SELECT a.w AS wi, b.w AS wj, a.d AS di, b.d AS dj
+  FROM topw a JOIN topw b ON a.rk > b.rk
+), co AS (
+  SELECT p.wi, p.wj, p.dj,
+         CAST(COUNT(*) AS BIGINT) AS dij
+  FROM pairs p
+  JOIN filt f1 ON f1.w = p.wi
+  JOIN filt f2 ON f2.w = p.wj AND f2.doc_id = f1.doc_id
+  GROUP BY 1, 2, 3
+), terms AS (
+  SELECT p.wi, p.wj,
+         CAST(round(ln((COALESCE(co.dij, 0) + 1.0) / p.dj), 9)
+              AS DECIMAL(16,9)) AS t
+  FROM pairs p
+  LEFT JOIN co ON co.wi = p.wi AND co.wj = p.wj
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(t) AS DOUBLE), 6) AS umass_coherence,
+       round(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS mean_pair_score
+FROM terms
+"""
+UMASS_SQL = UMASS_SQL.replace(
+    """  FROM df QUALIFY rk <= 12
+)""",
+    """  FROM df
+), topw2 AS (
+  SELECT * FROM topw WHERE rk <= 12
+)""",
+).replace("FROM topw a JOIN topw b", "FROM topw2 a JOIN topw2 b")
+
+
+@query("txt_umass_coherence", oracle=UMASS_SQL)
+def txt_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    filt = dw.filter(
+        ~F.col("w").isin(*UMASS_STOP) & (F.length("w") >= 3)
+    ).localCheckpoint()
+    df = filt.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    topw = df.select(
+        "w", "d",
+        F.row_number()
+        .over(Window.orderBy(F.col("d").desc(), "w"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= 12).localCheckpoint()
+    a, b = topw.alias("a"), topw.alias("b")
+    pairs = a.join(b, F.col("a.rk") > F.col("b.rk")).select(
+        F.col("a.w").alias("wi"),
+        F.col("b.w").alias("wj"),
+        F.col("b.d").alias("dj"),
+    )
+    f1 = filt.select(F.col("doc_id").alias("d1"), F.col("w").alias("w1"))
+    f2 = filt.select(F.col("doc_id").alias("d2"), F.col("w").alias("w2"))
+    co = (
+        pairs.join(F.broadcast(f1).hint("broadcast"), F.col("w1") == F.col("wi"))
+        .join(
+            f2,
+            (F.col("w2") == F.col("wj")) & (F.col("d2") == F.col("d1")),
+        )
+        .groupBy("wi", "wj")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dij"))
+    )
+    terms = pairs.join(co, ["wi", "wj"], "left").select(
+        F.round(
+            F.log(
+                (F.coalesce("dij", F.lit(0)) + 1.0) / F.col("dj")
+            ),
+            9,
+        )
+        .cast("decimal(16,9)")
+        .alias("t")
+    )
+    n = F.count(F.lit(1))
+    return terms.agg(
+        n.cast("bigint").alias("n_pairs"),
+        F.round(F.sum("t").cast("double"), 6).alias("umass_coherence"),
+        F.round(F.sum("t").cast("double") / n, 6).alias("mean_pair_score"),
+    )
+
+
+# -- q_brand_switching -------------------------------------------------
+#
+# Brand loyalty / switching table: each customer's FAVORITE brand
+# (most lines, ties to lexicographically smaller brand) in the two
+# halves of the data, then per brand the retention share (kept it as
+# favorite), the churn-to leader (most common destination brand), and
+# the inflow share — the brand-level transition summary on top of
+# q_decile_transitions' spend-state machinery. Favorites are exact
+# count argmax with deterministic ties; all rates are exact-count
+# ratios.
+
+SWITCH_SQL = """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax,
+                   MIN(CAST(o_orderdate AS DATE)) AS dmin FROM orders),
+lines AS (
+  SELECT o_custkey, p_brand,
+         CASE WHEN CAST(o_orderdate AS DATE)
+                   < dmin + CAST((dmax - dmin) // 2 AS INTEGER)
+              THEN 0 ELSE 1 END AS half
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  CROSS JOIN mx
+), cnt AS (
+  SELECT o_custkey, half, p_brand, COUNT(*) AS c
+  FROM lines GROUP BY 1, 2, 3
+), fav AS (
+  SELECT o_custkey, half, p_brand,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, half
+                            ORDER BY c DESC, p_brand) AS rk
+  FROM cnt
+), wide AS (
+  SELECT a.o_custkey, a.p_brand AS b0, b.p_brand AS b1
+  FROM fav a JOIN fav b ON b.o_custkey = a.o_custkey
+  WHERE a.half = 0 AND b.half = 1 AND a.rk = 1 AND b.rk = 1
+), per AS (
+  SELECT b0, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN b1 = b0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS kept
+  FROM wide GROUP BY 1
+), dest AS (
+  SELECT b0, b1, COUNT(*) AS c,
+         ROW_NUMBER() OVER (PARTITION BY b0
+                            ORDER BY COUNT(*) DESC, b1) AS rk
+  FROM wide WHERE b1 <> b0 GROUP BY 1, 2
+)
+SELECT per.b0 AS brand,
+       CAST(per.n AS BIGINT) AS n_customers,
+       round(per.kept / CAST(per.n AS DOUBLE), 6) AS loyalty_rate,
+       d.b1 AS top_destination,
+       round(d.c / CAST(per.n AS DOUBLE), 6) AS top_destination_share
+FROM per LEFT JOIN dest d ON d.b0 = per.b0 AND d.rk = 1
+ORDER BY brand
+"""
+
+
+@query("q_brand_switching", oracle=SWITCH_SQL)
+def q_brand_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    mx = cat.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("dmax"),
+        F.min(F.col("o_orderdate").cast("date")).alias("dmin"),
+    )
+    half = F.when(
+        F.col("o_orderdate").cast("date")
+        < F.expr("dmin + CAST(datediff(dmax, dmin) div 2 AS INT)"),
+        0,
+    ).otherwise(1)
+    lines = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_orderdate", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(mx))
+        .select("o_custkey", "p_brand", half.alias("half"))
+    )
+    cnt = lines.groupBy("o_custkey", "half", "p_brand").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    fav = cnt.select(
+        "o_custkey", "half", "p_brand",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey", "half").orderBy(
+                F.col("c").desc(), "p_brand"
+            )
+        )
+        .alias("rk"),
+    ).filter(F.col("rk") == 1).localCheckpoint()
+    a = fav.filter(F.col("half") == 0).select(
+        F.col("o_custkey").alias("ck"), F.col("p_brand").alias("b0")
+    )
+    b = fav.filter(F.col("half") == 1).select(
+        F.col("o_custkey").alias("ck2"), F.col("p_brand").alias("b1")
+    )
+    wide = a.join(b, F.col("ck") == F.col("ck2")).select("b0", "b1")
+    per = wide.groupBy("b0").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("b1") == F.col("b0"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept"),
+    )
+    dest = (
+        wide.filter(F.col("b1") != F.col("b0"))
+        .groupBy("b0", "b1")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "b0", "b1", "c",
+            F.row_number()
+            .over(
+                Window.partitionBy("b0").orderBy(F.col("c").desc(), "b1")
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        per.join(
+            dest.select(
+                F.col("b0").alias("db0"),
+                F.col("b1").alias("top_destination"),
+                F.col("c").alias("dc"),
+            ),
+            F.col("db0") == F.col("b0"),
+            "left",
+        )
+        .select(
+            F.col("b0").alias("brand"),
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round(F.col("kept") / F.col("n").cast("double"), 6)
+            .alias("loyalty_rate"),
+            "top_destination",
+            F.round(F.col("dc") / F.col("n").cast("double"), 6)
+            .alias("top_destination_share"),
+        )
+        .orderBy("brand")
+    )
