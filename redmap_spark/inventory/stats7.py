@@ -9102,3 +9102,300 @@ def q_brand_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# -- q_l_diversity -----------------------------------------------------
+#
+# l-diversity and t-closeness audit over the (nation, segment)
+# quasi-identifier classes with order priority as the sensitive
+# attribute: per class the distinct-sensitive count l, the entropy
+# l-diversity exp(H(class)), and t-closeness as the 1-D earth-mover
+# distance between the class's priority distribution and the global
+# one (EMD = mean |cumulative share gap| over the ordered categories)
+# — the two named refinements that close the re-identification gaps
+# q_kanonymity's size-only check leaves (a large class that is 100%
+# URGENT still leaks). Counts exact; entropy/EMD terms are 9-rounded
+# decimal folds.
+
+LDIV_SQL = """
+WITH cells AS (
+  SELECT n_name, c_mktsegment AS seg, o_orderpriority AS pri,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2, 3
+), cls AS (
+  SELECT n_name, seg, SUM(c) AS n FROM cells GROUP BY 1, 2
+), gdist AS (
+  SELECT pri, SUM(c) AS g,
+         SUM(SUM(c)) OVER () AS gt
+  FROM cells GROUP BY 1
+), grid AS (
+  SELECT cl.n_name, cl.seg, g.pri, cl.n, g.g, g.gt,
+         COALESCE(ce.c, 0) AS c
+  FROM cls cl CROSS JOIN gdist g
+  LEFT JOIN cells ce ON ce.n_name = cl.n_name AND ce.seg = cl.seg
+                    AND ce.pri = g.pri
+), cums AS (
+  SELECT *,
+         SUM(c) OVER (PARTITION BY n_name, seg ORDER BY pri) AS cc,
+         SUM(g) OVER (PARTITION BY n_name, seg ORDER BY pri) AS cg
+  FROM grid
+), agg2 AS (
+  SELECT n_name, seg, n,
+         CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS l,
+         CAST(SUM(CASE WHEN c > 0 THEN
+               CAST(round(-(c / CAST(n AS DOUBLE))
+                          * ln(c / CAST(n AS DOUBLE)), 9)
+                    AS DECIMAL(16,9)) END) AS DOUBLE) AS h,
+         CAST(SUM(CAST(round(abs(cc / CAST(n AS DOUBLE)
+                                 - cg / CAST(gt AS DOUBLE)), 9)
+                       AS DECIMAL(16,9))) AS DOUBLE) / COUNT(*) AS t
+  FROM cums GROUP BY n_name, seg, n, gt
+)
+SELECT n_name, seg, CAST(n AS BIGINT) AS class_size,
+       l AS l_distinct,
+       round(exp(h), 6) AS entropy_l,
+       round(t, 6) AS t_closeness,
+       CAST(CASE WHEN l < 3 OR round(t, 6) > 0.2 THEN 1 ELSE 0 END
+            AS BIGINT) AS flagged
+FROM agg2
+ORDER BY n_name, seg
+"""
+
+
+@query("q_l_diversity", oracle=LDIV_SQL)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cells = (
+        cat.orders.join(
+            F.broadcast(
+                cat.customer.select(
+                    "c_custkey", "c_nationkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    cls = cells.groupBy("n_name", "seg").agg(F.sum("c").alias("n"))
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    glob = (
+        cells.groupBy("pri")
+        .agg(F.sum("c").alias("g"))
+        .select("pri", "g", F.sum("g").over(wall).alias("gt"))
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(cells, ["n_name", "seg", "pri"], "left")
+        .select(
+            "n_name", "seg", "pri", "n", "g", "gt",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    wc = Window.partitionBy("n_name", "seg").orderBy("pri")
+    cums = grid.select(
+        "*",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("g").over(wc).alias("cg"),
+    )
+    c, n, gt = F.col("c"), F.col("n"), F.col("gt")
+    hterm = F.when(
+        c > 0,
+        F.round(
+            -(c / n.cast("double")) * F.log(c / n.cast("double")), 9
+        ).cast("decimal(16,9)"),
+    )
+    tterm = F.round(
+        F.abs(
+            F.col("cc") / n.cast("double") - F.col("cg") / gt.cast("double")
+        ),
+        9,
+    ).cast("decimal(16,9)")
+    agg2 = cums.groupBy("n_name", "seg", "n", "gt").agg(
+        F.sum(F.when(c > 0, 1).otherwise(0)).cast("bigint").alias("l"),
+        F.sum(hterm).cast("double").alias("h"),
+        (F.sum(tterm).cast("double") / F.count(F.lit(1))).alias("t"),
+    )
+    return agg2.select(
+        "n_name", "seg",
+        n.cast("bigint").alias("class_size"),
+        F.col("l").alias("l_distinct"),
+        F.round(F.exp("h"), 6).alias("entropy_l"),
+        F.round("t", 6).alias("t_closeness"),
+        F.when((F.col("l") < 3) | (F.round("t", 6) > 0.2), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("flagged"),
+    ).orderBy("n_name", "seg")
+
+
+# -- q_analogue_forecast -----------------------------------------------
+#
+# Analogue (empirical-dynamic / simplex-projection-lite) forecasting
+# of daily revenue: each holdout day's 3-lag delay vector finds its
+# k = 5 nearest TRAIN vectors by squared euclidean distance (exact
+# decimal products, deterministic (dist, day) ties), the forecast is
+# the mean of the neighbors' next-day values, and the skill is the
+# out-of-sample correlation rho between forecast and actual — model-
+# free nonlinear forecasting (Sugihara-May), a different family from
+# every parametric q_forecast_* entry. The candidate join is
+# holdout x train (56 x ~2300 rows) — an eval-sized broadcast, with
+# the production framing being an ANN index over delay vectors.
+
+ANALOG_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS idx
+  FROM orders GROUP BY 1
+), mark AS (SELECT MAX(idx) - 56 AS tr_end FROM daily),
+emb AS (
+  SELECT idx, day, rev,
+         LAG(rev, 1) OVER (ORDER BY idx) AS l1,
+         LAG(rev, 2) OVER (ORDER BY idx) AS l2,
+         LEAD(rev, 1) OVER (ORDER BY idx) AS nxt
+  FROM daily
+), tr AS (
+  SELECT idx, rev, l1, l2, nxt FROM emb CROSS JOIN mark
+  WHERE idx <= tr_end - 1 AND l2 IS NOT NULL AND nxt IS NOT NULL
+), ho AS (
+  SELECT idx, rev, l1, l2, nxt FROM emb CROSS JOIN mark
+  WHERE idx > tr_end AND l2 IS NOT NULL AND nxt IS NOT NULL
+), dist AS (
+  SELECT h.idx AS hidx, t.idx AS tidx, t.nxt,
+         CAST(round(
+           (CAST(h.rev - t.rev AS DOUBLE) * CAST(h.rev - t.rev AS DOUBLE)
+            + CAST(h.l1 - t.l1 AS DOUBLE) * CAST(h.l1 - t.l1 AS DOUBLE)
+            + CAST(h.l2 - t.l2 AS DOUBLE) * CAST(h.l2 - t.l2 AS DOUBLE)),
+           4) AS DECIMAL(38,4)) AS d2
+  FROM ho h CROSS JOIN tr t
+), knn AS (
+  SELECT hidx, nxt,
+         ROW_NUMBER() OVER (PARTITION BY hidx ORDER BY d2, tidx) AS rk
+  FROM dist
+), pred AS (
+  SELECT k.hidx,
+         CAST(SUM(k.nxt) AS DOUBLE) / 5 AS yhat,
+         MAX(CAST(h.nxt AS DOUBLE)) AS y
+  FROM knn k JOIN ho h ON h.idx = k.hidx
+  WHERE k.rk <= 5 GROUP BY 1
+), mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(yhat, 2) AS DECIMAL(24,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(y, 2) AS DECIMAL(24,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(yhat * y, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(round(yhat * yhat, 2) AS DECIMAL(38,2)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(y * y, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS syy
+  FROM pred
+)
+SELECT CAST(n AS BIGINT) AS n_holdout,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS forecast_skill_rho,
+       round(sx / n, 2) AS mean_forecast,
+       round(sy / n, 2) AS mean_actual
+FROM mom
+"""
+
+
+@query("q_analogue_forecast", oracle=ANALOG_SQL)
+def q_analogue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+        .select(
+            "day", "rev",
+            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        )
+    )
+    mark = daily.agg((F.max("idx") - 56).alias("tr_end"))
+    wd = Window.orderBy("idx")
+    emb = daily.select(
+        "idx", "rev",
+        F.lag("rev", 1).over(wd).alias("l1"),
+        F.lag("rev", 2).over(wd).alias("l2"),
+        F.lead("rev", 1).over(wd).alias("nxt"),
+    ).join(F.broadcast(mark)).localCheckpoint()
+    ok = F.col("l2").isNotNull() & F.col("nxt").isNotNull()
+    tr = emb.filter((F.col("idx") <= F.col("tr_end") - 1) & ok).select(
+        F.col("idx").alias("tidx"),
+        F.col("rev").alias("trev"),
+        F.col("l1").alias("tl1"),
+        F.col("l2").alias("tl2"),
+        F.col("nxt").alias("tnxt"),
+    )
+    ho = emb.filter((F.col("idx") > F.col("tr_end")) & ok).select(
+        F.col("idx").alias("hidx"),
+        F.col("rev").alias("hrev"),
+        F.col("l1").alias("hl1"),
+        F.col("l2").alias("hl2"),
+        F.col("nxt").alias("hnxt"),
+    )
+    dd = lambda a, b: (F.col(a) - F.col(b)).cast("double")  # noqa: E731
+    d2 = F.round(
+        dd("hrev", "trev") * dd("hrev", "trev")
+        + dd("hl1", "tl1") * dd("hl1", "tl1")
+        + dd("hl2", "tl2") * dd("hl2", "tl2"),
+        4,
+    ).cast("decimal(38,4)")
+    dist = ho.crossJoin(F.broadcast(tr)).select(
+        "hidx", "tidx", "tnxt", "hnxt", d2.alias("d2")
+    )
+    knn = dist.select(
+        "hidx", "tnxt", "hnxt",
+        F.row_number()
+        .over(Window.partitionBy("hidx").orderBy("d2", "tidx"))
+        .alias("rk"),
+    )
+    pred = (
+        knn.filter(F.col("rk") <= 5)
+        .groupBy("hidx")
+        .agg(
+            (F.sum("tnxt").cast("double") / 5).alias("yhat"),
+            F.max(F.col("hnxt").cast("double")).alias("y"),
+        )
+    )
+    yhat, y = F.col("yhat"), F.col("y")
+    r2d = lambda e, p: F.sum(  # noqa: E731
+        F.round(e, 2).cast(f"decimal({p},2)")
+    ).cast("double")
+    mom = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        r2d(yhat, 24).alias("sx"),
+        r2d(y, 24).alias("sy"),
+        r2d(yhat * y, 38).alias("sxy"),
+        r2d(yhat * yhat, 38).alias("sxx"),
+        r2d(y * y, 38).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return mom.select(
+        n.cast("bigint").alias("n_holdout"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("forecast_skill_rho"),
+        F.round(sx / n, 2).alias("mean_forecast"),
+        F.round(sy / n, 2).alias("mean_actual"),
+    )
