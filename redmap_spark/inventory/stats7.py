@@ -9399,3 +9399,308 @@ def q_analogue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sx / n, 2).alias("mean_forecast"),
         F.round(sy / n, 2).alias("mean_actual"),
     )
+
+
+# -- q_lmg_importance --------------------------------------------------
+#
+# LMG / Shapley relative importance for the two-predictor revenue
+# model (quantity, retailprice): each predictor's contribution
+# averaged over both entry orders — LMG(x1) = (R2(x1) + (R2(both) -
+# R2(x2))) / 2 — the decomposition that answers "which feature
+# matters more" when q_vif says the two overlap. All four R2 values
+# come from ONE set of exact decimal moments (the q_ridge_path
+# block); output sums to R2(both) by construction.
+
+LMG_SQL = """
+WITH f AS (
+  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+         CAST(p_retailprice AS DECIMAL(18,2)) AS x2,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS sx1, CAST(SUM(x2) AS DOUBLE) AS sx2,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,4))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,4))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(28,4))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(28,4))) AS DOUBLE) AS s2y,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
+  FROM f
+), cen AS (
+  SELECT n,
+         s11 - sx1 * sx1 / n AS c11, s12 - sx1 * sx2 / n AS c12,
+         s22 - sx2 * sx2 / n AS c22, s1y - sx1 * sy / n AS c1y,
+         s2y - sx2 * sy / n AS c2y, syy - sy * sy / n AS cyy
+  FROM m
+), r2 AS (
+  SELECT (c1y * c1y) / (c11 * cyy) AS r1,
+         (c2y * c2y) / (c22 * cyy) AS r2_,
+         ((c1y * (c22) - c2y * c12) * c1y
+          + (c2y * (c11) - c1y * c12) * c2y)
+           / ((c11 * c22 - c12 * c12) * cyy) AS rboth
+  FROM cen
+)
+SELECT round(r1, 6) AS r2_quantity_alone,
+       round(r2_, 6) AS r2_retailprice_alone,
+       round(rboth, 6) AS r2_both,
+       round((r1 + (rboth - r2_)) / 2, 6) AS lmg_quantity,
+       round((r2_ + (rboth - r1)) / 2, 6) AS lmg_retailprice
+FROM r2
+"""
+
+
+@query("q_lmg_importance", oracle=LMG_SQL)
+def q_lmg_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    f = cat.lineitem.join(
+        F.broadcast(cat.part.select("p_partkey", "p_retailprice")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        dec("l_quantity").alias("x1"),
+        dec("p_retailprice").alias("x2"),
+        dec("l_extendedprice").alias("y"),
+    )
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    p28 = lambda e: F.sum(e.cast("decimal(28,4)")).cast("double")  # noqa: E731
+    m = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).cast("double").alias("sx1"),
+        F.sum(x2).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        p28(x1 * x2).alias("s12"),
+        p28(x2 * x2).alias("s22"),
+        p28(x1 * y).alias("s1y"),
+        p28(x2 * y).alias("s2y"),
+        p28(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    cen = m.select(
+        (F.col("s11") - F.col("sx1") * F.col("sx1") / n).alias("c11"),
+        (F.col("s12") - F.col("sx1") * F.col("sx2") / n).alias("c12"),
+        (F.col("s22") - F.col("sx2") * F.col("sx2") / n).alias("c22"),
+        (F.col("s1y") - F.col("sx1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("sx2") * F.col("sy") / n).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("cyy"),
+    )
+    c11, c12, c22 = F.col("c11"), F.col("c12"), F.col("c22")
+    c1y, c2y, cyy = F.col("c1y"), F.col("c2y"), F.col("cyy")
+    r1 = (c1y * c1y) / (c11 * cyy)
+    r2_ = (c2y * c2y) / (c22 * cyy)
+    rboth = (
+        (c1y * c22 - c2y * c12) * c1y + (c2y * c11 - c1y * c12) * c2y
+    ) / ((c11 * c22 - c12 * c12) * cyy)
+    return cen.select(
+        F.round(r1, 6).alias("r2_quantity_alone"),
+        F.round(r2_, 6).alias("r2_retailprice_alone"),
+        F.round(rboth, 6).alias("r2_both"),
+        F.round((r1 + (rboth - r2_)) / 2, 6).alias("lmg_quantity"),
+        F.round((r2_ + (rboth - r1)) / 2, 6).alias("lmg_retailprice"),
+    )
+
+
+# -- q_topsis ----------------------------------------------------------
+#
+# Entropy-weighted TOPSIS supplier ranking: three criteria per
+# supplier (total revenue BENEFIT, mean order->ship lead time COST,
+# return-rate COST) are min-max normalized with exact min/max window
+# constants, weighted by the Shannon-entropy objective-weighting
+# scheme (criteria that DIFFERENTIATE suppliers get more weight),
+# and scored by TOPSIS closeness d-/(d+ + d-) to the ideal /
+# anti-ideal points — the MCDM decision table absent from every
+# single-metric supplier view (q_top_suppliers ranks by one column).
+# Entropy/distance terms are 9-rounded decimal folds; ranking breaks
+# ties on supplier key. Top 20 reported.
+
+TOPSIS_SQL = """
+WITH crit AS (
+  SELECT l_suppkey AS sk,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DOUBLE) AS rev,
+         CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE))) AS DOUBLE)
+           / COUNT(*) AS lead,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           / CAST(COUNT(*) AS DOUBLE) AS ret
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1
+), mm AS (
+  SELECT MIN(rev) AS rev_lo, MAX(rev) AS rev_hi,
+         MIN(lead) AS lead_lo, MAX(lead) AS lead_hi,
+         MIN(ret) AS ret_lo, MAX(ret) AS ret_hi,
+         COUNT(*) AS k
+  FROM crit
+), norm AS (
+  SELECT sk,
+         round((rev - rev_lo) / (rev_hi - rev_lo), 9) AS v1,
+         round((lead_hi - lead) / (lead_hi - lead_lo), 9) AS v2,
+         round((ret_hi - ret) / (ret_hi - ret_lo), 9) AS v3
+  FROM crit CROSS JOIN mm
+), colsum AS (
+  SELECT CAST(SUM(CAST(v1 AS DECIMAL(16,9))) AS DOUBLE) AS t1,
+         CAST(SUM(CAST(v2 AS DECIMAL(16,9))) AS DOUBLE) AS t2,
+         CAST(SUM(CAST(v3 AS DECIMAL(16,9))) AS DOUBLE) AS t3,
+         COUNT(*) AS k
+  FROM norm
+), ent AS (
+  SELECT
+    1 + CAST(SUM(CASE WHEN v1 > 0 THEN
+          CAST(round((v1 / t1) * ln(v1 / t1), 9) AS DECIMAL(16,9)) END)
+        AS DOUBLE) / ln(CAST(k AS DOUBLE)) AS d1,
+    1 + CAST(SUM(CASE WHEN v2 > 0 THEN
+          CAST(round((v2 / t2) * ln(v2 / t2), 9) AS DECIMAL(16,9)) END)
+        AS DOUBLE) / ln(CAST(k AS DOUBLE)) AS d2,
+    1 + CAST(SUM(CASE WHEN v3 > 0 THEN
+          CAST(round((v3 / t3) * ln(v3 / t3), 9) AS DECIMAL(16,9)) END)
+        AS DOUBLE) / ln(CAST(k AS DOUBLE)) AS d3
+  FROM norm CROSS JOIN colsum
+  GROUP BY k
+), w AS (
+  SELECT round(d1 / (d1 + d2 + d3), 9) AS w1,
+         round(d2 / (d1 + d2 + d3), 9) AS w2,
+         round(d3 / (d1 + d2 + d3), 9) AS w3
+  FROM ent
+), scored AS (
+  SELECT sk,
+         sqrt(w1 * w1 * (1 - v1) * (1 - v1)
+              + w2 * w2 * (1 - v2) * (1 - v2)
+              + w3 * w3 * (1 - v3) * (1 - v3)) AS dplus,
+         sqrt(w1 * w1 * v1 * v1 + w2 * w2 * v2 * v2
+              + w3 * w3 * v3 * v3) AS dminus
+  FROM norm CROSS JOIN w
+), ranked AS (
+  SELECT sk,
+         round(dminus / (dplus + dminus), 6) AS closeness,
+         ROW_NUMBER() OVER (ORDER BY round(dminus / (dplus + dminus), 6)
+                            DESC, sk) AS rk
+  FROM scored
+)
+SELECT CAST(rk AS BIGINT) AS rk, CAST(sk AS BIGINT) AS suppkey,
+       closeness
+FROM ranked WHERE rk <= 20
+ORDER BY rk
+"""
+
+
+@query("q_topsis", oracle=TOPSIS_SQL)
+def q_topsis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    crit = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("double").alias("rev"),
+            (
+                F.sum(
+                    F.datediff(
+                        F.col("l_shipdate").cast("date"),
+                        F.col("o_orderdate").cast("date"),
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("lead"),
+            (
+                F.sum(
+                    F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("ret"),
+        )
+        .localCheckpoint()
+    )
+    mm = crit.agg(
+        F.min("rev").alias("rev_lo"), F.max("rev").alias("rev_hi"),
+        F.min("lead").alias("lead_lo"), F.max("lead").alias("lead_hi"),
+        F.min("ret").alias("ret_lo"), F.max("ret").alias("ret_hi"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    norm = crit.join(F.broadcast(mm)).select(
+        "sk",
+        F.round(
+            (F.col("rev") - F.col("rev_lo"))
+            / (F.col("rev_hi") - F.col("rev_lo")),
+            9,
+        ).alias("v1"),
+        F.round(
+            (F.col("lead_hi") - F.col("lead"))
+            / (F.col("lead_hi") - F.col("lead_lo")),
+            9,
+        ).alias("v2"),
+        F.round(
+            (F.col("ret_hi") - F.col("ret"))
+            / (F.col("ret_hi") - F.col("ret_lo")),
+            9,
+        ).alias("v3"),
+    ).localCheckpoint()
+    d9 = lambda e: F.sum(F.round(e, 9).cast("decimal(16,9)")).cast(  # noqa: E731
+        "double"
+    )
+    colsum = norm.agg(
+        F.sum(F.col("v1").cast("decimal(16,9)")).cast("double").alias("t1"),
+        F.sum(F.col("v2").cast("decimal(16,9)")).cast("double").alias("t2"),
+        F.sum(F.col("v3").cast("decimal(16,9)")).cast("double").alias("t3"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    def eterm(v, t):
+        return F.sum(
+            F.when(
+                F.col(v) > 0,
+                F.round(
+                    (F.col(v) / F.col(t)) * F.log(F.col(v) / F.col(t)), 9
+                ).cast("decimal(16,9)"),
+            )
+        ).cast("double")
+
+    ent = (
+        norm.join(F.broadcast(colsum))
+        .groupBy("k")
+        .agg(
+            eterm("v1", "t1").alias("e1"),
+            eterm("v2", "t2").alias("e2"),
+            eterm("v3", "t3").alias("e3"),
+        )
+        .select(
+            (1 + F.col("e1") / F.log(F.col("k").cast("double"))).alias("d1"),
+            (1 + F.col("e2") / F.log(F.col("k").cast("double"))).alias("d2"),
+            (1 + F.col("e3") / F.log(F.col("k").cast("double"))).alias("d3"),
+        )
+    )
+    tot = F.col("d1") + F.col("d2") + F.col("d3")
+    w = ent.select(
+        F.round(F.col("d1") / tot, 9).alias("w1"),
+        F.round(F.col("d2") / tot, 9).alias("w2"),
+        F.round(F.col("d3") / tot, 9).alias("w3"),
+    )
+    v1, v2, v3 = F.col("v1"), F.col("v2"), F.col("v3")
+    w1, w2, w3 = F.col("w1"), F.col("w2"), F.col("w3")
+    dplus = F.sqrt(
+        w1 * w1 * (1 - v1) * (1 - v1)
+        + w2 * w2 * (1 - v2) * (1 - v2)
+        + w3 * w3 * (1 - v3) * (1 - v3)
+    )
+    dminus = F.sqrt(
+        w1 * w1 * v1 * v1 + w2 * w2 * v2 * v2 + w3 * w3 * v3 * v3
+    )
+    closeness = F.round(dminus / (dplus + dminus), 6)
+    ranked = norm.join(F.broadcast(w)).select(
+        "sk", closeness.alias("closeness")
+    ).select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("closeness").desc(), "sk"))
+        .alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 20)
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("sk").cast("bigint").alias("suppkey"),
+            "closeness",
+        )
+        .orderBy("rk")
+    )
