@@ -9704,3 +9704,295 @@ def q_topsis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# -- q_huber_regression ------------------------------------------------
+#
+# One-step Huber IRLS regression of extendedprice on quantity per
+# brand: the OLS fit supplies residuals, the MAD of residuals sets
+# the robustness scale, Huber weights w = min(1, 1.345*s/|r|)
+# downweight outlying lines, and ONE reweighted least-squares pass
+# yields the robust slope — q_huber_m's location idea lifted to the
+# regression q_regression fits non-robustly, with the OLS-vs-robust
+# slope gap as the outlier-influence diagnostic. Weighted moments
+# fold 4-rounded terms exactly; the MAD uses the house interpolated
+# quantile.
+
+HUBERREG_SQL = """
+WITH f AS (
+  SELECT p_brand, CAST(l_quantity AS DECIMAL(18,2)) AS x,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), m AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+  FROM f GROUP BY 1
+), ols AS (
+  SELECT p_brand,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+  FROM m
+), res AS (
+  SELECT f.p_brand, f.x, f.y,
+         CAST(f.y AS DOUBLE) - o.a - o.b * CAST(f.x AS DOUBLE) AS r,
+         o.b AS b_ols
+  FROM f JOIN ols o ON o.p_brand = f.p_brand
+), scale AS (
+  SELECT p_brand,
+         round(1.4826 * quantile_cont(abs(r), 0.5), 6) AS s
+  FROM res GROUP BY 1
+), wts AS (
+  SELECT r.p_brand, r.x, r.y, r.b_ols,
+         round(LEAST(1.0, 1.345 * sc.s / GREATEST(abs(r.r), 1e-12)), 9)
+           AS w
+  FROM res r JOIN scale sc ON sc.p_brand = r.p_brand
+), wm AS (
+  SELECT p_brand, MAX(b_ols) AS b_ols,
+         CAST(SUM(CAST(round(w, 9) AS DECIMAL(14,9))) AS DOUBLE) AS sw,
+         CAST(SUM(CAST(round(w * CAST(x AS DOUBLE), 4)
+                       AS DECIMAL(28,4))) AS DOUBLE) AS swx,
+         CAST(SUM(CAST(round(w * CAST(y AS DOUBLE), 4)
+                       AS DECIMAL(28,4))) AS DOUBLE) AS swy,
+         CAST(SUM(CAST(round(w * CAST(x AS DOUBLE) * CAST(x AS DOUBLE),
+                             4) AS DECIMAL(32,4))) AS DOUBLE) AS swxx,
+         CAST(SUM(CAST(round(w * CAST(x AS DOUBLE) * CAST(y AS DOUBLE),
+                             4) AS DECIMAL(38,4))) AS DOUBLE) AS swxy
+  FROM wts GROUP BY 1
+)
+SELECT p_brand,
+       round(b_ols, 6) AS slope_ols,
+       round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 6)
+         AS slope_huber,
+       round((sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+             - b_ols, 6) AS robust_shift
+FROM wm
+ORDER BY p_brand
+"""
+
+
+@query("q_huber_regression", oracle=HUBERREG_SQL)
+def q_huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    f = cat.lineitem.join(
+        F.broadcast(cat.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand", dec("l_quantity").alias("x"),
+        dec("l_extendedprice").alias("y"),
+    ).localCheckpoint()
+    x, y = F.col("x"), F.col("y")
+    m = f.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    b = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ols = m.select(
+        "p_brand", b.alias("b"),
+        ((F.col("sy") - b * F.col("sx")) / n).alias("a"),
+    )
+    res = f.join(F.broadcast(ols), "p_brand").select(
+        "p_brand", "x", "y",
+        (
+            y.cast("double") - F.col("a") - F.col("b") * x.cast("double")
+        ).alias("r"),
+        F.col("b").alias("b_ols"),
+    ).localCheckpoint()
+    scale = res.groupBy("p_brand").agg(
+        F.round(1.4826 * F.percentile(F.abs("r"), F.lit(0.5)), 6)
+        .alias("s")
+    )
+    w = F.round(
+        F.least(
+            F.lit(1.0),
+            1.345 * F.col("s") / F.greatest(F.abs("r"), F.lit(1e-12)),
+        ),
+        9,
+    )
+    wts = res.join(F.broadcast(scale), "p_brand").select(
+        "p_brand", "x", "y", "b_ols", w.alias("w")
+    )
+    xd, yd, wv = x.cast("double"), y.cast("double"), F.col("w")
+    r4 = lambda e, p: F.sum(  # noqa: E731
+        F.round(e, 4).cast(f"decimal({p},4)")
+    ).cast("double")
+    wm = wts.groupBy("p_brand").agg(
+        F.max("b_ols").alias("b_ols"),
+        F.sum(F.round(wv, 9).cast("decimal(14,9)")).cast("double")
+        .alias("sw"),
+        r4(wv * xd, 28).alias("swx"),
+        r4(wv * yd, 28).alias("swy"),
+        r4(wv * xd * xd, 32).alias("swxx"),
+        r4(wv * xd * yd, 38).alias("swxy"),
+    )
+    sw, swx, swy = F.col("sw"), F.col("swx"), F.col("swy")
+    swxx, swxy = F.col("swxx"), F.col("swxy")
+    bh = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+    return wm.select(
+        "p_brand",
+        F.round("b_ols", 6).alias("slope_ols"),
+        F.round(bh, 6).alias("slope_huber"),
+        F.round(bh - F.col("b_ols"), 6).alias("robust_shift"),
+    ).orderBy("p_brand")
+
+
+# -- q_risk_pooling ----------------------------------------------------
+#
+# Square-root-law risk-pooling benefit per brand: hold inventory per
+# nation and you buffer against each nation's daily demand sigma
+# separately (sum of sigmas); pool it centrally and you buffer
+# against the sigma of the SUM — benefit = 1 - sigma_pooled /
+# sum(sigma_i), the closed-form argument for warehouse consolidation
+# that q_safety_stock prices per location. Per-(brand, nation) and
+# pooled daily demand moments come from the SAME zero-filled grid
+# (exact decimal sums), so the two sigmas are consistent by
+# construction; correlated national demands show up as a SMALLER
+# benefit than the independent sqrt(n) ideal, which is the point of
+# measuring it.
+
+POOL_SQL = """
+WITH f AS (
+  SELECT p_brand, n_name, CAST(l_shipdate AS DATE) AS d,
+         CAST(l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN part ON p_partkey = l_partkey
+), days AS (SELECT DISTINCT d FROM f),
+bn AS (SELECT DISTINCT p_brand, n_name FROM f),
+cell AS (
+  SELECT p_brand, n_name, d, CAST(SUM(q) AS DECIMAL(24,2)) AS dq
+  FROM f GROUP BY 1, 2, 3
+), grid AS (
+  SELECT b.p_brand, b.n_name, days.d,
+         COALESCE(c.dq, CAST(0 AS DECIMAL(24,2))) AS dq
+  FROM bn b CROSS JOIN days
+  LEFT JOIN cell c ON c.p_brand = b.p_brand AND c.n_name = b.n_name
+                  AND c.d = days.d
+), permkt AS (
+  SELECT p_brand, n_name, COUNT(*) AS nd,
+         CAST(SUM(dq) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(dq * dq AS DECIMAL(38,4))) AS DOUBLE) AS s2
+  FROM grid GROUP BY 1, 2
+), sig AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(round(sqrt((s2 - s1 * s1 / nd) / (nd - 1)), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS sum_sigma,
+         COUNT(*) AS n_markets
+  FROM permkt GROUP BY 1
+), pooled AS (
+  SELECT p_brand, COUNT(*) AS nd,
+         CAST(SUM(dq) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(dq2 * dq2 AS DECIMAL(38,4))) AS DOUBLE) AS s2
+  FROM (
+    SELECT p_brand, d, CAST(SUM(dq) AS DECIMAL(26,2)) AS dq,
+           CAST(SUM(dq) AS DECIMAL(26,2)) AS dq2
+    FROM grid GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT s.p_brand,
+       CAST(s.n_markets AS BIGINT) AS n_markets,
+       round(s.sum_sigma, 4) AS sum_local_sigma,
+       round(sqrt((p.s2 - p.s1 * p.s1 / p.nd) / (p.nd - 1)), 4)
+         AS pooled_sigma,
+       round(1 - sqrt((p.s2 - p.s1 * p.s1 / p.nd) / (p.nd - 1))
+                 / s.sum_sigma, 6) AS pooling_benefit,
+       round(1 - 1 / sqrt(CAST(s.n_markets AS DOUBLE)), 6)
+         AS sqrt_law_ideal
+FROM sig s JOIN pooled p ON p.p_brand = s.p_brand
+ORDER BY s.p_brand
+"""
+
+
+@query("q_risk_pooling", oracle=POOL_SQL)
+def q_risk_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    f = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(
+            "p_brand", "n_name",
+            F.col("l_shipdate").cast("date").alias("d"),
+            dec("l_quantity").alias("q"),
+        )
+        .localCheckpoint()
+    )
+    days = f.select("d").distinct()
+    bn = f.select("p_brand", "n_name").distinct()
+    cell = f.groupBy("p_brand", "n_name", "d").agg(
+        F.sum("q").cast("decimal(24,2)").alias("dq")
+    )
+    grid = (
+        bn.crossJoin(F.broadcast(days))
+        .join(cell, ["p_brand", "n_name", "d"], "left")
+        .select(
+            "p_brand", "n_name", "d",
+            F.coalesce("dq", F.lit(0).cast("decimal(24,2)")).alias("dq"),
+        )
+        .localCheckpoint()
+    )
+    dq = F.col("dq")
+    permkt = grid.groupBy("p_brand", "n_name").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(dq).cast("double").alias("s1"),
+        F.sum((dq * dq).cast("decimal(38,4)")).cast("double").alias("s2"),
+    )
+    nd = F.col("nd")
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / nd) / (nd - 1)
+    )
+    sig = permkt.groupBy("p_brand").agg(
+        F.sum(F.round(sigma, 6).cast("decimal(18,6)")).cast("double")
+        .alias("sum_sigma"),
+        F.count(F.lit(1)).alias("n_markets"),
+    )
+    daily = grid.groupBy("p_brand", "d").agg(
+        F.sum(dq).cast("decimal(26,2)").alias("tdq")
+    )
+    t = F.col("tdq")
+    pooled = daily.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(t).cast("double").alias("s1"),
+        F.sum((t * t).cast("decimal(38,4)")).cast("double").alias("s2"),
+    )
+    psig = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd"))
+        / (F.col("nd") - 1)
+    )
+    return (
+        sig.join(pooled, "p_brand")
+        .select(
+            "p_brand",
+            F.col("n_markets").cast("bigint").alias("n_markets"),
+            F.round("sum_sigma", 4).alias("sum_local_sigma"),
+            F.round(psig, 4).alias("pooled_sigma"),
+            F.round(1 - psig / F.col("sum_sigma"), 6)
+            .alias("pooling_benefit"),
+            F.round(
+                1 - 1 / F.sqrt(F.col("n_markets").cast("double")), 6
+            ).alias("sqrt_law_ideal"),
+        )
+        .orderBy("p_brand")
+    )
