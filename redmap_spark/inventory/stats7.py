@@ -9996,3 +9996,216 @@ def q_risk_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# -- q_shorrocks_mobility ----------------------------------------------
+#
+# Shorrocks mobility index of the customer spend-quintile transition
+# matrix between the two data halves: M = (K - trace(P)) / (K - 1),
+# where P's rows are the empirical quintile-to-quintile transition
+# shares — 0 = a caste system (everyone stays), 1 = perfect mobility
+# — the single-number summary of the matrix q_decile_transitions
+# tabulates and q_mover_stayer decomposes. Quintiles are exact rank
+# cuts (ceil(5r/n), ties by custkey); trace shares are exact count
+# ratios; one double finale.
+
+SHORROCKS_SQL = """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax,
+                   MIN(CAST(o_orderdate AS DATE)) AS dmin FROM orders),
+spend AS (
+  SELECT o_custkey,
+         CASE WHEN CAST(o_orderdate AS DATE)
+                   < dmin + CAST((dmax - dmin) // 2 AS INTEGER)
+              THEN 0 ELSE 1 END AS half,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders CROSS JOIN mx
+), tot AS (
+  SELECT o_custkey, half, CAST(SUM(x) AS DECIMAL(28,2)) AS s
+  FROM spend GROUP BY 1, 2
+), q AS (
+  SELECT o_custkey, half,
+         CAST(ceil(5.0 * ROW_NUMBER() OVER
+                (PARTITION BY half ORDER BY s, o_custkey)
+              / COUNT(*) OVER (PARTITION BY half)) AS BIGINT) AS quint
+  FROM tot
+), pair AS (
+  SELECT a.quint AS q0, b.quint AS q1
+  FROM q a JOIN q b ON b.o_custkey = a.o_custkey
+  WHERE a.half = 0 AND b.half = 1
+), rows_ AS (
+  SELECT q0, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN q1 = q0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS stay
+  FROM pair GROUP BY 1
+), tr AS (
+  SELECT CAST(SUM(CAST(round(stay / CAST(n AS DOUBLE), 9)
+                       AS DECIMAL(12,9))) AS DOUBLE) AS trace_,
+         COUNT(*) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_customers
+  FROM rows_
+)
+SELECT CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(k AS BIGINT) AS k_states,
+       round(trace_, 6) AS trace_p,
+       round((k - trace_) / (k - 1.0), 6) AS shorrocks_m
+FROM tr
+"""
+
+
+@query("q_shorrocks_mobility", oracle=SHORROCKS_SQL)
+def q_shorrocks_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    mx = cat.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("dmax"),
+        F.min(F.col("o_orderdate").cast("date")).alias("dmin"),
+    )
+    half = F.when(
+        F.col("o_orderdate").cast("date")
+        < F.expr("dmin + CAST(datediff(dmax, dmin) div 2 AS INT)"),
+        0,
+    ).otherwise(1)
+    tot = (
+        cat.orders.join(F.broadcast(mx))
+        .groupBy("o_custkey", half.alias("half"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(28,2)").alias("s"))
+    )
+    wh = Window.partitionBy("half")
+    q = tot.select(
+        "o_custkey", "half",
+        F.ceil(
+            5.0
+            * F.row_number().over(wh.orderBy("s", "o_custkey"))
+            / F.count(F.lit(1)).over(wh)
+        )
+        .cast("bigint")
+        .alias("quint"),
+    ).localCheckpoint()
+    a = q.filter(F.col("half") == 0).select(
+        F.col("o_custkey").alias("ck"), F.col("quint").alias("q0")
+    )
+    b = q.filter(F.col("half") == 1).select(
+        F.col("o_custkey").alias("ck2"), F.col("quint").alias("q1")
+    )
+    pair = a.join(b, F.col("ck") == F.col("ck2")).select("q0", "q1")
+    rows_ = pair.groupBy("q0").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("q1") == F.col("q0"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("stay"),
+    )
+    tr = rows_.agg(
+        F.sum(
+            F.round(F.col("stay") / F.col("n").cast("double"), 9).cast(
+                "decimal(12,9)"
+            )
+        )
+        .cast("double")
+        .alias("trace_"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("bigint").alias("n_customers"),
+    )
+    k = F.col("k")
+    return tr.select(
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        k.cast("bigint").alias("k_states"),
+        F.round("trace_", 6).alias("trace_p"),
+        F.round((k - F.col("trace_")) / (k - 1.0), 6)
+        .alias("shorrocks_m"),
+    )
+
+
+# -- txt_gries_dp ------------------------------------------------------
+#
+# Gries' Deviation of Proportions (DP) corpus dispersion for the
+# top-10 content words: DP(w) = 0.5 * sum_parts |share of w's tokens
+# in part - part's share of all tokens| over the source partition —
+# 0 = the word spreads exactly like the corpus, 1 = confined to one
+# source; the dispersion axis that raw frequency (txt_zipf) and
+# cohesion (txt_umass_coherence) both miss, and the standard
+# corpus-linguistics replacement for juilland's D. Exact token
+# counts; 12-rounded |.| terms folded exactly.
+
+GRIES_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), filt AS (
+  SELECT source, w FROM toks WHERE len(w) >= 3
+), parts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS pt,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS tt
+  FROM filt GROUP BY 1
+), wf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM filt GROUP BY 1
+), topw AS (
+  SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rk FROM wf
+), topw10 AS (SELECT * FROM topw WHERE rk <= 10),
+wp AS (
+  SELECT f.w, f.source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM filt f JOIN topw10 t ON t.w = f.w
+  GROUP BY 1, 2
+), grid AS (
+  SELECT t.w, t.f, p.source, p.pt, p.tt, COALESCE(wp.c, 0) AS c
+  FROM topw10 t CROSS JOIN parts p
+  LEFT JOIN wp ON wp.w = t.w AND wp.source = p.source
+)
+SELECT w AS word, CAST(f AS BIGINT) AS freq,
+       round(0.5 * CAST(SUM(CAST(round(
+           abs(c / CAST(f AS DOUBLE) - pt / CAST(tt AS DOUBLE)), 12)
+         AS DECIMAL(16,12))) AS DOUBLE), 6) AS gries_dp
+FROM grid
+GROUP BY w, f
+ORDER BY word
+"""
+
+
+@query("txt_gries_dp", oracle=GRIES_SQL)
+def txt_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    filt = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 3).localCheckpoint()
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    parts = (
+        filt.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pt"))
+        .select("source", "pt", F.sum("pt").over(wall).cast("bigint").alias("tt"))
+    )
+    wf = filt.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    topw = wf.select(
+        "w", "f",
+        F.row_number().over(Window.orderBy(F.col("f").desc(), "w"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= 10).localCheckpoint()
+    wp = (
+        filt.join(F.broadcast(topw.select("w")), "w")
+        .groupBy("w", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        topw.crossJoin(F.broadcast(parts))
+        .join(wp, ["w", "source"], "left")
+        .select(
+            "w", "f", "source", "pt", "tt",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    term = F.round(
+        F.abs(
+            F.col("c") / F.col("f").cast("double")
+            - F.col("pt") / F.col("tt").cast("double")
+        ),
+        12,
+    ).cast("decimal(16,12)")
+    return (
+        grid.select("w", "f", term.alias("t"))
+        .groupBy("w")
+        .agg(
+            F.max("f").cast("bigint").alias("freq"),
+            F.round(0.5 * F.sum("t").cast("double"), 6).alias("gries_dp"),
+        )
+        .select(F.col("w").alias("word"), "freq", "gries_dp")
+        .orderBy("word")
+    )
