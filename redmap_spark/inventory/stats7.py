@@ -10209,3 +10209,220 @@ def txt_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w").alias("word"), "freq", "gries_dp")
         .orderBy("word")
     )
+
+
+# -- q_kernel_smoother -------------------------------------------------
+#
+# Nadaraya-Watson kernel regression of daily revenue evaluated at
+# each month-end: yhat(t) = sum K((t - t_i)/h) y_i / sum K(.) with a
+# Gaussian kernel (h = 14 days, truncated at |dt| <= 42 where the
+# weight is < 1e-2 of the peak — the documented bandwidth-window
+# bound that keeps the pair set |eval points| x 85 rows instead of
+# x |days|) — the nonparametric smoother between q_stl_lite's fixed
+# 7-day boxcar and q_forecast_*'s parametric fits. Kernel weights
+# are 9-rounded decimals; weighted sums fold exactly.
+
+NW_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS idx
+  FROM orders GROUP BY 1
+), evalp AS (
+  SELECT day AS ed, idx AS eidx,
+         ROW_NUMBER() OVER (PARTITION BY strftime(day, '%Y-%m')
+                            ORDER BY day DESC) AS rn
+  FROM daily
+), ev AS (SELECT ed, eidx FROM evalp WHERE rn = 1),
+pairs AS (
+  SELECT e.ed, d.rev,
+         CAST(round(exp(-((d.idx - e.eidx) * (d.idx - e.eidx))
+                        / (2.0 * 14 * 14)), 9) AS DECIMAL(12,9)) AS w
+  FROM ev e JOIN daily d ON abs(d.idx - e.eidx) <= 42
+), agg AS (
+  SELECT ed, COUNT(*) AS n_in_window,
+         CAST(SUM(w) AS DOUBLE) AS sw,
+         CAST(SUM(CAST(round(CAST(w AS DOUBLE) * CAST(rev AS DOUBLE), 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS swy
+  FROM pairs GROUP BY 1
+)
+SELECT strftime(ed, '%Y-%m-%d') AS eval_day,
+       CAST(n_in_window AS BIGINT) AS n_in_window,
+       round(swy / sw, 2) AS smoothed_revenue
+FROM agg
+ORDER BY eval_day
+"""
+
+
+@query("q_kernel_smoother", oracle=NW_SQL)
+def q_kernel_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+        .select(
+            "day", "rev",
+            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        )
+        .localCheckpoint()
+    )
+    ev = (
+        daily.select(
+            F.col("day").alias("ed"),
+            F.col("idx").alias("eidx"),
+            F.row_number()
+            .over(
+                Window.partitionBy(
+                    F.date_format("day", "yyyy-MM")
+                ).orderBy(F.col("day").desc())
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("ed", "eidx")
+    )
+    dt = F.col("idx") - F.col("eidx")
+    w = F.round(
+        F.exp(-(dt * dt) / (2.0 * 14 * 14)), 9
+    ).cast("decimal(12,9)")
+    pairs = (
+        daily.join(F.broadcast(ev), F.abs(dt) <= 42)
+        .select("ed", "rev", w.alias("w"))
+    )
+    agg = pairs.groupBy("ed").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.sum("w").cast("double").alias("sw"),
+        F.sum(
+            F.round(
+                F.col("w").cast("double") * F.col("rev").cast("double"), 4
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("swy"),
+    )
+    return agg.select(
+        F.date_format("ed", "yyyy-MM-dd").alias("eval_day"),
+        F.col("n_in_window").cast("bigint").alias("n_in_window"),
+        F.round(F.col("swy") / F.col("sw"), 2).alias("smoothed_revenue"),
+    ).orderBy("eval_day")
+
+
+# -- q_eb_poisson ------------------------------------------------------
+#
+# Gamma-Poisson empirical-Bayes shrinkage of per-customer yearly
+# order RATES within each nation: method-of-moments gamma prior
+# (alpha, beta) from the cross-customer mean and variance of raw
+# rates (variance minus mean/exposure-bar = the between-customer
+# component), posterior rate = (alpha + k_i-bar...) reported at the
+# NATION level as prior strength and the shrinkage applied to a
+# reference customer with 1 order — the count-data sibling of
+# q_eb_binomial (rates with exposure, not proportions). Moments are
+# 9-rounded decimal folds; degenerate nations (variance <= mean
+# noise floor) report NULL prior (documented: no shrinkage basis).
+
+EBPOIS_SQL = """
+WITH span AS (
+  SELECT (date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                    MAX(CAST(o_orderdate AS DATE))) + 1) / 365.25 AS yrs
+  FROM orders
+), k AS (
+  SELECT c_nationkey, c_custkey, COUNT(o_orderkey) AS k
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), r AS (
+  SELECT c_nationkey,
+         CAST(round(k / yrs, 9) AS DECIMAL(16,9)) AS rate
+  FROM k CROSS JOIN span
+), mom AS (
+  SELECT c_nationkey, COUNT(*) AS n,
+         CAST(SUM(rate) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(round(CAST(rate AS DOUBLE) * CAST(rate AS DOUBLE),
+                             9) AS DECIMAL(24,9))) AS DOUBLE) AS s2,
+         MAX((SELECT yrs FROM span)) AS yrs
+  FROM r GROUP BY 1
+), fit AS (
+  SELECT c_nationkey, n, s1 / n AS m,
+         (s2 - s1 * s1 / n) / (n - 1) - (s1 / n) / yrs AS v_between,
+         yrs
+  FROM mom
+), prior AS (
+  SELECT n_name, n, m,
+         CASE WHEN v_between > 0 THEN m * m / v_between END AS alpha,
+         CASE WHEN v_between > 0 THEN m / v_between END AS beta
+  FROM fit JOIN nation ON n_nationkey = c_nationkey
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+       round(m, 6) AS mean_rate,
+       round(alpha, 6) AS prior_alpha,
+       round(beta, 6) AS prior_beta,
+       round((alpha + 1) / (beta + 7.0), 6) AS posterior_rate_one_order
+FROM prior
+ORDER BY n_name
+"""
+
+
+@query("q_eb_poisson", oracle=EBPOIS_SQL)
+def q_eb_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    od = F.col("o_orderdate").cast("date")
+    span = cat.orders.agg(
+        ((F.datediff(F.max(od), F.min(od)) + 1) / 365.25).alias("yrs")
+    )
+    k = (
+        cat.customer.join(
+            cat.orders.select("o_custkey", "o_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.count("o_orderkey").alias("k"))
+    )
+    r = k.join(F.broadcast(span)).select(
+        "c_nationkey",
+        F.round(F.col("k") / F.col("yrs"), 9)
+        .cast("decimal(16,9)")
+        .alias("rate"),
+        "yrs",
+    )
+    rated = F.col("rate").cast("double")
+    mom = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rate").cast("double").alias("s1"),
+        F.sum(F.round(rated * rated, 9).cast("decimal(24,9)"))
+        .cast("double")
+        .alias("s2"),
+        F.max("yrs").alias("yrs"),
+    )
+    n = F.col("n")
+    m = F.col("s1") / n
+    v_between = (
+        (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+        - m / F.col("yrs")
+    )
+    fit = mom.select(
+        "c_nationkey", n.alias("n"), m.alias("m"),
+        v_between.alias("v_between"),
+    )
+    alpha = F.when(
+        F.col("v_between") > 0, F.col("m") * F.col("m") / F.col("v_between")
+    )
+    beta = F.when(
+        F.col("v_between") > 0, F.col("m") / F.col("v_between")
+    )
+    prior = fit.join(
+        F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+        F.col("n_nationkey") == F.col("c_nationkey"),
+    ).select(
+        "n_name", "n", "m", alpha.alias("alpha"), beta.alias("beta")
+    )
+    return prior.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round("m", 6).alias("mean_rate"),
+        F.round("alpha", 6).alias("prior_alpha"),
+        F.round("beta", 6).alias("prior_beta"),
+        F.round(
+            (F.col("alpha") + 1) / (F.col("beta") + 7.0), 6
+        ).alias("posterior_rate_one_order"),
+    ).orderBy("n_name")
