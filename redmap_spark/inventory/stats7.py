@@ -10426,3 +10426,238 @@ def q_eb_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("alpha") + 1) / (F.col("beta") + 7.0), 6
         ).alias("posterior_rate_one_order"),
     ).orderBy("n_name")
+
+
+# -- q_weighted_kappa --------------------------------------------------
+#
+# Quadratic-weighted Cohen's kappa between customers' spend quintiles
+# in the two data halves: disagreement cells are penalized by
+# (i - j)^2 / (K - 1)^2, so a one-step slip costs 1/16th of a
+# four-step flip — the ordinal agreement metric (the Kaggle QWK)
+# where q_cohens_kappa's unweighted form treats all confusion
+# equally. Observed and chance-expected weighted disagreement come
+# from exact cell counts and margin products; kappa_w = 1 - O/E is
+# one double chain.
+
+WKAPPA_SQL = """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax,
+                   MIN(CAST(o_orderdate AS DATE)) AS dmin FROM orders),
+tot AS (
+  SELECT o_custkey,
+         CASE WHEN CAST(o_orderdate AS DATE)
+                   < dmin + CAST((dmax - dmin) // 2 AS INTEGER)
+              THEN 0 ELSE 1 END AS half,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS s
+  FROM orders CROSS JOIN mx GROUP BY 1, 2
+), q AS (
+  SELECT o_custkey, half,
+         CAST(ceil(5.0 * ROW_NUMBER() OVER
+                (PARTITION BY half ORDER BY s, o_custkey)
+              / COUNT(*) OVER (PARTITION BY half)) AS BIGINT) AS quint
+  FROM tot
+), pair AS (
+  SELECT a.quint AS i, b.quint AS j
+  FROM q a JOIN q b ON b.o_custkey = a.o_custkey
+  WHERE a.half = 0 AND b.half = 1
+), cells AS (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c FROM pair GROUP BY 1, 2
+), margins AS (
+  SELECT i, j, c,
+         SUM(c) OVER (PARTITION BY i) AS ri,
+         SUM(c) OVER (PARTITION BY j) AS cj,
+         SUM(c) OVER () AS n
+  FROM cells
+), agg2 AS (
+  SELECT n,
+         CAST(SUM(CAST(round(((i - j) * (i - j) / 16.0)
+                             * (c / CAST(n AS DOUBLE)), 9)
+                       AS DECIMAL(16,9))) AS DOUBLE) AS o_,
+         CAST(SUM(CAST(round(((i - j) * (i - j) / 16.0)
+                             * ((ri / CAST(n AS DOUBLE))
+                                * (cj / CAST(n AS DOUBLE))), 9)
+                       AS DECIMAL(16,9))) AS DOUBLE) AS e_
+  FROM (SELECT i, j, c, ri, cj, MAX(n) OVER () AS n FROM margins)
+  GROUP BY n
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(o_, 6) AS observed_disagreement,
+       round(e_, 6) AS expected_disagreement,
+       round(1 - o_ / e_, 6) AS weighted_kappa
+FROM agg2
+"""
+
+
+@query("q_weighted_kappa", oracle=WKAPPA_SQL)
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    mx = cat.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("dmax"),
+        F.min(F.col("o_orderdate").cast("date")).alias("dmin"),
+    )
+    half = F.when(
+        F.col("o_orderdate").cast("date")
+        < F.expr("dmin + CAST(datediff(dmax, dmin) div 2 AS INT)"),
+        0,
+    ).otherwise(1)
+    tot = (
+        cat.orders.join(F.broadcast(mx))
+        .groupBy("o_custkey", half.alias("half"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(28,2)").alias("s"))
+    )
+    wh = Window.partitionBy("half")
+    q = tot.select(
+        "o_custkey", "half",
+        F.ceil(
+            5.0
+            * F.row_number().over(wh.orderBy("s", "o_custkey"))
+            / F.count(F.lit(1)).over(wh)
+        )
+        .cast("bigint")
+        .alias("quint"),
+    ).localCheckpoint()
+    a = q.filter(F.col("half") == 0).select(
+        F.col("o_custkey").alias("ck"), F.col("quint").alias("i")
+    )
+    b = q.filter(F.col("half") == 1).select(
+        F.col("o_custkey").alias("ck2"), F.col("quint").alias("j")
+    )
+    pair = a.join(b, F.col("ck") == F.col("ck2")).select("i", "j")
+    cells = pair.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    margins = cells.select(
+        "i", "j", "c",
+        F.sum("c").over(Window.partitionBy("i")).alias("ri"),
+        F.sum("c").over(Window.partitionBy("j")).alias("cj"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    i, j, c, n = F.col("i"), F.col("j"), F.col("c"), F.col("n")
+    wgt = (i - j) * (i - j) / 16.0
+    oterm = F.round(wgt * (c / n.cast("double")), 9).cast("decimal(16,9)")
+    eterm = F.round(
+        wgt
+        * (
+            (F.col("ri") / n.cast("double"))
+            * (F.col("cj") / n.cast("double"))
+        ),
+        9,
+    ).cast("decimal(16,9)")
+    agg2 = margins.groupBy("n").agg(
+        F.sum(oterm).cast("double").alias("o_"),
+        F.sum(eterm).cast("double").alias("e_"),
+    )
+    return agg2.select(
+        n.cast("bigint").alias("n_customers"),
+        F.round("o_", 6).alias("observed_disagreement"),
+        F.round("e_", 6).alias("expected_disagreement"),
+        F.round(1 - F.col("o_") / F.col("e_"), 6).alias("weighted_kappa"),
+    )
+
+
+# -- q_expectile -------------------------------------------------------
+#
+# 0.9-expectile of event value per event type via three UNROLLED
+# asymmetric-least-squares reweighting steps from the mean: at each
+# step points above the current estimate weigh tau = 0.9 and points
+# below weigh 0.1, and the next estimate is the weighted mean — the
+# fixed-point iteration that converges geometrically and is exactly
+# reproducible because each step is two conditional exact-decimal
+# sums (no sorting, no interpolation). Expectiles are the
+# coherent-risk alternative to quantiles (EVaR); the gap to the
+# q_percentiles p90 measures tail heaviness. Step estimates are
+# 6-rounded so both engines branch identically at every iteration.
+
+EXPECTILE_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value, 6) AS DECIMAL(18,6)) AS x
+  FROM events WHERE value IS NOT NULL
+), m0 AS (
+  SELECT event_type,
+         round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS e0
+  FROM v GROUP BY 1
+), s1 AS (
+  SELECT v.event_type,
+         round(CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > e0
+                        THEN CAST(0.9 * x AS DECIMAL(20,6))
+                        ELSE CAST(0.1 * x AS DECIMAL(20,6)) END)
+                    AS DOUBLE)
+               / CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > e0
+                          THEN 0.9 ELSE 0.1 END) AS DOUBLE), 6) AS e1
+  FROM v JOIN m0 ON m0.event_type = v.event_type
+  GROUP BY v.event_type
+), s2 AS (
+  SELECT v.event_type,
+         round(CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > e1
+                        THEN CAST(0.9 * x AS DECIMAL(20,6))
+                        ELSE CAST(0.1 * x AS DECIMAL(20,6)) END)
+                    AS DOUBLE)
+               / CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > e1
+                          THEN 0.9 ELSE 0.1 END) AS DOUBLE), 6) AS e2
+  FROM v JOIN s1 ON s1.event_type = v.event_type
+  GROUP BY v.event_type
+), s3 AS (
+  SELECT v.event_type,
+         round(CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > e2
+                        THEN CAST(0.9 * x AS DECIMAL(20,6))
+                        ELSE CAST(0.1 * x AS DECIMAL(20,6)) END)
+                    AS DOUBLE)
+               / CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > e2
+                          THEN 0.9 ELSE 0.1 END) AS DOUBLE), 6) AS e3
+  FROM v JOIN s2 ON s2.event_type = v.event_type
+  GROUP BY v.event_type
+)
+SELECT m0.event_type,
+       m0.e0 AS mean_value,
+       s3.e3 AS expectile_90,
+       round(s3.e3 - s2.e2, 6) AS last_step_delta
+FROM m0 JOIN s2 ON s2.event_type = m0.event_type
+JOIN s3 ON s3.event_type = m0.event_type
+ORDER BY m0.event_type
+"""
+
+
+@query("q_expectile", oracle=EXPECTILE_SQL)
+def q_expectile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    v = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round("value", 6).cast("decimal(18,6)").alias("x"),
+    ).localCheckpoint()
+    xd = F.col("x").cast("double")
+
+    def step(prev: DataFrame, col: str, out: str) -> DataFrame:
+        j = v.join(F.broadcast(prev), "event_type")
+        above = xd > F.col(col)
+        num = F.sum(
+            F.when(above, (0.9 * F.col("x")).cast("decimal(20,6)"))
+            .otherwise((0.1 * F.col("x")).cast("decimal(20,6)"))
+        ).cast("double")
+        den = F.sum(F.when(above, 0.9).otherwise(0.1)).cast("double")
+        return j.groupBy("event_type").agg(
+            F.round(num / den, 6).alias(out)
+        )
+
+    m0 = v.groupBy("event_type").agg(
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6)
+        .alias("e0")
+    )
+    s1 = step(m0, "e0", "e1")
+    s2 = step(s1, "e1", "e2")
+    s3 = step(s2, "e2", "e3")
+    return (
+        m0.join(s2, "event_type")
+        .join(s3, "event_type")
+        .select(
+            "event_type",
+            F.col("e0").alias("mean_value"),
+            F.col("e3").alias("expectile_90"),
+            F.round(F.col("e3") - F.col("e2"), 6)
+            .alias("last_step_delta"),
+        )
+        .orderBy("event_type")
+    )
