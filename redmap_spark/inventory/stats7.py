@@ -10661,3 +10661,291 @@ def q_expectile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- q_crow_amsaa ------------------------------------------------------
+#
+# Crow-AMSAA (Duane) reliability-growth model on the return stream:
+# cumulative returned lines N(t) vs operating days t on log-log
+# axes; the slope beta of ln N = ln lambda + beta ln t says whether
+# the return process is improving (beta < 1), stationary (= 1), or
+# deteriorating (> 1), with the scale lambda as the day-one rate —
+# the standard reliability-program tracking chart, fit by exact-
+# moment OLS over the (ln t, ln N) grid of return days. The
+# process-improvement counterpart to q_p_chart's control view.
+
+CROW_SQL = """
+WITH mx AS (SELECT MIN(CAST(l_shipdate AS DATE)) AS d0 FROM lineitem),
+ret AS (
+  SELECT date_diff('day', d0, CAST(l_shipdate AS DATE)) + 1 AS t
+  FROM lineitem CROSS JOIN mx WHERE l_returnflag = 'R'
+), cum AS (
+  SELECT t, CAST(SUM(COUNT(*)) OVER (ORDER BY t) AS BIGINT) AS nt
+  FROM ret GROUP BY t
+), xy AS (
+  SELECT CAST(round(ln(CAST(t AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(CAST(nt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM cum
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                       AS DECIMAL(24,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                       AS DECIMAL(24,9))) AS DOUBLE) AS sxy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_return_days,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n), 6) AS lambda_scale,
+       CAST(CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) < 1
+            THEN 1 ELSE 0 END AS BIGINT) AS improving
+FROM m
+"""
+
+
+@query("q_crow_amsaa", oracle=CROW_SQL)
+def q_crow_amsaa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    mx = li.agg(F.min(F.col("l_shipdate").cast("date")).alias("d0"))
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(mx))
+        .select(
+            (
+                F.datediff(F.col("l_shipdate").cast("date"), F.col("d0"))
+                + 1
+            ).alias("t")
+        )
+    )
+    cum = (
+        ret.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "t",
+            F.sum("c").over(Window.orderBy("t")).cast("bigint")
+            .alias("nt"),
+        )
+    )
+    xy = cum.select(
+        F.round(F.log(F.col("t").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("nt").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    r9 = lambda e: F.sum(  # noqa: E731
+        F.round(e, 9).cast("decimal(24,9)")
+    ).cast("double")
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        r9(xd * xd).alias("sxx"),
+        r9(xd * yd).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    beta = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    return m.select(
+        n.cast("bigint").alias("n_return_days"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp((sy - beta * sx) / n), 6).alias("lambda_scale"),
+        F.when(beta < 1, 1).otherwise(0).cast("bigint").alias("improving"),
+    )
+
+
+# -- q_whipple_index ---------------------------------------------------
+#
+# Whipple-style digit-preference audit on order quantities: the
+# demography heaping index (share of terminal digits 0 and 5 scaled
+# by 5/2 x 100; 100 = no preference, 500 = everything heaped) plus
+# the full terminal-digit distribution chi-square — data-entry
+# fabrication and eyeballed-measurement detection on QUANTITIES, the
+# integer companion to q_round_number_bias's price-point view and
+# q_benford's leading-digit law. Digits come from exact integer
+# modulo; every statistic is a ratio of exact counts.
+
+WHIPPLE_SQL = """
+WITH d AS (
+  SELECT CAST(CAST(l_quantity AS BIGINT) % 10 AS BIGINT) AS digit
+  FROM lineitem
+), cnt AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+  FROM d GROUP BY 1
+), agg AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CASE WHEN digit IN (0, 5) THEN c ELSE 0 END)
+              AS BIGINT) AS heap,
+         CAST(SUM(CAST(round((c - n / 10.0) * (c - n / 10.0)
+                             / (n / 10.0), 6) AS DECIMAL(24,6)))
+              AS DOUBLE) AS chi2
+  FROM cnt
+)
+SELECT CAST(n AS BIGINT) AS n_lines,
+       round(250.0 * heap / n, 4) AS whipple_index,
+       round(chi2, 4) AS digit_chi2,
+       CAST(CASE WHEN 250.0 * heap / n > 125 THEN 1 ELSE 0 END
+            AS BIGINT) AS heaping_flag
+FROM agg
+"""
+
+
+@query("q_whipple_index", oracle=WHIPPLE_SQL)
+def q_whipple_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    d = li.select(
+        (F.col("l_quantity").cast("bigint") % 10).cast("bigint")
+        .alias("digit")
+    )
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cnt = (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            "digit", "c", F.sum("c").over(wall).cast("bigint").alias("n")
+        )
+    )
+    c, n = F.col("c"), F.col("n")
+    chi_term = F.round(
+        (c - n / 10.0) * (c - n / 10.0) / (n / 10.0), 6
+    ).cast("decimal(24,6)")
+    agg = cnt.agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("digit").isin(0, 5), c).otherwise(0))
+        .cast("bigint")
+        .alias("heap"),
+        F.sum(chi_term).cast("double").alias("chi2"),
+    )
+    wi = 250.0 * F.col("heap") / F.col("n")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(wi, 4).alias("whipple_index"),
+        F.round("chi2", 4).alias("digit_chi2"),
+        F.when(wi > 125, 1).otherwise(0).cast("bigint")
+        .alias("heaping_flag"),
+    )
+
+
+# -- q_theil_u_decomposition -------------------------------------------
+#
+# Theil inequality decomposition of the seasonal-naive forecast's
+# holdout MSE into bias (U_M: wrong level), variance (U_S: wrong
+# volatility) and covariance (U_C: phase noise — the only benign
+# part) proportions: U_M = (fbar-ybar)^2/MSE, U_S = (sf-sy)^2/MSE,
+# U_C = 2(1-r)sf*sy/MSE, summing to 1 — the diagnosis that says
+# WHETHER to fix a forecast by recentering, rescaling, or accepting
+# it, one level under q_mase's single number. All moments are the
+# shared exact-decimal holdout folds.
+
+THEILU_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS idx
+  FROM orders GROUP BY 1
+), mark AS (SELECT MAX(idx) - 56 AS tr_end FROM daily),
+dowm AS (
+  SELECT dayofweek(day) AS dw,
+         CAST(round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 2)
+              AS DECIMAL(24,2)) AS f
+  FROM daily CROSS JOIN mark WHERE idx <= tr_end GROUP BY 1
+), hold AS (
+  SELECT CAST(d.rev AS DECIMAL(24,2)) AS y, w.f
+  FROM daily d CROSS JOIN mark
+  JOIN dowm w ON w.dw = dayofweek(d.day)
+  WHERE d.idx > tr_end
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(f) AS DOUBLE) AS sf,
+         CAST(SUM(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 2)
+                       AS DECIMAL(38,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(round(CAST(f AS DOUBLE) * CAST(f AS DOUBLE), 2)
+                       AS DECIMAL(38,2))) AS DOUBLE) AS sff,
+         CAST(SUM(CAST(round(CAST(f AS DOUBLE) * CAST(y AS DOUBLE), 2)
+                       AS DECIMAL(38,2))) AS DOUBLE) AS sfy,
+         CAST(SUM(CAST(round((CAST(f AS DOUBLE) - CAST(y AS DOUBLE))
+                             * (CAST(f AS DOUBLE) - CAST(y AS DOUBLE)),
+                             2) AS DECIMAL(38,2))) AS DOUBLE) AS sse
+  FROM hold
+), f2 AS (
+  SELECT n, sse / n AS mse,
+         sf / n - sy / n AS bias,
+         sqrt((sff - sf * sf / n) / n) AS sdf,
+         sqrt((syy - sy * sy / n) / n) AS sdy,
+         (sfy / n - (sf / n) * (sy / n)) AS cov
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_holdout,
+       round(mse, 2) AS mse,
+       round(bias * bias / mse, 6) AS u_bias,
+       round((sdf - sdy) * (sdf - sdy) / mse, 6) AS u_variance,
+       round(2 * (1 - cov / (sdf * sdy)) * sdf * sdy / mse, 6)
+         AS u_covariance
+FROM f2
+"""
+
+
+@query("q_theil_u_decomposition", oracle=THEILU_SQL)
+def q_theil_u_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+        .select(
+            "day", "rev",
+            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        )
+        .localCheckpoint()
+    )
+    mark = daily.agg((F.max("idx") - 56).alias("tr_end"))
+    dowm = (
+        daily.join(F.broadcast(mark))
+        .filter(F.col("idx") <= F.col("tr_end"))
+        .groupBy(F.dayofweek("day").alias("dw"))
+        .agg(
+            F.round(F.sum("rev").cast("double") / F.count(F.lit(1)), 2)
+            .cast("decimal(24,2)")
+            .alias("f")
+        )
+    )
+    hold = (
+        daily.join(F.broadcast(mark))
+        .filter(F.col("idx") > F.col("tr_end"))
+        .join(F.broadcast(dowm), F.dayofweek("day") == F.col("dw"))
+        .select(F.col("rev").alias("y"), "f")
+    )
+    yd, fd = F.col("y").cast("double"), F.col("f").cast("double")
+    r2s = lambda e: F.sum(  # noqa: E731
+        F.round(e, 2).cast("decimal(38,2)")
+    ).cast("double")
+    m = hold.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("f").cast("double").alias("sf"),
+        r2s(yd * yd).alias("syy"),
+        r2s(fd * fd).alias("sff"),
+        r2s(fd * yd).alias("sfy"),
+        r2s((fd - yd) * (fd - yd)).alias("sse"),
+    )
+    n = F.col("n")
+    mse = F.col("sse") / n
+    bias = F.col("sf") / n - F.col("sy") / n
+    sdf = F.sqrt((F.col("sff") - F.col("sf") * F.col("sf") / n) / n)
+    sdy = F.sqrt((F.col("syy") - F.col("sy") * F.col("sy") / n) / n)
+    cov = F.col("sfy") / n - (F.col("sf") / n) * (F.col("sy") / n)
+    return m.select(
+        n.cast("bigint").alias("n_holdout"),
+        F.round(mse, 2).alias("mse"),
+        F.round(bias * bias / mse, 6).alias("u_bias"),
+        F.round((sdf - sdy) * (sdf - sdy) / mse, 6).alias("u_variance"),
+        F.round(2 * (1 - cov / (sdf * sdy)) * sdf * sdy / mse, 6)
+        .alias("u_covariance"),
+    )
