@@ -10949,3 +10949,184 @@ def q_theil_u_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(2 * (1 - cov / (sdf * sdy)) * sdf * sdy / mse, 6)
         .alias("u_covariance"),
     )
+
+
+# -- q_discovery_curve -------------------------------------------------
+#
+# Assortment discovery curve: for each order size m, the OBSERVED
+# mean number of distinct brands per order vs the EXPECTED value
+# under independent draws from the global brand mix, E[S_m] =
+# sum_b (1 - (1 - p_b)^m) — observed below expected means baskets
+# are brand-loyal within an order (substitutes cluster), above means
+# deliberate variety-seeking; the coupon-collector lens on basket
+# composition beside q_market_basket's pair lifts. Brand shares are
+# exact count ratios; the (1-p)^m powers are 9-rounded decimal terms
+# folded over the bounded |brands| x |size grid| cross.
+
+DISCOVERY_SQL = """
+WITH lines AS (
+  SELECT l_orderkey AS ok, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), per_order AS (
+  SELECT ok, COUNT(*) AS m, COUNT(DISTINCT p_brand) AS s
+  FROM lines GROUP BY 1
+), obs AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_distinct
+  FROM per_order WHERE m <= 7 GROUP BY 1
+), shares AS (
+  SELECT p_brand, COUNT(*) AS c,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS t
+  FROM lines GROUP BY 1
+), expct AS (
+  SELECT o.m,
+         CAST(SUM(CAST(round(1 - pow(1 - c / CAST(t AS DOUBLE), o.m), 9)
+                       AS DECIMAL(16,9))) AS DOUBLE) AS e_s
+  FROM shares CROSS JOIN (SELECT DISTINCT m FROM obs) o
+  GROUP BY 1
+)
+SELECT obs.m AS order_size, obs.n_orders,
+       round(obs.mean_distinct, 6) AS observed_distinct,
+       round(e.e_s, 6) AS expected_distinct,
+       round(obs.mean_distinct - e.e_s, 6) AS variety_gap
+FROM obs JOIN expct e ON e.m = obs.m
+ORDER BY order_size
+"""
+
+
+@query("q_discovery_curve", oracle=DISCOVERY_SQL)
+def q_discovery_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    lines = cat.lineitem.join(
+        F.broadcast(cat.part.select("p_partkey", "p_brand")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(F.col("l_orderkey").alias("ok"), "p_brand").localCheckpoint()
+    per_order = lines.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.countDistinct("p_brand").alias("s"),
+    )
+    obs = (
+        per_order.filter(F.col("m") <= 7)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.sum("s").cast("double") / F.count(F.lit(1)))
+            .alias("mean_distinct"),
+        )
+        .localCheckpoint()
+    )
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shares = (
+        lines.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("p_brand", "c", F.sum("c").over(wall).cast("bigint").alias("t"))
+    )
+    sizes = obs.select("m").distinct()
+    term = F.round(
+        1 - F.pow(1 - F.col("c") / F.col("t").cast("double"), F.col("m")),
+        9,
+    ).cast("decimal(16,9)")
+    expct = (
+        shares.crossJoin(F.broadcast(sizes))
+        .groupBy("m")
+        .agg(F.sum(term).cast("double").alias("e_s"))
+    )
+    return (
+        obs.join(expct, "m")
+        .select(
+            F.col("m").alias("order_size"),
+            "n_orders",
+            F.round("mean_distinct", 6).alias("observed_distinct"),
+            F.round("e_s", 6).alias("expected_distinct"),
+            F.round(F.col("mean_distinct") - F.col("e_s"), 6)
+            .alias("variety_gap"),
+        )
+        .orderBy("order_size")
+    )
+
+
+# -- txt_good_turing ---------------------------------------------------
+#
+# Good-Turing unseen-mass estimation per source: the frequency-of-
+# frequencies table N_r gives P0 = N_1 / N (the probability the NEXT
+# token is a never-seen word — the missing-mass estimate behind
+# every smoothed LM, including the Kneser-Ney entry) plus the
+# Turing-discounted count r* = (r+1) N_{r+1} / N_r for r = 1..3 —
+# vocabulary-growth forecasting from exact integer count-of-count
+# tables, the probabilistic layer above txt_chao1_richness's
+# abundance estimate. Everything is exact integers until the final
+# ratios.
+
+GT_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), wf AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS r
+  FROM toks GROUP BY 1, 2
+), nr AS (
+  SELECT source, r, CAST(COUNT(*) AS BIGINT) AS n_r
+  FROM wf GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_r) AS BIGINT) AS v
+  FROM nr GROUP BY 1
+), wide AS (
+  SELECT t.source, t.n_tokens, t.v,
+         MAX(CASE WHEN r = 1 THEN n_r END) AS n1,
+         MAX(CASE WHEN r = 2 THEN n_r END) AS n2,
+         MAX(CASE WHEN r = 3 THEN n_r END) AS n3,
+         MAX(CASE WHEN r = 4 THEN n_r END) AS n4
+  FROM nr JOIN tot t ON t.source = nr.source
+  GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(v AS BIGINT) AS vocab,
+       round(n1 / CAST(n_tokens AS DOUBLE), 6) AS p_unseen,
+       round(2.0 * n2 / n1, 6) AS r_star_1,
+       round(3.0 * n3 / n2, 6) AS r_star_2,
+       round(4.0 * n4 / n3, 6) AS r_star_3
+FROM wide
+ORDER BY source
+"""
+
+
+@query("txt_good_turing", oracle=GT_SQL)
+def txt_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    wf = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    nr = wf.groupBy("source", "r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    ).localCheckpoint()
+    tot = nr.groupBy("source").agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens"),
+        F.sum("n_r").cast("bigint").alias("v"),
+    )
+    pick = lambda rv: F.max(  # noqa: E731
+        F.when(F.col("r") == rv, F.col("n_r"))
+    )
+    wide = (
+        nr.join(tot, "source")
+        .groupBy("source", "n_tokens", "v")
+        .agg(
+            pick(1).alias("n1"), pick(2).alias("n2"),
+            pick(3).alias("n3"), pick(4).alias("n4"),
+        )
+    )
+    return wide.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("v").cast("bigint").alias("vocab"),
+        F.round(
+            F.col("n1") / F.col("n_tokens").cast("double"), 6
+        ).alias("p_unseen"),
+        F.round(2.0 * F.col("n2") / F.col("n1"), 6).alias("r_star_1"),
+        F.round(3.0 * F.col("n3") / F.col("n2"), 6).alias("r_star_2"),
+        F.round(4.0 * F.col("n4") / F.col("n3"), 6).alias("r_star_3"),
+    ).orderBy("source")
