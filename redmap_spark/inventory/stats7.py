@@ -11130,3 +11130,194 @@ def txt_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(3.0 * F.col("n3") / F.col("n2"), 6).alias("r_star_2"),
         F.round(4.0 * F.col("n4") / F.col("n3"), 6).alias("r_star_3"),
     ).orderBy("source")
+
+
+# -- q_zt_poisson ------------------------------------------------------
+#
+# Zero-truncated Poisson fit of per-customer yearly order counts (we
+# only observe customers who ordered at least once): the truncated
+# mean identity m = lambda / (1 - exp(-lambda)) is solved by THREE
+# unrolled fixed-point steps lambda <- m * (1 - exp(-lambda))
+# (6-rounded per step so both engines branch identically), giving the
+# implied zero-class share exp(-lambda) and the implied TOTAL market
+# size N_obs / (1 - exp(-lambda)) — the "how many customers exist
+# that we never see" estimate that q_capture_recapture answers with
+# two lists and this answers with one truncated count distribution.
+
+ZTP_SQL = """
+WITH k AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT COUNT(*) AS n_obs,
+         CAST(SUM(k) AS DOUBLE) / COUNT(*) AS m
+  FROM k
+), l1 AS (SELECT n_obs, m, round(m * (1 - exp(-m)), 6) AS l FROM m),
+l2 AS (SELECT n_obs, m, round(m * (1 - exp(-l)), 6) AS l FROM l1),
+l3 AS (SELECT n_obs, m, round(m * (1 - exp(-l)), 6) AS l FROM l2)
+SELECT CAST(n_obs AS BIGINT) AS n_observed,
+       round(m, 6) AS truncated_mean,
+       l AS lambda,
+       round(exp(-l), 6) AS implied_zero_share,
+       round(n_obs / (1 - exp(-l)), 2) AS implied_total_market
+FROM l3
+"""
+
+
+@query("q_zt_poisson", oracle=ZTP_SQL)
+def q_zt_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    k = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    m = k.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    mm = F.col("m")
+    l1 = m.select(
+        "n_obs", "m", F.round(mm * (1 - F.exp(-mm)), 6).alias("l")
+    )
+    l2 = l1.select(
+        "n_obs", "m", F.round(mm * (1 - F.exp(-F.col("l"))), 6).alias("l")
+    )
+    l3 = l2.select(
+        "n_obs", "m", F.round(mm * (1 - F.exp(-F.col("l"))), 6).alias("l")
+    )
+    lam = F.col("l")
+    return l3.select(
+        F.col("n_obs").cast("bigint").alias("n_observed"),
+        F.round(mm, 6).alias("truncated_mean"),
+        lam.alias("lambda"),
+        F.round(F.exp(-lam), 6).alias("implied_zero_share"),
+        F.round(F.col("n_obs") / (1 - F.exp(-lam)), 2)
+        .alias("implied_total_market"),
+    )
+
+
+# -- q_clumpiness ------------------------------------------------------
+#
+# Purchase-timing clumpiness per segment (Zhang-Bradlow-Small RFMC):
+# for each customer with >= 3 orders, the normalized inter-event gaps
+# x_i (including the boundary gaps to the observation window edges)
+# give H = 1 + sum x ln x / ln(n+1), 0 = perfectly regular, 1 = one
+# burst — the C that upgrades RFM to RFMC because two customers with
+# identical frequency can be steady subscribers or one-weekend
+# bingers. Gaps are exact day integers normalized by the window; the
+# x ln x terms are 9-rounded decimals folded per customer; segment
+# rows report the mean and the clumpy (H > 0.5) share.
+
+CLUMPY_SQL = """
+WITH mx AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS w0,
+                   MAX(CAST(o_orderdate AS DATE)) AS w1 FROM orders),
+ev AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+  FROM orders
+), gaps AS (
+  SELECT o_custkey,
+         date_diff('day', COALESCE(LAG(d) OVER w, w0), d) + 1 AS g,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS k,
+         w1, w0, d,
+         ROW_NUMBER() OVER w AS rn
+  FROM ev CROSS JOIN mx
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY d)
+), withend AS (
+  SELECT o_custkey, g, k FROM gaps
+  UNION ALL
+  SELECT o_custkey, date_diff('day', d, w1) + 1 AS g, k
+  FROM gaps WHERE rn = k
+), tot AS (
+  SELECT o_custkey, MAX(k) AS k, CAST(SUM(g) AS BIGINT) AS tg
+  FROM withend GROUP BY 1
+), h AS (
+  SELECT w.o_custkey, t.k,
+         1 + CAST(SUM(CAST(round((w.g / CAST(t.tg AS DOUBLE))
+                                 * ln(w.g / CAST(t.tg AS DOUBLE)), 9)
+                           AS DECIMAL(16,9))) AS DOUBLE)
+             / ln(t.k + 1.0) AS hc
+  FROM withend w JOIN tot t ON t.o_custkey = w.o_custkey
+  WHERE t.k >= 3
+  GROUP BY 1, 2
+), seg AS (
+  SELECT c_mktsegment AS segment, h.hc
+  FROM h JOIN customer ON c_custkey = o_custkey
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(CAST(SUM(CAST(round(hc, 9) AS DECIMAL(14,9))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_clumpiness,
+       round(SUM(CASE WHEN hc > 0.5 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS clumpy_share
+FROM seg
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@query("q_clumpiness", oracle=CLUMPY_SQL)
+def q_clumpiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    mx = cat.orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("w0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("w1"),
+    )
+    ev = cat.orders.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    wp = Window.partitionBy("o_custkey")
+    gaps = ev.join(F.broadcast(mx)).select(
+        "o_custkey",
+        (
+            F.datediff(
+                F.col("d"), F.coalesce(F.lag("d").over(w), F.col("w0"))
+            )
+            + 1
+        ).alias("g"),
+        F.count(F.lit(1)).over(wp).alias("k"),
+        "w1", "d",
+        F.row_number().over(w).alias("rn"),
+    ).localCheckpoint()
+    withend = gaps.select("o_custkey", "g", "k").union(
+        gaps.filter(F.col("rn") == F.col("k")).select(
+            "o_custkey",
+            (F.datediff("w1", "d") + 1).alias("g"),
+            "k",
+        )
+    )
+    tot = withend.groupBy("o_custkey").agg(
+        F.max("k").alias("k"), F.sum("g").cast("bigint").alias("tg")
+    )
+    j = withend.select(F.col("o_custkey").alias("ck"), "g").join(
+        tot.filter(F.col("k") >= 3), F.col("ck") == F.col("o_custkey")
+    )
+    x = F.col("g") / F.col("tg").cast("double")
+    term = F.round(x * F.log(x), 9).cast("decimal(16,9)")
+    h = j.groupBy("o_custkey", "k").agg(
+        (
+            1
+            + F.sum(term).cast("double") / F.log(F.col("k") + 1.0)
+        ).alias("hc")
+    )
+    seg = h.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select(F.col("c_mktsegment").alias("segment"), "hc")
+    n = F.count(F.lit(1))
+    return (
+        seg.groupBy("segment")
+        .agg(
+            n.cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.round("hc", 9).cast("decimal(14,9)")).cast("double")
+                / n,
+                6,
+            ).alias("mean_clumpiness"),
+            F.round(
+                F.sum(F.when(F.col("hc") > 0.5, 1).otherwise(0))
+                / n.cast("double"),
+                6,
+            ).alias("clumpy_share"),
+        )
+        .orderBy("segment")
+    )
