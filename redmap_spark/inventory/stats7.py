@@ -10988,7 +10988,7 @@ WITH lines AS (
 SELECT obs.m AS order_size, obs.n_orders,
        round(obs.mean_distinct, 6) AS observed_distinct,
        round(e.e_s, 6) AS expected_distinct,
-       round(obs.mean_distinct - e.e_s, 6) AS variety_gap
+       round(obs.mean_distinct - e.e_s, 6) + 0.0 AS variety_gap
 FROM obs JOIN expct e ON e.m = obs.m
 ORDER BY order_size
 """
@@ -11040,7 +11040,7 @@ def q_discovery_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             F.round("mean_distinct", 6).alias("observed_distinct"),
             F.round("e_s", 6).alias("expected_distinct"),
-            F.round(F.col("mean_distinct") - F.col("e_s"), 6)
+            (F.round(F.col("mean_distinct") - F.col("e_s"), 6) + 0.0)
             .alias("variety_gap"),
         )
         .orderBy("order_size")
