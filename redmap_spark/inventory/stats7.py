@@ -11321,3 +11321,163 @@ def q_clumpiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# -- q_ratio_to_ma -----------------------------------------------------
+#
+# Classical ratio-to-moving-average seasonal indices at MONTHLY
+# grain (the X-11 ancestor): monthly revenue over a centered 12-month
+# moving average (the 2x12 MA that splits the even window
+# symmetrically), per-calendar-month MEDIAN ratio (robust to one-off
+# spikes), normalized so the twelve indices average 1 — the
+# annual-cycle complement to q_stl_lite's weekly decomposition and
+# q_seasonality's dow means. Monthly sums are exact decimals; the
+# centered MA is a ROWS-window decimal fold with the half-weight
+# endpoints handled by the standard (m[-6]+m[+6])/2 correction;
+# medians use the house interpolated quantile.
+
+RATIO_MA_SQL = """
+WITH m AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+         CAST(strftime(CAST(o_orderdate AS DATE), '%m') AS BIGINT) AS moy,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS rev
+  FROM orders GROUP BY 1, 2
+), ma AS (
+  SELECT mon, moy, rev,
+         CAST(SUM(rev) OVER w11 AS DOUBLE) / 12
+           + (CAST(LAG(rev, 6) OVER wo AS DOUBLE)
+              + CAST(LEAD(rev, 6) OVER wo AS DOUBLE)) / 24 AS cma,
+         COUNT(*) OVER w11 AS n11
+  FROM m
+  WINDOW wo AS (ORDER BY mon),
+         w11 AS (ORDER BY mon ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+), ratio AS (
+  SELECT moy, round(CAST(rev AS DOUBLE) / cma, 9) AS r
+  FROM ma WHERE n11 = 11 AND cma IS NOT NULL
+), med AS (
+  SELECT moy, round(quantile_cont(r, 0.5), 6) AS mr,
+         CAST(COUNT(*) AS BIGINT) AS n_years
+  FROM ratio GROUP BY 1
+), norm AS (
+  SELECT moy, mr, n_years,
+         CAST(SUM(CAST(mr AS DECIMAL(12,6))) OVER () AS DOUBLE) AS tot
+  FROM med
+)
+SELECT CAST(moy AS BIGINT) AS month_of_year,
+       n_years,
+       round(mr, 6) AS raw_index,
+       round(mr * 12 / tot, 6) AS seasonal_index
+FROM norm
+ORDER BY month_of_year
+"""
+
+
+@query("q_ratio_to_ma", oracle=RATIO_MA_SQL)
+def q_ratio_to_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    od = F.col("o_orderdate").cast("date")
+    m = cat.orders.groupBy(
+        F.date_format(od, "yyyy-MM").alias("mon"),
+        F.month(od).cast("bigint").alias("moy"),
+    ).agg(F.sum(dec("o_totalprice")).cast("decimal(28,2)").alias("rev"))
+    wo = Window.orderBy("mon")
+    w11 = wo.rowsBetween(-5, 5)
+    cma = (
+        F.sum("rev").over(w11).cast("double") / 12
+        + (
+            F.lag("rev", 6).over(wo).cast("double")
+            + F.lead("rev", 6).over(wo).cast("double")
+        )
+        / 24
+    )
+    ma = m.select(
+        "mon", "moy", "rev",
+        cma.alias("cma"),
+        F.count(F.lit(1)).over(w11).alias("n11"),
+    )
+    ratio = ma.filter(
+        (F.col("n11") == 11) & F.col("cma").isNotNull()
+    ).select(
+        "moy",
+        F.round(F.col("rev").cast("double") / F.col("cma"), 9).alias("r"),
+    )
+    med = ratio.groupBy("moy").agg(
+        F.round(F.percentile("r", F.lit(0.5)), 6).alias("mr"),
+        F.count(F.lit(1)).cast("bigint").alias("n_years"),
+    )
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    norm = med.select(
+        "moy", "mr", "n_years",
+        F.sum(F.col("mr").cast("decimal(12,6)")).over(wall).cast("double")
+        .alias("tot"),
+    )
+    return norm.select(
+        F.col("moy").alias("month_of_year"),
+        "n_years",
+        F.round("mr", 6).alias("raw_index"),
+        F.round(F.col("mr") * 12 / F.col("tot"), 6)
+        .alias("seasonal_index"),
+    ).orderBy("month_of_year")
+
+
+# -- txt_yule_k --------------------------------------------------------
+#
+# Yule's K vocabulary-richness characteristic per source: K =
+# 1e4 * (sum r^2 N_r - N) / N^2 over the count-of-counts table —
+# length-invariant repetitiveness (high K = a few words dominate),
+# the classical stylometry constant beside txt_burrows_delta's
+# distance and txt_good_turing's unseen mass, computed from the SAME
+# exact frequency-of-frequencies integers. Also reports Simpson's D
+# for words (K/1e4 asymptotically) as the cross-check column.
+
+YULE_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), wf AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS r
+  FROM toks GROUP BY 1, 2
+), nr AS (
+  SELECT source, r, CAST(COUNT(*) AS BIGINT) AS n_r
+  FROM wf GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+         CAST(SUM(r * n_r) AS BIGINT) AS n,
+         CAST(SUM(r * r * n_r) AS BIGINT) AS s2
+  FROM nr GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_tokens,
+       round(10000.0 * (s2 - n) / (CAST(n AS DOUBLE) * n), 6) AS yule_k,
+       round((s2 - n) / (CAST(n AS DOUBLE) * (n - 1)), 9) AS simpson_d
+FROM agg
+ORDER BY source
+"""
+
+
+@query("txt_yule_k", oracle=YULE_SQL)
+def txt_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    wf = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    nr = wf.groupBy("source", "r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    agg = nr.groupBy("source").agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n"),
+        F.sum(F.col("r") * F.col("r") * F.col("n_r")).cast("bigint")
+        .alias("s2"),
+    )
+    n, s2 = F.col("n"), F.col("s2")
+    return agg.select(
+        "source",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(10000.0 * (s2 - n) / (n.cast("double") * n), 6)
+        .alias("yule_k"),
+        F.round((s2 - n) / (n.cast("double") * (n - 1)), 9)
+        .alias("simpson_d"),
+    ).orderBy("source")
