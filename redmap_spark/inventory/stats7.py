@@ -11481,3 +11481,222 @@ def txt_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((s2 - n) / (n.cast("double") * (n - 1)), 9)
         .alias("simpson_d"),
     ).orderBy("source")
+
+
+# -- q_ulcer_index -----------------------------------------------------
+#
+# Ulcer index and Martin ratio per event type on the daily revenue
+# curve: UI = sqrt(mean(pct-drawdown^2)) penalizes DEEP and LONG
+# underwater stretches quadratically where q_drawdown's max-dd
+# reports only the single worst point, and the Martin (Ulcer
+# Performance) ratio divides mean daily log-return by UI — the
+# risk-adjusted ranking for drawdown-sensitive consumers. Running
+# peaks are exact decimal window maxes; squared drawdown shares are
+# 9-rounded decimal folds; two double finales.
+
+ULCER_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), dd AS (
+  SELECT event_type, day, rev,
+         CAST(MAX(rev) OVER (PARTITION BY event_type ORDER BY day)
+              AS DECIMAL(24,2)) AS peak
+  FROM daily
+), t AS (
+  SELECT event_type,
+         CAST(round(pow(CAST(peak - rev AS DOUBLE)
+                        / CAST(peak AS DOUBLE), 2), 9)
+              AS DECIMAL(14,9)) AS dd2,
+         CAST(round(ln(CAST(rev AS DOUBLE)
+                       / CAST(LAG(rev) OVER
+                              (PARTITION BY event_type ORDER BY day)
+                              AS DOUBLE)), 9) AS DECIMAL(18,9)) AS r
+  FROM dd
+), agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(dd2) AS DOUBLE) AS sdd2,
+         CAST(SUM(r) AS DOUBLE) AS sr,
+         COUNT(r) AS nr
+  FROM t GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       round(sqrt(sdd2 / n), 6) AS ulcer_index,
+       round((sr / nr) / sqrt(sdd2 / n), 6) AS martin_ratio
+FROM agg
+ORDER BY event_type
+"""
+
+
+@query("q_ulcer_index", oracle=ULCER_SQL)
+def q_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    daily = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("decimal(24,2)")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    dd = daily.select(
+        "event_type", "day", "rev",
+        F.max("rev").over(w).cast("decimal(24,2)").alias("peak"),
+    )
+    t = dd.select(
+        "event_type",
+        F.round(
+            F.pow(
+                (F.col("peak") - F.col("rev")).cast("double")
+                / F.col("peak").cast("double"),
+                2,
+            ),
+            9,
+        )
+        .cast("decimal(14,9)")
+        .alias("dd2"),
+        F.round(
+            F.log(
+                F.col("rev").cast("double")
+                / F.lag("rev").over(w).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("r"),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dd2").cast("double").alias("sdd2"),
+        F.sum("r").cast("double").alias("sr"),
+        F.count("r").alias("nr"),
+    )
+    ui = F.sqrt(F.col("sdd2") / F.col("n"))
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(ui, 6).alias("ulcer_index"),
+        F.round((F.col("sr") / F.col("nr")) / ui, 6).alias("martin_ratio"),
+    ).orderBy("event_type")
+
+
+# -- txt_char_entropy --------------------------------------------------
+#
+# Character-level entropy profile per source: unigram entropy H1,
+# bigram entropy H2, the conditional entropy H(c2|c1) = H2 - H1 (the
+# compressibility proxy — gzip-ratio without gzip), and redundancy
+# 1 - H1/log2|alphabet| — encoding/quality fingerprints that word-
+# level measures (txt_word_entropy) cannot see because they tokenize
+# first. All probabilities are exact character/bigram count ratios;
+# p log2 p terms are 9-rounded decimal folds.
+
+CHAR_ENT_SQL = """
+WITH uni0 AS (
+  SELECT source, substr(text, i, 1) AS c1
+  FROM documents, UNNEST(generate_series(1, len(text))) AS t(i)
+), bi0 AS (
+  SELECT source, substr(text, i, 2) AS bg
+  FROM documents, UNNEST(generate_series(1, len(text) - 1)) AS t(i)
+), uni AS (
+  SELECT source, c1, CAST(COUNT(*) AS BIGINT) AS c FROM uni0 GROUP BY 1, 2
+), utot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS alpha
+  FROM uni GROUP BY 1
+), h1 AS (
+  SELECT u.source,
+         CAST(SUM(CAST(round(-(c / CAST(n AS DOUBLE))
+                             * log2(c / CAST(n AS DOUBLE)), 9)
+                       AS DECIMAL(16,9))) AS DOUBLE) AS h1,
+         MAX(alpha) AS alpha
+  FROM uni u JOIN utot ON utot.source = u.source
+  GROUP BY 1
+), bi AS (
+  SELECT source, bg, CAST(COUNT(*) AS BIGINT) AS c FROM bi0 GROUP BY 1, 2
+), btot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM bi GROUP BY 1
+), h2 AS (
+  SELECT b.source,
+         CAST(SUM(CAST(round(-(c / CAST(n AS DOUBLE))
+                             * log2(c / CAST(n AS DOUBLE)), 9)
+                       AS DECIMAL(16,9))) AS DOUBLE) AS h2
+  FROM bi b JOIN btot ON btot.source = b.source
+  GROUP BY 1
+)
+SELECT h1.source,
+       round(h1.h1, 6) AS h1_bits,
+       round(h2.h2 - h1.h1, 6) AS cond_entropy_bits,
+       round(1 - h1.h1 / log2(CAST(h1.alpha AS DOUBLE)), 6)
+         AS redundancy
+FROM h1 JOIN h2 ON h2.source = h1.source
+ORDER BY h1.source
+"""
+
+
+@query("txt_char_entropy", oracle=CHAR_ENT_SQL)
+def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    uni0 = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)),"
+                " i -> substring(text, i, 1))"
+            )
+        ).alias("c1"),
+    )
+    bi0 = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    uni = uni0.groupBy("source", "c1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    utot = uni.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("alpha"),
+    )
+    ent_term = lambda n: F.round(  # noqa: E731
+        -(F.col("c") / n.cast("double"))
+        * F.log2(F.col("c") / n.cast("double")),
+        9,
+    ).cast("decimal(16,9)")
+    h1 = (
+        uni.join(utot, "source")
+        .groupBy("source")
+        .agg(
+            F.sum(ent_term(F.col("n"))).cast("double").alias("h1"),
+            F.max("alpha").alias("alpha"),
+        )
+    )
+    bi = bi0.groupBy("source", "bg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    btot = bi.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    h2 = (
+        bi.join(btot, "source")
+        .groupBy("source")
+        .agg(F.sum(ent_term(F.col("n"))).cast("double").alias("h2"))
+    )
+    return (
+        h1.join(h2, "source")
+        .select(
+            "source",
+            F.round("h1", 6).alias("h1_bits"),
+            F.round(F.col("h2") - F.col("h1"), 6)
+            .alias("cond_entropy_bits"),
+            F.round(
+                1 - F.col("h1") / F.log2(F.col("alpha").cast("double")), 6
+            ).alias("redundancy"),
+        )
+        .orderBy("source")
+    )
