@@ -11700,3 +11700,225 @@ def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- q_gibrat_law ------------------------------------------------------
+#
+# Gibrat's law test on brand monthly revenue: regress log growth
+# ln(rev_{t+1}/rev_t) on log size ln(rev_t) across all brand-months;
+# slope = 0 means growth is independent of size (Gibrat holds, and
+# the size distribution drifts lognormal), slope < 0 means mean
+# reversion (small brands catch up) — the firm-dynamics law behind
+# q_lognormal_fit's distributional finding. Log pairs are 9-rounded
+# decimals; the OLS is the house exact-moment chain with the t-stat
+# for the slope against zero.
+
+GIBRAT_SQL = """
+WITH m AS (
+  SELECT p_brand, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS mon,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT CAST(round(ln(CAST(rev AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(CAST(LEAD(rev) OVER w AS DOUBLE)
+                       / CAST(rev AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM m WINDOW w AS (PARTITION BY p_brand ORDER BY mon)
+), clean AS (SELECT x, y FROM pairs WHERE y IS NOT NULL),
+mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS syy
+  FROM clean
+), f AS (
+  SELECT n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         ((n * syy - sy * sy)
+          - ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / (n * sxx - sx * sx)) / (n * (n - 2)) AS mse_over_n,
+         (n * sxx - sx * sx) / n AS ssx
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_brand_months,
+       round(b, 6) AS gibrat_slope,
+       round(b / sqrt(mse_over_n * n / ssx / n), 6) AS t_stat,
+       CAST(CASE WHEN abs(b / sqrt(mse_over_n * n / ssx / n)) < 1.96
+            THEN 1 ELSE 0 END AS BIGINT) AS gibrat_holds
+FROM f
+"""
+
+
+@query("q_gibrat_law", oracle=GIBRAT_SQL)
+def q_gibrat_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    m = (
+        cat.lineitem.join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            "p_brand",
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")
+            .alias("mon"),
+        )
+        .agg(F.sum(dec("l_extendedprice")).cast("decimal(28,2)").alias("rev"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("mon")
+    pairs = m.select(
+        F.round(F.log(F.col("rev").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(
+            F.log(
+                F.lead("rev").over(w).cast("double")
+                / F.col("rev").cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    clean = pairs.filter(F.col("y").isNotNull())
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    r9 = lambda e: F.sum(  # noqa: E731
+        F.round(e, 9).cast("decimal(28,9)")
+    ).cast("double")
+    mom = clean.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        r9(xd * xd).alias("sxx"),
+        r9(xd * yd).alias("sxy"),
+        r9(yd * yd).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    mse_over_n = (
+        (n * syy - sy * sy)
+        - ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (n * sxx - sx * sx)
+    ) / (n * (n - 2))
+    ssx = (n * sxx - sx * sx) / n
+    t = b / F.sqrt(mse_over_n * n / ssx / n)
+    return mom.select(
+        n.cast("bigint").alias("n_brand_months"),
+        F.round(b, 6).alias("gibrat_slope"),
+        F.round(t, 6).alias("t_stat"),
+        F.when(F.abs(t) < 1.96, 1).otherwise(0).cast("bigint")
+        .alias("gibrat_holds"),
+    )
+
+
+# -- q_engel_curve -----------------------------------------------------
+#
+# Working-Leser Engel curve: each customer's budget SHARE on the
+# "basics" brand family (Brand#1x) regressed on ln(total spend) —
+# slope < 0 marks basics as a necessity (its share falls as budgets
+# grow), > 0 a luxury; the Engel coefficient framing of spending
+# composition beside q_elasticity's price response. Shares and log
+# totals are 9-rounded decimals from exact per-customer folds; the
+# OLS is the shared moment chain.
+
+ENGEL_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS total,
+         CAST(SUM(CASE WHEN p_brand LIKE 'Brand#1%'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+              AS DECIMAL(28,2)) AS basics
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+), xy AS (
+  SELECT CAST(round(ln(CAST(total AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(CAST(basics AS DOUBLE) / CAST(total AS DOUBLE), 9)
+              AS DECIMAL(12,9)) AS y
+  FROM cust WHERE total > 0
+), mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS sxy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(sy / n, 6) AS mean_basics_share,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         AS engel_slope,
+       CAST(CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) < 0
+            THEN 1 ELSE 0 END AS BIGINT) AS necessity
+FROM mom
+"""
+
+
+@query("q_engel_curve", oracle=ENGEL_SQL)
+def q_engel_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    zero = F.lit(0).cast("decimal(18,2)")
+    cust = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("decimal(28,2)")
+            .alias("total"),
+            F.sum(
+                F.when(
+                    F.col("p_brand").startswith("Brand#1"),
+                    dec("l_extendedprice"),
+                ).otherwise(zero)
+            )
+            .cast("decimal(28,2)")
+            .alias("basics"),
+        )
+    )
+    xy = cust.filter(F.col("total") > 0).select(
+        F.round(F.log(F.col("total").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(
+            F.col("basics").cast("double") / F.col("total").cast("double"),
+            9,
+        )
+        .cast("decimal(12,9)")
+        .alias("y"),
+    )
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    r9 = lambda e: F.sum(  # noqa: E731
+        F.round(e, 9).cast("decimal(28,9)")
+    ).cast("double")
+    mom = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        r9(xd * xd).alias("sxx"),
+        r9(xd * yd).alias("sxy"),
+    )
+    n = F.col("n")
+    b = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        n.cast("bigint").alias("n_customers"),
+        F.round(F.col("sy") / n, 6).alias("mean_basics_share"),
+        F.round(b, 6).alias("engel_slope"),
+        F.when(b < 0, 1).otherwise(0).cast("bigint").alias("necessity"),
+    )
