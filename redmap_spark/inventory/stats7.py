@@ -11922,3 +11922,232 @@ def q_engel_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b, 6).alias("engel_slope"),
         F.when(b < 0, 1).otherwise(0).cast("bigint").alias("necessity"),
     )
+
+
+# -- q_range_partition_planner -----------------------------------------
+#
+# Range-partitioning plan for the order stream keyed by o_custkey:
+# 16 equal-depth boundaries from EXACT rank selection (the
+# repartitionByRange boundary table a writer would feed Spark),
+# realized bucket row counts, and the max/mean skew ratio that says
+# whether range partitioning beats hash for this key — the planner
+# output beside q_output_file_planner's size plan and q_skew_report's
+# diagnosis. Boundaries and counts are exact integers end to end.
+
+RANGEPLAN_SQL = """
+WITH r AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+), b2 AS (
+  SELECT CAST(FLOOR(16.0 * (rn - 1) / n) AS BIGINT) AS bucket,
+         o_custkey
+  FROM r
+), agg AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rows_,
+         CAST(MIN(o_custkey) AS BIGINT) AS key_lo,
+         CAST(MAX(o_custkey) AS BIGINT) AS key_hi
+  FROM b2 GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(rows_) AS BIGINT) AS n,
+         CAST(MAX(rows_) AS BIGINT) AS mx
+  FROM agg
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, rows_, key_lo, key_hi,
+       round(rows_ / (CAST(n AS DOUBLE) / 16), 6) AS depth_ratio,
+       round(mx / (CAST(n AS DOUBLE) / 16), 6) AS max_skew
+FROM agg CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
+@query("q_range_partition_planner", oracle=RANGEPLAN_SQL)
+def q_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = o.select(
+        "o_custkey",
+        F.row_number()
+        .over(Window.orderBy("o_custkey", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    b2 = r.select(
+        F.floor(16.0 * (F.col("rn") - 1) / F.col("n"))
+        .cast("bigint")
+        .alias("bucket"),
+        "o_custkey",
+    )
+    agg = b2.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_"),
+        F.min("o_custkey").cast("bigint").alias("key_lo"),
+        F.max("o_custkey").cast("bigint").alias("key_hi"),
+    )
+    tot = agg.agg(
+        F.sum("rows_").cast("bigint").alias("n"),
+        F.max("rows_").cast("bigint").alias("mx"),
+    )
+    return (
+        agg.join(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "rows_", "key_lo", "key_hi",
+            F.round(
+                F.col("rows_") / (F.col("n").cast("double") / 16), 6
+            ).alias("depth_ratio"),
+            F.round(
+                F.col("mx") / (F.col("n").cast("double") / 16), 6
+            ).alias("max_skew"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# -- q_selectivity_audit -----------------------------------------------
+#
+# Optimizer-statistics quality audit: a 10-bucket equi-width
+# histogram on o_totalprice (the stats an optimizer keeps) estimates
+# the selectivity of "totalprice > threshold" predicates under the
+# uniform-within-bucket assumption, and the table reports estimated
+# vs ACTUAL selectivity with the relative error per threshold — the
+# measurement of when histogram stats mislead join/scan planning
+# (the numbers behind q_join_size_estimate's estimates). Bucket
+# boundaries and counts are exact; the interpolation is one double
+# chain per threshold.
+
+SELAUDIT_SQL = """
+WITH mm AS (
+  SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+         COUNT(*) AS n
+  FROM orders
+), hist AS (
+  SELECT LEAST(CAST(FLOOR(10 * (CAST(o_totalprice AS DOUBLE) - lo)
+                          / (hi - lo)) AS BIGINT), 9) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders CROSS JOIN mm
+  GROUP BY 1
+), th AS (
+  SELECT lo + (hi - lo) * frac AS t, frac, lo, hi, n
+  FROM mm CROSS JOIN (SELECT UNNEST([0.25, 0.5, 0.75, 0.9]) AS frac)
+), est AS (
+  SELECT th.t, th.frac, th.n,
+         CAST(SUM(CASE
+           WHEN h.b > LEAST(CAST(FLOOR(10 * th.frac) AS BIGINT), 9)
+           THEN CAST(h.c AS DECIMAL(24,4))
+           WHEN h.b = LEAST(CAST(FLOOR(10 * th.frac) AS BIGINT), 9)
+           THEN CAST(round(h.c * (1 - (10 * th.frac
+                     - LEAST(CAST(FLOOR(10 * th.frac) AS BIGINT), 9))),
+                     4) AS DECIMAL(24,4))
+           ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE) AS est_rows
+  FROM th JOIN hist h ON TRUE
+  GROUP BY 1, 2, 3
+), act AS (
+  SELECT th.t,
+         CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) > th.t
+                       THEN 1 ELSE 0 END) AS BIGINT) AS act_rows
+  FROM orders CROSS JOIN th GROUP BY 1
+)
+SELECT round(e.frac, 2) AS threshold_frac,
+       round(e.t, 2) AS threshold_value,
+       round(e.est_rows / e.n, 6) AS est_selectivity,
+       round(a.act_rows / CAST(e.n AS DOUBLE), 6) AS actual_selectivity,
+       round(e.est_rows / e.n - a.act_rows / CAST(e.n AS DOUBLE), 6)
+         + 0.0 AS estimation_error
+FROM est e JOIN act a ON a.t = e.t
+ORDER BY threshold_frac
+"""
+
+
+@query("q_selectivity_audit", oracle=SELAUDIT_SQL)
+def q_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    mm = o.agg(
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hist = (
+        o.join(F.broadcast(mm))
+        .select(
+            F.least(
+                F.floor(
+                    10
+                    * (F.col("o_totalprice").cast("double") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("bigint"),
+                F.lit(9).cast("bigint"),
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    fracs = o.sparkSession.createDataFrame(
+        [(0.25,), (0.5,), (0.75,), (0.9,)], ["frac"]
+    )
+    th = mm.crossJoin(F.broadcast(fracs)).select(
+        (F.col("lo") + (F.col("hi") - F.col("lo")) * F.col("frac"))
+        .alias("t"),
+        "frac", "lo", "hi", "n",
+    ).localCheckpoint()
+    bcut = F.least(
+        F.floor(10 * F.col("frac")).cast("bigint"),
+        F.lit(9).cast("bigint"),
+    )
+    est = (
+        th.crossJoin(F.broadcast(hist))
+        .groupBy("t", "frac", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b") > bcut, F.col("c").cast("decimal(24,4)")
+                )
+                .when(
+                    F.col("b") == bcut,
+                    F.round(
+                        F.col("c") * (1 - (10 * F.col("frac") - bcut)), 4
+                    ).cast("decimal(24,4)"),
+                )
+                .otherwise(F.lit(0).cast("decimal(24,4)"))
+            )
+            .cast("double")
+            .alias("est_rows")
+        )
+    )
+    act = (
+        o.crossJoin(F.broadcast(th.select("t")))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_totalprice").cast("double") > F.col("t"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("act_rows")
+        )
+    )
+    return (
+        est.join(act, "t")
+        .select(
+            F.round("frac", 2).alias("threshold_frac"),
+            F.round("t", 2).alias("threshold_value"),
+            F.round(F.col("est_rows") / F.col("n"), 6)
+            .alias("est_selectivity"),
+            F.round(F.col("act_rows") / F.col("n").cast("double"), 6)
+            .alias("actual_selectivity"),
+            (
+                F.round(
+                    F.col("est_rows") / F.col("n")
+                    - F.col("act_rows") / F.col("n").cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("estimation_error"),
+        )
+        .orderBy("threshold_frac")
+    )
