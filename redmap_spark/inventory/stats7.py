@@ -12151,3 +12151,128 @@ def q_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_frac")
     )
+
+
+# -- q_western_electric ------------------------------------------------
+#
+# Western Electric run rules over the daily-revenue individuals
+# chart: rule 1 (one point beyond 3 sigma), rule 2 (2 of 3
+# consecutive beyond 2 sigma, same side), rule 3 (4 of 5 beyond
+# 1 sigma, same side), rule 4 (8 consecutive on one side of center)
+# — the pattern tests that catch drifts and cycles q_xmr_chart's
+# single-point limits miss. Center/sigma come from the exact moment
+# folds; per-day z-scores are 6-rounded so the rule windows (ROWS
+# frames of side/zone flags) branch identically on both engines.
+# Output: the flagged days with which rules fired.
+
+WE_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev
+  FROM orders GROUP BY 1
+), mom AS (
+  SELECT COUNT(*) AS n, CAST(SUM(rev) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(round(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE),
+                             2) AS DECIMAL(38,2))) AS DOUBLE) AS s2
+  FROM daily
+), z AS (
+  SELECT day,
+         round((CAST(rev AS DOUBLE) - s1 / n)
+               / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+  FROM daily CROSS JOIN mom
+), flags AS (
+  SELECT day, z,
+         CASE WHEN z > 0 THEN 1 ELSE -1 END AS side,
+         CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS beyond3,
+         CASE WHEN z > 2 THEN 1 WHEN z < -2 THEN -1 ELSE 0 END AS b2,
+         CASE WHEN z > 1 THEN 1 WHEN z < -1 THEN -1 ELSE 0 END AS b1
+  FROM z
+), rules AS (
+  SELECT day, z,
+         beyond3 AS rule1,
+         CASE WHEN SUM(CASE WHEN b2 = 1 THEN 1 ELSE 0 END)
+                OVER w3 >= 2
+               OR SUM(CASE WHEN b2 = -1 THEN 1 ELSE 0 END)
+                OVER w3 >= 2 THEN 1 ELSE 0 END AS rule2,
+         CASE WHEN SUM(CASE WHEN b1 = 1 THEN 1 ELSE 0 END)
+                OVER w5 >= 4
+               OR SUM(CASE WHEN b1 = -1 THEN 1 ELSE 0 END)
+                OVER w5 >= 4 THEN 1 ELSE 0 END AS rule3,
+         CASE WHEN ABS(SUM(side) OVER w8) = 8 THEN 1 ELSE 0 END AS rule4
+  FROM flags
+  WINDOW w3 AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w5 AS (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w8 AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, z,
+       CAST(rule1 AS BIGINT) AS rule1,
+       CAST(rule2 AS BIGINT) AS rule2,
+       CAST(rule3 AS BIGINT) AS rule3,
+       CAST(rule4 AS BIGINT) AS rule4
+FROM rules
+WHERE rule1 + rule2 + rule3 + rule4 > 0
+ORDER BY day
+"""
+
+
+@query("q_western_electric", oracle=WE_SQL)
+def q_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = cat.orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+    revd = F.col("rev").cast("double")
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("double").alias("s1"),
+        F.sum(F.round(revd * revd, 2).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n")
+    zc = F.round(
+        (revd - F.col("s1") / n)
+        / F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+        ),
+        6,
+    )
+    z = daily.join(F.broadcast(mom)).select("day", zc.alias("z"))
+    zz = F.col("z")
+    flags = z.select(
+        "day", "z",
+        F.when(zz > 0, 1).otherwise(-1).alias("side"),
+        F.when(F.abs(zz) > 3, 1).otherwise(0).alias("beyond3"),
+        F.when(zz > 2, 1).when(zz < -2, -1).otherwise(0).alias("b2"),
+        F.when(zz > 1, 1).when(zz < -1, -1).otherwise(0).alias("b1"),
+    )
+    w3 = Window.orderBy("day").rowsBetween(-2, 0)
+    w5 = Window.orderBy("day").rowsBetween(-4, 0)
+    w8 = Window.orderBy("day").rowsBetween(-7, 0)
+    cnt = lambda col, v, w: F.sum(  # noqa: E731
+        F.when(F.col(col) == v, 1).otherwise(0)
+    ).over(w)
+    rules = flags.select(
+        "day", "z",
+        F.col("beyond3").alias("rule1"),
+        F.when(
+            (cnt("b2", 1, w3) >= 2) | (cnt("b2", -1, w3) >= 2), 1
+        ).otherwise(0).alias("rule2"),
+        F.when(
+            (cnt("b1", 1, w5) >= 4) | (cnt("b1", -1, w5) >= 4), 1
+        ).otherwise(0).alias("rule3"),
+        F.when(F.abs(F.sum("side").over(w8)) == 8, 1)
+        .otherwise(0)
+        .alias("rule4"),
+    )
+    r = [F.col(f"rule{i}") for i in range(1, 5)]
+    return (
+        rules.filter(sum(r[1:], r[0]) > 0)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "z",
+            *[rc.cast("bigint").alias(f"rule{i + 1}") for i, rc in enumerate(r)],
+        )
+        .orderBy("day")
+    )
