@@ -12276,3 +12276,165 @@ def q_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# -- q_segmented_regression --------------------------------------------
+#
+# Broken-stick (segmented) regression of daily revenue on time with
+# an UNKNOWN knot: every 64th day is a candidate breakpoint, and ONE
+# prefix-sum pass (cumulative n, sum x, sum y, sum xy, sum x2, sum y2
+# by day index) prices each candidate's two-segment SSE in O(1) from
+# prefix differences — the Muggeo-style knot search without
+# re-scanning, where q_chow_test assumes the break is KNOWN. The
+# winning knot minimizes 6-rounded total SSE (ties to the earliest
+# knot); output reports the knot date, both slopes, and the
+# SSE improvement over the single-line fit.
+
+SEGREG_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS i
+  FROM orders GROUP BY 1
+), pre AS (
+  SELECT day, i,
+         CAST(SUM(i) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(rev) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(CAST(i AS BIGINT) * i) OVER w AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(i * CAST(rev AS DOUBLE), 2)
+                       AS DECIMAL(38,2))) OVER w AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE),
+                             2) AS DECIMAL(38,2))) OVER w AS DOUBLE)
+           AS syy,
+         COUNT(*) OVER () AS n
+  FROM daily
+  WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), tot AS (
+  SELECT n, sx AS tx, sy AS ty, sxx AS txx, sxy AS txy, syy AS tyy,
+         day AS last_day
+  FROM pre WHERE i = n
+), cand AS (
+  SELECT p.day AS knot_day, p.i AS k,
+         p.sx, p.sy, p.sxx, p.sxy, p.syy,
+         t.n, t.tx, t.ty, t.txx, t.txy, t.tyy
+  FROM pre p CROSS JOIN tot t
+  WHERE p.i % 64 = 0 AND p.i >= 64 AND p.i <= t.n - 64
+), sse AS (
+  SELECT knot_day, k, n,
+         round(
+           (syy - sy * sy / k
+            - pow(sxy - sx * sy / k, 2) / (sxx - sx * sx / k))
+           + ((tyy - syy) - (ty - sy) * (ty - sy) / (n - k)
+              - pow((txy - sxy) - (tx - sx) * (ty - sy) / (n - k), 2)
+                / ((txx - sxx) - (tx - sx) * (tx - sx) / (n - k))), 6)
+           AS sse2,
+         (sxy - sx * sy / k) / (sxx - sx * sx / k) AS b_left,
+         ((txy - sxy) - (tx - sx) * (ty - sy) / (n - k))
+           / ((txx - sxx) - (tx - sx) * (tx - sx) / (n - k)) AS b_right,
+         tyy - ty * ty / n - pow(txy - tx * ty / n, 2)
+           / (txx - tx * tx / n) AS sse1
+  FROM cand
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sse2, knot_day) AS rk
+  FROM sse
+)
+SELECT strftime(knot_day, '%Y-%m-%d') AS knot_day,
+       CAST(k AS BIGINT) AS knot_index,
+       round(b_left, 4) AS slope_before,
+       round(b_right, 4) AS slope_after,
+       round(1 - sse2 / sse1, 6) AS sse_improvement
+FROM best WHERE rk = 1
+"""
+
+
+@query("q_segmented_regression", oracle=SEGREG_SQL)
+def q_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+        .select(
+            "day", "rev",
+            F.row_number().over(Window.orderBy("day")).alias("i"),
+        )
+    )
+    w = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    i = F.col("i")
+    revd = F.col("rev").cast("double")
+    pre = daily.select(
+        "day", "i",
+        F.sum(i).over(w).cast("double").alias("sx"),
+        F.sum("rev").over(w).cast("double").alias("sy"),
+        F.sum(i.cast("bigint") * i).over(w).cast("double").alias("sxx"),
+        F.sum(F.round(i * revd, 2).cast("decimal(38,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(revd * revd, 2).cast("decimal(38,2)"))
+        .over(w)
+        .cast("double")
+        .alias("syy"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).localCheckpoint()
+    tot = pre.filter(i == F.col("n")).select(
+        F.col("sx").alias("tx"), F.col("sy").alias("ty"),
+        F.col("sxx").alias("txx"), F.col("sxy").alias("txy"),
+        F.col("syy").alias("tyy"), F.col("n").alias("nn"),
+    )
+    cand = (
+        pre.join(F.broadcast(tot))
+        .filter(
+            (i % 64 == 0) & (i >= 64) & (i <= F.col("nn") - 64)
+        )
+        .select(
+            F.col("day").alias("knot_day"), i.alias("k"),
+            "sx", "sy", "sxx", "sxy", "syy",
+            F.col("nn").alias("n"), "tx", "ty", "txx", "txy", "tyy",
+        )
+    )
+    k, n = F.col("k"), F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    tx, ty = F.col("tx"), F.col("ty")
+    txx, txy, tyy = F.col("txx"), F.col("txy"), F.col("tyy")
+    sse_l = syy - sy * sy / k - F.pow(sxy - sx * sy / k, 2) / (
+        sxx - sx * sx / k
+    )
+    rx2 = (txx - sxx) - (tx - sx) * (tx - sx) / (n - k)
+    rxy = (txy - sxy) - (tx - sx) * (ty - sy) / (n - k)
+    sse_r = (tyy - syy) - (ty - sy) * (ty - sy) / (n - k) - F.pow(
+        rxy, 2
+    ) / rx2
+    b_left = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+    b_right = rxy / rx2
+    sse1 = tyy - ty * ty / n - F.pow(txy - tx * ty / n, 2) / (
+        txx - tx * tx / n
+    )
+    sse = cand.select(
+        "knot_day", "k", "n",
+        F.round(sse_l + sse_r, 6).alias("sse2"),
+        b_left.alias("b_left"),
+        b_right.alias("b_right"),
+        sse1.alias("sse1"),
+    )
+    best = sse.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("sse2", "knot_day"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.date_format("knot_day", "yyyy-MM-dd").alias("knot_day"),
+        F.col("k").cast("bigint").alias("knot_index"),
+        F.round("b_left", 4).alias("slope_before"),
+        F.round("b_right", 4).alias("slope_after"),
+        F.round(1 - F.col("sse2") / F.col("sse1"), 6)
+        .alias("sse_improvement"),
+    )
