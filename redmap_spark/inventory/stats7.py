@@ -12438,3 +12438,170 @@ def q_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1 - F.col("sse2") / F.col("sse1"), 6)
         .alias("sse_improvement"),
     )
+
+
+# -- txt_fishers_alpha -------------------------------------------------
+#
+# Fisher's alpha per source — THE classical diversity index, the
+# log-series parameter solving S = alpha * ln(1 + N/alpha) for
+# tokens N and vocabulary S, found by three UNROLLED fixed-point
+# steps alpha <- S / ln(1 + N/alpha) from the alpha = S seed
+# (6-rounded per step, both engines branch identically) — sample-
+# size-robust where raw type-token ratios (txt_segment_ttr) shrink
+# with length, and the abundance-model sibling of txt_chao1_richness
+# and txt_good_turing. Counts exact; three double steps.
+
+FISHER_ALPHA_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS s
+  FROM toks GROUP BY 1
+), a0 AS (
+  SELECT source, n, s, round(s / ln(1 + n / CAST(s AS DOUBLE)), 6) AS a
+  FROM agg
+), a1 AS (
+  SELECT source, n, s, round(s / ln(1 + n / a), 6) AS a FROM a0
+), a2 AS (
+  SELECT source, n, s, round(s / ln(1 + n / a), 6) AS a FROM a1
+)
+SELECT source, CAST(n AS BIGINT) AS n_tokens, CAST(s AS BIGINT) AS vocab,
+       a AS fishers_alpha,
+       round(s / ln(1 + n / a) - a, 6) AS convergence_gap
+FROM a2
+ORDER BY source
+"""
+
+
+@query("txt_fishers_alpha", oracle=FISHER_ALPHA_SQL)
+def txt_fishers_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    agg = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("w").cast("bigint").alias("s"),
+    )
+    n, s = F.col("n"), F.col("s")
+    step = lambda prev: F.round(  # noqa: E731
+        s / F.log(1 + n / prev), 6
+    )
+    a0 = agg.select(
+        "source", "n", "s", step(s.cast("double")).alias("a")
+    )
+    a1 = a0.select("source", "n", "s", step(F.col("a")).alias("a"))
+    a2 = a1.select("source", "n", "s", step(F.col("a")).alias("a"))
+    return a2.select(
+        "source",
+        n.cast("bigint").alias("n_tokens"),
+        s.cast("bigint").alias("vocab"),
+        F.col("a").alias("fishers_alpha"),
+        F.round(s / F.log(1 + n / F.col("a")) - F.col("a"), 6)
+        .alias("convergence_gap"),
+    ).orderBy("source")
+
+
+# -- q_superstar_share -------------------------------------------------
+#
+# Superstar concentration trend: the revenue share of the top 1% of
+# customers per YEAR (exact rank cutoff ceil(n/100), ties by
+# custkey), with the Theil-Sen-style median of pairwise year-slope
+# replaced by the simple OLS trend over the few yearly points —
+# rising share = winner-take-most dynamics, the TIME dimension that
+# q_gini and q_hoover_index report statically. Yearly spends are
+# exact decimal folds; shares and the trend are one double chain.
+
+SUPERSTAR_SQL = """
+WITH yearly AS (
+  SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS BIGINT) AS yr,
+         o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS s
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT yr, s,
+         ROW_NUMBER() OVER (PARTITION BY yr ORDER BY s DESC, o_custkey)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY yr) AS n
+  FROM yearly
+), shares AS (
+  SELECT yr,
+         CAST(SUM(CASE WHEN rn <= CAST(ceil(n / 100.0) AS BIGINT)
+                       THEN s ELSE CAST(0 AS DECIMAL(28,2)) END)
+              AS DOUBLE)
+           / CAST(SUM(s) AS DOUBLE) AS top1_share,
+         CAST(MAX(n) AS BIGINT) AS n_customers
+  FROM ranked GROUP BY 1
+), mom AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(yr) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(top1_share, 9) AS DECIMAL(12,9)))
+              AS DOUBLE) AS sy,
+         CAST(SUM(CAST(yr AS BIGINT) * yr) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(yr * top1_share, 6) AS DECIMAL(20,6)))
+              AS DOUBLE) AS sxy
+  FROM shares
+)
+SELECT s.yr AS year, s.n_customers,
+       round(s.top1_share, 6) AS top1_share,
+       round((m.k * m.sxy - m.sx * m.sy)
+             / (m.k * m.sxx - m.sx * m.sx), 6) AS share_trend_per_year
+FROM shares s CROSS JOIN mom m
+ORDER BY year
+"""
+
+
+@query("q_superstar_share", oracle=SUPERSTAR_SQL)
+def q_superstar_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    yearly = cat.orders.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("yr"),
+        "o_custkey",
+    ).agg(F.sum(dec("o_totalprice")).cast("decimal(28,2)").alias("s"))
+    wy = Window.partitionBy("yr")
+    ranked = yearly.select(
+        "yr", "s",
+        F.row_number()
+        .over(wy.orderBy(F.col("s").desc(), "o_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wy).alias("n"),
+    )
+    zero = F.lit(0).cast("decimal(28,2)")
+    shares = ranked.groupBy("yr").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("rn")
+                    <= F.ceil(F.col("n") / 100.0).cast("bigint"),
+                    F.col("s"),
+                ).otherwise(zero)
+            ).cast("double")
+            / F.sum("s").cast("double")
+        ).alias("top1_share"),
+        F.max("n").cast("bigint").alias("n_customers"),
+    ).localCheckpoint()
+    yr, sh = F.col("yr"), F.col("top1_share")
+    mom = shares.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(yr).cast("double").alias("sx"),
+        F.sum(F.round(sh, 9).cast("decimal(12,9)")).cast("double")
+        .alias("sy"),
+        F.sum(yr.cast("bigint") * yr).cast("double").alias("sxx"),
+        F.sum(F.round(yr * sh, 6).cast("decimal(20,6)")).cast("double")
+        .alias("sxy"),
+    )
+    k = F.col("k")
+    trend = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        shares.join(F.broadcast(mom))
+        .select(
+            yr.alias("year"),
+            "n_customers",
+            F.round(sh, 6).alias("top1_share"),
+            F.round(trend, 6).alias("share_trend_per_year"),
+        )
+        .orderBy("year")
+    )
