@@ -12605,3 +12605,106 @@ def q_superstar_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+# -- q_ndr -------------------------------------------------------------
+#
+# Net and gross dollar retention per year-pair: of the customers who
+# spent in year t, how much of that revenue base returns in t+1
+# (GRR caps each customer at last year's level — pure shrinkage;
+# NDR lets expansion offset churn), with the expanded / contracted /
+# churned customer split — the SaaS revenue-quality metrics that
+# q_growth_accounting's new/resurrected/churned counts price in
+# dollars. Per-customer yearly spends are exact decimal folds;
+# min() caps stay in decimal; the two ratios are the only doubles.
+
+NDR_SQL = """
+WITH yearly AS (
+  SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS BIGINT) AS yr,
+         o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS s
+  FROM orders GROUP BY 1, 2
+), pair AS (
+  SELECT a.yr AS base_year, a.o_custkey, a.s AS s0,
+         COALESCE(b.s, CAST(0 AS DECIMAL(28,2))) AS s1
+  FROM yearly a
+  LEFT JOIN yearly b ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
+  WHERE a.yr < (SELECT MAX(yr) FROM yearly)
+), agg AS (
+  SELECT base_year,
+         CAST(COUNT(*) AS BIGINT) AS n_base,
+         CAST(SUM(s0) AS DOUBLE) AS base_rev,
+         CAST(SUM(s1) AS DOUBLE) AS next_rev,
+         CAST(SUM(CASE WHEN s1 < s0 THEN s1 ELSE s0 END) AS DOUBLE)
+           AS capped_rev,
+         CAST(SUM(CASE WHEN s1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS churned,
+         CAST(SUM(CASE WHEN s1 > s0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS expanded,
+         CAST(SUM(CASE WHEN s1 > 0 AND s1 < s0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS contracted
+  FROM pair GROUP BY 1
+)
+SELECT base_year, n_base, churned, expanded, contracted,
+       round(capped_rev / base_rev, 6) AS grr,
+       round(next_rev / base_rev, 6) AS ndr
+FROM agg
+ORDER BY base_year
+"""
+
+
+@query("q_ndr", oracle=NDR_SQL)
+def q_ndr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    yearly = cat.orders.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("yr"),
+        "o_custkey",
+    ).agg(
+        F.sum(dec("o_totalprice")).cast("decimal(28,2)").alias("s")
+    ).localCheckpoint()
+    mx = yearly.agg(F.max("yr").alias("mxyr"))
+    a = yearly.select(
+        F.col("yr").alias("base_year"),
+        F.col("o_custkey").alias("ck"),
+        F.col("s").alias("s0"),
+    )
+    b = yearly.select(
+        F.col("yr").alias("nyr"),
+        F.col("o_custkey").alias("ck2"),
+        F.col("s").alias("s1"),
+    )
+    zero = F.lit(0).cast("decimal(28,2)")
+    pair = (
+        a.join(F.broadcast(mx))
+        .filter(F.col("base_year") < F.col("mxyr"))
+        .join(
+            b,
+            (F.col("ck2") == F.col("ck"))
+            & (F.col("nyr") == F.col("base_year") + 1),
+            "left",
+        )
+        .select(
+            "base_year", "s0", F.coalesce("s1", zero).alias("s1")
+        )
+    )
+    s0, s1 = F.col("s0"), F.col("s1")
+    agg = pair.groupBy("base_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_base"),
+        F.sum(s0).cast("double").alias("base_rev"),
+        F.sum(s1).cast("double").alias("next_rev"),
+        F.sum(F.when(s1 < s0, s1).otherwise(s0)).cast("double")
+        .alias("capped_rev"),
+        F.sum(F.when(s1 == zero, 1).otherwise(0)).cast("bigint")
+        .alias("churned"),
+        F.sum(F.when(s1 > s0, 1).otherwise(0)).cast("bigint")
+        .alias("expanded"),
+        F.sum(F.when((s1 > zero) & (s1 < s0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("contracted"),
+    )
+    return agg.select(
+        "base_year", "n_base", "churned", "expanded", "contracted",
+        F.round(F.col("capped_rev") / F.col("base_rev"), 6).alias("grr"),
+        F.round(F.col("next_rev") / F.col("base_rev"), 6).alias("ndr"),
+    ).orderBy("base_year")
