@@ -12708,3 +12708,132 @@ def q_ndr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("capped_rev") / F.col("base_rev"), 6).alias("grr"),
         F.round(F.col("next_rev") / F.col("base_rev"), 6).alias("ndr"),
     ).orderBy("base_year")
+
+
+# -- q_oos_detector ----------------------------------------------------
+#
+# Out-of-stock detector: per brand, the LONGEST run of zero-sales
+# days on the zero-filled calendar grid vs the expected longest zero
+# run under independence, E[L] ~ ln(n) / ln(1/q) with q the empirical
+# zero-day share (the Erdos-Renyi longest-run law) — a zero streak
+# far beyond expectation marks availability gaps, not demand noise,
+# which no mean/variance monitor (q_p_chart, q_xmr_chart) can see.
+# Runs come from the gaps-and-islands double-rank trick on exact
+# integers; the expectation is one double chain; brands that never
+# miss a day report NULL expectation (no zero days).
+
+OOS_SQL = """
+WITH f AS (
+  SELECT p_brand, CAST(l_shipdate AS DATE) AS d
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), days AS (
+  SELECT UNNEST(generate_series((SELECT MIN(d) FROM f),
+                                (SELECT MAX(d) FROM f),
+                                INTERVAL 1 DAY))::DATE AS day
+), brands AS (SELECT DISTINCT p_brand FROM f),
+sold AS (SELECT DISTINCT p_brand, d FROM f),
+grid AS (
+  SELECT b.p_brand, dd.day,
+         CASE WHEN s.d IS NULL THEN 1 ELSE 0 END AS zero
+  FROM brands b CROSS JOIN days dd
+  LEFT JOIN sold s ON s.p_brand = b.p_brand AND s.d = dd.day
+), runs AS (
+  SELECT p_brand, zero,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY day)
+           - ROW_NUMBER() OVER (PARTITION BY p_brand, zero
+                                ORDER BY day) AS grp
+  FROM grid
+), runlen AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS len
+  FROM runs WHERE zero = 1 GROUP BY p_brand, grp
+), agg AS (
+  SELECT g.p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(zero) AS BIGINT) AS zero_days,
+         COALESCE((SELECT MAX(len) FROM runlen r
+                   WHERE r.p_brand = g.p_brand), 0) AS longest_zero_run
+  FROM grid g GROUP BY 1
+)
+SELECT p_brand, n_days, zero_days,
+       CAST(longest_zero_run AS BIGINT) AS longest_zero_run,
+       round(CASE WHEN zero_days > 0 AND zero_days < n_days
+                  THEN ln(CAST(n_days AS DOUBLE))
+                       / ln(CAST(n_days AS DOUBLE) / zero_days) END, 4)
+         AS expected_longest_run,
+       CAST(CASE WHEN zero_days > 0 AND zero_days < n_days
+                  AND longest_zero_run
+                      > 2 * ln(CAST(n_days AS DOUBLE))
+                        / ln(CAST(n_days AS DOUBLE) / zero_days)
+            THEN 1 ELSE 0 END AS BIGINT) AS oos_flag
+FROM agg
+ORDER BY p_brand
+"""
+
+
+@query("q_oos_detector", oracle=OOS_SQL)
+def q_oos_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    f = cat.lineitem.join(
+        F.broadcast(cat.part.select("p_partkey", "p_brand")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select("p_brand", F.col("l_shipdate").cast("date").alias("d"))
+    bounds = f.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    days = bounds.select(
+        F.explode(
+            F.sequence("dmin", "dmax", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    brands = f.select("p_brand").distinct()
+    sold = f.distinct().select("p_brand", F.col("d").alias("sd"))
+    grid = (
+        brands.crossJoin(F.broadcast(days))
+        .join(
+            sold,
+            (sold["p_brand"] == brands["p_brand"])
+            & (F.col("sd") == F.col("day")),
+            "left",
+        )
+        .select(
+            brands["p_brand"].alias("p_brand"),
+            "day",
+            F.when(F.col("sd").isNull(), 1).otherwise(0).alias("zero"),
+        )
+        .localCheckpoint()
+    )
+    wb = Window.partitionBy("p_brand").orderBy("day")
+    wbz = Window.partitionBy("p_brand", "zero").orderBy("day")
+    runs = grid.select(
+        "p_brand", "zero",
+        (F.row_number().over(wb) - F.row_number().over(wbz)).alias("grp"),
+    )
+    runlen = (
+        runs.filter(F.col("zero") == 1)
+        .groupBy("p_brand", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+        .groupBy("p_brand")
+        .agg(F.max("len").alias("longest"))
+    )
+    agg = (
+        grid.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("zero").cast("bigint").alias("zero_days"),
+        )
+        .join(runlen, "p_brand", "left")
+        .select(
+            "p_brand", "n_days", "zero_days",
+            F.coalesce("longest", F.lit(0)).cast("bigint")
+            .alias("longest_zero_run"),
+        )
+    )
+    n, z = F.col("n_days"), F.col("zero_days")
+    ok = (z > 0) & (z < n)
+    exp_run = F.log(n.cast("double")) / F.log(n.cast("double") / z)
+    return agg.select(
+        "p_brand", "n_days", "zero_days", "longest_zero_run",
+        F.round(F.when(ok, exp_run), 4).alias("expected_longest_run"),
+        F.when(ok & (F.col("longest_zero_run") > 2 * exp_run), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("oos_flag"),
+    ).orderBy("p_brand")
