@@ -12837,3 +12837,105 @@ def q_oos_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("oos_flag"),
     ).orderBy("p_brand")
+
+
+# -- q_palma -----------------------------------------------------------
+#
+# Palma ratio per market segment: spend share of the top 10% of
+# customers divided by the share of the bottom 40% — the inequality
+# number development economists now prefer to Gini because the
+# middle 50% is empirically stable, so ALL the action is in the two
+# tails this ratio isolates (q_gini compresses them together,
+# q_lorenz_asymmetry says which tail, Palma prices the tails against
+# each other). Exact rank cutoffs ceil(0.1n)/ceil(0.4n) with custkey
+# ties; decimal tail sums; one double ratio.
+
+PALMA_SQL = """
+WITH spend AS (
+  SELECT c_mktsegment AS seg, c_custkey,
+         CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+                       CAST(0 AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS s
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT seg, s,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY s DESC, c_custkey)
+           AS rtop,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY s, c_custkey)
+           AS rbot,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM spend
+), agg AS (
+  SELECT seg, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN rtop <= CAST(ceil(0.1 * n) AS BIGINT)
+                       THEN s ELSE CAST(0 AS DECIMAL(24,2)) END)
+              AS DOUBLE) AS top10,
+         CAST(SUM(CASE WHEN rbot <= CAST(ceil(0.4 * n) AS BIGINT)
+                       THEN s ELSE CAST(0 AS DECIMAL(24,2)) END)
+              AS DOUBLE) AS bot40,
+         CAST(SUM(s) AS DOUBLE) AS tot
+  FROM ranked GROUP BY 1
+)
+SELECT seg, n AS n_customers,
+       round(top10 / tot, 6) AS top10_share,
+       round(bot40 / tot, 6) AS bottom40_share,
+       round(top10 / bot40, 6) AS palma_ratio
+FROM agg
+ORDER BY seg
+"""
+
+
+@query("q_palma", oracle=PALMA_SQL)
+def q_palma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    spend = (
+        cat.customer.join(
+            cat.orders.select("o_custkey", "o_totalprice"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)")
+            )
+            .cast("decimal(24,2)")
+            .alias("s")
+        )
+    )
+    ws = Window.partitionBy("seg")
+    ranked = spend.select(
+        "seg", "s",
+        F.row_number()
+        .over(ws.orderBy(F.col("s").desc(), "c_custkey"))
+        .alias("rtop"),
+        F.row_number().over(ws.orderBy("s", "c_custkey")).alias("rbot"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    zero = F.lit(0).cast("decimal(24,2)")
+    n = F.col("n")
+    agg = ranked.groupBy("seg").agg(
+        F.max("n").cast("bigint").alias("nn"),
+        F.sum(
+            F.when(
+                F.col("rtop") <= F.ceil(0.1 * n).cast("bigint"), F.col("s")
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("top10"),
+        F.sum(
+            F.when(
+                F.col("rbot") <= F.ceil(0.4 * n).cast("bigint"), F.col("s")
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("bot40"),
+        F.sum("s").cast("double").alias("tot"),
+    )
+    return agg.select(
+        "seg",
+        F.col("nn").alias("n_customers"),
+        F.round(F.col("top10") / F.col("tot"), 6).alias("top10_share"),
+        F.round(F.col("bot40") / F.col("tot"), 6).alias("bottom40_share"),
+        F.round(F.col("top10") / F.col("bot40"), 6).alias("palma_ratio"),
+    ).orderBy("seg")
