@@ -12939,3 +12939,208 @@ def q_palma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("bot40") / F.col("tot"), 6).alias("bottom40_share"),
         F.round(F.col("top10") / F.col("bot40"), 6).alias("palma_ratio"),
     ).orderBy("seg")
+
+
+# -- q_ph_assumption ---------------------------------------------------
+#
+# Proportional-hazards assumption check (Grambsch-Therneau lite) for
+# the q_cox_onestep model: the per-event-time Schoenfeld-style
+# residual r(t) = d1(t) - d(t) * n1(t)/n(t) is correlated with event
+# time — a nonzero trend means the ASIA effect grows or fades with
+# tenure and the single hazard-ratio summary is misleading. The
+# residual grid is the SAME suffix at-risk construction as
+# q_cox_onestep/q_logrank; the correlation-with-time z uses the
+# house exact-moment chain over 9-rounded residuals.
+
+PH_SQL = """
+WITH obs0 AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         MIN(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey) AS d1
+  FROM orders
+), fs AS (
+  SELECT o_custkey, d1, MIN(CASE WHEN od > d1 THEN od END) AS d2
+  FROM obs0 GROUP BY 1, 2
+), endd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS de FROM orders),
+obs AS (
+  SELECT CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END AS grp,
+         CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+              ELSE date_diff('day', d1, de) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fs CROSS JOIN endd
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+), gtot AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng FROM obs GROUP BY 1
+), tg AS (
+  SELECT grp, t, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM obs GROUP BY 1, 2
+), times AS (SELECT DISTINCT t FROM tg),
+grid AS (
+  SELECT g.grp, times.t,
+         COALESCE(tg.d, 0) AS d, COALESCE(tg.c, 0) AS c
+  FROM times CROSS JOIN (SELECT 0 AS grp UNION ALL SELECT 1) g
+  LEFT JOIN tg ON tg.grp = g.grp AND tg.t = times.t
+), atrisk AS (
+  SELECT grp, t, d,
+         ng - COALESCE(CAST(SUM(c) OVER (PARTITION BY grp ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS nr
+  FROM grid JOIN gtot USING (grp)
+), wide AS (
+  SELECT t,
+         MAX(CASE WHEN grp = 1 THEN d END) AS d1,
+         MAX(CASE WHEN grp = 0 THEN d END) AS d0,
+         MAX(CASE WHEN grp = 1 THEN nr END) AS n1,
+         MAX(CASE WHEN grp = 0 THEN nr END) AS n0
+  FROM atrisk GROUP BY 1
+), resid AS (
+  SELECT CAST(t AS DOUBLE) AS x,
+         CAST(round(d1 - (d1 + d0) * n1 / CAST(n1 + n0 AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS r
+  FROM wide WHERE d1 + d0 > 0 AND n1 + n0 > 0
+), mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(x, 4) AS DECIMAL(24,4))) AS DOUBLE) AS sx,
+         CAST(SUM(r) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * x, 4) AS DECIMAL(32,4))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(round(x * CAST(r AS DOUBLE), 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(CAST(r AS DOUBLE) * CAST(r AS DOUBLE), 9)
+                       AS DECIMAL(24,9))) AS DOUBLE) AS syy
+  FROM resid
+)
+SELECT CAST(n AS BIGINT) AS n_event_times,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS schoenfeld_time_corr,
+       round(sqrt(CAST(n AS DOUBLE))
+             * (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS z_stat,
+       CAST(CASE WHEN abs(sqrt(CAST(n AS DOUBLE))
+                          * (n * sxy - sx * sy)
+                          / sqrt((n * sxx - sx * sx)
+                                 * (n * syy - sy * sy))) > 1.96
+            THEN 1 ELSE 0 END AS BIGINT) AS ph_violated
+FROM mom
+"""
+
+
+@query("q_ph_assumption", oracle=PH_SQL)
+def q_ph_assumption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    wc = Window.partitionBy("o_custkey")
+    obs0 = cat.orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.min(F.col("o_orderdate").cast("date")).over(wc).alias("d1"),
+    )
+    fs = obs0.groupBy("o_custkey", "d1").agg(
+        F.min(F.when(F.col("od") > F.col("d1"), F.col("od"))).alias("d2")
+    )
+    endd = cat.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("de")
+    )
+    cust = (
+        cat.customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "c_custkey",
+            F.when(F.col("r_name") == "ASIA", 1).otherwise(0).alias("grp"),
+        )
+    )
+    obs = (
+        fs.join(F.broadcast(endd))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "grp",
+            F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+            .otherwise(F.datediff("de", "d1"))
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+        .localCheckpoint()
+    )
+    gtot = obs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng")
+    )
+    tg = obs.groupBy("grp", "t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    times = tg.select("t").distinct()
+    groups = obs.sparkSession.createDataFrame([(0,), (1,)], ["grp"])
+    grid = (
+        times.crossJoin(F.broadcast(groups))
+        .join(tg, ["grp", "t"], "left")
+        .select(
+            "grp", "t",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    wpre = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    atrisk = grid.join(F.broadcast(gtot), "grp").select(
+        "grp", "t", "d",
+        (
+            F.col("ng")
+            - F.coalesce(F.sum("c").over(wpre).cast("bigint"), F.lit(0))
+        ).alias("nr"),
+    )
+    wide = atrisk.groupBy("t").agg(
+        F.max(F.when(F.col("grp") == 1, F.col("d"))).alias("d1"),
+        F.max(F.when(F.col("grp") == 0, F.col("d"))).alias("d0"),
+        F.max(F.when(F.col("grp") == 1, F.col("nr"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("nr"))).alias("n0"),
+    )
+    d1, d0, n1, n0 = (F.col(x) for x in ["d1", "d0", "n1", "n0"])
+    resid = wide.filter((d1 + d0 > 0) & (n1 + n0 > 0)).select(
+        F.col("t").cast("double").alias("x"),
+        F.round(
+            d1 - (d1 + d0) * n1 / (n1 + n0).cast("double"), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("r"),
+    )
+    xd = F.col("x")
+    rd = F.col("r").cast("double")
+    mom = resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(xd, 4).cast("decimal(24,4)")).cast("double")
+        .alias("sx"),
+        F.sum("r").cast("double").alias("sy"),
+        F.sum(F.round(xd * xd, 4).cast("decimal(32,4)")).cast("double")
+        .alias("sxx"),
+        F.sum(F.round(xd * rd, 6).cast("decimal(28,6)")).cast("double")
+        .alias("sxy"),
+        F.sum(F.round(rd * rd, 9).cast("decimal(24,9)")).cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    z = F.sqrt(n.cast("double")) * corr
+    return mom.select(
+        n.cast("bigint").alias("n_event_times"),
+        F.round(corr, 6).alias("schoenfeld_time_corr"),
+        F.round(z, 6).alias("z_stat"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("bigint")
+        .alias("ph_violated"),
+    )
