@@ -13144,3 +13144,70 @@ def q_ph_assumption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("bigint")
         .alias("ph_violated"),
     )
+
+
+# -- q_acceptance_sampling ---------------------------------------------
+#
+# Acceptance-sampling OC evaluation of the n = 50, c = 2 single
+# sampling plan against each month's actual return rate: P(accept) =
+# sum_{k<=2} C(50,k) p^k (1-p)^(50-k) with the literal binomial
+# coefficients (1, 50, 1225) — the operating-characteristic curve of
+# the quality-engineering standard, flagging months whose defect
+# level the plan would likely REJECT (P < 0.10, the consumer-risk
+# point) — the lot-disposition view beside q_p_chart's monitoring
+# view. Monthly rates are exact count ratios; the OC polynomial is
+# one identical double chain.
+
+ACCEPT_SQL = """
+WITH m AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS mon,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+), oc AS (
+  SELECT mon, n, x, x / CAST(n AS DOUBLE) AS p,
+         pow(1 - x / CAST(n AS DOUBLE), 50)
+         + 50 * (x / CAST(n AS DOUBLE))
+              * pow(1 - x / CAST(n AS DOUBLE), 49)
+         + 1225 * pow(x / CAST(n AS DOUBLE), 2)
+                * pow(1 - x / CAST(n AS DOUBLE), 48) AS p_accept
+  FROM m
+)
+SELECT mon, n AS n_lines, x AS n_returns,
+       round(p, 6) AS defect_rate,
+       round(p_accept, 6) AS p_accept,
+       CAST(CASE WHEN p_accept < 0.10 THEN 1 ELSE 0 END AS BIGINT)
+         AS plan_rejects
+FROM oc
+ORDER BY mon
+"""
+
+
+@query("q_acceptance_sampling", oracle=ACCEPT_SQL)
+def q_acceptance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    m = li.groupBy(
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")
+        .alias("mon")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    p = F.col("x") / F.col("n").cast("double")
+    p_accept = (
+        F.pow(1 - p, 50)
+        + 50 * p * F.pow(1 - p, 49)
+        + 1225 * F.pow(p, 2) * F.pow(1 - p, 48)
+    )
+    return m.select(
+        "mon",
+        F.col("n").alias("n_lines"),
+        F.col("x").alias("n_returns"),
+        F.round(p, 6).alias("defect_rate"),
+        F.round(p_accept, 6).alias("p_accept"),
+        F.when(p_accept < 0.10, 1).otherwise(0).cast("bigint")
+        .alias("plan_rejects"),
+    ).orderBy("mon")
