@@ -13211,3 +13211,66 @@ def q_acceptance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(p_accept < 0.10, 1).otherwise(0).cast("bigint")
         .alias("plan_rejects"),
     ).orderBy("mon")
+
+
+# -- q_robust_shape ----------------------------------------------------
+#
+# Quantile-based robust shape panel per event type: Bowley skewness
+# (Q3 + Q1 - 2*Q2)/(Q3 - Q1) and Moors kurtosis ((E7 - E5) +
+# (E3 - E1))/(E6 - E2) from the octiles — bounded, outlier-immune
+# counterparts of the moment skewness/kurtosis in q_stats_moments
+# (one 10^9 outlier saturates a 4th moment; it moves an octile not
+# at all). Octiles use the house interpolated-quantile + round
+# pattern; the two ratios are single double chains.
+
+ROBUST_SHAPE_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL
+), q AS (
+  SELECT event_type,
+         round(quantile_cont(x, 0.125), 6) AS e1,
+         round(quantile_cont(x, 0.25), 6) AS q1,
+         round(quantile_cont(x, 0.375), 6) AS e3,
+         round(quantile_cont(x, 0.5), 6) AS q2,
+         round(quantile_cont(x, 0.625), 6) AS e5,
+         round(quantile_cont(x, 0.75), 6) AS q3,
+         round(quantile_cont(x, 0.875), 6) AS e7,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY 1
+)
+SELECT event_type, n,
+       round((q3 + q1 - 2 * q2) / (q3 - q1), 6) AS bowley_skew,
+       round(((e7 - e5) + (e3 - e1)) / (q3 - q1), 6) AS moors_kurtosis,
+       round(q3 - q1, 6) AS iqr
+FROM q
+ORDER BY event_type
+"""
+
+
+@query("q_robust_shape", oracle=ROBUST_SHAPE_SQL)
+def q_robust_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    v = e.filter(F.col("value").isNotNull()).select(
+        "event_type", F.col("value").cast("double").alias("x")
+    )
+    qt = lambda p: F.round(F.percentile("x", F.lit(p)), 6)  # noqa: E731
+    q = v.groupBy("event_type").agg(
+        qt(0.125).alias("e1"),
+        qt(0.25).alias("q1"),
+        qt(0.375).alias("e3"),
+        qt(0.5).alias("q2"),
+        qt(0.625).alias("e5"),
+        qt(0.75).alias("q3"),
+        qt(0.875).alias("e7"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    q1, q2, q3 = F.col("q1"), F.col("q2"), F.col("q3")
+    e1, e3, e5, e7 = (F.col(c) for c in ["e1", "e3", "e5", "e7"])
+    return q.select(
+        "event_type", "n",
+        F.round((q3 + q1 - 2 * q2) / (q3 - q1), 6).alias("bowley_skew"),
+        F.round(((e7 - e5) + (e3 - e1)) / (q3 - q1), 6)
+        .alias("moors_kurtosis"),
+        F.round(q3 - q1, 6).alias("iqr"),
+    ).orderBy("event_type")
