@@ -13274,3 +13274,121 @@ def q_robust_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("moors_kurtosis"),
         F.round(q3 - q1, 6).alias("iqr"),
     ).orderBy("event_type")
+
+
+# -- q_double_jeopardy -------------------------------------------------
+#
+# Ehrenberg's double-jeopardy law across brands: small brands suffer
+# twice — fewer buyers (penetration b) AND lighter buyers (purchase
+# frequency w) — so w regressed on ln(b) across the brand portfolio
+# should slope UP; a flat/negative slope marks a niche-brand anomaly
+# worth a positioning look. Reports per-portfolio the correlation,
+# the w-on-ln(b) slope, and the flagship marketing-science check
+# beside q_share_of_wallet (within-customer) and q_bcg_matrix
+# (share-vs-growth). Penetration and frequency are exact count
+# ratios; the fit is the house moment chain over 9-rounded pairs.
+
+DJ_SQL = """
+WITH buyers AS (
+  SELECT p_brand, o_custkey, COUNT(*) AS k
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM customer),
+brand AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_buyers,
+         CAST(SUM(k) AS BIGINT) AS n_purchases
+  FROM buyers GROUP BY 1
+), xy AS (
+  SELECT p_brand,
+         CAST(round(ln(n_buyers / CAST(nc AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS x,
+         CAST(round(n_purchases / CAST(n_buyers AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS y
+  FROM brand CROSS JOIN tot
+), mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_brands,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS penetration_loyalty_corr,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         AS w_on_lnb_slope,
+       CAST(CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS double_jeopardy_holds
+FROM mom
+"""
+
+
+@query("q_double_jeopardy", oracle=DJ_SQL)
+def q_double_jeopardy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    buyers = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    tot = cat.customer.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc")
+    )
+    brand = buyers.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
+        F.sum("k").cast("bigint").alias("n_purchases"),
+    )
+    xy = brand.join(F.broadcast(tot)).select(
+        F.round(
+            F.log(F.col("n_buyers") / F.col("nc").cast("double")), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(
+            F.col("n_purchases") / F.col("n_buyers").cast("double"), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    r9 = lambda e: F.sum(  # noqa: E731
+        F.round(e, 9).cast("decimal(28,9)")
+    ).cast("double")
+    mom = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        r9(xd * xd).alias("sxx"),
+        r9(xd * yd).alias("sxy"),
+        r9(yd * yd).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return mom.select(
+        n.cast("bigint").alias("n_brands"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("penetration_loyalty_corr"),
+        F.round(slope, 6).alias("w_on_lnb_slope"),
+        F.when(slope > 0, 1).otherwise(0).cast("bigint")
+        .alias("double_jeopardy_holds"),
+    )
