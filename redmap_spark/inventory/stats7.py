@@ -13392,3 +13392,258 @@ def q_double_jeopardy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(slope > 0, 1).otherwise(0).cast("bigint")
         .alias("double_jeopardy_holds"),
     )
+
+
+# -- q_mincer_zarnowitz ------------------------------------------------
+#
+# Mincer-Zarnowitz forecast-rationality regression: actual holdout
+# revenue on the seasonal-naive forecast; a rational forecast has
+# intercept 0 and slope 1, so the reported t(a=0) and t(b=1) say
+# whether the forecast is biased (level) or inefficient (slope) —
+# the test that tells you WHETHER to recalibrate before q_theil_u
+# tells you HOW the error decomposes. House exact-moment OLS with
+# classical standard errors over 2-rounded pairs.
+
+MZ_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS idx
+  FROM orders GROUP BY 1
+), mark AS (SELECT MAX(idx) - 56 AS tr_end FROM daily),
+dowm AS (
+  SELECT dayofweek(day) AS dw,
+         CAST(round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 2)
+              AS DECIMAL(24,2)) AS f
+  FROM daily CROSS JOIN mark WHERE idx <= tr_end GROUP BY 1
+), hold AS (
+  SELECT CAST(d.rev AS DOUBLE) AS y, CAST(w.f AS DOUBLE) AS x
+  FROM daily d CROSS JOIN mark
+  JOIN dowm w ON w.dw = dayofweek(d.day)
+  WHERE d.idx > tr_end
+), mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(x, 2) AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(y, 2) AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * x, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(round(x * y, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(round(y * y, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS syy
+  FROM hold
+), f AS (
+  SELECT n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a,
+         ((n * syy - sy * sy)
+          - pow(n * sxy - sx * sy, 2) / (n * sxx - sx * sx))
+           / (n * (n - 2)) AS s2,
+         (n * sxx - sx * sx) / n AS ssx,
+         sxx / n AS mxx
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_holdout,
+       round(a, 4) AS intercept,
+       round(b, 6) AS slope,
+       round(a / sqrt(s2 * mxx / ssx), 6) AS t_intercept_zero,
+       round((b - 1) / sqrt(s2 / ssx), 6) AS t_slope_one,
+       CAST(CASE WHEN abs(a / sqrt(s2 * mxx / ssx)) < 1.96
+                  AND abs((b - 1) / sqrt(s2 / ssx)) < 1.96
+            THEN 1 ELSE 0 END AS BIGINT) AS rational
+FROM f
+"""
+
+
+@query("q_mincer_zarnowitz", oracle=MZ_SQL)
+def q_mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+        .select(
+            "day", "rev",
+            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        )
+        .localCheckpoint()
+    )
+    mark = daily.agg((F.max("idx") - 56).alias("tr_end"))
+    dowm = (
+        daily.join(F.broadcast(mark))
+        .filter(F.col("idx") <= F.col("tr_end"))
+        .groupBy(F.dayofweek("day").alias("dw"))
+        .agg(
+            F.round(F.sum("rev").cast("double") / F.count(F.lit(1)), 2)
+            .cast("decimal(24,2)")
+            .alias("f")
+        )
+    )
+    hold = (
+        daily.join(F.broadcast(mark))
+        .filter(F.col("idx") > F.col("tr_end"))
+        .join(F.broadcast(dowm), F.dayofweek("day") == F.col("dw"))
+        .select(
+            F.col("rev").cast("double").alias("y"),
+            F.col("f").cast("double").alias("x"),
+        )
+    )
+    xd, yd = F.col("x"), F.col("y")
+    r2s = lambda e, p: F.sum(  # noqa: E731
+        F.round(e, 2).cast(f"decimal({p},2)")
+    ).cast("double")
+    mom = hold.agg(
+        F.count(F.lit(1)).alias("n"),
+        r2s(xd, 30).alias("sx"),
+        r2s(yd, 30).alias("sy"),
+        r2s(xd * xd, 38).alias("sxx"),
+        r2s(xd * yd, 38).alias("sxy"),
+        r2s(yd * yd, 38).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    s2 = (
+        (n * syy - sy * sy)
+        - F.pow(n * sxy - sx * sy, 2) / (n * sxx - sx * sx)
+    ) / (n * (n - 2))
+    ssx = (n * sxx - sx * sx) / n
+    mxx = sxx / n
+    ta = a / F.sqrt(s2 * mxx / ssx)
+    tb = (b - 1) / F.sqrt(s2 / ssx)
+    return mom.select(
+        n.cast("bigint").alias("n_holdout"),
+        F.round(a, 4).alias("intercept"),
+        F.round(b, 6).alias("slope"),
+        F.round(ta, 6).alias("t_intercept_zero"),
+        F.round(tb, 6).alias("t_slope_one"),
+        F.when((F.abs(ta) < 1.96) & (F.abs(tb) < 1.96), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rational"),
+    )
+
+
+# -- q_pesaran_timmermann ----------------------------------------------
+#
+# Pesaran-Timmermann directional-accuracy test on the seasonal-naive
+# forecast: does the forecast predict the SIGN of tomorrow's change
+# better than chance, where chance is the PT independence benchmark
+# p* = py*px + (1-py)(1-px) — a forecast can have terrible MSE and
+# still time directions (or vice versa), which is why trading desks
+# run PT next to q_mase. Hit counts are exact integers; the PT z
+# uses the independence variance, one double chain.
+
+PT_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS idx
+  FROM orders GROUP BY 1
+), mark AS (SELECT MAX(idx) - 56 AS tr_end FROM daily),
+dowm AS (
+  SELECT dayofweek(day) AS dw,
+         CAST(round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 2)
+              AS DECIMAL(24,2)) AS f
+  FROM daily CROSS JOIN mark WHERE idx <= tr_end GROUP BY 1
+), seq AS (
+  SELECT d.idx, CAST(d.rev AS DOUBLE) AS y, CAST(w.f AS DOUBLE) AS fc,
+         CAST(LAG(d.rev) OVER (ORDER BY d.idx) AS DOUBLE) AS yl
+  FROM daily d CROSS JOIN mark
+  JOIN dowm w ON w.dw = dayofweek(d.day)
+  WHERE d.idx > tr_end
+), dirs AS (
+  SELECT CASE WHEN y > yl THEN 1 ELSE 0 END AS up_act,
+         CASE WHEN fc > yl THEN 1 ELSE 0 END AS up_pred
+  FROM seq WHERE yl IS NOT NULL
+), agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN up_act = up_pred THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits,
+         CAST(SUM(up_act) AS BIGINT) AS na,
+         CAST(SUM(up_pred) AS BIGINT) AS np
+  FROM dirs
+), f AS (
+  SELECT n, hits,
+         hits / CAST(n AS DOUBLE) AS phat,
+         (na / CAST(n AS DOUBLE)) * (np / CAST(n AS DOUBLE))
+         + (1 - na / CAST(n AS DOUBLE)) * (1 - np / CAST(n AS DOUBLE))
+           AS pstar,
+         na / CAST(n AS DOUBLE) AS py, np / CAST(n AS DOUBLE) AS px
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(phat, 6) AS hit_rate,
+       round(pstar, 6) AS chance_rate,
+       round((phat - pstar)
+             / sqrt(pstar * (1 - pstar) / n), 6) AS pt_z
+FROM f
+"""
+
+
+@query("q_pesaran_timmermann", oracle=PT_SQL)
+def q_pesaran_timmermann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+        .select(
+            "day", "rev",
+            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        )
+        .localCheckpoint()
+    )
+    mark = daily.agg((F.max("idx") - 56).alias("tr_end"))
+    dowm = (
+        daily.join(F.broadcast(mark))
+        .filter(F.col("idx") <= F.col("tr_end"))
+        .groupBy(F.dayofweek("day").alias("dw"))
+        .agg(
+            F.round(F.sum("rev").cast("double") / F.count(F.lit(1)), 2)
+            .cast("decimal(24,2)")
+            .alias("f")
+        )
+    )
+    seq = (
+        daily.join(F.broadcast(mark))
+        .filter(F.col("idx") > F.col("tr_end"))
+        .join(F.broadcast(dowm), F.dayofweek("day") == F.col("dw"))
+        .select(
+            "idx",
+            F.col("rev").cast("double").alias("y"),
+            F.col("f").cast("double").alias("fc"),
+            F.lag(F.col("rev")).over(Window.orderBy("idx"))
+            .cast("double")
+            .alias("yl"),
+        )
+    )
+    dirs = seq.filter(F.col("yl").isNotNull()).select(
+        F.when(F.col("y") > F.col("yl"), 1).otherwise(0).alias("up_act"),
+        F.when(F.col("fc") > F.col("yl"), 1).otherwise(0).alias("up_pred"),
+    )
+    agg = dirs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("up_act") == F.col("up_pred"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("hits"),
+        F.sum("up_act").cast("bigint").alias("na"),
+        F.sum("up_pred").cast("bigint").alias("np"),
+    )
+    n = F.col("n")
+    phat = F.col("hits") / n.cast("double")
+    py = F.col("na") / n.cast("double")
+    px = F.col("np") / n.cast("double")
+    pstar = py * px + (1 - py) * (1 - px)
+    return agg.select(
+        n.cast("bigint").alias("n_days"),
+        F.round(phat, 6).alias("hit_rate"),
+        F.round(pstar, 6).alias("chance_rate"),
+        F.round(
+            (phat - pstar) / F.sqrt(pstar * (1 - pstar) / n), 6
+        ).alias("pt_z"),
+    )
