@@ -13647,3 +13647,171 @@ def q_pesaran_timmermann(spark: SparkSession, sf_dir: str) -> DataFrame:
             (phat - pstar) / F.sqrt(pstar * (1 - pstar) / n), 6
         ).alias("pt_z"),
     )
+
+
+# -- q_christoffersen --------------------------------------------------
+#
+# Christoffersen independence test for the rolling-VaR violation
+# sequence: Kupiec (q_var_backtest) only counts violations — a model
+# can pass it while violations CLUSTER (one bad week), which is what
+# kills desks. The 2-state Markov transition counts n00/n01/n10/n11
+# give LR_ind = -2 ln[ L(pi) / L(pi01, pi11) ] ~ chi2_1; rejection
+# means yesterday's breach predicts today's. Violation flags reuse
+# the exact rolling-moment VaR; transition counts are exact integers;
+# the likelihood ratio is one guarded double chain (log terms with
+# zero counts contribute zero by the 0*ln(0)=0 convention).
+
+CHRISTOF_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS rev
+  FROM orders GROUP BY 1
+), chg AS (
+  SELECT day,
+         CAST(round(ln(CAST(rev AS DOUBLE)
+                       / CAST(LAG(rev) OVER (ORDER BY day) AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS r
+  FROM daily
+), roll AS (
+  SELECT day, r,
+         CAST(COUNT(r) OVER w AS BIGINT) AS n60,
+         CAST(SUM(r) OVER w AS DECIMAL(28,9)) AS s1,
+         CAST(SUM(CAST(r * r AS DECIMAL(28,9))) OVER w
+              AS DECIMAL(38,9)) AS s2
+  FROM chg
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
+), viol AS (
+  SELECT day,
+         CASE WHEN CAST(r AS DOUBLE)
+                   < CAST(s1 AS DOUBLE) / n60
+                     - 1.645 * sqrt((CAST(s2 AS DOUBLE)
+                                     - CAST(s1 AS DOUBLE)
+                                       * CAST(s1 AS DOUBLE) / n60)
+                                    / (n60 - 1))
+              THEN 1 ELSE 0 END AS v
+  FROM roll WHERE n60 >= 60 AND r IS NOT NULL
+), pairs AS (
+  SELECT LAG(v) OVER (ORDER BY day) AS v0, v AS v1 FROM viol
+), cnt AS (
+  SELECT CAST(SUM(CASE WHEN v0 = 0 AND v1 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n00,
+         CAST(SUM(CASE WHEN v0 = 0 AND v1 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN v0 = 1 AND v1 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN v0 = 1 AND v1 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n11
+  FROM pairs WHERE v0 IS NOT NULL
+), f AS (
+  SELECT n00, n01, n10, n11,
+         (n01 + n11) / CAST(n00 + n01 + n10 + n11 AS DOUBLE) AS pi,
+         CASE WHEN n00 + n01 > 0
+              THEN n01 / CAST(n00 + n01 AS DOUBLE) END AS pi01,
+         CASE WHEN n10 + n11 > 0
+              THEN n11 / CAST(n10 + n11 AS DOUBLE) END AS pi11
+  FROM cnt
+), lr AS (
+  SELECT n00, n01, n10, n11, pi, pi01, pi11,
+         -2 * ((CASE WHEN pi > 0 AND pi < 1
+                THEN (n00 + n10) * ln(1 - pi) + (n01 + n11) * ln(pi)
+                ELSE 0 END)
+               - (CASE WHEN pi01 > 0 THEN n01 * ln(pi01) ELSE 0 END
+                  + CASE WHEN pi01 < 1 THEN n00 * ln(1 - pi01)
+                         ELSE 0 END
+                  + CASE WHEN pi11 > 0 THEN n11 * ln(pi11) ELSE 0 END
+                  + CASE WHEN pi11 IS NOT NULL AND pi11 < 1
+                         THEN n10 * ln(1 - pi11) ELSE 0 END))
+           AS lr_ind
+  FROM f
+)
+SELECT n00, n01, n10, n11,
+       round(pi01, 6) AS p_viol_after_calm,
+       round(pi11, 6) AS p_viol_after_viol,
+       round(lr_ind, 6) AS lr_independence,
+       CAST(CASE WHEN lr_ind > 3.841 THEN 1 ELSE 0 END AS BIGINT)
+         AS clustered_violations
+FROM lr
+"""
+
+
+@query("q_christoffersen", oracle=CHRISTOF_SQL)
+def q_christoffersen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    daily = cat.orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
+    wd = Window.orderBy("day")
+    chg = daily.select(
+        "day",
+        F.round(
+            F.log(
+                F.col("rev").cast("double")
+                / F.lag("rev").over(wd).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("r"),
+    )
+    wroll = wd.rowsBetween(-60, -1)
+    roll = chg.select(
+        "day", "r",
+        F.count("r").over(wroll).cast("bigint").alias("n60"),
+        F.sum("r").over(wroll).cast("decimal(28,9)").alias("s1"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(28,9)"))
+        .over(wroll)
+        .cast("decimal(38,9)")
+        .alias("s2"),
+    )
+    n60 = F.col("n60")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    var95 = s1 / n60 - 1.645 * F.sqrt(
+        (s2 - s1 * s1 / n60) / (n60 - 1)
+    )
+    viol = roll.filter((n60 >= 60) & F.col("r").isNotNull()).select(
+        "day",
+        F.when(F.col("r").cast("double") < var95, 1).otherwise(0)
+        .alias("v"),
+    )
+    pairs = viol.select(
+        F.lag("v").over(Window.orderBy("day")).alias("v0"),
+        F.col("v").alias("v1"),
+    ).filter(F.col("v0").isNotNull())
+    cc = lambda a, b: F.sum(  # noqa: E731
+        F.when((F.col("v0") == a) & (F.col("v1") == b), 1).otherwise(0)
+    ).cast("bigint")
+    cnt = pairs.agg(
+        cc(0, 0).alias("n00"), cc(0, 1).alias("n01"),
+        cc(1, 0).alias("n10"), cc(1, 1).alias("n11"),
+    )
+    n00, n01, n10, n11 = (F.col(x) for x in ["n00", "n01", "n10", "n11"])
+    tot = (n00 + n01 + n10 + n11).cast("double")
+    pi = (n01 + n11) / tot
+    pi01 = F.when(n00 + n01 > 0, n01 / (n00 + n01).cast("double"))
+    pi11 = F.when(n10 + n11 > 0, n11 / (n10 + n11).cast("double"))
+    f = cnt.select(
+        "n00", "n01", "n10", "n11",
+        pi.alias("pi"), pi01.alias("pi01"), pi11.alias("pi11"),
+    )
+    pic, p01, p11 = F.col("pi"), F.col("pi01"), F.col("pi11")
+    l0 = F.when(
+        (pic > 0) & (pic < 1),
+        (n00 + n10) * F.log(1 - pic) + (n01 + n11) * F.log(pic),
+    ).otherwise(0)
+    l1 = (
+        F.when(p01 > 0, n01 * F.log(p01)).otherwise(0)
+        + F.when(p01 < 1, n00 * F.log(1 - p01)).otherwise(0)
+        + F.when(p11 > 0, n11 * F.log(p11)).otherwise(0)
+        + F.when(p11.isNotNull() & (p11 < 1), n10 * F.log(1 - p11))
+        .otherwise(0)
+    )
+    lr_ind = -2 * (l0 - l1)
+    return f.select(
+        "n00", "n01", "n10", "n11",
+        F.round(p01, 6).alias("p_viol_after_calm"),
+        F.round(p11, 6).alias("p_viol_after_viol"),
+        F.round(lr_ind, 6).alias("lr_independence"),
+        F.when(lr_ind > 3.841, 1).otherwise(0).cast("bigint")
+        .alias("clustered_violations"),
+    )
