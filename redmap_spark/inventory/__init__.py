@@ -185,7 +185,7 @@ _WINDOW_FIRST = [
     "q_superstar_share", "q_ndr", "q_oos_detector", "q_palma",
     "q_ph_assumption", "q_acceptance_sampling", "q_robust_shape",
     "q_double_jeopardy", "q_mincer_zarnowitz", "q_pesaran_timmermann",
-    "q_christoffersen",
+    "q_christoffersen", "q_fisher_ideal",
 ]  # keep exactly 50 entries: trim the r1-green tail as round-6 entries land
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -13815,3 +13815,144 @@ def q_christoffersen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lr_ind > 3.841, 1).otherwise(0).cast("bigint")
         .alias("clustered_violations"),
     )
+
+
+# -- q_fisher_ideal ----------------------------------------------------
+#
+# Index-number completion beside q_price_index's Laspeyres: per month
+# (vs the first month as base, matched brands only) the Paasche index
+# (current-quantity weights), the Fisher IDEAL index (geometric mean
+# of the two — the superlative index national accounts use), and the
+# Tornqvist index exp(sum of avg-revenue-share-weighted log price
+# relatives). Laspeyres overstates inflation under substitution,
+# Paasche understates; Fisher/Tornqvist bound the truth between.
+# Brand-month unit values are exact-decimal rev/qty doubles; the four
+# index aggregations fold 9-rounded terms exactly.
+
+FISHER_IDX_SQL = """
+WITH bm AS (
+  SELECT p_brand, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS mon,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS rev,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+              AS DECIMAL(24,2)) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), base AS (
+  SELECT p_brand,
+         CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE) AS p0,
+         CAST(qty AS DOUBLE) AS q0,
+         CAST(rev AS DOUBLE) AS r0
+  FROM bm WHERE mon = (SELECT MIN(mon) FROM bm) AND qty > 0
+), cur AS (
+  SELECT mon, p_brand,
+         CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE) AS p1,
+         CAST(qty AS DOUBLE) AS q1,
+         CAST(rev AS DOUBLE) AS r1
+  FROM bm WHERE qty > 0
+), j AS (
+  SELECT c.mon, c.p_brand, b.p0, b.q0, b.r0, c.p1, c.q1, c.r1
+  FROM cur c JOIN base b ON b.p_brand = c.p_brand
+), shares AS (
+  SELECT mon, p_brand, p0, q0, p1, q1,
+         r0 / SUM(r0) OVER (PARTITION BY mon) AS s0,
+         r1 / SUM(r1) OVER (PARTITION BY mon) AS s1,
+         ln(p1 / p0) AS lpr
+  FROM j
+), agg2 AS (
+  SELECT mon, COUNT(*) AS n_brands,
+         CAST(SUM(CAST(round(p1 * q0, 4) AS DECIMAL(28,4))) AS DOUBLE)
+           AS p1q0,
+         CAST(SUM(CAST(round(p0 * q0, 4) AS DECIMAL(28,4))) AS DOUBLE)
+           AS p0q0,
+         CAST(SUM(CAST(round(p1 * q1, 4) AS DECIMAL(28,4))) AS DOUBLE)
+           AS p1q1,
+         CAST(SUM(CAST(round(p0 * q1, 4) AS DECIMAL(28,4))) AS DOUBLE)
+           AS p0q1,
+         CAST(SUM(CAST(round(0.5 * (s0 + s1) * lpr, 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS tq
+  FROM shares GROUP BY mon
+)
+SELECT mon, CAST(n_brands AS BIGINT) AS n_brands,
+       round(p1q0 / p0q0, 6) AS laspeyres,
+       round(p1q1 / p0q1, 6) AS paasche,
+       round(sqrt((p1q0 / p0q0) * (p1q1 / p0q1)), 6) AS fisher_ideal,
+       round(exp(tq), 6) AS tornqvist
+FROM agg2
+ORDER BY mon
+"""
+
+
+@query("q_fisher_ideal", oracle=FISHER_IDX_SQL)
+def q_fisher_ideal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    bm = (
+        cat.lineitem.join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            "p_brand",
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")
+            .alias("mon"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("decimal(28,2)").alias("rev"),
+            F.sum(dec("l_quantity")).cast("decimal(24,2)").alias("qty"),
+        )
+        .localCheckpoint()
+    )
+    m0 = bm.agg(F.min("mon").alias("mon0"))
+    base = (
+        bm.join(F.broadcast(m0), bm["mon"] == F.col("mon0"))
+        .filter(F.col("qty") > 0)
+        .select(
+            "p_brand",
+            (F.col("rev").cast("double") / F.col("qty").cast("double"))
+            .alias("p0"),
+            F.col("qty").cast("double").alias("q0"),
+            F.col("rev").cast("double").alias("r0"),
+        )
+    )
+    cur = bm.filter(F.col("qty") > 0).select(
+        "mon", "p_brand",
+        (F.col("rev").cast("double") / F.col("qty").cast("double"))
+        .alias("p1"),
+        F.col("qty").cast("double").alias("q1"),
+        F.col("rev").cast("double").alias("r1"),
+    )
+    j = cur.join(F.broadcast(base), "p_brand")
+    wm = Window.partitionBy("mon")
+    shares = j.select(
+        "mon", "p0", "q0", "p1", "q1",
+        (F.col("r0") / F.sum("r0").over(wm)).alias("s0"),
+        (F.col("r1") / F.sum("r1").over(wm)).alias("s1"),
+        F.log(F.col("p1") / F.col("p0")).alias("lpr"),
+    )
+    r4 = lambda e: F.sum(  # noqa: E731
+        F.round(e, 4).cast("decimal(28,4)")
+    ).cast("double")
+    agg2 = shares.groupBy("mon").agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        r4(F.col("p1") * F.col("q0")).alias("p1q0"),
+        r4(F.col("p0") * F.col("q0")).alias("p0q0"),
+        r4(F.col("p1") * F.col("q1")).alias("p1q1"),
+        r4(F.col("p0") * F.col("q1")).alias("p0q1"),
+        F.sum(
+            F.round(
+                0.5 * (F.col("s0") + F.col("s1")) * F.col("lpr"), 9
+            ).cast("decimal(20,9)")
+        )
+        .cast("double")
+        .alias("tq"),
+    )
+    lasp = F.col("p1q0") / F.col("p0q0")
+    paas = F.col("p1q1") / F.col("p0q1")
+    return agg2.select(
+        "mon",
+        F.col("n_brands").cast("bigint").alias("n_brands"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher_ideal"),
+        F.round(F.exp("tq"), 6).alias("tornqvist"),
+    ).orderBy("mon")
