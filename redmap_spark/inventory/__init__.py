@@ -38,7 +38,13 @@ from redmap_spark.inventory import ml2  # noqa: F401
 from redmap_spark.inventory import stats5  # noqa: F401
 from redmap_spark.inventory import stats6  # noqa: F401
 from redmap_spark.inventory import ops  # noqa: F401
-from redmap_spark.inventory import stats7  # noqa: F401
+# round 7: the former stats7 grab-bag, split by theme (code unchanged)
+from redmap_spark.inventory import risk  # noqa: F401
+from redmap_spark.inventory import forecast  # noqa: F401
+from redmap_spark.inventory import causal  # noqa: F401
+from redmap_spark.inventory import supply  # noqa: F401
+from redmap_spark.inventory import distrib  # noqa: F401
+from redmap_spark.inventory import regress  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
 # (rows+schema+value-hash vs DuckDB). Rounds 1–5 drove 138 of the 167

@@ -12,6 +12,9 @@ locally, exactly as the driver runs it.
 Run:  python tools/driver_gate_sim.py          # prints one line per entry + a summary
       SPARK_GRAFT_GATE_SF_DIR=/root/testdata/sf0.1 python tools/driver_gate_sim.py   # cross-SF replay
       python tools/driver_gate_sim.py q_ewma   # restrict to named entries
+      python tools/driver_gate_sim.py --all --out CORRECTNESS_full_r07.json
+          # sweep EVERY oracle entry (not just the first-50 window) and
+          # write a CORRECTNESS_r{N}-format JSON artifact
 """
 
 from __future__ import annotations
@@ -69,23 +72,34 @@ def main() -> None:
 
     queries = mod.queries()
     oracles = mod.oracle_sql()
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    sweep_all = "--all" in argv
+    out_path = None
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
+        argv = [a for i, a in enumerate(argv)
+                if a != "--out" and argv[i - 1 : i] != ["--out"]]
+    only = {a for a in argv if a != "--all"}
     unknown = only - set(queries)
     if unknown:
         raise SystemExit(f"not in queries(): {sorted(unknown)}")
-    outside = sorted(only & set(queries) - set(list(queries)[:50]))
-    if outside:
-        print(
-            f"WARNING: outside the driver's first-50 window "
-            f"(the real gate will NOT check them): {outside}"
-        )
-    window = [n for n in list(queries)[:50] if not only or n in only]
+    if sweep_all:
+        window = [n for n in queries if n in oracles and (not only or n in only)]
+    else:
+        outside = sorted(only & set(queries) - set(list(queries)[:50]))
+        if outside:
+            print(
+                f"WARNING: outside the driver's first-50 window "
+                f"(the real gate will NOT check them): {outside}"
+            )
+        window = [n for n in list(queries)[:50] if not only or n in only]
     if only and not window:
         raise SystemExit(
             "no requested entry is inside the driver window; nothing checked"
         )
 
     ok = bad = 0
+    results: dict[str, dict] = {}
     for name in window:
         try:
             got = queries[name](spark, SF_DIR).toPandas()
@@ -94,17 +108,33 @@ def main() -> None:
             schema = sorted(got.columns) == sorted(want.columns)
             hashes = value_hash(got) == value_hash(want)
             good = rows and schema and hashes
+            results[name] = {
+                "rows_match": rows, "schema_match": schema,
+                "hash_match": hashes, "spark_rows": len(got),
+                "oracle_rows": len(want), "err": None,
+            }
         except Exception as exc:  # noqa: BLE001 — report, keep going
-            print(f"FAIL {name}: {exc}")
+            print(f"FAIL {name}: {exc}", flush=True)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": str(exc)[:500],
+            }
             bad += 1
             continue
         print(
             f"{'ok  ' if good else 'FAIL'} {name}: rows={rows} "
-            f"schema={schema} hash={hashes} ({len(got)} rows)"
+            f"schema={schema} hash={hashes} ({len(got)} rows)",
+            flush=True,
         )
         ok += good
         bad += not good
     print(f"== {ok} ok / {bad} fail over {len(window)} window entries ==")
+    if out_path:
+        import json
+
+        Path(out_path).write_text(json.dumps(results, indent=1) + "\n")
+        print(f"wrote {out_path} ({len(results)} entries)")
     if bad:
         raise SystemExit(1)
 
