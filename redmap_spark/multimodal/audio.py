@@ -147,7 +147,9 @@ FP_FANOUT = 3
 def fingerprint_samples(mono: np.ndarray, sample_rate: int) -> list[int]:
     """Landmark hashes from mono float samples. Deterministic: peak
     bins tie-break toward the lower bin; hash packs
-    (b1 << 12) | (b2 << 3) | dt with 9-bit bins and 2-bit dt."""
+    (b1 << 13) | (b2 << 3) | dt with 10-bit bins (rfft of a
+    1024-sample frame yields bins 0..512, so 9 bits would alias the
+    Nyquist bin into the anchor field) and 2-bit dt."""
     n = len(mono)
     if n < FP_FRAME:
         return []
@@ -166,7 +168,7 @@ def fingerprint_samples(mono: np.ndarray, sample_rate: int) -> list[int]:
                 break
             for b1 in anchor_bins:
                 for b2 in peaks[i + dt]:
-                    hashes.append((b1 << 12) | (b2 << 3) | dt)
+                    hashes.append((b1 << 13) | (b2 << 3) | dt)
     return hashes
 
 

@@ -131,9 +131,15 @@ def transitions_stateful(events: DataFrame) -> DataFrame:
     carries across batches; each batch emits the (cur, nxt) pair
     DELTAS it observed, ordered by (ts, event_id) exactly like batch
     q_event_transitions. Summing the deltas over users/batches
-    reproduces the batch transition matrix — the streaming feed for
-    a continuously-updated next-action model. State never grows with
-    history (the 25-cell count matrix lives in the downstream
+    reproduces the batch transition matrix PROVIDED each user's
+    events arrive in (ts, event_id) order across micro-batches (the
+    same contract as sessionize_stateful); an event that arrives
+    AFTER a later event has already advanced the state is a
+    cross-batch straggler whose true predecessor is unrecoverable
+    from constant-size state, so it is DROPPED (not mis-counted
+    against the newer last-event) — deltas then match the batch
+    matrix computed over the in-order subsequence. State never grows
+    with history (the 25-cell count matrix lives in the downstream
     aggregation, not in per-user state)."""
 
     def update(
@@ -148,6 +154,8 @@ def transitions_stateful(events: DataFrame) -> DataFrame:
         pdf = pd.concat(list(batches)).sort_values(["us", "event_id"])
         counts: dict[tuple, int] = {}
         for us, eid, typ in zip(pdf["us"], pdf["event_id"], pdf["event_type"]):
+            if (int(us), int(eid)) <= (last_us, last_eid):
+                continue  # cross-batch straggler: predecessor lost
             if last_type is not None:
                 k = (last_type, typ)
                 counts[k] = counts.get(k, 0) + 1

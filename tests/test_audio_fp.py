@@ -93,3 +93,17 @@ def test_inventory_entry_runs(spark):
     for r in rows:
         assert r.id_a < r.id_b
         assert r.n_shared >= 4
+
+
+def test_landmark_hash_fields_do_not_alias():
+    """rfft of a 1024-sample frame yields bins 0..512 (10 bits): the
+    (b1 << 13) | (b2 << 3) | dt packing must keep a Nyquist-bin
+    target (b2=512) distinct from the next anchor's (b1+1, b2=0, dt)
+    — the 12-bit shift used previously collapsed exactly that pair."""
+    seen = {}
+    for b1 in (0, 1, 511, 512):
+        for b2 in (0, 1, 511, 512):
+            for dt in (1, 2, 3):
+                h = (b1 << 13) | (b2 << 3) | dt
+                assert h not in seen, f"collision: {(b1, b2, dt)} vs {seen[h]}"
+                seen[h] = (b1, b2, dt)

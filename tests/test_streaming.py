@@ -691,3 +691,59 @@ def test_stream_to_page_hinkley(spark, tmp_path):
     sink(replay, batch_id=10_000)
     twice = sorted(map(tuple, spark.read.parquet(state).collect()))
     assert once == twice
+
+
+def test_transitions_stateful_drops_cross_batch_stragglers(spark, tmp_path):
+    """An event arriving in a LATER micro-batch with an earlier
+    (ts, event_id) than the stored last-event state is dropped, not
+    counted out of order: summed deltas equal the batch matrix of the
+    in-order subsequence (here A->C), never a spurious C->B."""
+    import pandas as pd
+
+    from redmap_spark.streaming.windowed import transitions_stateful
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+
+    def write_file(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "event_type", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    deltas: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        deltas.extend(
+            (r.cur, r.nxt, r.n) for r in batch_df.collect()
+        )
+
+    def run_once():
+        q = (
+            transitions_stateful(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = "2024-01-01 00:00:0"
+    write_file([(1, 10, "A", t + "1"), (1, 30, "C", t + "3")])
+    run_once()
+    # second run: a straggler file older than the stored state
+    write_file([(1, 20, "B", t + "2")])
+    run_once()
+    got = {}
+    for cur, nxt, n in deltas:
+        got[(cur, nxt)] = got.get((cur, nxt), 0) + n
+    assert got == {("A", "C"): 1}, got
