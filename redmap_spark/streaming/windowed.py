@@ -285,6 +285,86 @@ def correlate_streams(
     )
 
 
+def correlate_streams_outer(
+    stream: DataFrame,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every ``type_a``
+    event emits — joined to the ``type_b`` events by the same user
+    within ``within`` afterwards when they exist, or with a NULL b
+    side once the watermark proves no match can still arrive
+    (view-without-purchase / error-without-retry detection).
+
+    Same bounded-state shape as correlate_streams: the time-bound
+    join condition plus both-side watermarks let Spark evict a-side
+    state at (watermark + within) past event time, and the null
+    emission fires exactly at that eviction — so "no purchase
+    followed" is only ever asserted about a window the engine has
+    proven complete. An unmatched view younger than the horizon
+    stays in state, emitting nothing, until the watermark passes it."""
+    a = (
+        stream.filter(F.col("event_type") == type_a)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("a_event_id"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        stream.filter(F.col("event_type") == type_b)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_event_id"),
+            F.col("ts").alias("b_ts"),
+            F.col("value").alias("b_value"),
+        )
+    )
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "a_event_id",
+        "b_event_id",
+        F.col("a_ts").alias("ts_a"),
+        F.col("b_ts").alias("ts_b"),
+        "b_value",
+    )
+
+
+def session_window_counts(
+    stream: DataFrame, gap: str = "6 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming gap-based sessionization via Spark's NATIVE
+    session_window aggregate — the SAME one-groupBy plan as batch
+    q_session_window, so the streamed result (after all input is
+    processed) equals the batch result row for row. Sessions merge
+    across micro-batches inside the aggregation state; the watermark
+    bounds state to sessions that can still grow. Scale: one shuffle
+    on user_id, no window-function sort pass, state evicted as
+    sessions close."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
 # ------------------------------------------- foreachBatch → batch sink
 
 

@@ -747,3 +747,114 @@ def test_transitions_stateful_drops_cross_batch_stragglers(spark, tmp_path):
     for cur, nxt, n in deltas:
         got[(cur, nxt)] = got.get((cur, nxt), 0) + n
     assert got == {("A", "C"): 1}, got
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_on_watermark(
+    spark, tmp_path
+):
+    """Watermarked LEFT OUTER stream-stream join: views with a
+    purchase in-window emit joined; a view with NO purchase emits a
+    NULL b-side row once a later batch advances the watermark past
+    its (watermark + within) horizon."""
+    import pandas as pd
+
+    from redmap_spark.streaming.windowed import correlate_streams_outer
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = (
+        "user_id long, event_id long, event_type string,"
+        " ts timestamp, value double"
+    )
+
+    def write_file(rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["user_id", "event_id", "event_type", "ts", "value"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        q = (
+            correlate_streams_outer(
+                spark.readStream.schema(schema).parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_file(
+        [
+            (1, 10, "view", "2024-01-01 00:00:00", 0.0),
+            (1, 11, "purchase", "2024-01-01 00:30:00", 9.5),
+            (2, 20, "view", "2024-01-01 00:05:00", 0.0),
+        ]
+    )
+    run_once()
+    # later batches far enough ahead to move the watermark (2h) past
+    # user 2's view + join horizon (1h). BOTH legs must advance: the
+    # global watermark is the MIN over the two withWatermark
+    # operators, so a view-only batch would hold it at the purchase
+    # leg's last event. The watermark commits at batch END, so a
+    # final batch performs the eviction-time null emission.
+    write_file(
+        [
+            (9, 90, "view", "2024-01-02 00:00:00", 0.0),
+            (9, 95, "purchase", "2024-01-02 00:00:00", 1.0),
+        ]
+    )
+    run_once()
+    write_file(
+        [
+            (9, 91, "view", "2024-01-02 01:00:00", 0.0),
+            (9, 96, "purchase", "2024-01-02 01:00:00", 1.0),
+        ]
+    )
+    run_once()
+    rows = {
+        (r.user_id, r.a_event_id, r.b_event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 10, 11) in rows, rows  # matched pair
+    assert (2, 20, None) in rows, rows  # watermark-expired unmatched view
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """The streaming session_window aggregate over an availableNow
+    pass equals batch q_session_window row for row (same native
+    aggregate, merged across micro-batches)."""
+    from redmap_spark.inventory import QUERIES
+    from redmap_spark.streaming.windowed import (
+        events_stream,
+        session_window_counts,
+    )
+
+    stream = events_stream(spark, SF_DIR)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            session_window_counts(stream)
+            .writeStream.format("memory")
+            .queryName("stream_sessions")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("select * from stream_sessions").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in QUERIES["q_session_window"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
