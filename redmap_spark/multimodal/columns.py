@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from redmap_spark.multimodal.mp4 import parse_mp4
+
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, head_md5 string, width int, height int, n_frames int"
 )
@@ -117,13 +119,18 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
 
 def decode_image(payload: bytes) -> tuple[int, int, int]:
     """(width, height, n_frames) for a binary payload. Real PNG/JPEG/GIF
-    headers are parsed for true dimensions; anything else (the synthetic
+    headers are parsed for true dimensions, and ISO-BMFF (MP4/MOV)
+    payloads go through the pure-stdlib box walk (tkhd display size,
+    stts sample count as n_frames); anything else (the synthetic
     utf-8 payloads in testdata) gets a deterministic fake so plumbing
     tests stay reproducible. Full pixel decode sits behind
     REAL_DECODERS_AVAILABLE (PIL/ffmpeg not in this container)."""
     parsed = parse_image_header(payload)
     if parsed is not None:
         return parsed
+    mp4 = parse_mp4(payload)
+    if mp4 is not None:
+        return mp4["width"], mp4["height"], max(1, mp4["n_samples"])
     if REAL_DECODERS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("wire a real pixel decoder here")
     h = hashlib.md5(payload).digest()
