@@ -1016,19 +1016,25 @@ FROM f
 @query("q_mincer_zarnowitz", oracle=MZ_SQL)
 def q_mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
+    # tr_end rides along as a window column on the (already
+    # single-partition, |days|-sized) grid — no separate mark
+    # aggregate, no broadcast joins, so the checkpointed grid has
+    # exactly two consumers (dowm, hold) instead of five plan arms.
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     daily = (
         cat.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.sum(dec("o_totalprice")).cast("decimal(24,2)").alias("rev"))
         .select(
             "day", "rev",
             F.row_number().over(Window.orderBy("day")).alias("idx"),
+            (F.count(F.lit(1)).over(w_all) - 56).alias("tr_end"),
         )
         .localCheckpoint()
     )
-    mark = daily.agg((F.max("idx") - 56).alias("tr_end"))
     dowm = (
-        daily.join(F.broadcast(mark))
-        .filter(F.col("idx") <= F.col("tr_end"))
+        daily.filter(F.col("idx") <= F.col("tr_end"))
         .groupBy(F.dayofweek("day").alias("dw"))
         .agg(
             F.round(F.sum("rev").cast("double") / F.count(F.lit(1)), 2)
@@ -1037,8 +1043,7 @@ def q_mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hold = (
-        daily.join(F.broadcast(mark))
-        .filter(F.col("idx") > F.col("tr_end"))
+        daily.filter(F.col("idx") > F.col("tr_end"))
         .join(F.broadcast(dowm), F.dayofweek("day") == F.col("dw"))
         .select(
             F.col("rev").cast("double").alias("y"),

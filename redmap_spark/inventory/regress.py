@@ -1500,32 +1500,49 @@ ORDER BY rk
 @query("mr_betweenness", oracle=MRBETW_SQL)
 def mr_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
-    e0 = (
-        c.orders.join(
+    # Nodes ride through the BFS as BIGINT (cust=2k, supp=2k+1): int
+    # hash-joins beat varchar, and the distinct runs on the raw int
+    # pair before any string is built. Both edge directions come from
+    # ONE explode over the deduped pair — a union of e0 with its swap
+    # would plan the orders ⋈ lineitem ⋈ distinct subtree twice
+    # (no CSE across union branches).
+    pair = (
+        c.orders.select("o_orderkey", "o_custkey")
+        .join(
             c.lineitem.select("l_orderkey", "l_suppkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-            .alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-            .alias("dst"),
+            (F.col("o_custkey") * 2).alias("cn"),
+            (F.col("l_suppkey") * 2 + 1).alias("sn"),
         )
         .distinct()
     )
-    edges = e0.union(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    edges = (
+        pair.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("cn").alias("src"), F.col("sn").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("sn").alias("src"), F.col("cn").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
     l0 = (
         edges.filter(
-            F.col("src").startswith("s")
-            & (F.expr("CAST(substr(src, 2) AS BIGINT)") % 50 == 0)
-            & (F.expr("CAST(substr(src, 2) AS BIGINT)") <= 500)
+            (F.col("src") % 2 == 1)
+            & (F.expr("(src - 1) DIV 2") % 50 == 0)
+            & (F.expr("(src - 1) DIV 2") <= 500)
         )
         .select(F.col("src").alias("s"), F.col("src").alias("node"))
         .distinct()
         .withColumn("sigma", F.lit(1).cast("bigint"))
-        .localCheckpoint()
     )
 
     def expand(level: DataFrame) -> DataFrame:
@@ -1548,19 +1565,13 @@ def mr_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", "node", "sigma")
         .localCheckpoint()
     )
-    l3 = (
-        expand(l2)
-        .join(
-            F.broadcast(
-                l1.select(
-                    F.col("s").alias("s_"), F.col("node").alias("node_")
-                )
-            ),
-            (F.col("s") == F.col("s_")) & (F.col("node") == F.col("node_")),
-            "left_anti",
-        )
-        .localCheckpoint()
-    )
+    l3 = expand(l2).join(
+        F.broadcast(
+            l1.select(F.col("s").alias("s_"), F.col("node").alias("node_"))
+        ),
+        (F.col("s") == F.col("s_")) & (F.col("node") == F.col("node_")),
+        "left_anti",
+    )  # single consumer (d2's w side) — no checkpoint needed
 
     def accumulate(level: DataFrame, nxt: DataFrame) -> DataFrame:
         v = level.alias("v")
@@ -1598,7 +1609,23 @@ def mr_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("delta").cast("decimal(38,9)").alias("bc"),
         F.count(F.lit(1)).alias("n_sources"),
     )
-    ranked = bc.select(
+    # decode BEFORE ranking: the oracle's tie-break is on the string
+    # node name ("c..." / "s..."), not the internal int encoding
+    named = bc.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("node") / 2).cast("bigint")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint")
+            )
+        )
+        .alias("node"),
+        "bc",
+        "n_sources",
+    )
+    ranked = named.select(
         "*",
         F.row_number()
         .over(Window.orderBy(F.col("bc").desc(), "node"))
