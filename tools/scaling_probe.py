@@ -324,6 +324,93 @@ def main() -> None:
                     ],
                 )
             ),
+            # round-6 shape: the q_rolling_beta / q_rolling_corr
+            # family — collapse facts to a (bucket × day) grid, then
+            # a 91-row trailing window per bucket and a sparse
+            # snapshot filter. Wall time must track the GRID (which
+            # scales with key cardinality here), not the fact scan
+            # rerun per window frame.
+            "rolling_grid_window": lambda: noop(
+                ev.select(
+                    F.pmod(F.col("user_id"), F.lit(1000)).alias("bucket"),
+                    F.date_trunc("day", F.col("ts").cast("timestamp"))
+                    .cast("date").alias("day"),
+                    F.col("value").cast("decimal(18,2)").alias("v"),
+                )
+                .groupBy("bucket", "day")
+                .agg(F.sum("v").cast("double").alias("rev"))
+                .select(
+                    "bucket", "day", "rev",
+                    F.avg("rev").over(
+                        Window.partitionBy("bucket").orderBy("day")
+                        .rowsBetween(-90, 0)
+                    ).alias("ma"),
+                    F.row_number().over(
+                        Window.partitionBy("bucket").orderBy("day")
+                    ).alias("rn"),
+                )
+                .filter(F.col("rn") % 30 == 0)
+            ),
+            # round-6 shape: sampled-source depth-limited Brandes
+            # (mr_betweenness) — a fixed source set expands frontier
+            # by frontier against the edge table, sigma summed per
+            # (source, node); state is |sources| x |reached|, so wall
+            # time must track the edge table, never |V|^2.
+            "sampled_brandes": lambda: noop(
+                (lambda edges: (
+                    (lambda l1: l1.join(
+                        edges.select(
+                            F.col("src").alias("j_src"),
+                            F.col("dst").alias("j_dst"),
+                        ),
+                        F.col("node") == F.col("j_src"),
+                    )
+                    .groupBy("s", F.col("j_dst").alias("node2"))
+                    .agg(F.sum("sigma").alias("sigma2")))(
+                        F.broadcast(
+                            edges.filter(
+                                (F.col("src") % 2 == 1)
+                                & (F.expr("(src - 1) DIV 2") % 500 == 0)
+                            )
+                            .select(F.col("src").alias("s"),
+                                    F.col("src").alias("node"))
+                            .distinct()
+                            .withColumn("sigma", F.lit(1).cast("bigint"))
+                        )
+                        .join(edges, F.col("node") == F.col("src"))
+                        .groupBy("s", F.col("dst").alias("node"))
+                        .agg(F.sum("sigma").alias("sigma"))
+                    )
+                ))(
+                    li.select(
+                        (F.col("l_orderkey") * 2).alias("src"),
+                        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+                    ).distinct()
+                )
+            ),
+            # round-6 shape: the q_kde_density fixed-grid fan-out —
+            # every row contributes a kernel term to each of 64 grid
+            # cells (bounded explode, x64 rows), one partial-agg
+            # collapse per cell. Wall time must track rows x 64
+            # linearly; the grid never grows with data.
+            "kde_fanout": lambda: noop(
+                ev.select(
+                    F.col("value").cast("double").alias("x"),
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(63))
+                    ).alias("g"),
+                )
+                .select(
+                    "g",
+                    F.exp(
+                        -F.pow(
+                            (F.col("x") - F.col("g") * 2.0) / 5.0, 2
+                        ) / 2.0
+                    ).alias("k"),
+                )
+                .groupBy("g")
+                .agg(F.sum("k").alias("density"), F.count(F.lit(1)).alias("n"))
+            ),
             "cms_build": lambda: noop(
                 ev.select(
                     "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
