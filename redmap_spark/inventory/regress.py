@@ -1502,10 +1502,11 @@ def mr_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     # Nodes ride through the BFS as BIGINT (cust=2k, supp=2k+1): int
     # hash-joins beat varchar, and the distinct runs on the raw int
-    # pair before any string is built. Both edge directions come from
-    # ONE explode over the deduped pair — a union of e0 with its swap
-    # would plan the orders ⋈ lineitem ⋈ distinct subtree twice
-    # (no CSE across union branches).
+    # pair before any string is built. The graph is bipartite and the
+    # traversal ALTERNATES sides, so each BFS/accumulation step needs
+    # exactly ONE edge direction — checkpoint only the |E| directed
+    # pairs once and pick the orientation per step, instead of
+    # materializing (and re-scanning, 4x) a doubled src/dst table.
     pair = (
         c.orders.select("o_orderkey", "o_custkey")
         .join(
@@ -1517,91 +1518,115 @@ def mr_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("sn"),
         )
         .distinct()
-    )
-    edges = (
-        pair.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("cn").alias("src"), F.col("sn").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("sn").alias("src"), F.col("cn").alias("dst")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
         .localCheckpoint()
     )
-    l0 = (
-        edges.filter(
-            (F.col("src") % 2 == 1)
-            & (F.expr("(src - 1) DIV 2") % 50 == 0)
-            & (F.expr("(src - 1) DIV 2") <= 500)
+
+    def edges_from(side: str) -> DataFrame:
+        src, dst = ("sn", "cn") if side == "supp" else ("cn", "sn")
+        return pair.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
         )
-        .select(F.col("src").alias("s"), F.col("src").alias("node"))
+
+    l0 = (
+        pair.filter(
+            (F.expr("(sn - 1) DIV 2") % 50 == 0)
+            & (F.expr("(sn - 1) DIV 2") <= 500)
+        )
+        .select(F.col("sn").alias("s"), F.col("sn").alias("node"))
         .distinct()
         .withColumn("sigma", F.lit(1).cast("bigint"))
     )
 
-    def expand(level: DataFrame) -> DataFrame:
-        # Frontier broadcasts to the (unshuffled) edge table — the
-        # mr_bfs scale shape: edges never re-sort, only the expansion
-        # output shuffles for its groupBy.
-        lv, e = F.broadcast(level.alias("lv")), edges.alias("e")
+    def expand(level: DataFrame, side: str) -> DataFrame:
+        # Frontier broadcasts to the (unshuffled) directed pair table
+        # — the mr_bfs scale shape: edges never re-sort, only the
+        # expansion output shuffles for its groupBy.
+        lv = F.broadcast(level.alias("lv"))
+        e = edges_from(side).alias("e")
         return (
             lv.join(e, F.col("lv.node") == F.col("e.src"))
             .groupBy(F.col("lv.s").alias("s"), F.col("e.dst").alias("node"))
             .agg(F.sum(F.col("lv.sigma")).cast("bigint").alias("sigma"))
         )
 
-    l1 = expand(l0).localCheckpoint()
+    l1 = expand(l0, "supp").localCheckpoint()
     l2 = (
         l0.select(F.col("s").alias("s0"))
         .distinct()
-        .join(expand(l1), F.col("s0") == F.col("s"))
+        .join(expand(l1, "cust"), F.col("s0") == F.col("s"))
         .filter(F.col("node") != F.col("s0"))
         .select("s", "node", "sigma")
-        .localCheckpoint()
-    )
-    l3 = expand(l2).join(
-        F.broadcast(
-            l1.select(F.col("s").alias("s_"), F.col("node").alias("node_"))
-        ),
-        (F.col("s") == F.col("s_")) & (F.col("node") == F.col("node_")),
-        "left_anti",
-    )  # single consumer (d2's w side) — no checkpoint needed
+    )  # single consumer (d2's frontier) — no checkpoint needed
+    # Dependency accumulation as ONE windowed pass over the
+    # (source, v, out-edge) expansion instead of collapse-σ + re-join:
+    # after dropping backtrack edges, sum(σ_v) over the (s, dst)
+    # window IS the successor's σ_w (the same value l3/l2 would
+    # carry), so each expansion row turns directly into its 9-rounded
+    # Brandes term — one shuffle-sort of the |paths| rows replaces a
+    # groupBy shuffle PLUS a second full scan joining the collapsed
+    # level back (measured ~4x faster on the depth-2→3 step, which
+    # carries ~|E|·|sources|/|V| rows). delta_w joins in by broadcast
+    # (|level| rows, tiny) where a deeper level exists.
 
-    def accumulate(level: DataFrame, nxt: DataFrame) -> DataFrame:
-        v = level.alias("v")
-        w = nxt.alias("w")
-        joined = (
-            F.broadcast(v)
-            .join(edges.alias("e"), F.col("v.node") == F.col("e.src"))
-            .join(
-                F.broadcast(w),
-                (F.col("w.s") == F.col("v.s"))
-                & (F.col("w.node") == F.col("e.dst")),
-            )
+    def frontier_rows(level: DataFrame, side: str) -> DataFrame:
+        lv = F.broadcast(level.alias("lv"))
+        return lv.join(
+            edges_from(side).alias("e"), F.col("lv.node") == F.col("e.src")
+        ).select(
+            F.col("lv.s").alias("s"),
+            F.col("lv.node").alias("node"),
+            F.col("lv.sigma").alias("sigma"),
+            F.col("e.dst").alias("dst"),
         )
-        term = F.round(
-            F.col("v.sigma") / F.col("w.sigma").cast("double")
-            * (
-                1
-                + F.coalesce(F.col("w.delta"), F.lit(0)).cast("double")
+
+    def accumulate_windowed(
+        level: DataFrame, side: str, not_in: DataFrame,
+        deltas: DataFrame | None,
+    ) -> DataFrame:
+        rows = frontier_rows(level, side).join(
+            F.broadcast(
+                not_in.select(
+                    F.col("s").alias("s_"), F.col("node").alias("node_")
+                )
             ),
+            (F.col("s") == F.col("s_")) & (F.col("dst") == F.col("node_")),
+            "left_anti",
+        )
+        if deltas is not None:
+            rows = rows.join(
+                F.broadcast(
+                    deltas.select(
+                        F.col("s").alias("sd"),
+                        F.col("node").alias("noded"),
+                        F.col("delta").alias("wdelta"),
+                    )
+                ),
+                (F.col("s") == F.col("sd")) & (F.col("dst") == F.col("noded")),
+                "left",
+            )
+        else:
+            rows = rows.withColumn(
+                "wdelta", F.lit(None).cast("decimal(28,9)")
+            )
+        sw = F.sum("sigma").over(Window.partitionBy("s", "dst"))
+        term = F.round(
+            F.col("sigma") / sw.cast("double")
+            * (1 + F.coalesce(F.col("wdelta"), F.lit(0)).cast("double")),
             9,
         ).cast("decimal(20,9)")
-        return joined.groupBy(
-            F.col("v.s").alias("s"), F.col("v.node").alias("node")
-        ).agg(F.sum(term).cast("decimal(28,9)").alias("delta"))
+        return (
+            rows.select("s", "node", term.alias("term"))
+            .groupBy("s", "node")
+            .agg(F.sum("term").cast("decimal(28,9)").alias("delta"))
+        )
 
-    d2 = accumulate(
-        l2, l3.withColumn("delta", F.lit(None).cast("decimal(28,9)"))
-    ).localCheckpoint()
-    l2d = l2.join(d2.select("s", "node", "delta"), ["s", "node"], "left")
-    d1 = accumulate(l1, l2d)
+    # depth-3 accumulation: successors are the depth-3 customers
+    # (everything reached from l2 that is not a depth-1 customer);
+    # their sigma materializes inside the window, never as a table
+    d2 = accumulate_windowed(l2, "supp", l1, None).localCheckpoint()
+    # depth-2 accumulation: successors are the l2 suppliers (drop the
+    # backtrack to the source itself), deltas from d2 by broadcast
+    d1 = accumulate_windowed(l1, "cust", l0.select("s", "node"), d2)
     alldelta = d1.select("s", "node", "delta").union(
         d2.select("s", "node", "delta")
     )
