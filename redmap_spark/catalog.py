@@ -8,6 +8,8 @@ this repo the tables are single parquet files per TESTDATA.md.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,6 +48,17 @@ def _as_timestamp(df: DataFrame, col: str) -> F.Column:
 
 
 class Catalog:
+    # DataFrames are immutable logical plans, so the relation for a
+    # given (session, sf_dir, table) can be built once and reused by
+    # every query in that session — bench/sweep runs construct a
+    # Catalog per entry, and without this memo each construction
+    # re-reads parquet footers for every table it touches (563
+    # entries x 1-3 tables of schema I/O per driver bench).
+    # WeakKeyDictionary: entries die with their session.
+    _relation_cache: "WeakKeyDictionary[SparkSession, dict]" = (
+        WeakKeyDictionary()
+    )
+
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
@@ -63,9 +76,14 @@ class Catalog:
     def table(self, table: str) -> DataFrame:
         if table not in TABLES:
             raise KeyError(f"unknown table {table!r}")
-        df = self.spark.read.parquet(self.path(table))
-        if table == "events":
-            df = df.withColumn("ts", _as_timestamp(df, "ts"))
+        per_session = self._relation_cache.setdefault(self.spark, {})
+        key = (self.sf_dir, table)
+        df = per_session.get(key)
+        if df is None:
+            df = self.spark.read.parquet(self.path(table))
+            if table == "events":
+                df = df.withColumn("ts", _as_timestamp(df, "ts"))
+            per_session[key] = df
         return df
 
     def register_all(self) -> None:
