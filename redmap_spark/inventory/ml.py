@@ -488,7 +488,9 @@ def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = o.select(
         F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("x")
     )
-    v = v.cache()  # consumed by init grid, 3 E-steps AND the loglik scan
+    # single-file scan = ONE input partition; spread rows so the 3
+    # E-step scans and the loglik pass run on all cores, not one
+    v = v.repartition(32).cache()  # init grid, 3 E-steps, loglik scan
     g = v.groupBy(F.col("x").cast("decimal(18,2)").alias("xv")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )

@@ -2413,7 +2413,11 @@ def q_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = o.select(
         F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("x")
     )
-    x = x.cache()  # consumed by the stats fold AND the kernel fan-out
+    # The testdata tables are single parquet files, so the scan is ONE
+    # input partition — and the n×32 kernel fan-out (with a per-term
+    # BigDecimal rounding) would run on one core. Spread the rows
+    # first; the shuffle moves only the 1-column doubles.
+    x = x.repartition(32).cache()  # stats fold AND kernel fan-out
     st = x.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.min(F.col("x").cast("decimal(18,2)")).cast("double").alias("lo"),
