@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import query
+from redmap_spark.inventory.registry import query, spread
 
 # -- q_permutation_test ------------------------------------------------
 #
@@ -235,7 +235,9 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             < "8", 0
         ).otherwise(1).alias("grp"),
     )
-    base = base.cache()  # consumed by obs AND the wide permutation agg
+    # single-file scan parallelism: the 100-column conditional agg is
+    # per-row md5-heavy and must not run on one core
+    base = spread(base).cache()  # consumed by obs AND the wide agg
     obs = base.agg(
         F.round(
             F.sum(F.when(F.col("grp") == 0, F.col("x"))).cast("double")

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import query
+from redmap_spark.inventory.registry import query, spread
 
 # -- q_naive_bayes -----------------------------------------------------
 #
@@ -490,7 +490,8 @@ def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # single-file scan = ONE input partition; spread rows so the 3
     # E-step scans and the loglik pass run on all cores, not one
-    v = v.repartition(32).cache()  # init grid, 3 E-steps, loglik scan
+    # (no-op on an already-wide cluster scan)
+    v = spread(v).cache()  # init grid, 3 E-steps, loglik scan
     g = v.groupBy(F.col("x").cast("decimal(18,2)").alias("xv")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )

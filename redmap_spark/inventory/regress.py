@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import dec, query
+from redmap_spark.inventory.registry import dec, query, spread
 
 
 # -- q_ridge_path ------------------------------------------------------
@@ -408,7 +408,8 @@ def q_huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "p_brand", dec("l_quantity").alias("x"),
         dec("l_extendedprice").alias("y"),
-    ).localCheckpoint()
+    )
+    f = spread(f).localCheckpoint()
     x, y = F.col("x"), F.col("y")
     m = f.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import query
+from redmap_spark.inventory.registry import query, spread
 from redmap_spark.operators import similarity as S
 
 QUERY_ID = 0
@@ -990,7 +990,7 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     ex = e.select("vec_id", F.posexplode("embedding").alias("dim0", "x")) \
           .select("vec_id", (F.col("dim0") + 1).alias("dim"), "x")
-    ex = ex.cache()  # consumed by proj AND both scoring sides
+    ex = spread(ex).cache()  # consumed by proj AND both scoring sides
     dims = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
     planes = spark.range(N_RECALL_PLANES).select(
         F.col("id").cast("int").alias("plane")
@@ -1813,8 +1813,8 @@ def sim_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     from redmap_spark.operators.similarity import as_double_vec, dot, norm
 
-    w = e.select(
-        "vec_id", "label", as_double_vec("embedding").alias("v")
+    w = spread(
+        e.select("vec_id", "label", as_double_vec("embedding").alias("v"))
     ).withColumn("nrm", norm(F.col("v")))
     q = (
         w.filter(F.col("vec_id") % 5 == 0)
@@ -1924,8 +1924,8 @@ def sim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     from redmap_spark.operators.similarity import as_double_vec, dot
 
-    w = e.select(
-        "vec_id", as_double_vec("embedding").alias("v")
+    w = spread(
+        e.select("vec_id", as_double_vec("embedding").alias("v"))
     ).withColumn(
         "sq",
         F.aggregate(

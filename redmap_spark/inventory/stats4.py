@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import query
+from redmap_spark.inventory.registry import query, spread
 
 # -- q_friedman_test ---------------------------------------------------
 #
@@ -2413,11 +2413,10 @@ def q_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = o.select(
         F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("x")
     )
-    # The testdata tables are single parquet files, so the scan is ONE
-    # input partition — and the n×32 kernel fan-out (with a per-term
-    # BigDecimal rounding) would run on one core. Spread the rows
-    # first; the shuffle moves only the 1-column doubles.
-    x = x.repartition(32).cache()  # stats fold AND kernel fan-out
+    # Single-file scan = ONE input partition: the n×32 kernel fan-out
+    # (with a per-term BigDecimal rounding) would run on one core.
+    # spread() is a no-op on an already-wide cluster scan.
+    x = spread(x).cache()  # stats fold AND kernel fan-out
     st = x.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.min(F.col("x").cast("decimal(18,2)")).cast("double").alias("lo"),

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import query
+from redmap_spark.inventory.registry import query, spread
 
 # -- q_vif -------------------------------------------------------------
 #
@@ -218,7 +218,13 @@ WHERE (f.n * f.sxx_d - f.sx_d * f.sx_d) * (f.n * a.suu - a.su * a.su) <> 0
 
 @query("q_breusch_pagan", oracle=BP_SQL)
 def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Catalog(spark, sf_dir).lineitem
+    # project to the two fold columns and heal single-file scan
+    # parallelism before the per-row decimal folds (both passes)
+    li = spread(
+        Catalog(spark, sf_dir).lineitem.select(
+            "l_quantity", "l_extendedprice"
+        )
+    )
     xq = F.col("l_quantity").cast("decimal(18,2)")
     yp = F.col("l_extendedprice").cast("decimal(18,2)")
     m = li.agg(

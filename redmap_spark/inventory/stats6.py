@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import query
+from redmap_spark.inventory.registry import query, spread
 
 # -- q_logit_irls ------------------------------------------------------
 #
@@ -1174,9 +1174,9 @@ FROM z WHERE cprime + a * b <> 0
 @query("q_mediation_sobel", oracle=MEDIATION_SQL)
 def q_mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
-    rows_ = li.filter(
+    rows_ = spread(li.filter(
         (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
-    ).select(
+    )).select(
         F.col("l_discount").cast("double").alias("x"),
         F.log(F.col("l_quantity").cast("double")).alias("m"),
         F.log(F.col("l_extendedprice").cast("double")).alias("y"),

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from redmap_spark.plans.partitioning import spread
+
 
 def as_double_vec(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -297,9 +299,11 @@ def knn_join_bruteforce(
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("c_id"), as_double_vec(vec_col).alias("v")
-    ).withColumn("cn", norm(F.col("v")))
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("c_id"), as_double_vec(vec_col).alias("v")
+        ).withColumn("cn", norm(F.col("v")))
+    )  # single-file corpus scans must not score |Q|x|C| on one core
     scored = (
         c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
         .select(
