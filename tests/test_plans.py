@@ -895,3 +895,21 @@ def test_round6_no_python_in_sql_expressible_entries(spark):
         "q_ess",
     ):
         assert not E.has_python_eval(QUERIES[name](spark, SF_DIR)), name
+
+
+def test_spread_heals_narrow_scans_and_noops_wide(spark):
+    """spread() repartitions a 1-partition (single-file-scan-shaped)
+    input up to the session's default parallelism, leaves an
+    already-wide frame untouched (same partitioning, no added
+    Exchange), and never changes row contents."""
+    from redmap_spark.plans.partitioning import spread
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    healed = spread(narrow)
+    assert healed.rdd.getNumPartitions() == target
+    assert sorted(r.id for r in healed.collect()) == list(range(1000))
+
+    wide = spark.range(0, 1000, numPartitions=target)
+    same = spread(wide)
+    assert same is wide  # identity: no plan change, no Exchange
