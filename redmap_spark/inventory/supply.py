@@ -675,7 +675,12 @@ def q_perfect_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # statistic by (delay, orderkey, linenumber) — no interpolation, so
 # cross-engine stable) computed at all three levels from the same
 # scan; the output marks which level backed each lane. Scale: one
-# fact scan; quantile windows partition by lane / origin.
+# fact scan partial-aggregates to the (origin, dest, delay) count
+# grid — bounded by |nations|^2 x |distinct delays| (~100k rows at
+# ANY scale factor) — and all three quantile levels are cumulative-
+# count rank picks on that grid, so no window ever sees fact-width
+# rows and the global quantile never funnels the fact through one
+# partition (the r7 sf0.1 OOM shape).
 
 ETA_SQL = """
 WITH lanes AS (
@@ -773,43 +778,49 @@ def q_eta_promise(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_shipdate").cast("date"),
                 F.col("o_orderdate").cast("date"),
             ).alias("delay"),
-            F.col("l_orderkey").alias("ok"),
-            F.col("l_linenumber").alias("ln"),
         )
+    )
+    # Partial-aggregate the fact to the (origin, dest, delay) count grid
+    # BEFORE any quantile work. The oracle's ceil(0.9 n)-th order
+    # statistic (ties broken by orderkey/linenumber) is a pure function
+    # of the delay counts — the rank-k element is the smallest delay
+    # whose cumulative count reaches k — so the grid loses nothing, and
+    # the checkpoint that feeds all three levels is grid-sized, not
+    # fact-sized.
+    grid = (
+        lanes.groupBy("origin", "dest", "delay")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint()
     )
 
-    def rank_p90(df: DataFrame, keys: list) -> DataFrame:
-        if keys:
-            wp = Window.partitionBy(*keys)
-            wo = wp.orderBy("delay", "ok", "ln")
-        else:
-            wp = Window.partitionBy()
-            wo = Window.orderBy("delay", "ok", "ln")
-        cnt = F.count(F.lit(1)).over(
+    def grid_p90(df: DataFrame, keys: list) -> DataFrame:
+        wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
+        cum = F.sum("cnt").over(
+            wp.orderBy("delay").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        tot = F.sum("cnt").over(
             wp.rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         )
-        q = F.when(
-            F.row_number().over(wo)
-            == F.ceil(0.9 * cnt).cast("bigint"),
-            F.col("delay"),
-        )
-        inner = df.select(*keys, cnt.alias("n"), q.alias("q"))
+        inner = df.select(
+            *keys, F.col("delay"), cum.alias("cum"), tot.alias("n")
+        ).where(F.col("cum") >= F.ceil(0.9 * F.col("n")).cast("bigint"))
         if keys:
             return inner.groupBy(*keys).agg(
-                F.max("n").alias("n"), F.max("q").alias("p90")
+                F.max("n").alias("n"), F.min("delay").alias("p90")
             )
-        return inner.agg(F.max("n").alias("n"), F.max("q").alias("p90"))
+        return inner.agg(F.max("n").alias("n"), F.min("delay").alias("p90"))
 
-    lane_q = rank_p90(lanes, ["origin", "dest"])
-    orig_q = rank_p90(lanes, ["origin"]).select(
+    lane_q = grid_p90(grid, ["origin", "dest"])
+    orig_q = grid_p90(grid, ["origin"]).select(
         F.col("origin").alias("o2"),
         F.col("n").alias("on"),
         F.col("p90").alias("op90"),
     )
-    glob_q = rank_p90(lanes, []).select(F.col("p90").alias("gp90"))
+    glob_q = grid_p90(grid, []).select(F.col("p90").alias("gp90"))
     ln_, on = F.col("n"), F.col("on")
     return (
         lane_q.join(orig_q, F.col("origin") == F.col("o2"))
