@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
+from redmap_spark.inventory._nodekeys import enc_cust, enc_supp, node_str
 from redmap_spark.inventory.registry import query
 
 TRI_SQL = """
@@ -131,17 +132,22 @@ def mr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "l_suppkey")
         .distinct()
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        # BIGINT vertices throughout (cust=2k, supp=2k+1, _nodekeys):
+        # the output is round/node/edge COUNTS, so no decode is ever
+        # needed and every degree groupBy and keep-join hashes ints.
+        .select(enc_cust(F.col("o_custkey")), enc_supp(F.col("l_suppkey")))
         # materialize the expensive fact-join edge build ONCE — the
         # symmetrizing union consumes it twice
         .localCheckpoint(eager=True)
     )
-    edges = e0.union(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    edges = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # pinned hash-partitioned on SRC: the per-round degree groupBy
+        # reuses it exchange-free, and the broadcast keep-joins +
+        # select + re-checkpoint preserve it across rounds
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
     rows = []
     for r in range(1, 4):
         deg = edges.groupBy(F.col("src").alias("node")).agg(
@@ -416,10 +422,11 @@ def mr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "l_suppkey")
         .distinct()
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        # BIGINT vertex keys (cust=2k, supp=2k+1, _nodekeys); labels
+        # stay 'c…'/'s…' STRINGS because the oracle's vote tie-break
+        # (count DESC, label ASC) is stated in string space — the
+        # string is payload, the shuffle/join keys are ints.
+        .select(enc_cust(F.col("o_custkey")), enc_supp(F.col("l_suppkey")))
         .localCheckpoint(eager=True)
     )
     edges = (
@@ -440,7 +447,7 @@ def mr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             # result as the general form the oracle states.
             labels = (
                 edges.groupBy(F.col("src").alias("node"))
-                .agg(F.min("dst").alias("lbl"))
+                .agg(F.min(node_str(F.col("dst"))).alias("lbl"))
                 .localCheckpoint(eager=True)
             )
         else:
@@ -1279,25 +1286,25 @@ def mr_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.lineitem.select("l_orderkey", "l_suppkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
+        # BIGINT vertices (cust=2k, supp=2k+1, _nodekeys): every
+        # round's contribution join/groupBy hashes ints; the oracle's
+        # string-space tie-breaks (seed pick, final rank) decode via
+        # node_str exactly where the ordering happens.
+        .select(enc_cust(F.col("o_custkey")), enc_supp(F.col("l_suppkey")))
         .distinct()
     )
     edges = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    edges = edges.localCheckpoint()  # reused every round (union twin of e0)
+    # reused every round; pinned hash-partitioned on DST so each
+    # round's contribution groupBy(dst) reuses the partitioning
+    # (the rank/degree joins broadcast and preserve it)
+    edges = edges.repartition("dst").localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     deg = deg.cache()
     seed = (
-        deg.filter(F.col("src").startswith("c"))
-        .orderBy(F.desc("d"), "src")
+        deg.filter(F.col("src") % 2 == 0)
+        .orderBy(F.desc("d"), node_str(F.col("src")))
         .limit(1)
         .select(F.col("src").alias("snode"))
     )
@@ -1311,9 +1318,14 @@ def mr_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.15).cast("decimal(18,12)").alias("v"),
     )
     for _ in range(3):
+        # Broadcast the (tiny) rank vector and degrees into the
+        # dst-partitioned edge stream; the heavy per-edge aggregation
+        # then groups exchange-free. The 1-row teleport merges in a
+        # second, |touched nodes|-sized aggregation — decimal sums are
+        # exact, so splitting the fold changes nothing.
         contrib = (
-            r.join(edges, F.col("src") == F.col("node"))
-            .join(deg.select(F.col("src").alias("dsrc"), "d"),
+            F.broadcast(r).join(edges, F.col("src") == F.col("node"))
+            .join(F.broadcast(deg.select(F.col("src").alias("dsrc"), "d")),
                   F.col("dsrc") == F.col("node"))
             .select(
                 F.col("dst").alias("cnode"),
@@ -1323,7 +1335,8 @@ def mr_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("decimal(18,12)")
                 .alias("v"),
             )
-            .select(F.col("cnode").alias("node"), "v")
+            .groupBy(F.col("cnode").alias("node"))
+            .agg(F.sum("v").cast("decimal(18,12)").alias("v"))
         )
         r = (
             contrib.unionAll(teleport)
@@ -1333,8 +1346,13 @@ def mr_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         r.select(
-            "node",
+            node_str(F.col("node")).alias("node"),
             F.round(F.col("r").cast("double"), 9).alias("ppr"),
+            F.col("r"),
+        )
+        .select(
+            "node",
+            "ppr",
             F.row_number()
             .over(Window.orderBy(F.desc("r"), "node"))
             .cast("bigint")
@@ -1410,16 +1428,21 @@ def mr_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             cat.lineitem.select("l_orderkey", "l_suppkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "c"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "s"
-            ),
-        )
+        .select("o_custkey", "l_suppkey")
         .distinct()
-        .withColumn("ek", F.concat(F.col("c"), F.lit(">"), F.col("s")))
+        # BIGINT endpoint keys (cust=2k, supp=2k+1, _nodekeys) carry
+        # every per-vertex MIN groupBy and both anti-joins; the edge
+        # key ek stays the oracle's 'c…>s…' STRING because MIN-over-ek
+        # semantics are stated in ASCII order — it rides as payload
+        # only, derived once here.
+        .select(
+            enc_cust(F.col("o_custkey")).alias("c"),
+            enc_supp(F.col("l_suppkey")).alias("s"),
+            F.concat(
+                F.lit("c"), F.col("o_custkey").cast("string"),
+                F.lit(">s"), F.col("l_suppkey").cast("string"),
+            ).alias("ek"),
+        )
     )
     e = e.localCheckpoint()
     out = []
@@ -1432,24 +1455,30 @@ def mr_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         m = (
             e.join(
-                vm.select(F.col("v").alias("va"), F.col("mek").alias("ma")),
+                F.broadcast(
+                    vm.select(F.col("v").alias("va"), F.col("mek").alias("ma"))
+                ),
                 (F.col("va") == F.col("c")) & (F.col("ma") == F.col("ek")),
             )
             .join(
-                vm.select(F.col("v").alias("vb"), F.col("mek").alias("mb")),
+                F.broadcast(
+                    vm.select(F.col("v").alias("vb"), F.col("mek").alias("mb"))
+                ),
                 (F.col("vb") == F.col("s")) & (F.col("mb") == F.col("ek")),
             )
             .select("c", "s", "ek")
         )
         m = m.localCheckpoint()  # consumed by count + two anti-joins
+        # matched set is <= |vertices| rows: broadcast both anti-joins
+        # so the surviving-edge pass never shuffles
         e = (
             e.join(
-                m.select(F.col("c").alias("mc")),
+                F.broadcast(m.select(F.col("c").alias("mc"))),
                 F.col("mc") == F.col("c"),
                 "left_anti",
             )
             .join(
-                m.select(F.col("s").alias("ms")),
+                F.broadcast(m.select(F.col("s").alias("ms"))),
                 F.col("ms") == F.col("s"),
                 "left_anti",
             )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
+from redmap_spark.inventory._nodekeys import enc_cust, enc_supp, node_str
 from redmap_spark.inventory.registry import dec, query
 
 # -- mr_map: per-record transform --------------------------------------
@@ -270,8 +271,10 @@ SELECT node, round(r, 9) AS rank FROM r3
 def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     orders = c.orders
-    # distinct on the NUMERIC key pair, then build the labels: the
-    # dedup shuffle moves 16 bytes/row instead of two strings
+    # Vertices ride every round as BIGINT (cust=2k, supp=2k+1, see
+    # _nodekeys): the per-round contribution shuffle and degree joins
+    # hash ints, not varchars; 'c…'/'s…' names appear only in the
+    # final display projection. Rank values are encoding-invariant.
     e0 = (
         orders.join(
             c.lineitem.select("l_orderkey", "l_suppkey"),
@@ -279,10 +282,7 @@ def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "l_suppkey")
         .distinct()
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(enc_cust(F.col("o_custkey")), enc_supp(F.col("l_suppkey")))
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).cache()
@@ -292,8 +292,11 @@ def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = deg.select(F.col("src").alias("node"))
     # one materialized weighted-edge table for all rounds (at cluster
     # scale: a written table, partitioned by src) — recomputing the
-    # edges⋈degree join per round tripled the heavy work
-    w_edges = edges.join(deg, "src").cache()
+    # edges⋈degree join per round tripled the heavy work. Pinned
+    # hash-partitioned on DST: each round's broadcast-join preserves
+    # this partitioning, so the groupBy(dst) aggregation reuses it and
+    # no round pays an exchange over the edge stream.
+    w_edges = edges.join(deg, "src").repartition("dst").cache()
     n = nodes.count()  # bounded: |customers| + |suppliers|; also
     # materializes the degree cache before the multi-consumer rounds
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
@@ -316,7 +319,9 @@ def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # quadratic total work in the iteration count. Same pattern as
         # the Lloyd loop in operators/similarity.py.
         ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.round("r", 9).alias("rank"))
+    return ranks.select(
+        node_str(F.col("node")).alias("node"), F.round("r", 9).alias("rank")
+    )
 
 
 # -- mr_join: reduce-side equi-join as the MapReduce primitive ---------
@@ -460,8 +465,11 @@ SELECT node, lbl AS component FROM l3
 def mr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     orders = c.orders
-    # distinct on the NUMERIC key pair, then build the labels: the
-    # dedup shuffle moves 16 bytes/row instead of two strings
+    # Vertex join/groupBy keys are BIGINT (cust=2k, supp=2k+1, see
+    # _nodekeys); the LABEL stays the oracle's 'c…'/'s…' string,
+    # because min-label semantics are stated in string space and the
+    # propagated label is the output — the string rides as payload,
+    # never as a shuffle key.
     e0 = (
         orders.join(
             c.lineitem.select("l_orderkey", "l_suppkey"),
@@ -469,14 +477,17 @@ def mr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "l_suppkey")
         .distinct()
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(enc_cust(F.col("o_custkey")), enc_supp(F.col("l_suppkey")))
     )
-    edges = e0.union(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    edges = (
+        e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # pinned hash-partitioned on DST: the per-round broadcast-join
+        # preserves it, so every groupBy(dst) runs exchange-free
+        .repartition("dst")
+        .cache()
+    )
     # Round 1 needs no label join: labels start as the node ids, so
     # l1(v) = min(v, min neighbor id) falls out of ONE groupBy over
     # the edge table — which also yields the node set for free (the
@@ -484,8 +495,11 @@ def mr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-round broadcast AND the separate node-set distinct.
     labels = (
         edges.groupBy(F.col("dst").alias("node"))
-        .agg(F.min("src").alias("nb_lbl"))
-        .select("node", F.least("node", "nb_lbl").alias("lbl"))
+        .agg(F.min(node_str(F.col("src"))).alias("nb_lbl"))
+        .select(
+            "node",
+            F.least(node_str(F.col("node")), F.col("nb_lbl")).alias("lbl"),
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(2):
@@ -500,7 +514,9 @@ def mr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", F.least("lbl", "nb_lbl").alias("lbl")
         )
         labels = labels.localCheckpoint(eager=True)
-    return labels.select("node", F.col("lbl").alias("component"))
+    return labels.select(
+        node_str(F.col("node")).alias("node"), F.col("lbl").alias("component")
+    )
 
 
 # -- mr_bfs ------------------------------------------------------------
@@ -556,6 +572,9 @@ SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
 def mr_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     orders = c.orders
+    # BIGINT vertices (cust=2k, supp=2k+1, see _nodekeys): the
+    # per-round frontier broadcast-join and min-dist groupBy hash
+    # ints; distances are encoding-invariant, names decode at the end.
     e0 = (
         orders.join(
             c.lineitem.select("l_orderkey", "l_suppkey"),
@@ -563,30 +582,38 @@ def mr_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "l_suppkey")
         .distinct()
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(enc_cust(F.col("o_custkey")), enc_supp(F.col("l_suppkey")))
     )
-    edges = e0.union(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    edges = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # pinned hash-partitioned on DST: the per-round broadcast-join
+        # preserves it, so the expansion's min-dist groupBy(dst) runs
+        # exchange-free; only the tiny |frontier|-row merge shuffles
+        .repartition("dst")
+        .cache()
+    )
     d = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .filter(
-            F.col("node").startswith("s")
-            & (F.expr("CAST(substring(node, 2) AS BIGINT)") % 10 == 0)
+            (F.col("node") % 2 == 1)
+            & (((F.col("node") - 1) / 2).cast("bigint") % 10 == 0)
         )
         .select("node", F.lit(0).alias("dist"))
         .localCheckpoint(eager=True)
     )
     for _ in range(3):
+        # min-aggregate the expansion BEFORE unioning with the carried
+        # distances: the heavy groupBy reuses the edges partitioning
+        # (no exchange); the union-merge then shuffles only 2x|nodes|
+        # narrow rows. min(min) == min, so results are identical.
         prop = (
             edges.join(
                 F.broadcast(d.withColumnRenamed("node", "src")), "src"
             )
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
         )
         d = (
             d.unionByName(prop)
@@ -595,4 +622,7 @@ def mr_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     edges.unpersist()
-    return d.select("node", F.col("dist").cast("bigint").alias("dist"))
+    return d.select(
+        node_str(F.col("node")).alias("node"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )

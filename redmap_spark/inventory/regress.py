@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
+from redmap_spark.inventory._nodekeys import enc_cust, enc_supp
 from redmap_spark.inventory.registry import dec, query, spread
 
 
@@ -1730,13 +1731,11 @@ def mr_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             cat.lineitem.select("l_orderkey", "l_suppkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-            .alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-            .alias("dst"),
-        )
+        .select("o_custkey", "l_suppkey")
         .distinct()
+        # BIGINT vertices (cust=2k, supp=2k+1, _nodekeys): output is
+        # per-threshold counts, side derives from key parity.
+        .select(enc_cust(F.col("o_custkey")), enc_supp(F.col("l_suppkey")))
         .localCheckpoint()
     )
     deg = (
@@ -1756,7 +1755,10 @@ def mr_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = (
         deg.crossJoin(F.broadcast(ks))
         .filter(F.col("d") > F.col("k"))
-        .select("k", "node", F.substring("node", 1, 1).alias("side"))
+        .select(
+            "k", "node",
+            F.when(F.col("node") % 2 == 0, "c").otherwise("s").alias("side"),
+        )
         .localCheckpoint()
     )
     side_counts = rich.groupBy("k").agg(
