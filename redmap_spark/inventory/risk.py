@@ -661,11 +661,19 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n"),
         trail(F.col("mkt"), "decimal(30,2)").alias("sx"),
         trail(F.col("rev"), "decimal(30,2)").alias("sy"),
+        # terms are decimal(28,4), NOT (38,4): Spark widens a decimal
+        # sum by 10 integer digits capped at precision 38, so (28,4)
+        # terms give the running cumulative sums real headroom
+        # (|term| < 1e24, cum < 1e34 before any overflow->NULL) while
+        # (38,4) terms would leave the unbounded cum sums ZERO
+        # headroom. Daily-revenue squares are ~1e18 at SF100, so the
+        # 4-dp rounded term always fits (28,4) exactly — values are
+        # bit-identical to the direct frame sum.
         trail(
-            F.round(mktd * mktd, 4).cast("decimal(38,4)"), "decimal(38,4)"
+            F.round(mktd * mktd, 4).cast("decimal(28,4)"), "decimal(38,4)"
         ).alias("sxx"),
         trail(
-            F.round(mktd * revd, 4).cast("decimal(38,4)"), "decimal(38,4)"
+            F.round(mktd * revd, 4).cast("decimal(28,4)"), "decimal(38,4)"
         ).alias("sxy"),
     )
     snap = roll.select(

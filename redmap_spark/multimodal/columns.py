@@ -78,6 +78,20 @@ def _gif_frame_count(payload: bytes) -> int:
         return 1
 
 
+def _webp_anmf_count(payload: bytes) -> int:
+    """Animated-WebP frame count by walking the RIFF chunk list
+    (ANMF chunks are top-level, so no bitstream decode is needed;
+    chunk payloads pad to even length per RIFF)."""
+    i, frames = 12, 0
+    while i + 8 <= len(payload):
+        fourcc = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if fourcc == b"ANMF":
+            frames += 1
+        i += 8 + size + (size & 1)
+    return max(1, frames)
+
+
 def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
     """Pure-stdlib (width, height, n_frames) from real image bytes:
 
@@ -85,6 +99,10 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
     - GIF: logical screen descriptor — little-endian u16 at 6/8.
     - JPEG: walk marker segments to the first SOFn; its body is
       precision(1) height(2) width(2), big-endian.
+    - WebP (RIFF/'WEBP'): VP8 lossy (sync-coded u14 dims), VP8L
+      lossless (14-bit packed dims after the 0x2F signature) and
+      VP8X extended (24-bit LE canvas dims; ANMF chunk-walk frame
+      count when the animation flag is set).
 
     Returns None for unrecognized payloads (caller decides fallback).
     n_frames is 1 — stills; animated-GIF frame counts need full LZW
@@ -95,6 +113,28 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         width, height = struct.unpack("<HH", payload[6:10])
         return width, height, _gif_frame_count(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP" and len(payload) >= 25:
+        fourcc = payload[12:16]
+        if (
+            fourcc == b"VP8 "
+            and len(payload) >= 30
+            and payload[23:26] == b"\x9d\x01\x2a"
+        ):
+            width = struct.unpack("<H", payload[26:28])[0] & 0x3FFF
+            height = struct.unpack("<H", payload[28:30])[0] & 0x3FFF
+            return width, height, 1
+        if fourcc == b"VP8L" and payload[20] == 0x2F:
+            b = payload[21:25]
+            width = 1 + (((b[1] & 0x3F) << 8) | b[0])
+            height = 1 + (((b[3] & 0x0F) << 10) | (b[2] << 2) | ((b[1] & 0xC0) >> 6))
+            return width, height, 1
+        if fourcc == b"VP8X" and len(payload) >= 30:
+            width = 1 + int.from_bytes(payload[24:27], "little")
+            height = 1 + int.from_bytes(payload[27:30], "little")
+            n_frames = (
+                _webp_anmf_count(payload) if payload[20] & 0x02 else 1
+            )
+            return width, height, n_frames
     if payload[:2] == b"\xff\xd8":
         i = 2
         while i + 4 <= len(payload):
@@ -129,7 +169,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int]:
     if parsed is not None:
         return parsed
     mp4 = parse_mp4(payload)
-    if mp4 is not None:
+    # BMFF payloads with no moov / no video track parse with width 0;
+    # fall through to the deterministic fake there so every path
+    # guarantees nonzero dimensions (downstream feature stats divide
+    # by and bucket on them).
+    if mp4 is not None and mp4["width"] > 0 and mp4["height"] > 0:
         return mp4["width"], mp4["height"], max(1, mp4["n_samples"])
     if REAL_DECODERS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("wire a real pixel decoder here")

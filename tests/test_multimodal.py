@@ -111,6 +111,57 @@ def test_decode_image_real_headers():
     assert 64 <= w <= 255 and 64 <= h <= 255 and 1 <= nf <= 4
 
 
+def _webp(fourcc: bytes, body: bytes) -> bytes:
+    chunk = fourcc + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    riff_body = b"WEBP" + chunk
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def test_decode_image_webp_headers():
+    """Crafted WebP payloads (VP8 lossy / VP8L lossless / VP8X
+    extended, incl. animation) must yield TRUE dimensions via the
+    RIFF header walk, never the md5 fallback."""
+    import struct
+
+    # VP8 lossy: 3-byte frame tag, sync code 9D 01 2A, u14 LE dims
+    vp8 = _webp(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 320, 240) + b"\x00" * 4,
+    )
+    assert decode_image(vp8) == (320, 240, 1)
+    # VP8L lossless: 0x2F signature then 14+14 bit (dim-1) packing
+    w, h = 100, 200
+    bits = (w - 1) | ((h - 1) << 14)
+    vp8l = _webp(b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+    assert decode_image(vp8l) == (100, 200, 1)
+    # VP8X extended: flags byte + 24-bit LE (canvas-1) dims
+    def vp8x_body(flags: int, w: int, h: int) -> bytes:
+        return (
+            bytes([flags]) + b"\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        )
+
+    still = _webp(b"VP8X", vp8x_body(0x00, 1024, 768))
+    assert decode_image(still) == (1024, 768, 1)
+    # animated: ANMF chunks are siblings of VP8X in the RIFF list
+    anim = _webp(b"VP8X", vp8x_body(0x02, 64, 64))
+    for _ in range(3):
+        anim += b"ANMF" + (4).to_bytes(4, "little") + b"\x00" * 4
+    assert decode_image(anim) == (64, 64, 3)
+
+
+def test_decode_image_bmff_no_video_track_falls_back():
+    """An ftyp-bearing payload with no moov (or a zero-dim video
+    track) must take the deterministic-fake path — every decode path
+    guarantees nonzero dimensions."""
+    ftyp_only = (16).to_bytes(4, "big") + b"ftypisom" + b"\x00\x00\x00\x00"
+    w, h, nf = decode_image(ftyp_only)
+    assert w > 0 and h > 0 and nf >= 1
+
+
 def test_extract_features_real_png_through_spark(spark):
     """End-to-end: real PNG bytes through the mapInPandas pipeline must
     surface true header dimensions in the feature frame."""

@@ -76,9 +76,11 @@ def main() -> None:
     sweep_all = "--all" in argv
     out_path = None
     if "--out" in argv:
-        out_path = argv[argv.index("--out") + 1]
-        argv = [a for i, a in enumerate(argv)
-                if a != "--out" and argv[i - 1 : i] != ["--out"]]
+        i = argv.index("--out")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            raise SystemExit("--out requires a path argument")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     only = {a for a in argv if a != "--all"}
     unknown = only - set(queries)
     if unknown:
