@@ -2115,3 +2115,242 @@ def sim_calinski(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((bs / (k - 1)) / (ws / (n - k)), 6).alias("ch_index"),
         )
     )
+
+
+# -- sim_ivf_tuning ------------------------------------------------------
+#
+# The recall/cost knob a 100 TB IVF deployment actually turns: probe
+# the coarse quantizer at nprobe ∈ {1,2,4,8} and report, per setting,
+# the MEASURED mean recall@10 against the exact brute-force top-10
+# and the mean scanned fraction of the corpus — the dedup_lsh_tuning
+# pattern applied to IVF. Centroids are the per-(label, dim) means of
+# the existing cluster assignment (the same coarse quantizer
+# sim_ivf_topk probes); every fold is per-term DECIMAL-rounded
+# (order-independent), cluster ranking ties break on (score, cl), so
+# the whole sweep is hash-checkable cross-engine. Scale: the q×corpus
+# cosine table is the 20-query EVAL harness (like sim_lsh_recall),
+# not the serving path — serving scans only the probed partitions,
+# which is exactly the fraction this entry measures.
+
+N_TUNE_QUERIES = 20
+IVF_NPROBES = (1, 2, 4, 8)
+
+IVF_TUNING_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, label, i AS dim, embedding[i] AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+), meta AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings
+), cent AS (
+  SELECT label AS cl, dim,
+         round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*), 9) AS c
+  FROM ex GROUP BY 1, 2
+), qx AS (
+  SELECT vec_id AS q, dim, x FROM ex WHERE vec_id < {N_TUNE_QUERIES}
+), qc AS (
+  SELECT qx.q, cent.cl,
+         CAST(SUM(CAST(round(qx.x * cent.c, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS dotqc,
+         CAST(SUM(CAST(round(cent.c * cent.c, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS cc,
+         CAST(SUM(CAST(round(qx.x * qx.x, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS qq
+  FROM qx JOIN cent ON cent.dim = qx.dim
+  GROUP BY 1, 2
+), crank AS (
+  SELECT q, cl,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q
+              ORDER BY round(dotqc / (sqrt(qq) * sqrt(cc)), 6) DESC, cl)
+           AS BIGINT) AS rk
+  FROM qc
+), pairs AS (
+  SELECT eq.q, ev.vec_id AS v,
+         CAST(SUM(CAST(eq.x * ev.x AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(eq.x * eq.x AS DECIMAL(28,12))) AS DOUBLE) AS qq,
+         CAST(SUM(CAST(ev.x * ev.x AS DECIMAL(28,12))) AS DOUBLE) AS vv
+  FROM qx eq JOIN ex ev ON ev.dim = eq.dim
+  WHERE ev.vec_id <> eq.q
+  GROUP BY 1, 2
+), scored AS (
+  SELECT q, v, round(dot / (sqrt(qq) * sqrt(vv)), 4) AS cos FROM pairs
+), exact AS (
+  SELECT q, v FROM (
+    SELECT q, v,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, v) AS rn
+    FROM scored) t
+  WHERE rn <= 10
+), nps AS (
+  SELECT UNNEST([1, 2, 4, 8]) AS np
+), vl AS (
+  SELECT vec_id AS v, label AS vcl FROM embeddings
+), cand AS (
+  SELECT n.np, s.q, s.v, s.cos
+  FROM scored s
+  JOIN vl ON vl.v = s.v
+  JOIN crank r ON r.q = s.q AND r.cl = vl.vcl
+  JOIN nps n ON r.rk <= n.np
+), nc AS (
+  SELECT np, q, CAST(COUNT(*) AS BIGINT) AS n_cand
+  FROM cand GROUP BY 1, 2
+), approx AS (
+  SELECT np, q, v FROM (
+    SELECT np, q, v,
+           ROW_NUMBER() OVER (PARTITION BY np, q
+                              ORDER BY cos DESC, v) AS rn
+    FROM cand) t
+  WHERE rn <= 10
+), hits AS (
+  SELECT n.np, e.q, CAST(COUNT(a.v) AS BIGINT) AS n_hit
+  FROM exact e
+  CROSS JOIN nps n
+  LEFT JOIN approx a ON a.np = n.np AND a.q = e.q AND a.v = e.v
+  GROUP BY 1, 2
+)
+SELECT h.np AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(SUM(c.n_cand) / CAST(COUNT(*) AS DOUBLE), 2)
+         AS mean_candidates,
+       round(SUM(c.n_cand)
+             / (CAST(COUNT(*) AS DOUBLE) * (MIN(m.n_vecs) - 1)), 6)
+         AS mean_scanned_fraction,
+       round(SUM(h.n_hit) / (10.0 * COUNT(*)), 6) AS mean_recall_at_10
+FROM hits h
+JOIN nc c ON c.np = h.np AND c.q = h.q
+CROSS JOIN meta m
+GROUP BY 1
+ORDER BY nprobe
+"""
+
+
+@query("sim_ivf_tuning", oracle=IVF_TUNING_SQL)
+def sim_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    ex = (
+        e.select("vec_id", "label", F.posexplode("embedding").alias("dim0", "x"))
+        .select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x")
+    )
+    ex = spread(ex).cache()  # consumed by centroids, query side, corpus side
+    cent = (
+        ex.groupBy(F.col("label").alias("cl"), "dim")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("x"), 9).cast("decimal(18,9)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("c")
+        )
+    )
+    qx = ex.filter(F.col("vec_id") < N_TUNE_QUERIES).select(
+        F.col("vec_id").alias("q"), "dim", F.col("x").alias("xq")
+    )
+    p12 = lambda col: F.sum(F.round(col, 12).cast("decimal(28,12)")).cast("double")
+    qc = (
+        qx.join(F.broadcast(cent), "dim")
+        .groupBy("q", "cl")
+        .agg(
+            p12(F.col("xq") * F.col("c")).alias("dotqc"),
+            p12(F.col("c") * F.col("c")).alias("cc"),
+            p12(F.col("xq") * F.col("xq")).alias("qq"),
+        )
+    )
+    crank = qc.select(
+        "q", "cl",
+        F.row_number()
+        .over(
+            Window.partitionBy("q").orderBy(
+                F.round(
+                    F.col("dotqc") / (F.sqrt("qq") * F.sqrt("cc")), 6
+                ).desc(),
+                F.asc("cl"),
+            )
+        )
+        .cast("bigint")
+        .alias("rk"),
+    )
+    ev = ex.select(F.col("vec_id").alias("v"), "dim", F.col("x").alias("xv"))
+    pairs = (
+        qx.join(ev, "dim")
+        .filter(F.col("v") != F.col("q"))
+        .groupBy("q", "v")
+        .agg(
+            F.sum((F.col("xq") * F.col("xv")).cast("decimal(28,12)"))
+            .cast("double").alias("dot"),
+            F.sum((F.col("xq") * F.col("xq")).cast("decimal(28,12)"))
+            .cast("double").alias("qq"),
+            F.sum((F.col("xv") * F.col("xv")).cast("decimal(28,12)"))
+            .cast("double").alias("vv"),
+        )
+    )
+    scored = pairs.select(
+        "q", "v",
+        F.round(F.col("dot") / (F.sqrt("qq") * F.sqrt("vv")), 4).alias("cos"),
+    ).localCheckpoint()  # consumed by exact ranking AND the nprobe sweep
+    wq = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("v"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+        .select("q", "v")
+    )
+    nps = spark.createDataFrame([(n,) for n in IVF_NPROBES], "np int")
+    vl = e.select(F.col("vec_id").alias("v"), F.col("label").alias("vcl"))
+    cand = (
+        scored.join(F.broadcast(vl), "v")
+        .join(
+            F.broadcast(
+                crank.select(
+                    F.col("q").alias("rq"), F.col("cl").alias("rcl"), "rk"
+                )
+            ),
+            (F.col("rq") == F.col("q")) & (F.col("rcl") == F.col("vcl")),
+        )
+        .crossJoin(F.broadcast(nps))
+        .filter(F.col("rk") <= F.col("np"))
+        .select("np", "q", "v", "cos")
+    )
+    nc = cand.groupBy("np", "q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    wnq = Window.partitionBy("np", "q").orderBy(F.desc("cos"), F.asc("v"))
+    approx = (
+        cand.withColumn("rn", F.row_number().over(wnq))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("np").alias("anp"),
+            F.col("q").alias("aq"),
+            F.col("v").alias("av"),
+        )
+    )
+    hits = (
+        exact.crossJoin(F.broadcast(nps))
+        .join(
+            approx,
+            (F.col("aq") == F.col("q"))
+            & (F.col("av") == F.col("v"))
+            & (F.col("anp") == F.col("np")),
+            "left",
+        )
+        .groupBy("np", "q")
+        .agg(F.count("av").cast("bigint").alias("n_hit"))
+    )
+    meta = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    nq = F.count(F.lit(1))
+    return (
+        hits.join(nc, ["np", "q"])
+        .crossJoin(F.broadcast(meta))
+        .groupBy(F.col("np").cast("bigint").alias("nprobe"))
+        .agg(
+            nq.cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum("n_cand") / nq.cast("double"), 2
+            ).alias("mean_candidates"),
+            F.round(
+                F.sum("n_cand")
+                / (nq.cast("double") * (F.min("n_vecs") - 1)),
+                6,
+            ).alias("mean_scanned_fraction"),
+            F.round(F.sum("n_hit") / (10.0 * nq), 6).alias("mean_recall_at_10"),
+        )
+        .orderBy("nprobe")
+    )

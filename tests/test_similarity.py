@@ -190,3 +190,23 @@ def test_diversity_sample_properties(spark):
 
     out = QUERIES["sim_diversity_sample"](spark, SF_DIR).collect()
     assert [r.picked_order for r in out] == list(range(k))
+
+
+def test_ivf_tuning_sweep_monotone(spark):
+    """The nprobe sweep must behave like a real recall/cost knob:
+    scanned fraction grows ~linearly with nprobe (10 clusters) and
+    recall@10 is non-decreasing, reaching its max at nprobe=8."""
+    from redmap_spark.inventory.similarity import sim_ivf_tuning
+
+    rows = {
+        r.nprobe: r
+        for r in sim_ivf_tuning(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    frac = [rows[n].mean_scanned_fraction for n in (1, 2, 4, 8)]
+    rec = [rows[n].mean_recall_at_10 for n in (1, 2, 4, 8)]
+    assert all(a < b for a, b in zip(frac, frac[1:]))
+    # ~np/10 of the corpus scanned, within cluster-size skew
+    assert 0.02 <= frac[0] <= 0.35 and 0.55 <= frac[3] <= 1.0
+    assert all(a <= b + 1e-9 for a, b in zip(rec, rec[1:]))
+    assert rec[3] == max(rec) and rec[3] > 0
