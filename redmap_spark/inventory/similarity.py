@@ -2354,3 +2354,384 @@ def sim_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# -- sim_graph_expand ----------------------------------------------------
+#
+# Graph-based ANN (the HNSW/DiskANN family), expressed Spark-first as
+# a measured eval: build a kNN NEIGHBORHOOD GRAPH offline (each vector
+# keeps its G=8 best neighbors among vectors sharing one of its top-2
+# soft-assigned IVF clusters — soft assignment is what creates the
+# cross-cluster edges a boundary query needs), then answer queries by
+# seed-scan + one greedy expansion hop: scan the query's nearest
+# cluster, take the top-S=5 seeds, pull their graph neighbors, exact-
+# rescore the union. Reported per method ('ivf1' seed-only vs 'graph'
+# expanded): measured mean recall@10 vs brute force and mean scanned
+# fraction — the eval shows the graph hop buying back the recall
+# nprobe=1 loses at ~zero extra scan cost. Scale: graph build cost is
+# Σ|group|² like mr_triangles' Σdeg² (groups are cluster-sized, built
+# once offline; at 100 TB the graph is a table partitioned by node),
+# query cost is |cluster| + S·G exact scores. Folds follow the
+# sim_bruteforce discipline (sequential IEEE array folds + round(4),
+# decimal-rounded centroid means), so the eval is hash-checkable.
+
+GRAPH_G = 8       # graph degree kept per node
+GRAPH_SEEDS = 5   # expansion frontier size
+
+GRAPH_EXPAND_SQL = f"""
+WITH w AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           AS nrm
+  FROM embeddings
+), meta AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM w
+), ex AS (
+  SELECT vec_id, label, i AS dim, embedding[i] AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+), centd AS (
+  SELECT label AS cl, dim,
+         round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*), 9) AS c
+  FROM ex GROUP BY 1, 2
+), cent AS (
+  SELECT cl, list(c ORDER BY dim) AS cv,
+         sqrt(list_sum(list_transform(list(c ORDER BY dim), x -> x * x)))
+           AS cnrm
+  FROM centd GROUP BY 1
+), vc AS (
+  SELECT w.vec_id, cent.cl,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> w.v[i] * cent.cv[i])) / (w.nrm * cent.cnrm), 6)
+           AS cs
+  FROM w CROSS JOIN cent
+), soft AS (
+  SELECT vec_id, cl, arank FROM (
+    SELECT vec_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cl) AS arank
+    FROM vc) t
+  WHERE arank <= 2
+), gpairs AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS nb
+  FROM soft a JOIN soft b ON a.cl = b.cl AND a.vec_id < b.vec_id
+), gscored AS (
+  SELECT p.u, p.nb,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> wu.v[i] * wn.v[i])) / (wu.nrm * wn.nrm), 4) AS s
+  FROM gpairs p
+  JOIN w wu ON wu.vec_id = p.u
+  JOIN w wn ON wn.vec_id = p.nb
+), graph AS (
+  SELECT node, nb FROM (
+    SELECT node, nb,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY s DESC, nb) AS rn
+    FROM (
+      SELECT u AS node, nb, s FROM gscored
+      UNION ALL
+      SELECT nb AS node, u AS nb, s FROM gscored
+    ) sym) t
+  WHERE rn <= {GRAPH_G}
+), qs AS (
+  SELECT vec_id AS q, v AS qv, nrm AS qn FROM w
+  WHERE vec_id < {N_TUNE_QUERIES}
+), qcl AS (
+  SELECT vec_id AS q, cl FROM soft WHERE arank = 1
+                                     AND vec_id < {N_TUNE_QUERIES}
+), seedset AS (
+  SELECT qcl.q, s.vec_id AS v
+  FROM qcl JOIN soft s ON s.cl = qcl.cl AND s.arank = 1
+  WHERE s.vec_id <> qcl.q
+), sscore AS (
+  SELECT ss.q, ss.v,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> qs.qv[i] * w.v[i])) / (qs.qn * w.nrm), 4) AS cos
+  FROM seedset ss
+  JOIN qs ON qs.q = ss.q
+  JOIN w ON w.vec_id = ss.v
+), ivf1 AS (
+  SELECT q, v, cos, rn FROM (
+    SELECT q, v, cos,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, v) AS rn
+    FROM sscore) t
+), frontier AS (
+  SELECT q, v FROM ivf1 WHERE rn <= {GRAPH_SEEDS}
+), expandset AS (
+  SELECT q, v FROM seedset
+  UNION
+  SELECT f.q, g.nb AS v
+  FROM frontier f JOIN graph g ON g.node = f.v
+  WHERE g.nb <> f.q
+), escore AS (
+  SELECT es.q, es.v,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> qs.qv[i] * w.v[i])) / (qs.qn * w.nrm), 4) AS cos
+  FROM expandset es
+  JOIN qs ON qs.q = es.q
+  JOIN w ON w.vec_id = es.v
+), gtop AS (
+  SELECT q, v FROM (
+    SELECT q, v,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, v) AS rn
+    FROM escore) t
+  WHERE rn <= 10
+), exact AS (
+  SELECT q, v FROM (
+    SELECT qs.q, w.vec_id AS v,
+           ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY
+             round(list_sum(list_transform(range(1, 65),
+                     i -> qs.qv[i] * w.v[i])) / (qs.qn * w.nrm), 4) DESC,
+             w.vec_id) AS rn
+    FROM qs JOIN w ON w.vec_id <> qs.q) t
+  WHERE rn <= 10
+), cands AS (
+  SELECT 'ivf1' AS method, q, CAST(COUNT(*) AS BIGINT) AS n_cand
+  FROM seedset GROUP BY 2
+  UNION ALL
+  SELECT 'graph', q, CAST(COUNT(*) AS BIGINT) FROM expandset GROUP BY 2
+), results AS (
+  SELECT 'ivf1' AS method, q, v FROM ivf1 WHERE rn <= 10
+  UNION ALL
+  SELECT 'graph', q, v FROM gtop
+), hits AS (
+  SELECT m.method, e.q, CAST(COUNT(r.v) AS BIGINT) AS n_hit
+  FROM exact e
+  CROSS JOIN (SELECT DISTINCT method FROM results) m
+  LEFT JOIN results r ON r.method = m.method AND r.q = e.q AND r.v = e.v
+  GROUP BY 1, 2
+)
+SELECT h.method,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(SUM(c.n_cand) / CAST(COUNT(*) AS DOUBLE), 2)
+         AS mean_candidates,
+       round(SUM(c.n_cand)
+             / (CAST(COUNT(*) AS DOUBLE) * (MIN(m2.n_vecs) - 1)), 6)
+         AS mean_scanned_fraction,
+       round(SUM(h.n_hit) / (10.0 * COUNT(*)), 6) AS mean_recall_at_10
+FROM hits h
+JOIN cands c ON c.method = h.method AND c.q = h.q
+CROSS JOIN meta m2
+GROUP BY 1
+ORDER BY h.method
+"""
+
+
+@query("sim_graph_expand", oracle=GRAPH_EXPAND_SQL)
+def sim_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    w = (
+        e.select(
+            "vec_id", "label", S.as_double_vec("embedding").alias("v")
+        )
+        .withColumn("nrm", S.norm(F.col("v")))
+        .localCheckpoint()  # feeds centroids, assignment, graph, scoring
+    )
+    ex = w.select("label", F.posexplode("v").alias("dim0", "x")).select(
+        "label", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    centd = ex.groupBy(F.col("label").alias("cl"), "dim").agg(
+        F.round(
+            F.sum(F.round(F.col("x"), 9).cast("decimal(18,9)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("c")
+    )
+    cent = (
+        centd.groupBy("cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+        .withColumn("cnrm", S.norm(F.col("cv")))
+    )
+    vc = w.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cl",
+        F.round(
+            S.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ).alias("cs"),
+    )
+    wsoft = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cl"))
+    soft = (
+        vc.withColumn("arank", F.row_number().over(wsoft))
+        .filter(F.col("arank") <= 2)
+        .select("vec_id", "cl", "arank")
+        .localCheckpoint()  # consumed by graph pairs (x2), qcl, seedset
+    )
+    ga = soft.select("cl", F.col("vec_id").alias("u"))
+    gb = soft.select(F.col("cl").alias("clb"), F.col("vec_id").alias("nb"))
+    gpairs = (
+        ga.join(gb, (F.col("cl") == F.col("clb")) & (F.col("u") < F.col("nb")))
+        .select("u", "nb")
+        .distinct()
+    )
+    wu = w.select(
+        F.col("vec_id").alias("u"), F.col("v").alias("uv"),
+        F.col("nrm").alias("un"),
+    )
+    wn = w.select(
+        F.col("vec_id").alias("nb"), F.col("v").alias("nv2"),
+        F.col("nrm").alias("nn"),
+    )
+    gscored = (
+        gpairs.join(F.broadcast(wu), "u")
+        .join(F.broadcast(wn), "nb")
+        .select(
+            "u", "nb",
+            F.round(
+                S.dot(F.col("uv"), F.col("nv2"))
+                / (F.col("un") * F.col("nn")),
+                4,
+            ).alias("s"),
+        )
+    )
+    sym = gscored.select(F.col("u").alias("node"), "nb", "s").unionAll(
+        gscored.select(
+            F.col("nb").alias("node"), F.col("u").alias("nb"), "s"
+        )
+    )
+    wg = Window.partitionBy("node").orderBy(F.desc("s"), F.asc("nb"))
+    graph = (
+        sym.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= GRAPH_G)
+        .select("node", "nb")
+        .localCheckpoint()  # the offline index: |nodes| x G rows
+    )
+    qs = w.filter(F.col("vec_id") < N_TUNE_QUERIES).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qcl = soft.filter(
+        (F.col("arank") == 1) & (F.col("vec_id") < N_TUNE_QUERIES)
+    ).select(F.col("vec_id").alias("q"), "cl")
+    seedset = (
+        qcl.join(
+            soft.filter(F.col("arank") == 1).select(
+                "cl", F.col("vec_id").alias("v")
+            ),
+            "cl",
+        )
+        .filter(F.col("v") != F.col("q"))
+        .select("q", "v")
+        .localCheckpoint()  # consumed by seed scoring, expansion, cands
+    )
+
+    def rescore(cands: DataFrame) -> DataFrame:
+        return (
+            cands.join(F.broadcast(qs), "q")
+            .join(
+                F.broadcast(
+                    w.select(
+                        F.col("vec_id").alias("v2"),
+                        F.col("v").alias("cvv"),
+                        F.col("nrm").alias("cvn"),
+                    )
+                ),
+                F.col("v2") == F.col("v"),
+            )
+            .select(
+                "q", "v",
+                F.round(
+                    S.dot(F.col("qv"), F.col("cvv"))
+                    / (F.col("qn") * F.col("cvn")),
+                    4,
+                ).alias("cos"),
+            )
+        )
+
+    wq = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("v"))
+    ivf1 = (
+        rescore(seedset)
+        .withColumn("rn", F.row_number().over(wq))
+        .localCheckpoint()  # consumed by frontier AND results
+    )
+    frontier = ivf1.filter(F.col("rn") <= GRAPH_SEEDS).select("q", "v")
+    expandset = (
+        seedset.unionAll(
+            frontier.join(
+                F.broadcast(graph),
+                F.col("node") == F.col("v"),
+            )
+            .filter(F.col("nb") != F.col("q"))
+            .select("q", F.col("nb").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()  # consumed by expanded scoring AND cands
+    )
+    gtop = (
+        rescore(expandset)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+        .select("q", "v")
+    )
+    allpairs = qs.crossJoin(
+        w.select(
+            F.col("vec_id").alias("v2"), F.col("v").alias("cvv"),
+            F.col("nrm").alias("cvn"),
+        )
+    ).filter(F.col("v2") != F.col("q"))
+    exact = (
+        allpairs.select(
+            "q", F.col("v2").alias("v"),
+            F.round(
+                S.dot(F.col("qv"), F.col("cvv"))
+                / (F.col("qn") * F.col("cvn")),
+                4,
+            ).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+        .select("q", "v")
+    )
+    cands = seedset.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    ).select(F.lit("ivf1").alias("method"), "q", "n_cand").unionAll(
+        expandset.groupBy("q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+        .select(F.lit("graph").alias("method"), "q", "n_cand")
+    )
+    results = ivf1.filter(F.col("rn") <= 10).select(
+        F.lit("ivf1").alias("method"), "q", "v"
+    ).unionAll(gtop.select(F.lit("graph").alias("method"), "q", "v"))
+    methods = spark.createDataFrame(
+        [("ivf1",), ("graph",)], "method string"
+    )
+    hits = (
+        exact.crossJoin(F.broadcast(methods))
+        .join(
+            results.select(
+                F.col("method").alias("rm"), F.col("q").alias("rq"),
+                F.col("v").alias("rv"),
+            ),
+            (F.col("rm") == F.col("method"))
+            & (F.col("rq") == F.col("q"))
+            & (F.col("rv") == F.col("v")),
+            "left",
+        )
+        .groupBy("method", "q")
+        .agg(F.count("rv").cast("bigint").alias("n_hit"))
+    )
+    meta = w.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    nq = F.count(F.lit(1))
+    return (
+        hits.join(cands, ["method", "q"])
+        .crossJoin(F.broadcast(meta))
+        .groupBy("method")
+        .agg(
+            nq.cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum("n_cand") / nq.cast("double"), 2
+            ).alias("mean_candidates"),
+            F.round(
+                F.sum("n_cand")
+                / (nq.cast("double") * (F.min("n_vecs") - 1)),
+                6,
+            ).alias("mean_scanned_fraction"),
+            F.round(F.sum("n_hit") / (10.0 * nq), 6).alias("mean_recall_at_10"),
+        )
+        .orderBy("method")
+    )

@@ -210,3 +210,24 @@ def test_ivf_tuning_sweep_monotone(spark):
     assert 0.02 <= frac[0] <= 0.35 and 0.55 <= frac[3] <= 1.0
     assert all(a <= b + 1e-9 for a, b in zip(rec, rec[1:]))
     assert rec[3] == max(rec) and rec[3] > 0
+
+
+def test_graph_expand_beats_seed_only(spark):
+    """The one-hop graph expansion must never lose recall vs the
+    seed-only (nprobe=1) scan — cross-cluster edges only ADD
+    candidates — and its extra scan cost must stay bounded by
+    seeds x graph degree."""
+    from redmap_spark.inventory.similarity import (
+        GRAPH_G,
+        GRAPH_SEEDS,
+        sim_graph_expand,
+    )
+
+    rows = {
+        r.method: r
+        for r in sim_graph_expand(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {"ivf1", "graph"}
+    assert rows["graph"].mean_recall_at_10 >= rows["ivf1"].mean_recall_at_10
+    extra = rows["graph"].mean_candidates - rows["ivf1"].mean_candidates
+    assert 0 <= extra <= GRAPH_SEEDS * GRAPH_G
