@@ -2123,57 +2123,58 @@ def sim_calinski(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the coarse quantizer at nprobe ∈ {1,2,4,8} and report, per setting,
 # the MEASURED mean recall@10 against the exact brute-force top-10
 # and the mean scanned fraction of the corpus — the dedup_lsh_tuning
-# pattern applied to IVF. Centroids are the per-(label, dim) means of
-# the existing cluster assignment (the same coarse quantizer
-# sim_ivf_topk probes); every fold is per-term DECIMAL-rounded
-# (order-independent), cluster ranking ties break on (score, cl), so
-# the whole sweep is hash-checkable cross-engine. Scale: the q×corpus
-# cosine table is the 20-query EVAL harness (like sim_lsh_recall),
-# not the serving path — serving scans only the probed partitions,
-# which is exactly the fraction this entry measures.
+# pattern applied to IVF. Centroids are the per-(label, dim)
+# DECIMAL-rounded means of the existing cluster assignment (the same
+# coarse quantizer sim_ivf_topk probes); pairwise cosines follow the
+# sim_bruteforce discipline — sequential IEEE array folds + round(4),
+# no shuffle-order dependence — so the whole sweep is hash-checkable
+# cross-engine while scoring 40k compact array rows instead of a
+# 2.5M-row explode join. Cluster ranking ties break on (score, cl).
+# Scale: the q×corpus cosine table is the 20-query EVAL harness (like
+# sim_lsh_recall), not the serving path — serving scans only the
+# probed partitions, which is exactly the fraction this entry
+# measures.
 
 N_TUNE_QUERIES = 20
 IVF_NPROBES = (1, 2, 4, 8)
 
 IVF_TUNING_SQL = f"""
-WITH ex AS (
-  SELECT vec_id, label, i AS dim, embedding[i] AS x
-  FROM embeddings, generate_series(1, 64) AS t(i)
+WITH w AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           AS nrm
+  FROM embeddings
 ), meta AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings
-), cent AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM w
+), ex AS (
+  SELECT label, i AS dim, embedding[i] AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+), centd AS (
   SELECT label AS cl, dim,
          round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
                / COUNT(*), 9) AS c
   FROM ex GROUP BY 1, 2
-), qx AS (
-  SELECT vec_id AS q, dim, x FROM ex WHERE vec_id < {N_TUNE_QUERIES}
-), qc AS (
-  SELECT qx.q, cent.cl,
-         CAST(SUM(CAST(round(qx.x * cent.c, 12) AS DECIMAL(28,12)))
-              AS DOUBLE) AS dotqc,
-         CAST(SUM(CAST(round(cent.c * cent.c, 12) AS DECIMAL(28,12)))
-              AS DOUBLE) AS cc,
-         CAST(SUM(CAST(round(qx.x * qx.x, 12) AS DECIMAL(28,12)))
-              AS DOUBLE) AS qq
-  FROM qx JOIN cent ON cent.dim = qx.dim
-  GROUP BY 1, 2
+), cent AS (
+  SELECT cl, list(c ORDER BY dim) AS cv,
+         sqrt(list_sum(list_transform(list(c ORDER BY dim), x -> x * x)))
+           AS cnrm
+  FROM centd GROUP BY 1
+), qs AS (
+  SELECT vec_id AS q, v AS qv, nrm AS qn FROM w
+  WHERE vec_id < {N_TUNE_QUERIES}
 ), crank AS (
   SELECT q, cl,
          CAST(ROW_NUMBER() OVER (PARTITION BY q
-              ORDER BY round(dotqc / (sqrt(qq) * sqrt(cc)), 6) DESC, cl)
+              ORDER BY round(list_sum(list_transform(range(1, 65),
+                        i -> qs.qv[i] * cent.cv[i]))
+                      / (qs.qn * cent.cnrm), 6) DESC, cl)
            AS BIGINT) AS rk
-  FROM qc
-), pairs AS (
-  SELECT eq.q, ev.vec_id AS v,
-         CAST(SUM(CAST(eq.x * ev.x AS DECIMAL(28,12))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(eq.x * eq.x AS DECIMAL(28,12))) AS DOUBLE) AS qq,
-         CAST(SUM(CAST(ev.x * ev.x AS DECIMAL(28,12))) AS DOUBLE) AS vv
-  FROM qx eq JOIN ex ev ON ev.dim = eq.dim
-  WHERE ev.vec_id <> eq.q
-  GROUP BY 1, 2
+  FROM qs CROSS JOIN cent
 ), scored AS (
-  SELECT q, v, round(dot / (sqrt(qq) * sqrt(vv)), 4) AS cos FROM pairs
+  SELECT qs.q, w.vec_id AS v, w.label AS vcl,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> qs.qv[i] * w.v[i])) / (qs.qn * w.nrm), 4) AS cos
+  FROM qs JOIN w ON w.vec_id <> qs.q
 ), exact AS (
   SELECT q, v FROM (
     SELECT q, v,
@@ -2182,13 +2183,10 @@ WITH ex AS (
   WHERE rn <= 10
 ), nps AS (
   SELECT UNNEST([1, 2, 4, 8]) AS np
-), vl AS (
-  SELECT vec_id AS v, label AS vcl FROM embeddings
 ), cand AS (
   SELECT n.np, s.q, s.v, s.cos
   FROM scored s
-  JOIN vl ON vl.v = s.v
-  JOIN crank r ON r.q = s.q AND r.cl = vl.vcl
+  JOIN crank r ON r.q = s.q AND r.cl = s.vcl
   JOIN nps n ON r.rk <= n.np
 ), nc AS (
   SELECT np, q, CAST(COUNT(*) AS BIGINT) AS n_cand
@@ -2226,67 +2224,74 @@ ORDER BY nprobe
 @query("sim_ivf_tuning", oracle=IVF_TUNING_SQL)
 def sim_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
-    ex = (
-        e.select("vec_id", "label", F.posexplode("embedding").alias("dim0", "x"))
-        .select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x")
+    w = (
+        e.select(
+            "vec_id", "label", S.as_double_vec("embedding").alias("v")
+        )
+        .withColumn("nrm", S.norm(F.col("v")))
+        .localCheckpoint()  # feeds centroids, query side, corpus side
     )
-    ex = spread(ex).cache()  # consumed by centroids, query side, corpus side
+    ex = w.select("label", F.posexplode("v").alias("dim0", "x")).select(
+        "label", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    centd = ex.groupBy(F.col("label").alias("cl"), "dim").agg(
+        F.round(
+            F.sum(F.round(F.col("x"), 9).cast("decimal(18,9)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("c")
+    )
     cent = (
-        ex.groupBy(F.col("label").alias("cl"), "dim")
+        centd.groupBy("cl")
         .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+        .withColumn("cnrm", S.norm(F.col("cv")))
+    )
+    qs = w.filter(F.col("vec_id") < N_TUNE_QUERIES).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    crank = (
+        qs.crossJoin(F.broadcast(cent))
+        .select(
+            "q", "cl",
             F.round(
-                F.sum(F.round(F.col("x"), 9).cast("decimal(18,9)"))
-                .cast("double")
-                / F.count(F.lit(1)),
-                9,
-            ).alias("c")
+                S.dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cnrm")),
+                6,
+            ).alias("cs"),
+        )
+        .select(
+            "q", "cl",
+            F.row_number()
+            .over(Window.partitionBy("q").orderBy(F.desc("cs"), F.asc("cl")))
+            .cast("bigint")
+            .alias("rk"),
         )
     )
-    qx = ex.filter(F.col("vec_id") < N_TUNE_QUERIES).select(
-        F.col("vec_id").alias("q"), "dim", F.col("x").alias("xq")
-    )
-    p12 = lambda col: F.sum(F.round(col, 12).cast("decimal(28,12)")).cast("double")
-    qc = (
-        qx.join(F.broadcast(cent), "dim")
-        .groupBy("q", "cl")
-        .agg(
-            p12(F.col("xq") * F.col("c")).alias("dotqc"),
-            p12(F.col("c") * F.col("c")).alias("cc"),
-            p12(F.col("xq") * F.col("xq")).alias("qq"),
-        )
-    )
-    crank = qc.select(
-        "q", "cl",
-        F.row_number()
-        .over(
-            Window.partitionBy("q").orderBy(
-                F.round(
-                    F.col("dotqc") / (F.sqrt("qq") * F.sqrt("cc")), 6
-                ).desc(),
-                F.asc("cl"),
+    scored = (
+        spread(
+            w.select(
+                F.col("vec_id").alias("v2"), F.col("label").alias("vcl"),
+                F.col("v").alias("cvv"), F.col("nrm").alias("cvn"),
             )
         )
-        .cast("bigint")
-        .alias("rk"),
-    )
-    ev = ex.select(F.col("vec_id").alias("v"), "dim", F.col("x").alias("xv"))
-    pairs = (
-        qx.join(ev, "dim")
-        .filter(F.col("v") != F.col("q"))
-        .groupBy("q", "v")
-        .agg(
-            F.sum((F.col("xq") * F.col("xv")).cast("decimal(28,12)"))
-            .cast("double").alias("dot"),
-            F.sum((F.col("xq") * F.col("xq")).cast("decimal(28,12)"))
-            .cast("double").alias("qq"),
-            F.sum((F.col("xv") * F.col("xv")).cast("decimal(28,12)"))
-            .cast("double").alias("vv"),
+        .join(F.broadcast(qs), F.col("v2") != F.col("q"))
+        .select(
+            "q", F.col("v2").alias("v"), "vcl",
+            F.round(
+                S.dot(F.col("qv"), F.col("cvv"))
+                / (F.col("qn") * F.col("cvn")),
+                4,
+            ).alias("cos"),
         )
+        .localCheckpoint()  # consumed by exact ranking AND the sweep
     )
-    scored = pairs.select(
-        "q", "v",
-        F.round(F.col("dot") / (F.sqrt("qq") * F.sqrt("vv")), 4).alias("cos"),
-    ).localCheckpoint()  # consumed by exact ranking AND the nprobe sweep
     wq = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("v"))
     exact = (
         scored.withColumn("rn", F.row_number().over(wq))
@@ -2294,10 +2299,8 @@ def sim_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q", "v")
     )
     nps = spark.createDataFrame([(n,) for n in IVF_NPROBES], "np int")
-    vl = e.select(F.col("vec_id").alias("v"), F.col("label").alias("vcl"))
     cand = (
-        scored.join(F.broadcast(vl), "v")
-        .join(
+        scored.join(
             F.broadcast(
                 crank.select(
                     F.col("q").alias("rq"), F.col("cl").alias("rcl"), "rk"
@@ -2334,7 +2337,7 @@ def sim_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("np", "q")
         .agg(F.count("av").cast("bigint").alias("n_hit"))
     )
-    meta = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    meta = w.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
     nq = F.count(F.lit(1))
     return (
         hits.join(nc, ["np", "q"])
