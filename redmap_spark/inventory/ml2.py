@@ -1610,7 +1610,11 @@ def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r")
         )
     )
-    ratings = ratings.localCheckpoint()  # reused by every ALS step + RMSE
+    # reused by every ALS step + RMSE; pinned hash-partitioned on CUST
+    # so every u-step groupBy(cust) AND every ratings⋈u join runs
+    # co-partitioned with no exchange (the v-side factor tables are
+    # |brands| rows and broadcast; only their 25-row groupBy shuffles)
+    ratings = ratings.repartition("cust").localCheckpoint()
 
     rd = F.col("r").cast("double")
 
