@@ -52,7 +52,8 @@ from redmap_spark.inventory import regress  # noqa: F401
 # (rows+schema+value-hash vs DuckDB). Rounds 1–7 drove 238 of the 538
 # oracle entries driver-green (union of CORRECTNESS_r01..r07); each round
 # the window rotates to the next 50 never-driver-verified entries so the
-# backlog drains at 50/round (250 left after round 8). The rotation test
+# backlog drains at 50/round (252 left after round 8, counting the two
+# round-8 oracle additions sim_ivf_tuning / sim_graph_expand). The rotation test
 # (tests/test_oracle.py::test_window_rotation_covers_all_oracles) enforces
 # that no slot is wasted on an already-verified entry.
 _WINDOW_FIRST = [
