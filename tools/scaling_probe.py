@@ -411,6 +411,56 @@ def main() -> None:
                 .groupBy("g")
                 .agg(F.sum("k").alias("density"), F.count(F.lit(1)).alias("n"))
             ),
+            # round-8 shape: the sim_graph_expand kNN-graph build —
+            # within-cluster pair scoring (Σ|group|² like the triangle
+            # probe's Σdeg²) + per-node top-G window. Replica-disjoint
+            # cluster keys (label re-derived per replica, the same
+            # DIV-stride trick as graph_triangles) keep |group| constant
+            # while cluster COUNT scales with the data — the realistic
+            # 100 TB regime, where the IVF cell count grows with the
+            # corpus and cell size stays bounded. Wall time must track
+            # the pair count linearly; a slope toward 16 would mean the
+            # build is quadratic in corpus size, not in cell size.
+            "graph_ann_build": lambda: noop(
+                (lambda vecs: (
+                    vecs.alias("a")
+                    .join(
+                        vecs.alias("b"),
+                        (F.col("a.cl") == F.col("b.cl"))
+                        & (F.col("a.vec_id") < F.col("b.vec_id")),
+                    )
+                    .select(
+                        F.col("a.vec_id").alias("u"),
+                        F.col("b.vec_id").alias("nb"),
+                        F.col("a.cl").alias("cl"),
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("a.v"), F.col("b.v"),
+                                lambda x, y: x * y,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("dot"),
+                    )
+                    .withColumn(
+                        "rk",
+                        F.row_number().over(
+                            Window.partitionBy("u")
+                            .orderBy(F.desc("dot"), "nb")
+                        ),
+                    )
+                    .filter(F.col("rk") <= 8)
+                ))(
+                    em.select(
+                        "vec_id",
+                        (
+                            F.col("label")
+                            + F.expr("vec_id DIV 100000000") * F.lit(1000)
+                        ).alias("cl"),
+                        F.col("embedding").cast("array<double>").alias("v"),
+                    )
+                )
+            ),
             "cms_build": lambda: noop(
                 ev.select(
                     "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
