@@ -898,18 +898,39 @@ def test_round6_no_python_in_sql_expressible_entries(spark):
 
 
 def test_spread_heals_narrow_scans_and_noops_wide(spark):
-    """spread() repartitions a 1-partition (single-file-scan-shaped)
-    input up to the session's default parallelism, leaves an
-    already-wide frame untouched (same partitioning, no added
-    Exchange), and never changes row contents."""
+    """spread() repartitions a narrow (few-file parquet scan) input up
+    to the session's default parallelism — including through a
+    broadcast dim join, the q_huber_regression shape — judges width
+    from inputFiles() metadata (never df.rdd, which would eagerly
+    materialize AQE stages), leaves post-shuffle and non-file frames
+    untouched, and never changes row contents."""
+    from pyspark.sql import functions as F
+
     from redmap_spark.plans.partitioning import spread
 
     target = spark.sparkContext.defaultParallelism
-    narrow = spark.range(0, 1000).coalesce(1)
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    narrow = nation.select("n_nationkey", "n_regionkey")
     healed = spread(narrow)
     assert healed.rdd.getNumPartitions() == target
-    assert sorted(r.id for r in healed.collect()) == list(range(1000))
+    assert sorted(r.n_nationkey for r in healed.collect()) == sorted(
+        r.n_nationkey for r in narrow.collect()
+    )
 
-    wide = spark.range(0, 1000, numPartitions=target)
-    same = spread(wide)
-    assert same is wide  # identity: no plan change, no Exchange
+    # a broadcast dim join over scans keeps scan width — spread()
+    # must still heal it (the shape that regressed in round 8 when
+    # Join blocked the heal)
+    region = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    joined = narrow.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    assert spread(joined).rdd.getNumPartitions() == target
+
+    # post-shuffle width was chosen by the exchange: identity
+    agg = narrow.groupBy("n_regionkey").count()
+    assert spread(agg) is agg
+
+    # non-file sources (range / checkpoint) can't be judged cheaply:
+    # identity
+    nonfile = spark.range(0, 1000)
+    assert spread(nonfile) is nonfile
