@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import query
+from redmap_spark.inventory.registry import query, spread
 
 # -- q_elasticity ------------------------------------------------------
 #
@@ -85,6 +85,9 @@ def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x"),
         )
     )
+    # single-file scan: the 2-ln + five decimal-rounded folds per row
+    # are the cost, not the scan — heal parallelism before the agg
+    li = spread(li)
 
     def fold(expr, name):
         # DECIMAL(18,9): ln-scale terms are bounded (|t| <= ~400), and
@@ -2401,7 +2404,7 @@ ORDER BY 1
 @query("q_bid_rigging_screen", oracle=BID_SCREEN_SQL)
 def q_bid_rigging_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
-    li = c.lineitem
+    li = spread(c.lineitem)  # heal the 1-partition scan pre-partial-agg
     bids = (
         li.groupBy(
             F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
@@ -2785,6 +2788,9 @@ def q_price_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q2"),
         )
     )
+    # same single-file-scan heal as q_elasticity: the 2-ln + bigint
+    # per-row math dominates, not the scan
+    li = spread(li)
 
     def fold(expr, name):
         return (

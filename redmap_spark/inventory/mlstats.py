@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import dec, query
+from redmap_spark.inventory.registry import dec, query, spread
 
 # -- q_regression ------------------------------------------------------
 #
@@ -1994,10 +1994,14 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which keeps the 96×-expanded aggregation on the primitive-long
     # hash-agg fast path — measured 5.4 s vs 9.4 s for decimal sums
     # at sf0.1.
-    ev = e.filter(F.col("value").isNotNull()).select(
-        "event_type",
-        (dec("value") * 100).cast("bigint").alias("xc"),
-        "event_id",
+    # single-file scan: the 96x replica expansion (1.2M md5, 9.6M
+    # conv/when rows) is per-row-heavy and must not run on one core
+    ev = spread(
+        e.filter(F.col("value").isNotNull()).select(
+            "event_type",
+            (dec("value") * 100).cast("bigint").alias("xc"),
+            "event_id",
+        )
     )
     hg = ev.select(
         "event_type", "xc",
