@@ -1361,8 +1361,10 @@ def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    w = emb.select(
-        "vec_id", "label", v.alias("v"), nrm.alias("nrm")
+    # single-file scan: the 400k x 64-dim HOF scoring fan-out below
+    # runs on the checkpoint's partitioning — heal it first
+    w = spread(
+        emb.select("vec_id", "label", v.alias("v"), nrm.alias("nrm"))
     ).localCheckpoint()
     q = w.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("qid"),
@@ -2458,7 +2460,9 @@ ORDER BY h1.source
 
 @query("txt_char_entropy", oracle=CHAR_ENT_SQL)
 def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).documents
+    # ~7M exploded chars + bigrams from a 1-partition single-file
+    # scan: heal before BOTH explode passes
+    d = spread(Catalog(spark, sf_dir).documents)
     uni0 = d.select(
         "source",
         F.explode(
