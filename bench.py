@@ -45,9 +45,40 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # Warm minima (round 9, per the r8 verdict): after the cold pass,
+    # re-run the slowest-N cold entries twice more and take the
+    # min-of-3 — codegen compile / GC noise concentrates in the tail,
+    # so re-running only the tail bounds the extra wall (~2x the tail's
+    # warm sum, not 2x the whole sweep) while capturing the warm floor
+    # where it matters. warm.value sums min(warm, cold) for re-run
+    # entries and the cold time for the (sub-second, cold~=warm) rest —
+    # an upper bound on the true all-warm total. Skipped when
+    # REPEATS>1 (the whole sweep is already min-of-N then).
+    warm: dict | None = None
+    warm_n = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_N", "40"))
+    if repeats == 1 and warm_n > 0:
+        tail_names = sorted(timings, key=lambda k: (-timings[k], k))[:warm_n]
+        warm_timings = dict(timings)
+        for name in tail_names:
+            best = warm_timings[name]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            warm_timings[name] = round(best, 4)
+        slowest = sorted(warm_timings, key=lambda k: (-warm_timings[k], k))[:15]
+        warm = {
+            "value": round(sum(warm_timings.values()), 1),
+            "n_rerun": warm_n,
+            "slowest": {k: round(warm_timings[k], 1) for k in slowest},
+        }
+        print(json.dumps({"full_warm_queries": {k: warm_timings[k] for k in tail_names}},
+                         sort_keys=True))
+
     # Full-precision, full-name timings for humans/BASELINE.md upkeep.
     print(json.dumps({"full_queries": timings}, sort_keys=True))
-    print(compact_line(timings, total, sf))
+    print(compact_line(timings, total, sf, warm))
 
 
 def _build_compact(timings: dict[str, float], klen: int) -> dict[str, float]:
@@ -75,7 +106,8 @@ def _build_compact(timings: dict[str, float], klen: int) -> dict[str, float]:
     return out
 
 
-def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
+def compact_line(timings: dict[str, float], total: float, sf: float,
+                 warm: dict | None = None) -> str:
     """The driver stores only the LAST 2000 chars of stdout and
     json-parses from there, so the final line must fit 1900 chars.
     Staged fallback instead of crashing the driver run: 3-char keys →
@@ -99,6 +131,8 @@ def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
             "queries": q,
             "sf": sf,
         }
+        if warm is not None:
+            d["warm"] = warm
         if extra:
             d.update(extra)
         return json.dumps(d, separators=(",", ":"), sort_keys=True)

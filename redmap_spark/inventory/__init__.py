@@ -49,96 +49,83 @@ from redmap_spark.inventory import distrib  # noqa: F401
 from redmap_spark.inventory import regress  # noqa: F401
 
 # The driver's CORRECTNESS window verifies the FIRST 50 queries() entries
-# (rows+schema+value-hash vs DuckDB). Rounds 1–7 drove 238 of the 538
-# oracle entries driver-green (union of CORRECTNESS_r01..r07); each round
+# (rows+schema+value-hash vs DuckDB). Rounds 1–8 drove 288 of the 540
+# oracle entries driver-green (union of CORRECTNESS_r01..r08); each round
 # the window rotates to the next 50 never-driver-verified entries so the
-# backlog drains at 50/round (252 left after round 8, counting the two
-# round-8 oracle additions sim_ivf_tuning / sim_graph_expand). The rotation test
+# backlog drains at 50/round (202 left after round 9). The rotation test
 # (tests/test_oracle.py::test_window_rotation_covers_all_oracles) enforces
 # that no slot is wasted on an already-verified entry.
 _WINDOW_FIRST = [
-    # Round-8 rotation: the 300 oracle entries that have never carried a
-    # driver hash_match (union of CORRECTNESS_r01..r07), in prior
+    # Round-9 rotation: the 252 oracle entries that have never carried a
+    # driver hash_match (union of CORRECTNESS_r01..r08), in prior
     # registration order. The driver verifies the first 50 per round;
-    # the remainder queue as fully-unverified overflow for rounds 9+.
-    # All 300 were additionally hash-verified in full local sweeps at
+    # the remainder queue as fully-unverified overflow for rounds 10+.
+    # All 252 were additionally hash-verified in full local sweeps at
     # sf0.01 AND sf0.1 (tools/driver_gate_sim.py ->
-    # CORRECTNESS_full_r07.json / CORRECTNESS_full_r07_sf01.json).
-    "q_ljung_box", "q_anova_oneway", "q_tukey_hsd", "q_levene_test",
-    "q_mcnemar", "q_cochran_armitage", "q_logrank", "q_markov_entropy",
-    "q_group_sequential", "q_srm_check", "q_bimodality", "q_abc_analysis",
-    "q_pr_curve", "q_covariate_balance", "q_xmr_chart", "q_interrupted_ts",
-    "q_rolling_corr", "q_bcg_matrix", "q_price_volume_mix", "q_rate_depth_decomposition",
-    "q_target_encoding", "q_woe_iv", "q_quantile_normalization", "q_retention_decay_fit",
-    "q_experiment_runtime", "q_eb_binomial", "q_kruskal_wallis", "q_jarque_bera",
-    "q_durbin_watson", "q_cohens_kappa", "q_mutual_info", "q_cramers_v",
-    "q_theil_index", "q_grubbs_test", "q_granger_lite", "q_page_hinkley",
-    "q_elasticity", "q_shapley_attribution", "q_cronbach_alpha", "txt_code_detect",
-    "mr_scc", "q_friedman_test", "q_partial_corr", "q_cooks_distance",
-    "q_hurst_exponent", "q_newsvendor", "sim_silhouette", "q_prais_winsten",
-    "q_chow_test", "q_rate_ratio", "mr_digraph_stats", "q_spectral_power",
-    "q_round_number_bias", "q_structuring_detect", "sim_davies_bouldin", "sim_norm_profile",
-    "q_naive_bayes", "q_decision_stump", "q_median_polish", "q_process_capability",
-    "txt_kn_perplexity", "q_holm_adjust", "q_gamma_moments", "q_gmm_em",
-    "q_cvm_test", "q_permutation_test", "q_jackknife", "q_ratio_metric_ci",
-    "q_tost_equivalence", "q_mantel_haenszel", "q_cochran_q", "q_icc_reliability",
-    "sim_lsh_recall", "q_raking_weights", "q_little_law_audit", "q_var_cvar",
-    "q_backlog_aging", "txt_minhash_recall", "q_brier_decomposition", "q_panel_fe",
-    "q_regression_discontinuity", "q_event_study", "q_quantile_treatment_effect", "q_oaxaca",
-    "q_poisson_irls", "q_zero_inflation", "q_gravity_trade", "q_mahalanobis",
-    "q_hotelling_t2", "txt_burrows_delta", "q_mcc_confusion", "q_ndcg_eval",
-    "q_weibull_fit", "mr_modularity", "q_fairness_audit", "q_item_cf",
-    "sim_pca_power", "q_bass_diffusion", "q_cointegration", "q_competing_risks",
-    "q_cem_att", "q_shift_share", "q_life_table", "q_nbd_fit",
-    "q_absorbing_chain", "txt_rake_keywords", "txt_source_overlap", "q_kde_density",
-    "q_second_pc", "q_fleiss_kappa", "q_gumbel_fit", "q_vif",
+    # CORRECTNESS_full_r08.json / CORRECTNESS_full_r08_sf01.json).
+    "sim_davies_bouldin", "sim_norm_profile", "sim_lsh_recall", "sim_pca_power",
+    "q_second_pc", "sim_centroid_shift", "sim_hubness", "sim_margin_audit",
+    "sim_twonn", "sim_calinski", "sim_ivf_tuning", "sim_graph_expand",
+    "q_mus_sampling", "q_wilson_returns", "q_duplicate_payments", "q_benford_entity",
+    "q_cem_att", "q_cointegration", "q_lead_lag_matrix", "q_changepoint_binseg",
+    "q_dr_policy_eval", "q_km_greenwood", "mr_digraph_stats", "mr_modularity",
+    "mr_ppr", "mr_matching", "mr_bipartite_cc", "q_round_number_bias",
+    "q_structuring_detect", "q_raking_weights", "q_little_law_audit", "q_var_cvar",
+    "q_backlog_aging", "q_panel_fe", "q_regression_discontinuity", "q_gravity_trade",
+    "q_bass_diffusion", "q_shift_share", "q_cross_elasticity", "q_drawdown",
+    "q_erlang_c", "q_anderson_darling", "q_croston", "q_session_entry_exit",
+    "q_tail_dependence", "q_rsi", "q_xyz_class", "q_eoq_policy",
+    "q_knapsack_budget", "q_hill_diversity", "q_share_of_wallet", "q_assortment_overlap",
+    "q_weighted_median", "q_heckman_mills", "q_bid_rigging_screen", "q_optimal_reserve",
+    "q_price_recommendation", "q_spectral_power", "q_median_polish", "q_process_capability",
+    "q_holm_adjust", "q_gamma_moments", "q_cvm_test", "q_mantel_haenszel",
+    "q_cochran_q", "q_icc_reliability", "q_zero_inflation", "q_mahalanobis",
+    "q_hotelling_t2", "q_kde_density", "q_fleiss_kappa", "q_gumbel_fit",
+    "q_naive_bayes", "q_decision_stump", "q_gmm_em", "q_brier_decomposition",
+    "q_poisson_irls", "q_kfold_cv", "q_learning_curve", "q_permutation_test",
+    "q_jackknife", "q_ratio_metric_ci", "q_tost_equivalence", "q_event_study",
+    "q_quantile_treatment_effect", "q_oaxaca", "txt_kn_perplexity", "txt_minhash_recall",
+    "txt_burrows_delta", "txt_rake_keywords", "txt_source_overlap", "txt_segment_ttr",
+    "txt_boilerplate_affixes", "txt_chao1_richness", "txt_log_odds", "txt_textrank",
+    "q_mcc_confusion", "q_ndcg_eval", "q_weibull_fit", "q_fairness_audit",
+    "q_item_cf", "q_competing_risks", "q_life_table", "q_nbd_fit",
+    "q_absorbing_chain", "q_markov_attribution", "q_als_rank1", "q_vif",
     "q_breusch_pagan", "q_yule_walker", "q_isotonic_pava", "q_hosmer_lemeshow",
     "q_storey_pi0", "q_wilcoxon_signed_rank", "q_atkinson_index", "q_moran_i",
-    "q_kpss_lite", "q_market_beta", "txt_segment_ttr", "q_iv_wald",
-    "q_lognormal_fit", "txt_boilerplate_affixes", "q_bradley_terry", "q_ucb_policy",
-    "sim_centroid_shift", "q_taylor_law", "q_records", "q_hawkes_branching",
-    "q_interevent_burstiness", "q_conformal_interval", "txt_chao1_richness", "q_kendall_w",
-    "q_ordinal_association", "txt_log_odds", "q_otsu_threshold", "q_logit_irls",
-    "q_ipw_ate", "q_design_effect", "q_holt_brown", "q_drawdown",
-    "q_erlang_c", "q_anderson_darling", "txt_textrank", "q_getis_ord",
-    "q_markov_attribution", "q_croston", "q_session_entry_exit", "q_tail_dependence",
-    "q_rsi", "q_cross_elasticity", "sim_hubness", "q_bartlett_test",
-    "q_als_rank1", "q_heckman_mills", "q_piecewise_hazard", "mr_ppr",
-    "sim_margin_audit", "q_mus_sampling", "q_bid_rigging_screen", "q_optimal_reserve",
-    "q_xyz_class", "q_wilson_returns", "mr_matching", "sim_twonn",
-    "q_mediation_sobel", "q_dunn_posthoc", "q_eoq_policy", "q_knapsack_budget",
-    "q_duplicate_payments", "q_benford_entity", "q_lead_lag_matrix", "q_price_recommendation",
-    "q_hazard_ratio", "sim_calinski", "q_survival_rmst", "mr_bipartite_cc",
-    "q_hill_diversity", "q_share_of_wallet", "q_assortment_overlap", "q_kfold_cv",
-    "q_learning_curve", "q_dr_policy_eval", "q_weighted_median", "q_changepoint_binseg",
-    "q_km_greenwood", "q_fisher_exact", "q_haar_energy", "q_session_gap_sweep",
-    "q_cox_onestep", "q_circular_stats", "q_transfer_entropy", "q_dissimilarity_index",
-    "q_bullwhip", "q_output_file_planner", "mr_betweenness", "q_chain_ladder",
-    "q_gpd_tail", "q_lorenz_asymmetry", "q_energy_distance", "q_threshold_opt",
-    "q_p_chart", "q_huber_m", "q_location_quotient", "q_slo_burn_rate",
-    "q_forecast_combo", "q_meta_analysis", "q_safety_stock", "q_turning_points",
-    "q_qini_auuc", "q_msprt", "q_ridge_path", "q_var_backtest",
-    "q_adstock_mmm", "q_fh_smallarea", "q_mcf_recurrent", "q_kraljic",
-    "q_stl_strength", "q_rolling_beta", "q_cohort_payback", "q_perfect_order",
-    "q_es_backtest", "q_apportionment", "q_smr_indirect", "q_enrichment_ora",
-    "q_direct_standardization", "q_sharpe_panel", "txt_lmir_dirichlet", "q_bayes_factor_bic",
-    "q_evalue_sensitivity", "q_eta_promise", "q_recsys_coverage", "q_hoover_index",
-    "sim_knn_classifier", "q_effect_sizes", "q_bland_altman", "q_interval_score",
-    "q_crps_empirical", "q_haberman_residuals", "q_pit_calibration", "q_mase",
-    "q_diebold_mariano", "txt_self_bleu", "mr_rich_club", "q_lee_bounds",
-    "q_mover_stayer", "q_berkson_logit", "q_twfe_did", "q_arch_lm",
-    "q_variance_ratio", "q_amihud", "q_price_stickiness", "q_ledoit_wolf",
-    "txt_umass_coherence", "q_brand_switching", "q_l_diversity", "q_analogue_forecast",
-    "q_lmg_importance", "q_topsis", "q_huber_regression", "q_risk_pooling",
-    "q_shorrocks_mobility", "txt_gries_dp", "q_kernel_smoother", "q_eb_poisson",
-    "q_weighted_kappa", "q_expectile", "q_crow_amsaa", "q_whipple_index",
-    "q_theil_u_decomposition", "q_discovery_curve", "txt_good_turing", "q_zt_poisson",
-    "q_clumpiness", "q_ratio_to_ma", "txt_yule_k", "q_ulcer_index",
-    "txt_char_entropy", "q_gibrat_law", "q_engel_curve", "q_range_partition_planner",
-    "q_selectivity_audit", "q_western_electric", "q_segmented_regression", "txt_fishers_alpha",
-    "q_superstar_share", "q_ndr", "q_oos_detector", "q_palma",
-    "q_ph_assumption", "q_acceptance_sampling", "q_robust_shape", "q_double_jeopardy",
-    "q_mincer_zarnowitz", "q_pesaran_timmermann", "q_christoffersen", "q_fisher_ideal",
+    "q_kpss_lite", "q_market_beta", "q_iv_wald", "q_lognormal_fit",
+    "q_bradley_terry", "q_ucb_policy", "q_taylor_law", "q_records",
+    "q_hawkes_branching", "q_interevent_burstiness", "q_conformal_interval", "q_kendall_w",
+    "q_ordinal_association", "q_otsu_threshold", "q_logit_irls", "q_ipw_ate",
+    "q_design_effect", "q_holt_brown", "q_getis_ord", "q_bartlett_test",
+    "q_piecewise_hazard", "q_mediation_sobel", "q_dunn_posthoc", "q_hazard_ratio",
+    "q_survival_rmst", "q_var_backtest", "q_es_backtest", "q_christoffersen",
+    "q_sharpe_panel", "q_rolling_beta", "q_amihud", "q_variance_ratio",
+    "q_arch_lm", "q_ledoit_wolf", "q_ulcer_index", "q_gpd_tail",
+    "q_chain_ladder", "q_price_stickiness", "q_forecast_combo", "q_stl_strength",
+    "q_mase", "q_diebold_mariano", "q_theil_u_decomposition", "q_analogue_forecast",
+    "q_mincer_zarnowitz", "q_pesaran_timmermann", "q_turning_points", "q_ratio_to_ma",
+    "q_haar_energy", "q_transfer_entropy", "q_adstock_mmm", "q_kernel_smoother",
+    "q_interval_score", "q_crps_empirical", "q_pit_calibration", "q_oos_detector",
+    "q_fisher_exact", "q_cox_onestep", "q_ph_assumption", "q_meta_analysis",
+    "q_msprt", "q_bayes_factor_bic", "q_evalue_sensitivity", "q_effect_sizes",
+    "q_bland_altman", "q_lee_bounds", "q_berkson_logit", "q_twfe_did",
+    "q_weighted_kappa", "q_haberman_residuals", "q_enrichment_ora", "q_qini_auuc",
+    "q_mcf_recurrent", "q_bullwhip", "q_safety_stock", "q_risk_pooling",
+    "q_kraljic", "q_perfect_order", "q_eta_promise", "q_slo_burn_rate",
+    "q_output_file_planner", "q_range_partition_planner", "q_selectivity_audit", "q_session_gap_sweep",
+    "q_p_chart", "q_crow_amsaa", "q_acceptance_sampling", "q_western_electric",
+    "q_threshold_opt", "q_apportionment", "q_ndr", "q_cohort_payback",
+    "q_topsis", "q_dissimilarity_index", "q_location_quotient", "q_lorenz_asymmetry",
+    "q_hoover_index", "q_palma", "q_superstar_share", "q_whipple_index",
+    "q_robust_shape", "q_energy_distance", "q_clumpiness", "q_discovery_curve",
+    "q_circular_stats", "q_zt_poisson", "q_eb_poisson", "q_smr_indirect",
+    "q_direct_standardization", "q_fh_smallarea", "q_l_diversity", "q_mover_stayer",
+    "q_shorrocks_mobility", "q_double_jeopardy", "q_brand_switching", "q_ridge_path",
+    "q_lmg_importance", "q_huber_m", "q_huber_regression", "q_expectile",
+    "q_engel_curve", "q_gibrat_law", "q_fisher_ideal", "q_segmented_regression",
+    "q_recsys_coverage", "sim_knn_classifier", "mr_betweenness", "mr_rich_club",
+    "txt_lmir_dirichlet", "txt_self_bleu", "txt_umass_coherence", "txt_gries_dp",
+    "txt_good_turing", "txt_yule_k", "txt_char_entropy", "txt_fishers_alpha",
 ]
 _rest = [k for k in QUERIES if k not in set(_WINDOW_FIRST)]
 _ordered = {k: QUERIES[k] for k in [*(_n for _n in _WINDOW_FIRST if _n in QUERIES), *_rest]}

@@ -1657,6 +1657,12 @@ def q_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", "a",
         F.coalesce(F.sum("a").over(w).cast("bigint"), F.lit(0)).alias("z"),
     )
+    # Decimal-headroom audit (r9): terms are (38,0) so these agg sums
+    # get NO type widening — safe because z is the cumulative ADOPTER
+    # count (<= |customers|: ~1.5e8 at SF1000), so the largest term
+    # zd*z^3 <= ~5e32 and its sum over |months| ~ 84 grid rows is
+    # <= ~4e34 << 1e38. SF-independent month grid keeps the term
+    # count fixed; overflow would need SF ~ 1e5.
     zd = F.col("z").cast("decimal(38,0)")
     ad = F.col("a").cast("decimal(38,0)")
     mom = cum.agg(

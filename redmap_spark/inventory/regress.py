@@ -1035,6 +1035,13 @@ def q_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(i).over(w).cast("double").alias("sx"),
         F.sum("rev").over(w).cast("double").alias("sy"),
         F.sum(i.cast("bigint") * i).over(w).cast("double").alias("sxx"),
+        # Decimal-headroom audit (r9): terms are (38,2) so the running
+        # sum gets NO type widening — safe because the magnitudes are
+        # grid-bounded, not data-scale-bounded: i <= |days| ~ 2466
+        # (TPC-H date range, SF-independent) and revd is ONE day's
+        # revenue (~1e11 at SF1000), so i*revd <= ~2.5e14 and the
+        # cumsum <= ~6e17; revd^2 <= ~1e22, cumsum <= ~2.5e25 — both
+        # << the 1e36 capacity of (38,2).
         F.sum(F.round(i * revd, 2).cast("decimal(38,2)"))
         .over(w)
         .cast("double")

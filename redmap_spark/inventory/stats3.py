@@ -533,6 +533,12 @@ def q_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sums would hash-differ across engines because DuckDB's segment-tree
 # window can add in a different order than Spark's running frame.
 # Scale: one scan → |days| grid → |days| rows.
+#
+# Decimal-headroom audit (r9): both cumsum operands are (28,x) — the
+# q_rolling_beta pattern (risk.py:664) — so the running sums widen to
+# (38,x) with ten digits of headroom; terms are O(1) z-scale over a
+# |days| <= ~2466 SF-independent grid, so the folds peak near 1e4
+# << 1e19 operand capacity, at ANY scale factor.
 
 PH_SQL = """
 WITH daily AS (

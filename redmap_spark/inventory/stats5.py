@@ -1293,6 +1293,14 @@ def q_kpss_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z").cast("double").alias("zd"),
         F.sum("z").over(Window.orderBy("d")).cast("double").alias("s_t"),
     )
+    # Decimal-headroom audit (r9): the cumsum operand z is (28,6), so
+    # the running sum widens to (38,6) — ten digits of headroom over
+    # |days| <= ~2466 grid terms. The squared-term sums below stay at
+    # (38,4) deliberately: |s_t| <= days * max|z| (~1e13 even at
+    # SF1000 daily-revenue magnitudes), so s_t^2 <= ~1e26 and the
+    # total <= ~1e30 << 1e34 capacity; narrowing to (28,4) would
+    # overflow at SF1000 (s_t^2 > 1e24). Bound restated from the
+    # q_rolling_beta fix (risk.py:664).
     agg = cum.groupBy("n").agg(
         F.sum(F.round(F.col("s_t") * F.col("s_t"), 4).cast("decimal(38,4)"))
         .cast("double")

@@ -865,6 +865,12 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # κ are rounded to 2 decimals before subtraction); σ comes from exact
 # decimal moments with one sqrt. Shape: everything after the daily
 # collapse is |types × days|-grid sized.
+#
+# Decimal-headroom audit (r9): the prefix-sum operand dv is
+# (19,2)-(18,2)-(18,2) -> (21,2), so the unbounded running SUM widens
+# to (31,2) — ten digits of headroom over |days| <= ~2466 terms of
+# one-day revenue magnitude (~1e11 at SF1000): cumsum <= ~2.5e14
+# << 1e29. Same shape as the q_rolling_beta fix (risk.py:664).
 
 CUSUM_SQL = f"""
 WITH daily AS ({_DAILY_SQL}),

@@ -9,9 +9,13 @@ from pyspark.sql import DataFrame
 # count, and spread() must not second-guess it. Join is deliberately
 # NOT in this list — a broadcast dim join over a scan keeps the
 # scan's (possibly deficient) width, and that is exactly the shape
-# spread() exists to heal; a join that does shuffle gets its width
-# from the exchange and the repartition on top is a cheap no-op-class
-# coalesce of post-join rows.
+# spread() exists to heal. A join the optimizer executes as a SHUFFLE
+# (sort-merge) join does get its width from the exchange, and the
+# repartition this helper would add on top is a real (not free)
+# round-robin shuffle of the post-join rows — it is only ever reached
+# when BOTH gates below agree the data is scan-narrow (few files AND
+# few estimated splits), which a fact⋈fact shuffle join at scale
+# never is.
 _POST_SHUFFLE_NODES = (
     "Aggregate",
     "Repartition",
@@ -30,26 +34,51 @@ def spread(df: DataFrame) -> DataFrame:
     per-row-expensive stage (decimal moment folds, kernel fan-outs,
     broadcast k-NN scoring, E-steps) runs on as many cores.
     Repartition to the session's default parallelism ONLY when the
-    scan's file count is narrower than half of it — on a real cluster
-    a fact scan is thousands of files, so this is a no-op and never
-    adds a data-sized shuffle at scale.
+    scan is narrow on BOTH axes:
 
-    Width is judged from ``df.inputFiles()`` — a metadata walk of the
-    analyzed plan's file-source leaves. No ``df.rdd`` conversion
-    happens here: probing the RDD of an AQE plan with upstream
-    exchanges would eagerly materialize its query stages and the work
-    would then re-run at action time. Plans whose width was already
-    set by a shuffle (aggregate / window / sort / explicit
-    repartition upstream) and plans with no file-source leaves
-    (checkpointed / in-memory inputs) are returned unchanged.
+    - file count: ``len(df.inputFiles())`` * 2 <= defaultParallelism —
+      on a real cluster a fact scan is thousands of files, so the
+      heal is a no-op there; and
+    - estimated split count: parquet is splittable by row group, so a
+      SINGLE large file still scans wide. Estimated splits =
+      plan-stats bytes / ``spark.sql.files.maxPartitionBytes``; when
+      that alone reaches half the target the scan needs no heal and
+      repartitioning it would BE the data-sized shuffle this helper
+      promises never to add.
+
+    Width is judged from ``df.inputFiles()`` + optimized-plan stats —
+    metadata walks only. No ``df.rdd`` conversion happens here:
+    probing the RDD of an AQE plan with upstream exchanges would
+    eagerly materialize its query stages and the work would then
+    re-run at action time. Plans whose width was already set by a
+    shuffle (aggregate / window / sort / explicit repartition
+    upstream) and plans with no file-source leaves (checkpointed /
+    in-memory inputs) are returned unchanged.
 
     Results are unaffected: house folds are order-independent by the
     registry's determinism rules (tests/test_determinism.py)."""
     analyzed = df._jdf.queryExecution().analyzed().toString()
     if any(node in analyzed for node in _POST_SHUFFLE_NODES):
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if files and len(files) * 2 <= target:
-        return df.repartition(target)
-    return df
+    if not files or len(files) * 2 > target:
+        return df
+    # Byte gate (r9, ADVICE): column-pruned plan-stats bytes over the
+    # session's split size bound the scan's real parallelism from
+    # below. sizeInBytes is a Catalyst estimate (file bytes scaled by
+    # read columns), so this errs toward NOT healing — the safe side
+    # at scale.
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size_bytes = raw if isinstance(raw, int) else int(raw.toString())
+        split_bytes = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats probe is best-effort
+        size_bytes, split_bytes = 0, 1
+    est_splits = max(len(files), size_bytes // max(split_bytes, 1))
+    if est_splits * 2 > target:
+        return df
+    return df.repartition(target)

@@ -33,6 +33,16 @@ def test_bench_line_contract():
     assert d["sf"] == 0.001
     assert d["value"] > 0
 
+    # round 9: the envelope carries the warm min-of-3 summary (tail
+    # re-run) so the driver artifact records cold AND warm in one line
+    assert "warm" in d
+    assert 0 < d["warm"]["value"] <= d["value"] + 0.5
+    assert d["warm"]["n_rerun"] == 40
+    assert 0 < len(d["warm"]["slowest"]) <= 15
+    warm_full = json.loads(lines[-3])["full_warm_queries"]
+    assert len(warm_full) == 40
+    assert all(warm_full[k] <= full[k] for k in warm_full)
+
     from redmap_spark.inventory import QUERIES
 
     assert set(full) == set(QUERIES)
@@ -68,7 +78,13 @@ def test_compact_line_survives_300_entries():
 
     timings = {f"q_synthetic_entry_{i:03d}": 0.5 + (i % 40) for i in range(300)}
     total = round(sum(timings.values()), 4)
-    line = compact_line(timings, total, 0.1)
+    warm = {
+        "value": round(total * 0.6, 1),
+        "n_rerun": 40,
+        "slowest": {k: round(v * 0.6, 1) for k, v in
+                    sorted(timings.items(), key=lambda kv: -kv[1])[:15]},
+    }
+    line = compact_line(timings, total, 0.1, warm)
     assert len(line) < 1900, len(line)
     d = json.loads(line)
     assert d["value"] == total
@@ -84,7 +100,7 @@ def test_compact_line_survives_300_entries():
 
     # the lossy N-slowest stage still guards the far tail (800 entries)
     big = {f"q_synthetic_entry_{i:03d}": 0.5 + (i % 40) for i in range(800)}
-    line3 = compact_line(big, round(sum(big.values()), 4), 0.1)
+    line3 = compact_line(big, round(sum(big.values()), 4), 0.1, warm)
     assert len(line3) < 1900
     d3 = json.loads(line3)
     assert d3["queries_total"] == 800
@@ -99,7 +115,13 @@ def test_compact_line_survives_300_entries():
     from redmap_spark.inventory import QUERIES
 
     real = {name: 1.0 + (i % 13) for i, name in enumerate(sorted(QUERIES))}
-    line2 = compact_line(real, round(sum(real.values()), 4), 0.1)
+    real_warm = {
+        "value": round(sum(real.values()) * 0.6, 1),
+        "n_rerun": 40,
+        "slowest": {k: round(v * 0.6, 1) for k, v in
+                    sorted(real.items(), key=lambda kv: -kv[1])[:15]},
+    }
+    line2 = compact_line(real, round(sum(real.values()), 4), 0.1, real_warm)
     assert len(line2) < 1900
     d2 = json.loads(line2)
     assert "queries_omitted" not in d2

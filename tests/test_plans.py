@@ -919,12 +919,19 @@ def test_spread_heals_narrow_scans_and_noops_wide(spark):
 
     # a broadcast dim join over scans keeps scan width — spread()
     # must still heal it (the shape that regressed in round 8 when
-    # Join blocked the heal)
+    # Join blocked the heal). Conditional on the runner: with
+    # nation+region = 2 input files the heal only fires when
+    # 2*2 <= defaultParallelism, so assert the contract, not a fixed
+    # outcome (ADVICE r8: a 2-3 core runner must not fail here).
     region = spark.read.parquet(f"{SF_DIR}/region.parquet")
     joined = narrow.join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
     )
-    assert spread(joined).rdd.getNumPartitions() == target
+    healed_join = spread(joined)
+    if len(joined.inputFiles()) * 2 <= target:
+        assert healed_join.rdd.getNumPartitions() == target
+    else:
+        assert healed_join is joined
 
     # post-shuffle width was chosen by the exchange: identity
     agg = narrow.groupBy("n_regionkey").count()
@@ -934,3 +941,37 @@ def test_spread_heals_narrow_scans_and_noops_wide(spark):
     # identity
     nonfile = spark.range(0, 1000)
     assert spread(nonfile) is nonfile
+
+
+def test_spread_noops_on_wide_and_splittable_inputs(spark, tmp_path):
+    """The at-scale no-op contract (ADVICE r8): spread() must return
+    file-backed frames IDENTICAL (no Exchange added) when the scan is
+    already wide — whether width comes from MANY FILES or from ONE
+    LARGE SPLITTABLE file (parquet splits by row group, so file count
+    alone under-estimates scan parallelism)."""
+    from redmap_spark.plans.partitioning import spread
+
+    target = spark.sparkContext.defaultParallelism
+
+    # many-file scan: file count alone exceeds target/2 -> identity
+    many = str(tmp_path / "many.parquet")
+    spark.range(0, 10_000).repartition(target + 1).write.parquet(many)
+    wide = spark.read.parquet(many)
+    assert len(wide.inputFiles()) * 2 > target
+    assert spread(wide) is wide
+
+    # single-file scan whose BYTES imply >= target/2 splits: identity.
+    # Shrink the split size so a small test file models a large
+    # splittable fact file at cluster scale.
+    one = str(tmp_path / "one.parquet")
+    spark.range(0, 200_000).selectExpr(
+        "id", "cast(id as string) as s", "id * 2 as v"
+    ).coalesce(1).write.parquet(one)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        big = spark.read.parquet(one)
+        assert len(big.inputFiles()) == 1
+        assert spread(big) is big
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
