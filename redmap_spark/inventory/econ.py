@@ -795,7 +795,13 @@ def q_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region", "seg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    w = cells.withColumn("w", F.lit(1.0))
+    # Checkpoint the 25-cell rake grid once up front and after every
+    # IPF sweep (r9 plan diet): margin_fold(w) re-derives w's WHOLE
+    # lineage, so without the cuts each of the 4 folds + the final
+    # check replays all upstream sweeps — 65 exchanges of scheduler
+    # tax for a 25-row grid. With the cuts each fold starts from a
+    # materialized grid: same values, same hash, ~1/3 the stages.
+    w = cells.withColumn("w", F.lit(1.0)).localCheckpoint()
 
     def margin_fold(df, key):
         return df.groupBy(key).agg(
@@ -820,8 +826,7 @@ def q_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "region", "seg", "n",
                 (F.col("w") * F.col("ps") / F.col("sm")).alias("w"),
             )
-        )
-    w = w.cache()  # consumed by the margin check AND the output
+        ).localCheckpoint()  # sweep boundary: cut the IPF lineage
     chk_r = margin_fold(w, "region")
     return (
         w.join(chk_r, "region")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import query, spread
+from redmap_spark.plans.prefix import two_phase_cumsum
 
 # -- q_naive_bayes -----------------------------------------------------
 #
@@ -269,12 +270,18 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     balgrid = ords.groupBy("bal").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    wc = Window.orderBy("bal")  # grid-sized sort over distinct balances
-    wa = Window.partitionBy()
-    cumg = balgrid.select(
-        "bal",
-        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
-        F.sum("cnt").over(wa).cast("bigint").alias("n"),
+    # distinct balances scale with the data (continuous domain), so
+    # the cumulative count is a TWO-PHASE prefix sum: within
+    # floor(bal/256) buckets (acctbal domain -1000..10000 -> ~43
+    # buckets, SF-independent) plus broadcast offsets — no
+    # SinglePartition pass over the grid (plans/prefix.py).
+    cumg = two_phase_cumsum(
+        balgrid, ["bal"], F.col("cnt"),
+        F.floor(F.col("bal") / 256).cast("bigint"), out="cum",
+    ).join(
+        F.broadcast(
+            balgrid.agg(F.sum("cnt").cast("bigint").alias("n"))
+        )
     )
     dd = spark.range(1, 10).select(F.col("id").cast("bigint").alias("d"))
     cands = (
@@ -495,13 +502,15 @@ def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = v.groupBy(F.col("x").cast("decimal(18,2)").alias("xv")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    wc = Window.orderBy("xv")  # distinct-value grid sort
-    wa = Window.partitionBy()
-    cum = g.select(
-        "xv",
-        F.sum("cnt").over(wc).cast("bigint").alias("c"),
-        F.sum("cnt").over(wa).cast("bigint").alias("n"),
-    )
+    # distinct prices scale with the data, so the quartile-init
+    # cumulative count is a TWO-PHASE prefix sum: within
+    # floor(xv/4096) buckets (totalprice domain ~1e3..5e5 -> ~122
+    # buckets, SF-independent) plus broadcast offsets — no
+    # SinglePartition pass over the grid (plans/prefix.py).
+    cum = two_phase_cumsum(
+        g, ["xv"], F.col("cnt"),
+        F.floor(F.col("xv") / 4096).cast("bigint"), out="c",
+    ).join(F.broadcast(g.agg(F.sum("cnt").cast("bigint").alias("n"))))
     cum = cum.cache()  # consumed by both quantile picks
     q25 = cum.filter(4 * F.col("c") >= F.col("n")).agg(
         F.min("xv").cast("double").alias("mu1")
@@ -1055,14 +1064,13 @@ def q_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     xgrid = rows_.groupBy("x").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    cumg = xgrid.select(
-        "x",
-        F.sum("cnt").over(Window.orderBy("x")).cast("bigint").alias("cum"),
-        F.sum("cnt")
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n"),
-    )
+    # distinct prices scale with the data: two-phase prefix sum over
+    # floor(x/4096) buckets (~122, domain-bounded) — no
+    # SinglePartition pass over the grid (plans/prefix.py).
+    cumg = two_phase_cumsum(
+        xgrid, ["x"], F.col("cnt"),
+        F.floor(F.col("x") / 4096).cast("bigint"), out="cum",
+    ).join(F.broadcast(xgrid.agg(F.sum("cnt").cast("bigint").alias("n"))))
     dd = spark.range(1, 10).select(F.col("id").cast("bigint").alias("d"))
     cands = (
         cumg.crossJoin(F.broadcast(dd))
@@ -1269,14 +1277,13 @@ def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     xgrid = rows_.groupBy("x").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    cumg = xgrid.select(
-        "x",
-        F.sum("cnt").over(Window.orderBy("x")).cast("bigint").alias("cum"),
-        F.sum("cnt")
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n"),
-    )
+    # distinct prices scale with the data: two-phase prefix sum over
+    # floor(x/4096) buckets (~122, domain-bounded) — no
+    # SinglePartition pass over the grid (plans/prefix.py).
+    cumg = two_phase_cumsum(
+        xgrid, ["x"], F.col("cnt"),
+        F.floor(F.col("x") / 4096).cast("bigint"), out="cum",
+    ).join(F.broadcast(xgrid.agg(F.sum("cnt").cast("bigint").alias("n"))))
     dd = spark.range(1, 10).select(F.col("id").cast("bigint").alias("d"))
     cands = (
         cumg.crossJoin(F.broadcast(dd))

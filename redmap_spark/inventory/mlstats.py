@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import dec, query, spread
+from redmap_spark.plans.prefix import two_phase_cumsum
 
 # -- q_regression ------------------------------------------------------
 #
@@ -1145,9 +1146,13 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).events
     vals = e.filter(F.col("value").isNotNull()).select("event_type", "value")
     g = vals.groupBy("value").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    rg = g.select(
-        "value", "cnt",
-        F.sum("cnt").over(Window.orderBy("value")).cast("bigint").alias("cum"),
+    # distinct values scale with the data: the rank-base cumulative is
+    # a two-phase prefix sum over floor(value/8) buckets (event value
+    # domain 0..~500 -> ~62 buckets, SF-independent) — no
+    # SinglePartition pass over the grid (plans/prefix.py).
+    rg = two_phase_cumsum(
+        g, ["value"], F.col("cnt"),
+        F.floor(F.col("value") / 8).cast("bigint"), out="cum",
     )
     glob = g.agg(
         F.sum("cnt").cast("bigint").alias("n"),

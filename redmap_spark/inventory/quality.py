@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import query
+from redmap_spark.plans.prefix import two_phase_cumsum
 
 # -- q_data_quality ----------------------------------------------------
 #
@@ -745,17 +746,16 @@ def q_mus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     pop = pop.cache()  # feeds the running sum AND the step total
-    cum = pop.select(
-        "o_orderkey",
-        "o_orderpriority",
-        "cents",
-        F.sum("cents")
-        .over(
-            Window.orderBy("o_orderkey").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        )
-        .alias("c"),
+    # The MUS selection needs a GLOBAL running sum over the whole
+    # population order — fact-scale, so it runs as the two-phase
+    # prefix sum (plans/prefix.py): within floor(key/65536) buckets
+    # plus broadcast offsets. Bucket count = keyspace/65536 (~2300 at
+    # SF100), never a fact-sized SinglePartition pass. BIGINT cents
+    # make the regrouped addition exact.
+    cum = two_phase_cumsum(
+        pop.select("o_orderkey", "o_orderpriority", "cents"),
+        ["o_orderkey"], F.col("cents"),
+        F.floor(F.col("o_orderkey") / 65536).cast("bigint"), out="c",
     )
     tot = pop.agg(
         F.expr("CAST(sum(cents) AS BIGINT) div 200").alias("step")

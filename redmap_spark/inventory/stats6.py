@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import query, spread
+from redmap_spark.plans.prefix import two_phase_cumsum
 
 # -- q_logit_irls ------------------------------------------------------
 #
@@ -1360,12 +1361,12 @@ def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     g = g.cache()  # value grid feeds ranks AND global stats
-    rg = g.select(
-        "value",
-        "cnt",
-        F.sum("cnt").over(Window.orderBy("value")).cast("bigint").alias(
-            "cum"
-        ),
+    # distinct values scale with the data: two-phase prefix sum over
+    # floor(value/8) buckets (event value domain 0..~500 -> ~62,
+    # SF-independent) — no SinglePartition pass (plans/prefix.py).
+    rg = two_phase_cumsum(
+        g, ["value"], F.col("cnt"),
+        F.floor(F.col("value") / 8).cast("bigint"), out="cum",
     )
     gstat = g.agg(
         F.sum("cnt").cast("bigint").alias("n"),

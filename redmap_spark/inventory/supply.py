@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import dec, query
+from redmap_spark.plans.prefix import two_phase_row_number
 
 
 # -- q_bullwhip --------------------------------------------------------
@@ -815,12 +816,21 @@ def q_eta_promise(spark: SparkSession, sf_dir: str) -> DataFrame:
         return inner.agg(F.max("n").alias("n"), F.min("delay").alias("p90"))
 
     lane_q = grid_p90(grid, ["origin", "dest"])
-    orig_q = grid_p90(grid, ["origin"]).select(
+    # Collapse the grid to the window's OWN keys before the wider
+    # quantile passes: the origin pass needs only (origin, delay)
+    # counts (~25 x |delays|) and the global pass only (delay) counts
+    # (~|delays| ~ 120) — so the unpartitioned window sees a
+    # domain-bounded frame, not the full 25x25x|delays| lane grid.
+    orig_grid = grid.groupBy("origin", "delay").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    glob_grid = grid.groupBy("delay").agg(F.sum("cnt").alias("cnt"))
+    orig_q = grid_p90(orig_grid, ["origin"]).select(
         F.col("origin").alias("o2"),
         F.col("n").alias("on"),
         F.col("p90").alias("op90"),
     )
-    glob_q = grid_p90(grid, []).select(F.col("p90").alias("gp90"))
+    glob_q = grid_p90(glob_grid, []).select(F.col("p90").alias("gp90"))
     ln_, on = F.col("n"), F.col("on")
     return (
         lane_q.join(orig_q, F.col("origin") == F.col("o2"))
@@ -1065,16 +1075,16 @@ ORDER BY bucket
 @query("q_range_partition_planner", oracle=RANGEPLAN_SQL)
 def q_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
-    wall = Window.partitionBy().orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    r = o.select(
-        "o_custkey",
-        F.row_number()
-        .over(Window.orderBy("o_custkey", "o_orderkey"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-    )
+    # The equi-depth planner needs a GLOBAL rank over (custkey,
+    # orderkey) — fact-scale, so it runs as the two-phase row_number
+    # (plans/prefix.py): within floor(custkey/1024) buckets plus
+    # broadcast count offsets; n comes from a broadcast agg instead
+    # of an all-rows window. No fact-sized SinglePartition pass.
+    r = two_phase_row_number(
+        o.select("o_custkey", "o_orderkey"),
+        ["o_custkey", "o_orderkey"],
+        F.floor(F.col("o_custkey") / 1024).cast("bigint"), out="rn",
+    ).join(F.broadcast(o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))))
     b2 = r.select(
         F.floor(16.0 * (F.col("rn") - 1) / F.col("n"))
         .cast("bigint")
