@@ -30,11 +30,42 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _session_hygiene(spark: SparkSession) -> None:
+    """Drop dead cached frames before building the next entry.
+
+    The driver gate, bench.py and the full sweeps run hundreds of
+    entries back-to-back in ONE JVM; every completed entry's
+    ``.cache()``'d frames stay pinned in the unified-memory storage
+    pool until the JVM's periodic cleaner GC (default 30 min), and on
+    a vanilla 1g driver the accumulated pins can OOM a later heavy
+    entry (observed: mr_bipartite_cc at sf0.1 after the r9 window's
+    26 similarity/graph-heavy predecessors — passes in isolation).
+    Entries run sequentially and collect before the next build starts,
+    so at build time every existing catalog cache is dead weight; the
+    entry's own .cache() calls all happen after this point. Memoized
+    localCheckpoints (the shared PCA Gram) are NOT catalog entries and
+    survive. No-op on a cold session."""
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001 — hygiene must never fail a query
+        pass
+
+
 def query(name: str, oracle: str | None = None):
     """Register a query; ``oracle`` is the DuckDB-equivalent SQL."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        def wrapped(
+            spark: SparkSession, sf_dir: str, _fn=fn
+        ) -> DataFrame:
+            _session_hygiene(spark)
+            return _fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -81,3 +81,22 @@ def test_window_rotation_covers_all_oracles():
             f"verified names from the front). Next window should be: "
             f"{waiting[:50]}"
         )
+
+
+def test_entry_build_clears_dead_session_caches(spark):
+    """Registry session hygiene (PERF.md #83): a long single-JVM gate
+    session accumulates completed entries' .cache()'d frames in the
+    storage pool; each entry build must start by dropping them (the
+    sf0.1 vanilla-1g OOM shape in mr_bipartite_cc after 26 heavy
+    predecessors). Simulate a dead predecessor cache and assert the
+    next entry build clears it."""
+    from pyspark.sql import functions as F
+
+    from redmap_spark.inventory import QUERIES
+
+    dead = spark.range(1000).select(F.col("id") * 2)
+    dead.cache().count()
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert not jcache.isEmpty()
+    QUERIES["q_ljung_box"](spark, "/root/testdata/sf0.001")  # build only
+    assert jcache.isEmpty()
