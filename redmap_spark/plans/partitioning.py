@@ -65,19 +65,39 @@ def spread(df: DataFrame) -> DataFrame:
     files = df.inputFiles()
     if not files or len(files) * 2 > target:
         return df
-    # Byte gate (r9, ADVICE): column-pruned plan-stats bytes over the
-    # session's split size bound the scan's real parallelism from
-    # below. sizeInBytes is a Catalyst estimate (file bytes scaled by
-    # read columns), so this errs toward NOT healing — the safe side
-    # at scale.
+    # Byte gate (r9, ADVICE): LEAF file bytes over the session's split
+    # size bound the scan's real parallelism from below. The bytes
+    # come from stat-ing df.inputFiles() directly — NOT from
+    # optimizedPlan().stats().sizeInBytes(), whose estimate MULTIPLIES
+    # across joins (a 3 MB scan under a broadcast dim join reports
+    # ~200 GB) and would block the heal on exactly the
+    # join-over-narrow-scan shape it exists for (the r9 bench caught
+    # that: the r8 heal-wave entries regressed to pre-heal times
+    # until this was switched to leaf bytes). Non-local URIs can't be
+    # stat-ed from the driver: fall back to file count alone — at
+    # cluster scale a fact scan is thousands of files, so the heal is
+    # a no-op there regardless.
+    size_bytes = 0
+    for f in files:
+        if f.startswith("file:"):
+            try:
+                from urllib.parse import unquote, urlparse
+
+                size_bytes += __import__("os").path.getsize(
+                    unquote(urlparse(f).path)
+                )
+            except OSError:
+                size_bytes = 0
+                break
+        else:
+            size_bytes = 0
+            break
     try:
-        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        size_bytes = raw if isinstance(raw, int) else int(raw.toString())
         split_bytes = int(
             spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
         )
-    except Exception:  # noqa: BLE001 — stats probe is best-effort
-        size_bytes, split_bytes = 0, 1
+    except Exception:  # noqa: BLE001 — conf probe is best-effort
+        split_bytes = 128 * 1024 * 1024
     est_splits = max(len(files), size_bytes // max(split_bytes, 1))
     if est_splits * 2 > target:
         return df
