@@ -41,6 +41,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from redmap_spark.inventory.sketches import cms_cell as _cms_cell  # noqa: E402
 from redmap_spark.operators.analytics import triangle_stats  # noqa: E402
+from redmap_spark.plans.prefix import two_phase_cumsum  # noqa: E402
 from redmap_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -459,6 +460,28 @@ def main() -> None:
                         ).alias("cl"),
                         F.col("embedding").cast("array<double>").alias("v"),
                     )
+                )
+            ),
+            # round-9 shape: the plans/prefix.py two-phase global
+            # prefix sum that replaced the data-scaled SinglePartition
+            # windows (PERF #78) — within-bucket running sum over
+            # hash-partitioned order-key buckets + a broadcast of the
+            # |keyspace|/65536 offset grid. Replica key offsets grow
+            # the keyspace with the data, so the bucket count scales
+            # linearly (the realistic regime). Wall time must track
+            # the row count; a slope toward 16 would mean the offsets
+            # pass or the bucket join is super-linear.
+            "global_prefix_sum": lambda: noop(
+                two_phase_cumsum(
+                    li.select(
+                        "l_orderkey", "l_linenumber",
+                        F.round(F.col("l_extendedprice") * 100, 0)
+                        .cast("bigint").alias("cents"),
+                    ),
+                    ["l_orderkey", "l_linenumber"],
+                    F.col("cents"),
+                    F.floor(F.col("l_orderkey") / 65536).cast("bigint"),
+                    out="c",
                 )
             ),
             "cms_build": lambda: noop(
