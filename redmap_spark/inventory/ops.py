@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
-from redmap_spark.inventory.registry import query
+from redmap_spark.inventory.registry import query, spread
 
 # -- q_drawdown --------------------------------------------------------
 #
@@ -1091,10 +1091,16 @@ ORDER BY 1, 2
 @query("q_xyz_class", oracle=XYZ_SQL)
 def q_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
+    # spread() heal (r9): the broadcast dim join keeps the single-file
+    # scan's width, so the per-row-heavy partial agg (decimal products
+    # over 600k join rows at sf0.1) ran on 1-2 cores — 2.7 -> 1.6 s
+    # min-of-3 on the grid build. No-op on a many-file cluster scan.
     sku_week = (
-        c.lineitem.join(
-            c.part.select("p_partkey", "p_brand", "p_size"),
-            F.col("p_partkey") == F.col("l_partkey"),
+        spread(
+            c.lineitem.join(
+                c.part.select("p_partkey", "p_brand", "p_size"),
+                F.col("p_partkey") == F.col("l_partkey"),
+            )
         )
         .groupBy(
             F.concat_ws(

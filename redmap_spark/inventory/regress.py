@@ -1194,6 +1194,9 @@ RECSYS_COV_SQL = RECSYS_COV_SQL.replace(
 def q_recsys_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     basket = (
+        # no spread() heal here (r9 A/B): the distinct's map-side
+        # partial dedup is cheap, so the added round-robin shuffle
+        # LOSES (3.62 -> 4.29 s interleaved min-of-3)
         cat.lineitem.select("l_orderkey", "l_partkey")
         .join(
             F.broadcast(cat.part.select("p_partkey", "p_brand")),

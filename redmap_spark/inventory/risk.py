@@ -493,6 +493,9 @@ ORDER BY p_brand
 def q_sharpe_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     bd = (
+        # no spread() heal here (r9 A/B): the partial agg collapses to
+        # the small brand x day grid cheaply, so the added round-robin
+        # shuffle LOSES (3.26 -> 3.89 s interleaved min-of-3)
         cat.lineitem.join(
             F.broadcast(cat.part.select("p_partkey", "p_brand")),
             F.col("l_partkey") == F.col("p_partkey"),
@@ -746,6 +749,9 @@ ORDER BY p_brand
 def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     bd = (
+        # no spread() heal here (r9 A/B): the partial agg collapses to
+        # the small brand x day grid cheaply, so the added round-robin
+        # shuffle LOSES (3.26 -> 3.89 s interleaved min-of-3)
         cat.lineitem.join(
             F.broadcast(cat.part.select("p_partkey", "p_brand")),
             F.col("l_partkey") == F.col("p_partkey"),

@@ -454,7 +454,10 @@ ORDER BY label, assigned
 @query("sim_assignment_purity", oracle=SIM_ASSIGN_PURITY_SQL)
 def sim_assignment_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
-    ex = e.select(
+    # spread() heal (r9): the eager checkpoint below inherits the
+    # SCAN's width, so without the heal the 6.4M-row dot-grid partial
+    # agg downstream ran on the single-file scan's 1-2 partitions.
+    ex = spread(e).select(
         "vec_id", "label", F.posexplode("embedding").alias("dim0", "x")
     ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x")
     cent = (
