@@ -57,20 +57,31 @@ def main() -> None:
     # REPEATS>1 (the whole sweep is already min-of-N then).
     warm: dict | None = None
     warm_n = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_N", "40"))
+    # Hard wall-clock budget for the warm pass so the driver run's
+    # total stays bounded even if the tail is having a slow day —
+    # a truncated warm table (n_rerun reports how many re-ran) beats
+    # a driver-timeout run with NO envelope line at all.
+    warm_budget = float(os.environ.get("SPARK_GRAFT_BENCH_WARM_BUDGET", "180"))
     if repeats == 1 and warm_n > 0:
         tail_names = sorted(timings, key=lambda k: (-timings[k], k))[:warm_n]
         warm_timings = dict(timings)
+        budget_t0 = time.perf_counter()
+        rerun = 0
         for name in tail_names:
+            if time.perf_counter() - budget_t0 > warm_budget:
+                break
             best = warm_timings[name]
             for _ in range(2):
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             warm_timings[name] = round(best, 4)
+            rerun += 1
+        tail_names = tail_names[:rerun]
         slowest = sorted(warm_timings, key=lambda k: (-warm_timings[k], k))[:15]
         warm = {
             "value": round(sum(warm_timings.values()), 1),
-            "n_rerun": warm_n,
+            "n_rerun": len(tail_names),
             "slowest": {k: round(warm_timings[k], 1) for k in slowest},
         }
         print(json.dumps({"full_warm_queries": {k: warm_timings[k] for k in tail_names}},

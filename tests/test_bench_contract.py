@@ -37,10 +37,12 @@ def test_bench_line_contract():
     # re-run) so the driver artifact records cold AND warm in one line
     assert "warm" in d
     assert 0 < d["warm"]["value"] <= d["value"] + 0.5
-    assert d["warm"]["n_rerun"] == 40
+    # time-budgeted: re-runs up to 40 tail entries, stopping at the
+    # SPARK_GRAFT_BENCH_WARM_BUDGET wall (sf0.001 comfortably fits all)
+    assert 0 < d["warm"]["n_rerun"] <= 40
     assert 0 < len(d["warm"]["slowest"]) <= 15
     warm_full = json.loads(lines[-3])["full_warm_queries"]
-    assert len(warm_full) == 40
+    assert len(warm_full) == d["warm"]["n_rerun"]
     assert all(warm_full[k] <= full[k] for k in warm_full)
 
     from redmap_spark.inventory import QUERIES
