@@ -56,26 +56,14 @@ from redmap_spark.inventory import regress  # noqa: F401
 # (tests/test_oracle.py::test_window_rotation_covers_all_oracles) enforces
 # that no slot is wasted on an already-verified entry.
 _WINDOW_FIRST = [
-    # Round-9 rotation: the 252 oracle entries that have never carried a
-    # driver hash_match (union of CORRECTNESS_r01..r08), in prior
+    # Round-10 rotation: the 202 oracle entries that have never carried a
+    # driver hash_match (union of CORRECTNESS_r01..r09), in prior
     # registration order. The driver verifies the first 50 per round;
-    # the remainder queue as fully-unverified overflow for rounds 10+.
-    # All 252 were additionally hash-verified in full local sweeps at
+    # the remainder queue as fully-unverified overflow for rounds 11+.
+    # All 202 were additionally hash-verified in full local sweeps at
     # sf0.01 AND sf0.1 (tools/driver_gate_sim.py ->
-    # CORRECTNESS_full_r08.json / CORRECTNESS_full_r08_sf01.json).
-    "sim_davies_bouldin", "sim_norm_profile", "sim_lsh_recall", "sim_pca_power",
-    "q_second_pc", "sim_centroid_shift", "sim_hubness", "sim_margin_audit",
-    "sim_twonn", "sim_calinski", "sim_ivf_tuning", "sim_graph_expand",
-    "q_mus_sampling", "q_wilson_returns", "q_duplicate_payments", "q_benford_entity",
-    "q_cem_att", "q_cointegration", "q_lead_lag_matrix", "q_changepoint_binseg",
-    "q_dr_policy_eval", "q_km_greenwood", "mr_digraph_stats", "mr_modularity",
-    "mr_ppr", "mr_matching", "mr_bipartite_cc", "q_round_number_bias",
-    "q_structuring_detect", "q_raking_weights", "q_little_law_audit", "q_var_cvar",
-    "q_backlog_aging", "q_panel_fe", "q_regression_discontinuity", "q_gravity_trade",
-    "q_bass_diffusion", "q_shift_share", "q_cross_elasticity", "q_drawdown",
-    "q_erlang_c", "q_anderson_darling", "q_croston", "q_session_entry_exit",
-    "q_tail_dependence", "q_rsi", "q_xyz_class", "q_eoq_policy",
-    "q_knapsack_budget", "q_hill_diversity", "q_share_of_wallet", "q_assortment_overlap",
+    # CORRECTNESS_full_r09.json / CORRECTNESS_full_r09_sf01.json).
+    "q_share_of_wallet", "q_assortment_overlap",
     "q_weighted_median", "q_heckman_mills", "q_bid_rigging_screen", "q_optimal_reserve",
     "q_price_recommendation", "q_spectral_power", "q_median_polish", "q_process_capability",
     "q_holm_adjust", "q_gamma_moments", "q_cvm_test", "q_mantel_haenszel",
