@@ -44,7 +44,18 @@ def _session_hygiene(spark: SparkSession) -> None:
     so at build time every existing catalog cache is dead weight; the
     entry's own .cache() calls all happen after this point. Memoized
     localCheckpoints (the shared PCA Gram) are NOT catalog entries and
-    survive. No-op on a cold session."""
+    survive. No-op on a cold session.
+
+    Default-ON because the at-risk session is the DRIVER's own vanilla
+    one (it can't set flags); a caller that legitimately owns caches
+    across entry builds (a test fixture caching a shared frame, a
+    future entry composing another entry mid-build) opts out with
+    ``SPARK_GRAFT_KEEP_CACHES=1`` — correctness never depends on
+    hygiene, only peak storage-pool occupancy does (ADVICE r10)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_KEEP_CACHES") == "1":
+        return
     try:
         spark.catalog.clearCache()
     except Exception:  # noqa: BLE001 — hygiene must never fail a query

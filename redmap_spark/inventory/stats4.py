@@ -1197,7 +1197,7 @@ def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("decimal(28,2)") * 100
         ).cast("bigint").alias("v")
-    )
+    ).localCheckpoint()  # 84-row dow×month grid; scan done once
 
     def lowmed(df, part: str, val: str, tie: str, out: str):
         w = Window.partitionBy(part).orderBy(val, tie)
@@ -1214,17 +1214,21 @@ def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(part, F.col(val).alias(out))
         )
 
+    # Each sweep references its predecessor TWICE (rows + their
+    # medians), so without a cut the lineage — and the Exchange count —
+    # doubles per sweep (39 Exchanges at r9). localCheckpoint at each
+    # 84-row sweep boundary, the q_raking_weights IPF pattern.
     a1 = cells.join(lowmed(cells, "dow", "v", "mon", "lm1"), "dow").select(
         "dow", "mon", "v", (F.col("v") - F.col("lm1")).alias("v1"), "lm1"
-    )
+    ).localCheckpoint()
     a2 = a1.join(lowmed(a1, "mon", "v1", "dow", "cm1"), "mon").select(
         "dow", "mon", "v", "lm1",
         (F.col("v1") - F.col("cm1")).alias("v2"), "cm1",
-    )
+    ).localCheckpoint()
     a3 = a2.join(lowmed(a2, "dow", "v2", "mon", "lm2"), "dow").select(
         "dow", "mon", "v", "lm1", "cm1",
         (F.col("v2") - F.col("lm2")).alias("v3"), "lm2",
-    )
+    ).localCheckpoint()
     a4 = a3.join(lowmed(a3, "mon", "v3", "dow", "cm2"), "mon").select(
         "dow", "mon", "v",
         (F.col("lm1") + F.col("lm2")).alias("re"),

@@ -76,7 +76,11 @@ def spread(df: DataFrame) -> DataFrame:
     # until this was switched to leaf bytes). Non-local URIs can't be
     # stat-ed from the driver: fall back to file count alone — at
     # cluster scale a fact scan is thousands of files, so the heal is
-    # a no-op there regardless.
+    # a no-op there regardless. A stat FAILURE on a local file is
+    # different (ADVICE r10): the byte evidence is gone but the file
+    # may be a single large splittable parquet, so skip the heal
+    # entirely — a perf-only conservative miss beats adding the
+    # data-sized shuffle the byte gate exists to prevent.
     size_bytes = 0
     for f in files:
         if f.startswith("file:"):
@@ -87,8 +91,7 @@ def spread(df: DataFrame) -> DataFrame:
                     unquote(urlparse(f).path)
                 )
             except OSError:
-                size_bytes = 0
-                break
+                return df
         else:
             size_bytes = 0
             break

@@ -49,25 +49,53 @@ def two_phase_cumsum(
     unique row key) — ties would make the within-bucket frame
     nondeterministic. Exact for BIGINT / decimal values: addition is
     regrouped per bucket, never reordered within one.
+
+    NULL sort keys (hence a NULL ``bucket``) are kept and sort first,
+    matching the nulls-first default of the global ``Window.orderBy``
+    this replaces: NULL is a legal partition/group value in the
+    within-bucket window and the per-bucket totals, sorts first in the
+    offset scan, and the offset join is null-safe so NULL-bucket rows
+    are never dropped.
     """
+    return _two_phase(df, order_cols, bucket, out, agg=value)
+
+
+def _two_phase(
+    df: DataFrame,
+    order_cols: list[str],
+    bucket: Column,
+    out: str,
+    agg: Column | None,
+) -> DataFrame:
+    """Shared kernel: within-bucket scan + broadcast null-safe join of
+    exclusive bucket offsets. ``agg`` None → row_number, else sum."""
     b = df.withColumn("__b", bucket)
-    win = (
-        Window.partitionBy("__b")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    inner = b.withColumn("__in", F.sum(value).over(win))
-    per = b.groupBy("__b").agg(F.sum(value).alias("__t"))
+    if agg is None:
+        win = Window.partitionBy("__b").orderBy(*order_cols)
+        inner = b.withColumn("__in", F.row_number().over(win).cast("bigint"))
+        per = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__t"))
+    else:
+        win = (
+            Window.partitionBy("__b")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        inner = b.withColumn("__in", F.sum(agg).over(win))
+        per = b.groupBy("__b").agg(F.sum(agg).alias("__t"))
+    # NULL buckets (NULL sort key) sort first here — Spark's ascending
+    # nulls-first — so every non-null bucket's offset includes them.
     woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     offs = per.select(
-        "__b",
+        F.col("__b").alias("__b2"),
         F.coalesce(F.sum("__t").over(woff), F.lit(0).cast("bigint"))
         .alias("__off"),
     )
+    # eqNullSafe: a plain inner equi-join on __b would silently drop
+    # NULL-bucket rows that the global window it replaces keeps.
     return (
-        inner.join(F.broadcast(offs), "__b")
+        inner.join(F.broadcast(offs), inner["__b"].eqNullSafe(offs["__b2"]))
         .withColumn(out, F.col("__off") + F.col("__in"))
-        .drop("__b", "__in", "__off")
+        .drop("__b", "__b2", "__in", "__off")
     )
 
 
@@ -80,19 +108,7 @@ def two_phase_row_number(
     """Global ``row_number() over (order by order_cols)`` without a
     SinglePartition pass over the data: within-bucket row_number plus
     broadcast exclusive bucket-count offsets. ``order_cols`` must be
-    unique per row within a bucket for a deterministic rank."""
-    b = df.withColumn("__b", bucket)
-    win = Window.partitionBy("__b").orderBy(*order_cols)
-    inner = b.withColumn("__in", F.row_number().over(win).cast("bigint"))
-    per = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__t"))
-    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offs = per.select(
-        "__b",
-        F.coalesce(F.sum("__t").over(woff), F.lit(0).cast("bigint"))
-        .alias("__off"),
-    )
-    return (
-        inner.join(F.broadcast(offs), "__b")
-        .withColumn(out, F.col("__off") + F.col("__in"))
-        .drop("__b", "__in", "__off")
-    )
+    unique per row within a bucket for a deterministic rank. NULL
+    sort keys are kept and rank first (nulls-first, null-safe offset
+    join) — same semantics as the global window this replaces."""
+    return _two_phase(df, order_cols, bucket, out, agg=None)

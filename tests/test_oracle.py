@@ -100,3 +100,24 @@ def test_entry_build_clears_dead_session_caches(spark):
     assert not jcache.isEmpty()
     QUERIES["q_ljung_box"](spark, "/root/testdata/sf0.001")  # build only
     assert jcache.isEmpty()
+
+
+def test_keep_caches_env_skips_hygiene(spark, monkeypatch):
+    """SPARK_GRAFT_KEEP_CACHES=1 lets a caller that owns caches across
+    entry builds opt out of session hygiene (ADVICE r10); the default
+    path (previous test) still clears, protecting the driver's vanilla
+    session."""
+    from pyspark.sql import functions as F
+
+    from redmap_spark.inventory import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_KEEP_CACHES", "1")
+    kept = spark.range(1000).select(F.col("id") * 3)
+    kept.cache().count()
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    try:
+        assert not jcache.isEmpty()
+        QUERIES["q_ljung_box"](spark, "/root/testdata/sf0.001")  # build only
+        assert not jcache.isEmpty()
+    finally:
+        kept.unpersist()

@@ -975,3 +975,33 @@ def test_spread_noops_on_wide_and_splittable_inputs(spark, tmp_path):
         assert spread(big) is big
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_spread_skips_heal_when_leaf_stat_fails(spark, tmp_path, monkeypatch):
+    """ADVICE r10: an OSError while stat-ing a local leaf file must
+    SKIP the heal (conservative identity), not zero the byte evidence
+    — a transient stat failure on one large splittable file must not
+    let spread() add the data-sized repartition the byte gate exists
+    to prevent."""
+    import os as _os
+
+    from redmap_spark.plans import partitioning
+    from redmap_spark.plans.partitioning import spread
+
+    p = str(tmp_path / "narrow.parquet")
+    spark.range(0, 100).coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    assert len(narrow.inputFiles()) == 1
+    # sanity: with working stat, this narrow scan WOULD be healed
+    assert spread(narrow) is not narrow
+
+    real_getsize = _os.path.getsize
+
+    def flaky_getsize(path):
+        raise OSError("transient stat failure")
+
+    monkeypatch.setattr(_os.path, "getsize", flaky_getsize)
+    try:
+        assert spread(narrow) is narrow
+    finally:
+        monkeypatch.setattr(_os.path, "getsize", real_getsize)

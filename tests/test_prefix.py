@@ -94,3 +94,33 @@ def test_two_phase_data_never_crosses_a_singleton(spark):
     sp_rows = singleton_exchange_rows(got)
     assert sp_rows, "expected the offset-grid singleton pass"
     assert max(sp_rows) <= n_buckets, (sp_rows, n_buckets)
+
+
+def test_two_phase_keeps_null_keys_nulls_first(spark):
+    """NULL sort keys (hence NULL buckets) must be KEPT and sort
+    first, matching the global Window.orderBy nulls-first default the
+    helpers replace — a plain inner join on the bucket column would
+    silently drop them (ADVICE r10)."""
+    df = spark.createDataFrame(
+        [(None, 5), (None, 7), (10, 1), (300, 2), (70000, 3)],
+        "k long, v long",
+    )
+    bucket = F.floor(F.col("k") / 64).cast("bigint")
+
+    got_rn = two_phase_row_number(df, ["k", "v"], bucket, out="rn")
+    want_rn = df.select(
+        "k", "v",
+        F.row_number().over(Window.orderBy("k", "v")).cast("bigint").alias("rn"),
+    )
+    assert sorted(got_rn.collect(), key=str) == sorted(want_rn.collect(), key=str)
+
+    got_cum = two_phase_cumsum(df, ["k", "v"], F.col("v"), bucket, out="cum")
+    want_cum = df.select(
+        "k", "v",
+        F.sum("v").over(
+            Window.orderBy("k", "v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cum"),
+    )
+    assert sorted(got_cum.collect(), key=str) == sorted(want_cum.collect(), key=str)
