@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import dec, query
+from redmap_spark.plans.prefix import two_phase_cumsum, two_phase_ntile
 
 # -- q_mode_per_group --------------------------------------------------
 #
@@ -103,12 +104,16 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
     )
-    cut = rev.select(
-        "r",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("r").desc(), "o_custkey"))
-        .alias("decile"),
-    )
+    # |customers| scales with the data (the sf0.1 sp-window sweep
+    # measured 15k rows through the old global-ntile singleton), so
+    # the decile cut is a TWO-PHASE global ntile: buckets on
+    # -floor(r/4096) (per-customer revenue domain-bounded by order
+    # multiplicity — a few hundred buckets, SF-independent) aligned
+    # with the r DESC order (plans/prefix.py).
+    cut = two_phase_ntile(
+        rev, 10, [F.col("r").desc(), "o_custkey"],
+        (-F.floor(F.col("r") / 4096)).cast("bigint"), out="decile",
+    ).select("r", "decile")
     per = cut.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("r").alias("dr"),
@@ -214,10 +219,14 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redmap_spark.operators.analytics import skyline
 
     p = Catalog(spark, sf_dir).part
+    # bucket_width=8: retail price has a bounded ~[900, 2100] domain,
+    # so ~150 SF-independent buckets carry the two-phase frontier scan
+    # (the distinct price x size grid itself scales with |parts|).
     sky = skyline(
         p.select(F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")),
         "price",
         "sz",
+        bucket_width=8.0,
     )
     return sky.select(
         "price", F.col("sz").alias("size"), F.col("n_rows").alias("n_parts")
@@ -274,17 +283,31 @@ def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         F.datediff("corpus_max", "last_day").alias("recency_days"),
     )
+    # |customers| scales with the data (15k rows crossed each of the
+    # three old global-ntile singletons at sf0.1), so every quintile
+    # is a TWO-PHASE global ntile (plans/prefix.py) on a
+    # domain-bounded bucket: recency days (~0..2500), per-customer
+    # order count (small), per-customer revenue / 4096.
+    feat = two_phase_ntile(
+        feat, 5, ["recency_days", "o_custkey"],
+        F.floor(F.col("recency_days") / 16).cast("bigint"), out="r_score",
+    )
+    feat = two_phase_ntile(
+        feat, 5, [F.col("frequency").desc(), "o_custkey"],
+        (-F.col("frequency")).cast("bigint"), out="f_score",
+    )
+    feat = two_phase_ntile(
+        feat, 5, [F.col("m").desc(), "o_custkey"],
+        (-F.floor(F.col("m") / 4096)).cast("bigint"), out="m_score",
+    )
     return feat.select(
         "o_custkey",
         F.col("recency_days").cast("bigint").alias("recency_days"),
         F.col("frequency").cast("bigint").alias("frequency"),
         F.col("m").cast("double").alias("monetary"),
-        F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
-        .cast("bigint").alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .cast("bigint").alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.col("m").desc(), "o_custkey"))
-        .cast("bigint").alias("m_score"),
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
     )
 
 
@@ -1215,12 +1238,15 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r").cast("decimal(30,4)").alias("tr"),
         F.count(F.lit(1)).cast("bigint").alias("np"),
     )
-    ranked = rev.select(
-        "l_partkey", "r",
-        F.sum("r").over(
-            Window.orderBy(F.desc("r"), F.asc("l_partkey"))
-        ).alias("cum"),
-    )
+    # |parts| scales with the data (20k rows crossed the old global
+    # running-sum singleton at sf0.1): TWO-PHASE global cumsum over
+    # -floor(r/4096) buckets aligned with the revenue DESC order —
+    # decimal addition regrouped per bucket stays exact, so the
+    # Pareto shares (and the oracle hash) are unchanged.
+    ranked = two_phase_cumsum(
+        rev, [F.desc("r"), F.asc("l_partkey")], F.col("r"),
+        (-F.floor(F.col("r") / 4096)).cast("bigint"), out="cum",
+    ).select("l_partkey", "r", "cum")
     share = F.col("cum").cast("double") / F.col("tr").cast("double")
     cls = ranked.join(F.broadcast(tot)).select(
         "r", "np", "tr",
@@ -1880,19 +1906,22 @@ def q_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
         .withColumnRenamed("o_custkey", "yck")
     )
-    units = (
+    # |customers| scales with the data (15k rows crossed the old
+    # global-ntile singleton at sf0.1): TWO-PHASE global ntile on the
+    # bounded acctbal domain (-1000..10000, /64 -> ~172 buckets).
+    units = two_phase_ntile(
         cat.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
         .join(t95, F.col("tck") == F.col("c_custkey"), "left")
-        .join(y96, F.col("yck") == F.col("c_custkey"), "left")
-        .select(
-            F.col("c_custkey").alias("ck"),
-            F.col("c_mktsegment").alias("seg"),
-            F.ntile(5).over(Window.orderBy("c_acctbal", "c_custkey"))
-            .alias("bq"),
-            F.coalesce("trt", F.lit(0)).alias("trt"),
-            F.coalesce(F.col("y"), F.lit(0).cast("decimal(18,2)"))
-            .cast("double").alias("y"),
-        )
+        .join(y96, F.col("yck") == F.col("c_custkey"), "left"),
+        5, ["c_acctbal", "c_custkey"],
+        F.floor(F.col("c_acctbal") / 64).cast("bigint"), out="bq",
+    ).select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+        "bq",
+        F.coalesce("trt", F.lit(0)).alias("trt"),
+        F.coalesce(F.col("y"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double").alias("y"),
     )
     units = units.cache()  # consumed by strata, the weighted fold AND naive
     strata = units.groupBy("seg", "bq").agg(

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import query, spread
+from redmap_spark.plans.prefix import two_phase_row_number
 
 # -- q_elasticity ------------------------------------------------------
 #
@@ -2637,11 +2638,17 @@ def q_optimal_reserve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top2 = top2.cache()  # auction grid feeds candidates AND revenue scan
-    ranked = top2.select(
-        "b1",
-        F.row_number().over(Window.orderBy("b1", "pk")).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    # |auctions| = |parts with >=2 suppliers| scales with the data
+    # (20k rows crossed the old global rank + global-count singletons
+    # at sf0.1): TWO-PHASE global row_number over floor(b1/2^24)
+    # buckets (b1 is a bounded-domain unit price in micro-cents), and
+    # the total as a broadcast 1-row aggregate instead of a
+    # count-over-empty-window data funnel.
+    n_tot = top2.agg(F.count(F.lit(1)).alias("n"))
+    ranked = two_phase_row_number(
+        top2, ["b1", "pk"],
+        F.floor(F.col("b1") / (1 << 24)).cast("bigint"), out="r",
+    ).select("b1", "r").join(F.broadcast(n_tot))
     qs = spark.range(1, 21).select(F.col("id").alias("q"))
     cand = (
         ranked.join(

@@ -1344,23 +1344,28 @@ def mr_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("v").cast("decimal(18,12)").alias("r"))
             .localCheckpoint()  # pin per-round lineage (mr_pagerank rule)
         )
-    return (
+    # Only the top 15 survive, so take them FIRST (TakeOrderedAndProject
+    # — per-partition top-k + driver merge, no singleton exchange of
+    # the |nodes| frame, which scales with the data: 15k rows crossed
+    # the old global-rank singleton at sf0.1) and rank the 15-row
+    # result with an ordinary bounded window.
+    top = (
         r.select(
             node_str(F.col("node")).alias("node"),
             F.round(F.col("r").cast("double"), 9).alias("ppr"),
             F.col("r"),
         )
-        .select(
-            "node",
-            "ppr",
-            F.row_number()
-            .over(Window.orderBy(F.desc("r"), "node"))
-            .cast("bigint")
-            .alias("rank"),
-        )
-        .orderBy("rank")
+        .orderBy(F.desc("r"), "node")
         .limit(15)
     )
+    return top.select(
+        "node",
+        "ppr",
+        F.row_number()
+        .over(Window.orderBy(F.desc("r"), "node"))
+        .cast("bigint")
+        .alias("rank"),
+    ).orderBy("rank")
 
 
 # -- mr_matching -------------------------------------------------------

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import dec, query, spread
-from redmap_spark.plans.prefix import two_phase_cumsum
+from redmap_spark.plans.prefix import two_phase_cumsum, two_phase_row_number
 
 # -- q_regression ------------------------------------------------------
 #
@@ -332,10 +332,14 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice")).cast("decimal(19,2)").alias("r")
     )
-    ranked = rev.select(
-        "r",
-        F.row_number().over(Window.orderBy("r", "o_custkey")).alias("i"),
-    )
+    # |customers| scales with the data (15k rows crossed the old
+    # global-rank singleton at sf0.1), so the Lorenz rank is a
+    # TWO-PHASE global row_number over floor(r/4096) buckets
+    # (domain-bounded per-customer revenue, plans/prefix.py).
+    ranked = two_phase_row_number(
+        rev, ["r", "o_custkey"],
+        F.floor(F.col("r") / 4096).cast("bigint"), out="i",
+    ).select("r", "i")
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("r").cast("decimal(19,2)").alias("sr"),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import query, spread
+from redmap_spark.plans.prefix import two_phase_cumsum
 
 # -- q_drawdown --------------------------------------------------------
 #
@@ -1408,18 +1409,19 @@ def q_knapsack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = items.agg(
         F.expr("CAST(sum(cost_c) AS BIGINT) div 10").alias("b")
     )
-    ordered = items.select(
-        "pk",
-        "cost_c",
-        "val_c",
-        F.sum("cost_c")
-        .over(
-            Window.orderBy(
-                (F.col("val_c") * 1.0 / F.col("cost_c")).desc(), "pk"
-            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        .alias("cum"),
-    )
+    # |parts| scales with the data (20k rows crossed the old global
+    # running-sum singleton at sf0.1): TWO-PHASE global cumsum over
+    # -floor(density) buckets aligned with the value-density DESC
+    # greedy order (density = per-part revenue / unit retail cost is
+    # domain-bounded by order multiplicity, not data size).
+    density = F.col("val_c") * 1.0 / F.col("cost_c")
+    ordered = two_phase_cumsum(
+        items.withColumn("__dens", density),
+        [F.col("__dens").desc(), "pk"],
+        F.col("cost_c"),
+        (-F.floor(F.col("__dens"))).cast("bigint"),
+        out="cum",
+    ).select("pk", "cost_c", "val_c", "cum")
     flagged = ordered.join(F.broadcast(budget)).select(
         "pk",
         "cost_c",

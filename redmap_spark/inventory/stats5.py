@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import query, spread
+from redmap_spark.plans.prefix import two_phase_cumsum
 
 # -- q_vif -------------------------------------------------------------
 #
@@ -928,28 +929,35 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s2") - F.col("s1")).alias("d"),
         F.abs(F.col("s2") - F.col("s1")).alias("absd"),
     )
-    pairs = pairs.cache()  # feeds the rank pass AND the tie-group fold
-    rk = pairs.select(
-        "d",
-        F.rank().over(Window.orderBy("absd")).alias("lo"),
-        F.count(F.lit(1)).over(Window.partitionBy("absd")).alias("t"),
+    # The rank pass works on the DISTINCT |d| grid, which still scales
+    # with the data (~7k rows crossed the old global-rank singleton at
+    # sf0.1), so the tie-group rank-low is a TWO-PHASE global cumsum
+    # of group counts over floor(absd/4096) buckets (bounded spend-
+    # delta domain, plans/prefix.py): lo = cum - t + 1, and every pair
+    # in a tie group shares avg_rank, so W+ = sum(pos_t * avg_rank)
+    # exactly (sum of k identical decimals = k x the decimal).
+    g = pairs.groupBy("absd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint").alias("pos_t"),
     )
-    avg_rank = (F.col("lo") + (F.col("t") - 1) / 2.0).cast("decimal(28,1)")
-    agg = rk.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("bigint").alias(
-            "n_pos"
-        ),
-        F.sum(F.when(F.col("d") > 0, avg_rank)).cast("double").alias("w_plus"),
+    g = two_phase_cumsum(
+        g, ["absd"], F.col("t"),
+        F.floor(F.col("absd") / 4096).cast("bigint"), out="cumt",
     )
-    ties = (
-        pairs.groupBy("absd")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-        .agg(
-            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-            .cast("bigint")
-            .alias("tcorr")
-        )
+    g = g.cache()  # grid-sized; feeds the W+ fold AND the tie correction
+    avg_rank = (
+        (F.col("cumt") - F.col("t") + 1) + (F.col("t") - 1) / 2.0
+    ).cast("decimal(28,1)")
+    agg = g.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum("pos_t").cast("bigint").alias("n_pos"),
+        F.sum(F.col("pos_t") * avg_rank).cast("double").alias("w_plus"),
+    )
+    ties = g.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tcorr")
     )
     n = F.col("n")
     stat = (

@@ -33,7 +33,11 @@ FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, head_md5 string, width int, height int, n_frames int"
 )
 
-REAL_DECODERS_AVAILABLE = False  # flip when PIL/ffmpeg exist (full pixel decode)
+# Repo codecs give REAL pixel decode for PNG / baseline JPEG / GIF /
+# lossless WebP (VP8L, r10) via multimodal/decode.py; this flag gates
+# only the residual formats (lossy VP8, H.264) where a pure-python
+# decoder is out of scope — flip when PIL/ffmpeg exist.
+REAL_DECODERS_AVAILABLE = False
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # JPEG start-of-frame markers carry dimensions; C4/C8/CC are not SOFs

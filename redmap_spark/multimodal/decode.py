@@ -42,6 +42,12 @@ def decode_pixel_array(payload: bytes) -> np.ndarray | None:
 
             idx, pal = decode_gif_indexed(payload)
             return pal[idx]
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from redmap_spark.multimodal.webp import decode_webp
+
+            # UnsupportedWebp (lossy VP8) is a ValueError: falls to
+            # the caller's deterministic fallback like corrupt media
+            return decode_webp(payload)
     except _DECODE_ERRORS:
         return None
     return None

@@ -9,25 +9,47 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def skyline(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
+def skyline(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    bucket_width: float | None = None,
+) -> DataFrame:
     """Pareto frontier: rows where no other row has ``min_col`` <=
     AND ``max_col`` >= with at least one strict. Output: one row per
     distinct (min_col, max_col) point on the frontier, with its
     multiplicity ``n_rows``.
 
     Plan: collapse to the DISTINCT point grid (dominance is identical
-    for duplicates), then ONE window pass ordered by (min ASC, max
-    DESC): every strict predecessor in that order is a
+    for duplicates), then ONE running-max pass ordered by (min ASC,
+    max DESC): every strict predecessor in that order is a
     cheaper-or-equal candidate, so a point is dominated iff the
     running MAX of ``max_col`` over predecessors reaches its own
-    value. The window sorts only the distinct grid (<< table)."""
+    value. With ``bucket_width`` set, that pass is the two-phase
+    distributed scan (plans/prefix.two_phase_cummax_excl) over
+    floor(min_col/width) buckets — required when the distinct point
+    grid scales with the data (the sf0.1 sp-window sweep measured
+    16.6k grid rows through the old global window for q_skyline);
+    without it, a global window sorts the grid on one executor (only
+    acceptable for genuinely domain-bounded grids)."""
     g = df.groupBy(
         F.col(min_col).alias("_mn"), F.col(max_col).alias("_mx")
     ).agg(F.count(F.lit(1)).alias("n_rows"))
-    w = Window.orderBy(F.col("_mn").asc(), F.col("_mx").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    sky = g.select("_mn", "_mx", "n_rows", F.max("_mx").over(w).alias("_pred"))
+    if bucket_width is not None:
+        from redmap_spark.plans.prefix import two_phase_cummax_excl
+
+        sky = two_phase_cummax_excl(
+            g, [F.col("_mn").asc(), F.col("_mx").desc()], F.col("_mx"),
+            F.floor(F.col("_mn") / bucket_width).cast("bigint"),
+            out="_pred",
+        )
+    else:
+        w = Window.orderBy(
+            F.col("_mn").asc(), F.col("_mx").desc()
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        sky = g.select(
+            "_mn", "_mx", "n_rows", F.max("_mx").over(w).alias("_pred")
+        )
     return sky.filter(
         F.col("_pred").isNull() | (F.col("_pred") < F.col("_mx"))
     ).select(

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 def two_phase_cumsum(
     df: DataFrame,
-    order_cols: list[str],
+    order_cols: list,
     value: Column,
     bucket: Column,
     out: str = "cum",
@@ -62,7 +62,7 @@ def two_phase_cumsum(
 
 def _two_phase(
     df: DataFrame,
-    order_cols: list[str],
+    order_cols: list,
     bucket: Column,
     out: str,
     agg: Column | None,
@@ -101,7 +101,7 @@ def _two_phase(
 
 def two_phase_row_number(
     df: DataFrame,
-    order_cols: list[str],
+    order_cols: list,
     bucket: Column,
     out: str = "rn",
 ) -> DataFrame:
@@ -112,3 +112,80 @@ def two_phase_row_number(
     sort keys are kept and rank first (nulls-first, null-safe offset
     join) — same semantics as the global window this replaces."""
     return _two_phase(df, order_cols, bucket, out, agg=None)
+
+
+def two_phase_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: list,
+    bucket: Column,
+    out: str = "tile",
+) -> DataFrame:
+    """Global ``ntile(n) over (order by order_cols)`` without a
+    SinglePartition pass: two-phase global row_number plus the
+    standard ntile bucket formula (first ``N mod n`` tiles carry
+    ``ceil(N/n)`` rows — the SQL-standard distribution Spark and
+    DuckDB both implement). ``order_cols`` must be unique per row for
+    a deterministic tiling. Result column is INT, like ntile's."""
+    rn = _two_phase(df, order_cols, bucket, "__rn", agg=None)
+    tot = df.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    base = F.floor(F.col("__n") / n).cast("bigint")
+    rem = (F.col("__n") % n).cast("bigint")
+    head = rem * (base + 1)  # rows living in the ceil-sized tiles
+    tile = F.when(
+        F.col("__rn") <= head,
+        F.floor((F.col("__rn") - 1) / (base + 1)) + 1,
+    ).otherwise(
+        # greatest() guards the N < n case (base = 0): the branch is
+        # unreachable then, but ANSI mode would still raise on the
+        # division during codegen of the dead arm
+        rem + F.floor((F.col("__rn") - head - 1) / F.greatest(base, F.lit(1)))
+        + 1
+    )
+    return (
+        rn.join(F.broadcast(tot))
+        .withColumn(out, tile.cast("int"))
+        .drop("__rn", "__n")
+    )
+
+
+def two_phase_cummax_excl(
+    df: DataFrame,
+    order_cols: list,
+    value: Column,
+    bucket: Column,
+    out: str = "cummax",
+) -> DataFrame:
+    """Global ``max(value) over (order by order_cols rows between
+    unbounded preceding and -1)`` — the strict-predecessor running
+    max (skyline dominance test) — without a SinglePartition data
+    pass: within-bucket exclusive running max, plus broadcast
+    exclusive per-bucket maxima. NULL for the global first row,
+    exactly like the window it replaces. max is associative and
+    order-insensitive, so the regrouping is exact for any type."""
+    b = df.withColumn("__b", bucket)
+    win = (
+        Window.partitionBy("__b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inner = b.withColumn("__in", F.max(value).over(win))
+    per = b.groupBy("__b").agg(F.max(value).alias("__t"))
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        F.col("__b").alias("__b2"),
+        F.max("__t").over(woff).alias("__off"),
+    )
+    merged = F.when(
+        F.col("__in").isNull() & F.col("__off").isNull(), F.lit(None)
+    ).otherwise(
+        F.greatest(
+            F.coalesce(F.col("__in"), F.col("__off")),
+            F.coalesce(F.col("__off"), F.col("__in")),
+        )
+    )
+    return (
+        inner.join(F.broadcast(offs), inner["__b"].eqNullSafe(offs["__b2"]))
+        .withColumn(out, merged)
+        .drop("__b", "__b2", "__in", "__off")
+    )

@@ -124,3 +124,75 @@ def test_two_phase_keeps_null_keys_nulls_first(spark):
         ).alias("cum"),
     )
     assert sorted(got_cum.collect(), key=str) == sorted(want_cum.collect(), key=str)
+
+
+def test_two_phase_ntile_matches_global_ntile(spark):
+    """two_phase_ntile must reproduce Spark's ntile() exactly for
+    every n (incl. the uneven-remainder distribution and n > N) and
+    for DESC orderings with negated buckets."""
+    df = _rows(spark, n=1003)
+    from redmap_spark.plans.prefix import two_phase_ntile
+
+    for n in (2, 5, 10, 7, 2000):
+        got = two_phase_ntile(
+            df, n, ["k"], F.floor(F.col("k") / 256).cast("bigint"),
+            out="t",
+        )
+        want = df.select(
+            "k", "v", F.ntile(n).over(Window.orderBy("k")).alias("t")
+        )
+        assert sorted(got.collect()) == sorted(want.collect()), n
+
+    got_d = two_phase_ntile(
+        df, 5, [F.col("k").desc(), "v"],
+        (-F.floor(F.col("k") / 256)).cast("bigint"), out="t",
+    )
+    want_d = df.select(
+        "k", "v",
+        F.ntile(5).over(Window.orderBy(F.col("k").desc(), "v")).alias("t"),
+    )
+    assert sorted(got_d.collect()) == sorted(want_d.collect())
+
+
+def test_two_phase_cummax_excl_matches_global_window(spark):
+    """Exclusive running max (the skyline dominance scan): NULL for
+    the global first row, bucket boundaries invisible."""
+    from redmap_spark.plans.prefix import two_phase_cummax_excl
+
+    df = _rows(spark, n=997)
+    got = two_phase_cummax_excl(
+        df, ["k"], F.col("v"), F.floor(F.col("k") / 256).cast("bigint"),
+        out="m",
+    )
+    want = df.select(
+        "k", "v",
+        F.max("v").over(
+            Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("m"),
+    )
+    assert sorted(got.collect(), key=str) == sorted(want.collect(), key=str)
+
+
+def test_two_phase_cumsum_exact_for_decimals(spark):
+    """Decimal values survive the two-phase regrouping exactly (the
+    q_abc_analysis path: DECIMAL(21,4) revenue, DESC order)."""
+    df = spark.range(500).select(
+        (F.col("id") * 13 % 977).alias("k"),
+        ((F.col("id") * 7919 % 100000) / 100)
+        .cast("decimal(21,4)").alias("r"),
+    )
+    got = two_phase_cumsum(
+        df, [F.desc("r"), F.asc("k")], F.col("r"),
+        (-F.floor(F.col("r") / 64)).cast("bigint"), out="cum",
+    )
+    want = df.select(
+        "k", "r",
+        F.sum("r").over(
+            Window.orderBy(F.desc("r"), F.asc("k")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cum"),
+    )
+    gm = {(r.k, str(r.r)): str(r.cum) for r in got.collect()}
+    wm = {(r.k, str(r.r)): str(r.cum) for r in want.collect()}
+    assert gm == wm

@@ -31,7 +31,13 @@ sys.path.insert(0, str(REPO))
 
 from redmap_spark.inventory import QUERIES  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+# Default gate runs at sf0.01; the bound is SF-INDEPENDENT for
+# legitimate domain grids by construction, so once per round the same
+# test is run at sf0.1 (SPARK_GRAFT_SPW_SF_DIR=/root/testdata/sf0.1)
+# to prove it — the 100x-scale invariant, measured (PERF.md #89).
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SPW_SF_DIR", "/root/testdata/sf0.01")
 BOUND = 6000
 
 

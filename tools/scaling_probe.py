@@ -22,6 +22,9 @@ shuffle-bound linear scaling; a slope trending toward 16 would flag a
 quadratic term that 1000 executors cannot save. Run:
 
     python tools/scaling_probe.py            # writes /tmp/scaleprobe + prints one JSON line
+    python tools/scaling_probe.py --shapes graph_triangles,global_prefix_sum --scales 1,4,16,64
+                                             # x64 confirmation run for selected shapes only
+                                             # (replicates only the tables those shapes read)
 
 Scratch data is written under /tmp (never the repo or testdata).
 """
@@ -47,6 +50,27 @@ from redmap_spark.session import get_spark  # noqa: E402
 SF_DIR = "/root/testdata/sf0.1"
 SCRATCH = Path("/tmp/scaleprobe")
 SCALES = (1, 4, 16)
+
+# Which scratch table each shape reads — lets a selective run (e.g.
+# the x64 confirmation of the super-linear shapes) skip replicating
+# the tables it never touches.
+SHAPE_TABLES = {
+    "agg_q1": {"lineitem"},
+    "window_streaks": {"events"},
+    "total_sort": {"lineitem"},
+    "exact_dedup": {"documents"},
+    "graph_triangles": {"lineitem"},
+    "bottomk_sketch": {"events"},
+    "hash_bootstrap": {"events"},
+    "anchor_scan": {"embeddings"},
+    "wide_perm_agg": {"lineitem"},
+    "rolling_grid_window": {"events"},
+    "sampled_brandes": {"lineitem"},
+    "kde_fanout": {"events"},
+    "graph_ann_build": {"embeddings"},
+    "global_prefix_sum": {"lineitem"},
+    "cms_build": {"events"},
+}
 
 
 def replicate(
@@ -106,28 +130,53 @@ def _graph_triangles(spark, li, noop) -> None:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shapes", default=None,
+                    help="comma-separated shape names (default: all)")
+    ap.add_argument("--scales", default=None,
+                    help="comma-separated replica factors (default: 1,4,16)")
+    args = ap.parse_args()
+    selected = (
+        set(args.shapes.split(",")) if args.shapes else set(SHAPE_TABLES)
+    )
+    unknown = selected - set(SHAPE_TABLES)
+    if unknown:
+        raise SystemExit(f"unknown shapes: {sorted(unknown)}")
+    scales = (
+        tuple(int(s) for s in args.scales.split(","))
+        if args.scales else SCALES
+    )
+    tables_needed = set().union(*(SHAPE_TABLES[s] for s in selected))
+
     spark = get_spark("scaling-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
     if SCRATCH.exists():
         shutil.rmtree(SCRATCH)
 
     results: dict[str, dict[int, float]] = {}
-    for factor in SCALES:
+    for factor in scales:
         d = SCRATCH / f"x{factor}"
-        replicate(spark, "lineitem", ["l_orderkey"], factor, str(d / "lineitem"))
-        replicate(spark, "events", ["event_id", "user_id"], factor, str(d / "events"))
-        replicate(
-            spark, "documents", ["doc_id"], factor, str(d / "documents"),
-            tag_text_col="text",
-        )
-        replicate(
-            spark, "embeddings", ["vec_id"], factor, str(d / "embeddings")
-        )
+        if "lineitem" in tables_needed:
+            replicate(spark, "lineitem", ["l_orderkey"], factor, str(d / "lineitem"))
+        if "events" in tables_needed:
+            replicate(spark, "events", ["event_id", "user_id"], factor, str(d / "events"))
+        if "documents" in tables_needed:
+            replicate(
+                spark, "documents", ["doc_id"], factor, str(d / "documents"),
+                tag_text_col="text",
+            )
+        if "embeddings" in tables_needed:
+            replicate(
+                spark, "embeddings", ["vec_id"], factor, str(d / "embeddings")
+            )
 
-        li = spark.read.parquet(str(d / "lineitem"))
-        ev = spark.read.parquet(str(d / "events"))
-        dc = spark.read.parquet(str(d / "documents"))
-        em = spark.read.parquet(str(d / "embeddings"))
+        def rd(name):
+            p = d / name
+            return spark.read.parquet(str(p)) if p.exists() else None
+
+        li, ev, dc, em = rd("lineitem"), rd("events"), rd("documents"), rd("embeddings")
 
         def noop(df):
             df.write.format("noop").mode("overwrite").save()
@@ -498,14 +547,16 @@ def main() -> None:
             ),
         }
         for name, fn in probes.items():
+            if name not in selected:
+                continue
             fn()  # warm (codegen compile, page cache)
             results.setdefault(name, {})[factor] = timed(fn)
 
     report = {}
     for name, by_scale in results.items():
         slopes = [
-            round(by_scale[SCALES[i + 1]] / max(by_scale[SCALES[i]], 1e-9), 2)
-            for i in range(len(SCALES) - 1)
+            round(by_scale[scales[i + 1]] / max(by_scale[scales[i]], 1e-9), 2)
+            for i in range(len(scales) - 1)
         ]
         report[name] = {"sec": by_scale, "slope_per_4x": slopes}
     print(json.dumps(report))
