@@ -287,15 +287,19 @@ def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three old global-ntile singletons at sf0.1), so every quintile
     # is a TWO-PHASE global ntile (plans/prefix.py) on a
     # domain-bounded bucket: recency days (~0..2500), per-customer
-    # order count (small), per-customer revenue / 4096.
+    # order count (small), per-customer revenue / 4096. Each kernel
+    # references its input twice, so cut the lineage once before the
+    # chain (the q_abc_analysis grid-checkpoint pattern) — without it
+    # the plan compounds to ~104 Exchanges.
+    feat = feat.localCheckpoint()
     feat = two_phase_ntile(
         feat, 5, ["recency_days", "o_custkey"],
         F.floor(F.col("recency_days") / 16).cast("bigint"), out="r_score",
-    )
+    ).localCheckpoint()
     feat = two_phase_ntile(
         feat, 5, [F.col("frequency").desc(), "o_custkey"],
         (-F.col("frequency")).cast("bigint"), out="f_score",
-    )
+    ).localCheckpoint()
     feat = two_phase_ntile(
         feat, 5, [F.col("m").desc(), "o_custkey"],
         (-F.floor(F.col("m") / 4096)).cast("bigint"), out="m_score",
