@@ -912,8 +912,6 @@ FROM stat WHERE sigma > 0
 
 @query("q_wilcoxon_signed_rank", oracle=WSR_SQL)
 def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = Catalog(spark, sf_dir).orders
     tp = F.col("o_totalprice").cast("decimal(18,2)")
     early = F.to_date("o_orderdate") < F.lit(WSR_SPLIT)
