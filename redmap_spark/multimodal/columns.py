@@ -238,12 +238,14 @@ RESIZED_SCHEMA = (
 
 def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32, id_col: str = "doc_id") -> DataFrame:
     """Resize: payload in → (smaller) payload out, batch by Arrow
-    batch. REAL for PNG payloads (stdlib codec, multimodal/png.py)
-    AND baseline JPEG payloads (numpy DCT codec, multimodal/jpeg.py —
-    decode → nearest-neighbor resample → re-encode, a valid thumbnail
-    JPEG out when the target dims are multiples of 8). Remaining
-    unsupported payloads (progressive JPEG, animated GIF pixels, the
-    synthetic corpus) fall back to deterministic byte-decimation to
+    batch. REAL for PNG (stdlib codec, multimodal/png.py), baseline
+    JPEG (numpy DCT codec, multimodal/jpeg.py — decode →
+    nearest-neighbor resample → re-encode, a valid thumbnail JPEG
+    out when the target dims are multiples of 8), GIF
+    (palette-preserving) AND lossless WebP (VP8L codec,
+    multimodal/webp.py, r10 — lossless in, lossless out). Remaining
+    unsupported payloads (progressive JPEG, lossy VP8, the synthetic
+    corpus) fall back to deterministic byte-decimation to
     (target_w*target_h) bytes so plumbing tests stay reproducible.
     The Spark contract — binary in/out, no shuffle, bounded executor
     memory — is unchanged."""
@@ -270,6 +272,20 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32, id_col:
             xs = (np.arange(target_w) * idx.shape[1]) // target_w
             return encode_gif(idx[np.ix_(ys, xs)], pal)
 
+        def resize_webp(raw: bytes) -> bytes:
+            # lossless in, lossless out (multimodal/webp.py, r10);
+            # lossy VP8 raises UnsupportedWebp (a ValueError) and
+            # falls through to the decimation stub like before
+            from redmap_spark.multimodal.webp import decode_webp, encode_vp8l
+
+            if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+                raise ValueError("not webp")
+            px = decode_webp(raw)
+            ys = (np.arange(target_h) * px.shape[0]) // target_h
+            xs = (np.arange(target_w) * px.shape[1]) // target_w
+            out = px[np.ix_(ys, xs)]
+            return encode_vp8l(target_w, target_h, 4, out.tobytes())
+
         n_out = target_w * target_h
         for pdf in batches:
             rows = []
@@ -281,6 +297,7 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32, id_col:
                     lambda b: resize_png(b, target_w, target_h),
                     resize_jpeg,
                     resize_gif,
+                    resize_webp,
                 ):
                     try:
                         small = codec(raw)

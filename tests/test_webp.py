@@ -361,3 +361,23 @@ def test_dispatch_integration():
     bad = bytearray(encode_vp8l(4, 4, 3, bytes(48)))
     bad[25:] = b"\xff" * (len(bad) - 25)
     assert decode_pixel_array(bytes(bad)) is None
+
+
+def test_spark_resize_images_real_webp(spark):
+    """resize_images must REALLY resize lossless-WebP payloads: the
+    output is a valid target-sized VP8L whose pixels equal the
+    nearest-neighbor downsample of the source (the PNG/JPEG resize
+    contract, extended by the r10 codec)."""
+    from redmap_spark.multimodal.columns import resize_images
+
+    px = _rgba(40, 24, seed=21)
+    payload = encode_vp8l(40, 24, 4, px.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = resize_images(df, target_w=8, target_h=8).collect()[0]
+    assert (row.width, row.height) == (40, 24)
+    got = decode_webp(bytes(row.payload))
+    ys = (np.arange(8) * 24) // 8
+    xs = (np.arange(8) * 40) // 8
+    assert np.array_equal(got, px[np.ix_(ys, xs)])
