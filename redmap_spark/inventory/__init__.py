@@ -56,26 +56,13 @@ from redmap_spark.inventory import regress  # noqa: F401
 # (tests/test_oracle.py::test_window_rotation_covers_all_oracles) enforces
 # that no slot is wasted on an already-verified entry.
 _WINDOW_FIRST = [
-    # Round-10 rotation: the 202 oracle entries that have never carried a
-    # driver hash_match (union of CORRECTNESS_r01..r09), in prior
+    # Round-11 rotation: the 152 oracle entries that have never carried a
+    # driver hash_match (union of CORRECTNESS_r01..r10), in prior
     # registration order. The driver verifies the first 50 per round;
-    # the remainder queue as fully-unverified overflow for rounds 11+.
-    # All 202 were additionally hash-verified in full local sweeps at
+    # the remainder queue as fully-unverified overflow for rounds 12+.
+    # All 152 were additionally hash-verified in full local sweeps at
     # sf0.01 AND sf0.1 (tools/driver_gate_sim.py ->
-    # CORRECTNESS_full_r09.json / CORRECTNESS_full_r09_sf01.json).
-    "q_share_of_wallet", "q_assortment_overlap",
-    "q_weighted_median", "q_heckman_mills", "q_bid_rigging_screen", "q_optimal_reserve",
-    "q_price_recommendation", "q_spectral_power", "q_median_polish", "q_process_capability",
-    "q_holm_adjust", "q_gamma_moments", "q_cvm_test", "q_mantel_haenszel",
-    "q_cochran_q", "q_icc_reliability", "q_zero_inflation", "q_mahalanobis",
-    "q_hotelling_t2", "q_kde_density", "q_fleiss_kappa", "q_gumbel_fit",
-    "q_naive_bayes", "q_decision_stump", "q_gmm_em", "q_brier_decomposition",
-    "q_poisson_irls", "q_kfold_cv", "q_learning_curve", "q_permutation_test",
-    "q_jackknife", "q_ratio_metric_ci", "q_tost_equivalence", "q_event_study",
-    "q_quantile_treatment_effect", "q_oaxaca", "txt_kn_perplexity", "txt_minhash_recall",
-    "txt_burrows_delta", "txt_rake_keywords", "txt_source_overlap", "txt_segment_ttr",
-    "txt_boilerplate_affixes", "txt_chao1_richness", "txt_log_odds", "txt_textrank",
-    "q_mcc_confusion", "q_ndcg_eval", "q_weibull_fit", "q_fairness_audit",
+    # CORRECTNESS_full_r10.json / CORRECTNESS_full_r10_sf01.json).
     "q_item_cf", "q_competing_risks", "q_life_table", "q_nbd_fit",
     "q_absorbing_chain", "q_markov_attribution", "q_als_rank1", "q_vif",
     "q_breusch_pagan", "q_yule_walker", "q_isotonic_pava", "q_hosmer_lemeshow",
