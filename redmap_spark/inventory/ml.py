@@ -501,6 +501,36 @@ ORDER BY c.k
 # blocks here.
 _GMM_INIT_CACHE: dict[tuple[str, str], DataFrame] = {}
 _THR_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Bound (ADVICE r10): entries accumulate per (applicationId, sf_dir)
+# for the session's lifetime — cap each cache and evict
+# insertion-order-oldest so a long session sweeping many sf_dirs
+# cannot pin unbounded checkpoint blocks.
+_MEMO_CAP = 4
+
+
+def _memo_get(cache: dict, key: tuple[str, str]) -> DataFrame | None:
+    """Cache lookup with a liveness probe. localCheckpoint blocks are
+    NON-RELIABLE: on a real cluster a lost executor discards them and
+    any reuse fails. The frames here are grid-sized (1–9 rows), so a
+    take(1) probe is a sub-ms job against cached blocks — on failure
+    the entry is dropped and the caller rebuilds instead of erroring.
+    (In local[] mode blocks live in the driver JVM and the probe
+    always succeeds.)"""
+    hit = cache.get(key)
+    if hit is None:
+        return None
+    try:
+        hit.take(1)
+    except Exception:  # lost checkpoint blocks -> rebuild
+        cache.pop(key, None)
+        return None
+    return hit
+
+
+def _memo_put(cache: dict, key: tuple[str, str], df: DataFrame) -> None:
+    cache[key] = df
+    while len(cache) > _MEMO_CAP:
+        cache.pop(next(iter(cache)))
 
 
 def _gmm_init_mus(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
@@ -509,7 +539,7 @@ def _gmm_init_mus(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
     caller's cached (x) frame, reused so the first build shares its
     scan with the caller's E-steps."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _GMM_INIT_CACHE.get(key)
+    hit = _memo_get(_GMM_INIT_CACHE, key)
     if hit is not None:
         return hit
     g = v.groupBy(F.col("x").cast("decimal(18,2)").alias("xv")).agg(
@@ -533,7 +563,7 @@ def _gmm_init_mus(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
     )
     mus = q25.join(F.broadcast(q75)).localCheckpoint()
     cum.unpersist()
-    _GMM_INIT_CACHE[key] = mus
+    _memo_put(_GMM_INIT_CACHE, key, mus)
     return mus
 
 
@@ -1079,7 +1109,7 @@ def _decile_thresholds(
     skips the distinct-price grid + prefix kernel. ``rows_`` is the
     caller's cached frame so the first build shares its scan."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _THR_CACHE.get(key)
+    hit = _memo_get(_THR_CACHE, key)
     if hit is not None:
         return hit
     xgrid = rows_.groupBy("x").agg(
@@ -1099,7 +1129,7 @@ def _decile_thresholds(
         .groupBy(F.col("d").alias("decile"))
         .agg(F.min("x").alias("thr"))
     ).localCheckpoint()
-    _THR_CACHE[key] = cands
+    _memo_put(_THR_CACHE, key, cands)
     return cands
 
 

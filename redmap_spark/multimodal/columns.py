@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from redmap_spark.multimodal.decode import _DECODE_ERRORS
 from redmap_spark.multimodal.mp4 import parse_mp4
 
 FEATURE_SCHEMA = (
@@ -302,7 +303,7 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32, id_col:
                     try:
                         small = codec(raw)
                         break
-                    except ValueError:
+                    except _DECODE_ERRORS:
                         continue
                 if small is None:  # unsupported codec: stub path
                     step = max(1, len(raw) // n_out)
@@ -348,7 +349,7 @@ def sample_frames(df: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> Da
                         fp = encode_gif(idx, pal)
                         rows.append((int(doc_id), i, fp, hashlib.md5(fp).hexdigest()))
                     continue
-                except ValueError:
+                except _DECODE_ERRORS:
                     pass
                 try:
                     jpeg_frames = split_mjpeg(raw)
@@ -358,7 +359,7 @@ def sample_frames(df: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> Da
                             (int(doc_id), i, fp, hashlib.md5(fp).hexdigest())
                         )
                     continue
-                except ValueError:
+                except _DECODE_ERRORS:
                     pass
                 _, _, n_frames = decode_image(raw)
                 chunk = max(1, len(raw) // n_frames)

@@ -155,10 +155,14 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
             sym0 = br.bits(8)
         else:
             sym0 = br.bits(1)
+        if sym0 >= alphabet_size:
+            raise ValueError("simple prefix code symbol out of range")
         lengths = [0] * alphabet_size
         lengths[sym0] = 1
         if num_symbols == 2:
             sym1 = br.bits(8)
+            if sym1 >= alphabet_size:
+                raise ValueError("simple prefix code symbol out of range")
             lengths[sym1] = 1
         else:
             return _PrefixCode.__new__(_PrefixCode)._as_single(sym0)  # type: ignore[attr-defined]
@@ -168,10 +172,13 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
     clc_lengths = [0] * 19
     for i in range(num_clc):
         clc_lengths[_CLC_ORDER[i]] = br.bits(3)
-    clc = _PrefixCode(clc_lengths) if sum(
-        1 for v in clc_lengths if v
-    ) > 1 else _PrefixCode.__new__(_PrefixCode)._as_single(  # type: ignore[attr-defined]
-        next(s for s, v in enumerate(clc_lengths) if v)
+    n_used_clc = sum(1 for v in clc_lengths if v)
+    if n_used_clc == 0:
+        raise ValueError("code-length code with no symbols")
+    clc = _PrefixCode(clc_lengths) if n_used_clc > 1 else (
+        _PrefixCode.__new__(_PrefixCode)._as_single(  # type: ignore[attr-defined]
+            next(s for s, v in enumerate(clc_lengths) if v)
+        )
     )
     if br.bit():  # optional cap on stored lengths
         length_nbits = 2 + 2 * br.bits(3)

@@ -60,15 +60,35 @@ def two_phase_cumsum(
     return _two_phase(df, order_cols, bucket, out, agg=value)
 
 
+def _null_bucket_order(order_cols: list) -> Column:
+    """Offset-scan ordering for the bucket grid, with the NULL bucket
+    placed where the window being replaced would place NULL sort keys:
+    Spark defaults to nulls-FIRST for ascending ``orderBy`` and
+    nulls-LAST for descending. The bucket column is order-aligned with
+    ``order_cols[0]``, so its direction decides the placement (an
+    explicit ``asc_nulls_last``/``desc_nulls_first`` on the sort key is
+    honored the same way — the placement keyword, not the direction,
+    is what matters)."""
+    head = str(order_cols[0]) if order_cols else ""
+    nulls_last = "NULLS LAST" in head or (
+        " DESC" in head and "NULLS FIRST" not in head
+    )
+    return F.col("__b").asc_nulls_last() if nulls_last else F.col("__b").asc()
+
+
 def _two_phase(
     df: DataFrame,
     order_cols: list,
     bucket: Column,
     out: str,
     agg: Column | None,
+    totals_out: list | None = None,
 ) -> DataFrame:
     """Shared kernel: within-bucket scan + broadcast null-safe join of
-    exclusive bucket offsets. ``agg`` None → row_number, else sum."""
+    exclusive bucket offsets. ``agg`` None → row_number, else sum.
+    When ``totals_out`` is given, the per-bucket totals frame
+    (``__b``, ``__t``) is appended to it so callers can derive global
+    aggregates from |buckets| rows instead of re-scanning ``df``."""
     b = df.withColumn("__b", bucket)
     if agg is None:
         win = Window.partitionBy("__b").orderBy(*order_cols)
@@ -82,9 +102,14 @@ def _two_phase(
         )
         inner = b.withColumn("__in", F.sum(agg).over(win))
         per = b.groupBy("__b").agg(F.sum(agg).alias("__t"))
-    # NULL buckets (NULL sort key) sort first here — Spark's ascending
-    # nulls-first — so every non-null bucket's offset includes them.
-    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    if totals_out is not None:
+        totals_out.append(per)
+    # NULL buckets (NULL sort key) are pinned to where the replaced
+    # global window sorts NULL keys (first for asc, last for desc —
+    # see _null_bucket_order), so every offset regroups exactly.
+    woff = Window.orderBy(_null_bucket_order(order_cols)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offs = per.select(
         F.col("__b").alias("__b2"),
         F.coalesce(F.sum("__t").over(woff), F.lit(0).cast("bigint"))
@@ -127,8 +152,15 @@ def two_phase_ntile(
     ``ceil(N/n)`` rows — the SQL-standard distribution Spark and
     DuckDB both implement). ``order_cols`` must be unique per row for
     a deterministic tiling. Result column is INT, like ntile's."""
-    rn = _two_phase(df, order_cols, bucket, "__rn", agg=None)
-    tot = df.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    totals: list = []
+    rn = _two_phase(df, order_cols, bucket, "__rn", agg=None, totals_out=totals)
+    # global N from the per-bucket totals (|buckets| rows) — NOT from a
+    # second scan of df, which would re-evaluate un-materialized input
+    # lineage (ADVICE r10: q_cem_att's 3-way join ran twice for a 1-row
+    # count).
+    tot = totals[0].groupBy().agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("bigint").alias("__n")
+    )
     base = F.floor(F.col("__n") / n).cast("bigint")
     rem = (F.col("__n") % n).cast("bigint")
     head = rem * (base + 1)  # rows living in the ceil-sized tiles
@@ -171,7 +203,9 @@ def two_phase_cummax_excl(
     )
     inner = b.withColumn("__in", F.max(value).over(win))
     per = b.groupBy("__b").agg(F.max(value).alias("__t"))
-    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    woff = Window.orderBy(_null_bucket_order(order_cols)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offs = per.select(
         F.col("__b").alias("__b2"),
         F.max("__t").over(woff).alias("__off"),

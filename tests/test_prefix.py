@@ -126,6 +126,63 @@ def test_two_phase_keeps_null_keys_nulls_first(spark):
     assert sorted(got_cum.collect(), key=str) == sorted(want_cum.collect(), key=str)
 
 
+def test_two_phase_keeps_null_keys_nulls_last_on_desc(spark):
+    """DESC order_cols place NULL sort keys LAST in Spark's global
+    window; the offset scan must pin the NULL bucket accordingly
+    (ADVICE r10: a nulls-first-only offset scan would silently shift
+    every non-null rank/cumsum when a desc sort key goes NULL)."""
+    df = spark.createDataFrame(
+        [(None, 5), (None, 7), (10, 1), (300, 2), (70000, 3)],
+        "k long, v long",
+    )
+    # desc traversal: bucket ascends as k descends; NULL k -> NULL bucket
+    bucket = (-F.floor(F.col("k") / 64)).cast("bigint")
+
+    got_rn = two_phase_row_number(
+        df, [F.col("k").desc(), "v"], bucket, out="rn"
+    )
+    want_rn = df.select(
+        "k", "v",
+        F.row_number()
+        .over(Window.orderBy(F.col("k").desc(), "v"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    assert sorted(got_rn.collect(), key=str) == sorted(
+        want_rn.collect(), key=str
+    )
+
+    got_cum = two_phase_cumsum(
+        df, [F.col("k").desc(), "v"], F.col("v"), bucket, out="cum"
+    )
+    want_cum = df.select(
+        "k", "v",
+        F.sum("v").over(
+            Window.orderBy(F.col("k").desc(), "v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cum"),
+    )
+    assert sorted(got_cum.collect(), key=str) == sorted(
+        want_cum.collect(), key=str
+    )
+
+    # explicit desc_nulls_first overrides back to a leading NULL bucket
+    got_first = two_phase_row_number(
+        df, [F.col("k").desc_nulls_first(), "v"], bucket, out="rn"
+    )
+    want_first = df.select(
+        "k", "v",
+        F.row_number()
+        .over(Window.orderBy(F.col("k").desc_nulls_first(), "v"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    assert sorted(got_first.collect(), key=str) == sorted(
+        want_first.collect(), key=str
+    )
+
+
 def test_two_phase_ntile_matches_global_ntile(spark):
     """two_phase_ntile must reproduce Spark's ntile() exactly for
     every n (incl. the uneven-remainder distribution and n > N) and

@@ -89,6 +89,40 @@ def test_corrupt_streams_raise_value_error():
         decode_vp8l(good[20:28])
 
 
+def test_corrupt_prefix_codes_raise_value_error_not_crash():
+    """The two ADVICE r10 corrupt-stream shapes must surface as
+    ValueError (the documented corrupt-media fallback contract), not
+    StopIteration/IndexError escaping the mapInPandas generator:
+
+    1. a normal code whose code-length code has ALL-ZERO lengths
+       (previously StopIteration from the single-symbol picker);
+    2. a simple code whose 8-bit symbol exceeds the alphabet size
+       (previously IndexError on the 40-symbol distance alphabet).
+    """
+    from redmap_spark.multimodal.webp import _BitReader, _read_prefix_code
+
+    # shape 1: not-simple (0), num_clc-4 = 0 (4 bits), then 4x3 zero bits
+    bw = _BitWriter()
+    bw.put_bits(0, 1)
+    bw.put_bits(0, 4)
+    for _ in range(4):
+        bw.put_bits(0, 3)
+    with pytest.raises(ValueError, match="no symbols"):
+        _read_prefix_code(_BitReader(bw.getvalue()), 256)
+
+    # shape 2: simple (1), 2 symbols (1), 8-bit form (1), syms 60/61 >= 40
+    for syms in ([60], [3, 61]):
+        bw = _BitWriter()
+        bw.put_bits(1, 1)
+        bw.put_bits(len(syms) - 1, 1)
+        bw.put_bits(1, 1)
+        bw.put_bits(syms[0], 8)
+        if len(syms) == 2:
+            bw.put_bits(syms[1], 8)
+        with pytest.raises(ValueError, match="out of range"):
+            _read_prefix_code(_BitReader(bw.getvalue()), 40)
+
+
 # ---------------------------------------------------- hand-built bits
 #
 # The encoder is literal-only, so the decoder-only features are
