@@ -1601,20 +1601,25 @@ def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(c.part.select("p_partkey", "p_brand")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .groupBy(
-            F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand")
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("p_brand").alias("brand"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("q"),
         )
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("r")
-        )
+        # ONE shuffle builds the pinned layout (r11 A/B, -0.6 s warm):
+        # repartition("cust") FIRST, then the (cust, brand) groupBy —
+        # HashPartitioning(cust) satisfies the aggregate's
+        # ClusteredDistribution(cust, brand), so the grouping runs
+        # exchange-free instead of shuffling twice (groupBy + repart).
+        .repartition("cust")
+        .groupBy("cust", "brand")
+        .agg(F.sum("q").cast("decimal(18,2)").alias("r"))
     )
     # reused by every ALS step + RMSE; pinned hash-partitioned on CUST
     # so every u-step groupBy(cust) AND every ratings⋈u join runs
     # co-partitioned with no exchange (the v-side factor tables are
     # |brands| rows and broadcast; only their 25-row groupBy shuffles)
-    ratings = ratings.repartition("cust").localCheckpoint()
+    ratings = ratings.localCheckpoint()
 
     rd = F.col("r").cast("double")
 

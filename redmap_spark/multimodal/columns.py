@@ -337,11 +337,26 @@ def sample_frames(df: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> Da
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from redmap_spark.multimodal.gif import decode_gif_frames, encode_gif
         from redmap_spark.multimodal.jpeg import split_mjpeg
+        from redmap_spark.multimodal.webp import webp_anim_stills
 
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 raw = bytes(payload)
+                try:
+                    # animated WebP (r11): every ANMF frame's VP8L
+                    # chunk re-wraps byte-lossless into a standalone
+                    # still — no transcode, same per-frame contract
+                    # as the GIF path below
+                    webp_frames = webp_anim_stills(raw)
+                    for i in range(0, len(webp_frames), every_n):
+                        fp = webp_frames[i]
+                        rows.append(
+                            (int(doc_id), i, fp, hashlib.md5(fp).hexdigest())
+                        )
+                    continue
+                except _DECODE_ERRORS:
+                    pass
                 try:
                     gif_frames = decode_gif_frames(raw)
                     for i in range(0, len(gif_frames), every_n):

@@ -610,6 +610,9 @@ def decode_webp(payload: bytes) -> np.ndarray:
             return decode_vp8l(body)
         if fourcc == b"VP8 ":
             raise UnsupportedWebp("lossy VP8 pixel decode not implemented")
+        if fourcc == b"ANMF":
+            # animated container: the first frame is the still (r11)
+            return decode_vp8l(split_webp_anim(payload)[0][1])
         i += 8 + size + (size & 1)
     raise UnsupportedWebp("no VP8L chunk in WebP container")
 
@@ -758,4 +761,145 @@ def encode_vp8l(
     else:
         padded = chunk
     riff_body = b"WEBP" + b"VP8L" + struct.pack("<I", len(chunk)) + padded
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# ------------------------------------------------- animated (ANMF)
+#
+# Container-spec slice (RFC 9649 §"Animation"): a VP8X header with
+# the animation flag, one ANIM chunk (background color + loop
+# count), then one ANMF chunk per frame — 16 header bytes
+# (x/2, y/2, w-1, h-1 as u24le; duration u24le; 1 flags byte:
+# bit0 = do-not-blend, bit1 = dispose-to-background) followed by the
+# frame's own image sub-chunks (VP8L here). Frame payloads are
+# complete stills, so sampling = re-wrapping the embedded VP8L chunk
+# into a standalone RIFF container — no transcode, byte-lossless.
+# Canvas COMPOSITION (blend/dispose across frames) is the renderer's
+# job, same contract as the GIF frame splitter (gif.py emits
+# standalone per-frame GIFs without composing disposal methods).
+
+
+def _u24(b: bytes) -> int:
+    return int.from_bytes(b, "little")
+
+
+def split_webp_anim(payload: bytes) -> list[tuple[dict, bytes]]:
+    """[(meta, vp8l_chunk_payload)] per ANMF frame of an animated
+    WebP. meta: x, y, w, h, duration_ms, blend ('none'|'alpha'),
+    dispose ('none'|'background'). Raises ValueError when the
+    container is not an animated WebP; UnsupportedWebp when a frame
+    carries lossy VP8 instead of VP8L."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    if payload[12:16] != b"VP8X" or len(payload) < 30:
+        raise ValueError("not an extended WebP (no VP8X)")
+    if not payload[20] & 0x02:
+        raise ValueError("animation flag not set")
+    frames: list[tuple[dict, bytes]] = []
+    i = 12
+    while i + 8 <= len(payload):
+        fourcc = payload[i : i + 4]
+        size = _u24(payload[i + 4 : i + 7]) | (payload[i + 7] << 24)
+        body = payload[i + 8 : i + 8 + size]
+        if fourcc == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("truncated ANMF header")
+            meta = {
+                "x": 2 * _u24(body[0:3]),
+                "y": 2 * _u24(body[3:6]),
+                "w": _u24(body[6:9]) + 1,
+                "h": _u24(body[9:12]) + 1,
+                "duration_ms": _u24(body[12:15]),
+                "blend": "none" if body[15] & 0x01 else "alpha",
+                "dispose": "background" if body[15] & 0x02 else "none",
+            }
+            # frame data: sub-chunks (ALPH skipped; VP8L wanted)
+            j = 16
+            chunk = None
+            while j + 8 <= len(body):
+                fc = body[j : j + 4]
+                sz = struct.unpack("<I", body[j + 4 : j + 8])[0]
+                if fc == b"VP8L":
+                    chunk = body[j + 8 : j + 8 + sz]
+                    break
+                if fc == b"VP8 ":
+                    raise UnsupportedWebp(
+                        "lossy VP8 animation frame not supported"
+                    )
+                j += 8 + sz + (sz & 1)
+            if chunk is None:
+                raise ValueError("ANMF frame without VP8L data")
+            frames.append((meta, chunk))
+        i += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("animated WebP with no ANMF frames")
+    return frames
+
+
+def _wrap_vp8l_still(chunk: bytes) -> bytes:
+    """Standalone RIFF/WEBP container around a raw VP8L chunk."""
+    padded = chunk + (b"\x00" if len(chunk) & 1 else b"")
+    riff_body = b"WEBP" + b"VP8L" + struct.pack("<I", len(chunk)) + padded
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def webp_anim_stills(payload: bytes) -> list[bytes]:
+    """One standalone lossless-WebP still per animation frame —
+    byte-lossless re-wrap of each ANMF frame's VP8L chunk (the
+    sample_frames seam's per-frame output format)."""
+    return [_wrap_vp8l_still(c) for _, c in split_webp_anim(payload)]
+
+
+def decode_webp_anim(payload: bytes) -> list[tuple[dict, "np.ndarray"]]:
+    """[(meta, (h, w, 4) RGBA)] per frame — full pixel decode of each
+    ANMF frame's VP8L stream (sub-frame rectangle; composition onto
+    the canvas is the caller's concern, see split_webp_anim)."""
+    return [(m, decode_vp8l(c)) for m, c in split_webp_anim(payload)]
+
+
+def encode_webp_anim(
+    frames: list[tuple[int, int, int, "np.ndarray"]],
+    canvas_w: int,
+    canvas_h: int,
+    loop: int = 0,
+) -> bytes:
+    """Animated lossless WebP from [(x, y, duration_ms, rgba)] frames
+    (each rgba an (h, w, 4) uint8 array placed at even offsets x, y).
+    Inverse of decode_webp_anim for blend='none'/dispose='background'
+    frames."""
+    body = bytearray()
+
+    def put_chunk(fourcc: bytes, payload: bytes) -> None:
+        body.extend(fourcc)
+        body.extend(struct.pack("<I", len(payload)))
+        body.extend(payload)
+        if len(payload) & 1:
+            body.append(0)
+
+    flags = 0x02 | 0x10  # animation + alpha
+    put_chunk(
+        b"VP8X",
+        bytes([flags, 0, 0, 0])
+        + (canvas_w - 1).to_bytes(3, "little")
+        + (canvas_h - 1).to_bytes(3, "little"),
+    )
+    put_chunk(b"ANIM", struct.pack("<IH", 0, loop))
+    for x, y, dur, rgba in frames:
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        h, w = rgba.shape[:2]
+        still = encode_vp8l(w, h, 4, rgba.tobytes())
+        # extract the VP8L chunk (incl. header+pad) from the still
+        vp8l = still[12:]
+        anmf = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([0x02])  # blend=alpha, dispose=background
+            + vp8l
+        )
+        put_chunk(b"ANMF", anmf)
+    riff_body = b"WEBP" + bytes(body)
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

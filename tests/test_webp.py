@@ -415,3 +415,79 @@ def test_spark_resize_images_real_webp(spark):
     ys = (np.arange(8) * 24) // 8
     xs = (np.arange(8) * 40) // 8
     assert np.array_equal(got, px[np.ix_(ys, xs)])
+
+
+# ------------------------------------------------- animated (r11)
+
+
+def test_webp_anim_roundtrip():
+    """encode_webp_anim -> split/decode: frame metadata and pixels
+    survive, and the container header advertises animation with the
+    right canvas dims + ANMF count (columns.py header parser)."""
+    from redmap_spark.multimodal.webp import (
+        decode_webp_anim,
+        encode_webp_anim,
+        webp_anim_stills,
+    )
+
+    f0 = _rgba(20, 12, seed=31)
+    f1 = _rgba(8, 6, seed=32)
+    f2 = _rgba(20, 12, seed=33)
+    payload = encode_webp_anim(
+        [(0, 0, 100, f0), (4, 2, 50, f1), (0, 0, 250, f2)], 20, 12
+    )
+
+    from redmap_spark.multimodal.columns import parse_image_header
+
+    assert parse_image_header(payload) == (20, 12, 3)
+
+    frames = decode_webp_anim(payload)
+    assert len(frames) == 3
+    metas = [m for m, _ in frames]
+    assert [(m["x"], m["y"]) for m in metas] == [(0, 0), (4, 2), (0, 0)]
+    assert [m["duration_ms"] for m in metas] == [100, 50, 250]
+    assert [(m["w"], m["h"]) for m in metas] == [(20, 12), (8, 6), (20, 12)]
+    for want, (_, got) in zip((f0, f1, f2), frames):
+        assert np.array_equal(got, want)
+
+    # stills are standalone lossless WebPs decoding to the same pixels
+    stills = webp_anim_stills(payload)
+    assert len(stills) == 3
+    for want, still in zip((f0, f1, f2), stills):
+        assert still[:4] == b"RIFF" and still[12:16] == b"VP8L"
+        assert np.array_equal(decode_webp(still), want)
+
+    # decode_webp on the animated container = first frame
+    assert np.array_equal(decode_webp(payload), f0)
+
+
+def test_webp_anim_rejects_non_animated_and_odd_offsets():
+    from redmap_spark.multimodal.webp import encode_webp_anim, split_webp_anim
+
+    still = encode_vp8l(4, 4, 4, _rgba(4, 4).tobytes())
+    with pytest.raises(ValueError):
+        split_webp_anim(still)  # no VP8X/ANIM
+    with pytest.raises(ValueError, match="even"):
+        encode_webp_anim([(1, 0, 10, _rgba(4, 4))], 8, 8)
+
+
+def test_spark_sample_frames_animated_webp(spark):
+    """sample_frames must emit every_n-th ANMF frame as a standalone
+    VP8L still, executor-side (the GIF splitter contract, extended)."""
+    from redmap_spark.multimodal.columns import sample_frames
+    from redmap_spark.multimodal.webp import encode_webp_anim
+
+    fr = [_rgba(10, 8, seed=40 + i) for i in range(5)]
+    payload = encode_webp_anim(
+        [(0, 0, 40, f) for f in fr], 10, 8
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        sample_frames(df, every_n=2).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    for r, want in zip(rows, (fr[0], fr[2], fr[4])):
+        got = decode_webp(bytes(r.frame_payload))
+        assert np.array_equal(got, want)
