@@ -32,6 +32,7 @@ Scratch data is written under /tmp (never the repo or testdata).
 from __future__ import annotations
 
 import json
+import re
 import shutil
 import sys
 import time
@@ -137,6 +138,13 @@ def main() -> None:
                     help="comma-separated shape names (default: all)")
     ap.add_argument("--scales", default=None,
                     help="comma-separated replica factors (default: 1,4,16)")
+    ap.add_argument("--aqe-scaled", action="store_true",
+                    help="scale shuffle width with the scratch size via "
+                         "AQE (coalescePartitions + initialPartitionNum ~ "
+                         "input splits) instead of the fixed session "
+                         "width — the cluster-default posture (PERF #90: "
+                         "fixed 32-partition shuffles go super-linear "
+                         "from per-partition spill at x64)")
     args = ap.parse_args()
     selected = (
         set(args.shapes.split(",")) if args.shapes else set(SHAPE_TABLES)
@@ -175,6 +183,35 @@ def main() -> None:
         def rd(name):
             p = d / name
             return spark.read.parquet(str(p)) if p.exists() else None
+
+        if args.aqe_scaled:
+            # Cluster-default posture: shuffle width follows the data.
+            # initialPartitionNum ~ input splits (scratch bytes /
+            # maxPartitionBytes), AQE coalesces back down when the
+            # stage turns out small — no manual per-scale tuning.
+            scratch_bytes = sum(
+                f.stat().st_size for f in d.rglob("*") if f.is_file()
+            )
+            try:  # conf renders as "134217728b" / "128MB" / plain int
+                raw = spark.conf.get("spark.sql.files.maxPartitionBytes")
+                m = re.match(r"(\d+)\s*([kmg]?)b?$", raw.strip().lower())
+                max_pb = int(m.group(1)) * {
+                    "": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30
+                }[m.group(2)]
+            except Exception:  # noqa: BLE001 — default split size
+                max_pb = 128 << 20
+            splits = max(1, scratch_bytes // max_pb)
+            width = max(32, 2 * splits)
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(width),
+            )
+            print(f"x{factor}: aqe initialPartitionNum={width} "
+                  f"(scratch {scratch_bytes >> 20} MiB)", file=sys.stderr)
 
         li, ev, dc, em = rd("lineitem"), rd("events"), rd("documents"), rd("embeddings")
 
@@ -559,6 +596,8 @@ def main() -> None:
             for i in range(len(scales) - 1)
         ]
         report[name] = {"sec": by_scale, "slope_per_4x": slopes}
+    if args.aqe_scaled:
+        report["_mode"] = "aqe-scaled-width"
     print(json.dumps(report))
 
 
