@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from redmap_spark.catalog import Catalog
 from redmap_spark.inventory.registry import dec, query
+from redmap_spark.plans.prefix import two_phase_cumsum, two_phase_row_number
 
 
 # -- q_dissimilarity_index ---------------------------------------------
@@ -935,13 +936,27 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(30,2)")
         .alias("sy"),
     )
-    ww = Window.partitionBy("is_x")
-    t = F.col("s") * (
-        2 * F.row_number().over(ww.orderBy("s", "k"))
-        - F.count(F.lit(1)).over(ww)
-        - 1
-    ).cast("bigint")
-    w2 = xs.select("is_x", t.alias("t"))
+    # r11 (x4 third-scale sweep): the per-sample rank and the pooled
+    # cumulative count/sum are |customers|-grid frames — 24k rows
+    # through one executor at sf0.4, OOM shapes at SF100. All three
+    # run as two-phase prefix kernels over a floor(s/4096) bucket
+    # grid (per-customer spend domain is SF-independent, ~1.2k
+    # buckets); is_x rides the bucket high bits for the rank so the
+    # (is_x, s, k) order stays bucket-aligned. Exact integer/decimal
+    # algebra regroups losslessly — oracle hash unchanged.
+    sbucket = F.floor(F.col("s") / 4096).cast("bigint")
+    ranked = two_phase_row_number(
+        xs, ["is_x", "s", "k"],
+        (F.col("is_x").cast("bigint") * 1048576 + sbucket),
+        out="rn",
+    )
+    mm = F.broadcast(nn.select(
+        F.col("n").alias("n_"), F.col("m").alias("m_")
+    ))
+    grp_n = F.when(F.col("is_x") == 1, F.col("n_")).otherwise(F.col("m_"))
+    k_within = F.col("rn") - F.col("is_x").cast("bigint") * F.col("m_")
+    t = F.col("s") * (2 * k_within - grp_n - 1).cast("bigint")
+    w2 = ranked.join(mm).select("is_x", t.alias("t"))
     wsum = w2.agg(
         F.sum(F.when(F.col("is_x") == 1, F.col("t")))
         .cast("decimal(38,2)")
@@ -950,21 +965,22 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .alias("syy2"),
     )
-    wp = Window.orderBy("s", "is_x", "k").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    pooled = xs.select(
-        "s", "is_x",
-        F.coalesce(
-            F.sum(F.when(F.col("is_x") == 0, 1)).over(wp).cast("bigint"),
-            F.lit(0),
-        ).alias("cy"),
-        F.coalesce(
-            F.sum(F.when(F.col("is_x") == 0, F.col("s")))
-            .over(wp)
-            .cast("decimal(30,2)"),
-            F.lit(0).cast("decimal(30,2)"),
-        ).alias("py"),
+    pooled = two_phase_cumsum(
+        two_phase_cumsum(
+            xs,
+            ["s", "is_x", "k"],
+            F.when(F.col("is_x") == 0, 1).otherwise(0).cast("bigint"),
+            sbucket,
+            out="cy",
+        ),
+        ["s", "is_x", "k"],
+        F.when(F.col("is_x") == 0, F.col("s"))
+        .otherwise(F.lit(0).cast("decimal(24,2)")),
+        sbucket,
+        out="py_raw",
+    ).select(
+        "s", "is_x", "cy",
+        F.col("py_raw").cast("decimal(30,2)").alias("py"),
     )
     xonly = pooled.filter(F.col("is_x") == 1).agg(
         F.sum(F.col("s") * (2 * F.col("cy")).cast("bigint"))
