@@ -32,7 +32,6 @@ Scratch data is written under /tmp (never the repo or testdata).
 from __future__ import annotations
 
 import json
-import re
 import shutil
 import sys
 import time
@@ -139,12 +138,12 @@ def main() -> None:
     ap.add_argument("--scales", default=None,
                     help="comma-separated replica factors (default: 1,4,16)")
     ap.add_argument("--aqe-scaled", action="store_true",
-                    help="scale shuffle width with the scratch size via "
-                         "AQE (coalescePartitions + initialPartitionNum ~ "
-                         "input splits) instead of the fixed session "
-                         "width — the cluster-default posture (PERF #90: "
-                         "fixed 32-partition shuffles go super-linear "
-                         "from per-partition spill at x64)")
+                    help="run with the cluster-default adaptive posture: "
+                         "one static high initialPartitionNum (1024) + "
+                         "AQE coalescePartitions, no per-scale tuning — "
+                         "vs the session's fixed 32-wide shuffles, which "
+                         "go super-linear from per-partition spill at "
+                         "x64 (PERF #90)")
     args = ap.parse_args()
     selected = (
         set(args.shapes.split(",")) if args.shapes else set(SHAPE_TABLES)
@@ -185,23 +184,20 @@ def main() -> None:
             return spark.read.parquet(str(p)) if p.exists() else None
 
         if args.aqe_scaled:
-            # Cluster-default posture: shuffle width follows the data.
-            # initialPartitionNum ~ input splits (scratch bytes /
-            # maxPartitionBytes), AQE coalesces back down when the
-            # stage turns out small — no manual per-scale tuning.
+            # Cluster-default posture: ONE static, deliberately-high
+            # initial shuffle width (1024 ~ a few x cluster cores;
+            # compressed scan bytes under-estimate shuffle volume by
+            # 10-50x on expansion-heavy shapes, so sizing from input
+            # splits would under-scale) and AQE coalesces each stage
+            # back down to its actual output size — no per-scale or
+            # per-shape tuning anywhere. The probe's question: do the
+            # x64 slopes stay linear under this posture alone, where
+            # the FIXED 32-wide session went super-linear from
+            # per-partition spill (PERF #90)?
             scratch_bytes = sum(
                 f.stat().st_size for f in d.rglob("*") if f.is_file()
             )
-            try:  # conf renders as "134217728b" / "128MB" / plain int
-                raw = spark.conf.get("spark.sql.files.maxPartitionBytes")
-                m = re.match(r"(\d+)\s*([kmg]?)b?$", raw.strip().lower())
-                max_pb = int(m.group(1)) * {
-                    "": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30
-                }[m.group(2)]
-            except Exception:  # noqa: BLE001 — default split size
-                max_pb = 128 << 20
-            splits = max(1, scratch_bytes // max_pb)
-            width = max(32, 2 * splits)
+            width = 1024
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             spark.conf.set(
                 "spark.sql.adaptive.coalescePartitions.enabled", "true"
