@@ -2436,62 +2436,53 @@ def q_bid_rigging_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revs") / F.col("qtys").cast("double")).alias("bid"),
         )
     )
-    bids = bids.cache()  # (part, supplier) grid feeds pm, pv and low2
-    pm = (
+    # Single-shuffle screen (r11): the per-part mean/sd/low-two-bids
+    # all live inside one pk group, so ONE groupBy(pk) with
+    # sort_array(collect_list(struct(bid, sk))) replaces the pm/pv
+    # groupBys, the row_number window and their joins (4 shuffles of
+    # the bids grid -> 1). The folds are the same decimal algebra —
+    # aggregate() in DECIMAL(38,6) over round(·,6)::DECIMAL(28,6)
+    # terms is exactly Spark's SUM over that column (both exact) —
+    # and sort_array orders by (bid, sk), the window's key, so
+    # b1/b2 = arr[0]/arr[1]. Arrays are bounded by suppliers-per-part
+    # (~4 in this schema, SF-independent), never data-sized.
+    g = (
         bids.groupBy("pk")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_sup"),
-            (
-                F.sum(F.round("bid", 6).cast("decimal(28,6)")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1))
-            ).alias("mu"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("bid"), F.col("sk")))
+            ).alias("arr")
         )
-        .filter(F.col("n_sup") >= 3)
+        .filter(F.size("arr") >= 3)
     )
-    pv = (
-        bids.join(pm, "pk")
-        .groupBy("pk", "n_sup", "mu")
-        .agg(
-            F.sqrt(
-                F.sum(
-                    F.round(
-                        (F.col("bid") - F.col("mu"))
-                        * (F.col("bid") - F.col("mu")),
-                        6,
-                    ).cast("decimal(28,6)")
-                ).cast("double")
-                / (F.col("n_sup") - 1)
-            ).alias("sd")
-        )
+    n_sup = F.size("arr").cast("bigint")
+    dsum6 = (
+        "CAST(aggregate(arr, CAST(0 AS DECIMAL(38,6)), "
+        "(acc, e) -> acc + CAST(round({term}, 6) AS DECIMAL(28,6))) "
+        "AS DOUBLE)"
     )
-    ranked = bids.join(pm.select("pk"), "pk").select(
+    g2 = g.select(
         "pk",
-        "bid",
-        F.row_number()
-        .over(Window.partitionBy("pk").orderBy("bid", "sk"))
-        .alias("rn"),
+        n_sup.alias("n_sup"),
+        (F.expr(dsum6.format(term="e.bid")) / n_sup).alias("mu"),
+        F.col("arr")[0]["bid"].alias("b1"),
+        F.col("arr")[1]["bid"].alias("b2"),
+        "arr",
     )
-    low2 = (
-        ranked.filter(F.col("rn") <= 2)
-        .groupBy("pk")
-        .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("bid"))).alias("b1"),
-            F.max(F.when(F.col("rn") == 2, F.col("bid"))).alias("b2"),
-        )
+    g3 = g2.select(
+        "pk", "n_sup", "mu", "b1", "b2",
+        F.sqrt(
+            F.expr(dsum6.format(term="(e.bid - mu) * (e.bid - mu)"))
+            / (F.col("n_sup") - 1)
+        ).alias("sd"),
     )
-    screen = (
-        pv.join(low2, "pk")
-        .filter(
-            (F.col("mu") > 0) & (F.col("b1") > 0) & F.col("b2").isNotNull()
-        )
-        .select(
-            "pk",
-            "n_sup",
-            (F.col("sd") / F.col("mu")).alias("cv"),
-            ((F.col("b2") - F.col("b1")) / F.col("b1")).alias("rd"),
-        )
+    screen = g3.filter(
+        (F.col("mu") > 0) & (F.col("b1") > 0) & F.col("b2").isNotNull()
+    ).select(
+        "pk",
+        "n_sup",
+        (F.col("sd") / F.col("mu")).alias("cv"),
+        ((F.col("b2") - F.col("b1")) / F.col("b1")).alias("rd"),
     )
     cv, rd = F.col("cv"), F.col("rd")
     flag = F.when((cv < 0.05) & (rd > 0.05), 1).otherwise(0)

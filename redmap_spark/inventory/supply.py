@@ -363,6 +363,13 @@ ORDER BY s.p_brand
 
 @query("q_risk_pooling", oracle=POOL_SQL)
 def q_risk_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grid-free (r11): the day-grid crossJoin only ever influenced the
+    # moments through nd = |days| — a zero cell contributes exactly 0
+    # to both decimal sums (decimal addition is exact), and every
+    # (brand, nation) / (brand) group sees ALL days, so nd is one
+    # global scalar. Aggregating the OBSERVED cells and broadcasting
+    # the 1-row day count is bit-identical and drops the |bn|x|days|
+    # grid build, its left join and one checkpoint.
     cat = Catalog(spark, sf_dir)
     f = (
         cat.lineitem.join(
@@ -386,29 +393,26 @@ def q_risk_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate").cast("date").alias("d"),
             dec("l_quantity").alias("q"),
         )
-        .localCheckpoint()
     )
-    days = f.select("d").distinct()
-    bn = f.select("p_brand", "n_name").distinct()
-    cell = f.groupBy("p_brand", "n_name", "d").agg(
-        F.sum("q").cast("decimal(24,2)").alias("dq")
+    cell = (
+        f.groupBy("p_brand", "n_name", "d")
+        .agg(F.sum("q").cast("decimal(24,2)").alias("dq"))
+        .localCheckpoint()  # feeds ndays, permkt AND daily
     )
-    grid = (
-        bn.crossJoin(F.broadcast(days))
-        .join(cell, ["p_brand", "n_name", "d"], "left")
-        .select(
-            "p_brand", "n_name", "d",
-            F.coalesce("dq", F.lit(0).cast("decimal(24,2)")).alias("dq"),
-        )
-        .localCheckpoint()
+    ndays = cell.select("d").distinct().agg(
+        F.count(F.lit(1)).alias("nd")
     )
     dq = F.col("dq")
-    permkt = grid.groupBy("p_brand", "n_name").agg(
-        F.count(F.lit(1)).alias("nd"),
-        F.sum(dq).cast("double").alias("s1"),
-        F.sum((dq * dq).cast("decimal(38,4)")).cast("double").alias("s2"),
-    )
     nd = F.col("nd")
+    permkt = (
+        cell.groupBy("p_brand", "n_name")
+        .agg(
+            F.sum(dq).cast("double").alias("s1"),
+            F.sum((dq * dq).cast("decimal(38,4)")).cast("double")
+            .alias("s2"),
+        )
+        .crossJoin(F.broadcast(ndays))
+    )
     sigma = F.sqrt(
         (F.col("s2") - F.col("s1") * F.col("s1") / nd) / (nd - 1)
     )
@@ -417,18 +421,20 @@ def q_risk_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_sigma"),
         F.count(F.lit(1)).alias("n_markets"),
     )
-    daily = grid.groupBy("p_brand", "d").agg(
+    daily = cell.groupBy("p_brand", "d").agg(
         F.sum(dq).cast("decimal(26,2)").alias("tdq")
     )
     t = F.col("tdq")
-    pooled = daily.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("nd"),
-        F.sum(t).cast("double").alias("s1"),
-        F.sum((t * t).cast("decimal(38,4)")).cast("double").alias("s2"),
+    pooled = (
+        daily.groupBy("p_brand")
+        .agg(
+            F.sum(t).cast("double").alias("s1"),
+            F.sum((t * t).cast("decimal(38,4)")).cast("double").alias("s2"),
+        )
+        .crossJoin(F.broadcast(ndays))
     )
     psig = F.sqrt(
-        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd"))
-        / (F.col("nd") - 1)
+        (F.col("s2") - F.col("s1") * F.col("s1") / nd) / (nd - 1)
     )
     return (
         sig.join(pooled, "p_brand")

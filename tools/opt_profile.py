@@ -68,9 +68,10 @@ def main() -> None:
         if args.plans:
             pdir = REPO / "plans" / "r11"
             pdir.mkdir(parents=True, exist_ok=True)
-            plan = QUERIES[name](
-                spark, args.sf_dir
-            )._jdf.queryExecution().explainString("formatted")
+            df = QUERIES[name](spark, args.sf_dir)
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
             (pdir / f"{name}_{args.plans}.txt").write_text(plan)
         spark.sparkContext.setJobDescription(None)
     print(json.dumps(out))
