@@ -245,26 +245,27 @@ def q_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    bounds = f.agg(F.min("sd").alias("dmin"), F.max("sd").alias("dmax"))
-    days = bounds.select(
-        F.explode(
-            F.sequence("dmin", "dmax", F.expr("interval 1 day"))
-        ).alias("day")
+    # Grid-free (r11, the q_risk_pooling argument): the calendar grid
+    # only reaches the moments through nd = |calendar days| — zero
+    # cells add exactly 0 to the decimal sums — so nd collapses to
+    # datediff(max, min) + 1 on a broadcast 1-row bounds aggregate
+    # and the explode(sequence)/crossJoin/left-join build disappears.
+    bounds = f.agg(
+        (F.datediff(F.max("sd"), F.min("sd")) + 1)
+        .cast("bigint")
+        .alias("nd")
     )
-    brands = f.select("p_brand").distinct()
     dd = f.groupBy("p_brand", F.col("sd").alias("day")).agg(
         F.sum("q").cast("decimal(24,2)").alias("dq")
     )
-    zero = F.lit(0).cast("decimal(24,2)")
-    grid = (
-        brands.crossJoin(F.broadcast(days))
-        .join(dd, ["p_brand", "day"], "left")
-        .select("p_brand", "day", F.coalesce("dq", zero).alias("dq"))
-    )
-    dmom = grid.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("nd"),
-        F.sum("dq").cast("decimal(30,2)").alias("s1"),
-        F.sum(F.col("dq") * F.col("dq")).cast("decimal(38,4)").alias("s2"),
+    dmom = (
+        dd.groupBy("p_brand")
+        .agg(
+            F.sum("dq").cast("decimal(30,2)").alias("s1"),
+            F.sum(F.col("dq") * F.col("dq")).cast("decimal(38,4)")
+            .alias("s2"),
+        )
+        .crossJoin(F.broadcast(bounds))
     )
     gap = F.datediff("sd", "od").cast("bigint")
     lmom = f.groupBy("p_brand").agg(

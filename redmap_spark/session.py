@@ -37,4 +37,10 @@ def get_spark(app_name: str = "redmap-spark", shuffle_partitions: int | None = N
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
+    # Scale-parameterized overrides (A/B harnesses, cluster deploys):
+    # "k=v;k=v" pairs applied last so they win over the defaults.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, extra.split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
