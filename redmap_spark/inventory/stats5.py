@@ -1753,23 +1753,33 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spend")
         )
     )
-    a = ob.select(
-        F.col("ok"), F.col("b").alias("ab"), F.col("spend").alias("asp")
+    # In-row duel generation (r11): the ob self-join on ok shuffled
+    # two data-sized sides to pair brands within each order. One more
+    # groupBy(ok) collects the order's (brand, spend) cells — arrays
+    # bounded by |brands| = 25, never data-sized — and the upper
+    # triangle is generated per row with transform/slice. The (ab <
+    # bb) dedup filter becomes positional i < j (brands are distinct
+    # within the group, so each unordered pair appears exactly once),
+    # and winner/loser is the same decimal spend comparison, so the
+    # duel multiset is identical. Interleaved A/B: 3.40 -> 3.18 s.
+    g = ob.groupBy("ok").agg(
+        F.collect_list(F.struct(F.col("b"), F.col("spend"))).alias("br")
     )
-    bb = ob.select(
-        F.col("ok"), F.col("b").alias("bb"), F.col("spend").alias("bsp")
-    )
+    pair_expr = """
+    filter(
+      flatten(
+        transform(br, (x, i) ->
+          transform(slice(br, i + 2, size(br)), y ->
+            if(x.spend = y.spend,
+               cast(null as struct<winner:string, loser:string>),
+               if(x.spend > y.spend,
+                  named_struct('winner', x.b, 'loser', y.b),
+                  named_struct('winner', y.b, 'loser', x.b)))))),
+      p -> p is not null)
+    """
     duels = (
-        a.join(bb, "ok")
-        .filter((F.col("ab") < F.col("bb")) & (F.col("asp") != F.col("bsp")))
-        .select(
-            F.when(F.col("asp") > F.col("bsp"), F.col("ab"))
-            .otherwise(F.col("bb"))
-            .alias("winner"),
-            F.when(F.col("asp") > F.col("bsp"), F.col("bb"))
-            .otherwise(F.col("ab"))
-            .alias("loser"),
-        )
+        g.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.winner", "p.loser")
         .groupBy("winner", "loser")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
