@@ -237,24 +237,27 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # single-file scan parallelism: the 100-column conditional agg is
     # per-row md5-heavy and must not run on one core
-    base = spread(base).cache()  # consumed by obs AND the wide agg
-    obs = base.agg(
-        F.round(
-            F.sum(F.when(F.col("grp") == 0, F.col("x"))).cast("double")
-            / F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
-            - F.sum(F.when(F.col("grp") == 1, F.col("x"))).cast("double")
-            / F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)),
-            9,
-        ).alias("d_obs")
-    )
+    base = spread(base)
 
     def bit(b: int):
         src, pos = ("h1", b + 1) if b < 32 else ("h2", b - 31)
         return F.substring(F.col(src), pos, 1) < "8"
 
+    # Single-pass (r11): the observed difference used to be a separate
+    # aggregation over a cached base, broadcast-joined back under the
+    # permutation columns. The four grp sums ride the SAME wide agg
+    # (identical sum/count expressions, so d_obs is bit-identical) —
+    # one pass over the md5 columns instead of two, no cache build,
+    # no 1-row join.
     aggs = [
         F.sum("x").cast("double").alias("st"),
         F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("grp") == 0, F.col("x"))).cast("double")
+        .alias("s0"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("x"))).cast("double")
+        .alias("s1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
     ]
     for b in range(50):
         aggs.append(
@@ -264,17 +267,22 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(bit(b), 1).otherwise(0)).cast("bigint")
             .alias(f"na{b}")
         )
-    wide = base.agg(*aggs)
+    wide = base.agg(*aggs).select(
+        "*",
+        F.round(
+            F.col("s0") / F.col("n0") - F.col("s1") / F.col("n1"), 9
+        ).alias("d_obs"),
+    )
     stack_args = ", ".join(
         f"{b}, sa{b}, na{b}" for b in range(50)
     )
     stacked = wide.selectExpr(
-        "st", "nt", f"stack(50, {stack_args}) AS (b, sa, na)"
+        "d_obs", "st", "nt", f"stack(50, {stack_args}) AS (b, sa, na)"
     )
     perms = stacked.filter(
         (F.col("na") > 0) & (F.col("nt") - F.col("na") > 0)
     ).select(
-        "b",
+        "d_obs", "b",
         F.round(
             F.col("sa") / F.col("na")
             - (F.col("st") - F.col("sa")) / (F.col("nt") - F.col("na")),
@@ -285,8 +293,7 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
     )
     return (
-        perms.join(F.broadcast(obs))
-        .groupBy("d_obs")
+        perms.groupBy("d_obs")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_perms"),
             extreme.cast("bigint").alias("n_extreme"),

@@ -687,11 +687,28 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_extendedprice")).cast("decimal(19,2)").alias("e"),
         F.sum(dec("l_quantity")).cast("decimal(19,2)").alias("q"),
     )
-    m0 = pm.agg(F.min("m").alias("bm"))
-    base = (
-        pm.join(F.broadcast(m0), pm.m == F.col("bm"))
-        .select(F.col("pk").alias("bpk"), F.col("e").alias("eb"),
-                F.col("q").alias("qb"))
+    # Single fact pass (r11): pm used to feed THREE branches (base-month
+    # marker, base slice, current slice), each re-running the lineitem
+    # scan + (pk, m) aggregation. The base month is global, so
+    # min(month) comes straight off the scan (yyyy-MM is lexicographic-
+    # chronological, so min(date_format(d)) = date_format(min(d))), and
+    # the per-part base row is pinned onto each grid row by a
+    # max(when(m = bm, ·)) window over pk — the grid has at most one
+    # bm row per part, so the window reproduces the base join exactly,
+    # and filtering qb IS NOT NULL reproduces its inner-join semantics.
+    # 3 lineitem scans -> 1; the window runs on the bounded grid.
+    m0 = li.agg(F.min(F.date_format("l_shipdate", "yyyy-MM")).alias("bm"))
+    w = Window.partitionBy("pk")
+    wb = (
+        pm.join(F.broadcast(m0))
+        .select(
+            "m", "e", "q",
+            F.max(F.when(F.col("m") == F.col("bm"), F.col("e")))
+            .over(w).alias("eb"),
+            F.max(F.when(F.col("m") == F.col("bm"), F.col("q")))
+            .over(w).alias("qb"),
+        )
+        .filter(F.col("qb").isNotNull())
     )
     cur = (
         (F.col("e").cast("double") / F.col("q").cast("double"))
@@ -702,8 +719,7 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("qb").cast("double")
     ).cast("decimal(18,6)")
     return (
-        pm.join(base, pm.pk == F.col("bpk"))
-        .select("m", cur.alias("cur"), bas.alias("bas"))
+        wb.select("m", cur.alias("cur"), bas.alias("bas"))
         .groupBy(F.col("m").alias("month"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),

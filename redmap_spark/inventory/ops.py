@@ -1121,31 +1121,32 @@ def q_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev"),
         )
     )
-    sku_week = sku_week.cache()  # grid feeds the mean pass AND the CV pass
-    m1 = sku_week.groupBy("sku").agg(
+    # Single-shuffle CV (r11): mean + CV used to be two passes over a
+    # cached grid (per-sku moment agg, SortMergeJoin back, second
+    # groupBy). The weekly qty vector per sku is BOUNDED (≤ weeks in
+    # the data, never data-sized), so one groupBy(sku) collects it and
+    # the round-then-exact-decimal variance folds in-row: each term is
+    # the same round((q − mu)², 6) decimal(28,6), and exact decimal
+    # addition is order-independent, so cv is bit-identical. Grid
+    # cache, SMJ and one shuffle all drop. A/B min-of-4 at sf0.1:
+    # 2.30 -> 0.85 s, hash unchanged.
+    g = sku_week.groupBy("sku").agg(
         F.count(F.lit(1)).cast("bigint").alias("nw"),
         (F.sum("qty").cast("double") / F.count(F.lit(1))).alias("mu"),
         F.sum("rev").cast("decimal(28,2)").alias("skurev"),
+        F.collect_list(F.col("qty").cast("double")).alias("qs"),
     )
-    qd = F.col("qty").cast("double")
-    cv = (
-        sku_week.join(m1, "sku")
-        .groupBy("sku", "nw", "skurev", "mu")
-        .agg(
-            F.when(
-                (F.col("nw") > 1) & (F.col("mu") > 0),
-                F.sqrt(
-                    F.sum(
-                        F.round(
-                            (qd - F.col("mu")) * (qd - F.col("mu")), 6
-                        ).cast("decimal(28,6)")
-                    ).cast("double")
-                    / (F.col("nw") - 1)
-                )
-                / F.col("mu"),
-            ).alias("cv")
-        )
-        .drop("mu")
+    ss = F.expr(
+        "cast(aggregate(qs, cast(0 as decimal(28,6)), (acc, q) -> "
+        "cast(acc + cast(round((q - mu) * (q - mu), 6) as decimal(28,6)) "
+        "as decimal(28,6))) as double)"
+    )
+    cv = g.select(
+        "sku", "nw", "skurev",
+        F.when(
+            (F.col("nw") > 1) & (F.col("mu") > 0),
+            F.sqrt(ss / (F.col("nw") - 1)) / F.col("mu"),
+        ).alias("cv"),
     )
     wcum = Window.orderBy(F.desc("skurev"), "sku").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

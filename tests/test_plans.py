@@ -827,14 +827,19 @@ def test_dau_mau_plan_shape(spark):
 
 
 def test_price_index_plan_shape(spark):
-    """Laspeyres index: the fact stream partial-aggregates straight
-    to the (part,month) grid; the 1-row base-month marker broadcasts;
-    the base slice joins the grid on the part key — no window, no
-    cartesian."""
+    """Laspeyres index (r11 shape): ONE fact scan partial-aggregates
+    straight to the (part,month) grid; the 1-row base-month marker
+    broadcasts (BNLJ against 1 row is the legit form); the per-part
+    base row is pinned by a window over the bounded grid — no second
+    fact scan, no cartesian."""
+    import re
+
     plan = E.plan_string(QUERIES["q_price_index"](spark, SF_DIR), "formatted")
     assert "partial_sum" in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
-    assert "Window" not in plan and "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan  # fact + marker
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_runs_test_plan_shape(spark):
