@@ -553,24 +553,36 @@ ORDER BY brand, rank
 @query("q_item_cf", oracle=ITEMCF_SQL)
 def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    basket = (
+    # In-row pair generation (r11, the q_bradley_terry duel pattern):
+    # collect_set(b) per order replaces BOTH the distinct AND the
+    # data-sized basket self-join — the per-order brand set is bounded
+    # by |brands| = 25, so the i < j upper triangle of the SORTED set
+    # generates each (b1 < b2) co-occurrence exactly once per order,
+    # identical to the a.b < bb.b join condition over distinct rows.
+    g = (
         cat.lineitem.select("l_orderkey", "l_partkey")
         .join(
             F.broadcast(cat.part.select("p_partkey", "p_brand")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
     )
-    basket = basket.cache()  # consumed by cnt AND both self-join sides
-    cnt = basket.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    a, bb = basket.alias("a"), basket.alias("bb")
+    g = g.cache()  # consumed by cnt AND the pair explode
+    cnt = (
+        g.select(F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pair_expr = """
+    flatten(
+      transform(bs, (x, i) ->
+        transform(slice(bs, i + 2, size(bs)), y ->
+          named_struct('b1', x, 'b2', y))))
+    """
     pairs = (
-        a.join(
-            bb,
-            (F.col("bb.ok") == F.col("a.ok")) & (F.col("a.b") < F.col("bb.b")),
-        )
-        .groupBy(F.col("a.b").alias("b1"), F.col("bb.b").alias("b2"))
+        g.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
     )
     sym = pairs.select(

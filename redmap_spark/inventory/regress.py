@@ -427,13 +427,18 @@ def q_huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand", b.alias("b"),
         ((F.col("sy") - b * F.col("sx")) / n).alias("a"),
     )
+    # No checkpoint on the residual view (r11): f is already
+    # checkpointed and r is two flops from (x, y, a, b), so the
+    # median pass and the weight pass each recompute it in-stream —
+    # cheaper than a second data-sized materialization (guide §5:
+    # cache only when recomputing costs more than the memory traffic).
     res = f.join(F.broadcast(ols), "p_brand").select(
         "p_brand", "x", "y",
         (
             y.cast("double") - F.col("a") - F.col("b") * x.cast("double")
         ).alias("r"),
         F.col("b").alias("b_ols"),
-    ).localCheckpoint()
+    )
     scale = res.groupBy("p_brand").agg(
         F.round(1.4826 * F.percentile(F.abs("r"), F.lit(0.5)), 6)
         .alias("s")
@@ -1193,30 +1198,37 @@ RECSYS_COV_SQL = RECSYS_COV_SQL.replace(
 @query("q_recsys_coverage", oracle=RECSYS_COV_SQL)
 def q_recsys_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    basket = (
-        # no spread() heal here (r9 A/B): the distinct's map-side
-        # partial dedup is cheap, so the added round-robin shuffle
-        # LOSES (3.62 -> 4.29 s interleaved min-of-3)
+    # In-row pair generation (r11, the q_bradley_terry duel pattern —
+    # same basket as q_item_cf): collect_set(b) per order replaces
+    # BOTH the distinct AND the data-sized basket self-join; the
+    # i < j upper triangle of the SORTED bounded set (|brands| = 25)
+    # generates each (b1 < b2) co-occurrence exactly once per order,
+    # identical to the a.b < bb.b join over distinct rows.
+    g = (
         cat.lineitem.select("l_orderkey", "l_partkey")
         .join(
             F.broadcast(cat.part.select("p_partkey", "p_brand")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+    )
+    g = g.cache()  # consumed by cnt AND the pair explode
+    cnt = (
+        g.select(F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint()
     )
-    cnt = basket.groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    ).localCheckpoint()
-    a, bb = basket.alias("a"), basket.alias("bb")
+    pair_expr = """
+    flatten(
+      transform(bs, (x, i) ->
+        transform(slice(bs, i + 2, size(bs)), y ->
+          named_struct('b1', x, 'b2', y))))
+    """
     pairs = (
-        a.join(
-            bb,
-            (F.col("bb.ok") == F.col("a.ok"))
-            & (F.col("a.b") < F.col("bb.b")),
-        )
-        .groupBy(F.col("a.b").alias("b1"), F.col("bb.b").alias("b2"))
+        g.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
     )
     sym = pairs.select(

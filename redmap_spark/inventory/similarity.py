@@ -453,55 +453,75 @@ ORDER BY label, assigned
 
 @query("sim_assignment_purity", oracle=SIM_ASSIGN_PURITY_SQL)
 def sim_assignment_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass rewrite (r11, the sim_silhouette pattern): the 10
+    # centroids (with their norms) collapse to ONE broadcast row of
+    # (clabel, cc, arr) structs; each vector computes all 10 cosines
+    # AND the (cos_c DESC, clabel ASC) argmax in-row. Identical
+    # float x double -> decimal(28,12) term chains, so every cosine is
+    # bit-identical to the exploded dot grid's. The |V| x 64 explode +
+    # checkpoint, the 1.28M-row dot-grid groupBy, the vnorm pass and
+    # the per-vector ranking window all disappear.
     e = Catalog(spark, sf_dir).embeddings
-    # spread() heal (r9): the eager checkpoint below inherits the
-    # SCAN's width, so without the heal the 6.4M-row dot-grid partial
-    # agg downstream ran on the single-file scan's 1-2 partitions.
-    ex = spread(e).select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim0", "x")
-    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x")
     cent = (
-        ex.groupBy(F.col("label").alias("clabel"), "dim")
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy(F.col("label").alias("clabel"), "dim")
         .agg(F.round(F.avg("x"), 6).alias("c"))
     )
-    ex = ex.localCheckpoint(eager=True)  # dot grid + vec norms consume
-    cent = cent.localCheckpoint(eager=True)  # dot grid + centroid norms
-    # only the dot needs the |vecs|×|labels| grid; the two norms are
-    # per-vec / per-centroid passes (3× less decimal-sum volume than
-    # folding them into the cross grid — measured 8.6→faster)
-    dots = (
-        ex.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "label", "clabel")
+
+    def dec_fold(pairs):
+        return F.aggregate(
+            pairs,
+            F.lit(0).cast("decimal(38,12)"),
+            lambda a, t: (a + t).cast("decimal(38,12)"),
+        ).cast("double")
+
+    cent_row = (
+        cent.groupBy("clabel")
         .agg(
-            F.sum((F.col("x") * F.col("c")).cast("decimal(28,12)"))
-            .cast("double").alias("dot")
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("arr")
         )
-    )
-    vnorm = ex.groupBy("vec_id").agg(
-        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
-        .cast("double").alias("vv")
-    )
-    cnorm = cent.groupBy("clabel").agg(
-        F.sum((F.col("c") * F.col("c")).cast("decimal(28,12)"))
-        .cast("double").alias("cc")
-    )
-    scored = (
-        dots.join(vnorm, "vec_id")
-        .join(F.broadcast(cnorm), "clabel")
         .select(
-            "vec_id", "label", "clabel",
-            F.round(
-                F.col("dot") / (F.sqrt("vv") * F.sqrt("cc")), 4
-            ).alias("cos_c"),
+            "clabel", "arr",
+            dec_fold(
+                F.transform(
+                    "arr", lambda c: (c * c).cast("decimal(28,12)")
+                )
+            ).alias("cc"),
+        )
+        .groupBy()
+        .agg(
+            F.collect_list(F.struct("clabel", "cc", "arr")).alias("cents")
         )
     )
-    rk = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("clabel"))
+    vv = dec_fold(
+        F.transform("embedding", lambda x: (x * x).cast("decimal(28,12)"))
+    )
+    cos_arr = F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            F.round(
+                dec_fold(
+                    F.zip_with(
+                        F.col("embedding"), ct["arr"],
+                        lambda x, c: (x * c).cast("decimal(28,12)"),
+                    )
+                )
+                / (F.sqrt(F.col("vv")) * F.sqrt(ct["cc"])), 4,
+            ).alias("cos_c"),
+            (-ct["clabel"]).alias("neg_l"),
+        ),
+    )
     assigned = (
-        scored.select(
-            "vec_id", "label", F.col("clabel").alias("assigned"),
-            F.row_number().over(rk).alias("rk"),
+        spread(e.select("vec_id", "label", "embedding"))
+        .join(F.broadcast(cent_row))
+        .select("vec_id", "label", "embedding", vv.alias("vv"), "cents")
+        .select(
+            "vec_id", "label",
+            (-F.array_max(cos_arr)["neg_l"]).alias("assigned"),
         )
-        .filter(F.col("rk") == 1)
     )
     cells = assigned.groupBy("label", "assigned").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs")
@@ -569,35 +589,72 @@ ORDER BY 1
 
 @query("sim_silhouette", oracle=SIM_SILHOUETTE_SQL)
 def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass rewrite (r11): centroids are a |labels| x 64 grid —
+    # bounded, so they collapse to ONE broadcast row of (target, arr)
+    # structs and every vector computes ALL its centroid distances
+    # in-row with zip_with/aggregate (the identical float - double ->
+    # decimal(28,12) term chain as the exploded join, so d2 is
+    # bit-identical). The |V| x 64 explode, its join on dim, and the
+    # |V| x |labels| groupBy all disappear; the only data-sized
+    # shuffles left are the centroid average and the final label agg.
     e = Catalog(spark, sf_dir).embeddings
-    ex = e.select(
-        "vec_id", F.col("label").alias("own"),
-        F.posexplode("embedding").alias("dim", "x"),
-    )
     cent = (
         e.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy(F.col("label").alias("target"), "dim")
         .agg(F.round(F.avg("x"), 6).alias("c"))
     )
-    dists = (
-        ex.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "own", "target")
+    cent_row = (
+        cent.groupBy("target")
         .agg(
-            F.sum(
-                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
-                .cast("decimal(28,12)")
-            ).cast("double").alias("d2")
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("arr")
         )
+        .groupBy()
+        .agg(F.collect_list(F.struct("target", "arr")).alias("cents"))
     )
-    ab = dists.groupBy("vec_id", "own").agg(
-        F.round(
-            F.sqrt(F.min(F.when(F.col("target") == F.col("own"), F.col("d2")))),
-            6,
-        ).alias("a"),
-        F.round(
-            F.sqrt(F.min(F.when(F.col("target") != F.col("own"), F.col("d2")))),
-            6,
-        ).alias("b"),
+    d2_expr = F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            ct["target"].alias("target"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), ct["arr"],
+                    lambda x, c: ((x - c) * (x - c)).cast("decimal(28,12)"),
+                ),
+                F.lit(0).cast("decimal(38,12)"),
+                lambda a, t: (a + t).cast("decimal(38,12)"),
+            ).cast("double").alias("d2"),
+        ),
+    )
+    ab = (
+        spread(e.select("vec_id", F.col("label").alias("own"), "embedding"))
+        .join(F.broadcast(cent_row))
+        .select("vec_id", "own", d2_expr.alias("d2s"))
+        .select(
+            "vec_id", "own",
+            F.round(
+                F.sqrt(
+                    F.array_min(
+                        F.filter(
+                            F.col("d2s"),
+                            lambda s: s["target"] == F.col("own"),
+                        ).getField("d2")
+                    )
+                ), 6,
+            ).alias("a"),
+            F.round(
+                F.sqrt(
+                    F.array_min(
+                        F.filter(
+                            F.col("d2s"),
+                            lambda s: s["target"] != F.col("own"),
+                        ).getField("d2")
+                    )
+                ), 6,
+            ).alias("b"),
+        )
     )
     s = (
         F.when(F.col("a") < F.col("b"), F.lit(1.0) - F.col("a") / F.col("b"))
@@ -683,27 +740,42 @@ ORDER BY g.label
 @query("sim_davies_bouldin", oracle=SIM_DB_SQL)
 def sim_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
-    ex = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
-    )
     cent = (
         e.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(F.round(F.avg("x"), 6).alias("c"))
     )
     cent = cent.cache()  # consumed by own AND both sides of sep
+    # In-row member-to-centroid distance (r11, the sim_silhouette
+    # pattern): the per-label centroid collapses to a broadcast
+    # (label, arr) row and d folds per vector with zip_with/aggregate
+    # — identical float - double -> decimal(28,12) terms, so d is
+    # bit-identical — replacing the |V| x 64 explode, its (label,
+    # dim) join and the |V| x 64 -> |V| groupBy.
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("carr")
+    )
     own = (
-        ex.join(F.broadcast(cent), ["label", "dim"])
-        .groupBy("vec_id", "label")
-        .agg(
+        spread(e.select("vec_id", "label", "embedding"))
+        .join(F.broadcast(cent_arr), "label")
+        .select(
+            "vec_id", "label",
             F.round(
                 F.sqrt(
-                    F.sum(
-                        ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
-                        .cast("decimal(28,12)")
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("embedding"), F.col("carr"),
+                            lambda x, c: ((x - c) * (x - c))
+                            .cast("decimal(28,12)"),
+                        ),
+                        F.lit(0).cast("decimal(38,12)"),
+                        lambda a, t: (a + t).cast("decimal(38,12)"),
                     ).cast("double")
                 ), 6
-            ).alias("d")
+            ).alias("d"),
         )
     )
     sigma = own.groupBy("label").agg(
@@ -990,79 +1062,82 @@ ORDER BY r.q
 
 @query("sim_lsh_recall", oracle=LSH_RECALL_SQL)
 def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = Catalog(spark, sf_dir).embeddings
-    ex = e.select("vec_id", F.posexplode("embedding").alias("dim0", "x")) \
-          .select("vec_id", (F.col("dim0") + 1).alias("dim"), "x")
-    ex = spread(ex).cache()  # consumed by proj AND both scoring sides
-    dims = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
-    planes = spark.range(N_RECALL_PLANES).select(
-        F.col("id").cast("int").alias("plane")
-    )
-    signs = dims.crossJoin(planes).select(
-        "dim", "plane",
-        F.when(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("p"), F.col("plane").cast("string"),
-                        F.lit("|"), F.col("dim").cast("string"),
-                    )
-                ), 1, 1,
-            ) < "8",
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)).alias("s"),
-    )
-    proj = (
-        ex.join(F.broadcast(signs), "dim")
-        .groupBy("vec_id", "plane")
-        .agg(
-            F.sum(F.round(F.col("x") * F.col("s"), 9).cast("decimal(18,9)"))
-            .cast("decimal(28,9)").alias("pr")
+    # In-row rewrite (r11): the hyperplanes are DATA-INDEPENDENT
+    # constants (md5 parity of "p<plane>|<dim>" literals), so they
+    # fold into the plan as literal sign arrays instead of a 512-row
+    # signs table joined against a (vec x dim) explode. Projections,
+    # buckets and self-norms are per-row zip_with/aggregate folds over
+    # the embedding array (same float->double->round->decimal chain as
+    # the exploded join, term for term, so every decimal is
+    # bit-identical), and the query side is a 20-row broadcast — the
+    # |V|x64-row explode, its SortMergeJoin on dim, and the
+    # 20x|V|x64-row groupBy all disappear. Exact decimal accumulators
+    # ride the fold (order = array order; decimal addition is exact,
+    # so any order gives the oracle's sum).
+    import hashlib
+
+    signs = [
+        [
+            1.0
+            if hashlib.md5(f"p{j}|{i}".encode()).hexdigest()[0] < "8"
+            else -1.0
+            for i in range(1, 65)
+        ]
+        for j in range(N_RECALL_PLANES)
+    ]
+
+    def proj_positive(plane: int):
+        sarr = F.array(*[F.lit(s) for s in signs[plane]])
+        acc = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), sarr,
+                lambda x, s: F.round(x * s, 9).cast("decimal(18,9)"),
+            ),
+            F.lit(0).cast("decimal(28,9)"),
+            lambda a, x: (a + x).cast("decimal(28,9)"),
         )
+        return F.when(acc > 0, F.lit(1 << plane)).otherwise(F.lit(0))
+
+    def dec_dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: (x * y).cast("decimal(28,12)")),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda a, x: (a + x).cast("decimal(38,12)"),
+        ).cast("double")
+
+    e = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    bucket = sum(
+        (proj_positive(j) for j in range(N_RECALL_PLANES)), F.lit(0)
+    ).cast("bigint")
+    corpus = spread(e).select(
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("ev"),
+        bucket.alias("b_v"),
+        dec_dot(F.col("embedding"), F.col("embedding")).alias("vv"),
     )
-    buckets = proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("pr") > 0, F.expr("shiftleft(1, plane)")
-            ).otherwise(0)
-        ).cast("bigint").alias("bucket")
+    corpus = corpus.cache()  # scored stream side AND the query slice
+    qs = corpus.filter(F.col("v") < N_RECALL_QUERIES).select(
+        F.col("v").alias("q"), F.col("ev").alias("eq"),
+        F.col("b_v").alias("b_q"), F.col("vv").alias("qq"),
     )
-    buckets = buckets.cache()  # consumed by scoring, approx AND output
-    eq = ex.filter(F.col("vec_id") < N_RECALL_QUERIES).select(
-        F.col("vec_id").alias("q"), "dim", F.col("x").alias("xq")
-    )
-    ev = ex.select(F.col("vec_id").alias("v"), "dim", F.col("x").alias("xv"))
-    pairs = (
-        eq.join(ev, "dim")
-        .filter(F.col("v") != F.col("q"))
-        .groupBy("q", "v")
-        .agg(
-            F.sum((F.col("xq") * F.col("xv")).cast("decimal(28,12)"))
-            .cast("double").alias("dot"),
-            F.sum((F.col("xq") * F.col("xq")).cast("decimal(28,12)"))
-            .cast("double").alias("qq"),
-            F.sum((F.col("xv") * F.col("xv")).cast("decimal(28,12)"))
-            .cast("double").alias("vv"),
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("v") != F.col("q"))
+        .select(
+            "q", "v", "b_q", "b_v",
+            F.round(
+                dec_dot(F.col("eq"), F.col("ev"))
+                / (F.sqrt("qq") * F.sqrt("vv")), 4
+            ).alias("cos"),
         )
-    )
-    scored = pairs.select(
-        "q", "v",
-        F.round(
-            F.col("dot") / (F.sqrt("qq") * F.sqrt("vv")), 4
-        ).alias("cos"),
     )
     scored = scored.cache()  # consumed by exact AND approx rankings
     wq = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("v"))
     exact = scored.withColumn("rn", F.row_number().over(wq)).filter(
         F.col("rn") <= 10
     ).select("q", "v")
-    bq = buckets.select(F.col("vec_id").alias("q"), F.col("bucket").alias("b_q"))
-    bv = buckets.select(F.col("vec_id").alias("v"), F.col("bucket").alias("b_v"))
-    near = (
-        scored.join(F.broadcast(bq), "q").join(F.broadcast(bv), "v")
-        .filter(
-            F.bit_count(F.col("b_q").bitwiseXOR(F.col("b_v"))) <= 1
-        )
+    bq = qs.select("q", "b_q")
+    near = scored.filter(
+        F.bit_count(F.col("b_q").bitwiseXOR(F.col("b_v"))) <= 1
     )
     near = near.cache()  # consumed by approx ranking AND candidate counts
     approx = near.withColumn("rn", F.row_number().over(wq)).filter(
