@@ -1558,43 +1558,56 @@ WHERE l3.n_l3 > 0
 @query("mr_bipartite_cc", oracle=BIPARTITE_CC_SQL)
 def mr_bipartite_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    e = (
+    # In-row neighbor sets (r11, the q_bradley_terry pattern):
+    # collect_set(s) per customer absorbs the DISTINCT and carries
+    # deg_c as size(ss); the supplier-pair grid explodes the sorted
+    # set's i < j upper triangle in-row (each a.s < b.s pair exactly
+    # once — identical to the self-join on c), so the edge-list
+    # self-join and its exchanges disappear. Same Σ deg² pair volume,
+    # zero join. All terms are exact integer algebra, unchanged.
+    g = (
         cat.orders.join(
             cat.lineitem.select("l_orderkey", "l_suppkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .select(
-            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
-        )
-        .distinct()
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
     )
-    e = e.cache()  # edge list feeds degrees, the pair explode and meta
-    degc = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
-    degs = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("ds"))
-    a = e.select("c", F.col("s").alias("s1"))
-    b = e.select(F.col("c").alias("cb"), F.col("s").alias("s2"))
+    g = g.cache()  # feeds the pair explode, the edge explode and meta
+    ex = g.select(
+        "c", F.size("ss").cast("bigint").alias("dc"),
+        F.explode("ss").alias("s"),
+    )
+    degs = ex.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ds")
+    )
+    pair_expr = """
+    flatten(
+      transform(ss, (x, i) ->
+        transform(slice(ss, i + 2, size(ss)), y ->
+          named_struct('s1', x, 's2', y))))
+    """
     sp = (
-        a.join(b, (F.col("c") == F.col("cb")) & (F.col("s1") < F.col("s2")))
-        .groupBy("s1", "s2")
+        g.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     )
     m = F.col("m")
     c4 = sp.filter(m > 1).agg(
         F.sum(F.expr("m * (m - 1) div 2")).cast("bigint").alias("n_c4")
     )
-    l3 = (
-        e.join(degc, "c")
-        .join(degs, "s")
-        .agg(
-            F.sum((F.col("dc") - 1) * (F.col("ds") - 1))
-            .cast("bigint")
-            .alias("n_l3")
-        )
+    l3 = ex.join(F.broadcast(degs), "s").agg(
+        F.sum((F.col("dc") - 1) * (F.col("ds") - 1))
+        .cast("bigint")
+        .alias("n_l3")
     )
-    meta = e.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
-        F.countDistinct("c").cast("bigint").alias("n_customers"),
-        F.countDistinct("s").cast("bigint").alias("n_suppliers"),
+    meta = g.agg(
+        F.sum(F.size("ss")).cast("bigint").alias("n_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+    ).crossJoin(
+        F.broadcast(
+            degs.agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"))
+        )
     )
     return (
         c4.join(F.broadcast(l3))

@@ -625,13 +625,31 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = bd0.groupBy("d").agg(
         F.sum("rev").cast("decimal(22,2)").alias("mkt")
     )
-    brands = bd0.select("p_brand").distinct()
+    # Grid build without the data-sized SortMergeJoin (r11): the day
+    # axis is calendar-bounded, so it collapses to ONE broadcast row
+    # of (d, mkt) structs, and each brand's revenue column becomes a
+    # map lookup — bd0 groups to |brands| rows carrying a d->rev map,
+    # the day array explodes per brand, and coalesce zero-fills
+    # exactly like the old left join (same rows, same decimals). The
+    # explode preserves the groupBy's HashPartitioning(p_brand), so
+    # BOTH downstream windows run exchange-free on top of it.
+    days_row = days.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("d", "mkt"))).alias("ds")
+    )
+    bmap = bd0.groupBy("p_brand").agg(
+        F.map_from_entries(F.collect_list(F.struct("d", "rev"))).alias("rm")
+    )
     grid = (
-        brands.crossJoin(F.broadcast(days))
-        .join(bd0, ["p_brand", "d"], "left")
+        bmap.join(F.broadcast(days_row))
+        .select("p_brand", "rm", F.explode("ds").alias("dm"))
         .select(
-            "p_brand", "d", "mkt",
-            F.coalesce("rev", F.lit(0).cast("decimal(19,2)")).alias("rev"),
+            "p_brand",
+            F.col("dm.d").alias("d"),
+            F.col("dm.mkt").alias("mkt"),
+            F.coalesce(
+                F.element_at(F.col("rm"), F.col("dm.d")),
+                F.lit(0).cast("decimal(19,2)"),
+            ).alias("rev"),
         )
     )
     # Trailing 91-row sums as DIFFERENCES of running cumulative sums:

@@ -1400,15 +1400,29 @@ def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = bd.groupBy("d").agg(
         F.sum("rev").cast("decimal(19,2)").alias("mkt")
     )
-    brands = bd.select("p_brand").distinct()
+    # Zero-filled grid without the data-sized join (r11, the
+    # q_rolling_beta pattern): the calendar-bounded day axis collapses
+    # to ONE broadcast row of (d, mkt) structs and each brand's
+    # revenue becomes a map lookup; the explode preserves the
+    # groupBy's HashPartitioning(p_brand), so the moment aggregation
+    # below runs exchange-free. Rows and decimals identical to the
+    # brands x days LEFT JOIN.
+    days_row = days.groupBy().agg(
+        F.collect_list(F.struct("d", "mkt")).alias("ds")
+    )
+    bmap = bd.groupBy("p_brand").agg(
+        F.map_from_entries(F.collect_list(F.struct("d", "rev"))).alias("rm")
+    )
     grid = (
-        F.broadcast(brands).crossJoin(days)
-        .join(bd, ["p_brand", "d"], "left")
+        bmap.join(F.broadcast(days_row))
+        .select("p_brand", "rm", F.explode("ds").alias("dm"))
         .select(
-            "p_brand", "mkt",
-            F.coalesce(F.col("rev"), F.lit(0).cast("decimal(19,2)")).alias(
-                "rev"
-            ),
+            "p_brand",
+            F.col("dm.mkt").alias("mkt"),
+            F.coalesce(
+                F.element_at(F.col("rm"), F.col("dm.d")),
+                F.lit(0).cast("decimal(19,2)"),
+            ).alias("rev"),
         )
     )
     m = grid.groupBy("p_brand").agg(
