@@ -1638,17 +1638,25 @@ def q_berkson_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_extendedprice")).cast("decimal(28,2)").alias("rev"),
             F.sum(dec("l_quantity")).cast("decimal(24,2)").alias("qty"),
         )
-        .localCheckpoint()
     )
-    base = f.filter(F.col("p_brand") == "Brand#11").select(
-        "n_name", "mon",
-        F.col("c").alias("c0"),
-        F.col("rev").alias("rev0"),
-        F.col("qty").alias("qty0"),
-    )
+    # Single-pass base attach (r11): the Brand#11 reference row is
+    # pinned per (nation, month) cell with max(when(...)) over a
+    # window on the grid instead of a grid self-join — f is consumed
+    # once, so its checkpoint drops too. Cells whose (nation, month)
+    # has no Brand#11 row get NULL c0, which the c0 >= 5 filter
+    # rejects exactly like the old inner join.
+    wnm = Window.partitionBy("n_name", "mon")
+    b11 = lambda col: F.max(  # noqa: E731
+        F.when(F.col("p_brand") == "Brand#11", F.col(col))
+    ).over(wnm)
     cells = (
-        f.filter(F.col("p_brand") != "Brand#11")
-        .join(base, ["n_name", "mon"])
+        f.select(
+            "n_name", "mon", "p_brand", "c", "rev", "qty",
+            b11("c").alias("c0"),
+            b11("rev").alias("rev0"),
+            b11("qty").alias("qty0"),
+        )
+        .filter(F.col("p_brand") != "Brand#11")
         .filter((F.col("c") >= 5) & (F.col("c0") >= 5))
         .select(
             "c", "c0",

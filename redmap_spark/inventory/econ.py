@@ -1995,28 +1995,23 @@ def q_cross_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
     )
     top2 = top2.cache()  # 2 rows
-    a = (
-        top2.filter(F.col("rk") == 1)
-        .join(daily, "brand")
-        .select(
-            F.col("brand").alias("brand_a"),
-            "day",
-            F.col("rev").alias("rev_a"),
-            F.col("qty").alias("qty_a"),
-        )
-    )
-    b = (
-        top2.filter(F.col("rk") == 2)
-        .join(daily, "brand")
-        .select(
-            F.col("brand").alias("brand_b"),
-            F.col("day").alias("day_b"),
-            F.col("rev").alias("rev_b"),
-            F.col("qty").alias("qty_b"),
-        )
-    )
+    # Single-pass pairing (r11): the rk=1/rk=2 slices were two joins
+    # over the cached grid, re-paired by a third join on day. One
+    # conditional aggregation over daily ⋈ broadcast(top2) pivots both
+    # brands' (rev, qty) onto each day row instead — days missing a
+    # brand carry NULLs that the same (> 0) filters already reject,
+    # exactly like the old inner join on day.
     ab = (
-        a.join(F.broadcast(b), F.col("day") == F.col("day_b"))
+        daily.join(F.broadcast(top2), "brand")
+        .groupBy("day")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("brand"))).alias("brand_a"),
+            F.max(F.when(F.col("rk") == 1, F.col("rev"))).alias("rev_a"),
+            F.max(F.when(F.col("rk") == 1, F.col("qty"))).alias("qty_a"),
+            F.max(F.when(F.col("rk") == 2, F.col("brand"))).alias("brand_b"),
+            F.max(F.when(F.col("rk") == 2, F.col("rev"))).alias("rev_b"),
+            F.max(F.when(F.col("rk") == 2, F.col("qty"))).alias("qty_b"),
+        )
         .filter(
             (F.col("qty_a") > 0)
             & (F.col("qty_b") > 0)

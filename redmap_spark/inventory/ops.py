@@ -1654,6 +1654,13 @@ def q_share_of_wallet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(c.part.select("p_partkey", "p_brand")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
+        # ONE exchange for both grouping levels (r11, the q_als_rank1
+        # trick): hash-partitioning on custkey alone satisfies the
+        # ClusteredDistribution of BOTH the (segment, cust, brand)
+        # grid and the (segment, cust) rollup (cust functionally
+        # determines segment), so the two aggregations below share
+        # this single shuffle instead of exchanging twice.
+        .repartition(F.col("o_custkey"))
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_custkey").alias("cust"),
