@@ -1259,7 +1259,12 @@ def q_recsys_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rk"),
     )
-    recs = ranked.filter(F.col("rk") <= 3).select("b", "nb")
+    # recs is <= |brands| x 3 rows but feeds TWO consumers (appear and
+    # the popularity-bias join): checkpoint it so the basket -> pairs
+    # -> ranking lineage executes once, not per consumer (r11).
+    recs = (
+        ranked.filter(F.col("rk") <= 3).select("b", "nb").localCheckpoint()
+    )
     appear = recs.groupBy("nb").agg(
         F.count(F.lit(1)).cast("bigint").alias("a")
     ).localCheckpoint()

@@ -114,19 +114,48 @@ def ngram_jaccard_pairs(
     hs.count()  # eager: both self-join sides read it concurrently
     ex = hs.select("id", F.size("hs").alias("n"), F.explode("hs").alias("h"))
     if max_shingle_df is not None:
-        rare = ex.groupBy("h").count().filter(F.col("count") <= max_shingle_df).select("h")
-        ex = ex.join(rare, "h")
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.n").alias("n1"),
-            F.col("b.n").alias("n2"),
+        # In-row candidate generation (r11): with the df cap, every
+        # shingle's posting list is bounded by the cap, so ONE
+        # groupBy(h) collects it, the size filter IS the rarity cap
+        # (same count-rows-per-h semantics as the old count+join), and
+        # the sorted list's i < j upper triangle emits each
+        # (id1 < id2) co-occurrence in-row — the posting-list
+        # self-join and its exchanges disappear; worst-row fanout is
+        # cap^2, never data-sized.
+        grouped = (
+            ex.groupBy("h")
+            .agg(F.array_sort(F.collect_list(F.struct("id", "n"))).alias("ds"))
+            .filter(F.size("ds") <= max_shingle_df)
         )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+        pair_expr = """
+        flatten(
+          transform(ds, (x, i) ->
+            transform(slice(ds, i + 2, size(ds)), y ->
+              named_struct('id1', x.id, 'n1', x.n,
+                           'id2', y.id, 'n2', y.n))))
+        """
+        common = (
+            grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy(
+                F.col("p.id1").alias("id1"),
+                F.col("p.id2").alias("id2"),
+                F.col("p.n1").alias("n1"),
+                F.col("p.n2").alias("n2"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        a, b = ex.alias("a"), ex.alias("b")
+        common = (
+            a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(
+                F.col("a.id").alias("id1"),
+                F.col("b.id").alias("id2"),
+                F.col("a.n").alias("n1"),
+                F.col("b.n").alias("n2"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
     return common.select("id1", "id2", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold

@@ -30,6 +30,18 @@ def get_spark(app_name: str = "redmap-spark", shuffle_partitions: int | None = N
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite a sort-merge join to a shuffled-hash join
+        # when EVERY post-shuffle partition's build side is under the
+        # advisory partition size (64 MB) — the runtime-proven-safe
+        # conversion (off by default: threshold 0). Scale-adaptive by
+        # construction: the bound is per-partition, so a 1000x data
+        # jump just means AQE keeps the SMJ where partitions are big.
+        # Measured r11 on the fact⋈fact entries: q_eta_promise
+        # 2.84->2.59, q_bullwhip 1.61->1.47, min-of-4, never worse.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

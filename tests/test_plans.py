@@ -340,10 +340,12 @@ def test_tfidf_window_over_collapsed_tf(spark):
 
 def test_jaccard_shingle_df_cap_plan(spark):
     """With max_shingle_df set (the production default at scale — see
-    SURVEY §6), the plan must contain the document-frequency cap:
-    a per-shingle count aggregate filtered to <= cap, equi-joined back
-    to the exploded shingles BEFORE the pair self-join — boilerplate
-    mega-shingles never reach candidate generation."""
+    SURVEY §6), the plan must contain the document-frequency cap as a
+    size filter on the per-shingle posting list (r11 in-row form: the
+    cap bounds every posting list, so candidates explode from the
+    collected list's upper triangle instead of a posting-list
+    self-join) — boilerplate mega-shingles never reach candidate
+    generation."""
     from redmap_spark.catalog import Catalog
     from redmap_spark.operators import dedup as D
 
@@ -351,10 +353,12 @@ def test_jaccard_shingle_df_cap_plan(spark):
     df = D.ngram_jaccard_pairs(docs, max_shingle_df=50)
     plan = E.plan_string(df, "formatted")
     assert "<= 50" in plan, "df-cap filter missing from plan"
-    # cap join (shingles x rare-shingles) + pair self-join + two count
-    # joins: at least one MORE join than the uncapped plan
+    # the in-row capped path generates pairs with Generate (explode of
+    # the bounded upper triangle), with STRICTLY FEWER joins than the
+    # uncapped posting-list self-join plan
     uncapped = E.plan_string(D.ngram_jaccard_pairs(docs), "formatted")
-    assert plan.count("Join") > uncapped.count("Join"), (
+    assert "Generate" in plan
+    assert plan.count("Join") < uncapped.count("Join"), (
         plan.count("Join"), uncapped.count("Join"))
     # and the capped plan still produces the same pairs on this corpus
     # (50 >> any shingle's doc-frequency here, so semantics unchanged)
