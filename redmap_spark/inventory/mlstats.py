@@ -163,7 +163,13 @@ FROM m
 
 @query("q_corr_matrix", oracle=CORR_SQL)
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Catalog(spark, sf_dir).lineitem
+    # spread(): the 9-term decimal power-sum fold partial-aggregates in
+    # the single-task scan stage (r11, guide §2.5; A/B in OPTIMIZATION_r11.md)
+    li = spread(
+        Catalog(spark, sf_dir).lineitem.select(
+            "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+        )
+    )
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sq"),

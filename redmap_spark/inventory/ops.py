@@ -531,7 +531,12 @@ ORDER BY sku
 def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     dem = (
-        c.lineitem.join(
+        # spread(): the (sku, day) partial agg runs in the single-task
+        # scan stage (r11; A/B in OPTIMIZATION_r11.md)
+        spread(c.lineitem.select(
+            "l_partkey", "l_shipdate", "l_quantity"
+        ))
+        .join(
             c.part.select("p_partkey", "p_brand", "p_size"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
@@ -1247,7 +1252,13 @@ ORDER BY brand
 def q_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     daily = (
-        c.lineitem.join(
+        # spread(): the (brand, day) partial agg with two decimal sums
+        # runs in the single-task scan stage (r11; A/B in OPTIMIZATION_r11.md)
+        spread(c.lineitem.select(
+            "l_partkey", "l_shipdate", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ))
+        .join(
             F.broadcast(c.part.select("p_partkey", "p_brand")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
@@ -1530,7 +1541,12 @@ ORDER BY 1
 def q_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     pr = (
-        c.lineitem.join(
+        # spread(): the (segment, part) partial agg runs in the
+        # single-task scan stage (r11; A/B in OPTIMIZATION_r11.md)
+        spread(c.lineitem.select(
+            "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+        ))
+        .join(
             c.orders.select("o_orderkey", "o_custkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )

@@ -175,7 +175,15 @@ ORDER BY brand
 @query("q_partial_corr", oracle=PARTIAL_SQL)
 def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    li = cat.lineitem.join(
+    # spread(): the 10-term decimal power-sum fold below runs in the
+    # scan stage (partial aggregation), and the single-row-group local
+    # file scans as ONE task — heal the width before the fold (r11,
+    # guide §2.5/§1.2; A/B in OPTIMIZATION_r11.md).
+    li = spread(
+        cat.lineitem.select(
+            "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+    ).join(
         F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
     ).select(
         F.col("p_brand").alias("brand"),
@@ -2157,7 +2165,11 @@ ORDER BY brand
 @query("q_mahalanobis", oracle=MAHALANOBIS_SQL)
 def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    li = cat.lineitem.join(
+    # spread() the single-task scan before the decimal moment fold and
+    # the cached scoring pass (r11, guide §2.5; A/B in OPTIMIZATION_r11.md)
+    li = spread(
+        cat.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    ).join(
         F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
     ).select(
         F.col("p_brand").alias("brand"),

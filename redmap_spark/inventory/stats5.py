@@ -2022,7 +2022,12 @@ FROM fit WHERE k > 2 AND k * sxx - sx * sx <> 0
 def q_taylor_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     bd = (
-        cat.lineitem.join(
+        # spread(): the partial agg to the brand x day grid runs in the
+        # single-task scan stage (r11, guide §2.5; A/B in OPTIMIZATION_r11.md)
+        spread(cat.lineitem.select(
+            "l_partkey", "l_shipdate", "l_extendedprice"
+        ))
+        .join(
             F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
         )
         .groupBy("p_brand", F.to_date("l_shipdate").alias("d"))
@@ -2576,7 +2581,12 @@ def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     b = (
-        cat.lineitem.join(
+        # spread(): countDistinct + decimal folds partial-aggregate in
+        # the single-task scan stage (r11; A/B in OPTIMIZATION_r11.md)
+        spread(cat.lineitem.select(
+            "l_partkey", "l_orderkey", "l_extendedprice", "l_quantity"
+        ))
+        .join(
             F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
         )
         .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
