@@ -701,8 +701,11 @@ def mr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
              "s", F.col("rawd"))
     for half in ("h1", "a2", "h2"):
         if half.startswith("h"):
+            # broadcast the |suppliers|-row score vector: without the
+            # hint the checkpointed sides have no size estimate and
+            # the edge table reshuffles per half-step (r11, guide §3.1)
             r = (
-                e.join(a.withColumnRenamed("score", "a"), "s")
+                e.join(F.broadcast(a.withColumnRenamed("score", "a")), "s")
                 .groupBy("c")
                 .agg(F.sum("a").cast("decimal(28,12)").alias("raw"))
             )
@@ -713,7 +716,7 @@ def mr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             h = a_or_h
         else:
             r = (
-                e.join(h.withColumnRenamed("score", "h"), "c")
+                e.join(F.broadcast(h.withColumnRenamed("score", "h")), "c")
                 .groupBy("s")
                 .agg(F.sum("h").cast("decimal(28,12)").alias("raw"))
             )

@@ -1265,9 +1265,12 @@ def q_recsys_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = (
         ranked.filter(F.col("rk") <= 3).select("b", "nb").localCheckpoint()
     )
+    # appear is a <=|brands|-row groupBy over the checkpointed recs:
+    # cheap to recompute for its two consumers, so no third
+    # checkpoint barrier here (r11 A/B in OPTIMIZATION_r11.md)
     appear = recs.groupBy("nb").agg(
         F.count(F.lit(1)).cast("bigint").alias("a")
-    ).localCheckpoint()
+    )
     wall = Window.partitionBy().orderBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

@@ -1278,7 +1278,10 @@ def txt_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_xy").cast("bigint").alias("c")
     )
     strength = ew.groupBy("src").agg(F.sum("c").cast("bigint").alias("tot"))
-    edges = ew.join(strength, "src").select(
+    # broadcast the <=|vocab|-row strength side: without the hint the
+    # checkpoint-backed sides have no size estimate and the join
+    # reshuffles the edge grid (r11, guide §3.1)
+    edges = ew.join(F.broadcast(strength), "src").select(
         "src", "dst", (F.col("c") / F.col("tot").cast("double")).alias("p")
     )
     edges = edges.localCheckpoint()  # bounded grid reused every round
@@ -1289,7 +1292,12 @@ def txt_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_lit = float(_TR_D)
     for _ in range(_TR_ROUNDS):
         con = (
-            edges.join(s.select(F.col("w").alias("src"), "s"), "src")
+            # broadcast the <=200-row rank vector so the checkpointed
+            # edge grid is never reshuffled per round (r11, guide §3.1
+            # — the mr_pagerank rule)
+            edges.join(
+                F.broadcast(s.select(F.col("w").alias("src"), "s")), "src"
+            )
             .groupBy(F.col("dst").alias("w"))
             .agg(
                 F.sum(F.round(F.col("p") * F.col("s"), 9).cast(
@@ -1301,7 +1309,7 @@ def txt_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s = (
             vocab.join(F.broadcast(n))
-            .join(con, "w", "left")
+            .join(F.broadcast(con), "w", "left")
             .select(
                 "w",
                 (
