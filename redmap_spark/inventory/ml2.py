@@ -569,10 +569,15 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
     )
     g = g.cache()  # consumed by cnt AND the pair explode
+    # checkpoint the <=|brands|-row appearance counts: cnt feeds TWO
+    # broadcast builds (c1, c2) that otherwise race to execute the
+    # basket lineage before g's cache is populated (r11, the
+    # q_recsys_coverage structure)
     cnt = (
         g.select(F.explode("bs").alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
     )
     pair_expr = """
     flatten(

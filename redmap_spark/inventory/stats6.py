@@ -1581,7 +1581,9 @@ def q_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dense = (
         segtot.crossJoin(F.broadcast(alltimes))
-        .join(gridc, ["segment", "t"], "left")
+        # broadcast the bounded |segment x t| grid: the cached side
+        # has no size estimate and planned as SMJ (r11)
+        .join(F.broadcast(gridc), ["segment", "t"], "left")
         .select(
             "segment",
             "t",
@@ -1614,7 +1616,7 @@ def q_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d_tot") > 0)
     )
     seg = (
-        risk.join(glob, "t")
+        risk.join(F.broadcast(glob), "t")
         .groupBy("segment")
         .agg(
             F.sum("d").cast("bigint").alias("o_s"),

@@ -840,7 +840,10 @@ def q_eta_promise(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob_q = grid_p90(glob_grid, []).select(F.col("p90").alias("gp90"))
     ln_, on = F.col("n"), F.col("on")
     return (
-        lane_q.join(orig_q, F.col("origin") == F.col("o2"))
+        # broadcast the <=|nations|-row origin quantiles: the
+        # checkpoint-backed sides have no size estimate, so this was
+        # planning as a sort-merge join of two tiny grids (r11)
+        lane_q.join(F.broadcast(orig_q), F.col("origin") == F.col("o2"))
         .join(F.broadcast(glob_q))
         .select(
             "origin", "dest",
