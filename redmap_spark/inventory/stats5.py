@@ -1756,28 +1756,47 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cat = Catalog(spark, sf_dir)
-    ob = (
-        cat.lineitem.join(
-            F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+    # In-row duel generation, ONE shuffle (r11): the first cut ran
+    # groupBy(ok, b) for per-brand spends and a second groupBy(ok) to
+    # collect them (two exchanges of data-sized rows, A/B 3.40 ->
+    # 3.18 s). The (ok, b) roll-up is itself in-row computable: one
+    # groupBy(ok) collects the order's (b, price) lines (bounded by
+    # lines-per-order), and per-brand spend folds inside the row with
+    # aggregate() over the brand's lines. Decimal sums are exact and
+    # associative — acc carries decimal(38,2) headroom and the final
+    # cast to decimal(19,2) matches the old sum's cast, so every
+    # spend (and thus every duel) is bit-identical. A/B below.
+    lines = (
+        cat.lineitem.select("l_orderkey", "l_partkey", "l_extendedprice")
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
         )
-        .groupBy(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(19,2)")
-            .alias("spend")
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("p_brand").alias("b"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
         )
     )
-    # In-row duel generation (r11): the ob self-join on ok shuffled
-    # two data-sized sides to pair brands within each order. One more
-    # groupBy(ok) collects the order's (brand, spend) cells — arrays
-    # bounded by |brands| = 25, never data-sized — and the upper
-    # triangle is generated per row with transform/slice. The (ab <
-    # bb) dedup filter becomes positional i < j (brands are distinct
-    # within the group, so each unordered pair appears exactly once),
-    # and winner/loser is the same decimal spend comparison, so the
-    # duel multiset is identical. Interleaved A/B: 3.40 -> 3.18 s.
-    g = ob.groupBy("ok").agg(
-        F.collect_list(F.struct(F.col("b"), F.col("spend"))).alias("br")
+    g = (
+        lines.groupBy("ok")
+        .agg(F.collect_list(F.struct("b", "p")).alias("ls"))
+        .select(
+            "ok",
+            F.expr(
+                """
+                transform(
+                  array_distinct(transform(ls, x -> x.b)),
+                  bb -> struct(
+                    bb AS b,
+                    cast(aggregate(
+                      filter(ls, x -> x.b = bb),
+                      cast(0 as decimal(38,2)),
+                      (acc, x) -> cast(acc + x.p as decimal(38,2))
+                    ) as decimal(19,2)) AS spend))
+                """
+            ).alias("br"),
+        )
     )
     pair_expr = """
     filter(
