@@ -125,16 +125,22 @@ def compact_line(timings: dict[str, float], total: float, sf: float,
     floor slow entries (≥10s) to whole seconds → floor everything ≥1s
     → 2-char keys (1s floor re-applied) → floor EVERY value to whole
     seconds (sub-second entries become 0 — full precision stays on
-    the full_queries line) → POSITIONAL stage: drop the keys entirely
+    the full_queries line) → POSITIONAL stages: drop the keys entirely
     and emit ``queries`` as an array of values in sorted-full-name
     order (``queries_key: "sorted-name-positional"`` — the decoder is
-    ``sorted(QUERIES)`` from the repo, ~4 chars/entry, covers 400+
-    entries losslessly) → finally keep only the N slowest entries
-    plus ``queries_omitted``/``queries_total`` counters, shrinking N
-    until the line fits (coverage of every entry then comes from the
+    ``sorted(QUERIES)`` from the repo), first with sub-second values
+    at 1 decimal, then with every value floored to whole seconds;
+    both positional stages slim ``warm`` to {value, n_rerun} (the
+    per-entry warm table stays on the full_warm_queries line) so all
+    565 entries fit the budget losslessly-by-name (round-12 fix: the
+    r10/r11 driver lines overflowed into the lossy keep-N stage,
+    producing phantom "dropped" queries in the round-over-round
+    comparison) → finally keep only the N slowest entries plus
+    ``queries_omitted``/``queries_total`` counters, shrinking N until
+    the line fits (coverage of every entry then comes from the
     full-precision line alone)."""
 
-    def envelope(q, extra: dict | None = None) -> str:
+    def envelope(q, extra: dict | None = None, slim_warm: bool = False) -> str:
         d = {
             "metric": "inventory_total_wall",
             "value": total,
@@ -143,7 +149,10 @@ def compact_line(timings: dict[str, float], total: float, sf: float,
             "sf": sf,
         }
         if warm is not None:
-            d["warm"] = warm
+            d["warm"] = (
+                {k: warm[k] for k in ("value", "n_rerun") if k in warm}
+                if slim_warm else warm
+            )
         if extra:
             d.update(extra)
         return json.dumps(d, separators=(",", ":"), sort_keys=True)
@@ -165,15 +174,19 @@ def compact_line(timings: dict[str, float], total: float, sf: float,
         line = envelope(compact)
     if len(line) < 1900:
         return line
-    # Positional stage: values only, sorted-full-name order. Floors
-    # ≥1s to ints like the all-floor stage; sub-second keep 1 decimal.
-    vals = [
-        (int(round(v)) if v >= 1 else round(v, 1))
-        for _, v in sorted(timings.items())
-    ]
-    line = envelope(vals, {"queries_key": "sorted-name-positional"})
-    if len(line) < 1900:
-        return line
+    # Positional stages: values only, sorted-full-name order, warm
+    # slimmed to its two scalars. First with sub-second values at
+    # 1 decimal (ints ≥1s); if that still overflows, floor everything
+    # to whole seconds — every entry stays present either way.
+    key = {"queries_key": "sorted-name-positional"}
+    for vals in (
+        [(int(round(v)) if v >= 1 else round(v, 1))
+         for _, v in sorted(timings.items())],
+        [int(round(v)) for _, v in sorted(timings.items())],
+    ):
+        line = envelope(vals, key, slim_warm=True)
+        if len(line) < 1900:
+            return line
     # Last stage: N slowest only. Monotone in N, so walk down from the
     # largest candidate until the envelope fits.
     two_char = floored(_build_compact(timings, 2), 0)
@@ -183,7 +196,7 @@ def compact_line(timings: dict[str, float], total: float, sf: float,
         line = envelope(kept, {
             "queries_omitted": len(two_char) - n,
             "queries_total": len(two_char),
-        })
+        }, slim_warm=True)
         if len(line) < 1900:
             return line
     raise AssertionError(f"driver-tail budget exceeded even at N=1: {len(line)}")
