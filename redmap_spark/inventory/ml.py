@@ -489,59 +489,14 @@ ORDER BY c.k
 """
 
 
-# Registry-level share (r10, the PCA-Gram pattern of similarity.py):
-# q_gmm_em's quartile init and the kfold/learning-curve decile
-# thresholds each reduce a data-scaled distinct-price grid to a
-# GRID-SIZED result (1 row of init means; 9 threshold rows). Memoize
-# those results per (application, sf_dir) so repeat runs in one
-# session (bench warm pass, driver gate) skip the grid + prefix
-# kernel; only grid-sized frames are ever pinned — the hygiene
-# discipline (registry._session_hygiene) stays intact because
-# localCheckpoints are not catalog caches and hold O(rows) = O(10)
-# blocks here.
-_GMM_INIT_CACHE: dict[tuple[str, str], DataFrame] = {}
-_THR_CACHE: dict[tuple[str, str], DataFrame] = {}
-# Bound (ADVICE r10): entries accumulate per (applicationId, sf_dir)
-# for the session's lifetime — cap each cache and evict
-# insertion-order-oldest so a long session sweeping many sf_dirs
-# cannot pin unbounded checkpoint blocks.
-_MEMO_CAP = 4
-
-
-def _memo_get(cache: dict, key: tuple[str, str]) -> DataFrame | None:
-    """Cache lookup with a liveness probe. localCheckpoint blocks are
-    NON-RELIABLE: on a real cluster a lost executor discards them and
-    any reuse fails. The frames here are grid-sized (1–9 rows), so a
-    take(1) probe is a sub-ms job against cached blocks — on failure
-    the entry is dropped and the caller rebuilds instead of erroring.
-    (In local[] mode blocks live in the driver JVM and the probe
-    always succeeds.)"""
-    hit = cache.get(key)
-    if hit is None:
-        return None
-    try:
-        hit.take(1)
-    except Exception:  # lost checkpoint blocks -> rebuild
-        cache.pop(key, None)
-        return None
-    return hit
-
-
-def _memo_put(cache: dict, key: tuple[str, str], df: DataFrame) -> None:
-    cache[key] = df
-    while len(cache) > _MEMO_CAP:
-        cache.pop(next(iter(cache)))
-
-
 def _gmm_init_mus(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
     """1-row (mu1, mu2) GMM init = P25/P75 of order totals, eagerly
-    checkpointed and memoized per (application, sf_dir). ``v`` is the
-    caller's cached (x) frame, reused so the first build shares its
-    scan with the caller's E-steps."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _memo_get(_GMM_INIT_CACHE, key)
-    if hit is not None:
-        return hit
+    checkpointed so the E-step consumers don't recompute the grid
+    within the run. ``v`` is the caller's cached (x) frame, reused so
+    the build shares its scan with the caller's E-steps. (r12: the
+    per-(application, sf_dir) memo that let repeat runs skip this
+    pass entirely was removed — every invocation computes from the
+    parquet inputs.)"""
     g = v.groupBy(F.col("x").cast("decimal(18,2)").alias("xv")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
@@ -563,7 +518,6 @@ def _gmm_init_mus(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
     )
     mus = q25.join(F.broadcast(q75)).localCheckpoint()
     cum.unpersist()
-    _memo_put(_GMM_INIT_CACHE, key, mus)
     return mus
 
 
@@ -1102,16 +1056,14 @@ def _decile_thresholds(
     spark: SparkSession, sf_dir: str, rows_: DataFrame
 ) -> DataFrame:
     """9-row (decile, thr) grid of order-total decile thresholds over
-    the orders⋈returned-label rows — IDENTICAL for q_kfold_cv and
-    q_learning_curve (their fold/bucket columns don't enter the x
-    grid), so it is eagerly checkpointed and memoized per
-    (application, sf_dir); the second caller (and every repeat run)
-    skips the distinct-price grid + prefix kernel. ``rows_`` is the
-    caller's cached frame so the first build shares its scan."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _memo_get(_THR_CACHE, key)
-    if hit is not None:
-        return hit
+    the orders⋈returned-label rows — IDENTICAL in shape for q_kfold_cv
+    and q_learning_curve (their fold/bucket columns don't enter the x
+    grid). Eagerly checkpointed so each caller's many fold/bucket
+    consumers reuse the 9-row frame within the run. (r12: the
+    per-(application, sf_dir) memo that let the second caller and
+    repeat runs skip the grid + prefix kernel was removed — every
+    invocation computes from the parquet inputs.) ``rows_`` is the
+    caller's cached frame so the build shares its scan."""
     xgrid = rows_.groupBy("x").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
@@ -1129,7 +1081,6 @@ def _decile_thresholds(
         .groupBy(F.col("d").alias("decile"))
         .agg(F.min("x").alias("thr"))
     ).localCheckpoint()
-    _memo_put(_THR_CACHE, key, cands)
     return cands
 
 
