@@ -1792,7 +1792,12 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cast(aggregate(
                       filter(ls, x -> x.b = bb),
                       cast(0 as decimal(38,2)),
-                      (acc, x) -> cast(acc + x.p as decimal(38,2))
+                      -- coalesce: F.sum skipped NULL prices; the fold
+                      -- must too, not poison the whole spend (ADVICE
+                      -- r11 — TPC-H prices are NOT NULL, but the
+                      -- equivalence should not depend on that)
+                      (acc, x) -> cast(acc + coalesce(x.p, 0)
+                                       as decimal(38,2))
                     ) as decimal(19,2)) AS spend))
                 """
             ).alias("br"),
