@@ -56,26 +56,15 @@ from redmap_spark.inventory import regress  # noqa: F401
 # (tests/test_oracle.py::test_window_rotation_covers_all_oracles) enforces
 # that no slot is wasted on an already-verified entry.
 _WINDOW_FIRST = [
-    # Round-11 rotation: the 152 oracle entries that have never carried a
-    # driver hash_match (union of CORRECTNESS_r01..r10), in prior
-    # registration order. The driver verifies the first 50 per round;
-    # the remainder queue as fully-unverified overflow for rounds 12+.
-    # All 152 were additionally hash-verified in full local sweeps at
-    # sf0.01 AND sf0.1 (tools/driver_gate_sim.py ->
-    # CORRECTNESS_full_r10.json / CORRECTNESS_full_r10_sf01.json).
-    "q_item_cf", "q_competing_risks", "q_life_table", "q_nbd_fit",
-    "q_absorbing_chain", "q_markov_attribution", "q_als_rank1", "q_vif",
-    "q_breusch_pagan", "q_yule_walker", "q_isotonic_pava", "q_hosmer_lemeshow",
-    "q_storey_pi0", "q_wilcoxon_signed_rank", "q_atkinson_index", "q_moran_i",
-    "q_kpss_lite", "q_market_beta", "q_iv_wald", "q_lognormal_fit",
-    "q_bradley_terry", "q_ucb_policy", "q_taylor_law", "q_records",
-    "q_hawkes_branching", "q_interevent_burstiness", "q_conformal_interval", "q_kendall_w",
-    "q_ordinal_association", "q_otsu_threshold", "q_logit_irls", "q_ipw_ate",
-    "q_design_effect", "q_holt_brown", "q_getis_ord", "q_bartlett_test",
-    "q_piecewise_hazard", "q_mediation_sobel", "q_dunn_posthoc", "q_hazard_ratio",
-    "q_survival_rmst", "q_var_backtest", "q_es_backtest", "q_christoffersen",
-    "q_sharpe_panel", "q_rolling_beta", "q_amihud", "q_variance_ratio",
-    "q_arch_lm", "q_ledoit_wolf", "q_ulcer_index", "q_gpd_tail",
+    # Round-12 rotation: the 102 oracle entries that have never carried a
+    # driver hash_match (union of CORRECTNESS_r01..r11 — round 11 verified
+    # the previous window's first 50, q_item_cf..q_ledoit_wolf, so they
+    # drop off the front), in prior registration order. The driver
+    # verifies the first 50 per round; the remainder queue as
+    # fully-unverified overflow for rounds 13+. All 102 were additionally
+    # hash-verified in full local sweeps at sf0.01 AND sf0.1
+    # (CORRECTNESS_full_r11.json / CORRECTNESS_full_r11_sf01.json).
+    "q_ulcer_index", "q_gpd_tail",
     "q_chain_ladder", "q_price_stickiness", "q_forecast_combo", "q_stl_strength",
     "q_mase", "q_diebold_mariano", "q_theil_u_decomposition", "q_analogue_forecast",
     "q_mincer_zarnowitz", "q_pesaran_timmermann", "q_turning_points", "q_ratio_to_ma",
