@@ -699,11 +699,23 @@ def mr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1r = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("raw"))
     a = norm(a1r.select("s", F.col("raw").cast("double").alias("rawd")),
              "s", F.col("rawd"))
+    # Broadcast the per-round score vectors: the checkpointed sides
+    # have no size estimate, so without the hint the edge table
+    # reshuffles per half-step (r11, guide §3.1). The AUTHORITY vector
+    # is supplier-keyed (|suppliers| = 10k×SF — broadcast always); the
+    # HUB vector is CUSTOMER-keyed (|customers| = 150k×SF, 15× larger
+    # and data-scaled), so its hint is gated on the customer table's
+    # leaf bytes (ADVICE r11): past ~64 MB of raw customer parquet the
+    # two-column score projection approaches real broadcast-memory
+    # cost and the hint is dropped — AQE/SMJ then picks the strategy.
+    try:
+        import os as _os
+
+        _hub_fits = _os.path.getsize(cat.path("customer")) <= 64 * 1024 * 1024
+    except OSError:  # non-local URI: no byte evidence, don't force it
+        _hub_fits = False
     for half in ("h1", "a2", "h2"):
         if half.startswith("h"):
-            # broadcast the |suppliers|-row score vector: without the
-            # hint the checkpointed sides have no size estimate and
-            # the edge table reshuffles per half-step (r11, guide §3.1)
             r = (
                 e.join(F.broadcast(a.withColumnRenamed("score", "a")), "s")
                 .groupBy("c")
@@ -715,8 +727,9 @@ def mr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             h = a_or_h
         else:
+            hv = h.withColumnRenamed("score", "h")
             r = (
-                e.join(F.broadcast(h.withColumnRenamed("score", "h")), "c")
+                e.join(F.broadcast(hv) if _hub_fits else hv, "c")
                 .groupBy("s")
                 .agg(F.sum("h").cast("decimal(28,12)").alias("raw"))
             )
@@ -899,9 +912,11 @@ ORDER BY n.n_name
 def mr_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     flows = (
-        cat.lineitem
-        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        cat.lineitem.select("l_suppkey", "l_orderkey")
+        .join(F.broadcast(cat.supplier.select("s_suppkey", "s_nationkey")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cat.orders.select("o_orderkey", "o_custkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
               F.col("c_custkey") == F.col("o_custkey"))
         .groupBy(
@@ -924,12 +939,23 @@ def mr_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("bigint").alias("src"),
         F.col("n_nationkey").cast("bigint").alias("dst"),
     )
-    reach = edges.union(nodes).distinct().localCheckpoint(eager=True)
+    # The reach grid is |nations|²-bounded (≤625 rows, SF-INDEPENDENT —
+    # the fact scan already collapsed to it above), so the 5 squaring
+    # rounds run on ONE partition: SinglePartition satisfies the
+    # distinct's clustering requirement, the extension side broadcasts,
+    # and each round is a single 1-task narrow stage instead of a
+    # 32-wide SMJ + distinct exchange + checkpoint (r12 — this entry's
+    # 8-core run used to BEAT its 32-core run, ratio 0.38, pure
+    # tiny-shuffle scheduling overhead; guide §2.3/§1.2 task-floor).
+    reach = (
+        edges.union(nodes).distinct().repartition(1)
+        .localCheckpoint(eager=True)
+    )
     for _ in range(5):  # squaring: paths ≤ 2^5 = 32 ≥ any 25-node path
         hop = reach.select(F.col("src").alias("a"), F.col("dst").alias("m"))
         ext = reach.select(F.col("src").alias("m"), F.col("dst").alias("b"))
         reach = (
-            hop.join(ext, "m").select(
+            hop.join(F.broadcast(ext), "m").select(
                 F.col("a").alias("src"), F.col("b").alias("dst")
             )
             .distinct()
@@ -1024,9 +1050,11 @@ ORDER BY n.n_name
 def mr_digraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     flows = (
-        cat.lineitem
-        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        cat.lineitem.select("l_suppkey", "l_orderkey")
+        .join(F.broadcast(cat.supplier.select("s_suppkey", "s_nationkey")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cat.orders.select("o_orderkey", "o_custkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
               F.col("c_custkey") == F.col("o_custkey"))
         .groupBy(
@@ -1460,6 +1488,11 @@ def mr_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(e.select(F.col("s").alias("v"), "ek"))
             .groupBy("v")
             .agg(F.min("ek").alias("mek"))
+            # pin the per-vertex min table (r12): both endpoint
+            # broadcasts consume it, and un-pinned each broadcast
+            # build re-ran the 2×|edges| min-aggregation — one
+            # data-sized pass per round saved
+            .localCheckpoint(eager=True)
         )
         m = (
             e.join(

@@ -283,6 +283,12 @@ def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(enc_cust(F.col("o_custkey")), enc_supp(F.col("l_suppkey")))
+        # materialize the fact-join edge build ONCE (r12): deg's
+        # aggregation and the w_edges join both consume `edges`, and
+        # without this checkpoint each ran the orders⋈lineitem
+        # distinct from scratch — two fact builds per entry (the rest
+        # of the family already pins e0; mr_pagerank had missed it)
+        .localCheckpoint(eager=True)
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).cache()
@@ -305,14 +311,22 @@ def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank vector is |nodes| rows (tiny next to edges): BROADCAST it
     # each round so the edge table is never reshuffled.
     for _ in range(3):
-        contrib = (
+        # The symmetrized graph has no in-edge-less nodes (every node's
+        # out-edge has a reverse), so the contribution aggregation's
+        # key set IS the node set and the oracle's `nodes LEFT JOIN …
+        # COALESCE(SUM, 0)` is an identity here: fold the damping
+        # affine map into the aggregation's result projection instead
+        # of a second join (r12 — one broadcast build + one join fewer
+        # per round; the double arithmetic 0.15/n + 0.85*SUM(r/d) is
+        # op-for-op the old expression).
+        ranks = (
             w_edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") / F.col("d")).alias("m"))
-        )
-        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
-            "node",
-            (F.lit(0.15 / float(n)) + F.lit(0.85) * F.coalesce("m", F.lit(0.0))).alias("r"),
+            .select(
+                "node",
+                (F.lit(0.15 / float(n)) + F.lit(0.85) * F.col("m")).alias("r"),
+            )
         )
         # materialize each round (eager localCheckpoint, |nodes| rows):
         # without it, round k's broadcast re-executes rounds 1..k-1 —

@@ -1236,6 +1236,10 @@ ORDER BY rank LIMIT 15
 def txt_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     t = d.select(F.split("text", " ").alias("tk"))
+    # one tokenize pass (r12): the vocab unigram count and the bigram
+    # explode both consume t — uncached, each re-read the parquet text
+    # column and re-split it (the entry's two heaviest scans)
+    t = t.cache()
     uc = (
         t.select(F.explode("tk").alias("w"))
         .groupBy("w")
@@ -1284,7 +1288,12 @@ def txt_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ew.join(F.broadcast(strength), "src").select(
         "src", "dst", (F.col("c") / F.col("tot").cast("double")).alias("p")
     )
-    edges = edges.localCheckpoint()  # bounded grid reused every round
+    # bounded grid (≤|vocab|² = 40k rows, SF-independent) reused every
+    # round — materialized on ONE partition (r12): SinglePartition
+    # satisfies each round's groupBy(dst) clustering requirement, so
+    # the 5 rounds run as 1-task narrow stages with zero exchanges
+    # (the mr_scc pattern; guide §2.3 tiny-shuffle task floor)
+    edges = edges.repartition(1).localCheckpoint()
     n = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
     s = vocab.join(F.broadcast(n)).select(
         "w", (1.0 / F.col("nv")).alias("s")
