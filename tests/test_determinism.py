@@ -17,8 +17,7 @@ from redmap_spark.inventory import ORACLES, QUERIES
 from tests.conftest import SF_DIR, normalize
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_partition_count_invariance(spark, name):
+def _check_partition_invariance(spark, name):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
@@ -29,3 +28,24 @@ def test_partition_count_invariance(spark, name):
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert len(at7) == len(at32), f"{name}: row count varies with partitioning"
     pd.testing.assert_frame_equal(at7, at32, check_dtype=False)
+
+
+# Driver profile (r12): default run = the current driver window (the
+# same 50 entries tests/test_oracle.py checks by default); the rest is
+# the `slow` full sweep (`-m ""`, round-close protocol). The window
+# rotates every round, so full coverage accrues across rounds even
+# without the slow sweep.
+_WINDOW_50 = [n for n in QUERIES if n in ORACLES][:50]
+
+
+@pytest.mark.parametrize("name", _WINDOW_50)
+def test_partition_count_invariance(spark, name):
+    _check_partition_invariance(spark, name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(ORACLES) if n not in set(_WINDOW_50)]
+)
+def test_partition_count_invariance_full(spark, name):
+    _check_partition_invariance(spark, name)
