@@ -2,7 +2,7 @@
 
 Times named inventory entries with the bench methodology (noop sink,
 min-of-N) and optionally dumps ``explain("formatted")`` to
-``plans/r11/<entry>_{before,after}.txt``.
+``plans/$REDMAP_PLANS_ROUND/<entry>_{before,after}.txt`` (default r12).
 
 Run:
   python tools/opt_profile.py NAME [NAME ...]        # min-of-3 each
@@ -53,7 +53,7 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
-    spark = get_spark("opt-profile-r11")
+    spark = get_spark("opt-profile")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
 
     out = {}
@@ -66,7 +66,7 @@ def main() -> None:
         out[name] = best
         print(f"{best:8.3f}  {name}  (runs: {times})", flush=True)
         if args.plans:
-            pdir = REPO / "plans" / "r11"
+            pdir = REPO / "plans" / os.environ.get("REDMAP_PLANS_ROUND", "r12")
             pdir.mkdir(parents=True, exist_ok=True)
             df = QUERIES[name](spark, args.sf_dir)
             plan = spark._jvm.PythonSQLUtils.explainString(
