@@ -941,28 +941,37 @@ def mr_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The reach grid is |nations|²-bounded (≤625 rows, SF-INDEPENDENT —
     # the fact scan already collapsed to it above), so the 5 squaring
-    # rounds run on ONE partition: SinglePartition satisfies the
-    # distinct's clustering requirement, the extension side broadcasts,
-    # and each round is a single 1-task narrow stage instead of a
-    # 32-wide SMJ + distinct exchange + checkpoint (r12 — this entry's
-    # 8-core run used to BEAT its 32-core run, ratio 0.38, pure
-    # tiny-shuffle scheduling overhead; guide §2.3/§1.2 task-floor).
+    # rounds run on ONE partition. coalesce(1) (NOT repartition — that
+    # is itself an exchange) marks the frame SinglePartition to the
+    # planner, which satisfies both the join's and the distinct's
+    # clustering requirements: each round is a 1-task narrow stage
+    # with ZERO exchanges instead of a 32-wide SMJ + distinct exchange
+    # (r12 — this entry's 8-core run used to BEAT its 32-core run,
+    # ratio 0.38, pure tiny-shuffle scheduling overhead; guide
+    # §2.3/§1.2 task-floor). localCheckpoint returns
+    # UnknownPartitioning, so each round re-asserts coalesce(1).
     reach = (
-        edges.union(nodes).distinct().repartition(1)
+        edges.union(nodes).coalesce(1).distinct()
         .localCheckpoint(eager=True)
     )
     for _ in range(5):  # squaring: paths ≤ 2^5 = 32 ≥ any 25-node path
-        hop = reach.select(F.col("src").alias("a"), F.col("dst").alias("m"))
-        ext = reach.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+        hop = reach.select(
+            F.col("src").alias("a"), F.col("dst").alias("m")
+        ).coalesce(1)
+        ext = reach.select(
+            F.col("src").alias("m"), F.col("dst").alias("b")
+        ).coalesce(1)
         reach = (
-            hop.join(F.broadcast(ext), "m").select(
+            hop.join(ext, "m").select(
                 F.col("a").alias("src"), F.col("b").alias("dst")
             )
             .distinct()
             .localCheckpoint(eager=True)
         )
-    back = reach.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = reach.join(back, ["src", "dst"]).select(
+    back = reach.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).coalesce(1)
+    mutual = reach.coalesce(1).join(back, ["src", "dst"]).select(
         F.col("src").alias("v"), F.col("dst").alias("u")
     )
     scc = mutual.groupBy("v").agg(F.min("u").cast("bigint").alias("scc_id"))

@@ -1289,11 +1289,14 @@ def txt_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", (F.col("c") / F.col("tot").cast("double")).alias("p")
     )
     # bounded grid (≤|vocab|² = 40k rows, SF-independent) reused every
-    # round — materialized on ONE partition (r12): SinglePartition
+    # round — materialized on ONE partition via coalesce(1) (NOT
+    # repartition, which is itself an exchange): SinglePartition
     # satisfies each round's groupBy(dst) clustering requirement, so
     # the 5 rounds run as 1-task narrow stages with zero exchanges
-    # (the mr_scc pattern; guide §2.3 tiny-shuffle task floor)
-    edges = edges.repartition(1).localCheckpoint()
+    # (the mr_scc pattern; guide §2.3 tiny-shuffle task floor).
+    # localCheckpoint returns UnknownPartitioning, so each round
+    # re-asserts coalesce(1) below.
+    edges = edges.coalesce(1).localCheckpoint()
     n = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
     s = vocab.join(F.broadcast(n)).select(
         "w", (1.0 / F.col("nv")).alias("s")
@@ -1303,8 +1306,10 @@ def txt_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         con = (
             # broadcast the <=200-row rank vector so the checkpointed
             # edge grid is never reshuffled per round (r11, guide §3.1
-            # — the mr_pagerank rule)
-            edges.join(
+            # — the mr_pagerank rule); coalesce(1) re-asserts the
+            # SinglePartition the checkpoint dropped so the groupBy
+            # below needs no exchange (r12)
+            edges.coalesce(1).join(
                 F.broadcast(s.select(F.col("w").alias("src"), "s")), "src"
             )
             .groupBy(F.col("dst").alias("w"))
